@@ -1,13 +1,439 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 + §7.
+  *
+  * Every implemented operator from the SURVEY §2 inventory registers one
+  * query here; `oracleSql` carries the DuckDB-equivalent SQL for the
+  * hash-matched correctness gate. Queries whose semantics are not
+  * SQL-expressible (approx sketches, LSH recall paths) are registered
+  * without an oracle and covered by ScalaTest oracles instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RelationalQueries.q1Agg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // scans / json (E1, E3)
+    "q_scan_count" -> RelationalQueries.scanCount,
+    "q_json_extract" -> RelationalQueries.jsonExtract,
+    // projection / filter (E5, E6)
+    "q_filter_pred" -> RelationalQueries.filterPred,
+    "q_proj_compute" -> RelationalQueries.projCompute,
+    // joins (E7–E12)
+    "q_join_inner" -> RelationalQueries.joinInner,
+    "q_join_broadcast" -> RelationalQueries.joinBroadcast,
+    "q_join_left" -> RelationalQueries.joinLeft,
+    "q_join_full" -> RelationalQueries.joinFull,
+    "q_join_semi" -> RelationalQueries.joinSemi,
+    "q_join_anti" -> RelationalQueries.joinAnti,
+    "q_join_range" -> RelationalQueries.joinRange,
+    "q_asof_join" -> RelationalQueries.asofJoin,
+    // aggregation (E13–E17)
+    "q1_agg" -> RelationalQueries.q1Agg,
+    "q_agg_distinct" -> RelationalQueries.aggDistinct,
+    "q_agg_approx_distinct" -> RelationalQueries.aggApproxDistinct,
+    "q_agg_rollup" -> RelationalQueries.aggRollup,
+    "q_agg_cube" -> RelationalQueries.aggCube,
+    "q_agg_grouping_sets" -> RelationalQueries.aggGroupingSets,
+    "q_agg_stats" -> RelationalQueries.aggStats,
+    "q_agg_collect" -> RelationalQueries.aggCollect,
+    // window functions (E18–E20)
+    "q_window_rank" -> RelationalQueries.windowRank,
+    "q_window_lag" -> RelationalQueries.windowLag,
+    "q_window_frame" -> RelationalQueries.windowFrame,
+    "q_window_analytics" -> RelationalQueries.windowAnalytics,
+    // sort / limit / top-k (E21, E22)
+    "q_topk_orders" -> RelationalQueries.topkOrders,
+    "q_topk_parts" -> RelationalQueries.topkParts,
+    // set ops (E23)
+    "q_set_union" -> RelationalQueries.setUnion,
+    "q_set_union_all" -> RelationalQueries.setUnionAll,
+    "q_set_intersect" -> RelationalQueries.setIntersect,
+    "q_set_except" -> RelationalQueries.setExcept,
+    // scalar functions (E24–E27)
+    "q_string_funcs" -> RelationalQueries.stringFuncs,
+    "q_date_funcs" -> RelationalQueries.dateFuncs,
+    "q_math_funcs" -> RelationalQueries.mathFuncs,
+    "q_array_funcs" -> RelationalQueries.arrayFuncs,
+    // text / LLM-pipeline (E34, E35, E39, E40)
+    "q_dedup_exact" -> TextQueries.dedupExact,
+    "q_dedup_stats" -> TextQueries.dedupStats,
+    "q_text_tokens" -> TextQueries.textTokens,
+    "q_text_topterms" -> TextQueries.textTopTerms,
+    "q_text_quality" -> TextQueries.textQuality,
+    "q_text_fingerprint" -> TextQueries.textFingerprint,
+    "q_text_lang_markers" -> TextQueries.textLangMarkers,
+    "q_text_bigrams" -> TextQueries.textBigrams,
+    "q_ngram_jaccard" -> TextQueries.ngramJaccard,
+    "q_multimodal_meta" -> TextQueries.multimodalMeta,
+    // vectors / similarity (E36, E37)
+    "q_vector_cosine" -> VectorQueries.vectorCosine,
+    "q_similarity_topk" -> VectorQueries.similarityTopK,
+    "q_embed_norms" -> VectorQueries.embedNorms,
+    "q_l2_nearest" -> VectorQueries.l2Nearest,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+
+    "q_json_extract" -> """
+      SELECT event_type, count(*) AS n,
+             sum(json_extract_string(props,'$.k')::BIGINT)::BIGINT AS sum_k,
+             max(json_extract_string(props,'$.k')::BIGINT) AS max_k
+      FROM events GROUP BY event_type""",
+
+    "q_filter_pred" -> """
+      SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate BETWEEN '1995-01-01' AND '1996-12-31'
+        AND l_quantity IN (10,20,30,40) AND l_returnflag = 'R'""",
+
+    "q_proj_compute" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice*(1-l_discount),6) AS revenue,
+             CASE WHEN l_quantity >= 30 THEN 'bulk'
+                  WHEN l_quantity >= 10 THEN 'mid'
+                  ELSE 'small' END AS qty_class
+      FROM lineitem""",
+
+    "q_join_inner" -> """
+      SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment""",
+
+    "q_join_broadcast" -> """
+      SELECT r_name, count(*) AS n_nations,
+             array_to_string(list_sort(list(n_name)),',') AS nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name""",
+
+    "q_join_left" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_orders,
+             coalesce(sum(o_totalprice), 0) AS total
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey""",
+
+    "q_join_full" -> """
+      SELECT count(*) AS n_keys,
+             sum(coalesce(has_cust,0))::BIGINT AS n_cust,
+             sum(coalesce(has_ord,0))::BIGINT AS n_ord
+      FROM (SELECT c_custkey AS k, 1 AS has_cust FROM customer) c
+      FULL JOIN (SELECT DISTINCT o_custkey AS k, 1 AS has_ord FROM orders) o
+      USING (k)""",
+
+    "q_join_semi" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q_join_anti" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q_join_range" -> """
+      SELECT e1.user_id AS user_id, count(*) AS n_pairs
+      FROM events e1 JOIN events e2
+        ON e1.user_id = e2.user_id
+       AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+      WHERE e1.event_type = 'error' AND e2.event_type = 'purchase'
+      GROUP BY 1""",
+
+    "q_asof_join" -> """
+      SELECT p.event_id, p.user_id, v.ts AS asof_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             sum(l_extendedprice) AS sum_base_price,
+             sum(l_extendedprice*(1-l_discount)) AS sum_disc_price,
+             sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS sum_charge,
+             avg(l_quantity) AS avg_qty,
+             avg(l_extendedprice) AS avg_price,
+             avg(l_discount) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus""",
+
+    "q_agg_distinct" -> """
+      SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+             count(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority""",
+
+    "q_agg_rollup" -> """
+      SELECT r_name, n_name, count(*) AS n_cust,
+             round(sum(c_acctbal),6) AS bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)""",
+
+    "q_agg_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice),6) AS total
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+
+    "q_agg_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, count(1) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+
+    "q_agg_stats" -> """
+      SELECT l_returnflag,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             round(avg(l_quantity),6) AS avg_qty,
+             round(stddev_samp(l_quantity),6) AS sd_qty,
+             round(quantile_cont(l_quantity, 0.5),6) AS median_qty,
+             round(quantile_cont(l_quantity, 0.9),6) AS p90_qty
+      FROM lineitem GROUP BY l_returnflag""",
+
+    "q_agg_collect" -> """
+      SELECT l_returnflag,
+             array_to_string(list_sort(list(DISTINCT l_linestatus)),',')
+               AS statuses
+      FROM lineitem GROUP BY l_returnflag""",
+
+    "q_window_rank" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t WHERE rn = 1""",
+
+    "q_window_lag" -> """
+      SELECT event_id, user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events""",
+
+    "q_window_frame" -> """
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),6) AS running
+      FROM orders""",
+
+    "q_window_analytics" -> """
+      SELECT o_orderkey, o_orderpriority, drank, quartile, next_key FROM (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(dense_rank() OVER w AS INT) AS drank,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               lead(o_orderkey, 1) OVER w AS next_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)) t
+      WHERE drank <= 20""",
+
+    "q_topk_orders" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+
+    "q_topk_parts" -> """
+      SELECT l_partkey, round(sum(l_extendedprice*(1-l_discount)),6) AS revenue
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY revenue DESC, l_partkey LIMIT 10""",
+
+    "q_set_union" -> """
+      SELECT c_custkey AS k FROM customer
+      UNION SELECT o_custkey FROM orders""",
+
+    "q_set_union_all" -> """
+      SELECT k, count(*) AS n FROM (
+        SELECT c_custkey AS k FROM customer
+        UNION ALL SELECT o_custkey FROM orders) t GROUP BY k""",
+
+    "q_set_intersect" -> """
+      SELECT c_custkey AS k FROM customer
+      INTERSECT SELECT o_custkey FROM orders""",
+
+    "q_set_except" -> """
+      SELECT c_custkey AS k FROM customer
+      EXCEPT SELECT o_custkey FROM orders""",
+
+    "q_string_funcs" -> """
+      SELECT p_partkey,
+             upper(p_brand) AS brand_u,
+             lower(p_type) AS type_l,
+             substring(p_name, 1, 8) AS name8,
+             p_brand || '#' || p_type AS bt,
+             length(p_name)::INT AS name_len,
+             trim(p_name) AS name_trim,
+             regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+             lpad(p_brand, 12, '_') AS brand_pad,
+             string_split(p_type, ' ')[1] AS type_head
+      FROM part""",
+
+    "q_date_funcs" -> """
+      SELECT month, n, total, year(month)::INT AS yr, month(month)::INT AS mth
+      FROM (
+        SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
+               round(sum(o_totalprice),6) AS total
+        FROM orders GROUP BY 1) t""",
+
+    "q_math_funcs" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice*(1+l_tax),6) AS gross,
+             ceil(l_extendedprice)::BIGINT AS price_ceil,
+             floor(l_discount*100)::BIGINT AS disc_pct,
+             round(sqrt(l_quantity),6) AS qty_sqrt,
+             round(pow(l_quantity, 2.0),6) AS qty_sq,
+             abs(l_quantity - 25) AS qty_dev
+      FROM lineitem""",
+
+    "q_array_funcs" -> """
+      SELECT vec_id, len(embedding)::INT AS dim,
+             round(embedding[1]::DOUBLE, 6) AS e1,
+             round(list_sum((embedding::DOUBLE[])[1:8]), 6) AS head_sum
+      FROM embeddings""",
+
+    "q_dedup_exact" -> """
+      SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+             count(*) AS n_copies
+      FROM documents GROUP BY 1""",
+
+    "q_dedup_stats" -> """
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT sha256(text)) AS n_unique
+      FROM documents GROUP BY source""",
+
+    "q_text_tokens" -> """
+      SELECT lang, count(*) AS n_docs,
+             sum(len(string_split(text,' ')))::BIGINT AS total_tokens,
+             round(avg(len(string_split(text,' '))),6) AS avg_tokens,
+             sum(n_chars)::BIGINT AS total_chars
+      FROM documents GROUP BY lang""",
+
+    "q_text_topterms" -> """
+      SELECT tok, count(*) AS n FROM (
+        SELECT unnest(string_split(lower(text),' ')) AS tok FROM documents) t
+      WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 30""",
+
+    "q_text_quality" -> """
+      SELECT doc_id, lang,
+             length(text)::INT AS len_chars,
+             len(string_split(text,' '))::INT AS n_tokens,
+             round(length(text)::DOUBLE / len(string_split(text,' ')),6)
+               AS chars_per_tok,
+             (length(text) - length(translate(text,'.,!?;:','')))::INT
+               AS n_punct,
+             round((len(list_filter(string_split(lower(text),' '),
+                                    t -> t='the'))
+                  + len(list_filter(string_split(lower(text),' '),
+                                    t -> t='a'))
+                  + len(list_filter(string_split(lower(text),' '),
+                                    t -> t='of'))
+                  + len(list_filter(string_split(lower(text),' '),
+                                    t -> t='and'))
+                  + len(list_filter(string_split(lower(text),' '),
+                                    t -> t='to')))::DOUBLE
+                  / len(string_split(text,' ')),6) AS stopword_ratio
+      FROM documents""",
+
+    "q_text_fingerprint" -> """
+      SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      FROM documents""",
+
+    "q_text_lang_markers" -> """
+      SELECT lang,
+        sum(len(list_filter(toks, t -> t='the')) +
+            len(list_filter(toks, t -> t='and')) +
+            len(list_filter(toks, t -> t='of')))::BIGINT AS en_score,
+        sum(len(list_filter(toks, t -> t='der')) +
+            len(list_filter(toks, t -> t='und')) +
+            len(list_filter(toks, t -> t='die')))::BIGINT AS de_score,
+        sum(len(list_filter(toks, t -> t='le')) +
+            len(list_filter(toks, t -> t='la')) +
+            len(list_filter(toks, t -> t='et')))::BIGINT AS fr_score
+      FROM (SELECT lang, string_split(lower(text),' ') AS toks
+            FROM documents) t
+      GROUP BY lang""",
+
+    "q_text_bigrams" -> """
+      SELECT bigram, count(*) AS n FROM (
+        SELECT unnest(list_transform(generate_series(1, len(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM (SELECT string_split(lower(text),' ') AS toks
+              FROM documents) d) t
+      WHERE bigram LIKE '% %'
+      GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+
+    "q_ngram_jaccard" -> """
+      WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(string_split(lower(text),' '))) AS tok
+        FROM documents),
+      toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM toks2 GROUP BY 1),
+      inter AS (
+        SELECT p.doc_id AS a, c.doc_id AS b, count(*) AS inter
+        FROM toks2 p JOIN toks2 c
+          ON p.tok = c.tok AND p.lang = c.lang AND p.doc_id < c.doc_id
+        WHERE p.doc_id < 10
+        GROUP BY 1, 2)
+      SELECT a, b, jaccard FROM (
+        SELECT a, b,
+               round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b) t
+      WHERE jaccard >= 0.05""",
+
+    "q_multimodal_meta" -> """
+      SELECT doc_id, strlen(text)::INT AS n_bytes, md5(text) AS digest,
+             source AS modality_source
+      FROM documents""",
+
+    "q_vector_cosine" -> """
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(p.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings p, embeddings c
+      WHERE p.vec_id < 5""",
+
+    "q_similarity_topk" -> """
+      SELECT probe_id, cand_id, cos, "rank" FROM (
+        SELECT probe_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos DESC, cand_id) AS INT) AS "rank"
+        FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 round(list_cosine_similarity(p.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]), 6) AS cos
+          FROM embeddings p, embeddings c
+          WHERE p.vec_id < 5 AND p.vec_id <> c.vec_id) pairs) ranked
+      WHERE "rank" <= 5""",
+
+    "q_embed_norms" -> """
+      SELECT label, count(*) AS n,
+             round(avg(norm),4) AS avg_norm,
+             round(min(norm),4) AS min_norm,
+             round(max(norm),4) AS max_norm
+      FROM (SELECT label,
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x*x))) AS norm
+            FROM embeddings) t
+      GROUP BY label""",
+
+    "q_l2_nearest" -> """
+      SELECT probe_id, cand_id, l2, "rank" FROM (
+        SELECT probe_id, cand_id, l2,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY l2 ASC, cand_id) AS INT) AS "rank"
+        FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 round(list_distance(p.embedding::DOUBLE[],
+                                     c.embedding::DOUBLE[]), 6) AS l2
+          FROM embeddings p, embeddings c
+          WHERE p.vec_id < 5 AND p.vec_id <> c.vec_id) pairs) ranked
+      WHERE "rank" <= 3""",
+  )
 }

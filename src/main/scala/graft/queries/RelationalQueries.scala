@@ -1,0 +1,370 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational operator coverage (SURVEY §2B E1, E3–E28).
+  *
+  * Everything here is declarative DataFrame code — Catalyst supplies
+  * pushdown, pruning, join selection and whole-stage codegen (SURVEY §4.2).
+  * Scale notes are per-query; the shared posture: filters before joins,
+  * broadcast for dimension tables, aggregation keyed on the shuffle key,
+  * and no driver-side materialization anywhere.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- E1: scans ----------------------------------------------------------
+
+  /** Bare parquet scan + count (E1). At scale: metadata-only row-group
+    * counts; no column is read at all. */
+  val scanCount: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))
+
+  // ---- E5/E6: projection + filter ----------------------------------------
+
+  /** Conjunctive/IN/BETWEEN/LIKE predicates (E6); all push into the parquet
+    * reader (`PushedFilters` in explain), so at 100 TB only matching
+    * row-groups are decoded. */
+  val filterPred: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between("1995-01-01", "1996-12-31")
+        && col("l_quantity").isin(10d, 20d, 30d, 40d)
+        && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+        "l_extendedprice")
+
+  /** Computed projection incl. CASE WHEN (E5). */
+  val projCompute: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      // 6dp, not 2dp: exact-half cents (x.225) round differently between
+      // Spark's BigDecimal HALF_UP and DuckDB's double rounding; no double
+      // can sit exactly on a 6dp half-boundary, so 6dp is engine-portable
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"),
+      when(col("l_quantity") >= 30, "bulk")
+        .when(col("l_quantity") >= 10, "mid")
+        .otherwise("small").as("qty_class"))
+
+  // ---- E3: JSON column decode --------------------------------------------
+
+  /** `get_json_object` over the events `props` JSON column (E3). */
+  val jsonExtract: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+
+  // ---- E13: hash aggregate (TPC-H Q1 shape — the flagship) ---------------
+
+  /** TPC-H Q1 (E13): partial aggregation map-side, 4-way agg over 2 group
+    * keys; the canonical "does the engine aggregate at scale" probe. */
+  val q1Agg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= "1998-09-02")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("sum_charge"),
+        avg("l_quantity").as("avg_qty"),
+        avg("l_extendedprice").as("avg_price"),
+        avg("l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  // ---- E7–E10: joins ------------------------------------------------------
+
+  /** Equi inner join orders⋈customer (E7). customer is the smaller side; at
+    * bench scale Spark broadcast it, at 100 TB AQE picks shuffle-hash /
+    * sort-merge on o_custkey. Aggregation keys on the join output. */
+  val joinInner: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total"))
+
+  /** Broadcast join of two dimension tables (E8) — explicitly hinted so the
+    * 5-row region side never shuffles. */
+  val joinBroadcast: Q = (s, d) =>
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        concat_ws(",", sort_array(collect_list("n_name"))).as("nations"))
+
+  /** Left outer join preserving order-less customers (E9). */
+  val joinLeft: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count("o_orderkey").as("n_orders"),
+        coalesce(sum("o_totalprice"), lit(0d)).as("total"))
+
+  /** Full outer join over key sets (E9). */
+  val joinFull: Q = (s, d) => {
+    val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .withColumn("has_cust", lit(1))
+    val o = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+      .withColumn("has_ord", lit(1))
+    c.join(o, Seq("k"), "full")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(coalesce(col("has_cust"), lit(0))).as("n_cust"),
+        sum(coalesce(col("has_ord"), lit(0))).as("n_ord"))
+  }
+
+  /** Left semi = EXISTS (E10). */
+  val joinSemi: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  /** Left anti = NOT EXISTS (E10). */
+  val joinAnti: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Range join (E11): error events to purchase events of the same user in
+    * the following hour. The equi key (user_id) makes this a hash join with
+    * a range residual — NOT a cartesian product — which is the only shape
+    * that survives 100 TB (pure theta joins explode; always find the equi
+    * component, or bucket time into join keys). */
+  val joinRange: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val e1 = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("u"), col("ts").as("t1"))
+    val e2 = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("t2"))
+    e1.join(e2, col("u") === col("u2")
+        && col("t2") >= col("t1")
+        && col("t2") <= col("t1") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("u").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select("user_id", "n_pairs")
+  }
+
+  /** As-of join (E12): each purchase event picks up the most recent prior
+    * view event's timestamp for the same user. See [[graft.operators.AsOfJoin]]
+    * for the single-shuffle union-merge plan. */
+  val asofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts")
+    graft.operators.AsOfJoin(purchases, views, "user_id", "ts", "ts", Seq("ts"))
+      .select("event_id", "user_id", "asof_ts")
+  }
+
+  // ---- E14–E17: aggregation variants -------------------------------------
+
+  /** Exact COUNT(DISTINCT) (E14): Spark expands to a two-phase distinct agg;
+    * scales via partial distinct on mapper side. */
+  val aggDistinct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n_cust"),
+        count(lit(1)).as("n_orders"))
+
+  /** ROLLUP (E16). */
+  val aggRollup: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      // re-alias before rollup: Spark 4's ambiguous-self-join detector
+      // false-positives when rollup grouping columns keep join-side names
+      .select(col("r_name").as("rn"), col("n_name").as("nn"), col("c_acctbal"))
+      .rollup(col("rn").as("r_name"), col("nn").as("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 6).as("bal"))
+
+  /** CUBE (E16). */
+  val aggCube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 6).as("total"))
+
+  /** GROUPING SETS via SQL (E16). */
+  val aggGroupingSets: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(1) AS n
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+  }
+
+  /** Statistical aggregates incl. exact interpolated percentile (E17). */
+  val aggStats: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(stddev_samp("l_quantity"), 6).as("sd_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))
+
+  /** collect_set canonicalized to a sorted string (E17) — determinism via
+    * sort_array, oracle via list_sort. */
+  val aggCollect: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(concat_ws(",", sort_array(collect_set("l_linestatus")))
+        .as("statuses"))
+
+  /** Approximate distinct (E15) — HLL-backed, tolerance-checked not
+    * hash-matched (no oracle entry). */
+  val aggApproxDistinct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct("o_custkey").as("approx_cust"))
+
+  // ---- E18–E20: window functions -----------------------------------------
+
+  /** Ranking window (E18): highest-value order per customer. */
+  val windowRank: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  /** Analytic lag (E19): inter-event gap per user in microseconds. */
+  val windowLag: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("gap_us", unix_micros(col("ts"))
+        - lag(unix_micros(col("ts")), 1).over(w))
+      .select("event_id", "user_id", "gap_us")
+  }
+
+  /** Running frame (E20): cumulative spend per customer over time. The
+    * ORDER BY is made total (date, then key) so the running double sum is
+    * deterministic and oracle-comparable. */
+  val windowFrame: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running", round(sum("o_totalprice").over(w), 6))
+      .select("o_custkey", "o_orderkey", "running")
+  }
+
+  /** ntile + dense_rank + lead in one pass (E18/E19). */
+  val windowAnalytics: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        dense_rank().over(w).as("drank"),
+        ntile(4).over(w).as("quartile"),
+        lead("o_orderkey", 1).over(w).as("next_key"))
+      .filter(col("drank") <= 20)
+  }
+
+  // ---- E21/E22: sort / limit / top-k -------------------------------------
+
+  /** Global top-k (E22): compiles to TakeOrderedAndProject — per-partition
+    * heaps then a k-row merge on the driver, never a global sort. */
+  val topkOrders: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+      .select("o_orderkey", "o_totalprice")
+
+  /** Top-k over an aggregate (E22): revenue top-10 parts. */
+  val topkParts: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+      .limit(10)
+
+  // ---- E23: set operations ------------------------------------------------
+
+  val setUnion: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .union(Tables.orders(s, d).select(col("o_custkey").as("k")))
+      .distinct()
+
+  val setIntersect: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .intersect(Tables.orders(s, d).select(col("o_custkey").as("k")))
+
+  val setExcept: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .except(Tables.orders(s, d).select(col("o_custkey").as("k")))
+
+  /** UNION ALL preserved duplicates, then counted (E23). */
+  val setUnionAll: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .unionAll(Tables.orders(s, d).select(col("o_custkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+
+  // ---- E24–E26: scalar function library ----------------------------------
+
+  /** String functions (E24). */
+  val stringFuncs: Q = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      lower(col("p_type")).as("type_l"),
+      substring(col("p_name"), 1, 8).as("name8"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("bt"),
+      length(col("p_name")).as("name_len"),
+      trim(col("p_name")).as("name_trim"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+      lpad(col("p_brand"), 12, "_").as("brand_pad"),
+      split(col("p_type"), " ").getItem(0).as("type_head"))
+
+  /** Date/time functions (E25): monthly revenue rollup. */
+  val dateFuncs: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 6).as("total"))
+      .withColumn("yr", year(col("month")))
+      .withColumn("mth", month(col("month")))
+
+  /** Math functions (E26). Note ceil/floor return LONG in Spark — the
+    * oracle casts to match. */
+  val mathFuncs: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(col("l_extendedprice") * (lit(1) + col("l_tax")), 6).as("gross"),
+      ceil(col("l_extendedprice")).as("price_ceil"),
+      floor(col("l_discount") * 100).as("disc_pct"),
+      round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+      round(pow(col("l_quantity"), 2.0), 6).as("qty_sq"),
+      abs(col("l_quantity") - 25).as("qty_dev"))
+
+  // ---- E27: array functions (see VectorQueries for the embedding ops) ----
+
+  /** Array basics over embeddings (E27): size / element_at / slice-sum. */
+  val arrayFuncs: Q = (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+      round(aggregate(slice(col("embedding"), 1, 8),
+        lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("head_sum"))
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis / training-data-pipeline queries over `documents`
+  * (SURVEY §2B E24, E34, E39 + north-star text ops).
+  *
+  * All token work routes through explode/groupBy — distributed, partial-agg
+  * friendly, no driver materialization. Content hashing uses md5/sha2 so
+  * the DuckDB oracle computes identical digests.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact-dup detection by content hash (E34): groups identical texts,
+    * keeps min doc_id as the canonical survivor. At 100 TB the groupBy key
+    * is the 256-bit digest, not the document — shuffle carries 32 bytes +
+    * ids per doc, never the text. */
+  val dedupExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Dedup summary per source (E34). */
+  val dedupStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(sha2(col("text"), 256)).as("n_unique"))
+
+  /** Token counting per language (E39): whitespace tokens, avg doc length. */
+  val textTokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 6).as("avg_tokens"),
+        sum("n_chars").as("total_chars"))
+
+  /** Global term frequencies, top-30 (E39): explode → partial-agg count →
+    * top-k. The explode fan-out happens map-side; only (token, partial
+    * count) pairs shuffle. */
+  val textTopTerms: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(30)
+
+  /** Per-doc quality scoring (north star): length stats + punctuation and
+    * stopword ratios from pure portable string ops. */
+  val textQuality: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val nTok = size(split(col("text"), " "))
+    val nPunct = length(col("text")) -
+      length(translate(col("text"), ".,!?;:", ""))
+    val stopwords = Seq("the", "a", "of", "and", "to")
+    val toks = split(lower(col("text")), " ")
+    val nStop = stopwords.map(w =>
+      size(filter(toks, t => t === w))).reduce(_ + _)
+    doc.select(
+      col("doc_id"), col("lang"),
+      length(col("text")).as("len_chars"),
+      nTok.as("n_tokens"),
+      round(length(col("text")).cast("double") / nTok, 6).as("chars_per_tok"),
+      nPunct.as("n_punct"),
+      round(nStop.cast("double") / nTok, 6).as("stopword_ratio"))
+  }
+
+  /** Content fingerprint (E34/E39): normalization + md5, the cheap
+    * near-exact-dup key (casefold/squeeze-whitespace then digest). */
+  val textFingerprint: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+
+  /** Language-marker scoring (north star lang-ID): counts hits of per-lang
+    * marker tokens; a real lang-ID runs exactly this shape with n-gram
+    * profiles instead of word lists. */
+  val textLangMarkers: Q = (s, d) => {
+    val toks = split(lower(col("text")), " ")
+    def hits(words: Seq[String]) =
+      words.map(w => size(filter(toks, t => t === w))).reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("lang"),
+        hits(Seq("the", "and", "of")).as("en_hits"),
+        hits(Seq("der", "und", "die")).as("de_hits"),
+        hits(Seq("le", "la", "et")).as("fr_hits"))
+      .groupBy("lang")
+      .agg(sum("en_hits").as("en_score"),
+        sum("de_hits").as("de_score"),
+        sum("fr_hits").as("fr_score"))
+  }
+
+  /** N-gram (token bigram) extraction + counts (E39): top-20 bigrams. */
+  val textBigrams: Q = (s, d) => {
+    val toks = split(lower(col("text")), " ")
+    Tables.documents(s, d)
+      .select(explode(zip_with(toks, slice(toks, 2, 1000000),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .filter(col("bigram").contains(" "))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Token-set Jaccard similarity between probe docs and same-lang
+    * candidates (E35 oracle-able variant): explode to (doc, token) pairs,
+    * self-join on token — the distributed set-similarity join. Probe side
+    * is filtered FIRST so the join fan-out is bounded by probe tokens. */
+  val ngramJaccard: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      .filter(col("tok") =!= "")
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val probe = toks.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("a"), col("lang").as("l1"), col("tok"))
+    val cand = toks
+      .select(col("doc_id").as("b"), col("lang").as("l2"), col("tok"))
+    val inter = probe.join(cand,
+        probe("tok") === cand("tok") && col("l1") === col("l2")
+          && col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("sza") + col("szb") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.05)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Multimodal metadata plumbing (E40): treat text bytes as an opaque
+    * binary payload with typed metadata — byte length + digest, the schema
+    * every image/audio column uses (decode stubs live in
+    * [[graft.operators.Multimodal]]). */
+  val multimodalMeta: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      octet_length(col("text")).as("n_bytes"),
+      md5(col("text").cast("binary")).as("digest"),
+      col("source").as("modality_source"))
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Embedding / similarity-search queries (SURVEY §2B E36–E38).
+  *
+  * Scalar kernels (dot/cosine/L2) are Catalyst expressions in
+  * [[graft.functions.VectorFunctions]]; these queries wire them into the
+  * two standard distributed shapes:
+  *   - brute-force probe×corpus (correctness baseline, E37) — fine when
+  *     |probe| is small and broadcast;
+  *   - LSH-bucketed ANN (E38, in [[graft.operators.AnnSearch]]) — the
+  *     100 TB path, recall-checked against brute force in tests.
+  */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sequential-order double-precision cosine via the `aggregate` HOF —
+    * byte-for-byte the same fold DuckDB's list_cosine_similarity performs,
+    * so results hash-match. The custom expression path (faster, codegen)
+    * is used by the operators; this keeps the oracle exact. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  private def probesAndCorpus(s: SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    val probe = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val corpus = emb
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
+    (probe, corpus)
+  }
+
+  /** Pairwise cosine probe×corpus (E36): broadcast the probes — the corpus
+    * never shuffles, scan stays embarrassingly parallel. */
+  val vectorCosine: Q = (s, d) => {
+    val (probe, corpus) = probesAndCorpus(s, d)
+    corpus.join(broadcast(probe))
+      .select(col("probe_id"), col("cand_id"),
+        round(cosine(col("pvec"), col("cvec")), 6).as("cos"))
+  }
+
+  /** Brute-force top-k per probe (E37): per-probe window over rounded
+    * cosine (rounding makes cross-engine ordering exact), deterministic
+    * tie-break on cand_id. */
+  val similarityTopK: Q = (s, d) => {
+    val (probe, corpus) = probesAndCorpus(s, d)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    corpus.join(broadcast(probe))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(cosine(col("pvec"), col("cvec")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  /** Norm statistics per label (E36/E27): array fold + group agg. */
+  val embedNorms: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double"))).as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_norm"),
+        round(min("norm"), 4).as("min_norm"),
+        round(max("norm"), 4).as("max_norm"))
+
+  /** Euclidean (L2) nearest neighbor per probe (E36/E37 variant). */
+  val l2Nearest: Q = (s, d) => {
+    val (probe, corpus) = probesAndCorpus(s, d)
+    val dist = sqrt(aggregate(zip_with(col("pvec"), col("cvec"),
+      (x, y) => (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("l2").asc, col("cand_id"))
+    corpus.join(broadcast(probe))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), round(dist, 6).as("l2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+}
