@@ -72,6 +72,9 @@ object SparkEntry {
     "q_text_bigrams" -> TextQueries.textBigrams,
     "q_ngram_jaccard" -> TextQueries.ngramJaccard,
     "q_multimodal_meta" -> TextQueries.multimodalMeta,
+    // riff parity (R2/R6, E28, E40)
+    "q_riff_roundtrip" -> RiffQueries.riffRoundtrip,
+    "q_map_funcs" -> RiffQueries.mapFuncs,
     // vectors / similarity (E36, E37)
     "q_vector_cosine" -> VectorQueries.vectorCosine,
     "q_similarity_topk" -> VectorQueries.similarityTopK,
@@ -390,6 +393,15 @@ object SparkEntry {
     "q_multimodal_meta" -> """
       SELECT doc_id, strlen(text)::INT AS n_bytes, md5(text) AS digest,
              source AS modality_source
+      FROM documents""",
+
+    "q_riff_roundtrip" -> """
+      SELECT doc_id, text AS payload_text, lang AS h_lang, source AS h_source
+      FROM documents""",
+
+    "q_map_funcs" -> """
+      SELECT doc_id, 'lang,source' AS header_names, 2 AS n_headers,
+             true AS has_lang, source AS src
       FROM documents""",
 
     "q_vector_cosine" -> """

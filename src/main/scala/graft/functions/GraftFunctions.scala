@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Public function surface of the engine.
+  *
+  * Registration goes through the session's FunctionRegistry so every
+  * function is callable from SQL (`SELECT cosine_sim(a, b) ...`) and from
+  * the DataFrame API via the `Column` helpers below (which route through
+  * `call_function`, keeping us off private Column internals).
+  */
+object GraftFunctions {
+
+  private val builders: Map[String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression] = Map(
+    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "vec_dot" -> (es => DotProduct(es(0), es(1))),
+    "vec_l2" -> (es => L2Distance(es(0), es(1))),
+    "riff_encode" -> (es => RiffEncode(es(0), es(1))),
+    "riff_decode" -> (es => RiffDecode(es(0))),
+  )
+
+  /** Idempotent per-session registration of all engine functions. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def vecL2(a: Column, b: Column): Column = call_function("vec_l2", a, b)
+  def riffEncode(headers: Column, payload: Column): Column =
+    call_function("riff_encode", headers, payload)
+  def riffDecode(frame: Column): Column = call_function("riff_decode", frame)
+}

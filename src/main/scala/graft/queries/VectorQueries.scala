@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
 import graft.sources.Tables
 
 /** Embedding / similarity-search queries (SURVEY §2B E36–E38).
@@ -35,6 +36,7 @@ object VectorQueries {
   }
 
   private def probesAndCorpus(s: SparkSession, d: String) = {
+    GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val probe = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
@@ -49,7 +51,7 @@ object VectorQueries {
     val (probe, corpus) = probesAndCorpus(s, d)
     corpus.join(broadcast(probe))
       .select(col("probe_id"), col("cand_id"),
-        round(cosine(col("pvec"), col("cvec")), 6).as("cos"))
+        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6).as("cos"))
   }
 
   /** Brute-force top-k per probe (E37): per-probe window over rounded
@@ -62,7 +64,7 @@ object VectorQueries {
     corpus.join(broadcast(probe))
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
-        round(cosine(col("pvec"), col("cvec")), 6).as("cos"))
+        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
   }
@@ -80,10 +82,7 @@ object VectorQueries {
   /** Euclidean (L2) nearest neighbor per probe (E36/E37 variant). */
   val l2Nearest: Q = (s, d) => {
     val (probe, corpus) = probesAndCorpus(s, d)
-    val dist = sqrt(aggregate(zip_with(col("pvec"), col("cvec"),
-      (x, y) => (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v))
+    val dist = GraftFunctions.vecL2(col("pvec"), col("cvec"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("l2").asc, col("cand_id"))
     corpus.join(broadcast(probe))
