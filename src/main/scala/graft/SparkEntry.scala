@@ -72,6 +72,12 @@ object SparkEntry {
     "q_text_bigrams" -> TextQueries.textBigrams,
     "q_ngram_jaccard" -> TextQueries.ngramJaccard,
     "q_multimodal_meta" -> TextQueries.multimodalMeta,
+    // structured streaming replay (E29–E33)
+    "q_stream_window_agg" -> ((s, d) => streaming.StreamOps.tumblingAgg(s, d)),
+    "q_stream_sliding" -> ((s, d) => streaming.StreamOps.slidingAgg(s, d)),
+    "q_stream_session" -> ((s, d) => streaming.StreamOps.sessionAgg(s, d)),
+    "q_stream_dedup" -> ((s, d) => streaming.StreamOps.streamDedup(s, d)),
+    "q_stream_stateful" -> ((s, d) => streaming.StreamOps.statefulPerUser(s, d)),
     // riff parity (R2/R6, E28, E40)
     "q_riff_roundtrip" -> RiffQueries.riffRoundtrip,
     "q_map_funcs" -> RiffQueries.mapFuncs,
@@ -394,6 +400,45 @@ object SparkEntry {
       SELECT doc_id, strlen(text)::INT AS n_bytes, md5(text) AS digest,
              source AS modality_source
       FROM documents""",
+
+    "q_stream_window_agg" -> """
+      SELECT date_trunc('hour', ts) AS wstart, event_type,
+             count(*) AS n, round(sum(value),6) AS total
+      FROM events GROUP BY 1, 2""",
+
+    "q_stream_sliding" -> """
+      SELECT wstart, count(*) AS n, round(sum(value),6) AS total FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE
+                 AS wstart, value
+        FROM events) t
+      GROUP BY wstart""",
+
+    "q_stream_session" -> """
+      WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      g AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM o)
+      SELECT min(ts) AS session_start, user_id,
+             count(*) AS n, round(sum(value),6) AS total
+      FROM g GROUP BY user_id, sid""",
+
+    "q_stream_dedup" -> """
+      SELECT DISTINCT user_id, event_type FROM events""",
+
+    "q_stream_stateful" -> """
+      SELECT user_id, count(*) AS n_events, round(sum(value),6) AS total_value
+      FROM events GROUP BY user_id""",
 
     "q_riff_roundtrip" -> """
       SELECT doc_id, text AS payload_text, lang AS h_lang, source AS h_source

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators (SURVEY §2B E29–E33).
+  *
+  * Replay technique (SURVEY §5.2 item 4): the `events` parquet is re-read
+  * through the file streaming source, the transform runs as a genuine
+  * streaming query (stateful operators, watermarks, memory sink), and the
+  * oracle is the equivalent batch computation — the Dataflow-model
+  * batch/stream equivalence. One parquet file ⇒ one microbatch, so the
+  * replay is deterministic.
+  *
+  * Scale posture: all state is keyed (window/session/user/dedup key) and
+  * lives in the state store, partitioned by the shuffle; watermarks bound
+  * state size at 100 TB/day rates — every operator here declares one even
+  * when the single-batch replay doesn't strictly need it.
+  */
+object StreamOps {
+
+  private val sinkId = new AtomicInteger(0)
+
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Raw parquet schema of events (ts as INT64 nanos ⇒ LongType under
+    * `nanosAsLong`). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The events table as an unbounded stream with microsecond event time. */
+  def replayEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      // the file stream source wants a directory; glob-filter to the one
+      // table so sibling parquets with other schemas stay invisible
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming transform of the replayed events to completion and
+    * return the materialized result. */
+  def runToMemory(spark: SparkSession, out: DataFrame,
+      mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${sinkId.incrementAndGet()}"
+    val q = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** Tumbling 1 h window aggregation with watermark (E29). */
+  def tumblingAgg(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark,
+      replayEvents(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("n"), col("total")),
+      OutputMode.Complete())
+
+  /** Sliding 1 h window, 30 min hop (E29). */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark,
+      replayEvents(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+        .select(col("window.start").as("wstart"), col("n"), col("total")),
+      OutputMode.Complete())
+
+  /** Session windows, 30 min gap, per user (E30). */
+  def sessionAgg(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark,
+      replayEvents(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+        .select(col("session_window.start").as("session_start"),
+          col("user_id"), col("n"), col("total")),
+      OutputMode.Complete())
+
+  /** Streaming deduplication on (user_id, event_type) (E31). */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark,
+      replayEvents(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("user_id", "event_type")
+        .select("user_id", "event_type"),
+      OutputMode.Append())
+
+  /** Custom per-key state via flatMapGroupsWithState (E32): running
+    * count/sum per user, emitted after each batch. */
+  def statefulPerUser(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[EventRow] = replayEvents(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+    val out = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, rows: Iterator[EventRow],
+            state: GroupState[(Long, Double)]) =>
+          val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var total = sum0
+          rows.foreach { r => n += 1; total += r.value }
+          state.update((n, total))
+          Iterator((user, n, total))
+      }
+      .toDF("user_id", "n_events", "total_raw")
+      .select(col("user_id"), col("n_events"),
+        round(col("total_raw"), 6).as("total_value"))
+    runToMemory(spark, out, OutputMode.Append())
+  }
+}
