@@ -72,6 +72,13 @@ object SparkEntry {
     "q_text_bigrams" -> TextQueries.textBigrams,
     "q_ngram_jaccard" -> TextQueries.ngramJaccard,
     "q_multimodal_meta" -> TextQueries.multimodalMeta,
+    // near-dup dedup / ANN / multimodal (E35, E38, E40)
+    "q_minhash_neardup" -> DedupQueries.minhashNearDup,
+    "q_simhash_neardup" -> DedupQueries.simhashNearDup,
+    "q_embed_neardup" -> DedupQueries.embedNearDup,
+    "q_ann_lsh" -> DedupQueries.annLsh,
+    "q_ann_ivf" -> DedupQueries.annIvf,
+    "q_multimodal_decode" -> DedupQueries.multimodalDecode,
     // structured streaming replay (E29–E33)
     "q_stream_window_agg" -> ((s, d) => streaming.StreamOps.tumblingAgg(s, d)),
     "q_stream_sliding" -> ((s, d) => streaming.StreamOps.slidingAgg(s, d)),
@@ -399,6 +406,30 @@ object SparkEntry {
     "q_multimodal_meta" -> """
       SELECT doc_id, strlen(text)::INT AS n_bytes, md5(text) AS digest,
              source AS modality_source
+      FROM documents""",
+
+    "q_embed_neardup" -> """
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 100 AND a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) >= 0.35""",
+
+    "q_multimodal_decode" -> """
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS modality,
+             strlen(text)::INT AS n_bytes,
+             (strlen(text) % 640)::INT AS width,
+             (strlen(text) % 480)::INT AS height,
+             (CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 30
+                   ELSE 1 END)::INT AS n_frames,
+             round(list_sum(list_transform(
+               generate_series(1, strlen(text)::INT, 8),
+               i -> ord(substr(text, i, 1))))::DOUBLE, 2) AS f0
       FROM documents""",
 
     "q_stream_window_agg" -> """

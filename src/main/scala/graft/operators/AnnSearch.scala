@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §2B E37/E38; north-star mandate).
+  *
+  * Three tiers:
+  *
+  *  - '''brute force''' (correctness baseline): broadcast the probes, scan
+  *    the corpus once, per-probe top-k via window. Exact; cost O(|corpus|·
+  *    |probes|·dim) but embarrassingly parallel and shuffle-free until the
+  *    k-row-per-probe reduction.
+  *  - '''hyperplane LSH''': sign-pattern of `bits` random hyperplanes →
+  *    bucket id; `tables` independent hash tables give multi-probe recall.
+  *    Corpus is bucketed scan-side; the probe join is an equi-join on
+  *    (table, bucket) — at 100 TB the only thing shuffled is (bucket id,
+  *    vector) pairs, and a pre-bucketed/bucketed-table layout removes even
+  *    that.
+  *  - '''IVF''' (inverted file): corpus assigned to its nearest of C
+  *    centroids; probes search the `nprobe` nearest lists. Centroids here
+  *    are a deterministic sample (id-strided) — at production scale you'd
+  *    k-means them; list assignment and multi-list probing are identical.
+  *
+  * Hyperplanes are seeded deterministically so plans are reproducible
+  * across runs and executors (no driver→executor closure randomness).
+  */
+object AnnSearch {
+
+  /** Deterministic unit-ish hyperplanes: `tables × bits × dim`. */
+  private def hyperplanes(tables: Int, bits: Int, dim: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Bucket id of a vector under one table's hyperplanes. */
+  private def bucketExpr(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(GraftFunctions.vecDot(vec, typedLit(p.toSeq)) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact brute-force top-k: the baseline every approximate tier is
+    * recall-scored against. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      probeId: String = "vec_id", probeVec: String = "embedding")
+      : DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val p = probes.select(col(probeId).as("probe_id"),
+      col(probeVec).as("pvec"))
+    val c = corpus.select(col(corpusId).as("cand_id"),
+      col(corpusVec).as("cvec"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-table hyperplane-LSH top-k. Recall grows with `tables`;
+    * candidate cost shrinks with `bits`. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      tables: Int = 8, bits: Int = 10, seed: Long = 42L,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      probeId: String = "vec_id", probeVec: String = "embedding")
+      : DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val dim = corpus.select(size(col(corpusVec))).head().getInt(0)
+    val planes = hyperplanes(tables, bits, dim, seed)
+
+    def bucketed(df: DataFrame, id: String, vec: String, asId: String,
+        asVec: String): DataFrame = {
+      val tagged = (0 until tables).map { t =>
+        df.select(col(id).as(asId), col(vec).as(asVec),
+          lit(t).as("table"),
+          bucketExpr(col(vec), planes(t)).as("bucket"))
+      }
+      tagged.reduce(_ unionByName _)
+    }
+
+    val c = bucketed(corpus, corpusId, corpusVec, "cand_id", "cvec")
+    val p = bucketed(probes, probeId, probeVec, "probe_id", "pvec")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(p), Seq("table", "bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id", "pvec", "cvec").distinct()
+      .select(col("probe_id"), col("cand_id"),
+        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF top-k: centroid assignment + nprobe-list search. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      centroidStride: Int = 25, nprobe: Int = 4,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      probeId: String = "vec_id", probeVec: String = "embedding")
+      : DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    // deterministic centroid sample: every `centroidStride`-th id
+    val centroids = corpus.filter(col(corpusId) % centroidStride === 0)
+      .select(col(corpusId).as("centroid_id"), col(corpusVec).as("centvec"))
+
+    def assign(df: DataFrame, id: String, vec: String, asId: String,
+        asVec: String, lists: Int): DataFrame = {
+      val w = Window.partitionBy(asId)
+        .orderBy(col("cdist").desc, col("centroid_id"))
+      df.select(col(id).as(asId), col(vec).as(asVec))
+        .join(broadcast(centroids))
+        .select(col(asId), col(asVec), col("centroid_id"),
+          GraftFunctions.cosineSim(col(asVec), col("centvec")).as("cdist"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= lists)
+        .drop("cdist", "crank")
+    }
+
+    val c = assign(corpus, corpusId, corpusVec, "cand_id", "cvec", 1)
+    val p = assign(probes, probeId, probeVec, "probe_id", "pvec", nprobe)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(p), Seq("centroid_id"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id", "pvec", "cvec").distinct()
+      .select(col("probe_id"), col("cand_id"),
+        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §2B
+  * E34/E35; north-star mandate).
+  *
+  * Every variant is expressed in shuffle-aware DataFrame primitives:
+  *
+  *  - '''exact''': group on a 256-bit content digest — the shuffle carries
+  *    32 bytes + ids per doc, never the text. At 100 TB this is the only
+  *    acceptable exact-dedup shape (a global `dropDuplicates` on raw text
+  *    would shuffle the corpus).
+  *  - '''MinHash + LSH''': signatures are computed scan-side with
+  *    codegen'd higher-order functions (no UDF, no driver state); banding
+  *    turns near-dup search into an equi-join on (band, bandHash) — the
+  *    classic O(n·b) candidate generation instead of O(n²) pairs.
+  *  - '''SimHash''': 64-bit signature; candidate pairs by the pigeonhole
+  *    principle over 16-bit chunks (≤3 differing bits ⇒ some chunk equal),
+  *    verified with `bit_count(a^b)`.
+  *
+  * Skew note: pathological buckets (boilerplate-heavy corpora) fan out the
+  * candidate join; AQE skew-join splitting handles moderate skew, and
+  * `maxBucket` hard-caps degenerate buckets (dropping a bucket of near-
+  * identical boilerplate loses no information a sampled representative
+  * doesn't keep).
+  */
+object Dedup {
+
+  /** Exact dedup by content digest: one survivor (min id) per distinct
+    * content. Returns (hash, keep_id, n_copies). */
+  def exactByContent(df: DataFrame, idCol: String, contentCol: String)
+      : DataFrame =
+    df.groupBy(sha2(col(contentCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word `n`-gram shingles of a text column (lower-cased,
+    * whitespace-tokenized). Falls back to the whole text when shorter than
+    * `n` tokens. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(lower(text), "\\s+")
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    array_distinct(when(size(toks) < n, array(lower(text))).otherwise(grams))
+  }
+
+  /** MinHash signature: `numHashes` independent permutations approximated
+    * by seeded xxhash64; sig[i] = min over shingles of hash_i(shingle).
+    * Pure codegen'd HOFs — computed during the scan, embarrassingly
+    * parallel. */
+  def minhashSignature(shingleArr: Column, numHashes: Int = 32): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleArr, s => xxhash64(i, s))))
+
+  /** Estimated Jaccard similarity from two MinHash signatures. */
+  def minhashEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) =>
+        when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * @param df        input
+    * @param idCol     unique id column
+    * @param textCol   text column
+    * @param numHashes signature length (r·b)
+    * @param bands     LSH bands; r = numHashes/bands rows per band
+    * @param threshold estimated-Jaccard cutoff for emitted pairs
+    * @param maxBucket candidate buckets larger than this are dropped
+    *                  (degenerate boilerplate guard)
+    * @return (a, b, est_jaccard) with a < b
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+        minhashSignature(shingles(col(textCol)), numHashes).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          j => xxhash64(slice(col("sig"), j * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    // guard degenerate buckets before the self-join fans out
+    val bucketSizes = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+    val pruned = banded.join(bucketSizes, Seq("band", "band_hash"))
+    val a = pruned.select(col("band"), col("band_hash"),
+      col("id").as("a"), col("sig").as("sig_a"))
+    val b = pruned.select(col("band"), col("band_hash"),
+      col("id").as("b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
+      .distinct() // a pair can collide in several bands
+      .withColumn("est_jaccard",
+        round(minhashEstimate(col("sig_a"), col("sig_b")), 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select("a", "b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash of a text column: per-bit majority vote over token
+    * hashes, all in codegen'd SQL HOFs. */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(split(lower(text), "\\s+"))
+    val votes = transform(sequence(lit(0), lit(63)), b =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(call_function("shiftright", xxhash64(t), b)
+          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, b) =>
+        when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ maxHamming,
+    * candidates via pigeonholed 16-bit chunks. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 chunks pigeonhole supports <= 3 bit flips")
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val chunked = sigs.select(col("id"), col("sim"),
+        posexplode(transform(sequence(lit(0), lit(3)), j =>
+          call_function("shiftright", col("sim"), j * 16)
+            .bitwiseAND(lit(0xffffL)))))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  /** Embedding-cosine near-duplicate pairs among a bounded probe set —
+    * the exact/verification path (LSH-bucketed variant in
+    * [[AnnSearch.hyperplaneBuckets]]). */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      probeMax: Long, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val a = df.filter(col(idCol) < probeMax)
+      .select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    b.join(broadcast(a), col("a") < col("b"))
+      .withColumn("cos", round(
+        graft.functions.GraftFunctions.cosineSim(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Recall oracles for the approximate search tiers (E37/E38): ground
+  * truth is the exact brute-force top-k. */
+class AnnSearchSpec extends SparkSpec {
+
+  private lazy val emb = graft.sources.Tables.embeddings(spark, sf)
+  private lazy val probes = emb.filter(col("vec_id") < 10)
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private lazy val exact = topkSet(AnnSearch.bruteForceTopK(emb, probes, 10))
+
+  private def recallOf(approx: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (p, truth) =>
+      val got = approx.getOrElse(p, Set.empty)
+      (truth & got).size.toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  test("brute force matches independent driver-side computation") {
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val p0 = 3L
+    val expect = vecs.filter(_._1 != p0)
+      .map { case (id, v) => id -> cos(vecs(p0), v) }
+      .toSeq.sortBy { case (id, c) => (-BigDecimal(c).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP), id) }
+      .take(10).map(_._1).toSet
+    assert(exact(p0) === expect)
+  }
+
+  test("hyperplane LSH recall beats random-candidate baseline") {
+    val approx = topkSet(AnnSearch.lshTopK(emb, probes, 10,
+      tables = 8, bits = 6))
+    val r = recallOf(approx)
+    // random candidate sets of the same size would land ~candidates/N;
+    // hyperplane buckets correlate with cosine, so demand much more
+    assert(r >= 0.3, s"LSH recall $r")
+  }
+
+  test("IVF recall with nprobe=4 of ~20 lists") {
+    val approx = topkSet(AnnSearch.ivfTopK(emb, probes, 10,
+      centroidStride = 25, nprobe = 4))
+    val r = recallOf(approx)
+    assert(r >= 0.15, s"IVF recall $r")
+  }
+
+  test("more tables => recall does not degrade") {
+    val r1 = recallOf(topkSet(AnnSearch.lshTopK(emb, probes, 10,
+      tables = 2, bits = 6)))
+    val r2 = recallOf(topkSet(AnnSearch.lshTopK(emb, probes, 10,
+      tables = 12, bits = 6)))
+    assert(r2 >= r1 - 0.05, s"recall regressed: $r1 -> $r2")
+  }
+}
