@@ -19,6 +19,9 @@ object GraftFunctions {
     "vec_l2" -> (es => L2Distance(es(0), es(1))),
     "riff_encode" -> (es => RiffEncode(es(0), es(1))),
     "riff_decode" -> (es => RiffDecode(es(0))),
+    "minhash_sig" -> (es => MinHashSig(es(0),
+      es(1).eval().asInstanceOf[Int])),
+    "simhash64" -> (es => SimHash64(es(0))),
   )
 
   /** Idempotent per-session registration of all engine functions. */
@@ -34,4 +37,7 @@ object GraftFunctions {
   def riffEncode(headers: Column, payload: Column): Column =
     call_function("riff_encode", headers, payload)
   def riffDecode(frame: Column): Column = call_function("riff_decode", frame)
+  def minhashSig(elems: Column, k: Int): Column =
+    call_function("minhash_sig", elems, org.apache.spark.sql.functions.lit(k))
+  def simhash64(elems: Column): Column = call_function("simhash64", elems)
 }

@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   *    32 bytes + ids per doc, never the text. At 100 TB this is the only
   *    acceptable exact-dedup shape (a global `dropDuplicates` on raw text
   *    would shuffle the corpus).
-  *  - '''MinHash + LSH''': signatures are computed scan-side with
-  *    codegen'd higher-order functions (no UDF, no driver state); banding
+  *  - '''MinHash + LSH''': signatures are computed scan-side with a
+  *    native single-pass kernel (no UDF, no driver state); banding
   *    turns near-dup search into an equi-join on (band, bandHash) — the
   *    classic O(n·b) candidate generation instead of O(n²) pairs.
   *  - '''SimHash''': 64-bit signature; candidate pairs by the pigeonhole
@@ -45,13 +45,13 @@ object Dedup {
     array_distinct(when(size(toks) < n, array(lower(text))).otherwise(grams))
   }
 
-  /** MinHash signature: `numHashes` independent permutations approximated
-    * by seeded xxhash64; sig[i] = min over shingles of hash_i(shingle).
-    * Pure codegen'd HOFs — computed during the scan, embarrassingly
-    * parallel. */
+  /** MinHash signature: `numHashes` hash-family members derived from one
+    * base hash per shingle (native [[graft.functions.MinHashSig]] kernel —
+    * single pass, each string hashed once; see TextHashExpressions for why
+    * the HOF formulation is 40x slower). Computed during the scan,
+    * embarrassingly parallel. */
   def minhashSignature(shingleArr: Column, numHashes: Int = 32): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleArr, s => xxhash64(i, s))))
+    graft.functions.GraftFunctions.minhashSig(shingleArr, numHashes)
 
   /** Estimated Jaccard similarity from two MinHash signatures. */
   def minhashEstimate(sigA: Column, sigB: Column): Column =
@@ -73,12 +73,19 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 300): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val r = numHashes / bands
+    // signatures are reused by the banding pass and twice by the verify
+    // join-back — materialize once (tiny: id + numHashes longs per doc; at
+    // production scale this is the persisted signature table)
     val sigs = df.select(col(idCol).as("id"),
         minhashSignature(shingles(col(textCol)), numHashes).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+      .cache()
+    // candidate generation carries ONLY (band, band_hash, id): the shuffle
+    // payload must never include signatures or text
+    val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           j => xxhash64(slice(col("sig"), j * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band")
@@ -88,14 +95,17 @@ object Dedup {
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBucket))
     val pruned = banded.join(bucketSizes, Seq("band", "band_hash"))
-    val a = pruned.select(col("band"), col("band_hash"),
-      col("id").as("a"), col("sig").as("sig_a"))
-    val b = pruned.select(col("band"), col("band_hash"),
-      col("id").as("b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val pairs = pruned.select(col("band"), col("band_hash"), col("id").as("a"))
+      .join(pruned.select(col("band"), col("band_hash"), col("id").as("b")),
+        Seq("band", "band_hash"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
+      .select("a", "b")
       .distinct() // a pair can collide in several bands
+    // verify: join signatures back by id (long-keyed, array payload flows
+    // exactly once per side)
+    pairs
+      .join(sigs.select(col("id").as("a"), col("sig").as("sig_a")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sig_b")), "b")
       .withColumn("est_jaccard",
         round(minhashEstimate(col("sig_a"), col("sig_b")), 6))
       .filter(col("est_jaccard") >= threshold)
@@ -103,42 +113,43 @@ object Dedup {
   }
 
   /** 64-bit SimHash of a text column: per-bit majority vote over token
-    * hashes, all in codegen'd SQL HOFs. */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(split(lower(text), "\\s+"))
-    val votes = transform(sequence(lit(0), lit(63)), b =>
-      aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(call_function("shiftright", xxhash64(t), b)
-          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, b) =>
-        when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * hashes (native single-pass [[graft.functions.SimHash64]] kernel). */
+  def simhash(text: Column): Column =
+    graft.functions.GraftFunctions.simhash64(
+      array_distinct(split(lower(text), "\\s+")))
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ maxHamming,
     * candidates via pigeonholed 16-bit chunks. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
     require(maxHamming <= 3, "4 chunks pigeonhole supports <= 3 bit flips")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+      .cache()
+    // candidates on (chunk, chunk_val, id, sim) — sim is one long, cheap
+    // enough to carry, saving the verify join-back
     val chunked = sigs.select(col("id"), col("sim"),
         posexplode(transform(sequence(lit(0), lit(3)), j =>
           call_function("shiftright", col("sim"), j * 16)
             .bitwiseAND(lit(0xffffL)))))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
-    val a = chunked.select(col("chunk"), col("chunk_val"),
+    val bucketSizes = chunked.groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+    val pruned = chunked.join(bucketSizes, Seq("chunk", "chunk_val"))
+    val a = pruned.select(col("chunk"), col("chunk_val"),
       col("id").as("a"), col("sim").as("sim_a"))
-    val b = chunked.select(col("chunk"), col("chunk_val"),
+    val b = pruned.select(col("chunk"), col("chunk_val"),
       col("id").as("b"), col("sim").as("sim_b"))
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "sim_a", "sim_b").distinct()
+      // verify BEFORE distinct: hamming on two longs is nearly free and
+      // shrinks the distinct's input by orders of magnitude
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming")
+      .select("a", "b", "hamming").distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs among a bounded probe set —
