@@ -72,6 +72,12 @@ object SparkEntry {
     "q_text_bigrams" -> TextQueries.textBigrams,
     "q_ngram_jaccard" -> TextQueries.ngramJaccard,
     "q_multimodal_meta" -> TextQueries.multimodalMeta,
+    // file sources beyond parquet (E4)
+    "q_csv_roundtrip" -> SourceQueries.csvRoundtrip,
+    "q_json_roundtrip" -> SourceQueries.jsonRoundtrip,
+    // UDF/UDAF surface (E41)
+    "q_udf_scalar" -> UdfQueries.udfScalar,
+    "q_udaf_geomean" -> UdfQueries.udafGeoMean,
     // near-dup dedup / ANN / multimodal (E35, E38, E40)
     "q_minhash_neardup" -> DedupQueries.minhashNearDup,
     "q_simhash_neardup" -> DedupQueries.simhashNearDup,
@@ -407,6 +413,28 @@ object SparkEntry {
       SELECT doc_id, strlen(text)::INT AS n_bytes, md5(text) AS digest,
              source AS modality_source
       FROM documents""",
+
+    "q_csv_roundtrip" -> """
+      SELECT n_regionkey, count(*) AS n,
+             array_to_string(list_sort(list(n_name)),',') AS names
+      FROM nation GROUP BY n_regionkey""",
+
+    "q_json_roundtrip" -> """
+      SELECT count(*) AS n, round(sum(s_acctbal),6) AS total_bal,
+             max(s_suppkey) AS max_key
+      FROM supplier""",
+
+    "q_udf_scalar" -> """
+      SELECT o_orderkey,
+             floor(o_totalprice/1000 + 0.5)::BIGINT * 1000
+               + CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS band
+      FROM orders""",
+
+    "q_udaf_geomean" -> """
+      SELECT o_orderpriority,
+             round(exp(avg(ln(o_totalprice))), 4) AS gm_price,
+             count(*) AS n
+      FROM orders GROUP BY o_orderpriority""",
 
     "q_embed_neardup" -> """
       SELECT a.vec_id AS a, b.vec_id AS b,

@@ -1,0 +1,44 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** File-source coverage beyond parquet (SURVEY §2B E4): CSV and JSON
+  * scans, proven by round-trip — export a slice of the parquet table,
+  * re-read it through the other source, aggregate, and hash-match against
+  * the oracle computed over the original table. Any schema/parse bug
+  * breaks the match. */
+object SourceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** CSV write → CSV scan with explicit schema (E4). */
+  val csvRoundtrip: Q = (s, d) => {
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    Tables.nation(s, d).write.mode("overwrite")
+      .option("header", "true").csv(tmp)
+    s.read
+      .option("header", "true")
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .csv(tmp)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"),
+        concat_ws(",", sort_array(collect_list("n_name"))).as("names"))
+  }
+
+  /** JSON-lines write → JSON scan with schema inference (E4). */
+  val jsonRoundtrip: Q = (s, d) => {
+    val tmp = Files.createTempDirectory("graft_json").toString
+    Tables.supplier(s, d)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").json(tmp)
+    s.read.json(tmp)
+      .agg(count(lit(1)).as("n"),
+        round(sum("s_acctbal"), 6).as("total_bal"),
+        max("s_suppkey").as("max_key"))
+  }
+}
