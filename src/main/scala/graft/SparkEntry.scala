@@ -36,6 +36,8 @@ object SparkEntry {
     "q_asof_join" -> RelationalQueries.asofJoin,
     // aggregation (E13–E17)
     "q1_agg" -> RelationalQueries.q1Agg,
+    "q3_shipping" -> RelationalQueries.q3Shipping,
+    "q5_local_supplier" -> RelationalQueries.q5LocalSupplier,
     "q_agg_distinct" -> RelationalQueries.aggDistinct,
     "q_agg_approx_distinct" -> RelationalQueries.aggApproxDistinct,
     "q_agg_rollup" -> RelationalQueries.aggRollup,
@@ -68,6 +70,8 @@ object SparkEntry {
     "q_text_topterms" -> TextQueries.textTopTerms,
     "q_text_quality" -> TextQueries.textQuality,
     "q_text_fingerprint" -> TextQueries.textFingerprint,
+    "q_text_token_regex" -> TextQueries.tokenRegex,
+    "q_text_rollhash" -> TextQueries.rollingHash,
     "q_text_lang_markers" -> TextQueries.textLangMarkers,
     "q_text_bigrams" -> TextQueries.textBigrams,
     "q_ngram_jaccard" -> TextQueries.ngramJaccard,
@@ -185,6 +189,45 @@ object SparkEntry {
       FROM lineitem
       WHERE l_shipdate <= '1998-09-02'
       GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_shipping" -> """
+      SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice*(1-l_discount)),6) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority) t
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_local_supplier" -> """
+      SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),6) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name""",
+
+    "q_text_token_regex" -> """
+      SELECT lang, count(*) AS n_docs,
+             sum(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9 ]+')))::BIGINT AS n_tokens,
+             round(avg(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9 ]+'))),6) AS avg_tokens
+      FROM documents GROUP BY lang""",
+
+    "q_text_rollhash" -> """
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS rollhash
+      FROM documents""",
 
     "q_agg_distinct" -> """
       SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,

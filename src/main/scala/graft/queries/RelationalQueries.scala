@@ -81,6 +81,43 @@ object RelationalQueries {
         avg("l_discount").as("avg_disc"),
         count(lit(1)).as("count_order"))
 
+  /** TPC-H Q3 shape: 3-way join + agg + top-k. Filters reach each scan
+    * BEFORE the joins (Catalyst pushes them); the final top-10 is a
+    * TakeOrderedAndProject, not a global sort. */
+  val q3Shipping: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < "1995-03-15")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > "1995-03-15")
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  /** TPC-H Q5 shape: 6-way join with co-nation constraint; dimension
+    * tables broadcast, fact joins shuffle on their keys. */
+  val q5LocalSupplier: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey")
+        && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+        .as("revenue"))
+
   // ---- E7–E10: joins ------------------------------------------------------
 
   /** Equi inner join orders⋈customer (E7). customer is the smaller side; at

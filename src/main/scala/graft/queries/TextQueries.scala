@@ -142,6 +142,27 @@ object TextQueries {
       .select("a", "b", "jaccard")
   }
 
+  /** BPE-ish regex tokenization (north star): letter runs, digit runs and
+    * punctuation as separate tokens — the pre-tokenizer shape every BPE
+    * vocabulary uses. */
+  val tokenRegex: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks",
+        expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).as("n_tokens"),
+        round(avg(size(col("toks"))), 6).as("avg_tokens"))
+
+  /** Polynomial rolling-hash fingerprint (north star): h = (h*31 + c) mod
+    * 1e9+7 over the characters — the Rabin-Karp document fingerprint, all
+    * codegen'd HOFs. */
+  val rollingHash: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("rollhash"))
+
   /** Multimodal metadata plumbing (E40): treat text bytes as an opaque
     * binary payload with typed metadata — byte length + digest, the schema
     * every image/audio column uses (decode stubs live in
