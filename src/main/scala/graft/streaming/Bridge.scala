@@ -26,12 +26,21 @@ import graft.model.RiffMessage
 object Bridge {
 
   /** Core transform: framed binary values in, framed binary values out.
-    * Works identically on batch and streaming DataFrames. */
+    * Works identically on batch and streaming DataFrames.
+    *
+    * `tap` is the reference's debug tap (R8, `records.log()` at
+    * StreamsApplication.java:147) as a Spark `Observation`: record counts
+    * and payload bytes are collected as side-channel metrics without a
+    * second pass over the data. */
   def transform(spark: SparkSession, framed: DataFrame,
-      fn: MessageFunction): DataFrame = {
+      fn: MessageFunction,
+      tap: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val envelopes: Dataset[RiffMessage] = framed
+    val tapped = tap.map(o => framed.observe(o,
+      count(lit(1)).as("n_records"),
+      sum(octet_length(col("value"))).as("n_bytes"))).getOrElse(framed)
+    val envelopes: Dataset[RiffMessage] = tapped
       .select(GraftFunctions.riffDecode(col("value")).as("msg"))
       .select(col("msg.headers").as("headers"), col("msg.payload").as("payload"))
       .as[RiffMessage]

@@ -55,6 +55,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n${p.take(1200)}")
   }
 
+  test("sortWithinPartitions sorts locally without an exchange (E21)") {
+    val df = graft.sources.Tables.lineitem(spark, sf)
+      .sortWithinPartitions("l_shipdate")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Sort [l_shipdate"), p.take(800))
+    assert(!p.contains("Exchange"), "local sort must not shuffle")
+  }
+
   test("vector kernels run inside whole-stage codegen") {
     val df = VectorQueries.vectorCosine(spark, sf)
     val qe = df.queryExecution

@@ -47,9 +47,13 @@ class BridgeSpec extends SparkSpec {
   test("identity function is byte-preserving (grpc.enabled=false parity)") {
     import spark.implicits._
     val f = frame("payload-bytes", Map("k" -> Seq("v1", "v2")))
-    val df = Seq(f).toDF("value")
-    val out = Bridge.transform(spark, df, IdentityFunction).collect()
+    val df = Seq(f, f).toDF("value")
+    val obs = new org.apache.spark.sql.Observation("bridge_tap")
+    val out = Bridge.transform(spark, df, IdentityFunction, Some(obs)).collect()
     assert(java.util.Arrays.equals(out.head.getAs[Array[Byte]]("value"), f))
+    // R8 debug-tap parity: side-channel metrics without a second pass
+    assert(obs.get("n_records") === 2L)
+    assert(obs.get("n_bytes") === 2L * f.length)
   }
 
   test("poison frame fails the task like MessageDeserializer's assert") {
