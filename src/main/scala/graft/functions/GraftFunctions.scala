@@ -22,6 +22,8 @@ object GraftFunctions {
     "minhash_sig" -> (es => MinHashSig(es(0),
       es(1).eval().asInstanceOf[Int])),
     "simhash64" -> (es => SimHash64(es(0))),
+    "minhash_text" -> (es => MinHashText(es(0),
+      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
   )
 
   /** Idempotent per-session registration of all engine functions. */
@@ -40,4 +42,8 @@ object GraftFunctions {
   def minhashSig(elems: Column, k: Int): Column =
     call_function("minhash_sig", elems, org.apache.spark.sql.functions.lit(k))
   def simhash64(elems: Column): Column = call_function("simhash64", elems)
+  def minhashText(text: Column, k: Int, shingle: Int = 3): Column =
+    call_function("minhash_text", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(shingle))
 }

@@ -56,6 +56,73 @@ object TextHashExpressions {
   }
 }
 
+/** minhash_text(text, k, n) -> array<long>
+  *
+  * Fused tokenize → n-gram shingle → MinHash kernel. Shingle identity is a
+  * combined hash of the n token hashes — no shingle string is ever
+  * materialized (the `concat_ws(slice(...))` formulation allocates one
+  * string + one array per shingle; this allocates nothing per shingle but
+  * a long). Distinctness is enforced on the 64-bit shingle hash, which is
+  * exact up to hash collisions (~n²/2⁶⁴ — irrelevant for dedup purposes).
+  */
+case class MinHashText(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "minhash_text"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_text expects string, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.toString.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    val n = shingleSize
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    @inline def absorb(base: Long): Unit =
+      if (seen.add(base)) {
+        var i = 0
+        while (i < numHashes) {
+          val h = XxHash64Function.hash(base, LongType, i.toLong)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+    if (toks.length < n) {
+      // short doc: the whole text is the single shingle (matches
+      // Dedup.shingles fallback semantics)
+      absorb(XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          toks.mkString(" ")), StringType, 42L))
+    } else {
+      val th = toks.map(t => XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), StringType, 42L))
+      var j = 0
+      while (j + n <= th.length) {
+        var base = th(j)
+        var m = 1
+        while (m < n) {
+          base = XxHash64Function.hash(base, LongType, th(j + m))
+          m += 1
+        }
+        absorb(base)
+        j += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** minhash_sig(array<string>, k) -> array<long> */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {

@@ -81,7 +81,8 @@ object Dedup {
     // join-back — materialize once (tiny: id + numHashes longs per doc; at
     // production scale this is the persisted signature table)
     val sigs = df.select(col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol)), numHashes).as("sig"))
+        graft.functions.GraftFunctions.minhashText(col(textCol), numHashes)
+          .as("sig"))
       .cache()
     // candidate generation carries ONLY (band, band_hash, id): the shuffle
     // payload must never include signatures or text
