@@ -61,6 +61,7 @@ object SparkEntry {
     // scalar functions (E24–E27)
     "q_string_funcs" -> RelationalQueries.stringFuncs,
     "q_date_funcs" -> RelationalQueries.dateFuncs,
+    "q_date_diff" -> RelationalQueries.dateDiff,
     "q_math_funcs" -> RelationalQueries.mathFuncs,
     "q_array_funcs" -> RelationalQueries.arrayFuncs,
     // text / LLM-pipeline (E34, E35, E39, E40)
@@ -344,6 +345,15 @@ object SparkEntry {
                round(sum(o_totalprice),6) AS total
         FROM orders GROUP BY 1) t""",
 
+    "q_date_diff" -> """
+      SELECT o_orderkey, l_linenumber,
+             date_diff('day', o_orderdate::DATE, l_shipdate::DATE)::INT
+               AS ship_days,
+             o_orderdate + INTERVAL 30 DAY AS due_date,
+             last_day(o_orderdate::DATE)::TIMESTAMP AS month_end,
+             (dayofweek(o_orderdate::DATE) + 1)::INT AS dow
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+
     "q_math_funcs" -> """
       SELECT l_orderkey, l_linenumber,
              round(l_extendedprice*(1+l_tax),6) AS gross,
@@ -357,7 +367,9 @@ object SparkEntry {
     "q_array_funcs" -> """
       SELECT vec_id, len(embedding)::INT AS dim,
              round(embedding[1]::DOUBLE, 6) AS e1,
-             round(list_sum((embedding::DOUBLE[])[1:8]), 6) AS head_sum
+             round(list_sum((embedding::DOUBLE[])[1:8]), 6) AS head_sum,
+             len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+             round(list_sort(embedding::DOUBLE[])[1], 6) AS min_elem
       FROM embeddings""",
 
     "q_dedup_exact" -> """

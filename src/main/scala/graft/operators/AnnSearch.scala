@@ -76,15 +76,16 @@ object AnnSearch {
     val dim = corpus.select(size(col(corpusVec))).head().getInt(0)
     val planes = hyperplanes(tables, bits, dim, seed)
 
+    // ONE scan: all tables' bucket ids computed in a single projection,
+    // then posexploded — a union of per-table reads would scan the corpus
+    // `tables` times
     def bucketed(df: DataFrame, id: String, vec: String, asId: String,
-        asVec: String): DataFrame = {
-      val tagged = (0 until tables).map { t =>
-        df.select(col(id).as(asId), col(vec).as(asVec),
-          lit(t).as("table"),
-          bucketExpr(col(vec), planes(t)).as("bucket"))
-      }
-      tagged.reduce(_ unionByName _)
-    }
+        asVec: String): DataFrame =
+      df.select(col(id).as(asId), col(vec).as(asVec),
+          posexplode(array((0 until tables).map(t =>
+            bucketExpr(col(vec), planes(t))): _*)))
+        .withColumnRenamed("pos", "table")
+        .withColumnRenamed("col", "bucket")
 
     val c = bucketed(corpus, corpusId, corpusVec, "cand_id", "cvec")
     val p = bucketed(probes, probeId, probeVec, "probe_id", "pvec")

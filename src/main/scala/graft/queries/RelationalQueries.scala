@@ -382,6 +382,17 @@ object RelationalQueries {
       .withColumn("yr", year(col("month")))
       .withColumn("mth", month(col("month")))
 
+  /** Date arithmetic (E25): ship latency in days, month boundaries,
+    * interval addition. */
+  val dateDiff: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("ship_days"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow"))
+
   /** Math functions (E26). Note ceil/floor return LONG in Spark — the
     * oracle casts to match. */
   val mathFuncs: Q = (s, d) =>
@@ -396,12 +407,16 @@ object RelationalQueries {
 
   // ---- E27: array functions (see VectorQueries for the embedding ops) ----
 
-  /** Array basics over embeddings (E27): size / element_at / slice-sum. */
+  /** Array basics over embeddings (E27): size / element_at / slice-sum /
+    * contains / filter-count / sort-head. */
   val arrayFuncs: Q = (s, d) =>
     Tables.embeddings(s, d).select(
       col("vec_id"),
       size(col("embedding")).as("dim"),
       round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
       round(aggregate(slice(col("embedding"), 1, 8),
-        lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("head_sum"))
+        lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("head_sum"),
+      size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
+      round(element_at(array_sort(transform(col("embedding"),
+        x => x.cast("double"))), 1), 6).as("min_elem"))
 }
