@@ -76,6 +76,14 @@ object SparkEntry {
     "q_text_lang_markers" -> TextQueries.textLangMarkers,
     "q_text_bigrams" -> TextQueries.textBigrams,
     "q_ngram_jaccard" -> TextQueries.ngramJaccard,
+    "q_corpus_build" -> TextQueries.corpusBuild,
+    "q_minhash_dedup" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      graft.operators.Dedup.minhashDedup(
+        graft.sources.Tables.documents(s, d), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+        .groupBy("source")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_survivors"))),
     "q_multimodal_meta" -> TextQueries.multimodalMeta,
     // file sources beyond parquet (E4)
     "q_csv_roundtrip" -> SourceQueries.csvRoundtrip,
@@ -463,6 +471,21 @@ object SparkEntry {
         JOIN sizes sa ON sa.doc_id = a
         JOIN sizes sb ON sb.doc_id = b) t
       WHERE jaccard >= 0.05""",
+
+    "q_corpus_build" -> """
+      SELECT doc_id, lang, source, n_tokens FROM (
+        SELECT doc_id, lang, source, n_tokens,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM (
+          SELECT doc_id, lang, source,
+                 len(string_split(text,' '))::INT AS n_tokens,
+                 length(text)::DOUBLE / len(string_split(text,' '))
+                   AS chars_per_tok,
+                 md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+          FROM documents
+          WHERE lang IN ('en','de','fr')) t
+        WHERE n_tokens BETWEEN 20 AND 1000 AND chars_per_tok < 12) r
+      WHERE rn = 1""",
 
     "q_multimodal_meta" -> """
       SELECT doc_id, strlen(text)::INT AS n_bytes, md5(text) AS digest,

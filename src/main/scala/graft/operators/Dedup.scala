@@ -153,6 +153,19 @@ object Dedup {
       .select("a", "b", "hamming").distinct()
   }
 
+  /** Greedy near-dup removal: returns the corpus minus every row that
+    * appears as the greater id of a near-dup pair. Under connected pair
+    * coverage each duplicate cluster keeps exactly its minimum id — the
+    * deterministic survivor rule. The anti-join keys on ids only; document
+    * payloads stream through untouched. */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = 300): DataFrame = {
+    val doomed = minhashLsh(df, idCol, textCol, numHashes, bands, threshold,
+      maxBucket).select(col("b").as(idCol)).distinct()
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs among a bounded probe set —
     * the exact/verification path (LSH-bucketed variant in
     * [[AnnSearch.hyperplaneBuckets]]). */

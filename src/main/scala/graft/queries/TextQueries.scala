@@ -163,6 +163,28 @@ object TextQueries {
       aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
         lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("rollhash"))
 
+  /** The end-to-end training-corpus builder (north star composite):
+    * language filter → quality gates (token count, chars/token) → exact
+    * dedup keeping min doc_id per normalized fingerprint → survivor set
+    * with metadata. Every stage is a scan-side filter or a digest-keyed
+    * shuffle; document text never shuffles. Fully SQL-expressible, so the
+    * whole pipeline is hash-matched against the oracle. */
+  val corpusBuild: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    Tables.documents(s, d)
+      .filter(col("lang").isin("en", "de", "fr"))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_tokens").between(20, 1000))
+      .withColumn("chars_per_tok",
+        length(col("text")).cast("double") / col("n_tokens"))
+      .filter(col("chars_per_tok") < 12)
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+  }
+
   /** Multimodal metadata plumbing (E40): treat text bytes as an opaque
     * binary payload with typed metadata — byte length + digest, the schema
     * every image/audio column uses (decode stubs live in
