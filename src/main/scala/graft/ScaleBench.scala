@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale dress-rehearsal: replicate the sf0.1 tables Nx (ids offset so
+  * keys stay distinct; documents keep their text ⇒ a dup-heavy corpus,
+  * the worst case for near-dup ops) and measure headline operators at 1x
+  * vs Nx. Linear-or-better ratios are the evidence that the plans hold as
+  * data grows; anything superlinear is a scale bug.
+  *
+  * Usage: `sbt "runMain graft.ScaleBench [factor]"` (default 8).
+  */
+object ScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(8)
+    val sf = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    def replicate(df: DataFrame, idCols: Seq[String], stride: Long): DataFrame =
+      df.crossJoin(
+          spark.range(factor).select(col("id").as("__rep")))
+        .select(df.columns.map(c =>
+          if (idCols.contains(c)) (col(c) + col("__rep") * stride).as(c)
+          else col(c)): _*)
+
+    val li1 = graft.sources.Tables.lineitem(spark, sf)
+    val ord1 = graft.sources.Tables.orders(spark, sf)
+    val docs1 = graft.sources.Tables.documents(spark, sf)
+    val emb1 = graft.sources.Tables.embeddings(spark, sf)
+
+    val liN = replicate(li1, Seq("l_orderkey"), 10000000L)
+    val ordN = replicate(ord1, Seq("o_orderkey"), 10000000L)
+    val docsN = replicate(docs1, Seq("doc_id"), 10000000L)
+    val embN = replicate(emb1, Seq("vec_id"), 10000000L)
+
+    def time(tag: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $tag%-34s $s%8.2f s"); s
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def q1(li: DataFrame) = li.filter(col("l_shipdate") <= "1998-09-02")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), avg("l_extendedprice").as("ap"),
+        count(lit(1)).as("n"))
+    def joinAgg(li: DataFrame, o: DataFrame) =
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev"))
+    def topk(li: DataFrame) = li.groupBy("l_partkey")
+      .agg(sum("l_extendedprice").as("r"))
+      .orderBy(col("r").desc).limit(10)
+
+    val pairs = Seq[(String, DataFrame => Unit, DataFrame, DataFrame)](
+      ("q1_agg", df => noop(q1(df)), li1, liN),
+      ("topk_parts", df => noop(topk(df)), li1, liN))
+
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    pairs.foreach { case (tag, run, small, big) =>
+      val t1 = time(s"$tag 1x")(run(small))
+      val tN = time(s"$tag ${factor}x")(run(big))
+      results += ((tag, t1, tN))
+    }
+    val tj1 = time("join_agg 1x")(noop(joinAgg(li1, ord1)))
+    val tjN = time(s"join_agg ${factor}x")(noop(joinAgg(liN, ordN)))
+    results += (("join_agg", tj1, tjN))
+
+    val tm1 = time("minhash_lsh 1x")(noop(
+      graft.operators.Dedup.minhashLsh(docs1, "doc_id", "text", 32, 8, 0.5)))
+    val tmN = time(s"minhash_lsh ${factor}x")(noop(
+      graft.operators.Dedup.minhashLsh(docsN, "doc_id", "text", 32, 8, 0.5)))
+    results += (("minhash_lsh", tm1, tmN))
+
+    val ts1 = time("simhash 1x")(noop(
+      graft.operators.Dedup.simhashNearDup(docs1, "doc_id", "text")))
+    val tsN = time(s"simhash ${factor}x")(noop(
+      graft.operators.Dedup.simhashNearDup(docsN, "doc_id", "text")))
+    results += (("simhash", ts1, tsN))
+
+    val probes = emb1.filter(col("vec_id") < 10)
+    val ta1 = time("ann_lsh 1x")(noop(
+      graft.operators.AnnSearch.lshTopK(emb1, probes, 10, 8, 6)))
+    val taN = time(s"ann_lsh ${factor}x")(noop(
+      graft.operators.AnnSearch.lshTopK(embN, probes, 10, 8, 6)))
+    results += (("ann_lsh", ta1, taN))
+
+    println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
+    results.foreach { case (tag, t1, tN) =>
+      println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")
+    }
+    spark.stop()
+  }
+}
