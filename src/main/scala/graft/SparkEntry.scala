@@ -43,6 +43,8 @@ object SparkEntry {
     "q_agg_rollup" -> RelationalQueries.aggRollup,
     "q_agg_cube" -> RelationalQueries.aggCube,
     "q_agg_grouping_sets" -> RelationalQueries.aggGroupingSets,
+    "q_subqueries" -> RelationalQueries.subqueries,
+    "q_pivot" -> RelationalQueries.pivot,
     "q_agg_stats" -> RelationalQueries.aggStats,
     "q_agg_collect" -> RelationalQueries.aggCollect,
     // window functions (E18–E20)
@@ -103,6 +105,8 @@ object SparkEntry {
     "q_stream_sliding" -> ((s, d) => streaming.StreamOps.slidingAgg(s, d)),
     "q_stream_session" -> ((s, d) => streaming.StreamOps.sessionAgg(s, d)),
     "q_stream_dedup" -> ((s, d) => streaming.StreamOps.streamDedup(s, d)),
+    "q_stream_stream_join" ->
+      ((s, d) => streaming.StreamOps.streamStreamJoin(s, d)),
     "q_stream_stateful" -> ((s, d) => streaming.StreamOps.statefulPerUser(s, d)),
     // riff parity (R2/R6, E28, E40)
     "q_riff_roundtrip" -> RiffQueries.riffRoundtrip,
@@ -260,6 +264,30 @@ object SparkEntry {
       SELECT o_orderstatus, o_orderpriority, count(1) AS n
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+
+    "q_subqueries" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+        AND EXISTS (SELECT 1 FROM orders o2
+                    WHERE o2.o_custkey = orders.o_custkey
+                      AND o2.o_orderkey <> orders.o_orderkey)""",
+
+    "q_pivot" -> """
+      SELECT l_returnflag,
+             round(sum(CASE WHEN l_linestatus = 'F'
+               THEN l_extendedprice*(1-l_discount) END),6) AS rev_f,
+             round(sum(CASE WHEN l_linestatus = 'O'
+               THEN l_extendedprice*(1-l_discount) END),6) AS rev_o
+      FROM lineitem GROUP BY l_returnflag""",
+
+    "q_stream_stream_join" -> """
+      SELECT e.event_id AS err_id, p.event_id AS buy_id,
+             e.user_id AS user_id
+      FROM events e JOIN events p
+        ON e.user_id = p.user_id
+       AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+      WHERE e.event_type = 'error' AND p.event_type = 'purchase'""",
 
     "q_agg_stats" -> """
       SELECT l_returnflag,

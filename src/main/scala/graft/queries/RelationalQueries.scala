@@ -208,6 +208,30 @@ object RelationalQueries {
       .select("event_id", "user_id", "asof_ts")
   }
 
+  /** Scalar + correlated subqueries (E6/E10 adjacent): orders above the
+    * global average, customers whose best order beats their nation's
+    * average. Catalyst decorrelates into joins — asserted by results. */
+  val subqueries: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+    s.sql("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders_sq
+      WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders_sq)
+        AND EXISTS (SELECT 1 FROM orders_sq o2
+                    WHERE o2.o_custkey = orders_sq.o_custkey
+                      AND o2.o_orderkey <> orders_sq.o_orderkey)
+    """)
+  }
+
+  /** Pivot (E16 adjacent): revenue matrix returnflag × linestatus. */
+  val pivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6))
+      .withColumnRenamed("F", "rev_f")
+      .withColumnRenamed("O", "rev_o")
+
   // ---- E14–E17: aggregation variants -------------------------------------
 
   /** Exact COUNT(DISTINCT) (E14): Spark expands to a two-phase distinct agg;

@@ -106,6 +106,28 @@ object StreamOps {
         .select("user_id", "event_type"),
       OutputMode.Append())
 
+  /** Stream-stream inner join: error events joined to purchase events of
+    * the same user within the following hour, both sides watermarked so
+    * join state expires. The streaming analogue of the batch range join
+    * (E11) — state is keyed by user, bounded by the watermark horizon. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = replayEvents(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("u1"), col("ts").as("t1"),
+        col("event_id").as("err_id"))
+      .withWatermark("t1", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("t2"),
+        col("event_id").as("buy_id"))
+      .withWatermark("t2", "1 hour")
+    val joined = errors.join(purchases,
+      col("u1") === col("u2")
+        && col("t2") >= col("t1")
+        && col("t2") <= col("t1") + expr("INTERVAL 1 HOUR"))
+      .select(col("err_id"), col("buy_id"), col("u1").as("user_id"))
+    runToMemory(spark, joined, OutputMode.Append())
+  }
+
   /** Custom per-key state via flatMapGroupsWithState (E32): running
     * count/sum per user, emitted after each batch. */
   def statefulPerUser(spark: SparkSession, dir: String): DataFrame = {
