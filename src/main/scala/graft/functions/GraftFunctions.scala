@@ -24,6 +24,8 @@ object GraftFunctions {
     "simhash64" -> (es => SimHash64(es(0))),
     "minhash_text" -> (es => MinHashText(es(0),
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+    "kmv_distinct" -> (es => KmvDistinct(es(0),
+      es(1).eval().asInstanceOf[Int]).toAggregateExpression()),
   )
 
   /** Idempotent per-session registration of all engine functions. */
@@ -42,6 +44,8 @@ object GraftFunctions {
   def minhashSig(elems: Column, k: Int): Column =
     call_function("minhash_sig", elems, org.apache.spark.sql.functions.lit(k))
   def simhash64(elems: Column): Column = call_function("simhash64", elems)
+  def kmvDistinct(c: Column, k: Int = 256): Column =
+    call_function("kmv_distinct", c, org.apache.spark.sql.functions.lit(k))
   def minhashText(text: Column, k: Int, shingle: Int = 3): Column =
     call_function("minhash_text", text,
       org.apache.spark.sql.functions.lit(k),
