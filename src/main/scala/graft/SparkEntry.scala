@@ -74,6 +74,7 @@ object SparkEntry {
     "q_text_quality" -> TextQueries.textQuality,
     "q_text_fingerprint" -> TextQueries.textFingerprint,
     "q_text_token_regex" -> TextQueries.tokenRegex,
+    "q_tfidf" -> TextQueries.tfidf,
     "q_text_rollhash" -> TextQueries.rollingHash,
     "q_text_lang_markers" -> TextQueries.textLangMarkers,
     "q_text_bigrams" -> TextQueries.textBigrams,
@@ -233,6 +234,23 @@ object SparkEntry {
              round(avg(len(regexp_extract_all(lower(text),
                '[a-z]+|[0-9]+|[^a-z0-9 ]+'))),6) AS avg_tokens
       FROM documents GROUP BY lang""",
+
+    "q_tfidf" -> """
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split(lower(text),' ')) AS term
+        FROM documents),
+      t2 AS (SELECT * FROM terms WHERE term <> ''),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+      n AS (SELECT count(*)::DOUBLE AS nd FROM documents)
+      SELECT doc_id, term AS top_term, score FROM (
+        SELECT tf.doc_id, tf.term,
+               round(tf * ln((nd+1)/(df+1)), 6) AS score,
+               row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY round(tf * ln((nd+1)/(df+1)), 6) DESC, tf.term)
+                 AS rn
+        FROM tf JOIN df USING(term) CROSS JOIN n) t
+      WHERE rn = 1""",
 
     "q_text_rollhash" -> """
       SELECT doc_id,

@@ -100,16 +100,52 @@ object AnnSearch {
       .filter(col("rank") <= k)
   }
 
-  /** IVF top-k: centroid assignment + nprobe-list search. */
+  /** Lloyd's k-means over an embedding column, fully distributed:
+    * assignment is a broadcast-centroid argmax; the update step is an
+    * element-wise mean via posexplode + (cluster, dim) aggregation. Init
+    * is a deterministic id-stride sample, so runs are reproducible.
+    * Returns (centroid_id, centvec: array<double>). */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+      stride: Int, iters: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    var centroids = corpus.filter(col(idCol) % stride === 0)
+      .select(col(idCol).as("centroid_id"),
+        transform(col(vecCol), x => x.cast("double")).as("centvec"))
+    var i = 0
+    while (i < iters) {
+      val w = Window.partitionBy("__vid")
+        .orderBy(col("__sim").desc, col("centroid_id"))
+      val assigned = corpus
+        .select(col(idCol).as("__vid"), col(vecCol).as("__vec"))
+        .join(broadcast(centroids))
+        .withColumn("__sim",
+          GraftFunctions.cosineSim(col("__vec"), col("centvec")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("centroid_id"), col("__vec"))
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("__vec")))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centvec"))
+      i += 1
+    }
+    centroids
+  }
+
+  /** IVF top-k: k-means lists + nprobe-list search. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      centroidStride: Int = 25, nprobe: Int = 4,
+      centroidStride: Int = 25, nprobe: Int = 4, kmeansIters: Int = 2,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       probeId: String = "vec_id", probeVec: String = "embedding")
       : DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    // deterministic centroid sample: every `centroidStride`-th id
-    val centroids = corpus.filter(col(corpusId) % centroidStride === 0)
-      .select(col(corpusId).as("centroid_id"), col(corpusVec).as("centvec"))
+    // trained inverted-file lists; cache: reused by corpus + probe
+    // assignment (at production scale this is the persisted index)
+    val centroids = kmeansCentroids(corpus, corpusVec, corpusId,
+      centroidStride, kmeansIters).cache()
 
     def assign(df: DataFrame, id: String, vec: String, asId: String,
         asVec: String, lists: Int): DataFrame = {

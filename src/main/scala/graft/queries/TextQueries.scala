@@ -163,6 +163,31 @@ object TextQueries {
       aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
         lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("rollhash"))
 
+  /** TF-IDF (E39): classic sparse term weighting, pure relational algebra —
+    * term frequencies per doc, document frequencies per term, smooth-idf
+    * weighting, top-scoring term per document. At 100 TB the DF side is a
+    * broadcastable aggregate (vocabulary-sized) while TF stays scan-side. */
+  val tfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val terms = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.count() // vocabulary-free scalar; computed once
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df_, "term")
+      .withColumn("score", round(col("tf")
+        * log(lit(nDocs.toDouble + 1) / (col("df") + 1)), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("score"))
+  }
+
   /** The end-to-end training-corpus builder (north star composite):
     * language filter → quality gates (token count, chars/token) → exact
     * dedup keeping min doc_id per normalized fingerprint → survivor set
