@@ -52,6 +52,7 @@ object SparkEntry {
     "q_window_lag" -> RelationalQueries.windowLag,
     "q_window_frame" -> RelationalQueries.windowFrame,
     "q_window_analytics" -> RelationalQueries.windowAnalytics,
+    "q_window_range_frame" -> RelationalQueries.windowRangeFrame,
     // sort / limit / top-k (E21, E22)
     "q_topk_orders" -> RelationalQueries.topkOrders,
     "q_topk_parts" -> RelationalQueries.topkParts,
@@ -343,15 +344,25 @@ object SparkEntry {
       FROM orders""",
 
     "q_window_analytics" -> """
-      SELECT o_orderkey, o_orderpriority, drank, quartile, next_key FROM (
+      SELECT o_orderkey, o_orderpriority, drank, quartile, next_key, top_key
+      FROM (
         SELECT o_orderkey, o_orderpriority,
                CAST(dense_rank() OVER w AS INT) AS drank,
                CAST(ntile(4) OVER w AS INT) AS quartile,
-               lead(o_orderkey, 1) OVER w AS next_key
+               lead(o_orderkey, 1) OVER w AS next_key,
+               first_value(o_orderkey) OVER w AS top_key
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_totalprice DESC, o_orderkey)) t
       WHERE drank <= 20""",
+
+    "q_window_range_frame" -> """
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW),6)
+               AS trailing_30d
+      FROM orders""",
 
     "q_topk_orders" -> """
       SELECT o_orderkey, o_totalprice FROM orders

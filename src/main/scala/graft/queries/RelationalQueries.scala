@@ -330,7 +330,7 @@ object RelationalQueries {
       .select("o_custkey", "o_orderkey", "running")
   }
 
-  /** ntile + dense_rank + lead in one pass (E18/E19). */
+  /** ntile + dense_rank + lead + first_value in one pass (E18/E19). */
   val windowAnalytics: Q = (s, d) => {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -338,8 +338,21 @@ object RelationalQueries {
       .select(col("o_orderkey"), col("o_orderpriority"),
         dense_rank().over(w).as("drank"),
         ntile(4).over(w).as("quartile"),
-        lead("o_orderkey", 1).over(w).as("next_key"))
+        lead("o_orderkey", 1).over(w).as("next_key"),
+        first("o_orderkey").over(w).as("top_key"))
       .filter(col("drank") <= 20)
+  }
+
+  /** RANGE frame (E20): 30-day trailing spend per customer — the frame is
+    * value-based (epoch seconds), not row-based. */
+  val windowRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("sec"))
+      .rangeBetween(-2592000L, 0L) // 30 days in seconds
+    Tables.orders(s, d)
+      .withColumn("sec", unix_seconds(col("o_orderdate").cast("timestamp")))
+      .withColumn("trailing_30d", round(sum("o_totalprice").over(w), 6))
+      .select("o_custkey", "o_orderkey", "trailing_30d")
   }
 
   // ---- E21/E22: sort / limit / top-k -------------------------------------
