@@ -17,6 +17,7 @@ object GraftFunctions {
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "vec_dot" -> (es => DotProduct(es(0), es(1))),
     "vec_l2" -> (es => L2Distance(es(0), es(1))),
+    "vec_norm" -> (es => VecNorm(es(0))),
     "riff_encode" -> (es => RiffEncode(es(0), es(1))),
     "riff_decode" -> (es => RiffDecode(es(0))),
     "minhash_sig" -> (es => MinHashSig(es(0),
@@ -38,6 +39,7 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vecL2(a: Column, b: Column): Column = call_function("vec_l2", a, b)
+  def vecNorm(a: Column): Column = call_function("vec_norm", a)
   def riffEncode(headers: Column, payload: Column): Column =
     call_function("riff_encode", headers, payload)
   def riffDecode(frame: Column): Column = call_function("riff_decode", frame)

@@ -75,6 +75,59 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     })
 }
 
+/** vec_norm(a) = sqrt(sum(a_i^2)) — unary L2 norm, codegen'd. */
+case class VecNorm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "vec_norm"
+  override def dataType: DataType = DoubleType
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_norm expects a float/double array, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elemType match {
+        case FloatType => a.getFloat(i).toDouble
+        case _ => a.getDouble(i)
+      }
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val get = elemType match {
+        case FloatType => s"(double) $a.getFloat(i)"
+        case _ => s"$a.getDouble(i)"
+      }
+      s"""
+      { double acc = 0.0;
+        int n = $a.numElements();
+        for (int i = 0; i < n; i++) { double x = $get; acc += x * x; }
+        ${ev.value} = java.lang.Math.sqrt(acc); }
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
 /** dot(a, b) */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {

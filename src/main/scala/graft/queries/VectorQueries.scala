@@ -69,15 +69,16 @@ object VectorQueries {
       .filter(col("rank") <= 5)
   }
 
-  /** Norm statistics per label (E36/E27): array fold + group agg. */
-  val embedNorms: Q = (s, d) =>
+  /** Norm statistics per label (E36/E27): native norm kernel + group agg. */
+  val embedNorms: Q = (s, d) => {
+    GraftFunctions.register(s)
     Tables.embeddings(s, d)
-      .select(col("label"), sqrt(aggregate(col("embedding"), lit(0.0),
-        (acc, v) => acc + v.cast("double") * v.cast("double"))).as("norm"))
+      .select(col("label"), GraftFunctions.vecNorm(col("embedding")).as("norm"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_norm"),
         round(min("norm"), 4).as("min_norm"),
         round(max("norm"), 4).as("max_norm"))
+  }
 
   /** Euclidean (L2) nearest neighbor per probe (E36/E37 variant). */
   val l2Nearest: Q = (s, d) => {
