@@ -109,6 +109,8 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, d) => streaming.StreamOps.streamDedup(s, d)),
     "q_stream_stream_join" ->
       ((s, d) => streaming.StreamOps.streamStreamJoin(s, d)),
+    "q_stream_static_join" ->
+      ((s, d) => streaming.StreamOps.streamStaticJoin(s, d)),
     "q_stream_stateful" -> ((s, d) => streaming.StreamOps.statefulPerUser(s, d)),
     // riff parity (R2/R6, E28, E40)
     "q_riff_roundtrip" -> RiffQueries.riffRoundtrip,
@@ -626,6 +628,12 @@ object SparkEntry {
       SELECT min(ts) AS session_start, user_id,
              count(*) AS n, round(sum(value),6) AS total
       FROM g GROUP BY user_id, sid""",
+
+    "q_stream_static_join" -> """
+      SELECT c_mktsegment, event_type, count(*) AS n,
+             round(sum(value),6) AS total
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment, event_type""",
 
     "q_stream_dedup" -> """
       SELECT DISTINCT user_id, event_type FROM events""",

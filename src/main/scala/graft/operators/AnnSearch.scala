@@ -113,15 +113,18 @@ object AnnSearch {
         transform(col(vecCol), x => x.cast("double")).as("centvec"))
     var i = 0
     while (i < iters) {
-      val w = Window.partitionBy("__vid")
-        .orderBy(col("__sim").desc, col("centroid_id"))
+      // argmax via max_by: a partial-aggregatable one-pass reduction —
+      // a row_number window here would sort corpus×centroids rows
       val assigned = corpus
         .select(col(idCol).as("__vid"), col(vecCol).as("__vec"))
         .join(broadcast(centroids))
         .withColumn("__sim",
           GraftFunctions.cosineSim(col("__vec"), col("centvec")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
+        .groupBy("__vid")
+        .agg(
+          max_by(col("centroid_id"),
+            struct(col("__sim"), col("centroid_id"))).as("centroid_id"),
+          first(col("__vec")).as("__vec"))
         .select(col("centroid_id"), col("__vec"))
       centroids = assigned
         .select(col("centroid_id"), posexplode(col("__vec")))

@@ -59,6 +59,38 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real build re-encodes the payload at (w, h); the stub
+    * truncates/pads bytes proportionally so output size tracks the target
+    * dimensions deterministically. Signature and partition behavior match
+    * the real operator. */
+  def resizeStub(media: Dataset[MediaRow], w: Int, h: Int)
+      : Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val target = math.max(1, (m.payload.length.toLong * w * h /
+        math.max(1, 640 * 480)).toInt)
+      m.copy(payload = java.util.Arrays.copyOf(m.payload, target))
+    })
+  }
+
+  /** STUB frame sampling for video payloads: a real build decodes and
+    * keeps every k-th frame; the stub strides over fixed-size fake
+    * "frames" of the byte payload. Non-video rows pass through. */
+  def frameSampleStub(media: Dataset[MediaRow], everyK: Int,
+      frameBytes: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.modality != "video") m
+      else {
+        val frames = m.payload.grouped(frameBytes).toArray
+        val kept = frames.zipWithIndex.collect {
+          case (f, i) if i % everyK == 0 => f
+        }
+        m.copy(payload = kept.flatten)
+      }
+    })
+  }
+
   /** Wrap a text table as media rows (the testdata carries no real media;
     * payload = UTF-8 bytes, modality round-robined). */
   def documentsAsMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {

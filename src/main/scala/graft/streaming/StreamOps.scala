@@ -106,6 +106,19 @@ object StreamOps {
         .select("user_id", "event_type"),
       OutputMode.Append())
 
+  /** Stream-static join: the unbounded event stream enriched against a
+    * static dimension table — the static side is re-planned per
+    * microbatch, no state store involved. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = replayEvents(spark, dir)
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+    runToMemory(spark, joined, OutputMode.Complete())
+  }
+
   /** Stream-stream inner join: error events joined to purchase events of
     * the same user within the following hour, both sides watermarked so
     * join state expires. The streaming analogue of the batch range join
