@@ -18,10 +18,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
-    // JVM + parquet-footer warmup so measured numbers reflect steady-state
-    // operator cost, not first-touch classloading
-    SparkEntry.queries.get("q_scan_count").foreach(q =>
-      try q(spark, sfDir).count() catch { case _: Throwable => () })
+    // Warm the whole suite at the smallest SF first: codegen caches by
+    // generated source and the query shapes are identical across SFs, so
+    // this pre-compiles every plan + JITs the kernels. Measured numbers
+    // then reflect steady-state operator cost, not first-touch compilation.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
