@@ -21,17 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param left     probe side
-    * @param right    build side (events to look up "most recent prior")
-    * @param key      equi-key column name present on both sides
-    * @param leftTs   event-time column on `left`
-    * @param rightTs  event-time column on `right`
-    * @param carry    columns of `right` to carry onto matching left rows
-    *                 (carried values come from the latest prior right row)
+  /** @param left      probe side
+    * @param right     build side (events to look up "most recent prior")
+    * @param key       equi-key column name present on both sides
+    * @param leftTs    event-time column on `left`
+    * @param rightTs   event-time column on `right`
+    * @param carry     columns of `right` to carry onto matching left rows
+    *                  (carried values come from the latest prior right row)
+    * @param tolerance optional max lookback (e.g. "1 hour"): matches older
+    *                  than `leftTs - tolerance` become null, like DuckDB's
+    *                  `ASOF ... WITHIN` / pandas `merge_asof(tolerance=)`
     * @return `left` columns + carried columns (null when no prior right row)
     */
   def apply(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, carry: Seq[String],
+      tolerance: Option[String] = None): DataFrame = {
     val leftCols = left.columns
     val lTagged = left
       .withColumn("__ts", col(leftTs))
@@ -49,13 +53,22 @@ object AsOfJoin {
     val unioned = conform(lTagged).unionByName(conform(rTagged0))
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.foldLeft(unioned) { (df, c) =>
+    val carried0 = carry.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"__asof_$c",
         last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    // the matched build-row timestamp, for the tolerance check
+    val carried = carried0.withColumn("__asof_matched_ts",
+      last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+    val withinTolerance: org.apache.spark.sql.Column = tolerance match {
+      case Some(t) =>
+        col("__asof_matched_ts") >= col(leftTs) - expr(s"INTERVAL $t")
+      case None => lit(true)
     }
     carried
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        carry.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+        carry.map(c => when(withinTolerance, col(s"__asof_$c"))
+          .otherwise(lit(null)).as(s"asof_$c")): _*)
   }
 }

@@ -53,6 +53,20 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native kernel is bit-identical to the declarative HOF fold") {
+    GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sf).limit(100)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val both = a.crossJoin(b)
+      .select(
+        GraftFunctions.cosineSim(col("va"), col("vb")).as("native"),
+        graft.queries.VectorQueries.cosine(col("va"), col("vb")).as("hof"))
+      .filter(col("native") =!= col("hof")) // exact ==, not approx
+      .count()
+    assert(both === 0L, "same fold order => identical bits")
+  }
+
   test("SQL surface: cosine_sim callable from spark.sql") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -32,6 +32,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) === null)
   }
 
+  test("tolerance nulls out matches older than the lookback window") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 02:00:00")),  // prior right is 75 min old
+      (2L, 10L, ts("2024-01-01 01:00:00")))  // prior right is 15 min old
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts("2024-01-01 00:45:00"))).toDF("user_id", "ts")
+    val out = AsOfJoin(left, right, "user_id", "ts", "ts", Seq("ts"),
+        tolerance = Some("30 MINUTES"))
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    assert(out(1L).isEmpty, "match beyond tolerance must be null")
+    assert(out(2L).map(_.toString).contains("2024-01-01 00:45:00.0"))
+  }
+
   test("matches DuckDB ASOF semantics on real events (vs window oracle)") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf)
