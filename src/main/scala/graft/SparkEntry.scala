@@ -56,6 +56,7 @@ object SparkEntry {
     // sort / limit / top-k (E21, E22)
     "q_topk_orders" -> RelationalQueries.topkOrders,
     "q_topk_parts" -> RelationalQueries.topkParts,
+    "q_topk_per_group" -> RelationalQueries.topkPerGroup,
     // set ops (E23)
     "q_set_union" -> RelationalQueries.setUnion,
     "q_set_union_all" -> RelationalQueries.setUnionAll,
@@ -374,6 +375,13 @@ object SparkEntry {
       SELECT l_partkey, round(sum(l_extendedprice*(1-l_discount)),6) AS revenue
       FROM lineitem GROUP BY l_partkey
       ORDER BY revenue DESC, l_partkey LIMIT 10""",
+
+    "q_topk_per_group" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t WHERE rn <= 3""",
 
     "q_set_union" -> """
       SELECT c_custkey AS k FROM customer

@@ -365,6 +365,15 @@ object RelationalQueries {
       .limit(25)
       .select("o_orderkey", "o_totalprice")
 
+  /** Top-k per group via the custom two-phase heap operator
+    * ([[graft.plans.TopKPerGroupNode]]) — no group sort, shuffles ≤ k rows
+    * per group per task. Oracle: the row_number window formulation. */
+  val topkPerGroup: Q = (s, d) =>
+    graft.operators.TopK.perGroup(Tables.orders(s, d),
+        Seq("o_custkey"), "o_totalprice", k = 3,
+        desc = true, tieBreak = Seq("o_orderkey"))
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+
   /** Top-k over an aggregate (E22): revenue top-10 parts. */
   val topkParts: Q = (s, d) =>
     Tables.lineitem(s, d)

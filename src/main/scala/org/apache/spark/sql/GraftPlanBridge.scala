@@ -1,0 +1,24 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `private[sql]` plan constructors, so graft's custom logical
+  * operators (graft.plans.*) can surface as ordinary DataFrames. Lives in
+  * the org.apache.spark.sql package solely for access; contains no logic. */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].logicalPlan
+
+  def addStrategy(spark: SparkSession,
+      s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(s)) {
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ s
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TopK
+
+/** The custom top-k-per-group operator vs the window formulation: results
+  * must be identical; the plan must show the two-phase heap operator with
+  * an exchange between phases. */
+class TopKPerGroupSpec extends SparkSpec {
+
+  test("matches row_number window formulation exactly") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val custom = TopK.perGroup(orders, Seq("o_custkey"), "o_totalprice",
+        k = 3, desc = true, tieBreak = Seq("o_orderkey"))
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val windowed = orders
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .collect().map(r => (r.getAs[Long]("o_custkey"),
+        r.getAs[Long]("o_orderkey"))).toSet
+    assert(custom === windowed)
+  }
+
+  test("plan is two-phase heap with a clustering exchange, no sort") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val df = TopK.perGroup(orders, Seq("o_custkey"), "o_totalprice",
+      k = 3, tieBreak = Seq("o_orderkey"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), p.take(1200))
+    val phases = p.linesIterator.count(_.contains("TopKPerGroup"))
+    assert(phases === 2, s"expected partial+final:\n${p.take(1200)}")
+    assert(p.contains("Exchange hashpartitioning(o_custkey"),
+      "final phase must cluster by group")
+    assert(!p.contains("Sort "), "the whole point: no group sort")
+  }
+
+  test("k larger than any group degenerates to identity") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val n = orders.count()
+    val all = TopK.perGroup(orders, Seq("o_custkey"), "o_totalprice",
+      k = 100000, tieBreak = Seq("o_orderkey")).count()
+    assert(all === n)
+  }
+
+  test("works on string group keys and ascending order") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val got = TopK.perGroup(li, Seq("l_returnflag"), "l_extendedprice",
+        k = 2, desc = false, tieBreak = Seq("l_orderkey", "l_linenumber"))
+      .select("l_returnflag", "l_extendedprice")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted.toSeq).toMap
+    val expect = li.collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+      .view.mapValues(_.map(_.getAs[Double]("l_extendedprice"))
+        .sorted.take(2).toSeq).toMap
+    assert(got === expect)
+  }
+}
