@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -17,6 +16,50 @@ import org.apache.spark.sql.types._
   * construction.
   */
 object TextHashExpressions {
+
+  /** Fused tokenize → n-gram → MinHash over a raw UTF8 string (the
+    * [[MinHashText]] kernel; also called from generated code). */
+  def minhashTextOf(v: org.apache.spark.unsafe.types.UTF8String,
+      numHashes: Int, n: Int): ArrayData = {
+    val toks = v.toString.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    @inline def absorb(base: Long): Unit =
+      if (seen.add(base)) {
+        var i = 0
+        while (i < numHashes) {
+          val h = XxHash64Function.hash(base, LongType, i.toLong)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+    if (toks.length < n) {
+      absorb(XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          toks.mkString(" ")), StringType, 42L))
+    } else {
+      val th = toks.map(t => XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), StringType, 42L))
+      var j = 0
+      while (j + n <= th.length) {
+        var base = th(j)
+        var m = 1
+        while (m < n) {
+          base = XxHash64Function.hash(base, LongType, th(j + m))
+          m += 1
+        }
+        absorb(base)
+        j += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** [[MinHashSig]] kernel as ArrayData (also called from generated code). */
+  def minhashSigOf(elems: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(minhashOf(elems, k))
+
   /** One string hash + k long mixes per element. */
   @inline def minhashOf(elems: ArrayData, k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
@@ -66,7 +109,7 @@ object TextHashExpressions {
   * exact up to hash collisions (~n²/2⁶⁴ — irrelevant for dedup purposes).
   */
 case class MinHashText(child: Expression, numHashes: Int, shingleSize: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def prettyName: String = "minhash_text"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -80,44 +123,20 @@ case class MinHashText(child: Expression, numHashes: Int, shingleSize: Int)
           s"minhash_text expects string, got ${t.catalogString}")
     }
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.toString.toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+").filter(_.nonEmpty)
-    val n = shingleSize
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    val seen = new java.util.HashSet[java.lang.Long]()
-    @inline def absorb(base: Long): Unit =
-      if (seen.add(base)) {
-        var i = 0
-        while (i < numHashes) {
-          val h = XxHash64Function.hash(base, LongType, i.toLong)
-          if (h < sig(i)) sig(i) = h
-          i += 1
-        }
-      }
-    if (toks.length < n) {
-      // short doc: the whole text is the single shingle (matches
-      // Dedup.shingles fallback semantics)
-      absorb(XxHash64Function.hash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(
-          toks.mkString(" ")), StringType, 42L))
-    } else {
-      val th = toks.map(t => XxHash64Function.hash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(t), StringType, 42L))
-      var j = 0
-      while (j + n <= th.length) {
-        var base = th(j)
-        var m = 1
-        while (m < n) {
-          base = XxHash64Function.hash(base, LongType, th(j + m))
-          m += 1
-        }
-        absorb(base)
-        j += 1
-      }
-    }
-    new GenericArrayData(sig)
-  }
+  override def nullSafeEval(v: Any): Any =
+    TextHashExpressions.minhashTextOf(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      numHashes, shingleSize)
+
+  // static call into the kernel keeps the whole stage in codegen (a
+  // CodegenFallback here would de-fuse the scan stage around it)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashExpressions" +
+        s".minhashTextOf($c, $numHashes, $shingleSize);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -125,7 +144,7 @@ case class MinHashText(child: Expression, numHashes: Int, shingleSize: Int)
 
 /** minhash_sig(array<string>, k) -> array<long> */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def prettyName: String = "minhash_sig"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -140,8 +159,15 @@ case class MinHashSig(child: Expression, numHashes: Int)
     }
 
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(
-      TextHashExpressions.minhashOf(v.asInstanceOf[ArrayData], numHashes))
+    TextHashExpressions.minhashSigOf(v.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashExpressions" +
+        s".minhashSigOf($c, $numHashes);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -149,7 +175,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
 /** simhash64(array<string>) -> long */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def prettyName: String = "simhash64"
   override def dataType: DataType = LongType
 
@@ -165,6 +191,13 @@ case class SimHash64(child: Expression)
 
   override def nullSafeEval(v: Any): Any =
     TextHashExpressions.simhashOf(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashExpressions.simhashOf($c);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
