@@ -24,6 +24,8 @@ object SparkEntry {
     "q_json_extract" -> RelationalQueries.jsonExtract,
     // projection / filter (E5, E6)
     "q_filter_pred" -> RelationalQueries.filterPred,
+    "q_filter_like" -> RelationalQueries.filterLike,
+    "q_agg_having" -> RelationalQueries.aggHaving,
     "q_proj_compute" -> RelationalQueries.projCompute,
     // joins (E7–E12)
     "q_join_inner" -> RelationalQueries.joinInner,
@@ -92,6 +94,7 @@ object SparkEntry {
     "q_multimodal_meta" -> TextQueries.multimodalMeta,
     // file sources beyond parquet (E4)
     "q_csv_roundtrip" -> SourceQueries.csvRoundtrip,
+    "q_orc_roundtrip" -> SourceQueries.orcRoundtrip,
     "q_json_roundtrip" -> SourceQueries.jsonRoundtrip,
     // UDF/UDAF surface (E41)
     "q_udf_scalar" -> UdfQueries.udfScalar,
@@ -138,6 +141,21 @@ object SparkEntry {
       FROM lineitem
       WHERE l_shipdate BETWEEN '1995-01-01' AND '1996-12-31'
         AND l_quantity IN (10,20,30,40) AND l_returnflag = 'R'""",
+
+    "q_filter_like" -> """
+      SELECT p_partkey, p_name, p_type FROM part
+      WHERE p_name LIKE '%widget%' AND p_type NOT LIKE 'PRO%'
+        AND regexp_matches(p_name, '^[a-z]+ ')""",
+
+    "q_agg_having" -> """
+      SELECT l_orderkey, sum(l_quantity) AS total_qty, count(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150""",
+
+    "q_orc_roundtrip" -> """
+      SELECT p_brand, count(*) AS n, round(sum(p_retailprice),6) AS total,
+             max(p_size) AS max_size
+      FROM part GROUP BY p_brand""",
 
     "q_proj_compute" -> """
       SELECT l_orderkey, l_linenumber,

@@ -38,6 +38,23 @@ object RelationalQueries {
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
         "l_extendedprice")
 
+  /** LIKE / NOT LIKE / rlike predicates (E6). */
+  val filterLike: Q = (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_name").like("%widget%")
+        && !col("p_type").like("PRO%")
+        && col("p_name").rlike("^[a-z]+ "))
+      .select("p_partkey", "p_name", "p_type")
+
+  /** HAVING over grouped aggregates (E13): large orders, TPC-H Q18
+    * shape. */
+  val aggHaving: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("total_qty") > 150)
+
   /** Computed projection incl. CASE WHEN (E5). */
   val projCompute: Q = (s, d) =>
     Tables.lineitem(s, d).select(

@@ -30,6 +30,16 @@ object SourceQueries {
         concat_ws(",", sort_array(collect_list("n_name"))).as("names"))
   }
 
+  /** ORC write → ORC scan (E4): the third columnar format Spark ships. */
+  val orcRoundtrip: Q = (s, d) => {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    Tables.part(s, d).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 6).as("total"),
+        max("p_size").as("max_size"))
+  }
+
   /** JSON-lines write → JSON scan with schema inference (E4). */
   val jsonRoundtrip: Q = (s, d) => {
     val tmp = Files.createTempDirectory("graft_json").toString
