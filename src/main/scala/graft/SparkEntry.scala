@@ -79,6 +79,7 @@ object SparkEntry {
     "q_text_fingerprint" -> TextQueries.textFingerprint,
     "q_text_token_regex" -> TextQueries.tokenRegex,
     "q_tfidf" -> TextQueries.tfidf,
+    "q_vocab_stats" -> TextQueries.vocabStats,
     "q_text_rollhash" -> TextQueries.rollingHash,
     "q_text_lang_markers" -> TextQueries.textLangMarkers,
     "q_text_bigrams" -> TextQueries.textBigrams,
@@ -257,6 +258,17 @@ object SparkEntry {
                '[a-z]+|[0-9]+|[^a-z0-9 ]+'))),6) AS avg_tokens
       FROM documents GROUP BY lang""",
 
+    "q_vocab_stats" -> """
+      SELECT source, count(*) AS vocab,
+             sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+             sum(n)::BIGINT AS tokens
+      FROM (
+        SELECT source, tok, count(*) AS n FROM (
+          SELECT source, unnest(string_split(lower(text),' ')) AS tok
+          FROM documents) t
+        WHERE tok <> '' GROUP BY source, tok) c
+      GROUP BY source""",
+
     "q_tfidf" -> """
       WITH terms AS (
         SELECT doc_id, unnest(string_split(lower(text),' ')) AS term
@@ -365,13 +377,16 @@ object SparkEntry {
       FROM orders""",
 
     "q_window_analytics" -> """
-      SELECT o_orderkey, o_orderpriority, drank, quartile, next_key, top_key
+      SELECT o_orderkey, o_orderpriority, drank, quartile, next_key,
+             top_key, pr, cd
       FROM (
         SELECT o_orderkey, o_orderpriority,
                CAST(dense_rank() OVER w AS INT) AS drank,
                CAST(ntile(4) OVER w AS INT) AS quartile,
                lead(o_orderkey, 1) OVER w AS next_key,
-               first_value(o_orderkey) OVER w AS top_key
+               first_value(o_orderkey) OVER w AS top_key,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_totalprice DESC, o_orderkey)) t

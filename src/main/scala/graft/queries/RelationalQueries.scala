@@ -356,7 +356,9 @@ object RelationalQueries {
         dense_rank().over(w).as("drank"),
         ntile(4).over(w).as("quartile"),
         lead("o_orderkey", 1).over(w).as("next_key"),
-        first("o_orderkey").over(w).as("top_key"))
+        first("o_orderkey").over(w).as("top_key"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
       .filter(col("drank") <= 20)
   }
 

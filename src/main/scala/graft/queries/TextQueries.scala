@@ -163,6 +163,22 @@ object TextQueries {
       aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
         lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("rollhash"))
 
+  /** Vocabulary statistics per source (E39): distinct tokens and hapax
+    * legomena (tokens occurring exactly once) — the standard corpus-health
+    * metrics. Two keyed aggregations, both partial-agg friendly. */
+  val vocabStats: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1, 1).otherwise(0)).as("hapax"),
+        sum("n").as("tokens"))
+  }
+
   /** TF-IDF (E39): classic sparse term weighting, pure relational algebra —
     * term frequencies per doc, document frequencies per term, smooth-idf
     * weighting, top-scoring term per document. At 100 TB the DF side is a

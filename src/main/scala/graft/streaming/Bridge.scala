@@ -34,12 +34,21 @@ object Bridge {
     * second pass over the data. */
   def transform(spark: SparkSession, framed: DataFrame,
       fn: MessageFunction,
-      tap: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      tap: Option[org.apache.spark.sql.Observation] = None,
+      tapName: Option[String] = None): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val tapped = tap.map(o => framed.observe(o,
-      count(lit(1)).as("n_records"),
-      sum(octet_length(col("value"))).as("n_bytes"))).getOrElse(framed)
+    val tapExprs = Seq(count(lit(1)).as("n_records"),
+      sum(octet_length(col("value"))).as("n_bytes"))
+    // batch taps use an Observation handle; streaming taps must be named
+    // (metrics arrive per microbatch via StreamingQueryProgress)
+    val tapped = (tap, tapName) match {
+      case (Some(o), _) =>
+        framed.observe(o, tapExprs.head, tapExprs.tail: _*)
+      case (_, Some(n)) =>
+        framed.observe(n, tapExprs.head, tapExprs.tail: _*)
+      case _ => framed
+    }
     val envelopes: Dataset[RiffMessage] = tapped
       .select(GraftFunctions.riffDecode(col("value")).as("msg"))
       .select(col("msg.headers").as("headers"), col("msg.payload").as("payload"))

@@ -56,6 +56,24 @@ class BridgeSpec extends SparkSpec {
     assert(obs.get("n_bytes") === 2L * f.length)
   }
 
+  test("R8 tap works on the streaming side via query progress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Array[Byte]]
+    val out = Bridge.transform(spark, input.toDF().select(col("value")),
+      IdentityFunction, tapName = Some("bridge_stream_tap"))
+    val q = out.writeStream.format("memory").queryName("bridge_tap_out")
+      .outputMode("append").start()
+    try {
+      input.addData(frame("one", Map()), frame("two", Map()),
+        frame("three", Map()))
+      q.processAllAvailable()
+      val metrics = q.lastProgress.observedMetrics.get("bridge_stream_tap")
+      assert(metrics != null, "observed metrics must surface in progress")
+      assert(metrics.getAs[Long]("n_records") === 3L)
+    } finally q.stop()
+  }
+
   test("poison frame fails the task like MessageDeserializer's assert") {
     import spark.implicits._
     val df = Seq(Array[Byte](0x01, 0x02)).toDF("value")
