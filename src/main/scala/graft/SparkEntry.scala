@@ -22,6 +22,9 @@ object SparkEntry {
     // scans / json (E1, E3)
     "q_scan_count" -> RelationalQueries.scanCount,
     "q_json_extract" -> RelationalQueries.jsonExtract,
+    "q_json_build" -> RelationalQueries.jsonBuild,
+    "q_null_funcs" -> RelationalQueries.nullFuncs,
+    "q_kmv_distinct" -> RelationalQueries.kmvDistinct,
     // projection / filter (E5, E6)
     "q_filter_pred" -> RelationalQueries.filterPred,
     "q_filter_like" -> RelationalQueries.filterLike,
@@ -136,6 +139,21 @@ object SparkEntry {
              sum(json_extract_string(props,'$.k')::BIGINT)::BIGINT AS sum_k,
              max(json_extract_string(props,'$.k')::BIGINT) AS max_k
       FROM events GROUP BY event_type""",
+
+    "q_json_build" -> """
+      SELECT doc_id, lang AS j_lang, source AS j_source,
+             n_chars AS j_chars
+      FROM documents""",
+
+    "q_null_funcs" -> """
+      SELECT c_custkey,
+             nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+             coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')
+               AS seg_or_other,
+             CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+                  THEN 'present' ELSE 'was_null' END AS seg_flag,
+             coalesce(nullif(c_acctbal, 0), -1) AS bal_nz
+      FROM customer""",
 
     "q_filter_pred" -> """
       SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice

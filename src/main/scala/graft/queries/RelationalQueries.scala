@@ -78,6 +78,40 @@ object RelationalQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
 
+  /** JSON construction + re-extraction (E3 write side): to_json over a
+    * struct, fields pulled back out — proves the construction path without
+    * depending on cross-engine JSON formatting. */
+  val jsonBuild: Q = (s, d) => {
+    val j = to_json(struct(col("lang"), col("source"), col("n_chars")))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      get_json_object(j, "$.lang").as("j_lang"),
+      get_json_object(j, "$.source").as("j_source"),
+      get_json_object(j, "$.n_chars").cast("long").as("j_chars"))
+  }
+
+  /** Null-handling functions (E24 adjacent): nullif/nvl/nvl2/coalesce. */
+  val nullFuncs: Q = (s, d) =>
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+      nvl(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+        .as("seg_or_other"),
+      nvl2(nullif(col("c_mktsegment"), lit("BUILDING")),
+        lit("present"), lit("was_null")).as("seg_flag"),
+      coalesce(nullif(col("c_acctbal"), lit(0d)), lit(-1d)).as("bal_nz"))
+
+  /** KMV distinct sketch (custom TypedImperativeAggregate) — deterministic
+    * hash-based estimate; rows-only (no SQL oracle can reproduce the
+    * sketch), tolerance-tested in KmvSketchSpec. */
+  val kmvDistinct: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(graft.functions.GraftFunctions
+        .kmvDistinct(col("l_partkey"), 256).as("approx_parts"))
+  }
+
   // ---- E13: hash aggregate (TPC-H Q1 shape — the flagship) ---------------
 
   /** TPC-H Q1 (E13): partial aggregation map-side, 4-way agg over 2 group
