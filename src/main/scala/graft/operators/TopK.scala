@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
 
-import graft.plans.{TopKPerGroupNode, TopKPerGroupStrategy}
+import graft.plans.{PushFilterThroughTopKPerGroup, TopKPerGroupNode, TopKPerGroupStrategy}
 
 /** Public face of the custom top-k-per-group operator (see
   * [[graft.plans.TopKPerGroupNode]] for the execution strategy and why it
@@ -16,6 +16,7 @@ object TopK {
       k: Int, desc: Boolean = true, tieBreak: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     GraftPlanBridge.addStrategy(spark, TopKPerGroupStrategy)
+    GraftPlanBridge.addOptimization(spark, PushFilterThroughTopKPerGroup)
     val child = GraftPlanBridge.logicalPlan(df)
     val resolve = child.output.map(a => a.name -> a).toMap
     def attr(n: String) = resolve.getOrElse(n,

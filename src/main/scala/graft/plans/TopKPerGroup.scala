@@ -84,6 +84,27 @@ case class TopKPerGroupExec(groupCols: Seq[Expression],
     copy(child = c)
 }
 
+/** Optimizer rule: push a Filter through [[TopKPerGroupNode]] when its
+  * predicate references only group columns. Legal because top-k is
+  * computed independently per group — dropping whole groups before or
+  * after the operator is equivalent — but Catalyst cannot know that about
+  * a foreign node, so without this rule a group filter above top-k blocks
+  * parquet pushdown entirely. */
+object PushFilterThroughTopKPerGroup
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case f @ Filter(cond, topk @ TopKPerGroupNode(group, _, _, child))
+          if cond.deterministic &&
+            f.condition.references.subsetOf(
+              AttributeSet(group.flatMap(_.references))) =>
+        topk.copy(child = Filter(cond, child))
+    }
+}
+
 /** Planner strategy: partial heaps per input partition, cluster by group,
   * final merge — EnsureRequirements inserts the exchange between the two
   * phases exactly like a two-phase aggregate. */

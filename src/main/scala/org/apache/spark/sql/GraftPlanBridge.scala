@@ -21,4 +21,14 @@ object GraftPlanBridge {
         cs.experimental.extraStrategies :+ s
     }
   }
+
+  def addOptimization(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r)) {
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ r
+    }
+  }
 }

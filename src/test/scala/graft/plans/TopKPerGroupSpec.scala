@@ -40,6 +40,38 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(!p.contains("Sort "), "the whole point: no group sort")
   }
 
+  test("group filter above top-k pushes through to the parquet scan") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val df = TopK.perGroup(orders, Seq("o_custkey"), "o_totalprice",
+        k = 3, tieBreak = Seq("o_orderkey"))
+      .filter(col("o_custkey") < 50)
+    val p = df.queryExecution.executedPlan.toString
+    // without PushFilterThroughTopKPerGroup the custom node blocks
+    // pushdown; with it, the group predicate reaches PushedFilters
+    assert(p.contains("LessThan(o_custkey,50)"),
+      s"group filter must reach the scan:\n${p.take(1500)}")
+    // and results match filtering first
+    val direct = TopK.perGroup(orders.filter(col("o_custkey") < 50),
+        Seq("o_custkey"), "o_totalprice", k = 3, tieBreak = Seq("o_orderkey"))
+      .collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey")))
+      .toSet
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey")))
+      .toSet
+    assert(got === direct)
+  }
+
+  test("non-group filter stays above the operator (not pushed)") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val withPush = TopK.perGroup(orders, Seq("o_custkey"), "o_totalprice",
+        k = 3, tieBreak = Seq("o_orderkey"))
+      .filter(col("o_totalprice") > 1000) // order col: push would be WRONG
+    val p = withPush.queryExecution.executedPlan.toString
+    assert(!p.contains("GreaterThan(o_totalprice,1000"),
+      s"value filter must NOT push below top-k:\n${p.take(1500)}")
+  }
+
   test("k larger than any group degenerates to identity") {
     val orders = graft.sources.Tables.orders(spark, sf)
     val n = orders.count()
