@@ -29,7 +29,7 @@ object ScaleBench {
     def replicate(df: DataFrame, idCols: Seq[String], stride: Long): DataFrame =
       df.crossJoin(
           spark.range(factor).select(col("id").as("__rep")))
-        .select(df.columns.map(c =>
+        .select(df.columns.toIndexedSeq.map(c =>
           if (idCols.contains(c)) (col(c) + col("__rep") * stride).as(c)
           else col(c)): _*)
 

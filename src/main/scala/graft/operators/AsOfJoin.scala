@@ -47,7 +47,7 @@ object AsOfJoin {
     // align schemas for the union
     val allCols = (lTagged.columns ++ rTagged0.columns).distinct
     def conform(df: DataFrame): DataFrame =
-      df.select(allCols.map(c =>
+      df.select(allCols.toIndexedSeq.map(c =>
         if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
 
     val unioned = conform(lTagged).unionByName(conform(rTagged0))
@@ -67,7 +67,7 @@ object AsOfJoin {
     }
     carried
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
+      .select(leftCols.toIndexedSeq.map(col) ++
         carry.map(c => when(withinTolerance, col(s"__asof_$c"))
           .otherwise(lit(null)).as(s"asof_$c")): _*)
   }

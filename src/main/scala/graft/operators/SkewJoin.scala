@@ -32,7 +32,8 @@ object SkewJoin {
     // deterministic spray: hash of the whole large row modulo factor
     // (monotonically_increasing_id would break retry determinism)
     val sprayed = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(saltFactor)))
+      pmod(xxhash64(struct(large.columns.toIndexedSeq.map(col): _*)),
+        lit(saltFactor)))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
       .withColumn("__salt", col("__salt").cast("long"))
