@@ -34,6 +34,7 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache() // operators cache signatures/centroids
         name -> (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")

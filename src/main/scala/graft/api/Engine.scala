@@ -28,6 +28,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es(1).eval().asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0))))
+    e.injectFunction((FunctionIdentifier("vec_norm"), info("vec_norm"),
+      (es: Seq[Expression]) => VecNorm(es(0))))
+    e.injectFunction((FunctionIdentifier("minhash_text"), info("minhash_text"),
+      (es: Seq[Expression]) => MinHashText(es(0),
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("kmv_distinct"), info("kmv_distinct"),
+      (es: Seq[Expression]) => KmvDistinct(es(0),
+        es(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
   }
 }
 

@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
+  private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal parameter, got $other")
+  }
+
   private val builders: Map[String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
       org.apache.spark.sql.catalyst.expressions.Expression] = Map(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
@@ -21,12 +30,12 @@ object GraftFunctions {
     "riff_encode" -> (es => RiffEncode(es(0), es(1))),
     "riff_decode" -> (es => RiffDecode(es(0))),
     "minhash_sig" -> (es => MinHashSig(es(0),
-      es(1).eval().asInstanceOf[Int])),
+      intArg(es(1), "minhash_sig"))),
     "simhash64" -> (es => SimHash64(es(0))),
     "minhash_text" -> (es => MinHashText(es(0),
-      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+      intArg(es(1), "minhash_text"), intArg(es(2), "minhash_text"))),
     "kmv_distinct" -> (es => KmvDistinct(es(0),
-      es(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+      intArg(es(1), "kmv_distinct")).toAggregateExpression()),
   )
 
   /** Idempotent per-session registration of all engine functions. */

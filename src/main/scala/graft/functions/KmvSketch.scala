@@ -22,6 +22,7 @@ import org.apache.spark.sql.types._
 case class KmvDistinct(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+  require(k > 0, s"kmv_distinct needs k > 0, got $k")
 
   override def prettyName: String = "kmv_distinct"
   override def children: Seq[Expression] = Seq(child)

@@ -45,8 +45,16 @@ case class RiffEncode(left: Expression, right: Expression)
     val headers = (0 until m.numElements()).map { i =>
       val k = keys.getUTF8String(i).toString
       val arr = vals.getArray(i)
-      val vs = (0 until arr.numElements())
-        .map(j => arr.getUTF8String(j).toString)
+      if (arr == null)
+        throw new IllegalArgumentException(
+          s"riff_encode: header '$k' has a null value list")
+      val vs = (0 until arr.numElements()).map { j =>
+        val v = arr.getUTF8String(j)
+        if (v == null)
+          throw new IllegalArgumentException(
+            s"riff_encode: header '$k' contains a null value")
+        v.toString
+      }
       k -> vs
     }
     // preserve map iteration order like the reference walks its proto map

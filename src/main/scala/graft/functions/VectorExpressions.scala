@@ -55,8 +55,11 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   override def nullSafeEval(av: Any, bv: Any): Any = {
     val a = av.asInstanceOf[ArrayData]
     val b = bv.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    kernel(a, b, elemType(left), elemType(right), n)
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch " +
+          s"(${a.numElements()} vs ${b.numElements()})")
+    kernel(a, b, elemType(left), elemType(right), a.numElements())
   }
 
   private def getter(v: String, t: DataType): String => String = t match {
@@ -68,7 +71,11 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     nullSafeCodeGen(ctx, ev, (aVar, bVar) => {
       val n = ctx.freshName("n")
       s"""
-      int $n = java.lang.Math.min($aVar.numElements(), $bVar.numElements());
+      if ($aVar.numElements() != $bVar.numElements()) {
+        throw new IllegalArgumentException("$prettyName: dimension mismatch ("
+          + $aVar.numElements() + " vs " + $bVar.numElements() + ")");
+      }
+      int $n = $aVar.numElements();
       ${loopCode(n, ev.value.toString,
         getter(aVar, elemType(left)), getter(bVar, elemType(right)))}
       """

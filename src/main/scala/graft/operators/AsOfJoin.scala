@@ -51,7 +51,10 @@ object AsOfJoin {
         if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
 
     val unioned = conform(lTagged).unionByName(conform(rTagged0))
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+    // tie-break on the carried columns: several right rows at the same
+    // (key, ts) would otherwise make last() shuffle-order-dependent
+    val w = Window.partitionBy(key)
+      .orderBy((col("__ts") +: col("__side") +: carry.map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried0 = carry.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"__asof_$c",

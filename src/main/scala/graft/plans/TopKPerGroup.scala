@@ -23,6 +23,11 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * Ties are broken by the caller-supplied total ordering (`order` should
   * end with a unique column), so results are deterministic and
   * oracle-comparable.
+  *
+  * Memory bound: each task holds k rows per distinct group key it sees
+  * (no spill path yet) — right for the usual "top-k per entity" shapes
+  * where keys-per-task × k fits memory; for near-unique group keys prefer
+  * the window formulation, which sorts externally.
   */
 case class TopKPerGroupNode(groupCols: Seq[Expression],
     order: Seq[SortOrder], k: Int, child: LogicalPlan) extends UnaryNode {
@@ -93,14 +98,17 @@ case class TopKPerGroupExec(groupCols: Seq[Expression],
 object PushFilterThroughTopKPerGroup
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.Filter
-  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet}
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformDown {
+      // group keys must be bare attributes: for a computed key (a % 2),
+      // a predicate on `a` is NOT constant within a group, so pushing it
+      // below the top-k would change which rows win
       case f @ Filter(cond, topk @ TopKPerGroupNode(group, _, _, child))
           if cond.deterministic &&
-            f.condition.references.subsetOf(
-              AttributeSet(group.flatMap(_.references))) =>
+            group.forall(_.isInstanceOf[Attribute]) &&
+            f.condition.references.subsetOf(AttributeSet(group)) =>
         topk.copy(child = Filter(cond, child))
     }
 }

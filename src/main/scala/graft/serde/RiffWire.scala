@@ -63,10 +63,16 @@ object RiffWire {
       throw new IllegalArgumentException(
         f"riff frame must start with 0xff, got 0x$marker%02x")
     val headerCount = in.readByte()
+    if (headerCount < 0)
+      throw new IllegalArgumentException(
+        s"riff frame header count byte out of range (>127): $headerCount")
     val headers = Seq.newBuilder[(String, Seq[String])]
     var i = 0
     while (i < headerCount) {
       val nameLen = in.readByte()
+      if (nameLen < 0)
+        throw new IllegalArgumentException(
+          s"riff frame header-name length byte out of range (>127): $nameLen")
       val nameBytes = new Array[Byte](nameLen)
       in.readFully(nameBytes)
       val jsonLen = in.readInt()

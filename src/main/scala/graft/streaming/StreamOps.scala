@@ -102,7 +102,10 @@ object StreamOps {
     runToMemory(spark,
       replayEvents(spark, dir)
         .withWatermark("ts", "1 hour")
-        .dropDuplicates("user_id", "event_type")
+        // WithinWatermark variant: plain dropDuplicates without the event
+        // time column would keep (user, type) state forever; this evicts
+        // keys once the watermark passes them
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select("user_id", "event_type"),
       OutputMode.Append())
 
