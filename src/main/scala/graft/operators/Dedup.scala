@@ -166,6 +166,15 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Greedy SimHash dedup: like [[minhashDedup]] but keyed on hamming
+    * proximity — drops the greater id of every pair within `maxHamming`. */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
+    val doomed = simhashNearDup(df, idCol, textCol, maxHamming, maxBucket)
+      .select(col("b").as(idCol)).distinct()
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs among a bounded probe set —
     * the exact/verification path (LSH-bucketed variant in
     * [[AnnSearch.hyperplaneBuckets]]). */
