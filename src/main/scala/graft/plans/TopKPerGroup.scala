@@ -24,10 +24,11 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * end with a unique column), so results are deterministic and
   * oracle-comparable.
   *
-  * Memory bound: each task holds k rows per distinct group key it sees
-  * (no spill path yet) — right for the usual "top-k per entity" shapes
-  * where keys-per-task × k fits memory; for near-unique group keys prefer
-  * the window formulation, which sorts externally.
+  * Memory bound: the partial phase flushes its heaps downstream whenever
+  * a task has accumulated `maxGroupsInMemory` distinct groups (extra
+  * partial rows are always re-merged by the final phase), so task memory
+  * is bounded regardless of group cardinality; the final phase holds one
+  * k-row heap per key of its own output partition.
   */
 case class TopKPerGroupNode(groupCols: Seq[Expression],
     order: Seq[SortOrder], k: Int, child: LogicalPlan) extends UnaryNode {
@@ -48,11 +49,22 @@ case class TopKPerGroupExec(groupCols: Seq[Expression],
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupCols))
 
+  /** Memory guard for the partial phase: when a task has seen more than
+    * this many distinct groups, flush current heaps downstream and reset.
+    * Emitting extra partial rows is always correct (the final phase
+    * re-merges per key); it trades shuffle volume for bounded memory on
+    * high-cardinality group keys. The final phase never flushes — its
+    * footprint is the operator's own output for the partition. */
+  private def maxGroupsInMemory: Int =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.topk.maxGroupsInMemory", "262144").toInt
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val groupExprs = groupCols
     val sortOrder = order
     val kk = k
+    val flushThreshold = if (partial) maxGroupsInMemory else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(groupExprs, childOutput)
       val rowOrdering: Ordering[InternalRow] =
@@ -62,26 +74,42 @@ case class TopKPerGroupExec(groupCols: Seq[Expression],
       // the heap holds k, so it always contains the k ordering-smallest
       val heaps = new java.util.HashMap[UnsafeRow,
         scala.collection.mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue
-            .empty[InternalRow](rowOrdering)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kk) {
-          heap.enqueue(row.copy())
-        } else if (rowOrdering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
-        }
+
+      def drain(): Iterator[InternalRow] = {
+        val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
+        // emit each group's rows in rank order (dequeueAll is max-first)
+        heaps.values().forEach(h => out ++= h.dequeueAll.reverseIterator)
+        heaps.clear()
+        out.iterator
       }
-      val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
-      // emit each group's rows in rank order (dequeueAll is max-first)
-      heaps.values().forEach(h => out ++= h.dequeueAll.reverseIterator)
-      out.iterator
+
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private def fill(): Unit = {
+          while (!pending.hasNext && iter.hasNext) {
+            val row = iter.next()
+            val key = groupProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              if (heaps.size >= flushThreshold) pending = drain()
+              heap = scala.collection.mutable.PriorityQueue
+                .empty[InternalRow](rowOrdering)
+              heaps.put(key.copy(), heap)
+            }
+            if (heap.size < kk) {
+              heap.enqueue(row.copy())
+            } else if (rowOrdering.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue(row.copy())
+            }
+          }
+          if (!pending.hasNext && !iter.hasNext && !heaps.isEmpty) {
+            pending = drain()
+          }
+        }
+        override def hasNext: Boolean = { fill(); pending.hasNext }
+        override def next(): InternalRow = { fill(); pending.next() }
+      }
     }
   }
 

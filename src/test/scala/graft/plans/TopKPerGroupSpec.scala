@@ -80,6 +80,29 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(all === n)
   }
 
+  test("partial-phase flush under a tiny group budget stays correct") {
+    spark.conf.set("graft.topk.maxGroupsInMemory", "4")
+    try {
+      val li = graft.sources.Tables.lineitem(spark, sf)
+      // l_partkey has ~1200 groups at sf0.001 >> budget of 4 => many flushes
+      val custom = TopK.perGroup(li, Seq("l_partkey"), "l_extendedprice",
+          k = 2, tieBreak = Seq("l_orderkey", "l_linenumber"))
+        .collect()
+        .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("l_orderkey"),
+          r.getAs[Int]("l_linenumber"))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_partkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      val windowed = li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .collect()
+        .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("l_orderkey"),
+          r.getAs[Int]("l_linenumber"))).toSet
+      assert(custom === windowed)
+    } finally spark.conf.unset("graft.topk.maxGroupsInMemory")
+  }
+
   test("works on string group keys and ascending order") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     val got = TopK.perGroup(li, Seq("l_returnflag"), "l_extendedprice",
