@@ -34,8 +34,9 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // operators cache signatures/centroids
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> elapsed
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         name -> -1.0 // failures must be visible, not a fast fake number
