@@ -45,7 +45,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver only keeps a short stdout tail, which the 86-query map
+    // overflows — persist the full per-query JSON to a stable file and
+    // keep the final stdout line compact so it stays machine-parsable.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","queries_file":"$outFile"}""")
     spark.stop()
   }
 }

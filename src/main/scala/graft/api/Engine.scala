@@ -24,8 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("riff_decode"), info("riff_decode"),
       (es: Seq[Expression]) => RiffDecode(es(0))))
     e.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
+      // Number.intValue, not asInstanceOf[Int]: SQL integer literals can
+      // arrive as BIGINT (same pattern as minhash_text/kmv_distinct below)
       (es: Seq[Expression]) => MinHashSig(es(0),
-        es(1).eval().asInstanceOf[Int])))
+        es(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0))))
     e.injectFunction((FunctionIdentifier("vec_norm"), info("vec_norm"),
@@ -58,6 +60,10 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // events.ts is parquet INT64 TIMESTAMP(NANOS); set at session build
+      // so a user reading events before any Tables call can't race the
+      // runtime flag Tables.events also sets (see USAGE.md)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftFunctions.register(s)

@@ -65,45 +65,72 @@ object AnnSearch {
       .filter(col("rank") <= k)
   }
 
-  /** Multi-table hyperplane-LSH top-k. Recall grows with `tables`;
-    * candidate cost shrinks with `bits`. */
-  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      tables: Int = 8, bits: Int = 10, seed: Long = 42L,
-      corpusId: String = "vec_id", corpusVec: String = "embedding",
-      probeId: String = "vec_id", probeVec: String = "embedding")
-      : DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
-    val dim = corpus.select(size(col(corpusVec))).head().getInt(0)
-    val planes = hyperplanes(tables, bits, dim, seed)
-
-    // ONE scan: all tables' bucket ids computed in a single projection,
-    // then posexploded — a union of per-table reads would scan the corpus
-    // `tables` times
-    def bucketed(df: DataFrame, id: String, vec: String, asId: String,
-        asVec: String): DataFrame =
-      df.select(col(id).as(asId), col(vec).as(asVec),
-          posexplode(array((0 until tables).map(t =>
-            bucketExpr(col(vec), planes(t))): _*)))
-        .withColumnRenamed("pos", "table")
-        .withColumnRenamed("col", "bucket")
-
-    val c = bucketed(corpus, corpusId, corpusVec, "cand_id", "cvec")
-    val p = bucketed(probes, probeId, probeVec, "probe_id", "pvec")
+  /** Shared gather/score/top-k tail for the approximate tiers: candidate
+    * pairs arrive as ids only; vectors are re-attached by id (corpus side
+    * joins once by `cand_id`, probe side broadcasts), cosine is scored,
+    * and a per-probe window takes the top k. Embedding columns therefore
+    * ride at most ONE shuffle (the corpus gather join — which AQE
+    * broadcasts away when the corpus is small), never the candidate-dedup
+    * or window exchanges. */
+  private def scoreTopK(pairs: DataFrame, corpus: DataFrame,
+      probes: DataFrame, k: Int, corpusId: String, corpusVec: String,
+      probeId: String, probeVec: String): DataFrame = {
+    val cv = corpus.select(col(corpusId).as("cand_id"),
+      col(corpusVec).as("cvec"))
+    val pv = probes.select(col(probeId).as("probe_id"),
+      col(probeVec).as("pvec"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("cand_id"))
-    c.join(broadcast(p), Seq("table", "bucket"))
-      .filter(col("probe_id") =!= col("cand_id"))
-      .select("probe_id", "cand_id", "pvec", "cvec").distinct()
+    pairs.join(cv, Seq("cand_id"))
+      .join(broadcast(pv), Seq("probe_id"))
       .select(col("probe_id"), col("cand_id"),
         round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
-  /** Lloyd's k-means over an embedding column, fully distributed:
-    * assignment is a broadcast-centroid argmax; the update step is an
-    * element-wise mean via posexplode + (cluster, dim) aggregation. Init
-    * is a deterministic id-stride sample, so runs are reproducible.
+  /** Multi-table hyperplane-LSH top-k. Recall grows with `tables`;
+    * candidate cost shrinks with `bits`. `dim` is the embedding
+    * dimensionality — a parameter, not a `head()` scan probe, so calling
+    * this launches no extra driver-side job. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      tables: Int = 8, bits: Int = 10, seed: Long = 42L, dim: Int = 64,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      probeId: String = "vec_id", probeVec: String = "embedding")
+      : DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val planes = hyperplanes(tables, bits, dim, seed)
+
+    // ONE scan: all tables' bucket ids computed in a single projection,
+    // then posexploded — a union of per-table reads would scan the corpus
+    // `tables` times. Only (id, table, bucket) leaves the scan: vectors
+    // stay out of every candidate-generation shuffle.
+    def bucketed(df: DataFrame, id: String, vec: String,
+        asId: String): DataFrame =
+      df.select(col(id).as(asId),
+          posexplode(array((0 until tables).map(t =>
+            bucketExpr(col(vec), planes(t))): _*)))
+        .withColumnRenamed("pos", "table")
+        .withColumnRenamed("col", "bucket")
+
+    val c = bucketed(corpus, corpusId, corpusVec, "cand_id")
+    val p = bucketed(probes, probeId, probeVec, "probe_id")
+    // multi-table collision dedup on 16 bytes of ids — the distinct
+    // exchange never carries an embedding
+    val pairs = c.join(broadcast(p), Seq("table", "bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id").distinct()
+    scoreTopK(pairs, corpus, probes, k, corpusId, corpusVec,
+      probeId, probeVec)
+  }
+
+  /** Lloyd's k-means over an embedding column, fully distributed and
+    * shuffle-free on vectors: the whole centroid set rides ONE broadcast
+    * row as an array, assignment is a per-row argmax fold over that array
+    * (a projection — corpus vectors never enter any exchange), and the
+    * update step's (cluster, dim) mean partial-aggregates map-side so the
+    * only shuffle carries C×dim partial sums per partition. Init is a
+    * deterministic id-stride sample, so runs are reproducible.
     * Returns (centroid_id, centvec: array<double>). */
   def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
       stride: Int, iters: Int): DataFrame = {
@@ -113,19 +140,29 @@ object AnnSearch {
         transform(col(vecCol), x => x.cast("double")).as("centvec"))
     var i = 0
     while (i < iters) {
-      // argmax via max_by: a partial-aggregatable one-pass reduction —
-      // a row_number window here would sort corpus×centroids rows
+      val centArr = centroids.agg(
+        collect_list(struct(col("centroid_id"), col("centvec"))).as("cents"))
+      // argmax within the row: highest cosine, ties to the largest
+      // centroid_id. Order-independent over the collected array, so
+      // collect_list's nondeterministic ordering cannot leak into results.
+      val best = aggregate(col("cents"),
+        struct(lit(Double.NegativeInfinity).as("sim"),
+          lit(Long.MinValue).as("centroid_id")),
+        (acc, c) => {
+          val sim = GraftFunctions.cosineSim(col("__vec"),
+            c.getField("centvec"))
+          when(sim > acc.getField("sim") ||
+              (sim === acc.getField("sim") &&
+                c.getField("centroid_id") > acc.getField("centroid_id")),
+            struct(sim.as("sim"),
+              c.getField("centroid_id").as("centroid_id")))
+            .otherwise(acc)
+        })
       val assigned = corpus
-        .select(col(idCol).as("__vid"), col(vecCol).as("__vec"))
-        .join(broadcast(centroids))
-        .withColumn("__sim",
-          GraftFunctions.cosineSim(col("__vec"), col("centvec")))
-        .groupBy("__vid")
-        .agg(
-          max_by(col("centroid_id"),
-            struct(col("__sim"), col("centroid_id"))).as("centroid_id"),
-          first(col("__vec")).as("__vec"))
-        .select(col("centroid_id"), col("__vec"))
+        .select(col(vecCol).as("__vec"))
+        .join(broadcast(centArr))
+        .select(best.getField("centroid_id").as("centroid_id"),
+          col("__vec"))
       centroids = assigned
         .select(col("centroid_id"), posexplode(col("__vec")))
         .groupBy("centroid_id", "pos")
@@ -150,29 +187,40 @@ object AnnSearch {
     val centroids = kmeansCentroids(corpus, corpusVec, corpusId,
       centroidStride, kmeansIters).cache()
 
+    // id → nearest list(s). Emits ids only — vectors never enter an
+    // assignment shuffle. lists=1 (the corpus side, i.e. the whole 100 TB)
+    // is a one-pass max_by reduction with map-side combine; the window
+    // sort survives only for the tiny nprobe>1 probe side.
     def assign(df: DataFrame, id: String, vec: String, asId: String,
-        asVec: String, lists: Int): DataFrame = {
-      val w = Window.partitionBy(asId)
-        .orderBy(col("cdist").desc, col("centroid_id"))
-      df.select(col(id).as(asId), col(vec).as(asVec))
+        lists: Int): DataFrame = {
+      val scored = df.select(col(id).as(asId), col(vec).as("__vec"))
         .join(broadcast(centroids))
-        .select(col(asId), col(asVec), col("centroid_id"),
-          GraftFunctions.cosineSim(col(asVec), col("centvec")).as("cdist"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= lists)
-        .drop("cdist", "crank")
+        .select(col(asId), col("centroid_id"),
+          GraftFunctions.cosineSim(col("__vec"), col("centvec")).as("cdist"))
+      if (lists == 1)
+        // argmax: highest cdist, ties to the smallest centroid_id —
+        // identical pick order to the window formulation below
+        scored.groupBy(asId)
+          .agg(max_by(col("centroid_id"),
+            struct(col("cdist"), -col("centroid_id"))).as("centroid_id"))
+      else {
+        val w = Window.partitionBy(asId)
+          .orderBy(col("cdist").desc, col("centroid_id"))
+        scored.withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= lists)
+          .select(col(asId), col("centroid_id"))
+      }
     }
 
-    val c = assign(corpus, corpusId, corpusVec, "cand_id", "cvec", 1)
-    val p = assign(probes, probeId, probeVec, "probe_id", "pvec", nprobe)
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("cand_id"))
-    c.join(broadcast(p), Seq("centroid_id"))
+    val c = assign(corpus, corpusId, corpusVec, "cand_id", 1)
+    val p = assign(probes, probeId, probeVec, "probe_id", nprobe)
+    // each candidate lives in exactly one list and a probe's nprobe lists
+    // are distinct, so (probe_id, cand_id) pairs are already unique — no
+    // dedup pass needed, unlike the multi-table LSH tier
+    val pairs = c.join(broadcast(p), Seq("centroid_id"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .select("probe_id", "cand_id", "pvec", "cvec").distinct()
-      .select(col("probe_id"), col("cand_id"),
-        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select("probe_id", "cand_id")
+    scoreTopK(pairs, corpus, probes, k, corpusId, corpusVec,
+      probeId, probeVec)
   }
 }

@@ -56,22 +56,25 @@ object AsOfJoin {
     val w = Window.partitionBy(key)
       .orderBy((col("__ts") +: col("__side") +: carry.map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried0 = carry.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__asof_$c",
-        last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
-    }
-    // the matched build-row timestamp, for the tolerance check
-    val carried = carried0.withColumn("__asof_matched_ts",
-      last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+    // ONE struct carries the matched timestamp and every carried value
+    // together, so they always come from the same (latest prior) right
+    // row — per-column last(ignoreNulls) would let a null carry value
+    // fall back to an OLDER right row than the matched timestamp, unlike
+    // DuckDB ASOF which takes all values from the single matched row
+    val rightRow = when(col("__side") === 0,
+      struct((col("__ts").as("__matched_ts") +:
+        carry.map(c => col(c).as(c))): _*))
+    val carried = unioned.withColumn("__asof",
+      last(rightRow, ignoreNulls = true).over(w))
     val withinTolerance: org.apache.spark.sql.Column = tolerance match {
       case Some(t) =>
-        col("__asof_matched_ts") >= col(leftTs) - expr(s"INTERVAL $t")
-      case None => lit(true)
+        col("__asof.__matched_ts") >= col(leftTs) - expr(s"INTERVAL $t")
+      case None => col("__asof").isNotNull
     }
     carried
       .filter(col("__side") === 1)
       .select(leftCols.toIndexedSeq.map(col) ++
-        carry.map(c => when(withinTolerance, col(s"__asof_$c"))
+        carry.map(c => when(withinTolerance, col("__asof").getField(c))
           .otherwise(lit(null)).as(s"asof_$c")): _*)
   }
 }

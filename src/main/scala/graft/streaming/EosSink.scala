@@ -1,8 +1,8 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{FileAlreadyExistsException, Files, Paths}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Exactly-once sink parity (SURVEY §2A R7, §7.4 hard-part 1).
   *
@@ -16,10 +16,15 @@ import org.apache.spark.sql.DataFrame
   * reference (documented, by design): replay-and-discard instead of
   * abort-and-reread; both produce each record's effect exactly once.
   *
-  * The commit protocol is the classic two-phase rename: write to a
-  * temporary dir, then atomically record the batch as committed. A batch
-  * directory without a COMMIT marker is garbage from a crashed attempt and
-  * is overwritten on retry.
+  * Commit protocol: write the batch directory, then create a `_committed_`
+  * marker as the atomic commit point. A batch directory WITHOUT its marker
+  * is garbage from a crashed attempt — it is overwritten on retry, and
+  * readers must filter on markers (use [[EosSink.readCommitted]], which
+  * does). A concurrent zombie attempt that commits between the
+  * `isCommitted` check and marker creation makes `createFile` throw
+  * `FileAlreadyExistsException`; both attempts wrote identical data for
+  * the same batchId (Spark replays deterministically from the checkpoint),
+  * so the race is benign and treated as commit success.
   */
 final class EosSink(outDir: String) extends Serializable {
 
@@ -33,6 +38,34 @@ final class EosSink(outDir: String) extends Serializable {
     if (isCommitted(batchId)) return // replayed batch — drop, exactly-once
     Files.createDirectories(Paths.get(outDir))
     batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-    Files.createFile(commitMarker(batchId)) // atomic commit point
+    try Files.createFile(commitMarker(batchId)) // atomic commit point
+    catch { case _: FileAlreadyExistsException => () } // lost a benign race
+  }
+}
+
+object EosSink {
+
+  /** Ids of committed batches, from the `_committed_` markers. */
+  def committedBatchIds(outDir: String): Seq[Long] = {
+    val dir = Paths.get(outDir)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val stream = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("_committed_"))
+        .map(_.stripPrefix("_committed_").toLong)
+        .toSeq.sorted
+    } finally stream.close()
+  }
+
+  /** Read ONLY committed batches — the reader counterpart of the marker
+    * protocol. Listing `batch_*` dirs directly can observe data from a
+    * crashed, uncommitted attempt; this filters on the commit markers. */
+  def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
+    val dirs = committedBatchIds(outDir).map(id => s"$outDir/batch_$id")
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs: _*)
   }
 }

@@ -145,26 +145,51 @@ object StreamOps {
   }
 
   /** Custom per-key state via flatMapGroupsWithState (E32): running
-    * count/sum per user, emitted after each batch. */
+    * count/sum per user, emitted after each batch. State is BOUNDED: a
+    * watermark plus `EventTimeTimeout` evicts a user's state once no
+    * event has arrived for `idleFor` past the key's newest event — on a
+    * long-running stream the store holds only active keys, never the full
+    * key universe (the bug class fixed for streaming dedup in 64a70b0).
+    * Expiry is silent (no emission), so batch/stream output equivalence
+    * is unchanged. */
+  def statefulTransform(ds: Dataset[EventRow],
+      idleFor: String = "1 hour", idleMillis: Long = 3600000L): DataFrame = {
+    import ds.sparkSession.implicits._
+    val out = ds
+      .withWatermark("ts", idleFor)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user: Long, rows: Iterator[EventRow],
+            state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed the key's horizon — evict
+            Iterator.empty
+          } else {
+            val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0; var total = sum0; var maxTs = Long.MinValue
+            rows.foreach { r =>
+              n += 1; total += r.value
+              if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+            }
+            state.update((n, total))
+            // must be > current watermark or Spark rejects it; a key whose
+            // newest event already trails the watermark expires next batch
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + idleMillis)
+            Iterator((user, n, total))
+          }
+      }
+      .toDF("user_id", "n_events", "total_raw")
+    out.select(col("user_id"), col("n_events"),
+      round(col("total_raw"), 6).as("total_value"))
+  }
+
   def statefulPerUser(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ds: Dataset[EventRow] = replayEvents(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[EventRow]
-    val out = ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (user: Long, rows: Iterator[EventRow],
-            state: GroupState[(Long, Double)]) =>
-          val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
-          var n = n0; var total = sum0
-          rows.foreach { r => n += 1; total += r.value }
-          state.update((n, total))
-          Iterator((user, n, total))
-      }
-      .toDF("user_id", "n_events", "total_raw")
-      .select(col("user_id"), col("n_events"),
-        round(col("total_raw"), 6).as("total_value"))
-    runToMemory(spark, out, OutputMode.Append())
+    runToMemory(spark, statefulTransform(ds), OutputMode.Append())
   }
 }

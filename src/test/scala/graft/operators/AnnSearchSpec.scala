@@ -59,6 +59,29 @@ class AnnSearchSpec extends SparkSpec {
     assert(r >= 0.15, s"IVF recall $r")
   }
 
+  test("ANN shuffle hygiene: embedding columns ride at most one exchange") {
+    // candidate generation, dedup, and the top-k window must shuffle ids
+    // only; the single allowed vector-carrying exchange is the gather
+    // join that re-attaches cvec by cand_id (absent entirely when AQE
+    // broadcasts the corpus side). AQE off so the static plan is final.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, df) <- Seq(
+          "lsh" -> AnnSearch.lshTopK(emb, probes, 10, tables = 8, bits = 6),
+          "ivf" -> AnnSearch.ivfTopK(emb, probes, 10,
+            centroidStride = 25, nprobe = 4))) {
+        val vecShuffles = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.output.exists(a => a.name == "cvec" || a.name == "pvec"
+                || a.name == "embedding" || a.name == "__vec") =>
+            e.output.map(_.name)
+        }
+        assert(vecShuffles.size <= 1,
+          s"$name: embeddings ride ${vecShuffles.size} shuffles: $vecShuffles")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("more tables => recall does not degrade") {
     val r1 = recallOf(topkSet(AnnSearch.lshTopK(emb, probes, 10,
       tables = 2, bits = 6)))
