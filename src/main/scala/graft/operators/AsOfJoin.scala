@@ -1,23 +1,31 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.plans.{AsOfJoinNode, AsOfJoinStrategy, PushFilterThroughAsOfJoin}
 
 /** As-of join (SURVEY §2B E12): for each left row, attach the latest right
   * row with `right.ts <= left.ts` within the same key.
   *
-  * Implementation is the union-merge formulation, not a range join:
-  * union both sides tagged, sort per key by (ts, side) and carry the last
-  * seen right timestamp forward with `last(_, ignoreNulls)` over an
-  * unbounded-preceding frame. Cost is ONE shuffle of |L|+|R| rows keyed by
-  * the join key — at 100 TB this beats any range-join/backward-scan
-  * formulation (which materializes candidate pairs) and never explodes:
-  * it is the standard distributed as-of technique (same shape DuckDB's
-  * ASOF JOIN uses per-thread after partitioning).
+  * [[apply]] plans the first-class [[graft.plans.AsOfJoinNode]] operator:
+  * both sides cluster by key and sort by (key, ts), then a streaming
+  * per-partition merge with O(1) state — ONE narrow shuffle per side at
+  * 100 TB, no window buffering, and filters above the join keep reaching
+  * the parquet scans via [[graft.plans.PushFilterThroughAsOfJoin]].
   *
-  * Ties (`right.ts == left.ts`): the right row sorts first, so equality
-  * matches — same inclusive semantics as DuckDB's `ON l.ts >= r.ts`.
+  * [[windowed]] keeps the union-merge formulation (union both sides
+  * tagged, `last(_, ignoreNulls)` over an unbounded-preceding frame — the
+  * standard composed-operator shape, same technique DuckDB applies
+  * per-thread after partitioning). It is retained as the
+  * differential-testing reference for the custom node.
+  *
+  * Ties (`right.ts == left.ts`): equality matches — same inclusive
+  * semantics as DuckDB's `ON l.ts >= r.ts`. Among several right rows at
+  * the same (key, ts) the max carry tuple wins, deterministically, in
+  * both formulations.
   */
 object AsOfJoin {
 
@@ -27,13 +35,54 @@ object AsOfJoin {
     * @param leftTs    event-time column on `left`
     * @param rightTs   event-time column on `right`
     * @param carry     columns of `right` to carry onto matching left rows
-    *                  (carried values come from the latest prior right row)
+    *                  (all carried values come from the one matched row)
     * @param tolerance optional max lookback (e.g. "1 hour"): matches older
     *                  than `leftTs - tolerance` become null, like DuckDB's
-    *                  `ASOF ... WITHIN` / pandas `merge_asof(tolerance=)`
+    *                  `ASOF ... WITHIN` / pandas `merge_asof(tolerance=)`;
+    *                  requires timestamp-typed ts columns
     * @return `left` columns + carried columns (null when no prior right row)
     */
   def apply(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, carry: Seq[String],
+      tolerance: Option[String] = None): DataFrame = {
+    val spark = left.sparkSession
+    GraftPlanBridge.addStrategy(spark, AsOfJoinStrategy)
+    GraftPlanBridge.addOptimization(spark, PushFilterThroughAsOfJoin)
+    val lPlan = GraftPlanBridge.logicalPlan(left)
+    // prune the right side to what the operator consumes (the
+    // column-pruning boundary for the build-side scan) and re-alias every
+    // column: aliases mint fresh expr-ids, so a self-join (left and right
+    // sharing plan lineage) can't produce an ambiguous node
+    val rPlan = GraftPlanBridge.logicalPlan(
+      right.select((key +: rightTs +: carry).distinct
+        .map(c => col(c).as(c)): _*))
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String, side: String) =
+      plan.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"no column $n on $side side (${plan.output.map(_.name).mkString(",")})"))
+    val carryAttrs = carry.map(c => attr(rPlan, c, "right"))
+    val carryOutput = carryAttrs.map(a =>
+      AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    val tolMicros = tolerance.map { t =>
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+          .fromString(t))
+      require(iv.months == 0, s"month-based tolerance is ambiguous: $t")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    GraftPlanBridge.ofRows(spark, AsOfJoinNode(
+      attr(lPlan, key, "left"), attr(rPlan, key, "right"),
+      attr(lPlan, leftTs, "left"), attr(rPlan, rightTs, "right"),
+      carryAttrs, carryOutput, tolMicros, lPlan, rPlan))
+  }
+
+  /** Union-merge formulation of the same semantics (differential-testing
+    * reference for [[apply]]): union both sides tagged, sort per key by
+    * (ts, side, carry...) and take the latest prior right row's struct
+    * with one `last(_, ignoreNulls)` over an unbounded-preceding frame —
+    * the matched timestamp and every carried value come from the same
+    * right row by construction. */
+  def windowed(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, carry: Seq[String],
       tolerance: Option[String] = None): DataFrame = {
     val leftCols = left.columns
@@ -56,11 +105,6 @@ object AsOfJoin {
     val w = Window.partitionBy(key)
       .orderBy((col("__ts") +: col("__side") +: carry.map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // ONE struct carries the matched timestamp and every carried value
-    // together, so they always come from the same (latest prior) right
-    // row — per-column last(ignoreNulls) would let a null carry value
-    // fall back to an OLDER right row than the matched timestamp, unlike
-    // DuckDB ASOF which takes all values from the single matched row
     val rightRow = when(col("__side") === 0,
       struct((col("__ts").as("__matched_ts") +:
         carry.map(c => col(c).as(c))): _*))

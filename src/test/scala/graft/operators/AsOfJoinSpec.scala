@@ -46,6 +46,71 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2L).map(_.toString).contains("2024-01-01 00:45:00.0"))
   }
 
+  test("custom node ≡ windowed formulation on real events (differential)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    for (tol <- Seq(None, Some("45 MINUTES"))) {
+      val a = canon(AsOfJoin(purchases, views, "user_id", "ts", "ts",
+        Seq("ts", "value"), tol))
+      val b = canon(AsOfJoin.windowed(purchases, views, "user_id", "ts", "ts",
+        Seq("ts", "value"), tol))
+      assert(a.length == b.length && a.zip(b).forall(p => p._1 == p._2),
+        s"node vs windowed diverge (tol=$tol)")
+    }
+  }
+
+  test("null carry value stays null (no fallback to an older right row)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 01:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:30:00"), Option(5.0)),
+      (10L, ts("2024-01-01 00:45:00"), Option.empty[Double])) // latest: null v
+      .toDF("user_id", "ts", "v")
+    for (impl <- Seq(AsOfJoin(left, right, "user_id", "ts", "ts",
+        Seq("ts", "v")), AsOfJoin.windowed(left, right, "user_id", "ts",
+        "ts", Seq("ts", "v")))) {
+      val r = impl.select("asof_ts", "asof_v").collect().head
+      assert(r.getTimestamp(0).toString === "2024-01-01 00:45:00.0")
+      assert(r.isNullAt(1),
+        "carried value must come from the matched row, even when null")
+    }
+  }
+
+  test("filters push through the as-of node into the parquet scans") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view").select("user_id", "ts")
+    val filtered = AsOfJoin(purchases, views, "user_id", "ts", "ts", Seq("ts"))
+      .filter(col("user_id") < 100)
+    val optimized = filtered.queryExecution.optimizedPlan
+    // the Filter must sit BELOW the as-of node after optimization — on
+    // both sides, since a key predicate prunes right-side build rows too
+    val nodes = optimized.collect {
+      case aj: graft.plans.AsOfJoinNode => aj }
+    assert(nodes.size == 1, optimized.toString)
+    val aj = nodes.head
+    def hasKeyFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.toString.contains("< 100") => f
+      }.nonEmpty
+    assert(hasKeyFilter(aj.left), s"left push missing:\n$optimized")
+    assert(hasKeyFilter(aj.right), s"right push missing:\n$optimized")
+    // and the rows still come out right
+    assert(filtered.count() ===
+      AsOfJoin.windowed(purchases, views, "user_id", "ts", "ts", Seq("ts"))
+        .filter(col("user_id") < 100).count())
+  }
+
   test("matches DuckDB ASOF semantics on real events (vs window oracle)") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf)
