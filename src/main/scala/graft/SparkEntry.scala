@@ -128,6 +128,15 @@ object SparkEntry {
     "q_similarity_topk" -> VectorQueries.similarityTopK,
     "q_embed_norms" -> VectorQueries.embedNorms,
     "q_l2_nearest" -> VectorQueries.l2Nearest,
+    // pipeline extensions (round 2): compaction, sampling, scrubbing,
+    // retrieval, decontamination, quality-aware dedup
+    "q_latest_per_key" -> PipelineQueries.latestPerKey,
+    "q_sample_hash" -> PipelineQueries.sampleHash,
+    "q_sample_stratified" -> PipelineQueries.sampleStratified,
+    "q_pii_scrub" -> PipelineQueries.piiScrub,
+    "q_bm25_search" -> PipelineQueries.bm25Search,
+    "q_decontam" -> PipelineQueries.decontam,
+    "q_minhash_keep_best" -> PipelineQueries.minhashKeepBest,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -753,5 +762,68 @@ object SparkEntry {
           FROM embeddings p, embeddings c
           WHERE p.vec_id < 5 AND p.vec_id <> c.vec_id) pairs) ranked
       WHERE "rank" <= 3""",
+
+    "q_latest_per_key" -> """
+      SELECT user_id, event_id AS last_event_id,
+             event_type AS last_event_type, value AS last_value,
+             ts AS last_ts
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1""",
+
+    "q_sample_hash" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'""",
+
+    "q_sample_stratified" -> """
+      SELECT lang, doc_id, rk FROM (
+        SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        FROM documents)
+      WHERE rn <= 50""",
+
+    "q_pii_scrub" -> """
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '[0-9]{3,}', '<NUM>', 'g') AS clean
+      FROM documents""",
+
+    "q_bm25_search" -> """
+      WITH d AS (
+        SELECT doc_id, len(string_split(lower(text), ' '))::DOUBLE AS dl,
+               string_split(lower(text), ' ') AS toks
+        FROM documents),
+      stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+      tf AS (
+        SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+        WHERE tok IN ('scan', 'join') GROUP BY 1, 2, 3),
+      dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+      SELECT doc_id,
+             round(sum(idf * tf * 2.2 /
+               (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+      FROM (SELECT t.doc_id, t.dl, t.tf, s.avgdl,
+                   ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1) AS idf
+            FROM tf t JOIN dfreq f USING (tok) CROSS JOIN stats s)
+      GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""",
+
+    "q_decontam" -> """
+      WITH toked AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      ngr AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+4], ' '))) AS ng
+        FROM toked WHERE len(t) >= 5),
+      bench AS (SELECT DISTINCT ng FROM ngr WHERE doc_id < 5)
+      SELECT c.doc_id, count(*) AS n_overlap
+      FROM (SELECT doc_id, ng FROM ngr WHERE doc_id >= 5) c
+      JOIN bench b ON c.ng = b.ng
+      GROUP BY 1""",
   )
 }

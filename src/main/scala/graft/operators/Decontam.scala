@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (training-data pipeline): find corpus
+  * documents sharing word n-grams with a benchmark/eval set — the
+  * standard "13-gram collision" test-set-leakage check, parameterized.
+  *
+  * Two tiers:
+  *  - [[overlap]]: joins on the n-gram STRINGS. The bench side of a
+  *    decontamination run is small (an eval suite), so it broadcasts and
+  *    the corpus-side strings never shuffle at all.
+  *  - [[overlapHashed]]: joins on `xxhash64` of the n-gram — the shape for
+  *    a big bench side, where the shuffle must carry 8-byte keys, not
+  *    n-gram strings. Collision probability at 64 bits is negligible for
+  *    any real corpus (~1e-8 at a billion distinct n-grams); the spec
+  *    asserts equivalence with the string path on real data.
+  */
+object Decontam {
+
+  /** Distinct word n-grams of a text column; single-space tokenization so
+    * the DuckDB oracle (`string_split`) matches exactly. Documents shorter
+    * than `n` tokens contribute nothing. */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = split(lower(text), " ")
+    array_distinct(when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** (doc_id, n_overlap): distinct n-grams of each corpus doc that also
+    * appear anywhere in `bench`. Docs with zero overlap are absent. */
+  def overlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("doc_id"),
+      explode(ngrams(col(textCol), n)).as("ng"))
+    val b = bench.select(explode(ngrams(col(textCol), n)).as("ng")).distinct()
+    // per-doc n-grams and the bench set are both distinct, so each
+    // (doc_id, ng) joins at most once: count(*) IS the distinct overlap
+    c.join(broadcast(b), Seq("ng"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Same result keyed on 64-bit n-gram hashes — the large-bench shape. */
+  def overlapHashed(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("doc_id"),
+      explode(ngrams(col(textCol), n)).as("ng"))
+      .select(col("doc_id"), xxhash64(col("ng")).as("ngh"))
+    val b = bench.select(explode(ngrams(col(textCol), n)).as("ng"))
+      .select(xxhash64(col("ng")).as("ngh")).distinct()
+    c.join(b, Seq("ngh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+  }
+}

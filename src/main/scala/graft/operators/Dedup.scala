@@ -166,6 +166,28 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware near-dup removal: of every near-dup pair, the LOWER
+    * `qualityCol` side is dropped (ties keep the smaller id) — "keep the
+    * best copy", the survivor rule real training pipelines want instead of
+    * min-id. The pair join carries only (id, quality) scalars; document
+    * payloads ride the final anti-join untouched, exactly like
+    * [[minhashDedup]]. */
+  def minhashDedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: String, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 300): DataFrame = {
+    val q = df.select(col(idCol), col(qualityCol))
+    val pairs = minhashLsh(df, idCol, textCol, numHashes, bands, threshold,
+        maxBucket)
+      .join(q.select(col(idCol).as("a"), col(qualityCol).as("qa")), "a")
+      .join(q.select(col(idCol).as("b"), col(qualityCol).as("qb")), "b")
+    val doomed = pairs.select(
+        when(col("qa") < col("qb") ||
+          (col("qa") === col("qb") && col("a") > col("b")),
+          col("a")).otherwise(col("b")).as(idCol))
+      .distinct()
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Greedy SimHash dedup: like [[minhashDedup]] but keyed on hamming
     * proximity — drops the greater id of every pair within `maxHamming`. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Compaction, Decontam, Dedup, TextSearch, TopK}
+import graft.sources.Tables
+
+/** Training-data pipeline queries beyond SURVEY §2's original inventory:
+  * CDC compaction, deterministic sampling, PII scrubbing, BM25 retrieval,
+  * benchmark decontamination, quality-aware dedup. Every SQL-expressible
+  * one carries a DuckDB oracle in SparkEntry.oracleSql. */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** CDC upsert view: latest event per user (E13-family at scale; one
+    * max_by reduction, no window sort — see [[graft.operators.Compaction]]). */
+  val latestPerKey: Q = (s, d) =>
+    Compaction.latestByKey(
+        Tables.events(s, d)
+          .select("user_id", "event_id", "ts", "event_type", "value"),
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"), col("ts").as("last_ts"))
+
+  /** Deterministic content-hash Bernoulli sample (~25%): reproducible
+    * across runs/engines, no RNG state, embarrassingly parallel — the only
+    * sampling discipline that survives pipeline re-runs at 100 TB. */
+  val sampleHash: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+      .select("doc_id", "lang")
+
+  /** Deterministic stratified sample: 50 docs per language, ranked by
+    * content hash — runs on the custom TopKPerGroup operator, so no group
+    * ever sorts in full and the shuffle carries ≤ 50 rows per (task,
+    * lang). */
+  val sampleStratified: Q = (s, d) =>
+    TopK.perGroup(
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("rk")),
+      groupCols = Seq("lang"), orderCol = "rk", k = 50, desc = false,
+      tieBreak = Seq("doc_id"))
+
+  /** PII scrubbing: emails → `<EMAIL>`, long digit runs → `<NUM>` — the
+    * map-only redaction pass every LLM corpus gets; codegen'd
+    * regexp_replace, zero shuffles. */
+  val piiScrub: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[0-9]{3,}", "<NUM>").as("clean"))
+
+  /** BM25 retrieval over the corpus for a fixed query. */
+  val bm25Search: Q = (s, d) =>
+    TextSearch.bm25(Tables.documents(s, d), "doc_id", "text",
+      terms = Seq("scan", "join"))
+
+  /** Benchmark decontamination: corpus docs sharing any 5-gram with the
+    * "benchmark" docs (doc_id < 5). String-join tier (bench broadcast);
+    * the hashed tier is spec-checked equivalent in DecontamSpec. */
+  val decontam: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Decontam.overlap(docs.filter(col("doc_id") >= 5),
+      docs.filter(col("doc_id") < 5), "doc_id", "text", n = 5)
+  }
+
+  /** Quality-aware near-dup removal: keep the LONGEST copy of each
+    * near-dup cluster (rows-only driver check; survivor rule spec-tested
+    * in DedupSpec). Returns per-lang survivor counts. */
+  val minhashKeepBest: Q = (s, d) =>
+    Dedup.minhashDedupKeepBest(Tables.documents(s, d), "doc_id", "text",
+        qualityCol = "n_chars", threshold = 0.4)
+      .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
+}

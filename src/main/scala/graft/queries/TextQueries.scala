@@ -85,10 +85,12 @@ object TextQueries {
     * marker tokens; a real lang-ID runs exactly this shape with n-gram
     * profiles instead of word lists. */
   val textLangMarkers: Q = (s, d) => {
-    val toks = split(lower(col("text")), " ")
+    // tokenize ONCE behind a projection boundary — inlining the split into
+    // all nine marker filters re-splits every document nine times
     def hits(words: Seq[String]) =
-      words.map(w => size(filter(toks, t => t === w))).reduce(_ + _)
+      words.map(w => size(filter(col("toks"), t => t === w))).reduce(_ + _)
     Tables.documents(s, d)
+      .select(col("lang"), split(lower(col("text")), " ").as("toks"))
       .select(col("lang"),
         hits(Seq("the", "and", "of")).as("en_hits"),
         hits(Seq("der", "und", "die")).as("de_hits"),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Oracles for the scale tiers of the round-2 pipeline operators:
+  * hashed decontamination ≡ string decontamination, and the keep-best
+  * dedup survivor rule. */
+class DecontamSpec extends SparkSpec {
+
+  private lazy val docs = graft.sources.Tables.documents(spark, sf)
+
+  test("hashed n-gram overlap ≡ string n-gram overlap on real docs") {
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val bench = docs.filter(col("doc_id") < 5)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val str = m(Decontam.overlap(corpus, bench, "doc_id", "text", 5))
+    val hashed = m(Decontam.overlapHashed(corpus, bench, "doc_id", "text", 5))
+    assert(str === hashed,
+      "64-bit hashing must not change overlap counts at this scale")
+  }
+
+  test("short documents (< n tokens) contribute no n-grams") {
+    import spark.implicits._
+    val corpus = Seq((10L, "a b c d e f"), (11L, "a b")).toDF("id", "t")
+    val bench = Seq((0L, "a b c d e x")).toDF("id", "t")
+    val out = Decontam.overlap(corpus, bench, "id", "t", 5).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((10L, 1L)))
+  }
+
+  test("keep-best dedup keeps the highest-quality copy of a dup cluster") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val rows =
+      Seq((1L, base + "alpha beta gamma delta", 10L), // longest — must win
+        (2L, base, 5L),
+        (3L, base + "alpha", 7L)) ++
+        (100L until 140L).map(i => (i, s"unique doc $i " + ("filler%d ".format(i) * 20), 1L))
+    val df = rows.toDF("doc_id", "text", "quality")
+    val survivors = Dedup.minhashDedupKeepBest(df, "doc_id", "text",
+        "quality", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(1L), s"best copy must survive: $survivors")
+    assert(!survivors.contains(2L) && !survivors.contains(3L),
+      s"worse copies must be dropped: $survivors")
+    assert((100L until 140L).forall(survivors.contains),
+      "non-duplicates must be untouched")
+  }
+}
