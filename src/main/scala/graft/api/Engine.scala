@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => KmvDistinct(es(0),
         es(1).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()))
+    // the custom operator stack rides the extension too: a session built
+    // with spark.sql.extensions=graft.api.GraftExtensions plans
+    // TopKPerGroup / AsOfJoin nodes and pushes filters through them
+    // without any experimental-API wiring
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopKPerGroup)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }
 

@@ -31,4 +31,16 @@ object GraftPlanBridge {
         cs.experimental.extraOptimizations :+ r
     }
   }
+
+  /** Materialize what a SparkSessionExtensions module would inject —
+    * `build*` accessors are `private[sql]`, this exposes them to tests. */
+  def buildExtensionParts(f: SparkSessionExtensions => Unit,
+      spark: SparkSession): (Seq[org.apache.spark.sql.execution.SparkStrategy],
+        Seq[org.apache.spark.sql.catalyst.rules.Rule[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]) = {
+    val exts = new SparkSessionExtensions
+    f(exts)
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    (exts.buildPlannerStrategies(cs), exts.buildOptimizerRules(cs))
+  }
 }
