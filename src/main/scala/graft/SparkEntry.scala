@@ -137,6 +137,7 @@ object SparkEntry {
     "q_bm25_search" -> PipelineQueries.bm25Search,
     "q_decontam" -> PipelineQueries.decontam,
     "q_minhash_keep_best" -> PipelineQueries.minhashKeepBest,
+    "q_pq_topk" -> PipelineQueries.pqTopK,
   )
 
   def oracleSql: Map[String, String] = Map(

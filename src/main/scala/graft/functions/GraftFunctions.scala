@@ -36,6 +36,11 @@ object GraftFunctions {
       intArg(es(1), "minhash_text"), intArg(es(2), "minhash_text"))),
     "kmv_distinct" -> (es => KmvDistinct(es(0),
       intArg(es(1), "kmv_distinct")).toAggregateExpression()),
+    "pq_encode" -> (es => PqEncode(es(0), es(1),
+      intArg(es(2), "pq_encode"), intArg(es(3), "pq_encode"))),
+    "pq_dist_table" -> (es => PqDistTable(es(0), es(1),
+      intArg(es(2), "pq_dist_table"), intArg(es(3), "pq_dist_table"))),
+    "pq_adc" -> (es => PqAdc(es(0), es(1), intArg(es(2), "pq_adc"))),
   )
 
   /** Idempotent per-session registration of all engine functions. */
@@ -61,4 +66,15 @@ object GraftFunctions {
     call_function("minhash_text", text,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(shingle))
+  def pqEncode(vec: Column, codebook: Column, m: Int, k: Int): Column =
+    call_function("pq_encode", vec, codebook,
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(k))
+  def pqDistTable(vec: Column, codebook: Column, m: Int, k: Int): Column =
+    call_function("pq_dist_table", vec, codebook,
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(k))
+  def pqAdc(dtable: Column, codes: Column, k: Int): Column =
+    call_function("pq_adc", dtable, codes,
+      org.apache.spark.sql.functions.lit(k))
 }

@@ -77,4 +77,19 @@ object PipelineQueries {
     Dedup.minhashDedupKeepBest(Tables.documents(s, d), "doc_id", "text",
         qualityCol = "n_chars", threshold = 0.4)
       .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
+
+  /** PQ-compressed ANN: train → encode (32× smaller than raw vectors) →
+    * ADC top-k from codes only (rows-only; recall + reconstruction
+    * oracles in PqSpec). */
+  val pqTopK: Q = (s, d) => {
+    // the sf parquet is a single file ⇒ one input partition; spread the
+    // per-row encode/train folds across cores (a 100 TB corpus arrives
+    // multi-partition on its own — this is local-file posture only)
+    val emb = Tables.embeddings(s, d).repartition(col("vec_id"))
+    val books = graft.operators.Pq.trainCodebooks(emb, "vec_id", "embedding")
+    val codes = graft.operators.Pq.encode(emb, "embedding", books)
+      .select("vec_id", "pq_codes")
+    graft.operators.Pq.adcTopK(codes, books,
+      emb.filter(col("vec_id") < 5), k = 10)
+  }
 }
