@@ -96,6 +96,34 @@ object ScaleBench {
       graft.operators.AnnSearch.lshTopK(embN, probes, 10, 8, 6)))
     results += (("ann_lsh", ta1, taN))
 
+    // round-2 operators
+    val ev1 = graft.sources.Tables.events(spark, sf)
+    val evN = replicate(ev1, Seq("event_id", "user_id"), 10000000L)
+    val tc1 = time("compaction 1x")(noop(graft.operators.Compaction
+      .latestByKey(ev1, Seq("user_id"), Seq("ts", "event_id"))))
+    val tcN = time(s"compaction ${factor}x")(noop(graft.operators.Compaction
+      .latestByKey(evN, Seq("user_id"), Seq("ts", "event_id"))))
+    results += (("compaction", tc1, tcN))
+
+    val bench = docs1.filter(col("doc_id") < 5)
+    val td1 = time("decontam_hash 1x")(noop(graft.operators.Decontam
+      .overlapHashed(docs1.filter(col("doc_id") >= 5), bench, "doc_id", "text")))
+    val tdN = time(s"decontam_hash ${factor}x")(noop(graft.operators.Decontam
+      .overlapHashed(docsN.filter(col("doc_id") >= 5), bench, "doc_id", "text")))
+    results += (("decontam_hash", td1, tdN))
+
+    // PQ: index trained once on the 1x corpus (the realistic posture —
+    // codebooks are a persisted artifact); encode+search scale with data
+    val books = graft.operators.Pq.trainCodebooks(emb1, "vec_id", "embedding")
+    books.count() // materialize the cache outside the timed region
+    def pqPath(emb: DataFrame): Unit = noop(graft.operators.Pq.adcTopK(
+      graft.operators.Pq.encode(emb, "embedding", books)
+        .select("vec_id", "pq_codes"),
+      books, probes, k = 10))
+    val tp1 = time("pq_encode_adc 1x")(pqPath(emb1))
+    val tpN = time(s"pq_encode_adc ${factor}x")(pqPath(embN))
+    results += (("pq_encode_adc", tp1, tpN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

@@ -41,6 +41,8 @@ object GraftFunctions {
     "pq_dist_table" -> (es => PqDistTable(es(0), es(1),
       intArg(es(2), "pq_dist_table"), intArg(es(3), "pq_dist_table"))),
     "pq_adc" -> (es => PqAdc(es(0), es(1), intArg(es(2), "pq_adc"))),
+    "ngram_hashes" -> (es => NgramHashes(es(0),
+      intArg(es(1), "ngram_hashes"))),
   )
 
   /** Idempotent per-session registration of all engine functions. */
@@ -77,4 +79,7 @@ object GraftFunctions {
   def pqAdc(dtable: Column, codes: Column, k: Int): Column =
     call_function("pq_adc", dtable, codes,
       org.apache.spark.sql.functions.lit(k))
+  def ngramHashes(text: Column, n: Int): Column =
+    call_function("ngram_hashes", text,
+      org.apache.spark.sql.functions.lit(n))
 }

@@ -56,6 +56,48 @@ object TextHashExpressions {
     new GenericArrayData(sig)
   }
 
+  /** [[NgramHashes]] kernel: xxhash64 of every single-space word n-gram,
+    * distinct, zero allocation per n-gram. With single-space
+    * tokenization an n-gram IS a contiguous byte range of the text
+    * (0x20 never occurs inside a UTF-8 multi-byte sequence), so each
+    * hash reads the original buffer directly — bit-identical to
+    * `xxhash64(concat_ws(' ', slice(split(text,' '), i, n)))` without
+    * materializing the token array or any n-gram string. */
+  def ngramHashesOf(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    val nb = text.numBytes
+    var numToks = 1
+    var i = 0
+    while (i < nb) { if (text.getByte(i) == 0x20) numToks += 1; i += 1 }
+    if (numToks < n) return new GenericArrayData(Array.empty[Long])
+    val starts = new Array[Int](numToks)
+    val ends = new Array[Int](numToks)
+    var t = 0; starts(0) = 0; i = 0
+    while (i < nb) {
+      if (text.getByte(i) == 0x20) { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = nb
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val out = new Array[Long](numToks - n + 1)
+    var g = 0
+    while (g <= numToks - n) {
+      val s = starts(g); val e = ends(g + n - 1)
+      out(g) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + s, e - s, 42L)
+      g += 1
+    }
+    // distinct via sort+unique (order is irrelevant to the overlap join)
+    java.util.Arrays.sort(out)
+    var w = 0; var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
   /** [[MinHashSig]] kernel as ArrayData (also called from generated code). */
   def minhashSigOf(elems: ArrayData, k: Int): ArrayData =
     new GenericArrayData(minhashOf(elems, k))
@@ -198,6 +240,41 @@ case class SimHash64(child: Expression)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHashExpressions.simhashOf($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ngram_hashes(text, n) -> array<long> — distinct xxhash64 of every
+  * single-space word n-gram, hashed as byte ranges of the input (see
+  * [[TextHashExpressions.ngramHashesOf]]). The scan-side kernel of
+  * [[graft.operators.Decontam.overlapHashed]]. */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be positive")
+  override def prettyName: String = "ngram_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_hashes expects string, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashExpressions.ngramHashesOf(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashExpressions" +
+        s".ngramHashesOf($c, $n);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

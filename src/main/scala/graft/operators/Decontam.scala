@@ -43,14 +43,19 @@ object Decontam {
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
   }
 
-  /** Same result keyed on 64-bit n-gram hashes — the large-bench shape. */
+  /** Same result keyed on 64-bit n-gram hashes — the large-bench AND
+    * large-corpus shape: the native [[graft.functions.NgramHashes]]
+    * kernel hashes each n-gram as a byte range of the text, so the scan
+    * materializes no token arrays and no n-gram strings, and the join
+    * carries 8-byte keys. Spec-checked equivalent to [[overlap]]. */
   def overlapHashed(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def hashes(df: DataFrame) = graft.functions.GraftFunctions
+      .ngramHashes(lower(col(textCol)), n)
     val c = corpus.select(col(idCol).as("doc_id"),
-      explode(ngrams(col(textCol), n)).as("ng"))
-      .select(col("doc_id"), xxhash64(col("ng")).as("ngh"))
-    val b = bench.select(explode(ngrams(col(textCol), n)).as("ng"))
-      .select(xxhash64(col("ng")).as("ngh")).distinct()
+      explode(hashes(corpus)).as("ngh"))
+    val b = bench.select(explode(hashes(bench)).as("ngh")).distinct()
     c.join(b, Seq("ngh"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
   }

@@ -62,11 +62,13 @@ object PipelineQueries {
       terms = Seq("scan", "join"))
 
   /** Benchmark decontamination: corpus docs sharing any 5-gram with the
-    * "benchmark" docs (doc_id < 5). String-join tier (bench broadcast);
-    * the hashed tier is spec-checked equivalent in DecontamSpec. */
+    * "benchmark" docs (doc_id < 5). Runs the hashed tier (native
+    * ngram_hashes kernel — no n-gram strings materialized); the DuckDB
+    * oracle computes the string join, and the two agree exactly
+    * (DecontamSpec proves tier equivalence, including edge cases). */
   val decontam: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    Decontam.overlap(docs.filter(col("doc_id") >= 5),
+    Decontam.overlapHashed(docs.filter(col("doc_id") >= 5),
       docs.filter(col("doc_id") < 5), "doc_id", "text", n = 5)
   }
 

@@ -22,6 +22,24 @@ class DecontamSpec extends SparkSpec {
       "64-bit hashing must not change overlap counts at this scale")
   }
 
+  test("ngram_hashes kernel ≡ xxhash64 of the n-gram strings") {
+    import org.apache.spark.sql.functions._
+    // byte-range hashing must be bit-identical to hashing the
+    // materialized n-gram string, including empty-token edge cases
+    import spark.implicits._
+    val tricky = Seq("a b c d e f", "x  y z q r", " lead pad c d e",
+      "trail a b c d ", "", "one", "exactly five token doc here")
+      .toDF("t")
+    graft.functions.GraftFunctions.register(spark)
+    val viaKernel = tricky.select(explode(
+        graft.functions.GraftFunctions.ngramHashes(lower(col("t")), 5))
+        .as("h")).collect().map(_.getLong(0)).distinct.sorted
+    val viaStrings = tricky.select(explode(
+        Decontam.ngrams(col("t"), 5)).as("ng"))
+      .select(xxhash64(col("ng"))).collect().map(_.getLong(0)).distinct.sorted
+    assert(viaKernel.toSeq === viaStrings.toSeq)
+  }
+
   test("short documents (< n tokens) contribute no n-grams") {
     import spark.implicits._
     val corpus = Seq((10L, "a b c d e f"), (11L, "a b")).toDF("id", "t")

@@ -63,6 +63,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "local sort must not shuffle")
   }
 
+  test("CDC compaction partial-aggregates before the shuffle, no window") {
+    val p = plan(PipelineQueries.latestPerKey)
+    // max_by's struct buffer forces SortAggregate (no mutable hash
+    // buffer), but the scale property is the same as hash agg: the
+    // partial phase reduces to one row per (task, key) BEFORE the
+    // exchange, so the shuffle never carries key history
+    val exchangeAt = p.indexOf("Exchange")
+    val partialAt = p.indexOf("partial_max_by")
+    assert(partialAt >= 0, s"no partial max_by:\n${p.take(1200)}")
+    assert(exchangeAt >= 0 && exchangeAt < partialAt,
+      "partial aggregation must run map-side, below the exchange")
+    assert(!p.contains("Window"), "latest-per-key must not sort key history")
+  }
+
+  test("stratified sample plans the custom TopKPerGroup operator") {
+    val p = plan(PipelineQueries.sampleStratified)
+    assert(p.contains("TopKPerGroup"), p.take(1200))
+  }
+
+  test("BM25 explodes only query-term tokens (in-array filter first)") {
+    val df = PipelineQueries.bm25Search(spark, sf)
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    // the generator's input must be the filtered array (qtoks), never the
+    // raw token array — at 100 TB exploding every token is the bottleneck
+    val genLine = analyzed.linesIterator.find(_.contains("Generate explode"))
+      .getOrElse(fail(s"no explode in plan:\n${analyzed.take(1500)}"))
+    assert(genLine.contains("qtoks"), s"explode must consume qtoks: $genLine")
+  }
+
+  test("PQ kernels stay inside whole-stage codegen") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val books = graft.operators.Pq.trainCodebooks(emb, "vec_id", "embedding")
+    val df = graft.operators.Pq.encode(emb, "embedding", books)
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count()
+    val p = qe.executedPlan.toString
+    val projLine = p.linesIterator
+      .find(l => l.contains("Project") && l.contains("pq_encode"))
+      .getOrElse(fail(s"no pq_encode projection:\n${p.take(1200)}"))
+    assert(projLine.contains("*("), s"pq_encode fell out of codegen: $projLine")
+  }
+
   test("vector kernels run inside whole-stage codegen") {
     val df = VectorQueries.vectorCosine(spark, sf)
     val qe = df.queryExecution
