@@ -138,6 +138,7 @@ object SparkEntry {
     "q_decontam" -> PipelineQueries.decontam,
     "q_minhash_keep_best" -> PipelineQueries.minhashKeepBest,
     "q_pq_topk" -> PipelineQueries.pqTopK,
+    "q_ivfpq_topk" -> PipelineQueries.ivfPqTopK,
   )
 
   def oracleSql: Map[String, String] = Map(

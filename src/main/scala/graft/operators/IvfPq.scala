@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** IVF-PQ: the composed billion-scale ANN index (SURVEY §2B E38
+  * capstone) — IVF coarse lists bound the search to `nprobe` partitions
+  * of the corpus, and PQ codes of the RESIDUAL (vector − list centroid)
+  * stand in for the vectors, so the search path touches no embedding at
+  * all: ‖q − x‖² = ‖(q − c) − (x − c)‖² decomposes exactly into the
+  * residual ADC sum within a list.
+  *
+  * Index artifacts (all DataFrames — at production scale these persist
+  * as tables; raw vectors are only read at build time):
+  *  - `centroids` — coarse k-means lists ([[AnnSearch.kmeansCentroids]],
+  *    zero-vector-shuffle Lloyd's);
+  *  - `books` — PQ codebooks trained on residuals ([[Pq.trainCodebooks]]);
+  *  - `codes` — (id, centroid_id, pq_codes): ~1 small int per subspace
+  *    per vector, ~32× smaller than the raw corpus.
+  *
+  * Search: probes pick their `nprobe` closest lists (broadcast
+  * centroids, window over probes×lists — the probe side is small), build
+  * one residual distance table PER (probe, list) with the native
+  * [[graft.functions.PqDistTable]] kernel, broadcast those tables, and
+  * scan the codes of the probed lists with [[graft.functions.PqAdc]].
+  * Nothing shuffles until the ≤k-per-probe top-k reduction.
+  */
+object IvfPq {
+
+  final case class Index(centroids: DataFrame, books: DataFrame,
+      codes: DataFrame)
+
+  private def residual(vec: org.apache.spark.sql.Column,
+      cent: org.apache.spark.sql.Column) =
+    zip_with(vec, cent, (x, y) => x.cast("double") - y)
+
+  /** Build the index. Raw corpus vectors are read once for assignment
+    * and once for residual encoding (id-keyed joins; vectors ride one
+    * exchange each — build-time cost, amortized over every search). */
+  def build(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidStride: Int = 25,
+      kmeansIters: Int = 2, m: Int = 8, k: Int = 16, pqIters: Int = 2,
+      dim: Int = 64): Index = {
+    GraftFunctions.register(corpus.sparkSession)
+    val centroids = AnnSearch.kmeansCentroids(corpus, vecCol, idCol,
+      centroidStride, kmeansIters).cache()
+    // list assignment: per-row argmax over the broadcast centroid set —
+    // one partial-agg shuffle of (id, centroid_id) pairs only
+    val assigned = corpus
+      .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .join(broadcast(centroids))
+      .withColumn("__sim", GraftFunctions.cosineSim(col("__vec"),
+        col("centvec")))
+      .groupBy("__id")
+      .agg(max_by(col("centroid_id"),
+        struct(col("__sim"), -col("centroid_id"))).as("centroid_id"))
+    val residuals = corpus
+      .select(col(idCol).as("__id"), col(vecCol))
+      .join(assigned, "__id")
+      .join(broadcast(centroids), "centroid_id")
+      .select(col("__id"), col("centroid_id"),
+        residual(col(vecCol), col("centvec")).as("__res"))
+    val books = Pq.trainCodebooks(residuals, "__id", "__res",
+      m, k, pqIters, dim)
+    val codes = Pq.encode(residuals, "__res", books, m, k)
+      .select(col("__id").as(idCol), col("centroid_id"), col("pq_codes"))
+      .cache()
+    Index(centroids, books, codes)
+  }
+
+  /** ADC top-k over the probed lists. Returns
+    * (probe_id, cand_id, adc, rank). */
+  def search(index: Index, probes: DataFrame, k: Int, nprobe: Int = 4,
+      probeId: String = "vec_id", probeVec: String = "embedding",
+      m: Int = 8, kCodes: Int = 16): DataFrame = {
+    GraftFunctions.register(probes.sparkSession)
+    val cbRow = index.books.agg(flatten(transform(
+      array_sort(collect_list(struct(col("sub"), col("code"),
+        col("centvec")))),
+      s => s.getField("centvec"))).as("cb"))
+    // nprobe nearest lists per probe, selected INSIDE the row: sims to
+    // all ~C lists ride one small in-row array, sorted and sliced — no
+    // window, no probe×centroid shuffle, works for any probe count.
+    // Same metric (cosine) as corpus assignment so lists line up.
+    val centArr = index.centroids.agg(
+      collect_list(struct(col("centroid_id"), col("centvec"))).as("cents"))
+    val probeLists = probes
+      .select(col(probeId).as("probe_id"), col(probeVec).as("__pv"))
+      .join(broadcast(centArr))
+      .withColumn("__top", slice(array_sort(transform(col("cents"), c =>
+        struct(
+          (-GraftFunctions.cosineSim(col("__pv"), c.getField("centvec")))
+            .as("negsim"),
+          c.getField("centroid_id").as("centroid_id"),
+          c.getField("centvec").as("centvec")))), 1, nprobe))
+      .select(col("probe_id"), col("__pv"), explode(col("__top")).as("__t"))
+      // one residual distance table per (probe, list)
+      .join(broadcast(cbRow))
+      .select(col("probe_id"), col("__t.centroid_id").as("centroid_id"),
+        GraftFunctions.pqDistTable(
+          residual(col("__pv"), col("__t.centvec")), col("cb"), m, kCodes)
+          .as("dtable"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc").asc, col("cand_id"))
+    index.codes.join(broadcast(probeLists), Seq("centroid_id"))
+      .filter(col("probe_id") =!= col(probeId))
+      .select(col("probe_id"), col(probeId).as("cand_id"),
+        round(GraftFunctions.pqAdc(col("dtable"), col("pq_codes"), kCodes), 6)
+          .as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

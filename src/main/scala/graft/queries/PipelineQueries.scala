@@ -80,6 +80,16 @@ object PipelineQueries {
         qualityCol = "n_chars", threshold = 0.4)
       .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
 
+  /** IVF-PQ composed index: coarse lists bound the scan, residual PQ
+    * codes stand in for vectors — the billion-scale ANN shape (rows-only;
+    * recall + codes-only-search oracles in IvfPqSpec). */
+  val ivfPqTopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).repartition(col("vec_id"))
+    val index = graft.operators.IvfPq.build(emb)
+    graft.operators.IvfPq.search(index,
+      emb.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+  }
+
   /** PQ-compressed ANN: train → encode (32× smaller than raw vectors) →
     * ADC top-k from codes only (rows-only; recall + reconstruction
     * oracles in PqSpec). */

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Oracles for the composed IVF-PQ index: recall against exact L2 and
+  * the no-vectors-on-the-search-path plan property. */
+class IvfPqSpec extends SparkSpec {
+
+  private lazy val emb = graft.sources.Tables.embeddings(spark, sf)
+  private lazy val probes = emb.filter(col("vec_id") < 10)
+  private lazy val index = IvfPq.build(emb)
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("recall@10 vs exact L2 beats random with nprobe=4") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("l2").asc, col("cand_id"))
+    val exact = topkSet(emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cvec"))
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("pvec"))), col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        graft.functions.GraftFunctions.vecL2(col("pvec"), col("cvec")).as("l2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10))
+    val approx = topkSet(IvfPq.search(index, probes, k = 10, nprobe = 4))
+    val recall = exact.map { case (p, truth) =>
+      (truth & approx.getOrElse(p, Set.empty)).size.toDouble / truth.size
+    }.sum / exact.size
+    // random 10-of-~100-per-4-lists would land ~0.1; demand far more —
+    // and nprobe bounds the scanned fraction to ~4/20 of the corpus
+    assert(recall >= 0.25, s"IVF-PQ recall@10 = $recall")
+  }
+
+  test("more probes => recall does not degrade") {
+    def recallAt(nprobe: Int): Double = {
+      val a = topkSet(IvfPq.search(index, probes, k = 10, nprobe = nprobe))
+      val b = topkSet(AnnSearch.bruteForceTopK(emb, probes, 10))
+      b.map { case (p, truth) =>
+        (truth & a.getOrElse(p, Set.empty)).size.toDouble / truth.size
+      }.sum / b.size
+    }
+    val r2 = recallAt(2); val r8 = recallAt(8)
+    assert(r8 >= r2 - 0.05, s"recall regressed with more probes: $r2 -> $r8")
+  }
+
+  test("search path shuffles no embedding columns") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val vecShuffles = IvfPq.search(index, probes, k = 10)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.output.exists(a => a.name.contains("vec") ||
+                a.name == "embedding" || a.name == "centvec") =>
+            e.output.map(_.name)
+        }
+      assert(vecShuffles.isEmpty,
+        s"search must run on codes only: $vecShuffles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
