@@ -139,6 +139,7 @@ object SparkEntry {
     "q_minhash_keep_best" -> PipelineQueries.minhashKeepBest,
     "q_pq_topk" -> PipelineQueries.pqTopK,
     "q_ivfpq_topk" -> PipelineQueries.ivfPqTopK,
+    "q_pipeline_e2e" -> PipelineQueries.pipelineE2e,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -827,5 +828,33 @@ object SparkEntry {
       FROM (SELECT doc_id, ng FROM ngr WHERE doc_id >= 5) c
       JOIN bench b ON c.ng = b.ng
       GROUP BY 1""",
+
+    "q_pipeline_e2e" -> """
+      WITH q AS (
+        SELECT * FROM documents
+        WHERE n_chars >= 50 AND len(string_split(text, ' ')) >= 5),
+      keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256(text)),
+      surv AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+      toked AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      ngr AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+4], ' '))) AS ng
+        FROM toked WHERE len(t) >= 5),
+      bench AS (SELECT DISTINCT ng FROM ngr WHERE doc_id < 5),
+      contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM (SELECT doc_id, ng FROM ngr WHERE doc_id >= 5) c
+        JOIN bench USING (ng)),
+      clean AS (
+        SELECT * FROM surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      sampled AS (
+        SELECT * FROM clean
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4')
+      SELECT lang, source, count(*) AS n_docs,
+             sum(n_chars)::BIGINT AS total_chars
+      FROM sampled GROUP BY lang, source""",
   )
 }

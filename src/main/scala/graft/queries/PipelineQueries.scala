@@ -80,6 +80,37 @@ object PipelineQueries {
         qualityCol = "n_chars", threshold = 0.4)
       .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
 
+  /** End-to-end training-data pipeline, every stage SQL-checkable:
+    * quality gate → exact dedup survivors (min id per sha256) →
+    * benchmark decontamination (drop docs sharing any 5-gram with
+    * doc_id < 5) → deterministic 25% hash sample → per-(lang, source)
+    * corpus stats. The composition is the deliverable: each stage is an
+    * id-keyed set operation, so text bytes flow through exactly one scan
+    * and never ride a shuffle. */
+  val pipelineE2e: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // text is consumed AT THE SCAN (content hash + n-gram hashes); every
+    // later stage joins on ids/digests with metadata columns only, so no
+    // exchange in the whole pipeline carries a text byte (plan-asserted
+    // in PlanShapeSpec)
+    val qualityMeta = docs
+      .filter(col("n_chars") >= 50 && size(split(col("text"), " ")) >= 5)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        sha2(col("text"), 256).as("h"))
+    val keep = qualityMeta.groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val survivors = qualityMeta.drop("h").join(keep, "doc_id")
+    val contaminated = Decontam.overlapHashed(
+        docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5),
+        "doc_id", "text", n = 5)
+      .select("doc_id")
+    val clean = survivors.join(contaminated, Seq("doc_id"), "left_anti")
+    clean
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+  }
+
   /** IVF-PQ composed index: coarse lists bound the scan, residual PQ
     * codes stand in for vectors — the billion-scale ANN shape (rows-only;
     * recall + codes-only-search oracles in IvfPqSpec). */

@@ -92,6 +92,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(genLine.contains("qtoks"), s"explode must consume qtoks: $genLine")
   }
 
+  test("e2e pipeline: no exchange carries a text byte") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val textShuffles = PipelineQueries.pipelineE2e(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.output.exists(_.name == "text") => e.output.map(_.name)
+        }
+      assert(textShuffles.isEmpty,
+        s"text must be consumed at the scan: $textShuffles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("PQ kernels stay inside whole-stage codegen") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val books = graft.operators.Pq.trainCodebooks(emb, "vec_id", "embedding")
