@@ -191,7 +191,14 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
   override def nullSafeEval(av: Any, bv: Any): Any = {
     val dtable = av.asInstanceOf[ArrayData]
     val codes = bv.asInstanceOf[ArrayData]
-    var acc = 0.0; var j = 0; val m = codes.numElements()
+    val m = codes.numElements()
+    // UnsafeArrayData reads are unchecked — a k/table mismatch (codes
+    // from books trained with a different k) would otherwise return
+    // silent garbage scores
+    if (dtable.numElements() != m * k)
+      throw new IllegalArgumentException(
+        s"pq_adc: dtable length ${dtable.numElements()} != m*k ${m * k}")
+    var acc = 0.0; var j = 0
     while (j < m) { acc += dtable.getDouble(j * k + codes.getInt(j)); j += 1 }
     acc
   }
@@ -201,6 +208,10 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
       val (j, mN) = (ctx.freshName("j"), ctx.freshName("mN"))
       s"""
       int $mN = $cdV.numElements();
+      if ($dtV.numElements() != $mN * $k) {
+        throw new IllegalArgumentException("pq_adc: dtable length "
+          + $dtV.numElements() + " != m*k " + ($mN * $k));
+      }
       ${ev.value} = 0.0;
       for (int $j = 0; $j < $mN; $j++) {
         ${ev.value} += $dtV.getDouble($j * $k + $cdV.getInt($j));

@@ -90,9 +90,10 @@ object AnnSearch {
   }
 
   /** Multi-table hyperplane-LSH top-k. Recall grows with `tables`;
-    * candidate cost shrinks with `bits`. `dim` is the embedding
-    * dimensionality — a parameter, not a `head()` scan probe, so calling
-    * this launches no extra driver-side job. */
+    * candidate cost shrinks with `bits`. `dim` MUST equal the embedding
+    * dimensionality — it is a parameter rather than a `head()` scan probe
+    * (no extra driver-side job per call); a mismatch fails loudly at
+    * execution with VecDot's "vector length mismatch". */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       tables: Int = 8, bits: Int = 10, seed: Long = 42L, dim: Int = 64,
       corpusId: String = "vec_id", corpusVec: String = "embedding",

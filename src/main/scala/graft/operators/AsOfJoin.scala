@@ -63,7 +63,28 @@ object AsOfJoin {
     val carryAttrs = carry.map(c => attr(rPlan, c, "right"))
     val carryOutput = carryAttrs.map(a =>
       AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    val lKey = attr(lPlan, key, "left"); val rKey = attr(rPlan, key, "right")
+    val lTs = attr(lPlan, leftTs, "left")
+    val rTs = attr(rPlan, rightTs, "right")
+    // the exec compares keys/timestamps with orderings built from the
+    // LEFT side's types and hash-partitions each side on its own key — a
+    // type mismatch would silently mis-partition or garbage-compare, so
+    // reject it here, loudly
+    require(lKey.dataType == rKey.dataType,
+      s"as-of key type mismatch: ${lKey.dataType.catalogString} vs " +
+        rKey.dataType.catalogString)
+    require(lTs.dataType == rTs.dataType,
+      s"as-of ts type mismatch: ${lTs.dataType.catalogString} vs " +
+        rTs.dataType.catalogString)
     val tolMicros = tolerance.map { t =>
+      // tolerance arithmetic reads the ts as epoch-micros — only valid
+      // for timestamp types (the doc's stated requirement, now enforced)
+      require(lTs.dataType.isInstanceOf[
+          org.apache.spark.sql.types.TimestampType] ||
+        lTs.dataType.isInstanceOf[
+          org.apache.spark.sql.types.TimestampNTZType],
+        s"tolerance requires timestamp ts columns, got " +
+          lTs.dataType.catalogString)
       val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
         .stringToInterval(org.apache.spark.unsafe.types.UTF8String
           .fromString(t))
@@ -71,8 +92,7 @@ object AsOfJoin {
       iv.days * 86400000000L + iv.microseconds
     }
     GraftPlanBridge.ofRows(spark, AsOfJoinNode(
-      attr(lPlan, key, "left"), attr(rPlan, key, "right"),
-      attr(lPlan, leftTs, "left"), attr(rPlan, rightTs, "right"),
+      lKey, rKey, lTs, rTs,
       carryAttrs, carryOutput, tolMicros, lPlan, rPlan))
   }
 

@@ -51,11 +51,12 @@ object Decontam {
   def overlapHashed(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    def hashes(df: DataFrame) = graft.functions.GraftFunctions
+    // unbound column — resolves against whichever frame selects it
+    val hashes = graft.functions.GraftFunctions
       .ngramHashes(lower(col(textCol)), n)
     val c = corpus.select(col(idCol).as("doc_id"),
-      explode(hashes(corpus)).as("ngh"))
-    val b = bench.select(explode(hashes(bench)).as("ngh")).distinct()
+      explode(hashes).as("ngh"))
+    val b = bench.select(explode(hashes).as("ngh")).distinct()
     c.join(b, Seq("ngh"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
   }

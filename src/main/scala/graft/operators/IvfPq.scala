@@ -30,8 +30,10 @@ import graft.functions.GraftFunctions
   */
 object IvfPq {
 
+  /** @param corpusId name of the id column in `codes` — recorded at
+    *                  build time so search never guesses it */
   final case class Index(centroids: DataFrame, books: DataFrame,
-      codes: DataFrame)
+      codes: DataFrame, corpusId: String)
 
   private def residual(vec: org.apache.spark.sql.Column,
       cent: org.apache.spark.sql.Column) =
@@ -68,7 +70,7 @@ object IvfPq {
     val codes = Pq.encode(residuals, "__res", books, m, k)
       .select(col("__id").as(idCol), col("centroid_id"), col("pq_codes"))
       .cache()
-    Index(centroids, books, codes)
+    Index(centroids, books, codes, idCol)
   }
 
   /** ADC top-k over the probed lists. Returns
@@ -77,10 +79,7 @@ object IvfPq {
       probeId: String = "vec_id", probeVec: String = "embedding",
       m: Int = 8, kCodes: Int = 16): DataFrame = {
     GraftFunctions.register(probes.sparkSession)
-    val cbRow = index.books.agg(flatten(transform(
-      array_sort(collect_list(struct(col("sub"), col("code"),
-        col("centvec")))),
-      s => s.getField("centvec"))).as("cb"))
+    val cbRow = Pq.flatRow(index.books)
     // nprobe nearest lists per probe, selected INSIDE the row: sims to
     // all ~C lists ride one small in-row array, sorted and sliced — no
     // window, no probe×centroid shuffle, works for any probe count.
@@ -106,8 +105,8 @@ object IvfPq {
     val w = Window.partitionBy("probe_id")
       .orderBy(col("adc").asc, col("cand_id"))
     index.codes.join(broadcast(probeLists), Seq("centroid_id"))
-      .filter(col("probe_id") =!= col(probeId))
-      .select(col("probe_id"), col(probeId).as("cand_id"),
+      .filter(col("probe_id") =!= col(index.corpusId))
+      .select(col("probe_id"), col(index.corpusId).as("cand_id"),
         round(GraftFunctions.pqAdc(col("dtable"), col("pq_codes"), kCodes), 6)
           .as("adc"))
       .withColumn("rank", row_number().over(w))

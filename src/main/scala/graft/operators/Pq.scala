@@ -38,8 +38,10 @@ import graft.functions.GraftFunctions
 object Pq {
 
   /** Trained codebooks flattened to ONE broadcastable row `cb`:
-    * array<double> of m·k·(dim/m), sub-major then code then component. */
-  private def flatRow(books: DataFrame): DataFrame =
+    * array<double> of m·k·(dim/m), sub-major then code then component.
+    * Shared with [[IvfPq]] — the kernels' flat layout depends on exactly
+    * this ordering. */
+  private[operators] def flatRow(books: DataFrame): DataFrame =
     books.agg(flatten(transform(
       array_sort(collect_list(struct(col("sub"), col("code"),
         col("centvec")))),
@@ -69,6 +71,11 @@ object Pq {
         Window.partitionBy(col("sub")).orderBy(col("iid"))) - 1)
         .cast("int"))
       .select(col("sub"), col("code"), col("col").as("centvec"))
+    // a short corpus can't seed k codes per subspace — the flat layout
+    // (and every kernel) assumes exactly m·k entries, so fail loudly
+    // instead of producing a short codebook
+    require(books.count() == m.toLong * k,
+      s"PQ init needs >= $k corpus rows to seed $k codes per subspace")
     var i = 0
     while (i < iters) {
       // assign codes with the native kernel (projection, no shuffle),
@@ -81,12 +88,20 @@ object Pq {
         .select(posexplode(arrays_zip(col("codes"), col("subs"))))
         .select(col("pos").as("sub"), col("col.codes").as("code"),
           posexplode(col("col.subs")))
-      books = assigned
+      val updated = assigned
         .groupBy("sub", "code", "pos")
         .agg(avg(col("col")).as("mcomp"))
         .groupBy("sub", "code")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mcomp")))),
           s => s.getField("mcomp")).as("centvec"))
+      // standard Lloyd's empty-cluster handling: a (sub, code) that won
+      // zero rows keeps its previous centroid — the codebook never
+      // shrinks below m·k entries
+      books = books.select(col("sub"), col("code"),
+          col("centvec").as("__prev"))
+        .join(updated, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("centvec"), col("__prev")).as("centvec"))
       i += 1
     }
     // m·k rows; every consumer (encode, ADC tables, decode) re-plans the

@@ -153,8 +153,16 @@ object StreamOps {
     * Expiry is silent (no emission), so batch/stream output equivalence
     * is unchanged. */
   def statefulTransform(ds: Dataset[EventRow],
-      idleFor: String = "1 hour", idleMillis: Long = 3600000L): DataFrame = {
+      idleFor: String = "1 hour"): DataFrame = {
     import ds.sparkSession.implicits._
+    // ONE source of truth for the idle horizon: the watermark delay and
+    // the timeout are derived from the same parsed interval, so they
+    // cannot silently diverge
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(idleFor))
+    require(iv.months == 0, s"month-based idle horizon is ambiguous: $idleFor")
+    val idleMillis = iv.days * 86400000L + iv.microseconds / 1000L
     val out = ds
       .withWatermark("ts", idleFor)
       .groupByKey(_.user_id)

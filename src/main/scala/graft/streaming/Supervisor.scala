@@ -37,8 +37,10 @@ final class Supervisor(
         q.stop()
         return attempt
       } catch {
-        case e: Throwable =>
-          try q.stop() catch { case _: Throwable => () }
+        // NonFatal only: OOM/fatal JVM errors and interrupts must
+        // propagate, not trigger restarts against a dying JVM
+        case scala.util.control.NonFatal(e) =>
+          try q.stop() catch { case scala.util.control.NonFatal(_) => () }
           attempt += 1
           if (attempt > maxRestarts) throw e
       }

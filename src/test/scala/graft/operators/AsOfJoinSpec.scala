@@ -111,6 +111,23 @@ class AsOfJoinSpec extends SparkSpec {
         .filter(col("user_id") < 100).count())
   }
 
+  test("type mismatches and non-timestamp tolerance are rejected loudly") {
+    import spark.implicits._
+    val l = Seq((1L, 10, ts("2024-01-01 01:00:00")))
+      .toDF("event_id", "user_id", "ts") // key INT
+    val r = Seq((10L, ts("2024-01-01 00:30:00"))).toDF("user_id", "ts") // BIGINT
+    intercept[IllegalArgumentException](
+      AsOfJoin(l, r, "user_id", "ts", "ts", Seq("ts")))
+    val lLong = Seq((1L, 10L, 5000L)).toDF("event_id", "user_id", "ts")
+    val rLong = Seq((10L, 4000L)).toDF("user_id", "ts")
+    // long ts fine without tolerance…
+    AsOfJoin(lLong, rLong, "user_id", "ts", "ts", Seq("ts"))
+    // …but tolerance arithmetic requires timestamps
+    intercept[IllegalArgumentException](
+      AsOfJoin(lLong, rLong, "user_id", "ts", "ts", Seq("ts"),
+        tolerance = Some("1 hour")))
+  }
+
   test("matches DuckDB ASOF semantics on real events (vs window oracle)") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf)

@@ -41,6 +41,23 @@ class PqSpec extends SparkSpec {
     assert(ratio < 0.75, s"relative reconstruction error $ratio")
   }
 
+  test("short corpus and mismatched ADC parameters fail loudly") {
+    // fewer corpus rows than k: the codebook cannot seed m*k entries
+    intercept[IllegalArgumentException](
+      Pq.trainCodebooks(emb.filter(col("vec_id") < 4), "vec_id", "embedding"))
+    // ADC with the wrong k must throw, not read garbage out of bounds
+    val ex = intercept[org.apache.spark.SparkException](
+      Pq.adcTopK(codes, books, emb.filter(col("vec_id") < 2), k = 5,
+        kCodes = 8).collect())
+    // whichever kernel sees the inconsistency first (dist-table build or
+    // ADC scoring) must name itself in the error
+    def mentionsKernel(m: String) =
+      m != null && (m.contains("pq_adc") || m.contains("pq_dist_table"))
+    assert(mentionsKernel(ex.getMessage) ||
+      Option(ex.getCause).exists(c => mentionsKernel(c.getMessage)),
+      ex.getMessage)
+  }
+
   test("ADC recall@10 vs exact L2 beats random candidates") {
     val probes = emb.filter(col("vec_id") < 10)
     // exact L2 ground truth
