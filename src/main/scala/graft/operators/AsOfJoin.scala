@@ -44,7 +44,16 @@ object AsOfJoin {
     */
   def apply(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, carry: Seq[String],
+      tolerance: Option[String] = None): DataFrame =
+    onKeys(left, right, Seq(key), leftTs, rightTs, carry, tolerance)
+
+  /** Composite-equality-key form (DuckDB `ASOF JOIN ... ON a AND b AND
+    * ts >=`): the match must agree on EVERY key column. Same plan shape —
+    * both sides cluster on the full key tuple. */
+  def onKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, carry: Seq[String],
       tolerance: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
     val spark = left.sparkSession
     GraftPlanBridge.addStrategy(spark, AsOfJoinStrategy)
     GraftPlanBridge.addOptimization(spark, PushFilterThroughAsOfJoin)
@@ -54,7 +63,7 @@ object AsOfJoin {
     // column: aliases mint fresh expr-ids, so a self-join (left and right
     // sharing plan lineage) can't produce an ambiguous node
     val rPlan = GraftPlanBridge.logicalPlan(
-      right.select((key +: rightTs +: carry).distinct
+      right.select((keys ++ (rightTs +: carry)).distinct
         .map(c => col(c).as(c)): _*))
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         n: String, side: String) =
@@ -63,16 +72,19 @@ object AsOfJoin {
     val carryAttrs = carry.map(c => attr(rPlan, c, "right"))
     val carryOutput = carryAttrs.map(a =>
       AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
-    val lKey = attr(lPlan, key, "left"); val rKey = attr(rPlan, key, "right")
+    val lKeys = keys.map(attr(lPlan, _, "left"))
+    val rKeys = keys.map(attr(rPlan, _, "right"))
     val lTs = attr(lPlan, leftTs, "left")
     val rTs = attr(rPlan, rightTs, "right")
     // the exec compares keys/timestamps with orderings built from the
-    // LEFT side's types and hash-partitions each side on its own key — a
+    // LEFT side's types and hash-partitions each side on its own keys — a
     // type mismatch would silently mis-partition or garbage-compare, so
     // reject it here, loudly
-    require(lKey.dataType == rKey.dataType,
-      s"as-of key type mismatch: ${lKey.dataType.catalogString} vs " +
-        rKey.dataType.catalogString)
+    lKeys.zip(rKeys).foreach { case (lk, rk) =>
+      require(lk.dataType == rk.dataType,
+        s"as-of key type mismatch on ${lk.name}: " +
+          s"${lk.dataType.catalogString} vs ${rk.dataType.catalogString}")
+    }
     require(lTs.dataType == rTs.dataType,
       s"as-of ts type mismatch: ${lTs.dataType.catalogString} vs " +
         rTs.dataType.catalogString)
@@ -92,7 +104,7 @@ object AsOfJoin {
       iv.days * 86400000000L + iv.microseconds
     }
     GraftPlanBridge.ofRows(spark, AsOfJoinNode(
-      lKey, rKey, lTs, rTs,
+      lKeys, rKeys, lTs, rTs,
       carryAttrs, carryOutput, tolMicros, lPlan, rPlan))
   }
 
@@ -104,13 +116,18 @@ object AsOfJoin {
     * right row by construction. */
   def windowed(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, carry: Seq[String],
+      tolerance: Option[String] = None): DataFrame =
+    windowedOnKeys(left, right, Seq(key), leftTs, rightTs, carry, tolerance)
+
+  def windowedOnKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, carry: Seq[String],
       tolerance: Option[String] = None): DataFrame = {
     val leftCols = left.columns
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1)) // probes sort after build rows at equal ts
     val rTagged0 = right
-      .select((key +: rightTs +: carry).distinct.map(col): _*)
+      .select((keys ++ (rightTs +: carry)).distinct.map(col): _*)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
     // align schemas for the union
@@ -122,7 +139,7 @@ object AsOfJoin {
     val unioned = conform(lTagged).unionByName(conform(rTagged0))
     // tie-break on the carried columns: several right rows at the same
     // (key, ts) would otherwise make last() shuffle-order-dependent
-    val w = Window.partitionBy(key)
+    val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((col("__ts") +: col("__side") +: carry.map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rightRow = when(col("__side") === 0,

@@ -34,7 +34,7 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   *                    for the carried columns — held in the node so
   *                    expr-ids survive plan transformations
   */
-case class AsOfJoinNode(leftKey: Attribute, rightKey: Attribute,
+case class AsOfJoinNode(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
     carry: Seq[Attribute], carryOutput: Seq[Attribute],
     toleranceMicros: Option[Long],
@@ -45,7 +45,7 @@ case class AsOfJoinNode(leftKey: Attribute, rightKey: Attribute,
       r: LogicalPlan): LogicalPlan = copy(left = l, right = r)
 }
 
-case class AsOfJoinExec(leftKey: Attribute, rightKey: Attribute,
+case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
     carry: Seq[Attribute], carryOutput: Seq[Attribute],
     toleranceMicros: Option[Long],
@@ -58,35 +58,37 @@ case class AsOfJoinExec(leftKey: Attribute, rightKey: Attribute,
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(Seq(leftKey)),
-      ClusteredDistribution(Seq(rightKey)))
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
 
   // right orders by carry after ts: among several right rows at the same
   // (key, ts) the LAST (max carry tuple) wins, deterministically — the
   // same tie-break the windowed formulation uses
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    SortOrder(rightKey, Ascending) +: SortOrder(rightTs, Ascending) +:
-      carry.map(c => SortOrder(c, Ascending)))
+    leftKeys.map(k => SortOrder(k, Ascending)) :+
+      SortOrder(leftTs, Ascending),
+    rightKeys.map(k => SortOrder(k, Ascending)) ++
+      (SortOrder(rightTs, Ascending) +:
+        carry.map(c => SortOrder(c, Ascending))))
 
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
-    val lKey = leftKey; val rKey = rightKey
+    val lKeys = leftKeys; val rKeys = rightKeys
     val lTs = leftTs; val rTs = rightTs
     val carryExprs = carry
     val tol = toleranceMicros
     val nCarry = carry.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(Seq(lKey), lOut)
-      val rKeyProj = UnsafeProjection.create(Seq(rKey), rOut)
+      val nKeys = lKeys.size
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
       val lTsProj = UnsafeProjection.create(Seq(lTs), lOut)
       val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
       val carryProj = UnsafeProjection.create(carryExprs, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(
-        Seq(lKey.dataType))
+        lKeys.map(_.dataType))
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(
         Seq(lTs.dataType))
       val nullCarry: InternalRow = new GenericInternalRow(nCarry)
@@ -108,9 +110,11 @@ case class AsOfJoinExec(leftKey: Attribute, rightKey: Attribute,
           var go = rAvail
           while (go) {
             val rKeyR = rKeyProj(rCur)
-            val cmp =
-              if (rKeyR.isNullAt(0)) -1 // null keys sort first, never match
-              else keyOrd.compare(rKeyR, lKeyR)
+            // the natural ordering sorts nulls first, matching the sort
+            // the children were asked for, so the merge stays monotone
+            // even with null key fields; rows with a null key field can
+            // never compare equal to the (all-non-null) probe key
+            val cmp = keyOrd.compare(rKeyR, lKeyR)
             if (cmp < 0) { step() } // behind the probe key: discard
             else if (cmp == 0) {
               val rTsR = rTsProj(rCur)
@@ -137,7 +141,12 @@ case class AsOfJoinExec(leftKey: Attribute, rightKey: Attribute,
           val lRow = lIter.next()
           val lKeyR = lKeyProj(lRow)
           val lTsR = lTsProj(lRow)
-          if (lKeyR.isNullAt(0) || lTsR.isNullAt(0))
+          var anyNullKey = lTsR.isNullAt(0)
+          var ki = 0
+          while (!anyNullKey && ki < nKeys) {
+            anyNullKey = lKeyR.isNullAt(ki); ki += 1
+          }
+          if (anyNullKey)
             // null key/ts: no match possible
             return resultProj(joined(lRow, nullCarry))
           advanceFor(lKeyR.copy(), lTsR)
@@ -176,12 +185,15 @@ object PushFilterThroughAsOfJoin
         _.references.subsetOf(aj.left.outputSet))
       if (leftOnly.isEmpty) f
       else {
+        val keySet = AttributeSet(aj.leftKeys)
+        val l2r = aj.leftKeys.zip(aj.rightKeys).toMap
         val keyOnly = leftOnly.filter(
-          _.references == AttributeSet(Seq(aj.leftKey)))
+          c => c.references.nonEmpty && c.references.subsetOf(keySet))
         val newRight =
           if (keyOnly.isEmpty) aj.right
           else Filter(keyOnly.map(_.transform {
-            case a: Attribute if a.semanticEquals(aj.leftKey) => aj.rightKey
+            case a: Attribute if l2r.keys.exists(_.semanticEquals(a)) =>
+              l2r.find(_._1.semanticEquals(a)).get._2
           }).reduce(org.apache.spark.sql.catalyst.expressions.And),
             aj.right)
         val pushed = aj.copy(

@@ -111,6 +111,31 @@ class AsOfJoinSpec extends SparkSpec {
         .filter(col("user_id") < 100).count())
   }
 
+  test("composite keys: match must agree on every key column") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+      .withColumn("bucket", col("user_id") % 3)
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts").withColumn("bucket", col("user_id") % 3)
+    val got = AsOfJoin.onKeys(purchases, views, Seq("user_id", "bucket"),
+      "ts", "ts", Seq("ts"))
+    val win = AsOfJoin.windowedOnKeys(purchases, views,
+      Seq("user_id", "bucket"), "ts", "ts", Seq("ts"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "asof_ts").collect()
+        .map(r => r.getLong(0) -> String.valueOf(r.get(1))).toMap
+    assert(canon(got) === canon(win))
+    // and a key tuple that only partially matches must NOT join: bucket
+    // is derived from user_id here, so single-key results coincide —
+    // verify with a probe whose bucket is deliberately broken
+    val broken = purchases.withColumn("bucket", col("bucket") + 100)
+    val none = AsOfJoin.onKeys(broken, views, Seq("user_id", "bucket"),
+      "ts", "ts", Seq("ts"))
+    assert(none.filter(col("asof_ts").isNotNull).count() === 0)
+  }
+
   test("type mismatches and non-timestamp tolerance are rejected loudly") {
     import spark.implicits._
     val l = Seq((1L, 10, ts("2024-01-01 01:00:00")))
