@@ -39,6 +39,7 @@ object SparkEntry {
     "q_join_anti" -> RelationalQueries.joinAnti,
     "q_join_range" -> RelationalQueries.joinRange,
     "q_asof_join" -> RelationalQueries.asofJoin,
+    "q_asof_multikey" -> RelationalQueries.asofMultiKey,
     // aggregation (E13–E17)
     "q1_agg" -> RelationalQueries.q1Agg,
     "q3_shipping" -> RelationalQueries.q3Shipping,
@@ -140,6 +141,7 @@ object SparkEntry {
     "q_pq_topk" -> PipelineQueries.pqTopK,
     "q_ivfpq_topk" -> PipelineQueries.ivfPqTopK,
     "q_pipeline_e2e" -> PipelineQueries.pipelineE2e,
+    "q_minhash_transitive" -> PipelineQueries.minhashTransitive,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -242,6 +244,14 @@ object SparkEntry {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "q_asof_multikey" -> """
+      SELECT p.event_id, p.user_id, p.day, v.ts AS asof_ts
+      FROM (SELECT event_id, user_id, ts, CAST(ts AS DATE) AS day
+            FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id, ts, CAST(ts AS DATE) AS day
+            FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.day = v.day AND p.ts >= v.ts""",
 
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,

@@ -197,6 +197,67 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Transitive duplicate components from a near-dup pair list:
+    * iterative min-label propagation (each node repeatedly adopts the
+    * smallest id reachable through its edges — the DataFrame form of the
+    * classic distributed connected-components loop). Returns
+    * (node, component) where `component` is the minimum id in the node's
+    * component.
+    *
+    * Why it exists: the greedy pair rule ([[minhashDedup]]) drops the
+    * greater side of each PAIR, which over-deletes on chains — A~B, B~C
+    * with A≁C kills both B and C even though keeping C (dup only of the
+    * killed B) can be the wrong policy for cluster-level survivorship.
+    * Component labeling makes "one survivor per transitive cluster"
+    * exact.
+    *
+    * Scale shape: per iteration one join edges⋈labels (both id-only) and
+    * one groupBy-min — everything shuffled is pairs of longs. Lineage is
+    * truncated each round (`localCheckpoint`) so plans stay flat; rounds
+    * needed = component diameter (tiny for dup clusters), bounded by
+    * `maxIters` with an early-exit convergence check. */
+  def clusterComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIters) {
+      val candidates = edges
+        .join(labels.select(col("node").as("a"),
+          col("component").as("cand")), "a")
+        .select(col("b").as("node"), col("cand"))
+      val next = labels
+        .join(candidates, Seq("node"), "left")
+        .groupBy("node")
+        .agg(min(least(col("component"), col("cand"))).as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "old"),
+          "node")
+        .filter(col("component") =!= col("old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster-exact near-dup removal: one survivor (the component-minimum
+    * id) per TRANSITIVE duplicate cluster. */
+  def minhashDedupTransitive(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = 300): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, numHashes, bands, threshold,
+      maxBucket)
+    val doomed = clusterComponents(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs among a bounded probe set —
     * the exact/verification path (LSH-bucketed variant in
     * [[AnnSearch.hyperplaneBuckets]]). */

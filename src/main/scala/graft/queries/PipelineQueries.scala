@@ -80,6 +80,14 @@ object PipelineQueries {
         qualityCol = "n_chars", threshold = 0.4)
       .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
 
+  /** Cluster-exact near-dup removal: one survivor per TRANSITIVE
+    * duplicate component (min-label propagation over the LSH pair graph;
+    * rows-only — ComponentsSpec carries the BFS reference oracle). */
+  val minhashTransitive: Q = (s, d) =>
+    Dedup.minhashDedupTransitive(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.4)
+      .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
+
   /** End-to-end training-data pipeline, every stage SQL-checkable:
     * quality gate → exact dedup survivors (min id per sha256) →
     * benchmark decontamination (drop docs sharing any 5-gram with

@@ -259,6 +259,21 @@ object RelationalQueries {
       .select("event_id", "user_id", "asof_ts")
   }
 
+  /** Composite-key as-of (E12): most recent prior view for the same
+    * (user, event-day) tuple — the match must agree on BOTH key columns,
+    * mirroring DuckDB `ASOF ... ON u = u AND d = d AND ts >=`. */
+  val asofMultiKey: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        to_date(col("ts")).as("day"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), to_date(col("ts")).as("day"))
+    graft.operators.AsOfJoin.onKeys(purchases, views,
+        Seq("user_id", "day"), "ts", "ts", Seq("ts"))
+      .select("event_id", "user_id", "day", "asof_ts")
+  }
+
   /** Scalar + correlated subqueries (E6/E10 adjacent): orders above the
     * global average, customers whose best order beats their nation's
     * average. Catalyst decorrelates into joins — asserted by results. */
