@@ -142,6 +142,7 @@ object SparkEntry {
     "q_ivfpq_topk" -> PipelineQueries.ivfPqTopK,
     "q_pipeline_e2e" -> PipelineQueries.pipelineE2e,
     "q_minhash_transitive" -> PipelineQueries.minhashTransitive,
+    "q_profile" -> PipelineQueries.profileLineitem,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -866,5 +867,29 @@ object SparkEntry {
       SELECT lang, source, count(*) AS n_docs,
              sum(n_chars)::BIGINT AS total_chars
       FROM sampled GROUP BY lang, source""",
+
+    "q_profile" -> """
+      SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+             count(*) - count(l_orderkey) AS n_nulls,
+             count(DISTINCT l_orderkey) AS n_distinct,
+             CAST(min(l_orderkey) AS DOUBLE) AS min_v,
+             CAST(max(l_orderkey) AS DOUBLE) AS max_v
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+             count(DISTINCT l_quantity),
+             CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+             count(DISTINCT l_extendedprice),
+             CAST(min(l_extendedprice) AS DOUBLE),
+             CAST(max(l_extendedprice) AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', count(*), count(*) - count(l_discount),
+             count(DISTINCT l_discount),
+             CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+      FROM lineitem""",
   )
 }

@@ -80,6 +80,11 @@ object PipelineQueries {
         qualityCol = "n_chars", threshold = 0.4)
       .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
 
+  /** One-pass numeric column profile of lineitem (data-quality triage). */
+  val profileLineitem: Q = (s, d) =>
+    graft.operators.Profile.numeric(Tables.lineitem(s, d),
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
+
   /** Cluster-exact near-dup removal: one survivor per TRANSITIVE
     * duplicate component (min-label propagation over the LSH pair graph;
     * rows-only — ComponentsSpec carries the BFS reference oracle). */
