@@ -43,6 +43,8 @@ object GraftFunctions {
     "pq_adc" -> (es => PqAdc(es(0), es(1), intArg(es(2), "pq_adc"))),
     "ngram_hashes" -> (es => NgramHashes(es(0),
       intArg(es(1), "ngram_hashes"))),
+    "ngram_hashes_gen" -> (es => NgramHashGen(es(0),
+      intArg(es(1), "ngram_hashes_gen"))),
   )
 
   /** Idempotent per-session registration of all engine functions. */
@@ -81,5 +83,9 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(k))
   def ngramHashes(text: Column, n: Int): Column =
     call_function("ngram_hashes", text,
+      org.apache.spark.sql.functions.lit(n))
+  /** Generator (UDTF) form — one row per distinct n-gram hash. */
+  def ngramHashesGen(text: Column, n: Int): Column =
+    call_function("ngram_hashes_gen", text,
       org.apache.spark.sql.functions.lit(n))
 }

@@ -279,3 +279,38 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** ngram_hashes_gen(text, n): the GENERATOR (UDTF) form of
+  * [[NgramHashes]] — one output row per distinct n-gram hash, streamed
+  * (SURVEY §2C custom-Generator tier). `explode(ngram_hashes(...))`
+  * materializes the full hash array per document before the generate;
+  * this yields rows directly, so a pathological document (millions of
+  * n-grams) never allocates its whole hash set as one array value in the
+  * row buffer. Used via `df.select(col("id"), new Column(NgramHashGen(...)))`
+  * — Catalyst's ExtractGenerator plans the Generate node. */
+case class NgramHashGen(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1, "n must be positive")
+  override def prettyName: String = "ngram_hashes_gen"
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("ngh", LongType, nullable = false)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val hashes = TextHashExpressions.ngramHashesOf(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(1)
+    (0 until hashes.numElements()).iterator.map { i =>
+      row.update(0, hashes.getLong(i)); row
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

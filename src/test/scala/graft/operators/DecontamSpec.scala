@@ -40,6 +40,24 @@ class DecontamSpec extends SparkSpec {
     assert(viaKernel.toSeq === viaStrings.toSeq)
   }
 
+  test("generator (UDTF) form streams the same hashes as the array form") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    def collectHashes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaGen = collectHashes(docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.ngramHashesGen(lower(col("text")), 5)))
+    val viaArray = collectHashes(docs.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.ngramHashes(
+        lower(col("text")), 5)).as("ngh")))
+    assert(viaGen === viaArray)
+    // and through SQL — the registered function is a real table generator
+    docs.createOrReplaceTempView("docs_gen")
+    val viaSql = collectHashes(spark.sql(
+      "SELECT doc_id, ngram_hashes_gen(lower(text), 5) AS ngh FROM docs_gen"))
+    assert(viaSql === viaArray)
+  }
+
   test("short documents (< n tokens) contribute no n-grams") {
     import spark.implicits._
     val corpus = Seq((10L, "a b c d e f"), (11L, "a b")).toDF("id", "t")

@@ -27,6 +27,40 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(custom === windowed)
   }
 
+  test("property: ≡ window formulation on random inputs (nulls, ties, k)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase = for {
+      n <- Gen.chooseNum(0, 120)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.chooseNum(0L, 6L)
+        v <- Gen.option(Gen.chooseNum(0, 9)) // few values => many ties
+      } yield (g, v))
+      k <- Gen.chooseNum(1, 5)
+      desc <- Gen.oneOf(true, false)
+    } yield (rows, k, desc)
+    var seed = Seed(5L)
+    for (round <- 1 to 20) {
+      val (rows, k, desc) = genCase.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }.toDF("g", "v", "id")
+      val custom = TopK.perGroup(df, Seq("g"), "v", k, desc,
+          tieBreak = Seq("id"))
+        .select("g", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val ord = if (desc) col("v").desc else col("v").asc
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(ord, col("id"))
+      val windowed = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("g", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(custom === windowed, s"round $round (k=$k desc=$desc)")
+    }
+  }
+
   test("plan is two-phase heap with a clustering exchange, no sort") {
     val orders = graft.sources.Tables.orders(spark, sf)
     val df = TopK.perGroup(orders, Seq("o_custkey"), "o_totalprice",
