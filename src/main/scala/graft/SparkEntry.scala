@@ -121,6 +121,7 @@ object SparkEntry {
     "q_stream_static_join" ->
       ((s, d) => streaming.StreamOps.streamStaticJoin(s, d)),
     "q_stream_stateful" -> ((s, d) => streaming.StreamOps.statefulPerUser(s, d)),
+    "q_stream_decontam" -> ((s, d) => streaming.StreamOps.streamDecontam(s, d)),
     // riff parity (R2/R6, E28, E40)
     "q_riff_roundtrip" -> RiffQueries.riffRoundtrip,
     "q_map_funcs" -> RiffQueries.mapFuncs,
@@ -827,6 +828,20 @@ object SparkEntry {
       GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""",
 
     "q_decontam" -> """
+      WITH toked AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      ngr AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+4], ' '))) AS ng
+        FROM toked WHERE len(t) >= 5),
+      bench AS (SELECT DISTINCT ng FROM ngr WHERE doc_id < 5)
+      SELECT c.doc_id, count(*) AS n_overlap
+      FROM (SELECT doc_id, ng FROM ngr WHERE doc_id >= 5) c
+      JOIN bench b ON c.ng = b.ng
+      GROUP BY 1""",
+
+    "q_stream_decontam" -> """
       WITH toked AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       ngr AS (

@@ -200,4 +200,42 @@ object StreamOps {
       .as[EventRow]
     runToMemory(spark, statefulTransform(ds), OutputMode.Append())
   }
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The documents table as an unbounded stream. */
+  def replayDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Streaming decontamination: documents arrive as a stream, the
+    * benchmark n-gram hash set is a static side (the persisted index
+    * artifact), and each microbatch's overlap counts fold into a
+    * Complete-mode aggregate — output ≡ the batch q_decontam, proving
+    * the decontamination kernel composes with Structured Streaming
+    * (stream-static equi join, no stream-side state beyond the
+    * per-doc counts). */
+  def streamDecontam(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bench = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") < 5)
+      .select(explode(graft.functions.GraftFunctions
+        .ngramHashes(lower(col("text")), 5)).as("ngh"))
+      .distinct()
+    val c = replayDocuments(spark, dir)
+      .filter(col("doc_id") >= 5)
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions
+        .ngramHashes(lower(col("text")), 5)).as("ngh"))
+    runToMemory(spark,
+      c.join(bench, "ngh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap")),
+      OutputMode.Complete())
+  }
 }
