@@ -281,19 +281,29 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** ngram_hashes_gen(text, n): the GENERATOR (UDTF) form of
-  * [[NgramHashes]] — one output row per distinct n-gram hash, streamed
-  * (SURVEY §2C custom-Generator tier). `explode(ngram_hashes(...))`
-  * materializes the full hash array per document before the generate;
-  * this yields rows directly, so a pathological document (millions of
-  * n-grams) never allocates its whole hash set as one array value in the
-  * row buffer. Used via `df.select(col("id"), new Column(NgramHashGen(...)))`
-  * — Catalyst's ExtractGenerator plans the Generate node. */
+  * [[NgramHashes]] — one output row per distinct n-gram hash (SURVEY §2C
+  * custom-Generator tier). Versus `explode(ngram_hashes(...))` the hash
+  * set is never serialized as a single array VALUE into the row buffer —
+  * rows are yielded from the kernel's transient array directly. (The
+  * kernel still builds that transient array to dedup; the saving is the
+  * per-row UnsafeArrayData copy, not peak heap.) Usable from the Column
+  * API and SQL — Catalyst's ExtractGenerator plans the Generate node. */
 case class NgramHashGen(child: Expression, n: Int)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.Generator
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   require(n >= 1, "n must be positive")
   override def prettyName: String = "ngram_hashes_gen"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_hashes_gen expects string, got ${t.catalogString}")
+    }
 
   override def elementSchema: StructType =
     StructType(Seq(StructField("ngh", LongType, nullable = false)))

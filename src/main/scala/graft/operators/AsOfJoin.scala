@@ -152,10 +152,16 @@ object AsOfJoin {
         col("__asof.__matched_ts") >= col(leftTs) - expr(s"INTERVAL $t")
       case None => col("__asof").isNotNull
     }
+    // SQL equality semantics: a null in ANY key column never matches —
+    // without this, Window.partitionBy groups null keys together and a
+    // null-keyed right row would be carried onto null-keyed left rows,
+    // diverging from the plan-node exec and from DuckDB ASOF
+    val keysNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
     carried
       .filter(col("__side") === 1)
       .select(leftCols.toIndexedSeq.map(col) ++
-        carry.map(c => when(withinTolerance, col("__asof").getField(c))
+        carry.map(c => when(withinTolerance && keysNonNull,
+          col("__asof").getField(c))
           .otherwise(lit(null)).as(s"asof_$c")): _*)
   }
 }

@@ -242,6 +242,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    // a silent non-converged exit would hand back non-minimal labels and
+    // quietly break the one-survivor-per-cluster guarantee downstream
+    require(converged,
+      s"component labeling did not converge in $maxIters rounds — " +
+        "raise maxIters (components wider than the round budget exist)")
     labels
   }
 

@@ -222,20 +222,15 @@ object StreamOps {
     * the decontamination kernel composes with Structured Streaming
     * (stream-static equi join, no stream-side state beyond the
     * per-doc counts). */
-  def streamDecontam(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val bench = graft.sources.Tables.documents(spark, dir)
-      .filter(col("doc_id") < 5)
-      .select(explode(graft.functions.GraftFunctions
-        .ngramHashes(lower(col("text")), 5)).as("ngh"))
-      .distinct()
-    val c = replayDocuments(spark, dir)
-      .filter(col("doc_id") >= 5)
-      .select(col("doc_id"), explode(graft.functions.GraftFunctions
-        .ngramHashes(lower(col("text")), 5)).as("ngh"))
+  def streamDecontam(spark: SparkSession, dir: String): DataFrame =
+    // ONE decontamination kernel: the batch operator works unchanged on
+    // a streaming corpus side (stream-static equi join + Complete-mode
+    // agg) — no second copy to drift from the batch tier
     runToMemory(spark,
-      c.join(bench, "ngh")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap")),
+      graft.operators.Decontam.overlapHashed(
+        replayDocuments(spark, dir).filter(col("doc_id") >= 5),
+        graft.sources.Tables.documents(spark, dir)
+          .filter(col("doc_id") < 5),
+        "doc_id", "text", n = 5),
       OutputMode.Complete())
-  }
 }

@@ -111,6 +111,24 @@ class AsOfJoinSpec extends SparkSpec {
         .filter(col("user_id") < 100).count())
   }
 
+  test("null keys never match, in both formulations") {
+    import spark.implicits._
+    val left = Seq((1L, Option(10L), ts("2024-01-01 01:00:00")),
+      (2L, Option.empty[Long], ts("2024-01-01 01:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((Option(10L), ts("2024-01-01 00:30:00")),
+      (Option.empty[Long], ts("2024-01-01 00:40:00"))) // null-keyed build row
+      .toDF("user_id", "ts")
+    for (impl <- Seq(
+        AsOfJoin(left, right, "user_id", "ts", "ts", Seq("ts")),
+        AsOfJoin.windowed(left, right, "user_id", "ts", "ts", Seq("ts")))) {
+      val out = impl.select("event_id", "asof_ts").collect()
+        .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+      assert(out(1L).map(_.toString).contains("2024-01-01 00:30:00.0"))
+      assert(out(2L).isEmpty, "null = null must NOT match (SQL equality)")
+    }
+  }
+
   test("composite keys: match must agree on every key column") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf)
