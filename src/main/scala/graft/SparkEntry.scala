@@ -144,6 +144,7 @@ object SparkEntry {
     "q_pipeline_e2e" -> PipelineQueries.pipelineE2e,
     "q_minhash_transitive" -> PipelineQueries.minhashTransitive,
     "q_profile" -> PipelineQueries.profileLineitem,
+    "q_multimodal_transform" -> PipelineQueries.multimodalTransform,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -906,5 +907,25 @@ object SparkEntry {
              count(DISTINCT l_discount),
              CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
       FROM lineitem""",
+
+    "q_multimodal_transform" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 2 THEN 'video' WHEN 0 THEN 'image'
+                 ELSE 'audio' END AS modality,
+               strlen(text)::BIGINT AS n
+        FROM documents),
+      calc AS (
+        SELECT media_id, modality, n,
+               greatest(1, (n * 320 * 240) // 307200) AS resized_bytes,
+               (n + 63) // 64 AS f
+        FROM m)
+      SELECT media_id, modality, resized_bytes,
+             CASE WHEN modality <> 'video' THEN n
+                  WHEN n = 0 THEN 0
+                  WHEN (f - 1) % 2 = 0
+                    THEN ((f + 1) // 2 - 1) * 64 + (n - 64 * (f - 1))
+                  ELSE ((f + 1) // 2) * 64 END AS sampled_bytes
+      FROM calc""",
   )
 }

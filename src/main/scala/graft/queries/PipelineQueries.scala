@@ -80,6 +80,24 @@ object PipelineQueries {
         qualityCol = "n_chars", threshold = 0.4)
       .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
 
+  /** Multimodal transform plumbing under the driver oracle (E40): the
+    * resize and frame-sample stubs are deterministic byte arithmetic, so
+    * their output SIZES hash-match a pure-SQL oracle — proving the
+    * per-partition transform pipeline (schema, batching, modality
+    * routing) end-to-end, not just in specs. */
+  val multimodalTransform: Q = (s, d) => {
+    import s.implicits._
+    val media = graft.operators.Multimodal.documentsAsMedia(s, d)
+    val resized = graft.operators.Multimodal.resizeStub(media, 320, 240)
+      .map(m => (m.media_id, m.payload.length.toLong))
+      .toDF("media_id", "resized_bytes")
+    val sampled = graft.operators.Multimodal.frameSampleStub(media, 2, 64)
+      .map(m => (m.media_id, m.modality, m.payload.length.toLong))
+      .toDF("media_id", "modality", "sampled_bytes")
+    sampled.join(resized, "media_id")
+      .select("media_id", "modality", "resized_bytes", "sampled_bytes")
+  }
+
   /** One-pass numeric column profile of lineitem (data-quality triage). */
   val profileLineitem: Q = (s, d) =>
     graft.operators.Profile.numeric(Tables.lineitem(s, d),
