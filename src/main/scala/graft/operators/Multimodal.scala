@@ -59,36 +59,43 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: a real build re-encodes the payload at (w, h); the stub
-    * truncates/pads bytes proportionally so output size tracks the target
-    * dimensions deterministically. Signature and partition behavior match
+  /** Per-row STUB resize (also the building block for fused single-pass
+    * pipelines): a real build re-encodes the payload at (w, h); the stub
+    * truncates/pads bytes proportionally so output size tracks the
+    * target dimensions deterministically. */
+  def resizeRow(m: MediaRow, w: Int, h: Int): MediaRow = {
+    val target = math.max(1, (m.payload.length.toLong * w * h /
+      math.max(1, 640 * 480)).toInt)
+    m.copy(payload = java.util.Arrays.copyOf(m.payload, target))
+  }
+
+  /** STUB resize over a Dataset — signature and partition behavior match
     * the real operator. */
   def resizeStub(media: Dataset[MediaRow], w: Int, h: Int)
       : Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map { m =>
-      val target = math.max(1, (m.payload.length.toLong * w * h /
-        math.max(1, 640 * 480)).toInt)
-      m.copy(payload = java.util.Arrays.copyOf(m.payload, target))
-    })
+    media.mapPartitions(_.map(resizeRow(_, w, h)))
   }
 
-  /** STUB frame sampling for video payloads: a real build decodes and
-    * keeps every k-th frame; the stub strides over fixed-size fake
-    * "frames" of the byte payload. Non-video rows pass through. */
+  /** Per-row STUB frame sampling: a real build decodes and keeps every
+    * k-th frame; the stub strides over fixed-size fake "frames" of the
+    * byte payload. Non-video rows pass through. */
+  def frameSampleRow(m: MediaRow, everyK: Int,
+      frameBytes: Int = 64): MediaRow =
+    if (m.modality != "video") m
+    else {
+      val frames = m.payload.grouped(frameBytes).toArray
+      val kept = frames.zipWithIndex.collect {
+        case (f, i) if i % everyK == 0 => f
+      }
+      m.copy(payload = kept.flatten)
+    }
+
+  /** STUB frame sampling over a Dataset. */
   def frameSampleStub(media: Dataset[MediaRow], everyK: Int,
       frameBytes: Int = 64): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map { m =>
-      if (m.modality != "video") m
-      else {
-        val frames = m.payload.grouped(frameBytes).toArray
-        val kept = frames.zipWithIndex.collect {
-          case (f, i) if i % everyK == 0 => f
-        }
-        m.copy(payload = kept.flatten)
-      }
-    })
+    media.mapPartitions(_.map(frameSampleRow(_, everyK, frameBytes)))
   }
 
   /** Wrap a text table as media rows (the testdata carries no real media;
@@ -99,7 +106,10 @@ object Multimodal {
       .select(col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-        col("text").cast("binary").as("payload"),
+        // null text ⇒ empty payload: the transform stubs dereference the
+        // byte array, and a null media body carries no information an
+        // empty one doesn't
+        coalesce(col("text"), lit("")).cast("binary").as("payload"),
         col("source"))
       .as[MediaRow]
   }

@@ -87,15 +87,17 @@ object PipelineQueries {
     * routing) end-to-end, not just in specs. */
   val multimodalTransform: Q = (s, d) => {
     import s.implicits._
-    val media = graft.operators.Multimodal.documentsAsMedia(s, d)
-    val resized = graft.operators.Multimodal.resizeStub(media, 320, 240)
-      .map(m => (m.media_id, m.payload.length.toLong))
-      .toDF("media_id", "resized_bytes")
-    val sampled = graft.operators.Multimodal.frameSampleStub(media, 2, 64)
-      .map(m => (m.media_id, m.modality, m.payload.length.toLong))
-      .toDF("media_id", "modality", "sampled_bytes")
-    sampled.join(resized, "media_id")
-      .select("media_id", "modality", "resized_bytes", "sampled_bytes")
+    // ONE scan: both transforms evaluate per row in a single pass — no
+    // second read of the table, no self-join exchange
+    graft.operators.Multimodal.documentsAsMedia(s, d)
+      .map { m =>
+        (m.media_id, m.modality,
+          graft.operators.Multimodal.resizeRow(m, 320, 240)
+            .payload.length.toLong,
+          graft.operators.Multimodal.frameSampleRow(m, 2, 64)
+            .payload.length.toLong)
+      }
+      .toDF("media_id", "modality", "resized_bytes", "sampled_bytes")
   }
 
   /** One-pass numeric column profile of lineitem (data-quality triage). */
