@@ -47,6 +47,29 @@ class IvfPqSpec extends SparkSpec {
     assert(r8 >= r2 - 0.05, s"recall regressed with more probes: $r2 -> $r8")
   }
 
+  test("buildOrLoad: builds once, loads thereafter, artifact answers match") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("ivfpq-cache").toString
+    val i1 = IvfPq.buildOrLoad(emb, tmp, tag = "spec-corpus")
+    val fromArtifact = topkSet(IvfPq.search(i1, probes, k = 10))
+    // the artifact must answer identically to the in-memory build
+    assert(fromArtifact == topkSet(IvfPq.search(index, probes, k = 10)),
+      "persisted index diverges from in-memory build")
+    val marker = Files.list(Paths.get(tmp)).iterator().next()
+      .resolve("_built")
+    assert(Files.exists(marker))
+    val t1 = Files.getLastModifiedTime(marker)
+    val i2 = IvfPq.buildOrLoad(emb, tmp, tag = "spec-corpus")
+    assert(topkSet(IvfPq.search(i2, probes, k = 10)) == fromArtifact)
+    assert(Files.getLastModifiedTime(marker) == t1,
+      "second buildOrLoad must load, not rebuild")
+    // a corpus-count mismatch invalidates the artifact => rebuild
+    Files.write(marker, "0".getBytes("UTF-8"))
+    IvfPq.buildOrLoad(emb, tmp, tag = "spec-corpus")
+    assert(new String(Files.readAllBytes(marker), "UTF-8").trim != "0",
+      "stale fingerprint must trigger a rebuild")
+  }
+
   test("search path shuffles no embedding columns") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
