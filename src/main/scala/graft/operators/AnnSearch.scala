@@ -31,6 +31,26 @@ import graft.functions.GraftFunctions
   */
 object AnnSearch {
 
+  /** Probe-side broadcast contract, now enforced: every search path here
+    * (and in [[Pq.adcTopK]]/[[IvfPq.search]]) broadcasts the probe side —
+    * per-probe vectors or ADC distance tables ride driver memory, so the
+    * paths are correct only while the probe set is small. The cap is
+    * `spark.graft.ann.maxBroadcastProbes` (default 100000 ≈ tens of MB of
+    * 64-dim doubles). Counting stops at cap+1 rows (LocalLimit), so the
+    * guard costs one truncated job, not a corpus scan. */
+  private[operators] def guardProbes(probes: DataFrame, path: String): Unit = {
+    val max = probes.sparkSession.conf
+      .getOption("spark.graft.ann.maxBroadcastProbes")
+      .getOrElse("100000").toLong
+    val n = probes.limit((max min Int.MaxValue - 1).toInt + 1).count()
+    require(n <= max,
+      s"$path broadcasts the probe side, and the probe set exceeds " +
+        s"spark.graft.ann.maxBroadcastProbes=$max. Chunk the probes by id " +
+        "range and union the per-chunk top-k results (each chunk stays " +
+        "under the cap and the corpus scan is repeated, not shuffled), or " +
+        "raise the cap if the driver has memory headroom.")
+  }
+
   /** Deterministic unit-ish hyperplanes: `tables × bits × dim`. */
   private def hyperplanes(tables: Int, bits: Int, dim: Int,
       seed: Long): Array[Array[Array[Double]]] = {
@@ -52,6 +72,7 @@ object AnnSearch {
       probeId: String = "vec_id", probeVec: String = "embedding")
       : DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
+    guardProbes(probes, "bruteForceTopK")
     val p = probes.select(col(probeId).as("probe_id"),
       col(probeVec).as("pvec"))
     val c = corpus.select(col(corpusId).as("cand_id"),
@@ -75,6 +96,7 @@ object AnnSearch {
   private def scoreTopK(pairs: DataFrame, corpus: DataFrame,
       probes: DataFrame, k: Int, corpusId: String, corpusVec: String,
       probeId: String, probeVec: String): DataFrame = {
+    guardProbes(probes, "lshTopK/ivfTopK")
     val cv = corpus.select(col(corpusId).as("cand_id"),
       col(corpusVec).as("cvec"))
     val pv = probes.select(col(probeId).as("probe_id"),

@@ -129,6 +129,7 @@ object IvfPq {
       probeId: String = "vec_id", probeVec: String = "embedding",
       m: Int = 8, kCodes: Int = 16): DataFrame = {
     GraftFunctions.register(probes.sparkSession)
+    AnnSearch.guardProbes(probes, "IvfPq.search")
     val cbRow = Pq.flatRow(index.books)
     // nprobe nearest lists per probe, selected INSIDE the row: sims to
     // all ~C lists ride one small in-row array, sorted and sliced — no

@@ -142,6 +142,7 @@ object Pq {
       probeVec: String = "embedding", m: Int = 8, kCodes: Int = 16)
       : DataFrame = {
     GraftFunctions.register(codes.sparkSession)
+    AnnSearch.guardProbes(probes, "Pq.adcTopK")
     val p = probes.join(broadcast(flatRow(books)))
       .select(col(probeId).as("probe_id"),
         GraftFunctions.pqDistTable(col(probeVec), col("cb"), m, kCodes)

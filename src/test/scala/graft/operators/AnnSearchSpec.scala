@@ -82,6 +82,27 @@ class AnnSearchSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("broadcast-probe guard trips past spark.graft.ann.maxBroadcastProbes") {
+    spark.conf.set("spark.graft.ann.maxBroadcastProbes", "3")
+    try {
+      for ((name, run) <- Seq[(String, () => Any)](
+          "bruteForceTopK" -> (() => AnnSearch.bruteForceTopK(emb, probes, 5)),
+          "lshTopK" -> (() => AnnSearch.lshTopK(emb, probes, 5)),
+          "Pq.adcTopK" -> (() => {
+            val books = Pq.trainCodebooks(emb, "vec_id", "embedding")
+            Pq.adcTopK(Pq.encode(emb, "embedding", books)
+              .select("vec_id", "pq_codes"), books, probes, 5)
+          }))) {
+        val e = intercept[IllegalArgumentException](run())
+        assert(e.getMessage.contains("maxBroadcastProbes"), s"$name: $e")
+        assert(e.getMessage.contains("Chunk the probes"),
+          s"$name must name the partitioned-probe alternative")
+      }
+      // at or under the cap the same paths still plan
+      AnnSearch.bruteForceTopK(emb, probes.limit(3), 5)
+    } finally spark.conf.unset("spark.graft.ann.maxBroadcastProbes")
+  }
+
   test("more tables => recall does not degrade") {
     val r1 = recallOf(topkSet(AnnSearch.lshTopK(emb, probes, 10,
       tables = 2, bits = 6)))
