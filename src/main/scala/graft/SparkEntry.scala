@@ -106,6 +106,9 @@ object SparkEntry {
     "q_udaf_geomean" -> UdfQueries.udafGeoMean,
     // near-dup dedup / ANN / multimodal (E35, E38, E40)
     "q_minhash_neardup" -> DedupQueries.minhashNearDup,
+    "q_minhash_dedup_planted" -> DedupQueries.minhashDedupPlanted,
+    "q_minhash_keep_best_planted" -> DedupQueries.minhashKeepBestPlanted,
+    "q_minhash_transitive_planted" -> DedupQueries.minhashTransitivePlanted,
     "q_simhash_neardup" -> DedupQueries.simhashNearDup,
     "q_embed_neardup" -> DedupQueries.embedNearDup,
     "q_ann_lsh" -> DedupQueries.annLsh,
@@ -907,6 +910,77 @@ object SparkEntry {
              count(DISTINCT l_discount),
              CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
       FROM lineitem""",
+
+    // Planted-fixture oracles: DuckDB regenerates the identical
+    // md5-derived fixture, then selects the survivors the construction
+    // guarantees — the Spark side must reach that exact set through the
+    // real LSH machinery.
+    "q_minhash_dedup_planted" -> """
+      WITH gen AS (
+        SELECT doc_id AS b,
+               array_to_string(list_transform(range(0, 30),
+                 j -> substr(md5(doc_id::VARCHAR || '_' || j::VARCHAR),
+                   1, 8)), ' ') AS t0,
+               substr(md5(doc_id::VARCHAR || '_xa'), 1, 8) AS xa,
+               substr(md5(doc_id::VARCHAR || '_xb'), 1, 8) AS xb
+        FROM documents),
+      fix AS (
+        SELECT b*10 AS doc_id, t0 AS text FROM gen WHERE b < 12
+        UNION ALL
+        SELECT b*10+1, t0 || ' ' || xa FROM gen WHERE b < 12
+        UNION ALL
+        SELECT b*10+2, t0 || ' ' || xa || ' ' || xb FROM gen WHERE b < 12
+        UNION ALL
+        SELECT b*10, t0 FROM gen WHERE b >= 100 AND b < 120)
+      SELECT doc_id, text, length(text)::INT AS n_chars FROM fix
+      WHERE doc_id % 10 = 0""",
+
+    "q_minhash_keep_best_planted" -> """
+      WITH gen AS (
+        SELECT doc_id AS b,
+               array_to_string(list_transform(range(0, 30),
+                 j -> substr(md5(doc_id::VARCHAR || '_' || j::VARCHAR),
+                   1, 8)), ' ') AS t0,
+               substr(md5(doc_id::VARCHAR || '_xa'), 1, 8) AS xa,
+               substr(md5(doc_id::VARCHAR || '_xb'), 1, 8) AS xb
+        FROM documents),
+      fix AS (
+        SELECT b*10 AS doc_id, t0 AS text FROM gen WHERE b < 12
+        UNION ALL
+        SELECT b*10+1, t0 || ' ' || xa FROM gen WHERE b < 12
+        UNION ALL
+        SELECT b*10+2, t0 || ' ' || xa || ' ' || xb FROM gen WHERE b < 12
+        UNION ALL
+        SELECT b*10, t0 FROM gen WHERE b >= 100 AND b < 120)
+      SELECT doc_id, text, length(text)::INT AS n_chars FROM fix
+      WHERE doc_id >= 1000 OR doc_id % 10 = 2""",
+
+    "q_minhash_transitive_planted" -> """
+      WITH gen AS (
+        SELECT doc_id AS b,
+               array_to_string(list_transform(range(0, 60),
+                 j -> substr(md5(doc_id::VARCHAR || '_' || j::VARCHAR),
+                   1, 8)), ' ') AS s1,
+               array_to_string(list_transform(range(30, 90),
+                 j -> substr(md5(doc_id::VARCHAR || '_' || j::VARCHAR),
+                   1, 8)), ' ') AS s2,
+               array_to_string(list_transform(range(0, 90),
+                 j -> substr(md5(doc_id::VARCHAR || '_' || j::VARCHAR),
+                   1, 8)), ' ') AS hub,
+               array_to_string(list_transform(range(0, 30),
+                 j -> substr(md5(doc_id::VARCHAR || '_' || j::VARCHAR),
+                   1, 8)), ' ') AS lone
+        FROM documents),
+      fix AS (
+        SELECT b*10 AS doc_id, s1 AS text FROM gen WHERE b < 12
+        UNION ALL
+        SELECT b*10+1, s2 FROM gen WHERE b < 12
+        UNION ALL
+        SELECT b*10+2, hub FROM gen WHERE b < 12
+        UNION ALL
+        SELECT b*10, lone FROM gen WHERE b >= 100 AND b < 120)
+      SELECT doc_id, text, length(text)::INT AS n_chars FROM fix
+      WHERE doc_id % 10 = 0""",
 
     "q_multimodal_transform" -> """
       WITH m AS (

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AnnSearch, Dedup, Multimodal}
@@ -54,4 +54,82 @@ object DedupQueries {
     * feature lane, via per-partition decoder. Deterministic stub ⇒ full
     * SQL oracle. */
   val multimodalDecode: Q = (s, d) => Multimodal.decodedMeta(s, d)
+
+  // --- planted fixtures: the minhash survivor family under the HASH gate.
+  //
+  // Every text is a sequence of md5-derived tokens keyed by (seed,
+  // position): distinct seeds share no tokens, so the ONLY near-dup pairs
+  // in the fixture are the constructed ones, and the LSH survivor set is
+  // known in closed form — i.e. SQL-expressible, which moves these three
+  // operators from the rows-only gate to the full hash gate. The fixture
+  // depends only on which doc_ids exist (seeds), so it is bit-identical
+  // across scale factors: one verified match holds everywhere.
+
+  /** Tokens [from, until) for a seed column. */
+  private def toks(seed: Column, from: Int, until: Int): Column =
+    concat_ws(" ", transform(sequence(lit(from), lit(until - 1)),
+      j => substring(md5(concat(seed.cast("string"), lit("_"),
+        j.cast("string"))), 1, 8)))
+
+  /** Triangle clusters: per base seed b < 12 three mutual near-dups
+    * (ids b·10, b·10+1, b·10+2 — each appends one more unique token, so
+    * token Jaccard stays ≥ 0.93 for every pair) plus 20 singleton docs
+    * (seeds 100–119). Greedy min-id dedup must keep exactly {b·10} ∪
+    * singletons; keep-best (quality = n_chars) exactly {b·10+2} ∪
+    * singletons. */
+  private[graft] def plantedTriangles(s: SparkSession, d: String): DataFrame = {
+    val seeds = Tables.documents(s, d).select(col("doc_id").as("b"))
+    val bases = seeds.filter(col("b") < 12)
+    val t0 = toks(col("b"), 0, 30)
+    val xa = substring(md5(concat(col("b").cast("string"), lit("_xa"))), 1, 8)
+    val xb = substring(md5(concat(col("b").cast("string"), lit("_xb"))), 1, 8)
+    bases.select((col("b") * 10).as("doc_id"), t0.as("text"))
+      .unionAll(bases.select((col("b") * 10 + 1).as("doc_id"),
+        concat(t0, lit(" "), xa).as("text")))
+      .unionAll(bases.select((col("b") * 10 + 2).as("doc_id"),
+        concat(t0, lit(" "), xa, lit(" "), xb).as("text")))
+      .unionAll(seeds.filter(col("b") >= 100 && col("b") < 120)
+        .select((col("b") * 10).as("doc_id"), t0.as("text")))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  /** Star clusters: per base seed b < 12, two spokes (ids b·10 = tokens
+    * [0,60), b·10+1 = tokens [30,90)) and a hub (id b·10+2 = tokens
+    * [0,90)). Each spoke–hub Jaccard ≈ 0.66 (pair planted); the
+    * spoke–spoke Jaccard ≈ 0.32 stays under the 0.45 threshold (pair NOT
+    * planted). The hub carries the MAX id, so the survivor rules
+    * genuinely diverge: greedy pair-dedup dooms only the hub (survivors
+    * {b·10, b·10+1}), while transitive component-dedup keeps one doc per
+    * connected cluster (survivors {b·10}) — the fixture distinguishes the
+    * two operators, not just exercises them. */
+  private[graft] def plantedStars(s: SparkSession, d: String): DataFrame = {
+    val seeds = Tables.documents(s, d).select(col("doc_id").as("b"))
+    val bases = seeds.filter(col("b") < 12)
+    bases.select((col("b") * 10).as("doc_id"), toks(col("b"), 0, 60).as("text"))
+      .unionAll(bases.select((col("b") * 10 + 1).as("doc_id"),
+        toks(col("b"), 30, 90).as("text")))
+      .unionAll(bases.select((col("b") * 10 + 2).as("doc_id"),
+        toks(col("b"), 0, 90).as("text")))
+      .unionAll(seeds.filter(col("b") >= 100 && col("b") < 120)
+        .select((col("b") * 10).as("doc_id"), toks(col("b"), 0, 30).as("text")))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  /** Greedy min-id LSH dedup on the planted triangles — hash-gated. */
+  val minhashDedupPlanted: Q = (s, d) =>
+    Dedup.minhashDedup(plantedTriangles(s, d), "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5)
+
+  /** Keep-best LSH dedup (quality = n_chars) on the planted triangles —
+    * hash-gated; the longest clone must survive. */
+  val minhashKeepBestPlanted: Q = (s, d) =>
+    Dedup.minhashDedupKeepBest(plantedTriangles(s, d), "doc_id", "text",
+      qualityCol = "n_chars", numHashes = 64, bands = 16, threshold = 0.5)
+
+  /** Transitive component dedup on the planted stars — hash-gated; one
+    * survivor (min id) per connected cluster. 128 hashes / 64 bands keep
+    * the 0.32-Jaccard spoke pairs ≥3σ below the 0.45 threshold. */
+  val minhashTransitivePlanted: Q = (s, d) =>
+    Dedup.minhashDedupTransitive(plantedStars(s, d), "doc_id", "text",
+      numHashes = 128, bands = 64, threshold = 0.45)
 }

@@ -60,6 +60,26 @@ class PlantedDupSpec extends SparkSpec {
       s"only $baseSurvivors/50 originals survived — over-deduplication")
   }
 
+  test("star fixture distinguishes greedy from transitive survivorship") {
+    // hub (max id) pairs with both spokes; spokes don't pair with each
+    // other — greedy pair-dedup dooms only the hub, transitive keeps one
+    // doc per component. Same input, different survivor sets: the planted
+    // driver oracle actually discriminates the two rules.
+    val fix = graft.queries.DedupQueries.plantedStars(spark, sf)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val greedy = ids(Dedup.minhashDedup(fix, "doc_id", "text",
+      numHashes = 128, bands = 64, threshold = 0.45))
+    val transitive = ids(Dedup.minhashDedupTransitive(fix, "doc_id", "text",
+      numHashes = 128, bands = 64, threshold = 0.45))
+    val bases = (0L until 12L)
+    val singles = (100L until 120L).map(_ * 10).toSet
+    assert(greedy == bases.flatMap(b => Seq(b * 10, b * 10 + 1)).toSet
+      ++ singles, s"greedy keeps both spokes: $greedy")
+    assert(transitive == bases.map(_ * 10).toSet ++ singles,
+      s"transitive keeps one per cluster: $transitive")
+  }
+
   test("simhash hamming distance separates planted dups from unrelated") {
     import spark.implicits._
     val docs = planted()
