@@ -124,6 +124,31 @@ object ScaleBench {
     val tpN = time(s"pq_encode_adc ${factor}x")(pqPath(embN))
     results += (("pq_encode_adc", tp1, tpN))
 
+    // round-3 operators: transitive components over the dup-heavy
+    // replicated corpus (every doc has `factor` exact copies ⇒ dense
+    // clusters — worst case for label propagation), BM25, and IVF-PQ
+    // SEARCH-ONLY against prebuilt index artifacts (build is offline).
+    val tt1 = time("transitive 1x")(noop(graft.operators.Dedup
+      .minhashDedupTransitive(docs1, "doc_id", "text")))
+    val ttN = time(s"transitive ${factor}x")(noop(graft.operators.Dedup
+      .minhashDedupTransitive(docsN, "doc_id", "text")))
+    results += (("transitive", tt1, ttN))
+
+    val tb1 = time("bm25 1x")(noop(graft.operators.TextSearch
+      .bm25(docs1, "doc_id", "text", Seq("scan", "join"))))
+    val tbN = time(s"bm25 ${factor}x")(noop(graft.operators.TextSearch
+      .bm25(docsN, "doc_id", "text", Seq("scan", "join"))))
+    results += (("bm25", tb1, tbN))
+
+    val ivfDir = java.nio.file.Files.createTempDirectory("scale-ivfpq").toString
+    val idx1 = graft.operators.IvfPq.buildOrLoad(emb1, ivfDir, "1x")
+    val idxN = graft.operators.IvfPq.buildOrLoad(embN, ivfDir, s"${factor}x")
+    val tq1 = time("ivfpq_search 1x")(noop(
+      graft.operators.IvfPq.search(idx1, probes, 10)))
+    val tqN = time(s"ivfpq_search ${factor}x")(noop(
+      graft.operators.IvfPq.search(idxN, probes, 10)))
+    results += (("ivfpq_search", tq1, tqN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

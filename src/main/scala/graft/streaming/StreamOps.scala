@@ -51,7 +51,16 @@ object StreamOps {
   }
 
   /** Run a streaming transform of the replayed events to completion and
-    * return the materialized result. */
+    * return the materialized result.
+    *
+    * Memory-sink caveat (driver-harness contract, not production
+    * posture): the driver calls each query as `(SparkSession, dir) =>
+    * DataFrame`, so results materialize through a memory sink on the
+    * driver — acceptable here because every replay emits a small
+    * aggregate. A production deployment points the same plan at a real
+    * sink (`writeStream.format("parquet"/"kafka")` or
+    * [[EosSink]]-wrapped `foreachBatch`); nothing in the plans depends
+    * on the memory sink. */
   def runToMemory(spark: SparkSession, out: DataFrame,
       mode: OutputMode): DataFrame = {
     val name = s"graft_stream_${sinkId.incrementAndGet()}"
@@ -66,67 +75,73 @@ object StreamOps {
   }
 
   /** Tumbling 1 h window aggregation with watermark (E29). */
+  def tumblingPlan(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("total"))
+
   def tumblingAgg(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(spark,
-      replayEvents(spark, dir)
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
-        .select(col("window.start").as("wstart"), col("event_type"),
-          col("n"), col("total")),
-      OutputMode.Complete())
+    runToMemory(spark, tumblingPlan(spark, dir), OutputMode.Complete())
 
   /** Sliding 1 h window, 30 min hop (E29). */
+  def slidingPlan(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+      .select(col("window.start").as("wstart"), col("n"), col("total"))
+
   def slidingAgg(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(spark,
-      replayEvents(spark, dir)
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
-        .select(col("window.start").as("wstart"), col("n"), col("total")),
-      OutputMode.Complete())
+    runToMemory(spark, slidingPlan(spark, dir), OutputMode.Complete())
 
   /** Session windows, 30 min gap, per user (E30). */
+  def sessionPlan(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n"), col("total"))
+
   def sessionAgg(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(spark,
-      replayEvents(spark, dir)
-        .withWatermark("ts", "1 hour")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
-        .select(col("session_window.start").as("session_start"),
-          col("user_id"), col("n"), col("total")),
-      OutputMode.Complete())
+    runToMemory(spark, sessionPlan(spark, dir), OutputMode.Complete())
 
   /** Streaming deduplication on (user_id, event_type) (E31). */
+  def streamDedupPlan(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      // WithinWatermark variant: plain dropDuplicates without the event
+      // time column would keep (user, type) state forever; this evicts
+      // keys once the watermark passes them
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(spark,
-      replayEvents(spark, dir)
-        .withWatermark("ts", "1 hour")
-        // WithinWatermark variant: plain dropDuplicates without the event
-        // time column would keep (user, type) state forever; this evicts
-        // keys once the watermark passes them
-        .dropDuplicatesWithinWatermark("user_id", "event_type")
-        .select("user_id", "event_type"),
-      OutputMode.Append())
+    runToMemory(spark, streamDedupPlan(spark, dir), OutputMode.Append())
 
   /** Stream-static join: the unbounded event stream enriched against a
     * static dimension table — the static side is re-planned per
     * microbatch, no state store involved. */
-  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStaticPlan(spark: SparkSession, dir: String): DataFrame = {
     val cust = graft.sources.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val joined = replayEvents(spark, dir)
+    replayEvents(spark, dir)
       .join(cust, col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
-    runToMemory(spark, joined, OutputMode.Complete())
   }
+
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, streamStaticPlan(spark, dir), OutputMode.Complete())
 
   /** Stream-stream inner join: error events joined to purchase events of
     * the same user within the following hour, both sides watermarked so
     * join state expires. The streaming analogue of the batch range join
     * (E11) — state is keyed by user, bounded by the watermark horizon. */
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStreamPlan(spark: SparkSession, dir: String): DataFrame = {
     val ev = replayEvents(spark, dir)
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id").as("u1"), col("ts").as("t1"),
@@ -136,13 +151,15 @@ object StreamOps {
       .select(col("user_id").as("u2"), col("ts").as("t2"),
         col("event_id").as("buy_id"))
       .withWatermark("t2", "1 hour")
-    val joined = errors.join(purchases,
+    errors.join(purchases,
       col("u1") === col("u2")
         && col("t2") >= col("t1")
         && col("t2") <= col("t1") + expr("INTERVAL 1 HOUR"))
       .select(col("err_id"), col("buy_id"), col("u1").as("user_id"))
-    runToMemory(spark, joined, OutputMode.Append())
   }
+
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, streamStreamPlan(spark, dir), OutputMode.Append())
 
   /** Custom per-key state via flatMapGroupsWithState (E32): running
     * count/sum per user, emitted after each batch. State is BOUNDED: a
@@ -193,13 +210,16 @@ object StreamOps {
       round(col("total_raw"), 6).as("total_value"))
   }
 
-  def statefulPerUser(spark: SparkSession, dir: String): DataFrame = {
+  def statefulPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ds: Dataset[EventRow] = replayEvents(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[EventRow]
-    runToMemory(spark, statefulTransform(ds), OutputMode.Append())
+    statefulTransform(ds)
   }
+
+  def statefulPerUser(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, statefulPlan(spark, dir), OutputMode.Append())
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -222,15 +242,31 @@ object StreamOps {
     * the decontamination kernel composes with Structured Streaming
     * (stream-static equi join, no stream-side state beyond the
     * per-doc counts). */
-  def streamDecontam(spark: SparkSession, dir: String): DataFrame =
+  def streamDecontamPlan(spark: SparkSession, dir: String): DataFrame =
     // ONE decontamination kernel: the batch operator works unchanged on
     // a streaming corpus side (stream-static equi join + Complete-mode
     // agg) — no second copy to drift from the batch tier
-    runToMemory(spark,
-      graft.operators.Decontam.overlapHashed(
-        replayDocuments(spark, dir).filter(col("doc_id") >= 5),
-        graft.sources.Tables.documents(spark, dir)
-          .filter(col("doc_id") < 5),
-        "doc_id", "text", n = 5),
-      OutputMode.Complete())
+    graft.operators.Decontam.overlapHashed(
+      replayDocuments(spark, dir).filter(col("doc_id") >= 5),
+      graft.sources.Tables.documents(spark, dir)
+        .filter(col("doc_id") < 5),
+      "doc_id", "text", n = 5)
+
+  def streamDecontam(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, streamDecontamPlan(spark, dir), OutputMode.Complete())
+
+  /** Every streaming replay as (name, plan, mode) — one list for tools
+    * (state profiling) so they drive exactly the driver queries' plans. */
+  def replayPlans(spark: SparkSession, dir: String)
+      : Seq[(String, DataFrame, OutputMode)] = Seq(
+    ("stream_window_agg", tumblingPlan(spark, dir), OutputMode.Complete()),
+    ("stream_sliding", slidingPlan(spark, dir), OutputMode.Complete()),
+    ("stream_session", sessionPlan(spark, dir), OutputMode.Complete()),
+    ("stream_dedup", streamDedupPlan(spark, dir), OutputMode.Append()),
+    ("stream_stream_join", streamStreamPlan(spark, dir), OutputMode.Append()),
+    ("stream_static_join", streamStaticPlan(spark, dir),
+      OutputMode.Complete()),
+    ("stream_stateful", statefulPlan(spark, dir), OutputMode.Append()),
+    ("stream_decontam", streamDecontamPlan(spark, dir),
+      OutputMode.Complete()))
 }
