@@ -148,6 +148,12 @@ object SparkEntry {
     "q_minhash_transitive" -> PipelineQueries.minhashTransitive,
     "q_profile" -> PipelineQueries.profileLineitem,
     "q_multimodal_transform" -> PipelineQueries.multimodalTransform,
+    // pipeline extensions (round 3): repetition quality filters,
+    // corpus-level dup-span fraction, domain mixing, sequence packing
+    "q_quality_repetition" -> PipelineQueries.qualityRepetition,
+    "q_dup_spans" -> PipelineQueries.dupSpans,
+    "q_domain_mix" -> PipelineQueries.domainMix,
+    "q_seq_pack" -> PipelineQueries.seqPack,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -910,6 +916,77 @@ object SparkEntry {
              count(DISTINCT l_discount),
              CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
       FROM lineitem""",
+
+    "q_quality_repetition" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 2 THEN list_transform(
+                 range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                 ELSE [] END AS g2,
+               CASE WHEN len(tk) >= 3 THEN list_transform(
+                 range(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [] END AS g3
+        FROM t),
+      inrow AS (
+        SELECT doc_id,
+               CASE WHEN len(g2) > 0 THEN
+                 round(1 - len(list_distinct(g2))::DOUBLE / len(g2), 6)
+                 ELSE 0.0 END AS dup_bigram_frac,
+               CASE WHEN len(g3) > 0 THEN
+                 round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
+                 ELSE 0.0 END AS dup_trigram_frac
+        FROM g),
+      top AS (
+        SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+        FROM (SELECT doc_id, bg, count(*) AS c
+              FROM (SELECT doc_id, unnest(g2) AS bg FROM g) x
+              GROUP BY 1, 2) y
+        GROUP BY doc_id)
+      SELECT i.doc_id, dup_bigram_frac, dup_trigram_frac,
+             coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+             (dup_bigram_frac <= 0.3
+               AND coalesce(top_bigram_frac, 0.0) <= 0.2) AS keep
+      FROM inrow i LEFT JOIN top USING (doc_id)""",
+
+    "q_dup_spans" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      ngr AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(tk) - 6),
+                 i -> array_to_string(tk[i:i+7], ' '))) AS ng
+        FROM t WHERE len(tk) >= 8),
+      dc AS (SELECT ng, count(*) AS nd FROM ngr GROUP BY 1)
+      SELECT doc_id, count(*) AS n_spans,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+             round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 6) AS dup_span_frac
+      FROM ngr JOIN dc USING (ng)
+      GROUP BY doc_id""",
+
+    "q_domain_mix" -> """
+      SELECT source, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+        FROM documents) t
+      WHERE rn <= CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                       THEN 35 ELSE 5 END""",
+
+    "q_seq_pack" -> """
+      SELECT doc_id, lang, n_tokens::INT AS n_tokens,
+             (cum - n_tokens)::BIGINT AS start_off,
+             ((cum - n_tokens) // 128)::BIGINT AS chunk_id,
+             ((cum - n_tokens) % 128 + n_tokens > 128) AS straddles
+      FROM (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+               sum(len(string_split(text, ' '))) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents) t""",
 
     // Planted-fixture oracles: DuckDB regenerates the identical
     // md5-derived fixture, then selects the survivors the construction

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic domain mixing: down-sample each group (source/domain)
+  * to its target share of a document budget — the mixture-reweighting
+  * step of training-corpus assembly ("60% web, 30% books, 10% code").
+  *
+  * Determinism: docs rank by a content-derived hash, so the mixture is
+  * reproducible across runs and engines and stable under corpus
+  * re-partitioning.
+  *
+  * Scale shape: phase 1 bounds every group with the custom
+  * [[TopK.perGroup]] operator at k = max quota (per-task heaps, ≤ k
+  * rows per group per task cross the shuffle); phase 2 applies each
+  * group's exact quota with a row_number over the ≤ Σ quotas
+  * survivors. The full corpus is never globally sorted, and a group
+  * with billions of docs still ships only `max quota` rows per task.
+  */
+object Mixing {
+
+  /** @param weights group value → target fraction of `budget`; groups
+    *                absent from the map are dropped (weight 0)
+    * @param budget  total docs wanted; each group contributes
+    *                ⌊weight·budget⌋ docs (fewer if the group is smaller)
+    */
+  def sampleToWeights(df: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Double], budget: Long): DataFrame = {
+    require(weights.nonEmpty, "need at least one group weight")
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"weights must be fractions in [0,1]: $weights")
+    val quotas = weights.map { case (g, w) => (g, (budget * w).toLong) }
+    val maxQ = quotas.values.max
+    require(maxQ > 0, "all quotas are zero — raise budget or weights")
+    require(maxQ <= Int.MaxValue, s"quota $maxQ exceeds Int range")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = quotas.toSeq.toDF(groupCol, "__quota")
+    val ranked = df.select(col(groupCol), col(idCol),
+      md5(col(idCol).cast("string")).as("__rk"))
+    val bounded = TopK.perGroup(ranked, Seq(groupCol), "__rk",
+      k = maxQ.toInt, desc = false, tieBreak = Seq(idCol))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__rk").asc, col(idCol).asc)
+    bounded.join(broadcast(qdf), Seq(groupCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__quota"))
+      .select(col(groupCol), col(idCol))
+  }
+}

@@ -164,6 +164,36 @@ object PipelineQueries {
     ivfPqIndex(s, d); ()
   }
 
+  /** Gopher-style within-doc repetition signals + keep flag (round 3). */
+  val qualityRepetition: Q = (s, d) =>
+    graft.operators.Repetition.signals(Tables.documents(s, d),
+      "doc_id", "text")
+
+  /** RefinedWeb-style corpus-level duplicated-span fraction per doc
+    * (round 3) — runs on the ngram_hashes byte-range kernel. */
+  val dupSpans: Q = (s, d) =>
+    graft.operators.Repetition.dupSpanFraction(Tables.documents(s, d),
+      "doc_id", "text", n = 8)
+
+  /** Deterministic domain mixing to target source weights (round 3):
+    * five head sources at 14% each, the long tail at 2%, budget 250. */
+  val domainMix: Q = (s, d) =>
+    graft.operators.Mixing.sampleToWeights(Tables.documents(s, d),
+      "source", "doc_id",
+      weights = (0 to 4).map(i => s"src$i" -> 0.14).toMap ++
+        (5 to 19).map(i => s"src$i" -> 0.02).toMap,
+      budget = 250)
+
+  /** Concat-then-chunk sequence packing into 128-token chunks per lang
+    * (round 3). */
+  val seqPack: Q = (s, d) =>
+    graft.operators.Packing.packBySize(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens")),
+      partCols = Seq("lang"), orderCol = "doc_id", sizeCol = "n_tokens",
+      capacity = 128)
+
   /** IVF-PQ composed index: coarse lists bound the scan, residual PQ
     * codes stand in for vectors — the billion-scale ANN shape (rows-only;
     * recall + codes-only-search + build-once oracles in IvfPqSpec).

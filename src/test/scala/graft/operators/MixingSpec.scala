@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Quota and determinism oracles for domain mixing. */
+class MixingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus = (0L until 300L)
+    .map(i => (i, if (i < 200) "web" else if (i < 280) "books" else "code"))
+    .toDF("doc_id", "source")
+    .select(org.apache.spark.sql.functions.col("source"),
+      org.apache.spark.sql.functions.col("doc_id"))
+
+  test("each group lands on min(quota, group size); unmapped groups drop") {
+    val out = Mixing.sampleToWeights(corpus, "source", "doc_id",
+      weights = Map("web" -> 0.6, "books" -> 0.4, "news" -> 0.1),
+      budget = 100)
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("web" -> 60L, "books" -> 40L),
+      s"got $counts") // code has no weight; news has no docs
+  }
+
+  test("quota larger than the group takes the whole group") {
+    val out = Mixing.sampleToWeights(corpus, "source", "doc_id",
+      weights = Map("code" -> 1.0), budget = 1000)
+    assert(out.count() == 20) // only 20 code docs exist
+  }
+
+  test("mixture is deterministic across runs and repartitioning") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Mixing.sampleToWeights(df, "source", "doc_id",
+        weights = Map("web" -> 0.5, "books" -> 0.5), budget = 80)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ids(corpus) == ids(corpus.repartition(7)))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-computed oracles for the repetition/duplication quality
+  * signals. */
+class RepetitionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("within-doc signals match hand computation") {
+    val docs = Seq(
+      // bigrams: "a b","b a","a b","b a","a b" → 5 total, 2 distinct
+      (1L, "a b a b a b"),
+      // 11 unique tokens → 10 distinct bigrams, top share 1/10
+      (2L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = Repetition.signals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) == ((0.6, 0.5, 0.6, false)))       // 1-2/5, 1-2/4, 3/5
+    assert(got(2L) == ((0.0, 0.0, 0.1, true)))
+    assert(got(3L) == ((0.0, 0.0, 0.0, true)))        // no bigrams at all
+  }
+
+  test("dup-span fraction: shared spans counted, unique spans not") {
+    val shared = (0 until 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " a1 a2"),      // 3 spans, 1 shared
+      (2L, shared + " b1 b2 b3"),   // 4 spans, 1 shared
+      (3L, (0 until 10).map(i => s"u$i").mkString(" ")), // 3 spans, unique
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = Repetition.dupSpanFraction(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 1L, 0.333333)))
+    assert(got(2L) == ((4L, 1L, 0.25)))
+    assert(got(3L) == ((3L, 0L, 0.0)))
+    assert(!got.contains(4L), "sub-n docs emit no row")
+  }
+}
