@@ -111,6 +111,7 @@ object SparkEntry {
     "q_minhash_transitive_planted" -> DedupQueries.minhashTransitivePlanted,
     "q_simhash_neardup" -> DedupQueries.simhashNearDup,
     "q_embed_neardup" -> DedupQueries.embedNearDup,
+    "q_semantic_dedup" -> DedupQueries.semanticDedup,
     "q_ann_lsh" -> DedupQueries.annLsh,
     "q_ann_ivf" -> DedupQueries.annIvf,
     "q_multimodal_decode" -> DedupQueries.multimodalDecode,

@@ -161,6 +161,18 @@ object AnnSearch {
     var centroids = corpus.filter(col(idCol) % stride === 0)
       .select(col(idCol).as("centroid_id"),
         transform(col(vecCol), x => x.cast("double")).as("centvec"))
+    // the whole centroid set rides ONE broadcast row (collect_list) —
+    // fine for the intended hundreds-to-thousands of lists, driver-fatal
+    // if a caller picks a stride that implies millions. Enforce the
+    // contract loudly; the count is a build-time-only job.
+    val maxC = corpus.sparkSession.conf
+      .getOption("spark.graft.ann.maxCentroids").getOrElse("100000").toLong
+    val c = centroids.count()
+    require(c > 0, s"stride $stride selected no centroid seeds")
+    require(c <= maxC,
+      s"stride $stride implies $c centroids; the centroid set must fit " +
+        s"one broadcast row (spark.graft.ann.maxCentroids=$maxC). Raise " +
+        "the stride, or raise the cap if the driver has memory headroom.")
     var i = 0
     while (i < iters) {
       val centArr = centroids.agg(

@@ -263,6 +263,75 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Embedding-space (semantic) near-duplicate pairs at corpus scale —
+    * the SemDeDup shape: k-means lists bound the candidate space (pairs
+    * form only WITHIN a list, never across the corpus), cosine verifies
+    * each candidate, and ids-only discipline holds throughout: the
+    * within-list self-join carries (list, id) pairs, vectors re-attach
+    * by id exactly once per side for the verify.
+    *
+    * Two vectors equal up to noise land in the same list (the argmax
+    * assignment is deterministic), so true duplicates are never split
+    * across lists unless they sit exactly on a list boundary — the same
+    * recall contract every IVF-bounded method makes. `maxList` caps
+    * degenerate lists (a collapsed embedding cluster) like
+    * [[minhashLsh]]'s `maxBucket`.
+    *
+    * Returns (a, b, cos) with a < b. */
+  def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroidStride: Int = 25, kmeansIters: Int = 2,
+      maxList: Int = 2000): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val cents = AnnSearch.kmeansCentroids(df, vecCol, idCol,
+      centroidStride, kmeansIters).cache()
+    val centArr = cents.agg(
+      collect_list(struct(col("centroid_id"), col("centvec"))).as("cents"))
+    // per-row argmax over the broadcast centroid row — ids only leave
+    val assigned = df
+      .select(col(idCol).as("id"), col(vecCol).as("__vec"))
+      .join(broadcast(centArr))
+      .select(col("id"), aggregate(col("cents"),
+        struct(lit(Double.NegativeInfinity).as("sim"),
+          lit(Long.MinValue).as("centroid_id")),
+        (acc, c) => {
+          val sim = graft.functions.GraftFunctions.cosineSim(col("__vec"),
+            c.getField("centvec"))
+          when(sim > acc.getField("sim") ||
+              (sim === acc.getField("sim") &&
+                c.getField("centroid_id") > acc.getField("centroid_id")),
+            struct(sim.as("sim"),
+              c.getField("centroid_id").as("centroid_id")))
+            .otherwise(acc)
+        }).getField("centroid_id").as("list"))
+    val listSizes = assigned.groupBy("list")
+      .agg(count(lit(1)).as("lsz"))
+      .filter(col("lsz").between(2, maxList))
+    val pruned = assigned.join(listSizes, Seq("list"))
+    val pairs = pruned.select(col("list"), col("id").as("a"))
+      .join(pruned.select(col("list"), col("id").as("b")), Seq("list"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val v = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    pairs
+      .join(v.select(col("__vid").as("a"), col("__v").as("va")), Seq("a"))
+      .join(v.select(col("__vid").as("b"), col("__v").as("vb")), Seq("b"))
+      .select(col("a"), col("b"), round(graft.functions.GraftFunctions
+        .cosineSim(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Greedy semantic dedup: drops the greater id of every
+    * [[semanticNearDup]] pair — "one copy per embedding-space
+    * duplicate". */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroidStride: Int = 25, kmeansIters: Int = 2,
+      maxList: Int = 2000): DataFrame = {
+    val doomed = semanticNearDup(df, idCol, vecCol, threshold,
+      centroidStride, kmeansIters, maxList)
+      .select(col("b").as(idCol)).distinct()
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs among a bounded probe set —
     * the exact/verification path (LSH-bucketed variant in
     * [[AnnSearch.hyperplaneBuckets]]). */

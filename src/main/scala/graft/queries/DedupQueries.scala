@@ -35,6 +35,15 @@ object DedupQueries {
     Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
       probeMax = 100L, threshold = 0.35)
 
+  /** SemDeDup-style semantic dedup (E35 scale path) — k-means lists
+    * bound candidates, cosine verifies; rows-only (kmeans is not
+    * SQL-expressible), planted-duplicate oracle in SemanticDedupSpec. */
+  val semanticDedup: Q = (s, d) =>
+    Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.5)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_survivors"))
+
   /** Hyperplane-LSH ANN top-k (E38) — rows-only; recall vs brute force
     * asserted in AnnSearchSpec. */
   val annLsh: Q = (s, d) => {
