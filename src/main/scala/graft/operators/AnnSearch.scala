@@ -51,6 +51,25 @@ object AnnSearch {
         "raise the cap if the driver has memory headroom.")
   }
 
+  /** The full centroid set as ONE broadcastable row, with an IN-PLAN
+    * bounds check — zero extra jobs (no count), failing loudly before a
+    * pathological stride's centroid row reaches the broadcast (the
+    * driver-fatal step). An empty seed set also fails here instead of
+    * silently assigning every row to a sentinel list. Cap:
+    * `spark.graft.ann.maxCentroids` (default 100000). */
+  private[operators] def centroidRow(centroids: DataFrame): DataFrame = {
+    val maxC = centroids.sparkSession.conf
+      .getOption("spark.graft.ann.maxCentroids").getOrElse("100000").toLong
+    centroids.agg(
+        collect_list(struct(col("centroid_id"), col("centvec"))).as("cents"))
+      .select(when(size(col("cents")).between(1, maxC), col("cents"))
+        .otherwise(raise_error(concat(
+          lit("centroid set size "), size(col("cents")).cast("string"),
+          lit(s" outside [1, $maxC] (spark.graft.ann.maxCentroids) — " +
+            "raise the stride, or the cap if the driver has headroom"))))
+        .as("cents"))
+  }
+
   /** Deterministic unit-ish hyperplanes: `tables × bits × dim`. */
   private def hyperplanes(tables: Int, bits: Int, dim: Int,
       seed: Long): Array[Array[Array[Double]]] = {
@@ -161,22 +180,9 @@ object AnnSearch {
     var centroids = corpus.filter(col(idCol) % stride === 0)
       .select(col(idCol).as("centroid_id"),
         transform(col(vecCol), x => x.cast("double")).as("centvec"))
-    // the whole centroid set rides ONE broadcast row (collect_list) —
-    // fine for the intended hundreds-to-thousands of lists, driver-fatal
-    // if a caller picks a stride that implies millions. Enforce the
-    // contract loudly; the count is a build-time-only job.
-    val maxC = corpus.sparkSession.conf
-      .getOption("spark.graft.ann.maxCentroids").getOrElse("100000").toLong
-    val c = centroids.count()
-    require(c > 0, s"stride $stride selected no centroid seeds")
-    require(c <= maxC,
-      s"stride $stride implies $c centroids; the centroid set must fit " +
-        s"one broadcast row (spark.graft.ann.maxCentroids=$maxC). Raise " +
-        "the stride, or raise the cap if the driver has memory headroom.")
     var i = 0
     while (i < iters) {
-      val centArr = centroids.agg(
-        collect_list(struct(col("centroid_id"), col("centvec"))).as("cents"))
+      val centArr = centroidRow(centroids)
       // argmax within the row: highest cosine, ties to the largest
       // centroid_id. Order-independent over the collected array, so
       // collect_list's nondeterministic ordering cannot leak into results.

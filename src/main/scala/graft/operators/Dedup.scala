@@ -284,8 +284,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val cents = AnnSearch.kmeansCentroids(df, vecCol, idCol,
       centroidStride, kmeansIters).cache()
-    val centArr = cents.agg(
-      collect_list(struct(col("centroid_id"), col("centvec"))).as("cents"))
+    val centArr = AnnSearch.centroidRow(cents)
     // per-row argmax over the broadcast centroid row — ids only leave
     val assigned = df
       .select(col(idCol).as("id"), col(vecCol).as("__vec"))

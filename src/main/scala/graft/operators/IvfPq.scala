@@ -76,11 +76,20 @@ object IvfPq {
   /** Build-once/search-many: load the index from `cacheDir` if an
     * artifact for this (tag, params, corpus) exists, else build it and
     * persist centroids/books/codes as parquet. The marker file is the
-    * commit point (written last, holds the corpus row count): a crashed
-    * build leaves no marker and is rebuilt; a corpus whose count changed
-    * invalidates the artifact. `tag` is the caller's identity for the
-    * corpus (canonical input path) — it and every shape parameter are in
-    * the cache key, so different corpora or params never collide.
+    * commit point (written last, holds the corpus fingerprint): a
+    * crashed build leaves no marker and is rebuilt; a corpus whose row
+    * count or id set changed invalidates the artifact. `tag` is the
+    * caller's identity for the corpus (canonical input path) — it and
+    * every shape parameter are in the cache key, so different corpora or
+    * params never collide.
+    *
+    * Fingerprint contract: count + a hash-sum of the id column (one
+    * single-column agg — the vector column is never read for the check).
+    * A corpus whose VECTORS changed while ids and count stayed identical
+    * is NOT detected — that is the deliberate cost/coverage trade
+    * (probing content would scan the embeddings on every call, the exact
+    * cost this cache removes). Set env `GRAFT_INDEX_REBUILD=1` to force
+    * a rebuild after an in-place corpus rewrite.
     *
     * This is the production posture the per-call [[build]] only
     * approximates: at 100 TB the index IS a persisted artifact, built
@@ -98,17 +107,24 @@ object IvfPq {
       .digest(keySrc.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val dir = Paths.get(cacheDir, key)
     val marker = dir.resolve("_built")
-    // fingerprint: parquet-metadata count — cheap even at corpus scale
-    val n = corpus.count()
+    // bit_xor, not sum: order-independent like sum but cannot overflow
+    // under ANSI arithmetic
+    val fpRow = corpus.agg(count(lit(1)), bit_xor(xxhash64(col(idCol)))).head()
+    val fp = s"${fpRow.getLong(0)}:${if (fpRow.isNullAt(1)) 0L
+      else fpRow.getLong(1)}"
     def load() = Index(
       spark.read.parquet(dir.resolve("centroids").toString),
       spark.read.parquet(dir.resolve("books").toString),
       spark.read.parquet(dir.resolve("codes").toString), idCol)
     val fresh = Files.exists(marker) &&
-      new String(Files.readAllBytes(marker), "UTF-8").trim == n.toString
+      new String(Files.readAllBytes(marker), "UTF-8").trim == fp &&
+      !sys.env.get("GRAFT_INDEX_REBUILD").contains("1")
     if (!fresh) {
-      val idx = build(corpus, idCol, vecCol, centroidStride, kmeansIters,
-        m, k, pqIters, dim)
+      // spread the build across cores even when the corpus arrives as
+      // one input file — build-time cost only, the artifact re-reads
+      // multi-file
+      val idx = build(corpus.repartition(col(idCol)), idCol, vecCol,
+        centroidStride, kmeansIters, m, k, pqIters, dim)
       idx.centroids.write.mode("overwrite")
         .parquet(dir.resolve("centroids").toString)
       idx.books.write.mode("overwrite")
@@ -116,7 +132,7 @@ object IvfPq {
       idx.codes.write.mode("overwrite")
         .parquet(dir.resolve("codes").toString)
       idx.centroids.unpersist(); idx.books.unpersist(); idx.codes.unpersist()
-      Files.write(marker, n.toString.getBytes("UTF-8")) // commit point
+      Files.write(marker, fp.getBytes("UTF-8")) // commit point
     }
     // always serve from the artifact, so the searched plan is identical
     // on build-miss and cache-hit runs
@@ -135,8 +151,7 @@ object IvfPq {
     // all ~C lists ride one small in-row array, sorted and sliced — no
     // window, no probe×centroid shuffle, works for any probe count.
     // Same metric (cosine) as corpus assignment so lists line up.
-    val centArr = index.centroids.agg(
-      collect_list(struct(col("centroid_id"), col("centvec"))).as("cents"))
+    val centArr = AnnSearch.centroidRow(index.centroids)
     val probeLists = probes
       .select(col(probeId).as("probe_id"), col(probeVec).as("__pv"))
       .join(broadcast(centArr))

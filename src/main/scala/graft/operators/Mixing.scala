@@ -31,7 +31,14 @@ object Mixing {
     require(weights.nonEmpty, "need at least one group weight")
     require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
       s"weights must be fractions in [0,1]: $weights")
-    val quotas = weights.map { case (g, w) => (g, (budget * w).toLong) }
+    // exact decimal floor: budget*w in doubles truncates one doc short
+    // whenever the product lands just under the integer (0.58*50 =
+    // 28.999…96 → 28, not 29). BigDecimal of the weight's decimal text
+    // keeps ⌊weight·budget⌋ exact for any budget.
+    val quotas = weights.map { case (g, w) =>
+      (g, (BigDecimal(w.toString) * BigDecimal(budget))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+    }
     val maxQ = quotas.values.max
     require(maxQ > 0, "all quotas are zero — raise budget or weights")
     require(maxQ <= Int.MaxValue, s"quota $maxQ exceeds Int range")

@@ -151,10 +151,9 @@ object PipelineQueries {
       sys.props("java.io.tmpdir") + "/graft-index")
 
   private def ivfPqIndex(s: SparkSession, d: String) =
-    graft.operators.IvfPq.buildOrLoad(
-      // the sf parquet is a single file ⇒ one input partition; spread the
-      // build's per-row encode/train folds across cores (build-time only)
-      Tables.embeddings(s, d).repartition(col("vec_id")),
+    // plain scan: the fingerprint agg stays a single-column metadata-
+    // cheap job; buildOrLoad repartitions internally on a build miss
+    graft.operators.IvfPq.buildOrLoad(Tables.embeddings(s, d),
       indexCacheDir, tag = new java.io.File(d).getCanonicalPath)
 
   /** Offline index build: idempotent, called by Bench before the timed
