@@ -45,6 +45,8 @@ object GraftFunctions {
       intArg(es(1), "ngram_hashes"))),
     "ngram_hashes_gen" -> (es => NgramHashGen(es(0),
       intArg(es(1), "ngram_hashes_gen"))),
+    "ngram_rep_stats" -> (es => NgramRepStats(es(0),
+      intArg(es(1), "ngram_rep_stats"))),
   )
 
   /** Idempotent per-session registration of all engine functions. */
@@ -87,5 +89,9 @@ object GraftFunctions {
   /** Generator (UDTF) form — one row per distinct n-gram hash. */
   def ngramHashesGen(text: Column, n: Int): Column =
     call_function("ngram_hashes_gen", text,
+      org.apache.spark.sql.functions.lit(n))
+  /** [total, distinct, maxRun] of a doc's word n-grams in one pass. */
+  def ngramRepStats(text: Column, n: Int): Column =
+    call_function("ngram_rep_stats", text,
       org.apache.spark.sql.functions.lit(n))
 }

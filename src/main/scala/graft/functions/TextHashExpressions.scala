@@ -98,6 +98,49 @@ object TextHashExpressions {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  /** [[NgramRepStats]] kernel: one pass over the same byte-range n-gram
+    * hashes as [[ngramHashesOf]], returning `[total, distinct, maxRun]`
+    * — total n-grams, distinct n-grams, and the highest single n-gram
+    * count (the mode). Sorting the hash array makes both distinct and
+    * the mode a run-length walk, so within-doc repetition statistics
+    * cost one kernel call with zero string materialization. */
+  def ngramRepStatsOf(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    val nb = text.numBytes
+    var numToks = 1
+    var i = 0
+    while (i < nb) { if (text.getByte(i) == 0x20) numToks += 1; i += 1 }
+    if (numToks < n) return new GenericArrayData(Array(0L, 0L, 0L))
+    val starts = new Array[Int](numToks)
+    val ends = new Array[Int](numToks)
+    var t = 0; starts(0) = 0; i = 0
+    while (i < nb) {
+      if (text.getByte(i) == 0x20) { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = nb
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val out = new Array[Long](numToks - n + 1)
+    var g = 0
+    while (g <= numToks - n) {
+      val s = starts(g); val e = ends(g + n - 1)
+      out(g) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + s, e - s, 42L)
+      g += 1
+    }
+    java.util.Arrays.sort(out)
+    var distinct = 0; var maxRun = 0; var run = 0; var r = 0
+    while (r < out.length) {
+      if (r == 0 || out(r) != out(r - 1)) { distinct += 1; run = 1 }
+      else run += 1
+      if (run > maxRun) maxRun = run
+      r += 1
+    }
+    new GenericArrayData(Array(out.length.toLong, distinct.toLong,
+      maxRun.toLong))
+  }
+
   /** [[MinHashSig]] kernel as ArrayData (also called from generated code). */
   def minhashSigOf(elems: ArrayData, k: Int): ArrayData =
     new GenericArrayData(minhashOf(elems, k))
@@ -275,6 +318,42 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHashExpressions" +
         s".ngramHashesOf($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ngram_rep_stats(text, n) -> array<long> [total, distinct, maxRun] —
+  * within-doc n-gram repetition statistics in one kernel pass (see
+  * [[TextHashExpressions.ngramRepStatsOf]]). The scan-side kernel of
+  * [[graft.operators.Repetition.signals]]: duplicate-n-gram fraction and
+  * mode share become pure projections, no explode/groupBy. */
+case class NgramRepStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be positive")
+  override def prettyName: String = "ngram_rep_stats"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_rep_stats expects string, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashExpressions.ngramRepStatsOf(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashExpressions" +
+        s".ngramRepStatsOf($c, $n);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

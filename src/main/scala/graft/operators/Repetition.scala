@@ -20,53 +20,41 @@ import org.apache.spark.sql.functions._
   */
 object Repetition {
 
-  private def toks(text: Column): Column = split(lower(text), " ")
-
-  /** Word n-grams (single-space tokenization, mirroring the DuckDB
-    * oracle's `string_split`); empty for docs shorter than `n` tokens. */
-  private def grams(t: Column, n: Int): Column =
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - n + 1),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-
   /** Within-doc repetition signals per doc:
     *  - `dup_bigram_frac` / `dup_trigram_frac`: fraction of the doc's
     *    n-grams that repeat an earlier n-gram (1 − distinct/total);
     *  - `top_bigram_frac`: share of the single most frequent bigram;
     *  - `keep`: both configured thresholds respected — the filter bit a
     *    pipeline anti-joins on.
-    */
+    *
+    * One projection over the scan: every statistic comes from the
+    * [[graft.functions.NgramRepStats]] kernel's [total, distinct,
+    * maxRun] triple — no gram string, no explode, no shuffle (the
+    * explode+groupBy mode formulation measured ~10 s at sf0.1; the
+    * kernel runs the query sub-second). */
   def signals(df: DataFrame, idCol: String, textCol: String,
       maxDupBigramFrac: Double = 0.3, maxTopBigramFrac: Double = 0.2)
       : DataFrame = {
-    val t = toks(col(textCol))
-    val base = df.select(col(idCol).as("doc_id"),
-      grams(t, 2).as("g2"), grams(t, 3).as("g3"))
-    def dupFrac(g: Column): Column =
-      when(size(g) > 0,
-        round(lit(1) - size(array_distinct(g)).cast("double") / size(g), 6))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    def stats(n: Int) = graft.functions.GraftFunctions
+      .ngramRepStats(lower(col(textCol)), n)
+    def dupFrac(s: Column): Column =
+      when(element_at(s, 1) > 0,
+        round(lit(1) - element_at(s, 2).cast("double") / element_at(s, 1), 6))
         .otherwise(lit(0.0))
-    val inRow = base.select(col("doc_id"),
-      dupFrac(col("g2")).as("dup_bigram_frac"),
-      dupFrac(col("g3")).as("dup_trigram_frac"))
-    // mode-of-bigrams needs a per-(doc, gram) count; hash the gram so the
-    // shuffle carries (doc_id, long) — counts are identical unless two of
-    // one doc's bigrams collide at 64 bits (negligible, and detectable:
-    // the driver oracle counts the strings)
-    val top = base.select(col("doc_id"), explode(col("g2")).as("bg"))
-      .groupBy(col("doc_id"), xxhash64(col("bg")).as("bgh"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max("c").as("maxc"), sum("c").as("totc"))
-    inRow.join(top, Seq("doc_id"), "left")
-      .withColumn("top_bigram_frac",
-        coalesce(round(col("maxc").cast("double") / col("totc"), 6),
-          lit(0.0)))
-      .select(col("doc_id"), col("dup_bigram_frac"),
-        col("dup_trigram_frac"), col("top_bigram_frac"),
-        (col("dup_bigram_frac") <= maxDupBigramFrac &&
-          col("top_bigram_frac") <= maxTopBigramFrac).as("keep"))
+    def topFrac(s: Column): Column =
+      when(element_at(s, 1) > 0,
+        round(element_at(s, 3).cast("double") / element_at(s, 1), 6))
+        .otherwise(lit(0.0))
+    df.select(col(idCol).as("doc_id"), stats(2).as("__s2"),
+        stats(3).as("__s3"))
+      .select(col("doc_id"),
+        dupFrac(col("__s2")).as("dup_bigram_frac"),
+        dupFrac(col("__s3")).as("dup_trigram_frac"),
+        topFrac(col("__s2")).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("dup_bigram_frac") <= maxDupBigramFrac &&
+          col("top_bigram_frac") <= maxTopBigramFrac)
   }
 
   /** Corpus-level duplicated-span fraction per doc: the share of a doc's
