@@ -140,6 +140,26 @@ object ScaleBench {
       .bm25(docsN, "doc_id", "text", Seq("scan", "join"))))
     results += (("bm25", tb1, tbN))
 
+    val tr1 = time("repetition 1x")(noop(graft.operators.Repetition
+      .signals(docs1, "doc_id", "text")))
+    val trN = time(s"repetition ${factor}x")(noop(graft.operators.Repetition
+      .signals(docsN, "doc_id", "text")))
+    results += (("repetition", tr1, trN))
+
+    val tds1 = time("dup_spans 1x")(noop(graft.operators.Repetition
+      .dupSpanFraction(docs1, "doc_id", "text")))
+    val tdsN = time(s"dup_spans ${factor}x")(noop(graft.operators.Repetition
+      .dupSpanFraction(docsN, "doc_id", "text")))
+    results += (("dup_spans", tds1, tdsN))
+
+    // replicated corpus = every vector has `factor` exact copies, the
+    // semantic-dedup worst case (dense within-list pair fan-out)
+    val tsd1 = time("semantic_dedup 1x")(noop(graft.operators.Dedup
+      .semanticDedup(emb1, "vec_id", "embedding", threshold = 0.9)))
+    val tsdN = time(s"semantic_dedup ${factor}x")(noop(graft.operators.Dedup
+      .semanticDedup(embN, "vec_id", "embedding", threshold = 0.9)))
+    results += (("semantic_dedup", tsd1, tsdN))
+
     val ivfDir = java.nio.file.Files.createTempDirectory("scale-ivfpq").toString
     val idx1 = graft.operators.IvfPq.buildOrLoad(emb1, ivfDir, "1x")
     val idxN = graft.operators.IvfPq.buildOrLoad(embN, ivfDir, s"${factor}x")

@@ -114,6 +114,37 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Ingest a directory of raw media FILES as media rows — the real
+    * ingestion surface for image/audio/video corpora, via Spark's
+    * `binaryFile` source: each file becomes (path, modificationTime,
+    * length, content), streamed straight into the envelope schema with
+    * no driver-side file listing loop. `pathGlobFilter` prunes at the
+    * listing (only matching files are ever opened), and modality is
+    * derived from the file extension. `media_id` is the xxhash64 of the
+    * path — stable across re-ingests of the same tree.
+    *
+    * Scale note: binaryFile caps single-file size at
+    * `spark.sql.sources.binaryFile.maxLength` (2 GB default); bigger
+    * assets should land as chunked rows upstream. Files are
+    * splittable-by-file, not within a file, so parallelism = file count
+    * — the right granularity for media corpora. */
+  def readBinaryDir(spark: SparkSession, dir: String,
+      glob: String = "*"): Dataset[MediaRow] = {
+    import spark.implicits._
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(xxhash64(col("path")).as("media_id"),
+        when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), "image")
+          .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+          .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+          .otherwise("binary").as("modality"),
+        col("content").as("payload"),
+        col("path").as("source"))
+      .as[MediaRow]
+  }
+
   /** Batch decode: one decoder per partition, payloads never leave the
     * scan stage. */
   def decodeAll(media: Dataset[MediaRow],

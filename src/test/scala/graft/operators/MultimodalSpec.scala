@@ -9,6 +9,32 @@ class MultimodalSpec extends SparkSpec {
 
   private lazy val media = Multimodal.documentsAsMedia(spark, sf)
 
+  test("binaryFile ingestion: payload bytes, modality, and glob pruning") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("media-in")
+    val png = Array[Byte](0x50, 0x4e, 0x47, 1, 2, 3)
+    val wav = Array[Byte](0x52, 0x49, 0x46, 0x46, 9)
+    Files.write(dir.resolve("a.png"), png)
+    Files.write(dir.resolve("b.wav"), wav)
+    Files.write(dir.resolve("notes.txt"), "skip me".getBytes("UTF-8"))
+    val all = Multimodal.readBinaryDir(spark, dir.toString)
+      .collect().map(m => Paths.get(m.source).getFileName.toString ->
+        ((m.modality, m.payload.toSeq))).toMap
+    assert(all("a.png") == (("image", png.toSeq)))
+    assert(all("b.wav") == (("audio", wav.toSeq)))
+    assert(all("notes.txt")._1 == "binary")
+    // glob prunes at the listing — only matching files are read
+    val onlyImages = Multimodal.readBinaryDir(spark, dir.toString, "*.png")
+      .collect()
+    assert(onlyImages.map(m =>
+      Paths.get(m.source).getFileName.toString).toSeq == Seq("a.png"))
+    // ingested rows flow straight into the decode pipeline
+    val decoded = Multimodal.decodeAll(
+      Multimodal.readBinaryDir(spark, dir.toString, "*.png"))
+      .collect()
+    assert(decoded.length == 1 && decoded.head.n_bytes == png.length)
+  }
+
   test("decode produces typed metadata, deterministic across runs") {
     val a = Multimodal.decodeAll(media).collect()
       .map(d => d.media_id -> (d.n_bytes, d.width, d.feature.toSeq)).toMap
