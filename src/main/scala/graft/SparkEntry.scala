@@ -86,6 +86,7 @@ object SparkEntry {
     "q_vocab_stats" -> TextQueries.vocabStats,
     "q_text_rollhash" -> TextQueries.rollingHash,
     "q_text_lang_markers" -> TextQueries.textLangMarkers,
+    "q_lang_id" -> TextQueries.langId,
     "q_text_bigrams" -> TextQueries.textBigrams,
     "q_ngram_jaccard" -> TextQueries.ngramJaccard,
     "q_corpus_build" -> TextQueries.corpusBuild,
@@ -917,6 +918,37 @@ object SparkEntry {
              count(DISTINCT l_discount),
              CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
       FROM lineitem""",
+
+    "q_lang_id" -> """
+      WITH s AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, t -> t='the'))::INT
+                 + len(list_filter(toks, t -> t='and'))::INT
+                 + len(list_filter(toks, t -> t='of'))::INT AS en_score,
+               len(list_filter(toks, t -> t='der'))::INT
+                 + len(list_filter(toks, t -> t='und'))::INT
+                 + len(list_filter(toks, t -> t='die'))::INT AS de_score,
+               len(list_filter(toks, t -> t='le'))::INT
+                 + len(list_filter(toks, t -> t='la'))::INT
+                 + len(list_filter(toks, t -> t='et'))::INT AS fr_score
+        FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+              FROM documents) t),
+      p AS (
+        SELECT *,
+               CASE WHEN en_score + de_score + fr_score = 0 THEN 'unknown'
+                    WHEN en_score >= de_score AND en_score >= fr_score
+                      THEN 'en'
+                    WHEN de_score >= fr_score THEN 'de'
+                    ELSE 'fr' END AS predicted
+        FROM s)
+      SELECT doc_id, lang, en_score::INT AS en_score,
+             de_score::INT AS de_score, fr_score::INT AS fr_score,
+             predicted,
+             CASE WHEN predicted = 'unknown' THEN 0.0
+                  ELSE round(greatest(en_score, de_score, fr_score)::DOUBLE
+                    / (en_score + de_score + fr_score), 6) END AS confidence,
+             (predicted = lang) AS hit
+      FROM p""",
 
     "q_quality_repetition" -> """
       WITH t AS (

@@ -101,6 +101,35 @@ object TextQueries {
         sum("fr_hits").as("fr_score"))
   }
 
+  /** Per-doc language-ID (north star): argmax over the marker scores
+    * with a fixed tie preference (en > de > fr), `unknown` when no
+    * marker hits, plus a confidence share. Map-only: tokenize once,
+    * nine in-array filters, no shuffle. */
+  val langId: Q = (s, d) => {
+    def hits(words: Seq[String]) =
+      words.map(w => size(filter(col("toks"), t => t === w))).reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), col("lang"),
+        hits(Seq("the", "and", "of")).as("en_score"),
+        hits(Seq("der", "und", "die")).as("de_score"),
+        hits(Seq("le", "la", "et")).as("fr_score"))
+      .withColumn("predicted",
+        when(col("en_score") + col("de_score") + col("fr_score") === 0,
+          "unknown")
+          .when(col("en_score") >= col("de_score") &&
+            col("en_score") >= col("fr_score"), "en")
+          .when(col("de_score") >= col("fr_score"), "de")
+          .otherwise("fr"))
+      .withColumn("confidence",
+        when(col("predicted") === "unknown", lit(0.0))
+          .otherwise(round(greatest(col("en_score"), col("de_score"),
+            col("fr_score")).cast("double") /
+            (col("en_score") + col("de_score") + col("fr_score")), 6)))
+      .withColumn("hit", col("predicted") === col("lang"))
+  }
+
   /** N-gram (token bigram) extraction + counts (E39): top-20 bigrams. */
   val textBigrams: Q = (s, d) => {
     val toks = split(lower(col("text")), " ")
