@@ -153,16 +153,23 @@ object ScaleBench {
     results += (("dup_spans", tds1, tdsN))
 
     // replicated corpus = every vector has `factor` exact copies, the
-    // semantic-dedup worst case (dense within-list pair fan-out)
+    // semantic-dedup worst case (dense within-list pair fan-out). Lists
+    // scale ≈ √n, the documented IVF sizing (argmax O(n·C) vs
+    // within-list O(n²/C)).
+    val listsN = (200 * math.sqrt(factor)).toInt
     val tsd1 = time("semantic_dedup 1x")(noop(graft.operators.Dedup
-      .semanticDedup(emb1, "vec_id", "embedding", threshold = 0.9)))
+      .semanticDedup(emb1, "vec_id", "embedding", threshold = 0.9,
+        numLists = 200)))
     val tsdN = time(s"semantic_dedup ${factor}x")(noop(graft.operators.Dedup
-      .semanticDedup(embN, "vec_id", "embedding", threshold = 0.9)))
+      .semanticDedup(embN, "vec_id", "embedding", threshold = 0.9,
+        numLists = listsN)))
     results += (("semantic_dedup", tsd1, tsdN))
 
     val ivfDir = java.nio.file.Files.createTempDirectory("scale-ivfpq").toString
-    val idx1 = graft.operators.IvfPq.buildOrLoad(emb1, ivfDir, "1x")
-    val idxN = graft.operators.IvfPq.buildOrLoad(embN, ivfDir, s"${factor}x")
+    val idx1 = graft.operators.IvfPq.buildOrLoad(emb1, ivfDir, "1x",
+      lists = 100)
+    val idxN = graft.operators.IvfPq.buildOrLoad(embN, ivfDir, s"${factor}x",
+      lists = (100 * math.sqrt(factor)).toInt)
     val tq1 = time("ivfpq_search 1x")(noop(
       graft.operators.IvfPq.search(idx1, probes, 10)))
     val tqN = time(s"ivfpq_search ${factor}x")(noop(

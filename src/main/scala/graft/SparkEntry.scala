@@ -931,7 +931,8 @@ object SparkEntry {
                len(list_filter(toks, t -> t='le'))::INT
                  + len(list_filter(toks, t -> t='la'))::INT
                  + len(list_filter(toks, t -> t='et'))::INT AS fr_score
-        FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+        FROM (SELECT doc_id, lang,
+                     string_split(lower(coalesce(text, '')), ' ') AS toks
               FROM documents) t),
       p AS (
         SELECT *,

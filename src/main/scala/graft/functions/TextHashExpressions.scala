@@ -63,13 +63,18 @@ object TextHashExpressions {
     * hash reads the original buffer directly — bit-identical to
     * `xxhash64(concat_ws(' ', slice(split(text,' '), i, n)))` without
     * materializing the token array or any n-gram string. */
-  def ngramHashesOf(text: org.apache.spark.unsafe.types.UTF8String,
-      n: Int): ArrayData = {
+  /** Shared core of [[ngramHashesOf]] (dedups) and [[ngramRepStatsOf]]
+    * (walks runs): SORTED, possibly-duplicate xxhash64 of every n-gram
+    * as byte ranges; empty when fewer than `n` tokens. One tokenizer and
+    * one hashing loop, so the two kernels cannot silently diverge. */
+  private def sortedNgramHashes(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): Array[Long] = {
     val nb = text.numBytes
     var numToks = 1
     var i = 0
     while (i < nb) { if (text.getByte(i) == 0x20) numToks += 1; i += 1 }
-    if (numToks < n) return new GenericArrayData(Array.empty[Long])
+    if (numToks < n) return Array.empty[Long]
     val starts = new Array[Int](numToks)
     val ends = new Array[Int](numToks)
     var t = 0; starts(0) = 0; i = 0
@@ -88,8 +93,15 @@ object TextHashExpressions {
         .hashUnsafeBytes(base, off + s, e - s, 42L)
       g += 1
     }
-    // distinct via sort+unique (order is irrelevant to the overlap join)
+    // sort: distinct and mode both become linear walks (order is
+    // irrelevant to every consumer)
     java.util.Arrays.sort(out)
+    out
+  }
+
+  def ngramHashesOf(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    val out = sortedNgramHashes(text, n)
     var w = 0; var r = 0
     while (r < out.length) {
       if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
@@ -106,30 +118,7 @@ object TextHashExpressions {
     * cost one kernel call with zero string materialization. */
   def ngramRepStatsOf(text: org.apache.spark.unsafe.types.UTF8String,
       n: Int): ArrayData = {
-    val nb = text.numBytes
-    var numToks = 1
-    var i = 0
-    while (i < nb) { if (text.getByte(i) == 0x20) numToks += 1; i += 1 }
-    if (numToks < n) return new GenericArrayData(Array(0L, 0L, 0L))
-    val starts = new Array[Int](numToks)
-    val ends = new Array[Int](numToks)
-    var t = 0; starts(0) = 0; i = 0
-    while (i < nb) {
-      if (text.getByte(i) == 0x20) { ends(t) = i; t += 1; starts(t) = i + 1 }
-      i += 1
-    }
-    ends(t) = nb
-    val base = text.getBaseObject
-    val off = text.getBaseOffset
-    val out = new Array[Long](numToks - n + 1)
-    var g = 0
-    while (g <= numToks - n) {
-      val s = starts(g); val e = ends(g + n - 1)
-      out(g) = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(base, off + s, e - s, 42L)
-      g += 1
-    }
-    java.util.Arrays.sort(out)
+    val out = sortedNgramHashes(text, n)
     var distinct = 0; var maxRun = 0; var run = 0; var r = 0
     while (r < out.length) {
       if (r == 0 || out(r) != out(r - 1)) { distinct += 1; run = 1 }

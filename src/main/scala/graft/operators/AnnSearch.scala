@@ -171,15 +171,35 @@ object AnnSearch {
     * row as an array, assignment is a per-row argmax fold over that array
     * (a projection — corpus vectors never enter any exchange), and the
     * update step's (cluster, dim) mean partial-aggregates map-side so the
-    * only shuffle carries C×dim partial sums per partition. Init is a
-    * deterministic id-stride sample, so runs are reproducible.
+    * only shuffle carries C×dim partial sums per partition.
+    *
+    * The quantizer is sized by `lists`, not an id stride: seeds are the
+    * EXACTLY-`lists` corpus rows ranking lowest by `xxhash64(id)` (a
+    * TakeOrdered — one scan, k rows kept per task, no count job), so C —
+    * and with it the C·n argmax cost — stays CONSTANT as the corpus
+    * grows (a stride-proportional C measured 51× wall at 32× data), and
+    * the selection is uniform for ANY id distribution — an `id % stride`
+    * filter picks 5× too many seeds when the ids are themselves strided
+    * (replication offsets, dedup survivors) and silently re-creates the
+    * quadratic cost. Deterministic, so runs are reproducible.
+    *
+    * Sizing guidance: `lists` is an index parameter, chosen per corpus —
+    * the standard heuristic is ≈ √n (assignment costs O(n·C), within-
+    * list work O(n²/C); √n balances them). It is deliberately NOT
+    * auto-derived: an index rebuilt at a different corpus size changing
+    * its list count silently would invalidate persisted artifacts.
     * Returns (centroid_id, centvec: array<double>). */
   def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
-      stride: Int, iters: Int): DataFrame = {
+      lists: Int, iters: Int): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    var centroids = corpus.filter(col(idCol) % stride === 0)
+    require(lists > 0, "lists must be positive")
+    var centroids = corpus
       .select(col(idCol).as("centroid_id"),
-        transform(col(vecCol), x => x.cast("double")).as("centvec"))
+        transform(col(vecCol), x => x.cast("double")).as("centvec"),
+        xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h"), col("centroid_id"))
+      .limit(lists)
+      .drop("__h")
     var i = 0
     while (i < iters) {
       val centArr = centroidRow(centroids)
@@ -218,7 +238,7 @@ object AnnSearch {
 
   /** IVF top-k: k-means lists + nprobe-list search. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      centroidStride: Int = 25, nprobe: Int = 4, kmeansIters: Int = 2,
+      lists: Int = 20, nprobe: Int = 4, kmeansIters: Int = 2,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       probeId: String = "vec_id", probeVec: String = "embedding")
       : DataFrame = {
@@ -226,7 +246,7 @@ object AnnSearch {
     // trained inverted-file lists; cache: reused by corpus + probe
     // assignment (at production scale this is the persisted index)
     val centroids = kmeansCentroids(corpus, corpusVec, corpusId,
-      centroidStride, kmeansIters).cache()
+      lists, kmeansIters).cache()
 
     // id → nearest list(s). Emits ids only — vectors never enter an
     // assignment shuffle. lists=1 (the corpus side, i.e. the whole 100 TB)

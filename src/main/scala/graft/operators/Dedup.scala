@@ -277,22 +277,17 @@ object Dedup {
     * degenerate lists (a collapsed embedding cluster) like
     * [[minhashLsh]]'s `maxBucket`.
     *
-    * The coarse quantizer is sized by `numLists`, NOT a fixed id
-    * stride: the seed stride derives from the corpus count (one
-    * build-time job), so the list count — and with it the C·n argmax
-    * cost — stays constant as the corpus grows. A stride-proportional C
-    * measured 51× wall at 32× data; fixed C is the IVF contract.
+    * The coarse quantizer is sized by `numLists` (fixed C as the corpus
+    * grows — the IVF contract; see [[AnnSearch.kmeansCentroids]] for
+    * why stride-proportional C is a 51×-measured scale bug).
     *
     * Returns (a, b, cos) with a < b. */
   def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numLists: Int = 200, kmeansIters: Int = 2,
       maxList: Int = 2000): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    require(numLists > 0, "numLists must be positive")
-    val stride = math.max(1L, df.count() / numLists)
-    require(stride <= Int.MaxValue, "corpus too large for Int stride")
     val cents = AnnSearch.kmeansCentroids(df, vecCol, idCol,
-      stride.toInt, kmeansIters).cache()
+      numLists, kmeansIters).cache()
     val centArr = AnnSearch.centroidRow(cents)
     // per-row argmax over the broadcast centroid row — ids only leave
     val assigned = df

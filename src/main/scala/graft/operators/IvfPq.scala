@@ -43,12 +43,12 @@ object IvfPq {
     * and once for residual encoding (id-keyed joins; vectors ride one
     * exchange each — build-time cost, amortized over every search). */
   def build(corpus: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", centroidStride: Int = 25,
+      vecCol: String = "embedding", lists: Int = 20,
       kmeansIters: Int = 2, m: Int = 8, k: Int = 16, pqIters: Int = 2,
       dim: Int = 64): Index = {
     GraftFunctions.register(corpus.sparkSession)
     val centroids = AnnSearch.kmeansCentroids(corpus, vecCol, idCol,
-      centroidStride, kmeansIters).cache()
+      lists, kmeansIters).cache()
     // list assignment: per-row argmax over the broadcast centroid set —
     // one partial-agg shuffle of (id, centroid_id) pairs only
     val assigned = corpus
@@ -97,11 +97,11 @@ object IvfPq {
     * codebooks per query would dominate every query's cost. */
   def buildOrLoad(corpus: DataFrame, cacheDir: String, tag: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroidStride: Int = 25, kmeansIters: Int = 2, m: Int = 8,
+      lists: Int = 20, kmeansIters: Int = 2, m: Int = 8,
       k: Int = 16, pqIters: Int = 2, dim: Int = 64): Index = {
     import java.nio.file.{Files, Paths}
     val spark = corpus.sparkSession
-    val keySrc = Seq(tag, idCol, vecCol, centroidStride, kmeansIters, m, k,
+    val keySrc = Seq(tag, idCol, vecCol, s"lists=$lists", kmeansIters, m, k,
       pqIters, dim).mkString("|")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(keySrc.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -124,7 +124,7 @@ object IvfPq {
       // one input file — build-time cost only, the artifact re-reads
       // multi-file
       val idx = build(corpus.repartition(col(idCol)), idCol, vecCol,
-        centroidStride, kmeansIters, m, k, pqIters, dim)
+        lists, kmeansIters, m, k, pqIters, dim)
       idx.centroids.write.mode("overwrite")
         .parquet(dir.resolve("centroids").toString)
       idx.books.write.mode("overwrite")

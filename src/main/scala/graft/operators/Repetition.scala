@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
   * before training.
   *
   * Scale shapes:
-  *  - [[signals]]: the duplicate-n-gram fractions are pure per-row
-  *    projections (no shuffle at all); the top-bigram share
-  *    partial-aggregates on (doc, 64-bit gram hash), so no gram STRING
-  *    ever enters an exchange.
+  *  - [[signals]]: ONE map-only projection over the scan — every
+  *    statistic (duplicate fractions AND the top-bigram share) comes
+  *    from the [[graft.functions.NgramRepStats]] kernel; no gram
+  *    string, no explode, no shuffle.
   *  - [[dupSpanFraction]]: runs on the native
   *    [[graft.functions.NgramHashes]] byte-range kernel (the
   *    decontamination kernel) — spans shuffle as 8-byte hashes, text

@@ -56,7 +56,7 @@ object DedupQueries {
   val annIvf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     AnnSearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
-      centroidStride = 25, nprobe = 4)
+      lists = 20, nprobe = 4)
   }
 
   /** Multimodal stub decode (E40): binary payload → typed metadata +

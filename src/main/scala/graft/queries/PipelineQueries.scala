@@ -154,7 +154,8 @@ object PipelineQueries {
     // plain scan: the fingerprint agg stays a single-column metadata-
     // cheap job; buildOrLoad repartitions internally on a build miss
     graft.operators.IvfPq.buildOrLoad(Tables.embeddings(s, d),
-      indexCacheDir, tag = new java.io.File(d).getCanonicalPath)
+      indexCacheDir, tag = new java.io.File(d).getCanonicalPath,
+      lists = 100) // ≈ √n at the bench SF (see kmeansCentroids sizing)
 
   /** Offline index build: idempotent, called by Bench before the timed
     * loop so q_ivfpq_topk measures SEARCH — the artifact posture

@@ -109,8 +109,11 @@ object TextQueries {
     def hits(words: Seq[String]) =
       words.map(w => size(filter(col("toks"), t => t === w))).reduce(_ + _)
     Tables.documents(s, d)
+      // null text → empty token list → all-zero scores → 'unknown';
+      // without the coalesce every CASE branch is null and the argmax
+      // falls through to the LAST language
       .select(col("doc_id"), col("lang"),
-        split(lower(col("text")), " ").as("toks"))
+        split(lower(coalesce(col("text"), lit(""))), " ").as("toks"))
       .select(col("doc_id"), col("lang"),
         hits(Seq("the", "and", "of")).as("en_score"),
         hits(Seq("der", "und", "die")).as("de_score"),

@@ -54,7 +54,7 @@ class AnnSearchSpec extends SparkSpec {
 
   test("IVF recall with nprobe=4 of ~20 lists") {
     val approx = topkSet(AnnSearch.ivfTopK(emb, probes, 10,
-      centroidStride = 25, nprobe = 4))
+      lists = 20, nprobe = 4))
     val r = recallOf(approx)
     assert(r >= 0.15, s"IVF recall $r")
   }
@@ -69,7 +69,7 @@ class AnnSearchSpec extends SparkSpec {
       for ((name, df) <- Seq(
           "lsh" -> AnnSearch.lshTopK(emb, probes, 10, tables = 8, bits = 6),
           "ivf" -> AnnSearch.ivfTopK(emb, probes, 10,
-            centroidStride = 25, nprobe = 4))) {
+            lists = 20, nprobe = 4))) {
         val vecShuffles = df.queryExecution.executedPlan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
               if e.output.exists(a => a.name == "cvec" || a.name == "pvec"
