@@ -153,16 +153,12 @@ object ScaleBench {
     results += (("dup_spans", tds1, tdsN))
 
     // replicated corpus = every vector has `factor` exact copies, the
-    // semantic-dedup worst case (dense within-list pair fan-out). Lists
-    // scale ≈ √n, the documented IVF sizing (argmax O(n·C) vs
-    // within-list O(n²/C)).
-    val listsN = (200 * math.sqrt(factor)).toInt
+    // semantic-dedup worst case (identical vectors collide in EVERY
+    // bucket of every table — maximal candidate density)
     val tsd1 = time("semantic_dedup 1x")(noop(graft.operators.Dedup
-      .semanticDedup(emb1, "vec_id", "embedding", threshold = 0.9,
-        numLists = 200)))
+      .semanticDedup(emb1, "vec_id", "embedding", threshold = 0.9)))
     val tsdN = time(s"semantic_dedup ${factor}x")(noop(graft.operators.Dedup
-      .semanticDedup(embN, "vec_id", "embedding", threshold = 0.9,
-        numLists = listsN)))
+      .semanticDedup(embN, "vec_id", "embedding", threshold = 0.9)))
     results += (("semantic_dedup", tsd1, tsdN))
 
     val ivfDir = java.nio.file.Files.createTempDirectory("scale-ivfpq").toString

@@ -71,14 +71,14 @@ object AnnSearch {
   }
 
   /** Deterministic unit-ish hyperplanes: `tables × bits × dim`. */
-  private def hyperplanes(tables: Int, bits: Int, dim: Int,
+  private[operators] def hyperplanes(tables: Int, bits: Int, dim: Int,
       seed: Long): Array[Array[Array[Double]]] = {
     val rnd = new java.util.Random(seed)
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
   /** Bucket id of a vector under one table's hyperplanes. */
-  private def bucketExpr(vec: Column, planes: Array[Array[Double]]): Column =
+  private[operators] def bucketExpr(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(GraftFunctions.vecDot(vec, typedLit(p.toSeq)) >= 0,
         lit(1L << i)).otherwise(lit(0L))

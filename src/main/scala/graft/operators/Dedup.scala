@@ -263,26 +263,59 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
-  /** Embedding-space (semantic) near-duplicate pairs at corpus scale —
-    * the SemDeDup shape: k-means lists bound the candidate space (pairs
-    * form only WITHIN a list, never across the corpus), cosine verifies
-    * each candidate, and ids-only discipline holds throughout: the
-    * within-list self-join carries (list, id) pairs, vectors re-attach
-    * by id exactly once per side for the verify.
+  /** Embedding-space (semantic) near-duplicate pairs at corpus scale:
+    * candidates from multi-table hyperplane-LSH buckets (the sign
+    * pattern of `bits` random hyperplanes per table), cosine-verified.
     *
-    * Two vectors equal up to noise land in the same list (the argmax
-    * assignment is deterministic), so true duplicates are never split
-    * across lists unless they sit exactly on a list boundary — the same
-    * recall contract every IVF-bounded method makes. `maxList` caps
-    * degenerate lists (a collapsed embedding cluster) like
-    * [[minhashLsh]]'s `maxBucket`.
-    *
-    * The coarse quantizer is sized by `numLists` (fixed C as the corpus
-    * grows — the IVF contract; see [[AnnSearch.kmeansCentroids]] for
-    * why stride-proportional C is a 51×-measured scale bug).
+    * Why hyperplanes and not k-means lists for the default: the scan
+    * cost is O(n·tables·bits·dim) — LINEAR in the corpus — whereas any
+    * coarse-quantizer candidate scheme pays an O(n·C) assignment argmax
+    * with C forced to grow alongside n to keep lists bounded, i.e.
+    * O(n^1.5) at best (measured 45× wall at 32× data in ScaleBench; the
+    * k-means variant survives as [[semanticNearDupKmeans]] for bounded
+    * corpora). Identical and near-identical vectors share every sign
+    * bit, so true copies are always candidates; recall for looser pairs
+    * tunes with (tables, bits). Ids-only discipline throughout: the
+    * bucket self-join carries (table, bucket, id), `maxBucket` caps
+    * degenerate buckets like [[minhashLsh]], and vectors re-attach by
+    * id exactly once per side for the verify.
     *
     * Returns (a, b, cos) with a < b. */
   def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 4, bits: Int = 12,
+      dim: Int = 64, seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val planes = AnnSearch.hyperplanes(tables, bits, dim, seed)
+    val bucketed = df.select(col(idCol).as("id"),
+        posexplode(array((0 until tables).map(t =>
+          AnnSearch.bucketExpr(col(vecCol), planes(t))): _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    val sizes = bucketed.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+    val pruned = bucketed.join(sizes, Seq("table", "bucket"))
+    val pairs = pruned.select(col("table"), col("bucket"), col("id").as("a"))
+      .join(pruned.select(col("table"), col("bucket"), col("id").as("b")),
+        Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val v = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    pairs
+      .join(v.select(col("__vid").as("a"), col("__v").as("va")), Seq("a"))
+      .join(v.select(col("__vid").as("b"), col("__v").as("vb")), Seq("b"))
+      .select(col("a"), col("b"), round(graft.functions.GraftFunctions
+        .cosineSim(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** The SemDeDup-shaped k-means-list variant of [[semanticNearDup]]:
+    * candidates form only within a coarse-quantizer list. Assignment
+    * costs O(n·C); with C sized √n (to bound list size) total work is
+    * O(n^1.5) — use for bounded corpora or where list artifacts are
+    * shared with an IVF index; the hyperplane default is the
+    * linear-scan path. */
+  def semanticNearDupKmeans(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numLists: Int = 200, kmeansIters: Int = 2,
       maxList: Int = 2000): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -327,10 +360,10 @@ object Dedup {
     * [[semanticNearDup]] pair — "one copy per embedding-space
     * duplicate". */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numLists: Int = 200, kmeansIters: Int = 2,
-      maxList: Int = 2000): DataFrame = {
+      threshold: Double, tables: Int = 4, bits: Int = 12,
+      dim: Int = 64, seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
     val doomed = semanticNearDup(df, idCol, vecCol, threshold,
-      numLists, kmeansIters, maxList)
+      tables, bits, dim, seed, maxBucket)
       .select(col("b").as(idCol)).distinct()
     df.join(doomed, Seq(idCol), "left_anti")
   }

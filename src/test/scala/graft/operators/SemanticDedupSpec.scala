@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Planted-duplicate oracle for embedding-space (SemDeDup-style)
-  * dedup: exact vector copies MUST land in the same k-means list, be
-  * found as pairs, and be removed greedily. */
+/** Planted-duplicate oracle for embedding-space (semantic) dedup:
+  * exact vector copies share every hyperplane sign bit, so they MUST
+  * collide in every bucket, be found as pairs, and be removed
+  * greedily. The k-means variant is exercised too. */
 class SemanticDedupSpec extends SparkSpec {
 
   private def planted() = {
@@ -41,7 +42,20 @@ class SemanticDedupSpec extends SparkSpec {
         s"-${baseIds -- survivors}")
   }
 
-  test("candidate pairs stay within k-means lists (ids-only shuffles)") {
+  test("k-means variant also finds every planted copy pair") {
+    val docs = planted()
+    val baseIds = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    val pairs = Dedup.semanticNearDupKmeans(docs, "vec_id", "embedding",
+        threshold = 0.999)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    baseIds.foreach { id =>
+      assert(pairs.contains((id, id + 100000L)),
+        s"planted copy pair ($id, ${id + 100000L}) missed")
+    }
+  }
+
+  test("candidate generation shuffles ids only (vectors ride the verify)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val vecShuffles = Dedup.semanticNearDup(planted(), "vec_id",
