@@ -153,16 +153,44 @@ object Dedup {
       .select("a", "b", "hamming").distinct()
   }
 
+  /** (id, rep) pairs where rep = min id among byte-identical contents —
+    * the exact-collapse preamble of the min-id dedup rules. Running LSH
+    * on ONE representative per content is exactly equivalent for min-id
+    * survivorship (copies are J=1 neighbors of their representative:
+    * they are doomed either way, and a representative's smallest LSH
+    * neighbor id is always another representative) while shrinking
+    * candidate pairs by d² per exact-dup cluster — the dominant cost on
+    * scraped corpora, where exact duplication is the common case.
+    * `maxBucket` consequently counts DISTINCT contents rather than
+    * copies — the better boilerplate semantics (a bucket of one
+    * million identical pages is one representative, not a dropped
+    * bucket). Shuffles 32-byte digests + ids only. */
+  private def exactReps(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val h = df.select(col(idCol).as("__id"),
+      sha2(col(textCol), 256).as("__h"))
+    h.join(h.groupBy("__h").agg(min("__id").as("__rep")), "__h")
+      .select(col("__id"), col("__rep"))
+  }
+
   /** Greedy near-dup removal: returns the corpus minus every row that
     * appears as the greater id of a near-dup pair. Under connected pair
     * coverage each duplicate cluster keeps exactly its minimum id — the
-    * deterministic survivor rule. The anti-join keys on ids only; document
-    * payloads stream through untouched. */
+    * deterministic survivor rule. Exact copies collapse to one
+    * representative before LSH (see [[exactReps]] — equivalent survivor
+    * set, d²-fewer candidate pairs per dup cluster). The anti-join keys
+    * on ids only; document payloads stream through untouched. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       maxBucket: Int = 300): DataFrame = {
-    val doomed = minhashLsh(df, idCol, textCol, numHashes, bands, threshold,
-      maxBucket).select(col("b").as(idCol)).distinct()
+    val m = exactReps(df, idCol, textCol)
+    val repRows = df.join(m.filter(col("__id") === col("__rep"))
+      .select(col("__id").as(idCol)), Seq(idCol), "left_semi")
+    val pairDoomed = minhashLsh(repRows, idCol, textCol, numHashes, bands,
+      threshold, maxBucket).select(col("b").as(idCol))
+    val copyDoomed = m.filter(col("__id") =!= col("__rep"))
+      .select(col("__id").as(idCol))
+    val doomed = pairDoomed.union(copyDoomed).distinct()
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
@@ -251,15 +279,26 @@ object Dedup {
   }
 
   /** Cluster-exact near-dup removal: one survivor (the component-minimum
-    * id) per TRANSITIVE duplicate cluster. */
+    * id) per TRANSITIVE duplicate cluster. Exact copies collapse to one
+    * representative before LSH and label propagation ([[exactReps]]):
+    * each representative is already the minimum of its content group, so
+    * the component minimum over representatives IS the component minimum
+    * over all member ids — identical survivor set, and both the pair
+    * graph and the propagation rounds shrink by the duplication factor. */
   def minhashDedupTransitive(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       maxBucket: Int = 300): DataFrame = {
-    val pairs = minhashLsh(df, idCol, textCol, numHashes, bands, threshold,
-      maxBucket)
-    val doomed = clusterComponents(pairs)
+    val m = exactReps(df, idCol, textCol)
+    val repRows = df.join(m.filter(col("__id") === col("__rep"))
+      .select(col("__id").as(idCol)), Seq(idCol), "left_semi")
+    val pairs = minhashLsh(repRows, idCol, textCol, numHashes, bands,
+      threshold, maxBucket)
+    val pairDoomed = clusterComponents(pairs)
       .filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
+    val copyDoomed = m.filter(col("__id") =!= col("__rep"))
+      .select(col("__id").as(idCol))
+    val doomed = pairDoomed.union(copyDoomed).distinct()
     df.join(doomed, Seq(idCol), "left_anti")
   }
 

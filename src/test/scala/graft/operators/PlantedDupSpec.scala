@@ -60,6 +60,31 @@ class PlantedDupSpec extends SparkSpec {
       s"only $baseSurvivors/50 originals survived — over-deduplication")
   }
 
+  test("exact-copy collapse preserves the survivor set") {
+    // adding byte-identical copies must change NOTHING about which
+    // original documents survive: copies are doomed, representative
+    // relations are untouched (the formal equivalence the collapse
+    // preamble claims)
+    import spark.implicits._
+    val docs = planted()
+    val withCopies = docs.unionAll(docs
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    for ((name, run) <- Seq[(String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        "greedy" -> (d => Dedup.minhashDedup(d, "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.5)),
+        "transitive" -> (d => Dedup.minhashDedupTransitive(d, "doc_id",
+          "text", numHashes = 64, bands = 16, threshold = 0.5)))) {
+      val base = ids(run(docs))
+      val withC = ids(run(withCopies))
+      assert(withC == base,
+        s"$name: copies changed the survivor set: +${withC -- base} " +
+          s"-${base -- withC}")
+    }
+  }
+
   test("star fixture distinguishes greedy from transitive survivorship") {
     // hub (max id) pairs with both spokes; spokes don't pair with each
     // other — greedy pair-dedup dooms only the hub, transitive keeps one
