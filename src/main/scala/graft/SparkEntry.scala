@@ -154,6 +154,8 @@ object SparkEntry {
     // corpus-level dup-span fraction, domain mixing, sequence packing
     "q_quality_repetition" -> PipelineQueries.qualityRepetition,
     "q_dup_spans" -> PipelineQueries.dupSpans,
+    "q_dup_span_removal" -> PipelineQueries.dupSpanRemoval,
+    "q_split_assign" -> PipelineQueries.splitAssign,
     "q_domain_mix" -> PipelineQueries.domainMix,
     "q_seq_pack" -> PipelineQueries.seqPack,
   )
@@ -1000,6 +1002,49 @@ object SparkEntry {
                / count(*), 6) AS dup_span_frac
       FROM ngr JOIN dc USING (ng)
       GROUP BY doc_id""",
+
+    "q_dup_span_removal" -> """
+      WITH base AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      spans AS (
+        SELECT doc_id, i AS p, md5(array_to_string(tk[i+1:i+8], ' ')) AS h
+        FROM base, unnest(range(0, len(tk) - 7)) AS r(i)
+        WHERE len(tk) >= 8),
+      dup AS (
+        SELECT h, min(doc_id) AS keeper
+        FROM (SELECT DISTINCT doc_id, h FROM spans)
+        GROUP BY h HAVING count(*) > 1),
+      rem AS (
+        SELECT DISTINCT s.doc_id, u.rp
+        FROM spans s JOIN dup d USING (h),
+             unnest(range(s.p, s.p + 8)) AS u(rp)
+        WHERE s.doc_id <> d.keeper),
+      toks AS (
+        SELECT doc_id, tok, (ord - 1)::BIGINT AS p
+        FROM base, unnest(tk) WITH ORDINALITY AS t(tok, ord)),
+      kept AS (
+        SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
+        FROM toks t ANTI JOIN rem r
+          ON t.doc_id = r.doc_id AND t.p = r.rp
+        GROUP BY t.doc_id)
+      SELECT b.doc_id, coalesce(k.clean_text, '') AS clean_text,
+             len(b.tk)::INT AS n_tokens,
+             coalesce(rc.n_removed, 0)::INT AS n_removed
+      FROM base b
+      LEFT JOIN kept k USING (doc_id)
+      LEFT JOIN (SELECT doc_id, count(*) AS n_removed FROM rem
+                 GROUP BY doc_id) rc USING (doc_id)""",
+
+    "q_split_assign" -> """
+      WITH b AS (
+        SELECT source, n_chars,
+               ('0x' || substr(md5('graft_' || doc_id::VARCHAR), 1, 8))
+                 ::BIGINT % 10000 AS bk
+        FROM documents)
+      SELECT CASE WHEN bk < 9000 THEN 'train'
+                  WHEN bk < 9500 THEN 'valid' ELSE 'test' END AS split,
+             source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      FROM b GROUP BY 1, 2""",
 
     "q_domain_mix" -> """
       SELECT source, doc_id FROM (

@@ -57,6 +57,68 @@ object Repetition {
           col("top_bigram_frac") <= maxTopBigramFrac)
   }
 
+  /** Corpus-level duplicated-span REMOVAL — the transform behind the
+    * [[dupSpanFraction]] signal (the exact-substring dedup of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * at token granularity): every occurrence of an `n`-token span that
+    * appears in more than one document is deleted from every document
+    * except the one with the smallest id containing it (one surviving
+    * copy corpus-wide), and documents are reassembled from their
+    * remaining tokens. Documents shorter than `n` tokens pass through
+    * unchanged. Returns (idCol, clean_text, n_tokens, n_removed) where
+    * `clean_text` re-joins kept tokens with single spaces and
+    * `n_removed` counts deleted token positions (overlapping duplicated
+    * spans union their coverage).
+    *
+    * Scale shape: span hashes are built in one map-only projection and
+    * explode as (doc_id, pos, hash) — text never enters the frequency
+    * shuffle. The survivor/count aggregate and the coverage explode
+    * carry ids, ints, and hashes only; full documents ride exactly one
+    * id-keyed join against the per-doc removal sets (only docs that
+    * LOSE spans appear there, so AQE broadcasts it on real corpora
+    * where duplication is sparse) and are rewritten in a final
+    * projection.
+    *
+    * @param hasher span-string → hash column. The default xxhash64 is
+    *               the production posture (8-byte shuffle keys); pass
+    *               `md5` when the removal set must be reproducible
+    *               outside the JVM (the driver oracle does). Results
+    *               are hash-agnostic short of collisions. */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, hasher: Column => Column = xxhash64(_)): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens, got $n")
+    val base = df.select(col(idCol),
+      split(lower(col(textCol)), "\\s+").as("__tk"))
+    // sequence(0, size-n) flips to a DESCENDING range when size < n —
+    // short docs must be filtered out before the positions materialize
+    val spans = base.filter(size(col("__tk")) >= n)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__tk")) - n),
+        i => hasher(concat_ws(" ", slice(col("__tk"), i + 1, lit(n)))))))
+      .withColumnRenamed("pos", "__p")
+      .withColumnRenamed("col", "__h")
+    // survivor + document frequency per span: distinct (doc, hash) first,
+    // so within-doc repeats don't inflate the cross-doc count
+    val dup = spans.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h")
+      .agg(min(col(idCol)).as("__keeper"), count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1)
+    val removal = spans.join(dup, "__h")
+      .filter(col(idCol) =!= col("__keeper"))
+      .select(col(idCol),
+        explode(sequence(col("__p"), col("__p") + (n - 1))).as("__rp"))
+      .groupBy(idCol)
+      .agg(collect_set(col("__rp")).as("__rm"))
+    base.join(removal, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", filter(col("__tk"),
+          (_, i) => coalesce(!array_contains(col("__rm"), i), lit(true))))
+          .as("clean_text"),
+        size(col("__tk")).as("n_tokens"),
+        when(col("__rm").isNull, 0).otherwise(size(col("__rm")))
+          .as("n_removed"))
+  }
+
   /** Corpus-level duplicated-span fraction per doc: the share of a doc's
     * distinct `n`-token spans that appear in at least one OTHER doc.
     * Docs shorter than `n` tokens emit no row (they have no spans).

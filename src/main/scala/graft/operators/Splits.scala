@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/validation/test split assignment — the
+  * reproducible partitioning step of training-corpus assembly.
+  *
+  * Assignment is a pure function of (salt, id): the md5 of the salted id
+  * picks one of `buckets` equal-width hash buckets, and each split owns a
+  * contiguous bucket range sized ⌊fraction·buckets⌋ (exact decimal
+  * arithmetic, same rationale as [[Mixing.sampleToWeights]]'s quotas). So
+  * membership is stable under corpus re-partitioning, appends, engine
+  * changes, and re-runs — a doc can never migrate between train and test
+  * when the corpus grows, the property random-number splits lack and
+  * leakage audits depend on.
+  *
+  * Scale shape: ONE map-only projection over the scan. No shuffle, no
+  * driver state, no sampling pass — at 100 TB the split column costs what
+  * reading the id column costs.
+  */
+object Splits {
+
+  /** 32-bit bucket hash of a salted id: the first 8 hex chars of
+    * `md5(salt_id)` as an integer, mod `buckets`. md5 rather than
+    * xxhash64 keeps the assignment reproducible OUTSIDE the JVM (any
+    * engine with md5 — the audit posture for split membership). */
+  private def bucketOf(idCol: Column, salt: String, buckets: Int): Column =
+    conv(substring(md5(concat(lit(salt), lit("_"),
+      idCol.cast("string"))), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Append a `split` column assigning each row to the first fraction
+    * whose bucket range contains its hash bucket.
+    *
+    * @param fractions ordered (name, fraction) pairs; fractions must sum
+    *                  to 1 (±1e-9). Ranges are [⌊cum·buckets⌋ of the
+    *                  previous boundary, ⌊cum·buckets⌋) — contiguous and
+    *                  exhaustive, so every row lands in exactly one split.
+    * @param salt      namespaces the hash: different salts give
+    *                  independent assignments (re-splitting experiments
+    *                  without correlation).
+    * @param buckets   assignment granularity; fractions finer than
+    *                  1/buckets truncate to zero buckets and get no rows.
+    */
+  def assign(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], salt: String = "graft",
+      buckets: Int = 10000): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split fraction")
+    require(fractions.forall { case (_, f) => f >= 0.0 && f <= 1.0 },
+      s"fractions must be in [0,1]: $fractions")
+    val total = fractions.map { case (_, f) => BigDecimal(f.toString) }.sum
+    require((total - 1).abs <= BigDecimal("1e-9"),
+      s"fractions must sum to 1, got $total: $fractions")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"duplicate split names: ${fractions.map(_._1)}")
+    // cumulative boundaries in exact decimal, floored to bucket indices —
+    // double accumulation drifts the train/test border by a bucket at
+    // unlucky fractions, silently moving docs across splits between runs
+    // of engines that round differently
+    val bounds = fractions.scanLeft(BigDecimal(0)) {
+      case (acc, (_, f)) => acc + BigDecimal(f.toString)
+    }.tail.map(c => (c * buckets).setScale(0,
+      BigDecimal.RoundingMode.FLOOR).toLong)
+    val b = bucketOf(col(idCol), salt, buckets)
+    // last range is closed at `buckets` by the sum-to-1 contract; the
+    // otherwise arm is unreachable but keeps the expression total
+    val split = fractions.map(_._1).zip(bounds)
+      .foldRight(lit(fractions.last._1): Column) {
+        case ((name, hi), rest) => when(b < hi, lit(name)).otherwise(rest)
+      }
+    df.withColumn("split", split)
+  }
+}

@@ -175,6 +175,24 @@ object PipelineQueries {
     graft.operators.Repetition.dupSpanFraction(Tables.documents(s, d),
       "doc_id", "text", n = 8)
 
+  /** Corpus-level duplicated-span removal (round 3 cont.): the
+    * exact-substring dedup transform behind the q_dup_spans signal —
+    * one surviving copy of every cross-doc 8-token span, docs rewritten.
+    * md5 spans here so DuckDB reproduces the removal set exactly; the
+    * operator's production default is xxhash64. */
+  val dupSpanRemoval: Q = (s, d) =>
+    graft.operators.Repetition.removeDupSpans(Tables.documents(s, d),
+      "doc_id", "text", n = 8, hasher = md5(_))
+
+  /** Deterministic md5-bucket train/valid/test split (round 3 cont.):
+    * split membership is a pure function of (salt, doc_id) — stable
+    * under corpus growth, re-partitioning, and engine changes. */
+  val splitAssign: Q = (s, d) =>
+    graft.operators.Splits.assign(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+
   /** Deterministic domain mixing to target source weights (round 3):
     * five head sources at 14% each, the long tail at 2%, budget 250. */
   val domainMix: Q = (s, d) =>
