@@ -1005,7 +1005,8 @@ object SparkEntry {
 
     "q_dup_span_removal" -> """
       WITH base AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        FROM documents),
       spans AS (
         SELECT doc_id, i AS p, md5(array_to_string(tk[i+1:i+8], ' ')) AS h
         FROM base, unnest(range(0, len(tk) - 7)) AS r(i)
@@ -1020,8 +1021,8 @@ object SparkEntry {
              unnest(range(s.p, s.p + 8)) AS u(rp)
         WHERE s.doc_id <> d.keeper),
       toks AS (
-        SELECT doc_id, tok, (ord - 1)::BIGINT AS p
-        FROM base, unnest(tk) WITH ORDINALITY AS t(tok, ord)),
+        SELECT doc_id, tk[i+1] AS tok, i::BIGINT AS p
+        FROM base, unnest(range(0, len(tk))) AS r(i)),
       kept AS (
         SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
         FROM toks t ANTI JOIN rem r

@@ -47,6 +47,7 @@ object GraftFunctions {
       intArg(es(1), "ngram_hashes_gen"))),
     "ngram_rep_stats" -> (es => NgramRepStats(es(0),
       intArg(es(1), "ngram_rep_stats"))),
+    "purge_positions" -> (es => PurgePositions(es(0), es(1))),
   )
 
   /** Idempotent per-session registration of all engine functions. */
@@ -94,4 +95,7 @@ object GraftFunctions {
   def ngramRepStats(text: Column, n: Int): Column =
     call_function("ngram_rep_stats", text,
       org.apache.spark.sql.functions.lit(n))
+  /** Tokens minus the SORTED 0-based positions, one linear merge. */
+  def purgePositions(toks: Column, sortedPos: Column): Column =
+    call_function("purge_positions", toks, sortedPos)
 }

@@ -130,6 +130,29 @@ object TextHashExpressions {
       maxRun.toLong))
   }
 
+  /** [[PurgePositions]] kernel: drop the tokens at the given SORTED
+    * 0-based positions in one two-pointer merge — O(tokens + positions)
+    * per doc, versus the O(tokens × positions) of filtering each token
+    * with `array_contains`. Out-of-range and duplicate positions are
+    * skipped (the operator feeds a `collect_set` so neither occurs, but
+    * the kernel must not misbehave if callers hand it garbage). */
+  def purgePositionsOf(toks: ArrayData, pos: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val m = pos.numElements()
+    val out = new Array[AnyRef](n)
+    var w = 0; var r = 0; var p = 0
+    while (r < n) {
+      while (p < m && pos.getInt(p) < r) p += 1
+      if (p < m && pos.getInt(p) == r) p += 1
+      else {
+        out(w) = if (toks.isNullAt(r)) null else toks.getUTF8String(r)
+        w += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
   /** [[MinHashSig]] kernel as ArrayData (also called from generated code). */
   def minhashSigOf(elems: ArrayData, k: Int): ArrayData =
     new GenericArrayData(minhashOf(elems, k))
@@ -275,6 +298,44 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** purge_positions(array<string>, array<int>) -> array<string> — the
+  * input minus the tokens at the given SORTED 0-based positions, in one
+  * linear two-pointer merge (see
+  * [[TextHashExpressions.purgePositionsOf]]). The rewrite kernel of
+  * [[graft.operators.Repetition.removeDupSpans]]: per-doc cost is
+  * O(tokens + removed) regardless of how much boilerplate a doc loses. */
+case class PurgePositions(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "purge_positions"
+  override def dataType: DataType = left.dataType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"purge_positions expects (array<string>, array<int>), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(toks: Any, pos: Any): Any =
+    TextHashExpressions.purgePositionsOf(
+      toks.asInstanceOf[ArrayData], pos.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, p) =>
+      s"${ev.value} = graft.functions.TextHashExpressions" +
+        s".purgePositionsOf($t, $p);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** ngram_hashes(text, n) -> array<long> — distinct xxhash64 of every

@@ -79,6 +79,12 @@ object Repetition {
     * where duplication is sparse) and are rewritten in a final
     * projection.
     *
+    * Tokenization is `\s+` (runs of any whitespace), matching the driver
+    * oracle's `regexp_split_to_array(..., '\s+')` — a superset of the
+    * single-space contract the [[graft.functions.NgramHashes]] kernel
+    * behind [[dupSpanFraction]] uses; identical on corpora whose
+    * whitespace is single spaces (this testdata).
+    *
     * @param hasher span-string → hash column. The default xxhash64 is
     *               the production posture (8-byte shuffle keys); pass
     *               `md5` when the removal set must be reproducible
@@ -87,6 +93,7 @@ object Repetition {
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, hasher: Column => Column = xxhash64(_)): DataFrame = {
     require(n >= 2, s"span length must be >= 2 tokens, got $n")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol),
       split(lower(col(textCol)), "\\s+").as("__tk"))
     // sequence(0, size-n) flips to a DESCENDING range when size < n —
@@ -109,10 +116,16 @@ object Repetition {
         explode(sequence(col("__p"), col("__p") + (n - 1))).as("__rp"))
       .groupBy(idCol)
       .agg(collect_set(col("__rp")).as("__rm"))
+    // rewrite: docs with no removal set (the vast majority on a real
+    // corpus) pass through untouched; losers run the purge_positions
+    // kernel — one O(tokens + removed) two-pointer merge per doc (the
+    // per-token array_contains form was O(tokens × removed), quadratic
+    // in doc length for boilerplate-heavy docs)
     base.join(removal, Seq(idCol), "left")
       .select(col(idCol),
-        concat_ws(" ", filter(col("__tk"),
-          (_, i) => coalesce(!array_contains(col("__rm"), i), lit(true))))
+        concat_ws(" ", when(col("__rm").isNull, col("__tk"))
+          .otherwise(graft.functions.GraftFunctions.purgePositions(
+            col("__tk"), sort_array(col("__rm")))))
           .as("clean_text"),
         size(col("__tk")).as("n_tokens"),
         when(col("__rm").isNull, 0).otherwise(size(col("__rm")))
