@@ -248,8 +248,14 @@ object Dedup {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // seed labels at min(self, direct neighbors): round 0 of the
+    // propagation folded into the init aggregate (same fixpoint, one
+    // fewer checkpoint+convergence round; the symmetrized edge list
+    // guarantees every node appears as `a`)
+    var labels = edges.groupBy(col("a"))
+      .agg(min(col("b")).as("__mb"))
+      .select(col("a").as("node"),
+        least(col("a"), col("__mb")).as("component"))
       .localCheckpoint()
     var i = 0
     var converged = false
@@ -258,16 +264,19 @@ object Dedup {
         .join(labels.select(col("node").as("a"),
           col("component").as("cand")), "a")
         .select(col("b").as("node"), col("cand"))
+      // the convergence flag rides the propagation aggregate itself
+      // (every group row carries the node's old label, so min == old):
+      // checking it is a scan of the checkpointed round, not a second
+      // label-set join per round
       val next = labels
         .join(candidates, Seq("node"), "left")
         .groupBy("node")
-        .agg(min(least(col("component"), col("cand"))).as("component"))
+        .agg(min(least(col("component"), col("cand"))).as("component"),
+          (min(least(col("component"), col("cand"))) =!=
+            min(col("component"))).as("__changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "old"),
-          "node")
-        .filter(col("component") =!= col("old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       i += 1
     }
     // a silent non-converged exit would hand back non-minimal labels and
