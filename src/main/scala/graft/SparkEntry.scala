@@ -158,6 +158,10 @@ object SparkEntry {
     "q_split_assign" -> PipelineQueries.splitAssign,
     "q_domain_mix" -> PipelineQueries.domainMix,
     "q_seq_pack" -> PipelineQueries.seqPack,
+    // pipeline extensions (round 4): tokenizer-faithful packing,
+    // deterministic training-shard shuffle
+    "q_seq_pack_tokens" -> PipelineQueries.seqPackTokens,
+    "q_shuffle_shards" -> PipelineQueries.shuffleShards,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1067,6 +1071,32 @@ object SparkEntry {
                  PARTITION BY lang ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM documents) t""",
+
+    "q_seq_pack_tokens" -> """
+      SELECT doc_id, lang, n_tokens::INT AS n_tokens,
+             (cum - n_tokens)::BIGINT AS start_off,
+             ((cum - n_tokens) // 128)::BIGINT AS chunk_id,
+             ((cum - n_tokens) % 128 + n_tokens > 128) AS straddles
+      FROM (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
+               sum(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents) t""",
+
+    "q_shuffle_shards" -> """
+      WITH s AS (
+        SELECT doc_id, md5('graft_' || doc_id::VARCHAR) AS sk,
+               (('0x' || substr(md5('graft_' || doc_id::VARCHAR), 1, 8))
+                 ::BIGINT % 8)::INT AS shard
+        FROM documents)
+      SELECT shard, count(*) AS n_docs,
+             arg_min(doc_id, sk) AS first_id,
+             arg_max(doc_id, sk) AS last_id
+      FROM s GROUP BY shard""",
 
     // Planted-fixture oracles: DuckDB regenerates the identical
     // md5-derived fixture, then selects the survivors the construction

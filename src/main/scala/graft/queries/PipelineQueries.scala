@@ -212,6 +212,34 @@ object PipelineQueries {
       partCols = Seq("lang"), orderCol = "doc_id", sizeCol = "n_tokens",
       capacity = 128)
 
+  /** Tokenizer-faithful packing (round 4): same operator, `sizeCol` now a
+    * caller-supplied count from a BPE-ish pre-tokenization (letter runs |
+    * digit runs | single punctuation — the segmentation BPE vocabularies
+    * refine) instead of the whitespace proxy. The operator contract:
+    * packBySize never tokenizes — hand it the count column your real
+    * tokenizer produced and the chunk layout is faithful to that
+    * tokenizer. */
+  val seqPackTokens: Q = (s, d) =>
+    graft.operators.Packing.packBySize(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_tokens")),
+      partCols = Seq("lang"), orderCol = "doc_id", sizeCol = "n_tokens",
+      capacity = 128)
+
+  /** Deterministic global shuffle into training shards (round 4): shard
+    * membership and within-shard order are pure functions of
+    * (salt, doc_id). The gate hashes the full layout: per-shard counts
+    * plus the first/last docs in shuffle-key order. */
+  val shuffleShards: Q = (s, d) =>
+    graft.operators.Shards.assign(Tables.documents(s, d), "doc_id",
+        numShards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("shuffle_key")).as("first_id"),
+        max_by(col("doc_id"), col("shuffle_key")).as("last_id"))
+
   /** IVF-PQ composed index: coarse lists bound the scan, residual PQ
     * codes stand in for vectors — the billion-scale ANN shape (rows-only;
     * recall + codes-only-search + build-once oracles in IvfPqSpec).
