@@ -172,6 +172,54 @@ object ScaleBench {
       graft.operators.IvfPq.search(idxN, probes, 10)))
     results += (("ivfpq_search", tq1, tqN))
 
+    // round-3/4 pipeline operators. The replicated corpus is the
+    // removeDupSpans worst case: every span is duplicated `factor`×, so
+    // every non-keeper doc loses every span — the rewrite join degrades
+    // from sparse to total.
+    val tdr1 = time("dup_span_removal 1x")(noop(graft.operators.Repetition
+      .removeDupSpans(docs1, "doc_id", "text")))
+    val tdrN = time(s"dup_span_removal ${factor}x")(noop(graft.operators
+      .Repetition.removeDupSpans(docsN, "doc_id", "text")))
+    results += (("dup_span_removal", tdr1, tdrN))
+
+    // budget scales with the corpus so quota work grows proportionally
+    // (a fixed budget would make the Nx run trivially cheap)
+    def mixWeights = (0 to 4).map(i => s"src$i" -> 0.14).toMap ++
+      (5 to 19).map(i => s"src$i" -> 0.02).toMap
+    val tmx1 = time("domain_mix 1x")(noop(graft.operators.Mixing
+      .sampleToWeights(docs1, "source", "doc_id", mixWeights, 2500)))
+    val tmxN = time(s"domain_mix ${factor}x")(noop(graft.operators.Mixing
+      .sampleToWeights(docsN, "source", "doc_id", mixWeights,
+        2500L * factor)))
+    results += (("domain_mix", tmx1, tmxN))
+
+    def withCounts(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val tpk1 = time("seq_pack 1x")(noop(graft.operators.Packing
+      .packBySize(withCounts(docs1), Seq("lang"), "doc_id", "n_tokens", 128)))
+    val tpkN = time(s"seq_pack ${factor}x")(noop(graft.operators.Packing
+      .packBySize(withCounts(docsN), Seq("lang"), "doc_id", "n_tokens", 128)))
+    results += (("seq_pack", tpk1, tpkN))
+
+    val splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)
+    val tsp1 = time("split_assign 1x")(noop(graft.operators.Splits
+      .assign(docs1, "doc_id", splits)))
+    val tspN = time(s"split_assign ${factor}x")(noop(graft.operators.Splits
+      .assign(docsN, "doc_id", splits)))
+    results += (("split_assign", tsp1, tspN))
+
+    val tli1 = time("lang_id 1x")(noop(
+      graft.queries.TextQueries.langIdOf(docs1)))
+    val tliN = time(s"lang_id ${factor}x")(noop(
+      graft.queries.TextQueries.langIdOf(docsN)))
+    results += (("lang_id", tli1, tliN))
+
+    val tsh1 = time("shard_assign 1x")(noop(graft.operators.Shards
+      .assign(docs1, "doc_id", 64)))
+    val tshN = time(s"shard_assign ${factor}x")(noop(graft.operators.Shards
+      .assign(docsN, "doc_id", 64)))
+    results += (("shard_assign", tsh1, tshN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")
