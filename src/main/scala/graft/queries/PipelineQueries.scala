@@ -222,9 +222,12 @@ object PipelineQueries {
   val seqPackTokens: Q = (s, d) =>
     graft.operators.Packing.packBySize(
       Tables.documents(s, d)
+        // regexp_count, not size(regexp_extract_all(...)): the count
+        // never materializes the per-doc match array
         .select(col("doc_id"), col("lang"),
-          size(regexp_extract_all(col("text"),
-            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_tokens")),
+          regexp_count(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("int")
+            .as("n_tokens")),
       partCols = Seq("lang"), orderCol = "doc_id", sizeCol = "n_tokens",
       capacity = 128)
 
