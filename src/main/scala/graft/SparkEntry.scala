@@ -162,6 +162,12 @@ object SparkEntry {
     // deterministic training-shard shuffle
     "q_seq_pack_tokens" -> PipelineQueries.seqPackTokens,
     "q_shuffle_shards" -> PipelineQueries.shuffleShards,
+    // round 4: planted/exact-regime hash gates for formerly rows-only
+    // approximate operators
+    "q_simhash_planted" -> DedupQueries.simhashPlanted,
+    "q_semantic_dedup_planted" -> DedupQueries.semanticDedupPlanted,
+    "q_ann_lsh_planted" -> DedupQueries.annLshPlanted,
+    "q_kmv_exact" -> RelationalQueries.kmvExact,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1097,6 +1103,27 @@ object SparkEntry {
              arg_min(doc_id, sk) AS first_id,
              arg_max(doc_id, sk) AS last_id
       FROM s GROUP BY shard""",
+
+    "q_simhash_planted" -> """
+      WITH s AS (SELECT doc_id FROM documents WHERE doc_id < 12)
+      SELECT doc_id*10 AS a, doc_id*10+1 AS b, 0::INT AS hamming FROM s
+      UNION ALL
+      SELECT doc_id*10, doc_id*10+2, 0::INT FROM s
+      UNION ALL
+      SELECT doc_id*10+1, doc_id*10+2, 0::INT FROM s""",
+
+    "q_semantic_dedup_planted" -> """
+      SELECT vec_id FROM embeddings WHERE vec_id < 20""",
+
+    "q_ann_lsh_planted" -> """
+      SELECT vec_id AS probe_id, vec_id + 5000 AS cand_id,
+             1.0 AS cos, 1::INT AS rank
+      FROM embeddings WHERE vec_id < 5""",
+
+    "q_kmv_exact" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_linenumber)::BIGINT AS n_linenumbers
+      FROM lineitem GROUP BY 1""",
 
     // Planted-fixture oracles: DuckDB regenerates the identical
     // md5-derived fixture, then selects the survivors the construction

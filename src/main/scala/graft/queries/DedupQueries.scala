@@ -10,10 +10,12 @@ import graft.sources.Tables
   * suite (SURVEY §2B E35, E38, E40).
   *
   * MinHash/SimHash/LSH internals hash with xxhash64, which DuckDB cannot
-  * reproduce — those register rows-only here and carry ScalaTest oracles
-  * (brute-force Jaccard / recall-vs-exact) instead. The embedding near-dup
-  * and the stub multimodal decode are exactly reproducible in SQL and get
-  * full hash-matched oracles.
+  * reproduce — the corpus-input forms register rows-only here and carry
+  * ScalaTest oracles (brute-force Jaccard / recall-vs-exact). The
+  * embedding near-dup and the stub multimodal decode are exactly
+  * reproducible in SQL and get full hash-matched oracles — as does every
+  * operator in the planted-fixture family below, whose constructed
+  * inputs make the approximate operators' outputs closed-form.
   */
 object DedupQueries {
 
@@ -146,6 +148,56 @@ object DedupQueries {
       .unionAll(seeds.filter(col("b") >= 100 && col("b") < 120)
         .select((col("b") * 10).as("doc_id"), toks(col("b"), 0, 30).as("text")))
       .withColumn("n_chars", length(col("text")))
+  }
+
+  /** Clone triples: per base seed b < 12 three byte-identical docs (ids
+    * b·10, b·10+1, b·10+2) plus 20 singletons — SimHash of identical
+    * texts is identical, so the within-triple pairs sit at hamming 0 in
+    * closed form, and distinct md5-token seeds keep unrelated signatures
+    * far apart (deterministic; the gate verifies no stray pair). */
+  private[graft] def plantedClones(s: SparkSession, d: String): DataFrame =
+      memoized("clones", s, d) {
+    val seeds = Tables.documents(s, d).select(col("doc_id").as("b"))
+    val bases = seeds.filter(col("b") < 12)
+    val t0 = toks(col("b"), 0, 30)
+    bases.select((col("b") * 10).as("doc_id"), t0.as("text"))
+      .unionAll(bases.select((col("b") * 10 + 1).as("doc_id"), t0.as("text")))
+      .unionAll(bases.select((col("b") * 10 + 2).as("doc_id"), t0.as("text")))
+      .unionAll(seeds.filter(col("b") >= 100 && col("b") < 120)
+        .select((col("b") * 10).as("doc_id"), t0.as("text")))
+  }
+
+  /** SimHash near-dup on the planted clones — hash-gated: exactly the
+    * within-triple pairs, all at hamming 0. */
+  val simhashPlanted: Q = (s, d) =>
+    Dedup.simhashNearDup(plantedClones(s, d), "doc_id", "text",
+      maxHamming = 3)
+
+  /** Semantic dedup on planted copy vectors — hash-gated: each of the
+    * first 20 corpus vectors gains a byte-identical copy at id+1000;
+    * identical vectors share every hyperplane sign bit (candidates in
+    * EVERY table) at cosine 1.0, so the survivor set is exactly the
+    * originals. Threshold 0.999 keeps genuine corpus pairs out
+    * (deterministic; the gate verifies). */
+  val semanticDedupPlanted: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    val fix = emb.unionAll(emb.select((col("vec_id") + 1000).as("vec_id"),
+      col("embedding")))
+    Dedup.semanticDedup(fix, "vec_id", "embedding", threshold = 0.999)
+      .select("vec_id")
+  }
+
+  /** LSH ANN with planted exact neighbors — hash-gated: each probe's
+    * byte-identical copy at id+5000 collides in every hash table and
+    * scores cosine 1.0, so it MUST come back at rank 1. The closed-form
+    * top-1 contract complements AnnSearchSpec's statistical recall. */
+  val annLshPlanted: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 5)
+    val corpus = emb.unionAll(probes
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding")))
+    AnnSearch.lshTopK(corpus, probes, k = 1, tables = 8, bits = 6)
   }
 
   /** Greedy min-id LSH dedup on the planted triangles — hash-gated.

@@ -112,6 +112,19 @@ object RelationalQueries {
         .kmvDistinct(col("l_partkey"), 256).as("approx_parts"))
   }
 
+  /** KMV in its sub-k regime — hash-gated: with fewer distinct values
+    * than sketch slots the sketch holds EVERY hash and returns the exact
+    * count by construction (KmvSketch keeps all n < k hashes), so
+    * count(DISTINCT) is a true oracle for the sketch's merge/eval path,
+    * not a tolerance check. */
+  val kmvExact: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(graft.functions.GraftFunctions
+        .kmvDistinct(col("l_linenumber"), 256).as("n_linenumbers"))
+  }
+
   // ---- E13: hash aggregate (TPC-H Q1 shape — the flagship) ---------------
 
   /** TPC-H Q1 (E13): partial aggregation map-side, 4-way agg over 2 group
