@@ -167,6 +167,7 @@ object SparkEntry {
     "q_simhash_planted" -> DedupQueries.simhashPlanted,
     "q_semantic_dedup_planted" -> DedupQueries.semanticDedupPlanted,
     "q_ann_lsh_planted" -> DedupQueries.annLshPlanted,
+    "q_ann_ivf_planted" -> DedupQueries.annIvfPlanted,
     "q_kmv_exact" -> RelationalQueries.kmvExact,
   )
 
@@ -1116,7 +1117,14 @@ object SparkEntry {
       SELECT vec_id FROM embeddings WHERE vec_id < 20""",
 
     "q_ann_lsh_planted" -> """
-      SELECT vec_id AS probe_id, vec_id + 5000 AS cand_id,
+      SELECT vec_id AS probe_id,
+             vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS cand_id,
+             1.0 AS cos, 1::INT AS rank
+      FROM embeddings WHERE vec_id < 5""",
+
+    "q_ann_ivf_planted" -> """
+      SELECT vec_id AS probe_id,
+             vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS cand_id,
              1.0 AS cos, 1::INT AS rank
       FROM embeddings WHERE vec_id < 5""",
 

@@ -26,15 +26,15 @@ import org.apache.spark.sql.functions._
 object Shards {
 
   /** Append (`shard`, `shuffle_key`): shard membership and within-shard
-    * order as pure functions of (salt, id). */
+    * order as pure functions of (salt, id) — derived from the SAME
+    * [[Splits.saltedKey]] recipe as split assignment, so the two
+    * audit-layout contracts share one definition. */
   def assign(df: DataFrame, idCol: String, numShards: Int,
       salt: String = "graft"): DataFrame = {
     require(numShards > 0, "numShards must be positive")
-    df.withColumn("shuffle_key",
-        md5(concat(lit(salt), lit("_"), col(idCol).cast("string"))))
+    df.withColumn("shuffle_key", Splits.saltedKey(col(idCol), salt))
       .withColumn("shard",
-        (conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long")
-          % numShards).cast("int"))
+        Splits.bucketOfKey(col("shuffle_key"), numShards).cast("int"))
   }
 
   /** Materialize the shards: one exchange (hash by shard), a per-task

@@ -21,13 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
-  /** 32-bit bucket hash of a salted id: the first 8 hex chars of
-    * `md5(salt_id)` as an integer, mod `buckets`. md5 rather than
-    * xxhash64 keeps the assignment reproducible OUTSIDE the JVM (any
-    * engine with md5 — the audit posture for split membership). */
+  /** `md5(salt_id)` — THE audit-layout hash this module and
+    * [[Shards]] both derive from: md5 rather than xxhash64 keeps every
+    * assignment reproducible OUTSIDE the JVM (any engine with md5 can
+    * recompute split membership and shard layout). One definition, so
+    * the two operators' layouts cannot silently diverge. */
+  private[operators] def saltedKey(idCol: Column, salt: String): Column =
+    md5(concat(lit(salt), lit("_"), idCol.cast("string")))
+
+  /** First 8 hex chars of a [[saltedKey]] as an integer, mod `buckets`. */
+  private[operators] def bucketOfKey(key: Column, buckets: Int): Column =
+    conv(substring(key, 1, 8), 16, 10).cast("long") % buckets
+
   private def bucketOf(idCol: Column, salt: String, buckets: Int): Column =
-    conv(substring(md5(concat(lit(salt), lit("_"),
-      idCol.cast("string"))), 1, 8), 16, 10).cast("long") % buckets
+    bucketOfKey(saltedKey(idCol, salt), buckets)
 
   /** Append a `split` column assigning each row to the first fraction
     * whose bucket range contains its hash bucket.

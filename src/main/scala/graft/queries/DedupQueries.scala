@@ -91,12 +91,23 @@ object DedupQueries {
     * reference is a memory scan. `clearCache()` between driver queries
     * merely demotes this to recompute-on-use — correctness is
     * unaffected. */
+  private val sessionTokens = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def tokenOf(s: SparkSession): String =
+    sessionTokens.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
   private val fixtureMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
   private def memoized(kind: String, s: SparkSession, d: String)
       (build: => DataFrame): DataFrame = {
+    // a weak-map-minted token, not identityHashCode: identity hashes can
+    // be reused after a stopped session is collected, which would hand a
+    // later session a frame bound to the dead one (the weak map keys on
+    // object identity, so a token dies with its session). Bound the memo
+    // so frames (and the sessions they pin) can't accumulate across many
+    // short-lived sessions in one JVM.
+    if (fixtureMemo.size > 64) fixtureMemo.clear()
     val df = fixtureMemo.computeIfAbsent(
-      (System.identityHashCode(s), d, kind), _ => build)
+      (tokenOf(s), d, kind), _ => build)
     // the bench/verify harness clearCache()s between queries — re-mark so
     // the NEXT query's internal references still share one derivation
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
@@ -188,16 +199,40 @@ object DedupQueries {
       .select("vec_id")
   }
 
-  /** LSH ANN with planted exact neighbors — hash-gated: each probe's
-    * byte-identical copy at id+5000 collides in every hash table and
-    * scores cosine 1.0, so it MUST come back at rank 1. The closed-form
-    * top-1 contract complements AnnSearchSpec's statistical recall. */
-  val annLshPlanted: Q = (s, d) => {
+  /** Full corpus plus byte-identical copies of the first five vectors,
+    * offset past the table MAX (never a fixed constant: at a larger SF a
+    * fixed offset would collide with real vec_ids, putting two different
+    * vectors under one id and corrupting the gather join). The offset is
+    * `max(vec_id) + 1`, which the DuckDB oracle reproduces with the same
+    * subquery. */
+  private def corpusWithCopies(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     val probes = emb.filter(col("vec_id") < 5)
-    val corpus = emb.unionAll(probes
-      .select((col("vec_id") + 5000).as("vec_id"), col("embedding")))
+    val off = emb.agg((max("vec_id") + 1).as("__off"))
+    val corpus = emb.unionAll(probes.crossJoin(broadcast(off))
+      .select((col("vec_id") + col("__off")).as("vec_id"), col("embedding")))
+    (corpus, probes)
+  }
+
+  /** LSH ANN with planted exact neighbors — hash-gated: each probe's
+    * byte-identical copy collides in every hash table and scores cosine
+    * 1.0, so it MUST come back at rank 1. The closed-form top-1 contract
+    * complements AnnSearchSpec's statistical recall. */
+  val annLshPlanted: Q = (s, d) => {
+    val (corpus, probes) = corpusWithCopies(s, d)
     AnnSearch.lshTopK(corpus, probes, k = 1, tables = 8, bits = 6)
+  }
+
+  /** IVF ANN with planted exact neighbors — hash-gated by the same
+    * argument as [[annLshPlanted]]: an identical copy is assigned to the
+    * probe's own nearest list (same argmax, same ties), the probe always
+    * probes that list first, and scoring is EXACT cosine — the
+    * approximation lives only in candidate generation, which the copy
+    * cannot escape. */
+  val annIvfPlanted: Q = (s, d) => {
+    val (corpus, probes) = corpusWithCopies(s, d)
+    AnnSearch.ivfTopK(corpus, probes, k = 1, lists = 20, nprobe = 4)
   }
 
   /** Greedy min-id LSH dedup on the planted triangles — hash-gated.
