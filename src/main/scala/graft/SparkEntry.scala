@@ -169,6 +169,7 @@ object SparkEntry {
     "q_ann_lsh_planted" -> DedupQueries.annLshPlanted,
     "q_ann_ivf_planted" -> DedupQueries.annIvfPlanted,
     "q_kmv_exact" -> RelationalQueries.kmvExact,
+    "q_embed_quant" -> VectorQueries.embedQuant,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1132,6 +1133,23 @@ object SparkEntry {
       SELECT l_returnflag,
              count(DISTINCT l_linenumber)::BIGINT AS n_linenumbers
       FROM lineitem GROUP BY 1""",
+
+    "q_embed_quant" -> """
+      WITH q AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[],
+                 x -> abs(x))) / 127 AS s
+        FROM embeddings),
+      c AS (
+        SELECT vec_id, v, s,
+               list_transform(v, x -> CASE WHEN s = 0 THEN 0
+                 ELSE floor(x / s + 0.5)::INT END) AS codes
+        FROM q)
+      SELECT vec_id, round(s, 6) AS sq_scale,
+             list_sum(codes)::BIGINT AS sum_codes,
+             round(list_max(list_transform(range(1, len(v) + 1),
+               i -> abs(v[i] - codes[i] * s))), 6) AS max_err
+      FROM c""",
 
     // Planted-fixture oracles: DuckDB regenerates the identical
     // md5-derived fixture, then selects the survivors the construction

@@ -69,6 +69,27 @@ object VectorQueries {
       .filter(col("rank") <= 5)
   }
 
+  /** Int8 scalar quantization round-trip (round 4) — hash-gated: codes,
+    * scale, and max reconstruction error are closed-form double
+    * arithmetic, so DuckDB reproduces them exactly (no tolerance). */
+  val embedQuant: Q = (s, d) => {
+    val q = graft.operators.VectorQuant.quantize(
+      Tables.embeddings(s, d).select("vec_id", "embedding"), "embedding")
+    // max_err computed BEFORE sq_scale is re-aliased to its rounded form:
+    // lateral column alias resolution would otherwise rebind the
+    // sq_scale reference inside the error expression to the 6dp-rounded
+    // alias, silently reconstructing with a truncated scale
+    q.withColumn("max_err", round(array_max(zip_with(
+        transform(col("embedding"), x => x.cast("double")),
+        graft.operators.VectorQuant.dequantize(col("sq_codes"),
+          col("sq_scale")),
+        (x, y) => abs(x - y))), 6))
+      .select(col("vec_id"),
+        round(col("sq_scale"), 6).as("sq_scale"),
+        aggregate(col("sq_codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+        col("max_err"))
+  }
+
   /** Norm statistics per label (E36/E27): native norm kernel + group agg. */
   val embedNorms: Q = (s, d) => {
     GraftFunctions.register(s)
