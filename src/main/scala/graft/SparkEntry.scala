@@ -170,6 +170,7 @@ object SparkEntry {
     "q_ann_ivf_planted" -> DedupQueries.annIvfPlanted,
     "q_kmv_exact" -> RelationalQueries.kmvExact,
     "q_embed_quant" -> VectorQueries.embedQuant,
+    "q_quant_topk" -> VectorQueries.quantTopK,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1150,6 +1151,30 @@ object SparkEntry {
              round(list_max(list_transform(range(1, len(v) + 1),
                i -> abs(v[i] - codes[i] * s))), 6) AS max_err
       FROM c""",
+
+    "q_quant_topk" -> """
+      WITH q AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[],
+                 x -> abs(x))) / 127 AS s
+        FROM embeddings),
+      d AS (
+        SELECT vec_id,
+               CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+                    ELSE list_transform(v, x -> floor(x / s + 0.5)::INT * s)
+               END AS dv
+        FROM q),
+      sc AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               round(list_cosine_similarity(p.dv, c.dv), 6) AS cos
+        FROM d p, d c
+        WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id)
+      SELECT probe_id, cand_id, cos, "rank" FROM (
+        SELECT probe_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos DESC, cand_id) AS INT) AS "rank"
+        FROM sc) t
+      WHERE "rank" <= 3""",
 
     // Planted-fixture oracles: DuckDB regenerates the identical
     // md5-derived fixture, then selects the survivors the construction

@@ -90,6 +90,20 @@ object VectorQueries {
         col("max_err"))
   }
 
+  /** Similarity search over QUANTIZED storage (round 4) — the reason a
+    * pipeline quantizes: both sides reconstruct from (codes, scale) and
+    * search runs on the dequantized vectors, end-to-end deterministic —
+    * hash-gated against DuckDB reproducing the same reconstruction. */
+  val quantTopK: Q = (s, d) => {
+    val q = graft.operators.VectorQuant.quantize(
+        Tables.embeddings(s, d).select("vec_id", "embedding"), "embedding")
+      .select(col("vec_id"), graft.operators.VectorQuant
+        .dequantize(col("sq_codes"), col("sq_scale")).as("dvec"))
+    graft.operators.AnnSearch.bruteForceTopK(
+      q, q.filter(col("vec_id") < 5), k = 3,
+      corpusVec = "dvec", probeVec = "dvec")
+  }
+
   /** Norm statistics per label (E36/E27): native norm kernel + group agg. */
   val embedNorms: Q = (s, d) => {
     GraftFunctions.register(s)
