@@ -171,6 +171,7 @@ object SparkEntry {
     "q_kmv_exact" -> RelationalQueries.kmvExact,
     "q_embed_quant" -> VectorQueries.embedQuant,
     "q_quant_topk" -> VectorQueries.quantTopK,
+    "q_unigram_surprisal" -> PipelineQueries.unigramSurprisal,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1151,6 +1152,20 @@ object SparkEntry {
              round(list_max(list_transform(range(1, len(v) + 1),
                i -> abs(v[i] - codes[i] * s))), 6) AS max_err
       FROM c""",
+
+    "q_unigram_surprisal" -> """
+      WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+      c AS (SELECT tok, count(*) AS c FROM tf GROUP BY tok),
+      g AS (SELECT sum(c)::DOUBLE AS total, count(*)::DOUBLE AS v FROM c)
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             round(avg(-ln((c + 0.5) / (total + 0.5 * v))), 6)
+               AS avg_surprisal
+      FROM tf JOIN c USING (tok) CROSS JOIN g
+      GROUP BY doc_id""",
 
     "q_quant_topk" -> """
       WITH q AS (

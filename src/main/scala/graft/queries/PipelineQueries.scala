@@ -231,6 +231,13 @@ object PipelineQueries {
       partCols = Seq("lang"), orderCol = "doc_id", sizeCol = "n_tokens",
       capacity = 128)
 
+  /** CCNet-style statistical quality score (round 4): mean token
+    * surprisal under a corpus unigram model — gibberish and boilerplate
+    * sit in the tails, typical prose in the middle. */
+  val unigramSurprisal: Q = (s, d) =>
+    graft.operators.TextScore.unigramSurprisal(
+      Tables.documents(s, d), "doc_id", "text")
+
   /** Deterministic global shuffle into training shards (round 4): shard
     * membership and within-shard order are pure functions of
     * (salt, doc_id). The gate hashes the full layout: per-shard counts
