@@ -68,6 +68,10 @@ object ScaleBench {
       ("topk_parts", df => noop(topk(df)), li1, liN))
 
     val results = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    // second arg "pipeline" drills only the round-3/4 pipeline section
+    // (iterating on one section shouldn't pay for the 15-operator base)
+    val pipelineOnly = args.lift(1).contains("pipeline")
+    if (!pipelineOnly) {
     pairs.foreach { case (tag, run, small, big) =>
       val t1 = time(s"$tag 1x")(run(small))
       val tN = time(s"$tag ${factor}x")(run(big))
@@ -171,6 +175,7 @@ object ScaleBench {
     val tqN = time(s"ivfpq_search ${factor}x")(noop(
       graft.operators.IvfPq.search(idxN, probes, 10)))
     results += (("ivfpq_search", tq1, tqN))
+    }
 
     // round-3/4 pipeline operators. The replicated corpus is the
     // removeDupSpans worst case: every span is duplicated `factor`×, so
@@ -219,6 +224,20 @@ object ScaleBench {
     val tshN = time(s"shard_assign ${factor}x")(noop(graft.operators.Shards
       .assign(docsN, "doc_id", 64)))
     results += (("shard_assign", tsh1, tshN))
+
+    // replication multiplies every token count by `factor` but the vocab
+    // stays fixed — the worst case for the token join's per-key fan-out
+    val tus1 = time("unigram_surprisal 1x")(noop(graft.operators.TextScore
+      .unigramSurprisal(docs1, "doc_id", "text")))
+    val tusN = time(s"unigram_surprisal ${factor}x")(noop(graft.operators
+      .TextScore.unigramSurprisal(docsN, "doc_id", "text")))
+    results += (("unigram_surprisal", tus1, tusN))
+
+    val tvq1 = time("embed_quant 1x")(noop(graft.operators.VectorQuant
+      .quantize(emb1, "embedding")))
+    val tvqN = time(s"embed_quant ${factor}x")(noop(graft.operators
+      .VectorQuant.quantize(embN, "embedding")))
+    results += (("embed_quant", tvq1, tvqN))
 
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.foreach { case (tag, t1, tN) =>
