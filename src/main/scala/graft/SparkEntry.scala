@@ -172,6 +172,7 @@ object SparkEntry {
     "q_embed_quant" -> VectorQueries.embedQuant,
     "q_quant_topk" -> VectorQueries.quantTopK,
     "q_unigram_surprisal" -> PipelineQueries.unigramSurprisal,
+    "q_tokenize_ids" -> PipelineQueries.tokenizeIds,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1166,6 +1167,26 @@ object SparkEntry {
                AS avg_surprisal
       FROM tf JOIN c USING (tok) CROSS JOIN g
       GROUP BY doc_id""",
+
+    "q_tokenize_ids" -> """
+      WITH t AS (
+        SELECT doc_id, tk[i+1] AS tok, i AS p
+        FROM (SELECT doc_id,
+                regexp_split_to_array(lower(text), '\s+') AS tk
+              FROM documents) x,
+             unnest(range(0, len(tk))) AS r(i)
+        WHERE tk[i+1] <> ''),
+      c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+      v AS (SELECT tok,
+                   (row_number() OVER (ORDER BY c DESC, tok) - 1)::INT
+                     AS token_id
+            FROM c ORDER BY c DESC, tok LIMIT 4096),
+      e AS (SELECT t.doc_id, t.p, coalesce(v.token_id, 4096) AS id
+            FROM t LEFT JOIN v USING (tok))
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             sum(CASE WHEN id = 4096 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+             string_agg(id::VARCHAR, ' ' ORDER BY p) AS ids
+      FROM e GROUP BY doc_id""",
 
     "q_quant_topk" -> """
       WITH q AS (

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary + id-sequence encoding — the last mile of corpus
+  * assembly: after filtering, dedup, mixing, and packing decide WHICH
+  * text trains, this turns it into the integer sequences a trainer
+  * consumes. Deterministic by construction: vocabulary ids are assigned
+  * in (count desc, token asc) order, so re-runs and engine changes
+  * reproduce identical encodings.
+  *
+  * Scale shape: [[vocabulary]] is one word-count aggregate plus a top-V
+  * extraction (TakeOrdered — k rows kept per task; the single-partition
+  * id-assignment window runs on the ≤V survivors only). [[encode]]
+  * broadcast-joins that bounded vocabulary against the exploded tokens
+  * and re-assembles per-doc sequences with one (doc, pos, id)-shaped
+  * shuffle — ints and ids only, no text after the join.
+  */
+object Tokenize {
+
+  private def tokens(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("p", "tok")))
+      .filter(col("tok") =!= "")
+
+  /** Top-`vocabSize` tokens as (tok, token_id 0..V-1), ids in
+    * (count desc, token asc) order. Out-of-vocabulary tokens encode as
+    * id `vocabSize` (the conventional OOV slot). */
+  def vocabulary(df: DataFrame, textCol: String, vocabSize: Int)
+      : DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val counts = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    counts.orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .withColumn("token_id", (row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))) - 1).cast("int"))
+      .select("tok", "token_id")
+  }
+
+  /** Encode each doc as its token-id sequence (space-joined string —
+    * directly comparable across engines; a trainer-facing writer would
+    * keep the int array). Returns (idCol, n_tokens, n_oov, ids). */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, vocabSize: Int): DataFrame =
+    tokens(df, idCol, textCol)
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("id", coalesce(col("token_id"), lit(vocabSize)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === vocabSize, 1).otherwise(0)).as("n_oov"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("id")))),
+          s => s.getField("id").cast("string")), " ").as("ids"))
+}

@@ -238,6 +238,15 @@ object PipelineQueries {
     graft.operators.TextScore.unigramSurprisal(
       Tables.documents(s, d), "doc_id", "text")
 
+  /** Last-mile id encoding (round 4): deterministic corpus vocabulary
+    * (top-4096 by count, ties lexical) + per-doc token-id sequences —
+    * the artifact a trainer consumes. */
+  val tokenizeIds: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Tokenize.encode(docs, "doc_id", "text",
+      graft.operators.Tokenize.vocabulary(docs, "text", 4096), 4096)
+  }
+
   /** Deterministic global shuffle into training shards (round 4): shard
     * membership and within-shard order are pure functions of
     * (salt, doc_id). The gate hashes the full layout: per-shard counts
