@@ -239,6 +239,17 @@ object ScaleBench {
       .VectorQuant.quantize(embN, "embedding")))
     results += (("embed_quant", tvq1, tvqN))
 
+    // vocab is built once on the 1x corpus (the persisted-artifact
+    // posture — a trainer's vocabulary doesn't change per batch);
+    // encoding scales with the data against that fixed vocab
+    val vocab = graft.operators.Tokenize.vocabulary(docs1, "text", 4096)
+    vocab.count() // materialize outside the timed region
+    val tte1 = time("tokenize_encode 1x")(noop(graft.operators.Tokenize
+      .encode(docs1, "doc_id", "text", vocab, 4096)))
+    val tteN = time(s"tokenize_encode ${factor}x")(noop(graft.operators
+      .Tokenize.encode(docsN, "doc_id", "text", vocab, 4096)))
+    results += (("tokenize_encode", tte1, tteN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")
