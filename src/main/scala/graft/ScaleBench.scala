@@ -243,7 +243,8 @@ object ScaleBench {
     // posture — a trainer's vocabulary doesn't change per batch);
     // encoding scales with the data against that fixed vocab
     val vocab = graft.operators.Tokenize.vocabulary(docs1, "text", 4096)
-    vocab.count() // materialize outside the timed region
+      .cache() // vocabulary() is uncached; count() alone would NOT keep
+    vocab.count() // the build out of the timed encode runs
     val tte1 = time("tokenize_encode 1x")(noop(graft.operators.Tokenize
       .encode(docs1, "doc_id", "text", vocab, 4096)))
     val tteN = time(s"tokenize_encode ${factor}x")(noop(graft.operators

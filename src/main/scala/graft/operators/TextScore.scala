@@ -26,8 +26,9 @@ object TextScore {
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, "smoothing alpha must be positive")
+    // same tokenizer as the vocabulary/encode contract (one definition)
     val toks = df.select(col(idCol),
-        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+        explode(Tokenize.tokenCol(textCol)).as("tok"))
       .filter(col("tok") =!= "")
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val global = counts.agg(sum("c").cast("double").as("total"),

@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Tokenize {
 
+  /** THE tokenizer of the vocab/encode contract — one definition, used
+    * by both sides of the vocab join (and by [[TextScore]]): a change
+    * here cannot desynchronize vocabulary from encoding (a divergence
+    * would silently send every token to the OOV slot). */
+  private[operators] def tokenCol(textCol: String) =
+    split(lower(col(textCol)), "\\s+")
+
   private def tokens(df: DataFrame, idCol: String, textCol: String) =
     df.select(col(idCol),
-        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("p", "tok")))
+        posexplode(tokenCol(textCol)).as(Seq("p", "tok")))
       .filter(col("tok") =!= "")
 
   /** Top-`vocabSize` tokens as (tok, token_id 0..V-1), ids in
@@ -32,7 +39,7 @@ object Tokenize {
       : DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")
     val counts = df
-      .select(explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .select(explode(tokenCol(textCol)).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("c"))
     counts.orderBy(col("c").desc, col("tok")).limit(vocabSize)

@@ -86,7 +86,11 @@ object VectorQueries {
         (x, y) => abs(x - y))), 6))
       .select(col("vec_id"),
         round(col("sq_scale"), 6).as("sq_scale"),
-        aggregate(col("sq_codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+        // null on empty arrays, matching DuckDB list_sum's NULL (a
+        // zero-length embedding would otherwise hash-mismatch as 0)
+        when(size(col("sq_codes")) === 0, lit(null))
+          .otherwise(aggregate(col("sq_codes"), lit(0L), (a, c) => a + c))
+          .as("sum_codes"),
         col("max_err"))
   }
 
