@@ -173,6 +173,12 @@ object SparkEntry {
     "q_quant_topk" -> VectorQueries.quantTopK,
     "q_unigram_surprisal" -> PipelineQueries.unigramSurprisal,
     "q_tokenize_ids" -> PipelineQueries.tokenizeIds,
+    // round 4 cont.: line-level dedup, JL random projection, and the two
+    // storage-layout disciplines (partition pruning, bucketed join)
+    "q_line_dedup" -> PipelineQueries.lineDedup,
+    "q_rand_project" -> VectorQueries.randProject,
+    "q_partition_prune" -> SourceQueries.partitionPrune,
+    "q_bucketed_join" -> SourceQueries.bucketedJoin,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1302,5 +1308,66 @@ object SparkEntry {
                     THEN ((f + 1) // 2 - 1) * 64 + (n - 64 * (f - 1))
                   ELSE ((f + 1) // 2) * 64 END AS sampled_bytes
       FROM calc""",
+
+    // round 4 cont.: line dedup / random projection / layout gates
+    "q_line_dedup" -> """
+      WITH base AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tk
+        FROM documents),
+      seg AS (
+        SELECT doc_id, i AS p,
+               array_to_string(tk[i*10+1 : i*10+10], ' ') AS line
+        FROM base,
+             unnest(range(0, CAST(ceil(len(tk)/10.0) AS BIGINT))) AS r(i)),
+      dup AS (
+        SELECT md5(line) AS h, min(doc_id) AS keeper
+        FROM (SELECT DISTINCT doc_id, line FROM seg)
+        GROUP BY 1 HAVING count(*) >= 2),
+      rem AS (
+        SELECT s.doc_id, s.p
+        FROM seg s JOIN dup d ON md5(s.line) = d.h
+        WHERE s.doc_id <> d.keeper),
+      kept AS (
+        SELECT s.doc_id, string_agg(s.line, chr(10) ORDER BY s.p)
+                 AS clean_text
+        FROM seg s ANTI JOIN rem r ON s.doc_id = r.doc_id AND s.p = r.p
+        GROUP BY s.doc_id)
+      SELECT b.doc_id, coalesce(k.clean_text, '') AS clean_text,
+             CAST(ceil(len(b.tk)/10.0) AS INT) AS n_lines,
+             coalesce(rc.n, 0)::INT AS n_removed
+      FROM base b
+      LEFT JOIN kept k USING (doc_id)
+      LEFT JOIN (SELECT doc_id, count(*) AS n FROM rem GROUP BY doc_id) rc
+        USING (doc_id)""",
+
+    "q_rand_project" -> """
+      WITH sgn AS (
+        SELECT j, list_transform(range(0, 64), i ->
+          CASE WHEN substr(md5('graft_' || i::VARCHAR || '_'
+                     || j::VARCHAR), 1, 1) < '8'
+               THEN 1.0 ELSE -1.0 END) AS sv
+        FROM unnest(range(0, 16)) AS t(j)),
+      b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT b.vec_id, sgn.j::INT AS j,
+             round(list_reduce(list_prepend(0.0,
+               list_transform(range(0, 64),
+                 i -> b.v[i+1] * sgn.sv[i+1])),
+               (a, x) -> a + x) / sqrt(16), 6) AS v
+      FROM b, sgn""",
+
+    "q_partition_prune" -> """
+      SELECT event_type, count(*) AS n, round(sum(value), 6) AS total,
+             count(DISTINCT user_id) AS n_users
+      FROM events
+      WHERE CAST(ts AS DATE)
+        BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+      GROUP BY event_type""",
+
+    "q_bucketed_join" -> """
+      SELECT c_mktsegment, count(*) AS n_orders,
+             round(sum(o_totalprice), 6) AS total,
+             count(DISTINCT c_custkey) AS n_customers
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment""",
   )
 }

@@ -72,6 +72,10 @@ object Engine {
       // so a user reading events before any Tables call can't race the
       // runtime flag Tables.events also sets (see USAGE.md)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table artifacts (Layout) land here, not in cwd; static
+      // conf, so it binds when this builder creates the session
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftFunctions.register(s)

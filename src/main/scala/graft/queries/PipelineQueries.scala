@@ -259,6 +259,22 @@ object PipelineQueries {
         min_by(col("doc_id"), col("shuffle_key")).as("first_id"),
         max_by(col("doc_id"), col("shuffle_key")).as("last_id"))
 
+  /** CCNet-style duplicated-LINE removal (round 4): boilerplate lines
+    * recurring across documents are stripped, one surviving copy
+    * corpus-wide. The flat testdata has no newlines, so the gate segments
+    * each doc into fixed 10-token lines — the SAME derivation on both
+    * engines — and the operator consumes the segmented array (its
+    * contract: the caller segments, it never tokenizes). md5 hasher so
+    * DuckDB reproduces the removal set exactly; production default is
+    * xxhash64. */
+  val lineDedup: Q = (s, d) =>
+    graft.operators.LineDedup.removeDupLines(
+      graft.operators.LineDedup.segmentByTokens(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "text", "lines", width = 10),
+      "doc_id", "lines", hasher = md5(_))
+      .select("doc_id", "clean_text", "n_lines", "n_removed")
+
   /** IVF-PQ composed index: coarse lists bound the scan, residual PQ
     * codes stand in for vectors — the billion-scale ANN shape (rows-only;
     * recall + codes-only-search + build-once oracles in IvfPqSpec).

@@ -51,4 +51,29 @@ object SourceQueries {
         round(sum("s_acctbal"), 6).as("total_bal"),
         max("s_suppkey").as("max_key"))
   }
+
+  /** Partition-pruned scan (round 4): events re-laid-out as
+    * `event_date=…/` parquet, then a 7-of-30-day aggregate — the scan
+    * lists only the 7 matching directories (LayoutSpec asserts the
+    * PartitionFilters); the oracle computes the same range over the raw
+    * table. */
+  val partitionPrune: Q = (s, d) =>
+    graft.sources.Layout.partitionedEvents(s, d)
+      .filter(col("event_date").between("2024-01-10", "2024-01-16"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"),
+        countDistinct("user_id").as("n_users"))
+
+  /** Bucketed co-located join (round 4): orders ⋈ customer on custkey,
+    * both sides pre-bucketed at write time so the join plans with zero
+    * shuffle on either input (LayoutSpec asserts no Exchange below the
+    * join) — the fact-to-fact join posture at 100 TB, where per-query
+    * shuffles of both sides are the dominant cost and broadcast is not
+    * an option. */
+  val bucketedJoin: Q = (s, d) =>
+    graft.sources.Layout.bucketedOrdersWithCustomers(s, d)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 6).as("total"),
+        countDistinct("c_custkey").as("n_customers"))
 }

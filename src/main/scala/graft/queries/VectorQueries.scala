@@ -119,6 +119,19 @@ object VectorQueries {
         round(max("norm"), 4).as("max_norm"))
   }
 
+  /** Johnson–Lindenstrauss ±1 random projection 64 → 16 (round 4):
+    * map-only dimensionality reduction with an md5-derived sign matrix
+    * any engine rebuilds from the salt — the in-order fold makes the
+    * double arithmetic bit-identical to DuckDB's list_reduce, so this
+    * floating-point output hash-matches exactly (rounded 6dp). Exploded
+    * to (vec_id, j, v) rows: array column stringification differs
+    * between pandas and DuckDB at the gate's comparer. */
+  val randProject: Q = (s, d) =>
+    graft.operators.RandomProjection.project(
+        Tables.embeddings(s, d), "embedding", inDim = 64, outDim = 16)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+      .select(col("vec_id"), col("j"), round(col("v"), 6).as("v"))
+
   /** Euclidean (L2) nearest neighbor per probe (E36/E37 variant). */
   val l2Nearest: Q = (s, d) => {
     val (probe, corpus) = probesAndCorpus(s, d)

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plan-shape oracles for the two storage-layout disciplines: a date
+  * filter on the partitioned layout must prune at the scan, and the
+  * bucketed join must plan without a shuffle on either input. */
+class LayoutSpec extends SparkSpec {
+
+  test("date filter reaches the partitioned scan as a PartitionFilter") {
+    val pruned = Layout.partitionedEvents(spark, sf)
+      .filter(col("event_date").between("2024-01-10", "2024-01-16"))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a file scan")
+    assert(scans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "event_date"))),
+      s"date filter not pushed to partition pruning:\n" +
+        scans.map(_.partitionFilters).mkString("\n"))
+    // and pruning must not change the answer
+    val expected = Tables.events(spark, sf)
+      .filter(to_date(col("ts")).between("2024-01-10", "2024-01-16"))
+      .count()
+    assert(pruned.count() == expected)
+  }
+
+  test("bucketed join plans with zero shuffles below the join") {
+    // broadcast + AQE off: force the sort-merge path and make the static
+    // plan final — the co-location claim is about the SMJ form (the
+    // broadcast fallback never shuffles anyway)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = Layout.bucketedOrdersWithCustomers(spark, sf)
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"expected a sort-merge join:\n$plan")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join must not shuffle, found:\n$shuffles")
+      val expected = Tables.orders(spark, sf).join(
+          Tables.customer(spark, sf),
+          col("o_custkey") === col("c_custkey"))
+        .count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("bucketed artifact is reused, not rewritten, within a session") {
+    Layout.bucketedOrdersWithCustomers(spark, sf).count()
+    val before = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_orders_b_")).count()
+    Layout.bucketedOrdersWithCustomers(spark, sf).count()
+    val after = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_orders_b_")).count()
+    assert(before == after, "second call must reuse the catalog tables")
+  }
+}
