@@ -251,6 +251,23 @@ object ScaleBench {
       .Tokenize.encode(docsN, "doc_id", "text", vocab, 4096)))
     results += (("tokenize_encode", tte1, tteN))
 
+    // replicated corpus: every 10-token line duplicated `factor`× — the
+    // same total-rewrite worst case as dup_span_removal (every non-keeper
+    // doc loses every line)
+    def segmented(df: DataFrame) = graft.operators.LineDedup
+      .segmentByTokens(df.select("doc_id", "text"), "text", "lines", 10)
+    val tld1 = time("line_dedup 1x")(noop(graft.operators.LineDedup
+      .removeDupLines(segmented(docs1), "doc_id", "lines")))
+    val tldN = time(s"line_dedup ${factor}x")(noop(graft.operators.LineDedup
+      .removeDupLines(segmented(docsN), "doc_id", "lines")))
+    results += (("line_dedup", tld1, tldN))
+
+    val trp1 = time("rand_project 1x")(noop(graft.operators.RandomProjection
+      .project(emb1, "embedding", 64, 16)))
+    val trpN = time(s"rand_project ${factor}x")(noop(graft.operators
+      .RandomProjection.project(embN, "embedding", 64, 16)))
+    results += (("rand_project", trp1, trpN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

@@ -177,6 +177,7 @@ object SparkEntry {
     // storage-layout disciplines (partition pruning, bucketed join)
     "q_line_dedup" -> PipelineQueries.lineDedup,
     "q_rand_project" -> VectorQueries.randProject,
+    "q_embed_centroids" -> VectorQueries.embedCentroids,
     "q_partition_prune" -> SourceQueries.partitionPrune,
     "q_bucketed_join" -> SourceQueries.bucketedJoin,
   )
@@ -1354,6 +1355,12 @@ object SparkEntry {
                  i -> b.v[i+1] * sgn.sv[i+1])),
                (a, x) -> a + x) / sqrt(16), 6) AS v
       FROM b, sgn""",
+
+    "q_embed_centroids" -> """
+      SELECT label, i::INT AS pos, count(*) AS n,
+             round(avg(embedding[i+1]::DOUBLE), 6) AS v
+      FROM embeddings, unnest(range(0, 64)) AS r(i)
+      GROUP BY label, i""",
 
     "q_partition_prune" -> """
       SELECT event_type, count(*) AS n, round(sum(value), 6) AS total,

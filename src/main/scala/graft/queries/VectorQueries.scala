@@ -132,6 +132,20 @@ object VectorQueries {
       .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
       .select(col("vec_id"), col("j"), round(col("v"), 6).as("v"))
 
+  /** Per-label embedding centroids (round 4): elementwise mean vector
+    * per class — the prototype computation behind clustering init,
+    * nearest-class-mean classification, and semantic-dedup seeding.
+    * Exploded to (label, pos) so the mean is ONE partial-aggregable
+    * hash agg — dimensions shuffle as (label, pos, partial sum), never
+    * whole vectors, and output rows = |labels|·dim regardless of corpus
+    * size. */
+  val embedCentroids: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x").cast("double")), 6).as("v"))
+
   /** Euclidean (L2) nearest neighbor per probe (E36/E37 variant). */
   val l2Nearest: Q = (s, d) => {
     val (probe, corpus) = probesAndCorpus(s, d)
