@@ -180,6 +180,7 @@ object SparkEntry {
     "q_embed_centroids" -> VectorQueries.embedCentroids,
     "q_partition_prune" -> SourceQueries.partitionPrune,
     "q_bucketed_join" -> SourceQueries.bucketedJoin,
+    "q_zorder_key" -> SourceQueries.zorderKey,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1376,5 +1377,17 @@ object SparkEntry {
              count(DISTINCT c_custkey) AS n_customers
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment""",
+
+    "q_zorder_key" -> """
+      SELECT l_orderkey, l_linenumber, zkey FROM (
+        SELECT l_orderkey, l_linenumber,
+               list_reduce(list_prepend(0::BIGINT,
+                 list_transform(range(0, 10), b ->
+                   ((((l_partkey::BIGINT % 1024) >> b) & 1) << (2*b)) +
+                   ((((l_suppkey::BIGINT % 1024) >> b) & 1) << (2*b+1)))),
+                 (a, x) -> a + x) AS zkey
+        FROM lineitem) t
+      ORDER BY zkey, l_orderkey, l_linenumber
+      LIMIT 100""",
   )
 }

@@ -76,4 +76,18 @@ object SourceQueries {
       .agg(count(lit(1)).as("n_orders"),
         round(sum("o_totalprice"), 6).as("total"),
         countDistinct("c_custkey").as("n_customers"))
+
+  /** Z-order clustering key (round 4): Morton-interleaved
+    * (l_partkey, l_suppkey) — sorting by this key clusters BOTH
+    * dimensions into the same files, so min/max file stats prune scans
+    * filtered on either column. Top-100 by key (deterministic
+    * tie-break) hash-gates the exact bit arithmetic against DuckDB. */
+  val zorderKey: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.ZOrder.zorderKey(
+          Seq(pmod(col("l_partkey"), lit(1024)),
+            pmod(col("l_suppkey"), lit(1024))), bits = 10).as("zkey"))
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
 }
