@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   * formula.
   *
   * Callers pre-scale each dimension into `[0, 2^bits)` (quantile-bucket
-  * or modulo); values outside raise under ANSI rather than silently
-  * aliasing.
+  * or modulo, as the gate query's `pmod` does): only the low `bits`
+  * bits participate, so larger values alias onto the same key and
+  * negative values (arithmetic shift) key as all-ones — pre-scaling is
+  * the caller's contract, not checked per row (a per-row range check
+  * would put a branch in front of 63 bit ops).
   */
 object ZOrder {
 
