@@ -181,6 +181,9 @@ object SparkEntry {
     "q_partition_prune" -> SourceQueries.partitionPrune,
     "q_bucketed_join" -> SourceQueries.bucketedJoin,
     "q_zorder_key" -> SourceQueries.zorderKey,
+    "q_split_leakage" -> PipelineQueries.splitLeakage,
+    "q_curriculum" -> PipelineQueries.curriculumBuckets,
+    "q_doc_chunks" -> PipelineQueries.docChunks,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1389,5 +1392,56 @@ object SparkEntry {
         FROM lineitem) t
       ORDER BY zkey, l_orderkey, l_linenumber
       LIMIT 100""",
+
+    "q_split_leakage" -> """
+      WITH b AS (
+        SELECT doc_id, md5(text) AS h,
+               CASE WHEN bk < 9000 THEN 'train'
+                    WHEN bk < 9500 THEN 'valid' ELSE 'test' END AS split
+        FROM (SELECT doc_id, text,
+                ('0x' || substr(md5('graft_' || doc_id::VARCHAR), 1, 8))
+                  ::BIGINT % 10000 AS bk
+              FROM documents)),
+      s AS (SELECT h, count(DISTINCT split) AS n_splits FROM b GROUP BY h)
+      SELECT split, count(*) AS n_docs,
+             sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_leaked
+      FROM b JOIN s USING (h)
+      GROUP BY split""",
+
+    "q_curriculum" -> """
+      WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+      c AS (SELECT tok, count(*) AS c FROM tf GROUP BY tok),
+      g AS (SELECT sum(c)::DOUBLE AS total, count(*)::DOUBLE AS v FROM c),
+      score AS (
+        SELECT doc_id, round(avg(-ln((c + 0.5) / (total + 0.5 * v))), 6)
+                 AS avg_surprisal
+        FROM tf JOIN c USING (tok) CROSS JOIN g
+        GROUP BY doc_id),
+      ranked AS (
+        SELECT d.lang, s.doc_id, s.avg_surprisal,
+               ntile(4) OVER (PARTITION BY d.lang
+                 ORDER BY s.avg_surprisal, s.doc_id)::INT AS bucket
+        FROM score s JOIN documents d USING (doc_id))
+      SELECT lang, bucket, count(*) AS n_docs,
+             round(avg(avg_surprisal), 6) AS mean_score,
+             min(doc_id) AS first_doc
+      FROM ranked
+      GROUP BY lang, bucket""",
+
+    "q_doc_chunks" -> """
+      WITH base AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tk,
+               len(string_split(lower(text), ' ')) AS n
+        FROM documents WHERE length(text) > 0)
+      SELECT doc_id, i::INT AS chunk_id, (i * 48)::INT AS start_pos,
+             least(64, n - i * 48)::INT AS n_chunk_tokens,
+             array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
+      FROM base,
+           unnest(range(0, CAST(ceil(n / 48.0) AS BIGINT))) AS r(i)""",
   )
 }

@@ -43,9 +43,11 @@ object RandomProjection {
   }
 
   /** Append `outCol`: array<double> of length `outDim`, the scaled
-    * (`1/√outDim`) signed sums. Input vectors must have `inDim`
-    * elements; shorter vectors raise at eval (element_at out of range
-    * under ANSI), never silently truncate. */
+    * (`1/√outDim`) signed sums. Input vectors must have at least
+    * `inDim` elements; shorter vectors raise at eval (element_at out
+    * of range under ANSI), while LONGER vectors project on their first
+    * `inDim` dimensions (the fold never looks past the matrix width —
+    * pass the true dimension). */
   def project(df: DataFrame, vecCol: String, inDim: Int, outDim: Int,
       salt: String = "graft", outCol: String = "proj"): DataFrame = {
     val m = typedlit(signMatrix(inDim, outDim, salt))

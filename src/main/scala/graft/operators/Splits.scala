@@ -77,4 +77,31 @@ object Splits {
       }
     df.withColumn("split", split)
   }
+
+  /** Split-leakage audit: per split, how many docs share their CONTENT
+    * hash with a doc in a DIFFERENT split — the train/test contamination
+    * an id-hash split does NOT prevent (membership is per id; two copies
+    * of the same text carry different ids and can straddle the
+    * boundary). Zero `n_leaked` everywhere is the postcondition of
+    * dedup-before-split; this is the check that proves it held.
+    *
+    * Returns (split, n_docs, n_leaked). Scale shape: text is consumed at
+    * the scan (hashed); the spread aggregate and the count join shuffle
+    * (hash, split) pairs only.
+    *
+    * @param hasher content hash; default sha2-256 (the [[Dedup]]
+    *               convention), `md5` when the audit must be
+    *               reproducible outside the JVM. */
+  def leakageAudit(df: DataFrame, idCol: String, textCol: String,
+      fractions: Seq[(String, Double)], salt: String = "graft",
+      hasher: Column => Column = sha2(_, 256)): DataFrame = {
+    val hashed = assign(df, idCol, fractions, salt)
+      .select(col(idCol), col("split"), hasher(col(textCol)).as("__h"))
+    val spread = hashed.groupBy("__h")
+      .agg(countDistinct("split").as("__n_splits"))
+    hashed.join(spread, "__h")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__n_splits") > 1, 1).otherwise(0)).as("n_leaked"))
+  }
 }

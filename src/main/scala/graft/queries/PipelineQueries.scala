@@ -275,6 +275,42 @@ object PipelineQueries {
       "doc_id", "lines", hasher = md5(_))
       .select("doc_id", "clean_text", "n_lines", "n_removed")
 
+  /** Split-leakage audit (round 4): exact-content duplicates straddling
+    * train/valid/test boundaries — the contamination a hash split does
+    * NOT prevent (membership is per doc_id; two copies of the same text
+    * carry different ids and can land in different splits). Per split:
+    * total docs and docs whose content hash also appears in another
+    * split. The audit every dedup-then-split pipeline should run — and
+    * the reason dedup must precede splitting. */
+  val splitLeakage: Q = (s, d) =>
+    graft.operators.Splits.leakageAudit(
+      Tables.documents(s, d), "doc_id", "text",
+      Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+      hasher = md5(_))
+
+  /** Curriculum buckets (round 4): per-lang surprisal quartiles — the
+    * difficulty ordering a curriculum-training schedule consumes.
+    * ntile over (rounded score, doc_id) so bucket membership is
+    * deterministic across engines. */
+  val curriculumBuckets: Q = (s, d) =>
+    graft.operators.TextScore.unigramSurprisal(
+        Tables.documents(s, d), "doc_id", "text")
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+      .withColumn("bucket", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("avg_surprisal"), col("doc_id"))))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("avg_surprisal"), 6).as("mean_score"),
+        min("doc_id").as("first_doc"))
+
+  /** RAG-style overlapping chunking (round 4): 64-token windows every
+    * 48 tokens (16-token overlap) — the embedding-prep fan-out; chunk
+    * boundaries, ids, and text all under the hash gate. */
+  val docChunks: Q = (s, d) =>
+    graft.operators.Chunking.slidingWindows(
+      Tables.documents(s, d), "doc_id", "text", width = 64, stride = 48)
+
   /** IVF-PQ composed index: coarse lists bound the scan, residual PQ
     * codes stand in for vectors — the billion-scale ANN shape (rows-only;
     * recall + codes-only-search + build-once oracles in IvfPqSpec).
