@@ -1317,7 +1317,12 @@ object SparkEntry {
     // round 4 cont.: line dedup / random projection / layout gates
     "q_line_dedup" -> """
       WITH base AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS tk
+        -- list_filter mirrors segmentByTokens' empty-token drop: an
+        -- empty or multi-space doc must segment to ZERO lines, exactly
+        -- as the Spark side does (string_split('') is [''], not [])
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                 t -> t <> '') AS tk
         FROM documents),
       seg AS (
         SELECT doc_id, i AS p,
@@ -1435,9 +1440,13 @@ object SparkEntry {
 
     "q_doc_chunks" -> """
       WITH base AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS tk,
-               len(string_split(lower(text), ' ')) AS n
-        FROM documents WHERE length(text) > 0)
+        -- empty-token filter mirrors the operator (see q_line_dedup)
+        SELECT doc_id, tk, len(tk) AS n FROM (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                   t -> t <> '') AS tk
+          FROM documents)
+        WHERE len(tk) > 0)
       SELECT doc_id, i::INT AS chunk_id, (i * 48)::INT AS start_pos,
              least(64, n - i * 48)::INT AS n_chunk_tokens,
              array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text

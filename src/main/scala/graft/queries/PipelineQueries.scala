@@ -145,10 +145,8 @@ object PipelineQueries {
   }
 
   /** Where IVF-PQ index artifacts persist across runs (build-once/
-    * search-many). Overridable for tests and deployments. */
-  private def indexCacheDir: String =
-    sys.env.getOrElse("GRAFT_INDEX_DIR",
-      sys.props("java.io.tmpdir") + "/graft-index")
+    * search-many) — the shared artifact root layouts also use. */
+  private def indexCacheDir: String = graft.sources.Artifacts.cacheDir
 
   private def ivfPqIndex(s: SparkSession, d: String) =
     // plain scan: the fingerprint agg stays a single-column metadata-

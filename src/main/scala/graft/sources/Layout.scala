@@ -26,35 +26,48 @@ import org.apache.spark.sql.functions._
   *    sort-merge join has NO shuffle exchange on either input.
   *
   * Both layouts are one-time artifacts cached like
-  * [[graft.operators.IvfPq.buildOrLoad]]: keyed by source path, marker-
-  * committed, rebuilt only when absent — queries measure READ cost, the
-  * posture a production table has.
+  * [[graft.operators.IvfPq.buildOrLoad]]: keyed by source path, with a
+  * source-fingerprint (row count + id-hash xor) marker so a regenerated
+  * source table triggers a rebuild rather than silently serving a stale
+  * layout; a fresh JVM re-REGISTERS existing bucketed files in its
+  * catalog instead of rewriting them. Same single-host caveat as
+  * IvfPq.buildOrLoad: concurrent writers race the overwrite; production
+  * deployments own these artifacts in a real metastore.
   */
 object Layout {
-
-  private def cacheDir: String =
-    sys.env.getOrElse("GRAFT_INDEX_DIR",
-      sys.props("java.io.tmpdir") + "/graft-index")
 
   private def keyOf(parts: String*): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(parts.mkString("|").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  /** count + order-independent id-hash xor — the IvfPq.buildOrLoad
+    * fingerprint recipe (bit_xor cannot overflow under ANSI). */
+  private def fingerprint(df: DataFrame, idCol: String): String = {
+    val r = df.agg(count(lit(1)), bit_xor(xxhash64(col(idCol)))).head()
+    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  private def isFresh(marker: java.nio.file.Path, fp: String): Boolean =
+    Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8").trim == fp &&
+      !sys.env.get("GRAFT_INDEX_REBUILD").contains("1")
+
   /** Events re-laid-out as parquet partitioned by `event_date`
     * (`to_date(ts)` in the session's UTC). Returns the partitioned
     * read — date filters on it prune at file listing. */
   def partitionedEvents(s: SparkSession, d: String): DataFrame = {
-    val dir = Paths.get(cacheDir,
+    val dir = Paths.get(Artifacts.cacheDir,
       "events_by_date_" + keyOf(new java.io.File(d).getCanonicalPath))
     val marker = dir.resolve("_built")
-    if (!Files.exists(marker)) {
+    val fp = fingerprint(Tables.events(s, d), "event_id")
+    if (!isFresh(marker, fp)) {
       Tables.events(s, d)
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date")
         .parquet(dir.resolve("data").toString)
       Files.createDirectories(dir)
-      Files.write(marker, Array.emptyByteArray) // commit point
+      Files.write(marker, fp.getBytes("UTF-8")) // commit point
     }
     s.read.parquet(dir.resolve("data").toString)
   }
@@ -62,29 +75,41 @@ object Layout {
   /** Orders and customer saved as tables bucketed by the join key
     * (`o_custkey` / `c_custkey`, same bucket count), then joined —
     * planned WITHOUT a shuffle on either side. Table names carry the
-    * source-path key so different SF dirs coexist in one warehouse;
-    * rebuild happens only when the catalog lacks them. */
+    * source-path key so different SF dirs coexist in one warehouse.
+    * Files are written once (fingerprint-markered); a fresh JVM, whose
+    * in-memory catalog forgot the tables, re-registers the existing
+    * files with the same bucket spec instead of rewriting them. */
   def bucketedOrdersWithCustomers(s: SparkSession, d: String,
       buckets: Int = 8): DataFrame = {
     val key = keyOf(new java.io.File(d).getCanonicalPath, buckets.toString)
-    val ordersTbl = s"graft_orders_b_$key"
-    val custTbl = s"graft_customer_b_$key"
-    // external tables (explicit path): no dependence on the session's
-    // warehouse dir, so any caller session — Verify's, Bench's, a user's
-    // — lands the artifact in the cache, not its cwd
-    if (!s.catalog.tableExists(ordersTbl)) {
-      Tables.orders(s, d).write
-        .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
-        .option("path", Paths.get(cacheDir, ordersTbl).toString)
-        .mode("overwrite").saveAsTable(ordersTbl)
+
+    def ensure(tbl: String, df: DataFrame, idCol: String,
+        bucketCol: String): Unit = {
+      if (s.catalog.tableExists(tbl)) return
+      val path = Paths.get(Artifacts.cacheDir, tbl)
+      val marker = path.resolve("_built")
+      val fp = fingerprint(df, idCol)
+      if (isFresh(marker, fp)) {
+        // files already laid out by a prior JVM: register, don't rewrite
+        // (bucket ids live in the file names Spark wrote)
+        val schema = df.schema.toDDL
+        s.sql(s"""CREATE TABLE $tbl ($schema) USING PARQUET
+                  CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+                  INTO $buckets BUCKETS LOCATION '$path'""")
+      } else {
+        df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+          .option("path", path.toString)
+          .mode("overwrite").saveAsTable(tbl)
+        Files.write(marker, fp.getBytes("UTF-8")) // commit point
+      }
     }
-    if (!s.catalog.tableExists(custTbl)) {
-      Tables.customer(s, d).write
-        .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
-        .option("path", Paths.get(cacheDir, custTbl).toString)
-        .mode("overwrite").saveAsTable(custTbl)
-    }
-    s.table(ordersTbl)
-      .join(s.table(custTbl), col("o_custkey") === col("c_custkey"))
+
+    ensure(s"graft_orders_b_$key", Tables.orders(s, d),
+      "o_orderkey", "o_custkey")
+    ensure(s"graft_customer_b_$key", Tables.customer(s, d),
+      "c_custkey", "c_custkey")
+    s.table(s"graft_orders_b_$key")
+      .join(s.table(s"graft_customer_b_$key"),
+        col("o_custkey") === col("c_custkey"))
   }
 }

@@ -34,6 +34,8 @@ class LayoutSpec extends SparkSpec {
     // broadcast + AQE off: force the sort-merge path and make the static
     // plan final — the co-location claim is about the SMJ form (the
     // broadcast fallback never shuffles anyway)
+    val priorBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -50,8 +52,8 @@ class LayoutSpec extends SparkSpec {
         .count()
       assert(joined.count() == expected)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
     }
   }
 
@@ -63,5 +65,40 @@ class LayoutSpec extends SparkSpec {
     val after = spark.catalog.listTables()
       .filter(col("name").startsWith("graft_orders_b_")).count()
     assert(before == after, "second call must reuse the catalog tables")
+  }
+
+  test("a fresh catalog re-registers existing files without rewriting") {
+    val expected = Layout.bucketedOrdersWithCustomers(spark, sf).count()
+    val tbls = spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith("graft_orders_b_")
+        || n.startsWith("graft_customer_b_"))
+    assert(tbls.size == 2)
+    def mtimes = tbls.map(t =>
+      new java.io.File(Artifacts.cacheDir, t).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).sortBy(_._1).toSeq).toSeq
+    val before = mtimes
+    // simulate a fresh JVM: the in-memory catalog forgets the tables,
+    // the files and the fingerprint marker survive
+    tbls.foreach(t => spark.sql(s"DROP TABLE $t"))
+    val priorBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = Layout.bucketedOrdersWithCustomers(spark, sf)
+      assert(mtimes == before, "registration must not rewrite the files")
+      // the registered table must keep the bucket spec: still no shuffle
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"re-registered bucketed join must not shuffle:\n$shuffles")
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+    }
   }
 }
