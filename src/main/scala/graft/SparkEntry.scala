@@ -184,6 +184,7 @@ object SparkEntry {
     "q_split_leakage" -> PipelineQueries.splitLeakage,
     "q_curriculum" -> PipelineQueries.curriculumBuckets,
     "q_doc_chunks" -> PipelineQueries.docChunks,
+    "q_token_mix" -> PipelineQueries.tokenMix,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1452,5 +1453,22 @@ object SparkEntry {
              array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
       FROM base,
            unnest(range(0, CAST(ceil(n / 48.0) AS BIGINT))) AS r(i)""",
+
+    "q_token_mix" -> """
+      WITH t AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' '))::INT AS n_tokens,
+               md5(doc_id::VARCHAR) AS rk,
+               CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                    THEN 4200 ELSE 600 END AS quota
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, n_tokens, quota,
+               sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY rk, doc_id
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        FROM t)
+      SELECT source, doc_id, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= quota""",
   )
 }

@@ -56,4 +56,53 @@ object Mixing {
       .filter(col("__rn") <= col("__quota"))
       .select(col(groupCol), col(idCol))
   }
+
+  /** Token-budget mixing: the production form of [[sampleToWeights]] —
+    * real mixtures are specified in TOKENS, not documents ("web: 600 B
+    * tokens"). Each group keeps its hash-ordered greedy PREFIX of docs
+    * while the running token total stays within ⌊weight·tokenBudget⌋
+    * (the first doc that would cross the boundary, and everything after
+    * it, is dropped — prefix semantics keep membership a pure function
+    * of (group, hash order, budget), so a re-run or engine change can
+    * never swap which docs fill the budget).
+    *
+    * Token counts are a caller-supplied column — the [[Packing]]
+    * contract: this operator never tokenizes, so the mixture is
+    * faithful to whatever tokenizer produced the counts.
+    *
+    * Scale shape: same as [[sampleToWeights]] — [[TopK.perGroup]]
+    * bounds every group at `maxDocsPerGroup` rows before the exact
+    * running-sum window (≤ bound rows per group per task cross the
+    * shuffle; set the bound from your corpus' minimum doc length —
+    * budget/minTokens docs can never underfill).
+    *
+    * Returns (groupCol, idCol, tokenCol, cum_tokens). */
+  def sampleToTokenBudget(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, weights: Map[String, Double], tokenBudget: Long,
+      maxDocsPerGroup: Int = 1 << 20): DataFrame = {
+    require(weights.nonEmpty, "need at least one group weight")
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"weights must be fractions in [0,1]: $weights")
+    require(maxDocsPerGroup > 0, "maxDocsPerGroup must be positive")
+    val quotas = weights.map { case (g, w) =>
+      (g, (BigDecimal(w.toString) * BigDecimal(tokenBudget))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+    }
+    require(quotas.values.max > 0,
+      "all token quotas are zero — raise tokenBudget or weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = quotas.toSeq.toDF(groupCol, "__quota")
+    val ranked = df.select(col(groupCol), col(idCol), col(tokenCol),
+      md5(col(idCol).cast("string")).as("__rk"))
+    val bounded = TopK.perGroup(ranked, Seq(groupCol), "__rk",
+      k = maxDocsPerGroup, desc = false, tieBreak = Seq(idCol))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__rk").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounded.join(broadcast(qdf), Seq(groupCol))
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= col("__quota"))
+      .select(col(groupCol), col(idCol), col(tokenCol), col("cum_tokens"))
+  }
 }

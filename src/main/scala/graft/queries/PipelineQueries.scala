@@ -302,6 +302,21 @@ object PipelineQueries {
         round(avg("avg_surprisal"), 6).as("mean_score"),
         min("doc_id").as("first_doc"))
 
+  /** Token-budget mixing (round 4): the production mixture spec —
+    * per-source TOKEN budgets (head sources 14%, tail 2% of 30k), each
+    * source keeping its hash-ordered greedy prefix. Counts are the
+    * whitespace proxy here; the operator is tokenizer-faithful by
+    * contract (counts are a caller column). */
+  val tokenMix: Q = (s, d) =>
+    graft.operators.Mixing.sampleToTokenBudget(
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens")),
+      "source", "doc_id", "n_tokens",
+      weights = (0 to 4).map(i => s"src$i" -> 0.14).toMap ++
+        (5 to 19).map(i => s"src$i" -> 0.02).toMap,
+      tokenBudget = 30000)
+
   /** RAG-style overlapping chunking (round 4): 64-token windows every
     * 48 tokens (16-token overlap) — the embedding-prep fan-out; chunk
     * boundaries, ids, and text all under the hash gate. */

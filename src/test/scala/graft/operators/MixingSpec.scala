@@ -36,4 +36,41 @@ class MixingSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(ids(corpus) == ids(corpus.repartition(7)))
   }
+
+  private def tokenCorpus = corpus
+    .withColumn("n_tokens",
+      (org.apache.spark.sql.functions.col("doc_id") % 7 + 1).cast("int"))
+
+  test("token budget: each group's total stays within its token quota") {
+    val out = Mixing.sampleToTokenBudget(tokenCorpus, "source", "doc_id",
+      "n_tokens", weights = Map("web" -> 0.6, "books" -> 0.4),
+      tokenBudget = 100)
+    val totals = out.groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals("web") <= 60 && totals("books") <= 40, s"got $totals")
+    // greedy prefix fills to within one max-doc of the quota
+    assert(totals("web") > 60 - 7 && totals("books") > 40 - 7,
+      s"underfilled: $totals")
+  }
+
+  test("token budget keeps the hash-order PREFIX, nothing after a cross") {
+    val out = Mixing.sampleToTokenBudget(tokenCorpus, "source", "doc_id",
+        "n_tokens", weights = Map("web" -> 1.0), tokenBudget = 50)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    // recompute the expected prefix from the same md5 order
+    val order = tokenCorpus.filter("source = 'web'")
+      .select("doc_id", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy { case (id, _) =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id)
+      }
+    var cum = 0L
+    val expected = order.takeWhile { case (_, n) =>
+      cum += n; cum <= 50
+    }.map(_._1).toSet
+    assert(out.keySet == expected)
+  }
 }
