@@ -191,6 +191,8 @@ object ScaleBench {
     // (a fixed budget would make the Nx run trivially cheap)
     def mixWeights = (0 to 4).map(i => s"src$i" -> 0.14).toMap ++
       (5 to 19).map(i => s"src$i" -> 0.02).toMap
+    def mixLangWeights = Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15,
+      "de" -> 0.15, "fr" -> 0.15)
     val tmx1 = time("domain_mix 1x")(noop(graft.operators.Mixing
       .sampleToWeights(docs1, "source", "doc_id", mixWeights, 2500)))
     val tmxN = time(s"domain_mix ${factor}x")(noop(graft.operators.Mixing
@@ -267,6 +269,31 @@ object ScaleBench {
     val trpN = time(s"rand_project ${factor}x")(noop(graft.operators
       .RandomProjection.project(embN, "embedding", 64, 16)))
     results += (("rand_project", trp1, trpN))
+
+    val tch1 = time("doc_chunks 1x")(noop(graft.operators.Chunking
+      .slidingWindows(docs1, "doc_id", "text", 64, 48)))
+    val tchN = time(s"doc_chunks ${factor}x")(noop(graft.operators.Chunking
+      .slidingWindows(docsN, "doc_id", "text", 64, 48)))
+    results += (("doc_chunks", tch1, tchN))
+
+    // token budget scales with the corpus (same rationale as domain_mix)
+    val ttm1 = time("token_mix 1x")(noop(graft.operators.Mixing
+      .sampleToTokenBudget(withCounts(docs1).withColumn("source",
+        col("lang")), "source", "doc_id", "n_tokens", mixLangWeights,
+        300000L)))
+    val ttmN = time(s"token_mix ${factor}x")(noop(graft.operators.Mixing
+      .sampleToTokenBudget(withCounts(docsN).withColumn("source",
+        col("lang")), "source", "doc_id", "n_tokens", mixLangWeights,
+        300000L * factor)))
+    results += (("token_mix", ttm1, ttmN))
+
+    // replicated corpus = every doc's content is in `factor` ids spread
+    // across splits: EVERY doc leaks — the spread join's total worst case
+    val tsl1 = time("split_leakage 1x")(noop(graft.operators.Splits
+      .leakageAudit(docs1, "doc_id", "text", splits)))
+    val tslN = time(s"split_leakage ${factor}x")(noop(graft.operators.Splits
+      .leakageAudit(docsN, "doc_id", "text", splits)))
+    results += (("split_leakage", tsl1, tslN))
 
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.foreach { case (tag, t1, tN) =>

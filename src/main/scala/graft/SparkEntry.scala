@@ -185,7 +185,23 @@ object SparkEntry {
     "q_curriculum" -> PipelineQueries.curriculumBuckets,
     "q_doc_chunks" -> PipelineQueries.docChunks,
     "q_token_mix" -> PipelineQueries.tokenMix,
+    "q_stream_chunks" -> ((s, d) => streaming.StreamOps.streamChunks(s, d)),
   )
+
+  private val docChunksSql = """
+      WITH base AS (
+        -- empty-token filter mirrors the operator (see q_line_dedup)
+        SELECT doc_id, tk, len(tk) AS n FROM (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                   t -> t <> '') AS tk
+          FROM documents)
+        WHERE len(tk) > 0)
+      SELECT doc_id, i::INT AS chunk_id, (i * 48)::INT AS start_pos,
+             least(64, n - i * 48)::INT AS n_chunk_tokens,
+             array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
+      FROM base,
+           unnest(range(0, CAST(ceil(n / 48.0) AS BIGINT))) AS r(i)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_count" ->
@@ -1439,20 +1455,10 @@ object SparkEntry {
       FROM ranked
       GROUP BY lang, bucket""",
 
-    "q_doc_chunks" -> """
-      WITH base AS (
-        -- empty-token filter mirrors the operator (see q_line_dedup)
-        SELECT doc_id, tk, len(tk) AS n FROM (
-          SELECT doc_id,
-                 list_filter(string_split(lower(text), ' '),
-                   t -> t <> '') AS tk
-          FROM documents)
-        WHERE len(tk) > 0)
-      SELECT doc_id, i::INT AS chunk_id, (i * 48)::INT AS start_pos,
-             least(64, n - i * 48)::INT AS n_chunk_tokens,
-             array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
-      FROM base,
-           unnest(range(0, CAST(ceil(n / 48.0) AS BIGINT))) AS r(i)""",
+    "q_doc_chunks" -> docChunksSql,
+    // the streaming replay chunks the SAME corpus with the SAME operator
+    // — one oracle, two execution modes
+    "q_stream_chunks" -> docChunksSql,
 
     "q_token_mix" -> """
       WITH t AS (

@@ -255,6 +255,20 @@ object StreamOps {
   def streamDecontam(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, streamDecontamPlan(spark, dir), OutputMode.Complete())
 
+  /** Streaming chunking: the batch [[graft.operators.Chunking]]
+    * operator UNCHANGED on a replayed documents stream — a pure
+    * projection + generator, so it runs Append with no state store at
+    * all: the shape of a streaming embedding-prep ingest (chunk as
+    * documents arrive, embed downstream). Output ≡ the batch
+    * q_doc_chunks under the same DuckDB oracle. */
+  def streamChunksPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.slidingWindows(
+      replayDocuments(spark, dir), "doc_id", "text",
+      width = 64, stride = 48)
+
+  def streamChunks(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, streamChunksPlan(spark, dir), OutputMode.Append())
+
   /** Every streaming replay as (name, plan, mode) — one list for tools
     * (state profiling) so they drive exactly the driver queries' plans. */
   def replayPlans(spark: SparkSession, dir: String)
@@ -268,5 +282,6 @@ object StreamOps {
       OutputMode.Complete()),
     ("stream_stateful", statefulPlan(spark, dir), OutputMode.Append()),
     ("stream_decontam", streamDecontamPlan(spark, dir),
-      OutputMode.Complete()))
+      OutputMode.Complete()),
+    ("stream_chunks", streamChunksPlan(spark, dir), OutputMode.Append()))
 }
