@@ -186,6 +186,7 @@ object SparkEntry {
     "q_doc_chunks" -> PipelineQueries.docChunks,
     "q_token_mix" -> PipelineQueries.tokenMix,
     "q_stream_chunks" -> ((s, d) => streaming.StreamOps.streamChunks(s, d)),
+    "q_merge_schema" -> SourceQueries.mergeSchema,
   )
 
   private val docChunksSql = """
@@ -1476,5 +1477,12 @@ object SparkEntry {
         FROM t)
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM c WHERE cum_tokens <= quota""",
+
+    "q_merge_schema" -> """
+      SELECT CASE WHEN o_orderkey % 2 = 1 THEN upper(o_orderpriority)
+                  ELSE '<pre-evolution>' END AS prio,
+             count(*) AS n, round(sum(o_totalprice), 6) AS total
+      FROM orders
+      GROUP BY 1""",
   )
 }

@@ -77,6 +77,29 @@ object SourceQueries {
         round(sum("o_totalprice"), 6).as("total"),
         countDistinct("c_custkey").as("n_customers"))
 
+  /** Parquet schema evolution (round 4): a long-lived table gains a
+    * column mid-life — old files lack it. Two slices written with
+    * diverging schemas, read back under `mergeSchema`: rows from the
+    * old slice surface NULL for the new column, and the aggregate
+    * proves both slices scanned. The oracle computes the same split
+    * from the source table directly. */
+  val mergeSchema: Q = (s, d) => {
+    val tmp = Files.createTempDirectory("graft_evolve").toString
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/v1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        upper(col("o_orderpriority")).as("o_priority"))
+      .write.mode("overwrite").parquet(s"$tmp/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+      .groupBy(coalesce(col("o_priority"), lit("<pre-evolution>"))
+        .as("prio"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 6).as("total"))
+  }
+
   /** Z-order clustering key (round 4): Morton-interleaved
     * (l_partkey, l_suppkey) — sorting by this key clusters BOTH
     * dimensions into the same files, so min/max file stats prune scans
