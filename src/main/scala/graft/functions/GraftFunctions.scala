@@ -48,6 +48,8 @@ object GraftFunctions {
     "ngram_rep_stats" -> (es => NgramRepStats(es(0),
       intArg(es(1), "ngram_rep_stats"))),
     "purge_positions" -> (es => PurgePositions(es(0), es(1))),
+    "rand_project" -> (es => SignedProject(es(0), es(1),
+      intArg(es(2), "rand_project"))),
   )
 
   /** Idempotent per-session registration of all engine functions. */
@@ -98,4 +100,8 @@ object GraftFunctions {
   /** Tokens minus the SORTED 0-based positions, one linear merge. */
   def purgePositions(toks: Column, sortedPos: Column): Column =
     call_function("purge_positions", toks, sortedPos)
+  /** JL ±1 projection: signs is the flat outDim×inDim matrix. */
+  def randProject(vec: Column, signs: Column, outDim: Int): Column =
+    call_function("rand_project", vec, signs,
+      org.apache.spark.sql.functions.lit(outDim))
 }

@@ -110,6 +110,74 @@ case class PqEncode(left: Expression, right: Expression, m: Int, k: Int)
       r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** rand_project(vec, signs) → array<double> of `outDim` scaled signed
+  * sums: `out[j] = (Σ_i vec[i] · signs[j·inDim + i]) / √outDim` with
+  * `inDim = |signs| / outDim` — the Johnson–Lindenstrauss ±1 projection
+  * ([[graft.operators.RandomProjection]]) as a full codegen kernel. The
+  * HOF formulation dispatches a lambda per (j, i) pair; this is the
+  * same in-order fold (bit-identical doubles, so the DuckDB hash gate
+  * is unaffected) as two tight loops over flat arrays. */
+case class SignedProject(left: Expression, right: Expression, outDim: Int)
+    extends PqKernelExpression {
+  require(outDim > 0, s"outDim must be positive, got $outDim")
+  override def prettyName: String = "rand_project"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val vec = av.asInstanceOf[ArrayData]
+    val signs = bv.asInstanceOf[ArrayData]
+    val inDim = signs.numElements() / outDim
+    require(signs.numElements() == outDim * inDim && inDim > 0,
+      s"rand_project: |signs| ${signs.numElements()} not divisible by $outDim")
+    require(vec.numElements() >= inDim,
+      s"rand_project: vector has ${vec.numElements()} dims, needs $inDim")
+    val scale = math.sqrt(outDim.toDouble)
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0; var i = 0; val base = j * inDim
+      while (i < inDim) {
+        acc += getVec(vec, i) * signs.getDouble(base + i); i += 1
+      }
+      out(j) = acc / scale; j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vecV, sgnV) => {
+      val g = vecGetter(vecV)
+      val (inDim, out, j, i, acc, base, scale) =
+        (ctx.freshName("inDim"), ctx.freshName("out"), ctx.freshName("j"),
+          ctx.freshName("i"), ctx.freshName("acc"), ctx.freshName("base"),
+          ctx.freshName("scale"))
+      s"""
+      int $inDim = $sgnV.numElements() / $outDim;
+      if ($sgnV.numElements() != $outDim * $inDim || $inDim == 0) {
+        throw new IllegalArgumentException("rand_project: |signs| "
+          + $sgnV.numElements() + " not divisible by " + $outDim);
+      }
+      if ($vecV.numElements() < $inDim) {
+        throw new IllegalArgumentException("rand_project: vector has "
+          + $vecV.numElements() + " dims, needs " + $inDim);
+      }
+      double $scale = java.lang.Math.sqrt((double) $outDim);
+      double[] $out = new double[$outDim];
+      for (int $j = 0; $j < $outDim; $j++) {
+        double $acc = 0.0; int $base = $j * $inDim;
+        for (int $i = 0; $i < $inDim; $i++) {
+          $acc += ${g(s"$i")} * $sgnV.getDouble($base + $i);
+        }
+        $out[$j] = $acc / $scale;
+      }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** pq_dist_table(vec, codebook) → array<double> of m·k squared-L2
   * distances from each subvector to each codebook entry (sub-major). */
 case class PqDistTable(left: Expression, right: Expression, m: Int, k: Int)

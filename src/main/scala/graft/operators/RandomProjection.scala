@@ -44,19 +44,19 @@ object RandomProjection {
 
   /** Append `outCol`: array<double> of length `outDim`, the scaled
     * (`1/√outDim`) signed sums. Input vectors must have at least
-    * `inDim` elements; shorter vectors raise at eval (element_at out
-    * of range under ANSI), while LONGER vectors project on their first
-    * `inDim` dimensions (the fold never looks past the matrix width —
-    * pass the true dimension). */
+    * `inDim` elements; shorter vectors raise at eval, while LONGER
+    * vectors project on their first `inDim` dimensions (the fold never
+    * looks past the matrix width — pass the true dimension).
+    *
+    * Runs on the [[graft.functions.SignedProject]] codegen kernel —
+    * two tight loops over the flat sign matrix, the same in-order fold
+    * (bit-identical doubles) the original `transform`+`aggregate` HOF
+    * formulation computed with a lambda dispatch per (j, i) pair. */
   def project(df: DataFrame, vecCol: String, inDim: Int, outDim: Int,
       salt: String = "graft", outCol: String = "proj"): DataFrame = {
-    val m = typedlit(signMatrix(inDim, outDim, salt))
-    val scale = math.sqrt(outDim.toDouble)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val flat = typedlit(signMatrix(inDim, outDim, salt).flatten)
     df.withColumn(outCol,
-      transform(sequence(lit(0), lit(outDim - 1)), j =>
-        aggregate(sequence(lit(0), lit(inDim - 1)), lit(0.0d),
-          (acc: Column, i: Column) =>
-            acc + element_at(col(vecCol), i + 1).cast("double") *
-              element_at(element_at(m, j + 1), i + 1)) / lit(scale)))
+      graft.functions.GraftFunctions.randProject(col(vecCol), flat, outDim))
   }
 }

@@ -49,6 +49,17 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT pq_adc(array(5.0D), array(0), 1)") === 5.0)
   }
 
+  test("rand_project kernel") {
+    // 1 output dim, 2 input dims, signs (+1, -1): (3 - 4) / sqrt(1)
+    assert(one[Seq[Double]](
+      "SELECT rand_project(array(3.0D,4.0D), array(1.0D,-1.0D), 1)")
+      === Seq(-1.0))
+    // purge_positions rides the same registry — smoke it here too
+    assert(one[Seq[String]](
+      "SELECT purge_positions(array('a','b','c'), array(1))")
+      === Seq("a", "c"))
+  }
+
   test("generator produces one row per n-gram hash") {
     GraftFunctions.register(spark)
     assert(spark.sql(
