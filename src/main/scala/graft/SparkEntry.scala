@@ -187,6 +187,7 @@ object SparkEntry {
     "q_token_mix" -> PipelineQueries.tokenMix,
     "q_stream_chunks" -> ((s, d) => streaming.StreamOps.streamChunks(s, d)),
     "q_merge_schema" -> SourceQueries.mergeSchema,
+    "q_profile_cat" -> PipelineQueries.profileCategorical,
   )
 
   private val docChunksSql = """
@@ -1484,5 +1485,21 @@ object SparkEntry {
              count(*) AS n, round(sum(o_totalprice), 6) AS total
       FROM orders
       GROUP BY 1""",
+
+    "q_profile_cat" -> """
+      WITH long AS (
+        SELECT 'lang' AS "column", lang AS value FROM documents
+        UNION ALL
+        SELECT 'source', source FROM documents),
+      c AS (
+        SELECT "column", value, count(*) AS cnt
+        FROM long WHERE value IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT "column", value, cnt, rank FROM (
+        SELECT "column", value, cnt,
+               row_number() OVER (PARTITION BY "column"
+                 ORDER BY cnt DESC, value)::INT AS rank
+        FROM c) t
+      WHERE rank <= 3""",
   )
 }

@@ -40,4 +40,33 @@ object Profile {
         col(s"__max_$c").as("max_v"))): _*)).as("p"))
       .select("p.*")
   }
+
+  /** Categorical twin of [[numeric]]: the top-`k` most frequent values
+    * per column (count desc, value asc — deterministic under ties),
+    * long format (column, value, cnt, rank). Values surface as strings;
+    * profile STRING-typed columns when the output must hash-match
+    * across engines (numeric→string formatting is engine-specific).
+    *
+    * Scale shape: ONE scan explodes to (column, value) pairs, a
+    * partial-aggregable count, and [[TopK.perGroup]] bounds each
+    * column's survivors at `k` rows per task — no full sort, no value
+    * list ever collects. */
+  def categorical(df: DataFrame, cols: Seq[String], k: Int = 3)
+      : DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val long = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"),
+          col(c).cast("string").as("value"))): _*)).as("p"))
+      .select("p.*")
+      .filter(col("value").isNotNull)
+    val counts = long.groupBy("column", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val top = TopK.perGroup(counts, Seq("column"), "cnt", k,
+      desc = true, tieBreak = Seq("value"))
+    // survivors are ≤ k per column — the rank window is tiny
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("column")
+        .orderBy(col("cnt").desc, col("value"))))
+  }
 }

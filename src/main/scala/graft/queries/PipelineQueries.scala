@@ -105,6 +105,13 @@ object PipelineQueries {
     graft.operators.Profile.numeric(Tables.lineitem(s, d),
       Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
 
+  /** Categorical profile (round 4): top-3 most frequent values per
+    * string column — the other half of data-quality triage; ranked on
+    * the TopKPerGroup operator, deterministic under count ties. */
+  val profileCategorical: Q = (s, d) =>
+    graft.operators.Profile.categorical(Tables.documents(s, d),
+      Seq("lang", "source"), k = 3)
+
   /** Cluster-exact near-dup removal: one survivor per TRANSITIVE
     * duplicate component (min-label propagation over the LSH pair graph;
     * rows-only — ComponentsSpec carries the BFS reference oracle). */

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Closed-form oracles for the categorical profile (the numeric profile
+  * is hash-gated by q_profile). */
+class ProfileSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val df = Seq(
+    ("a", "x"), ("a", "y"), ("a", null), ("b", "y"),
+    ("b", "y"), ("c", "z")).toDF("c1", "c2")
+
+  private def top(k: Int) =
+    Profile.categorical(df, Seq("c1", "c2"), k)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+
+  test("top-k frequent values per column; nulls never count") {
+    assert(top(2) == Set(
+      ("c1", "a", 3L, 1), ("c1", "b", 2L, 2),
+      ("c2", "y", 3L, 1), ("c2", "x", 1L, 2)))
+  }
+
+  test("count ties break on value, deterministically") {
+    val ranks = top(3).filter(_._1 == "c2")
+    // x and z both count 1: x ranks before z lexically
+    assert(ranks.contains(("c2", "x", 1L, 2)) &&
+      ranks.contains(("c2", "z", 1L, 3)))
+  }
+}
