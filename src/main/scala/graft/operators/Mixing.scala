@@ -21,6 +21,38 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
+  /** Shared scaffolding of both mixing forms: exact-decimal
+    * ⌊weight·budget⌋ quotas, md5 ranking, TopKPerGroup bound, broadcast
+    * quota join. ONE definition — the ranking hash, floor math, and
+    * tie-break are the cross-engine determinism contract, and the two
+    * operators must never diverge on them.
+    *
+    * Exact decimal floor: budget*w in doubles truncates one unit short
+    * whenever the product lands just under the integer (0.58*50 =
+    * 28.999…96 → 28, not 29). BigDecimal of the weight's decimal text
+    * keeps ⌊weight·budget⌋ exact for any budget. */
+  private def rankBoundAndQuota(df: DataFrame, groupCol: String,
+      idCol: String, extraCols: Seq[String], weights: Map[String, Double],
+      budget: Long, boundOf: Long => Int): DataFrame = {
+    require(weights.nonEmpty, "need at least one group weight")
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"weights must be fractions in [0,1]: $weights")
+    val quotas = weights.map { case (g, w) =>
+      (g, (BigDecimal(w.toString) * BigDecimal(budget))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+    }
+    require(quotas.values.max > 0,
+      "all quotas are zero — raise budget or weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = quotas.toSeq.toDF(groupCol, "__quota")
+    val ranked = df.select((Seq(groupCol, idCol) ++ extraCols).map(col) :+
+      md5(col(idCol).cast("string")).as("__rk"): _*)
+    val bounded = TopK.perGroup(ranked, Seq(groupCol), "__rk",
+      k = boundOf(quotas.values.max), desc = false, tieBreak = Seq(idCol))
+    bounded.join(broadcast(qdf), Seq(groupCol))
+  }
+
   /** @param weights group value → target fraction of `budget`; groups
     *                absent from the map are dropped (weight 0)
     * @param budget  total docs wanted; each group contributes
@@ -28,30 +60,13 @@ object Mixing {
     */
   def sampleToWeights(df: DataFrame, groupCol: String, idCol: String,
       weights: Map[String, Double], budget: Long): DataFrame = {
-    require(weights.nonEmpty, "need at least one group weight")
-    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
-      s"weights must be fractions in [0,1]: $weights")
-    // exact decimal floor: budget*w in doubles truncates one doc short
-    // whenever the product lands just under the integer (0.58*50 =
-    // 28.999…96 → 28, not 29). BigDecimal of the weight's decimal text
-    // keeps ⌊weight·budget⌋ exact for any budget.
-    val quotas = weights.map { case (g, w) =>
-      (g, (BigDecimal(w.toString) * BigDecimal(budget))
-        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
-    }
-    val maxQ = quotas.values.max
-    require(maxQ > 0, "all quotas are zero — raise budget or weights")
-    require(maxQ <= Int.MaxValue, s"quota $maxQ exceeds Int range")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val qdf = quotas.toSeq.toDF(groupCol, "__quota")
-    val ranked = df.select(col(groupCol), col(idCol),
-      md5(col(idCol).cast("string")).as("__rk"))
-    val bounded = TopK.perGroup(ranked, Seq(groupCol), "__rk",
-      k = maxQ.toInt, desc = false, tieBreak = Seq(idCol))
     val w = Window.partitionBy(groupCol)
       .orderBy(col("__rk").asc, col(idCol).asc)
-    bounded.join(broadcast(qdf), Seq(groupCol))
+    rankBoundAndQuota(df, groupCol, idCol, Nil, weights, budget,
+      boundOf = { maxQ =>
+        require(maxQ <= Int.MaxValue, s"quota $maxQ exceeds Int range")
+        maxQ.toInt // the doc quota IS the exact per-group bound
+      })
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__quota"))
       .select(col(groupCol), col(idCol))
@@ -74,35 +89,35 @@ object Mixing {
     * bounds every group at `maxDocsPerGroup` rows before the exact
     * running-sum window (≤ bound rows per group per task cross the
     * shuffle; set the bound from your corpus' minimum doc length —
-    * budget/minTokens docs can never underfill).
+    * budget/minTokens docs can never underfill). A group that hits the
+    * bound while its quota is still unfilled FAILS LOUDLY (in-plan
+    * raise_error, zero extra jobs) rather than silently delivering a
+    * fraction of the specified mixture.
     *
     * Returns (groupCol, idCol, tokenCol, cum_tokens). */
   def sampleToTokenBudget(df: DataFrame, groupCol: String, idCol: String,
       tokenCol: String, weights: Map[String, Double], tokenBudget: Long,
       maxDocsPerGroup: Int = 1 << 20): DataFrame = {
-    require(weights.nonEmpty, "need at least one group weight")
-    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
-      s"weights must be fractions in [0,1]: $weights")
     require(maxDocsPerGroup > 0, "maxDocsPerGroup must be positive")
-    val quotas = weights.map { case (g, w) =>
-      (g, (BigDecimal(w.toString) * BigDecimal(tokenBudget))
-        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
-    }
-    require(quotas.values.max > 0,
-      "all token quotas are zero — raise tokenBudget or weights")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val qdf = quotas.toSeq.toDF(groupCol, "__quota")
-    val ranked = df.select(col(groupCol), col(idCol), col(tokenCol),
-      md5(col(idCol).cast("string")).as("__rk"))
-    val bounded = TopK.perGroup(ranked, Seq(groupCol), "__rk",
-      k = maxDocsPerGroup, desc = false, tieBreak = Seq(idCol))
     val w = Window.partitionBy(groupCol)
       .orderBy(col("__rk").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bounded.join(broadcast(qdf), Seq(groupCol))
+    // whole-partition stats ride the same exchange as the running sum
+    val wAll = Window.partitionBy(groupCol)
+    rankBoundAndQuota(df, groupCol, idCol, Seq(tokenCol), weights,
+        tokenBudget, boundOf = _ => maxDocsPerGroup)
       .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
-      .filter(col("cum_tokens") <= col("__quota"))
+      // truncation guard: the bound was reached AND the bounded set's
+      // total stayed under quota — the true prefix extends past what
+      // TopK kept, so the mixture would silently underfill
+      .withColumn("__guard", when(
+        count(lit(1)).over(wAll) === maxDocsPerGroup &&
+          max(col("cum_tokens")).over(wAll) < col("__quota"),
+        raise_error(concat(lit("sampleToTokenBudget: group '"),
+          col(groupCol),
+          lit(s"' hit maxDocsPerGroup=$maxDocsPerGroup before filling " +
+            "its token quota — raise maxDocsPerGroup")))))
+      .filter(col("__guard").isNull && col("cum_tokens") <= col("__quota"))
       .select(col(groupCol), col(idCol), col(tokenCol), col("cum_tokens"))
   }
 }

@@ -54,6 +54,22 @@ class MixingSpec extends SparkSpec {
       s"underfilled: $totals")
   }
 
+  test("hitting maxDocsPerGroup with an unfilled quota fails loudly") {
+    // 200 web docs of 1-7 tokens; a 5-doc bound can hold at most 35
+    // tokens — far under the 500-token quota: must raise, not underfill
+    val e = intercept[Exception] {
+      Mixing.sampleToTokenBudget(tokenCorpus, "source", "doc_id",
+        "n_tokens", weights = Map("web" -> 1.0), tokenBudget = 500,
+        maxDocsPerGroup = 5).collect()
+    }
+    assert(e.getMessage.contains("maxDocsPerGroup"), e.getMessage)
+    // same bound with a fillable quota passes untouched
+    val ok = Mixing.sampleToTokenBudget(tokenCorpus, "source", "doc_id",
+      "n_tokens", weights = Map("web" -> 1.0), tokenBudget = 10,
+      maxDocsPerGroup = 5)
+    assert(ok.count() > 0)
+  }
+
   test("token budget keeps the hash-order PREFIX, nothing after a cross") {
     val out = Mixing.sampleToTokenBudget(tokenCorpus, "source", "doc_id",
         "n_tokens", weights = Map("web" -> 1.0), tokenBudget = 50)
