@@ -188,6 +188,7 @@ object SparkEntry {
     "q_stream_chunks" -> ((s, d) => streaming.StreamOps.streamChunks(s, d)),
     "q_merge_schema" -> SourceQueries.mergeSchema,
     "q_profile_cat" -> PipelineQueries.profileCategorical,
+    "q_cluster_planted" -> VectorQueries.clusterPlanted,
   )
 
   private val docChunksSql = """
@@ -1485,6 +1486,10 @@ object SparkEntry {
              count(*) AS n, round(sum(o_totalprice), 6) AS total
       FROM orders
       GROUP BY 1""",
+
+    "q_cluster_planted" -> """
+      SELECT vec_id AS g, 4::BIGINT AS n_members, 1::BIGINT AS n_clusters
+      FROM embeddings WHERE vec_id < 10""",
 
     "q_profile_cat" -> """
       WITH long AS (

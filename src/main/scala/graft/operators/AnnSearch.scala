@@ -189,36 +189,54 @@ object AnnSearch {
     * auto-derived: an index rebuilt at a different corpus size changing
     * its list count silently would invalidate persisted artifacts.
     * Returns (centroid_id, centvec: array<double>). */
+  /** Argmax over the one-row collected centroid array (`cents` from
+    * [[centroidRow]]): highest cosine, ties to the largest centroid_id.
+    * Order-independent over the array, so collect_list's
+    * nondeterministic ordering cannot leak into results. ONE definition
+    * shared by the k-means loop and [[Clustering.assign]] — the tie
+    * rule is the determinism contract. */
+  private[operators] def argmaxCentroid(vec: Column): Column =
+    aggregate(col("cents"),
+      struct(lit(Double.NegativeInfinity).as("sim"),
+        lit(Long.MinValue).as("centroid_id")),
+      (acc, c) => {
+        val sim = GraftFunctions.cosineSim(vec, c.getField("centvec"))
+        when(sim > acc.getField("sim") ||
+            (sim === acc.getField("sim") &&
+              c.getField("centroid_id") > acc.getField("centroid_id")),
+          struct(sim.as("sim"),
+            c.getField("centroid_id").as("centroid_id")))
+          .otherwise(acc)
+      })
+
   def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
       lists: Int, iters: Int): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     require(lists > 0, "lists must be positive")
-    var centroids = corpus
-      .select(col(idCol).as("centroid_id"),
-        transform(col(vecCol), x => x.cast("double")).as("centvec"),
-        xxhash64(col(idCol)).as("__h"))
-      .orderBy(col("__h"), col("centroid_id"))
+    // Seed from the `lists` lowest DISTINCT content hashes, not raw ids:
+    // on a duplicate-heavy corpus id-hash seeding wastes seeds on copies
+    // (two identical seeds → the tie rule starves one, a cluster slot is
+    // lost, and two real groups merge — caught by ClusteringSpec).
+    // Shuffle hygiene holds: the dedup aggregate carries (content hash,
+    // id) pairs only, and the k chosen seed ids broadcast back to fetch
+    // their vectors — corpus vectors never enter an exchange.
+    // rank the representatives by id hash — the SAME order the seeding
+    // always used — so on an all-distinct corpus this reduces exactly
+    // to the previous behavior; only duplicate contents drop out
+    val seedIds = corpus
+      .select(xxhash64(col(vecCol)).as("__vh"), col(idCol).as("__sid"))
+      .groupBy("__vh").agg(min(col("__sid")).as("__sid"))
+      .orderBy(xxhash64(col("__sid")), col("__sid"))
       .limit(lists)
-      .drop("__h")
+      .select("__sid")
+    var centroids = corpus
+      .join(broadcast(seedIds), col(idCol) === col("__sid"))
+      .select(col(idCol).as("centroid_id"),
+        transform(col(vecCol), x => x.cast("double")).as("centvec"))
     var i = 0
     while (i < iters) {
       val centArr = centroidRow(centroids)
-      // argmax within the row: highest cosine, ties to the largest
-      // centroid_id. Order-independent over the collected array, so
-      // collect_list's nondeterministic ordering cannot leak into results.
-      val best = aggregate(col("cents"),
-        struct(lit(Double.NegativeInfinity).as("sim"),
-          lit(Long.MinValue).as("centroid_id")),
-        (acc, c) => {
-          val sim = GraftFunctions.cosineSim(col("__vec"),
-            c.getField("centvec"))
-          when(sim > acc.getField("sim") ||
-              (sim === acc.getField("sim") &&
-                c.getField("centroid_id") > acc.getField("centroid_id")),
-            struct(sim.as("sim"),
-              c.getField("centroid_id").as("centroid_id")))
-            .otherwise(acc)
-        })
+      val best = argmaxCentroid(col("__vec"))
       val assigned = corpus
         .select(col(vecCol).as("__vec"))
         .join(broadcast(centArr))

@@ -146,6 +146,32 @@ object VectorQueries {
       .agg(count(lit(1)).as("n"),
         round(avg(col("x").cast("double")), 6).as("v"))
 
+  /** Planted co-assignment gate for k-means clustering (round 4): ten
+    * base vectors × four byte-identical copies (ids offset past the
+    * table max, the SF-proof recipe). Whatever the hash seeding picked,
+    * identical vectors MUST co-assign under the deterministic argmax
+    * tie rule — every group reports exactly one distinct cluster. The
+    * oracle is the closed-form contract, not a DuckDB k-means. */
+  val clusterPlanted: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") < 10)
+    val off = emb.agg((max("vec_id") + 1).as("__off"))
+    // alias g BEFORE re-aliasing vec_id: a later col("vec_id") in the
+    // same select would resolve to the new alias (lateral-alias gotcha)
+    val withG = (0 to 3).map(m => base.crossJoin(broadcast(off))
+        .select(col("vec_id").as("g"),
+          (col("vec_id") + lit(m) * col("__off")).as("vec_id"),
+          col("embedding")))
+      .reduce(_ unionAll _)
+    graft.operators.Clustering.assign(
+        withG.select("vec_id", "embedding"), "vec_id", "embedding",
+        k = 10, iters = 2)
+      .join(withG.select("vec_id", "g"), "vec_id")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct("cluster_id").as("n_clusters"))
+  }
+
   /** Euclidean (L2) nearest neighbor per probe (E36/E37 variant). */
   val l2Nearest: Q = (s, d) => {
     val (probe, corpus) = probesAndCorpus(s, d)

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariant oracles for corpus clustering: identical vectors co-assign
+  * (the determinism contract), well-separated groups recover, and the
+  * diversity sample respects its per-cluster bound. */
+class ClusteringSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // four orthogonal directions × 12 byte-identical copies each, ids
+  // interleaved so hash seeding sees all groups
+  private def planted = (0L until 48L)
+    .map { i =>
+      val g = (i % 4).toInt
+      (i, Array.tabulate(8)(d => if (d == g * 2) 1.0 else 0.0).toSeq)
+    }
+    .toDF("vec_id", "vec")
+
+  test("byte-identical vectors always co-assign") {
+    val out = Clustering.assign(planted, "vec_id", "vec", k = 4, iters = 3)
+      .withColumn("g", col("vec_id") % 4)
+      .groupBy("g").agg(countDistinct("cluster_id").as("nc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.forall(_ == 1L), s"groups split across clusters: $out")
+  }
+
+  test("well-separated groups land in distinct clusters, sim ~ 1") {
+    val asg = Clustering.assign(planted, "vec_id", "vec", k = 4, iters = 3)
+    val byGroup = asg.withColumn("g", col("vec_id") % 4)
+      .select("g", "cluster_id").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byGroup.values.toSet.size == 4,
+      s"orthogonal groups must separate: $byGroup")
+    val sims = asg.select("centroid_sim").collect().map(_.getDouble(0))
+    assert(sims.forall(s => s > 0.999), "converged centroids equal members")
+  }
+
+  test("diversity sample bounds every cluster and is deterministic") {
+    def sample() =
+      Clustering.diversitySample(planted, "vec_id", "vec", k = 4,
+          perCluster = 3, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s1 = sample()
+    assert(s1 == sample(), "re-runs must agree")
+    assert(s1.groupBy(_._1).values.forall(_.size <= 3),
+      "per-cluster bound exceeded")
+    assert(s1.size == 12, "4 clusters x 3 each from 12-member groups")
+  }
+}
