@@ -295,6 +295,14 @@ object ScaleBench {
       .leakageAudit(docsN, "doc_id", "text", splits)))
     results += (("split_leakage", tsl1, tslN))
 
+    // replication also stresses the seed dedup: every vector has
+    // `factor` copies, so seeding must skip factor-1 of every content
+    val tca1 = time("cluster_assign 1x")(noop(graft.operators.Clustering
+      .assign(emb1, "vec_id", "embedding", k = 50)))
+    val tcaN = time(s"cluster_assign ${factor}x")(noop(graft.operators
+      .Clustering.assign(embN, "vec_id", "embedding", k = 50)))
+    results += (("cluster_assign", tca1, tcaN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")
