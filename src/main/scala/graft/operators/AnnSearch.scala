@@ -166,29 +166,6 @@ object AnnSearch {
       probeId, probeVec)
   }
 
-  /** Lloyd's k-means over an embedding column, fully distributed and
-    * shuffle-free on vectors: the whole centroid set rides ONE broadcast
-    * row as an array, assignment is a per-row argmax fold over that array
-    * (a projection — corpus vectors never enter any exchange), and the
-    * update step's (cluster, dim) mean partial-aggregates map-side so the
-    * only shuffle carries C×dim partial sums per partition.
-    *
-    * The quantizer is sized by `lists`, not an id stride: seeds are the
-    * EXACTLY-`lists` corpus rows ranking lowest by `xxhash64(id)` (a
-    * TakeOrdered — one scan, k rows kept per task, no count job), so C —
-    * and with it the C·n argmax cost — stays CONSTANT as the corpus
-    * grows (a stride-proportional C measured 51× wall at 32× data), and
-    * the selection is uniform for ANY id distribution — an `id % stride`
-    * filter picks 5× too many seeds when the ids are themselves strided
-    * (replication offsets, dedup survivors) and silently re-creates the
-    * quadratic cost. Deterministic, so runs are reproducible.
-    *
-    * Sizing guidance: `lists` is an index parameter, chosen per corpus —
-    * the standard heuristic is ≈ √n (assignment costs O(n·C), within-
-    * list work O(n²/C); √n balances them). It is deliberately NOT
-    * auto-derived: an index rebuilt at a different corpus size changing
-    * its list count silently would invalidate persisted artifacts.
-    * Returns (centroid_id, centvec: array<double>). */
   /** Argmax over the one-row collected centroid array (`cents` from
     * [[centroidRow]]): highest cosine, ties to the largest centroid_id.
     * Order-independent over the array, so collect_list's
@@ -209,6 +186,31 @@ object AnnSearch {
           .otherwise(acc)
       })
 
+  /** Lloyd's k-means over an embedding column, fully distributed and
+    * shuffle-free on vectors: the whole centroid set rides ONE broadcast
+    * row as an array, assignment is a per-row argmax fold over that array
+    * (a projection — corpus vectors never enter any exchange), and the
+    * update step's (cluster, dim) mean partial-aggregates map-side so the
+    * only shuffle carries C×dim partial sums per partition.
+    *
+    * The quantizer is sized by `lists`, not an id stride: seeds are the
+    * up-to-`lists` DISTINCT-content representatives ranking lowest by
+    * `xxhash64(id)` — the dedup aggregate shuffles (content hash, id)
+    * pairs only (never vectors), and corpora with fewer distinct
+    * contents than `lists` get that many centroids. Bounding by `lists`
+    * keeps C — and with it the C·n argmax cost — CONSTANT as the corpus
+    * grows (a stride-proportional C measured 51× wall at 32× data), and
+    * hash selection is uniform for ANY id distribution — an
+    * `id % stride` filter picks 5× too many seeds when ids are strided
+    * (replication offsets, dedup survivors) and silently re-creates the
+    * quadratic cost. Deterministic, so runs are reproducible.
+    *
+    * Sizing guidance: `lists` is an index parameter, chosen per corpus —
+    * the standard heuristic is ≈ √n (assignment costs O(n·C), within-
+    * list work O(n²/C); √n balances them). It is deliberately NOT
+    * auto-derived: an index rebuilt at a different corpus size changing
+    * its list count silently would invalidate persisted artifacts.
+    * Returns (centroid_id, centvec: array<double>). */
   def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
       lists: Int, iters: Int): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)

@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** Append (cluster_id, centroid_sim) per row: the trained cluster
+  /** Returns (idCol, cluster_id, centroid_sim): the trained cluster
     * each vector lands in and its cosine to that centroid (rounded
-    * 6dp — the cross-engine comparison grain). */
+    * 6dp — the cross-engine comparison grain). Other input columns are
+    * dropped — join back by id to re-attach them. */
   def assign(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 2): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

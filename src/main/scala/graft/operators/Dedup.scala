@@ -370,23 +370,14 @@ object Dedup {
     val cents = AnnSearch.kmeansCentroids(df, vecCol, idCol,
       numLists, kmeansIters).cache()
     val centArr = AnnSearch.centroidRow(cents)
-    // per-row argmax over the broadcast centroid row — ids only leave
+    // per-row argmax over the broadcast centroid row — ids only leave;
+    // THE shared tie rule (AnnSearch.argmaxCentroid), so list
+    // assignment can never diverge from the centroids it trained with
     val assigned = df
       .select(col(idCol).as("id"), col(vecCol).as("__vec"))
       .join(broadcast(centArr))
-      .select(col("id"), aggregate(col("cents"),
-        struct(lit(Double.NegativeInfinity).as("sim"),
-          lit(Long.MinValue).as("centroid_id")),
-        (acc, c) => {
-          val sim = graft.functions.GraftFunctions.cosineSim(col("__vec"),
-            c.getField("centvec"))
-          when(sim > acc.getField("sim") ||
-              (sim === acc.getField("sim") &&
-                c.getField("centroid_id") > acc.getField("centroid_id")),
-            struct(sim.as("sim"),
-              c.getField("centroid_id").as("centroid_id")))
-            .otherwise(acc)
-        }).getField("centroid_id").as("list"))
+      .select(col("id"), AnnSearch.argmaxCentroid(col("__vec"))
+        .getField("centroid_id").as("list"))
     val listSizes = assigned.groupBy("list")
       .agg(count(lit(1)).as("lsz"))
       .filter(col("lsz").between(2, maxList))

@@ -104,14 +104,22 @@ object Mixing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // whole-partition stats ride the same exchange as the running sum
     val wAll = Window.partitionBy(groupCol)
+    // true group sizes (one partial-agg job to ≤ |weights| rows): a
+    // group of EXACTLY maxDocsPerGroup docs is exhausted, not
+    // truncated — the bound alone cannot tell the two apart, and a
+    // group smaller than its quota is the accepted take-it-all case
+    val sizes = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("__gsize"))
     rankBoundAndQuota(df, groupCol, idCol, Seq(tokenCol), weights,
         tokenBudget, boundOf = _ => maxDocsPerGroup)
+      .join(broadcast(sizes), Seq(groupCol))
       .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
-      // truncation guard: the bound was reached AND the bounded set's
-      // total stayed under quota — the true prefix extends past what
-      // TopK kept, so the mixture would silently underfill
+      // truncation guard: TopK actually CUT the group (raw size past
+      // the bound) AND the kept prefix's total stayed under quota — the
+      // true prefix extends past what was kept, so the mixture would
+      // silently underfill
       .withColumn("__guard", when(
-        count(lit(1)).over(wAll) === maxDocsPerGroup &&
+        col("__gsize") > maxDocsPerGroup &&
           max(col("cum_tokens")).over(wAll) < col("__quota"),
         raise_error(concat(lit("sampleToTokenBudget: group '"),
           col(groupCol),

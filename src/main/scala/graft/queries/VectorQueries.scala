@@ -158,11 +158,15 @@ object VectorQueries {
     val off = emb.agg((max("vec_id") + 1).as("__off"))
     // alias g BEFORE re-aliasing vec_id: a later col("vec_id") in the
     // same select would resolve to the new alias (lateral-alias gotcha)
+    // cache: Clustering.assign re-references its input in the seed
+    // job, every k-means iteration, and the final assignment — uncached,
+    // each re-runs the 4-way union and the max(vec_id) aggregate
     val withG = (0 to 3).map(m => base.crossJoin(broadcast(off))
         .select(col("vec_id").as("g"),
           (col("vec_id") + lit(m) * col("__off")).as("vec_id"),
           col("embedding")))
       .reduce(_ unionAll _)
+      .cache()
     graft.operators.Clustering.assign(
         withG.select("vec_id", "embedding"), "vec_id", "embedding",
         k = 10, iters = 2)

@@ -70,6 +70,16 @@ class MixingSpec extends SparkSpec {
     assert(ok.count() > 0)
   }
 
+  test("a group of EXACTLY maxDocsPerGroup docs is exhausted, not truncated") {
+    // 200 web docs, bound exactly 200, quota far above the total: the
+    // whole group legitimately delivers under quota — the guard must
+    // distinguish this from a truncation and stay silent
+    val out = Mixing.sampleToTokenBudget(tokenCorpus, "source", "doc_id",
+      "n_tokens", weights = Map("web" -> 1.0), tokenBudget = 1000000,
+      maxDocsPerGroup = 200)
+    assert(out.count() == 200, "exhausted group delivers in full")
+  }
+
   test("token budget keeps the hash-order PREFIX, nothing after a cross") {
     val out = Mixing.sampleToTokenBudget(tokenCorpus, "source", "doc_id",
         "n_tokens", weights = Map("web" -> 1.0), tokenBudget = 50)
