@@ -248,7 +248,9 @@ object SparkEntry {
       HAVING sum(l_quantity) > 150""",
 
     "q_orc_roundtrip" -> """
-      SELECT p_brand, count(*) AS n, round(sum(p_retailprice),6) AS total,
+      SELECT p_brand, count(*) AS n,
+             CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total,
              max(p_size) AS max_size
       FROM part GROUP BY p_brand""",
 
@@ -261,7 +263,9 @@ object SparkEntry {
       FROM lineitem""",
 
     "q_join_inner" -> """
-      SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS total
+      SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment""",
 
@@ -273,7 +277,8 @@ object SparkEntry {
 
     "q_join_left" -> """
       SELECT c_custkey, count(o_orderkey) AS n_orders,
-             coalesce(sum(o_totalprice), 0) AS total
+             coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DOUBLE), 0) AS total
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey""",
 
@@ -318,12 +323,20 @@ object SparkEntry {
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
              sum(l_quantity) AS sum_qty,
-             sum(l_extendedprice) AS sum_base_price,
-             sum(l_extendedprice*(1-l_discount)) AS sum_disc_price,
-             sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS sum_charge,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
+               * (1.00 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+               AS sum_charge,
              avg(l_quantity) AS avg_qty,
-             avg(l_extendedprice) AS avg_price,
-             avg(l_discount) AS avg_disc,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(l_extendedprice) AS avg_price,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               / count(l_discount) AS avg_disc,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= '1998-09-02'
@@ -332,7 +345,9 @@ object SparkEntry {
     "q3_shipping" -> """
       SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               round(sum(l_extendedprice*(1-l_discount)),6) AS revenue
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                 AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -342,7 +357,10 @@ object SparkEntry {
       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
     "q5_local_supplier" -> """
-      SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),6) AS revenue
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON o_orderkey = l_orderkey
@@ -403,7 +421,7 @@ object SparkEntry {
 
     "q_agg_rollup" -> """
       SELECT r_name, n_name, count(*) AS n_cust,
-             round(sum(c_acctbal),6) AS bal
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
@@ -411,7 +429,8 @@ object SparkEntry {
 
     "q_agg_cube" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             round(sum(o_totalprice),6) AS total
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
 
     "q_agg_grouping_sets" -> """
@@ -429,10 +448,14 @@ object SparkEntry {
 
     "q_pivot" -> """
       SELECT l_returnflag,
-             round(sum(CASE WHEN l_linestatus = 'F'
-               THEN l_extendedprice*(1-l_discount) END),6) AS rev_f,
-             round(sum(CASE WHEN l_linestatus = 'O'
-               THEN l_extendedprice*(1-l_discount) END),6) AS rev_o
+             CAST(sum(CASE WHEN l_linestatus = 'F'
+               THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1.00 - CAST(l_discount AS DECIMAL(4,2))) END)
+               AS DOUBLE) AS rev_f,
+             CAST(sum(CASE WHEN l_linestatus = 'O'
+               THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1.00 - CAST(l_discount AS DECIMAL(4,2))) END)
+               AS DOUBLE) AS rev_o
       FROM lineitem GROUP BY l_returnflag""",
 
     "q_stream_stream_join" -> """
@@ -473,9 +496,10 @@ object SparkEntry {
 
     "q_window_frame" -> """
       SELECT o_custkey, o_orderkey,
-             round(sum(o_totalprice) OVER (
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),6) AS running
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running
       FROM orders""",
 
     "q_window_analytics" -> """
@@ -496,9 +520,9 @@ object SparkEntry {
 
     "q_window_range_frame" -> """
       SELECT o_custkey, o_orderkey,
-             round(sum(o_totalprice) OVER (
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW),6)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS trailing_30d
       FROM orders""",
 
@@ -507,7 +531,10 @@ object SparkEntry {
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
 
     "q_topk_parts" -> """
-      SELECT l_partkey, round(sum(l_extendedprice*(1-l_discount)),6) AS revenue
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
       FROM lineitem GROUP BY l_partkey
       ORDER BY revenue DESC, l_partkey LIMIT 10""",
 
@@ -552,7 +579,8 @@ object SparkEntry {
       SELECT month, n, total, year(month)::INT AS yr, month(month)::INT AS mth
       FROM (
         SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
-               round(sum(o_totalprice),6) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
         FROM orders GROUP BY 1) t""",
 
     "q_date_diff" -> """
@@ -700,7 +728,9 @@ object SparkEntry {
       FROM nation GROUP BY n_regionkey""",
 
     "q_json_roundtrip" -> """
-      SELECT count(*) AS n, round(sum(s_acctbal),6) AS total_bal,
+      SELECT count(*) AS n,
+             CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_bal,
              max(s_suppkey) AS max_key
       FROM supplier""",
 
@@ -1392,7 +1422,8 @@ object SparkEntry {
       GROUP BY label, i""",
 
     "q_partition_prune" -> """
-      SELECT event_type, count(*) AS n, round(sum(value), 6) AS total,
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
              count(DISTINCT user_id) AS n_users
       FROM events
       WHERE CAST(ts AS DATE)
@@ -1401,7 +1432,8 @@ object SparkEntry {
 
     "q_bucketed_join" -> """
       SELECT c_mktsegment, count(*) AS n_orders,
-             round(sum(o_totalprice), 6) AS total,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total,
              count(DISTINCT c_custkey) AS n_customers
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment""",
@@ -1483,7 +1515,9 @@ object SparkEntry {
     "q_merge_schema" -> """
       SELECT CASE WHEN o_orderkey % 2 = 1 THEN upper(o_orderpriority)
                   ELSE '<pre-evolution>' END AS prio,
-             count(*) AS n, round(sum(o_totalprice), 6) AS total
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
       FROM orders
       GROUP BY 1""",
 

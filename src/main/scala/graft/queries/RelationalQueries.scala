@@ -135,14 +135,12 @@ object RelationalQueries {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").as("sum_qty"),
-        sum("l_extendedprice").as("sum_base_price"),
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("sum_disc_price"),
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * (lit(1) + col("l_tax"))).as("sum_charge"),
+        Exact.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        Exact.sumExact(Exact.discPrice).as("sum_disc_price"),
+        Exact.sumExact(Exact.charge).as("sum_charge"),
         avg("l_quantity").as("avg_qty"),
-        avg("l_extendedprice").as("avg_price"),
-        avg("l_discount").as("avg_disc"),
+        Exact.avgMoney(col("l_extendedprice")).as("avg_price"),
+        Exact.avgMoney(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3 shape: 3-way join + agg + top-k. Filters reach each scan
@@ -158,8 +156,7 @@ object RelationalQueries {
     cust.join(ord, col("c_custkey") === col("o_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
-        .as("revenue"))
+      .agg(Exact.sumExact(Exact.discPrice).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -179,8 +176,7 @@ object RelationalQueries {
         col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
-        .as("revenue"))
+      .agg(Exact.sumExact(Exact.discPrice).as("revenue"))
 
   // ---- E7–E10: joins ------------------------------------------------------
 
@@ -192,7 +188,8 @@ object RelationalQueries {
       .join(Tables.customer(s, d),
         col("o_custkey") === col("c_custkey"), "inner")
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.sumMoney(col("o_totalprice")).as("total"))
 
   /** Broadcast join of two dimension tables (E8) — explicitly hinted so the
     * 5-row region side never shuffles. */
@@ -211,7 +208,7 @@ object RelationalQueries {
         col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey")
       .agg(count("o_orderkey").as("n_orders"),
-        coalesce(sum("o_totalprice"), lit(0d)).as("total"))
+        coalesce(Exact.sumMoney(col("o_totalprice")), lit(0d)).as("total"))
 
   /** Full outer join over key sets (E9). */
   val joinFull: Q = (s, d) => {
@@ -307,7 +304,7 @@ object RelationalQueries {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .pivot("l_linestatus", Seq("F", "O"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6))
+      .agg(Exact.sumExact(Exact.discPrice))
       .withColumnRenamed("F", "rev_f")
       .withColumnRenamed("O", "rev_o")
 
@@ -331,13 +328,15 @@ object RelationalQueries {
       // false-positives when rollup grouping columns keep join-side names
       .select(col("r_name").as("rn"), col("n_name").as("nn"), col("c_acctbal"))
       .rollup(col("rn").as("r_name"), col("nn").as("n_name"))
-      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 6).as("bal"))
+      .agg(count(lit(1)).as("n_cust"),
+        Exact.sumMoney(col("c_acctbal")).as("bal"))
 
   /** CUBE (E16). */
   val aggCube: Q = (s, d) =>
     Tables.orders(s, d)
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 6).as("total"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumMoney(col("o_totalprice")).as("total"))
 
   /** GROUPING SETS via SQL (E16). */
   val aggGroupingSets: Q = (s, d) => {
@@ -405,7 +404,8 @@ object RelationalQueries {
       .orderBy("o_orderdate", "o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, d)
-      .withColumn("running", round(sum("o_totalprice").over(w), 6))
+      .withColumn("running",
+        sum(col("o_totalprice").cast(Exact.Money)).over(w).cast("double"))
       .select("o_custkey", "o_orderkey", "running")
   }
 
@@ -432,7 +432,8 @@ object RelationalQueries {
       .rangeBetween(-2592000L, 0L) // 30 days in seconds
     Tables.orders(s, d)
       .withColumn("sec", unix_seconds(col("o_orderdate").cast("timestamp")))
-      .withColumn("trailing_30d", round(sum("o_totalprice").over(w), 6))
+      .withColumn("trailing_30d",
+        sum(col("o_totalprice").cast(Exact.Money)).over(w).cast("double"))
       .select("o_custkey", "o_orderkey", "trailing_30d")
   }
 
@@ -459,8 +460,7 @@ object RelationalQueries {
   val topkParts: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_partkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
-        .as("revenue"))
+      .agg(Exact.sumExact(Exact.discPrice).as("revenue"))
       .orderBy(col("revenue").desc, col("l_partkey"))
       .limit(10)
 
@@ -505,7 +505,8 @@ object RelationalQueries {
   val dateFuncs: Q = (s, d) =>
     Tables.orders(s, d)
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 6).as("total"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumMoney(col("o_totalprice")).as("total"))
       .withColumn("yr", year(col("month")))
       .withColumn("mth", month(col("month")))
 

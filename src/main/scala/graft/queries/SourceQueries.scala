@@ -36,7 +36,8 @@ object SourceQueries {
     Tables.part(s, d).write.mode("overwrite").orc(tmp)
     s.read.orc(tmp)
       .groupBy("p_brand")
-      .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 6).as("total"),
+      .agg(count(lit(1)).as("n"),
+        Exact.sumMoney(col("p_retailprice")).as("total"),
         max("p_size").as("max_size"))
   }
 
@@ -48,7 +49,7 @@ object SourceQueries {
       .write.mode("overwrite").json(tmp)
     s.read.json(tmp)
       .agg(count(lit(1)).as("n"),
-        round(sum("s_acctbal"), 6).as("total_bal"),
+        Exact.sumMoney(col("s_acctbal")).as("total_bal"),
         max("s_suppkey").as("max_key"))
   }
 
@@ -61,7 +62,8 @@ object SourceQueries {
     graft.sources.Layout.partitionedEvents(s, d)
       .filter(col("event_date").between("2024-01-10", "2024-01-16"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"),
+      .agg(count(lit(1)).as("n"),
+        Exact.sumMoney(col("value")).as("total"),
         countDistinct("user_id").as("n_users"))
 
   /** Bucketed co-located join (round 4): orders ⋈ customer on custkey,
@@ -74,7 +76,7 @@ object SourceQueries {
     graft.sources.Layout.bucketedOrdersWithCustomers(s, d)
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 6).as("total"),
+        Exact.sumMoney(col("o_totalprice")).as("total"),
         countDistinct("c_custkey").as("n_customers"))
 
   /** Parquet schema evolution (round 4): a long-lived table gains a
@@ -97,7 +99,7 @@ object SourceQueries {
       .groupBy(coalesce(col("o_priority"), lit("<pre-evolution>"))
         .as("prio"))
       .agg(count(lit(1)).as("n"),
-        round(sum("o_totalprice"), 6).as("total"))
+        Exact.sumMoney(col("o_totalprice")).as("total"))
   }
 
   /** Z-order clustering key (round 4): Morton-interleaved

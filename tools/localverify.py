@@ -13,10 +13,12 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+STRICT = os.environ.get('STRICT', '') == '1'  # exact doubles, like the driver
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if df[c].dtype.kind == 'f':
+        if df[c].dtype.kind == 'f' and not STRICT:
             df[c] = df[c].round(4)
         # normalize timestamps to strings
         if str(df[c].dtype).startswith('datetime'):
