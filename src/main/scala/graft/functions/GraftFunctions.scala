@@ -36,6 +36,7 @@ object GraftFunctions {
       intArg(es(1), "minhash_text"), intArg(es(2), "minhash_text"))),
     "kmv_distinct" -> (es => KmvDistinct(es(0),
       intArg(es(1), "kmv_distinct")).toAggregateExpression()),
+    "vec_mean" -> (es => VecMean(es(0)).toAggregateExpression()),
     "pq_encode" -> (es => PqEncode(es(0), es(1),
       intArg(es(2), "pq_encode"), intArg(es(3), "pq_encode"))),
     "pq_dist_table" -> (es => PqDistTable(es(0), es(1),
@@ -71,6 +72,8 @@ object GraftFunctions {
   def simhash64(elems: Column): Column = call_function("simhash64", elems)
   def kmvDistinct(c: Column, k: Int = 256): Column =
     call_function("kmv_distinct", c, org.apache.spark.sql.functions.lit(k))
+  /** Element-wise mean of an array<float|double> column, as array<double>. */
+  def vecMean(c: Column): Column = call_function("vec_mean", c)
   def minhashText(text: Column, k: Int, shingle: Int = 3): Column =
     call_function("minhash_text", text,
       org.apache.spark.sql.functions.lit(k),

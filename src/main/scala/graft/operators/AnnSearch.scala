@@ -244,13 +244,12 @@ object AnnSearch {
         .join(broadcast(centArr))
         .select(best.getField("centroid_id").as("centroid_id"),
           col("__vec"))
+      // one partial-aggregating shuffle per iteration: VecMean moves a
+      // (count, sums[dim]) buffer per cluster per map partition, vs the
+      // posexplode formulation's two barriers over k×dim rows
       centroids = assigned
-        .select(col("centroid_id"), posexplode(col("__vec")))
-        .groupBy("centroid_id", "pos")
-        .agg(avg(col("col").cast("double")).as("m"))
         .groupBy("centroid_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centvec"))
+        .agg(GraftFunctions.vecMean(col("__vec")).as("centvec"))
       i += 1
     }
     centroids
