@@ -56,24 +56,36 @@ object Bench {
 
     // layout artifacts are likewise one-time writes (partitioned events,
     // bucketed tables): build them before the timed loop so the gates
-    // measure the READ cost a production table has
-    try {
-      val t0 = System.nanoTime()
-      // each artifact builds only when its own query is selected — the
-      // single-query allowlist path must not pay the other's write
-      if (selected.exists(_._1 == "q_partition_prune"))
-        graft.sources.Layout.partitionedEvents(spark, sfDir)
-      if (selected.exists(_._1 == "q_bucketed_join"))
-        graft.sources.Layout.bucketedOrdersWithCustomers(spark, sfDir)
-      val s = (System.nanoTime() - t0) / 1e9
-      if (s > 0.1) System.err.println(f"[bench] layouts ready in $s%.1f s")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] layout build failed: ${e.getMessage}")
-    }
+    // measure the READ cost a production table has. A failed prebuild
+    // marks ITS query failed up front (r4 advice) — proceeding silently
+    // would shift the one-time write cost into that query's timed sample
+    // (or surface as a confusing in-loop failure)
+    val prebuildFailed = scala.collection.mutable.Set.empty[String]
+    def prebuild(query: String, build: () => Unit): Unit =
+      if (selected.exists(_._1 == query)) {
+        val t0 = System.nanoTime()
+        try {
+          build()
+          val s = (System.nanoTime() - t0) / 1e9
+          if (s > 0.1)
+            System.err.println(f"[bench] $query layout ready in $s%.1f s")
+        } catch { case e: Throwable =>
+          prebuildFailed += query
+          System.err.println(
+            s"[bench] $query layout prebuild failed: ${e.getMessage}")
+        }
+      }
+    prebuild("q_partition_prune",
+      () => graft.sources.Layout.partitionedEvents(spark, sfDir))
+    prebuild("q_bucketed_join",
+      () => graft.sources.Layout.bucketedOrdersWithCustomers(spark, sfDir))
 
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
+      if (prebuildFailed(name)) {
+        System.err.println(s"[bench] $name skipped: its layout prebuild failed")
+        name -> -1.0
+      } else try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // operators cache signatures/centroids

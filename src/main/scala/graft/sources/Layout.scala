@@ -42,7 +42,11 @@ object Layout {
       .map("%02x".format(_)).mkString
 
   /** count + order-independent id-hash xor — the IvfPq.buildOrLoad
-    * fingerprint recipe (bit_xor cannot overflow under ANSI). */
+    * fingerprint recipe (bit_xor cannot overflow under ANSI). Caveat,
+    * by design: the fingerprint covers the ID COLUMN only — content
+    * changes under unchanged ids do not trigger a rebuild (the testdata
+    * generator never does that; a production metastore would own real
+    * table versioning). */
   private def fingerprint(df: DataFrame, idCol: String): String = {
     val r = df.agg(count(lit(1)), bit_xor(xxhash64(col(idCol)))).head()
     s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
@@ -85,10 +89,16 @@ object Layout {
 
     def ensure(tbl: String, df: DataFrame, idCol: String,
         bucketCol: String): Unit = {
-      if (s.catalog.tableExists(tbl)) return
       val path = Paths.get(Artifacts.cacheDir, tbl)
       val marker = path.resolve("_built")
       val fp = fingerprint(df, idCol)
+      // a registered table must STILL pass the fingerprint check — a
+      // source regenerated within this JVM's lifetime would otherwise
+      // silently serve the stale bucketed layout (r4 advice)
+      if (s.catalog.tableExists(tbl)) {
+        if (isFresh(marker, fp)) return
+        s.sql(s"DROP TABLE $tbl")
+      }
       if (isFresh(marker, fp)) {
         // files already laid out by a prior JVM: register, don't rewrite
         // (bucket ids live in the file names Spark wrote)

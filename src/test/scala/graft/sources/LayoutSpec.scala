@@ -101,4 +101,39 @@ class LayoutSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
     }
   }
+
+  test("a regenerated source rebuilds the layout even within one JVM") {
+    // private working copy of the source tables so the rewrite below
+    // can't corrupt other suites' view of the shared testdata
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stale").toString
+    for (t <- Seq("orders", "customer", "lineitem", "events"))
+      spark.read.parquet(s"$sf/$t.parquet")
+        .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    val full = Layout.bucketedOrdersWithCustomers(spark, tmp).count()
+
+    // regenerate the source with HALF the orders: same path, new content
+    val half = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 2 === 0)
+    val halfRows = half.count()
+    val stage = java.nio.file.Files.createTempDirectory("graft_half").toString
+    half.write.mode("overwrite").parquet(stage)
+    // rm+rename rather than write.mode(overwrite) on the live path: Spark
+    // would read-then-clobber its own input
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rmrf); p.delete(); ()
+    }
+    rmrf(new java.io.File(s"$tmp/orders.parquet"))
+    assert(new java.io.File(stage).renameTo(
+      new java.io.File(s"$tmp/orders.parquet")))
+
+    val rebuilt = Layout.bucketedOrdersWithCustomers(spark, tmp).count()
+    assert(rebuilt < full,
+      s"stale bucketed layout served after source regeneration: " +
+        s"$rebuilt rows vs full $full")
+    assert(rebuilt == Tables.orders(spark, tmp).join(
+        Tables.customer(spark, tmp),
+        col("o_custkey") === col("c_custkey")).count(),
+      "rebuilt layout must reflect the regenerated source")
+    assert(halfRows < full, "fixture sanity: the regeneration shrank orders")
+  }
 }
