@@ -51,6 +51,13 @@ object GraftFunctions {
     "purge_positions" -> (es => PurgePositions(es(0), es(1))),
     "rand_project" -> (es => SignedProject(es(0), es(1),
       intArg(es(2), "rand_project"))),
+    "vec_quant8" -> (es => VecQuant8(es(0))),
+    "vec_dequant8" -> (es => VecDequant8(es(0), es(1))),
+    "segment_tokens" -> (es => SegmentTokens(es(0),
+      intArg(es(1), "segment_tokens"))),
+    "chunk_windows" -> (es => ChunkWindows(es(0),
+      intArg(es(1), "chunk_windows"), intArg(es(2), "chunk_windows"))),
+    "cluster_assign" -> (es => ClusterAssign(es(0), es(1))),
   )
 
   /** Idempotent per-session registration of all engine functions. */
@@ -107,4 +114,21 @@ object GraftFunctions {
   def randProject(vec: Column, signs: Column, outDim: Int): Column =
     call_function("rand_project", vec, signs,
       org.apache.spark.sql.functions.lit(outDim))
+  /** Int8 quantization: struct(sq_scale, sq_codes). */
+  def vecQuant8(vec: Column): Column = call_function("vec_quant8", vec)
+  /** Int8 reconstruction: codes · scale, array<double>. */
+  def vecDequant8(codes: Column, scale: Column): Column =
+    call_function("vec_dequant8", codes, scale)
+  /** Consecutive width-token windows of the single-space tokenization. */
+  def segmentTokens(text: Column, width: Int): Column =
+    call_function("segment_tokens", text,
+      org.apache.spark.sql.functions.lit(width))
+  /** Generator: one row per overlapping token-window chunk. */
+  def chunkWindows(text: Column, width: Int, stride: Int): Column =
+    call_function("chunk_windows", text,
+      org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(stride))
+  /** Argmax-cosine centroid assignment: struct(centroid_id, sim). */
+  def clusterAssign(vec: Column, cents: Column): Column =
+    call_function("cluster_assign", vec, cents)
 }

@@ -65,4 +65,76 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT ngram_hashes_gen('a b c d', 2)").count() === 3)
   }
+
+  test("vec_mean aggregates element-wise") {
+    assert(one[Seq[Double]](
+      """SELECT vec_mean(v) FROM VALUES (array(1.0D, 4.0D)),
+        |(array(3.0D, 8.0D)) AS t(v)""".stripMargin) === Seq(2.0, 6.0))
+  }
+
+  test("vec_quant8/vec_dequant8 match the VectorQuant operator") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val df = spark.range(8).select(col("id"),
+      array((0 to 5).map(i => (rand(seed = i) * 2 - 1).cast("double")): _*)
+        .as("v"))
+    val op = graft.operators.VectorQuant.quantize(df, "v")
+      .select(col("id"), col("sq_scale"), col("sq_codes"))
+    val fn = df.select(col("id"), GraftFunctions.vecQuant8(col("v")).as("q"))
+      .select(col("id"), col("q.sq_scale").as("sq_scale"),
+        col("q.sq_codes").as("sq_codes"))
+    assert(fn.exceptAll(op).isEmpty && op.exceptAll(fn).isEmpty)
+    // reconstruction parity too
+    val opR = op.select(col("id"), graft.operators.VectorQuant
+      .dequantize(col("sq_codes"), col("sq_scale")).as("r"))
+    val fnR = fn.select(col("id"),
+      GraftFunctions.vecDequant8(col("sq_codes"), col("sq_scale")).as("r"))
+    assert(fnR.exceptAll(opR).isEmpty && opR.exceptAll(fnR).isEmpty)
+  }
+
+  test("segment_tokens matches LineDedup.segmentByTokens") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val df = spark.createDataFrame(Seq(
+      (1L, "The quick Brown fox jumps over the lazy dog"),
+      (2L, "one  two   three"), // runs of spaces
+      (3L, ""))).toDF("id", "text")
+    val op = graft.operators.LineDedup
+      .segmentByTokens(df, "text", "lines", width = 3)
+      .select("id", "lines")
+    val fn = df.select(col("id"),
+      GraftFunctions.segmentTokens(col("text"), 3).as("lines"))
+    assert(fn.exceptAll(op).isEmpty && op.exceptAll(fn).isEmpty)
+  }
+
+  test("chunk_windows generator matches Chunking.slidingWindows") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b c d e f g"), (2L, "x y"), (3L, ""))).toDF("id", "text")
+    val op = graft.operators.Chunking
+      .slidingWindows(df, "id", "text", width = 3, stride = 2)
+    val fn = df.createOrReplaceTempView("chunk_src")
+    val sqlForm = spark.sql(
+      """SELECT id, c.chunk_id, c.start_pos, c.n_chunk_tokens, c.chunk_text
+        |FROM chunk_src LATERAL VIEW chunk_windows(text, 3, 2) c""".stripMargin)
+    assert(sqlForm.exceptAll(op).isEmpty && op.exceptAll(sqlForm).isEmpty)
+    // ceil(7/2)=4 chunks + ceil(2/2)=1 + empty doc 0
+    assert(sqlForm.count() === 5)
+  }
+
+  test("cluster_assign reproduces Clustering.assign's argmax contract") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    // two orthogonal centroids; a vector on each axis plus a tie case
+    val assigned = spark.sql(
+      """SELECT v, cluster_assign(v, array(
+        |  named_struct('centroid_id', 1L, 'centvec', array(1.0D, 0.0D)),
+        |  named_struct('centroid_id', 2L, 'centvec', array(0.0D, 1.0D)))) a
+        |FROM VALUES (array(2.0D, 0.0D)), (array(0.0D, 3.0D)),
+        |  (array(1.0D, 1.0D)) AS t(v)""".stripMargin)
+      .select(col("a.centroid_id")).collect().map(_.getLong(0)).toSeq
+    // axis vectors pick their centroid; the diagonal ties -> larger id
+    assert(assigned === Seq(1L, 2L, 2L))
+  }
 }
