@@ -177,6 +177,9 @@ object ScaleBench {
     results += (("ivfpq_search", tq1, tqN))
     }
 
+    // third arg "r5" drills only the round-5 worst-case section below
+    val r5Only = args.lift(1).contains("r5")
+    if (!r5Only) {
     // round-3/4 pipeline operators. The replicated corpus is the
     // removeDupSpans worst case: every span is duplicated `factor`×, so
     // every non-keeper doc loses every span — the rewrite join degrades
@@ -302,6 +305,58 @@ object ScaleBench {
     val tcaN = time(s"cluster_assign ${factor}x")(noop(graft.operators
       .Clustering.assign(embN, "vec_id", "embedding", k = 50)))
     results += (("cluster_assign", tca1, tcaN))
+    }
+
+    // ---- round-5 worst-case drills (r4 verdict #4) -----------------------
+
+    // overlap-heavy chunking: stride 8 under width 64 = 8x fan-out and a
+    // ragged tail every 8 tokens — the worst explode multiplier the
+    // operator's contract allows at this width
+    val tcv1 = time("chunk_overlap 1x")(noop(graft.operators.Chunking
+      .slidingWindows(docs1, "doc_id", "text", 64, 8)))
+    val tcvN = time(s"chunk_overlap ${factor}x")(noop(graft.operators
+      .Chunking.slidingWindows(docsN, "doc_id", "text", 64, 8)))
+    results += (("chunk_overlap", tcv1, tcvN))
+
+    // boilerplate policy (keepFirst=false): every duplicated line is
+    // deleted from EVERY doc including the keeper — on the replicated
+    // corpus every doc rewrites, and removal sets are maximal
+    def segmented5(df: DataFrame) = graft.operators.LineDedup
+      .segmentByTokens(df.select("doc_id", "text"), "text", "lines", 10)
+    val tlb1 = time("line_dedup_boiler 1x")(noop(graft.operators.LineDedup
+      .removeDupLines(segmented5(docs1), "doc_id", "lines",
+        keepFirst = false)))
+    val tlbN = time(s"line_dedup_boiler ${factor}x")(noop(
+      graft.operators.LineDedup.removeDupLines(segmented5(docsN), "doc_id",
+        "lines", keepFirst = false)))
+    results += (("line_dedup_boiler", tlb1, tlbN))
+
+    // diversity sample rides assign + TopKPerGroup; the replicated corpus
+    // multiplies every cluster's population by `factor` while perCluster
+    // stays fixed — the heap discard path does all the extra work
+    val tdv1 = time("diversity_sample 1x")(noop(graft.operators.Clustering
+      .diversitySample(emb1, "vec_id", "embedding", k = 50,
+        perCluster = 10)))
+    val tdvN = time(s"diversity_sample ${factor}x")(noop(
+      graft.operators.Clustering.diversitySample(embN, "vec_id",
+        "embedding", k = 50, perCluster = 10)))
+    results += (("diversity_sample", tdv1, tdvN))
+
+    // leakage audit AFTER an exact dedup: the leak join finds nothing
+    // (clean corpus), measuring the audit's fixed overhead — the shape a
+    // production pipeline actually runs it in, opposite of the all-leak
+    // worst case drilled in r4
+    val splits5 = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)
+    def dedupedSplits(df: DataFrame) = {
+      val keepers = graft.operators.Dedup.exactByContent(df, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val kept = df.join(keepers, "doc_id")
+      graft.operators.Splits.leakageAudit(kept, "doc_id", "text", splits5)
+    }
+    val tlp1 = time("leakage_postdedup 1x")(noop(dedupedSplits(docs1)))
+    val tlpN = time(s"leakage_postdedup ${factor}x")(noop(
+      dedupedSplits(docsN)))
+    results += (("leakage_postdedup", tlp1, tlpN))
 
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.foreach { case (tag, t1, tN) =>

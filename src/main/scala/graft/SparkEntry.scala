@@ -189,6 +189,9 @@ object SparkEntry {
     "q_merge_schema" -> SourceQueries.mergeSchema,
     "q_profile_cat" -> PipelineQueries.profileCategorical,
     "q_cluster_planted" -> VectorQueries.clusterPlanted,
+    "q_sessionize" -> PipelineQueries.sessionize,
+    "q_corpus_diff" -> PipelineQueries.corpusDiff,
+    "q_editdist_neardup" -> PipelineQueries.editDistNearDup,
   )
 
   private val docChunksSql = """
@@ -1540,5 +1543,74 @@ object SparkEntry {
                  ORDER BY cnt DESC, value)::INT AS rank
         FROM c) t
       WHERE rank <= 3""",
+
+    "q_sessionize" -> """
+      WITH e AS (
+        SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_us
+        FROM events),
+      f AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_us IS NULL
+                      OR us - prev_us > 1800 * 1000000 THEN 1
+                    ELSE 0 END AS st
+        FROM e),
+      g AS (
+        SELECT user_id, ts,
+               sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+        FROM f)
+      SELECT user_id, session_seq, count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end,
+             ((epoch_us(max(ts)) - epoch_us(min(ts)))
+               // 1000000)::BIGINT AS duration_sec
+      FROM g GROUP BY user_id, session_seq""",
+
+    "q_corpus_diff" -> """
+      WITH v1 AS (SELECT doc_id, text FROM documents),
+      v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                    ELSE text END AS text
+        FROM v1 WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 100000000, text FROM v1 WHERE doc_id < 10),
+      o AS (SELECT doc_id, md5(text) AS ho FROM v1),
+      n AS (SELECT doc_id, md5(text) AS hn FROM v2),
+      d AS (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN ho = hn THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+      SELECT status, count(*) AS n,
+             bit_xor(doc_id)::BIGINT AS id_checksum
+      FROM d GROUP BY status""",
+
+    "q_editdist_neardup" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000000, text || ' zq x'
+        FROM documents WHERE doc_id < 10),
+      keyed AS (
+        SELECT doc_id AS id, substring(text, 1, 16) AS pfx,
+               length(text) AS len
+        FROM corpus),
+      buckets AS (
+        SELECT pfx FROM keyed GROUP BY pfx
+        HAVING count(*) BETWEEN 2 AND 300),
+      pruned AS (SELECT k.* FROM keyed k JOIN buckets USING (pfx)),
+      pairs AS (
+        SELECT x.id AS a, y.id AS b
+        FROM pruned x JOIN pruned y USING (pfx)
+        WHERE x.id < y.id AND abs(x.len - y.len) <= 6)
+      SELECT a, b, levenshtein(ca.text, cb.text)::INT AS edit_dist
+      FROM pairs
+      JOIN corpus ca ON ca.doc_id = a
+      JOIN corpus cb ON cb.doc_id = b
+      WHERE levenshtein(ca.text, cb.text) <= 6""",
   )
 }

@@ -407,6 +407,56 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Edit-distance (Levenshtein) near-duplicate pairs — the
+    * character-level dedup family (vs token-level MinHash/SimHash):
+    * catches small byte edits (typo fixes, boilerplate suffix swaps,
+    * version stamps) that barely move a shingle signature but matter to
+    * exact-match decontamination.
+    *
+    * Candidate generation is a PREFIX-BUCKET equi-join: two texts within
+    * edit distance `maxDist` that are longer than `prefixLen + maxDist`
+    * share their first `prefixLen` characters unless an edit lands in
+    * the prefix — the cheap high-recall blocker for the append/suffix
+    * edit class this operator targets (prefix-edited pairs need a
+    * second pass with a reversed-prefix bucket; same cost shape). A
+    * length filter (`abs(len_a - len_b) <= maxDist`, a Levenshtein
+    * lower bound) prunes inside each bucket before any distance is
+    * computed, and `maxBucket` caps degenerate buckets exactly like
+    * [[minhashLsh]].
+    *
+    * Scale shape: the bucket join shuffles (bucket hash, id, length)
+    * only; full text flows once per surviving candidate side through
+    * the verify join, and the quadratic Levenshtein kernel runs ONLY on
+    * length-filtered in-bucket pairs. Fully SQL-expressible (substr +
+    * levenshtein), so the driver gate is a complete DuckDB hash match —
+    * no tolerance, no planted twin needed. */
+  def editDistanceNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, prefixLen: Int = 16, maxBucket: Int = 300)
+      : DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    val keyed = df.select(col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("__pfx"),
+      length(col(textCol)).as("__len"))
+    val bucketSizes = keyed.groupBy("__pfx")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+    val pruned = keyed.join(bucketSizes, "__pfx")
+    val pairs = pruned.select(col("__pfx"), col("id").as("a"),
+        col("__len").as("la"))
+      .join(pruned.select(col("__pfx"), col("id").as("b"),
+        col("__len").as("lb")), Seq("__pfx"))
+      .filter(col("a") < col("b") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .select("a", "b")
+    pairs
+      .join(df.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")
+      .join(df.select(col(idCol).as("b"), col(textCol).as("__tb")), "b")
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("edit_dist") <= maxDist)
+      .select("a", "b", "edit_dist")
+  }
+
   /** Embedding-cosine near-duplicate pairs among a bounded probe set —
     * the exact/verification path (LSH-bucketed variant in
     * [[AnnSearch.hyperplaneBuckets]]). */

@@ -331,6 +331,45 @@ object PipelineQueries {
     graft.operators.Chunking.slidingWindows(
       Tables.documents(s, d), "doc_id", "text", width = 64, stride = 48)
 
+  /** Batch sessionization (round 5): 30-minute-gap sessions over the
+    * event log — the offline twin of q_stream_session; the whole
+    * classification + rollup costs ONE shuffle on user_id. Full hash
+    * gate (DuckDB runs the same two windows). */
+  val sessionize: Q = (s, d) =>
+    graft.operators.Sessionize.sessions(
+      Tables.events(s, d), "user_id", "ts", "event_id", gapSec = 1800)
+
+  /** Corpus snapshot diff (round 5): v2 deterministically drops every
+    * 7th doc, rewrites every 5th, and appends 10 new ids; the summary
+    * classifies every id with an order-independent per-status id
+    * checksum. md5 content hash + raw-id xor so DuckDB reproduces both
+    * exactly. */
+  val corpusDiff: Q = (s, d) => {
+    val v1 = Tables.documents(s, d).select("doc_id", "text")
+    val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    graft.operators.CorpusDiff.summary(v1, v2, "doc_id", "text",
+      hasher = md5(_), idHasher = c => c)
+  }
+
+  /** Edit-distance near-dup (round 5): the corpus plus ten planted
+    * suffix-mutated copies (append " zq x" = edit distance 5), found by
+    * prefix-bucket candidates + Levenshtein verify under maxDist 6.
+    * Fully SQL-expressible, so the pairs carry a complete hash gate —
+    * no tolerance, no planted-only twin. */
+  val editDistNearDup: Q = (s, d) => {
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val mutated = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000000L).as("doc_id"),
+        concat(col("text"), lit(" zq x")).as("text"))
+    Dedup.editDistanceNearDup(base.unionAll(mutated), "doc_id", "text",
+      maxDist = 6)
+  }
+
   /** IVF-PQ composed index: coarse lists bound the scan, residual PQ
     * codes stand in for vectors — the billion-scale ANN shape (rows-only;
     * recall + codes-only-search + build-once oracles in IvfPqSpec).

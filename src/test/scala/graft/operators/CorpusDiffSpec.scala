@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CorpusDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val v1 = Seq(
+    (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta")
+  ).toDF("doc_id", "text")
+  private val v2 = Seq(
+    (1L, "alpha"),     // unchanged
+    (2L, "beta v2"),   // changed
+    // 3 removed
+    (4L, "delta"),     // unchanged
+    (5L, "epsilon")    // added
+  ).toDF("doc_id", "text")
+
+  test("per-id classification covers all four statuses") {
+    val got = CorpusDiff.diff(v1, v2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "unchanged", 5L -> "added"))
+  }
+
+  test("summary counts and id checksums are order-independent") {
+    val s = CorpusDiff.summary(v1, v2, "doc_id", "text",
+        idHasher = c => c)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(s("unchanged") === ((2L, 1L ^ 4L)))
+    assert(s("changed") === ((1L, 2L)))
+    assert(s("removed") === ((1L, 3L)))
+    assert(s("added") === ((1L, 5L)))
+    // repartitioned input must produce identical checksums (commutativity)
+    val s2 = CorpusDiff.summary(v1.repartition(7), v2.repartition(5),
+        "doc_id", "text", idHasher = c => c)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(s2 === s)
+  }
+}
