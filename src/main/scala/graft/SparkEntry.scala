@@ -192,6 +192,8 @@ object SparkEntry {
     "q_sessionize" -> PipelineQueries.sessionize,
     "q_corpus_diff" -> PipelineQueries.corpusDiff,
     "q_editdist_neardup" -> PipelineQueries.editDistNearDup,
+    "q_cms_freq" -> PipelineQueries.cmsFreq,
+    "q_bigram_surprisal" -> PipelineQueries.bigramSurprisal,
   )
 
   private val docChunksSql = """
@@ -1612,5 +1614,65 @@ object SparkEntry {
       JOIN corpus ca ON ca.doc_id = a
       JOIN corpus cb ON cb.doc_id = b
       WHERE levenshtein(ca.text, cb.text) <= 6""",
+
+    "q_cms_freq" -> """
+      WITH toks AS (
+        SELECT lang,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 t -> t <> '')) AS tok
+        FROM documents),
+      cells AS (
+        SELECT lang, r,
+               ('0x' || substr(md5('cms' || r::VARCHAR || '_' || tok),
+                 1, 8))::BIGINT % 1024 AS cell,
+               count(*) AS c
+        FROM toks CROSS JOIN range(4) t(r)
+        GROUP BY 1, 2, 3),
+      probes(word) AS (
+        VALUES ('join'), ('scan'), ('filter'), ('qzxunseen')),
+      pc AS (
+        SELECT word, r,
+               ('0x' || substr(md5('cms' || r::VARCHAR || '_' || word),
+                 1, 8))::BIGINT % 1024 AS cell
+        FROM probes CROSS JOIN range(4) t(r)),
+      langs AS (SELECT DISTINCT lang FROM documents)
+      SELECT l.lang, pc.word, min(coalesce(c.c, 0))::BIGINT AS est
+      FROM langs l
+      CROSS JOIN pc
+      LEFT JOIN cells c
+        ON c.lang = l.lang AND c.r = pc.r AND c.cell = pc.cell
+      GROUP BY l.lang, pc.word""",
+
+    "q_bigram_surprisal" -> """
+      WITH base AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                 t -> t <> '') AS tk
+        FROM documents),
+      bi AS (
+        SELECT doc_id, tk[i - 1] AS prev, tk[i] AS cur
+        FROM base, unnest(range(2, len(tk) + 1)) r(i)
+        WHERE len(tk) >= 2),
+      tf AS (
+        SELECT doc_id, tok FROM (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+          FROM documents)
+        WHERE tok <> ''),
+      uni AS (SELECT tok, count(*) AS cu FROM tf GROUP BY tok),
+      big AS (SELECT prev, cur, count(*) AS cb FROM bi GROUP BY prev, cur),
+      g AS (SELECT sum(cu)::DOUBLE AS total, count(*)::DOUBLE AS v FROM uni)
+      SELECT bi.doc_id, count(*) AS n_bigrams,
+             -- parens around each division: Spark computes lambda * (p),
+             -- and float mul/div is not associative
+             round(avg(-ln(0.75 * ((cb + 0.5) / (up.cu + 0.5 * v))
+                         + 0.25 * ((uc.cu + 0.5) / (total + 0.5 * v)))), 6)
+               AS avg_bigram_surprisal
+      FROM bi
+      JOIN big USING (prev, cur)
+      JOIN uni up ON up.tok = bi.prev
+      JOIN uni uc ON uc.tok = bi.cur
+      CROSS JOIN g
+      GROUP BY bi.doc_id""",
   )
 }

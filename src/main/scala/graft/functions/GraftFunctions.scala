@@ -37,6 +37,10 @@ object GraftFunctions {
     "kmv_distinct" -> (es => KmvDistinct(es(0),
       intArg(es(1), "kmv_distinct")).toAggregateExpression()),
     "vec_mean" -> (es => VecMean(es(0)).toAggregateExpression()),
+    "cms_sketch" -> (es => CmsSketch(es(0), intArg(es(1), "cms_sketch"),
+      intArg(es(2), "cms_sketch")).toAggregateExpression()),
+    "cms_query" -> (es => CmsQuery(es(0), es(1),
+      intArg(es(2), "cms_query"), intArg(es(3), "cms_query"))),
     "pq_encode" -> (es => PqEncode(es(0), es(1),
       intArg(es(2), "pq_encode"), intArg(es(3), "pq_encode"))),
     "pq_dist_table" -> (es => PqDistTable(es(0), es(1),
@@ -81,6 +85,16 @@ object GraftFunctions {
     call_function("kmv_distinct", c, org.apache.spark.sql.functions.lit(k))
   /** Element-wise mean of an array<float|double> column, as array<double>. */
   def vecMean(c: Column): Column = call_function("vec_mean", c)
+  /** Count-min sketch aggregate: depth×width counters, row-major. */
+  def cmsSketch(item: Column, width: Int, depth: Int): Column =
+    call_function("cms_sketch", item,
+      org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(depth))
+  /** Point estimate from a [[cmsSketch]] (one-sided: ≥ true count). */
+  def cmsQuery(sketch: Column, item: Column, width: Int, depth: Int): Column =
+    call_function("cms_query", sketch, item,
+      org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(depth))
   def minhashText(text: Column, k: Int, shingle: Int = 3): Column =
     call_function("minhash_text", text,
       org.apache.spark.sql.functions.lit(k),

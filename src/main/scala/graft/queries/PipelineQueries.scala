@@ -370,6 +370,34 @@ object PipelineQueries {
       maxDist = 6)
   }
 
+  /** Interpolated bigram surprisal (round 5): the word-order-sensitive
+    * LM filter rung above q_unigram_surprisal; positional bigrams (no
+    * window, no self-join), full hash gate. */
+  val bigramSurprisal: Q = (s, d) =>
+    graft.operators.TextScore.bigramSurprisal(
+      Tables.documents(s, d), "doc_id", "text")
+
+  /** Count-min token frequency (round 5): per-lang CMS over corpus
+    * tokens, probed for four words (one absent). The md5 cell recipe is
+    * engine-reproducible, so DuckDB rebuilds the ENTIRE sketch
+    * cell-for-cell — the estimates (including any collision inflation)
+    * hash-match exactly. */
+  val cmsFreq: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val toks = Tables.documents(s, d).select(col("lang"),
+      explode(filter(split(lower(col("text")), " "),
+        t => length(t) > 0)).as("tok"))
+    val sk = toks.groupBy("lang")
+      .agg(graft.functions.GraftFunctions
+        .cmsSketch(col("tok"), 1024, 4).as("sk"))
+    val probes = Seq("join", "scan", "filter", "qzxunseen").toDF("word")
+    sk.crossJoin(broadcast(probes))
+      .select(col("lang"), col("word"),
+        graft.functions.GraftFunctions
+          .cmsQuery(col("sk"), col("word"), 1024, 4).as("est"))
+  }
+
   /** IVF-PQ composed index: coarse lists bound the scan, residual PQ
     * codes stand in for vectors — the billion-scale ANN shape (rows-only;
     * recall + codes-only-search + build-once oracles in IvfPqSpec).
