@@ -194,6 +194,7 @@ object SparkEntry {
     "q_editdist_neardup" -> PipelineQueries.editDistNearDup,
     "q_cms_freq" -> PipelineQueries.cmsFreq,
     "q_bigram_surprisal" -> PipelineQueries.bigramSurprisal,
+    "q_hashing_tf" -> TextQueries.hashingTf,
   )
 
   private val docChunksSql = """
@@ -1674,5 +1675,25 @@ object SparkEntry {
       JOIN uni uc ON uc.tok = bi.cur
       CROSS JOIN g
       GROUP BY bi.doc_id""",
+
+    "q_hashing_tf" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents),
+      cells AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('tf_' || tok), 1, 8))::BIGINT % 64
+                 AS cell,
+               count(*)::BIGINT AS c
+        FROM toks WHERE tok <> '' GROUP BY 1, 2),
+      m AS (
+        SELECT doc_id,
+               map_from_entries(list(struct_pack(k := cell, v := c))) AS mp
+        FROM cells GROUP BY doc_id)
+      SELECT doc_id,
+             list_transform(range(0, 64),
+               i -> coalesce(map_extract(mp, i)[1], 0)::BIGINT) AS tf
+      FROM m""",
   )
 }

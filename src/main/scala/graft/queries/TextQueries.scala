@@ -275,6 +275,14 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
   }
 
+  /** Hashing-trick featurization (north-star text→vector bridge): each doc
+    * becomes a fixed 64-dim integral count vector via
+    * [[graft.operators.TextFeatures.hashingTf]] — exact counts, so the
+    * driver gate hash-matches the full vector with no float contract. */
+  val hashingTf: Q = (s, d) =>
+    graft.operators.TextFeatures.hashingTf(
+      Tables.documents(s, d), "doc_id", "text", dim = 64)
+
   /** Multimodal metadata plumbing (E40): treat text bytes as an opaque
     * binary payload with typed metadata — byte length + digest, the schema
     * every image/audio column uses (decode stubs live in
