@@ -195,6 +195,7 @@ object SparkEntry {
     "q_cms_freq" -> PipelineQueries.cmsFreq,
     "q_bigram_surprisal" -> PipelineQueries.bigramSurprisal,
     "q_hashing_tf" -> TextQueries.hashingTf,
+    "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
   )
 
   private val docChunksSql = """
@@ -1695,5 +1696,29 @@ object SparkEntry {
              list_transform(range(0, 64),
                i -> coalesce(map_extract(mp, i)[1], 0)::BIGINT) AS tf
       FROM m""",
+
+    "q_bloom_decontam" -> """
+      WITH toked AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      ngr AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+4], ' '))) AS ng
+        FROM toked WHERE len(t) >= 5),
+      setbits AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5('bf' || j::VARCHAR || '_' || ng), 1, 8))
+                 ::BIGINT % 16384 AS p
+        FROM (SELECT DISTINCT ng FROM ngr WHERE doc_id < 5), range(0, 3) r(j)),
+      probe AS (
+        SELECT doc_id, ng,
+               bool_and(('0x' || substr(md5('bf' || j::VARCHAR || '_' || ng),
+                 1, 8))::BIGINT % 16384 IN (SELECT p FROM setbits)) AS hit
+        FROM (SELECT doc_id, ng FROM ngr WHERE doc_id >= 5), range(0, 3) r(j)
+        GROUP BY doc_id, ng)
+      SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+             sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+             (sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0) AS contaminated
+      FROM probe GROUP BY doc_id""",
   )
 }

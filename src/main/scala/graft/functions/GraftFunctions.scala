@@ -62,6 +62,10 @@ object GraftFunctions {
     "chunk_windows" -> (es => ChunkWindows(es(0),
       intArg(es(1), "chunk_windows"), intArg(es(2), "chunk_windows"))),
     "cluster_assign" -> (es => ClusterAssign(es(0), es(1))),
+    "bloom_agg" -> (es => BloomAgg(es(0), intArg(es(1), "bloom_agg"),
+      intArg(es(2), "bloom_agg")).toAggregateExpression()),
+    "bloom_contains" -> (es => BloomContains(es(0), es(1),
+      intArg(es(2), "bloom_contains"), intArg(es(3), "bloom_contains"))),
   )
 
   /** Idempotent per-session registration of all engine functions. */
@@ -95,6 +99,16 @@ object GraftFunctions {
     call_function("cms_query", sketch, item,
       org.apache.spark.sql.functions.lit(width),
       org.apache.spark.sql.functions.lit(depth))
+  /** Bloom filter aggregate: ⌈mBits/64⌉ words, k md5 hash rows. */
+  def bloomAgg(item: Column, mBits: Int, k: Int): Column =
+    call_function("bloom_agg", item,
+      org.apache.spark.sql.functions.lit(mBits),
+      org.apache.spark.sql.functions.lit(k))
+  /** Membership probe against a [[bloomAgg]] filter (one-sided). */
+  def bloomContains(filter: Column, item: Column, mBits: Int, k: Int): Column =
+    call_function("bloom_contains", filter, item,
+      org.apache.spark.sql.functions.lit(mBits),
+      org.apache.spark.sql.functions.lit(k))
   def minhashText(text: Column, k: Int, shingle: Int = 3): Column =
     call_function("minhash_text", text,
       org.apache.spark.sql.functions.lit(k),

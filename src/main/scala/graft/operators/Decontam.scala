@@ -43,6 +43,36 @@ object Decontam {
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Join-free decontamination via a Bloom filter
+    * ([[graft.functions.BloomAgg]]): the bench n-gram set compresses to
+    * `mBits` bits that broadcast to every executor, so probing the corpus
+    * is a MAP-ONLY scan — no corpus-side shuffle at all, the shape for a
+    * 100 TB corpus where even 8-byte hashed-join keys are too much
+    * traffic. Returns (doc_id, n_ngrams, n_flagged, contaminated); the
+    * flag is one-sided — `contaminated = false` is certain, `true` may
+    * include Bloom false positives (fp ≈ (1−e^(−k·n/m))^k; size mBits ≥
+    * 15–20 bits per bench n-gram for ~1e-4). Docs shorter than `n`
+    * tokens carry no n-grams and drop out, like [[overlap]]. */
+  def bloomDecontam(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, mBits: Int = 1 << 20, k: Int = 3)
+      : DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(corpus.sparkSession)
+    val bf = bench
+      .select(explode(ngrams(col(textCol), n)).as("ng")).distinct()
+      .agg(GraftFunctions.bloomAgg(col("ng"), mBits, k).as("bf"))
+    val c = corpus.select(col(idCol).as("doc_id"),
+      explode(ngrams(col(textCol), n)).as("ng"))
+    // 1-row filter side: broadcast nested-loop, zero corpus movement
+    c.join(broadcast(bf))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(GraftFunctions.bloomContains(
+          col("bf"), col("ng"), mBits, k), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("contaminated", col("n_flagged") > 0L)
+  }
+
   /** Same result keyed on 64-bit n-gram hashes — the large-bench AND
     * large-corpus shape: the native [[graft.functions.NgramHashes]]
     * kernel hashes each n-gram as a byte range of the text, so the scan

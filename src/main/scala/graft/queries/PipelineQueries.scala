@@ -72,6 +72,18 @@ object PipelineQueries {
       docs.filter(col("doc_id") < 5), "doc_id", "text", n = 5)
   }
 
+  /** Join-free Bloom decontamination: same bench split as [[decontam]]
+    * but membership comes from a broadcast 16 Kbit Bloom filter — the
+    * map-only 100 TB shape. The filter is deliberately small so real
+    * false positives occur at this SF; the DuckDB oracle rebuilds the
+    * exact bit set, so verdicts INCLUDING false positives hash-match. */
+  val bloomDecontam: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Decontam.bloomDecontam(docs.filter(col("doc_id") >= 5),
+      docs.filter(col("doc_id") < 5), "doc_id", "text",
+      n = 5, mBits = 16384, k = 3)
+  }
+
   /** Quality-aware near-dup removal: keep the LONGEST copy of each
     * near-dup cluster (rows-only driver check; survivor rule spec-tested
     * in DedupSpec). Returns per-lang survivor counts. */

@@ -66,6 +66,49 @@ class DecontamSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((10L, 1L)))
   }
 
+  test("bloom decontam is one-sided: never misses a true overlap") {
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val bench = docs.filter(col("doc_id") < 5)
+    val truth = Decontam.overlap(corpus, bench, "doc_id", "text", 5)
+      .collect().map(_.getLong(0)).toSet
+    // tiny 16 Kbit filter — false positives expected, negatives never
+    val flagged = Decontam.bloomDecontam(corpus, bench, "doc_id", "text",
+        5, mBits = 16384, k = 3)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    assert(truth.subsetOf(flagged),
+      s"bloom missed true overlaps: ${truth -- flagged}")
+    // a generously sized filter converges to the exact answer here
+    val exactish = Decontam.bloomDecontam(corpus, bench, "doc_id", "text",
+        5, mBits = 1 << 22, k = 3)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    assert(exactish == truth,
+      "4 Mbit filter over ~200 n-grams must have no false positives")
+  }
+
+  test("bloom filter build is partition-order independent") {
+    import spark.implicits._
+    val items = (0 until 500).map(i => s"item $i").toDF("ng")
+    def build(df: org.apache.spark.sql.DataFrame) = {
+      graft.functions.GraftFunctions.register(spark)
+      df.agg(graft.functions.GraftFunctions.bloomAgg(col("ng"), 4096, 3))
+        .collect()(0).getSeq[Long](0)
+    }
+    assert(build(items.repartition(7)) == build(items.coalesce(1)),
+      "OR-merge must make the bit set independent of partitioning")
+  }
+
+  test("bloom_agg/bloom_contains compose from plain SQL") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq("alpha", "beta", "gamma").toDF("w").createOrReplaceTempView("bf_in")
+    val hits = spark.sql("""
+      WITH f AS (SELECT bloom_agg(w, 4096, 3) AS bf FROM bf_in)
+      SELECT w, bloom_contains(bf, w, 4096, 3) AS hit
+      FROM (SELECT 'alpha' AS w UNION ALL SELECT 'delta'), f
+    """).collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(hits("alpha") && !hits("delta"))
+  }
+
   test("keep-best dedup keeps the highest-quality copy of a dup cluster") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 8
