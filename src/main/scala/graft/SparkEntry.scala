@@ -196,6 +196,7 @@ object SparkEntry {
     "q_bigram_surprisal" -> PipelineQueries.bigramSurprisal,
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
+    "q_utf8_normalize" -> TextQueries.utf8Normalize,
   )
 
   private val docChunksSql = """
@@ -1720,5 +1721,18 @@ object SparkEntry {
              sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
              (sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0) AS contaminated
       FROM probe GROUP BY doc_id""",
+
+    "q_utf8_normalize" -> """
+      WITH raw AS (
+        SELECT doc_id,
+               'Cafe' || chr(769) || ' nai' || chr(776) || 've A' ||
+               chr(778) || 'ngstro' || chr(776) || 'm ' || text AS s
+        FROM documents)
+      SELECT doc_id,
+             md5(nfc_normalize(s)) AS nfc_digest,
+             md5(strip_accents(nfc_normalize(s))) AS folded_digest,
+             length(s)::INT AS n_chars_raw,
+             length(nfc_normalize(s))::INT AS n_chars_nfc
+      FROM raw""",
   )
 }

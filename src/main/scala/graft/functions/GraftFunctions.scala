@@ -66,6 +66,12 @@ object GraftFunctions {
       intArg(es(2), "bloom_agg")).toAggregateExpression()),
     "bloom_contains" -> (es => BloomContains(es(0), es(1),
       intArg(es(2), "bloom_contains"), intArg(es(3), "bloom_contains"))),
+    "utf8_normalize" -> (es => Utf8Normalize(es(0), es(1).eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"utf8_normalize expects a string-literal form, got $other")
+    })),
+    "strip_accents" -> (es => StripAccents(es(0))),
   )
 
   /** Idempotent per-session registration of all engine functions. */
@@ -109,6 +115,13 @@ object GraftFunctions {
     call_function("bloom_contains", filter, item,
       org.apache.spark.sql.functions.lit(mBits),
       org.apache.spark.sql.functions.lit(k))
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — canonicalize before any
+    * digest-keyed dedup/decontam so composed and decomposed forms agree. */
+  def utf8Normalize(text: Column, form: String = "NFC"): Column =
+    call_function("utf8_normalize", text,
+      org.apache.spark.sql.functions.lit(form))
+  /** Accent folding: NFD + drop combining marks + NFC. */
+  def stripAccents(text: Column): Column = call_function("strip_accents", text)
   def minhashText(text: Column, k: Int, shingle: Int = 3): Column =
     call_function("minhash_text", text,
       org.apache.spark.sql.functions.lit(k),

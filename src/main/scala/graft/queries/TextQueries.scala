@@ -283,6 +283,25 @@ object TextQueries {
     graft.operators.TextFeatures.hashingTf(
       Tables.documents(s, d), "doc_id", "text", dim = 64)
 
+  /** Unicode canonicalization (round 5): NFC-normalize + accent-fold each
+    * doc with a DECOMPOSED accented prefix spliced in, so composed and
+    * decomposed forms must converge for the digests to hash-match DuckDB's
+    * nfc_normalize/strip_accents. The char-count delta (raw vs NFC) proves
+    * real composition happened — 4 combining marks fold per doc. */
+  val utf8Normalize: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions.{utf8Normalize => norm, stripAccents}
+    // combining marks (U+0301 U+0308 U+030A), NOT precomposed chars
+    val pre = "Café naïve Ångström "
+    val raw = concat(lit(pre), col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(norm(raw).cast("binary")).as("nfc_digest"),
+      md5(stripAccents(raw).cast("binary")).as("folded_digest"),
+      length(raw).as("n_chars_raw"),
+      length(norm(raw)).as("n_chars_nfc"))
+  }
+
   /** Multimodal metadata plumbing (E40): treat text bytes as an opaque
     * binary payload with typed metadata — byte length + digest, the schema
     * every image/audio column uses (decode stubs live in
