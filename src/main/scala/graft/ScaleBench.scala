@@ -358,6 +358,76 @@ object ScaleBench {
       dedupedSplits(docsN)))
     results += (("leakage_postdedup", tlp1, tlpN))
 
+    // ---- round-5 operators ----
+    val ev1 = graft.sources.Tables.events(spark, sf)
+    // replicating user_id multiplies the session-group count — the
+    // dimension that actually grows with a bigger event log
+    val evN = replicate(ev1, Seq("user_id", "event_id"), 10000000L)
+    val tsz1 = time("sessionize 1x")(noop(graft.operators.Sessionize
+      .sessions(ev1, "user_id", "ts", "event_id", gapSec = 1800)))
+    val tszN = time(s"sessionize ${factor}x")(noop(graft.operators.Sessionize
+      .sessions(evN, "user_id", "ts", "event_id", gapSec = 1800)))
+    results += (("sessionize", tsz1, tszN))
+
+    def diffSummary(df: DataFrame) = {
+      val v1 = df.select("doc_id", "text")
+      val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.CorpusDiff.summary(v1, v2, "doc_id", "text")
+    }
+    val tcd1 = time("corpus_diff 1x")(noop(diffSummary(docs1)))
+    val tcdN = time(s"corpus_diff ${factor}x")(noop(diffSummary(docsN)))
+    results += (("corpus_diff", tcd1, tcdN))
+
+    val ted1 = time("editdist_neardup 1x")(noop(graft.operators.Dedup
+      .editDistanceNearDup(docs1, "doc_id", "text", maxDist = 6)))
+    val tedN = time(s"editdist_neardup ${factor}x")(noop(graft.operators.Dedup
+      .editDistanceNearDup(docsN, "doc_id", "text", maxDist = 6)))
+    results += (("editdist_neardup", ted1, tedN))
+
+    def cmsBuild(df: DataFrame) = df
+      .select(col("lang"), explode(filter(split(lower(col("text")), " "),
+        t => length(t) > 0)).as("tok"))
+      .groupBy("lang")
+      .agg(graft.functions.GraftFunctions.cmsSketch(col("tok"), 1024, 4))
+    val tcm1 = time("cms_freq 1x")(noop(cmsBuild(docs1)))
+    val tcmN = time(s"cms_freq ${factor}x")(noop(cmsBuild(docsN)))
+    results += (("cms_freq", tcm1, tcmN))
+
+    val tbg1 = time("bigram_surprisal 1x")(noop(graft.operators.TextScore
+      .bigramSurprisal(docs1, "doc_id", "text")))
+    val tbgN = time(s"bigram_surprisal ${factor}x")(noop(
+      graft.operators.TextScore.bigramSurprisal(docsN, "doc_id", "text")))
+    results += (("bigram_surprisal", tbg1, tbgN))
+
+    val thf1 = time("hashing_tf 1x")(noop(graft.operators.TextFeatures
+      .hashingTf(docs1, "doc_id", "text", dim = 64)))
+    val thfN = time(s"hashing_tf ${factor}x")(noop(graft.operators.TextFeatures
+      .hashingTf(docsN, "doc_id", "text", dim = 64)))
+    results += (("hashing_tf", thf1, thfN))
+
+    // bench side stays FIXED while the corpus replicates — exactly the
+    // production shape (the eval suite doesn't grow with the corpus)
+    val bench5 = docs1.filter(col("doc_id") < 5)
+    val tbl1 = time("bloom_decontam 1x")(noop(graft.operators.Decontam
+      .bloomDecontam(docs1.filter(col("doc_id") >= 5), bench5,
+        "doc_id", "text", n = 5, mBits = 1 << 20, k = 3)))
+    val tblN = time(s"bloom_decontam ${factor}x")(noop(graft.operators.Decontam
+      .bloomDecontam(docsN.filter(col("doc_id") >= 5), bench5,
+        "doc_id", "text", n = 5, mBits = 1 << 20, k = 3)))
+    results += (("bloom_decontam", tbl1, tblN))
+
+    def normDigest(df: DataFrame) = df.select(col("doc_id"),
+      md5(graft.functions.GraftFunctions.utf8Normalize(col("text"))
+        .cast("binary")).as("d"),
+      md5(graft.functions.GraftFunctions.stripAccents(col("text"))
+        .cast("binary")).as("f"))
+    val tnm1 = time("utf8_normalize 1x")(noop(normDigest(docs1)))
+    val tnmN = time(s"utf8_normalize ${factor}x")(noop(normDigest(docsN)))
+    results += (("utf8_normalize", tnm1, tnmN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

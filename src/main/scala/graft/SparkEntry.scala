@@ -197,6 +197,7 @@ object SparkEntry {
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
     "q_utf8_normalize" -> TextQueries.utf8Normalize,
+    "q_strip_markup" -> TextQueries.stripMarkup,
   )
 
   private val docChunksSql = """
@@ -1734,5 +1735,34 @@ object SparkEntry {
              length(s)::INT AS n_chars_raw,
              length(nfc_normalize(s))::INT AS n_chars_nfc
       FROM raw""",
+
+    "q_strip_markup" -> """
+      WITH w AS (
+        SELECT doc_id,
+          '<html><head><title>T</title><style>p{color:red}</style>' ||
+          '</head><body><!-- boilerplate --><p class="x">' || text ||
+          ' &amp; more &lt;tags&gt;&nbsp;here</p>' ||
+          '<script type="text/javascript">var x = "<p>nested</p>";' ||
+          '</script></body></html>' AS s
+        FROM documents),
+      c AS (
+        SELECT doc_id, s, trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(s, '(?is)<script[^>]*>.*?</script>',
+                    ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+            '(?s)<[^>]+>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+          '&nbsp;', ' '), '&amp;', '&'),
+          '\s+', ' ', 'g')) AS clean
+        FROM w)
+      SELECT doc_id, md5(clean) AS clean_digest,
+             length(clean)::INT AS n_chars_clean,
+             length(s)::INT AS n_chars_raw
+      FROM c""",
   )
 }

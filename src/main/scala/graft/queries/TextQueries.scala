@@ -302,6 +302,27 @@ object TextQueries {
       length(norm(raw)).as("n_chars_nfc"))
   }
 
+  /** Markup extraction (round 5): each doc wrapped in a realistic HTML
+    * shell (head/style/comment/attributes/entities/script-with-nested-
+    * tags), then stripped back to text. The digests hash-match DuckDB
+    * running the byte-identical RE2-safe chain; the recovered text must
+    * contain the original doc body. */
+  val stripMarkup: Q = (s, d) => {
+    val wrapped = concat(
+      lit("<html><head><title>T</title><style>p{color:red}</style>" +
+        "</head><body><!-- boilerplate --><p class=\"x\">"),
+      col("text"),
+      lit(" &amp; more &lt;tags&gt;&nbsp;here</p>" +
+        "<script type=\"text/javascript\">var x = \"<p>nested</p>\";" +
+        "</script></body></html>"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(graft.operators.Markup.stripHtml(wrapped).cast("binary"))
+        .as("clean_digest"),
+      length(graft.operators.Markup.stripHtml(wrapped)).as("n_chars_clean"),
+      length(wrapped).as("n_chars_raw"))
+  }
+
   /** Multimodal metadata plumbing (E40): treat text bytes as an opaque
     * binary payload with typed metadata — byte length + digest, the schema
     * every image/audio column uses (decode stubs live in
