@@ -198,6 +198,7 @@ object SparkEntry {
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
     "q_utf8_normalize" -> TextQueries.utf8Normalize,
     "q_strip_markup" -> TextQueries.stripMarkup,
+    "q_url_parse" -> TextQueries.urlParse,
   )
 
   private val docChunksSql = """
@@ -1764,5 +1765,55 @@ object SparkEntry {
              length(clean)::INT AS n_chars_clean,
              length(s)::INT AS n_chars_raw
       FROM c""",
+
+    "q_url_parse" -> """
+      WITH u AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN
+            'HTTPS://User:Pw@WWW.' || source || '.Example.COM:443/Docs/' ||
+            doc_id || '?utm_source=feed&id=' || doc_id ||
+            '&utm_campaign=x#sec-' || lang
+          WHEN doc_id % 3 = 1 THEN
+            'http://cdn.' || source || '.example.org:8080/a/' || doc_id
+          ELSE 'www.' || source || '.example.net/' || doc_id END AS s
+        FROM documents),
+      parts AS (
+        SELECT doc_id, s,
+          lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            AS scheme,
+          lower(regexp_extract(s,
+            '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1))
+            AS host,
+          regexp_extract(s,
+            '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)', 1)
+            AS port,
+          regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+            AS path,
+          regexp_extract(s, '\?([^#]*)', 1) AS query_str
+        FROM u),
+      norm AS (
+        SELECT doc_id, regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(
+                regexp_replace(
+                  CASE WHEN regexp_extract(s,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN s
+                  ELSE lower(regexp_extract(s,
+                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+                  regexp_extract(s,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) END,
+                '^([a-z][a-z0-9+.-]*://)[^/?#@]*@', '\1'),
+              '#.*$', ''),
+            '^(https://[^/?#:]*):443($|[/?#].*)', '\1\2'),
+          '^(http://[^/?#:]*):80($|[/?#].*)', '\1\2'),
+              '([?&])utm_[^&#]*', '\1', 'g'),
+            '\?&+', '?'), '&&+', '&', 'g'),
+          '[?&]$', ''), '\?$', '') AS norm_url
+        FROM u)
+      SELECT p.doc_id, scheme, host, port, path, query_str,
+             regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS reg_domain,
+             norm_url
+      FROM parts p JOIN norm USING (doc_id)""",
   )
 }

@@ -323,6 +323,34 @@ object TextQueries {
       length(wrapped).as("n_chars_raw"))
   }
 
+  /** URL decomposition + normalization (round 5): three synthetic URL
+    * shapes per corpus (mixed-case https with userinfo/default port/
+    * tracking params/fragment; http with explicit port and no query;
+    * scheme-less — every component empty), parsed and canonicalized.
+    * The DuckDB oracle replays the byte-identical RE2 chain. */
+  val urlParse: Q = (s, d) => {
+    import graft.operators.Urls
+    val u = when(col("doc_id") % 3 === 0,
+        concat(lit("HTTPS://User:Pw@WWW."), col("source"),
+          lit(".Example.COM:443/Docs/"), col("doc_id"),
+          lit("?utm_source=feed&id="), col("doc_id"),
+          lit("&utm_campaign=x#sec-"), col("lang")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("http://cdn."), col("source"), lit(".example.org:8080/a/"),
+          col("doc_id")))
+      .otherwise(concat(lit("www."), col("source"), lit(".example.net/"),
+        col("doc_id")))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Urls.scheme(u).as("scheme"),
+      Urls.host(u).as("host"),
+      Urls.port(u).as("port"),
+      Urls.path(u).as("path"),
+      Urls.query(u).as("query_str"),
+      Urls.registeredDomain(u).as("reg_domain"),
+      Urls.normalize(u).as("norm_url"))
+  }
+
   /** Multimodal metadata plumbing (E40): treat text bytes as an opaque
     * binary payload with typed metadata — byte length + digest, the schema
     * every image/audio column uses (decode stubs live in
