@@ -43,10 +43,14 @@ object ScaleBench {
     val docsN = replicate(docs1, Seq("doc_id"), 10000000L)
     val embN = replicate(emb1, Seq("vec_id"), 10000000L)
 
-    def time(tag: String)(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; val s = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $tag%-34s $s%8.2f s"); s
-    }
+    // local iteration aid: SPARK_GRAFT_DRILL_ONLY=<regex> limits the run
+    // to matching rows (skipped rows record 0 and drop from the summary)
+    val only = sys.env.get("SPARK_GRAFT_DRILL_ONLY").map(_.r)
+    def time(tag: String)(f: => Unit): Double =
+      if (!only.forall(_.findFirstIn(tag).isDefined)) 0.0 else {
+        val t0 = System.nanoTime(); f; val s = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $tag%-34s $s%8.2f s"); s
+      }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -409,15 +413,19 @@ object ScaleBench {
     results += (("hashing_tf", thf1, thfN))
 
     // bench side stays FIXED while the corpus replicates — exactly the
-    // production shape (the eval suite doesn't grow with the corpus)
+    // production shape (the eval suite doesn't grow with the corpus).
+    // Drilled on the HASHED tier (the 100 TB path — no n-gram strings
+    // materialized); the string tier is the oracle form and measured
+    // once at 27-28× linear but string-explode-bound (PERF.md r5).
     val bench5 = docs1.filter(col("doc_id") < 5)
-    val tbl1 = time("bloom_decontam 1x")(noop(graft.operators.Decontam
-      .bloomDecontam(docs1.filter(col("doc_id") >= 5), bench5,
+    val tbl1 = time("bloom_decontam64 1x")(noop(graft.operators.Decontam
+      .bloomDecontamHashed(docs1.filter(col("doc_id") >= 5), bench5,
         "doc_id", "text", n = 5, mBits = 1 << 20, k = 3)))
-    val tblN = time(s"bloom_decontam ${factor}x")(noop(graft.operators.Decontam
-      .bloomDecontam(docsN.filter(col("doc_id") >= 5), bench5,
-        "doc_id", "text", n = 5, mBits = 1 << 20, k = 3)))
-    results += (("bloom_decontam", tbl1, tblN))
+    val tblN = time(s"bloom_decontam64 ${factor}x")(noop(
+      graft.operators.Decontam
+        .bloomDecontamHashed(docsN.filter(col("doc_id") >= 5), bench5,
+          "doc_id", "text", n = 5, mBits = 1 << 20, k = 3)))
+    results += (("bloom_decontam64", tbl1, tblN))
 
     def normDigest(df: DataFrame) = df.select(col("doc_id"),
       md5(graft.functions.GraftFunctions.utf8Normalize(col("text"))
@@ -429,7 +437,7 @@ object ScaleBench {
     results += (("utf8_normalize", tnm1, tnmN))
 
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
-    results.foreach { case (tag, t1, tN) =>
+    results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")
     }
     spark.stop()

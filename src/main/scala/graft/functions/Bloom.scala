@@ -33,18 +33,63 @@ import org.apache.spark.unsafe.types.UTF8String
 object Bloom {
   /** Bit index of `item` under hash row `j` — shared verbatim with the
     * SQL oracle: ('0x' || substr(md5('bf<j>_<item>'),1,8))::BIGINT % m. */
-  def bitOf(j: Int, item: UTF8String, mBits: Int): Int = {
-    val md = MessageDigest.getInstance("MD5")
-    val d = md.digest(
-      (s"bf${j}_" + item.toString).getBytes(StandardCharsets.UTF_8))
-    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    (v % mBits).toInt
+  def bitOf(j: Int, item: UTF8String, mBits: Int): Int =
+    (Md5Cell.of("bf", j, item) % mBits).toInt
+
+  private def checkWords(words: ArrayData, mBits: Int): Unit =
+    require(words.numElements() == (mBits + 63) / 64,
+      s"bloom_contains: filter has ${words.numElements()} words, " +
+        s"expected ${(mBits + 63) / 64} — mBits must match the build")
+
+  /** Codegen target for the string tier. */
+  def containsStr(words: ArrayData, item: UTF8String,
+      mBits: Int, k: Int): Boolean = {
+    checkWords(words, mBits)
+    var j = 0
+    while (j < k) {
+      val bit = bitOf(j, item, mBits)
+      if ((words.getLong(bit >>> 6) & (1L << (bit & 63))) == 0L)
+        return false
+      j += 1
+    }
+    true
+  }
+
+  /** Codegen target for the long tier. */
+  def containsLong(words: ArrayData, h: Long, mBits: Int, k: Int): Boolean = {
+    checkWords(words, mBits)
+    var j = 0
+    while (j < k) {
+      val bit = BloomLong.bitOf(j, h, mBits)
+      if ((words.getLong(bit >>> 6) & (1L << (bit & 63))) == 0L)
+        return false
+      j += 1
+    }
+    true
+  }
+}
+
+/** Bit positions for the LONG-keyed Bloom tier ([[BloomAggLong]]):
+  * input is already a 64-bit hash (the native `ngram_hashes` kernel),
+  * so rehashing through md5 strings would re-pay the cost the tier
+  * exists to avoid. Each row j remixes the hash with the murmur3
+  * finalizer (public-domain avalanche constants) over a
+  * golden-ratio row salt — pure long arithmetic, no allocation. */
+object BloomLong {
+  def bitOf(j: Int, h: Long, mBits: Int): Int = {
+    var x = h ^ (0x9E3779B97F4A7C15L * (j + 1))
+    x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL
+    x ^= (x >>> 33); x *= 0xC4CEB9FE1A85EC53L
+    x ^= (x >>> 33)
+    ((x & Long.MaxValue) % mBits).toInt
   }
 }
 
 /** bloom_agg(item, mBits, k): aggregate → array<long> of ⌈mBits/64⌉
-  * words (little-endian bit order within each word). */
+  * words (little-endian bit order within each word). `item` may be a
+  * string (md5 bit recipe — the cross-engine oracle form) or an
+  * already-64-bit hash (long — the no-strings-materialized scale tier,
+  * [[BloomLong]]). */
 case class BloomAgg(child: Expression, mBits: Int, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
@@ -56,16 +101,28 @@ case class BloomAgg(child: Expression, mBits: Int, k: Int,
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType | LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"bloom_agg expects string or bigint, got ${t.catalogString}")
+    }
+
+  // children are unresolved at construction when built from the SQL
+  // registry — dataType must not be touched until eval time
+  private lazy val longKeyed = child.dataType == LongType
+
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long]((mBits + 63) / 64)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
       var j = 0
       while (j < k) {
-        val bit = Bloom.bitOf(j, s, mBits)
+        val bit =
+          if (longKeyed) BloomLong.bitOf(j, v.asInstanceOf[Long], mBits)
+          else Bloom.bitOf(j, v.asInstanceOf[UTF8String], mBits)
         buf(bit >>> 6) |= (1L << (bit & 63))
         j += 1
       }
@@ -105,37 +162,44 @@ case class BloomAgg(child: Expression, mBits: Int, k: Int,
 }
 
 /** bloom_contains(filter, item, mBits, k): true iff all k bit positions
-  * of `item` are set. One-sided: false is certain non-membership. */
+  * of `item` are set. One-sided: false is certain non-membership. The
+  * item type (string vs long) must match what the filter was built
+  * from — the two tiers use different bit recipes. */
 case class BloomContains(left: Expression, right: Expression,
     mBits: Int, k: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   require(mBits > 0 && k > 0, "bloom_contains needs positive mBits/k")
   override def prettyName: String = "bloom_contains"
   override def dataType: DataType = BooleanType
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), StringType) =>
+      case (ArrayType(LongType, _), StringType | LongType) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"bloom_contains expects (array<bigint>, string), got " +
+        s"bloom_contains expects (array<bigint>, string|bigint), got " +
           s"(${l.catalogString}, ${r.catalogString})")
     }
 
+  private lazy val longKeyed = right.dataType == LongType
+
   override def nullSafeEval(f: Any, item: Any): Any = {
     val words = f.asInstanceOf[ArrayData]
-    require(words.numElements() == (mBits + 63) / 64,
-      s"bloom_contains: filter has ${words.numElements()} words, " +
-        s"expected ${(mBits + 63) / 64} — mBits must match the build")
-    val s = item.asInstanceOf[UTF8String]
-    var j = 0
-    while (j < k) {
-      val bit = Bloom.bitOf(j, s, mBits)
-      if ((words.getLong(bit >>> 6) & (1L << (bit & 63))) == 0L)
-        return false
-      j += 1
-    }
-    true
+    if (longKeyed) Bloom.containsLong(words, item.asInstanceOf[Long],
+      mBits, k)
+    else Bloom.containsStr(words, item.asInstanceOf[UTF8String], mBits, k)
+  }
+
+  // native codegen: a CodegenFallback here forced the ENTIRE probe
+  // projection + aggregate input into interpreted eval — the dominant
+  // cost of the broadcast-probe scan (drill: 28× linear but ~8 s/SF)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val fn = if (longKeyed) "containsLong" else "containsStr"
+    nullSafeCodeGen(ctx, ev, (f, item) =>
+      s"${ev.value} = graft.functions.Bloom.$fn($f, $item, $mBits, $k);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)

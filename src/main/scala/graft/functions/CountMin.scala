@@ -29,17 +29,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * rebuilds the ENTIRE sketch cell-for-cell and the driver gate
   * hash-matches estimates exactly (no tolerance, no planted twin).
   */
+/** Shared md5-cell kernel for the sketch tier ([[CmsSketch]],
+  * [[BloomAgg]]): first 4 md5 bytes of `"<salt><row>_<item>"` as an
+  * unsigned int. One ThreadLocal digest instance — `MessageDigest
+  * .getInstance` per call dominated the sketch update cost in the 32×
+  * drill (millions of hashes per partition). */
+private[functions] object Md5Cell {
+  private val md = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  def of(salt: String, r: Int, item: UTF8String): Long = {
+    val m = md.get()
+    m.reset()
+    val d = m.digest(
+      (salt + r + "_" + item.toString).getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
 object CountMin {
   /** Cell index of `item` in sketch row `r` — the md5 recipe shared
     * verbatim with the SQL oracle: ('0x' || substr(md5(…),1,8))::BIGINT. */
-  def cellOf(r: Int, item: UTF8String, width: Int): Int = {
-    val md = MessageDigest.getInstance("MD5")
-    val d = md.digest(
-      (s"cms${r}_" + item.toString).getBytes(StandardCharsets.UTF_8))
-    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    (v % width).toInt
-  }
+  def cellOf(r: Int, item: UTF8String, width: Int): Int =
+    (Md5Cell.of("cms", r, item) % width).toInt
 }
 
 /** cms_sketch(item, width, depth): aggregate → array<long> of

@@ -437,23 +437,39 @@ object Dedup {
     require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
     val keyed = df.select(col(idCol).as("id"),
       substring(col(textCol), 1, prefixLen).as("__pfx"),
-      length(col(textCol)).as("__len"))
+      length(col(textCol)).as("__len"),
+      md5(col(textCol)).as("__fp"))
     val bucketSizes = keyed.groupBy("__pfx")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBucket))
     val pruned = keyed.join(bucketSizes, "__pfx")
     val pairs = pruned.select(col("__pfx"), col("id").as("a"),
-        col("__len").as("la"))
+        col("__len").as("la"), col("__fp").as("__fpa"))
       .join(pruned.select(col("__pfx"), col("id").as("b"),
-        col("__len").as("lb")), Seq("__pfx"))
+        col("__len").as("lb"), col("__fp").as("__fpb")), Seq("__pfx"))
       .filter(col("a") < col("b") &&
         abs(col("la") - col("lb")) <= maxDist)
-      .select("a", "b")
-    pairs
-      .join(df.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")
-      .join(df.select(col(idCol).as("b"), col(textCol).as("__tb")), "b")
-      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
+      .select(col("a"), col("b"),
+        least(col("__fpa"), col("__fpb")).as("__f1"),
+        greatest(col("__fpa"), col("__fpb")).as("__f2"))
+    // the quadratic Levenshtein kernel runs ONCE PER DISTINCT TEXT PAIR,
+    // not once per id pair: under duplicate-dense corpora (the 32×-copy
+    // drill blew past linear on the per-id form — O(copies²) identical
+    // distance computations) the kernel count stays at the distinct-text
+    // level while only 32-byte digests ride the expansion joins
+    val repText = df.select(md5(col(textCol)).as("__fp"),
+        col(textCol).as("__t"))
+      .groupBy("__fp").agg(min("__t").as("__t"))
+    val distinctPairs = pairs.select("__f1", "__f2").distinct()
+      .join(repText.select(col("__fp").as("__f1"), col("__t").as("__t1")),
+        "__f1")
+      .join(repText.select(col("__fp").as("__f2"), col("__t").as("__t2")),
+        "__f2")
+      .withColumn("edit_dist", when(col("__f1") === col("__f2"), 0)
+        .otherwise(levenshtein(col("__t1"), col("__t2"))))
       .filter(col("edit_dist") <= maxDist)
+      .select("__f1", "__f2", "edit_dist")
+    pairs.join(distinctPairs, Seq("__f1", "__f2"))
       .select("a", "b", "edit_dist")
   }
 

@@ -85,6 +85,23 @@ class DecontamSpec extends SparkSpec {
       "4 Mbit filter over ~200 n-grams must have no false positives")
   }
 
+  test("hashed-tier bloom decontam: one-sided, converges to exact join") {
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val bench = docs.filter(col("doc_id") < 5)
+    val truth = Decontam.overlapHashed(corpus, bench, "doc_id", "text", 5)
+      .collect().map(_.getLong(0)).toSet
+    val small = Decontam.bloomDecontamHashed(corpus, bench, "doc_id",
+        "text", 5, mBits = 16384, k = 3)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    assert(truth.subsetOf(small),
+      s"hashed bloom missed true overlaps: ${truth -- small}")
+    val big = Decontam.bloomDecontamHashed(corpus, bench, "doc_id",
+        "text", 5, mBits = 1 << 22, k = 3)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    assert(big == truth,
+      "4 Mbit long-keyed filter over ~200 n-grams must match the join")
+  }
+
   test("bloom filter build is partition-order independent") {
     import spark.implicits._
     val items = (0 until 500).map(i => s"item $i").toDF("ng")
