@@ -199,6 +199,7 @@ object SparkEntry {
     "q_utf8_normalize" -> TextQueries.utf8Normalize,
     "q_strip_markup" -> TextQueries.stripMarkup,
     "q_url_parse" -> TextQueries.urlParse,
+    "q_compress_quality_planted" -> PipelineQueries.compressQuality,
   )
 
   private val docChunksSql = """
@@ -1815,5 +1816,24 @@ object SparkEntry {
              regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS reg_domain,
              norm_url
       FROM parts p JOIN norm USING (doc_id)""",
+
+    "q_compress_quality_planted" -> """
+      WITH p AS (
+        SELECT (900000000 + i)::BIGINT AS doc_id,
+               CASE WHEN i < 10 THEN repeat('spam ', 120)
+               ELSE base64(unhex(md5(i::VARCHAR)) ||
+                    unhex(md5((i+1000)::VARCHAR)) ||
+                    unhex(md5((i+2000)::VARCHAR)) ||
+                    unhex(md5((i+3000)::VARCHAR)) ||
+                    unhex(md5((i+4000)::VARCHAR)) ||
+                    unhex(md5((i+5000)::VARCHAR)) ||
+                    unhex(md5((i+6000)::VARCHAR)) ||
+                    unhex(md5((i+7000)::VARCHAR)))
+               END AS text
+        FROM range(0, 20) r(i))
+      SELECT doc_id, octet_length(text::BLOB)::INT AS n_bytes,
+             (doc_id < 900000010) AS too_repetitive,
+             (doc_id >= 900000010) AS too_random
+      FROM p""",
   )
 }

@@ -72,6 +72,7 @@ object GraftFunctions {
         s"utf8_normalize expects a string-literal form, got $other")
     })),
     "strip_accents" -> (es => StripAccents(es(0))),
+    "deflate_len" -> (es => DeflateLen(es(0))),
   )
 
   /** Idempotent per-session registration of all engine functions. */
@@ -122,6 +123,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(form))
   /** Accent folding: NFD + drop combining marks + NFC. */
   def stripAccents(text: Column): Column = call_function("strip_accents", text)
+  /** zlib-deflated byte count — compressibility quality signal. */
+  def deflateLen(c: Column): Column = call_function("deflate_len", c)
   def minhashText(text: Column, k: Int, shingle: Int = 3): Column =
     call_function("minhash_text", text,
       org.apache.spark.sql.functions.lit(k),

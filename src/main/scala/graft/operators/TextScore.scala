@@ -19,6 +19,31 @@ import org.apache.spark.sql.functions._
   */
 object TextScore {
 
+  /** Compressibility quality signal (Gopher-class filter): deflated/raw
+    * byte ratio per doc — template spam deflates to almost nothing,
+    * hash dumps and noise barely deflate, prose sits in a stable mid
+    * band; `flagLow`/`flagHigh` bound the keep band. The band is
+    * LENGTH-SENSITIVE: short documents carry fixed deflate overhead
+    * (measured: 600-byte prose ≈ 0.59, corpus-median 306-byte docs span
+    * 0.39-0.91), so the defaults flag only unambiguous extremes —
+    * template repetition (< 0.3) and base64/binary-dump content
+    * (> 0.7); tune per corpus for tighter bands on long documents.
+    * Map-only over the scan (native [[graft.functions.DeflateLen]]
+    * kernel, one ThreadLocal deflater per executor thread) — at 100 TB
+    * this costs one pass of CPU, zero shuffle. */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+      flagLow: Double = 0.3, flagHigh: Double = 0.7): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+        octet_length(col(textCol)).as("n_bytes"),
+        graft.functions.GraftFunctions.deflateLen(col(textCol))
+          .as("n_deflated"))
+      .withColumn("ratio",
+        col("n_deflated").cast("double") / col("n_bytes"))
+      .withColumn("too_repetitive", col("ratio") < flagLow)
+      .withColumn("too_random", col("ratio") > flagHigh)
+  }
+
   /** Per-doc mean unigram surprisal `avg(-ln p(tok))` with add-alpha
     * smoothing `p = (c + α) / (T + α·V)` over corpus counts c, total
     * tokens T, vocabulary size V. Returns (idCol, n_tokens,

@@ -84,6 +84,31 @@ object PipelineQueries {
       n = 5, mBits = 16384, k = 3)
   }
 
+  /** Compressibility filter, planted gate (round 5): the corpus plus 10
+    * planted template-spam docs (must flag too_repetitive) and 10
+    * planted md5-noise docs (must flag too_random). Deflate byte counts
+    * are JVM-zlib-specific, so the gate hashes the CLASSIFICATION of
+    * planted extremes (closed-form in DuckDB) while the operator runs
+    * over the whole corpus; the raw-ratio contract is spec-gated. */
+  val compressQuality: Q = (s, d) => {
+    val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = s.range(20).select(
+      (col("id") + 900000000L).as("doc_id"),
+      when(col("id") < 10, repeat(lit("spam "), 120))
+        // base64 of 128 md5-derived bytes ≈ 0.94 ratio — hex digits
+        // (4 bits/char) deflate too close to short-prose territory.
+        // Spark's base64 is MIME-chunked (\r\n every 76 chars); strip
+        // the breaks to match DuckDB's unchunked form byte-for-byte.
+        .otherwise(regexp_replace(base64(concat((0 to 7).map(j =>
+          unhex(md5((col("id") + j * 1000).cast("string")
+            .cast("binary")))): _*)), "[\\r\\n]", ""))
+        .as("text"))
+    graft.operators.TextScore
+      .compressionRatio(corpus.unionAll(planted), "doc_id", "text")
+      .filter(col("doc_id") >= 900000000L)
+      .select("doc_id", "n_bytes", "too_repetitive", "too_random")
+  }
+
   /** Quality-aware near-dup removal: keep the LONGEST copy of each
     * near-dup cluster (rows-only driver check; survivor rule spec-tested
     * in DedupSpec). Returns per-lang survivor counts. */
