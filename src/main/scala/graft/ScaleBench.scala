@@ -436,6 +436,32 @@ object ScaleBench {
     val tnmN = time(s"utf8_normalize ${factor}x")(noop(normDigest(docsN)))
     results += (("utf8_normalize", tnm1, tnmN))
 
+    def markup(df: DataFrame) = df.select(col("doc_id"),
+      md5(graft.operators.Markup.stripHtml(concat(
+        lit("<html><body><!-- c --><p class=\"x\">"), col("text"),
+        lit("</p><script>var x = \"<p>n</p>\";</script></body></html>")))
+        .cast("binary")).as("d"))
+    val tmk1 = time("strip_markup 1x")(noop(markup(docs1)))
+    val tmkN = time(s"strip_markup ${factor}x")(noop(markup(docsN)))
+    results += (("strip_markup", tmk1, tmkN))
+
+    def urls(df: DataFrame) = {
+      val u = concat(lit("HTTPS://U@WWW."), col("source"),
+        lit(".Example.COM:443/d/"), col("doc_id"),
+        lit("?utm_source=x&id="), col("doc_id"), lit("#f"))
+      df.select(col("doc_id"), graft.operators.Urls.host(u).as("h"),
+        graft.operators.Urls.normalize(u).as("n"))
+    }
+    val tur1 = time("url_normalize 1x")(noop(urls(docs1)))
+    val turN = time(s"url_normalize ${factor}x")(noop(urls(docsN)))
+    results += (("url_normalize", tur1, turN))
+
+    def compress(df: DataFrame) = graft.operators.TextScore
+      .compressionRatio(df, "doc_id", "text")
+    val tcr1 = time("compress_ratio 1x")(noop(compress(docs1)))
+    val tcrN = time(s"compress_ratio ${factor}x")(noop(compress(docsN)))
+    results += (("compress_ratio", tcr1, tcrN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

@@ -200,6 +200,7 @@ object SparkEntry {
     "q_strip_markup" -> TextQueries.stripMarkup,
     "q_url_parse" -> TextQueries.urlParse,
     "q_compress_quality_planted" -> PipelineQueries.compressQuality,
+    "q_incr_dedup_planted" -> DedupQueries.incrementalDedupPlanted,
   )
 
   private val docChunksSql = """
@@ -1835,5 +1836,16 @@ object SparkEntry {
              (doc_id < 900000010) AS too_repetitive,
              (doc_id >= 900000010) AS too_random
       FROM p""",
+
+    "q_incr_dedup_planted" -> """
+      WITH b AS (SELECT doc_id AS s FROM documents WHERE doc_id < 12),
+      f AS (SELECT doc_id AS s FROM documents
+            WHERE doc_id >= 110 AND doc_id < 120)
+      SELECT s * 10 + 1 AS id, true AS dup_of_index,
+             false AS dup_in_batch FROM b
+      UNION ALL
+      SELECT s * 10 + 2, true, true FROM b WHERE s < 6
+      UNION ALL
+      SELECT s * 10, false, false FROM f""",
   )
 }

@@ -243,6 +243,37 @@ object DedupQueries {
     Dedup.minhashDedup(plantedTriangles(s, d), "doc_id", "text",
       numHashes = 32, bands = 8, threshold = 0.5)
 
+  /** Incremental dedup verdicts on a planted two-generation corpus —
+    * hash-gated, closed-form. "Old" index: bases b<12 (30-token docs at
+    * ids b·10) + fresh-seed singletons. Batch: one near-twin per base
+    * (id b·10+1, +1 token → J = 30/31 vs the index doc), a second twin
+    * for b<6 (id b·10+2, +2 tokens → J = 30/32 vs index AND 31/32 vs
+    * its smaller-id batch sibling), and ten genuinely new docs (seeds
+    * 110–119, disjoint token sets). Expected verdicts: (true,false) for
+    * the b·10+1s, (true,true) for the b·10+2s, (false,false) for the
+    * fresh docs — all ≥ 6σ from the 0.5 threshold at 32 hashes, and
+    * deterministic besides. */
+  val incrementalDedupPlanted: Q = (s, d) => {
+    val seeds = Tables.documents(s, d).select(col("doc_id").as("b"))
+    val bases = seeds.filter(col("b") < 12)
+    val t0 = toks(col("b"), 0, 30)
+    val xa = substring(md5(concat(col("b").cast("string"), lit("_xa"))), 1, 8)
+    val xb = substring(md5(concat(col("b").cast("string"), lit("_xb"))), 1, 8)
+    val old = bases.select((col("b") * 10).as("doc_id"), t0.as("text"))
+      .unionAll(seeds.filter(col("b") >= 100 && col("b") < 110)
+        .select((col("b") * 10).as("doc_id"), t0.as("text")))
+    val batch = bases.select((col("b") * 10 + 1).as("doc_id"),
+        concat(t0, lit(" "), xa).as("text"))
+      .unionAll(bases.filter(col("b") < 6)
+        .select((col("b") * 10 + 2).as("doc_id"),
+          concat(t0, lit(" "), xa, lit(" "), xb).as("text")))
+      .unionAll(seeds.filter(col("b") >= 110 && col("b") < 120)
+        .select((col("b") * 10).as("doc_id"), t0.as("text")))
+    graft.operators.IncrementalDedup.verdicts(
+      graft.operators.IncrementalDedup.signatures(old, "doc_id", "text"),
+      batch, "doc_id", "text", threshold = 0.5)
+  }
+
   /** Keep-best LSH dedup (quality = n_chars) on the planted triangles —
     * hash-gated; the longest clone must survive. */
   val minhashKeepBestPlanted: Q = (s, d) =>
