@@ -462,6 +462,24 @@ object ScaleBench {
     val tcrN = time(s"compress_ratio ${factor}x")(noop(compress(docsN)))
     results += (("compress_ratio", tcr1, tcrN))
 
+    // incremental ingest: FIXED batch, index grows with the corpus — the
+    // dimension that actually scales day over day; index signatures are
+    // materialized outside the timed window (they persist across days)
+    val incrBatch = docs1.filter(col("doc_id") < 200)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val idxSigs1 = graft.operators.IncrementalDedup
+      .signatures(docs1, "doc_id", "text").cache()
+    val idxSigsN = graft.operators.IncrementalDedup
+      .signatures(docsN, "doc_id", "text").cache()
+    idxSigs1.count(); idxSigsN.count()
+    val tin1 = time("incr_dedup 1x")(noop(graft.operators.IncrementalDedup
+      .verdicts(idxSigs1, incrBatch, "doc_id", "text")))
+    val tinN = time(s"incr_dedup ${factor}x")(noop(
+      graft.operators.IncrementalDedup
+        .verdicts(idxSigsN, incrBatch, "doc_id", "text")))
+    results += (("incr_dedup", tin1, tinN))
+    idxSigs1.unpersist(); idxSigsN.unpersist()
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")
