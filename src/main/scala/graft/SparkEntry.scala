@@ -201,6 +201,7 @@ object SparkEntry {
     "q_url_parse" -> TextQueries.urlParse,
     "q_compress_quality_planted" -> PipelineQueries.compressQuality,
     "q_incr_dedup_planted" -> DedupQueries.incrementalDedupPlanted,
+    "q_stream_neardup" -> ((s, d) => streaming.StreamOps.streamNearDup(s, d)),
   )
 
   private val docChunksSql = """
@@ -1847,5 +1848,13 @@ object SparkEntry {
       SELECT s * 10 + 2, true, true FROM b WHERE s < 6
       UNION ALL
       SELECT s * 10, false, false FROM f""",
+
+    "q_stream_neardup" -> """
+      WITH b AS (SELECT doc_id AS s FROM documents WHERE doc_id < 12),
+      f AS (SELECT doc_id AS s FROM documents
+            WHERE doc_id >= 110 AND doc_id < 120)
+      SELECT s * 10 + 1 AS doc_id, true AS dup_of_index FROM b
+      UNION ALL
+      SELECT s * 10, false FROM f""",
   )
 }

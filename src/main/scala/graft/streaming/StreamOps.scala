@@ -255,6 +255,64 @@ object StreamOps {
   def streamDecontam(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, streamDecontamPlan(spark, dir), OutputMode.Complete())
 
+  /** Streaming near-dup ingest: arriving documents are flagged against
+    * the STATIC persisted MinHash signature index ([[graft.operators
+    * .IncrementalDedup]]) — the online half of the daily-ingest loop
+    * (the within-batch half is the batch operator's job at rest). The
+    * plan is a stateless stream-static equi join on (band, band_hash):
+    * signatures and bands are map-only over the stream, the index
+    * contributes static hash tables, and the only stream state is the
+    * Complete-mode per-doc verdict aggregate. Fixture: the planted
+    * two-generation corpus of q_incr_dedup_planted, so the verdicts are
+    * closed-form (twins true, fresh docs false). */
+  def streamNearDupPlan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalDedup
+    val seeds = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id").as("b"))
+    val t0 = concat_ws(" ", transform(sequence(lit(0), lit(29)),
+      j => substring(md5(concat(col("b").cast("string"), lit("_"),
+        j.cast("string"))), 1, 8)))
+    val xa = substring(md5(concat(col("b").cast("string"), lit("_xa"))), 1, 8)
+    val old = seeds.filter(col("b") < 12)
+      .select((col("b") * 10).as("doc_id"), t0.as("text"))
+    val idxSigs = IncrementalDedup.signatures(old, "doc_id", "text")
+    val idxBands = IncrementalDedup.banded(idxSigs)
+      .withColumnRenamed("id", "oid")
+    // the same planted batch, derived from the streamed table: twins of
+    // the index docs (b·10+1) + genuinely fresh docs (seeds 110-119)
+    val sb = replayDocuments(spark, dir).select(col("doc_id").as("b"))
+    val st0 = concat_ws(" ", transform(sequence(lit(0), lit(29)),
+      j => substring(md5(concat(col("b").cast("string"), lit("_"),
+        j.cast("string"))), 1, 8)))
+    val sxa = substring(md5(concat(col("b").cast("string"), lit("_xa"))), 1, 8)
+    val batch = sb.filter(col("b") < 12)
+      .select((col("b") * 10 + 1).as("doc_id"),
+        concat(st0, lit(" "), sxa).as("text"))
+      .unionAll(sb.filter(col("b") >= 110 && col("b") < 120)
+        .select((col("b") * 10).as("doc_id"), st0.as("text")))
+    val probeSigs = IncrementalDedup.signatures(batch, "doc_id", "text")
+    // band expansion inline (banded() projects the signature away, and
+    // the verify step here wants it carried through the join)
+    val probeBands = probeSigs.select(col("id"), col("sig").as("psig"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          j => xxhash64(slice(col("sig"), j * 4 + 1, lit(4))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    // LEFT joins so clean docs surface as explicit false verdicts
+    probeBands
+      .join(idxBands, Seq("band", "band_hash"), "left")
+      .join(idxSigs.select(col("id").as("oid"), col("sig").as("osig")),
+        Seq("oid"), "left")
+      .withColumn("est",
+        graft.operators.Dedup.minhashEstimate(col("psig"), col("osig")))
+      .groupBy(col("id").as("doc_id"))
+      .agg(coalesce(max(col("est") >= 0.5), lit(false))
+        .as("dup_of_index"))
+  }
+
+  def streamNearDup(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, streamNearDupPlan(spark, dir), OutputMode.Complete())
+
   /** Streaming chunking: the batch [[graft.operators.Chunking]]
     * operator UNCHANGED on a replayed documents stream — a pure
     * projection + generator, so it runs Append with no state store at
@@ -283,5 +341,7 @@ object StreamOps {
     ("stream_stateful", statefulPlan(spark, dir), OutputMode.Append()),
     ("stream_decontam", streamDecontamPlan(spark, dir),
       OutputMode.Complete()),
-    ("stream_chunks", streamChunksPlan(spark, dir), OutputMode.Append()))
+    ("stream_chunks", streamChunksPlan(spark, dir), OutputMode.Append()),
+    ("stream_neardup", streamNearDupPlan(spark, dir),
+      OutputMode.Complete()))
 }
