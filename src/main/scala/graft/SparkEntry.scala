@@ -202,6 +202,9 @@ object SparkEntry {
     "q_compress_quality_planted" -> PipelineQueries.compressQuality,
     "q_incr_dedup_planted" -> DedupQueries.incrementalDedupPlanted,
     "q_stream_neardup" -> ((s, d) => streaming.StreamOps.streamNearDup(s, d)),
+    "q7_volume" -> RelationalQueries.q7Volume,
+    "q10_returned" -> RelationalQueries.q10Returned,
+    "q_window_distribution" -> RelationalQueries.windowDistribution,
   )
 
   private val docChunksSql = """
@@ -1856,5 +1859,49 @@ object SparkEntry {
       SELECT s * 10 + 1 AS doc_id, true AS dup_of_index FROM b
       UNION ALL
       SELECT s * 10, false FROM f""",
+
+    "q7_volume" -> """
+      SELECT supp_nation, cust_nation, l_year,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate)::INT AS l_year,
+               l_extendedprice, l_discount
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) t
+      GROUP BY 1, 2, 3""",
+
+    "q10_returned" -> """
+      SELECT c_custkey, c_name, n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q_window_distribution" -> """
+      SELECT o_orderkey, o_orderpriority,
+             ntile(8) OVER w::INT AS bucket8,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM orders
+      WHERE o_orderkey % 20 = 0
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)""",
   )
 }

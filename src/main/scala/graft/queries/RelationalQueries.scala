@@ -162,6 +162,65 @@ object RelationalQueries {
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
   }
 
+  /** TPC-H Q7 shape (volume shipping): bidirectional nation-pair trade by
+    * ship year — the two nation dims broadcast TWICE under different
+    * roles (supplier vs customer side), fact joins shuffle on their
+    * keys, revenue decimal-exact. */
+  val q7Volume: Q = (s, d) => {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1998-01-01")
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" &&
+          col("cust_nation") === "NATION_1"))
+      .withColumn("l_year", year(col("l_shipdate")))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(Exact.sumExact(Exact.discPrice).as("revenue"))
+  }
+
+  /** TPC-H Q10 shape (returned items): per-customer lost revenue in one
+    * quarter, top 20 — deterministic cut via the (revenue desc, custkey)
+    * total order on decimal-exact revenue. */
+  val q10Returned: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("l_returnflag") === "R" &&
+        col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1996-04-01")
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(Exact.sumExact(Exact.discPrice).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Distribution window functions (E18 completion): ntile buckets,
+    * percent_rank, cume_dist — raw doubles, no rounding: both engines
+    * compute the identical `(rank-1)/(n-1)` and `n_le/n` divisions on
+    * the same totally-ordered partitions (unique o_orderkey tiebreak),
+    * so the driver's exact hash matches bit-for-bit. */
+  val windowDistribution: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(8).over(w).as("bucket8"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
   /** TPC-H Q5 shape: 6-way join with co-nation constraint; dimension
     * tables broadcast, fact joins shuffle on their keys. */
   val q5LocalSupplier: Q = (s, d) =>
