@@ -205,6 +205,7 @@ object SparkEntry {
     "q7_volume" -> RelationalQueries.q7Volume,
     "q10_returned" -> RelationalQueries.q10Returned,
     "q_window_distribution" -> RelationalQueries.windowDistribution,
+    "q_jsonl_quarantine" -> SourceQueries.jsonlQuarantine,
   )
 
   private val docChunksSql = """
@@ -1903,5 +1904,22 @@ object SparkEntry {
       WHERE o_orderkey % 20 = 0
       WINDOW w AS (PARTITION BY o_orderpriority
                    ORDER BY o_totalprice, o_orderkey)""",
+
+    "q_jsonl_quarantine" -> """
+      WITH feed AS (
+        SELECT doc_id,
+               '{"id":' || doc_id || ',"lang":"' || lang ||
+               '","n_chars":' || n_chars || '}' AS line,
+               (doc_id % 7 = 0) AS corrupt
+        FROM documents)
+      SELECT doc_id, NOT corrupt AS ok,
+             CASE WHEN corrupt THEN substr(line, 1, 10) END AS raw_line,
+             CASE WHEN NOT corrupt THEN doc_id END AS j_id,
+             CASE WHEN NOT corrupt THEN
+               json_extract_string(line, '$.lang') END AS j_lang,
+             CASE WHEN NOT corrupt THEN
+               json_extract_string(line, '$.n_chars')::BIGINT
+             END AS j_n_chars
+      FROM feed""",
   )
 }

@@ -53,6 +53,26 @@ object SourceQueries {
         max("s_suppkey").as("max_key"))
   }
 
+  /** JSONL ingest with a quarantine lane (round 5): a feed built
+    * in-engine (to_json over id/lang/n_chars), with every 7th line
+    * truncated mid-token. [[graft.sources.Ingest.parseJsonl]] must parse
+    * the clean lines, null-field + flag the corrupt ones, and preserve
+    * their raw payload for replay. The oracle reconstructs Spark's
+    * to_json byte format explicitly (no-space separators, struct field
+    * order) — only simple unescaped values ride in it. */
+  val jsonlQuarantine: Q = (s, d) => {
+    val line = to_json(struct(col("doc_id").as("id"), col("lang"),
+      col("n_chars")))
+    val feed = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, substring(line, 1, 10))
+        .otherwise(line).as("line"))
+    graft.sources.Ingest.parseJsonl(feed, "line",
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType)
+        .add("lang", org.apache.spark.sql.types.StringType)
+        .add("n_chars", org.apache.spark.sql.types.LongType))
+  }
+
   /** Partition-pruned scan (round 4): events re-laid-out as
     * `event_date=…/` parquet, then a 7-of-30-day aggregate — the scan
     * lists only the 7 matching directories (LayoutSpec asserts the
