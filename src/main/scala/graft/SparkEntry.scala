@@ -206,6 +206,7 @@ object SparkEntry {
     "q10_returned" -> RelationalQueries.q10Returned,
     "q_window_distribution" -> RelationalQueries.windowDistribution,
     "q_jsonl_quarantine" -> SourceQueries.jsonlQuarantine,
+    "q_corpus_merge" -> PipelineQueries.corpusMerge,
   )
 
   private val docChunksSql = """
@@ -1921,5 +1922,22 @@ object SparkEntry {
                json_extract_string(line, '$.n_chars')::BIGINT
              END AS j_n_chars
       FROM feed""",
+
+    "q_corpus_merge" -> """
+      WITH up AS (
+        SELECT doc_id, text || ' v2' AS text FROM documents
+        WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 100000000, text FROM documents WHERE doc_id < 10),
+      del AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+      survivors AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM up)
+          AND doc_id NOT IN (SELECT doc_id FROM del)),
+      applied AS (
+        SELECT doc_id, text FROM up
+        WHERE doc_id NOT IN (SELECT doc_id FROM del))
+      SELECT doc_id, md5(text) AS content_hash
+      FROM (SELECT * FROM survivors UNION ALL SELECT * FROM applied)""",
   )
 }

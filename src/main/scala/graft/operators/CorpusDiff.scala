@@ -38,6 +38,28 @@ object CorpusDiff {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Apply a sparse delta to a snapshot — the write side of the
+    * versioning loop (the MERGE/upsert of a table format, expressed as
+    * plain relational ops): `upserts` replace or insert their ids,
+    * `deletes` tombstone theirs, and DELETES WIN on overlap (a
+    * tombstone is final — re-adding requires a later upsert). Returns
+    * the next snapshot with `snapshot`'s schema ( `upserts` must share
+    * it).
+    *
+    * Scale shape: ONE anti-join of the snapshot against the delta ids
+    * (delta ids are small → AQE broadcasts them; the 100 TB snapshot
+    * never shuffles) plus a union with the filtered upserts. No window,
+    * no state; rewriting only delta-touched partitions is the table
+    * format's job below this operator. */
+  def merge(snapshot: DataFrame, upserts: DataFrame, deletes: DataFrame,
+      idCol: String): DataFrame = {
+    val doomed = upserts.select(col(idCol))
+      .unionAll(deletes.select(col(idCol))).distinct()
+    snapshot.join(doomed, Seq(idCol), "left_anti")
+      .unionAll(upserts.join(deletes.select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti"))
+  }
+
   /** Audit rollup: one row per status with count and an
     * order-independent id checksum (xor of hashed ids — the
     * [[graft.sources.Layout]] fingerprint recipe), so two engines agree

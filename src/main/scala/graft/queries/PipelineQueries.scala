@@ -393,6 +393,21 @@ object PipelineQueries {
       hasher = md5(_), idHasher = c => c)
   }
 
+  /** Snapshot merge (round 5): apply a sparse delta — every 5th doc
+    * rewritten, 10 new ids, every 7th deleted (deletes WIN on the %35
+    * overlap) — and emit the next snapshot as (id, content hash). The
+    * write side of [[corpusDiff]]'s versioning loop. */
+  val corpusMerge: Q = (s, d) => {
+    val snap = Tables.documents(s, d).select("doc_id", "text")
+    val upserts = snap.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+      .unionAll(snap.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    val deletes = snap.filter(col("doc_id") % 7 === 0).select("doc_id")
+    graft.operators.CorpusDiff.merge(snap, upserts, deletes, "doc_id")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+  }
+
   /** Edit-distance near-dup (round 5): the corpus plus ten planted
     * suffix-mutated copies (append " zq x" = edit distance 5), found by
     * prefix-bucket candidates + Levenshtein verify under maxDist 6.

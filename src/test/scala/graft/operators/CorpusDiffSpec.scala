@@ -23,6 +23,24 @@ class CorpusDiffSpec extends SparkSpec {
       3L -> "removed", 4L -> "unchanged", 5L -> "added"))
   }
 
+  test("merge applies upserts, deletes win on overlap, diff closes loop") {
+    import spark.implicits._
+    val snap = Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+      .toDF("doc_id", "text")
+    val ups = Seq(2L -> "b2", 5L -> "e", 3L -> "c2")
+      .toDF("doc_id", "text")
+    val dels = Seq(Tuple1(3L), Tuple1(4L)).toDF("doc_id")
+    val next = CorpusDiff.merge(snap, ups, dels, "doc_id")
+    assert(next.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b2", 5L -> "e"),
+      "update 2, insert 5, delete 3 (tombstone beats upsert) and 4")
+    // diff against the merged snapshot re-derives exactly the delta
+    val d = CorpusDiff.diff(snap, next, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "removed", 5L -> "added"))
+  }
+
   test("summary counts and id checksums are order-independent") {
     val s = CorpusDiff.summary(v1, v2, "doc_id", "text",
         idHasher = c => c)
