@@ -139,6 +139,36 @@ object IvfPq {
     load()
   }
 
+  /** Append a batch of new vectors WITHOUT retraining — the index
+    * maintenance twin of [[graft.operators.IncrementalDedup]]: assign to
+    * the FROZEN centroid set, residual-encode with the FROZEN codebooks,
+    * union the codes. Each append costs O(batch); centroid/codebook
+    * drift is the periodic offline rebuild's job ([[buildOrLoad]]'s
+    * fingerprint invalidation), exactly the production IVF posture.
+    * `m`/`k` must match the build (the codes table's geometry). */
+  def append(index: Index, batch: DataFrame, vecCol: String = "embedding",
+      m: Int = 8, k: Int = 16): Index = {
+    GraftFunctions.register(batch.sparkSession)
+    val idCol = index.corpusId
+    val assigned = batch
+      .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .join(broadcast(index.centroids))
+      .withColumn("__sim", GraftFunctions.cosineSim(col("__vec"),
+        col("centvec")))
+      .groupBy("__id")
+      .agg(max_by(col("centroid_id"),
+        struct(col("__sim"), -col("centroid_id"))).as("centroid_id"))
+    val residuals = batch
+      .select(col(idCol).as("__id"), col(vecCol))
+      .join(assigned, "__id")
+      .join(broadcast(index.centroids), "centroid_id")
+      .select(col("__id"), col("centroid_id"),
+        residual(col(vecCol), col("centvec")).as("__res"))
+    val codes = Pq.encode(residuals, "__res", index.books, m, k)
+      .select(col("__id").as(idCol), col("centroid_id"), col("pq_codes"))
+    Index(index.centroids, index.books, index.codes.unionAll(codes), idCol)
+  }
+
   /** ADC top-k over the probed lists. Returns
     * (probe_id, cand_id, adc, rank). */
   def search(index: Index, probes: DataFrame, k: Int, nprobe: Int = 4,

@@ -70,6 +70,33 @@ class IvfPqSpec extends SparkSpec {
       "stale fingerprint must trigger a rebuild")
   }
 
+  test("append: frozen-index ingest finds new vectors immediately") {
+    // append exact copies of 5 indexed vectors under new ids: same
+    // centroid cell, same residual, same codes. The copy must surface in
+    // its twin probe's top-k at the MINIMAL ADC in the result set: its
+    // codes are the per-subspace argmin encoding of the probe's own
+    // residual, so its ADC is sum_j min_c dtable[j][c] — no candidate
+    // can score lower. (The probe's own row is excluded by the
+    // probe_id =!= cand_id self-filter, so the twin stands in for it.)
+    val copies = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val grown = IvfPq.append(index, copies)
+    assert(grown.codes.count() == index.codes.count() + 5,
+      "codes table must grow by exactly the batch")
+    val res = IvfPq.search(grown, probes.filter(col("vec_id") < 5), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    (0L until 5L).foreach { p =>
+      val mine = res.filter(_._1 == p)
+      val twin = mine.find(_._2 == p + 100000L)
+      assert(twin.isDefined, s"appended twin of $p missing from top-10")
+      assert(twin.get._3 == mine.map(_._3).min,
+        s"self-copy must score the minimal ADC for probe $p: " +
+          s"${twin.get._3} vs min ${mine.map(_._3).min}")
+    }
+    // original index object is untouched (no in-place mutation)
+    assert(index.codes.count() + 5 == grown.codes.count())
+  }
+
   test("search path shuffles no embedding columns") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
