@@ -146,6 +146,7 @@ object SparkEntry {
     "q_minhash_keep_best" -> PipelineQueries.minhashKeepBest,
     "q_pq_topk" -> PipelineQueries.pqTopK,
     "q_ivfpq_topk" -> PipelineQueries.ivfPqTopK,
+    "q_ivfpq_append_planted" -> PipelineQueries.ivfPqAppendPlanted,
     "q_pipeline_e2e" -> PipelineQueries.pipelineE2e,
     "q_minhash_transitive" -> PipelineQueries.minhashTransitive,
     "q_profile" -> PipelineQueries.profileLineitem,
@@ -157,6 +158,7 @@ object SparkEntry {
     "q_dup_span_removal" -> PipelineQueries.dupSpanRemoval,
     "q_split_assign" -> PipelineQueries.splitAssign,
     "q_domain_mix" -> PipelineQueries.domainMix,
+    "q_temperature_mix" -> PipelineQueries.temperatureMix,
     "q_seq_pack" -> PipelineQueries.seqPack,
     // pipeline extensions (round 4): tokenizer-faithful packing,
     // deterministic training-shard shuffle
@@ -1150,6 +1152,24 @@ object SparkEntry {
       WHERE rn <= CASE WHEN source IN ('src0','src1','src2','src3','src4')
                        THEN 35 ELSE 5 END""",
 
+    // quotas are closed-form: counts 4/9/25/36 → sqrt 2/3/5/6, Z=16,
+    // ⌊(sqrt/16)·10⌋ = 1/1/3/3 exactly (binary fractions — no boundary)
+    "q_temperature_mix" -> """
+      WITH f AS (
+        SELECT CASE WHEN doc_id < 4 THEN 'g4'
+                    WHEN doc_id < 13 THEN 'g9'
+                    WHEN doc_id < 38 THEN 'g25'
+                    ELSE 'g36' END AS grp, doc_id
+        FROM documents WHERE doc_id < 74),
+      r AS (
+        SELECT grp, doc_id,
+               row_number() OVER (PARTITION BY grp
+                 ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+        FROM f)
+      SELECT grp, doc_id FROM r
+      WHERE rn <= CASE grp WHEN 'g25' THEN 3 WHEN 'g36' THEN 3
+                           ELSE 1 END""",
+
     "q_seq_pack" -> """
       SELECT doc_id, lang, n_tokens::INT AS n_tokens,
              (cum - n_tokens)::BIGINT AS start_off,
@@ -1209,6 +1229,12 @@ object SparkEntry {
       SELECT vec_id AS probe_id,
              vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS cand_id,
              1.0 AS cos, 1::INT AS rank
+      FROM embeddings WHERE vec_id < 5""",
+
+    "q_ivfpq_append_planted" -> """
+      SELECT vec_id AS probe_id,
+             vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS cand_id,
+             true AS is_min_adc
       FROM embeddings WHERE vec_id < 5""",
 
     "q_kmv_exact" -> """

@@ -21,27 +21,35 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
-  /** Shared scaffolding of both mixing forms: exact-decimal
-    * ⌊weight·budget⌋ quotas, md5 ranking, TopKPerGroup bound, broadcast
-    * quota join. ONE definition — the ranking hash, floor math, and
-    * tie-break are the cross-engine determinism contract, and the two
-    * operators must never diverge on them.
+  /** Caller-supplied-weight → quota math, shared by [[sampleToWeights]]
+    * and [[sampleToTokenBudget]].
     *
     * Exact decimal floor: budget*w in doubles truncates one unit short
     * whenever the product lands just under the integer (0.58*50 =
     * 28.999…96 → 28, not 29). BigDecimal of the weight's decimal text
-    * keeps ⌊weight·budget⌋ exact for any budget. */
-  private def rankBoundAndQuota(df: DataFrame, groupCol: String,
-      idCol: String, extraCols: Seq[String], weights: Map[String, Double],
-      budget: Long, boundOf: Long => Int): DataFrame = {
+    * keeps ⌊weight·budget⌋ exact for any budget. ([[
+    * sampleToTemperature]] derives its quotas by exact division instead
+    * — its weights are ratios of data-derived doubles, where the
+    * decimal-text route loses the ulp that the division keeps.) */
+  private def quotasOfWeights(weights: Map[String, Double],
+      budget: Long): Map[String, Long] = {
     require(weights.nonEmpty, "need at least one group weight")
     require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
       s"weights must be fractions in [0,1]: $weights")
-    val quotas = weights.map { case (g, w) =>
+    weights.map { case (g, w) =>
       (g, (BigDecimal(w.toString) * BigDecimal(budget))
         .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
     }
-    require(quotas.values.max > 0,
+  }
+
+  /** Shared scaffolding of every mixing form: md5 ranking, TopKPerGroup
+    * bound, broadcast quota join. ONE definition — the ranking hash and
+    * tie-break are the cross-engine determinism contract, and the
+    * operators must never diverge on them. */
+  private def rankBoundAndQuota(df: DataFrame, groupCol: String,
+      idCol: String, extraCols: Seq[String], quotas: Map[String, Long],
+      boundOf: Long => Int): DataFrame = {
+    require(quotas.nonEmpty && quotas.values.max > 0,
       "all quotas are zero — raise budget or weights")
     val spark = df.sparkSession
     import spark.implicits._
@@ -59,10 +67,17 @@ object Mixing {
     *                ⌊weight·budget⌋ docs (fewer if the group is smaller)
     */
   def sampleToWeights(df: DataFrame, groupCol: String, idCol: String,
-      weights: Map[String, Double], budget: Long): DataFrame = {
+      weights: Map[String, Double], budget: Long): DataFrame =
+    sampleToQuotas(df, groupCol, idCol, quotasOfWeights(weights, budget))
+
+  /** Doc-count mixing with explicit per-group quotas — the shared tail
+    * of [[sampleToWeights]] and [[sampleToTemperature]], which differ
+    * only in how the quota map is derived. */
+  def sampleToQuotas(df: DataFrame, groupCol: String, idCol: String,
+      quotas: Map[String, Long]): DataFrame = {
     val w = Window.partitionBy(groupCol)
       .orderBy(col("__rk").asc, col(idCol).asc)
-    rankBoundAndQuota(df, groupCol, idCol, Nil, weights, budget,
+    rankBoundAndQuota(df, groupCol, idCol, Nil, quotas,
       boundOf = { maxQ =>
         require(maxQ <= Int.MaxValue, s"quota $maxQ exceeds Int range")
         maxQ.toInt // the doc quota IS the exact per-group bound
@@ -70,6 +85,46 @@ object Mixing {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__quota"))
       .select(col(groupCol), col(idCol))
+  }
+
+  /** Temperature-scaled mixing: group weights derived from the corpus
+    * itself, w_g ∝ n_g^alpha — the multilingual up-sampling rule of the
+    * public mBERT/XLM-R recipes (Devlin et al. 2019 §"data"; Conneau et
+    * al. 2020 eq. 1). `alpha = 1` keeps natural proportions, `alpha = 0`
+    * is uniform over groups, and 0 < alpha < 1 up-samples the tail
+    * relative to the head without letting any group dominate.
+    *
+    * True group counts come from one partial-agg job collected to the
+    * driver — ≤ |groups| rows, the same driver-side cardinality as the
+    * weights Map every other mixing form already takes (a corpus has
+    * thousands of sources, not billions). Quotas are
+    * ⌊budget · n_g^alpha / Z⌋ computed by EXACT decimal division (34
+    * digits), NOT via a normalized double weight: 200 docs of 300 at
+    * alpha 1 must quota ⌊budget·2/3⌋ exactly, and the double 0.6666…
+    * is one ulp short — through the weight path a 150-doc budget would
+    * yield 99, not 100. Membership then rides [[sampleToQuotas]], so
+    * the ranking hash and tie-break stay the one shared definition.
+    *
+    * Cross-engine note: n^alpha and the normalizing sum are IEEE-double
+    * computations; for a HASH-gated replica pick fixtures where they are
+    * exact (perfect-square counts at alpha = 0.5 make sqrt, Z, and the
+    * division all exact — see the driver gate). The operator itself is
+    * deterministic for any alpha on any corpus. */
+  def sampleToTemperature(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+    require(counts.nonEmpty, "sampleToTemperature: empty corpus")
+    // sort before summing: Z must not depend on result-row order
+    val pow = counts.sortBy(_._1)
+      .map { case (g, n) => g -> math.pow(n.toDouble, alpha) }
+    val z = BigDecimal(pow.map(_._2).sum)
+    val quotas = pow.map { case (g, p) =>
+      g -> (BigDecimal(budget) * BigDecimal(p) / z)
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    }.toMap
+    sampleToQuotas(df, groupCol, idCol, quotas)
   }
 
   /** Token-budget mixing: the production form of [[sampleToWeights]] —
@@ -110,8 +165,9 @@ object Mixing {
     // group smaller than its quota is the accepted take-it-all case
     val sizes = df.groupBy(groupCol)
       .agg(count(lit(1)).as("__gsize"))
-    rankBoundAndQuota(df, groupCol, idCol, Seq(tokenCol), weights,
-        tokenBudget, boundOf = _ => maxDocsPerGroup)
+    rankBoundAndQuota(df, groupCol, idCol, Seq(tokenCol),
+        quotasOfWeights(weights, tokenBudget),
+        boundOf = _ => maxDocsPerGroup)
       .join(broadcast(sizes), Seq(groupCol))
       .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
       // truncation guard: TopK actually CUT the group (raw size past

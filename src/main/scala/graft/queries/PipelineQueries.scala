@@ -244,6 +244,24 @@ object PipelineQueries {
         (5 to 19).map(i => s"src$i" -> 0.02).toMap,
       budget = 250)
 
+  /** Temperature-scaled mixing (round 5): weights w_g ∝ n_g^0.5 derived
+    * from the data itself ([[graft.operators.Mixing
+    * .sampleToTemperature]]). The fixture gives the four synthetic
+    * groups PERFECT-SQUARE sizes (4/9/25/36 docs), so at alpha = 0.5
+    * every weight is an exact binary fraction — sqrt(n) ∈ {2,3,5,6},
+    * Z = 16, w ∈ {2,3,5,6}/16 — and ⌊w·budget⌋ at budget 10 is exactly
+    * {1,1,3,3} in ANY IEEE engine: the hash gate carries zero
+    * float-boundary risk (the money-sum lesson, applied to pow). */
+  val temperatureMix: Q = (s, d) => {
+    val fix = Tables.documents(s, d).filter(col("doc_id") < 74)
+      .select(when(col("doc_id") < 4, "g4")
+        .when(col("doc_id") < 13, "g9")
+        .when(col("doc_id") < 38, "g25")
+        .otherwise("g36").as("grp"), col("doc_id"))
+    graft.operators.Mixing.sampleToTemperature(fix, "grp", "doc_id",
+      alpha = 0.5, budget = 10)
+  }
+
   /** Concat-then-chunk sequence packing into 128-token chunks per lang
     * (round 3). */
   val seqPack: Q = (s, d) =>
@@ -457,6 +475,32 @@ object PipelineQueries {
   val ivfPqTopK: Q = (s, d) =>
     graft.operators.IvfPq.search(ivfPqIndex(s, d),
       Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, nprobe = 4)
+
+  /** Frozen-index append gate (round 5): byte-identical copies of the
+    * first five corpus vectors, ids offset past max(vec_id), appended to
+    * the PERSISTED index with NO retraining ([[graft.operators.IvfPq
+    * .append]]) — each copy must score the MINIMAL ADC in its twin
+    * probe's top-k, because its codes are the per-subspace argmin
+    * encoding of the probe's own residual: adc = Σ_j min_c dtable[j][c].
+    * Rounding is monotone, so the rounded twin ADC is still the rounded
+    * minimum — closed-form, hash-gated. */
+  val ivfPqAppendPlanted: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 5)
+    val off = emb.agg((max("vec_id") + 1).as("__off"))
+    val batch = probes.crossJoin(broadcast(off))
+      .select((col("vec_id") + col("__off")).as("vec_id"),
+        col("embedding"))
+    val grown = graft.operators.IvfPq.append(ivfPqIndex(s, d), batch)
+    graft.operators.IvfPq.search(grown, probes, k = 10)
+      .withColumn("__min",
+        min(col("adc")).over(Window.partitionBy("probe_id")))
+      .crossJoin(broadcast(off))
+      .filter(col("cand_id") === col("probe_id") + col("__off"))
+      .select(col("probe_id"), col("cand_id"),
+        (col("adc") === col("__min")).as("is_min_adc"))
+  }
 
   /** PQ-compressed ANN: train → encode (32× smaller than raw vectors) →
     * ADC top-k from codes only (rows-only; recall + reconstruction

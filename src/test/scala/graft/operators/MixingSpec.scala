@@ -80,6 +80,38 @@ class MixingSpec extends SparkSpec {
     assert(out.count() == 200, "exhausted group delivers in full")
   }
 
+  test("temperature alpha=1 reproduces natural proportions") {
+    // counts 200/80/20 (Z=300): quotas ⌊w·150⌋ = 100/40/10
+    val out = Mixing.sampleToTemperature(corpus, "source", "doc_id",
+      alpha = 1.0, budget = 150)
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("web" -> 100L, "books" -> 40L, "code" -> 10L),
+      s"got $counts")
+  }
+
+  test("temperature alpha=0 is uniform over groups") {
+    // n^0 = 1 each, Z=3: quotas ⌊30/3⌋ = 10 per group regardless of size
+    val out = Mixing.sampleToTemperature(corpus, "source", "doc_id",
+      alpha = 0.0, budget = 30)
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("web" -> 10L, "books" -> 10L, "code" -> 10L),
+      s"got $counts")
+  }
+
+  test("temperature 0<alpha<1 up-samples the tail relative to the head") {
+    def share(alpha: Double): Double = {
+      val counts = Mixing.sampleToTemperature(corpus, "source", "doc_id",
+          alpha, budget = 100)
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts("code").toDouble / counts.values.sum
+    }
+    assert(share(0.5) > share(1.0),
+      "sqrt temperature must raise the smallest group's share")
+  }
+
   test("token budget keeps the hash-order PREFIX, nothing after a cross") {
     val out = Mixing.sampleToTokenBudget(tokenCorpus, "source", "doc_id",
         "n_tokens", weights = Map("web" -> 1.0), tokenBudget = 50)
