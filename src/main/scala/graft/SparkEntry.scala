@@ -186,6 +186,7 @@ object SparkEntry {
     "q_split_leakage" -> PipelineQueries.splitLeakage,
     "q_curriculum" -> PipelineQueries.curriculumBuckets,
     "q_doc_chunks" -> PipelineQueries.docChunks,
+    "q_sentence_chunks" -> PipelineQueries.sentenceChunks,
     "q_token_mix" -> PipelineQueries.tokenMix,
     "q_stream_chunks" -> ((s, d) => streaming.StreamOps.streamChunks(s, d)),
     "q_merge_schema" -> SourceQueries.mergeSchema,
@@ -1535,6 +1536,42 @@ object SparkEntry {
       GROUP BY lang, bucket""",
 
     "q_doc_chunks" -> docChunksSql,
+
+    // greedy no-straddle sentence chunking: the sequential merge is a
+    // recursive CTE walking sentences in order per doc (oracle-side
+    // cost only — the engine's fold runs inside the row)
+    "q_sentence_chunks" -> """
+      WITH RECURSIVE
+      base AS (
+        SELECT doc_id,
+               list_filter(
+                 string_split(
+                   regexp_replace(replace(text, 'merge', 'merge.'),
+                     '([.!?]+) ', '\1' || chr(1), 'g'), chr(1)),
+                 x -> len(x) > 0) AS sents
+        FROM documents),
+      s AS (
+        SELECT doc_id, generate_subscripts(sents, 1)::INT AS sent_id,
+               unnest(sents) AS sentence
+        FROM base WHERE len(sents) > 0),
+      sc AS (
+        SELECT doc_id, sent_id, sentence,
+               len(list_filter(string_split(sentence, ' '),
+                 t -> len(t) > 0))::INT AS n_tokens
+        FROM s),
+      g AS (
+        SELECT doc_id, sent_id, sentence, n_tokens,
+               1::INT AS chunk_id, n_tokens AS acc
+        FROM sc WHERE sent_id = 1
+        UNION ALL
+        SELECT sc.doc_id, sc.sent_id, sc.sentence, sc.n_tokens,
+               (CASE WHEN g.acc + sc.n_tokens > 24
+                     THEN g.chunk_id + 1 ELSE g.chunk_id END)::INT,
+               CASE WHEN g.acc + sc.n_tokens > 24
+                    THEN sc.n_tokens ELSE g.acc + sc.n_tokens END
+        FROM g JOIN sc ON sc.doc_id = g.doc_id
+                      AND sc.sent_id = g.sent_id + 1)
+      SELECT doc_id, sent_id, chunk_id, n_tokens, sentence FROM g""",
     // the streaming replay chunks the SAME corpus with the SAME operator
     // — one oracle, two execution modes
     "q_stream_chunks" -> docChunksSql,

@@ -244,6 +244,19 @@ object PipelineQueries {
         (5 to 19).map(i => s"src$i" -> 0.02).toMap,
       budget = 250)
 
+  /** Sentence-boundary greedy chunking (round 5): [[graft.operators
+    * .Chunking.sentences]] over a fixture that plants sentence
+    * terminators in the synthetic corpus (every `merge` token ends a
+    * sentence — a plain substring replace both engines reproduce
+    * byte-identically; the vocabulary contains no other token with
+    * `merge` as a substring). Greedy ≤24-token chunks, no sentence
+    * straddles. */
+  val sentenceChunks: Q = (s, d) =>
+    graft.operators.Chunking.sentences(
+      Tables.documents(s, d).select(col("doc_id"),
+        replace(col("text"), lit("merge"), lit("merge.")).as("text")),
+      "doc_id", "text", maxTokens = 24)
+
   /** Temperature-scaled mixing (round 5): weights w_g ∝ n_g^0.5 derived
     * from the data itself ([[graft.operators.Mixing
     * .sampleToTemperature]]). The fixture gives the four synthetic
