@@ -123,6 +123,8 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, d) => streaming.StreamOps.streamDedup(s, d)),
     "q_stream_stream_join" ->
       ((s, d) => streaming.StreamOps.streamStreamJoin(s, d)),
+    "q_stream_stream_left" ->
+      ((s, d) => streaming.StreamOps.streamStreamLeftJoin(s, d)),
     "q_stream_static_join" ->
       ((s, d) => streaming.StreamOps.streamStaticJoin(s, d)),
     "q_stream_stateful" -> ((s, d) => streaming.StreamOps.statefulPerUser(s, d)),
@@ -486,6 +488,28 @@ object SparkEntry {
         ON e.user_id = p.user_id
        AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
       WHERE e.event_type = 'error' AND p.event_type = 'purchase'""",
+
+    // left-outer replay: unmatched errors kept only when the window
+    // closed >= 1 min before the final watermark (min of the two
+    // sides' max ts, minus the 1 h delay) — the identical cut the
+    // engine-side query applies, so emission boundaries never flake
+    "q_stream_stream_left" -> """
+      WITH err AS (
+        SELECT event_id AS err_id, user_id, ts FROM events
+        WHERE event_type = 'error'),
+      buy AS (
+        SELECT event_id AS buy_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'),
+      wm AS (
+        SELECT least((SELECT max(ts) FROM err),
+                     (SELECT max(ts) FROM buy))
+               - INTERVAL 1 HOUR - INTERVAL 1 MINUTE AS cut)
+      SELECT e.err_id, b.buy_id, e.user_id
+      FROM err e LEFT JOIN buy b
+        ON e.user_id = b.user_id
+       AND b.ts >= e.ts AND b.ts <= e.ts + INTERVAL 1 HOUR
+      WHERE b.buy_id IS NOT NULL
+         OR e.ts + INTERVAL 1 HOUR <= (SELECT cut FROM wm)""",
 
     "q_agg_stats" -> """
       SELECT l_returnflag,

@@ -161,6 +161,55 @@ object StreamOps {
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, streamStreamPlan(spark, dir), OutputMode.Append())
 
+  /** Stream-stream LEFT OUTER join: same keys and time bound as
+    * [[streamStreamPlan]], but an error with NO purchase in the
+    * following hour still emits (null buy_id) — once the watermark
+    * passes the end of its match window and the engine can PROVE no
+    * match is coming. Carries `t1` so the caller can reason about which
+    * unmatched rows the watermark has definitively resolved. */
+  def streamStreamLeftPlan(spark: SparkSession, dir: String): DataFrame = {
+    val ev = replayEvents(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("u1"), col("ts").as("t1"),
+        col("event_id").as("err_id"))
+      .withWatermark("t1", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("t2"),
+        col("event_id").as("buy_id"))
+      .withWatermark("t2", "1 hour")
+    errors.join(purchases,
+      col("u1") === col("u2")
+        && col("t2") >= col("t1")
+        && col("t2") <= col("t1") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("err_id"), col("buy_id"), col("u1").as("user_id"),
+        col("t1"))
+  }
+
+  /** The left-outer replay, restricted to DETERMINISTIC rows: matched
+    * pairs always emit, but a null-extended row only emits once the
+    * final watermark passes its window's end — an engine-internal
+    * boundary (which no-data batch ran last). Both this and the batch
+    * oracle therefore keep unmatched rows only when the window closed a
+    * full minute before the final watermark; boundary-straddling rows
+    * are excluded IDENTICALLY on both sides, so the gate is exact while
+    * still proving null-extension semantics. */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val raw = runToMemory(spark, streamStreamLeftPlan(spark, dir),
+      OutputMode.Append())
+    val ev = graft.sources.Tables.events(spark, dir)
+    val horizon = ev.agg(least(
+        max(when(col("event_type") === "error", col("ts"))),
+        max(when(col("event_type") === "purchase", col("ts"))))
+        .as("wmax"))
+      .select((col("wmax") - expr("INTERVAL 1 HOUR")
+        - expr("INTERVAL 1 MINUTE")).as("cut"))
+    raw.crossJoin(broadcast(horizon))
+      .filter(col("buy_id").isNotNull ||
+        col("t1") + expr("INTERVAL 1 HOUR") <= col("cut"))
+      .select("err_id", "buy_id", "user_id")
+  }
+
   /** Custom per-key state via flatMapGroupsWithState (E32): running
     * count/sum per user, emitted after each batch. State is BOUNDED: a
     * watermark plus `EventTimeTimeout` evicts a user's state once no
