@@ -201,6 +201,7 @@ object SparkEntry {
     "q_bigram_surprisal" -> PipelineQueries.bigramSurprisal,
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
+    "q_semantic_decontam" -> PipelineQueries.semanticDecontam,
     "q_utf8_normalize" -> TextQueries.utf8Normalize,
     "q_strip_markup" -> TextQueries.stripMarkup,
     "q_url_parse" -> TextQueries.urlParse,
@@ -1794,6 +1795,9 @@ object SparkEntry {
              list_transform(range(0, 64),
                i -> coalesce(map_extract(mp, i)[1], 0)::BIGINT) AS tf
       FROM m""",
+
+    "q_semantic_decontam" -> """
+      SELECT vec_id, vec_id < 10 AS contaminated FROM embeddings""",
 
     "q_bloom_decontam" -> """
       WITH toked AS (

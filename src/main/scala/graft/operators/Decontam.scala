@@ -73,6 +73,36 @@ object Decontam {
       .withColumn("contaminated", col("n_flagged") > 0L)
   }
 
+  /** Embedding-space decontamination — the SEMANTIC tier the n-gram
+    * forms can't see (a paraphrased eval question shares no 5-gram with
+    * its source; SemDeDup, Abbas et al. 2023, applies the same
+    * cosine-threshold rule across sets): flag corpus vectors whose
+    * cosine to ANY bench vector reaches `threshold`.
+    *
+    * Scale shape: the bench side collapses to ONE row (an eval suite is
+    * thousands of vectors, not billions) that broadcasts to every
+    * executor, and the per-row max-cosine fold runs INSIDE the corpus
+    * scan — map-only, no corpus-side shuffle, same posture as
+    * [[bloomDecontam]]. A bench too large for one broadcast row belongs
+    * in [[graft.operators.AnnSearch]] bucketed search instead.
+    *
+    * Returns (idCol, contaminated) for every corpus row. Verdicts are
+    * exact (brute-force over the bench, no LSH recall loss); the cosine
+    * itself is float arithmetic, so gate on the BOOLEAN at a threshold
+    * the fixture keeps far from any real pair (see the driver gate). */
+  def semanticOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(corpus.sparkSession)
+    val benchRow = bench.agg(collect_list(col(vecCol)).as("__bvecs"))
+    corpus.select(col(idCol), col(vecCol).as("__v"))
+      .join(broadcast(benchRow))
+      .select(col(idCol),
+        exists(col("__bvecs"),
+          b => GraftFunctions.cosineSim(col("__v"), b) >= threshold)
+          .as("contaminated"))
+  }
+
   /** [[bloomDecontam]] keyed on 64-bit n-gram hashes — the REAL 100 TB
     * shape: the native `ngram_hashes` kernel hashes byte ranges of the
     * text (no token arrays, no n-gram strings materialized — profiling

@@ -84,6 +84,17 @@ object PipelineQueries {
       n = 5, mBits = 16384, k = 3)
   }
 
+  /** Semantic decontamination gate (round 5): bench = the first ten
+    * corpus vectors themselves, so every vec_id < 10 row is its own
+    * bench twin at cosine ~1 while threshold 0.999 keeps genuine corpus
+    * pairs out (the q_semantic_dedup_planted argument, cross-set).
+    * Exact boolean verdict per corpus row, closed-form oracle. */
+  val semanticDecontam: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    Decontam.semanticOverlap(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", threshold = 0.999)
+  }
+
   /** Compressibility filter, planted gate (round 5): the corpus plus 10
     * planted template-spam docs (must flag too_repetitive) and 10
     * planted md5-noise docs (must flag too_random). Deflate byte counts

@@ -126,6 +126,29 @@ class DecontamSpec extends SparkSpec {
     assert(hits("alpha") && !hits("delta"))
   }
 
+  test("semantic decontam flags exact twins and scaled copies, not others") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    // bench: copies of vectors 0-4 plus SCALED copies of 5-9 (x2 each
+    // component) — cosine is scale-invariant, so the n-gram tiers'
+    // blind spot (surface form changed, meaning identical) is exactly
+    // what must still be caught
+    val bench = emb.filter(col("vec_id") < 5).select("embedding")
+      .unionAll(emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(transform(col("embedding"),
+          x => (x * 2.0f)).as("embedding")))
+    val flagged = Decontam.semanticOverlap(emb, bench,
+        "vec_id", "embedding", threshold = 0.999)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    assert((0L until 10L).forall(flagged), s"twins missing: $flagged")
+    // verdict coverage: every corpus row gets a row, most unflagged
+    val total = Decontam.semanticOverlap(emb, bench,
+      "vec_id", "embedding", threshold = 0.999).count()
+    assert(total == emb.count())
+    assert(flagged.size < total / 2,
+      "threshold 0.999 must not flag the bulk of the corpus")
+  }
+
   test("keep-best dedup keeps the highest-quality copy of a dup cluster") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 8
