@@ -480,6 +480,50 @@ object ScaleBench {
     results += (("incr_dedup", tin1, tinN))
     idxSigs1.unpersist(); idxSigsN.unpersist()
 
+    // ---- round-5 session-3 operators ----
+    // sentence chunking: plant terminators so every doc is multi-
+    // sentence (the fold actually iterates); map-only, expect ~linear
+    def sentenceFix(df: DataFrame) = df.select(col("doc_id"),
+      replace(col("text"), lit("merge"), lit("merge.")).as("text"))
+    val tsc1 = time("sentence_chunks 1x")(noop(graft.operators.Chunking
+      .sentences(sentenceFix(docs1), "doc_id", "text", 24)))
+    val tscN = time(s"sentence_chunks ${factor}x")(noop(graft.operators
+      .Chunking.sentences(sentenceFix(docsN), "doc_id", "text", 24)))
+    results += (("sentence_chunks", tsc1, tscN))
+
+    // temperature mixing: replication multiplies every group count ×N
+    // (same 20 sources) — the count agg and the quota'd scan both grow,
+    // the driver-side weight math stays |groups|
+    val ttm1 = time("temperature_mix 1x")(noop(graft.operators.Mixing
+      .sampleToTemperature(docs1, "source", "doc_id", 0.5, 1000)))
+    val ttmN = time(s"temperature_mix ${factor}x")(noop(graft.operators
+      .Mixing.sampleToTemperature(docsN, "source", "doc_id", 0.5, 1000)))
+    results += (("temperature_mix", ttm1, ttmN))
+
+    // semantic decontam: bench FIXED (eval suites don't grow), corpus
+    // replicates — per-row cost is |bench|·dim, map-only
+    val benchVecs = emb1.filter(col("vec_id") < 100).select("embedding")
+    val tsd1 = time("semantic_decontam 1x")(noop(graft.operators.Decontam
+      .semanticOverlap(emb1, benchVecs, "vec_id", "embedding", 0.999)))
+    val tsdN = time(s"semantic_decontam ${factor}x")(noop(
+      graft.operators.Decontam.semanticOverlap(embN, benchVecs,
+        "vec_id", "embedding", 0.999)))
+    results += (("semantic_decontam", tsd1, tsdN))
+
+    // ivfpq append: FIXED batch against an index over the replicated
+    // corpus — append cost must track the batch, not the corpus (the
+    // codes union is lazy; force it through the count)
+    val appendBatch1 = emb1.filter(col("vec_id") < 500)
+      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+    val idx1 = graft.operators.IvfPq.build(emb1)
+    val idxN = graft.operators.IvfPq.build(embN)
+    idx1.codes.count(); idxN.codes.count() // build outside the window
+    val tia1 = time("ivfpq_append 1x")(noop(
+      graft.operators.IvfPq.append(idx1, appendBatch1).codes))
+    val tiaN = time(s"ivfpq_append ${factor}x")(noop(
+      graft.operators.IvfPq.append(idxN, appendBatch1).codes))
+    results += (("ivfpq_append", tia1, tiaN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")
