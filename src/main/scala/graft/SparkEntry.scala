@@ -33,6 +33,7 @@ object SparkEntry {
     // joins (E7–E12)
     "q_join_inner" -> RelationalQueries.joinInner,
     "q_join_broadcast" -> RelationalQueries.joinBroadcast,
+    "q_join_skew_salted" -> RelationalQueries.joinSkewSalted,
     "q_join_left" -> RelationalQueries.joinLeft,
     "q_join_full" -> RelationalQueries.joinFull,
     "q_join_semi" -> RelationalQueries.joinSemi,
@@ -298,6 +299,14 @@ object SparkEntry {
              array_to_string(list_sort(list(n_name)),',') AS nations
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name""",
+
+    // salting is result-invisible: the oracle is the PLAIN equi join
+    "q_join_skew_salted" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+               AS DOUBLE) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1""",
 
     "q_join_left" -> """
       SELECT c_custkey, count(o_orderkey) AS n_orders,

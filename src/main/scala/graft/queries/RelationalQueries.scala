@@ -250,6 +250,24 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_orders"),
         Exact.sumMoney(col("o_totalprice")).as("total"))
 
+  /** Salted skew join (round 5): [[graft.operators.SkewJoin
+    * .saltedEquiJoin]] sprays lineitem across 8 sub-keys per orderkey
+    * and replicates the orders side 8× — the structural fix for
+    * pathological hot keys AQE can't pre-empt. Salting must be
+    * RESULT-INVISIBLE, so the oracle is simply the plain equi join;
+    * exact decimal sums keep the gate summation-order-free. */
+  val joinSkewSalted: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedEquiJoin(li, ord, "okey",
+        saltFactor = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        Exact.sumMoney(col("l_extendedprice")).as("sum_price"))
+  }
+
   /** Broadcast join of two dimension tables (E8) — explicitly hinted so the
     * 5-row region side never shuffles. */
   val joinBroadcast: Q = (s, d) =>
