@@ -196,6 +196,7 @@ object SparkEntry {
     "q_profile_cat" -> PipelineQueries.profileCategorical,
     "q_cluster_planted" -> VectorQueries.clusterPlanted,
     "q_sessionize" -> PipelineQueries.sessionize,
+    "q_funnel" -> PipelineQueries.funnel,
     "q_corpus_diff" -> PipelineQueries.corpusDiff,
     "q_editdist_neardup" -> PipelineQueries.editDistNearDup,
     "q_cms_freq" -> PipelineQueries.cmsFreq,
@@ -1655,6 +1656,26 @@ object SparkEntry {
                  ORDER BY cnt DESC, value)::INT AS rank
         FROM c) t
       WHERE rank <= 3""",
+
+    "q_funnel" -> """
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS click_ts
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s1.signup_ts
+        GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS purchase_ts
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.click_ts
+        GROUP BY 1)
+      SELECT s1.user_id, s1.signup_ts, s2.click_ts, s3.purchase_ts,
+             s2.user_id IS NOT NULL AS reached_click,
+             s3.user_id IS NOT NULL AS converted
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id""",
 
     "q_sessionize" -> """
       WITH e AS (

@@ -418,6 +418,32 @@ object PipelineQueries {
     graft.operators.Sessionize.sessions(
       Tables.events(s, d), "user_id", "ts", "event_id", gapSec = 1800)
 
+  /** Multi-step conversion funnel (round 5): per user, the first
+    * signup, the first click AT-OR-AFTER that signup, and the first
+    * purchase at-or-after that click — the standard product-analytics
+    * sequence measure. Three chained min-aggregations, each a
+    * partial-aggregating shuffle on user_id that AQE co-locates with
+    * the next step's join; no window sorts, no self-join explosion
+    * (each step's input is pre-filtered to one event type). */
+  val funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy("user_id").agg(min("ts").as("click_ts"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") >= col("click_ts"))
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ts"), col("click_ts"),
+        col("purchase_ts"),
+        col("click_ts").isNotNull.as("reached_click"),
+        col("purchase_ts").isNotNull.as("converted"))
+  }
+
   /** Corpus snapshot diff (round 5): v2 deterministically drops every
     * 7th doc, rewrites every 5th, and appends 10 new ids; the summary
     * classifies every id with an order-independent per-status id
