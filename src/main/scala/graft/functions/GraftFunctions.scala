@@ -62,6 +62,9 @@ object GraftFunctions {
     "chunk_windows" -> (es => ChunkWindows(es(0),
       intArg(es(1), "chunk_windows"), intArg(es(2), "chunk_windows"))),
     "cluster_assign" -> (es => ClusterAssign(es(0), es(1))),
+    "sentence_split" -> (es => SentenceSplit(es(0))),
+    "greedy_chunks" -> (es => GreedyChunks(es(0),
+      intArg(es(1), "greedy_chunks"))),
     "bloom_agg" -> (es => BloomAgg(es(0), intArg(es(1), "bloom_agg"),
       intArg(es(2), "bloom_agg")).toAggregateExpression()),
     "bloom_contains" -> (es => BloomContains(es(0), es(1),
@@ -175,4 +178,11 @@ object GraftFunctions {
   /** Argmax-cosine centroid assignment: struct(centroid_id, sim). */
   def clusterAssign(vec: Column, cents: Column): Column =
     call_function("cluster_assign", vec, cents)
+  /** Sentences split on `[.!?]+` + one consumed space, empties dropped. */
+  def sentenceSplit(text: Column): Column =
+    call_function("sentence_split", text)
+  /** Greedy no-straddle chunk ids over per-element token counts. */
+  def greedyChunks(counts: Column, maxTokens: Int): Column =
+    call_function("greedy_chunks", counts,
+      org.apache.spark.sql.functions.lit(maxTokens))
 }

@@ -302,3 +302,88 @@ case class ClusterAssign(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Expression = copy(l, r)
 }
+
+/** sentence_split(text): sentences split on terminator runs (`[.!?]+`
+  * followed by one space, which is consumed) — byte-identical to the
+  * capture-and-reemit regexp form [[graft.operators.Chunking.sentences]]
+  * documents, with empty fragments dropped. SQL-parity kernel. */
+case class SentenceSplit(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "sentence_split"
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"sentence_split expects string, got ${t.catalogString}")
+    }
+
+  private def isTerm(b: Byte): Boolean =
+    b == '.'.toByte || b == '!'.toByte || b == '?'.toByte
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].getBytes // UTF-8; terminators ASCII
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (isTerm(s(i))) {
+        var j = i
+        while (j + 1 < s.length && isTerm(s(j + 1))) j += 1
+        if (j + 1 < s.length && s(j + 1) == ' '.toByte) {
+          // sentence = [start, j]; the single following space is consumed
+          if (j + 1 > start)
+            out += UTF8String.fromBytes(s, start, j + 1 - start)
+          start = j + 2
+        }
+        i = j + 1
+      } else i += 1
+    }
+    if (s.length > start)
+      out += UTF8String.fromBytes(s, start, s.length - start)
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** greedy_chunks(counts, max_tokens): per-element chunk ids of the
+  * greedy no-straddle merge — element i joins the open chunk while the
+  * running total stays <= max_tokens, else opens the next chunk (the
+  * first element always joins chunk 1). The fold behind
+  * [[graft.operators.Chunking.sentences]], exposed for SQL users. */
+case class GreedyChunks(child: Expression, maxTokens: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(maxTokens >= 1, s"greedy_chunks max must be >= 1, got $maxTokens")
+  override def prettyName: String = "greedy_chunks"
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"greedy_chunks expects array<int>, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val counts = v.asInstanceOf[ArrayData]
+    val n = counts.numElements()
+    val out = new Array[Int](n)
+    var acc = 0; var cid = 1; var i = 0
+    while (i < n) {
+      val c = counts.getInt(i)
+      if (acc > 0 && acc + c > maxTokens) { cid += 1; acc = c }
+      else acc += c
+      out(i) = cid
+      i += 1
+    }
+    new GenericArrayData(out.map(Int.box).asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

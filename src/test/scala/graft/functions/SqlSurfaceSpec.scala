@@ -123,6 +123,42 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sqlForm.count() === 5)
   }
 
+  test("sentence_split + greedy_chunks reproduce Chunking.sentences") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b c. d e! f g? h"),
+      (2L, "a. b c d e f. g"),
+      (3L, "a b?! c d"),
+      (4L, "no terminators here"),
+      (5L, ""))).toDF("id", "text")
+    val op = graft.operators.Chunking.sentences(df, "id", "text", 5)
+    df.createOrReplaceTempView("sent_src")
+    val sqlForm = spark.sql(
+      """WITH s AS (
+        |  SELECT id, sentence_split(text) AS sents FROM sent_src),
+        |c AS (
+        |  SELECT id, sents,
+        |         greedy_chunks(transform(sents,
+        |           x -> size(filter(split(x, ' '), t -> length(t) > 0))),
+        |           5) AS cids,
+        |         transform(sents,
+        |           x -> size(filter(split(x, ' '), t -> length(t) > 0)))
+        |           AS cnts
+        |  FROM s WHERE size(sents) > 0)
+        |SELECT id, pos + 1 AS sent_id, cids[pos] AS chunk_id,
+        |       cnts[pos] AS n_tokens, sent AS sentence
+        |FROM c LATERAL VIEW posexplode(sents) AS pos, sent""".stripMargin)
+    assert(sqlForm.exceptAll(op).isEmpty && op.exceptAll(sqlForm).isEmpty,
+      "SQL kernel pipeline must equal the DataFrame operator row-for-row")
+    // the regexp form the operator documents agrees with the kernel on
+    // a spaced-out edge case (double space after the terminator)
+    val edge = spark.sql("SELECT sentence_split('a.  b c. d')")
+      .head().getSeq[String](0)
+    assert(edge === Seq("a.", " b c.", "d"),
+      s"one space consumed, the second kept: $edge")
+  }
+
   test("cluster_assign reproduces Clustering.assign's argmax contract") {
     import org.apache.spark.sql.functions._
     GraftFunctions.register(spark)
