@@ -64,11 +64,28 @@ object StreamOps {
   def runToMemory(spark: SparkSession, out: DataFrame,
       mode: OutputMode): DataFrame = {
     val name = s"graft_stream_${sinkId.incrementAndGet()}"
-    val q = out.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .start()
+    // Replay-harness state sizing: a stateful operator commits EVERY
+    // state-store partition per microbatch (a stream-stream join holds
+    // four stores per partition), and the commit cost is per-store
+    // constant — at 32 shuffle partitions the single-batch replay pays
+    // 128 commits for megabytes of state. Cap the replay's state
+    // partitioning at 8 (the driver's own correctness harness already
+    // runs these plans at 4): identical results — the gates hash the
+    // OUTPUT, which never depends on partition count — and the
+    // streaming conf is restored right after start() so batch plans in
+    // the same session keep the session default. A production
+    // deployment sizes this to its cluster, not to a replay.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q =
+      try {
+        spark.conf.set(key, math.min(prev.toInt, 8).toString)
+        out.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .start()
+      } finally spark.conf.set(key, prev)
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name)
