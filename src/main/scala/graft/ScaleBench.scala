@@ -524,6 +524,15 @@ object ScaleBench {
       graft.operators.IvfPq.append(idxN, appendBatch1).codes))
     results += (("ivfpq_append", tia1, tiaN))
 
+    // BPE: corpus collapses to the word-frequency vocab in ONE shuffle;
+    // the 5 merge iterations then run on the vocab only — expect the
+    // ratio to track the initial agg, not the iterations
+    val tbp1 = time("bpe_train 1x") {
+      graft.operators.BpeTrain.learnMerges(docs1, "text", 5) }
+    val tbpN = time(s"bpe_train ${factor}x") {
+      graft.operators.BpeTrain.learnMerges(docsN, "text", 5) }
+    results += (("bpe_train", tbp1, tbpN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

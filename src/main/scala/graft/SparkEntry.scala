@@ -197,6 +197,7 @@ object SparkEntry {
     "q_cluster_planted" -> VectorQueries.clusterPlanted,
     "q_sessionize" -> PipelineQueries.sessionize,
     "q_funnel" -> PipelineQueries.funnel,
+    "q_bpe_merges" -> PipelineQueries.bpeMerges,
     "q_corpus_diff" -> PipelineQueries.corpusDiff,
     "q_editdist_neardup" -> PipelineQueries.editDistNearDup,
     "q_cms_freq" -> PipelineQueries.cmsFreq,
@@ -1656,6 +1657,21 @@ object SparkEntry {
                  ORDER BY cnt DESC, value)::INT AS rank
         FROM c) t
       WHERE rank <= 3""",
+
+    // the fixture's merge sequence is closed-form (freqs 8/6/5/4):
+    // hand-computed pair counts with lexicographic tie-breaks — see
+    // PipelineQueries.bpeMerges and BpeTrainSpec's reference oracle
+    "q_bpe_merges" -> """
+      SELECT * FROM (VALUES
+        (1, 'l',   'o',    14::BIGINT),
+        (2, 'lo',  'w',    14::BIGINT),
+        (3, 'e',   's',     9::BIGINT),
+        (4, 'es',  't',     9::BIGINT),
+        (5, 'est', '</w>',  9::BIGINT),
+        (6, 'low', '</w>',  8::BIGINT),
+        (7, 'e',   'r',     6::BIGINT),
+        (8, 'er',  '</w>',  6::BIGINT))
+        AS t("rank", "left", "right", freq)""",
 
     "q_funnel" -> """
       WITH s1 AS (

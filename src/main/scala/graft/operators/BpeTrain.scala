@@ -1,0 +1,132 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge learning (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units" — the
+  * public BPE algorithm every modern tokenizer vocabulary derives from):
+  * learn the `numMerges` most frequent adjacent symbol pairs, each
+  * chosen merge rewriting the vocabulary before the next count.
+  *
+  * Scale shape — the classic BPE factorization: the corpus collapses
+  * ONCE to the distinct-word frequency table (one shuffle; pair
+  * statistics are word-frequency-weighted, so the iterations never
+  * touch the corpus again). Each iteration is then (a) one partial-agg
+  * shuffle over the VOCABULARY (millions of rows at 100 TB, never
+  * billions), (b) a 1-row argmax collect — the merge table IS a
+  * driver-side artifact, like every tokenizer vocabulary — and (c) a
+  * map-only symbol-fold rewrite. Each iteration's vocabulary is
+  * materialized and its predecessor unpersisted, so lineage stays one
+  * step deep regardless of `numMerges`.
+  *
+  * Determinism: ties on pair frequency break lexicographically (left
+  * symbol, then right), so merge tables reproduce across runs,
+  * partitionings, and engines — the same discipline as
+  * [[Mixing]]'s hash ranking.
+  */
+object BpeTrain {
+
+  /** End-of-word marker: keeps word-final subwords distinct from
+    * word-internal ones (the Sennrich convention). */
+  val EndOfWord = "</w>"
+
+  /** Adjacent symbol pairs of a symbol array (empty below 2 symbols). */
+  private def pairsOf(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(0), size(syms) - 2), i =>
+        struct(element_at(syms, i + 1).as("left"),
+          element_at(syms, i + 2).as("right"))))
+      .otherwise(array().cast("array<struct<left:string,right:string>>"))
+
+  /** One merge rule applied to a symbol array — left-to-right,
+    * non-overlapping, via a pending-symbol fold ("a a a" under (a,a)
+    * becomes ["aa","a"], the BPE contract). */
+  private[operators] def applyMerge(syms: Column, left: String,
+      right: String): Column = {
+    val zero = struct(array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("pend"))
+    val folded = aggregate(syms, zero, (st, s) => {
+      val hit = st.getField("pend") === left && s === right
+      struct(
+        when(hit,
+          concat(st.getField("out"), array(lit(left + right))))
+          .otherwise(when(st.getField("pend").isNotNull,
+            concat(st.getField("out"), array(st.getField("pend"))))
+            .otherwise(st.getField("out"))).as("out"),
+        when(hit, lit(null).cast("string")).otherwise(s).as("pend"))
+    })
+    when(folded.getField("pend").isNotNull,
+      concat(folded.getField("out"), array(folded.getField("pend"))))
+      .otherwise(folded.getField("out"))
+  }
+
+  /** The word-frequency vocabulary of `textCol` as symbol sequences:
+    * (syms = chars + [[EndOfWord]], freq). Single-space lowercase
+    * tokenization — the corpus contract shared with [[Chunking]] and
+    * [[LineDedup]]. */
+  def vocabulary(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(filter(split(lower(col(textCol)), " "),
+        w => length(w) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))),
+        array(lit(EndOfWord))).as("syms"), col("freq"))
+
+  /** Learn the top `numMerges` merge rules. Returns (rank, left, right,
+    * freq), rank 1-based in merge order; stops early when no pair is
+    * left to merge. */
+  def learnMerges(df: DataFrame, textCol: String, numMerges: Int)
+      : DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = vocabulary(df, textCol).cache()
+    val merges = ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = vocab
+        .select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
+        .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+        .agg(sum("freq").as("pfreq"))
+        .orderBy(col("pfreq").desc, col("left").asc, col("right").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, f) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, f))
+        val next = vocab
+          .select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
+          .cache()
+        next.count() // materialize before dropping the parent lineage
+        vocab.unpersist()
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+  }
+
+  /** Encode `textCol`'s words with an ORDERED merge list (the
+    * driver-side artifact [[learnMerges]] produces): applies rules in
+    * rank order — the standard BPE encode. Returns the input plus a
+    * `syms` array column. Plan depth grows with the rule count; encode
+    * with the learned table, not with thousands of speculative rules. */
+  def encode(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(lower(col(textCol)), " "),
+      w => length(w) > 0)
+    val enc = transform(words, w => merges.foldLeft(
+      concat(transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1))), array(lit(EndOfWord)))) {
+      case (acc, (l, r)) => applyMerge(acc, l, r)
+    })
+    df.withColumn("syms", flatten(enc))
+  }
+}

@@ -418,6 +418,22 @@ object PipelineQueries {
     graft.operators.Sessionize.sessions(
       Tables.events(s, d), "user_id", "ts", "event_id", gapSec = 1800)
 
+  /** BPE merge learning (round 5): [[graft.operators.BpeTrain
+    * .learnMerges]] on the classic Sennrich fixture — word frequencies
+    * 8/6/5/4 for low/lower/newest/widest, derived from doc_id ranges so
+    * the gate reads the corpus table yet the merge sequence is closed
+    * form at every SF (hand-computed in the oracle; ties break
+    * lexicographically). The corpus-scale contract is BpeTrainSpec's
+    * distributed-equals-reference oracle. */
+  val bpeMerges: Q = (s, d) => {
+    val fix = Tables.documents(s, d).filter(col("doc_id") < 23)
+      .select(when(col("doc_id") < 8, "low")
+        .when(col("doc_id") < 14, "lower")
+        .when(col("doc_id") < 19, "newest")
+        .otherwise("widest").as("text"))
+    graft.operators.BpeTrain.learnMerges(fix, "text", numMerges = 8)
+  }
+
   /** Multi-step conversion funnel (round 5): per user, the first
     * signup, the first click AT-OR-AFTER that signup, and the first
     * purchase at-or-after that click — the standard product-analytics

@@ -1,0 +1,114 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Oracles for distributed BPE merge learning: an independent plain-
+  * Scala reference implementation must produce the identical merge
+  * table on the real corpus, and the classic Sennrich fixture has a
+  * hand-checkable merge sequence. */
+class BpeTrainSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Reference BPE (independent implementation: driver-side maps, no
+    * Spark) — same tie rule: max freq, then (left, right) lexicographic. */
+  private def refMerges(words: Map[String, Long], n: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = words.toSeq
+      .map { case (w, f) =>
+        (w.map(_.toString).toVector :+ BpeTrain.EndOfWord) -> f }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var go = true
+    while (rank <= n && go) {
+      val counts = mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          counts(p) += f
+        }
+      }
+      if (counts.isEmpty) go = false
+      else {
+        val ((l, r), f) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, l, r, f))
+        vocab = vocab.toSeq.map { case (syms, wf) =>
+          val merged = mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              merged += l + r; i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.toVector -> wf
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def asTuples(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  test("classic Sennrich fixture merges in the hand-computed order") {
+    val words = Seq.fill(8)("low") ++ Seq.fill(6)("lower") ++
+      Seq.fill(5)("newest") ++ Seq.fill(4)("widest")
+    val got = asTuples(
+      BpeTrain.learnMerges(words.toDF("text"), "text", 8))
+    val expect = Seq(
+      (1, "l", "o", 14L), (2, "lo", "w", 14L),
+      (3, "e", "s", 9L), (4, "es", "t", 9L),
+      (5, "est", "</w>", 9L), (6, "low", "</w>", 8L),
+      (7, "e", "r", 6L), (8, "er", "</w>", 6L))
+    assert(got == expect, s"got $got")
+    assert(got == refMerges(
+      Map("low" -> 8L, "lower" -> 6L, "newest" -> 5L, "widest" -> 4L), 8))
+  }
+
+  test("distributed merges equal the reference on the real corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = asTuples(BpeTrain.learnMerges(docs, "text", 10))
+    val words = docs
+      .select(explode(filter(split(lower(col("text")), " "),
+        w => length(w) > 0)).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refMerges(words, 10),
+      "Spark and reference BPE must learn identical merge tables")
+    assert(got.size == 10)
+    // frequencies are nonincreasing only within equal-vocab rounds, but
+    // every chosen pair's freq is positive and ranks are dense
+    assert(got.map(_._1) == (1 to 10))
+    assert(got.forall(_._4 > 0))
+  }
+
+  test("encode applies the learned table (round-trip on fixture words)") {
+    val words = Seq.fill(8)("low") ++ Seq.fill(6)("lower") ++
+      Seq.fill(5)("newest") ++ Seq.fill(4)("widest")
+    val table = asTuples(
+      BpeTrain.learnMerges(words.toDF("text"), "text", 8))
+      .map(m => (m._2, m._3))
+    val enc = BpeTrain.encode(Seq("low lower newest").toDF("text"),
+        "text", table)
+      .select("syms").head().getSeq[String](0)
+    // low -> low</w>; lower -> low er</w>; newest -> n e w est</w>
+    assert(enc == Seq("low</w>", "low", "er</w>", "n", "e", "w", "est</w>"),
+      s"got $enc")
+  }
+
+  test("merge application is non-overlapping left-to-right") {
+    val got = Seq("aaa").toDF("text")
+    val merged = BpeTrain.encode(got, "text", Seq(("a", "a")))
+      .select("syms").head().getSeq[String](0)
+    assert(merged == Seq("aa", "a", "</w>"), s"got $merged")
+  }
+}
