@@ -524,6 +524,15 @@ object ScaleBench {
       graft.operators.IvfPq.append(idxN, appendBatch1).codes))
     results += (("ivfpq_append", tia1, tiaN))
 
+    // EMA features: replicated user_id multiplies the key count; each
+    // key's history length stays fixed — the fold parallelizes per key
+    def emaF(df: DataFrame) = graft.operators.TimeSeries.emaFeatures(
+      df.select("user_id", "event_id", "ts", "value"),
+      "user_id", "ts", "event_id", "value", alpha = 0.5)
+    val tem1 = time("ema_features 1x")(noop(emaF(ev1)))
+    val temN = time(s"ema_features ${factor}x")(noop(emaF(evN)))
+    results += (("ema_features", tem1, temN))
+
     // BPE: corpus collapses to the word-frequency vocab in ONE shuffle;
     // the 5 merge iterations then run on the vocab only — expect the
     // ratio to track the initial agg, not the iterations

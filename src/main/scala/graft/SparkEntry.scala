@@ -198,6 +198,7 @@ object SparkEntry {
     "q_sessionize" -> PipelineQueries.sessionize,
     "q_funnel" -> PipelineQueries.funnel,
     "q_bpe_merges" -> PipelineQueries.bpeMerges,
+    "q_ema_features" -> PipelineQueries.emaFeatures,
     "q_corpus_diff" -> PipelineQueries.corpusDiff,
     "q_editdist_neardup" -> PipelineQueries.editDistNearDup,
     "q_cms_freq" -> PipelineQueries.cmsFreq,
@@ -1657,6 +1658,26 @@ object SparkEntry {
                  ORDER BY cnt DESC, value)::INT AS rank
         FROM c) t
       WHERE rank <= 3""",
+
+    // the EMA recurrence walks the identical (ts, event_id) order and
+    // op sequence in both engines — exact on raw doubles
+    "q_ema_features" -> """
+      WITH RECURSIVE e AS (
+        SELECT user_id, event_id, ts, value::DOUBLE AS v,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+        FROM events),
+      r AS (
+        SELECT user_id, event_id, ts, v, rn,
+               NULL::DOUBLE AS prev_value, NULL::DOUBLE AS delta,
+               v AS ema
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_id, e.ts, e.v, e.rn,
+               r.v, e.v - r.v, e.v * 0.5 + r.ema * 0.5
+        FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      SELECT user_id, event_id, ts, v AS value, prev_value, delta, ema
+      FROM r""",
 
     // the fixture's merge sequence is closed-form (freqs 8/6/5/4):
     // hand-computed pair counts with lexicographic tie-breaks — see

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-key time-series feature extraction: previous value, delta, and
+  * exponential moving average per event — the feature-engineering pass
+  * every behavioral/training-signal pipeline runs over an event log.
+  *
+  * The EMA is a sequential recurrence (`ema_i = α·v_i + (1−α)·ema_{i−1}`,
+  * seeded with the first value), which no window frame expresses — the
+  * same class as [[Chunking.sentences]]' greedy fold, solved the same
+  * Spark-first way: ONE groupBy(key) shuffle collects each key's events,
+  * an in-row `array_sort` orders them by (ts, id), one `aggregate` fold
+  * computes prev/delta/EMA for every element, and `explode` restores
+  * row-per-event. No window sorts, no second exchange, no driver state.
+  *
+  * Scale note: a key's whole history rides one row through the fold, so
+  * per-key cardinality must fit an executor row (true for user-keyed
+  * event logs; a key with unbounded history belongs in the streaming
+  * form — [[graft.streaming.StreamOps.statefulTransform]] holds the same
+  * running state with watermark eviction).
+  */
+object TimeSeries {
+
+  /** Returns (keyCol, idCol, tsCol, value, prev_value, delta, ema):
+    * one row per input event, ordered-by-(ts, id) semantics per key.
+    * `prev_value`/`delta` are null on each key's first event. */
+  def emaFeatures(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val collected = df
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("ts"), col(idCol).as("id"),
+        col(valCol).cast("double").as("v")))).as("__evs"))
+    // fold state: (prev value or null, prev ema or null, out rows)
+    val zero = struct(
+      lit(null).cast("double").as("pv"),
+      lit(null).cast("double").as("pema"),
+      array().cast(
+        "array<struct<id:bigint,ts:timestamp,v:double," +
+          "prev_value:double,delta:double,ema:double>>").as("out"))
+    val folded = aggregate(col("__evs"), zero, (st, e) => {
+      val ema = when(st.getField("pema").isNull, e.getField("v"))
+        .otherwise(e.getField("v") * alpha +
+          st.getField("pema") * (1.0 - alpha))
+      struct(
+        e.getField("v").as("pv"),
+        ema.as("pema"),
+        concat(st.getField("out"), array(struct(
+          e.getField("id").cast("bigint").as("id"),
+          e.getField("ts").as("ts"),
+          e.getField("v").as("v"),
+          st.getField("pv").as("prev_value"),
+          (e.getField("v") - st.getField("pv")).as("delta"),
+          ema.as("ema")))).as("out"))
+    })
+    collected
+      .select(col(keyCol), explode(folded.getField("out")).as("__e"))
+      .select(col(keyCol), col("__e.id").as(idCol),
+        col("__e.ts").as(tsCol), col("__e.v").as("value"),
+        col("__e.prev_value"), col("__e.delta"), col("__e.ema"))
+  }
+}

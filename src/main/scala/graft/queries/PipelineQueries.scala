@@ -418,6 +418,17 @@ object PipelineQueries {
     graft.operators.Sessionize.sessions(
       Tables.events(s, d), "user_id", "ts", "event_id", gapSec = 1800)
 
+  /** Per-key EMA features (round 5): [[graft.operators.TimeSeries
+    * .emaFeatures]] over the event log — lag/delta/EMA per user in ONE
+    * shuffle (in-row sort + fold, no window exchange). The EMA chain is
+    * the identical IEEE op sequence in both engines (the oracle's
+    * recursive CTE walks the same (ts, id) order), so the gate is
+    * STRICT-exact on raw doubles. */
+  val emaFeatures: Q = (s, d) =>
+    graft.operators.TimeSeries.emaFeatures(
+      Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
+      "user_id", "ts", "event_id", "value", alpha = 0.5)
+
   /** BPE merge learning (round 5): [[graft.operators.BpeTrain
     * .learnMerges]] on the classic Sennrich fixture — word frequencies
     * 8/6/5/4 for low/lower/newest/widest, derived from doc_id ranges so

@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Closed-form oracles for per-key EMA feature extraction. */
+class TimeSeriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private val fixture = Seq(
+    ("a", 1L, ts(10), 1.0), ("a", 2L, ts(20), 2.0), ("a", 3L, ts(30), 3.0),
+    ("b", 4L, ts(10), 10.0), ("b", 5L, ts(5), 20.0))
+    .toDF("k", "event_id", "ts", "value")
+
+  test("ema recurrence, delta, and lag are exact per key") {
+    val got = TimeSeries
+      .emaFeatures(fixture, "k", "ts", "event_id", "value", alpha = 0.5)
+      .orderBy("k", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]), r.getDouble(6)))
+      .toSeq
+    assert(got == Seq(
+      ("a", 1L, None, None, 1.0),
+      ("a", 2L, Some(1.0), Some(1.0), 1.5),
+      ("a", 3L, Some(2.0), Some(1.0), 2.25),
+      // key b: ordered by ts, so event 5 (ts 5) precedes event 4
+      ("b", 5L, None, None, 20.0),
+      ("b", 4L, Some(20.0), Some(-10.0), 15.0)), s"got $got")
+  }
+
+  test("row count and key coverage match the input") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "value")
+    val out = TimeSeries.emaFeatures(ev, "user_id", "ts", "event_id",
+      "value", alpha = 0.3)
+    assert(out.count() == ev.count(), "one output row per event")
+    assert(out.filter(col("ema").isNull).count() == 0)
+    // first event per key carries no lag
+    val firsts = out.filter(col("prev_value").isNull).count()
+    assert(firsts == ev.select("user_id").distinct().count())
+  }
+
+  test("one shuffle: no window exchange beyond the key groupBy") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ev = graft.sources.Tables.events(spark, sf)
+        .select("user_id", "event_id", "ts", "value")
+      val n = TimeSeries.emaFeatures(ev, "user_id", "ts", "event_id",
+          "value", alpha = 0.5)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }.size
+      assert(n == 1, s"expected exactly one exchange, got $n")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
