@@ -126,6 +126,8 @@ object SparkEntry {
       ((s, d) => streaming.StreamOps.streamStreamJoin(s, d)),
     "q_stream_stream_left" ->
       ((s, d) => streaming.StreamOps.streamStreamLeftJoin(s, d)),
+    "q_stream_stream_full" ->
+      ((s, d) => streaming.StreamOps.streamStreamFullJoin(s, d)),
     "q_stream_static_join" ->
       ((s, d) => streaming.StreamOps.streamStaticJoin(s, d)),
     "q_stream_stateful" -> ((s, d) => streaming.StreamOps.statefulPerUser(s, d)),
@@ -501,6 +503,29 @@ object SparkEntry {
         ON e.user_id = p.user_id
        AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
       WHERE e.event_type = 'error' AND p.event_type = 'purchase'""",
+
+    // full-outer replay: the left-outer margin cut applied to BOTH
+    // sides (a purchase resolves when the watermark passes its own ts)
+    "q_stream_stream_full" -> """
+      WITH err AS (
+        SELECT event_id AS err_id, user_id, ts FROM events
+        WHERE event_type = 'error'),
+      buy AS (
+        SELECT event_id AS buy_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'),
+      wm AS (
+        SELECT least((SELECT max(ts) FROM err),
+                     (SELECT max(ts) FROM buy))
+               - INTERVAL 1 HOUR - INTERVAL 1 MINUTE AS cut)
+      SELECT e.err_id, b.buy_id,
+             coalesce(e.user_id, b.user_id) AS user_id
+      FROM err e FULL JOIN buy b
+        ON e.user_id = b.user_id
+       AND b.ts >= e.ts AND b.ts <= e.ts + INTERVAL 1 HOUR
+      WHERE (e.err_id IS NOT NULL AND b.buy_id IS NOT NULL)
+         OR (b.buy_id IS NULL
+             AND e.ts + INTERVAL 1 HOUR <= (SELECT cut FROM wm))
+         OR (e.err_id IS NULL AND b.ts <= (SELECT cut FROM wm))""",
 
     // left-outer replay: unmatched errors kept only when the window
     // closed >= 1 min before the final watermark (min of the two

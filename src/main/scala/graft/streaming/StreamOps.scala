@@ -227,6 +227,54 @@ object StreamOps {
       .select("err_id", "buy_id", "user_id")
   }
 
+  /** Stream-stream FULL OUTER join: both directions of
+    * [[streamStreamLeftPlan]] — unmatched errors AND unmatched
+    * purchases emit null-extended once the watermark closes their
+    * windows. A purchase at t2 can still match errors with
+    * t1 ∈ [t2 − 1 h, t2], so its side resolves when the watermark
+    * passes t2 itself. */
+  def streamStreamFullPlan(spark: SparkSession, dir: String): DataFrame = {
+    val ev = replayEvents(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("u1"), col("ts").as("t1"),
+        col("event_id").as("err_id"))
+      .withWatermark("t1", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("t2"),
+        col("event_id").as("buy_id"))
+      .withWatermark("t2", "1 hour")
+    errors.join(purchases,
+      col("u1") === col("u2")
+        && col("t2") >= col("t1")
+        && col("t2") <= col("t1") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(col("err_id"), col("buy_id"),
+        coalesce(col("u1"), col("u2")).as("user_id"),
+        col("t1"), col("t2"))
+  }
+
+  /** Deterministic rows of the full-outer replay — the
+    * [[streamStreamLeftJoin]] margin recipe applied to BOTH sides:
+    * unmatched errors kept when t1 + 1 h, unmatched purchases when t2,
+    * closed ≥ 1 min before the final watermark. */
+  def streamStreamFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    val raw = runToMemory(spark, streamStreamFullPlan(spark, dir),
+      OutputMode.Append())
+    val ev = graft.sources.Tables.events(spark, dir)
+    val horizon = ev.agg(least(
+        max(when(col("event_type") === "error", col("ts"))),
+        max(when(col("event_type") === "purchase", col("ts"))))
+        .as("wmax"))
+      .select((col("wmax") - expr("INTERVAL 1 HOUR")
+        - expr("INTERVAL 1 MINUTE")).as("cut"))
+    raw.crossJoin(broadcast(horizon))
+      .filter((col("err_id").isNotNull && col("buy_id").isNotNull) ||
+        (col("buy_id").isNull &&
+          col("t1") + expr("INTERVAL 1 HOUR") <= col("cut")) ||
+        (col("err_id").isNull && col("t2") <= col("cut")))
+      .select("err_id", "buy_id", "user_id")
+  }
+
   /** Custom per-key state via flatMapGroupsWithState (E32): running
     * count/sum per user, emitted after each batch. State is BOUNDED: a
     * watermark plus `EventTimeTimeout` evicts a user's state once no
