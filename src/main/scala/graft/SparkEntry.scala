@@ -205,6 +205,9 @@ object SparkEntry {
     "q_editdist_neardup" -> PipelineQueries.editDistNearDup,
     "q_cms_freq" -> PipelineQueries.cmsFreq,
     "q_bigram_surprisal" -> PipelineQueries.bigramSurprisal,
+    "q_pmi_collocations" -> PipelineQueries.pmiCollocations,
+    "q_cohort_retention" -> PipelineQueries.cohortRetention,
+    "q_resample_ffill" -> PipelineQueries.resampleFfill,
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
     "q_semantic_decontam" -> PipelineQueries.semanticDecontam,
@@ -1867,6 +1870,78 @@ object SparkEntry {
       JOIN uni uc ON uc.tok = bi.cur
       CROSS JOIN g
       GROUP BY bi.doc_id""",
+
+    "q_resample_ffill" -> """
+      WITH s AS (
+        SELECT user_id, epoch_us(ts) // 21600000000 AS slot,
+               ts, event_id, value
+        FROM events),
+      o AS (
+        SELECT user_id, slot, value::DOUBLE AS obs, n_obs FROM (
+          SELECT user_id, slot, value,
+                 row_number() OVER (PARTITION BY user_id, slot
+                   ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id, slot) AS n_obs
+          FROM s) t WHERE rn = 1),
+      g AS (
+        SELECT user_id, unnest(range(mn, mx + 1)) AS slot
+        FROM (SELECT user_id, min(slot) AS mn, max(slot) AS mx
+              FROM o GROUP BY 1) sp),
+      j AS (
+        SELECT g.user_id, g.slot, o.obs,
+               coalesce(o.n_obs, 0)::BIGINT AS n_obs
+        FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.slot = o.slot)
+      SELECT user_id, make_timestamp(slot * 21600000000) AS slot_ts,
+             n_obs, obs IS NULL AS is_gap,
+             last_value(obs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      FROM j""",
+
+    "q_cohort_retention" -> """
+      WITH f AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1),
+      a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        FROM events),
+      s AS (
+        SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1),
+      r AS (
+        SELECT f.cohort_week,
+               (date_diff('day', f.cohort_week, a.activity_week) // 7)::INT
+                 AS week_offset,
+               count(DISTINCT a.user_id) AS n_active
+        FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+      SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_size,
+             round(r.n_active::DOUBLE / s.cohort_size, 6) AS retention
+      FROM r JOIN s USING (cohort_week)""",
+
+    "q_pmi_collocations" -> """
+      WITH base AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                 t -> t <> '') AS tk
+        FROM documents),
+      bi AS (
+        SELECT tk[i - 1] AS prev, tk[i] AS cur
+        FROM base, unnest(range(2, len(tk) + 1)) r(i)
+        WHERE len(tk) >= 2),
+      uni AS (
+        SELECT tok, count(*) AS cu FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+          FROM documents)
+        WHERE tok <> '' GROUP BY tok),
+      pairs AS (
+        SELECT prev, cur, count(*) AS c_pair FROM bi GROUP BY prev, cur),
+      t AS (SELECT count(*)::DOUBLE AS t_bigrams FROM bi)
+      SELECT prev, cur, c_pair, up.cu AS c_prev, uc.cu AS c_cur,
+             round(ln((t_bigrams * c_pair)
+               / (up.cu::DOUBLE * uc.cu::DOUBLE)), 6) AS pmi
+      FROM pairs
+      JOIN uni up ON up.tok = pairs.prev
+      JOIN uni uc ON uc.tok = pairs.cur
+      CROSS JOIN t
+      WHERE c_pair >= 3""",
 
     "q_hashing_tf" -> """
       WITH toks AS (

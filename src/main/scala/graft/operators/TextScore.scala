@@ -119,4 +119,58 @@ object TextScore {
         round(avg(-log(lit(lambda) * pCond + lit(1 - lambda) * pUni)), 6)
           .as("avg_bigram_surprisal"))
   }
+
+  /** Collocation extraction by pointwise mutual information — the
+    * corpus-analysis dual of [[bigramSurprisal]]: instead of scoring
+    * documents against the bigram model, surface the PAIRS the model
+    * says are glued together. `pmi(x,y) = ln(T · c(x,y) / (c(x)·c(y)))`
+    * over corpus counts (T = total bigram tokens): multiword entities
+    * and idioms score high, chance co-occurrences of frequent words
+    * score near zero or negative. Standard vocabulary-building /
+    * tokenizer-seeding signal (Church & Hanks 1990).
+    *
+    * `minCount` prunes the hapax tail BEFORE the count joins — PMI's
+    * known pathology is that a pair seen once between two rare words
+    * maxes the score, and at 100 TB the hapax tail IS most of the pair
+    * vocabulary, so the filter rides the first aggregate and everything
+    * downstream touches only surviving pair types (vocab-sized, not
+    * corpus-sized).
+    *
+    * Scale shape: one positional bigram explode (map-side), one pair
+    * count and one unigram count (word-count shuffles), then pair→count
+    * joins on the PRUNED pair table and a 1-row broadcast of T. The PMI
+    * itself is one log per surviving pair — per-row math over exact
+    * integers, no summation order anywhere.
+    *
+    * Returns (prev, cur, c_pair, c_prev, c_cur, pmi) for every pair
+    * with `c(x,y) >= minCount`. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5): DataFrame = {
+    require(minCount >= 1, "minCount must be at least 1")
+    val tk = filter(Tokenize.tokenCol(textCol), t => t =!= "")
+    val bi = df.select(tk.as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(__tk)), " +
+          "i -> struct(element_at(__tk, i - 1) AS prev, " +
+          "element_at(__tk, i) AS cur))")).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val uni = df.select(explode(Tokenize.tokenCol(textCol)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val pairs = bi.groupBy("prev", "cur").agg(count(lit(1)).as("c_pair"))
+    val total = bi.agg(count(lit(1)).cast("double").as("t_bigrams"))
+    pairs.filter(col("c_pair") >= minCount)
+      .join(uni.select(col("tok").as("prev"), col("cu").as("c_prev")), "prev")
+      .join(uni.select(col("tok").as("cur"), col("cu").as("c_cur")), "cur")
+      .crossJoin(broadcast(total))
+      .select(col("prev"), col("cur"), col("c_pair"), col("c_prev"),
+        col("c_cur"),
+        // denominators cast BEFORE the product: c(x)·c(y) over a
+        // 100 TB corpus exceeds int64 (1e12 · 1e12), and DuckDB would
+        // promote to hugeint while Spark wraps — double on both sides
+        round(log(col("t_bigrams") * col("c_pair")
+          / (col("c_prev").cast("double") * col("c_cur").cast("double"))), 6)
+          .as("pmi"))
+  }
 }

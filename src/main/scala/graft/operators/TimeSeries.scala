@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-key time-series feature extraction: previous value, delta, and
@@ -61,5 +62,51 @@ object TimeSeries {
       .select(col(keyCol), col("__e.id").as(idCol),
         col("__e.ts").as(tsCol), col("__e.v").as("value"),
         col("__e.prev_value"), col("__e.delta"), col("__e.ema"))
+  }
+
+  /** Fixed-grid resampling with forward fill — the gap-filling pass that
+    * turns an irregular event log into the regular series every
+    * downstream feature window / anomaly detector assumes (pandas
+    * `resample().ffill()`, at corpus scale). Each key's observed span is
+    * divided into `intervalSec` slots; a slot's value is its LAST
+    * observation by (ts, id), and empty slots inherit the most recent
+    * earlier value (`is_gap` marks them; leading values are never
+    * invented — the grid starts at each key's first observed slot).
+    *
+    * Slot arithmetic is integer microseconds end-to-end (`unix_micros
+    * div interval`) — sub-second timestamps bucket exactly, no
+    * double rounding anywhere.
+    *
+    * Scale shape: one (key, slot) partial-agg shuffle collapses the
+    * event log to slot grain FIRST (the 100 TB reduction step), then the
+    * grid explode, gap join, and forward-fill window all run at slot
+    * grain — keyed by (key, slot) / key, carrying 8-byte values. A key's
+    * slot count is span/interval, bounded by construction; the fill
+    * window is the standard `last(ignoreNulls)` running frame.
+    *
+    * Returns (keyCol, slot_ts, n_obs, is_gap, value). */
+  def resample(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, intervalSec: Long): DataFrame = {
+    require(intervalSec > 0, s"intervalSec must be positive: $intervalSec")
+    val us = intervalSec * 1000000L
+    val slotted = df.select(col(keyCol),
+      expr(s"unix_micros(`$tsCol`) div $us").as("__slot"),
+      struct(col(tsCol), col(idCol), col(valCol).cast("double").as("v"))
+        .as("__obs"))
+    val perSlot = slotted.groupBy(col(keyCol), col("__slot"))
+      .agg(count(lit(1)).as("n_obs"),
+        max(col("__obs")).getField("v").as("__last"))
+    val grid = perSlot.groupBy(col(keyCol))
+      .agg(min("__slot").as("__s0"), max("__slot").as("__s1"))
+      .select(col(keyCol),
+        explode(sequence(col("__s0"), col("__s1"))).as("__slot"))
+    val w = Window.partitionBy(keyCol).orderBy("__slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perSlot, Seq(keyCol, "__slot"), "left")
+      .select(col(keyCol),
+        timestamp_micros(col("__slot") * us).as("slot_ts"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("__last").isNull.as("is_gap"),
+        last(col("__last"), ignoreNulls = true).over(w).as("value"))
   }
 }

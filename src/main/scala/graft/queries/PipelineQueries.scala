@@ -579,6 +579,55 @@ object PipelineQueries {
         (col("adc") === col("__min")).as("is_min_adc"))
   }
 
+  /** Resample + forward fill (round 5): 6-hour grid per user over the
+    * 30-day event log — slot grain first (the scale reduction), then
+    * grid + running last(ignoreNulls). Values ride through untouched
+    * (no arithmetic), so the gate hashes raw doubles exactly. */
+  val resampleFfill: Q = (s, d) =>
+    graft.operators.TimeSeries.resample(Tables.events(s, d),
+      "user_id", "ts", "event_id", "value", intervalSec = 21600L)
+
+  /** Cohort retention matrix (round 5): the third member of the
+    * product-analytics family (sessionize = within-visit, funnel =
+    * conversion order, retention = repeat engagement over calendar
+    * time). Cohort = ISO week of a user's FIRST event; each cell is
+    * how many of that cohort were active `week_offset` weeks later.
+    *
+    * Scale shape: one user-grain min-aggregate, one distinct over
+    * (user, week) — both shuffle on user_id and at 100 TB carry ids +
+    * 8-byte weeks only — then a cells aggregate whose key space is
+    * weeks², tiny by construction. The cohort_size join is
+    * broadcast-scale (one row per week). Offsets stay exact: Monday
+    * truncation on both engines, day-diffs are multiples of 7. */
+  val cohortRetention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cohorts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).cast("date").as("cohort_week"))
+    val active = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("activity_week"))
+      .distinct()
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("activity_week"), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+
+  /** PMI collocations (round 5): corpus-level glued-pair extraction —
+    * the vocabulary-building dual of the surprisal filters. minCount=3
+    * at sf0.01 keeps the gate's output vocabulary-sized; per-row log
+    * over exact counts, no summation order anywhere. */
+  val pmiCollocations: Q = (s, d) =>
+    graft.operators.TextScore.pmiCollocations(
+      Tables.documents(s, d), "text", minCount = 3)
+
   /** PQ-compressed ANN: train → encode (32× smaller than raw vectors) →
     * ADC top-k from codes only (rows-only; recall + reconstruction
     * oracles in PqSpec). */

@@ -20,6 +20,31 @@ class TextScoreSpec extends SparkSpec {
     assert(got(2L) == ((2L, r6(-(math.log(pa) + math.log(pc)) / 2))))
   }
 
+  test("PMI matches hand-computed counts on a glued-pair fixture") {
+    // bigrams: d1 → (new,york)×2 (york,new); d2 → 5 singletons;
+    // d3 → (the,cat)×2 (cat,new) (new,york) (york,the). T = 13.
+    // unigrams: new=3 york=3 the=4 cat=3. Survivors at minCount=2:
+    // (new,york)=3 (the glued pair) and (the,cat)=3 (the chance pair,
+    // diluted by 'the' appearing outside it).
+    val docs = Seq(
+      (1L, "new york new york"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat new york the cat")).toDF("doc_id", "text")
+    val got = TextScore.pmiCollocations(docs, "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.size == 2, s"only the two repeated pairs survive: $got")
+    assert(got(("new", "york")) ==
+      ((3L, 3L, 3L, r6(math.log(13.0 * 3 / (3.0 * 3))))))
+    assert(got(("the", "cat")) ==
+      ((3L, 4L, 3L, r6(math.log(13.0 * 3 / (4.0 * 3))))))
+    assert(got(("new", "york"))._4 > got(("the", "cat"))._4,
+      "the glued pair must out-score the chance pair")
+  }
+
   test("rare-token docs score strictly higher than common-token docs") {
     val docs = (Seq((1L, "x x x x x x x x"), (2L, "x x x x x x x rare")) ++
       (3L to 10L).map(i => (i, "x x"))).toDF("doc_id", "text")

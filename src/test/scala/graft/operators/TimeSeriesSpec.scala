@@ -48,6 +48,45 @@ class TimeSeriesSpec extends SparkSpec {
     assert(firsts == ev.select("user_id").distinct().count())
   }
 
+  test("resample fills interior gaps, marks them, and never invents leads") {
+    // 10s slots; key a observes slots 1,2,5 — 3,4 are gaps inheriting
+    // slot 2's LAST value (two obs in slot 2, the later one wins)
+    val ev = Seq(
+      ("a", 1L, ts(10), 1.0), ("a", 2L, ts(21), 2.0),
+      ("a", 3L, ts(27), 7.0), ("a", 4L, ts(55), 5.0),
+      ("b", 5L, ts(40), 9.0))
+      .toDF("k", "event_id", "ts", "value")
+    val got = TimeSeries.resample(ev, "k", "ts", "event_id", "value",
+        intervalSec = 10L)
+      .orderBy("k", "slot_ts")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000L,
+        r.getLong(2), r.getBoolean(3), r.getDouble(4)))
+      .toSeq
+    assert(got == Seq(
+      ("a", 10L, 1L, false, 1.0),
+      ("a", 20L, 2L, false, 7.0),
+      ("a", 30L, 0L, true, 7.0),
+      ("a", 40L, 0L, true, 7.0),
+      ("a", 50L, 1L, false, 5.0),
+      ("b", 40L, 1L, false, 9.0)), s"got $got")
+  }
+
+  test("resample covers every key with a contiguous grid at sf") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val out = TimeSeries.resample(ev, "user_id", "ts", "event_id",
+      "value", intervalSec = 21600L)
+    assert(out.filter(col("value").isNull).count() == 0,
+      "forward fill leaves no nulls (grids start at first observation)")
+    // contiguity: per key, slot count == (max - min)/interval + 1
+    val bad = out.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        ((unix_timestamp(max("slot_ts")) - unix_timestamp(min("slot_ts")))
+          / 21600 + 1).cast("long").as("expect"))
+      .filter(col("n") =!= col("expect")).count()
+    assert(bad == 0, "every key's grid is gap-free")
+  }
+
   test("one shuffle: no window exchange beyond the key groupBy") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
