@@ -52,6 +52,7 @@ object SparkEntry {
     "q_agg_grouping_sets" -> RelationalQueries.aggGroupingSets,
     "q_subqueries" -> RelationalQueries.subqueries,
     "q_pivot" -> RelationalQueries.pivot,
+    "q_unpivot" -> RelationalQueries.unpivot,
     "q_agg_stats" -> RelationalQueries.aggStats,
     "q_agg_collect" -> RelationalQueries.aggCollect,
     // window functions (E18–E20)
@@ -498,6 +499,21 @@ object SparkEntry {
                  * (1.00 - CAST(l_discount AS DECIMAL(4,2))) END)
                AS DOUBLE) AS rev_o
       FROM lineitem GROUP BY l_returnflag""",
+
+    "q_unpivot" -> """
+      WITH w AS (
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                 AS sum_disc_price
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, metric, amount
+      FROM w UNPIVOT (amount FOR metric IN
+        (sum_qty, sum_price, sum_disc_price))""",
 
     "q_stream_stream_join" -> """
       SELECT e.event_id AS err_id, p.event_id AS buy_id,

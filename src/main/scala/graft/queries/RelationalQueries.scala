@@ -385,6 +385,20 @@ object RelationalQueries {
       .withColumnRenamed("F", "rev_f")
       .withColumnRenamed("O", "rev_o")
 
+  /** Unpivot/melt (E16 adjacent): the wide→long inverse of [[pivot]] via
+    * the native `Dataset.unpivot` (Spark plans an Expand — map-side
+    * row-multiplication, no shuffle beyond the feeding aggregate).
+    * Decimal-exact sums so the melted doubles are order-independent. */
+  val unpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(Exact.sumMoney(col("l_quantity")).as("sum_qty"),
+        Exact.sumMoney(col("l_extendedprice")).as("sum_price"),
+        Exact.sumExact(Exact.discPrice).as("sum_disc_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc_price")),
+        "metric", "amount")
+
   // ---- E14–E17: aggregation variants -------------------------------------
 
   /** Exact COUNT(DISTINCT) (E14): Spark expands to a two-phase distinct agg;
