@@ -209,6 +209,7 @@ object SparkEntry {
     "q_pmi_collocations" -> PipelineQueries.pmiCollocations,
     "q_cohort_retention" -> PipelineQueries.cohortRetention,
     "q_resample_ffill" -> PipelineQueries.resampleFfill,
+    "q_scd2_history" -> PipelineQueries.scd2History,
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
     "q_semantic_decontam" -> PipelineQueries.semanticDecontam,
@@ -1886,6 +1887,43 @@ object SparkEntry {
       JOIN uni uc ON uc.tok = bi.cur
       CROSS JOIN g
       GROUP BY bi.doc_id""",
+
+    "q_scd2_history" -> """
+      WITH v1 AS (SELECT doc_id, text FROM documents),
+      v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                    ELSE text END AS text
+        FROM v1 WHERE doc_id % 7 <> 0),
+      v3 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || ' v3'
+                    ELSE text END AS text
+        FROM v2 WHERE doc_id % 11 <> 0),
+      h AS (
+        SELECT doc_id, 1::BIGINT AS v, md5(text) AS content_hash FROM v1
+        UNION ALL
+        SELECT doc_id, 2::BIGINT, md5(text) FROM v2
+        UNION ALL
+        SELECT doc_id, 3::BIGINT, md5(text) FROM v3),
+      s AS (
+        SELECT *, lag(content_hash) OVER w AS ph, lag(v) OVER w AS pv
+        FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
+      f AS (
+        SELECT *, CASE WHEN ph IS NULL OR ph <> content_hash
+                         OR pv <> v - 1 THEN 1 ELSE 0 END AS st
+        FROM s),
+      g AS (
+        SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS run
+        FROM f),
+      r AS (
+        SELECT doc_id, content_hash, min(v) AS valid_from, max(v) AS vto
+        FROM g GROUP BY doc_id, run, content_hash)
+      SELECT doc_id, content_hash, valid_from,
+             (CASE WHEN vto = 3 THEN NULL ELSE vto END)::BIGINT AS valid_to,
+             vto = 3 AS is_current
+      FROM r""",
 
     "q_resample_ffill" -> """
       WITH s AS (

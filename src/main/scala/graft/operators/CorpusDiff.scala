@@ -60,6 +60,52 @@ object CorpusDiff {
         Seq(idCol), "left_anti"))
   }
 
+  /** SCD2 history build — the longitudinal form of [[diff]]: given a
+    * STACK of snapshots `(id, content, version)` (each version listing
+    * the ids present in it), emit one row per (id, contiguous run of
+    * identical content) with `[valid_from, valid_to]` version bounds.
+    * `valid_to` is null on open rows; `is_current` marks runs alive in
+    * the latest version. A changed doc closes its run and opens a new
+    * one; a REMOVED doc's run closes at its last observed version; a
+    * re-added id opens a fresh run even if content returns unchanged
+    * (the gap is real history — slowly-changing-dimension type 2).
+    *
+    * Scale shape: each observation reduces AT THE SCAN to (id, version,
+    * digest) — content never shuffles — then one id-keyed window pass
+    * (lag + running sum = the standard gaps-and-islands reduction) and
+    * one (id, run) aggregate, all on the same id-hash partitioning; the
+    * latest-version bound is a 1-row broadcast. Per-id row count is the
+    * snapshot count, so window state stays trivially bounded.
+    *
+    * Returns (idCol, content_hash, valid_from, valid_to, is_current). */
+  def scd2(history: DataFrame, idCol: String, contentCol: String,
+      versionCol: String,
+      hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        sha2(_, 256)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = history.select(col(idCol),
+      col(versionCol).cast("bigint").as("__v"),
+      hasher(col(contentCol)).as("content_hash"))
+    val w = Window.partitionBy(idCol).orderBy("__v")
+    val runs = obs
+      .withColumn("__ph", lag("content_hash", 1).over(w))
+      .withColumn("__pv", lag("__v", 1).over(w))
+      .withColumn("__start", when(col("__ph").isNull
+        .or(col("__ph") =!= col("content_hash"))
+        .or(col("__pv") =!= col("__v") - 1), 1).otherwise(0))
+      .withColumn("__run", sum("__start").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val latest = history
+      .agg(max(col(versionCol).cast("bigint")).as("__latest"))
+    runs.groupBy(col(idCol), col("__run"), col("content_hash"))
+      .agg(min("__v").as("valid_from"), max("__v").as("__vto"))
+      .crossJoin(broadcast(latest))
+      .select(col(idCol), col("content_hash"), col("valid_from"),
+        when(col("__vto") === col("__latest"), lit(null).cast("bigint"))
+          .otherwise(col("__vto")).as("valid_to"),
+        (col("__vto") === col("__latest")).as("is_current"))
+  }
+
   /** Audit rollup: one row per status with count and an
     * order-independent id checksum (xor of hashed ids — the
     * [[graft.sources.Layout]] fingerprint recipe), so two engines agree

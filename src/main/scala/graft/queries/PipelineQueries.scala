@@ -503,6 +503,29 @@ object PipelineQueries {
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
   }
 
+  /** SCD2 history (round 5): three derived snapshots — v2 rewrites every
+    * 5th doc and drops every 7th, v3 (built ON v2) rewrites every 3rd
+    * and drops every 11th — folded into validity intervals. Covers
+    * changes (runs close and reopen), removals (runs close at the last
+    * observed version), and still-current rows, all by md5 digest so the
+    * oracle reproduces runs exactly. */
+  val scd2History: Q = (s, d) => {
+    val v1 = Tables.documents(s, d).select("doc_id", "text")
+    val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val v3 = v2.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v3")))
+          .otherwise(col("text")).as("text"))
+    val hist = v1.withColumn("version", lit(1))
+      .unionAll(v2.withColumn("version", lit(2)))
+      .unionAll(v3.withColumn("version", lit(3)))
+    graft.operators.CorpusDiff.scd2(hist, "doc_id", "text", "version",
+      hasher = md5(_))
+  }
+
   /** Edit-distance near-dup (round 5): the corpus plus ten planted
     * suffix-mutated copies (append " zq x" = edit distance 5), found by
     * prefix-bucket candidates + Levenshtein verify under maxDist 6.

@@ -41,6 +41,29 @@ class CorpusDiffSpec extends SparkSpec {
       3L -> "removed", 4L -> "removed", 5L -> "added"))
   }
 
+  test("scd2 folds snapshots into runs: change, removal, gap re-add") {
+    // id 1: stable across 1-3            → one current run [1, null]
+    // id 2: changes at v2                → [1,1] closed + [2,null] current
+    // id 3: removed after v1             → [1,1] closed
+    // id 4: present v1, absent v2, back at v3 with the SAME content
+    //       → two runs (the gap is history): [1,1] closed + [3,null]
+    val hist = Seq(
+      (1L, "a", 1), (1L, "a", 2), (1L, "a", 3),
+      (2L, "b", 1), (2L, "b2", 2), (2L, "b2", 3),
+      (3L, "c", 1),
+      (4L, "d", 1), (4L, "d", 3)).toDF("doc_id", "text", "version")
+    val got = CorpusDiff.scd2(hist, "doc_id", "text", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, None, true),
+      (2L, 1L, Some(1L), false), (2L, 2L, None, true),
+      (3L, 1L, Some(1L), false),
+      (4L, 1L, Some(1L), false), (4L, 3L, None, true)), s"got $got")
+  }
+
   test("summary counts and id checksums are order-independent") {
     val s = CorpusDiff.summary(v1, v2, "doc_id", "text",
         idHasher = c => c)
