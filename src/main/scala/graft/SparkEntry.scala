@@ -139,6 +139,7 @@ object SparkEntry {
     // vectors / similarity (E36, E37)
     "q_vector_cosine" -> VectorQueries.vectorCosine,
     "q_similarity_topk" -> VectorQueries.similarityTopK,
+    "q_hard_negatives" -> VectorQueries.hardNegatives,
     "q_embed_norms" -> VectorQueries.embedNorms,
     "q_l2_nearest" -> VectorQueries.l2Nearest,
     // pipeline extensions (round 2): compaction, sampling, scrubbing,
@@ -945,6 +946,23 @@ object SparkEntry {
                                               c.embedding::DOUBLE[]), 6) AS cos
           FROM embeddings p, embeddings c
           WHERE p.vec_id < 5 AND p.vec_id <> c.vec_id) pairs) ranked
+      WHERE "rank" <= 5""",
+
+    "q_hard_negatives" -> """
+      SELECT anchor_id, cand_id, anchor_label, cand_label, cos, "rank"
+      FROM (
+        SELECT anchor_id, cand_id, anchor_label, cand_label, cos,
+               CAST(row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY cos DESC, cand_id) AS INT) AS "rank"
+        FROM (
+          SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+                 a.label AS anchor_label, c.label AS cand_label,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]), 6)
+                   AS cos
+          FROM embeddings a, embeddings c
+          WHERE a.vec_id < 5 AND a.vec_id <> c.vec_id
+            AND a.label <> c.label) pairs) ranked
       WHERE "rank" <= 5""",
 
     "q_embed_norms" -> """

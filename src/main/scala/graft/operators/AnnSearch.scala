@@ -105,6 +105,44 @@ object AnnSearch {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training — per anchor, the k
+    * most-similar corpus vectors whose label DIFFERS from the anchor's
+    * (the near-miss negatives that carry the gradient signal; random
+    * negatives are trivially separable and teach nothing — the standard
+    * dense-retrieval recipe, e.g. DPR/ANCE). `positives` (same-label
+    * rows) and the anchor itself are excluded IN the join condition, so
+    * they never reach the scorer.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — anchors broadcast
+    * (guarded), the corpus scans map-side, the only shuffle is the
+    * per-anchor top-k window keyed by anchor id. For corpus sizes where
+    * brute force is too hot, mine from an [[ivfTopK]]/[[lshTopK]]
+    * candidate set with a larger k and filter labels after — the label
+    * filter composes with every tier because it rides the pair stream,
+    * not the index.
+    *
+    * Returns (anchor_id, cand_id, anchor_label, cand_label, cos, rank). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    guardProbes(anchors, "hardNegatives")
+    val a = anchors.select(col(corpusId).as("anchor_id"),
+      col(corpusVec).as("avec"), col(labelCol).as("anchor_label"))
+    val c = corpus.select(col(corpusId).as("cand_id"),
+      col(corpusVec).as("cvec"), col(labelCol).as("cand_label"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(a), col("anchor_id") =!= col("cand_id")
+        && col("anchor_label") =!= col("cand_label"))
+      .select(col("anchor_id"), col("cand_id"), col("anchor_label"),
+        col("cand_label"),
+        round(GraftFunctions.cosineSim(col("avec"), col("cvec")), 6)
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Shared gather/score/top-k tail for the approximate tiers: candidate
     * pairs arrive as ids only; vectors are re-attached by id (corpus side
     * joins once by `cand_id`, probe side broadcasts), cosine is scored,

@@ -69,6 +69,15 @@ object VectorQueries {
       .filter(col("rank") <= 5)
   }
 
+  /** Hard-negative mining (round 5): top-5 cross-label neighbors per
+    * anchor — same broadcast/window shape as [[similarityTopK]], label
+    * inequality in the join condition. */
+  val hardNegatives: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    graft.operators.AnnSearch.hardNegatives(emb,
+      emb.filter(col("vec_id") < 5), k = 5)
+  }
+
   /** Int8 scalar quantization round-trip (round 4) — hash-gated: codes,
     * scale, and max reconstruction error are closed-form double
     * arithmetic, so DuckDB reproduces them exactly (no tolerance). */

@@ -103,6 +103,28 @@ class AnnSearchSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ann.maxBroadcastProbes")
   }
 
+  test("hard negatives exclude same-label rows and keep cosine order") {
+    val got = AnnSearch.hardNegatives(emb, probes, 5)
+    assert(got.filter(col("anchor_label") === col("cand_label"))
+      .count() == 0, "a positive leaked into the negatives")
+    assert(got.filter(col("anchor_id") === col("cand_id")).count() == 0)
+    // per anchor: the negatives are exactly the cross-label prefix of the
+    // full similarity ordering (mining must not skip a nearer negative)
+    val full = AnnSearch.bruteForceTopK(emb, probes, Int.MaxValue - 1)
+      .join(emb.select(col("vec_id").as("probe_id"),
+        col("label").as("anchor_label")), "probe_id")
+      .join(emb.select(col("vec_id").as("cand_id"),
+        col("label").as("cand_label")), "cand_id")
+      .filter(col("anchor_label") =!= col("cand_label"))
+      .select(col("probe_id"), col("cand_id"), col("rank"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(2)).take(5).map(_.getLong(1)).toSeq)
+      .toMap
+    val mined = got.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(5)).map(_.getLong(1)).toSeq).toMap
+    assert(mined == full, "negatives must be the cross-label top-5")
+  }
+
   test("more tables => recall does not degrade") {
     val r1 = recallOf(topkSet(AnnSearch.lshTopK(emb, probes, 10,
       tables = 2, bits = 6)))
