@@ -211,6 +211,8 @@ object SparkEntry {
     "q_cohort_retention" -> PipelineQueries.cohortRetention,
     "q_resample_ffill" -> PipelineQueries.resampleFfill,
     "q_scd2_history" -> PipelineQueries.scd2History,
+    "q_graph_degrees" -> PipelineQueries.graphDegrees,
+    "q_pagerank_planted" -> PipelineQueries.pagerankPlanted,
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
     "q_semantic_decontam" -> PipelineQueries.semanticDecontam,
@@ -1905,6 +1907,32 @@ object SparkEntry {
       JOIN uni uc ON uc.tok = bi.cur
       CROSS JOIN g
       GROUP BY bi.doc_id""",
+
+    "q_graph_degrees" -> """
+      WITH e AS (
+        SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      o AS (
+        SELECT src AS node, count(DISTINCT dst)::BIGINT AS out_deg,
+               count(*)::BIGINT AS out_edges
+        FROM e GROUP BY src),
+      i AS (
+        SELECT dst AS node, count(DISTINCT src)::BIGINT AS in_deg,
+               count(*)::BIGINT AS in_edges
+        FROM e GROUP BY dst)
+      SELECT coalesce(o.node, i.node) AS node,
+             coalesce(out_deg, 0)::BIGINT AS out_deg,
+             coalesce(in_deg, 0)::BIGINT AS in_deg,
+             coalesce(out_edges, 0)::BIGINT AS out_edges,
+             coalesce(in_edges, 0)::BIGINT AS in_edges
+      FROM o FULL JOIN i ON o.node = i.node""",
+
+    // permutation graph ⇒ uniform 1/12 is the exact fixed point; the
+    // engine runs the real 5-iteration distributed loop and must land on
+    // it for every node (round 9dp absorbs last-bit recurrence drift)
+    "q_pagerank_planted" -> """
+      SELECT unnest([0,1,2,3,4,5,6,7,10,11,12,13])::BIGINT AS node,
+             0.083333333::DOUBLE AS pr""",
 
     "q_scd2_history" -> """
       WITH v1 AS (SELECT doc_id, text FROM documents),

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over an edge list — the graph tier of corpus
+  * curation: a web crawl IS a link graph, and the standard quality
+  * signals over it (degree profiles for spam/hub detection, PageRank
+  * for source weighting à la the original crawl-prioritization use)
+  * reduce to joins and aggregates over `(src, dst)` rows. No graph
+  * framework needed: edges are a DataFrame, iterations are the
+  * [[BpeTrain]] cache-materialize-unpersist loop, and every shuffle
+  * carries (node, double) pairs only.
+  *
+  * PageRank follows Page et al. 1999 with uniform teleport and
+  * dangling-mass redistribution: `pr' = (1-d)/N + d·(Σ pr/out + D/N)`
+  * where D is the summed rank of nodes with no out-edges (mass
+  * conservation: Σ pr stays 1 every iteration — spec-asserted).
+  */
+object Graph {
+
+  /** Per-node degree summary over the DISTINCT edge set plus raw edge
+    * multiplicities: (node, out_deg, in_deg, out_edges, in_edges), one
+    * row per node on either side, absent sides zero. Two partial-agg
+    * shuffles + one full-outer id join — at 100 TB every shuffled row is
+    * a node id + 4 counters. */
+  def degreeStats(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val out = edges.groupBy(col(srcCol).as("node"))
+      .agg(countDistinct(col(dstCol)).as("out_deg"),
+        count(lit(1)).as("out_edges"))
+    val in = edges.groupBy(col(dstCol).as("node"))
+      .agg(countDistinct(col(srcCol)).as("in_deg"),
+        count(lit(1)).as("in_edges"))
+    out.join(in, Seq("node"), "full")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_edges"), lit(0L)).as("out_edges"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"))
+  }
+
+  /** Fixed-iteration PageRank over the distinct edge set. Returns
+    * (node, pr) for every node appearing on either edge side.
+    *
+    * Scale shape per iteration: one contribution join (edges ⋈ ranks,
+    * both hash-partitioned on src — the SAME key every iteration, so a
+    * pre-partitioned/bucketed edge table makes it shuffle-once), one
+    * per-dst partial-agg sum, a 1-row dangling-mass aggregate, and a
+    * left join back onto the node set. Each iteration's ranks are
+    * `localCheckpoint`ed: ranks feed TWO consumers per iteration
+    * (contributions and dangling mass), so a cache alone leaves the
+    * logical plan doubling per iteration — a checkpoint truncates it
+    * (executor-local storage; rank state is (id, double) rows, and a
+    * lost-executor recompute restarts the iteration, the standard
+    * trade for iterative DataFrame loops). Edges/nodes/out-degrees are
+    * cached once. Everything shuffled is (id, double).
+    *
+    * The node set is nodes with ANY edge; teleport is uniform over it.
+    * Rank mass is conserved exactly up to float rounding each step. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__out")).cache()
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val inflow = e
+        .join(outDeg, "src")
+        .join(ranks.select(col("node").as("src"), col("pr")), "src")
+        .select(col("dst").as("node"), (col("pr") / col("__out")).as("__c"))
+        .groupBy("node").agg(sum("__c").as("__inflow"))
+      val dangling = ranks
+        .join(outDeg.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("__dm"))
+      // eager checkpoint = materialize + truncate lineage in one step
+      ranks = nodes
+        .join(inflow, Seq("node"), "left")
+        .crossJoin(broadcast(nRow)).crossJoin(broadcast(dangling))
+        .select(col("node"),
+          ((lit(1.0) - damping) / col("__n") + lit(damping) *
+            (coalesce(col("__inflow"), lit(0.0)) + col("__dm") / col("__n")))
+            .as("pr"))
+        .localCheckpoint()
+      i += 1
+    }
+    e.unpersist(); outDeg.unpersist()
+    ranks
+  }
+
+  /** [[pageRank]] with the output rounded for cross-engine gating (the
+    * iterated double recurrence is deterministic per engine; rounding
+    * absorbs last-bit libm/ordering drift the way the planted-gate tier
+    * does elsewhere). */
+  def pageRankRounded(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, damping: Double = 0.85, scale: Int = 9)
+      : DataFrame =
+    pageRank(edges, srcCol, dstCol, iterations, damping)
+      .select(col("node"), round(col("pr"), scale).as("pr"))
+}

@@ -503,6 +503,37 @@ object PipelineQueries {
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
   }
 
+  /** Link-graph degree profile (round 5): supplier→customer edges via
+    * orders (who supplies whom), distinct-partner degrees + raw edge
+    * multiplicities per node — the spam/hub-profile shape over a crawl
+    * graph. Fully SQL-expressible → real hash gate. */
+  val graphDegrees: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst"))
+    graft.operators.Graph.degreeStats(edges, "src", "dst")
+  }
+
+  /** PageRank planted gate (round 5): a 12-node permutation graph (an
+    * 8-cycle plus a disjoint 4-cycle) — every node has out-degree and
+    * in-degree exactly 1, so uniform 1/12 is the exact fixed point and
+    * five iterations of the real distributed loop must return it for every
+    * node; round(…,9) absorbs the recurrence's last-bit float drift
+    * (1/12 = 0.08333…3 is interior to the 9dp grid). The general-graph
+    * contract (asymmetric structure, dangling mass) lives in GraphSpec's
+    * reference-simulation oracle. */
+  val pagerankPlanted: Q = (s, d) => {
+    val s_ = s; import s_.implicits._
+    val cycle8 = (0L to 7L).map(i => (i, (i + 1) % 8))
+    val cycle4 = (10L to 13L).map(i => (i, if (i == 13L) 10L else i + 1))
+    val edges = (cycle8 ++ cycle4).toDF("src", "dst")
+      .repartition(4) // exercise the distributed path, not a 1-partition toy
+    graft.operators.Graph.pageRankRounded(edges, "src", "dst",
+      iterations = 5)
+  }
+
   /** SCD2 history (round 5): three derived snapshots — v2 rewrites every
     * 5th doc and drops every 7th, v3 (built ON v2) rewrites every 3rd
     * and drops every 11th — folded into validity intervals. Covers

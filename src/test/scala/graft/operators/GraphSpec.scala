@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Reference-simulation oracles for the link-graph tier: the distributed
+  * PageRank must match a driver-side simulation of the same recurrence,
+  * conserve rank mass, and hold its permutation-graph fixed point. */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Driver-side reference: same recurrence, same op order per node
+    * (inflow summed over sorted source ids — summation order differences
+    * are what round-trip tolerance absorbs below). */
+  private def simulate(edges: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = es.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val in = es.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(out.contains).map(pr).sum
+      pr = nodes.map { v =>
+        val inflow = in.getOrElse(v, Nil).map(u => pr(u) / out(u)).sum
+        v -> ((1.0 - d) / n + d * (inflow + dm / n))
+      }.toMap
+    }
+    pr
+  }
+
+  test("distributed PageRank matches the reference simulation") {
+    // diamond + a dangling sink: a→b, a→c, b→d, c→d (d has no out-edges)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val got = Graph.pageRank(edges.toDF("src", "dst").repartition(3),
+        "src", "dst", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = simulate(edges, 8)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, p) =>
+      assert(math.abs(p - want(v)) < 1e-12, s"node $v: $p vs ${want(v)}")
+    }
+    // structure: the sink collects the most mass, the source the least
+    assert(got(4L) > got(2L) && got(2L) > got(1L))
+    assert(math.abs(got(2L) - got(3L)) < 1e-15, "b and c are symmetric")
+  }
+
+  test("rank mass is conserved each run (dangling mass redistributed)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val total = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 6)
+      .agg(sum("pr")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"mass leaked: $total")
+  }
+
+  test("permutation graph holds the uniform fixed point exactly at 9dp") {
+    val edges = (0L to 7L).map(i => (i, (i + 1) % 8))
+    val got = Graph.pageRankRounded(edges.toDF("src", "dst"),
+        "src", "dst", iterations = 5)
+      .collect().map(r => r.getDouble(1)).toSet
+    assert(got == Set(0.125), s"got $got")
+  }
+
+  test("degree stats count distinct partners and raw multiplicities") {
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.degreeStats(edges, "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((2L, 0L, 3L, 0L)), "1: out {2,3}, 3 raw edges")
+    assert(got(2L) == ((1L, 1L, 1L, 2L)), "2: out {3}, in {1} twice")
+    assert(got(3L) == ((0L, 2L, 0L, 2L)), "3: pure sink")
+  }
+}
