@@ -178,6 +178,7 @@ object SparkEntry {
     "q_ann_lsh_planted" -> DedupQueries.annLshPlanted,
     "q_ann_ivf_planted" -> DedupQueries.annIvfPlanted,
     "q_kmv_exact" -> RelationalQueries.kmvExact,
+    "q_hist_quantiles" -> RelationalQueries.histQuantiles,
     "q_embed_quant" -> VectorQueries.embedQuant,
     "q_quant_topk" -> VectorQueries.quantTopK,
     "q_unigram_surprisal" -> PipelineQueries.unigramSurprisal,
@@ -1344,6 +1345,46 @@ object SparkEntry {
       SELECT l_returnflag,
              count(DISTINCT l_linenumber)::BIGINT AS n_linenumbers
       FROM lineitem GROUP BY 1""",
+
+    // rebuilds the LogHist sketch cell-for-cell: bucket id from binary
+    // bit length + shifts (exact region < 64, else pow2-exponent block +
+    // top-6 mantissa bits), then bucket lower bound at ranks ceil(q*N)
+    "q_hist_quantiles" -> """
+      WITH c AS (
+        SELECT l_returnflag, round(l_extendedprice * 100)::BIGINT AS v
+        FROM lineitem),
+      b AS (
+        SELECT l_returnflag,
+               CASE WHEN v < 64 THEN v
+                    ELSE ((length(printf('%b', v)) - 6) * 64)::BIGINT
+                         + ((v >> (length(printf('%b', v)) - 7)) & 63)
+               END AS id,
+               count(*) AS n
+        FROM c GROUP BY 1, 2),
+      t AS (SELECT l_returnflag, sum(n)::BIGINT AS total FROM b GROUP BY 1),
+      cum AS (
+        SELECT l_returnflag, id,
+               sum(n) OVER (PARTITION BY l_returnflag ORDER BY id
+                 ROWS UNBOUNDED PRECEDING) AS cm
+        FROM b),
+      est AS (
+        SELECT cum.l_returnflag, p.q, min(id) AS qid
+        FROM cum JOIN t USING (l_returnflag)
+        CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) p
+        WHERE cm >= greatest(1, ceil(p.q * total))
+        GROUP BY 1, 2),
+      lb AS (
+        SELECT l_returnflag, q,
+               CASE WHEN qid < 64 THEN qid
+                    ELSE (64 + (qid & 63)) << ((qid >> 6) - 1)
+               END AS e
+        FROM est)
+      SELECT l.l_returnflag, t.total AS n,
+             max(CASE WHEN q = 0.5 THEN e END)::BIGINT AS q50_cents,
+             max(CASE WHEN q = 0.9 THEN e END)::BIGINT AS q90_cents,
+             max(CASE WHEN q = 0.99 THEN e END)::BIGINT AS q99_cents
+      FROM lb l JOIN t ON l.l_returnflag = t.l_returnflag
+      GROUP BY 1, 2""",
 
     "q_embed_quant" -> """
       WITH q AS (

@@ -65,6 +65,32 @@ object GraftFunctions {
     "sentence_split" -> (es => SentenceSplit(es(0))),
     "greedy_chunks" -> (es => GreedyChunks(es(0),
       intArg(es(1), "greedy_chunks"))),
+    "hist_quantiles" -> (es => LogHistQuantiles(es(0),
+      intArg(es(1), "hist_quantiles"),
+      es(2).eval() match {
+        // SQL numeric-array literals arrive as DECIMAL elements; the
+        // DataFrame helper sends DOUBLE — accept any numeric element
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          val et = es(2).dataType
+            .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+          (0 until a.numElements()).map { i =>
+            et match {
+              case org.apache.spark.sql.types.DoubleType => a.getDouble(i)
+              case org.apache.spark.sql.types.FloatType =>
+                a.getFloat(i).toDouble
+              case dt: org.apache.spark.sql.types.DecimalType =>
+                a.getDecimal(i, dt.precision, dt.scale).toDouble
+              case org.apache.spark.sql.types.IntegerType =>
+                a.getInt(i).toDouble
+              case org.apache.spark.sql.types.LongType =>
+                a.getLong(i).toDouble
+              case other => throw new IllegalArgumentException(
+                s"hist_quantiles probes must be numeric, got $other")
+            }
+          }
+        case other => throw new IllegalArgumentException(
+          s"hist_quantiles expects an array probes literal, got $other")
+      }).toAggregateExpression()),
     "bloom_agg" -> (es => BloomAgg(es(0), intArg(es(1), "bloom_agg"),
       intArg(es(2), "bloom_agg")).toAggregateExpression()),
     "bloom_contains" -> (es => BloomContains(es(0), es(1),
@@ -109,6 +135,13 @@ object GraftFunctions {
     call_function("cms_query", sketch, item,
       org.apache.spark.sql.functions.lit(width),
       org.apache.spark.sql.functions.lit(depth))
+  /** Mergeable log-bucket quantile sketch over non-negative longs:
+    * one estimate (bucket lower bound, rel. err ≤ 2^-subBits) per probe. */
+  def histQuantiles(c: Column, subBits: Int, probes: Seq[Double]): Column =
+    call_function("hist_quantiles", c,
+      org.apache.spark.sql.functions.lit(subBits),
+      org.apache.spark.sql.functions.array(
+        probes.map(org.apache.spark.sql.functions.lit): _*))
   /** Bloom filter aggregate: ⌈mBits/64⌉ words, k md5 hash rows. */
   def bloomAgg(item: Column, mBits: Int, k: Int): Column =
     call_function("bloom_agg", item,

@@ -125,6 +125,26 @@ object RelationalQueries {
         .kmvDistinct(col("l_linenumber"), 256).as("n_linenumbers"))
   }
 
+  /** Log-bucket quantile sketch (round 5): per-flag price quantiles from
+    * the mergeable LogHist aggregate. Buckets are pure integer bit math
+    * (2-dp money → cents, pow2 exponent + 6 mantissa bits), so DuckDB
+    * rebuilds the ENTIRE sketch cell-for-cell and the estimates — bucket
+    * lower bounds at ranks ⌈qN⌉ — hash-match exactly, collisions and
+    * all (the CMS/Bloom gating recipe applied to quantiles). */
+  val histQuantiles: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.GraftFunctions.histQuantiles(col("cents"), 6,
+          Seq(0.5, 0.9, 0.99)).as("qs"))
+      .select(col("l_returnflag"), col("n"),
+        col("qs")(0).as("q50_cents"), col("qs")(1).as("q90_cents"),
+        col("qs")(2).as("q99_cents"))
+  }
+
   // ---- E13: hash aggregate (TPC-H Q1 shape — the flagship) ---------------
 
   /** TPC-H Q1 (E13): partial aggregation map-side, 4-way agg over 2 group
