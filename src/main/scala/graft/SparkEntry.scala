@@ -120,6 +120,7 @@ object SparkEntry {
     "q_multimodal_decode" -> DedupQueries.multimodalDecode,
     // structured streaming replay (E29–E33)
     "q_stream_window_agg" -> ((s, d) => streaming.StreamOps.tumblingAgg(s, d)),
+    "q_stream_quantiles" -> ((s, d) => streaming.StreamOps.quantileAgg(s, d)),
     "q_stream_sliding" -> ((s, d) => streaming.StreamOps.slidingAgg(s, d)),
     "q_stream_session" -> ((s, d) => streaming.StreamOps.sessionAgg(s, d)),
     "q_stream_dedup" -> ((s, d) => streaming.StreamOps.streamDedup(s, d)),
@@ -213,6 +214,7 @@ object SparkEntry {
     "q_resample_ffill" -> PipelineQueries.resampleFfill,
     "q_scd2_history" -> PipelineQueries.scd2History,
     "q_graph_degrees" -> PipelineQueries.graphDegrees,
+    "q_skew_report" -> PipelineQueries.skewReport,
     "q_pagerank_planted" -> PipelineQueries.pagerankPlanted,
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
@@ -881,6 +883,48 @@ object SparkEntry {
       SELECT date_trunc('hour', ts) AS wstart, event_type,
              count(*) AS n, round(sum(value),6) AS total
       FROM events GROUP BY 1, 2""",
+
+    // batch twin of the streaming windowed LogHist sketch (same integer
+    // bucket recipe as q_hist_quantiles, grouped by hour × event_type)
+    "q_stream_quantiles" -> """
+      WITH c AS (
+        SELECT date_trunc('hour', ts) AS wstart, event_type,
+               round(value * 100)::BIGINT AS v
+        FROM events),
+      b AS (
+        SELECT wstart, event_type,
+               CASE WHEN v < 64 THEN v
+                    ELSE ((length(printf('%b', v)) - 6) * 64)::BIGINT
+                         + ((v >> (length(printf('%b', v)) - 7)) & 63)
+               END AS id,
+               count(*) AS n
+        FROM c GROUP BY 1, 2, 3),
+      t AS (
+        SELECT wstart, event_type, sum(n)::BIGINT AS total
+        FROM b GROUP BY 1, 2),
+      cum AS (
+        SELECT wstart, event_type, id,
+               sum(n) OVER (PARTITION BY wstart, event_type ORDER BY id
+                 ROWS UNBOUNDED PRECEDING) AS cm
+        FROM b),
+      est AS (
+        SELECT cum.wstart, cum.event_type, p.q, min(id) AS qid
+        FROM cum JOIN t USING (wstart, event_type)
+        CROSS JOIN (SELECT unnest([0.5, 0.9]) AS q) p
+        WHERE cm >= greatest(1, ceil(p.q * total))
+        GROUP BY 1, 2, 3),
+      lb AS (
+        SELECT wstart, event_type, q,
+               CASE WHEN qid < 64 THEN qid
+                    ELSE (64 + (qid & 63)) << ((qid >> 6) - 1)
+               END AS e
+        FROM est)
+      SELECT l.wstart, l.event_type, t.total AS n,
+             max(CASE WHEN q = 0.5 THEN e END)::BIGINT AS p50_cents,
+             max(CASE WHEN q = 0.9 THEN e END)::BIGINT AS p90_cents
+      FROM lb l JOIN t ON l.wstart = t.wstart
+                      AND l.event_type = t.event_type
+      GROUP BY 1, 2, 3""",
 
     "q_stream_sliding" -> """
       SELECT wstart, count(*) AS n, round(sum(value),6) AS total FROM (
@@ -1948,6 +1992,49 @@ object SparkEntry {
       JOIN uni uc ON uc.tok = bi.cur
       CROSS JOIN g
       GROUP BY bi.doc_id""",
+
+    "q_skew_report" -> """
+      WITH counts AS (
+        SELECT l_suppkey AS k, count(*)::BIGINT AS n
+        FROM lineitem GROUP BY 1),
+      b AS (
+        SELECT CASE WHEN n < 64 THEN n
+                    ELSE ((length(printf('%b', n)) - 6) * 64)::BIGINT
+                         + ((n >> (length(printf('%b', n)) - 7)) & 63)
+               END AS id,
+               count(*) AS c
+        FROM counts GROUP BY 1),
+      t AS (
+        SELECT count(*)::BIGINT AS n_groups, sum(n)::BIGINT AS n_rows,
+               max(n)::BIGINT AS max_group
+        FROM counts),
+      cum AS (
+        SELECT id, sum(c) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING)
+                 AS cm
+        FROM b),
+      est AS (
+        SELECT p.q, min(id) AS qid
+        FROM cum CROSS JOIN t
+        CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) p
+        WHERE cm >= greatest(1, ceil(p.q * t.n_groups))
+        GROUP BY 1),
+      lb AS (
+        SELECT q, CASE WHEN qid < 64 THEN qid
+                       ELSE (64 + (qid & 63)) << ((qid >> 6) - 1)
+                  END AS e
+        FROM est),
+      qs AS (
+        SELECT max(CASE WHEN q = 0.5 THEN e END)::BIGINT AS p50_group,
+               max(CASE WHEN q = 0.9 THEN e END)::BIGINT AS p90_group,
+               max(CASE WHEN q = 0.99 THEN e END)::BIGINT AS p99_group
+        FROM lb),
+      top AS (
+        SELECT list(k ORDER BY n DESC, k) AS top_keys FROM (
+          SELECT k::VARCHAR AS k, n FROM counts
+          ORDER BY n DESC, k::VARCHAR LIMIT 10) s)
+      SELECT t.n_groups, t.n_rows, t.max_group,
+             qs.p50_group, qs.p90_group, qs.p99_group, top.top_keys
+      FROM t, qs, top""",
 
     "q_graph_degrees" -> """
       WITH e AS (

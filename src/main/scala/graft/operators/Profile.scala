@@ -41,6 +41,41 @@ object Profile {
       .select("p.*")
   }
 
+  /** Skew diagnostics over a prospective shuffle/join key — the report
+    * to run BEFORE keying a 100 TB shuffle: per-key cardinalities
+    * reduced to group-count quantiles (the [[graft.functions
+    * .LogHistQuantiles]] sketch over counts-of-counts — integer in,
+    * integer out, so the whole report hash-gates) plus the top hot keys
+    * (count desc, key-string asc). A p99/p50 ratio near 1 salts
+    * nothing; a hot top key tells [[SkewJoin]] what to spray.
+    *
+    * Scale shape: one partial-agg count per key, then 1-row aggregates
+    * over the (key, count) table — the report never shuffles more than
+    * (key, 8-byte count) pairs, and the top-k rides a bounded sort.
+    *
+    * Returns one row: (n_groups, n_rows, max_group, p50_group,
+    * p90_group, p99_group, top_keys array<string>). */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_groups"),
+      sum("n").as("n_rows"),
+      max("n").as("max_group"),
+      graft.functions.GraftFunctions.histQuantiles(col("n"), 6,
+        Seq(0.5, 0.9, 0.99)).as("__qs"))
+    val top = counts.orderBy(col("n").desc, col(keyCol).cast("string"))
+      .limit(topK)
+      .agg(transform(sort_array(collect_list(struct(
+        (-col("n")).as("negn"), col(keyCol).cast("string").as("k")))),
+        s => s.getField("k")).as("top_keys"))
+    stats.crossJoin(broadcast(top))
+      .select(col("n_groups"), col("n_rows"), col("max_group"),
+        col("__qs")(0).as("p50_group"), col("__qs")(1).as("p90_group"),
+        col("__qs")(2).as("p99_group"), col("top_keys"))
+  }
+
   /** Categorical twin of [[numeric]]: the top-`k` most frequent values
     * per column (count desc, value asc — deterministic under ties),
     * long format (column, value, cnt, rank). Values surface as strings;

@@ -503,6 +503,13 @@ object PipelineQueries {
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
   }
 
+  /** Skew report (round 5): the pre-shuffle key diagnostic over
+    * lineitem's supplier key — group-count quantiles from the LogHist
+    * sketch + hot keys, one hash-gated row. */
+  val skewReport: Q = (s, d) =>
+    graft.operators.Profile.skewReport(
+      Tables.lineitem(s, d), "l_suppkey")
+
   /** Link-graph degree profile (round 5): supplier→customer edges via
     * orders (who supplies whom), distinct-partner degrees + raw edge
     * multiplicities per node — the spam/hub-profile shape over a crawl

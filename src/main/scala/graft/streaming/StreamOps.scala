@@ -103,6 +103,30 @@ object StreamOps {
   def tumblingAgg(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, tumblingPlan(spark, dir), OutputMode.Complete())
 
+  /** Tumbling-window quantile sketch (round 5): the LogHist mergeable
+    * quantile aggregate riding the SAME windowed-state machinery as any
+    * built-in agg — a TypedImperativeAggregate's buffer serializes into
+    * the state store, so per-window price quantiles stream with
+    * watermark eviction and no custom state code. The sketch's integer
+    * bucket recipe keeps the batch oracle exact (cell-for-cell DuckDB
+    * twin, as in the batch gate). */
+  def quantilePlan(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    replayEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.GraftFunctions.histQuantiles(
+          expr("cast(round(value * 100) as bigint)"), 6,
+          Seq(0.5, 0.9)).as("qs"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("qs")(0).as("p50_cents"),
+        col("qs")(1).as("p90_cents"))
+  }
+
+  def quantileAgg(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, quantilePlan(spark, dir), OutputMode.Complete())
+
   /** Sliding 1 h window, 30 min hop (E29). */
   def slidingPlan(spark: SparkSession, dir: String): DataFrame =
     replayEvents(spark, dir)
