@@ -227,6 +227,7 @@ object SparkEntry {
     "q_stream_neardup" -> ((s, d) => streaming.StreamOps.streamNearDup(s, d)),
     "q7_volume" -> RelationalQueries.q7Volume,
     "q10_returned" -> RelationalQueries.q10Returned,
+    "q18_large_orders" -> RelationalQueries.q18LargeOrders,
     "q_window_distribution" -> RelationalQueries.windowDistribution,
     "q_jsonl_quarantine" -> SourceQueries.jsonlQuarantine,
     "q_corpus_merge" -> PipelineQueries.corpusMerge,
@@ -2381,6 +2382,19 @@ object SparkEntry {
         AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
       GROUP BY 1, 2, 3
       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q18_large_orders" -> """
+      WITH big AS (
+        SELECT l_orderkey,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             CAST(qty AS DOUBLE) AS total_qty
+      FROM big
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
 
     "q_window_distribution" -> """
       SELECT o_orderkey, o_orderpriority,

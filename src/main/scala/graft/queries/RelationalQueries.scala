@@ -225,6 +225,27 @@ object RelationalQueries {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** TPC-H Q18 shape (large-volume orders): the agg-driven semi-join —
+    * orders qualify through a HAVING over their own lineitems, then
+    * rejoin for the customer roll-up. The qualifying set is built ONCE
+    * as a decimal-exact aggregate (ids + one decimal shuffle) and AQE
+    * broadcasts it into the fact join; deterministic cut via
+    * (o_totalprice desc, o_orderkey). */
+  val q18LargeOrders: Q = (s, d) => {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(Exact.Money)).as("__qty"))
+      .filter(col("__qty") > 180)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("__qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Distribution window functions (E18 completion): ntile buckets,
     * percent_rank, cume_dist — raw doubles, no rounding: both engines
     * compute the identical `(rank-1)/(n-1)` and `n_le/n` divisions on
