@@ -542,6 +542,105 @@ object ScaleBench {
       graft.operators.BpeTrain.learnMerges(docsN, "text", 5) }
     results += (("bpe_train", tbp1, tbpN))
 
+    // ---- round-5 session-4 operators ----
+    // PMI: replication multiplies every pair count ×N over a FIXED
+    // vocabulary — the bigram explode grows linear, the pair table
+    // doesn't; minCount scales with the corpus so the survivor set
+    // stays comparable (the domain_mix budget convention)
+    val tpm1 = time("pmi_collocations 1x")(noop(graft.operators.TextScore
+      .pmiCollocations(docs1, "text", minCount = 3)))
+    val tpmN = time(s"pmi_collocations ${factor}x")(noop(
+      graft.operators.TextScore.pmiCollocations(docsN, "text",
+        minCount = 3L * factor)))
+    results += (("pmi_collocations", tpm1, tpmN))
+
+    // cohort retention: replicated user_id multiplies cohort populations;
+    // the weeks² cell space stays fixed
+    def cohort(df: DataFrame) = {
+      val cohorts = df.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).cast("date").as("cw"))
+      val active = df.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("aw")).distinct()
+      active.join(cohorts, "user_id")
+        .groupBy(col("cw"),
+          (datediff(col("aw"), col("cw")) / 7).cast("int").as("off"))
+        .agg(countDistinct("user_id").as("n_active"))
+    }
+    val tco1 = time("cohort_retention 1x")(noop(cohort(ev1)))
+    val tcoN = time(s"cohort_retention ${factor}x")(noop(cohort(evN)))
+    results += (("cohort_retention", tco1, tcoN))
+
+    // resample: keys ×N, per-key grid length fixed (30 days / 6 h)
+    val trs1 = time("resample_ffill 1x")(noop(graft.operators.TimeSeries
+      .resample(ev1, "user_id", "ts", "event_id", "value", 21600L)))
+    val trsN = time(s"resample_ffill ${factor}x")(noop(
+      graft.operators.TimeSeries.resample(evN, "user_id", "ts",
+        "event_id", "value", 21600L)))
+    results += (("resample_ffill", trs1, trsN))
+
+    // SCD2: ids ×N, version depth fixed at 3 — the window pass and the
+    // run aggregate both key on id
+    def scd2Of(df: DataFrame) = {
+      val v1 = df.select("doc_id", "text")
+      val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      val v3 = v2.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" v3"))).otherwise(col("text")).as("text"))
+      graft.operators.CorpusDiff.scd2(
+        v1.withColumn("version", lit(1))
+          .unionAll(v2.withColumn("version", lit(2)))
+          .unionAll(v3.withColumn("version", lit(3))),
+        "doc_id", "text", "version", hasher = md5(_))
+    }
+    val tsd21 = time("scd2_history 1x")(noop(scd2Of(docs1)))
+    val tsd2N = time(s"scd2_history ${factor}x")(noop(scd2Of(docsN)))
+    results += (("scd2_history", tsd21, tsd2N))
+
+    // hard negatives: FIXED anchor set (training batches don't grow with
+    // the corpus), corpus replicates — broadcast + per-anchor window
+    val anchors5 = emb1.filter(col("vec_id") < 5)
+    val thn1 = time("hard_negatives 1x")(noop(graft.operators.AnnSearch
+      .hardNegatives(emb1, anchors5, 5)))
+    val thnN = time(s"hard_negatives ${factor}x")(noop(
+      graft.operators.AnnSearch.hardNegatives(embN, anchors5, 5)))
+    results += (("hard_negatives", thn1, thnN))
+
+    // PageRank: supplier AND order ids replicated ⇒ N disjoint copies of
+    // the supplier→customer graph (nodes ×N, edges ×N); 3 iterations,
+    // each a (node, double) join-agg round
+    def prEdges(li: DataFrame, o: DataFrame) = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst"))
+    val liG = replicate(li1, Seq("l_orderkey", "l_suppkey"), 10000000L)
+    val ordG = replicate(ord1, Seq("o_orderkey", "o_custkey"), 10000000L)
+    val tpr1 = time("pagerank 1x")(noop(graft.operators.Graph
+      .pageRank(prEdges(li1, ord1), "src", "dst", iterations = 3)))
+    val tprN = time(s"pagerank ${factor}x")(noop(graft.operators.Graph
+      .pageRank(prEdges(liG, ordG), "src", "dst", iterations = 3)))
+    results += (("pagerank", tpr1, tprN))
+
+    // quantile sketch: pure map-side partial agg, buffer size fixed
+    def hq(df: DataFrame) = df.select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("c"))
+      .groupBy("l_returnflag")
+      .agg(graft.functions.GraftFunctions.histQuantiles(col("c"), 6,
+        Seq(0.5, 0.9, 0.99)))
+    val thq1 = time("hist_quantiles 1x")(noop(hq(li1)))
+    val thqN = time(s"hist_quantiles ${factor}x")(noop(hq(liN)))
+    results += (("hist_quantiles", thq1, thqN))
+
+    // skew report: suppkey replicated ⇒ groups ×N at fixed group size —
+    // the counts-of-counts sketch input grows N×
+    val liS = replicate(li1, Seq("l_suppkey"), 10000000L)
+    val tsk1 = time("skew_report 1x")(noop(graft.operators.Profile
+      .skewReport(li1, "l_suppkey")))
+    val tskN = time(s"skew_report ${factor}x")(noop(graft.operators.Profile
+      .skewReport(liS, "l_suppkey")))
+    results += (("skew_report", tsk1, tskN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")
