@@ -216,6 +216,7 @@ object SparkEntry {
     "q_graph_degrees" -> PipelineQueries.graphDegrees,
     "q_skew_report" -> PipelineQueries.skewReport,
     "q_pagerank_planted" -> PipelineQueries.pagerankPlanted,
+    "q_components_planted" -> PipelineQueries.componentsPlanted,
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
     "q_semantic_decontam" -> PipelineQueries.semanticDecontam,
@@ -2056,8 +2057,21 @@ object SparkEntry {
              coalesce(in_edges, 0)::BIGINT AS in_edges
       FROM o FULL JOIN i ON o.node = i.node""",
 
+    // two chains + an isolated pair ⇒ every node labels with its
+    // component's minimum id (closed form; diameter 4 forces real
+    // multi-round propagation)
+    "q_components_planted" -> """
+      SELECT * FROM (VALUES
+        (0::BIGINT, 0::BIGINT), (1::BIGINT, 0::BIGINT),
+        (2::BIGINT, 0::BIGINT), (3::BIGINT, 0::BIGINT),
+        (4::BIGINT, 0::BIGINT),
+        (10::BIGINT, 10::BIGINT), (11::BIGINT, 10::BIGINT),
+        (12::BIGINT, 10::BIGINT),
+        (20::BIGINT, 20::BIGINT), (21::BIGINT, 20::BIGINT))
+        AS t(node, component)""",
+
     // permutation graph ⇒ uniform 1/12 is the exact fixed point; the
-    // engine runs the real 5-iteration distributed loop and must land on
+    // engine runs the real 3-iteration distributed loop and must land on
     // it for every node (round 9dp absorbs last-bit recurrence drift)
     "q_pagerank_planted" -> """
       SELECT unnest([0,1,2,3,4,5,6,7,10,11,12,13])::BIGINT AS node,

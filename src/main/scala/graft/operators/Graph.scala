@@ -92,9 +92,24 @@ object Graph {
         .localCheckpoint()
       i += 1
     }
-    e.unpersist(); outDeg.unpersist()
+    // ranks is checkpointed (no lineage into these), so dropping every
+    // working cache here leaks nothing and frees the block store
+    e.unpersist(); outDeg.unpersist(); nodes.unpersist()
     ranks
   }
+
+  /** Connected components over an undirected edge list: (node,
+    * component) where component = the minimum node id reachable from the
+    * node. Delegates to the min-label propagation loop shared with
+    * transitive dedup ([[Dedup.clusterComponents]] — checkpoint-per-
+    * round, converges in diameter rounds, everything shuffled is pairs
+    * of ids); exposed here because component labeling is a first-class
+    * graph ask (crawl-site grouping, dup-cluster audits), not just a
+    * dedup internal. */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIters: Int = 20): DataFrame =
+    Dedup.clusterComponents(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b")), maxIters)
 
   /** [[pageRank]] with the output rounded for cross-engine gating (the
     * iterated double recurrence is deterministic per engine; rounding

@@ -526,7 +526,7 @@ object PipelineQueries {
   /** PageRank planted gate (round 5): a 12-node permutation graph (an
     * 8-cycle plus a disjoint 4-cycle) — every node has out-degree and
     * in-degree exactly 1, so uniform 1/12 is the exact fixed point and
-    * five iterations of the real distributed loop must return it for every
+    * three iterations of the real distributed loop must return it for every
     * node; round(…,9) absorbs the recurrence's last-bit float drift
     * (1/12 = 0.08333…3 is interior to the 9dp grid). The general-graph
     * contract (asymmetric structure, dangling mass) lives in GraphSpec's
@@ -537,8 +537,37 @@ object PipelineQueries {
     val cycle4 = (10L to 13L).map(i => (i, if (i == 13L) 10L else i + 1))
     val edges = (cycle8 ++ cycle4).toDF("src", "dst")
       .repartition(4) // exercise the distributed path, not a 1-partition toy
-    graft.operators.Graph.pageRankRounded(edges, "src", "dst",
-      iterations = 5)
+    // the loop runs EAGERLY inside pageRank (checkpoint-per-iteration),
+    // so a fixture-scale partition clamp around the call is effective
+    // and restored before any other query plans — the replay-harness
+    // conf discipline (StreamOps.runToMemory); a 12-node fixture at 32
+    // shuffle partitions otherwise pays 5 iterations of empty-task
+    // scheduling
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    try {
+      s.conf.set(key, "4")
+      graft.operators.Graph.pageRankRounded(edges, "src", "dst",
+        iterations = 3)
+    } finally s.conf.set(key, prev)
+  }
+
+  /** Connected components planted gate (round 5): two chains and an
+    * isolated pair — min-label propagation must label every node with
+    * its component's minimum id (chain diameter 4 forces real
+    * multi-round propagation, not just the seeding fold). Same
+    * fixture-scale partition clamp as the PageRank gate. */
+  val componentsPlanted: Q = (s, d) => {
+    val s_ = s; import s_.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (20L, 21L)).toDF("src", "dst")
+      .repartition(4)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    try {
+      s.conf.set(key, "4")
+      graft.operators.Graph.connectedComponents(edges, "src", "dst")
+    } finally s.conf.set(key, prev)
   }
 
   /** SCD2 history (round 5): three derived snapshots — v2 rewrites every
