@@ -37,6 +37,9 @@ class SqlSurfaceSpec extends SparkSpec {
     val est = one[Long](
       "SELECT kmv_distinct(x, 64) FROM VALUES (1),(2),(3),(2) AS t(x)")
     assert(est >= 2L && est <= 5L, s"kmv estimate $est")
+    assert(one[Seq[Long]](
+      "SELECT hist_quantiles(x, 6, array(0.5, 1.0)) " +
+        "FROM VALUES (10L),(20L),(30L) AS t(x)") === Seq(20L, 30L))
   }
 
   test("pq kernels") {
