@@ -121,6 +121,8 @@ object SparkEntry {
     // structured streaming replay (E29–E33)
     "q_stream_window_agg" -> ((s, d) => streaming.StreamOps.tumblingAgg(s, d)),
     "q_stream_quantiles" -> ((s, d) => streaming.StreamOps.quantileAgg(s, d)),
+    "q_stream_stream_semi" ->
+      ((s, d) => streaming.StreamOps.streamStreamSemiJoin(s, d)),
     "q_stream_sliding" -> ((s, d) => streaming.StreamOps.slidingAgg(s, d)),
     "q_stream_session" -> ((s, d) => streaming.StreamOps.sessionAgg(s, d)),
     "q_stream_dedup" -> ((s, d) => streaming.StreamOps.streamDedup(s, d)),
@@ -927,6 +929,14 @@ object SparkEntry {
       FROM lb l JOIN t ON l.wstart = t.wstart
                       AND l.event_type = t.event_type
       GROUP BY 1, 2, 3""",
+
+    "q_stream_stream_semi" -> """
+      SELECT e.event_id AS err_id, e.user_id, e.ts AS t1
+      FROM events e
+      WHERE e.event_type = 'error' AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+          AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR)""",
 
     "q_stream_sliding" -> """
       SELECT wstart, count(*) AS n, round(sum(value),6) AS total FROM (

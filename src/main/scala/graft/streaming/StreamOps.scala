@@ -251,6 +251,35 @@ object StreamOps {
       .select("err_id", "buy_id", "user_id")
   }
 
+  /** Stream-stream LEFT SEMI join — "errors that resolved to a purchase
+    * within the hour", emitting each error ONCE regardless of match
+    * multiplicity. Completes the streaming join matrix (inner, left,
+    * full, semi). Semi rows emit when their first match arrives, so the
+    * emitted SET is exactly the batch semi join — no watermark-boundary
+    * margin needed (the null-extension ambiguity of the outer forms
+    * doesn't exist here); watermarks still bound both sides' state. */
+  def streamStreamSemiPlan(spark: SparkSession, dir: String): DataFrame = {
+    val ev = replayEvents(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("u1"), col("ts").as("t1"),
+        col("event_id").as("err_id"))
+      .withWatermark("t1", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("t2"),
+        col("event_id").as("buy_id"))
+      .withWatermark("t2", "1 hour")
+    errors.join(purchases,
+      col("u1") === col("u2")
+        && col("t2") >= col("t1")
+        && col("t2") <= col("t1") + expr("INTERVAL 1 HOUR"),
+      "left_semi")
+      .select(col("err_id"), col("u1").as("user_id"), col("t1"))
+  }
+
+  def streamStreamSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, streamStreamSemiPlan(spark, dir),
+      OutputMode.Append())
+
   /** Stream-stream FULL OUTER join: both directions of
     * [[streamStreamLeftPlan]] — unmatched errors AND unmatched
     * purchases emit null-extended once the watermark closes their
