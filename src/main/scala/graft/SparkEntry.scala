@@ -123,6 +123,8 @@ object SparkEntry {
     "q_stream_quantiles" -> ((s, d) => streaming.StreamOps.quantileAgg(s, d)),
     "q_stream_stream_semi" ->
       ((s, d) => streaming.StreamOps.streamStreamSemiJoin(s, d)),
+    "q_stream_running_totals" ->
+      ((s, d) => streaming.RunningTotals.replay(s, d)),
     "q_stream_sliding" -> ((s, d) => streaming.StreamOps.slidingAgg(s, d)),
     "q_stream_session" -> ((s, d) => streaming.StreamOps.sessionAgg(s, d)),
     "q_stream_dedup" -> ((s, d) => streaming.StreamOps.streamDedup(s, d)),
@@ -929,6 +931,17 @@ object SparkEntry {
       FROM lb l JOIN t ON l.wstart = t.wstart
                       AND l.event_type = t.event_type
       GROUP BY 1, 2, 3""",
+
+    // integer-cents running totals ⇒ order-independent arithmetic: the
+    // batch twin is a plain cumulative window over (ts, event_id)
+    "q_stream_running_totals" -> """
+      SELECT user_id, event_id, ts,
+             count(*) OVER w AS n_so_far,
+             (sum(round(value * 100)::BIGINT) OVER w)::BIGINT
+               AS cents_so_far
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING)""",
 
     "q_stream_stream_semi" -> """
       SELECT e.event_id AS err_id, e.user_id, e.ts AS t1
