@@ -221,6 +221,7 @@ object SparkEntry {
     "q_skew_report" -> PipelineQueries.skewReport,
     "q_pagerank_planted" -> PipelineQueries.pagerankPlanted,
     "q_components_planted" -> PipelineQueries.componentsPlanted,
+    "q_quality_classifier" -> PipelineQueries.qualityClassifier,
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
     "q_semantic_decontam" -> PipelineQueries.semanticDecontam,
@@ -2208,6 +2209,46 @@ object SparkEntry {
       JOIN uni uc ON uc.tok = pairs.cur
       CROSS JOIN t
       WHERE c_pair >= 3""",
+
+    // rebuilds the 64-dim hashed tf (the q_hashing_tf recipe), applies
+    // the closed-form fixed-point weights: integer dot ⇒ exact, then one
+    // division + exp per row (rounded)
+    "q_quality_classifier" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents),
+      cells AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('tf_' || tok), 1, 8))::BIGINT % 64
+                 AS cell,
+               count(*)::BIGINT AS c
+        FROM toks WHERE tok <> '' GROUP BY 1, 2),
+      m AS (
+        SELECT doc_id,
+               map_from_entries(list(struct_pack(k := cell, v := c))) AS mp
+        FROM cells GROUP BY doc_id),
+      tf AS (
+        SELECT doc_id,
+               list_transform(range(0, 64),
+                 i -> coalesce(map_extract(mp, i)[1], 0)::BIGINT) AS v
+        FROM m),
+      w AS (
+        SELECT list_transform(range(0, 64),
+          i -> (i * 2654435761) % 1000 - 500) AS wv),
+      scored AS (
+        SELECT doc_id,
+               list_sum(v)::BIGINT AS n_tokens,
+               list_sum(list_transform(range(1, 65),
+                 i -> v[i] * wv[i]))::BIGINT AS dot
+        FROM tf CROSS JOIN w)
+      SELECT doc_id, n_tokens,
+             dot::DOUBLE / (1000.0 * n_tokens) AS logit,
+             round(1.0 / (1.0 + exp(-(dot::DOUBLE / (1000.0 * n_tokens)))),
+               6) AS score,
+             1.0 / (1.0 + exp(-(dot::DOUBLE / (1000.0 * n_tokens)))) >= 0.5
+               AS keep
+      FROM scored WHERE n_tokens > 0""",
 
     "q_hashing_tf" -> """
       WITH toks AS (

@@ -552,6 +552,16 @@ object PipelineQueries {
     } finally s.conf.set(key, prev)
   }
 
+  /** Linear quality-classifier inference (round 5): σ(w·tf/scale) over
+    * the 64-dim hashing-trick features with closed-form fixed-point
+    * weights — integer dot (order-independent), one double division +
+    * exp at the end. Map-only model inference, the C4/Gopher filter
+    * shape. */
+  val qualityClassifier: Q = (s, d) =>
+    graft.operators.Classifier.linearScore(
+      Tables.documents(s, d), "doc_id", "text", dim = 64,
+      weights = graft.operators.Classifier.hashWeights(64))
+
   /** Connected components planted gate (round 5): two chains and an
     * isolated pair — min-label propagation must label every node with
     * its component's minimum id (chain diameter 4 forces real
