@@ -641,6 +641,24 @@ object ScaleBench {
       .skewReport(liS, "l_suppkey")))
     results += (("skew_report", tsk1, tskN))
 
+    // classifier: broadcast weights, map-only scoring — expect ~linear
+    val cw = graft.operators.Classifier.hashWeights(64)
+    val tqc1 = time("quality_classifier 1x")(noop(graft.operators.Classifier
+      .linearScore(docs1, "doc_id", "text", 64, cw)))
+    val tqcN = time(s"quality_classifier ${factor}x")(noop(
+      graft.operators.Classifier.linearScore(docsN, "doc_id", "text",
+        64, cw)))
+    results += (("quality_classifier", tqc1, tqcN))
+
+    // components: N disjoint copies of the supplier→customer graph —
+    // rows ×N at FIXED diameter, so rounds stay constant and each round
+    // is a linear ids-only join-agg
+    val tcc1 = time("components 1x")(noop(graft.operators.Graph
+      .connectedComponents(prEdges(li1, ord1), "src", "dst")))
+    val tccN = time(s"components ${factor}x")(noop(graft.operators.Graph
+      .connectedComponents(prEdges(liG, ordG), "src", "dst")))
+    results += (("components", tcc1, tccN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")
