@@ -68,7 +68,17 @@ case class LogHistQuantiles(child: Expression, subBits: Int,
       : java.util.HashMap[Long, Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val x = v.asInstanceOf[Long]
+      val x = v match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+        case other => throw new IllegalArgumentException(
+          s"hist_quantiles expects an integral column, got $other " +
+            s"(${child.dataType}) — bucket boundaries are integer bit " +
+            "math; scale fractional domains to fixed-point first " +
+            "(e.g. cents)")
+      }
       if (x < 0) throw new IllegalArgumentException(
         s"hist_quantiles is defined over non-negative values, got $x " +
           "(shift or split negative domains before sketching)")

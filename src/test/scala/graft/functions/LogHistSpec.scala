@@ -76,6 +76,14 @@ class LogHistSpec extends SparkSpec {
     assert(got == Seq(20L, 30L), s"nulls must be skipped: $got")
   }
 
+  test("integral widths narrower than long are accepted") {
+    GraftFunctions.register(spark)
+    val got = Seq(10, 20, 30).toDF("v")
+      .agg(GraftFunctions.histQuantiles(col("v"), 6, Seq(1.0)))
+      .head().getSeq[Long](0)
+    assert(got == Seq(30L))
+  }
+
   test("negative input fails loudly") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
