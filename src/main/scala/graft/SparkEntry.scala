@@ -237,6 +237,10 @@ object SparkEntry {
     "q_window_distribution" -> RelationalQueries.windowDistribution,
     "q_jsonl_quarantine" -> SourceQueries.jsonlQuarantine,
     "q_corpus_merge" -> PipelineQueries.corpusMerge,
+    // round 6: lakehouse merge, graph triangles, exact-sum regression
+    "q_cdc_apply" -> PipelineQueries.cdcApply,
+    "q_triangle_counts" -> PipelineQueries.triangleCounts,
+    "q_linreg_group" -> RelationalQueries.linregGroup,
   )
 
   private val docChunksSql = """
@@ -2517,5 +2521,63 @@ object SparkEntry {
         WHERE doc_id NOT IN (SELECT doc_id FROM del))
       SELECT doc_id, md5(text) AS content_hash
       FROM (SELECT * FROM survivors UNION ALL SELECT * FROM applied)""",
+
+    "q_cdc_apply" -> """
+      WITH ch AS (
+        SELECT user_id AS c_custkey, ts, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               value AS new_acctbal,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      latest AS (SELECT * FROM ch WHERE rn = 1)
+      SELECT c_custkey, c.c_name, c.c_nationkey,
+             CASE WHEN l.op IS NOT NULL THEN l.new_acctbal
+                  ELSE c.c_acctbal END AS c_acctbal,
+             c.c_mktsegment,
+             l.ts AS last_change_ts, l.event_id AS last_change_id
+      FROM customer c FULL JOIN latest l USING (c_custkey)
+      WHERE l.op IS NULL OR l.op <> 'D'""",
+
+    "q_triangle_counts" -> """
+      WITH e AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y USING (l_orderkey)
+        WHERE x.l_partkey < y.l_partkey),
+      tri AS (
+        SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      corners AS (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+      SELECT node, count(*)::BIGINT AS triangles
+      FROM corners GROUP BY node""",
+
+    "q_linreg_group" -> """
+      WITH sums AS (
+        SELECT l_returnflag, count(*)::BIGINT AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               sum(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+               sum(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        FROM lineitem GROUP BY l_returnflag),
+      m AS (
+        SELECT l_returnflag, n,
+               n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov,
+               n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS vx,
+               n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vy,
+               sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+        FROM sums)
+      SELECT l_returnflag, n,
+             cov / vx AS slope,
+             (syd - cov / vx * sxd) / n::DOUBLE AS intercept,
+             cov * cov / (vx * vy) AS r2
+      FROM m""",
   )
 }

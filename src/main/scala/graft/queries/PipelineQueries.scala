@@ -742,4 +742,38 @@ object PipelineQueries {
     graft.operators.Pq.adcTopK(codes, books,
       emb.filter(col("vec_id") < 5), k = 10)
   }
+
+  /** CDC MERGE/apply (round 6): customer snapshot + the events feed as a
+    * change stream (latest event wins per user; `error` = delete,
+    * anything else = acctbal upsert). One max_by compaction + one
+    * full-outer key join — see [[graft.operators.Cdc]] for the 100 TB
+    * shape. */
+  val cdcApply: Q = (s, d) => {
+    val base = Tables.customer(s, d)
+    val changes = Tables.events(s, d).select(
+      col("user_id").as("c_custkey"), col("ts"), col("event_id"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+        .as("op"),
+      col("value").as("c_acctbal"))
+    graft.operators.Cdc.applyChanges(base, changes,
+        keyCols = Seq("c_custkey"), orderCols = Seq("ts", "event_id"),
+        opCol = "op", deleteOp = "D")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"),
+        col("ts").as("last_change_ts"),
+        col("event_id").as("last_change_id"))
+  }
+
+  /** Per-node triangle counts (round 6) over the part co-purchase graph
+    * (parts sharing an order). Degree-oriented wedge closure — see
+    * [[graft.operators.Graph.triangleCounts]]; the oracle reproduces the
+    * orientation-independent output with a naive i<j<k 3-way join. */
+  val triangleCounts: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val edges = li.alias("x")
+      .join(li.alias("y"), Seq("l_orderkey"))
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    graft.operators.Graph.triangleCounts(edges, "src", "dst")
+  }
 }

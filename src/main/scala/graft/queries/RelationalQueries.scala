@@ -679,4 +679,12 @@ object RelationalQueries {
       size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
       round(element_at(array_sort(transform(col("embedding"),
         x => x.cast("double"))), 1), 6).as("min_elem"))
+
+  /** Per-group exact-sum OLS (round 6): price-on-quantity fit per return
+    * flag — decimal moment sums, fixed IEEE closed form; see
+    * [[graft.operators.Regression]]. */
+  val linregGroup: Q = (s, d) =>
+    graft.operators.Regression.linearFit(
+      Tables.lineitem(s, d), groupCols = Seq("l_returnflag"),
+      xCol = "l_quantity", yCol = "l_extendedprice")
 }

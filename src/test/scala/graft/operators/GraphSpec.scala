@@ -32,6 +32,33 @@ class GraphSpec extends SparkSpec {
     pr
   }
 
+  test("triangle counts: K4, pendant, star, dirty edge input") {
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, every node in exactly 3.
+    val k4 = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b))
+    // dirty input: duplicates, reversed copies, self-loops — must
+    // canonicalize away
+    val dirty = k4 ++ k4.map(_.swap) ++ Seq((1L, 1L), (2L, 2L))
+    val got = Graph.triangleCounts(dirty.toDF("src", "dst")
+        .repartition(3), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    // triangle {1,2,3} + pendant 3—4: pendant never appears
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val got2 = Graph.triangleCounts(tri.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+
+    // star (hub 0 to 8 leaves): zero triangles, empty output — and the
+    // degree orientation points every edge AT the hub (out-deg ≤ 1
+    // everywhere), the shape that keeps wedge cost sub-quadratic
+    val star = (1L to 8L).map(l => (0L, l))
+    assert(Graph.triangleCounts(star.toDF("src", "dst"), "src", "dst")
+      .count() == 0L)
+  }
+
   test("distributed PageRank matches the reference simulation") {
     // diamond + a dangling sink: a→b, a→c, b→d, c→d (d has no out-edges)
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
