@@ -241,6 +241,10 @@ object SparkEntry {
     "q_cdc_apply" -> PipelineQueries.cdcApply,
     "q_triangle_counts" -> PipelineQueries.triangleCounts,
     "q_linreg_group" -> RelationalQueries.linregGroup,
+    "q_kanon_audit" -> PipelineQueries.kanonAudit,
+    "q_sample_weighted" -> PipelineQueries.sampleWeighted,
+    "q_token_entropy" -> TextQueries.tokenEntropy,
+    "q_lateral_topk" -> RelationalQueries.lateralTopK,
   )
 
   private val docChunksSql = """
@@ -2579,5 +2583,46 @@ object SparkEntry {
              (syd - cov / vx * sxd) / n::DOUBLE AS intercept,
              cov * cov / (vx * vy) AS r2
       FROM m""",
+
+    "q_kanon_audit" -> """
+      SELECT lang, source,
+             CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+             count(*)::BIGINT AS cnt,
+             count(*) < 10 AS at_risk
+      FROM documents
+      GROUP BY lang, source, len_bucket""",
+
+    "q_sample_weighted" -> """
+      WITH g AS (SELECT max(n_chars) AS wmax FROM documents)
+      SELECT doc_id, lang, n_chars
+      FROM documents CROSS JOIN g
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              * wmax
+            < n_chars * 4294967296""",
+
+    "q_token_entropy" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 t -> t <> '')) AS tok
+        FROM documents),
+      c AS (SELECT doc_id, tok, count(*) AS c
+            FROM toks GROUP BY doc_id, tok)
+      SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+             count(*)::BIGINT AS n_types,
+             count(*)::DOUBLE / sum(c)::DOUBLE AS ttr,
+             round(ln(sum(c)::DOUBLE)
+               - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE, 6)
+               AS entropy
+      FROM c GROUP BY doc_id""",
+
+    "q_lateral_topk" -> """
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice
+               FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 2) o""",
   )
 }

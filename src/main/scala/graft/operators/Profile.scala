@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiling (data-quality triage for a 100 TB table):
@@ -103,5 +103,24 @@ object Profile {
     top.withColumn("rank", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy("column")
         .orderBy(col("cnt").desc, col("value"))))
+  }
+
+  /** k-anonymity audit over a quasi-identifier combination: one row per
+    * distinct combination with its population and an `at_risk` flag
+    * (fewer than `k` records share it — those rows are re-identifiable
+    * through the combination). The release-gate check for corpora
+    * carrying user-adjacent metadata; pairs with the PII scrub (scrub
+    * removes direct identifiers, this audits the indirect ones).
+    *
+    * ONE partial-aggregatable groupBy — the shuffle carries (combo,
+    * count), so auditing 100 TB costs a scan plus a combo-cardinality
+    * shuffle. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[Column], k: Int)
+      : DataFrame = {
+    require(quasiCols.nonEmpty, "audit needs at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("at_risk", col("cnt") < k)
   }
 }

@@ -66,6 +66,42 @@ object TextScore {
           / (col("total") + lit(alpha) * col("v")))), 6).as("avg_surprisal"))
   }
 
+  /** Per-doc token-distribution diagnostics: Shannon entropy of the
+    * doc's own token frequencies plus type/token ratio — the two
+    * degenerate-text tells ([[compressionRatio]]'s model-free cousins):
+    * low entropy = a few tokens dominate (keyword stuffing, boilerplate),
+    * low TTR = small vocabulary for the length.
+    *
+    * Entropy uses the factored form `H = ln n − (Σ c·ln c)/n`, which
+    * needs only per-(doc, token) counts and ONE per-doc aggregate — no
+    * join back against a per-doc total. Every input to the closed form
+    * is an exact integer count, so the doubles are a fixed IEEE tree per
+    * doc (the [[graft.operators.Regression]] discipline); `H` is still
+    * rounded at 6dp because Σ c·ln c is a float sum whose order varies
+    * with partitioning (ln outputs are off the decimal grid, so 6dp
+    * absorbs it — the avg-surprisal precedent). TTR ships raw: one
+    * integer division, bit-identical anywhere.
+    *
+    * Returns (idCol, n_tokens, n_types, ttr, entropy). */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(Tokenize.tokenCol(textCol)).as("tok"))
+      .filter(col("tok") =!= "")
+    toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("__s"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        round(log(col("n_tokens").cast("double"))
+          - col("__s") / col("n_tokens").cast("double"), 6).as("entropy"))
+  }
+
   /** Per-doc mean INTERPOLATED bigram surprisal — the next LM-filter rung
     * above [[unigramSurprisal]] (word-order sensitivity: shuffled prose
     * scores like gibberish under a bigram model but identically under a

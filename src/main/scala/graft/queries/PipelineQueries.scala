@@ -764,6 +764,33 @@ object PipelineQueries {
         col("event_id").as("last_change_id"))
   }
 
+  /** k-anonymity audit (round 6): (lang, source, length-centile bucket)
+    * as the quasi-identifier over documents; combos shared by < 10 docs
+    * flag `at_risk`. See [[graft.operators.Profile.kAnonymity]]. */
+  val kanonAudit: Q = (s, d) =>
+    graft.operators.Profile.kAnonymity(
+      Tables.documents(s, d),
+      quasiCols = Seq(col("lang"), col("source"),
+        (col("n_chars") / 100).cast("long").as("len_bucket")),
+      k = 10)
+
+  /** Deterministic weighted Bernoulli sample (round 6): keep probability
+    * proportional to doc length, decided by EXACT integer arithmetic —
+    * u32(md5(doc_id)) · max(n_chars) < n_chars · 2³². No doubles, no RNG
+    * state: re-runs, engines, and partitionings all pick the identical
+    * sample (the [[sampleHash]] discipline, weighted). The corpus max is
+    * one 1-row broadcast; the pass itself is map-only. */
+  val sampleWeighted: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val wmax = docs.agg(max("n_chars").as("__wmax"))
+    docs.crossJoin(broadcast(wmax))
+      .filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") * col("__wmax")
+          < col("n_chars") * lit(4294967296L))
+      .select("doc_id", "lang", "n_chars")
+  }
+
   /** Per-node triangle counts (round 6) over the part co-purchase graph
     * (parts sharing an order). Degree-oriented wedge closure — see
     * [[graft.operators.Graph.triangleCounts]]; the oracle reproduces the

@@ -680,6 +680,25 @@ object RelationalQueries {
       round(element_at(array_sort(transform(col("embedding"),
         x => x.cast("double"))), 1), 6).as("min_elem"))
 
+  /** LATERAL correlated top-k (round 6): each customer's two largest
+    * orders via a LATERAL subquery with correlated ORDER BY + LIMIT —
+    * the SQL-surface twin of [[graft.plans.TopKPerGroup]]. Catalyst
+    * decorrelates it (DecorrelateInnerQuery) into a ranked window, so
+    * the plan never executes per-row subqueries. */
+  val lateralTopK: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer_lt")
+    Tables.orders(s, d).createOrReplaceTempView("orders_lt")
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer_lt c,
+      LATERAL (SELECT o_orderkey, o_totalprice
+               FROM orders_lt
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 2) o
+    """)
+  }
+
   /** Per-group exact-sum OLS (round 6): price-on-quantity fit per return
     * flag — decimal moment sums, fixed IEEE closed form; see
     * [[graft.operators.Regression]]. */

@@ -283,6 +283,13 @@ object TextQueries {
     graft.operators.TextFeatures.hashingTf(
       Tables.documents(s, d), "doc_id", "text", dim = 64)
 
+  /** Per-doc token entropy + type/token ratio (round 6): the model-free
+    * degenerate-text tells. See [[graft.operators.TextScore.tokenEntropy]]
+    * for the factored closed form that keeps it one aggregate. */
+  val tokenEntropy: Q = (s, d) =>
+    graft.operators.TextScore.tokenEntropy(
+      Tables.documents(s, d), "doc_id", "text")
+
   /** Unicode canonicalization (round 5): NFC-normalize + accent-fold each
     * doc with a DECOMPOSED accented prefix spliced in, so composed and
     * decomposed forms must converge for the digests to hash-match DuckDB's

@@ -30,4 +30,20 @@ class ProfileSpec extends SparkSpec {
     assert(ranks.contains(("c2", "x", 1L, 2)) &&
       ranks.contains(("c2", "z", 1L, 3)))
   }
+
+  test("k-anonymity audit flags combos below k") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq.fill(5)(("us", "web")) ++ Seq.fill(2)(("us", "app")) ++
+      Seq(("de", "web"))
+    val got = Profile.kAnonymity(
+        rows.toDF("country", "channel").repartition(3),
+        Seq(col("country"), col("channel")), k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(got == Set(
+      ("us", "web", 5L, false),
+      ("us", "app", 2L, true),
+      ("de", "web", 1L, true)))
+  }
 }

@@ -52,4 +52,24 @@ class TextScoreSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got(2L) > got(1L), "the rare token must raise doc 2's surprisal")
   }
+
+  test("token entropy: hand-computed values and degeneracy ordering") {
+    val docs = Seq(
+      (1L, "a a b"),          // H = ln3 − (2·ln2)/3, ttr = 2/3
+      (2L, "a a a a"),        // single type: H = 0, ttr = 1/4
+      (3L, "a b c d")         // uniform: H = ln4, ttr = 1
+    ).toDF("doc_id", "text")
+    val got = TextScore.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, 2L, 2.0 / 3.0,
+      r6(math.log(3.0) - 2 * math.log(2.0) / 3))))
+    assert(got(2L) == ((4L, 1L, 0.25, 0.0)))
+    assert(got(3L) == ((4L, 4L, 1.0, r6(math.log(4.0)))))
+    // repetitive text scores lower than diverse text
+    assert(got(2L)._4 < got(1L)._4 && got(1L)._4 < got(3L)._4)
+  }
 }

@@ -118,6 +118,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(projLine.contains("*("), s"pq_encode fell out of codegen: $projLine")
   }
 
+  test("LATERAL top-k decorrelates: ranked window, no per-row subquery") {
+    val p = plan(RelationalQueries.lateralTopK)
+    // DecorrelateInnerQuery rewrites the correlated ORDER BY+LIMIT into
+    // a partitioned Window rank — per-row subquery execution would show
+    // as a nested-loop over a subquery, cartesian death at scale
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), "lateral must not cartesian")
+  }
+
   test("vector kernels run inside whole-stage codegen") {
     val df = VectorQueries.vectorCosine(spark, sf)
     val qe = df.queryExecution
