@@ -283,6 +283,33 @@ object TextQueries {
     graft.operators.TextFeatures.hashingTf(
       Tables.documents(s, d), "doc_id", "text", dim = 64)
 
+  /** N-gram CONTAINMENT similarity (round 6): `|ngrams(A)∩ngrams(B)| /
+    * |ngrams(A)|` — the asymmetric cousin of [[ngramJaccard]] that
+    * catches subset duplication (a doc quoted inside a larger one scores
+    * ~1 against it while Jaccard stays low). Same distributed
+    * set-similarity join shape: probe side filtered FIRST, join fans out
+    * on shared trigrams only, shuffles carry (id, ngram) pairs. The
+    * ratio ships raw — one integer division, bit-identical anywhere. */
+  val ngramContainment: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.operators.Decontam.ngrams(col("text"), 3)).as("ng"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sza"))
+    val probe = grams.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("a"), col("lang").as("l1"), col("ng"))
+    val cand = grams
+      .select(col("doc_id").as("b"), col("lang").as("l2"), col("ng"))
+    probe.join(cand,
+        probe("ng") === cand("ng") && col("l1") === col("l2")
+          && col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a"), "a")
+      .select(col("a"), col("b"), col("inter"), col("sza"),
+        (col("inter").cast("double") / col("sza").cast("double"))
+          .as("containment"))
+  }
+
   /** Per-doc token entropy + type/token ratio (round 6): the model-free
     * degenerate-text tells. See [[graft.operators.TextScore.tokenEntropy]]
     * for the factored closed form that keeps it one aggregate. */
