@@ -659,6 +659,81 @@ object ScaleBench {
       .connectedComponents(prEdges(liG, ordG), "src", "dst")))
     results += (("components", tcc1, tccN))
 
+    // ---- round-7 operators ----
+    // set-sim join, rep-tagged tokens: copies are mutually disjoint, so
+    // output pairs and candidate work both grow ×N — the honest linear
+    // drill. (Clone replication is measured separately below: output
+    // itself is quadratic in clone-group size there, so wall tracks the
+    // OUTPUT, not a plan defect — same argument as the minhash rows.)
+    def setsimOf(df: DataFrame) = graft.operators.SetSimJoin
+      .joinByJaccard(df, "doc_id", "toks", 0.8)
+      .groupBy().agg(count(lit(1)).as("n_pairs"), sum("overlap"))
+    val toks1 = docs1.select(col("doc_id"),
+      filter(split(lower(col("text")), " "),
+        t => length(t) > 0).as("toks"))
+    val toksUniq = toks1.crossJoin(
+        spark.range(factor).select(col("id").as("__rep")))
+      .select((col("doc_id") + col("__rep") * 10000000L).as("doc_id"),
+        transform(col("toks"),
+          t => concat(t, lit("#"), col("__rep"))).as("toks"))
+    val tss1 = time("setsim_join 1x")(noop(setsimOf(toks1)))
+    val tssN = time(s"setsim_join ${factor}x")(noop(setsimOf(toksUniq)))
+    results += (("setsim_join", tss1, tssN))
+
+    // set-sim worst case: N verbatim clones per doc — every clone pair
+    // qualifies, output grows ×N² inside groups; measured and logged,
+    // EXCLUDED from the linear table (quadratic output, not plan decay)
+    val toksClones = toks1.crossJoin(
+        spark.range(factor).select(col("id").as("__rep")))
+      .select((col("doc_id") + col("__rep") * 10000000L).as("doc_id"),
+        col("toks"))
+    time(s"setsim_clones ${factor}x (quadratic output)")(
+      noop(setsimOf(toksClones)))
+
+    // global sequence: rows ×N over FIXED day buckets — per-bucket sort
+    // grows linearly, offsets table stays 30 rows
+    def seqOf(df: DataFrame) = graft.operators.Sequence.assignGlobalSeq(
+        df.select("event_id", "ts"), to_date(col("ts")),
+        Seq(col("ts"), col("event_id")))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)), sum("seq"))
+    val tgs1 = time("global_seq 1x")(noop(seqOf(ev1)))
+    val tgsN = time(s"global_seq ${factor}x")(noop(seqOf(evN)))
+    results += (("global_seq", tgs1, tgsN))
+
+    // MAD outliers: rows ×N into FIXED language groups; the exact
+    // percentile buffer holds distinct token-length values (bounded), so
+    // both aggregation passes stay map-side-partial linear
+    def madOf(df: DataFrame) = graft.operators.Outliers.madSummary(
+      df.select(col("lang"),
+        size(filter(split(lower(col("text")), " "),
+          t => length(t) > 0)).as("n_tokens")),
+      Seq("lang"), "n_tokens")
+    val tmo1 = time("mad_outliers 1x")(noop(madOf(docs1)))
+    val tmoN = time(s"mad_outliers ${factor}x")(noop(madOf(docsN)))
+    results += (("mad_outliers", tmo1, tmoN))
+
+    // Misra–Gries: pure map-side partial agg, k-bounded buffers
+    def mgOf(df: DataFrame) = df.agg(
+      graft.functions.GraftFunctions.misraGries(col("event_type"), 16))
+    val tmg1 = time("misra_gries 1x")(noop(mgOf(ev1)))
+    val tmgN = time(s"misra_gries ${factor}x")(noop(mgOf(evN)))
+    results += (("misra_gries", tmg1, tmgN))
+
+    // rolling median: suppliers ×N at fixed group size — per-group
+    // window sorts replicate, frame work is O(rows · frame)
+    def rollOf(df: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+        .rowsBetween(-4, org.apache.spark.sql.expressions.Window.currentRow)
+      df.withColumn("rm", percentile(col("l_quantity"), lit(0.5)).over(w))
+        .groupBy("l_suppkey").agg(sum("rm"), max("rm"))
+    }
+    val trm1 = time("rolling_median 1x")(noop(rollOf(li1)))
+    val trmN = time(s"rolling_median ${factor}x")(noop(rollOf(liS)))
+    results += (("rolling_median", trm1, trmN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

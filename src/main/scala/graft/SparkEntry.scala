@@ -245,6 +245,13 @@ object SparkEntry {
     "q_sample_weighted" -> PipelineQueries.sampleWeighted,
     "q_token_entropy" -> TextQueries.tokenEntropy,
     "q_lateral_topk" -> RelationalQueries.lateralTopK,
+    // round 7: exact set-similarity join (prefix filtering), global
+    // sequence assignment, robust outliers, rolling median
+    "q_setsim_join" -> DedupQueries.setsimJoin,
+    "q_global_seq" -> PipelineQueries.globalSeq,
+    "q_length_outliers" -> PipelineQueries.lengthOutliers,
+    "q_rolling_median" -> RelationalQueries.rollingMedian,
+    "q_heavy_hitters" -> RelationalQueries.heavyHitters,
   )
 
   private val docChunksSql = """
@@ -2624,5 +2631,86 @@ object SparkEntry {
                WHERE o_custkey = c.c_custkey
                ORDER BY o_totalprice DESC, o_orderkey
                LIMIT 2) o""",
+
+    // Exact Jaccard >= 0.6 pairs: brute-force token self-join oracle.
+    // One IEEE division per pair on both engines — bit-identical, so the
+    // comparison and the output double hash-match (NOTES.md FP taxonomy).
+    "q_setsim_join" -> """
+      WITH sized AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                 t -> t <> '')) AS tk
+        FROM documents),
+      tok AS (
+        SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
+        FROM sized WHERE len(tk) > 0),
+      ov AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               a.n AS n1, b.n AS n2, count(*)::INT AS overlap
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+      SELECT id1, id2, n1, n2, overlap,
+             overlap * 1.0 / (n1 + n2 - overlap) AS jaccard
+      FROM ov
+      WHERE overlap * 1.0 / (n1 + n2 - overlap) >= 0.6""",
+
+    // Global 0-based sequence in (ts, event_id) order; per-day
+    // min/max/sum of the contiguous range are closed-form, so a single
+    // misplaced bucket offset breaks the hash.
+    "q_global_seq" -> """
+      WITH s AS (
+        SELECT event_id, ts,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS seq
+        FROM events)
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+             min(seq) AS min_seq, max(seq) AS max_seq,
+             sum(seq)::BIGINT AS sum_seq,
+             min_by(event_id, seq) AS first_event
+      FROM s GROUP BY 1""",
+
+    // Median/MAD token-length outliers per language. Integer token
+    // counts keep medians and MADs dyadic-exact on both engines.
+    "q_length_outliers" -> """
+      WITH t AS (
+        SELECT lang,
+               len(list_filter(string_split(lower(text), ' '),
+                 x -> x <> ''))::INT AS n_tokens
+        FROM documents),
+      m AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS med
+            FROM t GROUP BY 1),
+      d2 AS (SELECT t.lang, abs(t.n_tokens - m.med) AS dev, m.med AS med
+             FROM t JOIN m USING (lang)),
+      md AS (SELECT lang, quantile_cont(dev, 0.5) AS mad
+             FROM d2 GROUP BY 1)
+      SELECT d2.lang, count(*) AS n,
+             sum(CASE WHEN d2.dev > 3 * md.mad THEN 1 ELSE 0 END)::BIGINT
+               AS n_outliers,
+             min(d2.med) AS median, min(md.mad) AS mad
+      FROM d2 JOIN md USING (lang) GROUP BY 1""",
+
+    // Misra–Gries with k above the key cardinality = exact counts
+    // (order-independent regime); rank via the same (count desc, key)
+    // total order the sketch's eval emits.
+    "q_heavy_hitters" -> """
+      SELECT (row_number() OVER (ORDER BY count(*) DESC, event_type) - 1)::INT
+               AS rank,
+             event_type AS key, count(*) AS cnt
+      FROM events GROUP BY event_type""",
+
+    // Rolling 5-row exact median per supplier; quarter-exact medians
+    // make the per-supplier sum order-independent. l_quantity rides the
+    // sort key because (l_orderkey, l_linenumber) is not unique — ties
+    // then hold equal quantities, so frames are tie-order-invariant.
+    "q_rolling_median" -> """
+      WITH r AS (
+        SELECT l_suppkey,
+               median(l_quantity) OVER (
+                 PARTITION BY l_suppkey
+                 ORDER BY l_orderkey, l_linenumber, l_quantity
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med
+        FROM lineitem)
+      SELECT l_suppkey, count(*) AS n, sum(roll_med) AS sum_med,
+             max(roll_med) AS max_med
+      FROM r GROUP BY 1""",
   )
 }

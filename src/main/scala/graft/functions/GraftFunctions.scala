@@ -102,6 +102,8 @@ object GraftFunctions {
     })),
     "strip_accents" -> (es => StripAccents(es(0))),
     "deflate_len" -> (es => DeflateLen(es(0))),
+    "misra_gries" -> (es => MisraGries(es(0),
+      intArg(es(1), "misra_gries")).toAggregateExpression()),
   )
 
   /** Idempotent per-session registration of all engine functions. */
@@ -123,6 +125,10 @@ object GraftFunctions {
   def simhash64(elems: Column): Column = call_function("simhash64", elems)
   def kmvDistinct(c: Column, k: Int = 256): Column =
     call_function("kmv_distinct", c, org.apache.spark.sql.functions.lit(k))
+  /** Misra–Gries heavy-hitter candidates: ≤ k (key, count) pairs, count
+    * desc; exact when the group has ≤ k distinct keys. */
+  def misraGries(c: Column, k: Int): Column =
+    call_function("misra_gries", c, org.apache.spark.sql.functions.lit(k))
   /** Element-wise mean of an array<float|double> column, as array<double>. */
   def vecMean(c: Column): Column = call_function("vec_mean", c)
   /** Count-min sketch aggregate: depth×width counters, row-major. */

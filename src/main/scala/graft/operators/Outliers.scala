@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group robust outlier detection via median / MAD (median absolute
+  * deviation) — the length-outlier filter of corpus curation: mean/stddev
+  * break down under the heavy-tailed length distributions web corpora
+  * have (a handful of megabyte documents drag the mean past most of the
+  * corpus), while the median/MAD pair has a 50% breakdown point
+  * (Leys et al. 2013; the Gopher length filters use fixed thresholds —
+  * MAD makes them distribution-relative per group).
+  *
+  * `x` is an outlier in its group iff `|x - median| > k * MAD`. With the
+  * conventional consistency constant folded into `k` (k=3 here ≈ 2σ for
+  * normal data at k·1.4826).
+  *
+  * Scale shape: two exact-percentile aggregations (Spark's `percentile`
+  * does partial aggregation; the shuffle carries group keys + counters),
+  * each group's one-row stats broadcast-joined back onto the rows —
+  * the rows themselves never re-shuffle. Groups = languages/sources
+  * (small cardinality); rows = corpus scale.
+  *
+  * Determinism note (gate discipline, NOTES.md rounding taxonomy): with
+  * integer-valued `x`, medians and MADs are quarter-integers — exact in
+  * binary — so `> k*MAD` never sits on an FP boundary and the flag
+  * hash-matches any IEEE engine. MAD = 0 (over half the group identical)
+  * flags every non-median value; that is the standard MAD caveat, kept.
+  */
+object Outliers {
+
+  /** Adds `__med`, `__mad`, `is_outlier` to every row. */
+  def madFlag(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(g: _*)
+      .agg(percentile(v, lit(0.5)).as("__med"))
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("__dev", abs(v - col("__med")))
+    val mad = dev.groupBy(g: _*)
+      .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
+    dev.drop("__mad").join(broadcast(mad), groupCols)
+      .withColumn("is_outlier", col("__dev") > lit(k) * col("__mad"))
+  }
+
+  /** Per-group outlier summary: n, n_outliers, median, mad. */
+  def madSummary(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Double = 3.0): DataFrame =
+    madFlag(df, groupCols, valueCol, k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        first(col("__med")).as("median"),
+        first(col("__mad")).as("mad"))
+}

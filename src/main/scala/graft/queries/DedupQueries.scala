@@ -291,4 +291,17 @@ object DedupQueries {
   val minhashTransitivePlanted: Q = (s, d) =>
     Dedup.minhashDedupTransitive(plantedStars(s, d), "doc_id", "text",
       numHashes = 64, bands = 32, threshold = 0.45)
+
+  /** Exact Jaccard set-similarity self-join via prefix filtering
+    * (round 7, [[graft.operators.SetSimJoin]]) — the 100%-recall exact
+    * counterpart to the MinHash-LSH tier, so it takes a FULL hash gate
+    * on the real corpus (no planted fixture needed): the DuckDB oracle
+    * recomputes every qualifying pair by brute-force token self-join. */
+  val setsimJoin: Q = (s, d) =>
+    graft.operators.SetSimJoin.joinByJaccard(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), " "),
+            t => length(t) > 0).as("toks")),
+      "doc_id", "toks", minJaccard = 0.6)
 }

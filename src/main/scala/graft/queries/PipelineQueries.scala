@@ -803,4 +803,33 @@ object PipelineQueries {
       .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
     graft.operators.Graph.triangleCounts(edges, "src", "dst")
   }
+
+  /** Distributed global sequence assignment (round 7) — contiguous
+    * 0..N-1 event ids in (ts, event_id) order via day-bucket offsets,
+    * with no single-partition window anywhere
+    * ([[graft.operators.Sequence]]). Gate aggregates per day: min/max/sum
+    * of an offset range are closed-form, so any off-by-bucket error
+    * breaks the hash. */
+  val globalSeq: Q = (s, d) =>
+    graft.operators.Sequence.assignGlobalSeq(
+        Tables.events(s, d).select("event_id", "ts"),
+        bucket = to_date(col("ts")),
+        orderCols = Seq(col("ts"), col("event_id")))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        min("seq").as("min_seq"), max("seq").as("max_seq"),
+        sum("seq").as("sum_seq"),
+        min_by(col("event_id"), col("seq")).as("first_event"))
+
+  /** Per-language token-length outliers by median/MAD (round 7,
+    * [[graft.operators.Outliers]]) — the robust length filter of corpus
+    * curation. Integer token counts make every median, MAD, and
+    * comparison dyadic-exact, so the flag hash-matches DuckDB. */
+  val lengthOutliers: Q = (s, d) =>
+    graft.operators.Outliers.madSummary(
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(filter(split(lower(col("text")), " "),
+            t => length(t) > 0)).as("n_tokens")),
+      groupCols = Seq("lang"), valueCol = "n_tokens", k = 3.0)
 }

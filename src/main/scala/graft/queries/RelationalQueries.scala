@@ -706,4 +706,42 @@ object RelationalQueries {
     graft.operators.Regression.linearFit(
       Tables.lineitem(s, d), groupCols = Seq("l_returnflag"),
       xCol = "l_quantity", yCol = "l_extendedprice")
+
+  /** Misra–Gries heavy-hitter candidates over event types (round 7,
+    * sketch tier): k=16 exceeds the type cardinality, so the sketch is
+    * in its exact regime — order-independent counts, full hash gate.
+    * The eviction regime is covered by MisraGriesSpec's guarantee
+    * properties (approx-family discipline). */
+  val heavyHitters: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .agg(graft.functions.GraftFunctions.misraGries(
+        col("event_type"), 16).as("hh"))
+      .select(posexplode(col("hh")))
+      .select(col("pos").cast("int").as("rank"),
+        col("col.key").as("key"), col("col.count").as("cnt"))
+  }
+
+  /** Rolling exact median over a 5-row frame (round 7, E20 family):
+    * Spark's exact `percentile` as a windowed aggregate vs DuckDB's
+    * windowed `median`. Integer-valued quantities keep every median a
+    * dyadic quarter — exact, and the per-supplier SUM of those medians
+    * is order-independent, so the reduction hash-matches.
+    *
+    * Sort-key discipline: (l_orderkey, l_linenumber) is NOT unique in
+    * the synthetic lineitem, so l_quantity joins the key — rows still
+    * tied then carry EQUAL quantities, making every frame's multiset
+    * (hence the median) invariant under engine tie order. */
+  val rollingMedian: Q = (s, d) => {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      .rowsBetween(-4, Window.currentRow)
+    Tables.lineitem(s, d)
+      .withColumn("roll_med",
+        percentile(col("l_quantity"), lit(0.5)).over(w))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"),
+        sum("roll_med").as("sum_med"),
+        max("roll_med").as("max_med"))
+  }
 }

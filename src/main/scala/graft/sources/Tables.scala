@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * columns into the vectorized reader, which is the 100 TB-scale posture:
   * never materialize more than the query needs.
   *
-  * `events.ts` is written as parquet INT64 TIMESTAMP(NANOS), which Spark
-  * only reads via the `nanosAsLong` legacy flag; [[events]] normalizes it to
-  * a microsecond `TimestampType` column (truncating, exactly as DuckDB 1.x
-  * does when casting TIMESTAMP_NS to TIMESTAMP), so engine and oracle agree.
+  * `events.ts` has shipped in two encodings across driver rounds: parquet
+  * INT64 TIMESTAMP(NANOS) (readable only via the `nanosAsLong` legacy
+  * flag) and plain TIMESTAMP(MICROS) with `isAdjustedToUTC = false`
+  * (which Spark reads as `TIMESTAMP_NTZ`). [[events]] normalizes either
+  * to a microsecond `TimestampType` column in the session zone (UTC), so
+  * engine and oracle agree regardless of which encoding is on disk.
   */
 object Tables {
 
@@ -32,9 +34,21 @@ object Tables {
   /** Events with `ts` as a proper microsecond timestamp. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      // integer division: epoch-ns (~1.7e18) overflows double precision,
-      // so a fp divide here would be off by ±1 µs on ~25% of rows
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(spark, dir, "events"))
   }
+
+  /** Normalizes the stored `ts` encoding (int64 nanos or TIMESTAMP_NTZ
+    * micros) to `TimestampType`. Session zone is UTC everywhere, so the
+    * NTZ cast reinterprets the naive value as the same instant. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: epoch-ns (~1.7e18) overflows double
+        // precision, so a fp divide would be off by ±1 µs on ~25% of rows
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 }

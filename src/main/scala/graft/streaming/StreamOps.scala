@@ -28,26 +28,33 @@ object StreamOps {
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** Raw parquet schema of events (ts as INT64 nanos ⇒ LongType under
-    * `nanosAsLong`). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Raw parquet schema of events. The stored `ts` encoding varies by
+    * driver round (INT64 nanos ⇒ LongType under `nanosAsLong`, or
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false ⇒ TIMESTAMP_NTZ), so
+    * the streaming source declares whatever the file actually holds —
+    * one batch footer read — and [[graft.sources.Tables.normalizeTs]]
+    * converts to session-zone `TimestampType` either way. */
+  private def rawSchema(spark: SparkSession, dir: String): StructType = {
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
 
   /** The events table as an unbounded stream with microsecond event time. */
   def replayEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    graft.sources.Tables.normalizeTs(spark.readStream
+      .schema(rawSchema(spark, dir))
       // the file stream source wants a directory; glob-filter to the one
       // table so sibling parquets with other schemas stay invisible
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
   }
 
   /** Run a streaming transform of the replayed events to completion and

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OutliersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flags exactly the values beyond k*MAD of the median") {
+    // group g: values 10,11,12,13,14 (med 12, MAD 1) plus 100 and 16.
+    // With 7 values 10..14,16,100: med=13? sorted: 10,11,12,13,14,16,100
+    // med=13, devs=3,2,1,0,1,3,87 -> sorted 0,1,1,2,3,3,87, MAD=2.
+    // k=3 -> cut 6: only 87 > 6 -> 100 flagged.
+    val df = Seq(10, 11, 12, 13, 14, 16, 100)
+      .map(("g", _)).toDF("grp", "v")
+    val out = Outliers.madFlag(df, Seq("grp"), "v", k = 3.0)
+      .filter(col("is_outlier")).select("v").as[Int].collect()
+    assert(out.toSeq == Seq(100))
+    val s = Outliers.madSummary(df, Seq("grp"), "v", k = 3.0).head()
+    assert(s.getAs[Long]("n") == 7 && s.getAs[Long]("n_outliers") == 1)
+    assert(s.getAs[Double]("median") == 13.0 && s.getAs[Double]("mad") == 2.0)
+  }
+
+  test("zero MAD: any deviation from the constant majority is flagged") {
+    val df = (Seq.fill(10)(5) :+ 6).map(("g", _)).toDF("grp", "v")
+    val flagged = Outliers.madFlag(df, Seq("grp"), "v")
+      .filter(col("is_outlier")).select("v").as[Int].collect()
+    assert(flagged.toSeq == Seq(6))
+  }
+
+  test("groups are independent") {
+    val df = (Seq.fill(9)(("a", 10)) :+ ("a", 50)) ++
+      (Seq.fill(9)(("b", 50)) :+ ("b", 10))
+    val out = Outliers.madFlag(df.toDF("grp", "v"), Seq("grp"), "v")
+      .filter(col("is_outlier"))
+      .select("grp", "v").as[(String, Int)].collect().toSet
+    assert(out == Set(("a", 50), ("b", 10)))
+  }
+}

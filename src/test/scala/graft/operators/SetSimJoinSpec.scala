@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Prefix filtering must be LOSSLESS: the join's output equals the
+  * brute-force all-pairs Jaccard computation, pair for pair. */
+class SetSimJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks = filter(split(lower(col("text")), " "),
+    t => length(t) > 0)
+
+  private def bruteForce(df: org.apache.spark.sql.DataFrame, t: Double) = {
+    val sets = df.select(col("doc_id"),
+        array_distinct(toks).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val a = sets.select(col("doc_id").as("id1"), col("tk").as("tk1"))
+    val b = sets.select(col("doc_id").as("id2"), col("tk").as("tk2"))
+    a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("ov", size(array_intersect(col("tk1"), col("tk2"))))
+      .withColumn("jac", col("ov").cast("double") /
+        (size(col("tk1")) + size(col("tk2")) - col("ov")))
+      .filter(col("jac") >= t)
+      .select("id1", "id2", "ov")
+  }
+
+  test("exactly matches brute force on the corpus, several thresholds") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    for (t <- Seq(0.5, 0.6, 0.8)) {
+      val fast = SetSimJoin.joinByJaccard(
+          docs.select(col("doc_id"), toks.as("toks")),
+          "doc_id", "toks", t)
+        .select(col("id1"), col("id2"), col("overlap").as("ov"))
+      val slow = bruteForce(docs, t)
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+        s"prefix-filtered join diverged from brute force at t=$t")
+    }
+  }
+
+  test("identical docs pair at jaccard 1.0; disjoint docs never pair") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = SetSimJoin.joinByJaccard(
+        df.select(col("doc_id"), toks.as("toks")), "doc_id", "toks", 0.9)
+      .collect()
+    assert(out.toSeq.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+    assert(out.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("boundary threshold pairs survive (t exactly attained)") {
+    // overlap 3 of union 5 = 0.6 exactly: {a b c d} vs {a b c e}
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e")).toDF("doc_id", "text")
+    val out = SetSimJoin.joinByJaccard(
+      df.select(col("doc_id"), toks.as("toks")), "doc_id", "toks", 0.6)
+    assert(out.count() == 1)
+  }
+
+  test("token multiplicity is ignored (set semantics)") {
+    val df = Seq(
+      (1L, "a a a b"),
+      (2L, "a b b b")).toDF("doc_id", "text")
+    val out = SetSimJoin.joinByJaccard(
+      df.select(col("doc_id"), toks.as("toks")), "doc_id", "toks", 0.99)
+    assert(out.count() == 1) // both sets are {a, b}
+  }
+}
