@@ -744,6 +744,31 @@ object ScaleBench {
     val trmN = time(s"rolling_median ${factor}x")(noop(rollOf(liS)))
     results += (("rolling_median", trm1, trmN))
 
+    // interval-overlap join: replicas shift by 31 days each, so the
+    // event stream grows ×N in TIME and pair output grows ×N (identical
+    // replicated windows would overlap each other — ×N² output, the
+    // setsim_clones argument); buckets grow with the time span, per-
+    // bucket population stays fixed
+    def shifted(df: DataFrame) = df.crossJoin(
+        spark.range(factor).select(col("id").as("__rep")))
+      .select((col("event_id") + col("__rep") * 10000000L).as("event_id"),
+        timestamp_micros(unix_micros(col("ts")) +
+          col("__rep") * (31L * 86400 * 1000000L)).as("ts"),
+        col("event_type"))
+    def ivjOf(df: DataFrame) = {
+      def win(t: String) = df.filter(col("event_type") === t)
+        .select(col("event_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+      graft.operators.IntervalJoin.overlapJoin(
+          win("error"), "event_id", "s", "e",
+          win("purchase"), "event_id", "s", "e", 3600L)
+        .groupBy().agg(count(lit(1)), sum("overlap_us"))
+    }
+    val ev1s = ev1.select("event_id", "ts", "event_type")
+    val tij1 = time("interval_join 1x")(noop(ivjOf(ev1s)))
+    val tijN = time(s"interval_join ${factor}x")(noop(ivjOf(shifted(ev1s))))
+    results += (("interval_join", tij1, tijN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

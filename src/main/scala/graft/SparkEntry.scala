@@ -252,6 +252,9 @@ object SparkEntry {
     "q_length_outliers" -> PipelineQueries.lengthOutliers,
     "q_rolling_median" -> RelationalQueries.rollingMedian,
     "q_heavy_hitters" -> RelationalQueries.heavyHitters,
+    "q_interval_overlap" -> PipelineQueries.intervalOverlap,
+    "q_stream_heavy_hitters" ->
+      ((s, d) => streaming.StreamOps.heavyHittersAgg(s, d)),
   )
 
   private val docChunksSql = """
@@ -2693,6 +2696,37 @@ object SparkEntry {
                AS n_outliers,
              min(d2.med) AS median, min(md.mad) AS mad
       FROM d2 JOIN md USING (lang) GROUP BY 1""",
+
+    // Interval-overlap join: the oracle is the direct theta join (fine
+    // at oracle scale); the engine's bucket decomposition must produce
+    // exactly the same pairs with integer-µs overlaps.
+    "q_interval_overlap" -> """
+      WITH e AS (
+        SELECT event_id AS err_id, ts AS es,
+               ts + INTERVAL 10 MINUTE AS ee
+        FROM events WHERE event_type = 'error'),
+      p AS (
+        SELECT event_id AS pur_id, ts AS ps,
+               ts + INTERVAL 10 MINUTE AS pe
+        FROM events WHERE event_type = 'purchase')
+      SELECT err_id, pur_id,
+             epoch_us(least(ee, pe)) - epoch_us(greatest(es, ps))
+               AS overlap_us
+      FROM e JOIN p ON es < pe AND ps < ee""",
+
+    // Streaming MG: every 1-day window is in the exact regime (k=16 >
+    // |event_type|), so the oracle is the batch per-window count with
+    // the sketch's own (count desc, key) rank order.
+    "q_stream_heavy_hitters" -> """
+      WITH c AS (
+        SELECT date_trunc('day', ts) AS wstart, event_type AS key,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2)
+      SELECT wstart,
+             (row_number() OVER (PARTITION BY wstart
+                                 ORDER BY cnt DESC, key) - 1)::INT AS rank,
+             key, cnt
+      FROM c""",
 
     // Misra–Gries with k above the key cardinality = exact counts
     // (order-independent regime); rank via the same (count desc, key)

@@ -821,6 +821,23 @@ object PipelineQueries {
         sum("seq").as("sum_seq"),
         min_by(col("event_id"), col("seq")).as("first_event"))
 
+  /** Bucketed interval-overlap join (round 7,
+    * [[graft.operators.IntervalJoin]]): 10-minute error windows ×
+    * 10-minute purchase windows with positive time overlap — candidates
+    * from an hour-bucket equi-join instead of the quadratic nested loop
+    * a raw theta join plans to. Overlap in exact integer microseconds. */
+  val intervalOverlap: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    def win(t: String) = ev.filter(col("event_type") === t)
+      .select(col("event_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+    graft.operators.IntervalJoin.overlapJoin(
+        win("error"), "event_id", "s", "e",
+        win("purchase"), "event_id", "s", "e", bucketWidthSec = 3600)
+      .select(col("l_id").as("err_id"), col("r_id").as("pur_id"),
+        col("overlap_us"))
+  }
+
   /** Per-language token-length outliers by median/MAD (round 7,
     * [[graft.operators.Outliers]]) — the robust length filter of corpus
     * curation. Integer token counts make every median, MAD, and

@@ -134,6 +134,28 @@ object StreamOps {
   def quantileAgg(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, quantilePlan(spark, dir), OutputMode.Complete())
 
+  /** Misra–Gries heavy hitters behind windowed streaming state (round
+    * 7): the sketch-aggregate tier composing with streaming, same
+    * zero-custom-state argument as [[quantilePlan]] — the MG buffer
+    * serializes into the state store like any agg buffer. k=16 exceeds
+    * the event-type cardinality, so every window is in the sketch's
+    * exact order-independent regime and the gate is a plain per-window
+    * count oracle. */
+  def heavyHittersPlan(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    replayEvents(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.GraftFunctions.misraGries(
+        col("event_type"), 16).as("hh"))
+      .select(col("window.start").as("wstart"), posexplode(col("hh")))
+      .select(col("wstart"), col("pos").cast("int").as("rank"),
+        col("col.key").as("key"), col("col.count").as("cnt"))
+  }
+
+  def heavyHittersAgg(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, heavyHittersPlan(spark, dir), OutputMode.Complete())
+
   /** Sliding 1 h window, 30 min hop (E29). */
   def slidingPlan(spark: SparkSession, dir: String): DataFrame =
     replayEvents(spark, dir)

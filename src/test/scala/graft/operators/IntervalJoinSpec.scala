@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bucket decomposition must be LOSSLESS: the join's output equals the
+  * naive theta-join, pair for pair, for bucket widths far smaller and
+  * far larger than the interval length. */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame) =
+    l.crossJoin(r)
+      .filter(unix_micros(col("ls")) < unix_micros(col("re")) &&
+        unix_micros(col("rs")) < unix_micros(col("le")))
+      .select(col("lid"), col("rid"),
+        (least(unix_micros(col("le")), unix_micros(col("re"))) -
+          greatest(unix_micros(col("ls")), unix_micros(col("rs"))))
+          .as("overlap_us"))
+
+  test("equals the naive theta join on real event windows, any width") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    def win(t: String, a: String, b: String, c: String) =
+      ev.filter(col("event_type") === t)
+        .select(col("event_id").as(a), col("ts").as(b),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as(c))
+    val l = win("error", "lid", "ls", "le")
+    val r = win("purchase", "rid", "rs", "re")
+    val want = naive(l, r)
+    for (widthSec <- Seq(60L, 3600L, 86400L * 40)) {
+      val got = IntervalJoin.overlapJoin(l, "lid", "ls", "le",
+          r, "rid", "rs", "re", widthSec)
+        .select("l_id", "r_id", "overlap_us")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"bucketed join diverged from theta join at width=$widthSec s")
+    }
+  }
+
+  test("touching intervals do not overlap; empty intervals never pair") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")),
+      (2L, ts("2024-01-01 05:00:00"), ts("2024-01-01 05:00:00"))) // empty
+      .toDF("lid", "ls", "le")
+    val r = Seq(
+      (10L, ts("2024-01-01 01:00:00"), ts("2024-01-01 02:00:00")), // touch
+      (11L, ts("2024-01-01 00:59:59"), ts("2024-01-01 03:00:00")), // 1s ov
+      (12L, ts("2024-01-01 04:30:00"), ts("2024-01-01 05:30:00")))
+      .toDF("rid", "rs", "re")
+    val got = IntervalJoin.overlapJoin(l, "lid", "ls", "le",
+        r, "rid", "rs", "re", 600)
+      .select("l_id", "r_id", "overlap_us")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 11L, 1000000L)))
+  }
+
+  test("interval spanning many buckets pairs once, exact overlap") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")))
+      .toDF("lid", "ls", "le") // 48h, hundreds of 600s buckets
+    val r = Seq((9L, ts("2024-01-02 12:00:00"), ts("2024-01-04 00:00:00")))
+      .toDF("rid", "rs", "re")
+    val got = IntervalJoin.overlapJoin(l, "lid", "ls", "le",
+        r, "rid", "rs", "re", 600)
+      .select("l_id", "r_id", "overlap_us")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 9L, 12L * 3600 * 1000000L)))
+  }
+}
