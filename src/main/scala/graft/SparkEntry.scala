@@ -255,6 +255,9 @@ object SparkEntry {
     "q_interval_overlap" -> PipelineQueries.intervalOverlap,
     "q_stream_heavy_hitters" ->
       ((s, d) => streaming.StreamOps.heavyHittersAgg(s, d)),
+    "q_setsim_dedup" -> DedupQueries.setsimDedup,
+    "q_group_split" -> PipelineQueries.groupSplit,
+    "q_winsorize" -> PipelineQueries.winsorizeLengths,
   )
 
   private val docChunksSql = """
@@ -2696,6 +2699,79 @@ object SparkEntry {
                AS n_outliers,
              min(d2.med) AS median, min(md.mad) AS mad
       FROM d2 JOIN md USING (lang) GROUP BY 1""",
+
+    // Exact transitive dedup: recursive-CTE transitive closure over the
+    // same brute-force shingle pair graph, min reachable id as survivor;
+    // docs outside every pair survive as themselves.
+    "q_setsim_dedup" -> """
+      WITH RECURSIVE base AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                 t -> t <> '') AS w
+        FROM documents),
+      sized AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tk
+        FROM base WHERE len(w) >= 3),
+      tok AS (
+        SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
+        FROM sized WHERE len(tk) > 0),
+      ov AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               a.n AS n1, b.n AS n2, count(*) AS overlap
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      pairs AS (
+        SELECT id1, id2 FROM ov
+        WHERE overlap * 1.0 / (n1 + n2 - overlap) >= 0.6),
+      und AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION SELECT id2, id1 FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      lbl AS (
+        SELECT a AS node, least(a, min(b)) AS survivor
+        FROM reach GROUP BY a)
+      SELECT d.doc_id,
+             coalesce(l.survivor, d.doc_id) AS survivor,
+             coalesce(l.survivor, d.doc_id) <> d.doc_id AS is_dup
+      FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node""",
+
+    // Group-atomic splits: bucket the md5 of the SOURCE (same salt/
+    // bucket recipe as q_split_assign); n_splits = 1 per source is the
+    // atomicity postcondition, recomputed not assumed.
+    "q_group_split" -> """
+      WITH b AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('graft_' || source), 1, 8))
+                 ::BIGINT % 10000 AS bk
+        FROM documents)
+      SELECT source,
+             CASE WHEN bk < 9000 THEN 'train'
+                  WHEN bk < 9500 THEN 'valid' ELSE 'test' END AS split,
+             count(*) AS n_docs, 1::BIGINT AS n_splits
+      FROM b GROUP BY 1, 2""",
+
+    // Winsorize at discrete quantiles: quantile_disc picks the same
+    // ceil(q*n)-rank element as the engine's window-rank bound pick.
+    "q_winsorize" -> """
+      WITH t AS (
+        SELECT lang,
+               len(list_filter(string_split(lower(text), ' '),
+                 x -> x <> ''))::INT AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT lang, quantile_disc(n_tokens, 0.05) AS lo,
+               quantile_disc(n_tokens, 0.95) AS hi
+        FROM t GROUP BY 1)
+      SELECT t.lang, count(*) AS n,
+             sum(least(greatest(n_tokens, lo), hi))::BIGINT
+               AS sum_winsorized,
+             min(lo) AS lo, max(hi) AS hi
+      FROM t JOIN b USING (lang) GROUP BY 1""",
 
     // Interval-overlap join: the oracle is the direct theta join (fine
     // at oracle scale); the engine's bucket decomposition must produce

@@ -53,4 +53,42 @@ object Outliers {
         sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
         first(col("__med")).as("median"),
         first(col("__mad")).as("mad"))
+
+  /** Per-group winsorization at exact DISCRETE quantiles: values clip to
+    * `[Q_disc(lo), Q_disc(hi)]` where `Q_disc(q)` is the smallest group
+    * element whose cumulative fraction reaches q (the SQL-standard
+    * `percentile_disc`, an actual element — no interpolation, so the
+    * bound is exact in any engine and winsorized INTEGER features stay
+    * integers). The standard heavy-tail taming for length/count features
+    * where trimming (dropping) would bias the mixture.
+    *
+    * Shape: one per-group window rank pass picks the two bound elements
+    * (rows ≤ 2 per group survive the filter), broadcast back; the clip
+    * itself is map-only. Groups = languages/sources; rows = corpus.
+    *
+    * Adds `winsorized` (+ `__lo`, `__hi`) to every row. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"bad bounds [$lo, $hi]")
+    val g = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v"))
+    val ranked = df.select((g :+ col(valueCol).as("__v")): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
+    // percentile_disc rank: smallest element with cum fraction >= q,
+    // i.e. 1-based rank ceil(q*n) (>= 1); the tiny FP nudge keeps
+    // exact products like 0.05*20=1 from ceiling to 2
+    def qRank(q: Double) =
+      greatest(lit(1L), ceil(lit(q) * col("__n") - lit(1e-9)).cast("long"))
+    val bounds = ranked
+      .filter(col("__rn") === qRank(lo) || col("__rn") === qRank(hi))
+      .groupBy(g: _*)
+      .agg(min(when(col("__rn") === qRank(lo), col("__v"))).as("__lo"),
+        max(when(col("__rn") === qRank(hi), col("__v"))).as("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn("winsorized",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+  }
 }

@@ -130,4 +130,27 @@ object SetSimJoin {
       .filter(col("jaccard") >= t)
       .select("id1", "id2", "n1", "n2", "overlap", "jaccard")
   }
+
+  /** Exact transitive near-dup dedup — the deterministic counterpart of
+    * [[Dedup.minhashDedupTransitive]]: connected components over the
+    * EXACT Jaccard pair graph (no LSH recall loss), every record labeled
+    * with its component's minimum id as the survivor. Composes
+    * [[joinByJaccard]] (ids-only pairs) with the min-label propagation
+    * loop ([[Graph.connectedComponents]]); records joining no pair
+    * survive as themselves.
+    *
+    * @return (idCol, survivor, is_dup) for EVERY input record
+    */
+  def dedupByJaccard(df: DataFrame, idCol: String, tokensCol: String,
+      minJaccard: Double): DataFrame = {
+    val pairs = joinByJaccard(df, idCol, tokensCol, minJaccard)
+      .select("id1", "id2")
+    val comps = Graph.connectedComponents(pairs, "id1", "id2")
+      .withColumnRenamed("node", "__node")
+    df.select(col(idCol))
+      .join(comps, col(idCol) === col("__node"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("survivor"))
+      .withColumn("is_dup", col("survivor") =!= col(idCol))
+  }
 }

@@ -305,9 +305,11 @@ object DedupQueries {
     * make most doc pairs exceed J=0.6 (7.1M output pairs at sf0.1 —
     * quadratic output, 49 s of pure materialization), while the ~27k
     * distinct trigrams isolate the real near-duplicates (256 pairs). */
-  val setsimJoin: Q = (s, d) => {
+  /** Word-trigram shingle sets over the corpus (shared input of the two
+    * set-similarity gates). */
+  private def shingledDocs(s: SparkSession, d: String): DataFrame = {
     val tk = filter(split(lower(col("text")), " "), t => length(t) > 0)
-    val shingled = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), tk.as("tk"))
       // materialization barrier: without it CollapseProject inlines the
       // tokenize expression into the shingle lambda's element_at calls,
@@ -321,7 +323,25 @@ object DedupQueries {
           i => concat_ws(" ", element_at(col("tk"), i),
             element_at(col("tk"), i + 1),
             element_at(col("tk"), i + 2))).as("shingles"))
+  }
+
+  val setsimJoin: Q = (s, d) =>
     graft.operators.SetSimJoin.joinByJaccard(
-      shingled, "doc_id", "shingles", minJaccard = 0.6)
+      shingledDocs(s, d), "doc_id", "shingles", minJaccard = 0.6)
+
+  /** Exact transitive dedup over the exact-Jaccard pair graph (round 7):
+    * the deterministic counterpart of q_minhash_transitive — connected
+    * components over q_setsim_join's pairs, min-id survivor, every doc
+    * labeled. The component loop runs eagerly at query construction
+    * (checkpoint-per-round), so the fixture-scale partition clamp
+    * applies — the pagerank/components gate discipline. */
+  val setsimDedup: Q = (s, d) => {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    try {
+      s.conf.set(key, "4")
+      graft.operators.SetSimJoin.dedupByJaccard(
+        shingledDocs(s, d), "doc_id", "shingles", minJaccard = 0.6)
+    } finally s.conf.set(key, prev)
   }
 }

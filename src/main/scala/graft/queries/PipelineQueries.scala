@@ -838,6 +838,39 @@ object PipelineQueries {
         col("overlap_us"))
   }
 
+  /** Group-atomic split assignment (round 7): the GroupKFold discipline —
+    * membership hashes the SOURCE, so a domain's pages can never
+    * straddle train/test (near-dups within a site leak through id-hash
+    * splits even after doc-level dedup; group-level assignment is the
+    * structural fix). [[graft.operators.Splits.assign]] already hashes
+    * whatever column it is given — the discipline is choosing the
+    * group key. One row per source proves atomicity. */
+  val groupSplit: Q = (s, d) =>
+    graft.operators.Splits.assign(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        idCol = "source",
+        Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+      .groupBy("source")
+      .agg(first("split").as("split"), count(lit(1)).as("n_docs"),
+        countDistinct("split").as("n_splits"))
+
+  /** Per-group winsorization at exact discrete quantiles (round 7,
+    * [[graft.operators.Outliers.winsorize]]): token counts clip to
+    * [p5, p95] per language — percentile_disc picks actual elements, so
+    * clipped integers stay integers and the sums hash exactly. */
+  val winsorizeLengths: Q = (s, d) =>
+    graft.operators.Outliers.winsorize(
+        Tables.documents(s, d)
+          .select(col("lang"),
+            size(filter(split(lower(col("text")), " "),
+              t => length(t) > 0)).as("n_tokens")),
+        groupCols = Seq("lang"), valueCol = "n_tokens",
+        lo = 0.05, hi = 0.95)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("winsorized").cast("long")).as("sum_winsorized"),
+        min("__lo").as("lo"), max("__hi").as("hi"))
+
   /** Per-language token-length outliers by median/MAD (round 7,
     * [[graft.operators.Outliers]]) — the robust length filter of corpus
     * curation. Integer token counts make every median, MAD, and

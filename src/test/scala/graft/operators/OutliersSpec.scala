@@ -37,4 +37,21 @@ class OutliersSpec extends SparkSpec {
       .select("grp", "v").as[(String, Int)].collect().toSet
     assert(out == Set(("a", 50), ("b", 10)))
   }
+
+  test("winsorize clips to the discrete-quantile elements") {
+    // 1..20: p5 rank = ceil(0.05*20) = 1 -> lo = 1 (no lower clip);
+    // p95 rank = ceil(0.95*20) = 19 -> hi = 19, so only 20 clips.
+    val df = (1 to 20).map(("g", _)).toDF("grp", "v")
+    val got = Outliers.winsorize(df, Seq("grp"), "v", 0.05, 0.95)
+      .agg(sum("winsorized"), min("__lo"), max("__hi"))
+      .as[(Long, Int, Int)].head()
+    assert(got == (((1 to 19).sum + 19).toLong, 1, 19))
+  }
+
+  test("winsorize: tiny groups clip to their only element") {
+    val df = Seq(("g", 7)).toDF("grp", "v")
+    val got = Outliers.winsorize(df, Seq("grp"), "v")
+      .select("winsorized").as[Int].collect().toSeq
+    assert(got == Seq(7))
+  }
 }

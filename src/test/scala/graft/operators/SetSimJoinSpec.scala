@@ -72,4 +72,20 @@ class SetSimJoinSpec extends SparkSpec {
       df.select(col("doc_id"), toks.as("toks")), "doc_id", "toks", 0.99)
     assert(out.count() == 1) // both sets are {a, b}
   }
+
+  test("transitive dedup: chains collapse to min id, singletons survive") {
+    // A~B and B~C but A!~C (chain): one component {1,2,3} -> survivor 1;
+    // doc 4 is unrelated and survives as itself.
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e x"),
+      (3L, "a b c d y x"),
+      (4L, "p q r s t u")).toDF("doc_id", "text")
+    val got = SetSimJoin.dedupByJaccard(
+        df.select(col("doc_id"), toks.as("toks")), "doc_id", "toks", 0.5)
+      .select("doc_id", "survivor", "is_dup")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, false), (2L, 1L, true), (3L, 1L, true),
+      (4L, 4L, false)))
+  }
 }
