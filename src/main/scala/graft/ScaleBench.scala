@@ -769,6 +769,19 @@ object ScaleBench {
     val tijN = time(s"interval_join ${factor}x")(noop(ivjOf(shifted(ev1s))))
     results += (("interval_join", tij1, tijN))
 
+    // PSI drift: rows ×N into a FIXED bucket space — both counting
+    // passes partial-agg; the bucket join and term math are constant-size
+    def psiOf(df: DataFrame) = {
+      def bk(x: DataFrame) = x.select(col("lang"),
+        floor(size(filter(split(lower(col("text")), " "),
+          t => length(t) > 0)) / 5).cast("int").as("bk"))
+      graft.operators.Drift.psi(bk(df),
+        bk(df.filter(col("doc_id") % 7 =!= 0)), Seq("lang"), "bk")
+    }
+    val tdf1 = time("corpus_drift 1x")(noop(psiOf(docs1)))
+    val tdfN = time(s"corpus_drift ${factor}x")(noop(psiOf(docsN)))
+    results += (("corpus_drift", tdf1, tdfN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

@@ -258,6 +258,7 @@ object SparkEntry {
     "q_setsim_dedup" -> DedupQueries.setsimDedup,
     "q_group_split" -> PipelineQueries.groupSplit,
     "q_winsorize" -> PipelineQueries.winsorizeLengths,
+    "q_corpus_drift" -> PipelineQueries.corpusDrift,
   )
 
   private val docChunksSql = """
@@ -2699,6 +2700,40 @@ object SparkEntry {
                AS n_outliers,
              min(d2.med) AS median, min(md.mad) AS mad
       FROM d2 JOIN md USING (lang) GROUP BY 1""",
+
+    // PSI drift: exact bucket counts, per-bucket division+ln terms
+    // (bit-identical), psi rounded 6dp (transcendental sum — no decimal
+    // boundary population). Laplace +1 over the union bucket set.
+    "q_corpus_drift" -> """
+      WITH t1 AS (
+        SELECT lang,
+               len(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) // 5 AS bk
+        FROM documents),
+      t2 AS (
+        SELECT lang,
+               len(list_filter(string_split(lower(text ||
+                 CASE WHEN doc_id % 5 = 0
+                      THEN ' drift extra tokens appended here'
+                      ELSE '' END), ' '), x -> x <> '')) // 5 AS bk
+        FROM documents WHERE doc_id % 7 <> 0),
+      ca AS (SELECT lang, bk, count(*) AS c FROM t1 GROUP BY 1, 2),
+      cb AS (SELECT lang, bk, count(*) AS c FROM t2 GROUP BY 1, 2),
+      j AS (
+        SELECT coalesce(ca.lang, cb.lang) AS lang,
+               coalesce(ca.bk, cb.bk) AS bk,
+               coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+        FROM ca FULL JOIN cb ON ca.lang = cb.lang AND ca.bk = cb.bk),
+      tt AS (
+        SELECT lang, count(*) AS nb, sum(c_a) AS na, sum(c_b) AS nbb
+        FROM j GROUP BY 1)
+      SELECT j.lang, min(nb)::BIGINT AS n_buckets,
+             min(na)::BIGINT AS n_a, min(nbb)::BIGINT AS n_b,
+             round(sum(
+               ((c_a + 1.0) / (na + nb) - (c_b + 1.0) / (nbb + nb)) *
+               ln(((c_a + 1.0) / (na + nb)) /
+                  ((c_b + 1.0) / (nbb + nb)))), 6) AS psi
+      FROM j JOIN tt USING (lang) GROUP BY 1""",
 
     // Exact transitive dedup: recursive-CTE transitive closure over the
     // same brute-force shingle pair graph, min reachable id as survivor;

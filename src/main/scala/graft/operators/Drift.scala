@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two snapshots of a corpus — the
+  * Population Stability Index (PSI), the standard drift monitor of
+  * production ML pipelines (credit-scoring lineage; ubiquitous in
+  * data-quality gates): for a bucketed feature,
+  * `PSI = Σ_buckets (p_b − q_b) · ln(p_b / q_b)` with p from the
+  * baseline snapshot and q from the candidate. Rule-of-thumb bands:
+  * < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 investigate.
+  *
+  * Laplace smoothing (`+s` per bucket over the UNION of observed
+  * buckets) keeps buckets present in only one snapshot finite — an
+  * unsmoothed empty bucket makes PSI infinite and the monitor useless
+  * the day a new bucket appears.
+  *
+  * Scale shape: one partial-agg count per snapshot (shuffles carry
+  * (group, bucket, count)), a full-outer bucket join, per-group totals
+  * by a second tiny aggregate on the bucket table (bucket cardinality ≪
+  * rows), map-only term arithmetic. Snapshots never join row-to-row.
+  *
+  * FP discipline (NOTES.md taxonomy): counts are exact integers, each
+  * bucket's term is division + ln — bit-identical per engine — and the
+  * per-group PSI rounds at 6dp, safe because ln outputs are
+  * transcendental (no decimal-boundary population).
+  */
+object Drift {
+
+  /** Per-group PSI between snapshots `a` (baseline) and `b`.
+    *
+    * @param bucketCol integer-ish bucket id column present in both
+    *                  inputs (pre-bucket the feature: `n_tokens div 10`,
+    *                  a quantile bin, a category code)
+    * @return (groupCols…, n_buckets, n_a, n_b, psi) — n_* are raw row
+    *         counts, n_buckets the union bucket count
+    */
+  def psi(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      bucketCol: String, smoothing: Double = 1.0): DataFrame = {
+    require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
+    val g = groupCols.map(col)
+    def counts(df: DataFrame, tag: String) =
+      df.groupBy((g :+ col(bucketCol).as("__bk")): _*)
+        .agg(count(lit(1)).as(s"__c$tag"))
+    val joined = counts(a, "a")
+      .join(counts(b, "b"), groupCols :+ "__bk", "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val totals = joined.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    val s = lit(smoothing)
+    joined.join(totals, groupCols)
+      .withColumn("__p", (col("__ca") + s) /
+        (col("n_a") + s * col("n_buckets")))
+      .withColumn("__q", (col("__cb") + s) /
+        (col("n_b") + s * col("n_buckets")))
+      .withColumn("__term",
+        (col("__p") - col("__q")) * log(col("__p") / col("__q")))
+      .groupBy(g: _*)
+      .agg(first(col("n_buckets")).as("n_buckets"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        round(sum(col("__term")), 6).as("psi"))
+  }
+}

@@ -838,6 +838,27 @@ object PipelineQueries {
         col("overlap_us"))
   }
 
+  /** Corpus drift PSI (round 7, [[graft.operators.Drift]]): length
+    * distribution of a derived next-snapshot (every 7th doc dropped,
+    * every 5th lengthened) vs the baseline, bucketed at 5 tokens, per
+    * language — the drift monitor a recurring ingest runs before
+    * promoting a snapshot. Counts exact; each bucket term is
+    * division+ln (bit-identical); psi rounds 6dp (transcendental —
+    * boundary-free per the NOTES taxonomy). */
+  val corpusDrift: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+    def bucketed(df: DataFrame) = df.select(col("lang"),
+      floor(size(filter(split(lower(col("text")), " "),
+        t => length(t) > 0)) / 5).cast("int").as("bk"))
+    val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" drift extra tokens appended here")))
+          .otherwise(col("text")))
+    graft.operators.Drift.psi(bucketed(docs), bucketed(v2),
+      groupCols = Seq("lang"), bucketCol = "bk")
+  }
+
   /** Group-atomic split assignment (round 7): the GroupKFold discipline —
     * membership hashes the SOURCE, so a domain's pages can never
     * straddle train/test (near-dups within a site leak through id-hash

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PSI matches the hand-computed closed form") {
+    // baseline: bucket 0 ×8, bucket 1 ×2; candidate: bucket 0 ×2,
+    // bucket 1 ×8. Union buckets B=2, smoothing 1:
+    // p = (9/12, 3/12), q = (3/12, 9/12)
+    // psi = (0.5)*ln(3) + (-0.5)*ln(1/3) = ln(3) ≈ 1.098612
+    val a = (Seq.fill(8)(0) ++ Seq.fill(2)(1)).map(("g", _)).toDF("grp", "bk")
+    val b = (Seq.fill(2)(0) ++ Seq.fill(8)(1)).map(("g", _)).toDF("grp", "bk")
+    val r = Drift.psi(a, b, Seq("grp"), "bk").head()
+    assert(r.getAs[Long]("n_buckets") == 2 && r.getAs[Long]("n_a") == 10 &&
+      r.getAs[Long]("n_b") == 10)
+    assert(math.abs(r.getAs[Double]("psi") - math.log(3.0)) < 1e-6)
+  }
+
+  test("identical snapshots give PSI 0; one-sided buckets stay finite") {
+    val a = Seq(("g", 0), ("g", 0), ("g", 1)).toDF("grp", "bk")
+    assert(Drift.psi(a, a, Seq("grp"), "bk").head()
+      .getAs[Double]("psi") == 0.0)
+    // bucket 2 only in candidate: smoothing keeps it finite
+    val b = Seq(("g", 2), ("g", 2), ("g", 2)).toDF("grp", "bk")
+    val psi = Drift.psi(a, b, Seq("grp"), "bk").head().getAs[Double]("psi")
+    assert(!psi.isInfinite && !psi.isNaN && psi > 0.25)
+  }
+
+  test("groups are independent; shifted group flags, stable group does not") {
+    val a = (Seq.fill(20)(("s", 0)) ++ Seq.fill(20)(("m", 0))).toDF("grp", "bk")
+    val b = (Seq.fill(20)(("s", 0)) ++ Seq.fill(20)(("m", 5))).toDF("grp", "bk")
+    val out = Drift.psi(a, b, Seq("grp"), "bk")
+      .select("grp", "psi").as[(String, Double)].collect().toMap
+    assert(out("s") == 0.0 && out("m") > 0.25)
+  }
+}
