@@ -259,6 +259,8 @@ object SparkEntry {
     "q_group_split" -> PipelineQueries.groupSplit,
     "q_winsorize" -> PipelineQueries.winsorizeLengths,
     "q_corpus_drift" -> PipelineQueries.corpusDrift,
+    "q_ohlc_bars" -> PipelineQueries.ohlcBars,
+    "q_interval_mixed" -> PipelineQueries.intervalMixed,
   )
 
   private val docChunksSql = """
@@ -2700,6 +2702,38 @@ object SparkEntry {
                AS n_outliers,
              min(d2.med) AS median, min(md.mad) AS mad
       FROM d2 JOIN md USING (lang) GROUP BY 1""",
+
+    // OHLC candles: ordered-aggregate oracle (first/last ORDER BY ts,
+    // id); values ride untouched so raw doubles hash.
+    "q_ohlc_bars" -> """
+      WITH s AS (
+        SELECT user_id,
+               epoch_us(ts) // 21600000000 AS slot, ts, event_id, value
+        FROM events)
+      SELECT user_id, slot,
+             first(value ORDER BY ts, event_id) AS open,
+             max(value) AS high, min(value) AS low,
+             last(value ORDER BY ts, event_id) AS close,
+             count(*) AS n,
+             make_timestamp(slot * 21600000000) AS slot_start
+      FROM s GROUP BY 1, 2""",
+
+    // Mixed-length interval join: the oracle stays the direct theta
+    // join — the two-tier split must be output-invisible.
+    "q_interval_mixed" -> """
+      WITH e AS (
+        SELECT event_id AS err_id, ts AS es,
+               ts + INTERVAL 10 MINUTE AS ee
+        FROM events WHERE event_type = 'error'),
+      p AS (
+        SELECT event_id AS pur_id, ts AS ps,
+               CASE WHEN event_id % 20 = 0 THEN ts + INTERVAL 24 HOUR
+                    ELSE ts + INTERVAL 10 MINUTE END AS pe
+        FROM events WHERE event_type = 'purchase')
+      SELECT err_id, pur_id,
+             epoch_us(least(ee, pe)) - epoch_us(greatest(es, ps))
+               AS overlap_us
+      FROM e JOIN p ON es < pe AND ps < ee""",
 
     // PSI drift: exact bucket counts, per-bucket division+ln terms
     // (bit-identical), psi rounded 6dp (transcendental sum — no decimal

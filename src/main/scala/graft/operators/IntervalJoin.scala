@@ -72,4 +72,59 @@ object IntervalJoin {
         timestamp_micros(col("r_s")).as("r_start"),
         timestamp_micros(col("r_e")).as("r_end"))
   }
+
+  /** Two-tier overlap join for interval sets with a heavy-tailed length
+    * distribution: a rare LONG interval (a week-long maintenance window
+    * among 10-minute incidents) touches thousands of buckets under
+    * [[overlapJoin]] — bucket fan-out ×length. Here intervals at or
+    * above `longThresholdSec` peel off into a broadcast tier joined by
+    * the raw overlap predicate (BroadcastNestedLoopJoin with the TINY
+    * long side as the hinted build — the intended shape, same as the
+    * probe-broadcast ANN joins), while the short×short bulk runs the
+    * bucket decomposition. The three pieces (short×short, long-left ×
+    * all-right, short-left × long-right) are disjoint by construction,
+    * so the union needs no dedup. Falls over loudly if the "long" tier
+    * is not actually small — the broadcast threshold enforces the
+    * contract.
+    *
+    * Same output contract as [[overlapJoin]]. */
+  def overlapJoinTwoTier(left: DataFrame, lId: String, lStart: String,
+      lEnd: String, right: DataFrame, rId: String, rStart: String,
+      rEnd: String, bucketWidthSec: Long,
+      longThresholdSec: Long): DataFrame = {
+    require(longThresholdSec > 0,
+      s"longThresholdSec must be positive, got $longThresholdSec")
+    val thrUs = longThresholdSec * 1000000L
+    def lenUs(s: String, e: String) =
+      unix_micros(col(e)) - unix_micros(col(s))
+    val lShort = left.filter(lenUs(lStart, lEnd) < thrUs)
+    val lLong = left.filter(lenUs(lStart, lEnd) >= thrUs)
+    val rShort = right.filter(lenUs(rStart, rEnd) < thrUs)
+    val rLong = right.filter(lenUs(rStart, rEnd) >= thrUs)
+    def theta(lf: DataFrame, rf: DataFrame,
+        broadcastLeft: Boolean): DataFrame = {
+      val l = lf.select(col(lId).as("l_id"),
+          unix_micros(col(lStart)).as("l_s"),
+          unix_micros(col(lEnd)).as("l_e"))
+        .filter(col("l_e") > col("l_s"))
+      val r = rf.select(col(rId).as("r_id"),
+          unix_micros(col(rStart)).as("r_s"),
+          unix_micros(col(rEnd)).as("r_e"))
+        .filter(col("r_e") > col("r_s"))
+      val (lc, rc) = if (broadcastLeft) (broadcast(l), r)
+        else (l, broadcast(r))
+      lc.join(rc, col("l_s") < col("r_e") && col("r_s") < col("l_e"))
+        .select(col("l_id"), col("r_id"),
+          (least(col("l_e"), col("r_e")) -
+            greatest(col("l_s"), col("r_s"))).as("overlap_us"),
+          timestamp_micros(col("l_s")).as("l_start"),
+          timestamp_micros(col("l_e")).as("l_end"),
+          timestamp_micros(col("r_s")).as("r_start"),
+          timestamp_micros(col("r_e")).as("r_end"))
+    }
+    overlapJoin(lShort, lId, lStart, lEnd, rShort, rId, rStart, rEnd,
+        bucketWidthSec)
+      .unionAll(theta(lLong, right, broadcastLeft = true))
+      .unionAll(theta(lShort, rLong, broadcastLeft = false))
+  }
 }

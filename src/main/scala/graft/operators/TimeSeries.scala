@@ -109,4 +109,32 @@ object TimeSeries {
         col("__last").isNull.as("is_gap"),
         last(col("__last"), ignoreNulls = true).over(w).as("value"))
   }
+
+  /** OHLC bars — the canonical event-stream downsampling (finance
+    * candles; equally the per-interval first/last/extremes summary any
+    * metric stream wants): per (key, interval slot), the first (open)
+    * and last (close) value in (ts, id) order plus high/low/count.
+    *
+    * ONE partial-aggregating groupBy: open/close ride `min_by`/`max_by`
+    * over the (ts, id) struct — no window sort, no per-key ordering
+    * shuffle; slot grain is integer-µs bucket math (the [[resample]]
+    * discipline, sub-second timestamps bucket exactly). Values ride
+    * through untouched, so raw doubles hash cross-engine.
+    *
+    * Returns (keyCol, slot, slot_start, open, high, low, close, n). */
+  def ohlc(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, intervalSec: Long): DataFrame = {
+    require(intervalSec > 0, s"intervalSec must be positive: $intervalSec")
+    val us = intervalSec * 1000000L
+    df.select(col(keyCol),
+        expr(s"unix_micros(`$tsCol`) div $us").as("slot"),
+        struct(col(tsCol), col(idCol)).as("__ord"),
+        col(valCol).cast("double").as("__v"))
+      .groupBy(col(keyCol), col("slot"))
+      .agg(min_by(col("__v"), col("__ord")).as("open"),
+        max(col("__v")).as("high"), min(col("__v")).as("low"),
+        max_by(col("__v"), col("__ord")).as("close"),
+        count(lit(1)).as("n"))
+      .withColumn("slot_start", timestamp_micros(col("slot") * us))
+  }
 }

@@ -838,6 +838,37 @@ object PipelineQueries {
         col("overlap_us"))
   }
 
+  /** OHLC bars (round 7, [[graft.operators.TimeSeries.ohlc]]): 6-hour
+    * open/high/low/close candles per user — one partial-agg groupBy,
+    * open/close via min_by/max_by over the (ts, id) struct, no window
+    * sort anywhere. Values ride untouched, so raw doubles hash. */
+  val ohlcBars: Q = (s, d) =>
+    graft.operators.TimeSeries.ohlc(
+      Tables.events(s, d).select("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value", intervalSec = 21600)
+
+  /** Two-tier interval join on a heavy-tailed mix (round 7): every 20th
+    * purchase opens a 24-HOUR window (the long tail — thousands of
+    * bucket touches under plain decomposition), the rest 10 minutes;
+    * the long tier broadcasts through the raw predicate while the bulk
+    * stays bucketed. Same exactness contract as q_interval_overlap. */
+  val intervalMixed: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").as("s"),
+        when(col("event_id") % 20 === 0,
+          col("ts") + expr("INTERVAL 24 HOURS"))
+          .otherwise(col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+    graft.operators.IntervalJoin.overlapJoinTwoTier(
+        errs, "event_id", "s", "e", purch, "event_id", "s", "e",
+        bucketWidthSec = 3600, longThresholdSec = 3600)
+      .select(col("l_id").as("err_id"), col("r_id").as("pur_id"),
+        col("overlap_us"))
+  }
+
   /** Corpus drift PSI (round 7, [[graft.operators.Drift]]): length
     * distribution of a derived next-snapshot (every 7th doc dropped,
     * every 5th lengthened) vs the baseline, bucketed at 5 tokens, per

@@ -57,6 +57,24 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == Set((1L, 11L, 1000000L)))
   }
 
+  test("two-tier split is output-invisible on a heavy-tailed mix") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val l = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("lid"), col("ts").as("ls"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("le"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("rid"), col("ts").as("rs"),
+        when(col("event_id") % 20 === 0,
+          col("ts") + expr("INTERVAL 24 HOURS"))
+          .otherwise(col("ts") + expr("INTERVAL 10 MINUTES")).as("re"))
+    val want = naive(l, r)
+    val got = IntervalJoin.overlapJoinTwoTier(l, "lid", "ls", "le",
+        r, "rid", "rs", "re", bucketWidthSec = 3600,
+        longThresholdSec = 3600)
+      .select("l_id", "r_id", "overlap_us")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("interval spanning many buckets pairs once, exact overlap") {
     def ts(s: String) = Timestamp.valueOf(s)
     val l = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")))
