@@ -782,6 +782,13 @@ object ScaleBench {
     val tdfN = time(s"corpus_drift ${factor}x")(noop(psiOf(docsN)))
     results += (("corpus_drift", tdf1, tdfN))
 
+    // manifest digest: pure map-side partial agg into 64 buckets
+    def maniOf(df: DataFrame) = graft.operators.ManifestDigest
+      .manifest(df, "doc_id", Seq("text", "lang"))
+    val tmd1 = time("manifest 1x")(noop(maniOf(docs1)))
+    val tmdN = time(s"manifest ${factor}x")(noop(maniOf(docsN)))
+    results += (("manifest", tmd1, tmdN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

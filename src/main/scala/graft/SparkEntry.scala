@@ -261,6 +261,8 @@ object SparkEntry {
     "q_corpus_drift" -> PipelineQueries.corpusDrift,
     "q_ohlc_bars" -> PipelineQueries.ohlcBars,
     "q_interval_mixed" -> PipelineQueries.intervalMixed,
+    "q_manifest" -> PipelineQueries.manifestDigest,
+    "q_manifest_diff" -> PipelineQueries.manifestDiff,
   )
 
   private val docChunksSql = """
@@ -2702,6 +2704,42 @@ object SparkEntry {
                AS n_outliers,
              min(d2.med) AS median, min(md.mad) AS mad
       FROM d2 JOIN md USING (lang) GROUP BY 1""",
+
+    // Manifest: same md5-prefix row hash, bit_xor on both engines —
+    // order-independent by construction, so the digests hash-match.
+    "q_manifest" -> """
+      SELECT doc_id % 64 AS bucket, count(*) AS n_rows,
+             bit_xor(('0x' || substr(md5(
+               doc_id::VARCHAR || chr(1) || text || chr(1) || lang),
+               1, 15))::BIGINT) AS digest
+      FROM documents GROUP BY 1""",
+
+    "q_manifest_diff" -> """
+      WITH ma AS (
+        SELECT doc_id % 64 AS bucket, count(*) AS n_rows_a,
+               bit_xor(('0x' || substr(md5(
+                 doc_id::VARCHAR || chr(1) || text || chr(1) || lang),
+                 1, 15))::BIGINT) AS digest_a
+        FROM documents GROUP BY 1),
+      v2 AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 5 = 0 THEN ' v2' ELSE '' END
+                 AS text, lang
+        FROM documents WHERE doc_id % 7 <> 0),
+      mb AS (
+        SELECT doc_id % 64 AS bucket, count(*) AS n_rows_b,
+               bit_xor(('0x' || substr(md5(
+                 doc_id::VARCHAR || chr(1) || text || chr(1) || lang),
+                 1, 15))::BIGINT) AS digest_b
+        FROM v2 GROUP BY 1)
+      SELECT bucket,
+             coalesce(n_rows_a, 0) AS n_rows_a,
+             coalesce(n_rows_b, 0) AS n_rows_b,
+             coalesce(digest_a, 0) AS digest_a,
+             coalesce(digest_b, 0) AS digest_b
+      FROM ma FULL JOIN mb USING (bucket)
+      WHERE coalesce(n_rows_a, 0) <> coalesce(n_rows_b, 0)
+         OR coalesce(digest_a, 0) <> coalesce(digest_b, 0)""",
 
     // OHLC candles: ordered-aggregate oracle (first/last ORDER BY ts,
     // id); values ride untouched so raw doubles hash.

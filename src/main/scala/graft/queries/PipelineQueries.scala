@@ -838,6 +838,31 @@ object PipelineQueries {
         col("overlap_us"))
   }
 
+  /** Dataset manifest digest (round 7,
+    * [[graft.operators.ManifestDigest]]): 64-bucket order-independent
+    * content digests of the corpus — the run-over-run reproducibility
+    * check. XOR makes the digest partition-order-free on BOTH engines,
+    * so the gate hashes exactly. */
+  val manifestDigest: Q = (s, d) =>
+    graft.operators.ManifestDigest.manifest(
+      Tables.documents(s, d), "doc_id", Seq("text", "lang"), buckets = 64)
+
+  /** Manifest diff (round 7): digests of the corpus vs a derived next
+    * snapshot (every 7th doc dropped, every 5th edited) — only buckets
+    * actually touched surface; the dataset-level rsync step. */
+  val manifestDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    graft.operators.ManifestDigest.diffBuckets(
+      graft.operators.ManifestDigest.manifest(docs, "doc_id",
+        Seq("text", "lang"), 64),
+      graft.operators.ManifestDigest.manifest(v2, "doc_id",
+        Seq("text", "lang"), 64))
+  }
+
   /** OHLC bars (round 7, [[graft.operators.TimeSeries.ohlc]]): 6-hour
     * open/high/low/close candles per user — one partial-agg groupBy,
     * open/close via min_by/max_by over the (ts, id) struct, no window
