@@ -138,4 +138,39 @@ class PlanShapeSpec extends SparkSpec {
       .getOrElse(fail(s"no cosine_sim projection in plan:\n${p.take(1200)}"))
     assert(projLine.contains("*("), s"kernel fell out of codegen: $projLine")
   }
+
+  test("global sequence: no unpartitioned window over the data rows") {
+    // the operator's whole point: the only ORDER-BY-everything window
+    // runs over the per-bucket COUNT table; every window over event
+    // rows must be partitioned (windowspecdefinition with a partition
+    // list). An unpartitioned data window = one-task sort at 100 TB.
+    val p = plan(PipelineQueries.globalSeq)
+    val dataWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(") && l.contains("row_number"))
+    dataWindows.foreach { l =>
+      val spec = l.substring(l.indexOf("windowspecdefinition(") + 21)
+      assert(!spec.trim.startsWith("ts#") || spec.contains(","),
+        s"row_number window must be bucket-partitioned: $l")
+    }
+    assert(p.contains("row_number"), "bucketed row_number present")
+  }
+
+  test("interval-overlap join: bucketed form plans no nested loop") {
+    val p = plan(PipelineQueries.intervalOverlap)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "bucket decomposition must equi-join")
+  }
+
+  test("set-sim join: candidate self-join reuses the prefix exchange") {
+    val df = DedupQueries.setsimJoin(spark, sf)
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count()
+    val p = qe.executedPlan.toString
+    // both sides of the prefix self-join hang off identical subtrees;
+    // after AQE at least one exchange must be reused, not recomputed
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("BroadcastQueryStage"),
+      s"prefix self-join recomputes its subtree:\n${p.take(1500)}")
+  }
 }
