@@ -789,6 +789,22 @@ object ScaleBench {
     val tmdN = time(s"manifest ${factor}x")(noop(maniOf(docsN)))
     results += (("manifest", tmd1, tmdN))
 
+    // incremental agg: the REFRESH cost is what scales — delta ×N into
+    // a fixed-cardinality rollup; base table rows constant
+    def ivmOf(base: DataFrame, delta: DataFrame) =
+      graft.operators.IncrementalAgg.applyDelta(base, delta,
+        Seq("o_orderpriority"), Seq("o_totalprice"))
+    val ordBase = graft.operators.IncrementalAgg.rollup(
+      ord1.select("o_orderpriority", "o_totalprice"),
+      Seq("o_orderpriority"), Seq("o_totalprice"))
+    def mkDelta(df: DataFrame) = df
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("op", lit(-1))
+    val tiv1 = time("incremental_agg 1x")(noop(ivmOf(ordBase, mkDelta(ord1))))
+    val tivN = time(s"incremental_agg ${factor}x")(
+      noop(ivmOf(ordBase, mkDelta(ordN))))
+    results += (("incremental_agg", tiv1, tivN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

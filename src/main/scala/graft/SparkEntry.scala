@@ -263,6 +263,7 @@ object SparkEntry {
     "q_interval_mixed" -> PipelineQueries.intervalMixed,
     "q_manifest" -> PipelineQueries.manifestDigest,
     "q_manifest_diff" -> PipelineQueries.manifestDiff,
+    "q_incremental_agg" -> PipelineQueries.incrementalAgg,
   )
 
   private val docChunksSql = """
@@ -2704,6 +2705,21 @@ object SparkEntry {
                AS n_outliers,
              min(d2.med) AS median, min(md.mad) AS mad
       FROM d2 JOIN md USING (lang) GROUP BY 1""",
+
+    // Incremental rollup maintenance: the oracle recomputes the
+    // post-CDC state from scratch — base ⊕ delta must equal it exactly
+    // (decimal folds make the merge order-independent).
+    "q_incremental_agg" -> """
+      WITH post AS (
+        SELECT o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice + 10
+        FROM orders WHERE o_orderkey % 17 = 0)
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM post GROUP BY 1""",
 
     // Manifest: same md5-prefix row hash, bit_xor on both engines —
     // order-independent by construction, so the digests hash-match.

@@ -838,6 +838,32 @@ object PipelineQueries {
         col("overlap_us"))
   }
 
+  /** Incremental aggregate maintenance (round 7,
+    * [[graft.operators.IncrementalAgg]]): the per-priority revenue
+    * rollup refreshed by a CDC delta batch (delete every 13th order,
+    * insert a modified copy of every 17th) — merged state must equal a
+    * from-scratch recomputation EXACTLY (decimal folds), which is what
+    * lets refreshes chain indefinitely without drift. The oracle
+    * recomputes from the post-CDC state. */
+  val incrementalAgg: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val base = graft.operators.IncrementalAgg.rollup(
+      orders, Seq("o_orderpriority"), Seq("o_totalprice"))
+    val dels = orders.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("op", lit(-1))
+    val ins = orders.filter(col("o_orderkey") % 17 === 0)
+      .select((col("o_orderkey") + 900000000L).as("o_orderkey"),
+        col("o_orderpriority"),
+        (col("o_totalprice") + 10.0).as("o_totalprice"))
+      .withColumn("op", lit(1))
+    graft.operators.IncrementalAgg.applyDelta(base,
+        dels.unionByName(ins), Seq("o_orderpriority"),
+        Seq("o_totalprice"))
+      .select(col("o_orderpriority"), col("n"),
+        col("o_totalprice_sum").cast("double").as("total"))
+  }
+
   /** Dataset manifest digest (round 7,
     * [[graft.operators.ManifestDigest]]): 64-bucket order-independent
     * content digests of the corpus — the run-over-run reproducibility
