@@ -670,17 +670,9 @@ object ScaleBench {
       .groupBy().agg(count(lit(1)).as("n_pairs"), sum("overlap"))
     // trigram shingles, as the gate uses: the unigram form is degenerate
     // on the 31-word synthetic vocabulary (quadratic OUTPUT)
-    val toks1 = docs1
-      .select(col("doc_id"),
-        filter(split(lower(col("text")), " "),
-          t => length(t) > 0).as("tk"))
-      .repartition(col("doc_id")) // barrier: see DedupQueries.setsimJoin
-      .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("tk")) - 2),
-          i => concat_ws(" ", element_at(col("tk"), i),
-            element_at(col("tk"), i + 1),
-            element_at(col("tk"), i + 2))).as("toks"))
+    // the gate's own shingling, so bench and gate can never diverge
+    val toks1 = graft.queries.DedupQueries
+      .shingledDocs(spark, sf, outCol = "toks")
     val toksUniq = toks1.crossJoin(
         spark.range(factor).select(col("id").as("__rep")))
       .select((col("doc_id") + col("__rep") * 10000000L).as("doc_id"),

@@ -2726,7 +2726,7 @@ object SparkEntry {
     "q_manifest" -> """
       SELECT doc_id % 64 AS bucket, count(*) AS n_rows,
              bit_xor(('0x' || substr(md5(
-               doc_id::VARCHAR || chr(1) || text || chr(1) || lang),
+               doc_id::VARCHAR || chr(1) || chr(3) || text || chr(1) || chr(3) || lang),
                1, 15))::BIGINT) AS digest
       FROM documents GROUP BY 1""",
 
@@ -2734,7 +2734,7 @@ object SparkEntry {
       WITH ma AS (
         SELECT doc_id % 64 AS bucket, count(*) AS n_rows_a,
                bit_xor(('0x' || substr(md5(
-                 doc_id::VARCHAR || chr(1) || text || chr(1) || lang),
+                 doc_id::VARCHAR || chr(1) || chr(3) || text || chr(1) || chr(3) || lang),
                  1, 15))::BIGINT) AS digest_a
         FROM documents GROUP BY 1),
       v2 AS (
@@ -2745,7 +2745,7 @@ object SparkEntry {
       mb AS (
         SELECT doc_id % 64 AS bucket, count(*) AS n_rows_b,
                bit_xor(('0x' || substr(md5(
-                 doc_id::VARCHAR || chr(1) || text || chr(1) || lang),
+                 doc_id::VARCHAR || chr(1) || chr(3) || text || chr(1) || chr(3) || lang),
                  1, 15))::BIGINT) AS digest_b
         FROM v2 GROUP BY 1)
       SELECT bucket,

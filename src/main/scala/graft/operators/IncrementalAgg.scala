@@ -36,13 +36,11 @@ object IncrementalAgg {
   def rollup(df: DataFrame, groupCols: Seq[String],
       measureCols: Seq[String], opCol: Option[String] = None): DataFrame = {
     val op = opCol.map(col(_).cast("long")).getOrElse(lit(1L))
-    val aggs = count(lit(1)).as("__ignore") +: (
-      sum(op).as("n") +: measureCols.map(m =>
-        sum(op.cast(graft.queries.Exact.Money) *
-          col(m).cast(graft.queries.Exact.Money)).as(s"${m}_sum")))
+    val aggs = sum(op).as("n") +: measureCols.map(m =>
+      sum(op.cast(graft.queries.Exact.Money) *
+        col(m).cast(graft.queries.Exact.Money)).as(s"${m}_sum"))
     df.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .drop("__ignore")
   }
 
   /** Merge a signed delta batch into an existing rollup. `delta` carries

@@ -35,9 +35,17 @@ object ManifestDigest {
       buckets: Int = 64): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(contentCols.nonEmpty, "need at least one content column")
+    // NULL discipline: concat_ws SKIPS null arguments, which would (a)
+    // collide (x, NULL) with (NULL, x) by positional shift and (b)
+    // diverge from ||-style oracles that null-propagate. Each column
+    // encodes NULL as "\u0002" and a value as "\u0003" + value, so
+    // every position is present and NULL, "", and absent all differ.
+    val encoded = contentCols.map(c =>
+      when(col(c).isNull, lit("\u0002"))
+        .otherwise(concat(lit("\u0003"), col(c).cast("string"))))
     val rowHash = conv(substring(
       md5(concat_ws("\u0001",
-        (col(idCol).cast("string") +: contentCols.map(col)): _*)),
+        (col(idCol).cast("string") +: encoded): _*)),
       1, 15), 16, 10).cast("long")
     df.select(pmod(col(idCol), lit(buckets.toLong)).as("bucket"),
         rowHash.as("__h"))

@@ -40,7 +40,7 @@ object Outliers {
       .withColumn("__dev", abs(v - col("__med")))
     val mad = dev.groupBy(g: _*)
       .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
-    dev.drop("__mad").join(broadcast(mad), groupCols)
+    dev.join(broadcast(mad), groupCols)
       .withColumn("is_outlier", col("__dev") > lit(k) * col("__mad"))
   }
 
@@ -73,7 +73,12 @@ object Outliers {
     val g = groupCols.map(col)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(g: _*).orderBy(col("__v"))
+    // percentile-family semantics: NULL values neither rank nor count
+    // toward the quantile positions (unfiltered, NULLs sort first and
+    // shift every bound; a bound landing ON a null row would even null
+    // the clip silently)
     val ranked = df.select((g :+ col(valueCol).as("__v")): _*)
+      .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
@@ -88,7 +93,11 @@ object Outliers {
       .agg(min(when(col("__rn") === qRank(lo), col("__v"))).as("__lo"),
         max(when(col("__rn") === qRank(hi), col("__v"))).as("__hi"))
     df.join(broadcast(bounds), groupCols)
+      // NULL values stay NULL (greatest/least skip nulls, which would
+      // otherwise silently clip a NULL up to the lower bound)
       .withColumn("winsorized",
-        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("__lo")),
+            col("__hi"))))
   }
 }

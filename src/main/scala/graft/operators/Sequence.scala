@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
 object Sequence {
 
   /** Adds `outCol` = global 0-based sequence in `(bucket, orderCols)`
-    * order. */
+    * order. A NULL bucket (e.g. `to_date` of a null timestamp) is a
+    * bucket like any other — it sorts first (Spark null-first order),
+    * its rows sequence from 0, and the null-safe offsets join keeps
+    * them (a plain equi-join would silently DROP those rows while
+    * still counting them into every other bucket's offset). */
   def assignGlobalSeq(df: DataFrame, bucket: Column,
       orderCols: Seq[Column], outCol: String = "seq"): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
@@ -46,11 +50,11 @@ object Sequence {
         coalesce(sum(col("__cnt")).over(
           Window.orderBy(col("__bk"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bk"), col("__off"))
-    withBk.join(broadcast(offsets), "__bk")
+      .select(col("__bk").as("__bk2"), col("__off"))
+    withBk.join(broadcast(offsets), col("__bk") <=> col("__bk2"))
       .withColumn(outCol,
         col("__off") + row_number().over(
           Window.partitionBy(col("__bk")).orderBy(orderCols: _*)) - 1)
-      .drop("__bk", "__off")
+      .drop("__bk", "__bk2", "__off")
   }
 }

@@ -85,12 +85,21 @@ object TimeSeries {
     * window is the standard `last(ignoreNulls)` running frame.
     *
     * Returns (keyCol, slot_ts, n_obs, is_gap, value). */
+  /** Floor-division slot of epoch-µs by a positive interval. Plain `div`
+    * truncates toward ZERO, which merges the two slots straddling the
+    * epoch for pre-1970 timestamps and diverges from DuckDB's flooring
+    * `//`; subtracting the (always non-negative) pmod first makes the
+    * division exact integer floor at any epoch magnitude. */
+  private def slotOf(tsCol: String, us: Long) =
+    expr(s"(unix_micros(`$tsCol`) - pmod(unix_micros(`$tsCol`), $us))" +
+      s" div $us")
+
   def resample(df: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valCol: String, intervalSec: Long): DataFrame = {
     require(intervalSec > 0, s"intervalSec must be positive: $intervalSec")
     val us = intervalSec * 1000000L
     val slotted = df.select(col(keyCol),
-      expr(s"unix_micros(`$tsCol`) div $us").as("__slot"),
+      slotOf(tsCol, us).as("__slot"),
       struct(col(tsCol), col(idCol), col(valCol).cast("double").as("v"))
         .as("__obs"))
     val perSlot = slotted.groupBy(col(keyCol), col("__slot"))
@@ -127,7 +136,7 @@ object TimeSeries {
     require(intervalSec > 0, s"intervalSec must be positive: $intervalSec")
     val us = intervalSec * 1000000L
     df.select(col(keyCol),
-        expr(s"unix_micros(`$tsCol`) div $us").as("slot"),
+        slotOf(tsCol, us).as("slot"),
         struct(col(tsCol), col(idCol)).as("__ord"),
         col(valCol).cast("double").as("__v"))
       .groupBy(col(keyCol), col("slot"))

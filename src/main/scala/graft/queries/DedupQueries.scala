@@ -306,8 +306,16 @@ object DedupQueries {
     * quadratic output, 49 s of pure materialization), while the ~27k
     * distinct trigrams isolate the real near-duplicates (256 pairs). */
   /** Word-trigram shingle sets over the corpus (shared input of the two
-    * set-similarity gates). */
-  private def shingledDocs(s: SparkSession, d: String): DataFrame = {
+    * set-similarity gates; also reused by ScaleBench's drill rows so the
+    * bench can never drift from the gate's shingling).
+    *
+    * Docs with fewer than 3 words emit an EMPTY shingle array rather
+    * than disappearing: joinByJaccard ignores empty sets (they cannot
+    * pair), but dedupByJaccard labels every input row — dropping short
+    * docs here would make the engine emit fewer rows than the
+    * all-documents oracle the day the corpus regen includes one. */
+  def shingledDocs(s: SparkSession, d: String,
+      outCol: String = "shingles"): DataFrame = {
     val tk = filter(split(lower(col("text")), " "), t => length(t) > 0)
     Tables.documents(s, d)
       .select(col("doc_id"), tk.as("tk"))
@@ -317,12 +325,14 @@ object DedupQueries {
       // docs); behind the exchange the array is stored once and
       // element_at is a real O(1) access
       .repartition(col("doc_id"))
-      .filter(size(col("tk")) >= 3)
       .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("tk")) - 2),
-          i => concat_ws(" ", element_at(col("tk"), i),
-            element_at(col("tk"), i + 1),
-            element_at(col("tk"), i + 2))).as("shingles"))
+        // sequence(1, n-2) flips descending when n < 3 — guard short
+        // docs to an empty set (the segmentByTokens empty-doc pattern)
+        when(size(col("tk")) < 3, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("tk")) - 2),
+            i => concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2)))).as(outCol))
   }
 
   val setsimJoin: Q = (s, d) =>

@@ -31,6 +31,17 @@ class ManifestDigestSpec extends SparkSpec {
     assert(d == Set(0L, 1L, 2L))
   }
 
+  test("null columns hash distinctly from empty and from shifts") {
+    val a = Seq((1L, Some("a"), None: Option[String])).toDF("id", "t", "u")
+    val b = Seq((1L, None: Option[String], Some("a"))).toDF("id", "t", "u")
+    val c = Seq((1L, Some("a"), Some(""))).toDF("id", "t", "u")
+    val ma = ManifestDigest.manifest(a, "id", Seq("t", "u"))
+    assert(ManifestDigest.diffBuckets(ma,
+      ManifestDigest.manifest(b, "id", Seq("t", "u"))).count() == 1)
+    assert(ManifestDigest.diffBuckets(ma,
+      ManifestDigest.manifest(c, "id", Seq("t", "u"))).count() == 1)
+  }
+
   test("count catches the XOR pair-cancellation blind spot") {
     val base = Seq((1L, "x")).toDF("id", "t")
     val doubled = Seq((1L, "x"), (65L, "x")).toDF("id", "t")

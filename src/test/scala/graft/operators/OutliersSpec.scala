@@ -54,4 +54,15 @@ class OutliersSpec extends SparkSpec {
       .select("winsorized").as[Int].collect().toSeq
     assert(got == Seq(7))
   }
+
+  test("winsorize: nulls neither shift the bounds nor get clipped") {
+    val df = ((1 to 20).map(v => ("g", Some(v))) ++
+      Seq(("g", None), ("g", None))).toDF("grp", "v")
+    val out = Outliers.winsorize(df, Seq("grp"), "v", 0.05, 0.95)
+    // bounds computed over the 20 non-null values only (1 and 19)
+    val b = out.agg(min("__lo"), max("__hi")).as[(Int, Int)].head()
+    assert(b == ((1, 19)))
+    assert(out.filter(col("v").isNull)
+      .select("winsorized").collect().forall(_.isNullAt(0)))
+  }
 }

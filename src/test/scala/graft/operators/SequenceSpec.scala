@@ -24,6 +24,15 @@ class SequenceSpec extends SparkSpec {
       agg.getLong(2) == n)
   }
 
+  test("null buckets keep their rows and sequence first") {
+    val df = Seq((Some(2), 10L), (None, 11L), (Some(1), 12L), (None, 13L))
+      .toDF("bk", "id")
+    val got = Sequence.assignGlobalSeq(df, col("bk"), Seq(col("id")))
+      .orderBy("seq").select("id").as[Long].collect().toSeq
+    // nulls-first bucket order: ids 11,13 then bucket 1 then bucket 2
+    assert(got == Seq(11L, 13L, 12L, 10L))
+  }
+
   test("skewed buckets: one bucket holding most rows still contiguous") {
     val df = (Seq.fill(50)(1) ++ Seq(2, 2, 3)).zipWithIndex
       .map { case (b, i) => (b, i.toLong) }.toDF("bk", "id")
