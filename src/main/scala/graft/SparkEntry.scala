@@ -2082,7 +2082,7 @@ object SparkEntry {
                max(CASE WHEN q = 0.99 THEN e END)::BIGINT AS p99_group
         FROM lb),
       top AS (
-        SELECT list(k ORDER BY n DESC, k) AS top_keys FROM (
+        SELECT string_agg(k, ',' ORDER BY n DESC, k) AS top_keys FROM (
           SELECT k::VARCHAR AS k, n FROM counts
           ORDER BY n DESC, k::VARCHAR LIMIT 10) s)
       SELECT t.n_groups, t.n_rows, t.max_group,
@@ -2293,8 +2293,8 @@ object SparkEntry {
                map_from_entries(list(struct_pack(k := cell, v := c))) AS mp
         FROM cells GROUP BY doc_id)
       SELECT doc_id,
-             list_transform(range(0, 64),
-               i -> coalesce(map_extract(mp, i)[1], 0)::BIGINT) AS tf
+             array_to_string(list_transform(range(0, 64),
+               i -> coalesce(map_extract(mp, i)[1], 0)::BIGINT), ',') AS tf
       FROM m""",
 
     "q_semantic_decontam" -> """

@@ -508,7 +508,11 @@ object PipelineQueries {
     * sketch + hot keys, one hash-gated row. */
   val skewReport: Q = (s, d) =>
     graft.operators.Profile.skewReport(
-      Tables.lineitem(s, d), "l_suppkey")
+        Tables.lineitem(s, d), "l_suppkey")
+      // driver gate: stringify the one array column (canonicalizer is
+      // scalar-only); order inside the string is the operator's own
+      // deterministic (count desc, key asc) contract, so it hash-gates.
+      .withColumn("top_keys", concat_ws(",", col("top_keys")))
 
   /** Link-graph degree profile (round 5): supplier→customer edges via
     * orders (who supplies whom), distinct-partner degrees + raw edge

@@ -278,10 +278,14 @@ object TextQueries {
   /** Hashing-trick featurization (north-star text→vector bridge): each doc
     * becomes a fixed 64-dim integral count vector via
     * [[graft.operators.TextFeatures.hashingTf]] — exact counts, so the
-    * driver gate hash-matches the full vector with no float contract. */
+    * driver gate hash-matches the full vector with no float contract.
+    * The gate ships the vector as a canonical comma-joined string: the
+    * driver's canonicalizer can only sort scalar columns, and a CSV of
+    * exact integers carries the identical equality contract. */
   val hashingTf: Q = (s, d) =>
     graft.operators.TextFeatures.hashingTf(
-      Tables.documents(s, d), "doc_id", "text", dim = 64)
+        Tables.documents(s, d), "doc_id", "text", dim = 64)
+      .select(col("doc_id"), concat_ws(",", col("tf")).as("tf"))
 
   /** N-gram CONTAINMENT similarity (round 6): `|ngrams(A)∩ngrams(B)| /
     * |ngrams(A)|` — the asymmetric cousin of [[ngramJaccard]] that
