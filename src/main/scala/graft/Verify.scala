@@ -23,7 +23,21 @@ object Verify {
         only.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        // the driver's pandas canonicalizer crashes (not fails) on
+        // non-scalar columns — reject them here, where the failure is
+        // attributed to the query instead of zeroing the whole compare
+        if (SparkEntry.oracleSql.contains(name)) {
+          import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+          val bad = df.schema.fields.filter(f => f.dataType match {
+            case _: ArrayType | _: MapType | _: StructType => true
+            case _ => false
+          })
+          require(bad.isEmpty, s"oracle-gated query emits non-scalar " +
+            s"columns ${bad.map(f => s"${f.name}:${f.dataType.simpleString}")
+              .mkString(",")} — stringify before shipping")
+        }
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         spark.catalog.clearCache() // bound operator-cache growth
       } catch { case e: Throwable =>

@@ -106,11 +106,21 @@ object GraftFunctions {
       intArg(es(1), "misra_gries")).toAggregateExpression()),
   )
 
+  // sessions already registered — registration is called from every
+  // operator that emits SQL-surface functions, so without this cache a
+  // 200-query bench re-registers ~40 functions per query and the whole
+  // stderr tail is "replaced a previously registered function" WARN spam
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   /** Idempotent per-session registration of all engine functions. */
   def register(spark: SparkSession): Unit =
-    builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "built-in")
+    if (registered.add(spark)) {
+      builders.foreach { case (name, b) =>
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(name, b, "built-in")
+      }
     }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

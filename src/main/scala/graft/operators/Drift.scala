@@ -43,14 +43,35 @@ object Drift {
     def counts(df: DataFrame, tag: String) =
       df.groupBy((g :+ col(bucketCol).as("__bk")): _*)
         .agg(count(lit(1)).as(s"__c$tag"))
-    val joined = counts(a, "a")
-      .join(counts(b, "b"), groupCols :+ "__bk", "full_outer")
+    // null-safe full outer on (group, bucket): a null group key (or null
+    // bucket) present in both snapshots must merge into ONE bucket row —
+    // plain equality would split it and double-count toward n_buckets
+    val keys = groupCols :+ "__bk"
+    val ca = counts(a, "a")
+    // rename the right side's keys up front: psi(df, df, …) is a legal
+    // self-compare, and unrenamed ca(k)<=>cb(k) trips Spark's
+    // ambiguous-self-join detection
+    val cb = keys.foldLeft(counts(b, "b")) {
+      (d, k) => d.withColumnRenamed(k, s"__r_$k") }
+    val cond = keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+    val joined = ca.join(cb, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(k), col(s"__r_$k")).as(k)) ++
+        Seq(col("__ca"), col("__cb")): _*)
       .na.fill(0L, Seq("__ca", "__cb"))
     val totals = joined.groupBy(g: _*)
       .agg(count(lit(1)).as("n_buckets"),
         sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
     val s = lit(smoothing)
-    joined.join(totals, groupCols)
+    // groupCols may be empty (global PSI): an empty using-columns join
+    // is NOT a conditioned join — the one-row totals must cross-join.
+    // Non-empty: null-safe equality, so the null group keeps its totals.
+    val withTotals =
+      if (groupCols.isEmpty) joined.crossJoin(broadcast(totals))
+      else groupCols.foldLeft(joined.join(broadcast(totals),
+          groupCols.map(k => joined(k) <=> totals(k)).reduce(_ && _))) {
+        (d, k) => d.drop(totals(k))
+      }
+    withTotals
       .withColumn("__p", (col("__ca") + s) /
         (col("n_a") + s * col("n_buckets")))
       .withColumn("__q", (col("__cb") + s) /

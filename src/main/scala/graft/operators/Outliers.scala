@@ -29,6 +29,21 @@ import org.apache.spark.sql.functions._
   */
 object Outliers {
 
+  /** Broadcast equi-join on `keys` with NULL-SAFE equality (`<=>`) and
+    * left semantics: rows whose group key is NULL still match their own
+    * (null-keyed) stats row, and rows with no stats row at all pass
+    * through with null stats instead of vanishing. Plain `join(df, keys)`
+    * silently DROPS every null-keyed row — the exact contract violation
+    * for operators documented as "adds a column to every row". */
+  private def statsJoin(rows: DataFrame, stats: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val cond = keys.map(k => rows(k) <=> stats(k))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    keys.foldLeft(rows.join(broadcast(stats), cond, "left")) {
+      (d, k) => d.drop(stats(k))
+    }
+  }
+
   /** Adds `__med`, `__mad`, `is_outlier` to every row. */
   def madFlag(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Double = 3.0): DataFrame = {
@@ -36,11 +51,11 @@ object Outliers {
     val v = col(valueCol).cast("double")
     val med = df.groupBy(g: _*)
       .agg(percentile(v, lit(0.5)).as("__med"))
-    val dev = df.join(broadcast(med), groupCols)
+    val dev = statsJoin(df, med, groupCols)
       .withColumn("__dev", abs(v - col("__med")))
     val mad = dev.groupBy(g: _*)
       .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
-    dev.join(broadcast(mad), groupCols)
+    statsJoin(dev, mad, groupCols)
       .withColumn("is_outlier", col("__dev") > lit(k) * col("__mad"))
   }
 
@@ -92,12 +107,14 @@ object Outliers {
       .groupBy(g: _*)
       .agg(min(when(col("__rn") === qRank(lo), col("__v"))).as("__lo"),
         max(when(col("__rn") === qRank(hi), col("__v"))).as("__hi"))
-    df.join(broadcast(bounds), groupCols)
+    statsJoin(df, bounds, groupCols)
       // NULL values stay NULL (greatest/least skip nulls, which would
-      // otherwise silently clip a NULL up to the lower bound)
+      // otherwise silently clip a NULL up to the lower bound); a group
+      // with no bounds row (all values NULL) passes through unclipped
       .withColumn("winsorized",
         when(col(valueCol).isNull, lit(null))
-          .otherwise(least(greatest(col(valueCol), col("__lo")),
-            col("__hi"))))
+          .otherwise(least(
+            greatest(col(valueCol), coalesce(col("__lo"), col(valueCol))),
+            coalesce(col("__hi"), col(valueCol)))))
   }
 }

@@ -30,6 +30,27 @@ class DriftSpec extends SparkSpec {
     assert(!psi.isInfinite && !psi.isNaN && psi > 0.25)
   }
 
+  test("global PSI (no group columns) computes over the whole table") {
+    val a = (Seq.fill(8)(0) ++ Seq.fill(2)(1)).toDF("bk")
+    val b = (Seq.fill(2)(0) ++ Seq.fill(8)(1)).toDF("bk")
+    val r = Drift.psi(a, b, Seq.empty, "bk").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_buckets") == 2 &&
+      r.head.getAs[Long]("n_a") == 10 && r.head.getAs[Long]("n_b") == 10)
+    assert(math.abs(r.head.getAs[Double]("psi") - math.log(3.0)) < 1e-6)
+  }
+
+  test("null group key merges into one group instead of splitting") {
+    val a = (Seq.fill(8)(0) ++ Seq.fill(2)(1))
+      .map((None: Option[String], _)).toDF("grp", "bk")
+    val b = (Seq.fill(2)(0) ++ Seq.fill(8)(1))
+      .map((None: Option[String], _)).toDF("grp", "bk")
+    val rows = Drift.psi(a, b, Seq("grp"), "bk").collect()
+    assert(rows.length == 1, s"null group must be ONE group: ${rows.toSeq}")
+    assert(rows.head.getAs[Long]("n_buckets") == 2)
+    assert(math.abs(rows.head.getAs[Double]("psi") - math.log(3.0)) < 1e-6)
+  }
+
   test("groups are independent; shifted group flags, stable group does not") {
     val a = (Seq.fill(20)(("s", 0)) ++ Seq.fill(20)(("m", 0))).toDF("grp", "bk")
     val b = (Seq.fill(20)(("s", 0)) ++ Seq.fill(20)(("m", 5))).toDF("grp", "bk")

@@ -55,6 +55,29 @@ class OutliersSpec extends SparkSpec {
     assert(got == Seq(7))
   }
 
+  test("null group keys flag within their own group and never drop") {
+    // null-keyed group: 9×10 + one 50 — the 50 is its group's outlier
+    val df = ((Seq.fill(9)(10) :+ 50).map((None: Option[String], _)) ++
+      (Seq.fill(9)(20) :+ 90).map((Some("a"), _))).toDF("grp", "v")
+    val out = Outliers.madFlag(df, Seq("grp"), "v")
+    assert(out.count() == 20, "every input row survives the stats joins")
+    val flagged = out.filter(col("is_outlier"))
+      .select("grp", "v").as[(Option[String], Int)].collect().toSet
+    assert(flagged == Set((None, 50), (Some("a"), 90)))
+  }
+
+  test("winsorize: all-null group passes through instead of vanishing") {
+    val df = (Seq(("dead", None), ("dead", None)) ++
+      (1 to 20).map(v => ("live", Some(v)))).toDF("grp", "v")
+    val out = Outliers.winsorize(df, Seq("grp"), "v", 0.05, 0.95)
+    assert(out.count() == 22, "no-bounds group must not be dropped")
+    assert(out.filter(col("grp") === "dead")
+      .select("winsorized").collect().forall(_.isNullAt(0)))
+    // live group still clips as before
+    assert(out.filter(col("grp") === "live" && col("v") === 20)
+      .select("winsorized").as[Int].head() == 19)
+  }
+
   test("winsorize: nulls neither shift the bounds nor get clipped") {
     val df = ((1 to 20).map(v => ("g", Some(v))) ++
       Seq(("g", None), ("g", None))).toDF("grp", "v")
