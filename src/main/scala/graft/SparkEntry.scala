@@ -264,6 +264,7 @@ object SparkEntry {
     "q_manifest" -> PipelineQueries.manifestDigest,
     "q_manifest_diff" -> PipelineQueries.manifestDiff,
     "q_incremental_agg" -> PipelineQueries.incrementalAgg,
+    "q_incremental_minmax" -> PipelineQueries.incrementalMinmax,
   )
 
   private val docChunksSql = """
@@ -2719,6 +2720,29 @@ object SparkEntry {
       SELECT o_orderpriority, count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS total
+      FROM post GROUP BY 1""",
+
+    // Min/max IVM: deletes are each group's top-5 prices (displacing the
+    // max — the non-self-maintainable case), inserts shift every 17th.
+    // Oracle recomputes post-CDC from scratch; min/max pick actual
+    // parquet elements so they match bit-for-bit, sum folds in decimal.
+    "q_incremental_minmax" -> """
+      WITH dels AS (
+        SELECT o_orderkey FROM (
+          SELECT o_orderkey, row_number() OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) r WHERE rn <= 5),
+      post AS (
+        SELECT o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice + 10
+        FROM orders WHERE o_orderkey % 17 = 0)
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total,
+             min(o_totalprice) AS mn, max(o_totalprice) AS mx
       FROM post GROUP BY 1""",
 
     // Manifest: same md5-prefix row hash, bit_xor on both engines —

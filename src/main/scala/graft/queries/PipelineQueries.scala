@@ -868,6 +868,34 @@ object PipelineQueries {
         col("o_totalprice_sum").cast("double").as("total"))
   }
 
+  /** Min/max IVM (round 8, [[graft.operators.IncrementalAgg
+    * .applyDeltaWithMinMax]]): the delta DELETES every group's top-5
+    * totalprice rows — exactly the case plain IVM cannot self-maintain —
+    * plus inserts, and the two-tier refresh (merge unaffected groups,
+    * re-derive affected ones from the pruned base) must equal the
+    * from-scratch oracle on count, exact-decimal sum, AND both bounds. */
+  val incrementalMinmax: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val dels = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn").withColumn("op", lit(-1))
+    val ins = orders.filter(col("o_orderkey") % 17 === 0)
+      .select((col("o_orderkey") + 900000000L).as("o_orderkey"),
+        col("o_orderpriority"),
+        (col("o_totalprice") + 10.0).as("o_totalprice"))
+      .withColumn("op", lit(1))
+    val base = graft.operators.IncrementalAgg.rollup(orders,
+      Seq("o_orderpriority"), Seq("o_totalprice"), withMinMax = true)
+    graft.operators.IncrementalAgg.applyDeltaWithMinMax(orders, base,
+        dels.unionByName(ins), Seq("o_orderpriority"), Seq("o_totalprice"))
+      .select(col("o_orderpriority"), col("n"),
+        col("o_totalprice_sum").cast("double").as("total"),
+        col("o_totalprice_min").as("mn"), col("o_totalprice_max").as("mx"))
+  }
+
   /** Dataset manifest digest (round 7,
     * [[graft.operators.ManifestDigest]]): 64-bucket order-independent
     * content digests of the corpus — the run-over-run reproducibility

@@ -36,6 +36,80 @@ class IncrementalAggSpec extends SparkSpec {
     assert(merged.select("grp").as[String].collect().toSeq == Seq("a"))
   }
 
+  test("null group key merges into one group across refreshes") {
+    val base = Seq((Some("a"), 1.00), (None, 2.00), (None, 3.00))
+      .toDF("grp", "x")
+    val delta = Seq((None: Option[String], 4.00, 1))
+      .toDF("grp", "x", "op")
+    val merged = IncrementalAgg.applyDelta(
+      IncrementalAgg.rollup(base, g, m), delta, g, m)
+    assert(merged.count() == 2, "null group must stay ONE row")
+    val nullRow = merged.filter(col("grp").isNull).head()
+    assert(nullRow.getAs[Long]("n") == 3)
+    assert(nullRow.getAs[java.math.BigDecimal]("x_sum")
+      .doubleValue() == 9.0)
+  }
+
+  test("min/max: interior deletes merge; bound deletes re-derive") {
+    val base = Seq(("a", 1.0), ("a", 5.0), ("a", 9.0),
+      ("b", 2.0), ("b", 4.0)).toDF("grp", "x")
+    val baseRoll = IncrementalAgg.rollup(base, g, m, withMinMax = true)
+    // a: delete the interior 5.0 (merge tier) + insert 0.5 (new min via
+    // least); b: delete the current max 4.0 (re-derive tier)
+    val delta = Seq(("a", 5.0, -1), ("a", 0.5, 1), ("b", 4.0, -1))
+      .toDF("grp", "x", "op")
+    val got = IncrementalAgg.applyDeltaWithMinMax(
+      base, baseRoll, delta, g, m)
+    val fromScratch = IncrementalAgg.rollup(
+      Seq(("a", 1.0), ("a", 9.0), ("a", 0.5), ("b", 2.0))
+        .toDF("grp", "x"), g, m, withMinMax = true)
+    assert(got.exceptAll(fromScratch).isEmpty &&
+      fromScratch.exceptAll(got).isEmpty)
+  }
+
+  test("min/max: duplicate bound survives deleting one instance") {
+    // two rows share the max 7.0; deleting ONE must keep max = 7.0 —
+    // the value-level net-count re-derive is what makes this correct
+    val base = Seq(("a", 3.0), ("a", 7.0), ("a", 7.0)).toDF("grp", "x")
+    val delta = Seq(("a", 7.0, -1)).toDF("grp", "x", "op")
+    val got = IncrementalAgg.applyDeltaWithMinMax(base,
+      IncrementalAgg.rollup(base, g, m, withMinMax = true), delta, g, m)
+      .head()
+    assert(got.getAs[Double]("x_max") == 7.0)
+    assert(got.getAs[Double]("x_min") == 3.0)
+    assert(got.getAs[Long]("n") == 2)
+  }
+
+  test("min/max: group deleted to its last row, and new groups") {
+    val base = Seq(("a", 2.0), ("a", 8.0)).toDF("grp", "x")
+    val delta = Seq(("a", 2.0, -1), ("c", 6.0, 1), ("c", 1.0, 1))
+      .toDF("grp", "x", "op")
+    val got = IncrementalAgg.applyDeltaWithMinMax(base,
+        IncrementalAgg.rollup(base, g, m, withMinMax = true), delta, g, m)
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Double]("x_min"), r.getAs[Double]("x_max")))).toMap
+    assert(got("a") == ((8.0, 8.0)), "deleting the min re-derives to 8")
+    assert(got("c") == ((1.0, 6.0)), "insert-only new group merges")
+  }
+
+  test("min/max chained refresh equals from-scratch (on real orders)") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("grp"),
+        col("o_totalprice").as("x"), col("o_orderkey"))
+    val base = orders.drop("o_orderkey")
+    val baseRoll = IncrementalAgg.rollup(base, g, m, withMinMax = true)
+    // delete every 3rd order — certainly clips some group's bounds
+    val dels = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("op", lit(-1)).drop("o_orderkey")
+    val got = IncrementalAgg.applyDeltaWithMinMax(
+      base, baseRoll, dels, g, m)
+    val direct = IncrementalAgg.rollup(
+      orders.filter(col("o_orderkey") % 3 =!= 0).drop("o_orderkey"),
+      g, m, withMinMax = true)
+    assert(got.exceptAll(direct).isEmpty &&
+      direct.exceptAll(got).isEmpty)
+  }
+
   test("chained refreshes equal one big refresh (on real orders)") {
     val orders = graft.sources.Tables.orders(spark, sf)
       .select(col("o_orderpriority").as("grp"),
