@@ -54,6 +54,22 @@ object Bench {
       }
     }
 
+    // the setsim pair graph is likewise a build-once corpus artifact
+    // shared by q_setsim_join and q_setsim_dedup: build it up front so
+    // both gates measure consumption and the one-time build cost is
+    // visible here instead of folded into whichever gate runs first
+    if (selected.exists(n => n._1 == "q_setsim_join" ||
+        n._1 == "q_setsim_dedup")) {
+      try {
+        val t0 = System.nanoTime()
+        graft.queries.DedupQueries.ensureSetsimPairs(spark, sfDir)
+        System.err.println(
+          f"[bench] setsim pair graph ready in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] setsim pair build failed: ${e.getMessage}")
+      }
+    }
+
     // layout artifacts are likewise one-time writes (partitioned events,
     // bucketed tables): build them before the timed loop so the gates
     // measure the READ cost a production table has. A failed prebuild

@@ -659,6 +659,23 @@ object ScaleBench {
       .connectedComponents(prEdges(liG, ordG), "src", "dst")))
     results += (("components", tcc1, tccN))
 
+    // triangles: the gate's part co-purchase graph, orderkey AND partkey
+    // offset ⇒ N disjoint graph copies — wedges and triangles both grow
+    // ×N (the within-order clique structure replicates, never densifies),
+    // so linear is the honest ideal
+    def triEdges(li: DataFrame) = {
+      val p = li.select("l_orderkey", "l_partkey")
+      p.alias("x").join(p.alias("y"), Seq("l_orderkey"))
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    }
+    val liT = replicate(li1, Seq("l_orderkey", "l_partkey"), 10000000L)
+    val ttr1 = time("triangles 1x")(noop(graft.operators.Graph
+      .triangleCounts(triEdges(li1), "src", "dst")))
+    val ttrN = time(s"triangles ${factor}x")(noop(graft.operators.Graph
+      .triangleCounts(triEdges(liT), "src", "dst")))
+    results += (("triangles", ttr1, ttrN))
+
     // ---- round-7 operators ----
     // set-sim join, rep-tagged tokens: copies are mutually disjoint, so
     // output pairs and candidate work both grow ×N — the honest linear

@@ -244,18 +244,27 @@ object Dedup {
     * truncated each round (`localCheckpoint`) so plans stay flat; rounds
     * needed = component diameter (tiny for dup clusters), bounded by
     * `maxIters` with an early-exit convergence check. */
-  def clusterComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+  def clusterComponents(pairs: DataFrame, maxIters: Int = 20,
+      numPartitions: Option[Int] = None): DataFrame = {
+    // Loop-state parallelism is an explicit per-call knob, NOT a session
+    // conf: callers with fixture-scale graphs clamp the checkpointed
+    // round state (and thereby each round's task count) without mutating
+    // spark.sql.shuffle.partitions globally — a global set is a race if
+    // two queries ever build concurrently, and the restore races the
+    // loop itself.
+    def clamp(df: DataFrame, key: String): DataFrame =
+      numPartitions.fold(df)(n => df.repartition(n, col(key)))
+    val edges = clamp(pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b"))), "a")
       .localCheckpoint()
     // seed labels at min(self, direct neighbors): round 0 of the
     // propagation folded into the init aggregate (same fixpoint, one
     // fewer checkpoint+convergence round; the symmetrized edge list
     // guarantees every node appears as `a`)
-    var labels = edges.groupBy(col("a"))
+    var labels = clamp(edges.groupBy(col("a"))
       .agg(min(col("b")).as("__mb"))
       .select(col("a").as("node"),
-        least(col("a"), col("__mb")).as("component"))
+        least(col("a"), col("__mb")).as("component")), "node")
       .localCheckpoint()
     var i = 0
     var converged = false
@@ -268,12 +277,12 @@ object Dedup {
       // (every group row carries the node's old label, so min == old):
       // checking it is a scan of the checkpointed round, not a second
       // label-set join per round
-      val next = labels
+      val next = clamp(labels
         .join(candidates, Seq("node"), "left")
         .groupBy("node")
         .agg(min(least(col("component"), col("cand"))).as("component"),
           (min(least(col("component"), col("cand"))) =!=
-            min(col("component"))).as("__changed"))
+            min(col("component"))).as("__changed")), "node")
         .localCheckpoint()
       converged = next.filter(col("__changed")).isEmpty
       labels = next.drop("__changed")

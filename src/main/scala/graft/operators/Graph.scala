@@ -59,17 +59,23 @@ object Graph {
     * The node set is nodes with ANY edge; teleport is uniform over it.
     * Rank mass is conserved exactly up to float rounding each step. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 10, damping: Double = 0.85,
+      numPartitions: Option[Int] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    // explicit per-call loop parallelism (see Dedup.clusterComponents):
+    // clamp the checkpointed rank state per iteration without touching
+    // the session's spark.sql.shuffle.partitions
+    def clamp(df: DataFrame): DataFrame =
+      numPartitions.fold(df)(n => df.repartition(n, col("node")))
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val nRow = nodes.agg(count(lit(1)).cast("double").as("__n"))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("__out")).cache()
-    var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
+    var ranks = clamp(nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("__n")).as("pr")))
       .localCheckpoint()
     var i = 0
     while (i < iterations) {
@@ -82,13 +88,13 @@ object Graph {
         .join(outDeg.select(col("src").as("node")), Seq("node"), "left_anti")
         .agg(coalesce(sum("pr"), lit(0.0)).as("__dm"))
       // eager checkpoint = materialize + truncate lineage in one step
-      ranks = nodes
+      ranks = clamp(nodes
         .join(inflow, Seq("node"), "left")
         .crossJoin(broadcast(nRow)).crossJoin(broadcast(dangling))
         .select(col("node"),
           ((lit(1.0) - damping) / col("__n") + lit(damping) *
             (coalesce(col("__inflow"), lit(0.0)) + col("__dm") / col("__n")))
-            .as("pr"))
+            .as("pr")))
         .localCheckpoint()
       i += 1
     }
@@ -107,9 +113,11 @@ object Graph {
     * graph ask (crawl-site grouping, dup-cluster audits), not just a
     * dedup internal. */
   def connectedComponents(edges: DataFrame, srcCol: String,
-      dstCol: String, maxIters: Int = 20): DataFrame =
+      dstCol: String, maxIters: Int = 20,
+      numPartitions: Option[Int] = None): DataFrame =
     Dedup.clusterComponents(
-      edges.select(col(srcCol).as("a"), col(dstCol).as("b")), maxIters)
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b")), maxIters,
+      numPartitions)
 
   /** Per-node triangle counts over an undirected edge list — the classic
     * link-graph spam/community signal (clustering-coefficient numerator).
@@ -164,8 +172,8 @@ object Graph {
     * absorbs last-bit libm/ordering drift the way the planted-gate tier
     * does elsewhere). */
   def pageRankRounded(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 10, damping: Double = 0.85, scale: Int = 9)
-      : DataFrame =
-    pageRank(edges, srcCol, dstCol, iterations, damping)
+      iterations: Int = 10, damping: Double = 0.85, scale: Int = 9,
+      numPartitions: Option[Int] = None): DataFrame =
+    pageRank(edges, srcCol, dstCol, iterations, damping, numPartitions)
       .select(col("node"), round(col("pr"), scale).as("pr"))
 }

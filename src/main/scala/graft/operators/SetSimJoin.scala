@@ -106,16 +106,36 @@ object SetSimJoin {
       - ceil(lit(t) * col("__n") - lit(Eps)).cast("int") + 1)
     val prefix = ordered
       .select(col("__id"), col("__n"),
-        explode(slice(col("__ord"), lit(1), prefLen)).as("__tok"))
+        posexplode(slice(col("__ord"), lit(1), prefLen)))
+      .withColumnRenamed("pos", "__p") // 0-based position in full order
+      .withColumnRenamed("col", "__tok")
 
+    // PPJoin positional filter (Xiao et al. WWW'08 §3.2): for a shared
+    // prefix token at 0-based positions (p1, p2), the overlap is at most
+    // this token plus whatever remains AFTER it on each side —
+    // `1 + min(n1-p1-1, n2-p2-1)` — because both sides list tokens in
+    // the same global total order. J >= t is equivalent to overlap >=
+    // t/(1+t)·(n1+n2), so any generating event whose upper bound misses
+    // that requirement cannot certify the pair. Safe under `distinct()`
+    // over surviving events: a qualifying pair's FIRST shared token (in
+    // global order) has zero shared tokens before it, so its bound >=
+    // the true overlap >= the requirement — and the prefix-filter
+    // theorem puts that first shared token inside both prefixes. Both
+    // thresholds carry the downward FP nudge (extra candidates, never a
+    // missed pair).
     val a = prefix.select(col("__id").as("id1"), col("__n").as("n1"),
-      col("__tok"))
+      col("__p").as("__p1"), col("__tok").as("__tok1"))
     val b = prefix.select(col("__id").as("id2"), col("__n").as("n2"),
-      col("__tok"))
+      col("__p").as("__p2"), col("__tok").as("__tok2"))
+    val minOverlap =
+      ceil(lit(t / (1 + t)) * (col("n1") + col("n2")) - lit(Eps))
+    val posBound =
+      lit(1) + least(col("n1") - col("__p1"), col("n2") - col("__p2")) - 1
     val cand = a.join(b,
-        a("__tok") === b("__tok") && col("id1") < col("id2") &&
+        col("__tok1") === col("__tok2") && col("id1") < col("id2") &&
           least(col("n1"), col("n2")).cast("double") >=
-            lit(t) * greatest(col("n1"), col("n2")) - lit(Eps))
+            lit(t) * greatest(col("n1"), col("n2")) - lit(Eps) &&
+          posBound.cast("double") >= minOverlap)
       .select("id1", "id2").distinct()
 
     // exact verification: one token-array join per side
@@ -142,10 +162,24 @@ object SetSimJoin {
     * @return (idCol, survivor, is_dup) for EVERY input record
     */
   def dedupByJaccard(df: DataFrame, idCol: String, tokensCol: String,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double,
+      componentPartitions: Option[Int] = None): DataFrame = {
     val pairs = joinByJaccard(df, idCol, tokensCol, minJaccard)
       .select("id1", "id2")
-    val comps = Graph.connectedComponents(pairs, "id1", "id2")
+    dedupFromPairs(df, idCol, pairs, componentPartitions)
+  }
+
+  /** [[dedupByJaccard]]'s survivor labeling given an ALREADY-COMPUTED
+    * pair graph — lets a caller that has materialized [[joinByJaccard]]'s
+    * output (e.g. a persisted pair artifact shared across queries) run
+    * component labeling without re-running shingling + prefix join.
+    * `componentPartitions` clamps the propagation loop's checkpointed
+    * state for fixture-scale graphs (see [[Dedup.clusterComponents]]). */
+  def dedupFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      componentPartitions: Option[Int] = None): DataFrame = {
+    val comps = Graph.connectedComponents(
+      pairs.select("id1", "id2"), "id1", "id2",
+      numPartitions = componentPartitions)
       .withColumnRenamed("node", "__node")
     df.select(col(idCol))
       .join(comps, col(idCol) === col("__node"), "left")

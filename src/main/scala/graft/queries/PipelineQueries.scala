@@ -541,19 +541,12 @@ object PipelineQueries {
     val cycle4 = (10L to 13L).map(i => (i, if (i == 13L) 10L else i + 1))
     val edges = (cycle8 ++ cycle4).toDF("src", "dst")
       .repartition(4) // exercise the distributed path, not a 1-partition toy
-    // the loop runs EAGERLY inside pageRank (checkpoint-per-iteration),
-    // so a fixture-scale partition clamp around the call is effective
-    // and restored before any other query plans — the replay-harness
-    // conf discipline (StreamOps.runToMemory); a 12-node fixture at 32
-    // shuffle partitions otherwise pays 5 iterations of empty-task
-    // scheduling
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    try {
-      s.conf.set(key, "4")
-      graft.operators.Graph.pageRankRounded(edges, "src", "dst",
-        iterations = 3)
-    } finally s.conf.set(key, prev)
+    // fixture-scale loop parallelism is an explicit per-call knob
+    // (round 8): a 12-node fixture at 32 shuffle partitions otherwise
+    // pays 3 iterations of empty-task scheduling, and a session-conf
+    // clamp-and-restore is a race if two queries ever build concurrently
+    graft.operators.Graph.pageRankRounded(edges, "src", "dst",
+      iterations = 3, numPartitions = Some(4))
   }
 
   /** Linear quality-classifier inference (round 5): σ(w·tf/scale) over
@@ -576,12 +569,8 @@ object PipelineQueries {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L), (11L, 12L), (20L, 21L)).toDF("src", "dst")
       .repartition(4)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    try {
-      s.conf.set(key, "4")
-      graft.operators.Graph.connectedComponents(edges, "src", "dst")
-    } finally s.conf.set(key, prev)
+    graft.operators.Graph.connectedComponents(edges, "src", "dst",
+      numPartitions = Some(4))
   }
 
   /** SCD2 history (round 5): three derived snapshots — v2 rewrites every
