@@ -699,6 +699,16 @@ object ScaleBench {
     val tssN = time(s"setsim_join ${factor}x")(noop(setsimOf(toksUniq)))
     results += (("setsim_join", tss1, tssN))
 
+    // set-sim transitive dedup: the same disjoint-copy corpus, so the
+    // pair graph and its components replicate ×N at fixed diameter —
+    // the propagation loop's rounds stay constant
+    def setsimDedupOf(df: DataFrame) = graft.operators.SetSimJoin
+      .dedupByJaccard(df, "doc_id", "toks", 0.8)
+      .groupBy("is_dup").agg(count(lit(1)).as("n"))
+    val tsd1x = time("setsim_dedup 1x")(noop(setsimDedupOf(toks1)))
+    val tsdNx = time(s"setsim_dedup ${factor}x")(noop(setsimDedupOf(toksUniq)))
+    results += (("setsim_dedup", tsd1x, tsdNx))
+
     // set-sim worst case: N verbatim clones per doc — every clone pair
     // qualifies, output grows ×N² inside groups; measured and logged,
     // EXCLUDED from the linear table (quadratic output, not plan decay)

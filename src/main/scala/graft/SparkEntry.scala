@@ -265,6 +265,15 @@ object SparkEntry {
     "q_manifest_diff" -> PipelineQueries.manifestDiff,
     "q_incremental_agg" -> PipelineQueries.incrementalAgg,
     "q_incremental_minmax" -> PipelineQueries.incrementalMinmax,
+    // round 8: point-in-time joins, runtime-filtered joins, data-quality
+    // audits, phrase search, retrieval metrics
+    "q_temporal_join" -> PipelineQueries.temporalJoin,
+    "q_bloom_join" -> RelationalQueries.bloomJoin,
+    "q_validate" -> PipelineQueries.validateAudit,
+    "q_phrase_search" -> TextQueries.phraseSearch,
+    "q_ir_metrics" -> PipelineQueries.irMetrics,
+    "q_kcore_planted" -> PipelineQueries.kcorePlanted,
+    "q_event_pattern" -> PipelineQueries.eventPattern,
   )
 
   private val docChunksSql = """
@@ -2744,6 +2753,215 @@ object SparkEntry {
                AS total,
              min(o_totalprice) AS mn, max(o_totalprice) AS mx
       FROM post GROUP BY 1""",
+
+    // Point-in-time join: the q_scd2_history reconstruction + interval
+    // containment (valid_from <= t <= valid_to, null = open); the
+    // LEFT JOIN hits at most one run per fact because runs never overlap.
+    "q_temporal_join" -> """
+      WITH v1 AS (SELECT doc_id, text FROM documents),
+      v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                    ELSE text END AS text
+        FROM v1 WHERE doc_id % 7 <> 0),
+      v3 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || ' v3'
+                    ELSE text END AS text
+        FROM v2 WHERE doc_id % 11 <> 0),
+      h AS (
+        SELECT doc_id, 1::BIGINT AS v, md5(text) AS content_hash FROM v1
+        UNION ALL
+        SELECT doc_id, 2::BIGINT, md5(text) FROM v2
+        UNION ALL
+        SELECT doc_id, 3::BIGINT, md5(text) FROM v3),
+      s AS (
+        SELECT *, lag(content_hash) OVER w AS ph, lag(v) OVER w AS pv
+        FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
+      f AS (
+        SELECT *, CASE WHEN ph IS NULL OR ph <> content_hash
+                         OR pv <> v - 1 THEN 1 ELSE 0 END AS st
+        FROM s),
+      g AS (
+        SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS run
+        FROM f),
+      scd AS (
+        SELECT doc_id, content_hash, min(v) AS valid_from,
+               (CASE WHEN max(v) = 3 THEN NULL ELSE max(v) END)::BIGINT
+                 AS valid_to
+        FROM g GROUP BY doc_id, run, content_hash),
+      facts AS (SELECT doc_id, (doc_id % 4)::BIGINT AS t FROM documents)
+      SELECT facts.doc_id, facts.t,
+             scd.valid_from AS asof_valid_from,
+             scd.valid_to AS asof_valid_to,
+             scd.content_hash AS asof_content_hash
+      FROM facts LEFT JOIN scd
+        ON facts.doc_id = scd.doc_id AND scd.valid_from <= facts.t
+       AND (scd.valid_to IS NULL OR facts.t <= scd.valid_to)""",
+
+    // Bloom pre-filter is result-invisible → the oracle is the plain join.
+    "q_bloom_join" -> """
+      SELECT c.c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = 1
+      GROUP BY 1""",
+
+    // Validation audit: oracle rebuilds the corrupted table and counts
+    // each rule's violations directly — all integers, exact.
+    "q_validate" -> """
+      WITH bad1 AS (
+        SELECT o_orderkey, NULL::BIGINT AS o_custkey,
+               'X' AS o_orderstatus, (-5.0)::DOUBLE AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 100 = 0),
+      bad2 AS (
+        SELECT o_orderkey + 500000000 AS o_orderkey,
+               o_custkey + 900000000 AS o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 173 = 0),
+      a AS (SELECT * FROM orders UNION ALL SELECT * FROM bad1
+            UNION ALL SELECT * FROM bad2),
+      t AS (
+        SELECT 0::INT AS rule_ord, 'custkey_not_null' AS rule_id,
+               (SELECT count(*) FROM a WHERE o_custkey IS NULL)::BIGINT
+                 AS violations
+        UNION ALL
+        SELECT 1::INT, 'price_range',
+               (SELECT count(*) FROM a WHERE o_totalprice IS NOT NULL
+                  AND (o_totalprice < 0 OR o_totalprice > 1000000))::BIGINT
+        UNION ALL
+        SELECT 2::INT, 'status_domain',
+               (SELECT count(*) FROM a WHERE o_orderstatus IS NOT NULL
+                  AND o_orderstatus NOT IN ('O','F','P'))::BIGINT
+        UNION ALL
+        SELECT 3::INT, 'priority_format',
+               (SELECT count(*) FROM a WHERE o_orderpriority IS NOT NULL
+                  AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))::BIGINT
+        UNION ALL
+        SELECT 4::INT, 'orderkey_unique',
+               coalesce((SELECT sum(c - 1) FROM (
+                 SELECT count(*) AS c FROM a GROUP BY o_orderkey) g
+                 WHERE c > 1), 0)::BIGINT
+        UNION ALL
+        SELECT 5::INT, 'custkey_fk',
+               (SELECT count(*) FROM a WHERE o_custkey IS NOT NULL
+                  AND o_custkey NOT IN
+                    (SELECT c_custkey FROM customer))::BIGINT)
+      SELECT rule_ord, rule_id, violations, violations = 0 AS pass
+      FROM t""",
+
+    // Phrase search: DuckDB replays the positional adjacency over the
+    // same empty-token-filtered token list (1-based lists → pos-1).
+    "q_phrase_search" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                 x -> x <> '') AS tk
+        FROM documents),
+      p AS (SELECT doc_id, unnest(range(1, len(tk))) AS i, tk FROM t),
+      m AS (SELECT doc_id, i FROM p
+            WHERE tk[i] = 'table' AND tk[i+1] = 'hash')
+      SELECT doc_id, count(*)::BIGINT AS n_occurrences,
+             (min(i) - 1)::BIGINT AS first_pos
+      FROM m GROUP BY 1""",
+
+    // IR metrics: the DCG folds walk the identical rank/position order
+    // on both engines (list_reduce with a prepended zero = the Spark
+    // aggregate fold); zero-grade terms are exact 0.0 additions.
+    "q_ir_metrics" -> """
+      WITH run AS (
+        SELECT lang, doc_id, rank FROM (
+          SELECT lang, doc_id, row_number() OVER (
+            PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+          FROM documents) r WHERE rank <= 20),
+      qrels AS (
+        SELECT lang, doc_id, 1 + doc_id % 3 AS grade
+        FROM documents WHERE doc_id % 4 = 0),
+      tg AS (
+        SELECT lang, grade, row_number() OVER (
+          PARTITION BY lang ORDER BY grade DESC, doc_id) AS i
+        FROM qrels WHERE grade > 0),
+      idcg AS (
+        SELECT lang, list_reduce(list_prepend(0.0,
+          list(grade::DOUBLE / log2(i + 1.0) ORDER BY i)),
+          (a, b) -> a + b) AS idcg
+        FROM tg WHERE i <= 10 GROUP BY lang),
+      nrel AS (
+        SELECT lang, count(*)::BIGINT AS n_rel
+        FROM qrels WHERE grade > 0 GROUP BY lang),
+      hits AS (
+        SELECT r.lang, r.rank, coalesce(q.grade, 0)::BIGINT AS g
+        FROM run r LEFT JOIN qrels q
+          ON r.lang = q.lang AND r.doc_id = q.doc_id
+        WHERE r.rank <= 10),
+      agg AS (
+        SELECT lang,
+               count(*) FILTER (WHERE g > 0)::BIGINT AS rel_ret,
+               min(rank) FILTER (WHERE g > 0) AS first_rel,
+               list_reduce(list_prepend(0.0,
+                 list(g::DOUBLE / log2(rank + 1.0) ORDER BY rank)),
+                 (a, b) -> a + b) AS dcg
+        FROM hits GROUP BY lang)
+      SELECT a.lang, n.n_rel, a.rel_ret,
+             a.rel_ret / 10.0 AS precision_at_k,
+             CASE WHEN n.n_rel > 0
+               THEN a.rel_ret::DOUBLE / n.n_rel END AS recall_at_k,
+             coalesce(1.0 / a.first_rel, 0.0) AS mrr_at_k,
+             CASE WHEN n.n_rel > 0
+               THEN round(a.dcg / i.idcg, 6) END AS ndcg_at_k
+      FROM agg a
+      JOIN nrel n USING (lang)
+      JOIN idcg i USING (lang)""",
+
+    // k-core planted fixture: the 2-core is closed-form (clique keeps
+    // degree 5 after the pendant drops; the 4-cycle sits exactly at the
+    // bound; the path erodes completely).
+    "q_kcore_planted" -> """
+      SELECT node::BIGINT AS node, core_degree::BIGINT AS core_degree
+      FROM (VALUES (0, 5), (1, 5), (2, 5), (3, 5), (4, 5), (5, 5),
+                   (20, 2), (21, 2), (22, 2), (23, 2))
+        AS t(node, core_degree)""",
+
+    // Sequential pattern match: the recursive CTE walks the identical
+    // (ts, event_id)-ordered greedy recurrence as the in-row fold;
+    // state arithmetic is integer µs only, so the gate hashes exactly.
+    "q_event_pattern" -> """
+      WITH RECURSIVE e AS (
+        SELECT user_id, epoch_us(ts) AS ts, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events),
+      nn AS (SELECT user_id, count(*)::BIGINT AS n FROM e GROUP BY 1),
+      r AS (
+        SELECT user_id, 0::BIGINT AS rn, 0 AS step, 0::BIGINT AS m,
+               NULL::BIGINT AS last_ts, NULL::BIGINT AS done
+        FROM nn
+        UNION ALL
+        SELECT user_id, rn,
+               CASE WHEN tk THEN CASE WHEN step = 2 THEN 0
+                                      ELSE step + 1 END
+                    ELSE step END,
+               CASE WHEN tk AND step = 2 THEN m + 1 ELSE m END,
+               CASE WHEN tk THEN CASE WHEN step = 2 THEN NULL
+                                      ELSE ts END
+                    ELSE last_ts END,
+               CASE WHEN tk AND step = 2 THEN ts ELSE done END
+        FROM (
+          SELECT e.user_id, e.rn, e.ts, r.step, r.m, r.last_ts, r.done,
+                 (e.event_type =
+                    (['signup','click','purchase'])[r.step + 1]
+                  AND (r.step = 0
+                       OR e.ts - r.last_ts <= 604800000000))
+                   AS tk
+          FROM r JOIN e ON e.user_id = r.user_id
+                       AND e.rn = r.rn + 1) q)
+      SELECT r.user_id, r.m AS n_matches,
+             make_timestamp(r.done) AS last_match_ts
+      FROM r JOIN nn ON r.user_id = nn.user_id AND r.rn = nn.n""",
 
     // Manifest: same md5-prefix row hash, bit_xor on both engines —
     // order-independent by construction, so the digests hash-match.

@@ -167,6 +167,55 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /** k-core decomposition by iterative peeling: the maximal subgraph in
+    * which every node keeps degree ≥ k — the standard link-graph
+    * denoising / community-seed primitive (a crawl's "well-connected"
+    * backbone). Each round computes degrees (one partial-agg shuffle of
+    * id pairs), drops nodes below k via two anti joins, and
+    * `localCheckpoint`s the shrinking edge set (it feeds the degree agg
+    * AND both joins — the fan-out ≥ 2 lineage rule from [[pageRank]]).
+    * Rounds are bounded by the peel depth (the graph's degeneracy
+    * ordering length, small for real graphs); the per-round driver
+    * scalar is one convergence count, the [[connectedComponents]]
+    * discipline. Fails loudly if `maxIters` rounds don't reach the
+    * fixpoint rather than returning a half-peeled graph.
+    *
+    * @return (node, core_degree) for every node of the k-core, with its
+    *         degree WITHIN the core
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 50, numPartitions: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def clamp(df: DataFrame): DataFrame =
+      numPartitions.map(df.repartition(_)).getOrElse(df)
+    var e = clamp(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()).localCheckpoint()
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select(col("a").as("node"))
+        .unionAll(ed.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_degree"))
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val bad = degrees(e).filter(col("core_degree") < k)
+        .select(col("node")).localCheckpoint()
+      if (bad.isEmpty) converged = true
+      else {
+        e = clamp(e
+          .join(bad.select(col("node").as("a")), Seq("a"), "left_anti")
+          .join(bad.select(col("node").as("b")), Seq("b"), "left_anti"))
+          .localCheckpoint()
+        it += 1
+      }
+    }
+    require(converged,
+      s"k-core peeling did not converge in $maxIters rounds")
+    degrees(e)
+  }
+
   /** [[pageRank]] with the output rounded for cross-engine gating (the
     * iterated double recurrence is deterministic per engine; rounding
     * absorbs last-bit libm/ordering drift the way the planted-gate tier

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequential event-pattern matching (MATCH_RECOGNIZE-lite): count the
+  * greedy non-overlapping occurrences of an event-type SUBSEQUENCE per
+  * key, optionally requiring consecutive matched steps to fall within a
+  * maximum time gap — the product-analytics shape between [[Sessionize]]
+  * (time-gap grouping) and the funnel (first-occurrence ordering): "how
+  * many times did this user complete signup → click → purchase, with no
+  * step more than an hour after the previous one?"
+  *
+  * Why not window functions: the matcher's state (current step + last
+  * matched time) is a sequential recurrence no frame expresses. The
+  * operator uses the [[TimeSeries.emaFeatures]] shape instead —
+  * `groupBy(key) → sort_array(collect_list(struct(ts, id, type))) → one
+  * in-row `aggregate` fold` — ONE exchange at any scale, with per-key
+  * state bounded by that key's own event list (the documented per-key
+  * contract of the EMA/sessionize family). The greedy scan is
+  * deterministic on the (ts, id) total order, and its arithmetic is
+  * integer-µs only, so the DuckDB oracle replays the identical fold and
+  * the gate hashes exactly.
+  */
+object Patterns {
+
+  /** @param pattern event-type sequence to match as a subsequence
+    *                (greedy, non-overlapping, restart after completion)
+    * @param maxGapUs max µs between CONSECUTIVE matched steps (None =
+    *                 unbounded); a too-late step candidate is simply not
+    *                 consumed (the matcher keeps waiting — a later
+    *                 occurrence may still satisfy the gap)
+    * @return (key, n_matches, last_match_ts) per key, n_matches ≥ 0;
+    *         last_match_ts = completion time of the final match (null
+    *         when none)
+    */
+  def matchSequence(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, pattern: Seq[String],
+      maxGapUs: Option[Long] = None): DataFrame = {
+    require(pattern.nonEmpty, "empty pattern")
+    val n = pattern.length
+    // pattern as an array literal; step i must equal pattern(i)
+    val patLit = array(pattern.map(lit): _*)
+    val sorted = events
+      .select(col(keyCol), struct(unix_micros(col(tsCol)).as("ts"),
+        col(idCol).as("id"), col(typeCol).as("t")).as("__e"))
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+    // fold state: (step, matches, last_ts, done_ts)
+    val init: Column = struct(lit(0).as("step"), lit(0L).as("m"),
+      lit(null).cast("bigint").as("last"),
+      lit(null).cast("bigint").as("done"))
+    def stepFn(acc: Column, e: Column): Column = {
+      val want = element_at(patLit, acc.getField("step") + 1)
+      val gapOk = maxGapUs match {
+        case None => lit(true)
+        case Some(g) => acc.getField("step") === 0 ||
+          (e.getField("ts") - acc.getField("last")) <= g
+      }
+      val takes = e.getField("t") === want && gapOk
+      val nextStep = acc.getField("step") + 1
+      when(takes && nextStep === n,
+        struct(lit(0).as("step"), (acc.getField("m") + 1L).as("m"),
+          lit(null).cast("bigint").as("last"),
+          e.getField("ts").as("done")))
+        .when(takes,
+          struct(nextStep.as("step"), acc.getField("m").as("m"),
+            e.getField("ts").as("last"), acc.getField("done").as("done")))
+        .otherwise(acc)
+    }
+    sorted.select(col(keyCol),
+        aggregate(col("__es"), init, stepFn).as("__st"))
+      .select(col(keyCol),
+        col("__st").getField("m").as("n_matches"),
+        timestamp_micros(col("__st").getField("done")).as("last_match_ts"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation: per-query precision@k / recall@k /
+  * MRR@k / nDCG@k of a ranked run against graded relevance judgments —
+  * the eval loop that closes the BM25/ANN retrieval tier
+  * ([[TextSearch]], [[AnnSearch]], [[IvfPq]]).
+  *
+  * Scale shape: the run prunes to rank ≤ k at the scan; judgments join
+  * by (query, doc) — the only shuffles carry (query, doc, rank, grade)
+  * tuples. Per-query state is the ≤ k-element (rank, grade) array, so
+  * group buffers are bounded regardless of corpus size, and metric
+  * folds run IN RANK ORDER inside the row (the
+  * [[TimeSeries.emaFeatures]] determinism argument: a fixed-order fold
+  * is reproducible across partitionings and engines).
+  *
+  * Numeric contract: counts are exact; precision/recall/MRR are single
+  * integer-ratio IEEE divisions shipped RAW (bit-identical
+  * cross-engine); DCG/nDCG involve log2 (transcendental) and are
+  * rounded to 6 dp (boundary-free per the repo's rounding taxonomy).
+  */
+object Retrieval {
+
+  /** @param run    ranked results: (queryCol, docCol, rankCol); ranks are
+    *               1-based and unique within a query
+    * @param qrels  judgments: (queryCol, docCol, gradeCol); grade > 0 =
+    *               relevant, graded grades feed DCG
+    * @param k      evaluation cutoff
+    * @return one row per query present in `run`:
+    *         (query, n_rel, rel_ret, precision_at_k, recall_at_k,
+    *          mrr_at_k, ndcg_at_k)
+    */
+  def evaluate(run: DataFrame, qrels: DataFrame, queryCol: String,
+      docCol: String, rankCol: String, gradeCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "cutoff k must be positive")
+    val q = col(queryCol)
+    val topk = run.select(q, col(docCol), col(rankCol).cast("long")
+        .as("__rank"))
+      .filter(col("__rank") <= k)
+    val judged = qrels.select(q, col(docCol),
+      col(gradeCol).cast("long").as("__grade"))
+    // per-query relevant totals (for recall) + ideal DCG from the TOP-k
+    // grades sorted descending: position within equal grades is
+    // interchangeable (the term depends only on grade and position)
+    val byQuery = judged.filter(col("__grade") > 0)
+      .groupBy(q).agg(
+        count(lit(1)).as("n_rel"),
+        slice(sort_array(collect_list(col("__grade")), asc = false),
+          1, k).as("__top_grades"))
+      .withColumn("__idcg",
+        aggregate(
+          zip_with(col("__top_grades"),
+            sequence(lit(1), size(col("__top_grades"))),
+            (g, i) => g.cast("double") / log2(i.cast("double") + 1d)),
+          lit(0d), (acc, x) => acc + x))
+    val hits = topk.join(judged, Seq(queryCol, docCol), "left")
+      .withColumn("__grade", coalesce(col("__grade"), lit(0L)))
+    val perQuery = hits.groupBy(q).agg(
+      sort_array(collect_list(struct(col("__rank").as("r"),
+        col("__grade").as("g")))).as("__rg"))
+    val scored = perQuery
+      .withColumn("rel_ret",
+        size(filter(col("__rg"), x => x.getField("g") > 0)).cast("long"))
+      .withColumn("__first_rel",
+        array_min(transform(filter(col("__rg"), x => x.getField("g") > 0),
+          x => x.getField("r"))))
+      .withColumn("__dcg",
+        aggregate(col("__rg"), lit(0d), (acc, x) =>
+          acc + x.getField("g").cast("double") /
+            log2(x.getField("r").cast("double") + 1d)))
+    scored.join(byQuery, Seq(queryCol), "left")
+      .select(q,
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("rel_ret"),
+        (col("rel_ret").cast("double") / k).as("precision_at_k"),
+        when(col("n_rel") > 0,
+          col("rel_ret").cast("double") / col("n_rel"))
+          .as("recall_at_k"),
+        coalesce(lit(1d) / col("__first_rel"), lit(0d)).as("mrr_at_k"),
+        when(col("n_rel") > 0,
+          round(col("__dcg") / col("__idcg"), 6)).as("ndcg_at_k"))
+  }
+}

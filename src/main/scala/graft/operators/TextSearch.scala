@@ -45,4 +45,47 @@ object TextSearch {
       .groupBy("doc_id").agg(round(sum("w"), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(topN)
   }
+
+  /** Positional inverted-index postings: one row per (doc, position,
+    * term), the search-engine artifact behind phrase/proximity queries.
+    * With `termFilter` non-empty only those terms' postings are emitted —
+    * the posexplode and the term filter run fused inside the scan stage
+    * (no exchange in between), so at 100 TB the row stream that reaches
+    * any downstream shuffle is |matching tokens|, not |tokens|.
+    * Tokenization matches the repo recipe (lowercase, whitespace split,
+    * empty tokens dropped BEFORE positions are assigned). */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+      termFilter: Seq[String] = Nil): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " "),
+      t => length(t) > 0)
+    val base = docs.select(col(idCol).as("doc_id"), posexplode(toks))
+      .toDF("doc_id", "pos", "term")
+    if (termFilter.isEmpty) base
+    else base.filter(col("term").isin(termFilter: _*))
+  }
+
+  /** Exact phrase search via positional posting intersection: a phrase
+    * `w0 w1 … wn` occurs at anchor `p` iff term `wi` has a posting at
+    * `p + i` for every i — so each term's postings shift to their anchor
+    * and the phrase is an n-way equi join on (doc, anchor). Shuffles
+    * carry (doc_id, anchor) longs only, and only for the phrase's own
+    * terms (the postings pre-filter); repeated phrase terms are handled
+    * naturally (each slot joins its own shifted stream).
+    *
+    * @return (doc_id, n_occurrences, first_pos) per matching document;
+    *         first_pos is 0-based
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val posts = postings(docs, idCol, textCol, phrase.distinct)
+    val anchors = phrase.zipWithIndex.map { case (w, i) =>
+      posts.filter(col("term") === lit(w.toLowerCase))
+        .select(col("doc_id"), (col("pos") - i).as("anchor"))
+    }
+    anchors.reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min("anchor").cast("long").as("first_pos"))
+  }
 }

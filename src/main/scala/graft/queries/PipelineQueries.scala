@@ -1006,4 +1006,113 @@ object PipelineQueries {
           size(filter(split(lower(col("text")), " "),
             t => length(t) > 0)).as("n_tokens")),
       groupCols = Seq("lang"), valueCol = "n_tokens", k = 3.0)
+
+  /** Data-quality audit (round 8, [[graft.operators.Validate]]): the
+    * expectation suite an ingest runs before promoting a snapshot, over
+    * orders with two planted corruption classes (null-custkey/bad-domain
+    * duplicates, dangling foreign keys). Row rules fold into one scan;
+    * uniqueness is one key groupBy; the FK check is one anti join.
+    * Pure integer counts → exact gate. */
+  val validateAudit: Q = (s, d) => {
+    import graft.operators.Validate
+    val orders = Tables.orders(s, d)
+    val bad1 = orders.filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), lit(null).cast("bigint").as("o_custkey"),
+        lit("X").as("o_orderstatus"), lit(-5.0).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val bad2 = orders.filter(col("o_orderkey") % 173 === 0)
+      .select((col("o_orderkey") + 500000000L).as("o_orderkey"),
+        (col("o_custkey") + 900000000L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val audited = orders.unionByName(bad1).unionByName(bad2)
+    Validate.report(audited, Seq(
+      Validate.NotNull("custkey_not_null", "o_custkey"),
+      Validate.InRange("price_range", "o_totalprice", 0.0, 1e6),
+      Validate.InSet("status_domain", "o_orderstatus",
+        Seq("O", "F", "P")),
+      Validate.Matches("priority_format", "o_orderpriority", "^[1-5]-"),
+      Validate.Unique("orderkey_unique", Seq("o_orderkey")),
+      Validate.Referential("custkey_fk", "o_custkey",
+        Tables.customer(s, d).select("c_custkey"))))
+  }
+
+  /** Sequential pattern matching (round 8,
+    * [[graft.operators.Patterns]]): greedy non-overlapping
+    * signup→click→purchase completions per user with a 7-day max gap
+    * between consecutive steps — MATCH_RECOGNIZE-lite as a single-
+    * exchange in-row fold; the DuckDB oracle replays the identical
+    * (ts, id)-ordered recurrence with a recursive CTE (the
+    * q_ema_features argument), integer-µs arithmetic only. */
+  val eventPattern: Q = (s, d) =>
+    graft.operators.Patterns.matchSequence(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+      pattern = Seq("signup", "click", "purchase"),
+      maxGapUs = Some(7L * 86400 * 1000000))
+
+  /** k-core planted gate (round 8, [[graft.operators.Graph.kCore]]):
+    * 6-clique + 10-path + 4-cycle + pendant at k=2 — the path must
+    * cascade away over multiple peel rounds (endpoints erode inward),
+    * the cycle survives exactly at the bound, the pendant edge drops
+    * without taking its clique anchor. Closed-form core → VALUES
+    * oracle. */
+  val kcorePlanted: Q = (s, d) => {
+    val s_ = s; import s_.implicits._
+    val clique = for (i <- 0L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val path = (10L until 19L).map(i => (i, i + 1))
+    val cycle = Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L))
+    val edges = (clique ++ path ++ cycle :+ ((30L, 0L)))
+      .toDF("src", "dst").repartition(4)
+    graft.operators.Graph.kCore(edges, "src", "dst", k = 2,
+      numPartitions = Some(4))
+  }
+
+  /** Retrieval-metrics evaluation (round 8,
+    * [[graft.operators.Retrieval]]): per-language precision/recall/MRR/
+    * nDCG@10 of a deterministic run (docs ranked by length) against
+    * planted graded judgments (every 4th doc, grade 1+id%3). Counts and
+    * single-ratio metrics ship raw-exact; nDCG (log2 terms, fixed-order
+    * fold) rounds at 6dp. */
+  val irMetrics: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+    val run = docs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("lang"), col("doc_id"), col("rank"))
+    val qrels = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("lang"), col("doc_id"),
+        (lit(1) + col("doc_id") % 3).as("grade"))
+    graft.operators.Retrieval.evaluate(run, qrels, "lang", "doc_id",
+      "rank", "grade", k = 10)
+  }
+
+  /** Point-in-time (temporal) join (round 8,
+    * [[graft.operators.TemporalJoin]]): every document probed at
+    * version-time `doc_id % 4` against the SCD2 validity history the
+    * q_scd2_history gate derives — the feature-store "dimension as of
+    * event time" lookup. Runs on the sort-merge as-of plan node (no
+    * interval explosion); t=0 probes pre-history, deleted/expired runs
+    * surface as nulls, content changes pick the version live at t.
+    * All-integer keys/times + md5 hashes → exact gate. */
+  val temporalJoin: Q = (s, d) => {
+    val v1 = Tables.documents(s, d).select("doc_id", "text")
+    val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val v3 = v2.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v3")))
+          .otherwise(col("text")).as("text"))
+    val hist = v1.withColumn("version", lit(1))
+      .unionAll(v2.withColumn("version", lit(2)))
+      .unionAll(v3.withColumn("version", lit(3)))
+    val dim = graft.operators.CorpusDiff.scd2(hist, "doc_id", "text",
+      "version", hasher = md5(_))
+    val facts = Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 4).cast("bigint").as("t"))
+    graft.operators.TemporalJoin.pointInTime(facts, dim, "doc_id", "t",
+      "valid_from", "valid_to", Seq("content_hash"), inclusiveEnd = true)
+  }
 }

@@ -744,4 +744,22 @@ object RelationalQueries {
         sum("roll_med").as("sum_med"),
         max("roll_med").as("max_med"))
   }
+
+  /** Runtime Bloom-filtered join (round 8,
+    * [[graft.operators.RuntimeFilter]]): orders pruned map-only against a
+    * Bloom of nation-1 customers before the shuffle join — the sideways
+    * information passing a selective dim filter buys at 100 TB. The
+    * filter is result-invisible (FPs die in the join), so the oracle is
+    * the PLAIN join; sums decimal-exact. */
+  val bloomJoin: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val dim = Tables.customer(s, d)
+      .filter(col("c_nationkey") === 1)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.operators.RuntimeFilter
+      .bloomFilteredJoin(Tables.orders(s, d), dim, "o_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.sumMoney(col("o_totalprice")).as("total"))
+  }
 }

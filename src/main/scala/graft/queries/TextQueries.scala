@@ -399,4 +399,15 @@ object TextQueries {
       octet_length(col("text")).as("n_bytes"),
       md5(col("text").cast("binary")).as("digest"),
       col("source").as("modality_source"))
+
+  /** Exact positional phrase search (round 8,
+    * [[graft.operators.TextSearch.phraseSearch]]): every document
+    * containing the adjacent bigram "table hash", with occurrence count
+    * and first 0-based position — the positional-inverted-index
+    * intersection; postings shuffle as (doc, anchor) longs only.
+    * Integer output → exact gate. */
+  val phraseSearch: Q = (s, d) =>
+    graft.operators.TextSearch.phraseSearch(
+      Tables.documents(s, d), "doc_id", "text",
+      Seq("table", "hash"))
 }

@@ -163,7 +163,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("set-sim join: candidate self-join reuses the prefix exchange") {
-    val df = DedupQueries.setsimJoin(spark, sf)
+    // the GATE now serves the persisted pair artifact (a bare scan), so
+    // assert the plan shape on the operator itself — the artifact build
+    // runs this exact plan
+    val df = graft.operators.SetSimJoin.joinByJaccard(
+      DedupQueries.shingledDocs(spark, sf, outCol = "toks"),
+      "doc_id", "toks", 0.6)
     val qe = df.queryExecution
     qe.executedPlan.execute().count()
     val p = qe.executedPlan.toString
