@@ -95,6 +95,8 @@ object Bench {
       () => graft.sources.Layout.partitionedEvents(spark, sfDir))
     prebuild("q_bucketed_join",
       () => graft.sources.Layout.bucketedOrdersWithCustomers(spark, sfDir))
+    prebuild("q_zonemap_prune",
+      () => { graft.sources.Layout.clusteredEventsDir(spark, sfDir); () })
 
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

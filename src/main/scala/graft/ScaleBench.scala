@@ -21,6 +21,13 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the drill multiplies data ×N under a FIXED session partition
+      // count — at 32× a wedge-scale shuffle forces GB-sized spilling
+      // partitions that a real cluster would never see. Give AQE the
+      // headroom to SIZE shuffles (it coalesces small ones right back),
+      // which is exactly how a production session is configured.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        "256")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

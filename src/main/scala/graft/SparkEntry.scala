@@ -274,6 +274,10 @@ object SparkEntry {
     "q_ir_metrics" -> PipelineQueries.irMetrics,
     "q_kcore_planted" -> PipelineQueries.kcorePlanted,
     "q_event_pattern" -> PipelineQueries.eventPattern,
+    "q_stream_upsert" -> ((s, d) => streaming.StreamOps.streamUpsert(s, d)),
+    "q_zonemap_prune" -> SourceQueries.zonemapPrune,
+    "q_setsim_linkage" -> DedupQueries.setsimLinkage,
+    "q_join_card_est" -> RelationalQueries.joinCardEst,
   )
 
   private val docChunksSql = """
@@ -2682,6 +2686,70 @@ object SparkEntry {
       FROM ov
       WHERE overlap * 1.0 / (n1 + n2 - overlap) >= 0.6""",
 
+    // Cross-corpus linkage: brute-force R-S Jaccard over the corpus and
+    // the derived re-crawl (same shingle recipe, no id1<id2 cut).
+    "q_setsim_linkage" -> """
+      WITH basel AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                 t -> t <> '') AS w
+        FROM documents),
+      sizedl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tk
+        FROM basel WHERE len(w) >= 3),
+      baser AS (
+        SELECT doc_id + 700000000 AS doc_id,
+               list_filter(string_split(lower(text || ' zz qq'), ' '),
+                 t -> t <> '') AS w
+        FROM documents WHERE doc_id % 17 = 0),
+      sizedr AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tk
+        FROM baser WHERE len(w) >= 3),
+      tokl AS (
+        SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
+        FROM sizedl WHERE len(tk) > 0),
+      tokr AS (
+        SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
+        FROM sizedr WHERE len(tk) > 0),
+      ov AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               a.n AS n1, b.n AS n2, count(*)::INT AS overlap
+        FROM tokl a JOIN tokr b ON a.tok = b.tok
+        GROUP BY 1, 2, 3, 4)
+      SELECT id1, id2, n1, n2, overlap,
+             overlap * 1.0 / (n1 + n2 - overlap) AS jaccard
+      FROM ov
+      WHERE overlap * 1.0 / (n1 + n2 - overlap) >= 0.8""",
+
+    // CMS inner-product join-size estimate: the oracle rebuilds both
+    // sketches cell-for-cell (q_cms_freq recipe) and takes the min
+    // per-row dot product — estimate hash-matches exactly.
+    "q_join_card_est" -> """
+      WITH ca AS (
+        SELECT r, ('0x' || substr(md5('cms' || r::VARCHAR || '_' ||
+                 o_custkey::VARCHAR), 1, 8))::BIGINT % 1024 AS cell,
+               count(*) AS c
+        FROM orders CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+      cb AS (
+        SELECT r, ('0x' || substr(md5('cms' || r::VARCHAR || '_' ||
+                 c_custkey::VARCHAR), 1, 8))::BIGINT % 1024 AS cell,
+               count(*) AS c
+        FROM customer CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+      dots AS (
+        SELECT ca.r, sum(ca.c * cb.c)::BIGINT AS dot
+        FROM ca JOIN cb ON ca.r = cb.r AND ca.cell = cb.cell
+        GROUP BY 1),
+      ex AS (
+        SELECT count(*)::BIGINT AS exact_join_size
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      SELECT (SELECT min(dot) FROM dots)::BIGINT AS est_join_size,
+             exact_join_size
+      FROM ex""",
+
     // Global 0-based sequence in (ts, event_id) order; per-day
     // min/max/sum of the contiguous range are closed-form, so a single
     // misplaced bucket offset breaks the hash.
@@ -2962,6 +3030,29 @@ object SparkEntry {
       SELECT r.user_id, r.m AS n_matches,
              make_timestamp(r.done) AS last_match_ts
       FROM r JOIN nn ON r.user_id = nn.user_id AND r.rn = nn.n""",
+
+    // Streaming upsert: the oracle reconstructs the final snapshot
+    // closed-form from the delta rules (delete-wins in-batch, later
+    // upserts replace, a delete resurrects on re-upsert).
+    "q_stream_upsert" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                    THEN 'd ' || md5(doc_id::VARCHAR) || ' u3'
+                  WHEN doc_id % 5 = 0
+                    THEN 'd ' || md5(doc_id::VARCHAR) || ' u2'
+                  ELSE 'd ' || md5(doc_id::VARCHAR) END AS text
+      FROM documents
+      WHERE doc_id % 11 <> 0
+        AND (doc_id % 7 <> 0 OR doc_id % 3 = 0)""",
+
+    // Zone-map skipping is result-invisible → plain range-query oracle.
+    "q_zonemap_prune" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(DISTINCT user_id) AS n_users
+      FROM events
+      WHERE user_id BETWEEN 40 AND 59
+      GROUP BY event_type""",
 
     // Manifest: same md5-prefix row hash, bit_xor on both engines —
     // order-independent by construction, so the digests hash-match.

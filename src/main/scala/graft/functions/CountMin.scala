@@ -152,3 +152,57 @@ case class CmsQuery(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Expression = copy(left = l, right = r)
 }
+
+/** cms_inner(a, b, width, depth): JOIN-SIZE estimate from two sketches
+  * over the join keys — `min_r Σ_c a[r,c]·b[r,c]`, the count-min
+  * inner-product estimator (Cormode & Muthukrishnan '05 §4.2):
+  * `|A ⋈ B| = Σ_k f_A(k)·f_B(k)` and each row's dot product
+  * overestimates it only by collision mass, so the min over rows is
+  * one-sided ≥ the true join cardinality. The pre-shuffle answer to
+  * "can this 100 TB join possibly fit / should it be salted" — two
+  * map-side sketch aggregations instead of running the join. Both
+  * sketches must share (width, depth) and the md5 cell recipe, which
+  * the DuckDB oracle rebuilds cell-for-cell — estimates (including
+  * collision inflation) hash-match exactly. */
+case class CmsInnerProduct(left: Expression, right: Expression,
+    width: Int, depth: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(width > 0 && depth > 0, "cms_inner needs positive width/depth")
+  override def prettyName: String = "cms_inner"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_inner expects two array<bigint> sketches, got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ca = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    require(ca.numElements() == width * depth &&
+      cb.numElements() == width * depth,
+      s"cms_inner: sketches have ${ca.numElements()}/${cb.numElements()}" +
+        s" cells, expected $width*$depth — width/depth must match")
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var dot = 0L
+      var c = 0
+      while (c < width) {
+        val i = r * width + c
+        dot += ca.getLong(i) * cb.getLong(i)
+        c += 1
+      }
+      if (dot < best) best = dot
+      r += 1
+    }
+    best
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}

@@ -41,6 +41,8 @@ object GraftFunctions {
       intArg(es(2), "cms_sketch")).toAggregateExpression()),
     "cms_query" -> (es => CmsQuery(es(0), es(1),
       intArg(es(2), "cms_query"), intArg(es(3), "cms_query"))),
+    "cms_inner" -> (es => CmsInnerProduct(es(0), es(1),
+      intArg(es(2), "cms_inner"), intArg(es(3), "cms_inner"))),
     "pq_encode" -> (es => PqEncode(es(0), es(1),
       intArg(es(2), "pq_encode"), intArg(es(3), "pq_encode"))),
     "pq_dist_table" -> (es => PqDistTable(es(0), es(1),
@@ -149,6 +151,12 @@ object GraftFunctions {
   /** Point estimate from a [[cmsSketch]] (one-sided: ≥ true count). */
   def cmsQuery(sketch: Column, item: Column, width: Int, depth: Int): Column =
     call_function("cms_query", sketch, item,
+      org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(depth))
+  /** Join-size estimate from two [[cmsSketch]]es over the join keys
+    * (one-sided: ≥ the true join cardinality). */
+  def cmsInner(a: Column, b: Column, width: Int, depth: Int): Column =
+    call_function("cms_inner", a, b,
       org.apache.spark.sql.functions.lit(width),
       org.apache.spark.sql.functions.lit(depth))
   /** Mergeable log-bucket quantile sketch over non-negative longs:

@@ -50,6 +50,102 @@ object SetSimJoin {
 
   private val Eps = 1e-9
 
+  /** Caller projection materialized once behind an id exchange. Without
+    * it, CollapseProject inlines the (often expensive — shingling,
+    * normalization) token projection into every downstream reference —
+    * and these plans reference the token sets from FIVE consumers
+    * (frequency count, order reassembly, both verify sides, sizes), so
+    * the caller's lineage would re-run per consumer (measured 5-8× on
+    * the shingled gate). The identical exchange subtree is planned once
+    * and reused (ReusedExchange) — the same exchange-reuse posture the
+    * semantic-dedup plan asserts. */
+  private def prepare(df: DataFrame, idCol: String,
+      tokensCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        array_distinct(col(tokensCol)).as("__tk"))
+      .repartition(col("__id"))
+      .withColumn("__n", size(col("__tk")))
+      .filter(col("__n") > 0)
+
+  /** Reassemble each record's tokens in ascending-(df, token) order
+    * under the caller-supplied GLOBAL frequency table. Keyed by __id
+    * ALONE so the aggregation is satisfied by base's existing
+    * hash(__id) partitioning — no second id exchange (__n rides along
+    * as first()); the freq side is a partial-agg table AQE broadcasts
+    * when small and shuffle-joins when vocabulary-scale. */
+  private def orderByFreq(base: DataFrame, freq: DataFrame): DataFrame =
+    base.select(col("__id"), col("__n"), explode(col("__tk")).as("__tok"))
+      .join(freq, "__tok")
+      .groupBy("__id")
+      .agg(first(col("__n")).as("__n"),
+        transform(
+          sort_array(collect_list(struct(col("__df"), col("__tok")))),
+          s => s("__tok")).as("__ord"))
+
+  /** Prefix events: the first `|x| - ceil(t|x|) + 1` tokens of each
+    * record's frequency order, with their 0-based position. The length
+    * is nudged so FP error can only LENGTHEN a prefix (extra
+    * candidates, never a missed pair). */
+  private def prefixOf(ordered: DataFrame, t: Double): DataFrame = {
+    val prefLen = (col("__n")
+      - ceil(lit(t) * col("__n") - lit(Eps)).cast("int") + 1)
+    ordered
+      .select(col("__id"), col("__n"),
+        posexplode(slice(col("__ord"), lit(1), prefLen)))
+      .withColumnRenamed("pos", "__p") // 0-based position in full order
+      .withColumnRenamed("col", "__tok")
+  }
+
+  /** Candidate generation: equi-join two prefix-event streams on the
+    * shared token, under the length filter and the PPJoin positional
+    * filter (Xiao et al. WWW'08 §3.2) — for a shared prefix token at
+    * 0-based positions (p1, p2), the overlap is at most this token plus
+    * whatever remains AFTER it on each side, `1 + min(n1-p1-1,
+    * n2-p2-1)`, because both sides list tokens in the same global total
+    * order. J >= t ⇔ overlap >= t/(1+t)·(n1+n2), so a generating event
+    * whose upper bound misses that requirement cannot certify the pair.
+    * Safe under `distinct()` over surviving events: a qualifying pair's
+    * FIRST shared token (in global order) has zero shared tokens before
+    * it, so its bound >= the true overlap >= the requirement — and the
+    * prefix-filter theorem puts that first shared token inside both
+    * prefixes. Both thresholds carry the downward FP nudge. */
+  private def candidates(prefixA: DataFrame, prefixB: DataFrame,
+      t: Double, sameSide: Boolean): DataFrame = {
+    val a = prefixA.select(col("__id").as("id1"), col("__n").as("n1"),
+      col("__p").as("__p1"), col("__tok").as("__tok1"))
+    val b = prefixB.select(col("__id").as("id2"), col("__n").as("n2"),
+      col("__p").as("__p2"), col("__tok").as("__tok2"))
+    val minOverlap =
+      ceil(lit(t / (1 + t)) * (col("n1") + col("n2")) - lit(Eps))
+    val posBound =
+      lit(1) + least(col("n1") - col("__p1"), col("n2") - col("__p2")) - 1
+    val order =
+      if (sameSide) col("id1") < col("id2") else lit(true)
+    a.join(b,
+        col("__tok1") === col("__tok2") && order &&
+          least(col("n1"), col("n2")).cast("double") >=
+            lit(t) * greatest(col("n1"), col("n2")) - lit(Eps) &&
+          posBound.cast("double") >= minOverlap)
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact verification: one token-array join per side, exact set
+    * overlap, final one-division Jaccard predicate (bit-identical
+    * across engines). */
+  private def verify(cand: DataFrame, baseA: DataFrame, baseB: DataFrame,
+      t: Double): DataFrame = {
+    val s1 = baseA.select(col("__id").as("id1"), col("__tk").as("__tk1"),
+      col("__n").as("n1"))
+    val s2 = baseB.select(col("__id").as("id2"), col("__tk").as("__tk2"),
+      col("__n").as("n2"))
+    cand.join(s1, "id1").join(s2, "id2")
+      .withColumn("overlap", size(array_intersect(col("__tk1"), col("__tk2"))))
+      .withColumn("jaccard", col("overlap").cast("double") /
+        (col("n1") + col("n2") - col("overlap")))
+      .filter(col("jaccard") >= t)
+      .select("id1", "id2", "n1", "n2", "overlap", "jaccard")
+  }
+
   /** All pairs `(id1 < id2)` with `J(tokens1, tokens2) >= minJaccard`.
     *
     * @param df        input; one row per record
@@ -66,89 +162,44 @@ object SetSimJoin {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0,1], got $minJaccard")
     val t = minJaccard
-    // One exchange materializes the (often expensive — shingling,
-    // normalization) caller token projection exactly once. Without it,
-    // CollapseProject inlines the projection into every downstream
-    // reference — and this plan references the token sets from FIVE
-    // consumers (frequency count, order reassembly, both verify sides,
-    // sizes), so the caller's lineage would re-run per consumer (measured
-    // 5-8× on the shingled gate). The identical exchange subtree is
-    // planned once and reused (ReusedExchange), which also spares the
-    // prefix self-join's two sides a second scan — the same
-    // exchange-reuse posture the semantic-dedup plan asserts.
-    val base = df
-      .select(col(idCol).as("__id"),
-        array_distinct(col(tokensCol)).as("__tk"))
-      .repartition(col("__id"))
-      .withColumn("__n", size(col("__tk")))
-      .filter(col("__n") > 0)
+    val base = prepare(df, idCol, tokensCol)
+    val freq = base.select(explode(col("__tk")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val prefix = prefixOf(orderByFreq(base, freq), t)
+    verify(candidates(prefix, prefix, t, sameSide = true), base, base, t)
+  }
 
-    // global document frequency per token; rarest-first total order
-    val tk = base.select(col("__id"), col("__n"),
-      explode(col("__tk")).as("__tok"))
-    val freq = tk.groupBy("__tok").agg(count(lit(1)).as("__df"))
-
-    // reassemble each record's tokens in (df, token) order. Keyed by
-    // __id ALONE so the aggregation is satisfied by base's existing
-    // hash(__id) partitioning — no second id exchange (__n rides along
-    // as first()); the freq side is a partial-agg table AQE broadcasts
-    // when small and shuffle-joins when vocabulary-scale
-    val ordered = tk.join(freq, "__tok")
-      .groupBy("__id")
-      .agg(first(col("__n")).as("__n"),
-        transform(
-          sort_array(collect_list(struct(col("__df"), col("__tok")))),
-          s => s("__tok")).as("__ord"))
-
-    // prefix length |x| - ceil(t|x|) + 1, nudged so FP error can only
-    // lengthen the prefix (never lose a pair)
-    val prefLen = (col("__n")
-      - ceil(lit(t) * col("__n") - lit(Eps)).cast("int") + 1)
-    val prefix = ordered
-      .select(col("__id"), col("__n"),
-        posexplode(slice(col("__ord"), lit(1), prefLen)))
-      .withColumnRenamed("pos", "__p") // 0-based position in full order
-      .withColumnRenamed("col", "__tok")
-
-    // PPJoin positional filter (Xiao et al. WWW'08 §3.2): for a shared
-    // prefix token at 0-based positions (p1, p2), the overlap is at most
-    // this token plus whatever remains AFTER it on each side —
-    // `1 + min(n1-p1-1, n2-p2-1)` — because both sides list tokens in
-    // the same global total order. J >= t is equivalent to overlap >=
-    // t/(1+t)·(n1+n2), so any generating event whose upper bound misses
-    // that requirement cannot certify the pair. Safe under `distinct()`
-    // over surviving events: a qualifying pair's FIRST shared token (in
-    // global order) has zero shared tokens before it, so its bound >=
-    // the true overlap >= the requirement — and the prefix-filter
-    // theorem puts that first shared token inside both prefixes. Both
-    // thresholds carry the downward FP nudge (extra candidates, never a
-    // missed pair).
-    val a = prefix.select(col("__id").as("id1"), col("__n").as("n1"),
-      col("__p").as("__p1"), col("__tok").as("__tok1"))
-    val b = prefix.select(col("__id").as("id2"), col("__n").as("n2"),
-      col("__p").as("__p2"), col("__tok").as("__tok2"))
-    val minOverlap =
-      ceil(lit(t / (1 + t)) * (col("n1") + col("n2")) - lit(Eps))
-    val posBound =
-      lit(1) + least(col("n1") - col("__p1"), col("n2") - col("__p2")) - 1
-    val cand = a.join(b,
-        col("__tok1") === col("__tok2") && col("id1") < col("id2") &&
-          least(col("n1"), col("n2")).cast("double") >=
-            lit(t) * greatest(col("n1"), col("n2")) - lit(Eps) &&
-          posBound.cast("double") >= minOverlap)
-      .select("id1", "id2").distinct()
-
-    // exact verification: one token-array join per side
-    val s1 = base.select(col("__id").as("id1"), col("__tk").as("__tk1"),
-      col("__n").as("n1"))
-    val s2 = base.select(col("__id").as("id2"), col("__tk").as("__tk2"),
-      col("__n").as("n2"))
-    cand.join(s1, "id1").join(s2, "id2")
-      .withColumn("overlap", size(array_intersect(col("__tk1"), col("__tk2"))))
-      .withColumn("jaccard", col("overlap").cast("double") /
-        (col("n1") + col("n2") - col("overlap")))
-      .filter(col("jaccard") >= t)
-      .select("id1", "id2", "n1", "n2", "overlap", "jaccard")
+  /** Cross-corpus (R-S) set-similarity join — record LINKAGE rather than
+    * self-dedup: every pair with one record from `left`, one from
+    * `right`, and Jaccard >= `minJaccard`. The alignment step of
+    * corpus-vs-corpus matching (re-crawl vs archive, vendor feed vs
+    * master, contaminated-shard lookup) where a self-join would drown
+    * the cross pairs in within-corpus near-dups.
+    *
+    * Same machinery, one structural change (Vernica et al. SIGMOD'10
+    * §4.3): the token-frequency total order is computed over BOTH
+    * corpora's bags — prefix filtering is only sound when the two sides
+    * agree on the ordering — and candidate generation joins left
+    * prefixes against right prefixes only (no id1 < id2 cut; sides are
+    * distinct by construction).
+    *
+    * @return (id1 from left, id2 from right, n1, n2, overlap, jaccard)
+    */
+  def joinBetween(left: DataFrame, leftId: String, leftTokens: String,
+      right: DataFrame, rightId: String, rightTokens: String,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0,1], got $minJaccard")
+    val t = minJaccard
+    val baseL = prepare(left, leftId, leftTokens)
+    val baseR = prepare(right, rightId, rightTokens)
+    val freq = baseL.select(explode(col("__tk")).as("__tok"))
+      .unionAll(baseR.select(explode(col("__tk")).as("__tok")))
+      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val prefL = prefixOf(orderByFreq(baseL, freq), t)
+    val prefR = prefixOf(orderByFreq(baseR, freq), t)
+    verify(candidates(prefL, prefR, t, sameSide = false),
+      baseL, baseR, t)
   }
 
   /** Exact transitive near-dup dedup — the deterministic counterpart of

@@ -315,9 +315,14 @@ object DedupQueries {
     * docs here would make the engine emit fewer rows than the
     * all-documents oracle the day the corpus regen includes one. */
   def shingledDocs(s: SparkSession, d: String,
-      outCol: String = "shingles"): DataFrame = {
+      outCol: String = "shingles"): DataFrame =
+    shingled(Tables.documents(s, d), outCol)
+
+  /** Word-trigram shingling of any (doc_id, text) frame — the shared
+    * recipe of the set-similarity gates. */
+  def shingled(docs: DataFrame, outCol: String): DataFrame = {
     val tk = filter(split(lower(col("text")), " "), t => length(t) > 0)
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), tk.as("tk"))
       // materialization barrier: without it CollapseProject inlines the
       // tokenize expression into the shingle lambda's element_at calls,
@@ -396,4 +401,21 @@ object DedupQueries {
     graft.operators.SetSimJoin.dedupFromPairs(
       Tables.documents(s, d), "doc_id", verifiedPairs(s, d),
       componentPartitions = Some(4))
+
+  /** Cross-corpus set-similarity linkage (round 8,
+    * [[graft.operators.SetSimJoin.joinBetween]]): the corpus vs a
+    * derived "re-crawl" (every 17th doc, new ids, two appended tokens —
+    * shingle Jaccard ≈ (L-2)/L against its source) aligned at J ≥ 0.8.
+    * Cross pairs only — a self-join would drown these in within-corpus
+    * near-dups. Brute-force R-S oracle, full hash. */
+  val setsimLinkage: Q = (s, d) => {
+    val left = shingledDocs(s, d, outCol = "toks")
+    val right = shingled(
+      Tables.documents(s, d).filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 700000000L).as("doc_id"),
+          concat(col("text"), lit(" zz qq")).as("text")),
+      outCol = "toks")
+    graft.operators.SetSimJoin.joinBetween(
+      left, "doc_id", "toks", right, "doc_id", "toks", minJaccard = 0.8)
+  }
 }

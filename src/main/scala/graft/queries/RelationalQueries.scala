@@ -745,6 +745,31 @@ object RelationalQueries {
         max("roll_med").as("max_med"))
   }
 
+  /** Join-cardinality estimation (round 8, sketch tier,
+    * [[graft.functions.CmsInnerProduct]]): |orders ⋈ customer| estimated
+    * from two key sketches via the count-min inner product — the
+    * pre-shuffle "should this join be salted / can it fit" answer; two
+    * map-side aggregations instead of running the join. The exact size
+    * rides along for the comparison; the oracle rebuilds both sketches
+    * cell-for-cell (the q_cms_freq recipe), so the ESTIMATE itself —
+    * collision inflation included — hash-matches. */
+  val joinCardEst: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions
+    val w = 1024
+    val dep = 4
+    val ska = Tables.orders(s, d).agg(GraftFunctions
+      .cmsSketch(col("o_custkey").cast("string"), w, dep).as("ska"))
+    val skb = Tables.customer(s, d).agg(GraftFunctions
+      .cmsSketch(col("c_custkey").cast("string"), w, dep).as("skb"))
+    val exact = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("exact_join_size"))
+    ska.crossJoin(skb).crossJoin(exact)
+      .select(GraftFunctions.cmsInner(col("ska"), col("skb"), w, dep)
+        .as("est_join_size"), col("exact_join_size"))
+  }
+
   /** Runtime Bloom-filtered join (round 8,
     * [[graft.operators.RuntimeFilter]]): orders pruned map-only against a
     * Bloom of nation-1 customers before the shuffle join — the sideways

@@ -135,4 +135,18 @@ object SourceQueries {
             pmod(col("l_suppkey"), lit(1024))), bits = 10).as("zkey"))
       .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
       .limit(100)
+
+  /** Zone-map file skipping (round 8,
+    * [[graft.sources.Layout.zoneMapPrunedEvents]]): a user-range
+    * aggregate served from the range-clustered layout, reading only the
+    * files whose persisted (min, max) zone intersects [40, 59] — the
+    * data-skipping partitioning can't give a high-cardinality column.
+    * The zone map is result-invisible (residual filter keeps
+    * exactness), so the oracle is the plain range query. */
+  val zonemapPrune: Q = (s, d) =>
+    graft.sources.Layout.zoneMapPrunedEvents(s, d, 40L, 59L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        Exact.sumMoney(col("value")).as("total"),
+        countDistinct("user_id").as("n_users"))
 }

@@ -122,4 +122,58 @@ object Layout {
       .join(s.table(s"graft_customer_b_$key"),
         col("o_custkey") === col("c_custkey"))
   }
+
+  // ---- zone maps: min/max file skipping on a NON-partition column ----
+
+  /** Events range-clustered by `user_id` into `files` parquet files,
+    * with a persisted per-file (min, max) zone map — the data-skipping
+    * discipline for columns partitioning can't cover (partitioning by a
+    * high-cardinality key would explode the directory tree; clustering
+    * + zone maps give the same skipping at file granularity, which is
+    * exactly what sorting by [[graft.functions.ZOrder.zorderKey]] buys
+    * for multi-column predicates). `repartitionByRange` + an in-file
+    * sort make each file's [min, max] tight and disjoint, so a
+    * user-range query touches ~range/width files instead of all of
+    * them. Artifact-cached with the fingerprint-marker protocol. */
+  def clusteredEventsDir(s: SparkSession, d: String,
+      files: Int = 16): String = {
+    val dir = Paths.get(Artifacts.cacheDir,
+      "events_by_user_" + keyOf(new java.io.File(d).getCanonicalPath,
+        files.toString))
+    val marker = dir.resolve("_built")
+    val fp = fingerprint(Tables.events(s, d), "event_id")
+    if (!isFresh(marker, fp)) {
+      Tables.events(s, d)
+        .repartitionByRange(files, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(dir.resolve("data").toString)
+      // the zone map itself: one tiny stats table, computed once at
+      // write time (a production table format keeps these in manifest
+      // metadata; parquet footers hold the same stats per file)
+      s.read.parquet(dir.resolve("data").toString)
+        .groupBy(input_file_name().as("file"))
+        .agg(min("user_id").as("mn"), max("user_id").as("mx"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dir.resolve("zonemap").toString)
+      Files.write(marker, fp.getBytes("UTF-8")) // commit point
+    }
+    dir.toString
+  }
+
+  /** Events with `user_id` in [lo, hi], read ONLY from files whose zone
+    * intersects the range: the zone map (≤ `files` rows) plans the scan
+    * — a driver-side file-list decision, which is where scan planning
+    * lives by nature — and the residual filter keeps exactness within
+    * the boundary files. */
+  def zoneMapPrunedEvents(s: SparkSession, d: String, lo: Long,
+      hi: Long): DataFrame = {
+    val dir = clusteredEventsDir(s, d)
+    val keep = s.read.parquet(s"$dir/zonemap")
+      .filter(col("mn") <= hi && col("mx") >= lo)
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (keep.isEmpty) s.read.parquet(s"$dir/data").filter(lit(false))
+      else s.read.parquet(keep.toIndexedSeq: _*)
+    base.filter(col("user_id").between(lo, hi))
+  }
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -522,6 +523,47 @@ object StreamOps {
 
   def streamChunks(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, streamChunksPlan(spark, dir), OutputMode.Append())
+
+  /** Streaming upsert maintenance gate ([[StreamUpsert]]): three
+    * sequential CDC delta batches — full insert, then update-%5 /
+    * delete-%7, then update-%3 / delete-%11 — stream through the
+    * foreachBatch merge sink; returns the final committed snapshot.
+    * The fixture's text derives from `md5(doc_id)` so the DuckDB oracle
+    * reconstructs the final state closed-form (delete-wins, later
+    * upserts replace, deletes resurrect on re-upsert). The delta
+    * batches are driver-generated fixture rows (MemoryStream's
+    * contract, same as every streaming spec — bounded by the doc-id
+    * range); production deltas arrive from a real source and the sink
+    * path is identical. */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = graft.sources.Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head.getLong(0) + 1
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def base(i: Long) = "d " + md5hex(i.toString)
+    val ids = 0L until n
+    val b0 = ids.map(i => (i, base(i), false))
+    val b1 = ids.filter(_ % 5 == 0).map(i => (i, base(i) + " u2", false)) ++
+      ids.filter(_ % 7 == 0).map(i => (i, "", true))
+    val b2 = ids.filter(_ % 3 == 0).map(i => (i, base(i) + " u3", false)) ++
+      ids.filter(_ % 11 == 0).map(i => (i, "", true))
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft_supsert").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_supsert_ckpt").toString
+    val sink = new StreamUpsert(baseDir, "doc_id", "is_delete")
+    val input = MemoryStream[(Long, String, Boolean)]
+    val q = input.toDF().toDF("doc_id", "text", "is_delete")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(sink.write _).start()
+    try Seq(b0, b1, b2).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    sink.current(spark).get
+  }
 
   /** Every streaming replay as (name, plan, mode) — one list for tools
     * (state profiling) so they drive exactly the driver queries' plans. */

@@ -62,4 +62,28 @@ class CountMinSpec extends SparkSpec {
       .as[Long].head()
     assert(est >= 2L && est <= 3L)
   }
+
+  test("inner product: one-sided join-size estimate, exact in the " +
+      "collision-free regime") {
+    GraftFunctions.register(spark)
+    // |A ⋈ B| = Σ_k fA(k)·fB(k): a={x×3, y×2, z}, b={x×2, y, w}
+    // → 3·2 + 2·1 = 8
+    val a = Seq("x", "x", "x", "y", "y", "z").toDF("k")
+      .agg(GraftFunctions.cmsSketch(col("k"), 4096, 4).as("ska"))
+    val b = Seq("x", "x", "y", "w").toDF("k")
+      .agg(GraftFunctions.cmsSketch(col("k"), 4096, 4).as("skb"))
+    val est = a.crossJoin(b)
+      .select(GraftFunctions.cmsInner(col("ska"), col("skb"), 4096, 4))
+      .as[Long].head()
+    assert(est === 8L, "wide sketch over 4 keys must be collision-free")
+    // narrow sketch: collisions only ADD mass — never below the truth
+    val aN = Seq("x", "x", "x", "y", "y", "z").toDF("k")
+      .agg(GraftFunctions.cmsSketch(col("k"), 2, 2).as("ska"))
+    val bN = Seq("x", "x", "y", "w").toDF("k")
+      .agg(GraftFunctions.cmsSketch(col("k"), 2, 2).as("skb"))
+    val estN = aN.crossJoin(bN)
+      .select(GraftFunctions.cmsInner(col("ska"), col("skb"), 2, 2))
+      .as[Long].head()
+    assert(estN >= 8L, s"inner product must be one-sided, got $estN")
+  }
 }

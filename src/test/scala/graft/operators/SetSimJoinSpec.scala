@@ -88,4 +88,43 @@ class SetSimJoinSpec extends SparkSpec {
     assert(got == Set((1L, 1L, false), (2L, 1L, true), (3L, 1L, true),
       (4L, 4L, false)))
   }
+
+  test("cross-corpus joinBetween exactly matches the brute-force R-S " +
+      "join, several thresholds") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val left = docs.filter(col("doc_id") % 2 === 0)
+    val right = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" zz")).as("text"))
+    def sets(df: org.apache.spark.sql.DataFrame, idc: String) =
+      df.select(col("doc_id").as(idc), array_distinct(toks).as(s"tk_$idc"))
+        .filter(size(col(s"tk_$idc")) > 0)
+    for (t <- Seq(0.5, 0.8)) {
+      val fast = SetSimJoin.joinBetween(
+          left.select(col("doc_id"), toks.as("toks")), "doc_id", "toks",
+          right.select(col("doc_id"), toks.as("toks")), "doc_id", "toks",
+          t)
+        .select(col("id1"), col("id2"), col("overlap").as("ov"))
+      val slow = sets(left, "id1").crossJoin(sets(right, "id2"))
+        .withColumn("ov", size(array_intersect(col("tk_id1"), col("tk_id2"))))
+        .withColumn("jac", col("ov").cast("double") /
+          (size(col("tk_id1")) + size(col("tk_id2")) - col("ov")))
+        .filter(col("jac") >= t)
+        .select("id1", "id2", "ov")
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+        s"joinBetween diverged from brute force at t=$t")
+    }
+  }
+
+  test("joinBetween emits cross pairs only, including same-id records " +
+      "on both sides") {
+    val l = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val r = Seq((1L, "a b c d"), (5L, "a b c e")).toDF("doc_id", "text")
+    val got = SetSimJoin.joinBetween(
+        l.select(col("doc_id"), toks.as("toks")), "doc_id", "toks",
+        r.select(col("doc_id"), toks.as("toks")), "doc_id", "toks", 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // left 1 matches right 1 (identical) and right 5 (J=3/5=0.6)
+    assert(got === Set((1L, 1L), (1L, 5L)))
+  }
 }
