@@ -831,6 +831,139 @@ object ScaleBench {
       noop(ivmOf(ordBase, mkDelta(ordN))))
     results += (("incremental_agg", tiv1, tivN))
 
+    // ---- round-8 operators ----
+    // temporal join: facts ×N (N probes per entity, the realistic
+    // event-stream shape) against a FIXED scd2 dimension — the as-of
+    // merge scales in the fact stream
+    def scd2Dim = {
+      val v1 = docs1.select("doc_id", "text")
+      val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      graft.operators.CorpusDiff.scd2(
+        v1.withColumn("version", lit(1))
+          .unionAll(v2.withColumn("version", lit(2))),
+        "doc_id", "text", "version", hasher = md5(_))
+    }
+    def tjOf(facts: DataFrame, dim: DataFrame) =
+      graft.operators.TemporalJoin.pointInTime(facts, dim, "doc_id",
+          "t", "valid_from", "valid_to", Seq("content_hash"),
+          inclusiveEnd = true)
+        .groupBy(col("asof_content_hash").isNull.as("missed"))
+        .agg(count(lit(1)).as("n"))
+    val dimT = scd2Dim
+    def tjFacts(reps: Int) = docs1.select(col("doc_id"))
+      .crossJoin(spark.range(reps).select(col("id").as("__rep")))
+      .select(col("doc_id"),
+        ((col("doc_id") + col("__rep")) % 4).cast("bigint").as("t"))
+    val ttj1 = time("temporal_join 1x")(noop(tjOf(tjFacts(1), dimT)))
+    val ttjN = time(s"temporal_join ${factor}x")(
+      noop(tjOf(tjFacts(factor), dimT)))
+    results += (("temporal_join", ttj1, ttjN))
+
+    // bloom-filtered join: facts ×N against a fixed selective dim — the
+    // probe is map-only, the join's shuffle carries survivors only
+    def bjOf(o: DataFrame) = {
+      val dim = graft.sources.Tables.customer(spark, sf)
+        .filter(col("c_nationkey") === 1)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.operators.RuntimeFilter.bloomFilteredJoin(o, dim, "o_custkey")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    }
+    val tbj1 = time("bloom_join 1x")(noop(bjOf(ord1)))
+    val tbjN = time(s"bloom_join ${factor}x")(noop(bjOf(ordN)))
+    results += (("bloom_join", tbj1, tbjN))
+
+    // phrase search: corpus ×N — postings prune to the phrase's terms
+    // inside the scan, anchors shuffle ids only
+    def phOf(d: DataFrame) = graft.operators.TextSearch.phraseSearch(
+        d, "doc_id", "text", Seq("table", "hash"))
+      .groupBy().agg(count(lit(1)).as("n"), sum("n_occurrences"))
+    val tph1 = time("phrase_search 1x")(noop(phOf(docs1)))
+    val tphN = time(s"phrase_search ${factor}x")(noop(phOf(docsN)))
+    results += (("phrase_search", tph1, tphN))
+
+    // sequential patterns: users ×N at fixed per-user event lists
+    def pmOf(e: DataFrame) = graft.operators.Patterns.matchSequence(
+        e, "user_id", "ts", "event_id", "event_type",
+        Seq("signup", "click", "purchase"),
+        maxGapUs = Some(7L * 86400 * 1000000))
+      .groupBy().agg(sum("n_matches").as("m"), count(lit(1)).as("u"))
+    val evU = ev1.crossJoin(
+        spark.range(factor).select(col("id").as("__rep")))
+      .select((col("event_id") + col("__rep") * 10000000L).as("event_id"),
+        col("ts"), (col("user_id") + col("__rep") * 10000000L).as("user_id"),
+        col("event_type"), col("value"))
+    val tpm1x = time("event_pattern 1x")(noop(pmOf(ev1)))
+    val tpmNx = time(s"event_pattern ${factor}x")(noop(pmOf(evU)))
+    results += (("event_pattern", tpm1x, tpmNx))
+
+    // k-core: N disjoint copies of the part co-purchase graph — peel
+    // depth fixed, every round a linear degree agg + anti joins
+    val tkc1 = time("kcore 1x")(noop(graft.operators.Graph
+      .kCore(triEdges(li1), "src", "dst", k = 4)))
+    val tkcN = time(s"kcore ${factor}x")(noop(graft.operators.Graph
+      .kCore(triEdges(liT), "src", "dst", k = 4)))
+    results += (("kcore", tkc1, tkcN))
+
+    // validation audit: rows ×N — row rules one scan, unique one
+    // groupBy, FK one anti join
+    def vaOf(o: DataFrame) = {
+      import graft.operators.Validate
+      Validate.report(o, Seq(
+        Validate.NotNull("nn", "o_custkey"),
+        Validate.InRange("rng", "o_totalprice", 0.0, 1e6),
+        Validate.InSet("dom", "o_orderstatus", Seq("O", "F", "P")),
+        Validate.Unique("uq", Seq("o_orderkey")),
+        Validate.Referential("fk", "o_custkey",
+          graft.sources.Tables.customer(spark, sf).select("c_custkey"))))
+    }
+    val tva1 = time("validate 1x")(noop(vaOf(ord1)))
+    val tvaN = time(s"validate ${factor}x")(noop(vaOf(ordN)))
+    results += (("validate", tva1, tvaN))
+
+    // cross-corpus linkage: both corpora ×N, rep-TAGGED on both sides
+    // (untagged right replicas would cross-match every left rep — ×N²
+    // output, the setsim_clones argument) — pairs grow ×N
+    def lkOf(reps: Int) = {
+      val mutBase = graft.queries.DedupQueries.shingled(
+        docs1.filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" zz qq")).as("text")),
+        outCol = "toks")
+      val l = if (reps == 1) toks1 else toksUniq
+      val r =
+        if (reps == 1)
+          mutBase.select((col("doc_id") + 700000000L).as("doc_id"),
+            col("toks"))
+        else mutBase.crossJoin(
+            spark.range(reps).select(col("id").as("__rep")))
+          .select((col("doc_id") + col("__rep") * 10000000L +
+            700000000L).as("doc_id"),
+            transform(col("toks"),
+              t => concat(t, lit("#"), col("__rep"))).as("toks"))
+      graft.operators.SetSimJoin.joinBetween(
+          l, "doc_id", "toks", r, "doc_id", "toks", 0.8)
+        .groupBy().agg(count(lit(1)).as("n"))
+    }
+    val tlk1 = time("setsim_linkage 1x")(noop(lkOf(1)))
+    val tlkN = time(s"setsim_linkage ${factor}x")(noop(lkOf(factor)))
+    results += (("setsim_linkage", tlk1, tlkN))
+
+    // join-size estimate: two map-side sketch aggs, rows ×N
+    def jcOf(o: DataFrame) = {
+      val a = o.agg(graft.functions.GraftFunctions
+        .cmsSketch(col("o_custkey").cast("string"), 1024, 4).as("a"))
+      val b = graft.sources.Tables.customer(spark, sf)
+        .agg(graft.functions.GraftFunctions
+          .cmsSketch(col("c_custkey").cast("string"), 1024, 4).as("b"))
+      a.crossJoin(b).select(graft.functions.GraftFunctions
+        .cmsInner(col("a"), col("b"), 1024, 4).as("est"))
+    }
+    val tjc1 = time("join_card_est 1x")(noop(jcOf(ord1)))
+    val tjcN = time(s"join_card_est ${factor}x")(noop(jcOf(ordN)))
+    results += (("join_card_est", tjc1, tjcN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")
