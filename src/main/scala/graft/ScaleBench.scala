@@ -964,6 +964,31 @@ object ScaleBench {
     val tjcN = time(s"join_card_est ${factor}x")(noop(jcOf(ordN)))
     results += (("join_card_est", tjc1, tjcN))
 
+    // incremental join view: refresh cost scales in the DELTA (×N
+    // inserted orders) against fixed bases — the join is never re-run,
+    // the one unavoidable linear term is materializing the view itself
+    def ijBase = {
+      val a = ord1.select(col("o_orderkey"), col("o_custkey").as("k"),
+        col("o_totalprice"))
+      val b = graft.sources.Tables.customer(spark, sf)
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      (a, b, a.join(b, Seq("k")))
+    }
+    def ijDelta(a: DataFrame, reps: Int) = a
+      .crossJoin(spark.range(reps).select(col("id").as("__rep")))
+      .select((col("o_orderkey") + col("__rep") * 10000000L +
+        500000000L).as("o_orderkey"), col("k"), col("o_totalprice"))
+      .withColumn("op", lit(1))
+    val (aIJ, bIJ, vIJ) = ijBase
+    def dbEmpty = bIJ.limit(0).withColumn("op", lit(1))
+    def ijOf(d: DataFrame) = graft.operators.IncrementalJoin
+      .refresh(vIJ, aIJ, bIJ, d, dbEmpty, Seq("k"))
+      .groupBy().agg(count(lit(1)).as("n"))
+    val tij1x = time("incremental_join 1x")(noop(ijOf(ijDelta(aIJ, 1))))
+    val tijNx = time(s"incremental_join ${factor}x")(
+      noop(ijOf(ijDelta(aIJ, factor))))
+    results += (("incremental_join", tij1x, tijNx))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

@@ -278,6 +278,7 @@ object SparkEntry {
     "q_zonemap_prune" -> SourceQueries.zonemapPrune,
     "q_setsim_linkage" -> DedupQueries.setsimLinkage,
     "q_join_card_est" -> RelationalQueries.joinCardEst,
+    "q_incremental_join" -> PipelineQueries.incrementalJoin,
   )
 
   private val docChunksSql = """
@@ -2821,6 +2822,25 @@ object SparkEntry {
                AS total,
              min(o_totalprice) AS mn, max(o_totalprice) AS mx
       FROM post GROUP BY 1""",
+
+    // Incremental join view: oracle recomputes the post-CDC join from
+    // scratch; the engine side applies the signed delta algebra.
+    "q_incremental_join" -> """
+      WITH aNew AS (
+        SELECT o_orderkey, o_custkey AS k, o_totalprice
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 500000000, o_custkey, o_totalprice + 10
+        FROM orders WHERE o_orderkey % 17 = 0),
+      bNew AS (
+        SELECT c_custkey AS k, c_mktsegment, c_nationkey
+        FROM customer WHERE c_nationkey <> 3
+        UNION ALL
+        SELECT c_custkey + 900000000, c_mktsegment, c_nationkey
+        FROM customer WHERE c_nationkey = 7)
+      SELECT a.k, a.o_orderkey, a.o_totalprice,
+             b.c_mktsegment, b.c_nationkey
+      FROM aNew a JOIN bNew b USING (k)""",
 
     // Point-in-time join: the q_scd2_history reconstruction + interval
     // containment (valid_from <= t <= valid_to, null = open); the

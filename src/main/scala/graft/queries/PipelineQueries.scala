@@ -1050,6 +1050,36 @@ object PipelineQueries {
       pattern = Seq("signup", "click", "purchase"),
       maxGapUs = Some(7L * 86400 * 1000000))
 
+  /** Incremental JOIN-view maintenance (round 8,
+    * [[graft.operators.IncrementalJoin]]): the orders⋈customer view
+    * refreshed under same-batch deltas on BOTH sides (order deletes +
+    * modified re-inserts, customer deletes that cascade order rows out,
+    * no-op customer inserts) — the signed delta algebra incl. the cross
+    * term; O(delta) work, bases never re-joined in full. Oracle
+    * recomputes the post-CDC join from scratch. */
+  val incrementalJoin: Q = (s, d) => {
+    val a = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey").as("k"),
+        col("o_totalprice"))
+    val b = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"),
+        col("c_nationkey"))
+    val view = a.join(b, Seq("k"))
+    val dA = a.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("op", lit(-1))
+      .unionByName(a.filter(col("o_orderkey") % 17 === 0)
+        .select((col("o_orderkey") + 500000000L).as("o_orderkey"),
+          col("k"), (col("o_totalprice") + 10.0).as("o_totalprice"))
+        .withColumn("op", lit(1)))
+    val dB = b.filter(col("c_nationkey") === 3)
+      .withColumn("op", lit(-1))
+      .unionByName(b.filter(col("c_nationkey") === 7)
+        .select((col("k") + 900000000L).as("k"), col("c_mktsegment"),
+          col("c_nationkey"))
+        .withColumn("op", lit(1)))
+    graft.operators.IncrementalJoin.refresh(view, a, b, dA, dB, Seq("k"))
+  }
+
   /** k-core planted gate (round 8, [[graft.operators.Graph.kCore]]):
     * 6-clique + 10-path + 4-cycle + pendant at k=2 — the path must
     * cascade away over multiple peel rounds (endpoints erode inward),
