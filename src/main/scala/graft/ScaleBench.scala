@@ -989,6 +989,31 @@ object ScaleBench {
       noop(ijOf(ijDelta(aIJ, factor))))
     results += (("incremental_join", tij1x, tijNx))
 
+    // feature tier: bins = per-group window sort (rows ×N into fixed
+    // langs); target encoding = one stats agg + broadcast join; corr =
+    // one map-side moment agg
+    def fbOf(d: DataFrame) = graft.operators.Features.equiDepthBins(
+        d.select("doc_id", "lang", "n_chars"), Seq("lang"), "n_chars",
+        4, Seq("doc_id"))
+      .groupBy("lang", "bin").agg(count(lit(1)).as("n"))
+    val tfb1 = time("feature_bins 1x")(noop(fbOf(docs1)))
+    val tfbN = time(s"feature_bins ${factor}x")(noop(fbOf(docsN)))
+    results += (("feature_bins", tfb1, tfbN))
+
+    def teOf(o: DataFrame) = graft.operators.Features.targetEncodeLoo(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderpriority", "o_totalprice")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val tte1 = time("target_encode 1x")(noop(teOf(ord1)))
+    val tteN = time(s"target_encode ${factor}x")(noop(teOf(ordN)))
+    results += (("target_encode", tte1, tteN))
+
+    def cmOf(li: DataFrame) = graft.operators.Features.corrMatrix(
+      li, Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val tcm1x = time("corr_matrix 1x")(noop(cmOf(li1)))
+    val tcmNx = time(s"corr_matrix ${factor}x")(noop(cmOf(liS)))
+    results += (("corr_matrix", tcm1x, tcmNx))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

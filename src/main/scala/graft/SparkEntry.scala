@@ -279,6 +279,9 @@ object SparkEntry {
     "q_setsim_linkage" -> DedupQueries.setsimLinkage,
     "q_join_card_est" -> RelationalQueries.joinCardEst,
     "q_incremental_join" -> PipelineQueries.incrementalJoin,
+    "q_feature_bins" -> PipelineQueries.featureBins,
+    "q_target_encode" -> PipelineQueries.targetEncode,
+    "q_corr_matrix" -> PipelineQueries.corrMatrix,
   )
 
   private val docChunksSql = """
@@ -2822,6 +2825,74 @@ object SparkEntry {
                AS total,
              min(o_totalprice) AS mn, max(o_totalprice) AS mx
       FROM post GROUP BY 1""",
+
+    // Equi-depth bins: identical integer rank formula on both engines.
+    "q_feature_bins" -> """
+      SELECT doc_id, lang, n_chars,
+             (((row_number() OVER (PARTITION BY lang
+                  ORDER BY n_chars, doc_id) - 1) * 4)
+               // (count(*) OVER (PARTITION BY lang)))::INT AS bin
+      FROM documents""",
+
+    // LOO target encoding: exact decimal sums, single division.
+    "q_target_encode" -> """
+      WITH s AS (
+        SELECT o_orderpriority,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS ss,
+               count(*) AS n
+        FROM orders GROUP BY 1)
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CASE WHEN s.n > 1 THEN
+               CAST(ss - CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                 / (s.n - 1)
+             END AS target_enc
+      FROM orders o JOIN s USING (o_orderpriority)""",
+
+    // Pearson matrix on integer-cent moments (exact: DuckDB sums the
+    // raw products in HUGEINT; Spark reassembles its hi/lo long sums
+    // to the same integers). The closed form over identical doubles
+    // (IEEE sqrt is correctly rounded) hashes raw.
+    "q_corr_matrix" -> """
+      WITH c AS (
+        SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS e,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+               CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t
+        FROM lineitem),
+      m AS (
+        SELECT count(*)::DOUBLE AS n,
+          sum(q)::DOUBLE AS s_q, sum(e)::DOUBLE AS s_e,
+          sum(d)::DOUBLE AS s_d, sum(t)::DOUBLE AS s_t,
+          sum(q*q)::DOUBLE AS ss_q, sum(e*e)::DOUBLE AS ss_e,
+          sum(d*d)::DOUBLE AS ss_d, sum(t*t)::DOUBLE AS ss_t,
+          sum(q*e)::DOUBLE AS sp_qe, sum(q*d)::DOUBLE AS sp_qd,
+          sum(q*t)::DOUBLE AS sp_qt, sum(e*d)::DOUBLE AS sp_ed,
+          sum(e*t)::DOUBLE AS sp_et, sum(d*t)::DOUBLE AS sp_dt
+        FROM c)
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             (n*sp_qe - s_q*s_e) /
+               (sqrt(n*ss_q - s_q*s_q) * sqrt(n*ss_e - s_e*s_e)) AS corr
+      FROM m
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount',
+             (n*sp_qd - s_q*s_d) /
+               (sqrt(n*ss_q - s_q*s_q) * sqrt(n*ss_d - s_d*s_d)) FROM m
+      UNION ALL
+      SELECT 'l_quantity', 'l_tax',
+             (n*sp_qt - s_q*s_t) /
+               (sqrt(n*ss_q - s_q*s_q) * sqrt(n*ss_t - s_t*s_t)) FROM m
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount',
+             (n*sp_ed - s_e*s_d) /
+               (sqrt(n*ss_e - s_e*s_e) * sqrt(n*ss_d - s_d*s_d)) FROM m
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_tax',
+             (n*sp_et - s_e*s_t) /
+               (sqrt(n*ss_e - s_e*s_e) * sqrt(n*ss_t - s_t*s_t)) FROM m
+      UNION ALL
+      SELECT 'l_discount', 'l_tax',
+             (n*sp_dt - s_d*s_t) /
+               (sqrt(n*ss_d - s_d*s_d) * sqrt(n*ss_t - s_t*s_t)) FROM m""",
 
     // Incremental join view: oracle recomputes the post-CDC join from
     // scratch; the engine side applies the signed delta algebra.

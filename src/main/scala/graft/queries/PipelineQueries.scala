@@ -1050,6 +1050,37 @@ object PipelineQueries {
       pattern = Seq("signup", "click", "purchase"),
       maxGapUs = Some(7L * 86400 * 1000000))
 
+  /** Equi-depth discretization (round 8,
+    * [[graft.operators.Features.equiDepthBins]]): per-language 4-bin
+    * quantile buckets over doc lengths — pure integer rank math, total
+    * order (n_chars, doc_id), no percentile interpolation. */
+  val featureBins: Q = (s, d) =>
+    graft.operators.Features.equiDepthBins(
+      Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+      groupCols = Seq("lang"), valueCol = "n_chars", nbins = 4,
+      tieBreak = Seq("doc_id"))
+
+  /** Leave-one-out target encoding (round 8,
+    * [[graft.operators.Features.targetEncodeLoo]]): each order's
+    * priority encoded as the mean totalprice of the OTHER orders of
+    * that priority — decimal-exact sums, one broadcast stats join. */
+  val targetEncode: Q = (s, d) =>
+    graft.operators.Features.targetEncodeLoo(
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      catCol = "o_orderpriority", targetCol = "o_totalprice")
+      .select("o_orderkey", "o_orderpriority", "target_enc")
+
+  /** Exact Pearson correlation matrix (round 8,
+    * [[graft.operators.Features.corrMatrix]]): all pairwise corrs of
+    * four lineitem measures from ONE decimal-moment aggregation; the
+    * closed-form over exact doubles (incl. IEEE-correct sqrt) is
+    * bit-identical cross-engine, so raw doubles hash. */
+  val corrMatrix: Q = (s, d) =>
+    graft.operators.Features.corrMatrix(
+      Tables.lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
   /** Incremental JOIN-view maintenance (round 8,
     * [[graft.operators.IncrementalJoin]]): the orders⋈customer view
     * refreshed under same-batch deltas on BOTH sides (order deletes +

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Feature-engineering operators against closed-form fixtures. */
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("equi-depth bins: equal counts, deterministic under ties, " +
+      "group-independent") {
+    val df = ((1 to 8).map(i => ("g1", i.toLong, i.toLong)) ++
+      (1 to 5).map(i => ("g2", 7L, i.toLong))) // all-tied group
+      .toDF("g", "v", "id")
+    val got = Features.equiDepthBins(df, Seq("g"), "v", 4, Seq("id"))
+      .select("g", "id", "bin").as[(String, Long, Int)].collect()
+    val g1 = got.filter(_._1 == "g1").map(r => r._2 -> r._3).toMap
+    assert(g1 === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2,
+      6L -> 2, 7L -> 3, 8L -> 3))
+    // ties broken by id: ranks 1..5 over 4 bins → sizes 2,1,1,1
+    val g2 = got.filter(_._1 == "g2").map(r => r._2 -> r._3).toMap
+    assert(g2 === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 2, 5L -> 3))
+  }
+
+  test("LOO target encoding: excludes own row; singleton null") {
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 7.0)).toDF("id", "cat", "t")
+    val got = Features.targetEncodeLoo(df, "cat", "t")
+      .select("id", "target_enc")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L) === Some(25.0)) // (20+30)/2
+    assert(got(2L) === Some(20.0)) // (10+30)/2
+    assert(got(3L) === Some(15.0))
+    assert(got(4L) === None)       // singleton category
+  }
+
+  test("correlation matrix: exact ±1 on linear columns, matches the " +
+      "closed form elsewhere") {
+    val df = (1 to 20).map { i =>
+      (i.toDouble, 2.0 * i + 3, -1.0 * i, (i % 4).toDouble)
+    }.toDF("x", "y2", "neg", "m")
+    val got = Features.corrMatrix(df, Seq("x", "y2", "neg", "m"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // deterministic but not exactly ±1: sqrt(D)·sqrt(k²D) rounds a ulp
+    assert(math.abs(got(("x", "y2")) - 1.0) < 1e-14)
+    assert(math.abs(got(("x", "neg")) + 1.0) < 1e-14)
+    // reference Pearson for the non-degenerate pair
+    val xs = (1 to 20).map(_.toDouble)
+    val ms = (1 to 20).map(i => (i % 4).toDouble)
+    val n = 20.0
+    val ref = (n * xs.zip(ms).map { case (a, b) => a * b }.sum -
+      xs.sum * ms.sum) /
+      (math.sqrt(n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+        math.sqrt(n * ms.map(a => a * a).sum - ms.sum * ms.sum))
+    assert(math.abs(got(("x", "m")) - ref) < 1e-12)
+  }
+}
