@@ -1014,6 +1014,13 @@ object ScaleBench {
     val tcmNx = time(s"corr_matrix ${factor}x")(noop(cmOf(liS)))
     results += (("corr_matrix", tcm1x, tcmNx))
 
+    def cdOf(e: DataFrame) = graft.operators.Features.catDependence(
+      e.select(col("event_type"), dayofweek(col("ts")).as("dow")),
+      "event_type", "dow")
+    val tcd1x = time("cat_dependence 1x")(noop(cdOf(ev1)))
+    val tcdNx = time(s"cat_dependence ${factor}x")(noop(cdOf(evN)))
+    results += (("cat_dependence", tcd1x, tcdNx))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

@@ -282,6 +282,7 @@ object SparkEntry {
     "q_feature_bins" -> PipelineQueries.featureBins,
     "q_target_encode" -> PipelineQueries.targetEncode,
     "q_corr_matrix" -> PipelineQueries.corrMatrix,
+    "q_cat_dependence" -> PipelineQueries.catDependence,
   )
 
   private val docChunksSql = """
@@ -2893,6 +2894,33 @@ object SparkEntry {
       SELECT 'l_discount', 'l_tax',
              (n*sp_dt - s_d*s_t) /
                (sqrt(n*ss_d - s_d*s_d) * sqrt(n*ss_t - s_t*s_t)) FROM m""",
+
+    // Contingency screening: exact counts, identical per-cell IEEE op
+    // sequences; Spark dayofweek is Sunday=1, DuckDB Sunday=0 → +1.
+    "q_cat_dependence" -> """
+      WITH base AS (
+        SELECT event_type AS a, (dayofweek(ts) + 1)::INT AS b
+        FROM events),
+      cells AS (
+        SELECT a, b, count(*) AS observed FROM base GROUP BY 1, 2),
+      rt AS (
+        SELECT a, sum(observed)::BIGINT AS row_total
+        FROM cells GROUP BY 1),
+      ct AS (
+        SELECT b, sum(observed)::BIGINT AS col_total
+        FROM cells GROUP BY 1),
+      nn AS (SELECT sum(observed)::BIGINT AS n FROM cells),
+      e AS (
+        SELECT c.a, c.b, c.observed, rt.row_total, ct.col_total, nn.n,
+               (rt.row_total::DOUBLE * ct.col_total) / nn.n AS expected
+        FROM cells c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nn)
+      SELECT a, b, observed, row_total, col_total, expected,
+             (observed - expected) * (observed - expected) / expected
+               AS chi2_term,
+             round((observed::DOUBLE / n) *
+               ln(observed::DOUBLE * n /
+                 (row_total::DOUBLE * col_total)), 6) AS mi_term
+      FROM e""",
 
     // Incremental join view: oracle recomputes the post-CDC join from
     // scratch; the engine side applies the signed delta algebra.

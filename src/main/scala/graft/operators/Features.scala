@@ -91,13 +91,20 @@ object Features {
     }
     val aggs = cols.flatMap(c =>
       sum(col(s"__c_$c")).as(s"__s_$c") +: prodAggs(c, c)) ++
-      pairsOf(cols).flatMap { case (a, b) => prodAggs(a, b) } :+
+      pairsOf(cols).flatMap { case (a, b) => prodAggs(a, b) } ++
+      cols.map(c => count(col(s"__c_$c")).as(s"__nn_$c")) :+
       count(lit(1)).as("__n")
     val m = prep.agg(aggs.head, aggs.tail: _*)
       .withColumn("__n",
         when(col("__n") > (1L << 31), raise_error(lit(
           "corrMatrix: > 2^31 rows in one call — shard the input and " +
             "merge the hi/lo moment sums")))
+          // nulls would silently skew the moments (counted in n, absent
+          // from the sums): Pearson over incomplete observations is the
+          // caller's modeling decision, not a silent default
+          .when(cols.map(c => col(s"__nn_$c") =!= col("__n"))
+            .reduce(_ || _), raise_error(lit(
+            "corrMatrix: null values present — filter or impute first")))
           .otherwise(col("__n")))
     def moment(a: String, b: String): Column =
       (col(s"__hi_${a}_$b").cast(DecimalWide) * B +
@@ -116,6 +123,48 @@ object Features {
     }
     m.select(explode(array(rows: _*)).as("__r"))
       .select(col("__r.col_a"), col("__r.col_b"), col("__r.corr"))
+  }
+
+  /** Categorical dependence screening between two discrete columns —
+    * the contingency table with each cell's chi-square and mutual-
+    * information contribution: the categorical complement of
+    * [[corrMatrix]] (feature↔feature and feature↔label screening).
+    * Emitted PER CELL rather than summed so the gate carries no
+    * fold-order FP at all: observed/row/col/total counts are exact
+    * integers, `expected = rowTot·colTot/n` and the chi² term
+    * `(o−e)²/e` are fixed per-cell IEEE sequences (raw-hashable), and
+    * only the MI term (`(o/n)·ln(o·n/(rowTot·colTot))`, transcendental)
+    * rounds at 6 dp. Null categories form their own cell — screening
+    * should SEE missingness, not drop it. Scale: one (a,b) count
+    * shuffle; marginals are partial-agg tables broadcast back; cells =
+    * |A|·|B| regardless of row count. */
+  def catDependence(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("observed"))
+    // null-SAFE marginal joins: a null category is a real cell (the
+    // missingness signal screening exists to see), and a plain USING
+    // join would silently drop it
+    val rowT = cells.groupBy("a").agg(sum("observed").as("row_total"))
+      .withColumnRenamed("a", "__ra")
+    val colT = cells.groupBy("b").agg(sum("observed").as("col_total"))
+      .withColumnRenamed("b", "__rb")
+    val tot = cells.agg(sum("observed").as("__n"))
+    cells
+      .join(broadcast(rowT), col("a") <=> col("__ra")).drop("__ra")
+      .join(broadcast(colT), col("b") <=> col("__rb")).drop("__rb")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        col("row_total").cast("double") * col("col_total") / col("__n"))
+      .withColumn("chi2_term",
+        (col("observed") - col("expected")) *
+          (col("observed") - col("expected")) / col("expected"))
+      .withColumn("mi_term", round(
+        (col("observed").cast("double") / col("__n")) *
+          log(col("observed").cast("double") * col("__n") /
+            (col("row_total").cast("double") * col("col_total"))), 6))
+      .select("a", "b", "observed", "row_total", "col_total",
+        "expected", "chi2_term", "mi_term")
   }
 
   /** 38,0-capable headroom for Σ(x·y) reassembly. */

@@ -1081,6 +1081,17 @@ object PipelineQueries {
       Tables.lineitem(s, d),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  /** Categorical dependence screening (round 8,
+    * [[graft.operators.Features.catDependence]]): the event_type ×
+    * day-of-week contingency table with per-cell chi² and MI
+    * contributions — exact counts, raw per-cell IEEE terms, only the
+    * transcendental MI term rounded. */
+  val catDependence: Q = (s, d) =>
+    graft.operators.Features.catDependence(
+      Tables.events(s, d).select(col("event_type"),
+        dayofweek(col("ts")).as("dow")),
+      "event_type", "dow")
+
   /** Incremental JOIN-view maintenance (round 8,
     * [[graft.operators.IncrementalJoin]]): the orders⋈customer view
     * refreshed under same-batch deltas on BOTH sides (order deletes +

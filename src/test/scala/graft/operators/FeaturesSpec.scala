@@ -56,4 +56,42 @@ class FeaturesSpec extends SparkSpec {
         math.sqrt(n * ms.map(a => a * a).sum - ms.sum * ms.sum))
     assert(math.abs(got(("x", "m")) - ref) < 1e-12)
   }
+
+  test("categorical dependence: closed-form 2x2 table, independence " +
+      "→ zero terms, null category kept as its own cell") {
+    // perfectly dependent 2x2: (a1,b1)x4, (a2,b2)x4
+    val dep = (Seq.fill(4)(("a1", "b1")) ++ Seq.fill(4)(("a2", "b2")))
+      .toDF("x", "y")
+    val depRows = Features.catDependence(dep, "x", "y").collect()
+    // chi2 total over present cells = 2·(4−2)²/2 = 4; MI term per cell
+    // = 0.5·ln(2)
+    assert(depRows.map(_.getAs[Double]("chi2_term")).sum === 4.0)
+    depRows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mi_term") -
+        BigDecimal(0.5 * math.log(2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // independent: uniform 2x2
+    val ind = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2"))
+      .toDF("x", "y")
+    Features.catDependence(ind, "x", "y").collect().foreach { r =>
+      assert(r.getAs[Double]("chi2_term") === 0.0)
+      assert(r.getAs[Double]("mi_term") === 0.0)
+    }
+    // null category is a real cell
+    val withNull = Seq((Some("a"), Some("b")),
+      (None: Option[String], Some("b"))).toDF("x", "y")
+    val cells = Features.catDependence(withNull, "x", "y").collect()
+    assert(cells.length === 2)
+    assert(cells.exists(_.isNullAt(0)))
+  }
+
+  test("correlation matrix rejects null values loudly") {
+    val df = Seq((Some(1.0), Some(2.0)), (Some(3.0), None))
+      .toDF("x", "y")
+    val ex = intercept[Exception] {
+      Features.corrMatrix(df, Seq("x", "y")).collect()
+    }
+    assert(ex.getMessage.contains("null values"))
+  }
 }
