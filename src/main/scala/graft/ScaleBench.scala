@@ -1021,6 +1021,36 @@ object ScaleBench {
     val tcdNx = time(s"cat_dependence ${factor}x")(noop(cdOf(evN)))
     results += (("cat_dependence", tcd1x, tcdNx))
 
+    // Q8: fact rows ×N against fixed broadcast dimensions
+    def q8Of(li: DataFrame) = {
+      val d = sf
+      val part = graft.sources.Tables.part(spark, d)
+        .filter(col("p_type") === "PROMO").select("p_partkey")
+      val ords = graft.sources.Tables.orders(spark, d)
+        .filter(col("o_orderdate").between("1995-01-01", "1996-12-31"))
+        .select("o_orderkey", "o_orderdate")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(ords), col("l_orderkey") % 10000000L ===
+          col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val tq81 = time("q8_join_tree 1x")(noop(q8Of(li1)))
+    val tq8N = time(s"q8_join_tree ${factor}x")(noop(q8Of(liG)))
+    results += (("q8_join_tree", tq81, tq8N))
+
+    // transitions: users ×N at fixed per-user lists (lead window)
+    def trOf(e: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      e.withColumn("nt", lead("event_type", 1).over(w))
+        .filter(col("nt").isNotNull)
+        .groupBy("event_type", "nt").agg(count(lit(1)).as("n"))
+    }
+    val ttr1x = time("event_transitions 1x")(noop(trOf(ev1)))
+    val ttrNx = time(s"event_transitions ${factor}x")(noop(trOf(evU)))
+    results += (("event_transitions", ttr1x, ttrNx))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

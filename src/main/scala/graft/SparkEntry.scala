@@ -283,6 +283,8 @@ object SparkEntry {
     "q_target_encode" -> PipelineQueries.targetEncode,
     "q_corr_matrix" -> PipelineQueries.corrMatrix,
     "q_cat_dependence" -> PipelineQueries.catDependence,
+    "q8_market_share" -> RelationalQueries.q8MarketShare,
+    "q_event_transitions" -> RelationalQueries.eventTransitions,
   )
 
   private val docChunksSql = """
@@ -2894,6 +2896,51 @@ object SparkEntry {
       SELECT 'l_discount', 'l_tax',
              (n*sp_dt - s_d*s_t) /
                (sqrt(n*ss_d - s_d*s_d) * sqrt(n*ss_t - s_t*s_t)) FROM m""",
+
+    // TPC-H Q8: exact decimal volumes, one raw division per year.
+    "q8_market_share" -> """
+      WITH v AS (
+        SELECT extract(year FROM o.o_orderdate) AS o_year,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(3,2)) -
+                  CAST(l.l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))
+                 AS vol,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+          AND p.p_type = 'PROMO'
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+          AND o.o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+          AND r.r_name = 'AMERICA'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey)
+      SELECT o_year::INT AS o_year,
+             CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+             count(*) AS n_lines
+      FROM v GROUP BY 1""",
+
+    // Markov transition matrix: identical per-user lead order; the
+    // probability is one integer-ratio division.
+    "q_event_transitions" -> """
+      WITH t AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS to_type
+        FROM events),
+      c AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      rt AS (
+        SELECT from_type, sum(n)::BIGINT AS row_total
+        FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n,
+             c.n::DOUBLE / rt.row_total AS p
+      FROM c JOIN rt USING (from_type)""",
 
     // Contingency screening: exact counts, identical per-cell IEEE op
     // sequences; Spark dayofweek is Sunday=1, DuckDB Sunday=0 → +1.

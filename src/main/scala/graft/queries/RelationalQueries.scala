@@ -745,6 +745,65 @@ object RelationalQueries {
         max("roll_med").as("max_med"))
   }
 
+  /** TPC-H Q8 market share (round 8): the deepest join tree in the
+    * suite — lineitem against SIX dimensions (part filter, supplier →
+    * share nation, orders → date range, customer → nation → region) —
+    * the join-reorder/broadcast showcase: Catalyst plans every
+    * dimension as a broadcast hash join off the one fact scan.
+    * Numerator and denominator sum in exact decimal; the per-year
+    * share is one IEEE division, raw-hashable. */
+  val q8MarketShare: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val part = Tables.part(s, d).filter(col("p_type") === "PROMO")
+      .select("p_partkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate").between("1995-01-01", "1996-12-31"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val region = Tables.region(s, d).filter(col("r_name") === "AMERICA")
+      .select("r_regionkey")
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("n_name") === "NATION_1", Exact.discPrice)
+          .otherwise(lit(0).cast(org.apache.spark.sql.types
+            .DecimalType(18, 4)))).cast("double") /
+          sum(Exact.discPrice).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Event-transition (Markov) matrix (round 8): per-user consecutive
+    * event-type pairs with transition probabilities — the product-
+    * analytics complement of the funnel/sessionize family. One window
+    * pass per user (lead), one pair count shuffle; probabilities are
+    * single integer-ratio divisions, raw-hashable. */
+  val eventTransitions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, d)
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = t.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type")
+      .agg(sum("n").as("row_total"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("row_total")).as("p"))
+  }
+
   /** Join-cardinality estimation (round 8, sketch tier,
     * [[graft.functions.CmsInnerProduct]]): |orders ⋈ customer| estimated
     * from two key sketches via the count-min inner product — the
