@@ -285,6 +285,7 @@ object SparkEntry {
     "q_cat_dependence" -> PipelineQueries.catDependence,
     "q8_market_share" -> RelationalQueries.q8MarketShare,
     "q_event_transitions" -> RelationalQueries.eventTransitions,
+    "q_time_split" -> PipelineQueries.timeSplit,
   )
 
   private val docChunksSql = """
@@ -2896,6 +2897,18 @@ object SparkEntry {
       SELECT 'l_discount', 'l_tax',
              (n*sp_dt - s_d*s_t) /
                (sqrt(n*ss_d - s_d*s_d) * sqrt(n*ss_t - s_t*s_t)) FROM m""",
+
+    // Embargoed time split: integer-µs boundary comparisons.
+    "q_time_split" -> """
+      WITH t AS (
+        SELECT ts,
+               CASE WHEN epoch_us(ts) >= 1705881600000000 THEN 'test'
+                    WHEN epoch_us(ts) <
+                      1705881600000000 - 172800000000 THEN 'train'
+                    ELSE 'embargo' END AS split
+        FROM events)
+      SELECT split, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
+      FROM t GROUP BY 1""",
 
     // TPC-H Q8: exact decimal volumes, one raw division per year.
     "q8_market_share" -> """

@@ -104,4 +104,22 @@ object Splits {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("__n_splits") > 1, 1).otherwise(0)).as("n_leaked"))
   }
+
+  /** Time-based split with an EMBARGO gap (purged walk-forward CV, the
+    * de-Prado discipline): rows at or after `testStartUs` are test,
+    * rows strictly before `testStartUs − embargoUs` are train, and the
+    * gap between them is labeled `embargo` and EXCLUDED from both — a
+    * feature computed over a trailing window on a late train row would
+    * otherwise see into the test period (look-ahead leakage that an
+    * id-hash split cannot prevent, the temporal analogue of
+    * [[leakageAudit]]). Map-only; integer-µs comparisons. */
+  def timeSplit(df: DataFrame, tsCol: String, testStartUs: Long,
+      embargoUs: Long): DataFrame = {
+    require(embargoUs >= 0, s"negative embargo: $embargoUs")
+    val t = unix_micros(col(tsCol))
+    df.withColumn("split",
+      when(t >= testStartUs, lit("test"))
+        .when(t < testStartUs - embargoUs, lit("train"))
+        .otherwise(lit("embargo")))
+  }
 }

@@ -1081,6 +1081,19 @@ object PipelineQueries {
       Tables.lineitem(s, d),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  /** Embargoed time split (round 8,
+    * [[graft.operators.Splits.timeSplit]]): purged walk-forward
+    * train/test assignment over the event log — test from Jan 22, a
+    * 2-day embargo gap excluded from both sides (the temporal leakage
+    * an id-hash split can't prevent). Map-only integer-µs labels. */
+  val timeSplit: Q = (s, d) =>
+    graft.operators.Splits.timeSplit(Tables.events(s, d), "ts",
+        testStartUs = 1705881600000000L,
+        embargoUs = 2L * 86400 * 1000000)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), min("ts").as("min_ts"),
+        max("ts").as("max_ts"))
+
   /** Categorical dependence screening (round 8,
     * [[graft.operators.Features.catDependence]]): the event_type ×
     * day-of-week contingency table with per-cell chi² and MI

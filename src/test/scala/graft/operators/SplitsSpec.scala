@@ -73,4 +73,24 @@ class SplitsSpec extends SparkSpec {
       fractions).agg(sum("n_leaked")).head().getLong(0)
     assert(leakedAfter == 0, "exact dedup must zero the audit")
   }
+
+  test("embargoed time split: exact µs boundaries, gap excluded from " +
+      "both sides, zero embargo degenerates to a plain cutoff") {
+    val rows = Seq(
+      (1L, 999_999L),          // train (just under the embargo start)
+      (2L, 1_000_000L),        // embargo start, inclusive
+      (3L, 1_999_999L),        // still embargo
+      (4L, 2_000_000L),        // test start, inclusive
+      (5L, 3_000_000L))        // test
+      .toDF("id", "us")
+      .selectExpr("id", "timestamp_micros(us) AS ts")
+    val got = Splits.timeSplit(rows, "ts", testStartUs = 2_000_000L,
+        embargoUs = 1_000_000L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "train", 2L -> "embargo", 3L -> "embargo",
+      4L -> "test", 5L -> "test"))
+    val noEmbargo = Splits.timeSplit(rows, "ts", 2_000_000L, 0L)
+      .filter(col("split") === "embargo").count()
+    assert(noEmbargo === 0L)
+  }
 }
