@@ -286,6 +286,8 @@ object SparkEntry {
     "q8_market_share" -> RelationalQueries.q8MarketShare,
     "q_event_transitions" -> RelationalQueries.eventTransitions,
     "q_time_split" -> PipelineQueries.timeSplit,
+    "q_stream_temporal" ->
+      ((s, d) => streaming.StreamOps.streamTemporal(s, d)),
   )
 
   private val docChunksSql = """
@@ -2897,6 +2899,31 @@ object SparkEntry {
       SELECT 'l_discount', 'l_tax',
              (n*sp_dt - s_d*s_t) /
                (sqrt(n*ss_d - s_d*s_d) * sqrt(n*ss_t - s_t*s_t)) FROM m""",
+
+    // Streaming temporal enrichment: the oracle rebuilds the closed-form
+    // SCD2 dimension and the half-open containment join exactly.
+    "q_stream_temporal" -> """
+      WITH users AS (SELECT DISTINCT user_id FROM events),
+      dim AS (
+        SELECT user_id, 1704067200000000 AS valid_from,
+               1704067200000000 +
+                 (user_id % 3 + 1) * 86400000000 AS valid_to,
+               md5(user_id::VARCHAR || '_v1') AS payload
+        FROM users
+        UNION ALL
+        SELECT user_id,
+               1704067200000000 + (user_id % 3 + 1) * 86400000000,
+               1704067200000000 + (user_id % 3 + 1) * 86400000000 +
+                 (user_id % 5 + 2) * 86400000000,
+               md5(user_id::VARCHAR || '_v2')
+        FROM users),
+      f AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
+      SELECT f.event_id, f.user_id,
+             d.valid_from AS asof_valid_from,
+             d.payload AS asof_payload
+      FROM f LEFT JOIN dim d
+        ON f.user_id = d.user_id AND d.valid_from <= f.t
+       AND f.t < d.valid_to""",
 
     // Embargoed time split: integer-µs boundary comparisons.
     "q_time_split" -> """

@@ -565,6 +565,60 @@ object StreamOps {
     sink.current(spark).get
   }
 
+  /** Streaming temporal enrichment ([[graft.operators.TemporalJoin]]
+    * per microbatch): the replayed event stream point-in-time joined
+    * against a STATIC SCD2 dimension inside foreachBatch — the
+    * feature-store "as of event time" read in its streaming form. The
+    * sort-merge as-of plan node runs unchanged on each batch (a batch
+    * DataFrame), outputs land through the [[EosSink]] marker protocol
+    * (idempotent under replay), and the gate reads the committed
+    * union. Dimension: per-user validity intervals derived closed-form
+    * from the user id (epoch-µs boundaries at `uid%3+1` and `uid%5+2`
+    * days with md5 version payloads), so the DuckDB oracle rebuilds
+    * dimension AND join exactly. */
+  def streamTemporal(spark: SparkSession, dir: String): DataFrame = {
+    val dim = temporalDim(spark, dir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stemporal").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stemporal_ckpt").toString
+    val sink = new EosSink(out)
+    val q = replayEvents(spark, dir)
+      .select("event_id", "user_id", "ts")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val joined = graft.operators.TemporalJoin.pointInTime(
+          batch.withColumn("ts_us", unix_micros(col("ts"))),
+          dim, "user_id", "ts_us", "valid_from", "valid_to",
+          carry = Seq("payload"))
+        sink.write(joined, batchId)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    EosSink.readCommitted(spark, out)
+      .select("event_id", "user_id", "asof_valid_from", "asof_payload")
+  }
+
+  /** Closed-form SCD2 dimension for [[streamTemporal]]: per user two
+    * versions — `[start, start+(uid%3+1)d)` then
+    * `[start+(uid%3+1)d, start+(uid%3+1+uid%5+2)d)` — then deleted;
+    * boundaries in epoch µs, payload = md5(uid, version). */
+  private def temporalDim(spark: SparkSession, dir: String): DataFrame = {
+    val users = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+    val start = lit(1704067200000000L) // 2024-01-01 UTC, µs
+    val d1 = (col("user_id") % 3 + 1) * 86400000000L
+    val d2 = (col("user_id") % 5 + 2) * 86400000000L
+    val v1 = users.select(col("user_id"),
+      start.as("valid_from"), (start + d1).as("valid_to"),
+      md5(concat(col("user_id").cast("string"), lit("_v1"))).as("payload"))
+    val v2 = users.select(col("user_id"),
+      (start + d1).as("valid_from"), (start + d1 + d2).as("valid_to"),
+      md5(concat(col("user_id").cast("string"), lit("_v2"))).as("payload"))
+    v1.unionByName(v2)
+  }
+
   /** Every streaming replay as (name, plan, mode) — one list for tools
     * (state profiling) so they drive exactly the driver queries' plans. */
   def replayPlans(spark: SparkSession, dir: String)
