@@ -1039,6 +1039,16 @@ object ScaleBench {
     val tq8N = time(s"q8_join_tree ${factor}x")(noop(q8Of(liG)))
     results += (("q8_join_tree", tq81, tq8N))
 
+    // rolling z-score: users ×N at fixed per-user lists (frame window)
+    def rzOf(e: DataFrame) = graft.operators.TimeSeries.rollingZscore(
+        e.select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value")
+      .groupBy().agg(count(lit(1)).as("n"),
+        sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("flags"))
+    val trz1 = time("rolling_zscore 1x")(noop(rzOf(ev1)))
+    val trzN = time(s"rolling_zscore ${factor}x")(noop(rzOf(evU)))
+    results += (("rolling_zscore", trz1, trzN))
+
     // transitions: users ×N at fixed per-user lists (lead window)
     def trOf(e: DataFrame) = {
       val w = org.apache.spark.sql.expressions.Window

@@ -288,6 +288,7 @@ object SparkEntry {
     "q_time_split" -> PipelineQueries.timeSplit,
     "q_stream_temporal" ->
       ((s, d) => streaming.StreamOps.streamTemporal(s, d)),
+    "q_rolling_zscore" -> PipelineQueries.rollingZscore,
   )
 
   private val docChunksSql = """
@@ -2924,6 +2925,34 @@ object SparkEntry {
       FROM f LEFT JOIN dim d
         ON f.user_id = d.user_id AND d.valid_from <= f.t
        AND f.t < d.valid_to""",
+
+    // Rolling z-score: decimal-exact frame moments (identical on both
+    // engines), then one fixed IEEE sequence — raw z hashes; the
+    // variance guard runs BEFORE the sqrt on both sides.
+    "q_rolling_zscore" -> """
+      WITH t AS (
+        SELECT event_id, user_id, value,
+               count(*) OVER w AS n_frame,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                 AS DOUBLE) AS sx,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) *
+                 CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) OVER w
+                 AS DOUBLE) AS sxx
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      s AS (
+        SELECT event_id, user_id, n_frame,
+               CASE WHEN n_frame >= 5 AND
+                 ((sxx - sx * sx / n_frame::DOUBLE) / n_frame::DOUBLE) > 0
+                 THEN (value - sx / n_frame::DOUBLE) /
+                   sqrt((sxx - sx * sx / n_frame::DOUBLE)
+                     / n_frame::DOUBLE)
+               END AS z
+        FROM t)
+      SELECT event_id, user_id, n_frame, z,
+             coalesce(abs(z) > 3.0, false) AS is_anomaly
+      FROM s""",
 
     // Embargoed time split: integer-µs boundary comparisons.
     "q_time_split" -> """

@@ -146,4 +146,47 @@ object TimeSeries {
         count(lit(1)).as("n"))
       .withColumn("slot_start", timestamp_micros(col("slot") * us))
   }
+
+  /** Rolling z-score anomaly flags: each observation scored against the
+    * mean/std of its own key's TRAILING window (current row excluded —
+    * an anomaly must not dilute its own baseline), the standard online
+    * outlier monitor for metric streams. Exactness contract: the frame
+    * sums Σx and Σx² run in DECIMAL (2-dp values square to exact 4-dp)
+    * so they are frame-content-exact on any engine; μ, σ, z are then a
+    * fixed IEEE sequence over those exact doubles (sqrt correctly
+    * rounded) — RAW z-scores hash. Frames with fewer than `minObs`
+    * observations or zero variance score null (a constant baseline has
+    * no z). One window pass per key; frame state is `window` rows.
+    *
+    * @return input + (n_frame, z, is_anomaly) */
+  def rollingZscore(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, window: Int = 20,
+      minObs: Int = 5, k: Double = 3.0): DataFrame = {
+    require(window >= 2 && minObs >= 2 && minObs <= window,
+      s"need 2 <= minObs <= window, got minObs=$minObs window=$window")
+    val money = graft.queries.Exact.Money
+    val sq = org.apache.spark.sql.types.DecimalType(38, 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-window.toLong, -1)
+    val sx = sum(col(valueCol).cast(money)).over(w).cast("double")
+    val sxx = sum((col(valueCol).cast(money) * col(valueCol).cast(money))
+      .cast(sq)).over(w).cast("double")
+    val nf = count(lit(1)).over(w).cast("double")
+    val mu = sx / nf
+    // guard BEFORE the sqrt: an exactly-zero variance can land a hair
+    // negative after the sx·sx double rounding, and engines disagree on
+    // sqrt(negative) (NaN vs error)
+    val varr = (sxx - sx * sx / nf) / nf
+    val z = (col(valueCol) - mu) / sqrt(varr)
+    df.withColumn("n_frame", count(lit(1)).over(w))
+      .withColumn("z",
+        when(nf >= minObs && varr > 0, z).otherwise(lit(null)))
+      // non-null flag: unscored rows are "not flagged", and a nullable
+      // boolean stringifies differently per engine in the driver's
+      // canonicalizer (None vs nan)
+      .withColumn("is_anomaly",
+        coalesce(when(col("z").isNotNull, abs(col("z")) > k),
+          lit(false)))
+  }
 }

@@ -1081,6 +1081,17 @@ object PipelineQueries {
       Tables.lineitem(s, d),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  /** Rolling z-score anomalies (round 8,
+    * [[graft.operators.TimeSeries.rollingZscore]]): each event's value
+    * scored against its user's trailing-20 baseline (current row
+    * excluded); decimal-exact frame moments, raw IEEE z-scores. */
+  val rollingZscore: Q = (s, d) =>
+    graft.operators.TimeSeries.rollingZscore(
+        Tables.events(s, d)
+          .select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value")
+      .select("event_id", "user_id", "n_frame", "z", "is_anomaly")
+
   /** Embargoed time split (round 8,
     * [[graft.operators.Splits.timeSplit]]): purged walk-forward
     * train/test assignment over the event log — test from Jan 22, a

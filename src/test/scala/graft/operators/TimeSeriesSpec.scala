@@ -101,4 +101,31 @@ class TimeSeriesSpec extends SparkSpec {
       assert(n == 1, s"expected exactly one exchange, got $n")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("rolling z-score: trailing frame excludes current row, minObs " +
+      "gates, constant baseline scores null") {
+    import spark.implicits._
+    // key A: 1..5 then a spike; key B: constant baseline then a spike
+    val rows = ((1 to 5).map(i => ("A", i.toLong, i.toLong, i.toDouble)) :+
+      (("A", 6L, 6L, 100.0))) ++
+      ((1 to 5).map(i => ("B", i.toLong, 100L + i, 7.0)) :+
+        (("B", 6L, 106L, 50.0)))
+    val df = rows.toDF("k", "min", "id", "v")
+      .selectExpr("k", "timestamp_millis(min * 60000) AS ts", "id", "v")
+    val got = TimeSeries.rollingZscore(df, "k", "ts", "id", "v",
+        window = 5, minObs = 5, k = 3.0)
+      .select("k", "id", "n_frame", "z", "is_anomaly")
+      .as[(String, Long, Long, Option[Double], Boolean)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // A's first five rows: frames of 0..4 rows -> below minObs, null z
+    for (i <- 1L to 5L) assert(got(("A", i))._2.isEmpty)
+    // A's spike: frame = {1..5}, mu 3, var 2 -> z = (100-3)/sqrt(2)
+    val (nf, z, flag) = got(("A", 6L))
+    assert(nf === 5L)
+    assert(math.abs(z.get - (100.0 - 3.0) / math.sqrt(2.0)) < 1e-12)
+    assert(flag)
+    // B's spike: constant frame -> zero variance -> null z, not flagged
+    val (nfB, zB, flagB) = got(("B", 106L))
+    assert(nfB === 5L && zB.isEmpty && !flagB)
+  }
 }
