@@ -289,6 +289,7 @@ object SparkEntry {
     "q_stream_temporal" ->
       ((s, d) => streaming.StreamOps.streamTemporal(s, d)),
     "q_rolling_zscore" -> PipelineQueries.rollingZscore,
+    "q_copurchase_lift" -> RelationalQueries.copurchaseLift,
   )
 
   private val docChunksSql = """
@@ -2925,6 +2926,28 @@ object SparkEntry {
       FROM f LEFT JOIN dim d
         ON f.user_id = d.user_id AND d.valid_from <= f.t
        AND f.t < d.valid_to""",
+
+    // Co-purchase lift: exact counts, one fixed IEEE ratio; the top-100
+    // cut is a total order (support desc, keys).
+    "q_copurchase_lift" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      p AS (
+        SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+               count(*) AS n_ab
+        FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+          AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2),
+      i AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1),
+      o AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li)
+      SELECT p.part_a, p.part_b, p.n_ab,
+             ia.n_item AS n_a, ib.n_item AS n_b,
+             (p.n_ab::DOUBLE * o.n_orders) /
+               (ia.n_item::DOUBLE * ib.n_item) AS lift
+      FROM p
+      JOIN i ia ON p.part_a = ia.l_partkey
+      JOIN i ib ON p.part_b = ib.l_partkey
+      CROSS JOIN o
+      ORDER BY n_ab DESC, part_a, part_b LIMIT 100""",
 
     // Rolling z-score: decimal-exact frame moments (identical on both
     // engines), then one fixed IEEE sequence — raw z hashes; the

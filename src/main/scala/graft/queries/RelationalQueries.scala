@@ -804,6 +804,37 @@ object RelationalQueries {
         (col("n").cast("double") / col("row_total")).as("p"))
   }
 
+  /** Market-basket co-purchase lift (round 8): part pairs appearing in
+    * the same order, with support and lift — the association-rule
+    * screen (`lift = P(ab)/(P(a)P(b))`, >1 = genuinely associated).
+    * Within-order pair fan-out is bounded by basket size (the triangle
+    * argument); counts exact, lift one fixed IEEE expression over
+    * exact integers; deterministic (support desc, keys) top-100 cut. */
+  val copurchaseLift: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val pairs = li.alias("x").join(li.alias("y"), Seq("l_orderkey"))
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("part_a"),
+        col("y.l_partkey").as("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+    val itemN = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_item"))
+    val orders = li.agg(countDistinct("l_orderkey").as("n_orders"))
+    pairs
+      .join(broadcast(itemN.select(col("l_partkey").as("part_a"),
+        col("n_item").as("n_a"))), Seq("part_a"))
+      .join(broadcast(itemN.select(col("l_partkey").as("part_b"),
+        col("n_item").as("n_b"))), Seq("part_b"))
+      .crossJoin(broadcast(orders))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") * col("n_orders") /
+          (col("n_a").cast("double") * col("n_b"))).as("lift"))
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
   /** Join-cardinality estimation (round 8, sketch tier,
     * [[graft.functions.CmsInnerProduct]]): |orders ⋈ customer| estimated
     * from two key sketches via the count-min inner product — the
