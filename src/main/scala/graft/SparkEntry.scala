@@ -290,6 +290,7 @@ object SparkEntry {
       ((s, d) => streaming.StreamOps.streamTemporal(s, d)),
     "q_rolling_zscore" -> PipelineQueries.rollingZscore,
     "q_copurchase_lift" -> RelationalQueries.copurchaseLift,
+    "q_autocorr" -> PipelineQueries.autocorr,
   )
 
   private val docChunksSql = """
@@ -2926,6 +2927,35 @@ object SparkEntry {
       FROM f LEFT JOIN dim d
         ON f.user_id = d.user_id AND d.valid_from <= f.t
        AND f.t < d.valid_to""",
+
+    // Lag-1 autocorrelation: integer-cent moments per user (HUGEINT
+    // sums land the identical integers), fixed IEEE closed form.
+    "q_autocorr" -> """
+      WITH l AS (
+        SELECT user_id, value,
+               lag(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_value
+        FROM events),
+      c AS (
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+               CAST(floor(prev_value * 100 + 0.5) AS BIGINT) AS y
+        FROM l WHERE prev_value IS NOT NULL),
+      m AS (
+        SELECT user_id, count(*)::BIGINT AS n_pairs,
+               sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+               sum(x*x)::DOUBLE AS sxx, sum(y*y)::DOUBLE AS syy,
+               sum(x*y)::DOUBLE AS sxy,
+               count(*)::DOUBLE AS n
+        FROM c GROUP BY 1)
+      SELECT user_id, n_pairs,
+             CASE WHEN n_pairs >= 2
+                    AND (n * sxx - sx * sx) > 0
+                    AND (n * syy - sy * sy) > 0
+               THEN (n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             END AS corr
+      FROM m""",
 
     // Co-purchase lift: exact counts, one fixed IEEE ratio; the top-100
     // cut is a total order (support desc, keys).

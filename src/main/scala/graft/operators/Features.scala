@@ -125,6 +125,57 @@ object Features {
       .select(col("__r.col_a"), col("__r.col_b"), col("__r.corr"))
   }
 
+  /** Per-GROUP Pearson correlation between two 2-dp columns — the
+    * grouped form of [[corrMatrix]] (per-entity signal screening;
+    * autocorrelation when `yCol` is a lagged copy of `xCol`). Same
+    * exactness machinery: integer cents, 32-bit hi/lo product sums in
+    * pure long math, one reassembly per GROUP (not per row), fixed
+    * IEEE closed form over exact doubles → raw correlations hash.
+    * Same guards, per group: > 2³¹ rows or null values raise in-plan.
+    * Groups with < 2 pairs or zero variance on either side emit null.
+    * One partial-aggregating shuffle; group state is 9 longs. */
+  def groupedCorr(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "group columns required")
+    val B = 4294967296L
+    val prep = df.select(groupCols.map(col) ++ Seq(
+      floor(col(xCol) * 100 + lit(0.5)).cast("long").as("__x"),
+      floor(col(yCol) * 100 + lit(0.5)).cast("long").as("__y")): _*)
+    def hi(p: Column) = shiftright(p, 32)
+    def lo(p: Column) = p.bitwiseAND(lit(0xffffffffL))
+    def hl(p: Column, tag: String) =
+      Seq(sum(hi(p)).as(s"__hi_$tag"), sum(lo(p)).as(s"__lo_$tag"))
+    val aggs = Seq(count(lit(1)).as("__n"),
+      count(col("__x")).as("__nx"), count(col("__y")).as("__ny"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy")) ++
+      hl(col("__x") * col("__x"), "xx") ++
+      hl(col("__y") * col("__y"), "yy") ++
+      hl(col("__x") * col("__y"), "xy")
+    val m = prep.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__n",
+        when(col("__n") > (1L << 31), raise_error(lit(
+          "groupedCorr: > 2^31 rows in one group — shard and merge the " +
+            "hi/lo moment sums")))
+          .when(col("__nx") =!= col("__n") || col("__ny") =!= col("__n"),
+            raise_error(lit(
+              "groupedCorr: null values present — filter or impute " +
+                "first")))
+          .otherwise(col("__n")))
+    def moment(tag: String): Column =
+      (col(s"__hi_$tag").cast(DecimalWide) * B +
+        col(s"__lo_$tag").cast(DecimalWide)).cast("double")
+    val n = col("__n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val num = n * moment("xy") - sx * sy
+    val dx = n * moment("xx") - sx * sx
+    val dy = n * moment("yy") - sy * sy
+    m.select(groupCols.map(col) :+ col("__n").as("n_pairs") :+
+      when(col("__n") >= 2 && dx > 0 && dy > 0,
+        num / (sqrt(dx) * sqrt(dy))).as("corr"): _*)
+  }
+
   /** Categorical dependence screening between two discrete columns —
     * the contingency table with each cell's chi-square and mutual-
     * information contribution: the categorical complement of

@@ -1081,6 +1081,22 @@ object PipelineQueries {
       Tables.lineitem(s, d),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  /** Lag-1 autocorrelation per user (round 8,
+    * [[graft.operators.Features.groupedCorr]]): each user's event
+    * values against their immediate predecessor — the periodicity/
+    * stickiness screen; raw per-group Pearson over exact cent
+    * moments. */
+  val autocorr: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val lagged = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .filter(col("prev_value").isNotNull)
+    graft.operators.Features.groupedCorr(lagged, Seq("user_id"),
+      "value", "prev_value")
+  }
+
   /** Rolling z-score anomalies (round 8,
     * [[graft.operators.TimeSeries.rollingZscore]]): each event's value
     * scored against its user's trailing-20 baseline (current row

@@ -86,6 +86,34 @@ class FeaturesSpec extends SparkSpec {
     assert(cells.exists(_.isNullAt(0)))
   }
 
+  test("grouped correlation: per-group reference values, degenerate " +
+      "groups null, groups independent") {
+    val df = (
+      (1 to 10).map(i => ("up", i.toDouble, 3.0 * i + 1)) ++
+      (1 to 10).map(i => ("down", i.toDouble, -2.0 * i)) ++
+      (1 to 10).map(i => ("flat", i.toDouble, 5.0)) ++   // zero variance
+      Seq(("tiny", 1.0, 2.0))                            // single pair
+    ).toDF("g", "x", "y")
+    val got = Features.groupedCorr(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got("up")._1 === 10L)
+    assert(math.abs(got("up")._2.get - 1.0) < 1e-14)
+    assert(math.abs(got("down")._2.get + 1.0) < 1e-14)
+    assert(got("flat")._2.isEmpty)  // zero y-variance
+    assert(got("tiny")._2.isEmpty)  // < 2 pairs
+  }
+
+  test("grouped correlation rejects nulls loudly") {
+    val df = Seq(("g", Some(1.0), Some(2.0)), ("g", Some(3.0), None))
+      .toDF("g", "x", "y")
+    val ex = intercept[Exception] {
+      Features.groupedCorr(df, Seq("g"), "x", "y").collect()
+    }
+    assert(ex.getMessage.contains("null values"))
+  }
+
   test("correlation matrix rejects null values loudly") {
     val df = Seq((Some(1.0), Some(2.0)), (Some(3.0), None))
       .toDF("x", "y")
