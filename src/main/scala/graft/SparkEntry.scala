@@ -291,6 +291,7 @@ object SparkEntry {
     "q_rolling_zscore" -> PipelineQueries.rollingZscore,
     "q_copurchase_lift" -> RelationalQueries.copurchaseLift,
     "q_autocorr" -> PipelineQueries.autocorr,
+    "q_fightin_words" -> PipelineQueries.fightinWords,
   )
 
   private val docChunksSql = """
@@ -2927,6 +2928,37 @@ object SparkEntry {
       FROM f LEFT JOIN dim d
         ON f.user_id = d.user_id AND d.valid_from <= f.t
        AND f.t < d.valid_to""",
+
+    // Fightin' Words: exact slice counts; the delta/z op sequence is
+    // mirrored term for term, rounded 6dp (transcendental).
+    "q_fightin_words" -> """
+      WITH toks AS (
+        SELECT lang AS s,
+               unnest(list_filter(
+                 regexp_split_to_array(lower(text), '\s+'),
+                 t -> t <> '')) AS w
+        FROM documents WHERE lang IN ('en', 'de')),
+      c AS (
+        SELECT w AS term,
+               count(*) FILTER (WHERE s = 'en')::BIGINT AS y_a,
+               count(*) FILTER (WHERE s = 'de')::BIGINT AS y_b
+        FROM toks GROUP BY 1),
+      t AS (
+        SELECT sum(y_a)::DOUBLE AS na, sum(y_b)::DOUBLE AS nb FROM c),
+      e AS (
+        SELECT term, y_a, y_b, na, nb,
+               100.0 * ((y_a + y_b)::DOUBLE / (na + nb)) AS aw
+        FROM c CROSS JOIN t
+        WHERE y_a + y_b >= 5),
+      f AS (
+        SELECT term, y_a, y_b,
+               ln((y_a + aw) / (na + 100.0 - y_a - aw)) -
+                 ln((y_b + aw) / (nb + 100.0 - y_b - aw)) AS delta,
+               1.0 / (y_a + aw) + 1.0 / (y_b + aw) AS variance
+        FROM e)
+      SELECT term, y_a, y_b, round(delta, 6) AS delta,
+             round(delta / sqrt(variance), 6) AS z
+      FROM f""",
 
     // Lag-1 autocorrelation: integer-cent moments per user (HUGEINT
     // sums land the identical integers), fixed IEEE closed form.

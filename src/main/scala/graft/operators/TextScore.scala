@@ -209,4 +209,46 @@ object TextScore {
           / (col("c_prev").cast("double") * col("c_cur").cast("double"))), 6)
           .as("pmi"))
   }
+
+  /** Corpus-comparison term scoring — "Fightin' Words" (Monroe, Colaresi
+    * & Quinn 2008): per-term log-odds DELTA between two corpus slices
+    * under an informative Dirichlet prior drawn from the pooled corpus
+    * (`α_w = α0·p_w`), z-scored by the estimate's variance
+    * (`1/(y_a+α_w) + 1/(y_b+α_w)`) — the statistically-honest "which
+    * terms distinguish slice A from slice B" (raw log-odds overweight
+    * rare terms; the prior shrinks them). The term-drift complement of
+    * the distributional [[Drift.psi]].
+    *
+    * Scale: one (slice, term) count shuffle; per-term math is map-only
+    * over the |vocab|-row table with 1-row totals broadcast. Counts
+    * exact; δ and z involve ln/sqrt → rounded 6dp (transcendental,
+    * boundary-free). Returns one row per term with count ≥ `minCount`
+    * in the pooled slices: (term, y_a, y_b, delta, z). */
+  def logOddsDirichlet(df: DataFrame, textCol: String, sliceCol: String,
+      sliceA: String, sliceB: String, alpha0: Double = 100.0,
+      minCount: Long = 5): DataFrame = {
+    require(alpha0 > 0, "alpha0 must be positive")
+    val tk = filter(Tokenize.tokenCol(textCol), t => t =!= "")
+    val toks = df
+      .filter(col(sliceCol).isin(sliceA, sliceB))
+      .select(col(sliceCol).as("__s"), explode(tk).as("__w"))
+    val counts = toks.groupBy("__w").agg(
+      sum(when(col("__s") === sliceA, 1L).otherwise(0L)).as("y_a"),
+      sum(when(col("__s") === sliceB, 1L).otherwise(0L)).as("y_b"))
+    val totals = counts.agg(sum("y_a").as("__na"), sum("y_b").as("__nb"))
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val aw = lit(alpha0) *
+      ((col("y_a") + col("y_b")).cast("double") / (na + nb))
+    val delta =
+      log((col("y_a") + aw) / (na + alpha0 - col("y_a") - aw)) -
+        log((col("y_b") + aw) / (nb + alpha0 - col("y_b") - aw))
+    val variance =
+      lit(1.0) / (col("y_a") + aw) + lit(1.0) / (col("y_b") + aw)
+    counts.filter(col("y_a") + col("y_b") >= minCount)
+      .crossJoin(broadcast(totals))
+      .select(col("__w").as("term"), col("y_a"), col("y_b"),
+        round(delta, 6).as("delta"),
+        round(delta / sqrt(variance), 6).as("z"))
+  }
 }

@@ -1081,6 +1081,16 @@ object PipelineQueries {
       Tables.lineitem(s, d),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  /** Fightin' Words corpus comparison (round 8,
+    * [[graft.operators.TextScore.logOddsDirichlet]]): which terms
+    * distinguish the en slice from the de slice, as log-odds deltas
+    * under an informative Dirichlet prior with z-scores — the
+    * statistically-shrunk term-drift screen. Exact counts; δ and z
+    * round 6dp (ln/sqrt). */
+  val fightinWords: Q = (s, d) =>
+    graft.operators.TextScore.logOddsDirichlet(
+      Tables.documents(s, d), "text", "lang", "en", "de")
+
   /** Lag-1 autocorrelation per user (round 8,
     * [[graft.operators.Features.groupedCorr]]): each user's event
     * values against their immediate predecessor — the periodicity/
