@@ -292,6 +292,8 @@ object SparkEntry {
     "q_copurchase_lift" -> RelationalQueries.copurchaseLift,
     "q_autocorr" -> PipelineQueries.autocorr,
     "q_fightin_words" -> PipelineQueries.fightinWords,
+    "q_stream_distinct" ->
+      ((s, d) => streaming.StreamOps.streamDistinct(s, d)),
   )
 
   private val docChunksSql = """
@@ -2928,6 +2930,13 @@ object SparkEntry {
       FROM f LEFT JOIN dim d
         ON f.user_id = d.user_id AND d.valid_from <= f.t
        AND f.t < d.valid_to""",
+
+    // Streaming distinct: KMV in its exact sub-k regime (k=256 > 150
+    // users) riding windowed streaming state = the batch DISTINCT.
+    "q_stream_distinct" -> """
+      SELECT date_trunc('day', ts) AS wstart,
+             count(DISTINCT user_id)::BIGINT AS n_distinct
+      FROM events GROUP BY 1""",
 
     // Fightin' Words: exact slice counts; the delta/z op sequence is
     // mirrored term for term, rounded 6dp (transcendental).

@@ -157,6 +157,28 @@ object StreamOps {
   def heavyHittersAgg(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, heavyHittersPlan(spark, dir), OutputMode.Complete())
 
+  /** Windowed distinct users via the KMV sketch riding streaming state
+    * (the q_stream_quantiles / heavy-hitters argument, completing the
+    * sketch×streaming matrix: quantiles, frequent items, now DISTINCT):
+    * per-day unique users with watermark eviction. k=256 exceeds the
+    * 150-user universe, so the sketch is in its exact sub-k regime —
+    * the estimate IS count(DISTINCT) and the gate hashes against the
+    * batch twin (the q_kmv_exact recipe, streamed). */
+  def streamDistinctPlan(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    replayEvents(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.GraftFunctions
+        .kmvDistinct(col("user_id").cast("string"), 256).as("nd"))
+      .select(col("window.start").as("wstart"),
+        col("nd").cast("long").as("n_distinct"))
+  }
+
+  def streamDistinct(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, streamDistinctPlan(spark, dir),
+      OutputMode.Complete())
+
   /** Sliding 1 h window, 30 min hop (E29). */
   def slidingPlan(spark: SparkSession, dir: String): DataFrame =
     replayEvents(spark, dir)

@@ -72,4 +72,24 @@ class TextScoreSpec extends SparkSpec {
     // repetitive text scores lower than diverse text
     assert(got(2L)._4 < got(1L)._4 && got(1L)._4 < got(3L)._4)
   }
+
+  test("fightin' words: sign tracks the favored slice, the Dirichlet " +
+      "prior shrinks rare terms harder than common ones") {
+    import spark.implicits._
+    // slice A says "aa" a lot and "rare" once; B says "bb" a lot
+    val docs = Seq(
+      ("A", ("aa " * 30) + ("cc " * 30) + "rare"),
+      ("B", ("bb " * 30) + ("cc " * 30) + "x")
+    ).toDF("slice", "text")
+    val got = TextScore.logOddsDirichlet(docs, "text", "slice",
+        "A", "B", alpha0 = 10.0, minCount = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got("aa")._3 > 0, "A-heavy term must score positive")
+    assert(got("bb")._3 < 0, "B-heavy term must score negative")
+    assert(math.abs(got("cc")._3) < 0.5, "balanced term near zero")
+    // "rare" is 1-0 toward A but the prior shrinks it far below the
+    // 30-0 "aa" — the shrinkage that raw log-odds ratios get wrong
+    assert(got("rare")._3 > 0 && got("rare")._3 < got("aa")._3 / 2)
+  }
 }
