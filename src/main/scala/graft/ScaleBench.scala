@@ -1061,6 +1061,42 @@ object ScaleBench {
     val ttrNx = time(s"event_transitions ${factor}x")(noop(trOf(evU)))
     results += (("event_transitions", ttr1x, ttrNx))
 
+    // autocorrelation: users ×N at fixed per-user lists
+    def acOf(e: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val lagged = e.select("user_id", "ts", "event_id", "value")
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .filter(col("prev_value").isNotNull)
+      graft.operators.Features.groupedCorr(lagged, Seq("user_id"),
+        "value", "prev_value")
+    }
+    val tac1 = time("autocorr 1x")(noop(acOf(ev1)))
+    val tacN = time(s"autocorr ${factor}x")(noop(acOf(evU)))
+    results += (("autocorr", tac1, tacN))
+
+    // fightin' words: corpus ×N into a FIXED vocabulary — one token
+    // count shuffle, map-only per-term math
+    def fwOf(d: DataFrame) = graft.operators.TextScore.logOddsDirichlet(
+      d, "text", "lang", "en", "de")
+    val tfw1 = time("fightin_words 1x")(noop(fwOf(docs1)))
+    val tfwN = time(s"fightin_words ${factor}x")(noop(fwOf(docsN)))
+    results += (("fightin_words", tfw1, tfwN))
+
+    // co-purchase lift: orders ×N at fixed basket sizes — pair fan-out
+    // and counts both grow ×N
+    def clOf(li: DataFrame) = {
+      val d2 = li.select("l_orderkey", "l_partkey").distinct()
+      d2.alias("x").join(d2.alias("y"), Seq("l_orderkey"))
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey"), col("y.l_partkey"))
+        .agg(count(lit(1)).as("n_ab"))
+        .groupBy().agg(count(lit(1)).as("pairs"), sum("n_ab"))
+    }
+    val tcl1 = time("copurchase 1x")(noop(clOf(li1)))
+    val tclN = time(s"copurchase ${factor}x")(noop(clOf(liG)))
+    results += (("copurchase", tcl1, tclN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")
