@@ -110,15 +110,25 @@ object Bench {
       () => { graft.sources.Layout.clusteredEventsDir(spark, sfDir); () })
 
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      // streaming replays are the box's noisiest block (r8: identical
+      // code measured 0.8 s and 4.5 s across two runs — scheduler
+      // contention, not compute), which masks real regressions smaller
+      // than ~4×. Run those twice and report the min: the best-of-two
+      // is the query's actual cost, and the variance collapses to the
+      // contention floor.
+      val reps = if (name.startsWith("q_stream_")) 2 else 1
       if (prebuildFailed(name)) {
         System.err.println(s"[bench] $name skipped: its layout prebuild failed")
         name -> -1.0
       } else try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // operators cache signatures/centroids
-        name -> elapsed
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache() // operators cache signatures/centroids
+          elapsed
+        }
+        name -> times.min
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         name -> -1.0 // failures must be visible, not a fast fake number

@@ -1097,6 +1097,68 @@ object ScaleBench {
     val tclN = time(s"copurchase ${factor}x")(noop(clOf(liG)))
     results += (("copurchase", tcl1, tclN))
 
+    // ---- round-9 operators ----
+    // incremental-join refresh: view ×N, delta FIXED (1x-range ids only)
+    // — after the touched-rows rewrite the refresh is one map-only
+    // anti/semi pass over the view plus a Δ-sized fold, so its ratio
+    // must track the PLAIN VIEW SCAN's ratio (the unavoidable read),
+    // never a view-wide shuffle. incr_join_scan is that baseline.
+    val cust1 = graft.sources.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment")
+    def viewOf(o: DataFrame) = o
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(cust1, col("o_custkey") === col("c_custkey"))
+      .drop("c_custkey")
+    def refreshOf(v: DataFrame) = {
+      val delta = v.filter(col("o_orderkey") < 10000000L &&
+        col("o_orderkey") % 1000 === 7).withColumn("op", lit(-1))
+      graft.operators.IncrementalJoin.applyDelta(v, delta)
+        .groupBy().agg(count(lit(1)).as("n"))
+    }
+    val view1x = viewOf(ord1)
+    val viewNx = viewOf(ordN)
+    val tijr1 = time("incr_join_refresh 1x")(noop(refreshOf(view1x)))
+    val tijrN = time(s"incr_join_refresh ${factor}x")(noop(refreshOf(viewNx)))
+    results += (("incr_join_refresh", tijr1, tijrN))
+    val tis1 = time("incr_join_scan 1x")(noop(
+      view1x.groupBy().agg(count(lit(1)).as("n"))))
+    val tisN = time(s"incr_join_scan ${factor}x")(noop(
+      viewNx.groupBy().agg(count(lit(1)).as("n"))))
+    results += (("incr_join_scan", tis1, tisN))
+
+    // DOULION sampled triangles at p=0.1: same disjoint-copy graph as
+    // the exact row — edge survival p thins wedges ~p², so the sampled
+    // tier must stay comfortably linear with a far smaller constant
+    // (est error O(1/√(p³Δ)), the documented totals-tier bound)
+    val tda1 = time("triangles_doulion 1x")(noop(graft.operators.Graph
+      .triangleCountsApprox(triEdges(li1), "src", "dst", 0.1)))
+    val tdaN = time(s"triangles_doulion ${factor}x")(noop(
+      graft.operators.Graph
+        .triangleCountsApprox(triEdges(liT), "src", "dst", 0.1)))
+    results += (("triangles_doulion", tda1, tdaN))
+
+    // co-purchase with the Apriori support pre-prune, support floor
+    // scale-proportional (orderkey replication inflates every part's
+    // support ×N, so the honest floor is 2·N): the pair space prunes
+    // BEFORE the self-join and the ratio must drop well under the
+    // unpruned row's
+    def clpOf(li: DataFrame, minSup: Long) = {
+      val d2 = li.select("l_orderkey", "l_partkey").distinct()
+      val itemN = d2.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+      val freq = d2.join(broadcast(itemN
+          .filter(col("n_item") >= minSup).select("l_partkey")),
+        Seq("l_partkey"), "left_semi")
+      freq.alias("x").join(freq.alias("y"), Seq("l_orderkey"))
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey"), col("y.l_partkey"))
+        .agg(count(lit(1)).as("n_ab"))
+        .groupBy().agg(count(lit(1)).as("pairs"), sum("n_ab"))
+    }
+    val tcp1 = time("copurchase_pruned 1x")(noop(clpOf(li1, 2L)))
+    val tcpN = time(s"copurchase_pruned ${factor}x")(
+      noop(clpOf(liG, 2L * factor)))
+    results += (("copurchase_pruned", tcp1, tcpN))
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

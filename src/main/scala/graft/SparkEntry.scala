@@ -294,6 +294,11 @@ object SparkEntry {
     "q_fightin_words" -> PipelineQueries.fightinWords,
     "q_stream_distinct" ->
       ((s, d) => streaming.StreamOps.streamDistinct(s, d)),
+    // round 9: the three classic decorrelation shapes (correlated
+    // scalar min, EXISTS semi, nested IN chain with scalar threshold)
+    "q2_min_cost" -> RelationalQueries.q2MinCost,
+    "q4_priority_exists" -> RelationalQueries.q4PriorityExists,
+    "q20_semi_chain" -> RelationalQueries.q20SemiChain,
   )
 
   private val docChunksSql = """
@@ -3303,16 +3308,21 @@ object SparkEntry {
                  list(g::DOUBLE / log2(rank + 1.0) ORDER BY rank)),
                  (a, b) -> a + b) AS dcg
         FROM hits GROUP BY lang)
-      SELECT a.lang, n.n_rel, a.rel_ret,
-             a.rel_ret / 10.0 AS precision_at_k,
+      SELECT qy.lang,
+             coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+             coalesce(a.rel_ret, 0)::BIGINT AS rel_ret,
+             coalesce(a.rel_ret, 0) / 10.0 AS precision_at_k,
              CASE WHEN n.n_rel > 0
-               THEN a.rel_ret::DOUBLE / n.n_rel END AS recall_at_k,
+               THEN coalesce(a.rel_ret, 0)::DOUBLE / n.n_rel
+             END AS recall_at_k,
              coalesce(1.0 / a.first_rel, 0.0) AS mrr_at_k,
              CASE WHEN n.n_rel > 0
-               THEN round(a.dcg / i.idcg, 6) END AS ndcg_at_k
-      FROM agg a
-      JOIN nrel n USING (lang)
-      JOIN idcg i USING (lang)""",
+               THEN round(coalesce(a.dcg, 0.0) / i.idcg, 6)
+             END AS ndcg_at_k
+      FROM (SELECT DISTINCT lang FROM run) qy
+      LEFT JOIN agg a USING (lang)
+      LEFT JOIN nrel n USING (lang)
+      LEFT JOIN idcg i USING (lang)""",
 
     // k-core planted fixture: the 2-core is closed-form (clique keeps
     // degree 5 after the pendant drops; the 4-cycle sits exactly at the
@@ -3613,5 +3623,46 @@ object SparkEntry {
       SELECT l_suppkey, count(*) AS n, sum(roll_med) AS sum_med,
              max(roll_med) AS max_med
       FROM r GROUP BY 1""",
+
+    // Q2 shape: correlated scalar min (DuckDB executes it as written;
+    // Spark decorrelates to an aggregate+join — identical rows). The
+    // ORDER covers every output column, so the LIMIT cut is a total
+    // order even among min-price ties.
+    "q2_min_cost" -> """
+      SELECT s.s_name, s.s_acctbal, n.n_name, p.p_partkey, p.p_name,
+             l.l_extendedprice AS best_price
+      FROM part p, lineitem l, supplier s, nation n, region r
+      WHERE p.p_partkey = l.l_partkey AND l.l_suppkey = s.s_suppkey
+        AND s.s_nationkey = n.n_nationkey
+        AND n.n_regionkey = r.r_regionkey
+        AND r.r_name = 'EUROPE' AND p.p_size <= 15
+        AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                 FROM lineitem l2
+                                 WHERE l2.l_partkey = p.p_partkey)
+      ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey,
+               p.p_name, l.l_extendedprice
+      LIMIT 100""",
+
+    "q4_priority_exists" -> """
+      SELECT o_orderpriority, count(*)::BIGINT AS order_count
+      FROM orders o
+      WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_returnflag = 'R')
+      GROUP BY o_orderpriority""",
+
+    "q20_semi_chain" -> """
+      WITH sq AS (
+        SELECT l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name, n.n_name
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE s.s_suppkey IN (SELECT l_suppkey FROM sq
+                            WHERE qty > (SELECT avg(qty) * 1.1 FROM sq))
+      ORDER BY s.s_suppkey""",
   )
 }

@@ -75,14 +75,17 @@ object Features {
     * bit-identical in any engine replaying the same ops (DuckDB sums
     * the raw products in HUGEINT and lands the identical integers).
     *
-    * Bounds, guarded in-plan: Σlo < n·2³², so one call handles
-    * n ≤ 2³¹ rows (≈2.1e9) and |cents| ≤ ~3e9 per value — beyond that,
-    * shard the input and merge the (mergeable) hi/lo moment sums. */
+    * Bounds, ALL guarded in-plan: Σlo < n·2³², so one call handles
+    * n ≤ 2³¹ rows (≈2.1e9), and |cents| ≤ ⌊√(2⁶³)⌋ so no per-row
+    * product wraps (max(abs) rides the same aggregation) — beyond
+    * either, shard the input and merge the (mergeable) hi/lo moment
+    * sums. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val B = 4294967296L // 2^32
     val prep = df.select(cols.map(c =>
-      floor(col(c) * 100 + lit(0.5)).cast("long").as(s"__c_$c")): _*)
+      guardCents(floor(col(c) * 100 + lit(0.5)).cast("long"),
+        "corrMatrix", c).as(s"__c_$c")): _*)
     def hi(p: Column) = shiftright(p, 32)
     def lo(p: Column) = p.bitwiseAND(lit(0xffffffffL))
     def prodAggs(a: String, b: String) = {
@@ -139,8 +142,10 @@ object Features {
     require(groupCols.nonEmpty, "group columns required")
     val B = 4294967296L
     val prep = df.select(groupCols.map(col) ++ Seq(
-      floor(col(xCol) * 100 + lit(0.5)).cast("long").as("__x"),
-      floor(col(yCol) * 100 + lit(0.5)).cast("long").as("__y")): _*)
+      guardCents(floor(col(xCol) * 100 + lit(0.5)).cast("long"),
+        "groupedCorr", xCol).as("__x"),
+      guardCents(floor(col(yCol) * 100 + lit(0.5)).cast("long"),
+        "groupedCorr", yCol).as("__y")): _*)
     def hi(p: Column) = shiftright(p, 32)
     def lo(p: Column) = p.bitwiseAND(lit(0xffffffffL))
     def hl(p: Column, tag: String) =
@@ -221,6 +226,22 @@ object Features {
   /** 38,0-capable headroom for Σ(x·y) reassembly. */
   private val DecimalWide =
     org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** ⌊√(2⁶³)⌋: the largest |cents| whose pairwise Long product cannot
+    * wrap (3037000499² < 2⁶³ ≤ 3037000500²) — values past ~3.0e7 in
+    * the original unit trip the in-plan magnitude guard. */
+  private val MaxCents = 3037000499L
+
+  /** Per-row magnitude guard on the scaled-cents value, applied BEFORE
+    * any product: past ⌊√(2⁶³)⌋ the pairwise Long multiply would wrap
+    * silently in non-ANSI Spark (and raise an opaque
+    * ARITHMETIC_OVERFLOW in ANSI) — fail loudly with the sharding
+    * remedy instead. One codegen'd branch per value per row. */
+  private def guardCents(cents: Column, op: String, name: String): Column =
+    when(abs(cents) > MaxCents, raise_error(lit(
+      s"$op: |$name| beyond ${MaxCents / 100} (cents beyond the " +
+        "long-product range) — rescale the column or shard by magnitude")))
+      .otherwise(cents)
 
   private def pairsOf(cols: Seq[String]): Seq[(String, String)] =
     for {

@@ -136,12 +136,49 @@ object Graph {
     *
     * Returns (node, triangles) for nodes in ≥ 1 triangle. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
-      : DataFrame = {
-    val und = edges
+      : DataFrame =
+    trianglesOfCanonical(canonicalEdges(edges, srcCol, dstCol))
+
+  /** DOULION (Tsourakakis et al., KDD'09) approximate tier — the
+    * documented escape hatch when exact wedge closure outgrows its
+    * budget: each canonical edge survives a DETERMINISTIC hash-coin
+    * with probability `p`, the exact kernel runs on the sparsified
+    * graph (expected cost p²–p³ of the full wedge fan-out), and each
+    * node's count scales by 1/p³ (a triangle survives iff all three
+    * edges do). The estimator is unbiased; relative error concentrates
+    * as O(1/√(p³·Δ)) for counts Δ, so it is a TOTALS tier — per-node
+    * estimates for nodes in few triangles are noisy, and nodes whose
+    * every sampled triangle vanished are absent. `p = 1` IS the exact
+    * path. The hash coin (xxhash64 of the canonical pair + seed) makes
+    * the estimate reproducible run-to-run — an auditable sample, not a
+    * different answer per retry.
+    *
+    * Returns (node, est_triangles: double) for nodes with ≥ 1 sampled
+    * triangle. */
+  def triangleCountsApprox(edges: DataFrame, srcCol: String,
+      dstCol: String, p: Double, seed: Long = 42L): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"sampling rate must be in (0,1]: $p")
+    val und = canonicalEdges(edges, srcCol, dstCol)
+    val kept =
+      if (p >= 1.0) und
+      else und.filter(
+        pmod(xxhash64(col("a"), col("b"), lit(seed)), lit(1000000L)) <
+          lit((p * 1000000L).toLong))
+    trianglesOfCanonical(kept)
+      .select(col("node"),
+        (col("triangles") / lit(p * p * p)).as("est_triangles"))
+  }
+
+  /** Distinct `a < b` undirected canonical edge set. */
+  private def canonicalEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+
+  private def trianglesOfCanonical(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))

@@ -61,21 +61,39 @@ object IncrementalJoin {
     * the same row on both sides — the [[IncrementalAgg]] `<=>`
     * discipline). Negative net multiplicities mean the delta deletes a
     * row the view never held — rejected loudly in the output plan
-    * rather than silently clamped. */
+    * rather than silently clamped.
+    *
+    * Scale shape (the [[CorpusDiff.merge]] discipline): the view is
+    * semi/anti-SPLIT against the broadcast delta identities first, so
+    * the untouched majority — at 100 TB, essentially all of it — flows
+    * through MAP-ONLY with no exchange; only the delta-touched rows are
+    * counted, folded against the net, and re-expanded. The delta is the
+    * small side by contract (one IVM batch), hence the explicit
+    * broadcast. Refresh cost tracks |Δ|, never |V|. */
   def applyDelta(view: DataFrame, delta: DataFrame): DataFrame = {
     val cols = view.columns.toIndexedSeq
     require(delta.columns.toSet == cols.toSet + "op",
       s"delta columns ${delta.columns.mkString(",")} must be the view's " +
         s"(${cols.mkString(",")}) plus op")
+    // Net change per distinct row identity; identities netting to zero
+    // never touch the view at all.
     val net = delta.groupBy(cols.map(col): _*)
       .agg(sum("op").as("__net"))
-    val stored = view.groupBy(cols.map(col): _*)
+      .filter(col("__net") =!= 0)
+    val netKeyed = net.select(
+      cols.map(c => col(c).as(s"__d_$c")) :+ col("__net"): _*)
+    val touchCond = cols.map(c => col(c) <=> col(s"__d_$c"))
+      .reduce(_ && _)
+    // Broadcast semi/anti hash joins: the view side stays map-only.
+    val untouched = view.join(broadcast(netKeyed), touchCond, "left_anti")
+    val touched = view.join(broadcast(netKeyed), touchCond, "left_semi")
+    // Fold multiplicities for the touched identities only; full outer
+    // keeps delta-only identities (pure inserts — a negative net on a
+    // row the view lacks raises below). Both sides here are Δ-sized,
+    // so the full outer is left unhinted (broadcast doesn't apply).
+    val stored = touched.groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as("__c"))
-    val joined = stored.join(net.select(
-        cols.map(c => col(c).as(s"__d_$c")) :+ col("__net"): _*),
-      cols.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _),
-      "full_outer")
-    joined
+    val folded = stored.join(netKeyed, touchCond, "full_outer")
       .select(cols.map(c => coalesce(col(c), col(s"__d_$c")).as(c)) :+
         (coalesce(col("__c"), lit(0L)) + coalesce(col("__net"), lit(0L)))
           .as("__n"): _*)
@@ -88,6 +106,7 @@ object IncrementalJoin {
       .select(cols.map(col) :+
         explode(sequence(lit(1L), col("__n"))).as("__i"): _*)
       .drop("__i")
+    untouched.unionByName(folded)
   }
 
   /** One-call refresh: `V' = applyDelta(V, joinDelta(...))`. */

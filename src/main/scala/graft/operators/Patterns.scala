@@ -30,13 +30,31 @@ object Patterns {
     *                 unbounded); a too-late step candidate is simply not
     *                 consumed (the matcher keeps waiting — a later
     *                 occurrence may still satisfy the gap)
+    * @param maxEventsPerKey hot-key guard: a key whose history exceeds
+    *                 this many events fails LOUDLY in-plan (the
+    *                 maxBroadcastProbes discipline) instead of
+    *                 materializing a giant row and OOMing an executor;
+    *                 route such keys to the streaming form
+    *                 ([[graft.streaming.StreamOps]] stateful transform)
+    *                 or pre-window the log
     * @return (key, n_matches, last_match_ts) per key, n_matches ≥ 0;
     *         last_match_ts = completion time of the final match (null
     *         when none)
+    *
+    * Greedy-matcher caveat: the scan never re-anchors mid-pattern — a
+    * partial match in progress "holds" its earlier steps, so a fresh
+    * pattern-start occurring while step k > 0 is pending is not
+    * considered as an alternative anchor. With a tight `maxGapUs`, a
+    * completion that a restart at the later anchor would have found
+    * can be missed (n_matches is the greedy count, not the maximum
+    * subsequence-packing count). This is the documented MATCH_RECOGNIZE
+    * `AFTER MATCH SKIP PAST LAST ROW`-style semantics; the oracle
+    * replays the identical greedy fold.
     */
   def matchSequence(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, typeCol: String, pattern: Seq[String],
-      maxGapUs: Option[Long] = None): DataFrame = {
+      maxGapUs: Option[Long] = None,
+      maxEventsPerKey: Int = 1 << 20): DataFrame = {
     require(pattern.nonEmpty, "empty pattern")
     val n = pattern.length
     // pattern as an array literal; step i must equal pattern(i)
@@ -46,6 +64,13 @@ object Patterns {
         col(idCol).as("id"), col(typeCol).as("t")).as("__e"))
       .groupBy(keyCol)
       .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .withColumn("__es", when(size(col("__es")) > maxEventsPerKey,
+        raise_error(concat(
+          lit("matchSequence: key "), col(keyCol).cast("string"),
+          lit(s" exceeds $maxEventsPerKey events in one in-row fold; " +
+            "raise maxEventsPerKey, pre-window the log, or route hot " +
+            "keys to the streaming stateful form"))))
+        .otherwise(col("__es")))
     // fold state: (step, matches, last_ts, done_ts)
     val init: Column = struct(lit(0).as("step"), lit(0L).as("m"),
       lit(null).cast("bigint").as("last"),

@@ -71,16 +71,24 @@ object Retrieval {
         aggregate(col("__rg"), lit(0d), (acc, x) =>
           acc + x.getField("g").cast("double") /
             log2(x.getField("r").cast("double") + 1d)))
-    scored.join(byQuery, Seq(queryCol), "left")
+    // anchor on run's distinct queries: a query whose results ALL fall
+    // past rank k must surface with zero metrics, not vanish (its
+    // absence reads as "not evaluated" instead of "retrieved nothing
+    // useful") — the @return contract is one row per query in `run`
+    run.select(q).distinct()
+      .join(scored, Seq(queryCol), "left")
+      .join(byQuery, Seq(queryCol), "left")
       .select(q,
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-        col("rel_ret"),
-        (col("rel_ret").cast("double") / k).as("precision_at_k"),
+        coalesce(col("rel_ret"), lit(0L)).as("rel_ret"),
+        (coalesce(col("rel_ret"), lit(0L)).cast("double") / k)
+          .as("precision_at_k"),
         when(col("n_rel") > 0,
-          col("rel_ret").cast("double") / col("n_rel"))
+          coalesce(col("rel_ret"), lit(0L)).cast("double") / col("n_rel"))
           .as("recall_at_k"),
         coalesce(lit(1d) / col("__first_rel"), lit(0d)).as("mrr_at_k"),
         when(col("n_rel") > 0,
-          round(col("__dcg") / col("__idcg"), 6)).as("ndcg_at_k"))
+          round(coalesce(col("__dcg"), lit(0d)) / col("__idcg"), 6))
+          .as("ndcg_at_k"))
   }
 }

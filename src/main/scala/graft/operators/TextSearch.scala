@@ -78,7 +78,11 @@ object TextSearch {
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val posts = postings(docs, idCol, textCol, phrase.distinct)
+    // postings terms are lowercased at the scan — lowercase the filter
+    // AND the per-slot predicate so an uppercase query term matches
+    // case-insensitively instead of silently returning nothing
+    val posts = postings(docs, idCol, textCol,
+      phrase.map(_.toLowerCase).distinct)
     val anchors = phrase.zipWithIndex.map { case (w, i) =>
       posts.filter(col("term") === lit(w.toLowerCase))
         .select(col("doc_id"), (col("pos") - i).as("anchor"))

@@ -26,15 +26,27 @@ object TimeSeries {
 
   /** Returns (keyCol, idCol, tsCol, value, prev_value, delta, ema):
     * one row per input event, ordered-by-(ts, id) semantics per key.
-    * `prev_value`/`delta` are null on each key's first event. */
+    * `prev_value`/`delta` are null on each key's first event.
+    * `maxEventsPerKey` is the hot-key guard: a key whose history
+    * exceeds it fails LOUDLY in-plan (the maxBroadcastProbes
+    * discipline) rather than OOMing an executor on one giant row —
+    * route such keys to the streaming stateful form or pre-window. */
   def emaFeatures(df: DataFrame, keyCol: String, tsCol: String,
-      idCol: String, valCol: String, alpha: Double): DataFrame = {
+      idCol: String, valCol: String, alpha: Double,
+      maxEventsPerKey: Int = 1 << 20): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
     val collected = df
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(
         col(tsCol).as("ts"), col(idCol).as("id"),
         col(valCol).cast("double").as("v")))).as("__evs"))
+      .withColumn("__evs", when(size(col("__evs")) > maxEventsPerKey,
+        raise_error(concat(
+          lit("emaFeatures: key "), col(keyCol).cast("string"),
+          lit(s" exceeds $maxEventsPerKey events in one in-row fold; " +
+            "raise maxEventsPerKey, pre-window the log, or route hot " +
+            "keys to the streaming stateful form"))))
+        .otherwise(col("__evs")))
     // fold state: (prev value or null, prev ema or null, out rows)
     val zero = struct(
       lit(null).cast("double").as("pv"),

@@ -417,6 +417,90 @@ object RelationalQueries {
     """)
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier, adapted: the testdata has
+    * no partsupp, so lineitem is the part↔supplier bridge and
+    * l_extendedprice plays supplycost): per qualifying part, keep the
+    * supply rows achieving the part's MINIMUM price — a correlated
+    * scalar subquery on min. Catalyst decorrelates it into a per-part
+    * min aggregate joined back on the correlation key (one aggregate
+    * over lineitem + one equi join — never a per-row subquery), and
+    * the dim chain supplier→nation→region broadcasts. Ordered by every
+    * output column, so the top-100 cut is a deterministic total order
+    * even among min-price ties. */
+  val q2MinCost: Q = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("part_q2")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q2")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_q2")
+    Tables.nation(s, d).createOrReplaceTempView("nation_q2")
+    Tables.region(s, d).createOrReplaceTempView("region_q2")
+    s.sql("""
+      SELECT s.s_name, s.s_acctbal, n.n_name, p.p_partkey, p.p_name,
+             l.l_extendedprice AS best_price
+      FROM part_q2 p, lineitem_q2 l, supplier_q2 s, nation_q2 n,
+           region_q2 r
+      WHERE p.p_partkey = l.l_partkey AND l.l_suppkey = s.s_suppkey
+        AND s.s_nationkey = n.n_nationkey
+        AND n.n_regionkey = r.r_regionkey
+        AND r.r_name = 'EUROPE' AND p.p_size <= 15
+        AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                 FROM lineitem_q2 l2
+                                 WHERE l2.l_partkey = p.p_partkey)
+      ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey,
+               p.p_name, l.l_extendedprice
+      LIMIT 100
+    """)
+  }
+
+  /** TPC-H Q4 shape (order priority checking, adapted: the testdata
+    * lineitem has no commit/receipt dates, so the late-delivery EXISTS
+    * becomes a returned-item EXISTS): orders in one half-year having
+    * at least one returned lineitem, counted by priority. Catalyst
+    * rewrites the correlated EXISTS into a LEFT SEMI join on
+    * l_orderkey — the date filter still pushes into the orders scan,
+    * and the semi probe carries ids only. */
+  val q4PriorityExists: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q4")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q4")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders_q4 o
+      WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem_q4 l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_returnflag = 'R')
+      GROUP BY o_orderpriority
+    """)
+  }
+
+  /** TPC-H Q20 shape (potential part promotion, adapted sans
+    * partsupp): suppliers whose shipped quantity of 'small%'-named
+    * parts beats 1.1× the average such quantity — a nested semi chain
+    * (supplier IN ← grouped-HAVING lineitem IN ← part) with an
+    * uncorrelated scalar-aggregate threshold, the relative form that
+    * stays selective at every SF. Both INs decorrelate to left-semi
+    * hash joins (ids-only probes), the part filter pushes to its scan,
+    * and the threshold is a 1-row broadcast. */
+  val q20SemiChain: Q = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("part_q20")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q20")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_q20")
+    Tables.nation(s, d).createOrReplaceTempView("nation_q20")
+    s.sql("""
+      WITH sq AS (
+        SELECT l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem_q20
+        WHERE l_partkey IN (SELECT p_partkey FROM part_q20
+                            WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name, n.n_name
+      FROM supplier_q20 s JOIN nation_q20 n
+        ON s.s_nationkey = n.n_nationkey
+      WHERE s.s_suppkey IN (SELECT l_suppkey FROM sq
+                            WHERE qty > (SELECT avg(qty) * 1.1 FROM sq))
+      ORDER BY s.s_suppkey
+    """)
+  }
+
   /** Pivot (E16 adjacent): revenue matrix returnflag × linestatus. */
   val pivot: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -807,19 +891,32 @@ object RelationalQueries {
   /** Market-basket co-purchase lift (round 8): part pairs appearing in
     * the same order, with support and lift — the association-rule
     * screen (`lift = P(ab)/(P(a)P(b))`, >1 = genuinely associated).
+    * Round 9 adds the Apriori/SON support pre-prune: a pair's support
+    * is ≤ min of its parts' supports, so parts with `n_item <
+    * minSupport` are dropped from BOTH self-join sides BEFORE the pair
+    * join — result-identical above the support floor (the reported
+    * top-100 bottoms out at support 2 at every tested SF) while
+    * cutting the pair space by the singleton-part share, which at
+    * corpus scale is most of it. `n_a`/`n_b`/`n_orders` stay computed
+    * over the UNPRUNED set so the emitted rows are byte-identical.
     * Within-order pair fan-out is bounded by basket size (the triangle
     * argument); counts exact, lift one fixed IEEE expression over
     * exact integers; deterministic (support desc, keys) top-100 cut. */
   val copurchaseLift: Q = (s, d) => {
+    val minSupport = 2
     val li = Tables.lineitem(s, d)
       .select("l_orderkey", "l_partkey").distinct()
-    val pairs = li.alias("x").join(li.alias("y"), Seq("l_orderkey"))
+    val itemN = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_item"))
+    val frequent = li.join(broadcast(itemN
+        .filter(col("n_item") >= minSupport).select("l_partkey")),
+      Seq("l_partkey"), "left_semi")
+    val pairs = frequent.alias("x").join(frequent.alias("y"),
+        Seq("l_orderkey"))
       .filter(col("x.l_partkey") < col("y.l_partkey"))
       .select(col("x.l_partkey").as("part_a"),
         col("y.l_partkey").as("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
-    val itemN = li.groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("n_item"))
     val orders = li.agg(countDistinct("l_orderkey").as("n_orders"))
     pairs
       .join(broadcast(itemN.select(col("l_partkey").as("part_a"),

@@ -160,10 +160,18 @@ object StreamOps {
   /** Windowed distinct users via the KMV sketch riding streaming state
     * (the q_stream_quantiles / heavy-hitters argument, completing the
     * sketch×streaming matrix: quantiles, frequent items, now DISTINCT):
-    * per-day unique users with watermark eviction. k=256 exceeds the
-    * 150-user universe, so the sketch is in its exact sub-k regime —
-    * the estimate IS count(DISTINCT) and the gate hashes against the
-    * batch twin (the q_kmv_exact recipe, streamed). */
+    * per-day unique users. k=256 exceeds the 150-user universe, so the
+    * sketch is in its exact sub-k regime — the estimate IS
+    * count(DISTINCT) and the gate hashes against the batch twin (the
+    * q_kmv_exact recipe, streamed).
+    *
+    * State-retention note: the GATE replays a finite log in Complete
+    * mode, where the watermark does NOT evict window state — fine for
+    * a bounded replay whose whole output is re-emitted, wrong for an
+    * unbounded stream. The production form of this plan runs in
+    * Append/Update mode, where the 1-day watermark drops each closed
+    * window's single KMV buffer (state = one ≤256-entry sketch per
+    * open window either way). */
   def streamDistinctPlan(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     replayEvents(spark, dir)

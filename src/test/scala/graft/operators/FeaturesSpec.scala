@@ -122,4 +122,22 @@ class FeaturesSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("null values"))
   }
+
+  test("magnitudes past the long-product range fail loudly, at the " +
+      "exact boundary") {
+    // 3037000499 cents squares just under 2^63; one cent more wraps
+    val ok = Seq((30370004.99, 1.0), (-30370004.99, 2.0), (1.0, 3.0))
+      .toDF("x", "y")
+    assert(Features.corrMatrix(ok, Seq("x", "y")).count() === 1L)
+    val over = Seq((30370005.00, 1.0), (1.0, 2.0)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      Features.corrMatrix(over, Seq("x", "y")).collect()
+    }
+    assert(ex.getMessage.contains("long-product range"), ex.getMessage)
+    val exG = intercept[Exception] {
+      Features.groupedCorr(over.withColumn("g", lit("g")), Seq("g"),
+        "x", "y").collect()
+    }
+    assert(exG.getMessage.contains("long-product range"), exG.getMessage)
+  }
 }

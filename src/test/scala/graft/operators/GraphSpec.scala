@@ -59,6 +59,36 @@ class GraphSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("DOULION approximate triangles: p=1 is the exact path; " +
+      "p<1 is exactly the sampled-subgraph count scaled by 1/p³") {
+    val k10 = (for { a <- 1L to 10L; b <- 1L to 10L if a < b }
+      yield (a, b)).toDF("src", "dst")
+    // p = 1: identical to exact (every node in C(9,2) = 36 triangles)
+    val full = Graph.triangleCountsApprox(k10, "src", "dst", p = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full === (1L to 10L).map(_ -> 36.0).toMap)
+    // p < 1: replay the deterministic hash coin to derive the sampled
+    // subgraph, and assert est = exact(sample) / p³ node-for-node —
+    // the estimator contract, free of sampling-luck tolerances
+    val p = 0.6
+    val seed = 42L
+    val kept = k10.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(pmod(xxhash64(col("a"), col("b"), lit(seed)),
+        lit(1000000L)) < lit((p * 1000000L).toLong))
+    val exactOnSample = Graph.triangleCounts(kept, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = Graph.triangleCountsApprox(k10, "src", "dst", p, seed)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est.keySet === exactOnSample.keySet)
+    est.foreach { case (n, e) =>
+      assert(math.abs(e - exactOnSample(n) / (p * p * p)) < 1e-9) }
+    assert(exactOnSample.nonEmpty, "sample should retain some triangles")
+    intercept[IllegalArgumentException] {
+      Graph.triangleCountsApprox(k10, "src", "dst", 0.0)
+    }
+  }
+
   test("distributed PageRank matches the reference simulation") {
     // diamond + a dangling sink: a→b, a→c, b→d, c→d (d has no out-edges)
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))

@@ -68,6 +68,49 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(got.count() === 1L)
   }
 
+  test("view side reaches the merge with NO full-width exchange " +
+      "(touched-rows discipline)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val view = scratch(a, b)
+    val dA = Seq((2L, 10L, "a2", -1), (5L, 20L, "a5", 1))
+      .toDF("aid", "k", "av", "op")
+    val dB = Seq((10L, "b10", -1)).toDF("k", "bv", "op")
+    val refreshed = IncrementalJoin.refresh(view, a, b, dA, dB, Seq("k"))
+    val plan = refreshed.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    // the untouched-majority branch: a broadcast ANTI join whose
+    // streamed (view) child contains no shuffle — at 100 TB this is the
+    // difference between a map-only pass and a full-table shuffle
+    val antis = plan.collect {
+      case j: BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antis.nonEmpty,
+      s"expected broadcast anti split:\n${plan.toString.take(2000)}")
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+      p.collect { case e: ShuffleExchangeExec => e }
+    // only the delta (build/broadcast) side may shuffle — the streamed
+    // view side must be exchange-free
+    antis.foreach { j =>
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+        case _ => j.right
+      }
+      assert(shuffles(streamed).isEmpty,
+        s"view side must not shuffle:\n${streamed.toString.take(2000)}")
+    }
+    // and the result is still the from-scratch join
+    val aNew = a.filter($"aid" =!= 2L)
+      .unionByName(Seq((5L, 20L, "a5")).toDF("aid", "k", "av"))
+    val bNew = b.filter($"k" =!= 10L)
+    assert(same(refreshed, scratch(aNew, bNew)))
+  }
+
   test("deleting a row the view does not hold fails loudly") {
     val view = scratch(a, b)
     val dA = Seq((99L, 10L, "ghost", -1)).toDF("aid", "k", "av", "op")

@@ -68,4 +68,20 @@ class PatternsSpec extends SparkSpec {
     assert(out.getAs[Long]("n_matches") === 2L)
     assert(out.getAs[Timestamp]("last_match_ts") === ts(7))
   }
+
+  test("hot key fails loudly instead of materializing a giant row") {
+    val hot = (1L to 50L).map(i => ("whale", i, i, "a")) ++
+      Seq(("minnow", 1L, 100L, "a"))
+    val df = hot.toDF("u", "min", "id", "t")
+      .selectExpr("u", "timestamp_millis(min * 60000) AS ts", "id", "t")
+    val ex = intercept[Exception] {
+      Patterns.matchSequence(df, "u", "ts", "id", "t", Seq("a", "b"),
+        maxEventsPerKey = 10).collect()
+    }
+    assert(ex.getMessage.contains("whale") &&
+      ex.getMessage.contains("exceeds 10 events"))
+    // under the cap the same log folds fine
+    assert(Patterns.matchSequence(df, "u", "ts", "id", "t",
+      Seq("a", "b"), maxEventsPerKey = 100).count() === 2L)
+  }
 }

@@ -48,6 +48,13 @@ class PhraseSearchSpec extends SparkSpec {
     assert(m(1L) === ((2L, 2L)))
   }
 
+  test("uppercase query terms match case-insensitively (postings are " +
+      "lowercased)") {
+    val m = search("Quick", "BROWN")
+    assert(m.keySet === Set(1L, 2L, 4L, 5L))
+    assert(m(1L) === ((2L, 1L)))
+  }
+
   test("empty phrase is rejected") {
     intercept[IllegalArgumentException] {
       TextSearch.phraseSearch(docs, "doc_id", "text", Nil)

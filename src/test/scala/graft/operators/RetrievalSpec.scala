@@ -61,4 +61,23 @@ class RetrievalSpec extends SparkSpec {
     assert(r.getAs[Double]("recall_at_k") === 1.0)
     assert(r.getAs[Double]("mrr_at_k") === 1.0)
   }
+
+  test("query whose results all fall past k surfaces with zero " +
+      "metrics instead of vanishing") {
+    val run = Seq(("hit", "a", 1), ("miss", "b", 5), ("miss", "c", 6))
+      .toDF("query", "doc", "rank")
+    val qrels = Seq(("hit", "a", 1L), ("miss", "b", 2L))
+      .toDF("query", "doc", "grade")
+    val out = Retrieval.evaluate(run, qrels, "query", "doc", "rank",
+      "grade", k = 3).collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("hit", "miss"),
+      "one row per query present in run")
+    val miss = out("miss")
+    assert(miss.getAs[Long]("n_rel") === 1L)
+    assert(miss.getAs[Long]("rel_ret") === 0L)
+    assert(miss.getAs[Double]("precision_at_k") === 0.0)
+    assert(miss.getAs[Double]("recall_at_k") === 0.0)
+    assert(miss.getAs[Double]("mrr_at_k") === 0.0)
+    assert(miss.getAs[Double]("ndcg_at_k") === 0.0)
+  }
 }

@@ -36,6 +36,20 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", 4L, Some(20.0), Some(-10.0), 15.0)), s"got $got")
   }
 
+  test("hot key fails loudly instead of materializing a giant row") {
+    val whale = (1L to 20L).map(i => ("whale", i, ts(i), i.toDouble))
+    val df = (whale :+ (("minnow", 99L, ts(1), 1.0)))
+      .toDF("k", "event_id", "ts", "value")
+    val ex = intercept[Exception] {
+      TimeSeries.emaFeatures(df, "k", "ts", "event_id", "value",
+        alpha = 0.5, maxEventsPerKey = 5).collect()
+    }
+    assert(ex.getMessage.contains("whale") &&
+      ex.getMessage.contains("exceeds 5 events"))
+    assert(TimeSeries.emaFeatures(df, "k", "ts", "event_id", "value",
+      alpha = 0.5, maxEventsPerKey = 50).count() === 21L)
+  }
+
   test("row count and key coverage match the input") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select("user_id", "event_id", "ts", "value")

@@ -162,6 +162,30 @@ class PlanShapeSpec extends SparkSpec {
       "bucket decomposition must equi-join")
   }
 
+  test("Q2 correlated scalar min decorrelates to aggregate + join") {
+    val p = plan(RelationalQueries.q2MinCost)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "per-row subquery execution = nested loop death at scale")
+    // the correlated (SELECT min(...) WHERE l_partkey = p_partkey)
+    // must surface as a per-partkey min aggregate joined back
+    assert(p.contains("min(l_extendedprice"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not sort globally")
+  }
+
+  test("Q4 EXISTS rewrites to a left semi join") {
+    val p = plan(RelationalQueries.q4PriorityExists)
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("PushedFilters"), "date filter pushes to orders scan")
+  }
+
+  test("Q20 nested IN chain plans ids-only semi joins, no nested loop") {
+    val p = plan(RelationalQueries.q20SemiChain)
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("set-sim join: candidate self-join reuses the prefix exchange") {
     // the GATE now serves the persisted pair artifact (a bare scan), so
     // assert the plan shape on the operator itself — the artifact build
