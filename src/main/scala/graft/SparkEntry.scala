@@ -299,6 +299,17 @@ object SparkEntry {
     "q2_min_cost" -> RelationalQueries.q2MinCost,
     "q4_priority_exists" -> RelationalQueries.q4PriorityExists,
     "q20_semi_chain" -> RelationalQueries.q20SemiChain,
+    "q17_small_qty" -> RelationalQueries.q17SmallQty,
+    "q13_order_histogram" -> RelationalQueries.q13OrderHistogram,
+    "q19_disjunctive" -> RelationalQueries.q19Disjunctive,
+    "q22_idle_customers" -> RelationalQueries.q22IdleCustomers,
+    "q_window_fill" -> RelationalQueries.windowFill,
+    "q_string_agg" -> RelationalQueries.stringAgg,
+    "q_pii_detect" -> PipelineQueries.piiDetect,
+    "q_pii_redact" -> PipelineQueries.piiRedact,
+    "q_dsir_weights" -> PipelineQueries.dsirWeights,
+    "q21_waiting" -> RelationalQueries.q21Waiting,
+    "q15_top_supplier" -> RelationalQueries.q15TopSupplier,
   )
 
   private val docChunksSql = """
@@ -3663,6 +3674,211 @@ object SparkEntry {
       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
       WHERE s.s_suppkey IN (SELECT l_suppkey FROM sq
                             WHERE qty > (SELECT avg(qty) * 1.1 FROM sq))
+      ORDER BY s.s_suppkey""",
+
+    // Q17 shape: correlated AVG subquery; quantities are integers in
+    // doubles so the threshold is exact in both engines.
+    "q17_small_qty" -> """
+      SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+               AS DOUBLE) / 7.0 AS avg_yearly,
+             count(*)::BIGINT AS n_lines
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#12' AND p.p_type = 'ECONOMY'
+        AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p.p_partkey)""",
+
+    "q13_order_histogram" -> """
+      SELECT c_count, count(*)::BIGINT AS custdist
+      FROM (SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+            FROM customer c LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey) cc
+      GROUP BY c_count""",
+
+    "q19_disjunctive" -> """
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue,
+             count(*)::BIGINT AS n_lines
+      FROM lineitem JOIN part ON p_partkey = l_partkey AND (
+        (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+          AND l_quantity BETWEEN 1 AND 11) OR
+        (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+          AND l_quantity BETWEEN 10 AND 20) OR
+        (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+          AND l_quantity BETWEEN 20 AND 30))""",
+
+    // Q22 shape: scalar threshold as exact decimal sum / count (one
+    // IEEE division — engine-agnostic), NOT EXISTS anti join.
+    "q22_idle_customers" -> """
+      SELECT c_nationkey, count(*)::BIGINT AS numcust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+      FROM customer c
+      WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal
+                                 AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                           FROM customer c2
+                           WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey""",
+
+    // IGNORE NULLS analytic windows: forward fill + previous non-null,
+    // values carried verbatim (raw-hashable).
+    "q_window_fill" -> """
+      SELECT user_id, event_id,
+             last_value(pv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase,
+             lag(pv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_purchase
+      FROM (SELECT user_id, event_id, ts,
+                   CASE WHEN event_type = 'purchase' THEN value END AS pv
+            FROM events) t""",
+
+    "q_string_agg" -> """
+      SELECT o_orderpriority,
+             string_agg(DISTINCT strftime(o_orderdate, '%Y-%m'), ','
+               ORDER BY strftime(o_orderdate, '%Y-%m')) AS months,
+             string_agg(DISTINCT o_orderstatus, ','
+               ORDER BY o_orderstatus) AS statuses,
+             count(*)::BIGINT AS n
+      FROM orders
+      GROUP BY o_orderpriority""",
+
+    // PII gates: planted text built identically in both engines; the
+    // patterns are the shared Java/RE2 subset from operators/Pii.scala.
+    "q_pii_detect" -> """
+      WITH pd AS (
+        SELECT doc_id,
+               concat(substr(text, 1, 40), ' mail u', doc_id,
+                      '@ex.com ip 10.0.', doc_id % 256,
+                      '.7 call 555-123-4567',
+                      CASE WHEN doc_id % 3 = 0
+                        THEN ' ssn 123-45-6789' ELSE '' END,
+                      CASE WHEN doc_id % 4 = 0
+                        THEN ' card 4000-1111-2222-3333' ELSE '' END)
+                 AS text
+        FROM documents WHERE doc_id % 5 = 0)
+      SELECT doc_id,
+        len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+          AS n_email,
+        len(regexp_extract_all(text,
+          '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))::BIGINT AS n_card,
+        len(regexp_extract_all(text,
+          '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+        len(regexp_extract_all(text,
+          '\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b'))::BIGINT AS n_phone,
+        len(regexp_extract_all(text,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+        (len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         + len(regexp_extract_all(text,
+           '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))
+         + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+         + len(regexp_extract_all(text,
+           '\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b'))
+         + len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')))::BIGINT AS n_pii
+      FROM pd""",
+
+    "q_pii_redact" -> """
+      WITH pd AS (
+        SELECT doc_id,
+               concat(substr(text, 1, 40), ' mail u', doc_id,
+                      '@ex.com ip 10.0.', doc_id % 256,
+                      '.7 call 555-123-4567',
+                      CASE WHEN doc_id % 3 = 0
+                        THEN ' ssn 123-45-6789' ELSE '' END,
+                      CASE WHEN doc_id % 4 = 0
+                        THEN ' card 4000-1111-2222-3333' ELSE '' END)
+                 AS text
+        FROM documents WHERE doc_id % 5 = 0)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '[EMAIL]', 'g'),
+          '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '[CARD]', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+          '\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g')
+          AS text_redacted,
+        (len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         + len(regexp_extract_all(text,
+           '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))
+         + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+         + len(regexp_extract_all(text,
+           '\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b'))
+         + len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')))::BIGINT AS n_pii
+      FROM pd""",
+
+    // DSIR: distinct-bigram doc frequencies, Laplace-smoothed log
+    // ratio vs the English target, per-doc average rounded 6dp (ln is
+    // transcendental; the avg fold order is sub-6dp at these
+    // magnitudes — the surprisal recipe).
+    "q_dsir_weights" -> """
+      WITH toked AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+        FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, lang,
+               unnest(list_transform(range(1, len(t)),
+                 i -> array_to_string(t[i:i+1], ' '))) AS gram
+        FROM toked WHERE len(t) >= 2),
+      tc AS (SELECT gram, count(*) AS c_t FROM grams
+             WHERE lang = 'en' GROUP BY 1),
+      sc AS (SELECT gram, count(*) AS c_s FROM grams GROUP BY 1),
+      nt AS (SELECT count(*) AS n FROM documents WHERE lang = 'en'),
+      ns AS (SELECT count(*) AS n FROM documents)
+      SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+             round(avg(ln((coalesce(tc.c_t, 0) + 1.0) / (nt.n + 2.0))
+                     - ln((sc.c_s + 1.0) / (ns.n + 2.0))), 6) AS weight
+      FROM grams g
+      JOIN sc USING (gram)
+      LEFT JOIN tc USING (gram), nt, ns
+      GROUP BY g.doc_id""",
+
+    // Q21 shape: dual correlated EXISTS / NOT EXISTS on the fact table.
+    "q21_waiting" -> """
+      SELECT s.s_name, count(*)::BIGINT AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s.s_name
+      LIMIT 20""",
+
+    // Q15 shape: scalar max over a shared revenue view; the equality
+    // is safe because revenue is decimal-exact in both engines.
+    "q15_top_supplier" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                 AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name, r.total_rev
+      FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+      WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
       ORDER BY s.s_suppkey""",
   )
 }

@@ -1237,4 +1237,42 @@ object PipelineQueries {
     graft.operators.TemporalJoin.pointInTime(facts, dim, "doc_id", "t",
       "valid_from", "valid_to", Seq("content_hash"), inclusiveEnd = true)
   }
+
+  /** Deterministic PII-bearing corpus for the round-9 scrubbing gates:
+    * every 5th doc gets an email, an IP, and a phone planted from its
+    * id, every 3rd of those an SSN shape, every 4th a card shape — the
+    * planted-twin recipe (both engines build the identical text, so
+    * detection counts and the redacted strings hash exactly). */
+  private def piiDocs(s: SparkSession, d: String) =
+    Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), concat(
+        substring(col("text"), 1, 40),
+        lit(" mail u"), col("doc_id").cast("string"),
+        lit("@ex.com ip 10.0."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".7 call 555-123-4567"),
+        when(col("doc_id") % 3 === 0, lit(" ssn 123-45-6789"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" card 4000-1111-2222-3333"))
+          .otherwise(lit(""))).as("text"))
+
+  /** PII detection counts ([[graft.operators.Pii.detect]]): map-only
+    * regexp_count per class over the planted corpus. */
+  val piiDetect: Q = (s, d) =>
+    graft.operators.Pii.detect(piiDocs(s, d), "doc_id", "text")
+
+  /** PII redaction ([[graft.operators.Pii.redact]]): class tokens
+    * replace every match in the fixed class order; the redacted string
+    * itself is the gate payload. */
+  val piiRedact: Q = (s, d) =>
+    graft.operators.Pii.redact(piiDocs(s, d), "doc_id", "text")
+
+  /** DSIR importance weights ([[graft.operators.Dsir]]): score every
+    * document against the English-subset target distribution over
+    * distinct bigrams — exact-vocabulary form, ln-rounded 6dp. */
+  val dsirWeights: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Dsir.importanceWeights(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+  }
 }

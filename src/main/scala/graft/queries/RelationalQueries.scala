@@ -501,6 +501,180 @@ object RelationalQueries {
     """)
   }
 
+  /** IGNORE NULLS analytic windows (E19 completion): per-user forward
+    * fill of the last purchase value (`last` with ignoreNulls over a
+    * running frame) plus the strictly-previous purchase (`lag` with
+    * ignoreNulls) — the event-log "carry the last observation
+    * forward" idiom without a self-join. One window pass per user;
+    * values carried verbatim (no arithmetic), so raw doubles hash. */
+  val windowFill: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("pv",
+        when(col("event_type") === "purchase", col("value")))
+      .select(col("user_id"), col("event_id"),
+        last("pv", ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("last_purchase"),
+        lag(col("pv"), 1, null, ignoreNulls = true).over(w)
+          .as("prev_purchase"))
+  }
+
+  /** Deterministic string aggregation (listagg/string_agg): per order
+    * priority, the sorted distinct order months joined by comma —
+    * collect_set → array_sort → concat_ws on the Spark side, so the
+    * string is order-independent and exact; DuckDB replays it as
+    * `string_agg(DISTINCT ... ORDER BY ...)`. Distinct sets stay
+    * bounded (months × statuses), so the in-row arrays are tiny at any
+    * scale. */
+  val stringAgg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(concat_ws(",", array_sort(collect_set(
+          date_format(col("o_orderdate"), "yyyy-MM")))).as("months"),
+        concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+          .as("statuses"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): parts of one
+    * brand/type whose lineitems fall under 50% of that part's own
+    * average quantity — the correlated AVG subquery (vs Q2's MIN).
+    * Catalyst decorrelates to a per-part avg aggregate joined back;
+    * quantities are small integers in doubles, so the avg is exact and
+    * the comparison boundary-free; revenue decimal-exact / 7. */
+  val q17SmallQty: Q = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("part_q17")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q17")
+    s.sql(s"""
+      SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+               AS DOUBLE) / 7.0 AS avg_yearly,
+             count(*) AS n_lines
+      FROM lineitem_q17 l JOIN part_q17 p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#12' AND p.p_type = 'ECONOMY'
+        AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                            FROM lineitem_q17 l2
+                            WHERE l2.l_partkey = p.p_partkey)
+    """)
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join with an in-join residual filter, then a histogram of counts
+    * — customers with zero qualifying orders land in the c_count = 0
+    * bucket instead of vanishing. Two partial-agg shuffles (custkey,
+    * then count); all-integer output. */
+  val q13OrderHistogram: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer_q13")
+    Tables.orders(s, d).createOrReplaceTempView("orders_q13")
+    s.sql("""
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer_q13 c LEFT JOIN orders_q13 o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey) cc
+      GROUP BY c_count
+    """)
+  }
+
+  /** TPC-H Q19 shape (disjunctive predicate revenue): an OR of
+    * conjunction groups over part × lineitem attributes. The planner
+    * must extract the common `p_partkey = l_partkey` factor as the
+    * hash-join key and evaluate the disjunction as a residual — a
+    * cartesian/nested-loop here is the classic optimizer failure this
+    * gate pins against. Revenue decimal-exact. */
+  val q19Disjunctive: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    li.join(p, col("p_partkey") === col("l_partkey") && (
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))))
+      .agg(Exact.sumExact(Exact.discPrice).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): customers with
+    * above-average positive balance and NO orders — a scalar AVG
+    * subquery over a filtered set plus a NOT EXISTS anti join,
+    * aggregated per nation. The anti probe carries custkeys only;
+    * balance sums decimal-exact. */
+  val q22IdleCustomers: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer_q22")
+    Tables.orders(s, d).createOrReplaceTempView("orders_q22")
+    s.sql("""
+      SELECT c_nationkey, count(*) AS numcust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+      FROM customer_q22 c
+      WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal
+                                 AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                           FROM customer_q22 c2
+                           WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders_q22 o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey
+    """)
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting, adapted to
+    * the returnflag vocabulary): lines of finished orders whose
+    * supplier returned, where the order HAS other suppliers (EXISTS)
+    * but NONE of them returned (NOT EXISTS) — the dual correlated
+    * EXISTS/NOT-EXISTS on the same fact table, each decorrelating to
+    * its own semi/anti join on l_orderkey. Deterministic top-20 via
+    * (numwait desc, s_name). */
+  val q21Waiting: Q = (s, d) => {
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_q21")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q21")
+    Tables.orders(s, d).createOrReplaceTempView("orders_q21")
+    s.sql("""
+      SELECT s.s_name, count(*) AS numwait
+      FROM supplier_q21 s
+      JOIN lineitem_q21 l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders_q21 o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem_q21 l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem_q21 l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s.s_name
+      LIMIT 20
+    """)
+  }
+
+  /** TPC-H Q15 shape (top supplier): revenue view per supplier over
+    * one quarter, then the suppliers achieving its MAXIMUM — a scalar
+    * aggregate subquery over a shared CTE whose equality predicate is
+    * safe because revenue is decimal-exact (bit-identical doubles in
+    * both engines, so `= max` cannot straddle an FP boundary). */
+  val q15TopSupplier: Q = (s, d) => {
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_q15")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q15")
+    s.sql("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                 AS total_rev
+        FROM lineitem_q15
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name, r.total_rev
+      FROM supplier_q15 s JOIN rev r ON s.s_suppkey = r.l_suppkey
+      WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+      ORDER BY s.s_suppkey
+    """)
+  }
+
   /** Pivot (E16 adjacent): revenue matrix returnflag × linestatus. */
   val pivot: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -908,21 +1082,20 @@ object RelationalQueries {
       .select("l_orderkey", "l_partkey").distinct()
     val itemN = li.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_item"))
-    val frequent = li.join(broadcast(itemN
-        .filter(col("n_item") >= minSupport).select("l_partkey")),
-      Seq("l_partkey"), "left_semi")
-    val pairs = frequent.alias("x").join(frequent.alias("y"),
-        Seq("l_orderkey"))
+    // ONE broadcast of the support table serves both the Apriori
+    // filter and the n_a/n_b enrichment (they ride the self-join
+    // sides as functional group keys) — strictly fewer joins than
+    // prune-less + post-enrichment
+    val lin = li.join(broadcast(itemN), Seq("l_partkey"))
+      .filter(col("n_item") >= minSupport)
+    val pairs = lin.alias("x").join(lin.alias("y"), Seq("l_orderkey"))
       .filter(col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("part_a"),
-        col("y.l_partkey").as("part_b"))
-      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+      .groupBy(col("x.l_partkey").as("part_a"),
+        col("y.l_partkey").as("part_b"),
+        col("x.n_item").as("n_a"), col("y.n_item").as("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
     val orders = li.agg(countDistinct("l_orderkey").as("n_orders"))
     pairs
-      .join(broadcast(itemN.select(col("l_partkey").as("part_a"),
-        col("n_item").as("n_a"))), Seq("part_a"))
-      .join(broadcast(itemN.select(col("l_partkey").as("part_b"),
-        col("n_item").as("n_b"))), Seq("part_b"))
       .crossJoin(broadcast(orders))
       .select(col("part_a"), col("part_b"), col("n_ab"),
         col("n_a"), col("n_b"),
