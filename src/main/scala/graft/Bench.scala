@@ -108,6 +108,8 @@ object Bench {
       () => graft.sources.Layout.bucketedOrdersWithCustomers(spark, sfDir))
     prebuild("q_zonemap_prune",
       () => { graft.sources.Layout.clusteredEventsDir(spark, sfDir); () })
+    prebuild("q_mv_rewrite",
+      () => graft.queries.PipelineQueries.ensureMvRewriteArtifacts(spark, sfDir))
 
     val results = selected.map { case (name, fn) =>
       // streaming replays are the box's noisiest block (r8: identical

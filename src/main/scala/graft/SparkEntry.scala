@@ -310,6 +310,8 @@ object SparkEntry {
     "q_dsir_weights" -> PipelineQueries.dsirWeights,
     "q21_waiting" -> RelationalQueries.q21Waiting,
     "q15_top_supplier" -> RelationalQueries.q15TopSupplier,
+    "q_kmv_setops" -> RelationalQueries.kmvSetops,
+    "q_mv_rewrite" -> PipelineQueries.mvRewrite,
   )
 
   private val docChunksSql = """
@@ -3880,5 +3882,37 @@ object SparkEntry {
       FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
       WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
       ORDER BY s.s_suppkey""",
+
+    // KMV set algebra in the exact sub-k regime: the sketch holds every
+    // hash, so union/intersection/Jaccard estimates ARE the exact
+    // distinct counts (and the Jaccard division is the same int/int
+    // IEEE op in both engines).
+    "q_kmv_setops" -> """
+      WITH seg AS (SELECT DISTINCT event_type, user_id FROM events),
+      t AS (SELECT DISTINCT event_type FROM seg),
+      pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+             FROM t a JOIN t b ON a.event_type < b.event_type),
+      u AS (SELECT pr.ta, pr.tb, s.user_id, count(*) AS c
+            FROM pr JOIN seg s
+              ON s.event_type = pr.ta OR s.event_type = pr.tb
+            GROUP BY pr.ta, pr.tb, s.user_id)
+      SELECT ta AS type_a, tb AS type_b,
+             count(*)::BIGINT AS n_union,
+             (count(*) FILTER (WHERE c = 2))::BIGINT AS n_intersect,
+             (count(*) FILTER (WHERE c = 2))::DOUBLE / count(*)
+               AS jaccard
+      FROM u GROUP BY ta, tb""",
+
+    // Summary-rewrite gate: the oracle computes from the BASE table —
+    // the rewrite must be value-invisible (SummaryRewriteSpec asserts
+    // the plan actually reads the rollup).
+    "q_mv_rewrite" -> """
+      SELECT l_returnflag, count(*)::BIGINT AS n,
+             sum(l_quantity) AS sum_qty,
+             min(l_shipdate) AS first_ship,
+             max(l_shipdate) AS last_ship
+      FROM lineitem
+      WHERE l_returnflag <> 'N'
+      GROUP BY l_returnflag""",
   )
 }

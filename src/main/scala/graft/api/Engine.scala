@@ -48,6 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopKPerGroup)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    e.injectOptimizerRule(s => graft.plans.RewriteAggregateToSummary(s))
   }
 }
 

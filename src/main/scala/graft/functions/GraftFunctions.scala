@@ -36,6 +36,8 @@ object GraftFunctions {
       intArg(es(1), "minhash_text"), intArg(es(2), "minhash_text"))),
     "kmv_distinct" -> (es => KmvDistinct(es(0),
       intArg(es(1), "kmv_distinct")).toAggregateExpression()),
+    "kmv_sketch" -> (es => KmvSketchAgg(es(0),
+      intArg(es(1), "kmv_sketch")).toAggregateExpression()),
     "vec_mean" -> (es => VecMean(es(0)).toAggregateExpression()),
     "cms_sketch" -> (es => CmsSketch(es(0), intArg(es(1), "cms_sketch"),
       intArg(es(2), "cms_sketch")).toAggregateExpression()),
@@ -137,6 +139,10 @@ object GraftFunctions {
   def simhash64(elems: Column): Column = call_function("simhash64", elems)
   def kmvDistinct(c: Column, k: Int = 256): Column =
     call_function("kmv_distinct", c, org.apache.spark.sql.functions.lit(k))
+  /** The KMV sketch itself (sorted min-hash array) for set algebra —
+    * see [[graft.operators.KmvAlgebra]]. */
+  def kmvSketch(c: Column, k: Int = 256): Column =
+    call_function("kmv_sketch", c, org.apache.spark.sql.functions.lit(k))
   /** Misra–Gries heavy-hitter candidates: ≤ k (key, count) pairs, count
     * desc; exact when the group has ≤ k distinct keys. */
   def misraGries(c: Column, k: Int): Column =

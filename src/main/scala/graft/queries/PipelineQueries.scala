@@ -1275,4 +1275,63 @@ object PipelineQueries {
     graft.operators.Dsir.importanceWeights(
       docs, docs.filter(col("lang") === "en"), "doc_id", "text")
   }
+
+  /** Build-once artifacts for the summary-rewrite gate: a dedicated
+    * COPY of lineitem (so the registration's scope is this gate's base
+    * relation only — other suite queries on the real lineitem path
+    * keep their plans byte-for-byte) plus its (returnflag, linestatus)
+    * rollup: cnt / sum_qty / min_ship / max_ship. All derivable
+    * quantities are exact (counts, integer-valued quantity sums, date
+    * extremes), so serving from the rollup is value-identical.
+    * Returns (basePath, summaryPath). */
+  private def ensureMvArtifacts(s: SparkSession, d: String)
+      : (String, String) = {
+    val dir = java.nio.file.Paths.get(graft.sources.Artifacts.cacheDir,
+      "mv_rewrite_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16))
+    val marker = dir.resolve("_built")
+    if (!java.nio.file.Files.exists(marker)) {
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
+        .write.mode("overwrite").parquet(dir.resolve("base").toString)
+      s.read.parquet(dir.resolve("base").toString)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"),
+          min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"))
+        .write.mode("overwrite").parquet(dir.resolve("summary").toString)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(marker, "ok".getBytes("UTF-8"))
+    }
+    (dir.resolve("base").toString, dir.resolve("summary").toString)
+  }
+
+  /** Offline artifact build for the summary-rewrite gate (Bench
+    * prebuild hook — the one-time copy+rollup write stays out of the
+    * timed loop). Idempotent. */
+  def ensureMvRewriteArtifacts(s: SparkSession, d: String): Unit = {
+    ensureMvArtifacts(s, d); ()
+  }
+
+  /** Materialized-summary rewrite gate
+    * ([[graft.plans.SummaryRewrite]]): the query is written against
+    * the BASE relation; the registered rollup serves it via the
+    * optimizer rule (plan-asserted in SummaryRewriteSpec — the gate
+    * here pins values against the raw-lineitem oracle). */
+  val mvRewrite: Q = (s, d) => {
+    val (basePath, summaryPath) = ensureMvArtifacts(s, d)
+    val base = s.read.parquet(basePath)
+    graft.plans.SummaryRewrite.register(s, base,
+      s.read.parquet(summaryPath),
+      groupCols = Seq("l_returnflag", "l_linestatus"), cnt = "cnt",
+      sums = Map("l_quantity" -> "sum_qty"),
+      mins = Map("l_shipdate" -> "min_ship"),
+      maxs = Map("l_shipdate" -> "max_ship"))
+    s.read.parquet(basePath)
+      .filter(col("l_returnflag") =!= "N")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+        min("l_shipdate").as("first_ship"),
+        max("l_shipdate").as("last_ship"))
+  }
 }

@@ -125,6 +125,35 @@ object RelationalQueries {
         .kmvDistinct(col("l_linenumber"), 256).as("n_linenumbers"))
   }
 
+  /** KMV sketch SET ALGEBRA (round 9, [[graft.operators.KmvAlgebra]]):
+    * per-segment user sketches rolled up once, then pairwise
+    * union / intersection / Jaccard from the sketch arrays alone —
+    * the pre-aggregated-audience-overlap pattern. k = 512 exceeds the
+    * user universe, so every estimator sits in its exact-by-
+    * construction sub-k regime and the gate hashes against DuckDB's
+    * exact distinct counts (the q_kmv_exact recipe, extended to
+    * algebra). The 5-row sketch-pair join is a deliberate tiny
+    * broadcast nested loop. */
+  val kmvSetops: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions
+    import graft.operators.KmvAlgebra
+    val k = 512
+    val sk = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(GraftFunctions.kmvSketch(col("user_id"), k).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        KmvAlgebra.unionEstimate(col("ska"), col("skb"), k)
+          .as("n_union"),
+        KmvAlgebra.intersectEstimate(col("ska"), col("skb"), k)
+          .as("n_intersect"),
+        KmvAlgebra.jaccardEstimate(col("ska"), col("skb"), k)
+          .as("jaccard"))
+  }
+
   /** Log-bucket quantile sketch (round 5): per-flag price quantiles from
     * the mergeable LogHist aggregate. Buckets are pure integer bit math
     * (2-dp money → cents, pow2 exponent + 6 mantissa bits), so DuckDB
