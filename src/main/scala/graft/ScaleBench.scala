@@ -1159,6 +1159,98 @@ object ScaleBench {
       noop(clpOf(liG, 2L * factor)))
     results += (("copurchase_pruned", tcp1, tcpN))
 
+    // PII redaction: pure per-row regex projection — map-only, expect
+    // linear with a small constant (regex cost per byte)
+    def piiOf(d: DataFrame) = graft.operators.Pii
+      .redact(d, "doc_id", "text")
+      .groupBy().agg(count(lit(1)).as("n"), sum("n_pii"))
+    val tpi1 = time("pii_redact 1x")(noop(piiOf(docs1)))
+    val tpiN = time(s"pii_redact ${factor}x")(noop(piiOf(docsN)))
+    results += (("pii_redact", tpi1, tpiN))
+
+    // DSIR: docs ×N into a FIXED vocabulary — the (doc, gram) explode
+    // and per-doc fold grow ×N, the count tables stay vocab-sized
+    def dsirOf(d: DataFrame) = graft.operators.Dsir
+      .importanceWeights(d, d.limit(2000), "doc_id", "text")
+      .groupBy().agg(count(lit(1)).as("n"), sum("weight"))
+    val tds1 = time("dsir_weights 1x")(noop(dsirOf(docs1)))
+    val tdsN = time(s"dsir_weights ${factor}x")(noop(dsirOf(docsN)))
+    results += (("dsir_weights", tds1, tdsN))
+
+    // KMV set algebra: events ×N into FIXED segments — the sketch agg
+    // scans ×N rows into k-bounded buffers; the pair algebra is
+    // constant regardless of scale
+    def kmvOf(e: DataFrame) = {
+      val k = 512
+      val sk = e.groupBy("event_type")
+        .agg(graft.functions.GraftFunctions
+          .kmvSketch(col("user_id"), k).as("sk"))
+      val a = sk.select(col("event_type").as("ta"), col("sk").as("ska"))
+      val b = sk.select(col("event_type").as("tb"), col("sk").as("skb"))
+      a.join(broadcast(b), col("ta") < col("tb"))
+        .select(graft.operators.KmvAlgebra
+          .intersectEstimate(col("ska"), col("skb"), k).as("i"))
+        .groupBy().agg(sum("i"))
+    }
+    val tkv1 = time("kmv_setops 1x")(noop(kmvOf(ev1)))
+    val tkvN = time(s"kmv_setops ${factor}x")(noop(kmvOf(evU)))
+    results += (("kmv_setops", tkv1, tkvN))
+
+    // Q21 dual EXISTS/NOT EXISTS: orders ×N at fixed basket shapes —
+    // both decorrelated semi/anti probes shuffle ids only
+    def q21Of(li: DataFrame, o: DataFrame) = {
+      li.createOrReplaceTempView("sb_li21")
+      o.createOrReplaceTempView("sb_o21")
+      spark.sql("""
+        SELECT l1.l_suppkey, count(*) AS numwait
+        FROM sb_li21 l1 JOIN sb_o21 o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM sb_li21 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM sb_li21 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY l1.l_suppkey""")
+        .groupBy().agg(count(lit(1)).as("n"), sum("numwait"))
+    }
+    val t211 = time("q21_semi_anti 1x")(noop(q21Of(li1, ord1)))
+    val t21N = time(s"q21_semi_anti ${factor}x")(noop(q21Of(liN, ordN)))
+    results += (("q21_semi_anti", t211, t21N))
+
+    // summary rewrite: the base grows ×N but the query serves from the
+    // SAME summary artifact — cost must be FLAT (the whole point)
+    {
+      def baseOf(li: DataFrame) = li
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
+      def prep(li: DataFrame): String = {
+        val baseDir = java.nio.file.Files
+          .createTempDirectory("sb-mv-base").toString
+        baseOf(li).write.mode("overwrite").parquet(baseDir)
+        val sumDir = java.nio.file.Files
+          .createTempDirectory("sb-mv-summary").toString
+        spark.read.parquet(baseDir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+          .write.mode("overwrite").parquet(sumDir)
+        graft.plans.SummaryRewrite.register(spark,
+          spark.read.parquet(baseDir), spark.read.parquet(sumDir),
+          groupCols = Seq("l_returnflag", "l_linestatus"), cnt = "cnt",
+          sums = Map("l_quantity" -> "sum_qty"))
+        baseDir
+      }
+      def served(baseDir: String) =
+        spark.read.parquet(baseDir).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sq"))
+      val b1Dir = prep(li1)
+      val bNDir = prep(liN)
+      val tmv1 = time("mv_rewrite 1x")(noop(served(b1Dir)))
+      val tmvN = time(s"mv_rewrite ${factor}x")(noop(served(bNDir)))
+      graft.plans.SummaryRewrite.clear()
+      results += (("mv_rewrite", tmv1, tmvN))
+    }
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")
