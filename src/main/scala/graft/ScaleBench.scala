@@ -1159,6 +1159,37 @@ object ScaleBench {
       noop(clpOf(liG, 2L * factor)))
     results += (("copurchase_pruned", tcp1, tcpN))
 
+    // distinct-IVM refresh: persisted multiplicity state ×N (disjoint
+    // custkey copies), delta FIXED — same touched-rows contract as
+    // incr_join_refresh: cost must track the state SCAN, not a
+    // state-wide shuffle
+    {
+      val ordD = replicate(ord1, Seq("o_orderkey", "o_custkey"), 10000000L)
+      def prepState(o: DataFrame): String = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("sb-dist-state").toString
+        graft.operators.IncrementalAgg.distinctState(
+            o.select("o_orderpriority", "o_custkey"),
+            Seq("o_orderpriority"), "o_custkey")
+          .write.mode("overwrite").parquet(dir)
+        dir
+      }
+      val s1 = prepState(ord1)
+      val sN = prepState(ordD)
+      def refresh(stateDir: String) = {
+        val delta = ord1.filter(col("o_orderkey") % 1000 === 7)
+          .select("o_orderpriority", "o_custkey")
+          .withColumn("op", lit(-1))
+        graft.operators.IncrementalAgg.applyDistinctDelta(
+            spark.read.parquet(stateDir), delta,
+            Seq("o_orderpriority"), "o_custkey")
+          .groupBy().agg(count(lit(1)).as("n"))
+      }
+      val tdd1 = time("incr_distinct 1x")(noop(refresh(s1)))
+      val tddN = time(s"incr_distinct ${factor}x")(noop(refresh(sN)))
+      results += (("incr_distinct", tdd1, tddN))
+    }
+
     // PII redaction: pure per-row regex projection — map-only, expect
     // linear with a small constant (regex cost per byte)
     def piiOf(d: DataFrame) = graft.operators.Pii

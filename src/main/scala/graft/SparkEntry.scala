@@ -312,6 +312,7 @@ object SparkEntry {
     "q15_top_supplier" -> RelationalQueries.q15TopSupplier,
     "q_kmv_setops" -> RelationalQueries.kmvSetops,
     "q_mv_rewrite" -> PipelineQueries.mvRewrite,
+    "q_incremental_distinct" -> PipelineQueries.incrementalDistinct,
   )
 
   private val docChunksSql = """
@@ -3914,5 +3915,20 @@ object SparkEntry {
       FROM lineitem
       WHERE l_returnflag <> 'N'
       GROUP BY l_returnflag""",
+
+    // COUNT(DISTINCT) IVM: the oracle rebuilds the post-delta order
+    // multiset directly (delete %13 rows, insert %17 twins with
+    // offset custkeys) and counts distinct customers per priority.
+    "q_incremental_distinct" -> """
+      WITH post AS (
+        SELECT o_orderpriority, o_custkey
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderpriority, o_custkey + 900000000
+        FROM orders WHERE o_orderkey % 17 = 0)
+      SELECT o_orderpriority,
+             count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+             count(*)::BIGINT AS n_rows
+      FROM post GROUP BY o_orderpriority""",
   )
 }

@@ -178,4 +178,58 @@ object IncrementalAgg {
             .as(s"${m}_max"))): _*)
       .filter(col("n") > 0)
   }
+
+  // ---- COUNT(DISTINCT) maintenance -------------------------------------
+  // The auxiliary state is the (group, value) MULTIPLICITY table — the
+  // textbook counting solution for duplicate-sensitive aggregates: a
+  // distinct value survives while its multiplicity is positive, so
+  // n_distinct per group is simply the state's row count. Null values
+  // are excluded (COUNT(DISTINCT) semantics).
+
+  /** Seed the distinct-maintenance state from a raw batch (or fold a
+    * signed batch when `opCol` is set): (groups…, valueCol, m). */
+  def distinctState(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, opCol: Option[String] = None): DataFrame = {
+    val op = opCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(sum(op).as("m"))
+      .filter(col("m") =!= 0)
+  }
+
+  /** Fold a signed delta into the multiplicity state — the
+    * [[IncrementalJoin.applyDelta]] touched-rows discipline: the net
+    * delta per (group, value) broadcasts, the untouched state majority
+    * passes through MAP-ONLY (anti join), only touched keys fold.
+    * Deletes driving a multiplicity negative (a value the state does
+    * not hold) raise in-plan. O(|state| scan + |Δ|), no state-wide
+    * shuffle. */
+  def applyDistinctDelta(state: DataFrame, delta: DataFrame,
+      groupCols: Seq[String], valueCol: String,
+      opCol: String = "op"): DataFrame = {
+    val keys = groupCols :+ valueCol
+    val net = distinctState(delta, groupCols, valueCol, Some(opCol))
+      .withColumnRenamed("m", "__dm")
+    val netKeyed = net.select(
+      keys.map(k => col(k).as(s"__d_$k")) :+ col("__dm"): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
+    val untouched = state.join(broadcast(netKeyed), cond, "left_anti")
+    val touched = state.join(broadcast(netKeyed), cond, "left_semi")
+    val folded = touched.join(netKeyed, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(k), col(s"__d_$k")).as(k)) :+
+        (coalesce(col("m"), lit(0L)) + coalesce(col("__dm"), lit(0L)))
+          .as("m"): _*)
+      .withColumn("m",
+        when(col("m") < 0, raise_error(lit(
+          "incremental distinct: delta deletes a value the state does " +
+            "not hold"))).otherwise(col("m")))
+      .filter(col("m") > 0)
+    untouched.unionByName(folded)
+  }
+
+  /** Read side: per-group exact distinct count from the state. */
+  def distinctCounts(state: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    state.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_distinct"), sum("m").as("n_rows"))
 }

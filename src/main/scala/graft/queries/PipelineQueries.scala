@@ -1276,6 +1276,30 @@ object PipelineQueries {
       docs, docs.filter(col("lang") === "en"), "doc_id", "text")
   }
 
+  /** COUNT(DISTINCT) IVM (round 9,
+    * [[graft.operators.IncrementalAgg.applyDistinctDelta]]): the
+    * (priority, custkey) multiplicity state absorbs a mixed
+    * delete+insert delta under the touched-rows discipline, then
+    * per-priority exact distinct counts read off the state. Deleting
+    * one of a customer's several orders must NOT drop the customer;
+    * deleting the last one must. All-integer gate. */
+  val incrementalDistinct: Q = (s, d) => {
+    import graft.operators.IncrementalAgg
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+    val state = IncrementalAgg.distinctState(
+      o, Seq("o_orderpriority"), "o_custkey")
+    val dDel = o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("op", lit(-1))
+    val dIns = o.filter(col("o_orderkey") % 17 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_custkey") + 900000000L).as("o_custkey"))
+      .withColumn("op", lit(1))
+    val st2 = IncrementalAgg.applyDistinctDelta(state,
+      dDel.unionByName(dIns), Seq("o_orderpriority"), "o_custkey")
+    IncrementalAgg.distinctCounts(st2, Seq("o_orderpriority"))
+  }
+
   /** Build-once artifacts for the summary-rewrite gate: a dedicated
     * COPY of lineitem (so the registration's scope is this gate's base
     * relation only — other suite queries on the real lineitem path

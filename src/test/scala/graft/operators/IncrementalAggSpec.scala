@@ -110,6 +110,54 @@ class IncrementalAggSpec extends SparkSpec {
       direct.exceptAll(got).isEmpty)
   }
 
+  test("distinct IVM: multiplicity semantics, new/vanishing values, " +
+      "ghost delete raises, state side stays map-only") {
+    val base = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 5L))
+      .toDF("grp", "v")
+    val st = IncrementalAgg.distinctState(base, Seq("grp"), "v")
+    // delete ONE of a's two v=1 rows (distinct unchanged), delete a's
+    // only v=2 (distinct drops), add a new value to b
+    val delta = Seq(("a", 1L, -1), ("a", 2L, -1), ("b", 7L, 1))
+      .toDF("grp", "v", "op")
+    val st2 = IncrementalAgg.applyDistinctDelta(st, delta, Seq("grp"), "v")
+    val got = IncrementalAgg.distinctCounts(st2, Seq("grp"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map("a" -> ((1L, 1L)), "b" -> ((2L, 2L))))
+    // plan shape: the anti join's streamed (state) side must not shuffle
+    val plan = st2.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val antis = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antis.nonEmpty, plan.toString.take(1200))
+    antis.foreach { j =>
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+        case _ => j.right
+      }
+      assert(streamed.collect { case e: org.apache.spark.sql.execution
+          .exchange.ShuffleExchangeExec => e }.isEmpty,
+        "state side must stay map-only")
+    }
+    // ghost delete: value the state does not hold
+    val ghost = Seq(("a", 99L, -1)).toDF("grp", "v", "op")
+    val ex = intercept[Exception] {
+      IncrementalAgg.applyDistinctDelta(st, ghost, Seq("grp"), "v")
+        .collect()
+    }
+    assert(ex.getMessage.contains("does not hold"))
+    // null values never count
+    val withNull = Seq(("a", Some(1L)), ("a", None)).toDF("grp", "v")
+    assert(IncrementalAgg.distinctCounts(
+      IncrementalAgg.distinctState(withNull, Seq("grp"), "v"),
+      Seq("grp")).collect().head.getLong(1) === 1L)
+  }
+
   test("chained refreshes equal one big refresh (on real orders)") {
     val orders = graft.sources.Tables.orders(spark, sf)
       .select(col("o_orderpriority").as("grp"),
