@@ -313,6 +313,14 @@ object SparkEntry {
     "q_kmv_setops" -> RelationalQueries.kmvSetops,
     "q_mv_rewrite" -> PipelineQueries.mvRewrite,
     "q_incremental_distinct" -> PipelineQueries.incrementalDistinct,
+    // round 9 (cont.): the remaining TPC-H shapes — the spine now
+    // covers all 22 queries (adapted to the testdata schema)
+    "q6_forecast" -> RelationalQueries.q6Forecast,
+    "q9_profit" -> RelationalQueries.q9Profit,
+    "q11_important_parts" -> RelationalQueries.q11ImportantParts,
+    "q12_priority_class" -> RelationalQueries.q12PriorityClass,
+    "q14_promo" -> RelationalQueries.q14Promo,
+    "q16_supplier_cnt" -> RelationalQueries.q16SupplierCnt,
   )
 
   private val docChunksSql = """
@@ -3930,5 +3938,93 @@ object SparkEntry {
              count(DISTINCT o_custkey)::BIGINT AS n_distinct,
              count(*)::BIGINT AS n_rows
       FROM post GROUP BY o_orderpriority""",
+
+    // Q6: the pure scan-side aggregate — decimal-exact revenue.
+    "q6_forecast" -> """
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+             count(*)::BIGINT AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    // Q9 shape: supply cost modeled as 60% of p_retailprice (no
+    // partsupp in the testdata); whole profit expression in decimal.
+    "q9_profit" -> """
+      SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS o_year,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1.00 - CAST(l.l_discount AS DECIMAL(4,2)))
+               - CAST(p.p_retailprice AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(12,2)) * 0.60)
+               AS DOUBLE) AS sum_profit
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%gear%'
+      GROUP BY n.n_name, year(o.o_orderdate)""",
+
+    // Q11 shape: HAVING > scalar subquery; threshold compared in
+    // DECIMAL on both sides (double cast only on output).
+    "q11_important_parts" -> """
+      WITH nl AS (
+        SELECT l.l_partkey,
+               CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(12,2)) AS v
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_12')
+      SELECT l_partkey, CAST(sum(v) AS DOUBLE) AS part_value
+      FROM nl
+      GROUP BY l_partkey
+      HAVING CAST(sum(v) AS DECIMAL(28,4))
+               * CAST((SELECT count(DISTINCT l_partkey) FROM nl)
+                      AS DECIMAL(9,0))
+             > (SELECT CAST(sum(v) AS DECIMAL(36,4)) * 2 FROM nl)""",
+
+    // Q12 shape: late-shipped lines (>60 days after ordering) bucketed
+    // urgent/non-urgent per returnflag.
+    "q12_priority_class" -> """
+      SELECT l.l_returnflag,
+             sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+             sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      GROUP BY l.l_returnflag""",
+
+    // Q14: promo share, fixed op order (100·promo)/total — one IEEE
+    // multiply+divide over decimal-exact sums, shipped raw.
+    "q14_promo" -> """
+      WITH m AS (
+        SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (1.00 - CAST(l.l_discount AS DECIMAL(4,2)))
+                   ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 AS promo_revenue,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (1.00 - CAST(l.l_discount AS DECIMAL(4,2))))
+                 AS DOUBLE) AS total_revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= '1996-09-01' AND l.l_shipdate < '1996-10-01')
+      SELECT promo_revenue, total_revenue,
+             (100.0 * promo_revenue) / total_revenue AS promo_pct
+      FROM m""",
+
+    // Q16 shape: NOT IN blacklist (negative-balance suppliers) +
+    // grouped count(DISTINCT).
+    "q16_supplier_cnt" -> """
+      SELECT p.p_brand, p.p_type, p.p_size,
+             count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand <> 'Brand#21' AND p.p_type <> 'PROMO'
+        AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0.0)
+      GROUP BY p.p_brand, p.p_type, p.p_size""",
   )
 }

@@ -704,6 +704,165 @@ object RelationalQueries {
     """)
   }
 
+  /** TPC-H Q6 (forecasting revenue change): the pure scan-side
+    * aggregate — one table, three pushable predicates, no join at all.
+    * The point of the gate is the SCAN shape: every predicate reaches
+    * the parquet reader (PushedFilters) and the whole query is a
+    * single partial-agg pass. Revenue = Σ extendedprice·discount,
+    * decimal-exact; discounts are 2-dp doubles so the DECIMAL(4,2)
+    * cast is lossless and the BETWEEN endpoints exact. */
+  val q6Forecast: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q6")
+    s.sql("""
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem_q6
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """)
+  }
+
+  /** TPC-H Q9 shape (product type profit, adapted: no partsupp, so
+    * supply cost is modeled as 60% of p_retailprice): per supplier
+    * nation and order year, Σ(revenue − cost) over lines of
+    * gear-named parts. The widest join tree in the spine — lineitem
+    * joins part (filtered, broadcast), supplier (broadcast),
+    * orders (the one big shuffle), nation (broadcast) — with the whole
+    * profit expression in exact decimal arithmetic (quantities are
+    * integer-valued doubles, lossless at DECIMAL(12,2)). */
+  val q9Profit: Q = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("part_q9")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q9")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_q9")
+    Tables.orders(s, d).createOrReplaceTempView("orders_q9")
+    Tables.nation(s, d).createOrReplaceTempView("nation_q9")
+    s.sql("""
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1.00 - CAST(l.l_discount AS DECIMAL(4,2)))
+               - CAST(p.p_retailprice AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(12,2)) * 0.60)
+               AS DOUBLE) AS sum_profit
+      FROM lineitem_q9 l
+      JOIN part_q9 p ON p.p_partkey = l.l_partkey
+      JOIN supplier_q9 s ON s.s_suppkey = l.l_suppkey
+      JOIN orders_q9 o ON o.o_orderkey = l.l_orderkey
+      JOIN nation_q9 n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%gear%'
+      GROUP BY n.n_name, year(o.o_orderdate)
+    """)
+  }
+
+  /** TPC-H Q11 shape (important stock, adapted sans partsupp: a
+    * part's "stock value" is Σ price·quantity over its lineitems from
+    * one nation's suppliers): parts whose value exceeds 2× the
+    * average part share — the scalar-subquery-inside-HAVING shape,
+    * phrased relative to the part count so it stays selective (and
+    * non-empty) at EVERY scale factor, unlike TPC-H's fixed fraction.
+    * Both sides of the > stay in DECIMAL with explicit widths chosen
+    * so neither engine loses scale (28,4 × 9,0 and 36,4 × 2 both fit
+    * 38 digits), so the cut is boundary-free; the double cast happens
+    * only on output. */
+  val q11ImportantParts: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q11")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_q11")
+    Tables.nation(s, d).createOrReplaceTempView("nation_q11")
+    s.sql("""
+      WITH nl AS (
+        SELECT l.l_partkey,
+               CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(12,2)) AS v
+        FROM lineitem_q11 l
+        JOIN supplier_q11 s ON s.s_suppkey = l.l_suppkey
+        JOIN nation_q11 n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_12')
+      SELECT l_partkey, CAST(sum(v) AS DOUBLE) AS part_value
+      FROM nl
+      GROUP BY l_partkey
+      HAVING CAST(sum(v) AS DECIMAL(28,4))
+               * CAST((SELECT count(DISTINCT l_partkey) FROM nl)
+                      AS DECIMAL(9,0))
+             > (SELECT CAST(sum(v) AS DECIMAL(36,4)) * 2 FROM nl)
+    """)
+  }
+
+  /** TPC-H Q12 shape (shipping priority classes, adapted: the
+    * testdata has no shipmode/commit/receipt dates, so the class axis
+    * is l_returnflag and the lateness residual is "shipped more than
+    * 60 days after ordering"): per flag, how many late-shipped lines
+    * belong to urgent vs non-urgent orders. The cross-table date
+    * comparison must plan as an in-join residual on the o↔l hash join
+    * (not a nested loop); the CASE buckets are the classic two-column
+    * conditional count. All-integer output. */
+  val q12PriorityClass: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q12")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q12")
+    s.sql("""
+      SELECT l.l_returnflag,
+             sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS high_line_count,
+             sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS low_line_count
+      FROM orders_q12 o JOIN lineitem_q12 l
+        ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+      GROUP BY l.l_returnflag
+    """)
+  }
+
+  /** TPC-H Q14 (promotion effect): promo revenue share for one month.
+    * Both the promo and total sums are decimal-exact (bit-identical
+    * doubles after the cast), and the percentage is computed with ONE
+    * fixed operation order — (100 · promo) / total — so the single
+    * IEEE multiply+divide is engine-agnostic (the "ship ratios raw"
+    * rule; no rounding anywhere). */
+  val q14Promo: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q14")
+    Tables.part(s, d).createOrReplaceTempView("part_q14")
+    s.sql("""
+      WITH m AS (
+        SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (1.00 - CAST(l.l_discount AS DECIMAL(4,2)))
+                   ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 AS promo_revenue,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (1.00 - CAST(l.l_discount AS DECIMAL(4,2))))
+                 AS DOUBLE) AS total_revenue
+        FROM lineitem_q14 l JOIN part_q14 p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= '1996-09-01' AND l.l_shipdate < '1996-10-01')
+      SELECT promo_revenue, total_revenue,
+             (100.0 * promo_revenue) / total_revenue AS promo_pct
+      FROM m
+    """)
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship, adapted: the
+    * "customer complaints" exclusion becomes negative-balance
+    * suppliers): distinct supplier counts per (brand, type, size)
+    * over a filtered part set, excluding blacklisted suppliers via
+    * NOT IN — the null-aware anti join shape (Catalyst plans a
+    * broadcast NAAJ; s_suppkey is non-null so semantics equal a plain
+    * anti join, but the gate pins the NOT IN rewrite path). Grouped
+    * count(DISTINCT) output is all-integer. */
+  val q16SupplierCnt: Q = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("part_q16")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q16")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_q16")
+    s.sql("""
+      SELECT p.p_brand, p.p_type, p.p_size,
+             count(DISTINCT l.l_suppkey) AS supplier_cnt
+      FROM lineitem_q16 l JOIN part_q16 p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand <> 'Brand#21' AND p.p_type <> 'PROMO'
+        AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier_q16
+                                WHERE s_acctbal < 0.0)
+      GROUP BY p.p_brand, p.p_type, p.p_size
+    """)
+  }
+
   /** Pivot (E16 adjacent): revenue matrix returnflag × linestatus. */
   val pivot: Q = (s, d) =>
     Tables.lineitem(s, d)

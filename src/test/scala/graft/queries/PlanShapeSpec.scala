@@ -186,6 +186,36 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("Q6 pure scan aggregate: all predicates push to parquet, no join") {
+    val p = plan(RelationalQueries.q6Forecast)
+    assert(p.contains("PushedFilters: ["), p.take(1500))
+    // the FileScan one-liner truncates the filter list mid-token —
+    // match the prefix that survives truncation
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), "shipdate pushed")
+    assert(!p.contains("Join"), "Q6 must not plan any join")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "partial+final aggregate")
+  }
+
+  test("Q16 NOT IN blacklist plans an anti join, never a nested loop " +
+      "over the fact table") {
+    val p = plan(RelationalQueries.q16SupplierCnt)
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // NOT IN rewrites to a null-aware anti join; the blacklist side is
+    // tiny and must broadcast (BroadcastNestedLoopJoin with buildSide
+    // LeftAnti-NAAJ or BroadcastHashJoin LeftAnti are both
+    // broadcast-shaped — what's forbidden is a shuffled NL or cartesian)
+    assert(p.contains("LeftAnti"), s"NOT IN must plan anti join:\n${p.take(1500)}")
+  }
+
+  test("Q9 profit tree: dims broadcast, only the orders join shuffles") {
+    val p = plan(RelationalQueries.q9Profit)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"),
+      "part/supplier/nation must broadcast")
+  }
+
   test("set-sim join: candidate self-join reuses the prefix exchange") {
     // the GATE now serves the persisted pair artifact (a bare scan), so
     // assert the plan shape on the operator itself — the artifact build
