@@ -1282,6 +1282,95 @@ object ScaleBench {
       results += (("mv_rewrite", tmv1, tmvN))
     }
 
+    // KS drift: orders ×N on both sides — count collapse is ×N work,
+    // the distinct-value table and bucket windows grow sublinearly
+    // (replicas collide on the same 2-dp prices)
+    {
+      def ksOf(o: DataFrame) = graft.operators.Drift.ks(
+        o.filter(col("o_orderdate") < "1998-01-01"),
+        o.filter(col("o_orderdate") >= "1998-01-01"),
+        "o_totalprice", v => floor(v / 1000.0))
+      val tks1 = time("ks_drift 1x")(noop(ksOf(ord1)))
+      val tksN = time(s"ks_drift ${factor}x")(noop(ksOf(ordN)))
+      results += (("ks_drift", tks1, tksN))
+    }
+
+    // retrieve-rerank: corpus ×N through stage-1 BM25; stage 2 still
+    // touches exactly 20 candidate vectors — rerank cost must be FLAT
+    {
+      def rrOf(d: DataFrame) = {
+        val cands = graft.operators.TextSearch.bm25(
+          d, "doc_id", "text", terms = Seq("scan", "join"))
+        val emb = graft.sources.Tables.embeddings(spark, sf)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("__qv"))
+        emb.join(broadcast(cands),
+            col("vec_id") === pmod(col("doc_id"), lit(500)))
+          .crossJoin(broadcast(qv))
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions
+              .cosineSim(col("__qv"), col("embedding")).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(10)
+      }
+      val trr1 = time("retrieve_rerank 1x")(noop(rrOf(docs1)))
+      val trrN = time(s"retrieve_rerank ${factor}x")(noop(rrOf(docsN)))
+      results += (("retrieve_rerank", trr1, trrN))
+    }
+
+    // Q9 profit tree: both fact tables ×N, dims fixed — the widest
+    // TPC-H join tree; dims must broadcast so cost tracks the fact scan
+    {
+      def q9Of(li: DataFrame, o: DataFrame) = {
+        li.createOrReplaceTempView("sb_li9")
+        o.createOrReplaceTempView("sb_o9")
+        graft.sources.Tables.part(spark, sf)
+          .createOrReplaceTempView("sb_p9")
+        graft.sources.Tables.supplier(spark, sf)
+          .createOrReplaceTempView("sb_s9")
+        graft.sources.Tables.nation(spark, sf)
+          .createOrReplaceTempView("sb_n9")
+        spark.sql("""
+          SELECT n.n_name, year(o.o_orderdate) AS y,
+                 sum(l.l_extendedprice * (1.0 - l.l_discount)
+                   - p.p_retailprice * l.l_quantity * 0.60) AS profit
+          FROM sb_li9 l
+          JOIN sb_p9 p ON p.p_partkey = l.l_partkey
+          JOIN sb_s9 s ON s.s_suppkey = l.l_suppkey
+          JOIN sb_o9 o ON o.o_orderkey = l.l_orderkey
+          JOIN sb_n9 n ON n.n_nationkey = s.s_nationkey
+          WHERE p.p_name LIKE '%gear%'
+          GROUP BY n.n_name, year(o.o_orderdate)""")
+      }
+      val tq91 = time("q9_profit_tree 1x")(noop(q9Of(li1, ord1)))
+      val tq9N = time(s"q9_profit_tree ${factor}x")(noop(q9Of(liN, ordN)))
+      results += (("q9_profit_tree", tq91, tq9N))
+    }
+
+    // Recursive CTE ancestor walk: supplier ×N — iterations grow only
+    // log(N) (tree depth), each a broadcast-joinable lookup
+    {
+      def recOf(sup: DataFrame) = {
+        sup.createOrReplaceTempView("sb_rec")
+        spark.sql("""
+          WITH RECURSIVE up (node, cur, depth) AS (
+            SELECT s_suppkey, s_suppkey, 0 FROM sb_rec
+            UNION ALL
+            SELECT u.node, s.s_suppkey, u.depth + 1
+            FROM up u JOIN sb_rec s ON s.s_suppkey = (u.cur - 1) div 2
+            WHERE u.cur > 0)
+          SELECT max(depth) AS d, count(*) AS n FROM up""")
+      }
+      val sup1 = graft.sources.Tables.supplier(spark, sf)
+      // dense re-key so the ×N tree stays one connected binary tree
+      val supN = sup1.crossJoin(
+          spark.range(factor).select(col("id").as("__rep")))
+        .select((col("s_suppkey") * factor + col("__rep"))
+          .as("s_suppkey"), col("s_acctbal"))
+      val trc1 = time("recursive_cte 1x")(noop(recOf(sup1)))
+      val trcN = time(s"recursive_cte ${factor}x")(noop(recOf(supN)))
+      results += (("recursive_cte", trc1, trcN))
+    }
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

@@ -321,6 +321,11 @@ object SparkEntry {
     "q12_priority_class" -> RelationalQueries.q12PriorityClass,
     "q14_promo" -> RelationalQueries.q14Promo,
     "q16_supplier_cnt" -> RelationalQueries.q16SupplierCnt,
+    "q_recursive_chain" -> RelationalQueries.recursiveChain,
+    "q_set_intersect_all" -> RelationalQueries.setIntersectAll,
+    "q_set_except_all" -> RelationalQueries.setExceptAll,
+    "q_retrieve_rerank" -> PipelineQueries.retrieveRerank,
+    "q_ks_drift" -> PipelineQueries.ksDrift,
   )
 
   private val docChunksSql = """
@@ -4026,5 +4031,103 @@ object SparkEntry {
         AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                 WHERE s_acctbal < 0.0)
       GROUP BY p.p_brand, p.p_type, p.p_size""",
+
+    // Recursive CTE: binary-tree ancestor walk on dense s_suppkey;
+    // path balances accumulate in DECIMAL (one exact addition per
+    // step, identical order in both engines).
+    "q_recursive_chain" -> """
+      WITH RECURSIVE up (node, cur, depth, path_bal) AS (
+        SELECT s_suppkey, s_suppkey, 0,
+               CAST(s_acctbal AS DECIMAL(18,2))
+        FROM supplier
+        UNION ALL
+        SELECT u.node, s.s_suppkey, u.depth + 1,
+               CAST(u.path_bal + CAST(s.s_acctbal AS DECIMAL(18,2))
+                    AS DECIMAL(18,2))
+        FROM up u JOIN supplier s
+          ON s.s_suppkey = (u.cur - 1) // 2
+        WHERE u.cur > 0)
+      SELECT node AS s_suppkey, depth::INT AS depth,
+             CAST(path_bal AS DOUBLE) AS path_bal
+      FROM up
+      WHERE cur = 0""",
+
+    // Multiset set ops: DuckDB runs INTERSECT ALL / EXCEPT ALL
+    // natively; both engines count survivors per key.
+    "q_set_intersect_all" -> """
+      SELECT k, count(*)::BIGINT AS n FROM (
+        SELECT l_suppkey AS k FROM lineitem
+        INTERSECT ALL
+        SELECT o_custkey AS k FROM orders WHERE o_custkey < 1000)
+      GROUP BY k""",
+
+    "q_set_except_all" -> """
+      SELECT k, count(*)::BIGINT AS n FROM (
+        SELECT o_custkey AS k FROM orders
+        EXCEPT ALL
+        SELECT l_suppkey AS k FROM lineitem WHERE l_suppkey < 1500)
+      GROUP BY k""",
+
+    // Two-stage retrieve-and-rerank: the BM25 CTE (same recipe as
+    // q_bm25_search) feeds an exact cosine re-rank against vec_id 0's
+    // embedding; top-10 on (rounded cos desc, doc_id).
+    "q_retrieve_rerank" -> """
+      WITH d AS (
+        SELECT doc_id, len(string_split(lower(text), ' '))::DOUBLE AS dl,
+               string_split(lower(text), ' ') AS toks
+        FROM documents),
+      stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+      tf AS (
+        SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+        WHERE tok IN ('scan', 'join') GROUP BY 1, 2, 3),
+      dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+      cands AS (
+        SELECT doc_id,
+               round(sum(idf * tf * 2.2 /
+                 (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+        FROM (SELECT t.doc_id, t.dl, t.tf, s.avgdl,
+                     ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1) AS idf
+              FROM tf t JOIN dfreq f USING (tok) CROSS JOIN stats s)
+        GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+      qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+      SELECT c.doc_id, c.bm25,
+             round(list_cosine_similarity(qv.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 6) AS cos
+      FROM cands c
+      JOIN embeddings e ON e.vec_id = c.doc_id
+      CROSS JOIN qv
+      ORDER BY cos DESC, c.doc_id LIMIT 10""",
+
+    // Two-sample KS: pooled distinct-value running CDFs; D and its
+    // argmax are exact (divisions of exact counts, max has no
+    // summation order). The oracle's one-task window is oracle-side
+    // only — the engine runs the bucketed two-phase form.
+    "q_ks_drift" -> """
+      WITH av AS (SELECT o_totalprice AS v FROM orders
+                  WHERE o_orderdate < '1998-01-01'),
+      bv AS (SELECT o_totalprice AS v FROM orders
+             WHERE o_orderdate >= '1998-01-01'),
+      ca AS (SELECT v, count(*)::BIGINT AS c FROM av GROUP BY 1),
+      cb AS (SELECT v, count(*)::BIGINT AS c FROM bv GROUP BY 1),
+      m AS (
+        SELECT coalesce(ca.v, cb.v) AS v,
+               coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+        FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+      cum AS (
+        SELECT v,
+               sum(c_a) OVER (ORDER BY v)::BIGINT AS cna,
+               sum(c_b) OVER (ORDER BY v)::BIGINT AS cnb
+        FROM m),
+      t AS (SELECT max(cna) AS n_a, max(cnb) AS n_b FROM cum),
+      diffs AS (
+        SELECT v, abs(cna::DOUBLE / t.n_a::DOUBLE
+                    - cnb::DOUBLE / t.n_b::DOUBLE) AS diff
+        FROM cum, t)
+      SELECT t.n_a::BIGINT AS n_a, t.n_b::BIGINT AS n_b,
+             (SELECT max(diff) FROM diffs) AS d_stat,
+             (SELECT min(v) FROM diffs
+              WHERE diff = (SELECT max(diff) FROM diffs)) AS d_value
+      FROM t""",
   )
 }

@@ -83,4 +83,75 @@ object Drift {
         first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
         round(sum(col("__term")), 6).as("psi"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between snapshots `a` and
+    * `b` on a numeric column: `D = max_v |F_a(v) − F_b(v)|` over the
+    * pooled empirical CDFs — the unbinned complement to [[psi]] (no
+    * bucket design needed, sensitive to any distributional change, and
+    * `√((n_a·n_b)/(n_a+n_b))·D` feeds the standard significance
+    * tables).
+    *
+    * Scale shape (the [[Sequence.assignGlobalSeq]] discipline): counts
+    * collapse to one row per DISTINCT value, the running CDFs are
+    * per-`bucket` windows plus a bucket-offset window that runs over
+    * bucket COUNTS (one row per bucket — the only unpartitioned window,
+    * trivial by construction). `bucket` must be a coarsening of the
+    * value order (e.g. `floor(v / 1000)`); skew bounds per-task sort
+    * size exactly as in assignGlobalSeq. Value rows never sort in one
+    * task.
+    *
+    * FP discipline: CDF values are single IEEE divisions of exact long
+    * counts — bit-identical cross-engine — and D is a max (no
+    * summation order), so the RAW statistic hashes. Empty snapshots
+    * raise in-plan (a 0-denominator KS is meaningless, not zero).
+    *
+    * @return one row: (n_a, n_b, d_stat, d_value) — d_value is the
+    *         smallest value achieving the max (deterministic argmax)
+    */
+  def ks(a: DataFrame, b: DataFrame, valueCol: String,
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, tag: String) =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("__v"))
+        .agg(count(lit(1)).as(s"__c$tag"))
+    val ca = counts(a, "a")
+    val cb = counts(b, "b").withColumnRenamed("__v", "__rv")
+    val merged = ca.join(cb, col("__v") === col("__rv"), "full_outer")
+      .select(coalesce(col("__v"), col("__rv")).as("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .withColumn("__bk", bucket(col("__v")))
+    // per-bucket totals → prefix offsets (the tiny unpartitioned window)
+    val wOff = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = merged.groupBy(col("__bk"))
+      .agg(sum("__ca").as("__ta"), sum("__cb").as("__tb"))
+      .withColumn("__oa", coalesce(sum(col("__ta")).over(wOff), lit(0L)))
+      .withColumn("__ob", coalesce(sum(col("__tb")).over(wOff), lit(0L)))
+      .select(col("__bk").as("__bk2"), col("__oa"), col("__ob"))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged.join(broadcast(offs), col("__bk") <=> col("__bk2"))
+      .select(col("__v"),
+        (col("__oa") + sum(col("__ca")).over(wIn)).as("__cuma"),
+        (col("__ob") + sum(col("__cb")).over(wIn)).as("__cumb"))
+    val totals = cum.groupBy()
+      .agg(max("__cuma").as("n_a"), max("__cumb").as("n_b"))
+      .select(
+        when(col("n_a") === 0 || col("n_b") === 0, raise_error(lit(
+          "Drift.ks: empty snapshot — the KS statistic needs both " +
+            "samples non-empty"))).otherwise(col("n_a")).as("n_a"),
+        col("n_b"))
+    cum.crossJoin(broadcast(totals))
+      .withColumn("__diff", abs(
+        col("__cuma").cast("double") / col("n_a").cast("double") -
+          col("__cumb").cast("double") / col("n_b").cast("double")))
+      .groupBy()
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(col("__diff")).as("d_stat"),
+        min_by(col("__v"), struct((-col("__diff")).as("nd"),
+          col("__v").as("v"))).as("d_value"))
+  }
 }

@@ -61,6 +61,48 @@ object PipelineQueries {
     TextSearch.bm25(Tables.documents(s, d), "doc_id", "text",
       terms = Seq("scan", "join"))
 
+  /** Two-sample KS drift ([[graft.operators.Drift.ks]]): order totals
+    * before vs during 1998 — the unbinned drift monitor next to
+    * q_corpus_drift's PSI. The running CDFs are per-bucket windows
+    * (price div 1000) + a bucket-offset window over bucket counts, so
+    * no value-row window is unpartitioned; D and its argmax are exact
+    * (single IEEE divisions of exact counts, max has no summation
+    * order). */
+  val ksDrift: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    graft.operators.Drift.ks(
+      o.filter(col("o_orderdate") < "1998-01-01"),
+      o.filter(col("o_orderdate") >= "1998-01-01"),
+      "o_totalprice", v => floor(v / 1000.0))
+  }
+
+  /** Two-stage retrieve-and-rerank (the production search shape): BM25
+    * lexical retrieval prunes the corpus to 20 candidates, then an
+    * exact cosine re-rank against the query embedding (vec_id 0)
+    * touches ONLY those candidates — stage 2 cost is O(k·dim)
+    * regardless of corpus size. The candidate set broadcasts into the
+    * embeddings join (the big side never shuffles) and the query
+    * vector rides a 1-row broadcast cross join; the final cut is a
+    * TakeOrderedAndProject on (rounded cosine desc, doc_id), a
+    * deterministic total order. The corpus-scale posture: stage 1 is
+    * the postings-pruned scan ([[TextSearch.bm25]]), stage 2 never
+    * sees more than k vectors. */
+  val retrieveRerank: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val cands = TextSearch.bm25(Tables.documents(s, d), "doc_id",
+      "text", terms = Seq("scan", "join"))
+    val emb = Tables.embeddings(s, d)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("__qv"))
+    emb.join(broadcast(cands), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(qvec))
+      .select(col("doc_id"), col("bm25"),
+        round(graft.functions.GraftFunctions
+          .cosineSim(col("__qv"), col("embedding")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** Benchmark decontamination: corpus docs sharing any 5-gram with the
     * "benchmark" docs (doc_id < 5). Runs the hashed tier (native
     * ngram_hashes kernel — no n-gram strings materialized); the DuckDB

@@ -863,6 +863,37 @@ object RelationalQueries {
     """)
   }
 
+  /** Recursive CTE (WITH RECURSIVE, new in Spark 4.x): hierarchy walk
+    * over the implicit binary tree on s_suppkey (parent = (k−1) div 2,
+    * root 0 — suppkeys are dense from 0, so every ancestor exists).
+    * Each supplier walks UP to the root carrying its depth and the
+    * DECIMAL-exact sum of account balances along the path; the
+    * terminal cur = 0 row is each node's answer. Iterations are
+    * bounded by tree depth (log₂ n — ~10 at sf0.1, ~27 at 100 TB), and
+    * every step is a broadcast-joinable equi lookup, so the fixpoint
+    * loop is shallow at any scale. The double cast happens on output
+    * only. */
+  val recursiveChain: Q = (s, d) => {
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_rec")
+    s.sql("""
+      WITH RECURSIVE up (node, cur, depth, path_bal) AS (
+        SELECT s_suppkey, s_suppkey, 0,
+               CAST(s_acctbal AS DECIMAL(18,2))
+        FROM supplier_rec
+        UNION ALL
+        SELECT u.node, s.s_suppkey, u.depth + 1,
+               CAST(u.path_bal + CAST(s.s_acctbal AS DECIMAL(18,2))
+                    AS DECIMAL(18,2))
+        FROM up u JOIN supplier_rec s
+          ON s.s_suppkey = (u.cur - 1) div 2
+        WHERE u.cur > 0)
+      SELECT node AS s_suppkey, depth,
+             CAST(path_bal AS DOUBLE) AS path_bal
+      FROM up
+      WHERE cur = 0
+    """)
+  }
+
   /** Pivot (E16 adjacent): revenue matrix returnflag × linestatus. */
   val pivot: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -1061,6 +1092,27 @@ object RelationalQueries {
   val setUnionAll: Q = (s, d) =>
     Tables.customer(s, d).select(col("c_custkey").as("k"))
       .unionAll(Tables.orders(s, d).select(col("o_custkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+
+  /** INTERSECT ALL (E23 multiset variant): per key, min(multiplicity
+    * left, multiplicity right) survivors — both sides genuinely
+    * duplicate-bearing (lineitem suppkeys vs low-key order custkeys).
+    * Plans as one hash aggregate per side + an equi join (no row
+    * explosion); counted per key so the gate output stays bounded. */
+  val setIntersectAll: Q = (s, d) =>
+    Tables.lineitem(s, d).select(col("l_suppkey").as("k"))
+      .intersectAll(Tables.orders(s, d)
+        .filter(col("o_custkey") < 1000)
+        .select(col("o_custkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+
+  /** EXCEPT ALL (E23 multiset variant): multiplicity subtraction —
+    * max(0, left − right) copies per key. */
+  val setExceptAll: Q = (s, d) =>
+    Tables.orders(s, d).select(col("o_custkey").as("k"))
+      .exceptAll(Tables.lineitem(s, d)
+        .filter(col("l_suppkey") < 1500)
+        .select(col("l_suppkey").as("k")))
       .groupBy("k").agg(count(lit(1)).as("n"))
 
   // ---- E24–E26: scalar function library ----------------------------------

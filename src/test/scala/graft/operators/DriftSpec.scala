@@ -51,6 +51,52 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("psi") - math.log(3.0)) < 1e-6)
   }
 
+  test("KS matches the hand-computed closed form, argmax deterministic") {
+    // a = {1,2,3,4}, b = {3,4,5,6}: Fa = (.25,.5,.75,1,1,1),
+    // Fb = (0,0,.25,.5,.75,1) at v=1..6 → diff = (.25,.5,.5,.5,.25,0)
+    // D = 0.5, first achieved at v = 2
+    val a = Seq(1, 2, 3, 4).toDF("v")
+    val b = Seq(3, 4, 5, 6).toDF("v")
+    val r = Drift.ks(a, b, "v", x => floor(x / lit(2))).head()
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 4)
+    assert(r.getAs[Double]("d_stat") == 0.5)
+    assert(r.getAs[Int]("d_value") == 2)
+  }
+
+  test("KS: identical samples give D = 0; disjoint give D = 1") {
+    val a = Seq(1, 2, 3).toDF("v")
+    assert(Drift.ks(a, a, "v", identity).head()
+      .getAs[Double]("d_stat") == 0.0)
+    val b = Seq(10, 11).toDF("v")
+    assert(Drift.ks(a, b, "v", identity).head()
+      .getAs[Double]("d_stat") == 1.0)
+  }
+
+  test("KS: result is bucket-choice-invariant") {
+    val a = Seq(1, 5, 9, 13, 42).toDF("v")
+    val b = Seq(2, 5, 40, 41).toDF("v")
+    val fine = Drift.ks(a, b, "v", identity).head()
+    val coarse = Drift.ks(a, b, "v", x => floor(x / lit(10))).head()
+    assert(fine.getAs[Double]("d_stat") == coarse.getAs[Double]("d_stat"))
+    assert(fine.getAs[Int]("d_value") == coarse.getAs[Int]("d_value"))
+  }
+
+  test("KS: empty snapshot raises in-plan; value windows stay bucketed") {
+    val a = Seq(1, 2).toDF("v")
+    val ex = intercept[Exception] {
+      Drift.ks(a, a.filter(col("v") > 99), "v", identity).collect()
+    }
+    assert(ex.getMessage.contains("empty snapshot"))
+    // every window over VALUE rows must be bucket-partitioned; the only
+    // unpartitioned windows run over bucket/total aggregates
+    val p = Drift.ks(a, a, "v", x => floor(x / lit(2)))
+      .queryExecution.executedPlan.toString
+    val valueWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(__v"))
+    valueWindows.foreach(l => assert(l.contains("__bk"),
+      s"value-row window must be bucket-partitioned: $l"))
+  }
+
   test("groups are independent; shifted group flags, stable group does not") {
     val a = (Seq.fill(20)(("s", 0)) ++ Seq.fill(20)(("m", 0))).toDF("grp", "bk")
     val b = (Seq.fill(20)(("s", 0)) ++ Seq.fill(20)(("m", 5))).toDF("grp", "bk")
