@@ -326,6 +326,8 @@ object SparkEntry {
     "q_set_except_all" -> RelationalQueries.setExceptAll,
     "q_retrieve_rerank" -> PipelineQueries.retrieveRerank,
     "q_ks_drift" -> PipelineQueries.ksDrift,
+    "q_stream_drift" ->
+      ((s, d) => streaming.StreamOps.streamDrift(s, d)),
   )
 
   private val docChunksSql = """
@@ -4129,5 +4131,35 @@ object SparkEntry {
              (SELECT min(v) FROM diffs
               WHERE diff = (SELECT max(diff) FROM diffs)) AS d_value
       FROM t""",
+
+    // Streaming drift: per-day bucket histograms vs the first day's,
+    // PSI formula mirrored term for term (smoothing 1 over the union
+    // bucket set per window), rounded 6dp (transcendental ln).
+    "q_stream_drift" -> """
+      WITH c AS (
+        SELECT date_trunc('day', ts) AS wstart,
+               floor(value / 50)::BIGINT AS bk, count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2),
+      base AS (SELECT bk, cnt FROM c
+               WHERE wstart = (SELECT min(wstart) FROM c)),
+      a AS (SELECT w.wstart, b.bk, b.cnt
+            FROM (SELECT DISTINCT wstart FROM c) w CROSS JOIN base b),
+      m AS (
+        SELECT coalesce(a.wstart, c.wstart) AS wstart,
+               coalesce(a.bk, c.bk) AS bk,
+               coalesce(a.cnt, 0)::BIGINT AS ca,
+               coalesce(c.cnt, 0)::BIGINT AS cb
+        FROM a FULL OUTER JOIN c
+          ON a.wstart = c.wstart AND a.bk = c.bk),
+      t AS (SELECT wstart, count(*)::BIGINT AS nb,
+                   sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS ncb
+            FROM m GROUP BY 1)
+      SELECT m.wstart, t.nb AS n_buckets, t.na AS n_a, t.ncb AS n_b,
+             round(sum(((m.ca + 1.0) / (t.na + 1.0 * t.nb)
+                      - (m.cb + 1.0) / (t.ncb + 1.0 * t.nb))
+                 * ln(((m.ca + 1.0) / (t.na + 1.0 * t.nb))
+                    / ((m.cb + 1.0) / (t.ncb + 1.0 * t.nb)))), 6) AS psi
+      FROM m JOIN t USING (wstart)
+      GROUP BY m.wstart, t.nb, t.na, t.ncb""",
   )
 }

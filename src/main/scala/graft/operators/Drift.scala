@@ -38,20 +38,36 @@ object Drift {
     */
   def psi(a: DataFrame, b: DataFrame, groupCols: Seq[String],
       bucketCol: String, smoothing: Double = 1.0): DataFrame = {
+    def counts(df: DataFrame) =
+      df.groupBy((groupCols.map(col) :+ col(bucketCol).as("__bk")): _*)
+        .agg(count(lit(1)).as("__cnt"))
+    psiFromCounts(counts(a), counts(b), groupCols, "__bk", "__cnt",
+      smoothing)
+  }
+
+  /** PSI from pre-aggregated (group, bucket, count) tables — the core
+    * behind [[psi]], exposed for callers that already hold histograms
+    * (a streaming windowed state snapshot, a stored profile): the
+    * snapshots themselves never have to be re-scanned. Inputs carry
+    * `groupCols ++ (bucketCol, cntCol)`; semantics and FP discipline
+    * are exactly [[psi]]'s. */
+  def psiFromCounts(aCounts: DataFrame, bCounts: DataFrame,
+      groupCols: Seq[String], bucketCol: String, cntCol: String,
+      smoothing: Double = 1.0): DataFrame = {
     require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
     val g = groupCols.map(col)
-    def counts(df: DataFrame, tag: String) =
-      df.groupBy((g :+ col(bucketCol).as("__bk")): _*)
-        .agg(count(lit(1)).as(s"__c$tag"))
+    def norm(df: DataFrame, tag: String) =
+      df.select((g :+ col(bucketCol).as("__bk")
+        :+ col(cntCol).cast("long").as(s"__c$tag")): _*)
     // null-safe full outer on (group, bucket): a null group key (or null
     // bucket) present in both snapshots must merge into ONE bucket row —
     // plain equality would split it and double-count toward n_buckets
     val keys = groupCols :+ "__bk"
-    val ca = counts(a, "a")
+    val ca = norm(aCounts, "a")
     // rename the right side's keys up front: psi(df, df, …) is a legal
     // self-compare, and unrenamed ca(k)<=>cb(k) trips Spark's
     // ambiguous-self-join detection
-    val cb = keys.foldLeft(counts(b, "b")) {
+    val cb = keys.foldLeft(norm(bCounts, "b")) {
       (d, k) => d.withColumnRenamed(k, s"__r_$k") }
     val cond = keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
     val joined = ca.join(cb, cond, "full_outer")

@@ -187,6 +187,38 @@ object StreamOps {
     runToMemory(spark, streamDistinctPlan(spark, dir),
       OutputMode.Complete())
 
+  /** Streaming drift monitor: the per-day value-bucket HISTOGRAM rides
+    * windowed streaming state (one count per (window, bucket) — the
+    * state is already the drift monitor's input), and the drift READ
+    * compares each window's histogram to the FIRST window's via
+    * [[graft.operators.Drift.psiFromCounts]] — no event is ever
+    * rescanned for the comparison, the whole PSI computation runs over
+    * (windows × buckets) rows. The production deployment runs the same
+    * read in foreachBatch against a stored baseline profile; same
+    * state-retention note as [[streamDistinctPlan]] (the finite-replay
+    * gate uses Complete mode; Append/Update evicts closed windows). */
+  def streamDriftPlan(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"),
+        floor(col("value") / 50.0).cast("long").as("bk"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("wstart"), col("bk"), col("cnt"))
+
+  def streamDrift(spark: SparkSession, dir: String): DataFrame = {
+    val wc = runToMemory(spark, streamDriftPlan(spark, dir),
+      OutputMode.Complete())
+    val first = wc.select(min("wstart").as("__w0"))
+    val base = wc.join(broadcast(first), col("wstart") === col("__w0"))
+      .select(col("bk"), col("cnt"))
+    // the baseline histogram expands per window — (windows × buckets)
+    // rows, both tiny by construction
+    val aCounts = wc.select("wstart").distinct()
+      .crossJoin(broadcast(base))
+    graft.operators.Drift.psiFromCounts(aCounts, wc,
+      Seq("wstart"), "bk", "cnt")
+  }
+
   /** Sliding 1 h window, 30 min hop (E29). */
   def slidingPlan(spark: SparkSession, dir: String): DataFrame =
     replayEvents(spark, dir)
