@@ -12,12 +12,13 @@ class PatternsSpec extends SparkSpec {
   private def ts(minute: Long) = new Timestamp(minute * 60000L)
 
   private def run(events: Seq[(String, Long, Long, String)],
-      pattern: Seq[String], gapUs: Option[Long] = None) =
+      pattern: Seq[String], gapUs: Option[Long] = None,
+      reAnchor: Boolean = false) =
     Patterns.matchSequence(
         events.toDF("u", "min", "id", "t")
           .selectExpr("u", "timestamp_millis(min * 60000) AS ts",
             "id", "t"),
-        "u", "ts", "id", "t", pattern, gapUs)
+        "u", "ts", "id", "t", pattern, gapUs, reAnchor)
       .select("u", "n_matches")
       .as[(String, Long)].collect().toMap
 
@@ -42,6 +43,40 @@ class PatternsSpec extends SparkSpec {
     assert(run(ev, Seq("a", "b"),
       Some(10L * 60 * 1000000)) === Map("u" -> 0L))
     assert(run(ev, Seq("a", "b")) === Map("u" -> 2L))
+  }
+
+  test("reAnchor: the stale-anchor restart case completes; default " +
+      "greedy still misses it; spans stay non-overlapping") {
+    val gap = Some(10L * 60 * 1000000) // 10 min
+    // the ADVICE scenario: a@0 arms; a@200 arrives mid-pattern (not
+    // consumed, remembered under reAnchor); b@205 fails the gap vs the
+    // stale a@0 but fits a@200
+    val ev = Seq(
+      ("u", 0L, 1L, "a"), ("u", 200L, 2L, "a"), ("u", 205L, 3L, "b"))
+    assert(run(ev, Seq("a", "b"), gap) === Map("u" -> 0L))
+    assert(run(ev, Seq("a", "b"), gap, reAnchor = true) === Map("u" -> 1L))
+    // latest start wins: a@0, a@100, a@200, b@205 — restart from a@200
+    val ev2 = ("u", 100L, 9L, "a") +: ev
+    assert(run(ev2, Seq("a", "b"), gap, reAnchor = true) === Map("u" -> 1L))
+    // 3-step pattern: re-anchored match continues to completion
+    val ev3 = Seq(
+      ("u", 0L, 1L, "a"), ("u", 200L, 2L, "a"),
+      ("u", 205L, 3L, "b"), ("u", 210L, 4L, "c"))
+    assert(run(ev3, Seq("a", "b", "c"), gap) === Map("u" -> 0L))
+    assert(run(ev3, Seq("a", "b", "c"), gap,
+      reAnchor = true) === Map("u" -> 1L))
+    // the remembered anchor clears on completion: a@0 b@5 completes,
+    // the a@3 seen mid-match cannot seed an overlapping second match
+    val ev4 = Seq(
+      ("u", 0L, 1L, "a"), ("u", 3L, 2L, "a"), ("u", 5L, 3L, "b"),
+      ("u", 30L, 4L, "b"))
+    assert(run(ev4, Seq("a", "b"), gap, reAnchor = true) === Map("u" -> 1L))
+    // reAnchor changes nothing when the primary never goes stale
+    val ev5 = Seq(
+      ("u", 0L, 1L, "a"), ("u", 1L, 2L, "x"), ("u", 2L, 3L, "b"),
+      ("u", 3L, 4L, "a"), ("u", 4L, 5L, "b"))
+    assert(run(ev5, Seq("a", "b"), gap, reAnchor = true) ===
+      run(ev5, Seq("a", "b"), gap))
   }
 
   test("gap measured per step, not whole pattern") {
