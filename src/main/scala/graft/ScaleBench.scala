@@ -1282,6 +1282,28 @@ object ScaleBench {
       results += (("mv_rewrite", tmv1, tmvN))
     }
 
+    // seasonal decomposition: events ×N under ×N distinct keys (type
+    // suffixed per replica) — the daily pre-agg is the ×N work, the
+    // per-key series stay 30 rows and ride their key partitions
+    {
+      val ev0 = graft.sources.Tables.events(spark, sf)
+      val evS = ev0.crossJoin(
+          spark.range(factor).select(col("id").as("__rep")))
+        .withColumn("event_type",
+          concat(col("event_type"), lit("_"), col("__rep")))
+      def decOf(e: DataFrame) = {
+        val daily = e.groupBy(col("event_type"),
+            to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        graft.operators.TimeSeries.decompose(
+            daily, "event_type", "day", "n", 7)
+          .groupBy().agg(count(lit(1)).as("rows"), sum("residual"))
+      }
+      val tdc1 = time("seasonal_decomp 1x")(noop(decOf(ev0)))
+      val tdcN = time(s"seasonal_decomp ${factor}x")(noop(decOf(evS)))
+      results += (("seasonal_decomp", tdc1, tdcN))
+    }
+
     // KS drift: orders ×N on both sides — count collapse is ×N work,
     // the distinct-value table and bucket windows grow sublinearly
     // (replicas collide on the same 2-dp prices)

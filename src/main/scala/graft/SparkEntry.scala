@@ -328,6 +328,7 @@ object SparkEntry {
     "q_ks_drift" -> PipelineQueries.ksDrift,
     "q_stream_drift" ->
       ((s, d) => streaming.StreamOps.streamDrift(s, d)),
+    "q_seasonal_decompose" -> PipelineQueries.seasonalDecompose,
   )
 
   private val docChunksSql = """
@@ -4161,5 +4162,34 @@ object SparkEntry {
                     / ((m.cb + 1.0) / (t.ncb + 1.0 * t.nb)))), 6) AS psi
       FROM m JOIN t USING (wstart)
       GROUP BY m.wstart, t.nb, t.na, t.ncb""",
+
+    // Seasonal decomposition: trend raw (integer-frame sums under one
+    // division), seasonal/residual rounded 6dp (small-denominator
+    // rationals cannot land on a 6dp half-grid point).
+    "q_seasonal_decompose" -> """
+      WITH daily AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               count(*)::DOUBLE AS v
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, day, v,
+                   (day - DATE '1970-01-01') AS di FROM daily),
+      t AS (
+        SELECT *, count(*) OVER w AS n,
+               CASE WHEN count(*) OVER w = 7
+                    THEN sum(v) OVER w / count(*) OVER w END AS trend,
+               di % 7 AS phase
+        FROM b
+        WINDOW w AS (PARTITION BY event_type ORDER BY di
+                     RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      sr AS (SELECT event_type, phase, avg(v - trend) AS sraw
+             FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
+      sc AS (SELECT s.event_type, s.phase, s.sraw - m.smean AS seas
+             FROM sr s JOIN (SELECT event_type, avg(sraw) AS smean
+                             FROM sr GROUP BY 1) m USING (event_type))
+      SELECT t.event_type, t.day, t.v AS value, t.n::BIGINT AS n_frame,
+             t.trend, round(sc.seas, 6) AS seasonal,
+             round(t.v - t.trend - sc.seas, 6) AS residual
+      FROM t LEFT JOIN sc
+        ON sc.event_type = t.event_type AND sc.phase = t.phase""",
   )
 }

@@ -159,6 +159,65 @@ object TimeSeries {
       .withColumn("slot_start", timestamp_micros(col("slot") * us))
   }
 
+  /** Additive seasonal decomposition (STL-lite): value = trend +
+    * seasonal + residual over a regular per-key series — the classic
+    * monitoring read on daily metric counts (is today's drop seasonal
+    * or real?).
+    *
+    *  - trend: centered moving average over a full `period`-slot
+    *    window (RANGE frame on the slot index, so missing slots shrink
+    *    the count and the full-window requirement nulls the edge —
+    *    a ROWS frame would silently average across gaps);
+    *  - seasonal: per (key, slot mod period) mean of the detrended
+    *    series, centered to zero mean so trend keeps the level;
+    *  - residual: value − trend − seasonal.
+    *
+    * Plan: ONE per-key window pass (RANGE frame), a (key, phase)
+    * aggregate of at most `period` rows per key, a per-key centering
+    * aggregate, two broadcast joins back. Series length per key rides
+    * the key's partition; nothing is driver-side.
+    *
+    * FP discipline: trend is a single division of exact integer-frame
+    * sums when `valCol` is integral (ship raw); seasonal/residual sum
+    * doubles across rows → rounded 6dp, safe because the values are
+    * rationals with small non-10-aligned denominators (they cannot
+    * land on a 6dp half-grid point — the NOTES boundary argument).
+    *
+    * @param slotCol a DATE column, one row per (key, slot)
+    * @return (key, slot, value, n_frame, trend, seasonal, residual) */
+  def decompose(df: DataFrame, keyCol: String, slotCol: String,
+      valCol: String, period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd >= 3 (centered window): $period")
+    val half = period / 2
+    val base = df.select(col(keyCol), col(slotCol),
+      col(valCol).cast("double").as("__v"),
+      datediff(col(slotCol), lit("1970-01-01")).as("__di"))
+    val wT = Window.partitionBy(keyCol).orderBy(col("__di"))
+      .rangeBetween(-half, half)
+    val withTrend = base
+      .withColumn("__n", count(lit(1)).over(wT))
+      .withColumn("trend", when(col("__n") === period,
+        sum(col("__v")).over(wT) / col("__n")))
+      .withColumn("__phase", pmod(col("__di"), lit(period)))
+    val seasRaw = withTrend.filter(col("trend").isNotNull)
+      .groupBy(col(keyCol).as("__k"), col("__phase").as("__p"))
+      .agg(avg(col("__v") - col("trend")).as("__sraw"))
+    val seasCentered = seasRaw
+      .groupBy("__k").agg(avg("__sraw").as("__smean"))
+      .join(seasRaw, "__k")
+      .select(col("__k"), col("__p"),
+        (col("__sraw") - col("__smean")).as("__seas"))
+    withTrend.join(broadcast(seasCentered),
+        col(keyCol) === col("__k") && col("__phase") === col("__p"),
+        "left")
+      .select(col(keyCol), col(slotCol), col("__v").as("value"),
+        col("__n").as("n_frame"), col("trend"),
+        round(col("__seas"), 6).as("seasonal"),
+        round(col("__v") - col("trend") - col("__seas"), 6)
+          .as("residual"))
+  }
+
   /** Rolling z-score anomaly flags: each observation scored against the
     * mean/std of its own key's TRAILING window (current row excluded —
     * an anomaly must not dilute its own baseline), the standard online

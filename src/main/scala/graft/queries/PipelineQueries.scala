@@ -61,6 +61,20 @@ object PipelineQueries {
     TextSearch.bm25(Tables.documents(s, d), "doc_id", "text",
       terms = Seq("scan", "join"))
 
+  /** Additive seasonal decomposition
+    * ([[graft.operators.TimeSeries.decompose]]) of daily event counts
+    * per event type, weekly period: trend (centered 7-day average,
+    * raw — exact integer-frame sums under one division), seasonal
+    * (zero-centered per-phase mean of the detrended series) and
+    * residual, both rounded 6dp. */
+  val seasonalDecompose: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    graft.operators.TimeSeries.decompose(
+      daily, "event_type", "day", "n", period = 7)
+  }
+
   /** Two-sample KS drift ([[graft.operators.Drift.ks]]): order totals
     * before vs during 1998 — the unbinned drift monitor next to
     * q_corpus_drift's PSI. The running CDFs are per-bucket windows

@@ -142,4 +142,59 @@ class TimeSeriesSpec extends SparkSpec {
     val (nfB, zB, flagB) = got(("B", 106L))
     assert(nfB === 5L && zB.isEmpty && !flagB)
   }
+
+  test("decompose recovers a planted weekly signal exactly") {
+    import java.sql.Date
+    // 21 days, value = 100 + seasonal(phase): phase 0 -> +6, else -1
+    // (zero-mean). Interior trend = 100 exactly (each full 7-day frame
+    // covers every phase once), seasonal = planted, residual = 0.
+    val rows = (0 until 21).map { di =>
+      val s = if (di % 7 == 0) 6.0 else -1.0
+      ("k", Date.valueOf(java.time.LocalDate.ofEpochDay(di.toLong)),
+        100.0 + s)
+    }
+    val got = TimeSeries.decompose(
+        rows.toDF("k", "day", "v"), "k", "day", "v", period = 7)
+      .orderBy("day").collect()
+    assert(got.length == 21)
+    got.zipWithIndex.foreach { case (r, di) =>
+      val nFrame = r.getAs[Long]("n_frame")
+      if (di < 3 || di > 17) {
+        assert(nFrame < 7 && r.isNullAt(r.fieldIndex("trend")) &&
+          r.isNullAt(r.fieldIndex("residual")),
+          s"edge day $di must have null trend: $r")
+      } else {
+        val want = if (di % 7 == 0) 6.0 else -1.0
+        assert(nFrame == 7 && r.getAs[Double]("trend") == 100.0 &&
+          r.getAs[Double]("seasonal") == want &&
+          r.getAs[Double]("residual") == 0.0, s"day $di: $r")
+      }
+    }
+  }
+
+  test("decompose: a slot gap nulls nearby trends instead of " +
+      "averaging across the hole") {
+    import java.sql.Date
+    val rows = (0 until 21).filterNot(_ == 10).map { di =>
+      ("k", Date.valueOf(java.time.LocalDate.ofEpochDay(di.toLong)), 1.0)
+    }
+    val got = TimeSeries.decompose(
+        rows.toDF("k", "day", "v"), "k", "day", "v", period = 7)
+      .collect().map(r => java.time.LocalDate
+        .parse(r.getAs[Date]("day").toString).toEpochDay.toInt ->
+        Option(r.getAs[Any]("trend"))).toMap
+    // days 7..13 have day 10 inside their frame -> n_frame 6 -> null
+    (7 to 13).filterNot(_ == 10).foreach(di =>
+      assert(got(di).isEmpty, s"day $di frame spans the gap"))
+    assert(got(5).isDefined && got(15).isDefined)
+  }
+
+  test("decompose rejects even periods") {
+    import java.sql.Date
+    val df = Seq(("k", Date.valueOf("2024-01-01"), 1.0))
+      .toDF("k", "day", "v")
+    intercept[IllegalArgumentException] {
+      TimeSeries.decompose(df, "k", "day", "v", period = 6)
+    }
+  }
 }
