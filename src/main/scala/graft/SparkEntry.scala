@@ -329,6 +329,7 @@ object SparkEntry {
     "q_stream_drift" ->
       ((s, d) => streaming.StreamOps.streamDrift(s, d)),
     "q_seasonal_decompose" -> PipelineQueries.seasonalDecompose,
+    "q_lpa_planted" -> PipelineQueries.lpaPlanted,
   )
 
   private val docChunksSql = """
@@ -4191,5 +4192,18 @@ object SparkEntry {
              round(t.v - t.trend - sc.seas, 6) AS residual
       FROM t LEFT JOIN sc
         ON sc.event_type = t.event_type AND sc.phase = t.phase""",
+
+    // LPA planted: two triangles + one bridge + an isolated pair —
+    // the bridge's single vote loses to each triangle's majority, so
+    // the triangles keep separate labels (components would merge
+    // 0..12); closed-form 3-round convergence, hand-derived.
+    "q_lpa_planted" -> """
+      SELECT * FROM (VALUES
+        (0::BIGINT, 0::BIGINT), (1::BIGINT, 0::BIGINT),
+        (2::BIGINT, 0::BIGINT),
+        (10::BIGINT, 10::BIGINT), (11::BIGINT, 10::BIGINT),
+        (12::BIGINT, 10::BIGINT),
+        (20::BIGINT, 20::BIGINT), (21::BIGINT, 20::BIGINT))
+        AS t(node, label)""",
   )
 }

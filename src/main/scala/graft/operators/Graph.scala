@@ -253,6 +253,70 @@ object Graph {
     degrees(e)
   }
 
+  /** Synchronous label-propagation communities (LPA, Raghavan et al.
+    * 2007, made deterministic): labels seed with node ids; each round
+    * every node adopts the most frequent label among its neighbors
+    * PLUS its own current label (the self-vote), ties broken toward
+    * the smallest label. Unlike [[connectedComponents]], density wins
+    * over mere reachability — two cliques joined by one bridge edge
+    * keep separate labels, because the bridge's single vote loses to
+    * the clique majority.
+    *
+    * Determinism: synchronous rounds + the (count desc, label asc)
+    * argmax make each labeling a pure function of the previous one —
+    * no RNG, no visit order (the published algorithm's asynchronous
+    * random order is what we trade away). The self-vote removes the
+    * classic two-node oscillation of synchronous LPA (a tied vote
+    * keeps the node's own smaller label instead of swapping); the loop
+    * stops the first round nothing changes and fails LOUDLY at
+    * `maxRounds` instead of returning a half-converged labeling —
+    * synchronous LPA has no general convergence theorem, so the cap
+    * is the contract.
+    *
+    * Scale shape: per round one (edge ⋈ labels) id-pair shuffle + a
+    * (node, label) count — the PageRank cost model; checkpoint per
+    * round truncates lineage.
+    *
+    * @return (node, label) — nodes sharing a label form a community
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String,
+      dstCol: String, maxRounds: Int = 20,
+      numPartitions: Option[Int] = None): DataFrame = {
+    def clamp(df: DataFrame): DataFrame =
+      numPartitions.map(df.repartition(_)).getOrElse(df)
+    val canon = canonicalEdges(edges, srcCol, dstCol)
+    val und = clamp(canon.unionByName(
+        canon.select(col("b").as("a"), col("a").as("b"))))
+      .localCheckpoint()
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0) {
+      val neighborVotes = und
+        .join(labels, col("b") === col("node"))
+        .select(col("a"), col("label"))
+      val votes = neighborVotes
+        .unionByName(labels.select(col("node").as("a"), col("label")))
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val next = votes.groupBy(col("a").as("node"))
+        .agg(min_by(col("label"),
+          struct((-col("c")).as("nc"), col("label").as("l")))
+          .as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("node"), col("label").as("__old")),
+          "node")
+        .filter(col("label") =!= col("__old")).count()
+      labels = next
+      round += 1
+    }
+    require(changed == 0,
+      s"label propagation did not converge in $maxRounds rounds")
+    labels
+  }
+
   /** [[pageRank]] with the output rounded for cross-engine gating (the
     * iterated double recurrence is deterministic per engine; rounding
     * absorbs last-bit libm/ordering drift the way the planted-gate tier

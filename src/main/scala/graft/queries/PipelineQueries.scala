@@ -629,6 +629,22 @@ object PipelineQueries {
       numPartitions = Some(4))
   }
 
+  /** LPA communities, planted gate (round 9): two triangles joined by
+    * ONE bridge edge (2–10) plus an isolated pair. Unlike
+    * [[componentsPlanted]]'s reachability semantics, the bridge's
+    * single vote loses to each triangle's majority, so the two
+    * triangles KEEP separate labels — the closed-form convergence
+    * (hand-derived, 3 synchronous rounds) is the oracle. */
+  val lpaPlanted: Q = (s, d) => {
+    val s_ = s; import s_.implicits._
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (2L, 10L), (20L, 21L)).toDF("src", "dst")
+      .repartition(4)
+    graft.operators.Graph.labelPropagation(edges, "src", "dst",
+      numPartitions = Some(4))
+  }
+
   /** SCD2 history (round 5): three derived snapshots — v2 rewrites every
     * 5th doc and drops every 7th, v3 (built ON v2) rewrites every 3rd
     * and drops every 11th — folded into validity intervals. Covers

@@ -133,4 +133,40 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) == ((1L, 1L, 1L, 2L)), "2: out {3}, in {1} twice")
     assert(got(3L) == ((0L, 2L, 0L, 2L)), "3: pure sink")
   }
+
+  test("LPA: bridge loses to clique majority; components would merge") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (2L, 10L), (20L, 21L)).toDF("src", "dst")
+    val lpa = Graph.labelPropagation(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // the contrast that makes LPA a different operator: components
+    // reachability merges the bridged triangles into ONE label
+    val cc = Graph.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(10L) == 0L && cc(12L) == 0L, s"components must merge: $cc")
+  }
+
+  test("LPA: self-vote kills the two-node oscillation; K2,2 converges") {
+    val single = Seq((5L, 9L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(single, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(5L -> 5L, 9L -> 5L))
+    val k22 = Seq((0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L))
+      .toDF("src", "dst")
+    val got22 = Graph.labelPropagation(k22, "src", "dst")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got22 == Set(0L), s"K2,2 must flood to 0: $got22")
+  }
+
+  test("LPA fails loudly when the round cap is hit") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 10L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.labelPropagation(edges, "src", "dst", maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }
