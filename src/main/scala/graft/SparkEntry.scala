@@ -330,6 +330,7 @@ object SparkEntry {
       ((s, d) => streaming.StreamOps.streamDrift(s, d)),
     "q_seasonal_decompose" -> PipelineQueries.seasonalDecompose,
     "q_lpa_planted" -> PipelineQueries.lpaPlanted,
+    "q_jaro_winkler" -> PipelineQueries.jaroWinklerPairs,
   )
 
   private val docChunksSql = """
@@ -4205,5 +4206,13 @@ object SparkEntry {
         (12::BIGINT, 10::BIGINT),
         (20::BIGINT, 20::BIGINT), (21::BIGINT, 20::BIGINT))
         AS t(node, label)""",
+
+    // Jaro-Winkler: the engine kernel's semantics are pinned to this
+    // builtin (empty->0, window max/2-1, boost only past 0.7).
+    "q_jaro_winkler" -> """
+      WITH n AS (SELECT DISTINCT p_name FROM part)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      FROM n a JOIN n b ON a.p_name < b.p_name""",
   )
 }

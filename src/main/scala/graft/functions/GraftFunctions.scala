@@ -105,6 +105,7 @@ object GraftFunctions {
         s"utf8_normalize expects a string-literal form, got $other")
     })),
     "strip_accents" -> (es => StripAccents(es(0))),
+    "jaro_winkler" -> (es => JaroWinkler(es(0), es(1))),
     "deflate_len" -> (es => DeflateLen(es(0))),
     "misra_gries" -> (es => MisraGries(es(0),
       intArg(es(1), "misra_gries")).toAggregateExpression()),
@@ -220,6 +221,8 @@ object GraftFunctions {
   /** Tokens minus the SORTED 0-based positions, one linear merge. */
   def purgePositions(toks: Column, sortedPos: Column): Column =
     call_function("purge_positions", toks, sortedPos)
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("jaro_winkler", a, b)
   /** JL ±1 projection: signs is the flat outDim×inDim matrix. */
   def randProject(vec: Column, signs: Column, outDim: Int): Column =
     call_function("rand_project", vec, signs,

@@ -61,6 +61,24 @@ object PipelineQueries {
     TextSearch.bm25(Tables.documents(s, d), "doc_id", "text",
       terms = Seq("scan", "join"))
 
+  /** Jaro–Winkler name matching ([[graft.functions.JaroWinkler]], a
+    * codegen kernel whose semantics are pinned to DuckDB's builtin):
+    * all distinct part-name pairs scored — the record-linkage metric
+    * complementing the Levenshtein tier. 64 distinct names → 2016
+    * pairs; at scale the same kernel rides [[SetSimJoin]]-style
+    * blocked candidates, never all-pairs. Rounded 6dp (small-
+    * denominator rationals, boundary-free). */
+  val jaroWinklerPairs: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val names = Tables.part(s, d).select(col("p_name")).distinct()
+    val a = names.select(col("p_name").as("name_a"))
+    val b = names.select(col("p_name").as("name_b"))
+    a.join(b, col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        round(graft.functions.GraftFunctions
+          .jaroWinkler(col("name_a"), col("name_b")), 6).as("jw"))
+  }
+
   /** Additive seasonal decomposition
     * ([[graft.operators.TimeSeries.decompose]]) of daily event counts
     * per event type, weekly period: trend (centered 7-day average,
