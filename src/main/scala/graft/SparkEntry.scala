@@ -331,6 +331,7 @@ object SparkEntry {
     "q_seasonal_decompose" -> PipelineQueries.seasonalDecompose,
     "q_lpa_planted" -> PipelineQueries.lpaPlanted,
     "q_jaro_winkler" -> PipelineQueries.jaroWinklerPairs,
+    "q_cusum_shift" -> PipelineQueries.cusumShift,
   )
 
   private val docChunksSql = """
@@ -4214,5 +4215,35 @@ object SparkEntry {
       SELECT a.p_name AS name_a, b.p_name AS name_b,
              round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
       FROM n a JOIN n b ON a.p_name < b.p_name""",
+
+    // CUSUM: recursive-CTE replay of the identical chained
+    // max(0, s + ((x - mu) - k)) recurrence — raw doubles hash.
+    "q_cusum_shift" -> """
+      WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               count(*)::DOUBLE AS n
+        FROM events GROUP BY 1, 2),
+      base AS (
+        SELECT event_type, sum(n) / 7.0 AS mu
+        FROM daily WHERE day < DATE '2024-01-08' GROUP BY 1),
+      idx AS (
+        SELECT d.event_type, d.day, d.n, b.mu,
+               row_number() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.day) AS i
+        FROM daily d JOIN base b USING (event_type)),
+      walk AS (
+        SELECT event_type, day, n, mu, i,
+               greatest(0.0, 0.0 + (n - mu - 2.0)) AS s_pos,
+               greatest(0.0, 0.0 + (mu - n - 2.0)) AS s_neg
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT x.event_type, x.day, x.n, x.mu, x.i,
+               greatest(0.0, w.s_pos + (x.n - x.mu - 2.0)),
+               greatest(0.0, w.s_neg + (x.mu - x.n - 2.0))
+        FROM walk w JOIN idx x
+          ON x.event_type = w.event_type AND x.i = w.i + 1)
+      SELECT event_type, day, n AS value, s_pos, s_neg,
+             (s_pos > 25.0 OR s_neg > 25.0) AS alarm
+      FROM walk""",
   )
 }

@@ -159,6 +159,64 @@ object TimeSeries {
       .withColumn("slot_start", timestamp_micros(col("slot") * us))
   }
 
+  /** Two-sided CUSUM change-point detection (Page 1954) over a per-key
+    * series — the sequential shift monitor the seasonal/zscore family
+    * can't express: `S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − μ − slack))`,
+    * `S⁻ᵢ = max(0, S⁻ᵢ₋₁ + (μ − xᵢ − slack))`, alarm when either
+    * exceeds `threshold`. μ is the per-key baseline (caller-supplied
+    * column, e.g. the first week's mean); slack (the allowance k)
+    * absorbs noise, threshold h sets sensitivity.
+    *
+    * A sequential recurrence no window frame expresses — solved as the
+    * [[emaFeatures]] shape: ONE groupBy(key) shuffle, in-row
+    * `array_sort` + `aggregate` fold, explode back. Chained double
+    * arithmetic in a fixed op order, so the DuckDB recursive-CTE
+    * oracle replays it bit-identically (the EMA precedent) and RAW
+    * statistics hash.
+    *
+    * @param muCol per-key baseline mean column (present on every row)
+    * @return (key, slot, value, s_pos, s_neg, alarm) */
+  def cusum(df: DataFrame, keyCol: String, slotCol: String,
+      valCol: String, muCol: String, slack: Double, threshold: Double,
+      maxEventsPerKey: Int = 1 << 20): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0: $slack")
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    val collected = df
+      .select(col(keyCol), col(muCol).cast("double").as("__mu"),
+        struct(col(slotCol).as("s"), col(valCol).cast("double").as("v"))
+          .as("__e"))
+      .groupBy(keyCol)
+      .agg(first(col("__mu")).as("__mu"),
+        sort_array(collect_list(col("__e"))).as("__es"))
+      .withColumn("__es", when(size(col("__es")) > maxEventsPerKey,
+        raise_error(concat(
+          lit("cusum: key "), col(keyCol).cast("string"),
+          lit(s" exceeds $maxEventsPerKey rows in one in-row fold; " +
+            "pre-aggregate to a coarser slot grain"))))
+        .otherwise(col("__es")))
+    val outType = "array<struct<s:" +
+      df.select(col(slotCol)).schema.head.dataType.sql + ",v:double," +
+      "s_pos:double,s_neg:double>>"
+    val zero = struct(lit(0.0).as("sp"), lit(0.0).as("sn"),
+      array().cast(outType.toLowerCase).as("out"))
+    val folded = aggregate(col("__es"), zero, (st, e) => {
+      val sp = greatest(lit(0.0), st.getField("sp") +
+        (e.getField("v") - col("__mu") - slack))
+      val sn = greatest(lit(0.0), st.getField("sn") +
+        (col("__mu") - e.getField("v") - slack))
+      struct(sp.as("sp"), sn.as("sn"),
+        concat(st.getField("out"), array(struct(
+          e.getField("s").as("s"), e.getField("v").as("v"),
+          sp.as("s_pos"), sn.as("s_neg")))).as("out"))
+    })
+    collected
+      .select(col(keyCol), explode(folded.getField("out")).as("__o"))
+      .select(col(keyCol), col("__o.s").as(slotCol),
+        col("__o.v").as("value"), col("__o.s_pos"), col("__o.s_neg"),
+        (col("__o.s_pos") > threshold || col("__o.s_neg") > threshold)
+          .as("alarm"))
+  }
+
   /** Additive seasonal decomposition (STL-lite): value = trend +
     * seasonal + residual over a regular per-key series — the classic
     * monitoring read on daily metric counts (is today's drop seasonal

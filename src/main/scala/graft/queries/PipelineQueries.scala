@@ -61,6 +61,28 @@ object PipelineQueries {
     TextSearch.bm25(Tables.documents(s, d), "doc_id", "text",
       terms = Seq("scan", "join"))
 
+  /** CUSUM change-point detection
+    * ([[graft.operators.TimeSeries.cusum]]): daily event counts per
+    * type against each type's first-week mean (an exact sum of
+    * integer counts under ONE division — bit-identical cross-engine),
+    * slack 2, threshold 25. The chained max(0, ·+·) recurrence runs
+    * as the in-row fold; the DuckDB oracle replays it as a recursive
+    * CTE in the same op order, so RAW statistics hash (the EMA
+    * precedent). */
+  val cusumShift: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val base = daily.filter(col("day") < "2024-01-08")
+      .groupBy(col("event_type").as("__k"))
+      .agg((sum("n") / 7.0).as("mu"))
+    val withMu = daily
+      .join(broadcast(base), col("event_type") === col("__k"))
+      .drop("__k")
+    graft.operators.TimeSeries.cusum(withMu, "event_type", "day", "n",
+      "mu", slack = 2.0, threshold = 25.0)
+  }
+
   /** Jaro–Winkler name matching ([[graft.functions.JaroWinkler]], a
     * codegen kernel whose semantics are pinned to DuckDB's builtin):
     * all distinct part-name pairs scored — the record-linkage metric

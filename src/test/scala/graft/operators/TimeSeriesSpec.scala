@@ -197,4 +197,36 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.decompose(df, "k", "day", "v", period = 6)
     }
   }
+
+  test("cusum: planted level shift alarms at the accumulation point, " +
+      "stable series never alarms, reset after dip") {
+    import java.sql.Date
+    def day(i: Int) = Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong))
+    // mu = 10, slack 1, threshold 5: values 10,10,14,14,14,6,10
+    // s_pos: 0,0,3,6(alarm),9(alarm),4,3 (decays by 5 then 1, no
+    // hard reset); s_neg rises to 3 on the dip, decays to 2
+    val rows = Seq(10.0, 10.0, 14.0, 14.0, 14.0, 6.0, 10.0)
+      .zipWithIndex.map { case (v, i) => ("k", day(i), v, 10.0) }
+    val got = TimeSeries.cusum(
+        rows.toDF("k", "day", "v", "mu"), "k", "day", "v", "mu",
+        slack = 1.0, threshold = 5.0)
+      .orderBy("day").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (0.0, 0.0, false), (0.0, 0.0, false), (3.0, 0.0, false),
+      (6.0, 0.0, true), (9.0, 0.0, true), (4.0, 3.0, false),
+      (3.0, 2.0, false)), got.toSeq.toString)
+  }
+
+  test("cusum: hot key fails loudly") {
+    import java.sql.Date
+    val rows = (0 until 10).map(i =>
+      ("k", Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong)),
+        1.0, 1.0))
+    val ex = intercept[Exception] {
+      TimeSeries.cusum(rows.toDF("k", "day", "v", "mu"),
+        "k", "day", "v", "mu", 1.0, 5.0, maxEventsPerKey = 4).collect()
+    }
+    assert(ex.getMessage.contains("exceeds 4"))
+  }
 }
