@@ -332,6 +332,7 @@ object SparkEntry {
     "q_lpa_planted" -> PipelineQueries.lpaPlanted,
     "q_jaro_winkler" -> PipelineQueries.jaroWinklerPairs,
     "q_cusum_shift" -> PipelineQueries.cusumShift,
+    "q_calibration" -> PipelineQueries.calibrationReport,
   )
 
   private val docChunksSql = """
@@ -4245,5 +4246,57 @@ object SparkEntry {
       SELECT event_type, day, n AS value, s_pos, s_neg,
              (s_pos > 25.0 OR s_neg > 25.0) AS alarm
       FROM walk""",
+
+    // Calibration: same scoring chain as q_quality_classifier, then
+    // equal-width bins on the ROUNDED score; conf sums in
+    // DECIMAL(10,6) (exact rationals), conf/acc/gap raw.
+    "q_calibration" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents),
+      cells AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('tf_' || tok), 1, 8))::BIGINT % 64
+                 AS cell,
+               count(*)::BIGINT AS c
+        FROM toks WHERE tok <> '' GROUP BY 1, 2),
+      m AS (
+        SELECT doc_id,
+               map_from_entries(list(struct_pack(k := cell, v := c))) AS mp
+        FROM cells GROUP BY doc_id),
+      tf AS (
+        SELECT doc_id,
+               list_transform(range(0, 64),
+                 i -> coalesce(map_extract(mp, i)[1], 0)::BIGINT) AS v
+        FROM m),
+      w AS (
+        SELECT list_transform(range(0, 64),
+          i -> (i * 2654435761) % 1000 - 500) AS wv),
+      scored AS (
+        SELECT doc_id,
+               list_sum(v)::BIGINT AS n_tokens,
+               list_sum(list_transform(range(1, 65),
+                 i -> v[i] * wv[i]))::BIGINT AS dot
+        FROM tf CROSS JOIN w),
+      sc AS (
+        SELECT s.doc_id,
+               round(1.0 / (1.0 + exp(-(dot::DOUBLE
+                 / (1000.0 * n_tokens)))), 6) AS score,
+               (d.lang = 'en') AS is_en
+        FROM scored s JOIN documents d USING (doc_id)
+        WHERE n_tokens > 0)
+      SELECT least(floor(score * 10), 9)::INT AS bin,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+             CAST(sum(CAST(score AS DECIMAL(10,6))) AS DOUBLE)
+               / count(*) AS conf,
+             sum(CASE WHEN is_en THEN 1 ELSE 0 END)::DOUBLE
+               / count(*) AS acc,
+             abs(CAST(sum(CAST(score AS DECIMAL(10,6))) AS DOUBLE)
+                   / count(*)
+                 - sum(CASE WHEN is_en THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*)) AS gap
+      FROM sc GROUP BY 1""",
   )
 }

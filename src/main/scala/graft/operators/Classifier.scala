@@ -56,4 +56,38 @@ object Classifier {
         (lit(1.0) / (lit(1.0) + exp(-col("logit"))) >= threshold)
           .as("keep"))
   }
+
+  /** Calibration report (reliability diagram): equal-width score bins
+    * with per-bin count, positive rate, mean confidence, and the
+    * |confidence − accuracy| gap — `ECE = Σ_b (n_b/N)·gap_b` over the
+    * output rows. One partial-agg pass; nothing driver-side.
+    *
+    * Exactness contract: `scoreCol` must be the 6dp-ROUNDED score (as
+    * [[linearScore]] ships) — the DECIMAL(10,6) cast then recovers the
+    * exact rational k/10⁶, so the per-bin confidence sum is
+    * order-independent and `conf`/`acc`/`gap` are each ONE IEEE
+    * division/subtraction of exact quantities (ship raw, the NOTES
+    * taxonomy). Binning multiplies the same doubles in both engines,
+    * so the floor is deterministic even when a rounded score sits at a
+    * bin edge's binary neighborhood.
+    *
+    * @return (bin, n, n_pos, conf, acc, gap), bin ∈ [0, bins) */
+  def calibration(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    scored.select(
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int")
+          .as("bin"),
+        col(scoreCol).cast("decimal(10,6)").as("__s"),
+        col(labelCol).cast("boolean").as("__l"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__s")).as("__ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("__ssum").cast("double") / col("n")).as("conf"),
+        (col("n_pos").cast("double") / col("n")).as("acc"),
+        abs(col("__ssum").cast("double") / col("n") -
+          col("n_pos").cast("double") / col("n")).as("gap"))
+  }
 }

@@ -61,6 +61,22 @@ object PipelineQueries {
     TextSearch.bm25(Tables.documents(s, d), "doc_id", "text",
       terms = Seq("scan", "join"))
 
+  /** Classifier calibration ([[graft.operators.Classifier.calibration]]):
+    * reliability-diagram bins of the quality classifier's rounded
+    * scores against a deterministic label (lang = 'en'). Per-bin conf
+    * sums run in DECIMAL(10,6) over the exact rounded rationals;
+    * conf/acc/gap ship raw (one division each). */
+  val calibrationReport: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = graft.operators.Classifier.linearScore(
+      docs, "doc_id", "text", dim = 64,
+      weights = graft.operators.Classifier.hashWeights(64))
+    val labeled = scored.join(
+      docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+      "doc_id")
+    graft.operators.Classifier.calibration(labeled, "score", "is_en")
+  }
+
   /** CUSUM change-point detection
     * ([[graft.operators.TimeSeries.cusum]]): daily event counts per
     * type against each type's first-week mean (an exact sum of
