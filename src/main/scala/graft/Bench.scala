@@ -108,6 +108,8 @@ object Bench {
       () => graft.sources.Layout.bucketedOrdersWithCustomers(spark, sfDir))
     prebuild("q_zonemap_prune",
       () => { graft.sources.Layout.clusteredEventsDir(spark, sfDir); () })
+    prebuild("q_bloom_prune",
+      () => { graft.sources.Layout.bloomIndexedEventsDir(spark, sfDir); () })
     prebuild("q_mv_rewrite",
       () => graft.queries.PipelineQueries.ensureMvRewriteArtifacts(spark, sfDir))
 

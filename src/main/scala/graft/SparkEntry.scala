@@ -333,6 +333,7 @@ object SparkEntry {
     "q_jaro_winkler" -> PipelineQueries.jaroWinklerPairs,
     "q_cusum_shift" -> PipelineQueries.cusumShift,
     "q_calibration" -> PipelineQueries.calibrationReport,
+    "q_bloom_prune" -> SourceQueries.bloomPrune,
   )
 
   private val docChunksSql = """
@@ -4298,5 +4299,12 @@ object SparkEntry {
                  - sum(CASE WHEN is_en THEN 1 ELSE 0 END)::DOUBLE
                    / count(*)) AS gap
       FROM sc GROUP BY 1""",
+
+    // Bloom skip is result-invisible (residual isin keeps exactness);
+    // the oracle is the plain point-lookup.
+    "q_bloom_prune" -> """
+      SELECT event_id, user_id, event_type, value
+      FROM events
+      WHERE event_id IN (7, 999, 4242, 8888, 123456789)""",
   )
 }

@@ -149,4 +149,16 @@ object SourceQueries {
       .agg(count(lit(1)).as("n"),
         Exact.sumMoney(col("value")).as("total"),
         countDistinct("user_id").as("n_users"))
+
+  /** Bloom-sidecar file skipping (round 9,
+    * [[graft.sources.Layout.bloomPrunedEvents]]): point lookups on
+    * event_id over a HASH-distributed layout — the case zone maps
+    * can't skip (no clustering). One ~16 KB filter per file plans the
+    * scan driver-side; a Bloom false positive costs an extra file
+    * read, never a wrong row, so the oracle is the plain IN query. One
+    * probe id (123456789) is deliberately absent. */
+  val bloomPrune: Q = (s, d) =>
+    graft.sources.Layout.bloomPrunedEvents(s, d,
+        Seq(7L, 999L, 4242L, 8888L, 123456789L))
+      .select("event_id", "user_id", "event_type", "value")
 }

@@ -176,4 +176,60 @@ object Layout {
       else s.read.parquet(keep.toIndexedSeq: _*)
     base.filter(col("user_id").between(lo, hi))
   }
+
+  // Bloom sidecar sizing — shared between build and probe (a mismatch
+  // would silently probe the wrong bit positions)
+  private val bloomBits = 1 << 17
+  private val bloomK = 3
+
+  /** Events re-laid-out for BLOOM skipping on `event_id` — the
+    * point-lookup complement to [[clusteredEventsDir]]'s zone maps:
+    * zone maps need the column clustered/sorted, a Bloom sidecar
+    * skips files for high-cardinality point probes on data in ANY
+    * order (here: hash-distributed, the worst case for zones). One
+    * ~16 KB filter per file, built once at write time (Iceberg/Delta
+    * keep the same thing in manifest metadata; parquet footers carry
+    * optional bloom filters per column chunk). */
+  def bloomIndexedEventsDir(s: SparkSession, d: String,
+      files: Int = 16): String = {
+    graft.functions.GraftFunctions.register(s)
+    val dir = Paths.get(Artifacts.cacheDir,
+      "events_bloomidx_" + keyOf(new java.io.File(d).getCanonicalPath,
+        files.toString, bloomBits.toString, bloomK.toString))
+    val marker = dir.resolve("_built")
+    val fp = fingerprint(Tables.events(s, d), "event_id")
+    if (!isFresh(marker, fp)) {
+      Tables.events(s, d)
+        .repartition(files, col("event_id"))
+        .write.mode("overwrite").parquet(dir.resolve("data").toString)
+      s.read.parquet(dir.resolve("data").toString)
+        .groupBy(input_file_name().as("file"))
+        .agg(graft.functions.GraftFunctions
+          .bloomAgg(col("event_id"), bloomBits, bloomK).as("bf"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dir.resolve("bloom").toString)
+      Files.write(marker, fp.getBytes("UTF-8")) // commit point
+    }
+    dir.toString
+  }
+
+  /** Events whose `event_id` is in `ids`, read ONLY from files whose
+    * Bloom filter may contain at least one probe id (driver-side scan
+    * planning over the ≤ `files`-row sidecar, the zone-map
+    * discipline). False positives cost an extra file read, never a
+    * wrong row — the residual `isin` keeps exactness. */
+  def bloomPrunedEvents(s: SparkSession, d: String,
+      ids: Seq[Long]): DataFrame = {
+    require(ids.nonEmpty, "bloomPrunedEvents needs at least one probe id")
+    val dir = bloomIndexedEventsDir(s, d)
+    val mayContain = ids.map(id => graft.functions.GraftFunctions
+        .bloomContains(col("bf"), lit(id), bloomBits, bloomK))
+      .reduce(_ || _)
+    val keep = s.read.parquet(s"$dir/bloom")
+      .filter(mayContain).select("file").collect().map(_.getString(0))
+    val base =
+      if (keep.isEmpty) s.read.parquet(s"$dir/data").filter(lit(false))
+      else s.read.parquet(keep.toIndexedSeq: _*)
+    base.filter(col("event_id").isin(ids: _*))
+  }
 }

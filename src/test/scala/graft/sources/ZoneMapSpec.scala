@@ -31,4 +31,27 @@ class ZoneMapSpec extends SparkSpec {
     assert(touched < total,
       s"narrow range touched $touched of $total files — no skipping")
   }
+
+  test("bloom sidecar: point probe reads fewer files, stays lossless, " +
+      "absent id returns nothing") {
+    val full = Tables.events(spark, sf)
+    for (ids <- Seq(Seq(7L), Seq(7L, 400L, 999L), Seq(123456789L))) {
+      val got = Layout.bloomPrunedEvents(spark, sf, ids)
+        .select("event_id")
+      val want = full.filter(col("event_id").isin(ids: _*))
+        .select("event_id")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"bloom pruning diverged on $ids")
+    }
+    // skipping evidence: one probe id may-contain in far fewer files
+    // than the layout holds (16 files, per-file FP rate ~3e-6)
+    val dir = Layout.bloomIndexedEventsDir(spark, sf)
+    val sidecar = spark.read.parquet(s"$dir/bloom")
+    val total = sidecar.count()
+    assert(total > 1, "layout should hold multiple files")
+    val touched = sidecar.filter(graft.functions.GraftFunctions
+      .bloomContains(col("bf"), lit(7L), 1 << 17, 3)).count()
+    assert(touched < total,
+      s"probe touched $touched of $total files - no skipping")
+  }
 }
