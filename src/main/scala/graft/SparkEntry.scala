@@ -334,6 +334,9 @@ object SparkEntry {
     "q_cusum_shift" -> PipelineQueries.cusumShift,
     "q_calibration" -> PipelineQueries.calibrationReport,
     "q_bloom_prune" -> SourceQueries.bloomPrune,
+    "q_agg_filter" -> RelationalQueries.aggFilter,
+    "q_stream_ivm" ->
+      ((s, d) => streaming.StreamOps.streamIvm(s, d)),
   )
 
   private val docChunksSql = """
@@ -4306,5 +4309,33 @@ object SparkEntry {
       SELECT event_id, user_id, event_type, value
       FROM events
       WHERE event_id IN (7, 999, 4242, 8888, 123456789)""",
+
+    "q_agg_filter" -> """
+      SELECT o_orderpriority,
+             count(*)::BIGINT AS n,
+             (count(*) FILTER (WHERE o_orderstatus = 'F'))::BIGINT
+               AS n_finished,
+             (count(DISTINCT o_custkey)
+               FILTER (WHERE o_orderdate >= '1997-01-01'))::BIGINT
+               AS n_recent_custs,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_totalprice > 100000.0) AS DOUBLE)
+               AS big_total
+      FROM orders
+      GROUP BY o_orderpriority""",
+
+    // Streaming IVM: the q_incremental_distinct multiset on the %4
+    // order subset, applied across three microbatches.
+    "q_stream_ivm" -> """
+      WITH post AS (
+        SELECT o_orderpriority, o_custkey
+        FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderpriority, o_custkey + 900000000
+        FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 17 = 0)
+      SELECT o_orderpriority,
+             count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+             count(*)::BIGINT AS n_rows
+      FROM post GROUP BY o_orderpriority""",
   )
 }

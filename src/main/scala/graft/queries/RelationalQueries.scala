@@ -863,6 +863,28 @@ object RelationalQueries {
     """)
   }
 
+  /** Aggregate FILTER clause (SQL:2003; E13/E16 surface completion):
+    * conditional aggregates without CASE scaffolding — each FILTER
+    * predicate evaluates inside the same partial-agg pass, so the
+    * plan is identical to the CASE form (one scan, one shuffle).
+    * Money sums decimal-exact. */
+  val aggFilter: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_af")
+    s.sql("""
+      SELECT o_orderpriority,
+             count(*) AS n,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+             count(DISTINCT o_custkey)
+               FILTER (WHERE o_orderdate >= '1997-01-01')
+               AS n_recent_custs,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_totalprice > 100000.0) AS DOUBLE)
+               AS big_total
+      FROM orders_af
+      GROUP BY o_orderpriority
+    """)
+  }
+
   /** Recursive CTE (WITH RECURSIVE, new in Spark 4.x): hierarchy walk
     * over the implicit binary tree on s_suppkey (parent = (k−1) div 2,
     * root 0 — suppkeys are dense from 0, so every ancestor exists).

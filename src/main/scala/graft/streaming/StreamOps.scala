@@ -627,6 +627,41 @@ object StreamOps {
     sink.current(spark).get
   }
 
+  /** Streaming COUNT(DISTINCT) IVM ([[StreamIvm]]): three microbatches
+    * of signed order deltas — full insert, the %13 deletes, the %17
+    * offset-custkey twins — fold into the persisted multiplicity
+    * state batch by batch; the gate reads exact per-priority distinct
+    * counts off the final committed state. Same post-delta multiset
+    * as q_incremental_distinct, restricted to the %4 order subset so
+    * the driver-side fixture stays small at every SF. */
+  def streamIvm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val o = graft.sources.Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 4 === 0)
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val b0 = o.toSeq.map { case (_, p, c) => (p, c, 1) }
+    val b1 = o.toSeq.filter(_._1 % 13 == 0)
+      .map { case (_, p, c) => (p, c, -1) }
+    val b2 = o.toSeq.filter(_._1 % 17 == 0)
+      .map { case (_, p, c) => (p, c + 900000000L, 1) }
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft_sivm").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sivm_ckpt").toString
+    val sink = new StreamIvm(baseDir, Seq("o_orderpriority"),
+      "o_custkey", "op")
+    val input = MemoryStream[(String, Long, Int)]
+    val q = input.toDF().toDF("o_orderpriority", "o_custkey", "op")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(sink.write _).start()
+    try Seq(b0, b1, b2).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    sink.counts(spark).get
+  }
+
   /** Streaming temporal enrichment ([[graft.operators.TemporalJoin]]
     * per microbatch): the replayed event stream point-in-time joined
     * against a STATIC SCD2 dimension inside foreachBatch — the
