@@ -337,6 +337,8 @@ object SparkEntry {
     "q_agg_filter" -> RelationalQueries.aggFilter,
     "q_stream_ivm" ->
       ((s, d) => streaming.StreamOps.streamIvm(s, d)),
+    "q_time_travel" ->
+      ((s, d) => streaming.StreamOps.timeTravel(s, d)),
   )
 
   private val docChunksSql = """
@@ -4337,5 +4339,42 @@ object SparkEntry {
              count(DISTINCT o_custkey)::BIGINT AS n_distinct,
              count(*)::BIGINT AS n_rows
       FROM post GROUP BY o_orderpriority""",
+
+    // Time travel: each committed version's state rebuilt closed-form
+    // (v0 all, v1 after %5 updates + %7 deletes, v2 the final state),
+    // digested with the manifest recipe (order-independent bit_xor).
+    "q_time_travel" -> """
+      WITH v0 AS (
+        SELECT doc_id, 'd ' || md5(doc_id::VARCHAR) AS text
+        FROM documents),
+      v1 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                      THEN 'd ' || md5(doc_id::VARCHAR) || ' u2'
+                    ELSE 'd ' || md5(doc_id::VARCHAR) END AS text
+        FROM documents WHERE doc_id % 7 <> 0),
+      v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                      THEN 'd ' || md5(doc_id::VARCHAR) || ' u3'
+                    WHEN doc_id % 5 = 0
+                      THEN 'd ' || md5(doc_id::VARCHAR) || ' u2'
+                    ELSE 'd ' || md5(doc_id::VARCHAR) END AS text
+        FROM documents
+        WHERE doc_id % 11 <> 0 AND (doc_id % 7 <> 0 OR doc_id % 3 = 0))
+      SELECT 0::BIGINT AS version, count(*)::BIGINT AS n_rows,
+             bit_xor(('0x' || substr(md5(doc_id::VARCHAR || chr(1)
+               || chr(3) || text), 1, 15))::BIGINT) AS digest
+      FROM v0
+      UNION ALL
+      SELECT 1::BIGINT, count(*)::BIGINT,
+             bit_xor(('0x' || substr(md5(doc_id::VARCHAR || chr(1)
+               || chr(3) || text), 1, 15))::BIGINT)
+      FROM v1
+      UNION ALL
+      SELECT 2::BIGINT, count(*)::BIGINT,
+             bit_xor(('0x' || substr(md5(doc_id::VARCHAR || chr(1)
+               || chr(3) || text), 1, 15))::BIGINT)
+      FROM v2""",
   )
 }

@@ -627,6 +627,47 @@ object StreamOps {
     sink.current(spark).get
   }
 
+  /** Time travel over the [[StreamUpsert]] snapshot store: the same
+    * three CDC microbatches as [[streamUpsert]], then ONE
+    * order-independent manifest digest per committed version
+    * ([[graft.operators.ManifestDigest]] at buckets = 1) — "what did
+    * the corpus look like after batch N" answered from immutable
+    * committed snapshots, no log replay. The oracle rebuilds each
+    * version's state closed-form and reproduces the digest. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = graft.sources.Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head.getLong(0) + 1
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def base(i: Long) = "d " + md5hex(i.toString)
+    val ids = 0L until n
+    val b0 = ids.map(i => (i, base(i), false))
+    val b1 = ids.filter(_ % 5 == 0).map(i => (i, base(i) + " u2", false)) ++
+      ids.filter(_ % 7 == 0).map(i => (i, "", true))
+    val b2 = ids.filter(_ % 3 == 0).map(i => (i, base(i) + " u3", false)) ++
+      ids.filter(_ % 11 == 0).map(i => (i, "", true))
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft_ttravel").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ttravel_ckpt").toString
+    val sink = new StreamUpsert(baseDir, "doc_id", "is_delete")
+    val input = MemoryStream[(Long, String, Boolean)]
+    val q = input.toDF().toDF("doc_id", "text", "is_delete")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(sink.write _).start()
+    try Seq(b0, b1, b2).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    sink.versions().map { v =>
+      graft.operators.ManifestDigest
+        .manifest(sink.at(spark, v), "doc_id", Seq("text"), buckets = 1)
+        .select(lit(v).as("version"), col("n_rows"), col("digest"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Streaming COUNT(DISTINCT) IVM ([[StreamIvm]]): three microbatches
     * of signed order deltas — full insert, the %13 deletes, the %17
     * offset-custkey twins — fold into the persisted multiplicity

@@ -52,6 +52,21 @@ final class StreamUpsert(baseDir: String, idCol: String,
     committedVersions().lastOption.map(v =>
       spark.read.parquet(s"$baseDir/snapshot_$v"))
 
+  /** All committed versions, ascending — the time-travel axis. */
+  def versions(): Seq[Long] = committedVersions()
+
+  /** Snapshot AS OF a committed version (time travel): every committed
+    * `snapshot_V` is immutable once its marker exists, so historical
+    * reads are plain parquet scans — the lakehouse time-travel
+    * contract falls out of the marker protocol for free. Loud on an
+    * uncommitted version rather than serving a half-written write. */
+  def at(spark: SparkSession, version: Long): DataFrame = {
+    require(committedVersions().contains(version),
+      s"version $version is not committed " +
+        s"(committed: ${committedVersions().mkString(",")})")
+    spark.read.parquet(s"$baseDir/snapshot_$version")
+  }
+
   /** foreachBatch body: `writer.foreachBatch(sink.write _)`. */
   def write(batch: DataFrame, batchId: Long): Unit = {
     if (Files.exists(marker(batchId))) return // replayed — exactly-once

@@ -65,4 +65,25 @@ class StreamUpsertSpec extends SparkSpec {
     assert(sink.current(spark).get.as[(Long, String)]
       .collect().toSet === Set((7L, "x")))
   }
+
+  test("time travel: committed versions are immutable and readable; " +
+      "uncommitted versions are loud") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("supsert_tt").toString
+    val sink = new StreamUpsert(dir, "id", "del")
+    sink.write(Seq((1L, "a", false), (2L, "b", false))
+      .toDF("id", "text", "del"), 0L)
+    sink.write(Seq((2L, "b2", false), (1L, "", true))
+      .toDF("id", "text", "del"), 1L)
+    assert(sink.versions() == Seq(0L, 1L))
+    val v0 = sink.at(spark, 0L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v0 === Map(1L -> "a", 2L -> "b"), "v0 must be unchanged by v1")
+    val v1 = sink.at(spark, 1L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 === Map(2L -> "b2"))
+    val ex = intercept[IllegalArgumentException] { sink.at(spark, 7L) }
+    assert(ex.getMessage.contains("not committed"))
+  }
 }
