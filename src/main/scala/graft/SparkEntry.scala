@@ -339,6 +339,7 @@ object SparkEntry {
       ((s, d) => streaming.StreamOps.streamIvm(s, d)),
     "q_time_travel" ->
       ((s, d) => streaming.StreamOps.timeTravel(s, d)),
+    "q_entity_resolution" -> PipelineQueries.entityResolution,
   )
 
   private val docChunksSql = """
@@ -4376,5 +4377,28 @@ object SparkEntry {
              bit_xor(('0x' || substr(md5(doc_id::VARCHAR || chr(1)
                || chr(3) || text), 1, 15))::BIGINT)
       FROM v2""",
+
+    // Entity resolution: the oracle replays the full pipeline — JW
+    // candidate scoring with the builtin, transitive closure as a
+    // recursive CTE (UNION dedup bounds it), canonical = min reachable
+    // name. Cluster labels are names, so no numeric ids appear.
+    "q_entity_resolution" -> """
+      WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+      e AS (
+        SELECT a.p_name AS x, b.p_name AS y
+        FROM n a JOIN n b ON a.p_name < b.p_name
+        WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.93),
+      ee AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+      reach (src, dst) AS (
+        SELECT p_name, p_name FROM n
+        UNION
+        SELECT r.src, ee.y FROM reach r JOIN ee ON ee.x = r.dst),
+      comp AS (
+        SELECT src AS p_name, min(dst) AS canonical
+        FROM reach GROUP BY 1)
+      SELECT c.p_name, c.canonical, z.cluster_size
+      FROM comp c
+      JOIN (SELECT canonical, count(*)::BIGINT AS cluster_size
+            FROM comp GROUP BY 1) z USING (canonical)""",
   )
 }

@@ -61,6 +61,42 @@ object PipelineQueries {
     TextSearch.bm25(Tables.documents(s, d), "doc_id", "text",
       terms = Seq("scan", "join"))
 
+  /** End-to-end entity resolution (composition flagship): candidate
+    * pairs over distinct part names scored with the
+    * [[graft.functions.JaroWinkler]] kernel (threshold 0.93 keeps the
+    * semantic "cold X" ↔ "old X" merges and rejects the 0.90 tier),
+    * transitive match clusters via [[graft.operators.Graph]] min-label
+    * components over md5-derived numeric ids, canonical = the
+    * cluster's MINIMUM name (string order — id-free, so the DuckDB
+    * oracle replays the whole pipeline including the closure as a
+    * recursive CTE). Unmatched names are their own singleton cluster.
+    * At scale the all-pairs stage is replaced by [[SetSimJoin]]-style
+    * blocked candidates; scoring, closure, and canonicalization are
+    * unchanged. */
+  val entityResolution: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val names = Tables.part(s, d).select("p_name").distinct()
+    val withId = names.withColumn("nid",
+      conv(substring(md5(col("p_name")), 1, 15), 16, 10).cast("long"))
+    val a = withId.select(col("p_name").as("na"), col("nid").as("ida"))
+    val b = withId.select(col("p_name").as("nb"), col("nid").as("idb"))
+    val matches = a.join(b, col("na") < col("nb"))
+      .filter(graft.functions.GraftFunctions
+        .jaroWinkler(col("na"), col("nb")) >= 0.93)
+      .select(col("ida").as("src"), col("idb").as("dst"))
+    val comps = graft.operators.Graph
+      .connectedComponents(matches, "src", "dst")
+    val labeled = withId
+      .join(comps, col("nid") === col("node"), "left")
+      .select(col("p_name"),
+        coalesce(col("component"), col("nid")).as("__cid"))
+    val canon = labeled.groupBy("__cid")
+      .agg(min("p_name").as("canonical"),
+        count(lit(1)).as("cluster_size"))
+    labeled.join(broadcast(canon), "__cid")
+      .select("p_name", "canonical", "cluster_size")
+  }
+
   /** Classifier calibration ([[graft.operators.Classifier.calibration]]):
     * reliability-diagram bins of the quality classifier's rounded
     * scores against a deterministic label (lang = 'en'). Per-bin conf
