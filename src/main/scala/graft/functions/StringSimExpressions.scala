@@ -25,6 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Complements the Levenshtein tier in [[graft.operators.Dedup]]:
   * JW is the name-matching metric (prefix-weighted, transposition-
   * tolerant, O(la·lb) worst case but O(la+lb) on dissimilar strings).
+  *
+  * Unicode contract: comparisons are per UTF-16 CHAR (JVM chars) —
+  * identical to DuckDB on the BMP; strings containing astral
+  * characters (surrogate pairs) may count positions differently than
+  * a codepoint-based engine. Name-matching inputs are BMP in
+  * practice; normalize first if not.
   */
 object StringSimExpressions {
 

@@ -76,8 +76,11 @@ object Classifier {
       labelCol: String, bins: Int = 10): DataFrame = {
     require(bins > 0, s"bins must be positive: $bins")
     scored.select(
-        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int")
-          .as("bin"),
+        when(col(scoreCol) < 0.0 || col(scoreCol) > 1.0,
+          raise_error(concat(lit("calibration: score out of [0,1]: "),
+            col(scoreCol).cast("string"))))
+          .otherwise(least(floor(col(scoreCol) * bins), lit(bins - 1)))
+          .cast("int").as("bin"),
         col(scoreCol).cast("decimal(10,6)").as("__s"),
         col(labelCol).cast("boolean").as("__l"))
       .groupBy("bin")

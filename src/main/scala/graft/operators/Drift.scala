@@ -153,21 +153,27 @@ object Drift {
       .select(col("__v"),
         (col("__oa") + sum(col("__ca")).over(wIn)).as("__cuma"),
         (col("__ob") + sum(col("__cb")).over(wIn)).as("__cumb"))
+    // global aggregates produce ONE row even on empty input, so the
+    // empty-snapshot guard below cannot be pruned away by AQE's
+    // empty-relation propagation (a guard on the crossJoin's streamed
+    // side would vanish with it when both snapshots are empty)
     val totals = cum.groupBy()
-      .agg(max("__cuma").as("n_a"), max("__cumb").as("n_b"))
+      .agg(coalesce(max("__cuma"), lit(0L)).as("n_a"),
+        coalesce(max("__cumb"), lit(0L)).as("n_b"))
       .select(
         when(col("n_a") === 0 || col("n_b") === 0, raise_error(lit(
           "Drift.ks: empty snapshot — the KS statistic needs both " +
             "samples non-empty"))).otherwise(col("n_a")).as("n_a"),
         col("n_b"))
-    cum.crossJoin(broadcast(totals))
+    val diffAgg = cum.crossJoin(broadcast(totals))
       .withColumn("__diff", abs(
         col("__cuma").cast("double") / col("n_a").cast("double") -
           col("__cumb").cast("double") / col("n_b").cast("double")))
       .groupBy()
-      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
-        max(col("__diff")).as("d_stat"),
+      .agg(max(col("__diff")).as("d_stat"),
         min_by(col("__v"), struct((-col("__diff")).as("nd"),
           col("__v").as("v"))).as("d_value"))
+    totals.crossJoin(diffAgg)
+      .select(col("n_a"), col("n_b"), col("d_stat"), col("d_value"))
   }
 }

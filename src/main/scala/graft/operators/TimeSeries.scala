@@ -253,7 +253,20 @@ object TimeSeries {
       datediff(col(slotCol), lit("1970-01-01")).as("__di"))
     val wT = Window.partitionBy(keyCol).orderBy(col("__di"))
       .rangeBetween(-half, half)
+    // contract guard: one row per (key, slot) — a duplicate slot would
+    // silently double-count inside every covering frame. The check
+    // rides the SAME partitioning as the trend window (no extra
+    // exchange; the zero-width range frame counts exact-slot peers).
+    val wDup = Window.partitionBy(keyCol).orderBy(col("__di"))
+      .rangeBetween(0, 0)
     val withTrend = base
+      .withColumn("__dup", count(lit(1)).over(wDup))
+      .withColumn("__v", when(col("__dup") > 1, raise_error(concat(
+        lit("decompose: duplicate slot for key "),
+        col(keyCol).cast("string"),
+        lit(" — pre-aggregate to one row per (key, slot)"))))
+        .otherwise(col("__v")))
+      .drop("__dup")
       .withColumn("__n", count(lit(1)).over(wT))
       .withColumn("trend", when(col("__n") === period,
         sum(col("__v")).over(wT) / col("__n")))

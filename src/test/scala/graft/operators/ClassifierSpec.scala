@@ -29,6 +29,14 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("calibration: out-of-range scores fail loudly") {
+    val bad = Seq((1.2, true)).toDF("score", "label")
+    val ex = intercept[Exception] {
+      Classifier.calibration(bad, "score", "label").collect()
+    }
+    assert(ex.getMessage.contains("out of [0,1]"))
+  }
+
   test("calibration: score 1.0 lands in the top bin (clamp), ECE of a " +
       "perfectly calibrated set is 0") {
     val one = Seq((1.0, true)).toDF("score", "label")

@@ -87,6 +87,12 @@ class DriftSpec extends SparkSpec {
       Drift.ks(a, a.filter(col("v") > 99), "v", identity).collect()
     }
     assert(ex.getMessage.contains("empty snapshot"))
+    // BOTH sides empty must raise too (not emit a null junk row)
+    val ex2 = intercept[Exception] {
+      Drift.ks(a.filter(col("v") > 99), a.filter(col("v") > 99),
+        "v", identity).collect()
+    }
+    assert(ex2.getMessage.contains("empty snapshot"))
     // every window over VALUE rows must be bucket-partitioned; the only
     // unpartitioned windows run over bucket/total aggregates
     val p = Drift.ks(a, a, "v", x => floor(x / lit(2)))

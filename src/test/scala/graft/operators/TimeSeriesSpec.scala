@@ -189,6 +189,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(5).isDefined && got(15).isDefined)
   }
 
+  test("decompose: a duplicate (key, slot) row fails loudly instead " +
+      "of double-counting the frame") {
+    import java.sql.Date
+    val rows = (0 until 9).map(i =>
+      ("k", Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong)), 1.0)) :+
+      (("k", Date.valueOf(java.time.LocalDate.ofEpochDay(4L)), 2.0))
+    val ex = intercept[Exception] {
+      TimeSeries.decompose(rows.toDF("k", "day", "v"),
+        "k", "day", "v", period = 7).collect()
+    }
+    assert(ex.getMessage.contains("duplicate slot"))
+  }
+
   test("decompose rejects even periods") {
     import java.sql.Date
     val df = Seq(("k", Date.valueOf("2024-01-01"), 1.0))
