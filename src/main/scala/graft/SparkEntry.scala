@@ -340,6 +340,8 @@ object SparkEntry {
     "q_time_travel" ->
       ((s, d) => streaming.StreamOps.timeTravel(s, d)),
     "q_entity_resolution" -> PipelineQueries.entityResolution,
+    "q_pagerank_weighted_planted" ->
+      PipelineQueries.pagerankWeightedPlanted,
   )
 
   private val docChunksSql = """
@@ -4400,5 +4402,11 @@ object SparkEntry {
       FROM comp c
       JOIN (SELECT canonical, count(*)::BIGINT AS cluster_size
             FROM comp GROUP BY 1) z USING (canonical)""",
+
+    // Weighted PageRank planted: doubly-stochastic weighted ring ⇒
+    // uniform 1/12 exact fixed point, at 9dp.
+    "q_pagerank_weighted_planted" -> """
+      SELECT unnest([0,1,2,3,4,5,6,7,8,9,10,11])::BIGINT AS node,
+             0.083333333::DOUBLE AS pr""",
   )
 }

@@ -104,6 +104,61 @@ object Graph {
     ranks
   }
 
+  /** Weighted PageRank: each node's rank flows to its out-neighbors
+    * PROPORTIONALLY to edge weight (`pr·w / Σw(src)`) instead of
+    * uniformly — the link-strength form (co-purchase counts, citation
+    * multiplicities, weighted follows). Same loop discipline as
+    * [[pageRank]] (checkpoint per iteration, (id, double) shuffles,
+    * 1-row dangling aggregate); parallel (src, dst) duplicates merge
+    * additively before the loop, and a null/non-positive weight fails
+    * LOUDLY in-plan (silently dropping it would skew every division).
+    * [[pageRank]] is NOT redefined over this with w = 1: the planted
+    * unweighted gate pins that loop's exact FP sequence. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 10, damping: Double = 0.85,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    def clamp(df: DataFrame): DataFrame =
+      numPartitions.fold(df)(n => df.repartition(n, col("node")))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        when(col(weightCol).isNull || col(weightCol) <= 0.0,
+          raise_error(concat(lit("pageRankWeighted: weight must be " +
+            "positive, got "), col(weightCol).cast("string"))))
+          .otherwise(col(weightCol).cast("double")).as("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    val outW = e.groupBy("src").agg(sum("w").as("__ow")).cache()
+    var ranks = clamp(nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("__n")).as("pr")))
+      .localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val inflow = e
+        .join(outW, "src")
+        .join(ranks.select(col("node").as("src"), col("pr")), "src")
+        .select(col("dst").as("node"),
+          (col("pr") * col("w") / col("__ow")).as("__c"))
+        .groupBy("node").agg(sum("__c").as("__inflow"))
+      val dangling = ranks
+        .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("__dm"))
+      ranks = clamp(nodes
+        .join(inflow, Seq("node"), "left")
+        .crossJoin(broadcast(nRow)).crossJoin(broadcast(dangling))
+        .select(col("node"),
+          ((lit(1.0) - damping) / col("__n") + lit(damping) *
+            (coalesce(col("__inflow"), lit(0.0)) + col("__dm") / col("__n")))
+            .as("pr")))
+        .localCheckpoint()
+      i += 1
+    }
+    e.unpersist(); outW.unpersist(); nodes.unpersist()
+    ranks
+  }
+
   /** Connected components over an undirected edge list: (node,
     * component) where component = the minimum node id reachable from the
     * node. Delegates to the min-label propagation loop shared with

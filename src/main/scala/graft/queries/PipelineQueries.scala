@@ -697,6 +697,24 @@ object PipelineQueries {
       iterations = 3, numPartitions = Some(4))
   }
 
+  /** Weighted PageRank, planted gate (round 9): a doubly-stochastic
+    * weighted ring — node i sends weight 3 to i+1 and 1 to i+2, so
+    * every node RECEIVES exactly 3/4 + 1/4 = 1 of a rank unit and the
+    * uniform 1/12 is the exact fixed point, like the unweighted
+    * permutation gate but exercising the per-edge `pr·w/Σw` division
+    * path. 9dp rounding absorbs last-bit recurrence drift. */
+  val pagerankWeightedPlanted: Q = (s, d) => {
+    val s_ = s; import s_.implicits._
+    val n = 12L
+    val edges = (0L until n).flatMap(i =>
+      Seq((i, (i + 1) % n, 3.0), (i, (i + 2) % n, 1.0)))
+      .toDF("src", "dst", "w")
+      .repartition(4)
+    graft.operators.Graph.pageRankWeighted(edges, "src", "dst", "w",
+        iterations = 3, numPartitions = Some(4))
+      .select(col("node"), round(col("pr"), 9).as("pr"))
+  }
+
   /** Linear quality-classifier inference (round 5): σ(w·tf/scale) over
     * the 64-dim hashing-trick features with closed-form fixed-point
     * weights — integer dot (order-independent), one double division +

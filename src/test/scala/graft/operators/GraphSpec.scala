@@ -169,4 +169,39 @@ class GraphSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("did not converge"))
   }
+
+  test("weighted PageRank: weights shift rank vs the uniform split; " +
+      "bad weights raise; mass conserved") {
+    // star: 0 -> 1 (w 9), 0 -> 2 (w 1); 1 -> 0, 2 -> 0 close the loop
+    val edges = Seq((0L, 1L, 9.0), (0L, 2L, 1.0),
+      (1L, 0L, 1.0), (2L, 0L, 1.0)).toDF("src", "dst", "w")
+    val wr = Graph.pageRankWeighted(edges, "src", "dst", "w",
+        iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ur = Graph.pageRank(edges.select("src", "dst"), "src", "dst",
+        iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wr(1L) > ur(1L) + 0.1 && wr(2L) < ur(2L) - 0.1,
+      s"weights must shift rank: weighted $wr vs uniform $ur")
+    assert(math.abs(wr.values.sum - 1.0) < 1e-9, "mass conserved")
+    val bad = Seq((0L, 1L, 0.0)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      Graph.pageRankWeighted(bad, "src", "dst", "w", iterations = 1)
+        .collect()
+    }
+    assert(ex.getMessage.contains("must be positive"))
+  }
+
+  test("weighted PageRank: parallel duplicate edges merge additively") {
+    // 0 -> 1 twice at w 4.5 == 0 -> 1 once at w 9 (vs 0 -> 2 at w 1)
+    val dup = Seq((0L, 1L, 4.5), (0L, 1L, 4.5), (0L, 2L, 1.0),
+      (1L, 0L, 1.0), (2L, 0L, 1.0)).toDF("src", "dst", "w")
+    val one = Seq((0L, 1L, 9.0), (0L, 2L, 1.0),
+      (1L, 0L, 1.0), (2L, 0L, 1.0)).toDF("src", "dst", "w")
+    val a = Graph.pageRankWeighted(dup, "src", "dst", "w", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRankWeighted(one, "src", "dst", "w", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+  }
 }
