@@ -342,6 +342,7 @@ object SparkEntry {
     "q_entity_resolution" -> PipelineQueries.entityResolution,
     "q_pagerank_weighted_planted" ->
       PipelineQueries.pagerankWeightedPlanted,
+    "q_containment_join" -> DedupQueries.containmentJoin,
   )
 
   private val docChunksSql = """
@@ -4408,5 +4409,43 @@ object SparkEntry {
     "q_pagerank_weighted_planted" -> """
       SELECT unnest([0,1,2,3,4,5,6,7,8,9,10,11])::BIGINT AS node,
              0.083333333::DOUBLE AS pr""",
+
+    // Containment: fragments (first half of each %17 doc's words) vs
+    // the full corpus; overlap/|A| >= 0.8, one division, raw.
+    "q_containment_join" -> """
+      WITH basef AS (
+        SELECT doc_id + 800000000 AS doc_id,
+               list_filter(string_split(lower(text), ' '),
+                 t -> t <> '') AS w0
+        FROM documents WHERE doc_id % 17 = 0),
+      fragw AS (SELECT doc_id, w0[1 : len(w0) // 2] AS w FROM basef),
+      sizedf AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tk
+        FROM fragw WHERE len(w) >= 3),
+      based AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                 t -> t <> '') AS w
+        FROM documents),
+      sizedd AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tk
+        FROM based WHERE len(w) >= 3),
+      tokf AS (SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
+               FROM sizedf WHERE len(tk) > 0),
+      tokd AS (SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
+               FROM sizedd WHERE len(tk) > 0),
+      ov AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               a.n AS n1, b.n AS n2, count(*)::INT AS overlap
+        FROM tokf a JOIN tokd b ON a.tok = b.tok
+        GROUP BY 1, 2, 3, 4)
+      SELECT id1, id2, n1, n2, overlap,
+             overlap::DOUBLE / n1 AS containment
+      FROM ov
+      WHERE overlap::DOUBLE / n1 >= 0.8""",
   )
 }

@@ -202,6 +202,67 @@ object SetSimJoin {
       baseL, baseR, t)
   }
 
+  /** Containment (R-S) join: pairs with `|A∩B| / |A| >= t` — the
+    * QUOTE / near-subset direction Jaccard cannot express (a short
+    * fragment fully inside a long document has tiny Jaccard but
+    * containment 1.0; plagiarism/quotation detection, contaminated-
+    * fragment lookup).
+    *
+    * Asymmetry changes the pruning math: the overlap requirement
+    * `⌈t·|A|⌉` depends on A ALONE, so prefix filtering stays sound on
+    * the A side (a qualifying pair's first shared token sits within
+    * A's first `|A| − ⌈t·|A|⌉ + 1` tokens) — but B has no prefix bound
+    * of its own and contributes FULL postings. Put the small/query
+    * corpus on the LEFT. The PPJoin positional upper bound
+    * (`1 + min(nA−pA−1, nB−pB−1)`, both sides in the shared global
+    * order) and the length filter (`nB ≥ ⌈t·nA⌉`) prune candidates
+    * with the usual downward FP nudge; the final `overlap/nA ≥ t` is
+    * one IEEE division.
+    *
+    * @return (id1 from left, id2 from right, n1, n2, overlap,
+    *         containment) */
+  def joinByContainment(left: DataFrame, leftId: String,
+      leftTokens: String, right: DataFrame, rightId: String,
+      rightTokens: String, minContainment: Double): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment must be in (0,1], got $minContainment")
+    val t = minContainment
+    val baseL = prepare(left, leftId, leftTokens)
+    val baseR = prepare(right, rightId, rightTokens)
+    val freq = baseL.select(explode(col("__tk")).as("__tok"))
+      .unionAll(baseR.select(explode(col("__tk")).as("__tok")))
+      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val prefL = prefixOf(orderByFreq(baseL, freq), t)
+    val fullR = orderByFreq(baseR, freq)
+      .select(col("__id"), col("__n"),
+        posexplode(col("__ord")))
+      .withColumnRenamed("pos", "__p")
+      .withColumnRenamed("col", "__tok")
+    val a = prefL.select(col("__id").as("id1"), col("__n").as("n1"),
+      col("__p").as("__p1"), col("__tok").as("__tok1"))
+    val b = fullR.select(col("__id").as("id2"), col("__n").as("n2"),
+      col("__p").as("__p2"), col("__tok").as("__tok2"))
+    val minOverlap = ceil(lit(t) * col("n1") - lit(Eps))
+    val posBound =
+      lit(1) + least(col("n1") - col("__p1"), col("n2") - col("__p2")) - 1
+    val cand = a.join(b,
+        col("__tok1") === col("__tok2") &&
+          col("n2").cast("double") >= minOverlap &&
+          posBound.cast("double") >= minOverlap)
+      .select("id1", "id2").distinct()
+    val s1 = baseL.select(col("__id").as("id1"), col("__tk").as("__tk1"),
+      col("__n").as("n1"))
+    val s2 = baseR.select(col("__id").as("id2"), col("__tk").as("__tk2"),
+      col("__n").as("n2"))
+    cand.join(s1, "id1").join(s2, "id2")
+      .withColumn("overlap",
+        size(array_intersect(col("__tk1"), col("__tk2"))))
+      .withColumn("containment",
+        col("overlap").cast("double") / col("n1"))
+      .filter(col("containment") >= t)
+      .select("id1", "id2", "n1", "n2", "overlap", "containment")
+  }
+
   /** Exact transitive near-dup dedup — the deterministic counterpart of
     * [[Dedup.minhashDedupTransitive]]: connected components over the
     * EXACT Jaccard pair graph (no LSH recall loss), every record labeled

@@ -415,6 +415,26 @@ object DedupQueries {
     * pay per query. */
   val setsimLinkage: Q = (s, d) => linkagePairs(s, d)
 
+  /** Containment join (round 9,
+    * [[graft.operators.SetSimJoin.joinByContainment]]): each %17 doc's
+    * FIRST-HALF-words fragment (id + 8e8) looked up in the full corpus
+    * at containment ≥ 0.8 — the quote-detection direction: a fragment
+    * scores ~1.0 against its own source even though its Jaccard is
+    * tiny. Fragment shingle sets derive deterministically in both
+    * engines (word-array slice, then the shared trigram recipe). */
+  val containmentJoin: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val w = filter(split(lower(col("text")), " "), t => length(t) > 0)
+    val frags = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 800000000L).as("doc_id"),
+        concat_ws(" ",
+          slice(w, lit(1), (size(w) / lit(2)).cast("int"))).as("text"))
+    graft.operators.SetSimJoin.joinByContainment(
+      shingled(frags, "toks"), "doc_id", "toks",
+      shingledDocs(s, d, outCol = "toks"), "doc_id", "toks",
+      minContainment = 0.8)
+  }
+
   private def linkagePairs(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val tag = new java.io.File(d).getCanonicalPath

@@ -127,4 +127,42 @@ class SetSimJoinSpec extends SparkSpec {
     // left 1 matches right 1 (identical) and right 5 (J=3/5=0.6)
     assert(got === Set((1L, 1L), (1L, 5L)))
   }
+
+  test("containment join: lossless vs brute force, and finds the " +
+      "subset pairs Jaccard misses") {
+    val left = Seq(
+      (1L, "a b c"),              // subset of doc 10
+      (2L, "a b x"),              // 2/3 in doc 10
+      (3L, "p q r")).toDF("doc_id", "text")
+    val right = Seq(
+      (10L, "a b c d e f g h"),   // superset of 1
+      (11L, "p z1 z2 z3")).toDF("doc_id", "text")
+    def setsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), array_distinct(toks).as("tk"))
+        .filter(size(col("tk")) > 0)
+    val t = 0.66
+    val brute = setsOf(left)
+      .select(col("doc_id").as("id1"), col("tk").as("tk1"))
+      .crossJoin(setsOf(right)
+        .select(col("doc_id").as("id2"), col("tk").as("tk2")))
+      .withColumn("ov", size(array_intersect(col("tk1"), col("tk2"))))
+      .withColumn("c", col("ov").cast("double") / size(col("tk1")))
+      .filter(col("c") >= t)
+      .select("id1", "id2", "ov")
+    val got = SetSimJoin.joinByContainment(
+        left.select(col("doc_id"), toks.as("toks")), "doc_id", "toks",
+        right.select(col("doc_id"), toks.as("toks")), "doc_id", "toks",
+        minContainment = t)
+      .select("id1", "id2", "overlap")
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      s"containment diverged from brute force")
+    // the asymmetry: (1, 10) has containment 1.0 but Jaccard 3/8 —
+    // the Jaccard R-S join at the same threshold must NOT find it
+    val jac = SetSimJoin.joinBetween(
+      left.select(col("doc_id"), toks.as("toks")), "doc_id", "toks",
+      right.select(col("doc_id"), toks.as("toks")), "doc_id", "toks",
+      minJaccard = t)
+    assert(got.filter(col("id1") === 1 && col("id2") === 10).count() == 1)
+    assert(jac.filter(col("id1") === 1 && col("id2") === 10).count() == 0)
+  }
 }
