@@ -1282,6 +1282,41 @@ object ScaleBench {
       results += (("mv_rewrite", tmv1, tmvN))
     }
 
+    // exact quantiles: orders ×N — the distinct-value collapse absorbs
+    // replicas onto the same 2-dp prices (the ks_drift argument), so
+    // the selection itself is flat; only the collapse scan grows
+    {
+      def eqOf(o: DataFrame) = graft.operators.Selection.exactQuantiles(
+        o, "o_totalprice", Seq(0.1, 0.5, 0.9, 0.99),
+        v => floor(v / 1000.0))
+      val teq1 = time("exact_quantiles 1x")(noop(eqOf(ord1)))
+      val teqN = time(s"exact_quantiles ${factor}x")(noop(eqOf(ordN)))
+      results += (("exact_quantiles", teq1, teqN))
+    }
+
+    // containment join: FIXED fragment set probed against corpus ×N —
+    // B contributes full postings, so the probe grows with the corpus
+    // scan; candidate pairs stay bounded by the fragments
+    {
+      def cjOf(right: DataFrame) = {
+        val w = filter(split(lower(col("text")), " "),
+          t => length(t) > 0)
+        val frags = docs1.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 800000000L).as("doc_id"),
+            concat_ws(" ", slice(w, lit(1),
+              (size(w) / lit(2)).cast("int"))).as("text"))
+        graft.operators.SetSimJoin.joinByContainment(
+            graft.queries.DedupQueries.shingled(frags, "toks"),
+            "doc_id", "toks",
+            graft.queries.DedupQueries.shingled(right, "toks"),
+            "doc_id", "toks", minContainment = 0.8)
+          .groupBy().agg(count(lit(1)).as("n"))
+      }
+      val tcj1 = time("containment_join 1x")(noop(cjOf(docs1)))
+      val tcjN = time(s"containment_join ${factor}x")(noop(cjOf(docsN)))
+      results += (("containment_join", tcj1, tcjN))
+    }
+
     // seasonal decomposition: events ×N under ×N distinct keys (type
     // suffixed per replica) — the daily pre-agg is the ×N work, the
     // per-key series stay 30 rows and ride their key partitions

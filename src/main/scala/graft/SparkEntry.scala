@@ -343,6 +343,7 @@ object SparkEntry {
     "q_pagerank_weighted_planted" ->
       PipelineQueries.pagerankWeightedPlanted,
     "q_containment_join" -> DedupQueries.containmentJoin,
+    "q_exact_quantiles" -> PipelineQueries.exactQuantiles,
   )
 
   private val docChunksSql = """
@@ -4447,5 +4448,22 @@ object SparkEntry {
              overlap::DOUBLE / n1 AS containment
       FROM ov
       WHERE overlap::DOUBLE / n1 >= 0.8""",
+
+    // Exact discrete quantiles: DuckDB quantile_disc = the element at
+    // 1-based rank ceil(q*n) (the round-7 verified semantics).
+    "q_exact_quantiles" -> """
+      WITH vals AS (SELECT o_totalprice AS v FROM orders
+                    WHERE o_totalprice IS NOT NULL)
+      SELECT 0.1::DOUBLE AS q, count(*)::BIGINT AS n,
+             quantile_disc(v, 0.1) AS value FROM vals
+      UNION ALL
+      SELECT 0.5::DOUBLE, count(*)::BIGINT,
+             quantile_disc(v, 0.5) FROM vals
+      UNION ALL
+      SELECT 0.9::DOUBLE, count(*)::BIGINT,
+             quantile_disc(v, 0.9) FROM vals
+      UNION ALL
+      SELECT 0.99::DOUBLE, count(*)::BIGINT,
+             quantile_disc(v, 0.99) FROM vals""",
   )
 }

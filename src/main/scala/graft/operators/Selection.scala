@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact GLOBAL order statistics without a global sort — the
+  * distributed-selection answer to "the exact median of 100 TB":
+  * `row_number() OVER (ORDER BY v)` plans a one-task sort (the
+  * scale-killer), and sketches (LogHist, approx_percentile) trade
+  * exactness away. Selection needs neither: collapse to per-DISTINCT-
+  * value counts, run the bucketed two-phase running count (the
+  * [[Sequence.assignGlobalSeq]] / [[Drift.ks]] discipline — the only
+  * unpartitioned window runs over bucket COUNTS, one row per bucket),
+  * and each quantile's answer is the smallest value whose cumulative
+  * count reaches its rank.
+  *
+  * Semantics are `percentile_disc` (DuckDB `quantile_disc`): the
+  * element at 1-based rank `⌈q·n⌉` (min 1), computed with the repo's
+  * nudged ceiling so exact products like 0.05·20 = 1 never ceil to 2.
+  * NULLs neither rank nor count. Values return VERBATIM — discrete
+  * selection has no interpolation FP, so results hash exactly.
+  */
+object Selection {
+
+  /** @param bucket coarsening of the value order (e.g. `v =>
+    *               floor(v / 1000)`) — must be monotone in `v`; bucket
+    *               skew bounds per-task work exactly as in
+    *               assignGlobalSeq
+    * @return one row per q: (q, n, value) */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+      bucket: Column => Column): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1]: $qs")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__bk", bucket(col("__v")))
+    val wOff = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts.groupBy(col("__bk"))
+      .agg(sum("__c").as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(col("__bk").as("__bk2"), col("__off"))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.join(broadcast(offs), col("__bk") <=> col("__bk2"))
+      .select(col("__v"),
+        (col("__off") + sum(col("__c")).over(wIn)).as("__cum"))
+    // global aggregate: ONE row even on empty input, so the guard
+    // cannot be pruned (the Drift.ks lesson)
+    val nRow = cum.groupBy()
+      .agg(coalesce(max("__cum"), lit(0L)).as("__n"))
+      .select(when(col("__n") === 0, raise_error(lit(
+        "exactQuantiles: no non-null values"))).otherwise(col("__n"))
+        .as("__n"))
+    val ranks = qs.map(q => struct(lit(q).as("q"),
+      greatest(lit(1L), ceil(lit(q) * col("__n") - lit(1e-9))
+        .cast("long")).as("__r")))
+    val qTable = nRow.select(col("__n"),
+      explode(array(ranks: _*)).as("__qr"))
+      .select(col("__n"), col("__qr.q").as("q"), col("__qr.__r"))
+    // tiny-side broadcast through the non-equi rank probe; min per q.
+    // The final left join anchors output on qTable — built from a
+    // global aggregate, which produces its row even on empty input, so
+    // the empty guard cannot be pruned by AQE's empty-relation
+    // propagation (the Drift.ks lesson). q ≤ 1 ⇒ rank ≤ n, so every q
+    // matches at least one cum row and `value` is never null past the
+    // guard.
+    val res = cum.join(broadcast(qTable), col("__cum") >= col("__r"))
+      .groupBy(col("q"))
+      .agg(min(col("__v")).as("value"))
+    qTable.select(col("q"), col("__n").as("n"))
+      .join(res, Seq("q"), "left")
+  }
+}

@@ -210,14 +210,18 @@ object SetSimJoin {
     *
     * Asymmetry changes the pruning math: the overlap requirement
     * `⌈t·|A|⌉` depends on A ALONE, so prefix filtering stays sound on
-    * the A side (a qualifying pair's first shared token sits within
-    * A's first `|A| − ⌈t·|A|⌉ + 1` tokens) — but B has no prefix bound
-    * of its own and contributes FULL postings. Put the small/query
-    * corpus on the LEFT. The PPJoin positional upper bound
-    * (`1 + min(nA−pA−1, nB−pB−1)`, both sides in the shared global
-    * order) and the length filter (`nB ≥ ⌈t·nA⌉`) prune candidates
-    * with the usual downward FP nudge; the final `overlap/nA ≥ t` is
-    * one IEEE division.
+    * the A side (pigeonhole: with overlap ≥ o, at most o−1 shared
+    * tokens fit in A's last o−1 positions, so a shared token sits
+    * within A's first `|A| − ⌈t·|A|⌉ + 1` tokens — in ANY fixed token
+    * order; the global rare-first order is kept purely for prefix
+    * SELECTIVITY). B has no prefix bound of its own and contributes a
+    * plain token explode — deliberately NOT the per-record
+    * frequency-ordered reassembly, which is the expensive step and
+    * whose positional bound adds nothing here (the A-side prefix
+    * already implies `nA − pA ≥ ⌈t·nA⌉`). Put the small/query corpus
+    * on the LEFT. The length filter (`nB ≥ ⌈t·nA⌉`) prunes with the
+    * usual downward FP nudge; the final `overlap/nA ≥ t` is one IEEE
+    * division.
     *
     * @return (id1 from left, id2 from right, n1, n2, overlap,
     *         containment) */
@@ -233,22 +237,16 @@ object SetSimJoin {
       .unionAll(baseR.select(explode(col("__tk")).as("__tok")))
       .groupBy("__tok").agg(count(lit(1)).as("__df"))
     val prefL = prefixOf(orderByFreq(baseL, freq), t)
-    val fullR = orderByFreq(baseR, freq)
-      .select(col("__id"), col("__n"),
-        posexplode(col("__ord")))
-      .withColumnRenamed("pos", "__p")
-      .withColumnRenamed("col", "__tok")
+    val fullR = baseR.select(col("__id"), col("__n"),
+      explode(col("__tk")).as("__tok"))
     val a = prefL.select(col("__id").as("id1"), col("__n").as("n1"),
-      col("__p").as("__p1"), col("__tok").as("__tok1"))
+      col("__tok").as("__tok1"))
     val b = fullR.select(col("__id").as("id2"), col("__n").as("n2"),
-      col("__p").as("__p2"), col("__tok").as("__tok2"))
+      col("__tok").as("__tok2"))
     val minOverlap = ceil(lit(t) * col("n1") - lit(Eps))
-    val posBound =
-      lit(1) + least(col("n1") - col("__p1"), col("n2") - col("__p2")) - 1
     val cand = a.join(b,
         col("__tok1") === col("__tok2") &&
-          col("n2").cast("double") >= minOverlap &&
-          posBound.cast("double") >= minOverlap)
+          col("n2").cast("double") >= minOverlap)
       .select("id1", "id2").distinct()
     val s1 = baseL.select(col("__id").as("id1"), col("__tk").as("__tk1"),
       col("__n").as("n1"))

@@ -697,6 +697,15 @@ object PipelineQueries {
       iterations = 3, numPartitions = Some(4))
   }
 
+  /** Exact global quantiles ([[graft.operators.Selection]]): discrete
+    * p10/p50/p90/p99 of order totals via bucketed distributed
+    * selection — no global sort, values verbatim, matches DuckDB
+    * quantile_disc exactly. */
+  val exactQuantiles: Q = (s, d) =>
+    graft.operators.Selection.exactQuantiles(
+      Tables.orders(s, d), "o_totalprice",
+      Seq(0.1, 0.5, 0.9, 0.99), v => floor(v / 1000.0))
+
   /** Weighted PageRank, planted gate (round 9): a doubly-stochastic
     * weighted ring — node i sends weight 3 to i+1 and 1 to i+2, so
     * every node RECEIVES exactly 3/4 + 1/4 = 1 of a rank unit and the

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Distributed exact selection: percentile_disc closed forms, duplicate
+  * mass, loud empty input, and the no-global-sort plan shape. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(vals: Seq[Double], qs: Seq[Double]) =
+    Selection.exactQuantiles(vals.toDF("v"), "v", qs,
+        x => floor(x / lit(4)))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+
+  test("rank ceil(q*n) closed forms, including duplicate mass") {
+    val got = run((1 to 10).map(_.toDouble), Seq(0.1, 0.25, 0.5, 1.0))
+    assert(got === Map(0.1 -> 1.0, 0.25 -> 3.0, 0.5 -> 5.0, 1.0 -> 10.0))
+    // duplicates: [1,1,1,9] — rank 2 and 3 are still 1; rank 4 is 9
+    val dup = run(Seq(1.0, 1.0, 1.0, 9.0), Seq(0.5, 0.75, 0.76))
+    assert(dup === Map(0.5 -> 1.0, 0.75 -> 1.0, 0.76 -> 9.0))
+  }
+
+  test("empty input raises; value windows stay bucket-partitioned") {
+    val ex = intercept[Exception] {
+      Selection.exactQuantiles(
+        Seq(1.0).toDF("v").filter(col("v") > 9), "v", Seq(0.5),
+        x => x).collect()
+    }
+    assert(ex.getMessage.contains("no non-null values"))
+    val p = Selection.exactQuantiles((1 to 100).map(_.toDouble).toDF("v"),
+        "v", Seq(0.5), x => floor(x / lit(10)))
+      .queryExecution.executedPlan.toString
+    p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(__v")).foreach(l =>
+      assert(l.contains("__bk"),
+        s"value-row window must be bucket-partitioned: $l"))
+  }
+
+  test("matches the built-in exact percentile on real data") {
+    val o = graft.sources.Tables.orders(spark, sf)
+    val got = Selection.exactQuantiles(o, "o_totalprice",
+        Seq(0.5), v => floor(v / lit(1000)))
+      .collect().head.getDouble(2)
+    // percentile_disc-style rank on a full sort (fixture-scale only)
+    val n = o.filter(col("o_totalprice").isNotNull).count()
+    val want = o.filter(col("o_totalprice").isNotNull)
+      .select("o_totalprice").orderBy("o_totalprice")
+      .limit(math.ceil(0.5 * n - 1e-9).toInt)
+      .orderBy(col("o_totalprice").desc)
+      .limit(1).collect().head.getDouble(0)
+    assert(got == want, s"$got vs sorted-rank $want")
+  }
+}
