@@ -221,6 +221,8 @@ object SparkEntry {
     "q_skew_report" -> PipelineQueries.skewReport,
     "q_pagerank_planted" -> PipelineQueries.pagerankPlanted,
     "q_components_planted" -> PipelineQueries.componentsPlanted,
+    "q_bfs_hops" -> PipelineQueries.bfsHops,
+    "q_sssp_weighted" -> PipelineQueries.ssspWeighted,
     "q_quality_classifier" -> PipelineQueries.qualityClassifier,
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
@@ -2200,6 +2202,41 @@ object SparkEntry {
         (12::BIGINT, 10::BIGINT),
         (20::BIGINT, 20::BIGINT), (21::BIGINT, 20::BIGINT))
         AS t(node, component)""",
+
+    // hop-capped recursive walk; UNION dedups the (node, dist) frontier,
+    // min(dist) = exact BFS level while eccentricity < the shared cap
+    "q_bfs_hops" -> """
+      WITH RECURSIVE
+        e AS (SELECT DISTINCT o_custkey AS src,
+                     l_suppkey + 10000000 AS dst
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        walk (node, dist) AS (
+          SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
+          UNION
+          SELECT ue.dst, w.dist + 1
+          FROM walk w JOIN ue ON ue.src = w.node
+          WHERE w.dist < 8)
+      SELECT node, MIN(dist)::INT AS dist FROM walk GROUP BY node""",
+
+    // enumerate every walk with cumulative distance < 20 (superset of
+    // all optimal paths on this fixture), then min — Bellman-Ford twin
+    "q_sssp_weighted" -> """
+      WITH RECURSIVE
+        e0 AS (SELECT o_custkey AS src, l_suppkey + 10000000 AS dst,
+                      1 + (l_suppkey % 2) AS w
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        em AS (SELECT src, dst, MIN(w) AS w FROM (
+                 SELECT src, dst, w FROM e0
+                 UNION ALL SELECT dst, src, w FROM e0)
+               GROUP BY src, dst),
+        walk (node, dist) AS (
+          SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+          UNION
+          SELECT em.dst, w.dist + em.w
+          FROM walk w JOIN em ON em.src = w.node
+          WHERE w.dist < 20)
+      SELECT node, MIN(dist) AS dist FROM walk GROUP BY node""",
 
     // permutation graph ⇒ uniform 1/12 is the exact fixed point; the
     // engine runs the real 3-iteration distributed loop and must land on

@@ -372,6 +372,122 @@ object Graph {
     labels
   }
 
+  /** Multi-source BFS hop distances — "how far is every node from this
+    * seed set", the reachability-with-radius primitive behind crawl
+    * frontier scheduling, blast-radius analysis, and friend-of-friend
+    * features. Frontier-expanding level-synchronous BFS: each round
+    * joins ONLY the newly-discovered frontier against the edge list
+    * (hash-partitioned on the same key every round — a bucketed edge
+    * table makes it shuffle-once), anti-joins the visited set, and
+    * checkpoints. Everything shuffled is (id, int) rows; the visited
+    * set is rescanned once per round (O(V) id rows — the standard BFS
+    * trade; a Bloom-filter visited set is the documented variant when
+    * V itself is huge). Stops the round the frontier empties.
+    *
+    * Nodes unreachable within `maxHops` are ABSENT from the output
+    * (dist would be unknown, not infinite — emitting a sentinel would
+    * poison downstream mins).
+    *
+    * @param undirected when true each edge is traversable both ways
+    * @return (node, dist) with dist = exact hop count from the nearest
+    *         source, 0 for the sources themselves
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], maxHops: Int = 10, undirected: Boolean = true,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(sources.nonEmpty, "bfsHops needs at least one source node")
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def clamp(df: DataFrame): DataFrame =
+      numPartitions.map(df.repartition(_, col("node"))).getOrElse(df)
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (undirected)
+        fwd.unionByName(fwd.select(col("dst").as("src"),
+          col("src").as("dst")))
+      else fwd).filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    var visited = clamp(sources.distinct.toDF("node")
+      .withColumn("dist", lit(0))).localCheckpoint()
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = clamp(e
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop)))
+        .localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
+    }
+    visited
+  }
+
+  /** Hop-bounded single/multi-source shortest paths over non-negative
+    * INTEGER edge weights (Bellman–Ford, synchronous relaxation). After
+    * round k, `dist` is the exact minimum weight over paths of ≤ k
+    * edges; the loop stops early at the true SSSP fixpoint (detected by
+    * a 1-row (count, sum) convergence aggregate — both monotone under
+    * relaxation, so equality means no row improved). Integer weights
+    * keep every distance an exact Long — no float-accumulation drift
+    * between engines or between runs.
+    *
+    * Scale shape per round: one (dist ⋈ edges) shuffle on the source id
+    * (same key every round), one per-node min partial-agg, a checkpoint.
+    * All shuffled rows are (id, long). A null or negative weight fails
+    * LOUDLY in-plan — silently dropping an edge would report a wrong
+    * finite distance, the worst failure mode a distance oracle can have.
+    *
+    * @return (node, dist) for nodes reachable within `maxHops` edges
+    */
+  def shortestPathsWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, sources: Seq[Long],
+      maxHops: Int = 10, undirected: Boolean = true,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(sources.nonEmpty, "shortestPathsWeighted needs >= 1 source")
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def clamp(df: DataFrame): DataFrame =
+      numPartitions.map(df.repartition(_, col("node"))).getOrElse(df)
+    val guardedW = when(col(weightCol).isNull || col(weightCol) < 0,
+        raise_error(concat(lit("shortestPathsWeighted: null/negative " +
+          "weight on edge "), col(srcCol), lit("->"), col(dstCol))))
+      .otherwise(col(weightCol)).cast("long")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      guardedW.as("w"))
+    val dir = if (undirected)
+        fwd.unionByName(fwd.select(col("dst").as("src"),
+          col("src").as("dst"), col("w")))
+      else fwd
+    // parallel edges collapse to their cheapest — relaxation only ever
+    // uses the min, and a smaller edge set shrinks every round's join
+    val e = dir.filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .localCheckpoint()
+    var dist = clamp(sources.distinct.toDF("node")
+      .withColumn("dist", lit(0L))).localCheckpoint()
+    var hop = 0
+    var fixed = false
+    while (hop < maxHops && !fixed) {
+      hop += 1
+      val relaxed = e
+        .join(dist.select(col("node").as("src"), col("dist")), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = clamp(dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist")))
+        .localCheckpoint()
+      // convergence scalar: node count only grows, total dist only
+      // shrinks for a fixed node set — (count, sum) unchanged ⇔ fixpoint
+      val Seq(before, after) = Seq(dist, next).map(_.agg(
+        count(lit(1)), coalesce(sum("dist"), lit(0L))).head())
+      fixed = before == after
+      dist = next
+    }
+    dist
+  }
+
   /** [[pageRank]] with the output rounded for cross-engine gating (the
     * iterated double recurrence is deterministic per engine; rounding
     * absorbs last-bit libm/ordering drift the way the planted-gate tier

@@ -988,6 +988,42 @@ object PipelineQueries {
     graft.operators.Graph.triangleCounts(edges, "src", "dst")
   }
 
+  /** BFS hop distances (round 9): frontier-expanding level-synchronous
+    * BFS from customer 1 over the undirected customer–supplier bipartite
+    * graph (supplier ids offset into a disjoint range). The oracle
+    * replays the same hop-capped walk as a recursive CTE (UNION dedups
+    * the (node, dist) frontier) and takes min(dist) — exact BFS levels
+    * as long as the true eccentricity fits the shared cap, which the
+    * dense bipartite fixture satisfies with wide margin. */
+  val bfsHops: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(10000000L)).as("dst"))
+    graft.operators.Graph.bfsHops(edges, "src", "dst", Seq(1L),
+      maxHops = 8)
+  }
+
+  /** Weighted shortest paths (round 9): Bellman–Ford from customer 1
+    * over the same bipartite graph with small integer edge weights
+    * (1 + suppkey parity — kept tiny on purpose so the oracle CTE's
+    * path enumeration stays bounded). The Spark loop early-stops at the
+    * true fixpoint; the oracle enumerates every walk with cumulative
+    * distance < 20 (a strict superset of all optimal paths here, since
+    * true distances are single digits on this dense fixture) and takes
+    * the min. Exact Long arithmetic end to end. */
+  val ssspWeighted: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(10000000L)).as("dst"),
+        (lit(1L) + col("l_suppkey") % 2).as("w"))
+    graft.operators.Graph.shortestPathsWeighted(edges, "src", "dst", "w",
+      Seq(1L), maxHops = 20)
+  }
+
   /** Distributed global sequence assignment (round 7) — contiguous
     * 0..N-1 event ids in (ts, event_id) order via day-bucket offsets,
     * with no single-partition window anywhere

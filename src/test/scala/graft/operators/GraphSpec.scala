@@ -204,4 +204,53 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
   }
+
+  test("bfsHops: levels, early stop, unreachable absent, direction") {
+    // path 1-2-3-4 plus isolated edge 9-10: BFS from 1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+      .toDF("src", "dst").repartition(3)
+    val got = Graph.bfsHops(e, "src", "dst", Seq(1L), maxHops = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+
+    // hop cap truncates the level set instead of running past it
+    val capped = Graph.bfsHops(e, "src", "dst", Seq(1L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 2))
+
+    // directed: 4 has no out-edges, so only the source comes back;
+    // multi-source takes the nearest seed per node
+    val dir = Graph.bfsHops(e, "src", "dst", Seq(4L), maxHops = 8,
+      undirected = false).collect().map(r => r.getLong(0)).toSeq
+    assert(dir == Seq(4L))
+    val multi = Graph.bfsHops(e, "src", "dst", Seq(1L, 4L), maxHops = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(multi == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
+  }
+
+  test("shortestPathsWeighted: cheap long path beats expensive hop") {
+    // 1->4 direct costs 10; 1->2->3->4 costs 1+1+1 = 3
+    val e = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w").repartition(3)
+    val got = Graph.shortestPathsWeighted(e, "src", "dst", "w", Seq(1L),
+      maxHops = 10).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+
+    // parallel edges collapse to the cheapest; hop cap binds exactly
+    val par = Seq((1L, 2L, 5L), (1L, 2L, 2L), (2L, 3L, 2L))
+      .toDF("src", "dst", "w")
+    val got2 = Graph.shortestPathsWeighted(par, "src", "dst", "w",
+      Seq(1L), maxHops = 1, undirected = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 0L, 2L -> 2L))
+
+    // negative weight fails loudly in-plan, never a silent wrong dist
+    val neg = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      Graph.shortestPathsWeighted(neg, "src", "dst", "w", Seq(1L),
+        maxHops = 2).collect()
+    }
+    assert(ex.getMessage.contains("negative weight") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative weight")))
+  }
 }
