@@ -222,6 +222,8 @@ object SparkEntry {
     "q_pagerank_planted" -> PipelineQueries.pagerankPlanted,
     "q_components_planted" -> PipelineQueries.componentsPlanted,
     "q_bfs_hops" -> PipelineQueries.bfsHops,
+    "q_bitmap_distinct" -> RelationalQueries.bitmapDistinct,
+    "q_bitmap_overlap" -> RelationalQueries.bitmapOverlap,
     "q_sssp_weighted" -> PipelineQueries.ssspWeighted,
     "q_quality_classifier" -> PipelineQueries.qualityClassifier,
     "q_hashing_tf" -> TextQueries.hashingTf,
@@ -2202,6 +2204,30 @@ object SparkEntry {
         (12::BIGINT, 10::BIGINT),
         (20::BIGINT, 20::BIGINT), (21::BIGINT, 20::BIGINT))
         AS t(node, component)""",
+
+    // the bitmap aggregate's popcount must equal plain COUNT(DISTINCT)
+    "q_bitmap_distinct" -> """
+      SELECT o_orderpriority,
+             COUNT(DISTINCT o_custkey)::BIGINT AS n_customers
+      FROM orders GROUP BY o_orderpriority""",
+
+    // the oracle pays the id-level self-join the bitmaps avoid; the
+    // pair frame comes from the segment cross so zero-overlap pairs
+    // still surface (Spark emits them with n_overlap = 0)
+    "q_bitmap_overlap" -> """
+      WITH du AS (SELECT DISTINCT event_type, user_id FROM events
+                  WHERE user_id IS NOT NULL),
+      o AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*)::BIGINT AS n_overlap
+            FROM du a JOIN du b USING (user_id)
+            WHERE a.event_type < b.event_type GROUP BY 1, 2),
+      c AS (SELECT event_type, count(*)::BIGINT AS n FROM du GROUP BY 1)
+      SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+             COALESCE(o.n_overlap, 0)::BIGINT AS n_overlap,
+             (ca.n + cb.n - COALESCE(o.n_overlap, 0))::BIGINT AS n_union
+      FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+      LEFT JOIN o ON o.type_a = ca.event_type
+                 AND o.type_b = cb.event_type""",
 
     // hop-capped recursive walk; UNION dedups the (node, dist) frontier,
     // min(dist) = exact BFS level while eccentricity < the shared cap

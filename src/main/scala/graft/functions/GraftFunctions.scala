@@ -21,6 +21,15 @@ object GraftFunctions {
       s"$fn expects an integer literal parameter, got $other")
   }
 
+  private def longArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String): Long = e.eval() match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case s: Short => s.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal parameter, got $other")
+  }
+
   private val builders: Map[String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
       org.apache.spark.sql.catalyst.expressions.Expression] = Map(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
@@ -109,6 +118,11 @@ object GraftFunctions {
     "deflate_len" -> (es => DeflateLen(es(0))),
     "misra_gries" -> (es => MisraGries(es(0),
       intArg(es(1), "misra_gries")).toAggregateExpression()),
+    "bitmap_agg" -> (es => BitmapAgg(es(0), longArg(es(1), "bitmap_agg"),
+      longArg(es(2), "bitmap_agg")).toAggregateExpression()),
+    "bitmap_count" -> (es => BitmapCount(es(0))),
+    "bitmap_and_count" -> (es => BitmapAndCount(es(0), es(1))),
+    "bitmap_or_count" -> (es => BitmapOrCount(es(0), es(1))),
   )
 
   // sessions already registered — registration is called from every
@@ -146,6 +160,18 @@ object GraftFunctions {
     call_function("kmv_sketch", c, org.apache.spark.sql.functions.lit(k))
   /** Misra–Gries heavy-hitter candidates: ≤ k (key, count) pairs, count
     * desc; exact when the group has ≤ k distinct keys. */
+  /** Dense per-group distinct-key bitmap over a bounded domain — see
+    * [[BitmapIndex]]; combine with [[bitmapCount]]/[[bitmapAndCount]]
+    * for exact audience counts and overlap matrices. */
+  def bitmapAgg(key: Column, lo: Long, hi: Long): Column =
+    call_function("bitmap_agg", key,
+      org.apache.spark.sql.functions.lit(lo),
+      org.apache.spark.sql.functions.lit(hi))
+  def bitmapCount(bm: Column): Column = call_function("bitmap_count", bm)
+  def bitmapAndCount(a: Column, b: Column): Column =
+    call_function("bitmap_and_count", a, b)
+  def bitmapOrCount(a: Column, b: Column): Column =
+    call_function("bitmap_or_count", a, b)
   def misraGries(c: Column, k: Int): Column =
     call_function("misra_gries", c, org.apache.spark.sql.functions.lit(k))
   /** Element-wise mean of an array<float|double> column, as array<double>. */

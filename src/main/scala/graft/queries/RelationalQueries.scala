@@ -112,6 +112,42 @@ object RelationalQueries {
         .kmvDistinct(col("l_partkey"), 256).as("approx_parts"))
   }
 
+  /** Exact distinct customers per order priority through the
+    * dense-bitmap aggregate ([[graft.functions.BitmapIndex]]) — the
+    * mergeable bitmap-index form of COUNT(DISTINCT): fixed-size per-group
+    * state, bitwise-OR partial merge, popcount at the end. Full hash
+    * gate against the plain COUNT(DISTINCT) oracle. */
+  val bitmapDistinct: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.GraftFunctions.bitmapCount(
+        graft.functions.GraftFunctions.bitmapAgg(col("o_custkey"),
+          0L, (1L << 18) - 1)).as("n_customers"))
+  }
+
+  /** Audience-overlap matrix: per-event-type user bitmaps, then exact
+    * |A∩B| / |A∪B| for every type pair by popcount — no self-join of
+    * raw id rows ever happens; the only join is a broadcast of K
+    * one-row-per-segment bitmaps (the BNLJ is K² over K=5 rows, the
+    * documented tiny-side allowlist). The oracle pays the id-level
+    * self-join the bitmap exists to avoid. */
+  val bitmapOverlap: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val seg = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions.bitmapAgg(col("user_id"),
+        0L, (1L << 18) - 1).as("bm"))
+    val a = seg.select(col("event_type").as("type_a"), col("bm").as("bm_a"))
+    val b = seg.select(col("event_type").as("type_b"), col("bm").as("bm_b"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        graft.functions.GraftFunctions
+          .bitmapAndCount(col("bm_a"), col("bm_b")).as("n_overlap"),
+        graft.functions.GraftFunctions
+          .bitmapOrCount(col("bm_a"), col("bm_b")).as("n_union"))
+  }
+
   /** KMV in its sub-k regime — hash-gated: with fewer distinct values
     * than sketch slots the sketch holds EVERY hash and returns the exact
     * count by construction (KmvSketch keeps all n < k hashes), so
