@@ -335,6 +335,7 @@ object SparkEntry {
     "q_seasonal_decompose" -> PipelineQueries.seasonalDecompose,
     "q_lpa_planted" -> PipelineQueries.lpaPlanted,
     "q_jaro_winkler" -> PipelineQueries.jaroWinklerPairs,
+    "q_damerau" -> PipelineQueries.damerauPairs,
     "q_cusum_shift" -> PipelineQueries.cusumShift,
     "q_calibration" -> PipelineQueries.calibrationReport,
     "q_bloom_prune" -> SourceQueries.bloomPrune,
@@ -4289,6 +4290,12 @@ object SparkEntry {
       WITH n AS (SELECT DISTINCT p_name FROM part)
       SELECT a.p_name AS name_a, b.p_name AS name_b,
              round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      FROM n a JOIN n b ON a.p_name < b.p_name""",
+
+    "q_damerau" -> """
+      WITH n AS (SELECT DISTINCT p_name FROM part)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             damerau_levenshtein(a.p_name, b.p_name)::BIGINT AS dl
       FROM n a JOIN n b ON a.p_name < b.p_name""",
 
     // CUSUM: recursive-CTE replay of the identical chained

@@ -115,6 +115,7 @@ object GraftFunctions {
     })),
     "strip_accents" -> (es => StripAccents(es(0))),
     "jaro_winkler" -> (es => JaroWinkler(es(0), es(1))),
+    "damerau_levenshtein" -> (es => DamerauLevenshteinExpr(es(0), es(1))),
     "deflate_len" -> (es => DeflateLen(es(0))),
     "misra_gries" -> (es => MisraGries(es(0),
       intArg(es(1), "misra_gries")).toAggregateExpression()),
@@ -249,6 +250,8 @@ object GraftFunctions {
     call_function("purge_positions", toks, sortedPos)
   def jaroWinkler(a: Column, b: Column): Column =
     call_function("jaro_winkler", a, b)
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    call_function("damerau_levenshtein", a, b)
   /** JL ±1 projection: signs is the flat outDim×inDim matrix. */
   def randProject(vec: Column, signs: Column, outDim: Int): Column =
     call_function("rand_project", vec, signs,

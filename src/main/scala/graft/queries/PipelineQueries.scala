@@ -153,6 +153,22 @@ object PipelineQueries {
           .jaroWinkler(col("name_a"), col("name_b")), 6).as("jw"))
   }
 
+  /** Full Damerau–Levenshtein distances
+    * ([[graft.functions.DamerauLevenshtein]], byte-exact parity with
+    * DuckDB's builtin — full DL with the transposition lookback, not
+    * OSA) over all distinct part-name pairs, same blocking caveat as
+    * [[jaroWinklerPairs]]. Integer output — no rounding needed. */
+  val damerauPairs: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val names = Tables.part(s, d).select(col("p_name")).distinct()
+    val a = names.select(col("p_name").as("name_a"))
+    val b = names.select(col("p_name").as("name_b"))
+    a.join(b, col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        graft.functions.GraftFunctions
+          .damerauLevenshtein(col("name_a"), col("name_b")).as("dl"))
+  }
+
   /** Additive seasonal decomposition
     * ([[graft.operators.TimeSeries.decompose]]) of daily event counts
     * per event type, weekly period: trend (centered 7-day average,
