@@ -225,6 +225,7 @@ object SparkEntry {
     "q_bitmap_distinct" -> RelationalQueries.bitmapDistinct,
     "q_bitmap_overlap" -> RelationalQueries.bitmapOverlap,
     "q_sssp_weighted" -> PipelineQueries.ssspWeighted,
+    "q_spatial_radius" -> PipelineQueries.spatialRadius,
     "q_quality_classifier" -> PipelineQueries.qualityClassifier,
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
@@ -2205,6 +2206,20 @@ object SparkEntry {
         (12::BIGINT, 10::BIGINT),
         (20::BIGINT, 20::BIGINT), (21::BIGINT, 20::BIGINT))
         AS t(node, component)""",
+
+    // brute-force twin of the grid join — integer-exact, no epsilon;
+    // coordinates from the shared md5 recipe (uniform scatter)
+    "q_spatial_radius" -> """
+      WITH p AS (SELECT c_custkey AS id,
+                   ('0x' || substr(md5('px_' || c_custkey), 1, 8))::BIGINT
+                     % 10000 AS x,
+                   ('0x' || substr(md5('py_' || c_custkey), 1, 8))::BIGINT
+                     % 10000 AS y
+                 FROM customer)
+      SELECT a.id AS id_a, b.id AS id_b,
+             ((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y))::BIGINT AS dist2
+      FROM p a JOIN p b ON a.id < b.id
+      WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 10000""",
 
     // the bitmap aggregate's popcount must equal plain COUNT(DISTINCT)
     "q_bitmap_distinct" -> """

@@ -1004,6 +1004,23 @@ object PipelineQueries {
     graft.operators.Graph.triangleCounts(edges, "src", "dst")
   }
 
+  /** Grid-bucketed spatial radius join (round 9,
+    * [[graft.operators.Spatial]]): deterministic integer coordinates
+    * derived from customer keys (pure modular arithmetic, so both
+    * engines compute identical points), all pairs within radius 100 by
+    * exact squared distance. The oracle pays the brute-force O(n²)
+    * the grid exists to avoid. */
+  val spatialRadius: Q = (s, d) => {
+    // uniform scatter via the repo's cross-engine md5 recipe (a linear
+    // c_custkey*p % m lattice has NO close pairs — probed empirically)
+    def coord(salt: String) = conv(substring(md5(concat(lit(salt),
+      lit("_"), col("c_custkey").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000
+    val pts = Tables.customer(s, d).select(
+      col("c_custkey").as("id"), coord("px").as("x"), coord("py").as("y"))
+    graft.operators.Spatial.radiusJoin(pts, "id", "x", "y", 100L)
+  }
+
   /** BFS hop distances (round 9): frontier-expanding level-synchronous
     * BFS from customer 1 over the undirected customer–supplier bipartite
     * graph (supplier ids offset into a disjoint range). The oracle
