@@ -223,6 +223,8 @@ object SparkEntry {
     "q_components_planted" -> PipelineQueries.componentsPlanted,
     "q_bfs_hops" -> PipelineQueries.bfsHops,
     "q_bitmap_distinct" -> RelationalQueries.bitmapDistinct,
+    "q_interval_merge" -> RelationalQueries.intervalMerge,
+    "q_share_of_parent" -> RelationalQueries.shareOfParent,
     "q_bitmap_overlap" -> RelationalQueries.bitmapOverlap,
     "q_sssp_weighted" -> PipelineQueries.ssspWeighted,
     "q_spatial_radius" -> PipelineQueries.spatialRadius,
@@ -2220,6 +2222,46 @@ object SparkEntry {
              ((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y))::BIGINT AS dist2
       FROM p a JOIN p b ON a.id < b.id
       WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 10000""",
+
+    // the same flag + running-sum island recipe, replayed in SQL
+    "q_interval_merge" -> """
+      WITH iv AS (SELECT l_suppkey, l_shipdate AS ship_s,
+                         l_shipdate + INTERVAL 10 DAY AS ship_e
+                  FROM lineitem),
+      f AS (SELECT l_suppkey, ship_s, ship_e,
+              CASE WHEN ship_s <= max(ship_e) OVER (
+                     PARTITION BY l_suppkey ORDER BY ship_s, ship_e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   THEN 0 ELSE 1 END AS flag
+            FROM iv),
+      g AS (SELECT l_suppkey, ship_s, ship_e,
+              sum(flag) OVER (PARTITION BY l_suppkey
+                ORDER BY ship_s, ship_e ROWS UNBOUNDED PRECEDING)
+                AS island
+            FROM f)
+      SELECT l_suppkey, min(ship_s) AS island_start,
+             max(ship_e) AS island_end, count(*)::BIGINT AS n_intervals
+      FROM g GROUP BY l_suppkey, island""",
+
+    // decimal-exact nation/region revenue, one IEEE division for share
+    "q_share_of_parent" -> """
+      WITH rev AS (
+        SELECT r_name, n_name,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+      SELECT r_name, n_name,
+             CAST(rev AS DOUBLE) AS nation_rev,
+             CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+               AS region_rev,
+             CAST(rev AS DOUBLE) /
+               CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+               AS share
+      FROM rev""",
 
     // the bitmap aggregate's popcount must equal plain COUNT(DISTINCT)
     "q_bitmap_distinct" -> """

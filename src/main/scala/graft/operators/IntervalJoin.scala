@@ -127,4 +127,46 @@ object IntervalJoin {
       .unionAll(theta(lLong, right, broadcastLeft = true))
       .unionAll(theta(lShort, rLong, broadcastLeft = false))
   }
+
+  /** Merge overlapping-or-touching intervals per key into maximal
+    * "islands" (gaps-and-islands): availability windows, coverage
+    * spans, outage consolidation. Pure window algebra — no self-join:
+    * an interval starts a new island iff its start exceeds the running
+    * max end of everything before it (ordered by (start, end)), and
+    * the island id is the running sum of those flags. Cost is one
+    * shuffle on `key` + one partial agg; intervals of one key must fit
+    * one task's window partition (the usual per-key window caveat —
+    * a whale key wants time-bucketed pre-merge first).
+    *
+    * Intervals are CLOSED on both ends for merging purposes: touching
+    * intervals ([1,5],[5,9]) merge. Rows with end < start fail loudly
+    * in-plan — a reversed interval would silently poison the running
+    * max.
+    *
+    * @return one row per island: key columns, island_start, island_end,
+    *         n_intervals
+    */
+  def mergeIntervals(df: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val s = col(startCol)
+    val e = when(col(endCol) < col(startCol),
+      raise_error(concat(lit("mergeIntervals: end < start at "),
+        col(startCol).cast("string")))).otherwise(col(endCol))
+    val ordered = Window.partitionBy(keys: _*).orderBy(s.asc, e.asc)
+    val prevMaxEnd = max(e).over(
+      ordered.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = df
+      .withColumn("__new_island",
+        when(prevMaxEnd.isNull || s > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new_island")).over(
+          ordered.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(keys :+ col("__island"): _*)
+      .agg(min(s).as("island_start"), max(e).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(keys ++ Seq(col("island_start"), col("island_end"),
+        col("n_intervals")): _*)
+  }
 }

@@ -112,6 +112,39 @@ object RelationalQueries {
         .kmvDistinct(col("l_partkey"), 256).as("approx_parts"))
   }
 
+  /** Gaps-and-islands: per-supplier shipment windows [shipdate, +10d]
+    * merged into maximal coverage islands ([[graft.operators
+    * .IntervalJoin.mergeIntervals]]) — pure window algebra, no
+    * self-join. Supplier keys are dense (~hundreds of intervals each),
+    * so the gate exercises real merging, not singleton passthrough. */
+  val intervalMerge: Q = (s, d) => {
+    val iv = Tables.lineitem(s, d).select(col("l_suppkey"),
+      col("l_shipdate").as("ship_s"),
+      (col("l_shipdate") + expr("INTERVAL 10 DAYS")).as("ship_e"))
+    graft.operators.IntervalJoin.mergeIntervals(iv, Seq("l_suppkey"),
+      "ship_s", "ship_e")
+  }
+
+  /** Percent-of-parent rollup share: each nation's revenue as a share
+    * of its region — decimal-exact numerator and denominator (the Exact
+    * discipline), ONE IEEE division at the end so both engines produce
+    * the identical double. */
+  val shareOfParent: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(Exact.discPrice).as("rev"))
+    val w = Window.partitionBy(col("r_name"))
+    rev.select(col("r_name"), col("n_name"),
+        col("rev").cast("double").as("nation_rev"),
+        sum(col("rev")).over(w).cast("double").as("region_rev"),
+        (col("rev").cast("double") /
+          sum(col("rev")).over(w).cast("double")).as("share"))
+  }
+
   /** Exact distinct customers per order priority through the
     * dense-bitmap aggregate ([[graft.functions.BitmapIndex]]) — the
     * mergeable bitmap-index form of COUNT(DISTINCT): fixed-size per-group

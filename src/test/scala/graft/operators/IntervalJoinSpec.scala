@@ -87,4 +87,38 @@ class IntervalJoinSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 9L, 12L * 3600 * 1000000L)))
   }
+
+  test("mergeIntervals: islands over longs — overlap, touch, gap, keys") {
+    // key a: [1,5] [5,9] touch-merge; [12,14] separate; contained [2,3]
+    // key b: single interval
+    val iv = Seq(("a", 1L, 5L), ("a", 5L, 9L), ("a", 2L, 3L),
+      ("a", 12L, 14L), ("b", 4L, 6L))
+      .toDF("k", "s", "e").repartition(3)
+    val got = IntervalJoin.mergeIntervals(iv, Seq("k"), "s", "e")
+      .orderBy("k", "island_start")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L, 9L, 3L), ("a", 12L, 14L, 1L),
+      ("b", 4L, 6L, 1L)))
+  }
+
+  test("mergeIntervals: an earlier LONG interval bridges later ones") {
+    // [0,100] swallows [10,20] and [30,40]: the running-max (not lag)
+    // must carry the long end across — the classic gaps/islands trap
+    val iv = Seq((1L, 0L, 100L), (1L, 10L, 20L), (1L, 30L, 40L),
+      (1L, 150L, 160L)).toDF("k", "s", "e")
+    val got = IntervalJoin.mergeIntervals(iv, Seq("k"), "s", "e")
+      .orderBy("island_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 100L, 3L), (1L, 150L, 160L, 1L)))
+  }
+
+  test("mergeIntervals: reversed interval fails loudly") {
+    val iv = Seq((1L, 10L, 5L)).toDF("k", "s", "e")
+    val ex = intercept[Exception] {
+      IntervalJoin.mergeIntervals(iv, Seq("k"), "s", "e").collect()
+    }
+    val msg = ex.getMessage +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("end < start"))
+  }
 }
