@@ -228,6 +228,7 @@ object SparkEntry {
     "q_bitmap_overlap" -> RelationalQueries.bitmapOverlap,
     "q_sssp_weighted" -> PipelineQueries.ssspWeighted,
     "q_spatial_radius" -> PipelineQueries.spatialRadius,
+    "q_mann_whitney" -> PipelineQueries.mannWhitneyPrices,
     "q_quality_classifier" -> PipelineQueries.qualityClassifier,
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
@@ -2208,6 +2209,41 @@ object SparkEntry {
         (12::BIGINT, 10::BIGINT),
         (20::BIGINT, 20::BIGINT), (21::BIGINT, 20::BIGINT))
         AS t(node, component)""",
+
+    // doubled-rank integer algebra; HUGEINT keeps every sum exact, one
+    // IEEE halving/division sequence mirrored op-for-op from the engine
+    "q_mann_whitney" -> """
+      WITH sa AS (SELECT l_extendedprice AS v, count(*) AS cnt_a
+                  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+      sb AS (SELECT l_extendedprice AS v, count(*) AS cnt_b
+             FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+      m AS (SELECT COALESCE(sa.v, sb.v) AS v,
+                   COALESCE(cnt_a, 0) AS ca, COALESCE(cnt_b, 0) AS cb,
+                   COALESCE(cnt_a, 0) + COALESCE(cnt_b, 0) AS mm
+            FROM sa FULL JOIN sb ON sa.v = sb.v),
+      r AS (SELECT ca, cb, mm,
+              2 * COALESCE(sum(mm) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + mm + 1 AS rank2
+            FROM m),
+      agg AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+                sum(ca::HUGEINT * rank2) AS ra2,
+                sum(mm::HUGEINT * mm * mm - mm) AS tie
+              FROM r)
+      SELECT n_a, n_b,
+             CAST(ra2 AS DOUBLE) / 2 AS r_a,
+             CAST(ra2 - n_a::HUGEINT * (n_a + 1) AS DOUBLE) / 2 AS u_a,
+             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               - CAST(ra2 - n_a::HUGEINT * (n_a + 1) AS DOUBLE) / 2 AS u_b,
+             CAST(tie AS DOUBLE) AS tie_sum,
+             round((CAST(ra2 - n_a::HUGEINT * (n_a + 1) AS DOUBLE) / 2
+                    - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+               / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12)
+                 * ((CAST(n_a + n_b AS DOUBLE) + 1)
+                   - CAST(tie AS DOUBLE)
+                     / (CAST(n_a + n_b AS DOUBLE)
+                        * (CAST(n_a + n_b AS DOUBLE) - 1)))), 9) AS z
+      FROM agg""",
 
     // brute-force twin of the grid join — integer-exact, no epsilon;
     // coordinates from the shared md5 recipe (uniform scatter)

@@ -176,4 +176,93 @@ object Drift {
     totals.crossJoin(diffAgg)
       .select(col("n_a"), col("n_b"), col("d_stat"), col("d_value"))
   }
+
+  /** Mann–Whitney U rank-sum test (two-sided, tie-corrected, no
+    * continuity correction) — the nonparametric "did this distribution
+    * shift" companion to [[ks]]: U is location-sensitive where KS is
+    * shape-sensitive.
+    *
+    * Distributed shape = the [[ks]] discipline: collapse BOTH samples
+    * to distinct values with per-sample counts (the only corpus-scale
+    * shuffle), then run the two-phase running count (per-bucket totals
+    * → broadcast prefix offsets → in-bucket windows) — NO global sort
+    * of raw rows, no single-partition window over the data.
+    *
+    * Exactness: tie-averaged ranks live in DOUBLED integer space
+    * (rank2 = 2·|{w < v}| + m + 1), so every rank sum is an exact
+    * DECIMAL(38,0); U = (Σ ca·rank2 − n_a(n_a+1)) / 2.0 is one exact
+    * subtraction and one exact halving — bit-identical cross-engine.
+    * The z statistic is a fixed IEEE op sequence over those exact
+    * inputs, rounded 9dp like the PageRank tier. Degenerate inputs
+    * fail loudly: an empty sample (U undefined) or zero rank variance
+    * (every value tied — z would be 0/0).
+    *
+    * @return one row: (n_a, n_b, r_a, u_a, u_b, tie_sum, z)
+    */
+  def mannWhitney(a: DataFrame, b: DataFrame, valueCol: String,
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, tag: String) =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("__v"))
+        .agg(count(lit(1)).as(s"__c$tag"))
+    val merged = counts(a, "a")
+      .join(counts(b, "b").withColumnRenamed("__v", "__rv"),
+        col("__v") === col("__rv"), "full_outer")
+      .select(coalesce(col("__v"), col("__rv")).as("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .withColumn("__m", col("__ca") + col("__cb"))
+      .withColumn("__bk", bucket(col("__v")))
+    val wOff = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = merged.groupBy(col("__bk"))
+      .agg(sum("__m").as("__tm"))
+      .withColumn("__om", coalesce(sum(col("__tm")).over(wOff), lit(0L)))
+      .select(col("__bk").as("__bk2"), col("__om"))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ranked = merged.join(broadcast(offs), col("__bk") <=> col("__bk2"))
+      .withColumn("__cumbefore",
+        col("__om") + sum(col("__m")).over(wIn) - col("__m"))
+      // doubled average rank of the __m copies of __v — exact integer
+      .withColumn("__rank2",
+        lit(2L) * col("__cumbefore") + col("__m") + lit(1L))
+    val agg = ranked.groupBy()
+      .agg(coalesce(sum("__ca"), lit(0L)).as("n_a"),
+        coalesce(sum("__cb"), lit(0L)).as("n_b"),
+        coalesce(sum(col("__ca").cast(dec) * col("__rank2").cast(dec)),
+          lit(0L).cast(dec)).as("__ra2"),
+        coalesce(sum(col("__m").cast(dec) * col("__m").cast(dec) *
+          col("__m").cast(dec) - col("__m").cast(dec)),
+          lit(0L).cast(dec)).as("__tie"))
+    // the guards sit ON the 1-row global aggregate (the AQE
+    // empty-relation lesson: a guard behind a join can be pruned)
+    val guarded = agg.select(
+      when(col("n_a") === 0 || col("n_b") === 0, raise_error(lit(
+        "Drift.mannWhitney: empty sample — U is undefined")))
+        .when(col("n_a").cast("double") * col("n_b").cast("double")
+          > 4.5e15, raise_error(lit(
+          "Drift.mannWhitney: n_a*n_b too large for an exact double U")))
+        .otherwise(col("n_a")).as("n_a"),
+      col("n_b"), col("__ra2"), col("__tie"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nn = (col("n_a") + col("n_b")).cast("double")
+    val u2 = col("__ra2") - (col("n_a") * (col("n_a") + lit(1L))).cast(dec)
+    val uA = u2.cast("double") / lit(2.0)
+    val uB = naD * nbD - uA
+    val varU = (naD * nbD / lit(12.0)) *
+      ((nn + lit(1.0)) - col("__tie").cast("double") / (nn * (nn - lit(1.0))))
+    guarded.select(col("n_a"), col("n_b"),
+      (col("__ra2").cast("double") / lit(2.0)).as("r_a"),
+      uA.as("u_a"), uB.as("u_b"),
+      col("__tie").cast("double").as("tie_sum"),
+      when(varU <= 0.0, raise_error(lit(
+        "Drift.mannWhitney: zero rank variance — every value tied")))
+        .otherwise(round((uA - naD * nbD / lit(2.0)) / sqrt(varU), 9))
+        .as("z"))
+  }
 }

@@ -198,6 +198,19 @@ object PipelineQueries {
       "o_totalprice", v => floor(v / 1000.0))
   }
 
+  /** Mann–Whitney U ([[graft.operators.Drift.mannWhitney]]): did
+    * returned lineitems price-shift vs accepted ones. Distinct-value
+    * collapse + the two-phase running count — exact doubled-rank
+    * integers end to end, z rounded 9dp (the fixed-IEEE-sequence
+    * recipe). The oracle replays the identical rank algebra in SQL. */
+  val mannWhitneyPrices: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    graft.operators.Drift.mannWhitney(
+      li.filter(col("l_returnflag") === "R"),
+      li.filter(col("l_returnflag") === "A"),
+      "l_extendedprice", v => floor(v / 1000.0))
+  }
+
   /** Two-stage retrieve-and-rerank (the production search shape): BM25
     * lexical retrieval prunes the corpus to 20 candidates, then an
     * exact cosine re-rank against the query embedding (vec_id 0)

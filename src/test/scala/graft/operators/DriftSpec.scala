@@ -110,4 +110,48 @@ class DriftSpec extends SparkSpec {
       .select("grp", "psi").as[(String, Double)].collect().toMap
     assert(out("s") == 0.0 && out("m") > 0.25)
   }
+
+  test("Mann-Whitney U: hand-computed ranks, ties averaged") {
+    // A = {1,2,3}, B = {2,3,4}: sorted 1,2,2,3,3,4 with avg ranks
+    // 1, 2.5, 2.5, 4.5, 4.5, 6 → R_A = 1+2.5+4.5 = 8, U_A = 8-6 = 2,
+    // U_B = 9-2 = 7, tie_sum = 0+6+6+0 = 12
+    val a = Seq(1.0, 2.0, 3.0).toDF("v").repartition(2)
+    val b = Seq(2.0, 3.0, 4.0).toDF("v").repartition(2)
+    val r = Drift.mannWhitney(a, b, "v", v => floor(v / 2.0)).head()
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Double]("r_a") == 8.0)
+    assert(r.getAs[Double]("u_a") == 2.0)
+    assert(r.getAs[Double]("u_b") == 7.0)
+    assert(r.getAs[Double]("tie_sum") == 12.0)
+    // z replayed with the identical IEEE op sequence
+    val (na, nb, nn, tie) = (3.0, 3.0, 6.0, 12.0)
+    val varU = (na * nb / 12.0) * ((nn + 1.0) - tie / (nn * (nn - 1.0)))
+    val z = BigDecimal((2.0 - na * nb / 2.0) / math.sqrt(varU))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == z)
+  }
+
+  test("Mann-Whitney U: identical samples give U_A = U_B, z = 0") {
+    val a = Seq(1.0, 2.0, 5.0, 9.0).toDF("v")
+    val r = Drift.mannWhitney(a, a, "v", v => floor(v / 4.0)).head()
+    assert(r.getAs[Double]("u_a") == 8.0 && r.getAs[Double]("u_b") == 8.0)
+    assert(r.getAs[Double]("z") == 0.0)
+  }
+
+  test("Mann-Whitney U: degenerate inputs fail loudly") {
+    val a = Seq(1.0, 2.0).toDF("v")
+    val empty = Seq.empty[Double].toDF("v")
+    val ex = intercept[Exception] {
+      Drift.mannWhitney(a, empty, "v", v => floor(v)).collect()
+    }
+    val m1 = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(m1.contains("empty sample"))
+
+    val tied = Seq(5.0, 5.0, 5.0).toDF("v")
+    val ex2 = intercept[Exception] {
+      Drift.mannWhitney(tied, tied, "v", v => floor(v)).collect()
+    }
+    val m2 = ex2.getMessage + Option(ex2.getCause).map(_.getMessage).getOrElse("")
+    assert(m2.contains("zero rank variance"))
+  }
 }
