@@ -229,6 +229,8 @@ object SparkEntry {
     "q_sssp_weighted" -> PipelineQueries.ssspWeighted,
     "q_spatial_radius" -> PipelineQueries.spatialRadius,
     "q_mann_whitney" -> PipelineQueries.mannWhitneyPrices,
+    "q_attribution" -> PipelineQueries.attribution,
+    "q_rfm_segments" -> PipelineQueries.rfmSegments,
     "q_quality_classifier" -> PipelineQueries.qualityClassifier,
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
@@ -2209,6 +2211,52 @@ object SparkEntry {
         (12::BIGINT, 10::BIGINT),
         (20::BIGINT, 20::BIGINT), (21::BIGINT, 20::BIGINT))
         AS t(node, component)""",
+
+    // position counts replayed with the same (ts, id) total order
+    "q_attribution" -> """
+      WITH conv AS (SELECT user_id AS u, event_id AS conv_id, ts AS cts
+                    FROM events WHERE event_type = 'purchase'),
+      touch AS (SELECT user_id AS u, event_type AS channel,
+                       event_id AS tid, ts AS tts
+                FROM events
+                WHERE event_type IN ('click', 'view', 'signup')),
+      pairs AS (SELECT conv_id, channel, tid, tts
+                FROM conv JOIN touch USING (u)
+                WHERE tts < cts AND tts >= cts - INTERVAL 3 DAY),
+      ranked AS (SELECT channel, conv_id,
+                   row_number() OVER (PARTITION BY conv_id
+                     ORDER BY tts ASC, tid ASC) AS rn_first,
+                   row_number() OVER (PARTITION BY conv_id
+                     ORDER BY tts DESC, tid DESC) AS rn_last
+                 FROM pairs)
+      SELECT channel,
+             sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS first_touch,
+             sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS last_touch,
+             count(*)::BIGINT AS assists,
+             count(DISTINCT conv_id)::BIGINT AS conversions
+      FROM ranked GROUP BY channel""",
+
+    // quintiles with custkey tie-breaks ⇒ a total order both engines
+    // ntile identically; monetary decimal-exact then one double cast
+    "q_rfm_segments" -> """
+      WITH maxd AS (SELECT max(o_orderdate) AS md FROM orders),
+      base AS (SELECT o_custkey,
+                 date_diff('day', max(o_orderdate), (SELECT md FROM maxd))
+                   ::INT AS recency_days,
+                 count(*)::BIGINT AS frequency,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+               FROM orders GROUP BY o_custkey)
+      SELECT o_custkey, recency_days, frequency, monetary,
+             ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+               ::INT AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+               ::INT AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC)
+               ::INT AS m_score
+      FROM base""",
 
     // doubled-rank integer algebra; HUGEINT keeps every sum exact, one
     // IEEE halving/division sequence mirrored op-for-op from the engine

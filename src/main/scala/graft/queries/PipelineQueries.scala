@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Compaction, Decontam, Dedup, TextSearch, TopK}
@@ -196,6 +197,39 @@ object PipelineQueries {
       o.filter(col("o_orderdate") < "1998-01-01"),
       o.filter(col("o_orderdate") >= "1998-01-01"),
       "o_totalprice", v => floor(v / 1000.0))
+  }
+
+  /** Multi-touch attribution ([[graft.operators.Attribution]]):
+    * purchases credited to click/view/signup touches within a 3-day
+    * lookback — exact position-based counts, fully SQL-expressible. */
+  val attribution: Q = (s, d) =>
+    graft.operators.Attribution.positionCounts(Tables.events(s, d),
+      "user_id", "event_type", "ts", "event_id",
+      conversionType = "purchase",
+      touchTypes = Seq("click", "view", "signup"), lookbackDays = 3)
+
+  /** RFM segmentation: per-customer recency/frequency/monetary with
+    * quintile scores (1 = best) — deterministic ntile via total-order
+    * tie-breaks on the customer key, decimal-exact monetary. */
+  val rfmSegments: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val maxDate = o.agg(max(col("o_orderdate")).as("__maxd"))
+    val base = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(Exact.Money)).as("__mon"))
+      .crossJoin(broadcast(maxDate))
+      .select(col("o_custkey"),
+        datediff(col("__maxd"), col("__last")).as("recency_days"),
+        col("frequency"), col("__mon").cast("double").as("monetary"))
+    base.select(col("o_custkey"), col("recency_days"), col("frequency"),
+      col("monetary"),
+      ntile(5).over(Window.orderBy(col("recency_days").asc,
+        col("o_custkey").asc)).as("r_score"),
+      ntile(5).over(Window.orderBy(col("frequency").desc,
+        col("o_custkey").asc)).as("f_score"),
+      ntile(5).over(Window.orderBy(col("monetary").desc,
+        col("o_custkey").asc)).as("m_score"))
   }
 
   /** Mann–Whitney U ([[graft.operators.Drift.mannWhitney]]): did
