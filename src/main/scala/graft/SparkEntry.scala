@@ -231,6 +231,7 @@ object SparkEntry {
     "q_mann_whitney" -> PipelineQueries.mannWhitneyPrices,
     "q_attribution" -> PipelineQueries.attribution,
     "q_rfm_segments" -> PipelineQueries.rfmSegments,
+    "q_clamped_cumsum" -> PipelineQueries.clampedInventory,
     "q_quality_classifier" -> PipelineQueries.qualityClassifier,
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
@@ -2211,6 +2212,29 @@ object SparkEntry {
         (12::BIGINT, 10::BIGINT),
         (20::BIGINT, 20::BIGINT), (21::BIGINT, 20::BIGINT))
         AS t(node, component)""",
+
+    // recursive-CTE replay of the clamp recurrence in (s, v) fold order
+    "q_clamped_cumsum" -> """
+      WITH RECURSIVE ev AS (
+        SELECT l_suppkey AS k, l_shipdate AS s,
+               CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_quantity AS BIGINT)
+                    ELSE -CAST(l_quantity AS BIGINT) END AS v
+        FROM lineitem),
+      r AS (SELECT k, s, v,
+              row_number() OVER (PARTITION BY k ORDER BY s, v) AS rn
+            FROM ev),
+      walk (k, rn, s, v, bal) AS (
+        SELECT k, rn, s, v,
+               GREATEST(0, LEAST(200, 100 + v)) AS bal
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.k, r.rn, r.s, r.v,
+               GREATEST(0, LEAST(200, w.bal + r.v))
+        FROM walk w JOIN r ON r.k = w.k AND r.rn = w.rn + 1)
+      SELECT k AS l_suppkey, s AS ship_ts, v AS delta,
+             bal::BIGINT AS balance
+      FROM walk""",
 
     // position counts replayed with the same (ts, id) total order
     "q_attribution" -> """

@@ -217,6 +217,58 @@ object TimeSeries {
           .as("alarm"))
   }
 
+  /** Clamped (saturating) running sum per key — inventory balances with
+    * a warehouse capacity, credit balances with a floor, token buckets:
+    * `bal_t = clamp(bal_{t-1} + v_t, lo, hi)`. The clamp makes the
+    * recurrence NON-linear, so no window frame expresses it (unlike a
+    * plain cumulative sum); it is the [[cusum]] in-row fold: ONE
+    * groupBy(key) shuffle, sort_array + aggregate fold over (slot,
+    * value) structs, explode back, hot keys fail loudly at
+    * `maxEventsPerKey`. Exact Long arithmetic end to end — the DuckDB
+    * recursive-CTE oracle replays the identical integer recurrence.
+    *
+    * Fold order is (slot, value) lexicographic; rows tied on BOTH are
+    * interchangeable (same multiset of outputs), so the result is
+    * deterministic cross-engine without a unique sequence column.
+    *
+    * @return (key, slot, delta, balance) — one row per input event
+    */
+  def clampedCumsum(df: DataFrame, keyCol: String, slotCol: String,
+      valCol: String, lo: Long, hi: Long, init: Long,
+      maxEventsPerKey: Int = 1 << 20): DataFrame = {
+    require(lo <= hi, s"empty clamp range [$lo, $hi]")
+    require(init >= lo && init <= hi,
+      s"init $init outside the clamp range [$lo, $hi]")
+    val collected = df
+      .select(col(keyCol),
+        struct(col(slotCol).as("s"), col(valCol).cast("long").as("v"))
+          .as("__e"))
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .withColumn("__es", when(size(col("__es")) > maxEventsPerKey,
+        raise_error(concat(
+          lit("clampedCumsum: key "), col(keyCol).cast("string"),
+          lit(s" exceeds $maxEventsPerKey rows in one in-row fold; " +
+            "pre-aggregate to a coarser slot grain"))))
+        .otherwise(col("__es")))
+    val outType = ("array<struct<s:" +
+      df.select(col(slotCol)).schema.head.dataType.sql +
+      ",v:bigint,bal:bigint>>").toLowerCase
+    val zero = struct(lit(init).as("bal"), array().cast(outType).as("out"))
+    val folded = aggregate(col("__es"), zero, (st, e) => {
+      val bal = greatest(lit(lo),
+        least(lit(hi), st.getField("bal") + e.getField("v")))
+      struct(bal.as("bal"),
+        concat(st.getField("out"), array(struct(
+          e.getField("s").as("s"), e.getField("v").as("v"),
+          bal.as("bal")))).as("out"))
+    })
+    collected
+      .select(col(keyCol), explode(folded.getField("out")).as("__o"))
+      .select(col(keyCol), col("__o.s").as(slotCol),
+        col("__o.v").as("delta"), col("__o.bal").as("balance"))
+  }
+
   /** Additive seasonal decomposition (STL-lite): value = trend +
     * seasonal + residual over a regular per-key series — the classic
     * monitoring read on daily metric counts (is today's drop seasonal

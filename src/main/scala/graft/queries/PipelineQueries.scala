@@ -199,6 +199,20 @@ object PipelineQueries {
       "o_totalprice", v => floor(v / 1000.0))
   }
 
+  /** Saturating inventory balance ([[graft.operators.TimeSeries
+    * .clampedCumsum]]): per-supplier stock from 100 units, returns
+    * restock (+qty) and ships deplete (−qty), clamped to [0, 200] —
+    * the non-linear recurrence a window can't express; the oracle is a
+    * recursive-CTE replay of the identical integer fold. */
+  val clampedInventory: Q = (s, d) => {
+    val ev = Tables.lineitem(s, d).select(col("l_suppkey"),
+      col("l_shipdate").as("ship_ts"),
+      when(col("l_returnflag") === "R", col("l_quantity"))
+        .otherwise(-col("l_quantity")).cast("long").as("qty_delta"))
+    graft.operators.TimeSeries.clampedCumsum(ev, "l_suppkey", "ship_ts",
+      "qty_delta", lo = 0L, hi = 200L, init = 100L)
+  }
+
   /** Multi-touch attribution ([[graft.operators.Attribution]]):
     * purchases credited to click/view/signup touches within a 3-day
     * lookback — exact position-based counts, fully SQL-expressible. */

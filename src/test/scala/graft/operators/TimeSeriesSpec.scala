@@ -242,4 +242,37 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("exceeds 4"))
   }
+
+  test("clampedCumsum: saturates at both bounds, recovers, keys isolate") {
+    // k=a from 10 in [0,15]: +10→15 (cap), -20→0 (floor), +3→3, -1→2
+    // k=b untouched by a's history
+    val ev = Seq(("a", 1L, 10L), ("a", 2L, -20L), ("a", 3L, 3L),
+      ("a", 4L, -1L), ("b", 1L, -4L))
+      .toDF("k", "slot", "v").repartition(3)
+    val got = TimeSeries.clampedCumsum(ev, "k", "slot", "v",
+        lo = 0L, hi = 15L, init = 10L)
+      .orderBy("k", "slot")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L, 10L, 15L), ("a", 2L, -20L, 0L),
+      ("a", 3L, 3L, 3L), ("a", 4L, -1L, 2L), ("b", 1L, -4L, 6L)))
+  }
+
+  test("clampedCumsum: same-slot ties fold in value order; guards fire") {
+    // two deltas at slot 1 sort (-5, +7): 10-5=5 then 5+7=12 — NOT 10+7
+    // clamped then -5 (which would give 10); value order is the contract
+    val ev = Seq(("a", 1L, 7L), ("a", 1L, -5L)).toDF("k", "slot", "v")
+    val got = TimeSeries.clampedCumsum(ev, "k", "slot", "v", 0L, 12L, 10L)
+      .orderBy("balance")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L, -5L, 5L), ("a", 1L, 7L, 12L)))
+
+    intercept[IllegalArgumentException] {
+      TimeSeries.clampedCumsum(ev, "k", "slot", "v", 0L, 10L, 11L)
+    }
+    val ex = intercept[Exception] {
+      TimeSeries.clampedCumsum(ev, "k", "slot", "v", 0L, 12L, 10L,
+        maxEventsPerKey = 1).collect()
+    }
+    assert(ex.getMessage.contains("exceeds 1"))
+  }
 }
