@@ -232,6 +232,8 @@ object SparkEntry {
     "q_attribution" -> PipelineQueries.attribution,
     "q_rfm_segments" -> PipelineQueries.rfmSegments,
     "q_clamped_cumsum" -> PipelineQueries.clampedInventory,
+    "q_nb_train" -> PipelineQueries.nbTrain,
+    "q_nb_classify" -> PipelineQueries.nbClassify,
     "q_quality_classifier" -> PipelineQueries.qualityClassifier,
     "q_hashing_tf" -> TextQueries.hashingTf,
     "q_bloom_decontam" -> PipelineQueries.bloomDecontam,
@@ -2212,6 +2214,59 @@ object SparkEntry {
         (12::BIGINT, 10::BIGINT),
         (20::BIGINT, 20::BIGINT), (21::BIGINT, 20::BIGINT))
         AS t(node, component)""",
+
+    // NB model: exact counts, one ln of one division per row
+    "q_nb_train" -> """
+      WITH t AS (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+                 FROM documents),
+      tf0 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+      lt AS (SELECT d.lang AS label, tf0.tok
+             FROM tf0 JOIN documents d USING (doc_id)),
+      tf AS (SELECT label, tok, count(*)::BIGINT AS tf
+             FROM lt GROUP BY 1, 2),
+      nl AS (SELECT label, count(*) AS nl FROM lt GROUP BY 1),
+      v AS (SELECT count(DISTINCT tok) AS v FROM lt)
+      SELECT label, tok, tf,
+             round(ln((tf + 1)::DOUBLE / (nl + v)::DOUBLE), 6) AS log_prob
+      FROM tf JOIN nl USING (label) CROSS JOIN v""",
+
+    // NB scoring: prior + summed token log-probs (unseen floor per
+    // class), per-doc argmax with (score desc, label asc) tie order
+    "q_nb_classify" -> """
+      WITH t AS (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+                 FROM documents),
+      tf0 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+      lt AS (SELECT d.lang AS label, tf0.tok
+             FROM tf0 JOIN documents d USING (doc_id)),
+      tf AS (SELECT label, tok, count(*) AS tf FROM lt GROUP BY 1, 2),
+      nl AS (SELECT label, count(*) AS nl FROM lt GROUP BY 1),
+      v AS (SELECT count(DISTINCT tok) AS v FROM lt),
+      model AS (SELECT label, tok,
+                  ln((tf + 1)::DOUBLE / (nl + v)::DOUBLE) AS lp
+                FROM tf JOIN nl USING (label) CROSS JOIN v),
+      stats AS (SELECT nd.label,
+                  ln(nd.n::DOUBLE / tot.n::DOUBLE) AS log_prior,
+                  ln(1.0 / (nl.nl + v.v)::DOUBLE) AS log_unseen
+                FROM (SELECT lang AS label, count(*) AS n
+                      FROM documents GROUP BY 1) nd
+                JOIN nl ON nl.label = nd.label
+                CROSS JOIN (SELECT count(*) AS n FROM documents) tot
+                CROSS JOIN v),
+      scored AS (SELECT tf0.doc_id, s.label,
+                   s.log_prior + sum(COALESCE(m.lp, s.log_unseen))
+                     AS score
+                 FROM tf0 CROSS JOIN stats s
+                 LEFT JOIN model m ON m.label = s.label
+                                  AND m.tok = tf0.tok
+                 GROUP BY tf0.doc_id, s.label, s.log_prior)
+      SELECT doc_id, label AS predicted, round(score, 6) AS score
+      FROM (SELECT doc_id, label, score,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, label ASC) AS rn
+            FROM scored)
+      WHERE rn = 1""",
 
     // recursive-CTE replay of the clamp recurrence in (s, v) fold order
     "q_clamped_cumsum" -> """

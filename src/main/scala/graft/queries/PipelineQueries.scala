@@ -199,6 +199,28 @@ object PipelineQueries {
       "o_totalprice", v => floor(v / 1000.0))
   }
 
+  /** Multinomial Naive Bayes TRAINING ([[graft.operators.NaiveBayes]]):
+    * the per-(lang, token) smoothed log-probability model over the
+    * document corpus — pure counting + one ln per row, rounded 6dp
+    * (surprisal precedent). */
+  val nbTrain: Q = (s, d) =>
+    graft.operators.NaiveBayes.train(Tables.documents(s, d),
+        "doc_id", "text", "lang")
+      .select(col("label"), col("tok"), col("tf"),
+        round(col("log_prob"), 6).as("log_prob"))
+
+  /** NB classification of the same corpus under the trained model:
+    * per-doc argmax of prior + summed token log-probs with the unseen
+    * floor. Self-labeling is the point of the gate (deterministic
+    * end-to-end train→score), not an accuracy claim. */
+  val nbClassify: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.NaiveBayes.classify(docs, "doc_id", "text",
+      graft.operators.NaiveBayes.train(docs, "doc_id", "text", "lang"),
+      graft.operators.NaiveBayes.classStats(docs, "doc_id", "text",
+        "lang"))
+  }
+
   /** Saturating inventory balance ([[graft.operators.TimeSeries
     * .clampedCumsum]]): per-supplier stock from 100 units, returns
     * restock (+qty) and ships deplete (−qty), clamped to [0, 200] —
