@@ -233,6 +233,7 @@ object SparkEntry {
     "q_rfm_segments" -> PipelineQueries.rfmSegments,
     "q_clamped_cumsum" -> PipelineQueries.clampedInventory,
     "q_nb_train" -> PipelineQueries.nbTrain,
+    "q_skyline" -> PipelineQueries.skylineParts,
     "q_nb_classify" -> PipelineQueries.nbClassify,
     "q_quality_classifier" -> PipelineQueries.qualityClassifier,
     "q_hashing_tf" -> TextQueries.hashingTf,
@@ -2214,6 +2215,16 @@ object SparkEntry {
         (12::BIGINT, 10::BIGINT),
         (20::BIGINT, 20::BIGINT), (21::BIGINT, 20::BIGINT))
         AS t(node, component)""",
+
+    // dominance by NOT EXISTS — the quadratic form the two-phase
+    // skyline exists to avoid
+    "q_skyline" -> """
+      SELECT p_partkey, p_size, p_retailprice FROM part a
+      WHERE NOT EXISTS (SELECT 1 FROM part b
+        WHERE b.p_size >= a.p_size
+          AND b.p_retailprice <= a.p_retailprice
+          AND (b.p_size > a.p_size
+               OR b.p_retailprice < a.p_retailprice))""",
 
     // NB model: exact counts, one ln of one division per row
     "q_nb_train" -> """

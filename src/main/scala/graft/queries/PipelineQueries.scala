@@ -199,6 +199,15 @@ object PipelineQueries {
       "o_totalprice", v => floor(v / 1000.0))
   }
 
+  /** Skyline / Pareto frontier ([[graft.operators.Skyline]]): parts no
+    * other part beats on BOTH bigger-size and lower-price — two-phase
+    * local-then-global skyline; the oracle pays the NOT EXISTS
+    * dominance scan the local prune avoids. */
+  val skylineParts: Q = (s, d) =>
+    graft.operators.Skyline.skyline(Tables.part(s, d), "p_partkey",
+        Seq(("p_size", true), ("p_retailprice", false)))
+      .select("p_partkey", "p_size", "p_retailprice")
+
   /** Multinomial Naive Bayes TRAINING ([[graft.operators.NaiveBayes]]):
     * the per-(lang, token) smoothed log-probability model over the
     * document corpus — pure counting + one ln per row, rounded 6dp
