@@ -216,6 +216,7 @@ object SparkEntry {
     "q_pmi_collocations" -> PipelineQueries.pmiCollocations,
     "q_cohort_retention" -> PipelineQueries.cohortRetention,
     "q_resample_ffill" -> PipelineQueries.resampleFfill,
+    "q_resample_interp" -> PipelineQueries.resampleInterp,
     "q_scd2_history" -> PipelineQueries.scd2History,
     "q_graph_degrees" -> PipelineQueries.graphDegrees,
     "q_skew_report" -> PipelineQueries.skewReport,
@@ -2566,6 +2567,49 @@ object SparkEntry {
                PARTITION BY user_id ORDER BY slot
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
       FROM j""",
+
+    // the ffill oracle plus bracketing prev/next windows; gap value =
+    // pv + (nv - pv) * ((slot - ps) / (ns - ps)), op order mirrored
+    "q_resample_interp" -> """
+      WITH s AS (
+        SELECT user_id, epoch_us(ts) // 21600000000 AS slot,
+               ts, event_id, value
+        FROM events),
+      o AS (
+        SELECT user_id, slot, value::DOUBLE AS obs, n_obs FROM (
+          SELECT user_id, slot, value,
+                 row_number() OVER (PARTITION BY user_id, slot
+                   ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id, slot) AS n_obs
+          FROM s) t WHERE rn = 1),
+      g AS (
+        SELECT user_id, unnest(range(mn, mx + 1)) AS slot
+        FROM (SELECT user_id, min(slot) AS mn, max(slot) AS mx
+              FROM o GROUP BY 1) sp),
+      j AS (
+        SELECT g.user_id, g.slot, o.obs,
+               coalesce(o.n_obs, 0)::BIGINT AS n_obs
+        FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.slot = o.slot),
+      k AS (
+        SELECT user_id, slot, obs, n_obs,
+               last_value(obs IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN obs IS NOT NULL THEN slot END
+                 IGNORE NULLS) OVER wp AS ps,
+               first_value(obs IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN obs IS NOT NULL THEN slot END
+                 IGNORE NULLS) OVER wn AS ns
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY slot
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY slot
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, make_timestamp(slot * 21600000000) AS slot_ts,
+             n_obs, obs IS NULL AS is_gap,
+             CASE WHEN obs IS NOT NULL THEN obs
+                  ELSE pv + (nv - pv) *
+                    ((slot - ps)::DOUBLE / (ns - ps)::DOUBLE) END
+               AS value
+      FROM k""",
 
     "q_cohort_retention" -> """
       WITH f AS (

@@ -131,6 +131,50 @@ object TimeSeries {
         last(col("__last"), ignoreNulls = true).over(w).as("value"))
   }
 
+  /** [[resample]] with LINEAR interpolation across gaps instead of
+    * forward-fill — the reconstruction read for continuously-varying
+    * metrics (a gauge between scrapes), where ffill's step function
+    * biases downstream means. Same grid + per-slot-last machinery; gap
+    * slots take `pv + (nv − pv) · (slot − ps)/(ns − ps)` between the
+    * bracketing known slots (the grid spans known endpoints, so both
+    * brackets always exist — no extrapolation). The arithmetic is one
+    * fixed IEEE sequence over exact slot integers and the raw values,
+    * so raw doubles hash cross-engine. */
+  def resampleInterp(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, intervalSec: Long): DataFrame = {
+    require(intervalSec > 0, s"intervalSec must be positive: $intervalSec")
+    val us = intervalSec * 1000000L
+    val slotted = df.select(col(keyCol),
+      slotOf(tsCol, us).as("__slot"),
+      struct(col(tsCol), col(idCol), col(valCol).cast("double").as("v"))
+        .as("__obs"))
+    val perSlot = slotted.groupBy(col(keyCol), col("__slot"))
+      .agg(count(lit(1)).as("n_obs"),
+        max(col("__obs")).getField("v").as("__last"))
+    val grid = perSlot.groupBy(col(keyCol))
+      .agg(min("__slot").as("__s0"), max("__slot").as("__s1"))
+      .select(col(keyCol),
+        explode(sequence(col("__s0"), col("__s1"))).as("__slot"))
+    val base = Window.partitionBy(keyCol).orderBy("__slot")
+    val wp = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val knownSlot = when(col("__last").isNotNull, col("__slot"))
+    grid.join(perSlot, Seq(keyCol, "__slot"), "left")
+      .withColumn("__pv", last(col("__last"), ignoreNulls = true).over(wp))
+      .withColumn("__ps", last(knownSlot, ignoreNulls = true).over(wp))
+      .withColumn("__nv", first(col("__last"), ignoreNulls = true).over(wn))
+      .withColumn("__ns", first(knownSlot, ignoreNulls = true).over(wn))
+      .select(col(keyCol),
+        timestamp_micros(col("__slot") * us).as("slot_ts"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("__last").isNull.as("is_gap"),
+        when(col("__last").isNotNull, col("__last"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((col("__slot") - col("__ps")).cast("double") /
+              (col("__ns") - col("__ps")).cast("double")))
+          .as("value"))
+  }
+
   /** OHLC bars — the canonical event-stream downsampling (finance
     * candles; equally the per-interval first/last/extremes summary any
     * metric stream wants): per (key, interval slot), the first (open)

@@ -979,6 +979,14 @@ object PipelineQueries {
     graft.operators.TimeSeries.resample(Tables.events(s, d),
       "user_id", "ts", "event_id", "value", intervalSec = 21600L)
 
+  /** Linear-interpolation resample (round 9): the [[resampleFfill]]
+    * grid with gaps bridged by the bracketing known slots — raw doubles
+    * hash because the interpolation is one fixed IEEE sequence over
+    * exact slot integers. */
+  val resampleInterp: Q = (s, d) =>
+    graft.operators.TimeSeries.resampleInterp(Tables.events(s, d),
+      "user_id", "ts", "event_id", "value", intervalSec = 21600L)
+
   /** Cohort retention matrix (round 5): the third member of the
     * product-analytics family (sessionize = within-visit, funnel =
     * conversion order, retention = repeat engagement over calendar

@@ -243,6 +243,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(ex.getMessage.contains("exceeds 4"))
   }
 
+  test("resampleInterp: gaps take the linear bridge, knowns untouched") {
+    import java.sql.Timestamp
+    def ts(h: Int) = new Timestamp(h * 3600L * 1000L)
+    // hourly slots: known at h0 (v=10) and h3 (v=40); h1, h2 are gaps
+    // → 20 and 30; a second known pair 40→40 stays flat
+    val ev = Seq((1L, ts(0), 1L, 10.0), (1L, ts(3), 2L, 40.0),
+      (1L, ts(5), 3L, 40.0)).toDF("k", "ts", "id", "v")
+    val got = TimeSeries.resampleInterp(ev, "k", "ts", "id", "v", 3600L)
+      .orderBy("slot_ts")
+      .select("value", "is_gap")
+      .as[(Double, Boolean)].collect().toSeq
+    assert(got == Seq((10.0, false), (20.0, true), (30.0, true),
+      (40.0, false), (40.0, true), (40.0, false)))
+  }
+
   test("clampedCumsum: saturates at both bounds, recovers, keys isolate") {
     // k=a from 10 in [0,15]: +10→15 (cap), -20→0 (floor), +3→3, -1→2
     // k=b untouched by a's history
