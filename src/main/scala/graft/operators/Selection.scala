@@ -33,6 +33,32 @@ object Selection {
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0,1]: $qs")
+    val (cum, nRow) = cumAndN(df, valueCol, bucket, "exactQuantiles")
+    val ranks = qs.map(q => struct(lit(q).as("q"),
+      greatest(lit(1L), ceil(lit(q) * col("__n") - lit(1e-9))
+        .cast("long")).as("__r")))
+    val qTable = nRow.select(col("__n"),
+      explode(array(ranks: _*)).as("__qr"))
+      .select(col("__n"), col("__qr.q").as("q"), col("__qr.__r"))
+    // tiny-side broadcast through the non-equi rank probe; min per q.
+    // The final left join anchors output on qTable — built from a
+    // global aggregate, which produces its row even on empty input, so
+    // the empty guard cannot be pruned by AQE's empty-relation
+    // propagation (the Drift.ks lesson). q ≤ 1 ⇒ rank ≤ n, so every q
+    // matches at least one cum row and `value` is never null past the
+    // guard.
+    val res = cum.join(broadcast(qTable), col("__cum") >= col("__r"))
+      .groupBy(col("q"))
+      .agg(min(col("__v")).as("value"))
+    qTable.select(col("q"), col("__n").as("n"))
+      .join(res, Seq("q"), "left")
+  }
+
+  /** Per-distinct-value cumulative counts (the shared two-phase running
+    * count) and the loudly-guarded 1-row total. Extracted verbatim from
+    * [[exactQuantiles]] so both quantile flavors share one plan shape. */
+  private def cumAndN(df: DataFrame, valueCol: String,
+      bucket: Column => Column, opName: String): (DataFrame, DataFrame) = {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
@@ -53,25 +79,51 @@ object Selection {
     val nRow = cum.groupBy()
       .agg(coalesce(max("__cum"), lit(0L)).as("__n"))
       .select(when(col("__n") === 0, raise_error(lit(
-        "exactQuantiles: no non-null values"))).otherwise(col("__n"))
+        s"$opName: no non-null values"))).otherwise(col("__n"))
         .as("__n"))
-    val ranks = qs.map(q => struct(lit(q).as("q"),
-      greatest(lit(1L), ceil(lit(q) * col("__n") - lit(1e-9))
-        .cast("long")).as("__r")))
+    (cum, nRow)
+  }
+
+  /** `percentile_cont` semantics over the same machinery: the
+    * interpolated quantile `v_lo + (v_hi − v_lo)·frac` at 0-based
+    * position `h = (n−1)·q`, where lo/hi are the bracketing ranks and
+    * `frac = h − ⌊h⌋`. Two rank probes ride ONE broadcast join (each q
+    * explodes into its lo and hi rank rows). The interpolation is a
+    * fixed IEEE sequence over the exact selected values, so results
+    * hash cross-engine against an oracle replaying the same expression.
+    *
+    * @return one row per q: (q, n, value) — value is DOUBLE
+    */
+  def exactQuantilesCont(df: DataFrame, valueCol: String,
+      qs: Seq[Double], bucket: Column => Column): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0,1]: $qs")
+    val (cum, nRow) = cumAndN(df, valueCol, bucket, "exactQuantilesCont")
+    val cumD = cum.select(col("__v").cast("double").as("__v"),
+      col("__cum"))
+    val qRows = qs.map { q =>
+      val h = lit(q) * (col("__n") - lit(1L)).cast("double")
+      struct(lit(q).as("q"), h.as("h"),
+        (floor(h).cast("long") + lit(1L)).as("rlo"),
+        (ceil(h).cast("long") + lit(1L)).as("rhi"))
+    }
     val qTable = nRow.select(col("__n"),
-      explode(array(ranks: _*)).as("__qr"))
-      .select(col("__n"), col("__qr.q").as("q"), col("__qr.__r"))
-    // tiny-side broadcast through the non-equi rank probe; min per q.
-    // The final left join anchors output on qTable — built from a
-    // global aggregate, which produces its row even on empty input, so
-    // the empty guard cannot be pruned by AQE's empty-relation
-    // propagation (the Drift.ks lesson). q ≤ 1 ⇒ rank ≤ n, so every q
-    // matches at least one cum row and `value` is never null past the
-    // guard.
-    val res = cum.join(broadcast(qTable), col("__cum") >= col("__r"))
+        explode(array(qRows: _*)).as("__qr"))
+      .select(col("__n"), col("__qr.q").as("q"), col("__qr.h").as("h"),
+        col("__qr.rlo").as("rlo"), col("__qr.rhi").as("rhi"))
+    val probes = qTable.select(col("q"),
+        explode(array(
+          struct(lit("lo").as("side"), col("rlo").as("r")),
+          struct(lit("hi").as("side"), col("rhi").as("r")))).as("__p"))
+      .select(col("q"), col("__p.side"), col("__p.r"))
+    val picked = cumD.join(broadcast(probes), col("__cum") >= col("r"))
       .groupBy(col("q"))
-      .agg(min(col("__v")).as("value"))
-    qTable.select(col("q"), col("__n").as("n"))
-      .join(res, Seq("q"), "left")
+      .agg(min(when(col("side") === "lo", col("__v"))).as("__vlo"),
+        min(when(col("side") === "hi", col("__v"))).as("__vhi"))
+    qTable.join(picked, Seq("q"), "left")
+      .select(col("q"), col("__n").as("n"),
+        (col("__vlo") + (col("__vhi") - col("__vlo")) *
+          (col("h") - floor(col("h")))).as("value"))
   }
 }
