@@ -3396,7 +3396,8 @@ object SparkEntry {
                count(*) AS n_ab
         FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
           AND x.l_partkey < y.l_partkey
-        GROUP BY 1, 2),
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
       i AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1),
       o AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li)
       SELECT p.part_a, p.part_b, p.n_ab,

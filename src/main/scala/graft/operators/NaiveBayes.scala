@@ -72,7 +72,9 @@ object NaiveBayes {
   /** Classify every document: argmax over classes of
     * `log_prior + Σ_tokens log P(t|c)` with unseen tokens taking the
     * class's smoothed floor. Ties (which need bit-equal float scores —
-    * only degenerate inputs) break toward the smaller label.
+    * only degenerate inputs) break toward the smaller label. A document
+    * with ZERO tokens (empty/whitespace-only text) classifies by prior
+    * alone — one output row per distinct doc id, always.
     *
     * Plan shape: tokens × classes (a broadcast of the tiny class list),
     * one broadcast-able join against the model on (label, tok), one
@@ -93,10 +95,26 @@ object NaiveBayes {
       .agg(
         (first(col("log_prior")) +
           sum(coalesce(col("log_prob"), col("log_unseen")))).as("__score"))
-    scored.groupBy(col("__doc").as(idCol))
+    val byTokens = scored.groupBy(col("__doc").as(idCol))
       .agg(min_by(col("label"),
           struct((-col("__score")).as("ns"), col("label").as("l")))
           .as("predicted"),
         round(max(col("__score")), 6).as("score"))
+    // a document whose text tokenizes to zero tokens (empty or
+    // whitespace-only) produces no rows in the explode and would get
+    // NO prediction — the contract is one row per distinct doc.
+    // Such docs classify by prior alone: argmax(log_prior), ties
+    // toward the smaller label (the same tie-break as the token path).
+    val priorOnly = classes.groupBy()
+      .agg(min_by(col("label"),
+          struct((-col("log_prior")).as("np"), col("label").as("l")))
+          .as("__fb_label"),
+        round(max(col("log_prior")), 6).as("__fb_score"))
+    docs.select(col(idCol)).distinct()
+      .join(byTokens, Seq(idCol), "left")
+      .crossJoin(broadcast(priorOnly))
+      .select(col(idCol),
+        coalesce(col("predicted"), col("__fb_label")).as("predicted"),
+        coalesce(col("score"), col("__fb_score")).as("score"))
   }
 }

@@ -37,10 +37,17 @@ object Outliers {
     * for operators documented as "adds a column to every row". */
   private def statsJoin(rows: DataFrame, stats: DataFrame,
       keys: Seq[String]): DataFrame = {
-    val cond = keys.map(k => rows(k) <=> stats(k))
+    // stats derives from rows, so `rows(k) <=> stats(k)` resolves both
+    // sides to the SAME attribute (Spark logs "trivially true equals
+    // predicate" and self-join disambiguation has to guess); renaming
+    // the stats keys makes the join condition unambiguous by name
+    val renamed = keys.foldLeft(stats) { (d, k) =>
+      d.withColumnRenamed(k, s"__sj_$k")
+    }
+    val cond = keys.map(k => rows(k) <=> renamed(s"__sj_$k"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    keys.foldLeft(rows.join(broadcast(stats), cond, "left")) {
-      (d, k) => d.drop(stats(k))
+    keys.foldLeft(rows.join(broadcast(renamed), cond, "left")) {
+      (d, k) => d.drop(s"__sj_$k")
     }
   }
 
@@ -98,10 +105,9 @@ object Outliers {
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
     // percentile_disc rank: smallest element with cum fraction >= q,
-    // i.e. 1-based rank ceil(q*n) (>= 1); the tiny FP nudge keeps
-    // exact products like 0.05*20=1 from ceiling to 2
-    def qRank(q: Double) =
-      greatest(lit(1L), ceil(lit(q) * col("__n") - lit(1e-9)).cast("long"))
+    // i.e. 1-based rank ceil(q*n) (>= 1), computed exactly in decimal
+    // ([[Selection.discRank]] — no FP nudge, valid at any n)
+    def qRank(q: Double) = Selection.discRank(q, col("__n"))
     val bounds = ranked
       .filter(col("__rn") === qRank(lo) || col("__rn") === qRank(hi))
       .groupBy(g: _*)

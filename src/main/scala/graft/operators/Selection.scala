@@ -16,12 +16,24 @@ import org.apache.spark.sql.functions._
   * count reaches its rank.
   *
   * Semantics are `percentile_disc` (DuckDB `quantile_disc`): the
-  * element at 1-based rank `⌈q·n⌉` (min 1), computed with the repo's
-  * nudged ceiling so exact products like 0.05·20 = 1 never ceil to 2.
-  * NULLs neither rank nor count. Values return VERBATIM — discrete
-  * selection has no interpolation FP, so results hash exactly.
+  * element at 1-based rank `⌈q·n⌉` (min 1), computed in DECIMAL so the
+  * product is exact at every magnitude (an absolute FP nudge like
+  * `ceil(q·n − 1e-9)` silently stops working once q·n exceeds ~2^23,
+  * where 1e-9 falls below one ulp — exactly the billions-scale n the
+  * operator advertises). NULLs neither rank nor count. Values return
+  * VERBATIM — discrete selection has no interpolation FP, so results
+  * hash exactly.
   */
 object Selection {
+
+  /** 1-based `percentile_disc` rank `max(1, ⌈q·n⌉)` computed EXACTLY:
+    * `q` enters as a decimal literal (via its shortest decimal string,
+    * so 0.05 is 5/100 — not the nearest double) and multiplies the
+    * long count in decimal arithmetic, which Spark keeps exact to 38
+    * digits. No epsilon, valid at any n. */
+  def discRank(q: Double, n: Column): Column =
+    greatest(lit(1L),
+      ceil(lit(new java.math.BigDecimal(q.toString)) * n).cast("long"))
 
   /** @param bucket coarsening of the value order (e.g. `v =>
     *               floor(v / 1000)`) — must be monotone in `v`; bucket
@@ -35,8 +47,7 @@ object Selection {
       s"quantiles must be in (0,1]: $qs")
     val (cum, nRow) = cumAndN(df, valueCol, bucket, "exactQuantiles")
     val ranks = qs.map(q => struct(lit(q).as("q"),
-      greatest(lit(1L), ceil(lit(q) * col("__n") - lit(1e-9))
-        .cast("long")).as("__r")))
+      discRank(q, col("__n")).as("__r")))
     val qTable = nRow.select(col("__n"),
       explode(array(ranks: _*)).as("__qr"))
       .select(col("__n"), col("__qr.q").as("q"), col("__qr.__r"))

@@ -64,9 +64,20 @@ object Skyline {
     require(dims.nonEmpty, "skyline needs at least one criterion")
     val spark = df.sparkSession
     import spark.implicits._
+    // a non-numeric or null id would cast to NULL silently, collapsing
+    // every such row onto one id and corrupting both the local merge
+    // and the final semi-join — fail loudly instead (the repo's
+    // raise_error guard idiom)
+    val guardedId = {
+      val c = col(idCol).cast("long")
+      when(c.isNull, raise_error(concat(
+        lit(s"skyline: idCol '$idCol' must be non-null and numeric, got "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))))
+        .otherwise(c)
+    }
     // orient every criterion as MAXIMIZE; exact for integers and 2-dp
     // money doubles alike (comparison-only — no arithmetic)
-    val vecs = df.select(col(idCol).cast("long").as("id"),
+    val vecs = df.select(guardedId.as("id"),
         array(dims.map { case (c, maximize) =>
           val d = col(c).cast("double")
           (if (maximize) d else -d).as(c)

@@ -116,6 +116,11 @@ case class RewriteAggregateToSummary(spark: SparkSession)
 
   private def rewrite(group: Seq[Expression], aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
+    // a GLOBAL (no GROUP BY) aggregate diverges under the rewrite on an
+    // empty base: COUNT(*) returns one row of 0, but SUM(cnt) over zero
+    // summary rows returns NULL (and flips output nullability). Grouped
+    // aggregates are safe — every emitted group has >= 1 summary row.
+    if (group.isEmpty) return None
     val (baseRel, filter) = unwrap(child) match {
       case Some(x) => x
       case None => return None

@@ -1399,10 +1399,12 @@ object RelationalQueries {
     * Round 9 adds the Apriori/SON support pre-prune: a pair's support
     * is ≤ min of its parts' supports, so parts with `n_item <
     * minSupport` are dropped from BOTH self-join sides BEFORE the pair
-    * join — result-identical above the support floor (the reported
-    * top-100 bottoms out at support 2 at every tested SF) while
-    * cutting the pair space by the singleton-part share, which at
-    * corpus scale is most of it. `n_a`/`n_b`/`n_orders` stay computed
+    * join. Round 10 makes the floor STRUCTURAL: pairs also filter on
+    * `n_ab >= minSupport` (and the oracle carries the same HAVING), so
+    * pruned and unpruned plans are provably identical — not an
+    * empirical per-SF claim. The prune cuts the pair space by the
+    * singleton-part share, which at corpus scale is most of it.
+    * `n_a`/`n_b`/`n_orders` stay computed
     * over the UNPRUNED set so the emitted rows are byte-identical.
     * Within-order pair fan-out is bounded by basket size (the triangle
     * argument); counts exact, lift one fixed IEEE expression over
@@ -1425,6 +1427,12 @@ object RelationalQueries {
         col("y.l_partkey").as("part_b"),
         col("x.n_item").as("n_a"), col("y.n_item").as("n_b"))
       .agg(count(lit(1)).as("n_ab"))
+      // structural support floor: the Apriori prune above is
+      // result-identical by PROOF only when pairs below minSupport
+      // can't reach the top-100 — enforce that, don't assume it (a
+      // support-1 pair sneaking into the cut at an untested SF would
+      // silently diverge from the unpruned semantics)
+      .filter(col("n_ab") >= minSupport)
     val orders = li.agg(countDistinct("l_orderkey").as("n_orders"))
     pairs
       .crossJoin(broadcast(orders))

@@ -678,10 +678,19 @@ object StreamOps {
   def streamIvm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val o = graft.sources.Tables.orders(spark, dir)
+    // gate-fixture construction only (the production sink consumes a
+    // real stream) — but a driver collect still gets the repo's loud
+    // cap: limit(cap+1) bounds the transfer to one extra row, and the
+    // require fails before an oversized fixture OOMs the driver
+    val maxFixtureRows = 500000
+    val collected = graft.sources.Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 4 === 0)
       .select("o_orderkey", "o_orderpriority", "o_custkey")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .limit(maxFixtureRows + 1).collect()
+    require(collected.length <= maxFixtureRows,
+      s"streamIvm gate fixture: > $maxFixtureRows driver rows — the " +
+        "fixture subset no longer fits the driver; tighten the % filter")
+    val o = collected.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val b0 = o.toSeq.map { case (_, p, c) => (p, c, 1) }
     val b1 = o.toSeq.filter(_._1 % 13 == 0)
       .map { case (_, p, c) => (p, c, -1) }

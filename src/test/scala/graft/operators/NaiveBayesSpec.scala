@@ -60,4 +60,21 @@ class NaiveBayesSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got(11L)._2 == want11)
   }
+
+  test("classify: token-less docs fall back to prior alone — one row " +
+      "per doc, never dropped") {
+    val model = NaiveBayes.train(docs, "doc_id", "text", "lang")
+    val stats = NaiveBayes.classStats(docs, "doc_id", "text", "lang")
+    val test = Seq((20L, "apple banana"), (21L, ""), (22L, "   "))
+      .toDF("doc_id", "text")
+    val got = NaiveBayes.classify(test, "doc_id", "text", model, stats)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        r.getDouble(2)))).toMap
+    assert(got.keySet == Set(20L, 21L, 22L), "one row per doc id")
+    // equal priors (2 docs each): tie breaks toward the smaller label
+    val wantPrior = BigDecimal(math.log(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(21L) == (("fruit", wantPrior)))
+    assert(got(22L) == (("fruit", wantPrior)))
+  }
 }

@@ -93,6 +93,21 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("global (no GROUP BY) aggregate refuses the rewrite") {
+    registered {
+      // a global COUNT(*) over an empty base returns one row of 0; the
+      // rewritten SUM(cnt) over zero summary rows would return NULL —
+      // so the rule must not fire without grouping
+      val gQ = base.agg(count(lit(1)).as("n"))
+      assert(gQ.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"), "global agg must not rewrite")
+      // and the empty-base semantics it protects: COUNT(*) = one 0 row
+      val empty = base.filter(col("l_orderkey") < 0)
+        .agg(count(lit(1)).as("n"))
+      assert(empty.collect().map(_.getLong(0)).toSeq === Seq(0L))
+    }
+  }
+
   test("unregistered sessions/relations never rewrite") {
     // no registration active
     val q = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
