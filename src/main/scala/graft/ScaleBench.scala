@@ -549,6 +549,18 @@ object ScaleBench {
       graft.operators.BpeTrain.learnMerges(docsN, "text", 5) }
     results += (("bpe_train", tbp1, tbpN))
 
+    // BPE merge DEPTH (round 10): with incremental pair counts the
+    // per-merge cost tracks the touched pairs, so 4x the merges must
+    // cost well under 4x — the old full-recount form paid one full
+    // vocab explode+agg per merge, making depth strictly linear in
+    // full corpus scans (this drill's ratio is depth-32/depth-8 on the
+    // SAME 1x corpus, not a data-scale ratio)
+    val tbd8 = time("bpe_merge_depth 8") {
+      graft.operators.BpeTrain.learnMerges(docs1, "text", 8) }
+    val tbd32 = time("bpe_merge_depth 32") {
+      graft.operators.BpeTrain.learnMerges(docs1, "text", 32) }
+    results += (("bpe_merge_depth", tbd8, tbd32))
+
     // ---- round-5 session-4 operators ----
     // PMI: replication multiplies every pair count ×N over a FIXED
     // vocabulary — the bigram explode grows linear, the pair table
@@ -682,6 +694,17 @@ object ScaleBench {
     val ttrN = time(s"triangles ${factor}x")(noop(graft.operators.Graph
       .triangleCounts(triEdges(liT), "src", "dst")))
     results += (("triangles", ttr1, ttrN))
+
+    // round 10: the edge-iterator kernel (adjacency arrays +
+    // array_intersect — only TRIANGLE rows ever explode, wedges never
+    // materialize as rows) on the same graphs; identical output
+    // (TriangleKernelSpec), candidate replacement if the ratio AND the
+    // constant beat the wedge row above
+    val tta1 = time("triangles_adj 1x")(noop(graft.operators.Graph
+      .trianglesAdjKernel(triEdges(li1), "src", "dst")))
+    val ttaN = time(s"triangles_adj ${factor}x")(noop(graft.operators.Graph
+      .trianglesAdjKernel(triEdges(liT), "src", "dst")))
+    results += (("triangles_adj", tta1, ttaN))
 
     // ---- round-7 operators ----
     // set-sim join, rep-tagged tokens: copies are mutually disjoint, so
@@ -1426,6 +1449,42 @@ object ScaleBench {
       val trc1 = time("recursive_cte 1x")(noop(recOf(sup1)))
       val trcN = time(s"recursive_cte ${factor}x")(noop(recOf(supN)))
       results += (("recursive_cte", trc1, trcN))
+    }
+
+    // ---- round-10 operators ----
+    // ntileScore, global (the q_rfm_segments rewrite): customers ×N
+    // through the two-phase bucket-offset form — per-bucket row_number
+    // parallelizes and the only whole-table window runs over the
+    // bucket-COUNT table, so the ratio must stay near-linear where the
+    // old unpartitioned ntile window serialized EVERYTHING through one
+    // task (the r9 scale-killer)
+    {
+      def ntOf(o: DataFrame) = {
+        val base = o.groupBy("o_custkey")
+          .agg(count(lit(1)).as("frequency"))
+        graft.operators.Selection.ntileScore(base, 5, Nil,
+          struct((-col("frequency")).as("nf"),
+            floor(col("o_custkey") / 65536).as("ks")),
+          Seq(col("frequency").desc, col("o_custkey").asc), "f_score")
+          .groupBy().agg(count(lit(1)).as("n"), sum("f_score"))
+      }
+      val tnt1 = time("ntile_score 1x")(noop(ntOf(ord1)))
+      val tntN = time(s"ntile_score ${factor}x")(noop(ntOf(ordN)))
+      results += (("ntile_score", tnt1, tntN))
+    }
+    // ntileScore, grouped with a HOT key (the q_curriculum rewrite):
+    // docs ×N where one lang holds most rows — partitioning is
+    // (lang, score band), never lang alone, so the hot language fans
+    // out across bands instead of one task
+    {
+      def ncOf(d: DataFrame) = graft.operators.Selection.ntileScore(
+          d.select("doc_id", "lang", "n_chars"), 4, Seq("lang"),
+          floor(col("n_chars") / 64),
+          Seq(col("n_chars").asc, col("doc_id").asc), "bucket")
+        .groupBy().agg(count(lit(1)).as("n"), sum("bucket"))
+      val tnc1 = time("ntile_score_hotkey 1x")(noop(ncOf(docs1)))
+      val tncN = time(s"ntile_score_hotkey ${factor}x")(noop(ncOf(docsN)))
+      results += (("ntile_score_hotkey", tnc1, tncN))
     }
 
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")

@@ -87,6 +87,8 @@ object SparkEntry {
     "q_tfidf" -> TextQueries.tfidf,
     "q_vocab_stats" -> TextQueries.vocabStats,
     "q_text_rollhash" -> TextQueries.rollingHash,
+    "q_winnow_fingerprints" -> TextQueries.winnowFingerprints,
+    "q_decile_norm" -> PipelineQueries.decileNorm,
     "q_text_lang_markers" -> TextQueries.textLangMarkers,
     "q_lang_id" -> TextQueries.langId,
     "q_text_bigrams" -> TextQueries.textBigrams,
@@ -118,6 +120,7 @@ object SparkEntry {
     "q_ann_lsh" -> DedupQueries.annLsh,
     "q_ann_ivf" -> DedupQueries.annIvf,
     "q_multimodal_decode" -> DedupQueries.multimodalDecode,
+    "q_media_headers" -> DedupQueries.mediaHeaders,
     // structured streaming replay (E29–E33)
     "q_stream_window_agg" -> ((s, d) => streaming.StreamOps.tumblingAgg(s, d)),
     "q_stream_quantiles" -> ((s, d) => streaming.StreamOps.quantileAgg(s, d)),
@@ -255,6 +258,7 @@ object SparkEntry {
     // round 6: lakehouse merge, graph triangles, exact-sum regression
     "q_cdc_apply" -> PipelineQueries.cdcApply,
     "q_triangle_counts" -> PipelineQueries.triangleCounts,
+    "q_clustering_coeff" -> PipelineQueries.clusteringCoeff,
     "q_linreg_group" -> RelationalQueries.linregGroup,
     "q_kanon_audit" -> PipelineQueries.kanonAudit,
     "q_sample_weighted" -> PipelineQueries.sampleWeighted,
@@ -360,6 +364,8 @@ object SparkEntry {
       PipelineQueries.pagerankWeightedPlanted,
     "q_containment_join" -> DedupQueries.containmentJoin,
     "q_exact_quantiles" -> PipelineQueries.exactQuantiles,
+    "q_weighted_quantiles" -> PipelineQueries.weightedQuantilesQ,
+    "q_benford_audit" -> PipelineQueries.benfordAudit,
   )
 
   private val docChunksSql = """
@@ -591,6 +597,37 @@ object SparkEntry {
                list_prepend(0::BIGINT,
                  list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
                (acc, c) -> (acc * 31 + c) % 1000000007) AS rollhash
+      FROM documents""",
+
+    // MOSS winnowing: k=5 char-gram hashes (the rollhash polynomial),
+    // window w=4 min over the packed hash*1e6+pos (lexicographic
+    // (hash, pos) min — leftmost tie), distinct selections
+    "q_winnow_fingerprints" -> """
+      WITH d AS (
+        SELECT doc_id, text, strlen(text) - 5 + 1 AS ng
+        FROM documents WHERE strlen(text) >= 8),
+      g AS (
+        SELECT doc_id, ng, i AS pos,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(string_split(substr(text, i::INT, 5), ''),
+                     c -> ord(c)::BIGINT)),
+                 (acc, c) -> (acc * 31 + c) % 1000000007) AS gh
+        FROM d, unnest(range(1, ng + 1)) AS r(i)),
+      sel AS (
+        SELECT doc_id, pos, ng,
+               min(gh * 1000000 + pos) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+        FROM g)
+      SELECT DISTINCT doc_id, s // 1000000 AS fp_hash,
+             s % 1000000 AS fp_pos
+      FROM sel WHERE pos <= ng - 3""",
+
+    "q_decile_norm" -> """
+      SELECT doc_id, source, n_chars,
+             ntile(10) OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id)::INT AS decile
       FROM documents""",
 
     "q_agg_distinct" -> """
@@ -1007,6 +1044,44 @@ object SparkEntry {
              round(list_sum(list_transform(
                generate_series(1, strlen(text)::INT, 8),
                i -> ord(substr(text, i, 1))))::DOUBLE, 2) AS f0
+      FROM documents""",
+
+    // planted-fixture twin of the REAL header codec: the payload bytes
+    // are constructed from doc_id by fixed arithmetic (MediaCodec
+    // .syntheticPayload), so the oracle predicts every parsed field
+    // without parsing — order of CASEs mirrors the corrupt-first rule
+    "q_media_headers" -> """
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 17 = 0 THEN 'riff'
+                  WHEN doc_id % 3 = 0 THEN 'bmp'
+                  WHEN doc_id % 3 = 1 THEN 'wav'
+                  ELSE 'gif' END AS format,
+             (CASE WHEN doc_id % 17 = 0 THEN 4
+                   WHEN doc_id % 3 = 0 THEN 54
+                   WHEN doc_id % 3 = 1
+                     THEN 44 + (doc_id % 100 + 1) * (doc_id % 2 + 1) * 2
+                   ELSE 13 END)::INT AS n_bytes,
+             (CASE WHEN doc_id % 17 = 0 THEN 0
+                   WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1
+                   WHEN doc_id % 3 = 1 THEN 0
+                   ELSE doc_id % 1000 + 1 END)::INT AS width,
+             (CASE WHEN doc_id % 17 = 0 THEN 0
+                   WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1
+                   WHEN doc_id % 3 = 1 THEN 0
+                   ELSE doc_id % 800 + 1 END)::INT AS height,
+             (CASE WHEN doc_id % 17 = 0 THEN 0
+                   WHEN doc_id % 3 = 0 THEN 24
+                   WHEN doc_id % 3 = 1 THEN 16
+                   ELSE 0 END)::INT AS bit_depth,
+             (CASE WHEN doc_id % 17 <> 0 AND doc_id % 3 = 1
+                   THEN 8000 + (doc_id % 8) * 4000 ELSE 0 END)::INT
+               AS sample_rate,
+             (CASE WHEN doc_id % 17 <> 0 AND doc_id % 3 = 1
+                   THEN doc_id % 2 + 1 ELSE 0 END)::INT AS channels,
+             (CASE WHEN doc_id % 17 = 0 THEN 0
+                   WHEN doc_id % 3 = 1 THEN doc_id % 100 + 1
+                   ELSE 1 END)::INT AS n_frames,
+             CASE WHEN doc_id % 17 = 0 THEN 'truncated' ELSE '' END AS err
       FROM documents""",
 
     "q_stream_window_agg" -> """
@@ -2997,6 +3072,38 @@ object SparkEntry {
       SELECT node, count(*)::BIGINT AS triangles
       FROM corners GROUP BY node""",
 
+    // same edge/triangle CTEs; cc = 2T/(d(d-1)) emitted as the RAW IEEE
+    // division both engines compute identically on exact counts (the
+    // q_window_distribution no-rounding precedent)
+    "q_clustering_coeff" -> """
+      WITH e AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y USING (l_orderkey)
+        WHERE x.l_partkey < y.l_partkey
+          AND x.l_partkey % 4 = 0 AND y.l_partkey % 4 = 0),
+      deg AS (
+        SELECT node, count(*)::BIGINT AS degree FROM (
+          SELECT a AS node FROM e UNION ALL SELECT b FROM e) ends
+        GROUP BY node),
+      tri AS (
+        SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      corners AS (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri),
+      t AS (
+        SELECT node, count(*)::BIGINT AS triangles
+        FROM corners GROUP BY node)
+      SELECT d.node, d.degree,
+             coalesce(t.triangles, 0)::BIGINT AS triangles,
+             CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(t.triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END AS clustering
+      FROM deg d LEFT JOIN t USING (node)""",
+
     "q_linreg_group" -> """
       WITH sums AS (
         SELECT l_returnflag, count(*)::BIGINT AS n,
@@ -4811,5 +4918,41 @@ object SparkEntry {
       UNION ALL
       SELECT 0.99::DOUBLE, count(*)::BIGINT,
              quantile_disc(v, 0.99) FROM vals""",
+
+    // weighted discrete quantile: smallest v whose cumulative WEIGHT
+    // reaches ceil(q·W). DuckDB has no weighted quantile builtin, so
+    // the oracle replays the cumulative definition; the q literals
+    // stay DECIMAL through the q*W product (exact, the discRank
+    // discipline) and cast to DOUBLE only in the output
+    "q_weighted_quantiles" -> """
+      WITH c AS (
+        SELECT l_extendedprice AS v,
+               sum(CAST(l_quantity AS BIGINT)) AS c
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          AND CAST(l_quantity AS BIGINT) <> 0
+        GROUP BY v),
+      cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cw FROM c),
+      tot AS (SELECT sum(c)::BIGINT AS w FROM c),
+      ranks AS (
+        SELECT qv.q, greatest(1, ceil(qv.q * t.w))::BIGINT AS r, t.w
+        FROM tot t, (VALUES (0.1), (0.5), (0.9), (0.99)) AS qv(q))
+      SELECT r.q::DOUBLE AS q, r.w AS n, min(cum.v) AS value
+      FROM ranks r JOIN cum ON cum.cw >= r.r
+      GROUP BY r.q, r.w""",
+
+    // Benford digit audit: digit via the exact cents-integer string
+    // head (no FP log in the digit path); share raw IEEE, benford_p
+    // rounded 6dp (transcendental-safe)
+    "q_benford_audit" -> """
+      WITH d AS (
+        SELECT substr(CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR,
+                 1, 1)::INT AS digit
+        FROM orders WHERE o_totalprice > 0),
+      g AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+      t AS (SELECT sum(n)::BIGINT AS tt FROM g)
+      SELECT digit, n, n / tt::DOUBLE AS share,
+             round(log10(1.0 + 1.0 / digit), 6) AS benford_p
+      FROM g, t""",
   )
 }

@@ -11,16 +11,24 @@ import org.apache.spark.sql.functions._
   * learn the `numMerges` most frequent adjacent symbol pairs, each
   * chosen merge rewriting the vocabulary before the next count.
   *
-  * Scale shape — the classic BPE factorization: the corpus collapses
-  * ONCE to the distinct-word frequency table (one shuffle; pair
-  * statistics are word-frequency-weighted, so the iterations never
-  * touch the corpus again). Each iteration is then (a) one partial-agg
-  * shuffle over the VOCABULARY (millions of rows at 100 TB, never
-  * billions), (b) a 1-row argmax collect — the merge table IS a
-  * driver-side artifact, like every tokenizer vocabulary — and (c) a
-  * map-only symbol-fold rewrite. Each iteration's vocabulary is
-  * materialized and its predecessor unpersisted, so lineage stays one
-  * step deep regardless of `numMerges`.
+  * Scale shape — the classic BPE factorization, plus incremental pair
+  * counts (round 10): the corpus collapses ONCE to the distinct-word
+  * frequency table (one shuffle; pair statistics are word-frequency-
+  * weighted, so the iterations never touch the corpus again), and the
+  * pair-frequency table is MAINTAINED across merges rather than
+  * recounted — merging (l, r) only changes the pair profile of words
+  * that contain (l, r) adjacent, so each iteration (a) filters the
+  * vocabulary with a map-only contains predicate (no explode, no
+  * shuffle of untouched words), (b) aggregates the ± pair deltas of
+  * the touched words only, (c) folds them into the standing pair table
+  * (a shuffle sized by the PAIR vocabulary, not the corpus's total
+  * pair occurrences), and (d) takes the 1-row argmax — the merge
+  * table IS a driver-side artifact, like every tokenizer vocabulary.
+  * A 32k-merge production run therefore pays per merge for the pairs
+  * it touches, not 32k full corpus recounts. Each iteration's
+  * vocabulary and pair table are materialized and their predecessors
+  * unpersisted, so lineage stays one step deep regardless of
+  * `numMerges`.
   *
   * Determinism: ties on pair frequency break lexicographically (left
   * symbol, then right), so merge tables reproduce across runs,
@@ -76,23 +84,40 @@ object BpeTrain {
           i => col("w").substr(i, lit(1))),
         array(lit(EndOfWord))).as("syms"), col("freq"))
 
+  /** Frequency-weighted adjacent-pair counts of a (syms, freq) table. */
+  private def pairCounts(v: DataFrame): DataFrame = v
+    .select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
+    .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+    .agg(sum("freq").as("pfreq"))
+
   /** Learn the top `numMerges` merge rules. Returns (rank, left, right,
     * freq), rank 1-based in merge order; stops early when no pair is
-    * left to merge. */
+    * left to merge.
+    *
+    * Delta algebra (the incremental invariant, asserted by
+    * BpeTrainSpec against a full recount): after merging (l, r),
+    * `pc' = pc − pairs(touched) + pairs(merge(touched))` where
+    * `touched` = words with (l, r) adjacent — untouched words have
+    * identical pair profiles before and after, so their terms cancel
+    * exactly. Counts are exact longs; pairs whose count reaches zero
+    * are dropped (a surviving zero-count row could win a late argmax). */
   def learnMerges(df: DataFrame, textCol: String, numMerges: Int)
       : DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = df.sparkSession
     import spark.implicits._
-    var vocab = vocabulary(df, textCol).cache()
+    // vocab and pc feed MULTIPLE consumers per iteration (touched /
+    // untouched / delta), so a cache alone leaves the logical plan
+    // doubling per iteration — localCheckpoint truncates it (the
+    // Graph.pageRank discipline; state is small (syms, freq) /
+    // (left, right, pfreq) rows)
+    var vocab = vocabulary(df, textCol).localCheckpoint()
+    var pc = pairCounts(vocab).localCheckpoint()
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
-      val top = vocab
-        .select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
-        .groupBy(col("p.left").as("left"), col("p.right").as("right"))
-        .agg(sum("freq").as("pfreq"))
+      val top = pc
         .orderBy(col("pfreq").desc, col("left").asc, col("right").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
@@ -100,16 +125,31 @@ object BpeTrain {
         val (l, r, f) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, f))
-        val next = vocab
+        // map-only containment predicate — untouched words are never
+        // exploded, re-counted, or rewritten
+        val hit = array_contains(pairsOf(col("syms")),
+          struct(lit(l).as("left"), lit(r).as("right")))
+        val touched = vocab.filter(hit)
+        val rewritten = touched
           .select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
-          .cache()
-        next.count() // materialize before dropping the parent lineage
-        vocab.unpersist()
-        vocab = next
+        val delta = pairCounts(rewritten).union(
+          pairCounts(touched)
+            .select(col("left"), col("right"), (-col("pfreq")).as("pfreq")))
+        pc = pc.union(delta)
+          .groupBy("left", "right").agg(sum("pfreq").as("pfreq"))
+          .filter(col("pfreq") > 0)
+          .localCheckpoint()
+        // union CONCATENATES partition lists (untouched N + touched N),
+        // and nothing downstream reshuffles vocab — without the narrow
+        // coalesce back to the incoming count the partition total
+        // DOUBLES per merge (2^k growth: by merge ~15 a stage carries
+        // ~100k near-empty tasks and scheduling dwarfs the work)
+        val nPart = vocab.rdd.getNumPartitions
+        vocab = vocab.filter(!hit).union(rewritten)
+          .coalesce(nPart).localCheckpoint()
         rank += 1
       }
     }
-    vocab.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
 

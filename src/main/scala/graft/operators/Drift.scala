@@ -81,11 +81,19 @@ object Drift {
     // groupCols may be empty (global PSI): an empty using-columns join
     // is NOT a conditioned join — the one-row totals must cross-join.
     // Non-empty: null-safe equality, so the null group keeps its totals.
+    // The totals side's keys are renamed BEFORE the join — totals
+    // derives from `joined`, so joined(k) <=> totals(k) resolves both
+    // sides to the same attribute id and Catalyst logs its "trivially
+    // true equals predicate" WARN while silently rewriting the
+    // condition (the r9 bench-tail 'lang == lang' finding)
     val withTotals =
       if (groupCols.isEmpty) joined.crossJoin(broadcast(totals))
-      else groupCols.foldLeft(joined.join(broadcast(totals),
-          groupCols.map(k => joined(k) <=> totals(k)).reduce(_ && _))) {
-        (d, k) => d.drop(totals(k))
+      else {
+        val tot = groupCols.foldLeft(totals) {
+          (d, k) => d.withColumnRenamed(k, s"__t_$k") }
+        joined.join(broadcast(tot),
+            groupCols.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _))
+          .drop(groupCols.map(k => s"__t_$k"): _*)
       }
     withTotals
       .withColumn("__p", (col("__ca") + s) /
@@ -139,8 +147,10 @@ object Drift {
         coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
       .withColumn("__bk", bucket(col("__v")))
-    // per-bucket totals → prefix offsets (the tiny unpartitioned window)
-    val wOff = Window.orderBy(col("__bk"))
+    // per-bucket totals → prefix offsets (tiny bounded window — see
+    // Bounded.constPart for the marker idiom)
+    val wOff = Window.partitionBy(Bounded.constPart(col("__ta")))
+      .orderBy(col("__bk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = merged.groupBy(col("__bk"))
       .agg(sum("__ca").as("__ta"), sum("__cb").as("__tb"))
@@ -215,7 +225,8 @@ object Drift {
         coalesce(col("__cb"), lit(0L)).as("__cb"))
       .withColumn("__m", col("__ca") + col("__cb"))
       .withColumn("__bk", bucket(col("__v")))
-    val wOff = Window.orderBy(col("__bk"))
+    val wOff = Window.partitionBy(Bounded.constPart(col("__tm")))
+      .orderBy(col("__bk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = merged.groupBy(col("__bk"))
       .agg(sum("__m").as("__tm"))

@@ -194,6 +194,15 @@ object Graph {
       : DataFrame =
     trianglesOfCanonical(canonicalEdges(edges, srcCol, dstCol))
 
+  /** Kernel handles for the drill/spec harness ONLY — identical output,
+    * different shuffle shapes (see [[trianglesOfCanonicalAdj]]). */
+  private[graft] def trianglesWedgeKernel(edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame =
+    trianglesOfCanonical(canonicalEdges(edges, srcCol, dstCol))
+  private[graft] def trianglesAdjKernel(edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame =
+    trianglesOfCanonicalAdj(canonicalEdges(edges, srcCol, dstCol))
+
   /** DOULION (Tsourakakis et al., KDD'09) approximate tier — the
     * documented escape hatch when exact wedge closure outgrows its
     * budget: each canonical edge survives a DETERMINISTIC hash-coin
@@ -257,6 +266,76 @@ object Graph {
     closed
       .select(explode(array(col("s"), col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Edge-iterator alternative to the wedge-closure kernel (round 10):
+    * build each node's ORIENTED out-neighbor list once (sorted array,
+    * size O(√m) under the degree orientation), ship it to both
+    * endpoints of every oriented edge, and take
+    * `array_intersect(N⁺(s), N⁺(t))` — each common neighbor IS a
+    * triangle, so the only exploded rows are TRIANGLES (≤ wedges,
+    * usually ≪). The wedge kernel shuffles one row per wedge
+    * (Σ out(v)² rows); this one shuffles each adjacency array once per
+    * incident edge — the same worst-case byte volume but packed into
+    * arrays (codegen'd intersect, no per-wedge row overhead) and never
+    * more triangle rows than exist. Same orientation ⇒ each triangle
+    * found exactly once at its lowest oriented edge; output identical
+    * to [[trianglesOfCanonical]] by construction (TriangleKernelSpec
+    * asserts equality; the q_triangle_counts gate hash pins it). */
+  private def trianglesOfCanonicalAdj(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("s"), col("b").as("t")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val adj = oriented.groupBy(col("s").as("n"))
+      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    val tri = oriented
+      .join(adj.select(col("n").as("s"), col("nbrs").as("__ns")), Seq("s"))
+      .join(adj.select(col("n").as("t"), col("nbrs").as("__nt")), Seq("t"))
+      .select(col("s"), col("t"),
+        explode(array_intersect(col("__ns"), col("__nt"))).as("w"))
+    tri
+      .select(explode(array(col("s"), col("t"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Local clustering coefficient — triangles normalized by wedge
+    * capacity: `cc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`, the standard
+    * community-density / link-spam signal (Watts–Strogatz). Rides the
+    * same degree-oriented wedge closure as [[triangleCounts]] plus one
+    * degree aggregate and a left join — nothing new shuffles beyond the
+    * triangle kernel's id pairs.
+    *
+    * FP discipline: cc is a SINGLE IEEE multiply-divide over exact long
+    * counts, emitted RAW (no rounding) — both engines compute the
+    * identical `2.0 · T / (d·(d−1))` on identical operands, the
+    * q_window_distribution precedent. Degree-1 nodes (wedge capacity 0)
+    * emit 0.0 rather than a 0-division.
+    *
+    * @return (node, degree, triangles, clustering) for every node with
+    *         ≥ 1 edge; triangles is 0 for triangle-free nodes */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = canonicalEdges(edges, srcCol, dstCol)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = trianglesOfCanonical(und)
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
   }
 
   /** k-core decomposition by iterative peeling: the maximal subgraph in

@@ -1,0 +1,180 @@
+package graft.operators
+
+/** Real pure-JVM media header codec behind the [[Multimodal.MediaDecoder]]
+  * seam (round 10, closing the "decode is stub-only" gap): byte-level
+  * parsers for the three classic self-describing formats a container
+  * with no native image/audio libraries can still decode honestly —
+  * BMP (BITMAPINFOHEADER), RIFF/WAVE (canonical PCM chunk layout), and
+  * GIF (87a/89a logical screen descriptor). Magic bytes, endianness,
+  * chunk walking, and truncation handling are the real thing; pixel /
+  * sample DECODING is out of scope by design (features ride the
+  * [[Multimodal.StubDecoder]] seam until a real codec is linked).
+  *
+  * Envelope lineage: the generalization of the reference's framed
+  * deserializer (kafka-stream-service MessageDeserializer.java:49-70 —
+  * magic byte, length-prefixed fields, loud rejection of malformed
+  * frames), applied to public file formats instead of the riff wire.
+  *
+  * Every read is bounds-checked: malformed bytes produce a row with
+  * `err` set (the quarantine column pattern — corrupt media must
+  * surface per-row, never throw a task at 100 TB).
+  */
+object MediaCodec {
+
+  /** Parsed header metadata. Numeric fields are 0 where the format has
+    * no such notion (sample_rate for images) or when `err` is set;
+    * `err` is "" on success. */
+  final case class ParsedMedia(media_id: Long, format: String,
+      n_bytes: Int, width: Int, height: Int, bit_depth: Int,
+      sample_rate: Int, channels: Int, n_frames: Int, err: String)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def u16le(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+  private def i32le(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3) << 24)
+  private def ascii(b: Array[Byte], i: Int, n: Int): String =
+    new String(b, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def fail(id: Long, format: String, n: Int, err: String) =
+    ParsedMedia(id, format, n, 0, 0, 0, 0, 0, 0, err)
+
+  /** Parse a payload's header. Never throws on malformed input. */
+  def parse(id: Long, payload: Array[Byte]): ParsedMedia = {
+    val n = payload.length
+    if (n >= 2 && payload(0) == 'B' && payload(1) == 'M') parseBmp(id, payload)
+    else if (n >= 4 && ascii(payload, 0, 4) == "RIFF") parseWav(id, payload)
+    else if (n >= 6 && (ascii(payload, 0, 6) == "GIF87a" ||
+        ascii(payload, 0, 6) == "GIF89a")) parseGif(id, payload)
+    else fail(id, "unknown", n, "unknown_magic")
+  }
+
+  /** BMP with a BITMAPINFOHEADER (40-byte DIB, the near-universal
+    * variant): width i32 LE at 18, height i32 LE at 22 — NEGATIVE
+    * height means top-down row order and is reported as its magnitude —
+    * bit depth u16 LE at 28. */
+  private def parseBmp(id: Long, b: Array[Byte]): ParsedMedia = {
+    val n = b.length
+    if (n < 54) return fail(id, "bmp", n, "truncated")
+    if (i32le(b, 14) < 40) return fail(id, "bmp", n, "bad_dib")
+    val h = i32le(b, 22)
+    ParsedMedia(id, "bmp", n, i32le(b, 18), math.abs(h), u16le(b, 28),
+      0, 0, 1, "")
+  }
+
+  /** RIFF/WAVE chunk walk: "WAVE" tag at 8, then (id, u32-LE size)
+    * chunks from 12, word-aligned (odd sizes pad one byte). Reads the
+    * "fmt " fields and the "data" chunk size; frame count =
+    * dataSize / blockAlign. */
+  private def parseWav(id: Long, b: Array[Byte]): ParsedMedia = {
+    val n = b.length
+    if (n < 12 || ascii(b, 8, 4) != "WAVE")
+      return fail(id, "riff", n, "truncated")
+    var off = 12
+    var rate, ch, bits, blockAlign = 0
+    var dataSize = -1
+    var fmtSeen = false
+    while (off + 8 <= n) {
+      val cid = ascii(b, off, 4)
+      val size = i32le(b, off + 4)
+      if (size < 0 || off + 8 + size > n)
+        return fail(id, "wav", n, "truncated")
+      if (cid == "fmt ") {
+        if (size < 16) return fail(id, "wav", n, "bad_fmt")
+        ch = u16le(b, off + 10)
+        rate = i32le(b, off + 12)
+        blockAlign = u16le(b, off + 20)
+        bits = u16le(b, off + 22)
+        fmtSeen = true
+      } else if (cid == "data") dataSize = size
+      off += 8 + size + (size & 1)
+    }
+    if (!fmtSeen) return fail(id, "wav", n, "no_fmt")
+    val frames =
+      if (blockAlign > 0 && dataSize >= 0) dataSize / blockAlign else 0
+    ParsedMedia(id, "wav", n, 0, 0, bits, rate, ch, frames, "")
+  }
+
+  /** GIF logical screen descriptor: u16-LE width at 6, height at 8
+    * (13-byte header incl. flags/background/aspect). */
+  private def parseGif(id: Long, b: Array[Byte]): ParsedMedia = {
+    val n = b.length
+    if (n < 13) return fail(id, "gif", n, "truncated")
+    ParsedMedia(id, "gif", n, u16le(b, 6), u16le(b, 8), 0, 0, 0, 1, "")
+  }
+
+  // ---- writers (fixture builders + the encode half of the codec) ----
+
+  private def putU16le(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putI32le(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+    b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  /** 54-byte BMP header (no pixel data — header parse fixture). */
+  def writeBmp(width: Int, height: Int, bpp: Int): Array[Byte] = {
+    val b = new Array[Byte](54)
+    b(0) = 'B'; b(1) = 'M'
+    putI32le(b, 2, 54); putI32le(b, 10, 54); putI32le(b, 14, 40)
+    putI32le(b, 18, width); putI32le(b, 22, height)
+    putU16le(b, 26, 1); putU16le(b, 28, bpp)
+    b
+  }
+
+  /** Canonical 44-byte PCM WAV header plus `nSamples` zeroed frames. */
+  def writeWav(rate: Int, channels: Int, bits: Int,
+      nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataSize = nSamples * blockAlign
+    val b = new Array[Byte](44 + dataSize)
+    "RIFF".getBytes.copyToArray(b, 0)
+    putI32le(b, 4, 36 + dataSize)
+    "WAVE".getBytes.copyToArray(b, 8)
+    "fmt ".getBytes.copyToArray(b, 12)
+    putI32le(b, 16, 16); putU16le(b, 20, 1)
+    putU16le(b, 22, channels); putI32le(b, 24, rate)
+    putI32le(b, 28, rate * blockAlign); putU16le(b, 32, blockAlign)
+    putU16le(b, 34, bits)
+    "data".getBytes.copyToArray(b, 36)
+    putI32le(b, 40, dataSize)
+    b
+  }
+
+  /** 13-byte GIF89a header (logical screen descriptor only). */
+  def writeGif(width: Int, height: Int): Array[Byte] = {
+    val b = new Array[Byte](13)
+    "GIF89a".getBytes.copyToArray(b, 0)
+    putU16le(b, 6, width); putU16le(b, 8, height)
+    b
+  }
+
+  /** Deterministic planted fixture for the q_media_headers gate: the
+    * payload is CONSTRUCTED from the id by fixed arithmetic, so the
+    * DuckDB oracle can predict every parsed field without parsing —
+    * any header-codec bug hash-mismatches. id % 17 == 0 plants a
+    * truncated RIFF (the quarantine path); id % 5 == 0 BMPs store a
+    * NEGATIVE (top-down) height, invisible to the oracle because the
+    * parser reports magnitude. */
+  def syntheticPayload(id: Long): Array[Byte] =
+    if (id % 17 == 0) "RIFF".getBytes.take(4)
+    else if (id % 3 == 0) {
+      val h = (id % 480 + 1).toInt
+      writeBmp((id % 640 + 1).toInt, if (id % 5 == 0) -h else h, 24)
+    } else if (id % 3 == 1)
+      writeWav(8000 + (id % 8).toInt * 4000, (id % 2 + 1).toInt, 16,
+        (id % 100 + 1).toInt)
+    else writeGif((id % 1000 + 1).toInt, (id % 800 + 1).toInt)
+
+  /** The [[Multimodal.MediaDecoder]]-shaped entry: real header parse
+    * for dimensions/rate, stub feature (no pixel decode linked). */
+  object HeaderDecoder extends Multimodal.MediaDecoder {
+    override def decode(m: Multimodal.MediaRow): Multimodal.DecodedMedia = {
+      val p = parse(m.media_id, m.payload)
+      Multimodal.DecodedMedia(m.media_id, m.modality, m.source,
+        p.n_bytes, p.width, p.height, p.n_frames, Array.empty[Float])
+    }
+  }
+}

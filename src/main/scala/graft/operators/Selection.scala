@@ -35,6 +35,75 @@ object Selection {
     greatest(lit(1L),
       ceil(lit(new java.math.BigDecimal(q.toString)) * n).cast("long"))
 
+  /** `ntile(k) OVER ([PARTITION BY groupCols] ORDER BY orderCols)`
+    * WITHOUT the scale-killing window: an unpartitioned ntile moves
+    * every row to ONE task (and a ntile partitioned by a hot key —
+    * a language column, say — moves most rows to one task all the
+    * same). Same two-phase bucket-offset scheme as
+    * [[Sequence.assignGlobalSeq]]: count rows per (group, bucket),
+    * window over the COUNTS for running offsets and group totals
+    * (one row per bucket — the only whole-group window, sized in
+    * buckets by construction and marked via [[Bounded.constPart]]
+    * when there are no group columns), then a per-(group, bucket)
+    * `row_number` plus the broadcast offset gives each row's exact
+    * global rank, and ntile membership is pure integer arithmetic on
+    * (rank, n): the first `n % k` buckets take `n div k + 1` rows,
+    * the rest `n div k` — bit-identical to the window function.
+    *
+    * @param bucket monotone NON-DECREASING coarsening of the
+    *               `orderCols` total order (negate/flip for DESC
+    *               leading keys; add an order-aligned tie-key slice
+    *               for hot leading values). Bucket skew bounds
+    *               per-task sort size.
+    * @param orderCols total order (include a unique tie-break) —
+    *                  required for a deterministic result
+    * @return df plus `outCol` (INT, 1-based — the ntile contract) */
+  def ntileScore(df: DataFrame, k: Int, groupCols: Seq[String],
+      bucket: Column, orderCols: Seq[Column], outCol: String)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val g = groupCols.map(col)
+    val withBk = df.withColumn("__nt_bk", bucket)
+    val gb = g :+ col("__nt_bk")
+    val counts = withBk.groupBy(gb: _*).agg(count(lit(1)).as("__nt_c"))
+    // one row per (group, bucket): these windows run over COUNTS only.
+    // With no group columns the partition spec would be empty — mark it
+    // with the bounded-window constant instead (see Bounded.constPart)
+    val part = if (g.isEmpty) Seq(Bounded.constPart(col("__nt_c"))) else g
+    val wOff = Window.partitionBy(part: _*).orderBy(col("__nt_bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(part: _*)
+    // offsets + group totals ride the same one-row-per-bucket table
+    val offs = counts
+      .withColumn("__nt_off",
+        coalesce(sum(col("__nt_c")).over(wOff), lit(0L)))
+      .withColumn("__nt_n", sum(col("__nt_c")).over(wTot))
+      .select((groupCols.map(n => col(n).as(s"__nt_g_$n")) ++
+        Seq(col("__nt_bk").as("__nt_bk2"), col("__nt_off"),
+          col("__nt_n"))): _*)
+    val cond = (groupCols.map(n => col(n) <=> col(s"__nt_g_$n")) :+
+      (col("__nt_bk") <=> col("__nt_bk2"))).reduce(_ && _)
+    val wIn = Window.partitionBy(gb: _*).orderBy(orderCols: _*)
+    val ranked = withBk.join(broadcast(offs), cond)
+      .withColumn("__nt_rk",
+        col("__nt_off") + row_number().over(wIn).cast("long"))
+    // exact ntile arithmetic; the else-branch divisor is guarded with
+    // greatest(..., 1) because when n div k = 0 every rank falls in
+    // the when-branch (r <= (n % k) * 1 = n) and the else is dead
+    val scored = ranked.withColumn(outCol,
+      when(col("__nt_rk") <=
+          (col("__nt_n") % k) * (expr(s"__nt_n div $k") + lit(1L)),
+        expr(s"(__nt_rk - 1) div ((__nt_n div $k) + 1) + 1"))
+        .otherwise((col("__nt_n") % k) + expr(
+          s"(__nt_rk - (__nt_n % $k) * ((__nt_n div $k) + 1) - 1) " +
+            s"div greatest(__nt_n div $k, 1) + 1"))
+        .cast("int"))
+    scored
+      .drop("__nt_bk", "__nt_bk2", "__nt_off", "__nt_n", "__nt_rk")
+      .drop(groupCols.map(n => s"__nt_g_$n"): _*)
+  }
+
   /** @param bucket coarsening of the value order (e.g. `v =>
     *               floor(v / 1000)`) — must be monotone in `v`; bucket
     *               skew bounds per-task work exactly as in
@@ -46,18 +115,55 @@ object Selection {
     require(qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0,1]: $qs")
     val (cum, nRow) = cumAndN(df, valueCol, bucket, "exactQuantiles")
+    quantileSelect(cum, nRow, qs)
+  }
+
+  /** WEIGHTED discrete quantiles (round 10): the value at the smallest
+    * `v` whose cumulative WEIGHT reaches `ceil(q·W)` — the
+    * token-weighted / byte-weighted percentile a corpus pipeline asks
+    * for ("median doc length BY TOKEN MASS, not by doc count"). Same
+    * two-phase machinery and guarantees as [[exactQuantiles]] with
+    * per-value weight sums in place of counts.
+    *
+    * Weights must be POSITIVE integers (token counts, byte sizes) —
+    * exactness rides the long weight sums. Zero-weight rows carry no
+    * mass and are excluded (as are null weights/values); a NEGATIVE
+    * weight would silently corrupt every downstream rank, so it raises
+    * in-plan (the loud-guard idiom).
+    *
+    * @return one row per q: (q, n = total weight W, value) */
+  def weightedQuantiles(df: DataFrame, valueCol: String,
+      weightCol: String, qs: Seq[Double], bucket: Column => Column)
+      : DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1]: $qs")
+    val w = col(weightCol).cast("long")
+    val guarded = df
+      .filter(col(weightCol).isNotNull && w =!= 0L)
+      .withColumn("__wq_w",
+        when(w < 0, raise_error(concat(
+          lit("weightedQuantiles: negative weight "), w.cast("string"))))
+          .otherwise(w))
+    val (cum, nRow) = cumAndN(guarded, valueCol, bucket,
+      "weightedQuantiles", col("__wq_w"))
+    quantileSelect(cum, nRow, qs)
+  }
+
+  /** Rank-probe tail shared by both quantile flavors: tiny-side
+    * broadcast through the non-equi rank probe; min per q. The final
+    * left join anchors output on qTable — built from a global
+    * aggregate, which produces its row even on empty input, so the
+    * empty guard cannot be pruned by AQE's empty-relation propagation
+    * (the Drift.ks lesson). q ≤ 1 ⇒ rank ≤ n, so every q matches at
+    * least one cum row and `value` is never null past the guard. */
+  private def quantileSelect(cum: DataFrame, nRow: DataFrame,
+      qs: Seq[Double]): DataFrame = {
     val ranks = qs.map(q => struct(lit(q).as("q"),
       discRank(q, col("__n")).as("__r")))
     val qTable = nRow.select(col("__n"),
       explode(array(ranks: _*)).as("__qr"))
       .select(col("__n"), col("__qr.q").as("q"), col("__qr.__r"))
-    // tiny-side broadcast through the non-equi rank probe; min per q.
-    // The final left join anchors output on qTable — built from a
-    // global aggregate, which produces its row even on empty input, so
-    // the empty guard cannot be pruned by AQE's empty-relation
-    // propagation (the Drift.ks lesson). q ≤ 1 ⇒ rank ≤ n, so every q
-    // matches at least one cum row and `value` is never null past the
-    // guard.
     val res = cum.join(broadcast(qTable), col("__cum") >= col("__r"))
       .groupBy(col("q"))
       .agg(min(col("__v")).as("value"))
@@ -65,16 +171,22 @@ object Selection {
       .join(res, Seq("q"), "left")
   }
 
-  /** Per-distinct-value cumulative counts (the shared two-phase running
-    * count) and the loudly-guarded 1-row total. Extracted verbatim from
-    * [[exactQuantiles]] so both quantile flavors share one plan shape. */
+  /** Per-distinct-value cumulative mass (the shared two-phase running
+    * count/weight) and the loudly-guarded 1-row total. Extracted from
+    * [[exactQuantiles]] so every quantile flavor shares one plan shape;
+    * `weight` defaults to 1 per row (plain counts) and must be a
+    * non-null positive long for the weighted flavor (guarded there). */
   private def cumAndN(df: DataFrame, valueCol: String,
-      bucket: Column => Column, opName: String): (DataFrame, DataFrame) = {
+      bucket: Column => Column, opName: String,
+      weight: Column = lit(1L)): (DataFrame, DataFrame) = {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("__v"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(sum(weight).as("__c"))
       .withColumn("__bk", bucket(col("__v")))
-    val wOff = Window.orderBy(col("__bk"))
+    // Bounded.constPart: the bounded-window marker (see Sequence) —
+    // input is one row per bucket, never data rows
+    val wOff = Window.partitionBy(Bounded.constPart(col("__t")))
+      .orderBy(col("__bk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = counts.groupBy(col("__bk"))
       .agg(sum("__c").as("__t"))

@@ -45,10 +45,16 @@ object Sequence {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     val withBk = df.withColumn("__bk", bucket)
     val counts = withBk.groupBy(col("__bk")).agg(count(lit(1)).as("__cnt"))
-    // one row per bucket: the only unpartitioned window, sized in buckets
+    // one row per bucket: the only whole-table window, sized in buckets.
+    // Bounded.constPart is the repo's bounded-window marker — same
+    // single-partition execution, but the non-empty partition spec marks
+    // the window as deliberately bounded so the unpartitioned-window
+    // plan sweep (PlanShapeSpec) only fires on genuine data-window
+    // scale bugs
     val offsets = counts.withColumn("__off",
         coalesce(sum(col("__cnt")).over(
-          Window.orderBy(col("__bk"))
+          Window.partitionBy(Bounded.constPart(col("__cnt")))
+            .orderBy(col("__bk"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__bk").as("__bk2"), col("__off"))
     withBk.join(broadcast(offsets), col("__bk") <=> col("__bk2"))

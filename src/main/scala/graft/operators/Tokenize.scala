@@ -42,9 +42,12 @@ object Tokenize {
       .select(explode(tokenCol(textCol)).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("c"))
+    // Bounded.constPart: bounded-window marker — input is the ≤V
+    // limit() survivors, never data rows (see Sequence.assignGlobalSeq)
     counts.orderBy(col("c").desc, col("tok")).limit(vocabSize)
       .withColumn("token_id", (row_number().over(
-        Window.orderBy(col("c").desc, col("tok"))) - 1).cast("int"))
+        Window.partitionBy(Bounded.constPart(col("c")))
+          .orderBy(col("c").desc, col("tok"))) - 1).cast("int"))
       .select("tok", "token_id")
   }
 

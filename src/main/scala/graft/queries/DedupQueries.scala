@@ -66,6 +66,25 @@ object DedupQueries {
     * SQL oracle. */
   val multimodalDecode: Q = (s, d) => Multimodal.decodedMeta(s, d)
 
+  /** REAL header decode (E40, round 10): each doc_id plants a synthetic
+    * BMP / WAV / GIF payload (or a truncated RIFF — the quarantine
+    * path) built by [[graft.operators.MediaCodec]]'s writers, and the
+    * byte-level parser must recover width/height/rate/channels/frames
+    * that the oracle predicts by pure id arithmetic — magic bytes,
+    * little-endian fields, RIFF chunk walk, and top-down-BMP negative
+    * height all sit on the gated path. Runs in mapPartitions like
+    * every decoder (payloads never shuffle). */
+  val mediaHeaders: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaCodec.parse(id, MediaCodec.syntheticPayload(id))))
+      .select(col("media_id"), col("format"), col("n_bytes"),
+        col("width"), col("height"), col("bit_depth"),
+        col("sample_rate"), col("channels"), col("n_frames"), col("err"))
+  }
+
   // --- planted fixtures: the minhash survivor family under the HASH gate.
   //
   // Every text is a sequence of md5-derived tokens keyed by (seed,

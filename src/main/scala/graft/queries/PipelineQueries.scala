@@ -255,7 +255,17 @@ object PipelineQueries {
 
   /** RFM segmentation: per-customer recency/frequency/monetary with
     * quintile scores (1 = best) — deterministic ntile via total-order
-    * tie-breaks on the customer key, decimal-exact monetary. */
+    * tie-breaks on the customer key, decimal-exact monetary.
+    *
+    * Round 10: the three `ntile(5) OVER (ORDER BY ...)` windows (each
+    * an unpartitioned WindowExec — every customer through ONE task,
+    * the bench tail's "No Partition Defined" warnings, a hard
+    * scale-killer at 100 TB) are replaced by
+    * [[graft.operators.Selection.ntileScore]]: two-phase bucket-offset
+    * exact ranks + integer ntile arithmetic, bit-identical output.
+    * Buckets: recency by day, frequency by (−freq, custkey slice) —
+    * a single frequency value is the canonical hot key — monetary by
+    * descending 1k bands. */
   val rfmSegments: Q = (s, d) => {
     val o = Tables.orders(s, d)
     val maxDate = o.agg(max(col("o_orderdate")).as("__maxd"))
@@ -267,14 +277,18 @@ object PipelineQueries {
       .select(col("o_custkey"),
         datediff(col("__maxd"), col("__last")).as("recency_days"),
         col("frequency"), col("__mon").cast("double").as("monetary"))
-    base.select(col("o_custkey"), col("recency_days"), col("frequency"),
-      col("monetary"),
-      ntile(5).over(Window.orderBy(col("recency_days").asc,
-        col("o_custkey").asc)).as("r_score"),
-      ntile(5).over(Window.orderBy(col("frequency").desc,
-        col("o_custkey").asc)).as("f_score"),
-      ntile(5).over(Window.orderBy(col("monetary").desc,
-        col("o_custkey").asc)).as("m_score"))
+    val r = graft.operators.Selection.ntileScore(base, 5, Nil,
+      col("recency_days"),
+      Seq(col("recency_days").asc, col("o_custkey").asc), "r_score")
+    val f = graft.operators.Selection.ntileScore(r, 5, Nil,
+      struct((-col("frequency")).as("nf"),
+        floor(col("o_custkey") / 65536).as("ks")),
+      Seq(col("frequency").desc, col("o_custkey").asc), "f_score")
+    val m = graft.operators.Selection.ntileScore(f, 5, Nil,
+      floor(-col("monetary") / 1000.0),
+      Seq(col("monetary").desc, col("o_custkey").asc), "m_score")
+    m.select(col("o_custkey"), col("recency_days"), col("frequency"),
+      col("monetary"), col("r_score"), col("f_score"), col("m_score"))
   }
 
   /** Mann–Whitney U ([[graft.operators.Drift.mannWhitney]]): did
@@ -630,15 +644,21 @@ object PipelineQueries {
 
   /** Curriculum buckets (round 4): per-lang surprisal quartiles — the
     * difficulty ordering a curriculum-training schedule consumes.
-    * ntile over (rounded score, doc_id) so bucket membership is
-    * deterministic across engines. */
+    * ntile semantics over (score, doc_id) so bucket membership is
+    * deterministic across engines.
+    *
+    * Round 10: `ntile(4) OVER (PARTITION BY lang ...)` replaced by
+    * [[graft.operators.Selection.ntileScore]] — a language is the
+    * canonical hot key (English is the majority of any real corpus),
+    * so the per-lang window still pushed most rows through one task;
+    * the two-phase form partitions by (lang, score band) instead. */
   val curriculumBuckets: Q = (s, d) =>
-    graft.operators.TextScore.unigramSurprisal(
-        Tables.documents(s, d), "doc_id", "text")
-      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
-      .withColumn("bucket", ntile(4).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("lang")
-          .orderBy(col("avg_surprisal"), col("doc_id"))))
+    graft.operators.Selection.ntileScore(
+      graft.operators.TextScore.unigramSurprisal(
+          Tables.documents(s, d), "doc_id", "text")
+        .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id"),
+      4, Seq("lang"), floor(col("avg_surprisal") * 100),
+      Seq(col("avg_surprisal"), col("doc_id")), "bucket")
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         round(avg("avg_surprisal"), 6).as("mean_score"),
@@ -813,6 +833,41 @@ object PipelineQueries {
     graft.operators.Selection.exactQuantiles(
       Tables.orders(s, d), "o_totalprice",
       Seq(0.1, 0.5, 0.9, 0.99), v => floor(v / 1000.0))
+
+  /** Weighted exact quantiles (round 10,
+    * [[graft.operators.Selection.weightedQuantiles]]): price
+    * percentiles weighted by QUANTITY — the value at the smallest v
+    * whose cumulative weight reaches ceil(q·W). The oracle replays the
+    * cumulative-weight definition with the q·W product in exact
+    * decimal arithmetic (the discRank discipline). */
+  val weightedQuantilesQ: Q = (s, d) =>
+    graft.operators.Selection.weightedQuantiles(
+      Tables.lineitem(s, d), "l_extendedprice", "l_quantity",
+      Seq(0.1, 0.5, 0.9, 0.99), v => floor(v / 1000.0))
+
+  /** Benford first-digit audit (round 10): the classic fabricated-data
+    * / ETL-corruption screen — observed first-significant-digit shares
+    * of order totals vs the Benford expectation log10(1 + 1/d). The
+    * digit is extracted EXACTLY via the cents integer (2-dp money ×100
+    * rounded to long, the repo's guardCents discipline) and its string
+    * head — no FP log in the digit path. share is the raw IEEE n/total
+    * (identical division both engines); benford_p rounds at 6dp
+    * (transcendental, boundary-safe). One partial-agg scan + a 1-row
+    * broadcast total. */
+  val benfordAudit: Q = (s, d) => {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val digits = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("__t"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n") / col("__t")).as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("benford_p"))
+  }
 
   /** Weighted PageRank, planted gate (round 9): a doubly-stochastic
     * weighted ring — node i sends weight 3 to i+1 and 1 to i+2, so
@@ -1102,6 +1157,38 @@ object PipelineQueries {
       .filter(col("x.l_partkey") < col("y.l_partkey"))
       .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
     graft.operators.Graph.triangleCounts(edges, "src", "dst")
+  }
+
+  /** Within-group decile assignment (round 10): documents ranked into
+    * deciles by length PER SOURCE — the feature-normalization /
+    * stratified-binning primitive, and the public query surface of
+    * [[graft.operators.Selection.ntileScore]] (a source is a
+    * potentially hot group key, exactly the case the two-phase form
+    * exists for; the oracle replays the plain ntile window). */
+  val decileNorm: Q = (s, d) =>
+    graft.operators.Selection.ntileScore(
+      Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+      10, Seq("source"), floor(col("n_chars") / 32),
+      Seq(col("n_chars").asc, col("doc_id").asc), "decile")
+      .select("doc_id", "source", "n_chars", "decile")
+
+  /** Local clustering coefficient (round 10) over the same part
+    * co-purchase graph as [[triangleCounts]]:
+    * `2·T(v) / (deg(v)·(deg(v)−1))`, raw IEEE division over exact
+    * counts (see [[graft.operators.Graph.clusteringCoefficient]]). */
+  val clusteringCoeff: Q = (s, d) => {
+    // the % 4 == 0 part slice keeps this gate from paying the full
+    // wedge closure a SECOND time per bench run (q_triangle_counts
+    // already drills the full graph); the operator semantics are
+    // identical on the subgraph and the oracle applies the same slice
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select("l_orderkey", "l_partkey")
+    val edges = li.alias("x")
+      .join(li.alias("y"), Seq("l_orderkey"))
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    graft.operators.Graph.clusteringCoefficient(edges, "src", "dst")
   }
 
   /** Grid-bucketed spatial radius join (round 9,

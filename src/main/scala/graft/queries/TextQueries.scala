@@ -171,12 +171,17 @@ object TextQueries {
         explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
       .filter(col("tok") =!= "")
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // both sides derive from `toks`, so probe("tok") and cand("tok")
+    // resolve to the SAME attribute id — Catalyst logs its "trivially
+    // true equals predicate" WARN while silently disambiguating (the r9
+    // 'lang == lang' finding class). Rename one side before joining.
     val probe = toks.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("a"), col("lang").as("l1"), col("tok"))
+      .select(col("doc_id").as("a"), col("lang").as("l1"),
+        col("tok").as("ptok"))
     val cand = toks
       .select(col("doc_id").as("b"), col("lang").as("l2"), col("tok"))
     val inter = probe.join(cand,
-        probe("tok") === cand("tok") && col("l1") === col("l2")
+        col("ptok") === col("tok") && col("l1") === col("l2")
           && col("a") < col("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("inter"))
@@ -211,6 +216,13 @@ object TextQueries {
       col("doc_id"),
       aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
         lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("rollhash"))
+
+  /** Winnowing fingerprints (round 10, [[graft.operators.Winnow]]):
+    * the MOSS k-gram/window-min selection over each document — shared
+    * polynomial hash, packed (hash, pos) window min, SQL-reproducible. */
+  val winnowFingerprints: Q = (s, d) =>
+    graft.operators.Winnow.fingerprints(
+      Tables.documents(s, d), "doc_id", "text", k = 5, w = 4)
 
   /** Vocabulary statistics per source (E39): distinct tokens and hapax
     * legomena (tokens occurring exactly once) — the standard corpus-health

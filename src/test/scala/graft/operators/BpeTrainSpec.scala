@@ -91,6 +91,22 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.forall(_._4 > 0))
   }
 
+  test("delta algebra: 32 merges equal the full-recount reference") {
+    // the incremental pair table (round 10) must stay exactly equal to
+    // a from-scratch recount at EVERY rank — 32 merges deep, any drift
+    // in the ±delta algebra (a pair not cancelled, a zero-count row
+    // surviving into the argmax) diverges the merge sequence
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = asTuples(BpeTrain.learnMerges(docs, "text", 32))
+    val words = docs
+      .select(explode(filter(split(lower(col("text")), " "),
+        w => length(w) > 0)).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refMerges(words, 32),
+      "incremental pair counts diverged from the full recount")
+  }
+
   test("encode applies the learned table (round-trip on fixture words)") {
     val words = Seq.fill(8)("low") ++ Seq.fill(6)("lower") ++
       Seq.fill(5)("newest") ++ Seq.fill(4)("widest")

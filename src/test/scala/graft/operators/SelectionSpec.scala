@@ -52,4 +52,36 @@ class SelectionSpec extends SparkSpec {
       .limit(1).collect().head.getDouble(0)
     assert(got == want, s"$got vs sorted-rank $want")
   }
+
+  test("weightedQuantiles with unit weights equals exactQuantiles") {
+    val o = graft.sources.Tables.orders(spark, sf)
+      .withColumn("one", lit(1L))
+    val unw = Selection.exactQuantiles(o, "o_totalprice",
+        Seq(0.1, 0.5, 0.9), v => floor(v / lit(1000)))
+      .orderBy("q").collect().map(_.toSeq).toSeq
+    val w = Selection.weightedQuantiles(o, "o_totalprice", "one",
+        Seq(0.1, 0.5, 0.9), v => floor(v / lit(1000)))
+      .orderBy("q").collect().map(_.toSeq).toSeq
+    assert(w == unw)
+  }
+
+  test("weightedQuantiles hand case: weight mass, zero-skip, neg raise") {
+    import spark.implicits._
+    // values 10,20,30 with weights 1,3,6 => W=10; ranks: q=.1→1 (v=10),
+    // q=.4→4 (cum 1,4,10 ⇒ v=20), q=.5→5 (v=30), q=1→10 (v=30)
+    val df = Seq((10.0, 1L), (20.0, 3L), (30.0, 6L), (99.0, 0L))
+      .toDF("v", "w")
+    val got = Selection.weightedQuantiles(df, "v", "w",
+        Seq(0.1, 0.4, 0.5, 1.0), x => floor(x / lit(10)))
+      .orderBy("q").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0.1, 10L, 10.0), (0.4, 10L, 20.0),
+      (0.5, 10L, 30.0), (1.0, 10L, 30.0)), s"got $got")
+    val ex = intercept[Exception] {
+      Selection.weightedQuantiles(
+        Seq((1.0, -2L)).toDF("v", "w"), "v", "w", Seq(0.5),
+        x => x).collect()
+    }
+    assert(ex.getMessage.contains("negative weight"))
+  }
 }

@@ -216,6 +216,38 @@ class PlanShapeSpec extends SparkSpec {
       "part/supplier/nation must broadcast")
   }
 
+  test("sweep: no registered batch query plans an unpartitioned window " +
+      "over data rows") {
+    // `OVER (ORDER BY ...)` with an empty partition list moves EVERY row
+    // to one task — the q_rfm_segments class (r9 verdict: three global
+    // ntile windows = every customer through one task at 100 TB).
+    // Deliberately bounded single-partition windows (bucket-count
+    // offsets in Sequence/Selection/Drift, Tokenize's top-V vocab ids)
+    // carry the Bounded.constPart marker — a NON-empty constant
+    // partition spec that EliminateWindowPartitions cannot fold — so an
+    // empty spec surviving to the optimized plan is a genuine scale
+    // bug, with no allowlist needed. Streaming replays are excluded
+    // (constructing them runs them); their stateful shapes are covered
+    // by the streaming specs.
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_stream"))
+    val offenders = names.flatMap { name =>
+      try {
+        graft.SparkEntry.queries(name)(spark, sf)
+          .queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                if w.partitionSpec.isEmpty =>
+              s"$name: unpartitioned Window[" +
+                w.windowExpressions.map(_.name).mkString(",") + "]"
+          }
+      } catch {
+        case e: Throwable => Seq(s"$name: PLAN FAILED ${e.getMessage}")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"one-task window sort at scale:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("set-sim join: candidate self-join reuses the prefix exchange") {
     // the GATE now serves the persisted pair artifact (a bare scan), so
     // assert the plan shape on the operator itself — the artifact build
