@@ -1487,6 +1487,49 @@ object ScaleBench {
       results += (("ntile_score_hotkey", tnc1, tncN))
     }
 
+    // ROC AUC: replicated docs keep the same texts, so distinct logits
+    // stay FIXED while their counts grow ×N — the hashing-tf explode is
+    // the linear part, the cum/agg tail rides the fixed score table
+    {
+      def aucOf(d: DataFrame) = {
+        val scored = graft.operators.Classifier.linearScore(
+          d, "doc_id", "text", 64,
+          graft.operators.Classifier.hashWeights(64))
+        val labeled = scored.select(col("doc_id"), col("logit"))
+          .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+            "doc_id")
+        graft.operators.Eval.rocAuc(labeled, "logit", "label",
+          v => floor(v * 100))
+      }
+      val tau1 = time("roc_auc 1x")(noop(aucOf(docs1)))
+      val tauN = time(s"roc_auc ${factor}x")(noop(aucOf(docsN)))
+      results += (("roc_auc", tau1, tauN))
+    }
+    // Adamic–Adar: liT offsets BOTH orderkey and partkey ⇒ N disjoint
+    // graph copies — centers, wedges, and candidate pairs all grow ×N,
+    // the honest linear shape. Drilled on the GATE's %4 part slice
+    // (q_adamic_adar's exact graph; the full graph is the triangles
+    // drill's job)
+    {
+      def aaOf(li: DataFrame) = {
+        val e = triEdges(li.filter(col("l_partkey") % 4 === 0))
+        graft.operators.Graph.adamicAdar(e, "src", "dst", 50, 100000)
+      }
+      val taa1 = time("adamic_adar 1x")(noop(aaOf(li1)))
+      val taaN = time(s"adamic_adar ${factor}x")(noop(aaOf(liT)))
+      results += (("adamic_adar", taa1, taaN))
+    }
+    // KN surprisal: fixed bigram vocabulary (same texts), counts ×N —
+    // the bigram explode is linear, the count joins ride vocab-sized
+    // tables (the pmi/dsir cost class)
+    {
+      def knOf(d: DataFrame) = graft.operators.TextScore
+        .knBigramSurprisal(d, "doc_id", "text")
+      val tkn1 = time("kn_surprisal 1x")(noop(knOf(docs1)))
+      val tknN = time(s"kn_surprisal ${factor}x")(noop(knOf(docsN)))
+      results += (("kn_surprisal", tkn1, tknN))
+    }
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

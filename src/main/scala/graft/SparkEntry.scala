@@ -366,7 +366,55 @@ object SparkEntry {
     "q_exact_quantiles" -> PipelineQueries.exactQuantiles,
     "q_weighted_quantiles" -> PipelineQueries.weightedQuantilesQ,
     "q_benford_audit" -> PipelineQueries.benfordAudit,
+    "q_roc_auc" -> PipelineQueries.rocAucReport,
+    "q_avg_precision" -> PipelineQueries.avgPrecisionReport,
+    "q_adamic_adar" -> PipelineQueries.adamicAdarTopk,
+    "q_kn_surprisal" -> PipelineQueries.knSurprisal,
+    "q_rrf_fusion" -> PipelineQueries.rrfFusion,
+    "q_components_chain_planted" -> PipelineQueries.componentsChainPlanted,
   )
+
+  /** Shared oracle head for the classifier-eval family (q_roc_auc,
+    * q_avg_precision): replays [[graft.operators.Classifier.linearScore]]
+    * — hashed tf, fixed-point hash weights, exact int64 dot — and emits
+    * `sc(doc_id, score, label)` with score = the RAW logit (one IEEE
+    * division of exact integers) and label = (lang = 'en'). Ends
+    * mid-WITH so callers append their own CTEs. */
+  private val classifierScoreSql = """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents),
+      cells AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('tf_' || tok), 1, 8))::BIGINT % 64
+                 AS cell,
+               count(*)::BIGINT AS c
+        FROM toks WHERE tok <> '' GROUP BY 1, 2),
+      m AS (
+        SELECT doc_id,
+               map_from_entries(list(struct_pack(k := cell, v := c))) AS mp
+        FROM cells GROUP BY doc_id),
+      tf AS (
+        SELECT doc_id,
+               list_transform(range(0, 64),
+                 i -> coalesce(map_extract(mp, i)[1], 0)::BIGINT) AS v
+        FROM m),
+      w AS (
+        SELECT list_transform(range(0, 64),
+          i -> (i * 2654435761) % 1000 - 500) AS wv),
+      scored AS (
+        SELECT doc_id,
+               list_sum(v)::BIGINT AS n_tokens,
+               list_sum(list_transform(range(1, 65),
+                 i -> v[i] * wv[i]))::BIGINT AS dot
+        FROM tf CROSS JOIN w),
+      sc AS (
+        SELECT s.doc_id,
+               dot::DOUBLE / (1000.0 * n_tokens) AS score,
+               (d.lang = 'en') AS label
+        FROM scored s JOIN documents d USING (doc_id)
+        WHERE n_tokens > 0),"""
 
   private val docChunksSql = """
       WITH base AS (
@@ -2185,6 +2233,37 @@ object SparkEntry {
         ON c.lang = l.lang AND c.r = pc.r AND c.cell = pc.cell
       GROUP BY l.lang, pc.word""",
 
+    // Kneser–Ney bigram surprisal: absolute discount D=0.75 +
+    // continuation backoff, replayed count-for-count; the per-bigram P
+    // is the identical IEEE chain in both engines (exact-long inputs),
+    // only the per-doc average is order-summed (6dp)
+    "q_kn_surprisal" -> """
+      WITH base AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                 t -> t <> '') AS tk
+        FROM documents),
+      bi AS (
+        SELECT doc_id, tk[i - 1] AS prev, tk[i] AS cur
+        FROM base, unnest(range(2, len(tk) + 1)) r(i)
+        WHERE len(tk) >= 2),
+      big AS (
+        SELECT prev, cur, count(*)::BIGINT AS cb FROM bi GROUP BY 1, 2),
+      ctx AS (
+        SELECT prev, sum(cb)::BIGINT AS cv, count(*)::BIGINT AS n1v
+        FROM big GROUP BY prev),
+      cont AS (SELECT cur, count(*)::BIGINT AS n1w FROM big GROUP BY cur),
+      types AS (SELECT count(*)::BIGINT AS n1t FROM big)
+      SELECT bi.doc_id, count(*)::BIGINT AS n_bigrams,
+             round(avg(-ln(
+               greatest(cb - 0.75, 0.0) / cv +
+               0.75 * n1v / cv * (n1w / n1t))), 6) AS avg_kn_surprisal
+      FROM bi JOIN big USING (prev, cur)
+              JOIN ctx USING (prev)
+              JOIN cont USING (cur)
+              CROSS JOIN types
+      GROUP BY bi.doc_id""",
+
     "q_bigram_surprisal" -> """
       WITH base AS (
         SELECT doc_id,
@@ -2291,6 +2370,18 @@ object SparkEntry {
         (12::BIGINT, 10::BIGINT),
         (20::BIGINT, 20::BIGINT), (21::BIGINT, 20::BIGINT))
         AS t(node, component)""",
+
+    // 100-node chain blocks over doc ids: every label is the block
+    // minimum over the nodes PRESENT (robust to the id range; node set
+    // = edge endpoints, mirrored from the query's edge rule)
+    "q_components_chain_planted" -> """
+      WITH e AS (
+        SELECT doc_id AS src, doc_id + 1 AS dst
+        FROM documents WHERE doc_id % 100 <> 99),
+      n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)
+      SELECT node,
+             min(node) OVER (PARTITION BY node // 100) AS component
+      FROM n""",
 
     // dominance by NOT EXISTS — the quadratic form the two-phase
     // skyline exists to avoid
@@ -3103,6 +3194,35 @@ object SparkEntry {
                        / (d.degree * (d.degree - 1))
                   ELSE 0.0 END AS clustering
       FROM deg d LEFT JOIN t USING (node)""",
+
+    // Adamic–Adar: same co-purchase slice; candidate pairs BY CENTER
+    // (the hub cap is inert at this scale — max degree ≪ 100000), sum
+    // of 1/ln(deg) rounded 6dp, existing edges anti-joined out, top-50
+    // on the ROUNDED score with (u, v) tie-break
+    "q_adamic_adar" -> """
+      WITH e AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y USING (l_orderkey)
+        WHERE x.l_partkey < y.l_partkey
+          AND x.l_partkey % 4 = 0 AND y.l_partkey % 4 = 0),
+      adj AS (
+        SELECT a AS w, b AS n FROM e
+        UNION ALL SELECT b AS w, a AS n FROM e),
+      deg AS (SELECT w, count(*)::BIGINT AS d FROM adj GROUP BY w),
+      c AS (
+        SELECT adj.w, adj.n, deg.d
+        FROM adj JOIN deg USING (w)
+        WHERE deg.d >= 2 AND deg.d <= 100000),
+      p AS (
+        SELECT l.n AS u, r.n AS v, count(*)::BIGINT AS n_common,
+               round(sum(1.0 / ln(l.d)), 6) AS aa_score
+        FROM c l JOIN c r ON l.w = r.w AND l.n < r.n
+        GROUP BY 1, 2)
+      SELECT u, v, n_common, aa_score
+      FROM p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e WHERE e.a = p.u AND e.b = p.v)
+      ORDER BY aa_score DESC, u, v LIMIT 50""",
 
     "q_linreg_group" -> """
       WITH sums AS (
@@ -4564,6 +4684,50 @@ object SparkEntry {
       CROSS JOIN qv
       ORDER BY cos DESC, c.doc_id LIMIT 10""",
 
+    // RRF hybrid fusion: both runs re-ranked with the identical
+    // deterministic (rounded score desc, doc_id) order; each 1/(60+r)
+    // term is one IEEE division, two-run sums are order-free
+    // (commutative addition), rrf rounded 6dp
+    "q_rrf_fusion" -> """
+      WITH d AS (
+        SELECT doc_id, len(string_split(lower(text), ' '))::DOUBLE AS dl,
+               string_split(lower(text), ' ') AS toks
+        FROM documents),
+      stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+      tf AS (
+        SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+        WHERE tok IN ('scan', 'join') GROUP BY 1, 2, 3),
+      dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+      cands AS (
+        SELECT doc_id,
+               round(sum(idf * tf * 2.2 /
+                 (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+        FROM (SELECT t.doc_id, t.dl, t.tf, s.avgdl,
+                     ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1) AS idf
+              FROM tf t JOIN dfreq f USING (tok) CROSS JOIN stats s)
+        GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+      r1 AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM cands),
+      qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      cos AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(qv.embedding::DOUBLE[],
+                 e.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings e CROSS JOIN qv
+        ORDER BY cos DESC, doc_id LIMIT 20),
+      r2 AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos DESC, doc_id) AS rnk
+        FROM cos),
+      u AS (SELECT doc_id, rnk FROM r1
+            UNION ALL SELECT doc_id, rnk FROM r2)
+      SELECT doc_id, count(*)::BIGINT AS n_runs,
+             round(sum(1.0 / (60 + rnk)), 6) AS rrf
+      FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""",
+
     // Two-sample KS: pooled distinct-value running CDFs; D and its
     // argmax are exact (divisions of exact counts, max has no
     // summation order). The oracle's one-task window is oracle-side
@@ -4762,6 +4926,52 @@ object SparkEntry {
                  - sum(CASE WHEN is_en THEN 1 ELSE 0 END)::DOUBLE
                    / count(*)) AS gap
       FROM sc GROUP BY 1""",
+
+    // ROC AUC over the same classifier fixture: the oracle replays the
+    // cumulative with a PLAIN window over distinct logits — the
+    // operator's two-phase bucket-offset form must match bit-for-bit.
+    // All pair counts exact; auc is one IEEE division of exact longs.
+    "q_roc_auc" -> (classifierScoreSql + """
+      g AS (
+        SELECT score,
+               sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS p,
+               sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS q
+        FROM sc GROUP BY score),
+      c AS (
+        SELECT p, q,
+               coalesce(sum(q) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS negbelow
+        FROM g)
+      SELECT sum(p)::BIGINT AS n_pos, sum(q)::BIGINT AS n_neg,
+             sum(p * negbelow)::BIGINT AS concordant,
+             sum(p * q)::BIGINT AS tied,
+             CAST(2 * sum(p * negbelow) + sum(p * q) AS DOUBLE)
+               / CAST(2 * sum(p) * sum(q) AS DOUBLE) AS auc
+      FROM c"""),
+
+    // average precision: step-interpolated sum ΔR·P over distinct
+    // thresholds descending — order-summed division chain, 6dp
+    "q_avg_precision" -> (classifierScoreSql + """
+      g AS (
+        SELECT score,
+               sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS p,
+               sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS q
+        FROM sc GROUP BY score),
+      c AS (
+        SELECT p, q,
+               coalesce(sum(p) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS posbelow,
+               coalesce(sum(q) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS negbelow
+        FROM g),
+      t AS (SELECT sum(p)::BIGINT AS n1, sum(q)::BIGINT AS n0 FROM g)
+      SELECT n1 AS n_pos, n0 AS n_neg,
+             round(sum(p::DOUBLE * (n1 - posbelow)
+               / (n1 * (n1 + n0 - posbelow - negbelow))), 6) AS ap
+      FROM c, t GROUP BY n1, n0"""),
 
     // Bloom skip is result-invisible (residual isin keeps exactness);
     // the oracle is the plain point-lookup.

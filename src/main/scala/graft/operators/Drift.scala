@@ -276,4 +276,83 @@ object Drift {
         .otherwise(round((uA - naD * nbD / lit(2.0)) / sqrt(varU), 9))
         .as("z"))
   }
+
+  /** Welch's unequal-variance t-test (two-sided statistic +
+    * Welch–Satterthwaite degrees of freedom) — the parametric
+    * "did the MEAN move" companion to [[mannWhitney]] (rank shift) and
+    * [[ks]] (shape): the A/B-measurement primitive every experiment
+    * pipeline needs, robust to unequal group variances where Student's
+    * pooled test is not.
+    *
+    * Distributed shape: ONE partial-aggregating pass per sample — no
+    * join, no window, no distinct-value table; each side contributes
+    * (n, Σcents, Σcents² split hi/lo). The hi/lo 32-bit split is the
+    * [[Features.corrMatrix]] recipe: per-row `cents²` stays in exact
+    * long space, the two half-sums cannot wrap below 2³¹ rows, and the
+    * moments reassemble once driver-free in the 1-row plan.
+    *
+    * Exactness: values are 2-dp money scaled to integer cents
+    * (|cents| ≤ ⌊√2⁶³⌋ guarded in-plan, the corrMatrix bound). Means
+    * and variances are fixed IEEE chains over those exact integer
+    * moments — bit-identical cross-engine — and `t` / `df` round at
+    * 9dp (the [[mannWhitney]] z discipline: the inputs are exact, the
+    * rounding only shields against oracle op-order drift).
+    *
+    * Degenerate inputs fail loudly on the 1-row aggregate (the AQE
+    * empty-relation lesson): either sample with n < 2 (variance
+    * undefined) or BOTH variances zero (t is 0/0).
+    *
+    * @return one row: (n_a, n_b, mean_a, mean_b, var_a, var_b, t, df)
+    */
+  def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def moments(df: DataFrame, tag: String) = {
+      val cents0 = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+      val cents = when(cents0.isNull && col(valueCol).isNotNull,
+          raise_error(lit(s"Drift.welchT: $valueCol overflows long cents")))
+        .when(abs(cents0) > 3037000499L, raise_error(lit(
+          s"Drift.welchT: |cents| beyond the exact-square bound " +
+            s"(shard and merge moments)")))
+        .otherwise(cents0)
+      val sq = cents * cents
+      df.filter(col(valueCol).isNotNull).select(cents.as("__c"), sq.as("__q"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          coalesce(sum(col("__c")), lit(0L)).as(s"__s_$tag"),
+          coalesce(sum(shiftright(col("__q"), 32)), lit(0L))
+            .as(s"__hi_$tag"),
+          coalesce(sum(col("__q").bitwiseAND(lit(0xffffffffL))), lit(0L))
+            .as(s"__lo_$tag"))
+    }
+    val B = lit(4294967296L) // 2^32
+    def meanD(tag: String) =
+      col(s"__s_$tag").cast("double") / (lit(100.0) * col(s"n_$tag"))
+    // sample variance in DOLLARS²: (n·Σc² − (Σc)²) / (n(n−1)·100²),
+    // numerator exact in DECIMAL(38,0) reassembled from the halves
+    def varD(tag: String) = {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val sumSq = col(s"__hi_$tag").cast(dec) * B.cast(dec) +
+        col(s"__lo_$tag").cast(dec)
+      val num = col(s"n_$tag").cast(dec) * sumSq -
+        col(s"__s_$tag").cast(dec) * col(s"__s_$tag").cast(dec)
+      num.cast("double") /
+        (col(s"n_$tag").cast("double") * (col(s"n_$tag") - 1) * lit(10000.0))
+    }
+    val m = moments(a, "a").crossJoin(moments(b, "b"))
+      .select(
+        when(col("n_a") < 2 || col("n_b") < 2, raise_error(lit(
+          "Drift.welchT: each sample needs n >= 2")))
+          .otherwise(col("n_a")).as("n_a"),
+        col("n_b"), meanD("a").as("mean_a"), meanD("b").as("mean_b"),
+        varD("a").as("var_a"), varD("b").as("var_b"))
+    val sa = col("var_a") / col("n_a")
+    val sb = col("var_b") / col("n_b")
+    m.select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+      col("var_a"), col("var_b"),
+      when(col("var_a") + col("var_b") === 0.0, raise_error(lit(
+        "Drift.welchT: zero variance in both samples — t undefined")))
+        .otherwise(round((col("mean_a") - col("mean_b")) / sqrt(sa + sb), 9))
+        .as("t"),
+      round((sa + sb) * (sa + sb) /
+        (sa * sa / (col("n_a") - 1) + sb * sb / (col("n_b") - 1)), 9)
+        .as("df"))
+  }
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier ranking metrics at corpus scale — ROC AUC and average
+  * precision (PR AUC) WITHOUT a global sort: the quality-classifier /
+  * filter-model evaluation half the curation loop needs (score a corpus,
+  * check the ranking against a trusted label, THEN pick the threshold).
+  * Complements [[Classifier.calibration]] (which checks probability
+  * calibration, not ranking).
+  *
+  * Shape: collapse rows to the DISTINCT-score (pos, neg) count table
+  * (one shuffle, same cardinality class as a groupBy), then the
+  * two-phase bucket-offset running count (the [[Selection]] /
+  * [[Sequence]] scheme: per-bucket totals + [[Bounded.constPart]]-marked
+  * offsets over the BUCKET table, within-bucket windows bounded by
+  * bucket granularity) gives each distinct score its exact
+  * below-this-score cumulative — no single-task window, no global sort.
+  *
+  * FP discipline: AUC's numerator and denominator are EXACT longs —
+  * `AUC = (2·concordant + tied) / (2·n₁·n₀)` counts pair outcomes, the
+  * tie-corrected rank-sum (Mann–Whitney) identity — so the output is ONE
+  * IEEE division of exact integers, shipped raw (the hash-gate rule).
+  * Average precision is an inherently order-summed quantity
+  * (Σ ΔR·P over thresholds), so it ships rounded 6dp.
+  */
+object Eval {
+
+  /** Exact tie-corrected ROC AUC.
+    *
+    * @param bucket monotone non-decreasing coarsening of the score
+    *               order (e.g. `v => floor(v * 100)`) — bucket skew
+    *               bounds per-task window size, exactly as in
+    *               [[Selection.exactQuantiles]]
+    * @return one row: (n_pos, n_neg, concordant, tied, auc); raises
+    *         loudly when either class is absent (AUC undefined) */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      bucket: Column => Column): DataFrame = {
+    val cum = cumBelow(df, scoreCol, labelCol, bucket)
+    cum.agg(
+        sum("__p").as("n_pos"), sum("__q").as("n_neg"),
+        sum(col("__p") * col("__negBelow")).as("concordant"),
+        sum(col("__p") * col("__q")).as("tied"))
+      // guard rides the 1-row global aggregate (AQE-prune-safe; the
+      // Drift.ks lesson) — a single-class input has no defined AUC
+      .select(col("n_pos"), col("n_neg"), col("concordant"), col("tied"),
+        when(col("n_pos") === 0 || col("n_neg") === 0 ||
+            col("n_pos").isNull || col("n_neg").isNull,
+          raise_error(lit("rocAuc: need both classes present")))
+          .otherwise((lit(2L) * col("concordant") + col("tied"))
+            .cast("double") / (lit(2L) * col("n_pos") * col("n_neg")))
+          .as("auc"))
+  }
+
+  /** Average precision (area under the precision–recall curve, step
+    * interpolation over distinct score thresholds descending):
+    * `AP = Σ_s (p(s)/n₁) · P(s)` with `P(s) = TP(s) / (TP(s)+FP(s))`
+    * over all rows scoring ≥ s. Every TP/FP is an exact long off the
+    * same cumulative table as [[rocAuc]]; the per-threshold division
+    * chain makes the SUM order-dependent, so `ap` ships rounded 6dp.
+    *
+    * @return one row: (n_pos, n_neg, ap) */
+  def avgPrecision(df: DataFrame, scoreCol: String, labelCol: String,
+      bucket: Column => Column): DataFrame = {
+    val cum = cumBelow(df, scoreCol, labelCol, bucket)
+    val tot = cum.agg(sum("__p").as("__n1"), sum("__q").as("__n0"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("__p"), col("__n1"), col("__n0"),
+        // rows scoring >= s: totals minus the strictly-below cums
+        (col("__n1") - col("__posBelow")).as("__tp"),
+        (col("__n1") + col("__n0") - col("__posBelow") -
+          col("__negBelow")).as("__atk"))
+      .agg(max(col("__n1")).as("n_pos"), max(col("__n0")).as("n_neg"),
+        sum(col("__p").cast("double") * col("__tp") /
+          (col("__n1") * col("__atk"))).as("__ap"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_pos").isNull,
+          raise_error(lit("avgPrecision: no positive rows")))
+          .otherwise(round(col("__ap"), 6)).as("ap"))
+  }
+
+  /** Multiclass confusion statistics — per-class TP/FP/FN plus
+    * precision / recall / F1 — the hard-decision companion to the
+    * ranking metrics above (a lang-id or quality-filter model ships a
+    * LABEL; this is how its per-class behavior is audited at corpus
+    * scale).
+    *
+    * Shape: ONE shuffle to the (actual, predicted) pair-count table
+    * (cardinality = |classes|², never rows), then per-class actual and
+    * predicted totals are two tiny aggregates OVER THAT TABLE, joined
+    * back by class — the corpus is scanned exactly once.
+    *
+    * Classes are the UNION of actual and predicted labels, so a class
+    * the model never emits (recall 0) and a class it hallucinates
+    * (precision 0) both get a row. FP discipline: tp/fp/fn are exact
+    * longs; precision/recall/f1 are fixed IEEE chains over them with
+    * the sklearn zero-division convention (0.0 when the denominator is
+    * 0) — raw-hashable, no summation order anywhere.
+    *
+    * @return one row per class: (class, tp, fp, fn, precision, recall,
+    *         f1), class ascending not enforced (callers sort) */
+  def confusionStats(df: DataFrame, actualCol: String,
+      predCol: String): DataFrame = {
+    val pairs = df
+      .filter(col(actualCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(actualCol).as("__a"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val actTot = pairs.groupBy(col("__a").as("__cls"))
+      .agg(sum("__n").as("__na"))
+    val predTot = pairs.groupBy(col("__p").as("__cls2"))
+      .agg(sum("__n").as("__np"))
+    val diag = pairs.filter(col("__a") === col("__p"))
+      .select(col("__a").as("__cls3"), col("__n").as("__tp"))
+    val base = actTot.join(predTot, col("__cls") <=> col("__cls2"), "full")
+      .select(coalesce(col("__cls"), col("__cls2")).as("cls"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__np"), lit(0L)).as("__np"))
+      .join(diag, col("cls") <=> col("__cls3"), "left")
+      .select(col("cls"), coalesce(col("__tp"), lit(0L)).as("tp"),
+        col("__np"), col("__na"))
+    val p = when(col("__np") === 0, lit(0.0))
+      .otherwise(col("tp").cast("double") / col("__np"))
+    val r = when(col("__na") === 0, lit(0.0))
+      .otherwise(col("tp").cast("double") / col("__na"))
+    base.select(col("cls"), col("tp"),
+        (col("__np") - col("tp")).as("fp"),
+        (col("__na") - col("tp")).as("fn"),
+        p.as("precision"), r.as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+  }
+
+  /** Distinct-score (pos, neg) counts plus exact strictly-below
+    * cumulatives for both classes — the shared two-phase running count
+    * (bucket offsets + within-bucket prefix windows). */
+  private def cumBelow(df: DataFrame, scoreCol: String, labelCol: String,
+      bucket: Column => Column): DataFrame = {
+    val lab = col(labelCol).cast("boolean")
+    val g = df.filter(col(scoreCol).isNotNull && lab.isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(lab, 1L).otherwise(0L)).as("__p"),
+        sum(when(lab, 0L).otherwise(1L)).as("__q"))
+      .withColumn("__bk", bucket(col("__s")))
+    val offs = g.groupBy("__bk")
+      .agg(sum("__p").as("__pb"), sum("__q").as("__qb"))
+    offsJoin(g, offs)
+  }
+
+  // split so the aggregate aliases above stay readable
+  private def offsJoin(g: DataFrame, offsRaw: DataFrame): DataFrame = {
+    val wOff = Window.partitionBy(Bounded.constPart(col("__pb")))
+      .orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = offsRaw
+      .withColumn("__offP", coalesce(sum(col("__pb")).over(wOff), lit(0L)))
+      .withColumn("__offQ", coalesce(sum(col("__qb")).over(wOff), lit(0L)))
+      .select(col("__bk").as("__bk2"), col("__offP"), col("__offQ"))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.join(broadcast(offs), col("__bk") <=> col("__bk2"))
+      .withColumn("__posBelow",
+        col("__offP") + coalesce(sum(col("__p")).over(wIn), lit(0L)))
+      .withColumn("__negBelow",
+        col("__offQ") + coalesce(sum(col("__q")).over(wIn), lit(0L)))
+  }
+}

@@ -91,4 +91,38 @@ object Retrieval {
           round(coalesce(col("__dcg"), lit(0d)) / col("__idcg"), 6))
           .as("ndcg_at_k"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    * combine N ranked runs by `RRF(d) = Σ_runs 1/(kc + rank_run(d))` —
+    * the standard zero-training hybrid-retrieval combiner (lexical
+    * BM25 + dense ANN is THE production pairing), robust because
+    * only ranks matter, never incomparable scores.
+    *
+    * Scale shape: each run is already a per-query top-k (bounded);
+    * fusion is one union + one groupBy on the doc key and a top-k —
+    * nothing here scales with the corpus, only with k·runs.
+    *
+    * Determinism: ranks are exact integers, each 1/(kc+rank) term is
+    * one IEEE division; with two runs the sum is order-free (IEEE
+    * addition is commutative), beyond that it is order-summed — either
+    * way `rrf` ships rounded 6dp with the doc key as tie-break.
+    *
+    * @param runs ranked runs, each (docCol, rankCol) with 1-based
+    *             unique ranks; a doc absent from a run contributes
+    *             nothing for it
+    * @return top-`topK` rows (docCol, n_runs, rrf) */
+  def rrfFuse(runs: Seq[DataFrame], docCol: String, rankCol: String,
+      kc: Int = 60, topK: Int = 10): DataFrame = {
+    require(runs.nonEmpty, "need at least one run")
+    require(kc >= 1, s"kc must be >= 1, got $kc")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tagged = runs.map(_.select(col(docCol),
+      col(rankCol).cast("long").as("__r")))
+    tagged.reduce(_ unionAll _)
+      .groupBy(docCol)
+      .agg(count(lit(1)).as("n_runs"),
+        round(sum(lit(1.0) / (lit(kc) + col("__r"))), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(docCol))
+      .limit(topK)
+  }
 }

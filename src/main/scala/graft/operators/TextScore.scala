@@ -156,6 +156,58 @@ object TextScore {
           .as("avg_bigram_surprisal"))
   }
 
+  /** Kneser–Ney smoothed bigram language-model surprisal (round 10) —
+    * the industry-standard n-gram smoothing (Kneser & Ney 1995, the
+    * KenLM default) as a corpus-quality scorer: unlike
+    * [[bigramSurprisal]]'s additive/interpolated smoothing, absolute
+    * discounting reserves mass via the DISCOUNT and backs off to the
+    * CONTINUATION distribution (how many distinct contexts a word
+    * follows, not how often it occurs) — "francisco" is frequent but
+    * follows only "san", so KN correctly scores it unlikely elsewhere.
+    *
+    *   P(w|v) = max(c(v,w) − D, 0)/c(v) + D·N1+(v,·)/c(v) · P_cont(w)
+    *   P_cont(w) = N1+(·,w) / N1+(··)
+    *
+    * Trained and scored on the SAME corpus here (the self-perplexity /
+    * outlier-detection use; every scored bigram exists in the model so
+    * no OOV branch). Scale shape: one positional bigram explode, pair
+    * counts, then three VOCAB-sized aggregates off the pair-TYPE table
+    * (c(v) and N1+(v,·) by prev, N1+(·,w) by cur, 1-row N1+(··)) and
+    * count joins back onto doc bigrams — the [[bigramSurprisal]] cost
+    * class exactly. Per-bigram P is a fixed chain of IEEE ops over
+    * exact longs (identical both engines); the per-doc AVERAGE is
+    * order-summed, so it ships rounded 6dp.
+    *
+    * Returns (idCol, n_bigrams, avg_kn_surprisal); docs with < 2
+    * tokens have no bigrams and drop out (oracle mirrors). */
+  def knBigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val tk = filter(Tokenize.tokenCol(textCol), t => t =!= "")
+    val bi = df.select(col(idCol), tk.as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(2, size(__tk)), " +
+          "i -> struct(element_at(__tk, i - 1) AS prev, " +
+          "element_at(__tk, i) AS cur))")).as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val big = bi.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy("prev")
+      .agg(sum("cb").as("cv"), count(lit(1)).as("n1v"))
+    val cont = big.groupBy("cur").agg(count(lit(1)).as("n1w"))
+    val types = big.agg(count(lit(1)).as("n1t"))
+    val d = lit(discount)
+    val pKn = greatest(col("cb") - d, lit(0.0)) / col("cv") +
+      d * col("n1v") / col("cv") * (col("n1w") / col("n1t"))
+    bi.join(big, Seq("prev", "cur"))
+      .join(ctx, Seq("prev"))
+      .join(cont, Seq("cur"))
+      .crossJoin(broadcast(types))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(pKn)), 6).as("avg_kn_surprisal"))
+  }
+
   /** Collocation extraction by pointwise mutual information — the
     * corpus-analysis dual of [[bigramSurprisal]]: instead of scoring
     * documents against the bigram model, surface the PAIRS the model

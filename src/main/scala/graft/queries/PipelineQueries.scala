@@ -114,6 +114,37 @@ object PipelineQueries {
     graft.operators.Classifier.calibration(labeled, "score", "is_en")
   }
 
+  /** ROC AUC of the quality classifier against the deterministic
+    * lang = 'en' label (round 10, [[graft.operators.Eval.rocAuc]]):
+    * exact tie-corrected rank-sum AUC over the RAW logit (monotone in
+    * the score, already proven raw-hashable by q_quality_classifier) —
+    * pair counts are exact longs, auc is one IEEE division. The oracle
+    * replays the cumulative with a plain window; the operator's
+    * two-phase bucket-offset form must match it bit-for-bit. */
+  val rocAucReport: Q = (s, d) => {
+    graft.operators.Eval.rocAuc(scoredLabeled(s, d), "logit", "label",
+      v => floor(v * 100))
+  }
+
+  /** Average precision (PR AUC) on the same fixture
+    * ([[graft.operators.Eval.avgPrecision]]): step-interpolated
+    * Σ ΔR·P over distinct logit thresholds; order-summed divisions, so
+    * `ap` ships rounded 6dp. */
+  val avgPrecisionReport: Q = (s, d) => {
+    graft.operators.Eval.avgPrecision(scoredLabeled(s, d), "logit",
+      "label", v => floor(v * 100))
+  }
+
+  private def scoredLabeled(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    graft.operators.Classifier.linearScore(
+        docs, "doc_id", "text", dim = 64,
+        weights = graft.operators.Classifier.hashWeights(64))
+      .select(col("doc_id"), col("logit"))
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").as("label")), "doc_id")
+  }
+
   /** CUSUM change-point detection
     * ([[graft.operators.TimeSeries.cusum]]): daily event counts per
     * type against each type's first-week mean (an exact sum of
@@ -329,6 +360,42 @@ object PipelineQueries {
           .cosineSim(col("__qv"), col("embedding")), 6).as("cos"))
       .orderBy(col("cos").desc, col("doc_id"))
       .limit(10)
+  }
+
+  /** Reciprocal-rank fusion (round 10,
+    * [[graft.operators.Retrieval.rrfFuse]]): the lexical BM25 top-20
+    * and the dense cosine top-20 (independently ranked, genuinely
+    * different doc sets) fuse by Σ 1/(60 + rank) — the standard hybrid
+    * retrieval combiner. Both run ranks are deterministic
+    * (rounded-score desc, doc_id); the rank windows run over the
+    * bounded top-20 survivors ([[graft.operators.Bounded.constPart]]).
+    * At 100 TB stage 1 is the postings-pruned BM25 scan and an ANN
+    * index replaces the brute-force cosine — fusion itself only ever
+    * sees k·runs rows. */
+  val rrfFusion: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    import graft.operators.Bounded
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(Bounded.constPart(col("bm25")))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val r1 = TextSearch.bm25(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("scan", "join"))
+      .withColumn("rank", row_number().over(w1))
+    val emb = Tables.embeddings(s, d)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("__qv"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(Bounded.constPart(col("cos")))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val r2 = emb.crossJoin(broadcast(qvec))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.GraftFunctions
+          .cosineSim(col("__qv"), col("embedding")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(w2))
+    graft.operators.Retrieval.rrfFuse(
+      Seq(r1.select("doc_id", "rank"), r2.select("doc_id", "rank")),
+      "doc_id", "rank", kc = 60, topK = 10)
   }
 
   /** Benchmark decontamination: corpus docs sharing any 5-gram with the
@@ -971,6 +1038,15 @@ object PipelineQueries {
     graft.operators.TextScore.bigramSurprisal(
       Tables.documents(s, d), "doc_id", "text")
 
+  /** Kneser–Ney smoothed bigram surprisal (round 10,
+    * [[graft.operators.TextScore.knBigramSurprisal]]): absolute
+    * discounting + continuation backoff — the KenLM-default smoothing
+    * as a self-perplexity quality scorer; per-bigram P is a fixed IEEE
+    * chain over exact counts, per-doc average rounded 6dp. */
+  val knSurprisal: Q = (s, d) =>
+    graft.operators.TextScore.knBigramSurprisal(
+      Tables.documents(s, d), "doc_id", "text")
+
   /** Count-min token frequency (round 5): per-lang CMS over corpus
     * tokens, probed for four words (one absent). The md5 cell recipe is
     * engine-reproducible, so DuckDB rebuilds the ENTIRE sketch
@@ -1189,6 +1265,38 @@ object PipelineQueries {
       .filter(col("x.l_partkey") < col("y.l_partkey"))
       .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
     graft.operators.Graph.clusteringCoefficient(edges, "src", "dst")
+  }
+
+  /** Long-chain connected components, planted (round 10,
+    * [[graft.operators.Graph.connectedComponentsStar]]): doc ids link
+    * into 100-node PATHS (i → i+1 within each block of 100) — diameter
+    * 99, the transitive near-dup-chain shape that starves hash-min
+    * propagation (one round per hop; the default round budget raises)
+    * while large/small-star converges in ≤ ~7 alternations. The oracle
+    * predicts every label as the block minimum. */
+  val componentsChainPlanted: Q = (s, d) => {
+    val edges = Tables.documents(s, d)
+      .filter(col("doc_id") % 100 =!= 99)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+    graft.operators.Graph.connectedComponentsStar(edges, "src", "dst")
+  }
+
+  /** Adamic–Adar link prediction (round 10,
+    * [[graft.operators.Graph.adamicAdar]]) over the same co-purchase
+    * slice as [[clusteringCoeff]]: top-50 non-adjacent part pairs by
+    * Σ 1/ln(deg) common-neighbor evidence. The hub cap is pinned far
+    * above the fixture's max degree, so the candidate generation is
+    * exhaustive here and the oracle replays it directly. */
+  val adamicAdarTopk: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select("l_orderkey", "l_partkey")
+    val edges = li.alias("x")
+      .join(li.alias("y"), Seq("l_orderkey"))
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    graft.operators.Graph.adamicAdar(edges, "src", "dst",
+      topK = 50, maxHubDegree = 100000)
   }
 
   /** Grid-bucketed spatial radius join (round 9,

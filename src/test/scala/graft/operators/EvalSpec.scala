@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Eval.rocAuc]] / [[Eval.avgPrecision]] against brute-force pairwise
+  * and hand-computed references — ties, inversions, and the
+  * single-class loud guard. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rocAuc equals the brute-force pairwise count on random scores") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 400).map { i =>
+      // coarse scores force heavy ties; label correlates weakly
+      val sc = rng.nextInt(12) / 10.0
+      (i.toLong, sc, rng.nextDouble() < 0.3 + sc / 3)
+    }
+    val df = rows.toDF("id", "score", "label")
+    val got = Eval.rocAuc(df, "score", "label", v => floor(v * 5))
+      .collect().head
+    val pos = rows.filter(_._3).map(_._2)
+    val neg = rows.filterNot(_._3).map(_._2)
+    val conc = (for (p <- pos; q <- neg) yield p > q).count(identity).toLong
+    val tied = (for (p <- pos; q <- neg) yield p == q).count(identity).toLong
+    assert(got.getLong(0) == pos.length && got.getLong(1) == neg.length)
+    assert(got.getLong(2) == conc, "concordant")
+    assert(got.getLong(3) == tied, "tied")
+    assert(got.getDouble(4) ==
+      (2L * conc + tied).toDouble / (2L * pos.length * neg.length))
+  }
+
+  test("rocAuc: perfect, inverted, and coin-flip rankings") {
+    def auc(rows: Seq[(Double, Boolean)]): Double =
+      Eval.rocAuc(rows.zipWithIndex.map { case ((s, l), i) =>
+          (i.toLong, s, l) }.toDF("id", "score", "label"),
+        "score", "label", v => floor(v * 10))
+        .collect().head.getDouble(4)
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+    val inverted = perfect.map { case (s, l) => (s, !l) }
+    val allTied = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+    assert(auc(perfect) == 1.0)
+    assert(auc(inverted) == 0.0)
+    assert(auc(allTied) == 0.5)
+  }
+
+  test("avgPrecision hand case with a tie group") {
+    // scores desc: 0.9(+), 0.7 {+,-} tied, 0.3(-), 0.1(+); n1=3, n0=2
+    // thresholds: s=0.9: tp=1 atk=1 -> term (1/3)*1
+    //             s=0.7: tp=2 atk=3 -> term (1/3)*(2/3)
+    //             s=0.1: tp=3 atk=5 -> term (1/3)*(3/5)
+    val df = Seq((1L, 0.9, true), (2L, 0.7, true), (3L, 0.7, false),
+      (4L, 0.3, false), (5L, 0.1, true)).toDF("id", "score", "label")
+    val got = Eval.avgPrecision(df, "score", "label", v => floor(v * 10))
+      .collect().head
+    val want = BigDecimal(1.0 / 3 * (1.0 + 2.0 / 3 + 3.0 / 5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == 3L && got.getLong(1) == 2L)
+    assert(math.abs(got.getDouble(2) - want) < 1e-9, s"got $got want $want")
+  }
+
+  test("single-class input raises loudly") {
+    val df = Seq((1L, 0.4, true), (2L, 0.6, true)).toDF("id", "s", "l")
+    val ex = intercept[Exception] {
+      Eval.rocAuc(df, "s", "l", v => floor(v * 10)).collect()
+    }
+    assert(ex.getMessage.contains("both classes"))
+  }
+
+  test("bucketed cum form is invariant to bucket granularity") {
+    val rng = new scala.util.Random(5)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, rng.nextDouble(), rng.nextBoolean()))
+    val df = rows.toDF("id", "score", "label")
+    val fine = Eval.rocAuc(df, "score", "label", v => floor(v * 1000))
+      .collect().head.toSeq
+    val coarse = Eval.rocAuc(df, "score", "label", v => floor(v * 2))
+      .collect().head.toSeq
+    val one = Eval.rocAuc(df, "score", "label", _ => lit(0L))
+      .collect().head.toSeq
+    assert(fine == coarse && coarse == one)
+  }
+}
