@@ -1529,6 +1529,48 @@ object ScaleBench {
       val tknN = time(s"kn_surprisal ${factor}x")(noop(knOf(docsN)))
       results += (("kn_surprisal", tkn1, tknN))
     }
+    // Welch t-test: two map-only partial-agg scans, no join/window —
+    // the flattest possible shape; anything past linear is a bug
+    {
+      def wtOf(li: DataFrame) = graft.operators.Drift.welchT(
+        li.filter(col("l_returnflag") === "R").select("l_extendedprice"),
+        li.filter(col("l_returnflag") === "N").select("l_extendedprice"),
+        "l_extendedprice")
+      val twt1 = time("welch_ttest 1x")(noop(wtOf(li1)))
+      val twtN = time(s"welch_ttest ${factor}x")(noop(wtOf(liN)))
+      results += (("welch_ttest", twt1, twtN))
+    }
+    // Confusion/F1: the lang-id scan is the linear part; the pair
+    // table is |classes|² rows regardless of corpus size
+    {
+      def cfOf(d: DataFrame) = graft.operators.Eval.confusionStats(
+        graft.queries.TextQueries.langIdOf(d), "lang", "predicted")
+      val tcf1 = time("confusion_f1 1x")(noop(cfOf(docs1)))
+      val tcfN = time(s"confusion_f1 ${factor}x")(noop(cfOf(docsN)))
+      results += (("confusion_f1", tcf1, tcfN))
+    }
+    // Gini + top-share: BOTH o_orderkey and o_custkey offset ⇒ N
+    // disjoint customer populations — the distinct-cents table itself
+    // grows ×N (the hard direction); the cum windows ride bounded
+    // buckets and the rank math is closed-form per block
+    {
+      val ordC = replicate(ord1, Seq("o_orderkey", "o_custkey"),
+        10000000L)
+      def revOf(o: DataFrame) = o.groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      def giniOf(o: DataFrame) = graft.operators.Concentration.gini(
+        revOf(o), "revenue", v => v / 10000000L)
+      def shareOf(o: DataFrame) = graft.operators.Concentration.topShare(
+        revOf(o), "revenue", Seq(0.01, 0.1, 0.5), v => v / 10000000L)
+      val tg1 = time("gini 1x")(noop(giniOf(ord1)))
+      val tgN = time(s"gini ${factor}x")(noop(giniOf(ordC)))
+      results += (("gini", tg1, tgN))
+      val ts1 = time("top_share 1x")(noop(shareOf(ord1)))
+      val tsN = time(s"top_share ${factor}x")(noop(shareOf(ordC)))
+      results += (("top_share", ts1, tsN))
+    }
 
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>

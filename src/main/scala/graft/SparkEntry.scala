@@ -372,6 +372,10 @@ object SparkEntry {
     "q_kn_surprisal" -> PipelineQueries.knSurprisal,
     "q_rrf_fusion" -> PipelineQueries.rrfFusion,
     "q_components_chain_planted" -> PipelineQueries.componentsChainPlanted,
+    "q_welch_ttest" -> PipelineQueries.welchTtest,
+    "q_confusion_f1" -> PipelineQueries.confusionF1,
+    "q_gini_revenue" -> PipelineQueries.giniRevenue,
+    "q_top_share" -> PipelineQueries.revenueTopShare,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -2549,6 +2553,127 @@ object SparkEntry {
                      / (CAST(n_a + n_b AS DOUBLE)
                         * (CAST(n_a + n_b AS DOUBLE) - 1)))), 9) AS z
       FROM agg""",
+
+    // Welch moments replayed in HUGEINT (= the operator's hi/lo-split
+    // exact integers); t/df are the identical IEEE chains rounded 9dp
+    "q_welch_ttest" -> """
+      WITH c AS (
+        SELECT l_returnflag AS g,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+      ma AS (SELECT count(*)::BIGINT AS n_a, sum(c)::BIGINT AS s_a,
+               sum(c::HUGEINT * c) AS q_a FROM c WHERE g = 'R'),
+      mb AS (SELECT count(*)::BIGINT AS n_b, sum(c)::BIGINT AS s_b,
+               sum(c::HUGEINT * c) AS q_b FROM c WHERE g = 'N'),
+      v AS (SELECT n_a, n_b,
+              s_a::DOUBLE / (100.0 * n_a) AS mean_a,
+              s_b::DOUBLE / (100.0 * n_b) AS mean_b,
+              CAST(n_a::HUGEINT * q_a - s_a::HUGEINT * s_a AS DOUBLE)
+                / (n_a::DOUBLE * (n_a - 1) * 10000.0) AS var_a,
+              CAST(n_b::HUGEINT * q_b - s_b::HUGEINT * s_b AS DOUBLE)
+                / (n_b::DOUBLE * (n_b - 1) * 10000.0) AS var_b
+            FROM ma CROSS JOIN mb)
+      SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+             round((mean_a - mean_b)
+               / sqrt(var_a / n_a + var_b / n_b), 9) AS t,
+             round((var_a / n_a + var_b / n_b)
+                 * (var_a / n_a + var_b / n_b)
+               / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                 + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 9) AS df
+      FROM v""",
+
+    // confusion stats over the q_lang_id predictor: pair counts exact,
+    // P/R/F1 the identical IEEE chains with the zero-division-0 rule
+    "q_confusion_f1" -> """
+      WITH s AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, t -> t='the'))::INT
+                 + len(list_filter(toks, t -> t='and'))::INT
+                 + len(list_filter(toks, t -> t='of'))::INT AS en_score,
+               len(list_filter(toks, t -> t='der'))::INT
+                 + len(list_filter(toks, t -> t='und'))::INT
+                 + len(list_filter(toks, t -> t='die'))::INT AS de_score,
+               len(list_filter(toks, t -> t='le'))::INT
+                 + len(list_filter(toks, t -> t='la'))::INT
+                 + len(list_filter(toks, t -> t='et'))::INT AS fr_score
+        FROM (SELECT doc_id, lang,
+                     string_split(lower(coalesce(text, '')), ' ') AS toks
+              FROM documents) t),
+      p AS (
+        SELECT lang AS a,
+               CASE WHEN en_score + de_score + fr_score = 0 THEN 'unknown'
+                    WHEN en_score >= de_score AND en_score >= fr_score
+                      THEN 'en'
+                    WHEN de_score >= fr_score THEN 'de'
+                    ELSE 'fr' END AS pr
+        FROM s),
+      pairs AS (SELECT a, pr, count(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+      act AS (SELECT a AS cls, sum(n)::BIGINT AS na FROM pairs GROUP BY 1),
+      prd AS (SELECT pr AS cls, sum(n)::BIGINT AS np FROM pairs GROUP BY 1),
+      diag AS (SELECT a AS cls, n AS tp FROM pairs WHERE a = pr),
+      base AS (
+        SELECT COALESCE(act.cls, prd.cls) AS cls,
+               COALESCE(na, 0)::BIGINT AS na, COALESCE(np, 0)::BIGINT AS np
+        FROM act FULL JOIN prd ON act.cls = prd.cls),
+      b2 AS (
+        SELECT base.cls, COALESCE(tp, 0)::BIGINT AS tp, np, na
+        FROM base LEFT JOIN diag ON base.cls = diag.cls),
+      pr2 AS (
+        SELECT cls, tp, (np - tp)::BIGINT AS fp, (na - tp)::BIGINT AS fn,
+               CASE WHEN np = 0 THEN 0.0 ELSE tp::DOUBLE / np END AS prec,
+               CASE WHEN na = 0 THEN 0.0 ELSE tp::DOUBLE / na END AS rec
+        FROM b2)
+      SELECT cls, tp, fp, fn, prec AS "precision", rec AS recall,
+             CASE WHEN prec + rec = 0.0 THEN 0.0
+                  ELSE 2.0 * prec * rec / (prec + rec) END AS f1
+      FROM pr2""",
+
+    // Gini over exact integer cents: the operator's closed-form block
+    // rank sums equal the per-row Σ v·(2i−n−1) replayed here in HUGEINT
+    "q_gini_revenue" -> """
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS r
+        FROM orders GROUP BY 1),
+      cents AS (SELECT CAST(floor(r * 100 + 0.5) AS BIGINT) AS v FROM rev),
+      rk AS (SELECT v, row_number() OVER (ORDER BY v) AS i,
+                    count(*) OVER () AS n
+             FROM cents),
+      agg AS (SELECT max(n)::BIGINT AS n, sum(v)::HUGEINT AS sv,
+                     sum(v::HUGEINT * (2 * i - n - 1)) AS num
+              FROM rk)
+      SELECT n, CAST(sv AS DOUBLE) / 100.0 AS total,
+             CAST(num AS DOUBLE) / CAST(n::HUGEINT * sv AS DOUBLE) AS gini
+      FROM agg""",
+
+    // Lorenz top-share cuts: decimal-exact rank ceiling, tie-invariant
+    // top sums (tied rows carry equal v), one IEEE division per p
+    "q_top_share" -> """
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS r
+        FROM orders GROUP BY 1),
+      cents AS (SELECT CAST(floor(r * 100 + 0.5) AS BIGINT) AS v FROM rev),
+      tot AS (SELECT count(*)::BIGINT AS n, sum(v)::HUGEINT AS sv
+              FROM cents),
+      ps AS (SELECT * FROM (VALUES (0.01, 0.99), (0.1, 0.9), (0.5, 0.5))
+             t(p, q)),
+      cut AS (SELECT p::DOUBLE AS p,
+                     (n - greatest(1, CAST(ceil(
+                       CAST(q AS DECIMAL(38,18)) * n) AS BIGINT)))::BIGINT
+                       AS cut_rows,
+                     n, sv
+              FROM ps CROSS JOIN tot),
+      rk AS (SELECT v, row_number() OVER (ORDER BY v DESC) AS i
+             FROM cents)
+      SELECT p, cut_rows,
+             CAST(sum(CASE WHEN i <= cut_rows THEN v::HUGEINT
+                           ELSE 0::HUGEINT END) AS DOUBLE)
+               / CAST(max(sv) AS DOUBLE) AS share
+      FROM cut CROSS JOIN rk
+      GROUP BY p, cut_rows""",
 
     // brute-force twin of the grid join — integer-exact, no epsilon;
     // coordinates from the shared md5 recipe (uniform scatter)

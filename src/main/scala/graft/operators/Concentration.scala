@@ -38,23 +38,33 @@ object Concentration {
       bucket: Column => Column): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val cum = rankBlocks(df, valueCol, bucket)
-    val tot = cum.agg(coalesce(sum("__m"), lit(0L)).as("n"),
+    val tot = cum.agg(coalesce(sum("__m"), lit(0L)).as("__nr"),
       coalesce(sum(col("__v").cast(dec) * col("__m").cast(dec)),
-        lit(0L).cast(dec)).as("__sv"))
+        lit(0L).cast(dec)).as("__svr"))
     val guarded = tot.select(
-      when(col("n") === 0 || col("__sv") === 0, raise_error(lit(
+      when(col("__nr") === 0 || col("__svr") === 0, raise_error(lit(
         "Concentration.gini: needs rows with positive total mass")))
-        .otherwise(col("n")).as("n"), col("__sv"))
-    cum.crossJoin(broadcast(guarded))
+        .otherwise(col("__nr")).as("n"), col("__svr").as("__sv"))
+    // the numerator is its own GLOBAL aggregate (1 row even on empty
+    // input), and the final select anchors on the guarded totals —
+    // the Drift.ks shape, so AQE's empty-relation propagation cannot
+    // prune the guard away with an empty crossJoin side
+    val num = cum.crossJoin(broadcast(tot))
       .groupBy()
-      .agg(max("n").as("n"), max("__sv").as("__sv"),
-        coalesce(sum(col("__v").cast(dec) * col("__m").cast(dec) *
-          (lit(2L) * col("__cumBefore") + col("__m") - col("n"))
-            .cast(dec)), lit(0L).cast(dec)).as("__num"))
+      .agg(coalesce(sum(col("__v").cast(dec) * col("__m").cast(dec) *
+        (lit(2L) * col("__cumBefore") + col("__m") - col("__nr"))
+          .cast(dec)), lit(0L).cast(dec)).as("__num"))
+    guarded.crossJoin(num)
       .select(col("n"),
         (col("__sv").cast("double") / 100.0).as("total"),
-        (col("__num").cast("double") /
-          (col("n").cast(dec) * col("__sv")).cast("double")).as("gini"))
+        // belt on top of the n-guard: expression evaluation order
+        // within a projection is not contractual, so the division
+        // carries its own lazy raise (ANSI div-by-zero otherwise)
+        when(col("__sv") === 0, raise_error(lit(
+          "Concentration.gini: needs rows with positive total mass")))
+          .otherwise(col("__num").cast("double") /
+            (col("n").cast(dec) * col("__sv")).cast("double"))
+          .as("gini"))
   }
 
   /** Lorenz top-share points: the fraction of total mass held by the
@@ -72,37 +82,52 @@ object Concentration {
       "Concentration.topShare: each p must sit in (0, 1)")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val cum = rankBlocks(df, valueCol, bucket)
-    val tot = cum.agg(coalesce(sum("__m"), lit(0L)).as("n"),
+    val tot = cum.agg(coalesce(sum("__m"), lit(0L)).as("__nr"),
       coalesce(sum(col("__v").cast(dec) * col("__m").cast(dec)),
-        lit(0L).cast(dec)).as("__sv"))
-    val guarded = broadcast(tot.select(
-      when(col("n") === 0 || col("__sv") === 0, raise_error(lit(
+        lit(0L).cast(dec)).as("__svr"))
+    val guarded = tot.select(
+      when(col("__nr") === 0 || col("__svr") === 0, raise_error(lit(
         "Concentration.topShare: needs rows with positive total mass")))
-        .otherwise(col("n")).as("n"), col("__sv")))
+        .otherwise(col("__nr")).as("n"), col("__svr").as("__sv"))
     // (1−p) as an exact decimal via its shortest decimal string — the
     // Selection.discRank contract, shipped per-row since p varies
     val spark = df.sparkSession
     import spark.implicits._
     val pRows = ps.map(p =>
       (p, scala.math.BigDecimal((1.0 - p).toString))).toDF("p", "__q")
-    cum.crossJoin(guarded).crossJoin(broadcast(pRows))
+    // per-p top sums as their own aggregate over the (possibly empty)
+    // cum table; the final select anchors on the guarded totals via a
+    // left join from the ALWAYS-populated guarded×pRows side — the
+    // Drift.ks shape (AQE empty-relation propagation cannot prune the
+    // guard with an empty aggregate side)
+    val tops = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(pRows))
       // rows strictly above the cut rank belong to the top-p set; the
       // block containing the cut contributes only its tail
       .withColumn("__cut",
-        col("n") - greatest(lit(1L),
-          ceil(col("__q") * col("n")).cast("long")))
+        col("__nr") - greatest(lit(1L),
+          ceil(col("__q") * col("__nr")).cast("long")))
       .withColumn("__takeM",
         greatest(lit(0L),
           least(col("__m"),
-            col("__cumBefore") + col("__m") - (col("n") - col("__cut")))))
-      .groupBy(col("p"))
-      .agg(max("n").as("n"), max("__sv").as("__sv"),
-        max("__cut").as("cut_rows"),
+            col("__cumBefore") + col("__m") -
+              (col("__nr") - col("__cut")))))
+      .groupBy(col("p").as("__p2"))
+      .agg(max("__cut").as("cut_rows"),
         coalesce(sum(col("__v").cast(dec) * col("__takeM").cast(dec)),
           lit(0L).cast(dec)).as("__top"))
-      .select(col("p"), col("cut_rows"),
-        (col("__top").cast("double") / col("__sv").cast("double"))
-          .as("share"))
+    guarded.crossJoin(broadcast(pRows))
+      .join(tops, col("p") <=> col("__p2"), "left")
+      // the raise rides the OUTPUT expression (a guard on a dropped
+      // column is erased by column pruning — found live: ANSI
+      // DIVIDE_BY_ZERO surfaced instead of the loud message)
+      .select(col("p"),
+        when(col("__sv") === 0, raise_error(lit(
+          "Concentration.topShare: needs rows with positive total mass")))
+          .otherwise(col("cut_rows")).as("cut_rows"),
+        when(col("__sv") === 0, raise_error(lit(
+          "Concentration.topShare: needs rows with positive total mass")))
+          .otherwise(col("__top").cast("double") /
+            col("__sv").cast("double")).as("share"))
   }
 
   /** Distinct-cents count table with exact strictly-below cumulative

@@ -1913,4 +1913,50 @@ object PipelineQueries {
         min("l_shipdate").as("first_ship"),
         max("l_shipdate").as("last_ship"))
   }
+
+  /** Welch's unequal-variance t-test (round 10,
+    * [[graft.operators.Drift.welchT]]): did returned-line prices move
+    * vs non-returned — the A/B-measurement primitive. Moments are
+    * exact integer cents (hi/lo split squares); t and df are fixed
+    * IEEE chains rounded 9dp, means/vars raw (exact-int divisions). */
+  val welchTtest: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    graft.operators.Drift.welchT(
+      li.filter(col("l_returnflag") === "R").select("l_extendedprice"),
+      li.filter(col("l_returnflag") === "N").select("l_extendedprice"),
+      "l_extendedprice")
+  }
+
+  /** Multiclass confusion statistics for the lang-id heuristic (round
+    * 10, [[graft.operators.Eval.confusionStats]]): per-class TP/FP/FN
+    * + precision/recall/F1 of the marker-word predictor against the
+    * true `lang` column — the hard-decision audit next to q_lang_id's
+    * per-doc dump. Counts exact longs; P/R/F1 fixed IEEE chains with
+    * the sklearn zero-division convention. */
+  val confusionF1: Q = (s, d) =>
+    graft.operators.Eval.confusionStats(
+      TextQueries.langIdOf(Tables.documents(s, d)), "lang", "predicted")
+
+  /** Gini coefficient of customer revenue concentration (round 10,
+    * [[graft.operators.Concentration.gini]]): distinct-cents collapse +
+    * closed-form per-block rank sums — no per-row ranks, no global
+    * sort; gini is one IEEE division of exact decimal integers. */
+  val giniRevenue: Q = (s, d) =>
+    graft.operators.Concentration.gini(
+      customerRevenue(s, d), "revenue", v => v / 10000000L)
+
+  /** Lorenz top-share cuts over the same revenue distribution (round
+    * 10, [[graft.operators.Concentration.topShare]]): the share of
+    * total revenue held by the top 1% / 10% / 50% of customers —
+    * exact integer rank cuts (decimal discRank), boundary block split
+    * exactly, share = one IEEE division. */
+  val revenueTopShare: Q = (s, d) =>
+    graft.operators.Concentration.topShare(
+      customerRevenue(s, d), "revenue", Seq(0.01, 0.1, 0.5),
+      v => v / 10000000L)
+
+  private def customerRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(Exact.sumMoney(col("o_totalprice")).as("revenue"))
 }
