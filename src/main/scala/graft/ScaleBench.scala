@@ -1572,6 +1572,28 @@ object ScaleBench {
       results += (("top_share", ts1, tsN))
     }
 
+    // HLL: map-only hashing + a ≤256-row-per-partition max shuffle —
+    // scan-bound by construction; the register table never grows
+    {
+      def hllOf(o: DataFrame) =
+        graft.operators.Hll.estimate(o, "o_custkey")
+      val th1 = time("hll_estimate 1x")(noop(hllOf(ord1)))
+      val thN = time(s"hll_estimate ${factor}x")(noop(hllOf(ordN)))
+      results += (("hll_estimate", th1, thN))
+    }
+    // grouped quantiles: docs ×N replicated WITH a derived group key
+    // (doc_id % 97) so the GROUP COUNT and the per-group distinct
+    // tables both grow — the hard direction; rank probes are equi
+    // joins on the group key, no broadcast
+    {
+      def gqOf(d: DataFrame) = graft.operators.Selection.groupedQuantiles(
+        d.withColumn("grp", col("doc_id") % 97), Seq("grp"), "n_chars",
+        Seq(0.25, 0.5, 0.75, 0.95), v => v / 64L)
+      val tgq1 = time("grouped_quantiles 1x")(noop(gqOf(docs1)))
+      val tgqN = time(s"grouped_quantiles ${factor}x")(noop(gqOf(docsN)))
+      results += (("grouped_quantiles", tgq1, tgqN))
+    }
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

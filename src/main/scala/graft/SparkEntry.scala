@@ -376,6 +376,9 @@ object SparkEntry {
     "q_confusion_f1" -> PipelineQueries.confusionF1,
     "q_gini_revenue" -> PipelineQueries.giniRevenue,
     "q_top_share" -> PipelineQueries.revenueTopShare,
+    "q_hll_registers" -> PipelineQueries.hllRegisters,
+    "q_hll_estimate" -> PipelineQueries.hllEstimate,
+    "q_grouped_quantiles" -> PipelineQueries.groupedQuantilesQ,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -2553,6 +2556,74 @@ object SparkEntry {
                      / (CAST(n_a + n_b AS DOUBLE)
                         * (CAST(n_a + n_b AS DOUBLE) - 1)))), 9) AS z
       FROM agg""",
+
+    // per-group percentile_disc — DuckDB's quantile_disc is the
+    // element at 1-based rank ceil(q·n) (verified r7), the operator's
+    // decimal-exact discRank
+    "q_grouped_quantiles" -> """
+      SELECT lang, 0.25::DOUBLE AS q, count(n_chars)::BIGINT AS n,
+             quantile_disc(n_chars, 0.25) AS value
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT lang, 0.5::DOUBLE AS q, count(n_chars)::BIGINT AS n,
+             quantile_disc(n_chars, 0.5) AS value
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT lang, 0.75::DOUBLE AS q, count(n_chars)::BIGINT AS n,
+             quantile_disc(n_chars, 0.75) AS value
+      FROM documents GROUP BY lang""",
+
+    // own-HLL sketch rebuilt CELL-FOR-CELL (the CMS/KMV/LogHist
+    // sketch-gate recipe): bucket/rho are integer md5 functions, the
+    // register is a max of integers
+    "q_hll_registers" -> """
+      WITH h AS (
+        SELECT ('0x' || substr(md5('hll_' || o_custkey), 1, 8))::BIGINT
+          AS h
+        FROM orders WHERE o_custkey IS NOT NULL),
+      b AS (SELECT h >> 24 AS bucket, h & 16777215 AS suffix FROM h)
+      SELECT bucket,
+             max(CASE WHEN suffix = 0 THEN 25
+                      ELSE 25 - length(printf('%b', suffix)) END)::INT
+               AS r
+      FROM b GROUP BY bucket""",
+
+    // the estimate: exact scaled-integer harmonic sum (empty registers
+    // contribute 2^25), raw = α·m²·2^25/S one IEEE chain, linear
+    // counting m·ln(m/V) on the small-range branch; 6dp (ln crosses
+    // libm). DuckDB decimal literals divide to DOUBLE with identical
+    // IEEE results (probed: the full α chain matches the JVM bit-exact)
+    "q_hll_estimate" -> """
+      WITH h AS (
+        SELECT ('0x' || substr(md5('hll_' || o_custkey), 1, 8))::BIGINT
+          AS h
+        FROM orders WHERE o_custkey IS NOT NULL),
+      b AS (SELECT h >> 24 AS bucket, h & 16777215 AS suffix FROM h),
+      reg AS (
+        SELECT bucket,
+               max(CASE WHEN suffix = 0 THEN 25
+                        ELSE 25 - length(printf('%b', suffix)) END) AS r
+        FROM b GROUP BY bucket),
+      agg AS (
+        SELECT count(*)::BIGINT AS n_nonempty,
+               coalesce(sum(1::BIGINT << (25 - r)), 0)::BIGINT AS s_occ
+        FROM reg),
+      s AS (
+        SELECT 256::INT AS m, n_nonempty,
+               (256 - n_nonempty)::BIGINT AS v_zero,
+               (s_occ + (256 - n_nonempty) * 33554432)::BIGINT
+                 AS s_scaled
+        FROM agg),
+      r2 AS (
+        SELECT *,
+               (0.7213 / (1.0 + 1.079 / 256)) *
+                 (256.0 * 256 * 33554432.0) / s_scaled::DOUBLE AS raw
+        FROM s)
+      SELECT m, n_nonempty, v_zero, s_scaled,
+             round(CASE WHEN raw <= 2.5 * 256 AND v_zero > 0
+                        THEN 256.0 * ln(256.0 / v_zero::DOUBLE)
+                        ELSE raw END, 6) AS est
+      FROM r2""",
 
     // Welch moments replayed in HUGEINT (= the operator's hi/lo-split
     // exact integers); t/df are the identical IEEE chains rounded 9dp

@@ -150,6 +150,70 @@ object Selection {
     quantileSelect(cum, nRow, qs)
   }
 
+  /** PER-GROUP discrete quantiles (round 10): [[exactQuantiles]] for
+    * every group in one pass — "p50/p90 doc length PER LANGUAGE" —
+    * without any per-group sort of raw rows. Same two-phase scheme with
+    * the group key prepended everywhere: the offset window runs over
+    * the per-(group, bucket) COUNT table partitioned by group (rows =
+    * buckets, never data), the in-bucket window partitions by
+    * (group, bucket), and the rank probe is an EQUI join on the group
+    * key with the `cum ≥ rank` residual — no broadcast needed, so the
+    * group count is unbounded (millions of keys shuffle-partition
+    * normally; a hot group is still bounded per task by its buckets).
+    *
+    * Empty input ⇒ empty output (the grouped contract — there is no
+    * "the" total to guard); groups are only ever observed ones, so
+    * every (group, q) row carries a value.
+    *
+    * @return one row per (group, q): (groupCols…, q, n, value) with n
+    *         the group's non-null count and `value` its
+    *         percentile_disc(q) */
+  def groupedQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, qs: Seq[Double], bucket: Column => Column)
+      : DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupedQuantiles: use exactQuantiles for the global form")
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1]: $qs")
+    val g = groupCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__bk", bucket(col("__v")))
+    val wOff = Window.partitionBy(g: _*).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // derived sides RENAME their keys before rejoining the parent —
+    // grouped outputs keep the parent's attribute ids, and a join on
+    // the same id is the trivially-true-predicate trap (the r9
+    // ngramJaccard WARN class)
+    val offs = counts.groupBy(g :+ col("__bk"): _*)
+      .agg(sum("__c").as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(groupCols.map(c => col(c).as(s"__o_$c")) ++
+        Seq(col("__bk").as("__bk2"), col("__off")): _*)
+    val wIn = Window.partitionBy(g :+ col("__bk"): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joinKeys = groupCols.map(c =>
+        col(c) <=> col(s"__o_$c")) :+ (col("__bk") <=> col("__bk2"))
+    val cum = counts.join(offs, joinKeys.reduce(_ && _))
+      .select(g ++ Seq(col("__v"), col("__bk"),
+        (col("__off") + sum(col("__c")).over(wIn)).as("__cum")): _*)
+    val nRow = cum.groupBy(g: _*).agg(max("__cum").as("__n"))
+    val ranks = qs.map(q => struct(lit(q).as("q"),
+      discRank(q, col("__n")).as("__r")))
+    val qTable = nRow.select(g :+ col("__n") :+
+        explode(array(ranks: _*)).as("__qr"): _*)
+      .select(groupCols.map(c => col(c).as(s"__q_$c")) ++
+        Seq(col("__n"), col("__qr.q").as("q"), col("__qr.__r")): _*)
+    val probeKeys = (groupCols.map(c => col(c) <=> col(s"__q_$c")) :+
+      (col("__cum") >= col("__r"))).reduce(_ && _)
+    cum.join(qTable, probeKeys)
+      .groupBy(groupCols.map(c => col(s"__q_$c").as(c)) :+ col("q"): _*)
+      .agg(max(col("__n")).as("n"), min(col("__v")).as("value"))
+      .select(g ++ Seq(col("q"), col("n"), col("value")): _*)
+  }
+
   /** Rank-probe tail shared by both quantile flavors: tiny-side
     * broadcast through the non-equi rank probe; min per q. The final
     * left join anchors output on qTable — built from a global

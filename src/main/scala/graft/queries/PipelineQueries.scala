@@ -1959,4 +1959,29 @@ object PipelineQueries {
     Tables.orders(s, d)
       .groupBy("o_custkey")
       .agg(Exact.sumMoney(col("o_totalprice")).as("revenue"))
+
+  /** Own-implementation HyperLogLog registers (round 10,
+    * [[graft.operators.Hll.registers]]): every register is an integer
+    * function of the md5 hash, so the DuckDB oracle rebuilds the
+    * sketch CELL-FOR-CELL — the hash-gated counterpart to the
+    * rows-only built-in q_agg_approx_distinct. */
+  val hllRegisters: Q = (s, d) =>
+    graft.operators.Hll.registers(Tables.orders(s, d), "o_custkey")
+
+  /** HLL estimate with the small-range correction (round 10,
+    * [[graft.operators.Hll.estimate]]): exact scaled-integer harmonic
+    * sum; sf0.001 (150 distinct) lands the linear-counting branch,
+    * sf0.01 (1500) the raw α·m²/S branch — both gated. */
+  val hllEstimate: Q = (s, d) =>
+    graft.operators.Hll.estimate(Tables.orders(s, d), "o_custkey")
+
+  /** Per-language doc-length quartiles (round 10,
+    * [[graft.operators.Selection.groupedQuantiles]]): percentile_disc
+    * for every group in one pass — no per-group sort of raw rows, no
+    * broadcast (equi join on the group key), hot groups bounded per
+    * task by bucket granularity. */
+  val groupedQuantilesQ: Q = (s, d) =>
+    graft.operators.Selection.groupedQuantiles(
+      Tables.documents(s, d), Seq("lang"), "n_chars",
+      Seq(0.25, 0.5, 0.75), v => v / 64L)
 }

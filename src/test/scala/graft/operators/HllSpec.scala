@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Hll.registers]] / [[Hll.estimate]]: driver-side register replay,
+  * the mergeability property, estimate accuracy against exact
+  * distinct counts, and branch selection. */
+class HllSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refRegisters(keys: Seq[Long]): Map[Long, Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    keys.distinct.map { k =>
+      val hex = md.digest(s"hll_$k".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex, 16)
+      val bucket = h >>> 24
+      val suffix = h & 0xffffffL
+      val rho = if (suffix == 0) 25
+        else 25 - (64 - java.lang.Long.numberOfLeadingZeros(suffix))
+      (bucket, rho)
+    }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+  }
+
+  test("registers equal the driver-side md5 replay") {
+    val keys = (1L to 5000L).map(_ * 7919)
+    val got = Hll.registers(keys.map(Tuple1(_)).toDF("k"), "k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == refRegisters(keys))
+  }
+
+  test("registers merge by max: sketch(A ∪ B) = max(sketch(A), sketch(B))") {
+    val a = (1L to 800L).map(Tuple1(_)).toDF("k")
+    val b = (500L to 1500L).map(Tuple1(_)).toDF("k")
+    val merged = Hll.registers(a, "k").withColumnRenamed("r", "ra")
+      .join(Hll.registers(b, "k").withColumnRenamed("r", "rb"),
+        Seq("bucket"), "full")
+      .select(col("bucket"),
+        greatest(coalesce(col("ra"), lit(0)), coalesce(col("rb"), lit(0)))
+          .as("r"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val union = Hll.registers(a.union(b), "k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged == union)
+  }
+
+  test("estimate lands within 4σ of the truth on both branches") {
+    // σ = 1.04/√256 = 6.5%; 4σ = 26% — loose enough to be stable,
+    // tight enough to catch a broken register/harmonic-sum path
+    for (n <- Seq(120L, 5000L, 60000L)) {
+      val df = (1L to n).map(i => Tuple1(i * 104729)).toDF("k")
+      val row = Hll.estimate(df, "k").collect().head
+      val est = row.getDouble(4)
+      assert(math.abs(est - n) / n < 0.26, s"n=$n est=$est")
+    }
+  }
+
+  test("branch selection: small cardinality takes linear counting") {
+    val df = (1L to 100L).map(Tuple1(_)).toDF("k")
+    val row = Hll.estimate(df, "k").collect().head
+    val m = row.getInt(0); val vZero = row.getLong(2)
+    assert(vZero > 0)
+    // LC formula replayed exactly (same rounding)
+    val lc = java.math.BigDecimal.valueOf(
+        m.toDouble * math.log(m.toDouble / vZero.toDouble))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(row.getDouble(4) == lc)
+  }
+
+  test("duplicates do not move the sketch") {
+    val once = (1L to 300L).map(Tuple1(_)).toDF("k")
+    val tripled = once.union(once).union(once)
+    assert(Hll.estimate(once, "k").collect().head ==
+      Hll.estimate(tripled, "k").collect().head)
+  }
+}
