@@ -1581,6 +1581,26 @@ object ScaleBench {
       val thN = time(s"hll_estimate ${factor}x")(noop(hllOf(ordN)))
       results += (("hll_estimate", th1, thN))
     }
+    // Holt forecast: events ×N with event_type ALSO diversified via a
+    // user_id residue ⇒ keys ×8 and the per-key fold input (days)
+    // fixed — the daily pre-aggregation is the linear part, the fold
+    // rides the slot-grain table
+    {
+      val hev1 = graft.sources.Tables.events(spark, sf)
+      val hevN = replicate(hev1, Seq("event_id"), 10000000L)
+      def holtOf(e: DataFrame) = {
+        val daily = e.groupBy(
+            concat(col("event_type"), lit("_"),
+              (col("user_id") % 8).cast("string")).as("k"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.TimeSeries.holtForecast(
+          daily, "k", "day", "n", 0.5, 0.25, 7)
+      }
+      val tho1 = time("holt_forecast 1x")(noop(holtOf(hev1)))
+      val thoN = time(s"holt_forecast ${factor}x")(noop(holtOf(hevN)))
+      results += (("holt_forecast", tho1, thoN))
+    }
     // grouped quantiles: docs ×N replicated WITH a derived group key
     // (doc_id % 97) so the GROUP COUNT and the per-group distinct
     // tables both grow — the hard direction; rank probes are equi

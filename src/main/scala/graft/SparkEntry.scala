@@ -379,6 +379,7 @@ object SparkEntry {
     "q_hll_registers" -> PipelineQueries.hllRegisters,
     "q_hll_estimate" -> PipelineQueries.hllEstimate,
     "q_grouped_quantiles" -> PipelineQueries.groupedQuantilesQ,
+    "q_holt_forecast" -> PipelineQueries.holtDaily,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -2556,6 +2557,34 @@ object SparkEntry {
                      / (CAST(n_a + n_b AS DOUBLE)
                         * (CAST(n_a + n_b AS DOUBLE) - 1)))), 9) AS z
       FROM agg""",
+
+    // Holt (level+trend) replayed step-for-step by a recursive CTE —
+    // the EMA/CUSUM raw-chain gate class; α=0.5 / β=0.25 are exact
+    // binary fractions so 1−α / 1−β are literal-identical here
+    "q_holt_forecast" -> """
+      WITH RECURSIVE daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+      idx AS (
+        SELECT event_type, day, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS i,
+               count(*) OVER (PARTITION BY event_type) AS ns
+        FROM daily),
+      walk AS (
+        SELECT event_type, i, ns, n::DOUBLE AS l, 0.0::DOUBLE AS b
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT x.event_type, x.i, x.ns,
+               x.n::DOUBLE * 0.5 + (w.l + w.b) * 0.5,
+               ((x.n::DOUBLE * 0.5 + (w.l + w.b) * 0.5) - w.l) * 0.25
+                 + w.b * 0.75
+        FROM walk w JOIN idx x
+          ON x.event_type = w.event_type AND x.i = w.i + 1)
+      SELECT event_type, ns::BIGINT AS n_slots, l AS level, b AS trend,
+             l + b AS fc_1, l + 7.0 * b AS fc_h
+      FROM walk WHERE i = ns""",
 
     // per-group percentile_disc — DuckDB's quantile_disc is the
     // element at 1-based rank ceil(q·n) (verified r7), the operator's

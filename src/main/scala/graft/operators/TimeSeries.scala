@@ -427,4 +427,74 @@ object TimeSeries {
         coalesce(when(col("z").isNotNull, abs(col("z")) > k),
           lit(false)))
   }
+
+  /** Holt double exponential smoothing (level + linear trend) per key
+    * — the forecasting step after [[resample]]/[[cusum]]'s slot
+    * aggregation: `l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}`, initialized `l_1 = x_1,
+    * b_1 = 0` (the zero-trend init — deterministic with no second-point
+    * special case; the first few slots burn in either way). Forecast at
+    * horizon h is the linear extrapolation `l_n + h·b_n`.
+    *
+    * Shape: the [[emaFeatures]] in-row fold — ONE exchange collapses
+    * each key's slot series into a sorted array, the coupled (l, b)
+    * recurrence folds inside the row (map-only past the groupBy), keys
+    * never interact. Input is expected at SLOT grain (pre-aggregate an
+    * event log first — that reduction is the 100 TB step); the fold is
+    * guarded by `maxSlotsPerKey` like every in-row fold in the repo.
+    *
+    * FP discipline: a strictly sequential double chain, the EMA/CUSUM
+    * gate class — a DuckDB recursive-CTE oracle replaying the same op
+    * order reproduces it bit-for-bit, so outputs ship RAW. Pin α/β to
+    * exact binary fractions (0.5, 0.25, …) in cross-engine gates so
+    * `1−α` / `1−β` are literal-exact in both engines.
+    *
+    * @param slotCol integer-ish slot (day number, hour bucket) — the
+    *                fold orders by it; duplicates raise (two values in
+    *                one slot would make the recurrence order-dependent)
+    * @return one row per key: (keyCol, n_slots, level, trend,
+    *         fc_1 = level+trend, fc_h = level + horizon·trend) */
+  def holtForecast(df: DataFrame, keyCol: String, slotCol: String,
+      valCol: String, alpha: Double, beta: Double, horizon: Int,
+      maxSlotsPerKey: Int = 1 << 20): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1]: $beta")
+    require(horizon >= 1, s"horizon must be >= 1: $horizon")
+    val collected = df
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+          col(slotCol).cast("long").as("s"),
+          col(valCol).cast("double").as("v")))).as("__ss"),
+        count(lit(1)).as("__n"),
+        countDistinct(col(slotCol)).as("__nd"))
+      .withColumn("__ss",
+        when(col("__n") =!= col("__nd"), raise_error(concat(
+          lit("holtForecast: key "), col(keyCol).cast("string"),
+          lit(" has duplicate slots — aggregate to slot grain first"))))
+          .when(col("__n") > maxSlotsPerKey, raise_error(concat(
+            lit("holtForecast: key "), col(keyCol).cast("string"),
+            lit(s" exceeds $maxSlotsPerKey slots in one in-row fold"))))
+          .otherwise(col("__ss")))
+    val zero = struct(
+      lit(null).cast("double").as("l"),
+      lit(null).cast("double").as("b"))
+    val folded = aggregate(col("__ss"), zero, (st, e) => {
+      val lNew = e.getField("v") * alpha +
+        (st.getField("l") + st.getField("b")) * (1.0 - alpha)
+      val bNew = (lNew - st.getField("l")) * beta +
+        st.getField("b") * (1.0 - beta)
+      struct(
+        when(st.getField("l").isNull, e.getField("v"))
+          .otherwise(lNew).as("l"),
+        when(st.getField("l").isNull, lit(0.0))
+          .otherwise(bNew).as("b"))
+    })
+    collected
+      .select(col(keyCol), col("__n").as("n_slots"),
+        folded.getField("l").as("level"),
+        folded.getField("b").as("trend"))
+      .withColumn("fc_1", col("level") + col("trend"))
+      .withColumn("fc_h",
+        col("level") + lit(horizon.toDouble) * col("trend"))
+  }
 }

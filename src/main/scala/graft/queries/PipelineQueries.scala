@@ -1984,4 +1984,20 @@ object PipelineQueries {
     graft.operators.Selection.groupedQuantiles(
       Tables.documents(s, d), Seq("lang"), "n_chars",
       Seq(0.25, 0.5, 0.75), v => v / 64L)
+
+  /** Holt linear-trend forecast over daily event counts per type
+    * (round 10, [[graft.operators.TimeSeries.holtForecast]]): the
+    * coupled (level, trend) recurrence as an in-row fold; α=0.5 /
+    * β=0.25 are exact binary fractions so the DuckDB recursive-CTE
+    * replay is literal-exact, and the whole chain ships raw (the
+    * EMA/CUSUM gate class). */
+  val holtDaily: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.TimeSeries.holtForecast(
+      daily, "event_type", "day", "n",
+      alpha = 0.5, beta = 0.25, horizon = 7)
+  }
 }
