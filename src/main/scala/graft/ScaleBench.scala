@@ -1601,6 +1601,21 @@ object ScaleBench {
       val thoN = time(s"holt_forecast ${factor}x")(noop(holtOf(hevN)))
       results += (("holt_forecast", tho1, thoN))
     }
+    // ROUGE-2: consecutive-doc pairs ×N — the (pair, gram) shuffle is
+    // the linear part; no joins past pairing, text never shuffles
+    {
+      def rougeOf(d: DataFrame) = {
+        val pairs = d.alias("c").join(d.alias("r"),
+            col("c.doc_id") + 1 === col("r.doc_id") &&
+              col("c.doc_id") % 10 =!= 9)
+          .select(col("c.doc_id").as("pair_id"),
+            col("c.text").as("cand"), col("r.text").as("ref"))
+        graft.operators.Eval.rougeN(pairs, "pair_id", "cand", "ref", 2)
+      }
+      val tro1 = time("rouge2 1x")(noop(rougeOf(docs1)))
+      val troN = time(s"rouge2 ${factor}x")(noop(rougeOf(docsN)))
+      results += (("rouge2", tro1, troN))
+    }
     // grouped quantiles: docs ×N replicated WITH a derived group key
     // (doc_id % 97) so the GROUP COUNT and the per-group distinct
     // tables both grow — the hard direction; rank probes are equi

@@ -380,6 +380,7 @@ object SparkEntry {
     "q_hll_estimate" -> PipelineQueries.hllEstimate,
     "q_grouped_quantiles" -> PipelineQueries.groupedQuantilesQ,
     "q_holt_forecast" -> PipelineQueries.holtDaily,
+    "q_rouge2_pairs" -> PipelineQueries.rouge2Pairs,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -2557,6 +2558,66 @@ object SparkEntry {
                      / (CAST(n_a + n_b AS DOUBLE)
                         * (CAST(n_a + n_b AS DOUBLE) - 1)))), 9) AS z
       FROM agg""",
+
+    // ROUGE-2: clipped bigram overlap replayed per (pair, gram);
+    // empty-side pairs re-anchor on the pair table (the operator's
+    // explode_outer keeps them)
+    "q_rouge2_pairs" -> """
+      WITH pairs AS (
+        SELECT c.doc_id AS pair_id, c.text AS cand, r.text AS ref
+        FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+        WHERE c.doc_id % 10 <> 9),
+      tk AS (
+        SELECT pair_id,
+               list_filter(regexp_split_to_array(
+                 lower(coalesce(cand, '')), '\s+'), t -> t <> '') AS ct,
+               list_filter(regexp_split_to_array(
+                 lower(coalesce(ref, '')), '\s+'), t -> t <> '') AS rt
+        FROM pairs),
+      cg AS (
+        SELECT pair_id, unnest(CASE WHEN len(ct) >= 2
+          THEN list_transform(range(1, len(ct)),
+            i -> ct[i] || ' ' || ct[i + 1])
+          ELSE [] END) AS g
+        FROM tk),
+      rg AS (
+        SELECT pair_id, unnest(CASE WHEN len(rt) >= 2
+          THEN list_transform(range(1, len(rt)),
+            i -> rt[i] || ' ' || rt[i + 1])
+          ELSE [] END) AS g
+        FROM tk),
+      cc AS (SELECT pair_id, g, count(*)::BIGINT AS c
+             FROM cg GROUP BY 1, 2),
+      rc AS (SELECT pair_id, g, count(*)::BIGINT AS r
+             FROM rg GROUP BY 1, 2),
+      m AS (
+        SELECT COALESCE(cc.pair_id, rc.pair_id) AS pair_id,
+               COALESCE(c, 0) AS c, COALESCE(r, 0) AS r
+        FROM cc FULL JOIN rc
+          ON cc.pair_id = rc.pair_id AND cc.g = rc.g),
+      agg AS (
+        SELECT pair_id, sum(c)::BIGINT AS cand_ngrams,
+               sum(r)::BIGINT AS ref_ngrams,
+               sum(least(c, r))::BIGINT AS overlap
+        FROM m GROUP BY 1),
+      f AS (
+        SELECT p.pair_id,
+               COALESCE(cand_ngrams, 0)::BIGINT AS cand_ngrams,
+               COALESCE(ref_ngrams, 0)::BIGINT AS ref_ngrams,
+               COALESCE(overlap, 0)::BIGINT AS overlap
+        FROM pairs p LEFT JOIN agg ON p.pair_id = agg.pair_id),
+      pr AS (
+        SELECT *,
+               CASE WHEN cand_ngrams = 0 THEN 0.0
+                    ELSE overlap::DOUBLE / cand_ngrams END AS prec,
+               CASE WHEN ref_ngrams = 0 THEN 0.0
+                    ELSE overlap::DOUBLE / ref_ngrams END AS rec
+        FROM f)
+      SELECT pair_id, cand_ngrams, ref_ngrams, overlap,
+             prec AS "precision", rec AS recall,
+             CASE WHEN prec + rec = 0.0 THEN 0.0
+                  ELSE 2.0 * prec * rec / (prec + rec) END AS f1
+      FROM pr""",
 
     // Holt (level+trend) replayed step-for-step by a recursive CTE —
     // the EMA/CUSUM raw-chain gate class; α=0.5 / β=0.25 are exact

@@ -134,6 +134,69 @@ object Eval {
             (col("precision") + col("recall"))))
   }
 
+  /** ROUGE-N between paired candidate/reference texts — the n-gram
+    * overlap metric of summarization/generation eval, at corpus scale:
+    * `recall = Σ_g min(c_cand(g), c_ref(g)) / Σ_g c_ref(g)` (clipped
+    * counts, the standard definition), precision symmetric, F1 their
+    * harmonic mean.
+    *
+    * Shape: both sides explode to (pair, gram, side counts) and meet
+    * in ONE (pair, gram) partial-agg shuffle; clipping is a map-only
+    * `least` over the merged row, and the per-pair reduction is a
+    * second partial agg — no joins, no windows, text never shuffles
+    * (grams hash-partition).
+    *
+    * Tokenization is the repo's whitespace-lowercase recipe (empty
+    * tokens dropped); a side with fewer than n tokens has zero
+    * n-grams. FP: counts exact longs; P/R/F1 fixed IEEE chains with
+    * the zero-denominator→0 convention (a pair with an empty reference
+    * scores 0, visible via ref_ngrams = 0).
+    *
+    * @return one row per pair id: (idCol, cand_ngrams, ref_ngrams,
+    *         overlap, precision, recall, f1) */
+  def rougeN(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    def tokArr(c: Column) =
+      filter(split(lower(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
+    // materialization barrier AFTER tokenization: a token array
+    // referenced inside the gram-building lambda would re-evaluate the
+    // full split per element (the HOF-lambda tax / CollapseProject
+    // no-CSE class — this exact shape measured 8.5 s → ~1 s at sf0.1);
+    // past the exchange the lambdas read a materialized attribute
+    val toks = df.select(col(idCol), tokArr(col(candCol)).as("__ct"),
+        tokArr(col(refCol)).as("__rt"))
+      .repartition(col(idCol))
+    def grams(a: Column) =
+      when(size(a) >= n,
+        transform(sequence(lit(0), size(a) - n),
+          i => concat_ws(" ", slice(a, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val exploded = toks.select(col(idCol), explode_outer(
+        concat(transform(grams(col("__ct")),
+          g => struct(g.as("g"), lit(1L).as("c"), lit(0L).as("r"))),
+          transform(grams(col("__rt")),
+            g => struct(g.as("g"), lit(0L).as("c"), lit(1L).as("r")))))
+        .as("__e"))
+    val perGram = exploded
+      .groupBy(col(idCol), col("__e.g").as("__g"))
+      .agg(sum(coalesce(col("__e.c"), lit(0L))).as("__cc"),
+        sum(coalesce(col("__e.r"), lit(0L))).as("__cr"))
+    val perPair = perGram.groupBy(col(idCol))
+      .agg(sum("__cc").as("cand_ngrams"), sum("__cr").as("ref_ngrams"),
+        sum(least(col("__cc"), col("__cr"))).as("overlap"))
+    val p = when(col("cand_ngrams") === 0, lit(0.0))
+      .otherwise(col("overlap").cast("double") / col("cand_ngrams"))
+    val r = when(col("ref_ngrams") === 0, lit(0.0))
+      .otherwise(col("overlap").cast("double") / col("ref_ngrams"))
+    perPair.select(col(idCol), col("cand_ngrams"), col("ref_ngrams"),
+        col("overlap"), p.as("precision"), r.as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+  }
+
   /** Distinct-score (pos, neg) counts plus exact strictly-below
     * cumulatives for both classes — the shared two-phase running count
     * (bucket offsets + within-bucket prefix windows). */

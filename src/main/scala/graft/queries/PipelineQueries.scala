@@ -2000,4 +2000,20 @@ object PipelineQueries {
       daily, "event_type", "day", "n",
       alpha = 0.5, beta = 0.25, horizon = 7)
   }
+
+  /** ROUGE-2 over consecutive-doc pairs (round 10,
+    * [[graft.operators.Eval.rougeN]]): doc i as candidate vs doc i+1
+    * as reference within each 10-block — clipped bigram overlap
+    * precision/recall/F1, the generation-eval member of the Eval
+    * family. Counts exact; P/R/F1 raw IEEE chains. */
+  val rouge2Pairs: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = docs.alias("c")
+      .join(docs.alias("r"),
+        col("c.doc_id") + 1 === col("r.doc_id") &&
+          col("c.doc_id") % 10 =!= 9)
+      .select(col("c.doc_id").as("pair_id"),
+        col("c.text").as("cand"), col("r.text").as("ref"))
+    graft.operators.Eval.rougeN(pairs, "pair_id", "cand", "ref", n = 2)
+  }
 }
