@@ -381,6 +381,7 @@ object SparkEntry {
     "q_grouped_quantiles" -> PipelineQueries.groupedQuantilesQ,
     "q_holt_forecast" -> PipelineQueries.holtDaily,
     "q_rouge2_pairs" -> PipelineQueries.rouge2Pairs,
+    "q_stream_hll" -> ((s, d) => streaming.StreamOps.streamHll(s, d)),
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -2662,6 +2663,42 @@ object SparkEntry {
       SELECT lang, 0.75::DOUBLE AS q, count(n_chars)::BIGINT AS n,
              quantile_disc(n_chars, 0.75) AS value
       FROM documents GROUP BY lang""",
+
+    // streaming HLL: per-day windowed registers + the estimator read,
+    // rebuilt per window by the same integer recipe as q_hll_estimate
+    "q_stream_hll" -> """
+      WITH h AS (
+        SELECT date_trunc('day', ts) AS wstart,
+               ('0x' || substr(md5('hll_' || user_id), 1, 8))::BIGINT
+                 AS h
+        FROM events WHERE user_id IS NOT NULL),
+      b AS (SELECT wstart, h >> 24 AS bucket, h & 16777215 AS suffix
+            FROM h),
+      reg AS (
+        SELECT wstart, bucket,
+               max(CASE WHEN suffix = 0 THEN 25
+                        ELSE 25 - length(printf('%b', suffix)) END) AS r
+        FROM b GROUP BY 1, 2),
+      agg AS (
+        SELECT wstart, count(*)::BIGINT AS n_nonempty,
+               coalesce(sum(1::BIGINT << (25 - r)), 0)::BIGINT AS s_occ
+        FROM reg GROUP BY 1),
+      s AS (
+        SELECT wstart, 256::INT AS m, n_nonempty,
+               (256 - n_nonempty)::BIGINT AS v_zero,
+               (s_occ + (256 - n_nonempty) * 33554432)::BIGINT
+                 AS s_scaled
+        FROM agg),
+      r2 AS (
+        SELECT *,
+               (0.7213 / (1.0 + 1.079 / 256)) *
+                 (256.0 * 256 * 33554432.0) / s_scaled::DOUBLE AS raw
+        FROM s)
+      SELECT wstart, m, n_nonempty, v_zero, s_scaled,
+             round(CASE WHEN raw <= 2.5 * 256 AND v_zero > 0
+                        THEN 256.0 * ln(256.0 / v_zero::DOUBLE)
+                        ELSE raw END, 6) AS est
+      FROM r2""",
 
     // own-HLL sketch rebuilt CELL-FOR-CELL (the CMS/KMV/LogHist
     // sketch-gate recipe): bucket/rho are integer md5 functions, the

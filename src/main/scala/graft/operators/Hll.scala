@@ -42,10 +42,12 @@ object Hll {
     conv(substring(md5(concat(lit("hll_"), key.cast("string"))), 1, 8),
       16, 10).cast("long")
 
-  /** Non-empty registers: one row per occupied bucket, `r` = the
-    * register value max(rho). Cell-exact cross-engine. */
-  def registers(df: DataFrame, keyCol: String): DataFrame = {
-    val h = hash32(col(keyCol))
+  /** Map-only (bucket, rho) pair for a key — the pre-aggregation
+    * projection, exposed so streaming plans can ride the same integer
+    * parts under windowed state (registers are max-mergeable, so any
+    * grouping/windowing of `max(rho)` is a valid sketch). */
+  def bucketRho(key: Column): (Column, Column) = {
+    val h = hash32(key)
     val bucket = shiftright(h, SuffixBits)
     val suffix = h.bitwiseAND(lit((1L << SuffixBits) - 1))
     // rho = position of the leftmost 1-bit in the suffix (1-based from
@@ -53,6 +55,13 @@ object Hll {
     // via bin() string length (bin(0) = "0" needs the special case)
     val rho = when(suffix === 0, lit(MaxRho))
       .otherwise(lit(MaxRho) - length(bin(suffix)))
+    (bucket, rho)
+  }
+
+  /** Non-empty registers: one row per occupied bucket, `r` = the
+    * register value max(rho). Cell-exact cross-engine. */
+  def registers(df: DataFrame, keyCol: String): DataFrame = {
+    val (bucket, rho) = bucketRho(col(keyCol))
     df.filter(col(keyCol).isNotNull)
       .select(bucket.as("bucket"), rho.as("rho"))
       .groupBy("bucket").agg(max("rho").cast("int").as("r"))
@@ -64,24 +73,33 @@ object Hll {
     * applies the standard small-range correction: linear counting
     * m·ln(m/V) when raw ≤ 2.5m and V > 0, else the raw
     * bias-corrected α·m²/S. */
-  def estimate(df: DataFrame, keyCol: String): DataFrame = {
+  def estimate(df: DataFrame, keyCol: String): DataFrame =
+    estimateFromRegisters(registers(df, keyCol), Nil)
+
+  /** The estimator over an existing register table (column `r`),
+    * optionally per group — the read side for streaming windowed
+    * registers (each group/window is its own sketch). */
+  def estimateFromRegisters(regs: DataFrame, groupCols: Seq[String])
+      : DataFrame = {
     val alpha = 0.7213 / (1.0 + 1.079 / M) // the m ≥ 128 constant
     val mm2Scaled = M.toDouble * M * (1L << MaxRho).toDouble
-    registers(df, keyCol)
+    val g = groupCols.map(col)
+    regs.groupBy(g: _*)
       .agg(count(lit(1)).as("n_nonempty"),
         coalesce(sum(expr(s"shiftleft(1L, $MaxRho - r)")), lit(0L))
           .as("__s_occ"))
-      .select(lit(M).as("m"), col("n_nonempty"),
+      .select(g ++ Seq(lit(M).as("m"), col("n_nonempty"),
         (lit(M) - col("n_nonempty")).as("v_zero"),
         (col("__s_occ") +
           (lit(M) - col("n_nonempty")) * lit(1L << MaxRho))
-          .as("s_scaled"))
+          .as("s_scaled")): _*)
       .withColumn("__raw",
         lit(alpha) * lit(mm2Scaled) / col("s_scaled").cast("double"))
-      .select(col("m"), col("n_nonempty"), col("v_zero"), col("s_scaled"),
+      .select(g ++ Seq(col("m"), col("n_nonempty"), col("v_zero"),
+        col("s_scaled"),
         round(when(col("__raw") <= 2.5 * M && col("v_zero") > 0,
           lit(M.toDouble) * log(lit(M.toDouble) /
             col("v_zero").cast("double")))
-          .otherwise(col("__raw")), 6).as("est"))
+          .otherwise(col("__raw")), 6).as("est")): _*)
   }
 }

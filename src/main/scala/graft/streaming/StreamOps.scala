@@ -187,6 +187,34 @@ object StreamOps {
     runToMemory(spark, streamDistinctPlan(spark, dir),
       OutputMode.Complete())
 
+  /** Per-day distinct users via the own-HLL registers riding windowed
+    * streaming state ([[graft.operators.Hll]]) — the mergeable-sketch
+    * argument made literal: registers are `max(rho)`, and max composes
+    * with ANY windowed grouping, so the state is one ≤256-row register
+    * set per open window and late rows fold in for free. The READ
+    * applies [[graft.operators.Hll.estimateFromRegisters]] per window
+    * over (windows × buckets) rows — events are never rescanned (the
+    * streamDrift read shape). Unlike the KMV tier (exact sub-k gate),
+    * this gate hashes the ESTIMATOR itself: registers and the harmonic
+    * sum are engine-reproducible integers, so the DuckDB twin rebuilds
+    * every window's estimate bit-for-bit. Same Complete-mode
+    * state-retention note as [[streamDistinctPlan]]. */
+  def streamHllPlan(spark: SparkSession, dir: String): DataFrame = {
+    val (bucket, rho) = graft.operators.Hll.bucketRho(col("user_id"))
+    replayEvents(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), bucket.as("bucket"))
+      .agg(max(rho).cast("int").as("r"))
+      .select(col("window.start").as("wstart"), col("bucket"), col("r"))
+  }
+
+  def streamHll(spark: SparkSession, dir: String): DataFrame = {
+    val regs = runToMemory(spark, streamHllPlan(spark, dir),
+      OutputMode.Complete())
+    graft.operators.Hll.estimateFromRegisters(regs, Seq("wstart"))
+  }
+
   /** Streaming drift monitor: the per-day value-bucket HISTOGRAM rides
     * windowed streaming state (one count per (window, bucket) — the
     * state is already the drift monitor's input), and the drift READ

@@ -69,6 +69,21 @@ class HllSpec extends SparkSpec {
     assert(row.getDouble(4) == lc)
   }
 
+  test("grouped estimateFromRegisters equals the per-group estimate") {
+    val rows = (1L to 2000L).map(i => (s"g${i % 3}", i * 31))
+    val df = rows.toDF("g", "k")
+    val (bucket, rho) = Hll.bucketRho(col("k"))
+    val regs = df.select(col("g"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy("g", "bucket").agg(max("rho").cast("int").as("r"))
+    val grouped = Hll.estimateFromRegisters(regs, Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Hll.estimate(df.filter(col("g") === g), "k")
+        .collect().head.getDouble(4)
+      assert(grouped(g) == solo, s"group $g")
+    }
+  }
+
   test("duplicates do not move the sketch") {
     val once = (1L to 300L).map(Tuple1(_)).toDF("k")
     val tripled = once.union(once).union(once)
