@@ -1529,6 +1529,18 @@ object ScaleBench {
       val tknN = time(s"kn_surprisal ${factor}x")(noop(knOf(docsN)))
       results += (("kn_surprisal", tkn1, tknN))
     }
+    // HITS: 32 disjoint graph copies (the adamic_adar replication) —
+    // per-iteration cost is two (id, double) shuffle joins + 1-row
+    // maxes; work grows with edges ×N, iterations fixed
+    {
+      def hitsOf(li: DataFrame) = {
+        val e = triEdges(li.filter(col("l_partkey") % 4 === 0))
+        graft.operators.Graph.hits(e, "src", "dst", iterations = 4)
+      }
+      val thi1 = time("hits 1x")(noop(hitsOf(li1)))
+      val thiN = time(s"hits ${factor}x")(noop(hitsOf(liT)))
+      results += (("hits", thi1, thiN))
+    }
     // Welch t-test: two map-only partial-agg scans, no join/window —
     // the flattest possible shape; anything past linear is a bug
     {

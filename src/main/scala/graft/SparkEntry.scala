@@ -382,6 +382,7 @@ object SparkEntry {
     "q_holt_forecast" -> PipelineQueries.holtDaily,
     "q_rouge2_pairs" -> PipelineQueries.rouge2Pairs,
     "q_stream_hll" -> ((s, d) => streaming.StreamOps.streamHll(s, d)),
+    "q_hits_planted" -> PipelineQueries.hitsPlanted,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -2663,6 +2664,47 @@ object SparkEntry {
       SELECT lang, 0.75::DOUBLE AS q, count(n_chars)::BIGINT AS n,
              quantile_disc(n_chars, 0.75) AS value
       FROM documents GROUP BY lang""",
+
+    // HITS replayed iteration-for-iteration (4 rounds, max-norm); the
+    // planted maxima are powers of two so every score is dyadic-exact
+    // and summation order cannot move it
+    "q_hits_planted" -> """
+      WITH m AS MATERIALIZED (SELECT doc_id, doc_id // 20 AS blk, doc_id % 20 AS r
+                 FROM documents),
+      hubs AS MATERIALIZED (SELECT blk, doc_id AS src FROM m
+               WHERE (blk % 2 = 0 AND r < 4) OR (blk % 2 = 1 AND r < 2)),
+      auths AS MATERIALIZED (SELECT blk, doc_id AS dst FROM m
+                WHERE (blk % 2 = 0 AND r >= 4 AND r < 12)
+                   OR (blk % 2 = 1 AND r >= 2 AND r < 10)),
+      e AS MATERIALIZED (SELECT src, dst FROM hubs h JOIN auths a ON h.blk = a.blk),
+      h0 AS MATERIALIZED (SELECT DISTINCT src, 1.0::DOUBLE AS h FROM e),
+      ar1 AS MATERIALIZED (SELECT dst, sum(h) AS v FROM e JOIN h0 USING (src)
+              GROUP BY dst),
+      a1 AS MATERIALIZED (SELECT dst, v / (SELECT max(v) FROM ar1) AS a FROM ar1),
+      hr1 AS MATERIALIZED (SELECT src, sum(a) AS v FROM e JOIN a1 USING (dst)
+              GROUP BY src),
+      h1 AS MATERIALIZED (SELECT src, v / (SELECT max(v) FROM hr1) AS h FROM hr1),
+      ar2 AS MATERIALIZED (SELECT dst, sum(h) AS v FROM e JOIN h1 USING (src)
+              GROUP BY dst),
+      a2 AS MATERIALIZED (SELECT dst, v / (SELECT max(v) FROM ar2) AS a FROM ar2),
+      hr2 AS MATERIALIZED (SELECT src, sum(a) AS v FROM e JOIN a2 USING (dst)
+              GROUP BY src),
+      h2 AS MATERIALIZED (SELECT src, v / (SELECT max(v) FROM hr2) AS h FROM hr2),
+      ar3 AS MATERIALIZED (SELECT dst, sum(h) AS v FROM e JOIN h2 USING (src)
+              GROUP BY dst),
+      a3 AS MATERIALIZED (SELECT dst, v / (SELECT max(v) FROM ar3) AS a FROM ar3),
+      hr3 AS MATERIALIZED (SELECT src, sum(a) AS v FROM e JOIN a3 USING (dst)
+              GROUP BY src),
+      h3 AS MATERIALIZED (SELECT src, v / (SELECT max(v) FROM hr3) AS h FROM hr3),
+      ar4 AS MATERIALIZED (SELECT dst, sum(h) AS v FROM e JOIN h3 USING (src)
+              GROUP BY dst),
+      a4 AS MATERIALIZED (SELECT dst, v / (SELECT max(v) FROM ar4) AS a FROM ar4),
+      hr4 AS MATERIALIZED (SELECT src, sum(a) AS v FROM e JOIN a4 USING (dst)
+              GROUP BY src),
+      h4 AS MATERIALIZED (SELECT src, v / (SELECT max(v) FROM hr4) AS h FROM hr4)
+      SELECT src AS node, 'hub' AS kind, h AS score FROM h4
+      UNION ALL
+      SELECT dst AS node, 'auth' AS kind, a AS score FROM a4""",
 
     // streaming HLL: per-day windowed registers + the estimator read,
     // rebuilt per window by the same integer recipe as q_hll_estimate

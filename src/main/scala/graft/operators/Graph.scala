@@ -708,4 +708,59 @@ object Graph {
       numPartitions: Option[Int] = None): DataFrame =
     pageRank(edges, srcCol, dstCol, iterations, damping, numPartitions)
       .select(col("node"), round(col("pr"), scale).as("pr"))
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) on a directed graph —
+    * PageRank's bipartite-flavored sibling: a good HUB points at good
+    * authorities (`h = Σ_{h→a} a`), a good AUTHORITY is pointed at by
+    * good hubs (`a = Σ_{h→a} h`), iterated with L∞ (max) normalization
+    * per side per round. Max-norm (not L2) keeps every intermediate a
+    * plain sum-then-one-division — and on a planted graph whose maxima
+    * are POWERS OF TWO, every score stays an exactly-representable
+    * dyadic rational, so per-node sums of equal values are
+    * order-invariant and the gate hashes raw (the planted-pagerank
+    * discipline, dyadic edition).
+    *
+    * Loop discipline = [[pageRank]]: duplicate edges dedup first
+    * (multi-edges would double-count), (id, double) shuffles only, the
+    * per-side max is a 1-row broadcast aggregate, each side
+    * localCheckpointed per iteration (two consumers — the other side's
+    * update and the final output).
+    *
+    * @return one row per participating node side: (node, kind
+    *         'hub'|'auth', score) — a node that is both hub and auth
+    *         gets two rows */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 8): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().cache()
+    var hub = e.select(col("src")).distinct()
+      .withColumn("h", lit(1.0)).localCheckpoint()
+    var auth = e.select(col("dst")).distinct()
+      .withColumn("a", lit(1.0)).localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val aRaw = e.join(hub, "src")
+        .groupBy("dst").agg(sum("h").as("__ar"))
+      auth = aRaw
+        .crossJoin(broadcast(aRaw.agg(max("__ar").as("__m"))))
+        .select(col("dst"), (col("__ar") / col("__m")).as("a"))
+        .localCheckpoint()
+      val hRaw = e.join(auth, "dst")
+        .groupBy("src").agg(sum("a").as("__hr"))
+      hub = hRaw
+        .crossJoin(broadcast(hRaw.agg(max("__hr").as("__m"))))
+        .select(col("src"), (col("__hr") / col("__m")).as("h"))
+        .localCheckpoint()
+      i += 1
+    }
+    e.unpersist()
+    hub.select(col("src").as("node"), lit("hub").as("kind"),
+        col("h").as("score"))
+      .union(auth.select(col("dst").as("node"), lit("auth").as("kind"),
+        col("a").as("score")))
+  }
 }

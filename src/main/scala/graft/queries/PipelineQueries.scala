@@ -2016,4 +2016,32 @@ object PipelineQueries {
         col("c.text").as("cand"), col("r.text").as("ref"))
     graft.operators.Eval.rougeN(pairs, "pair_id", "cand", "ref", n = 2)
   }
+
+  /** HITS hubs/authorities, planted (round 10,
+    * [[graft.operators.Graph.hits]]): doc ids form complete bipartite
+    * blocks per 20-id window — even blocks K(4,8), odd blocks K(2,8).
+    * The L∞ maxima always come from a complete even block (4 and 8 —
+    * POWERS OF TWO), so every normalized score is a dyadic rational,
+    * per-node sums of equal values are order-invariant, and the
+    * 4-iteration chain hashes RAW against a full SQL replay. Odd-block
+    * scores decay 2× per round (eigenvalue √16 vs √32) — the ranking
+    * HITS exists to produce. */
+  val hitsPlanted: Q = (s, d) => {
+    val m = Tables.documents(s, d)
+      .select(col("doc_id"), expr("doc_id div 20").as("blk"),
+        pmod(col("doc_id"), lit(20)).as("r"))
+    val hubs = m.filter(
+        (pmod(col("blk"), lit(2)) === 0 && col("r") < 4) ||
+          (pmod(col("blk"), lit(2)) === 1 && col("r") < 2))
+      .select(col("blk"), col("doc_id").as("src"))
+    val auths = m.filter(
+        (pmod(col("blk"), lit(2)) === 0 &&
+          col("r") >= 4 && col("r") < 12) ||
+          (pmod(col("blk"), lit(2)) === 1 &&
+            col("r") >= 2 && col("r") < 10))
+      .select(col("blk").as("blk2"), col("doc_id").as("dst"))
+    val edges = hubs.join(auths, col("blk") === col("blk2"))
+      .select("src", "dst")
+    graft.operators.Graph.hits(edges, "src", "dst", iterations = 4)
+  }
 }
