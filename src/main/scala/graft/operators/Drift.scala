@@ -340,6 +340,12 @@ object Drift {
       .select(
         when(col("n_a") < 2 || col("n_b") < 2, raise_error(lit(
           "Drift.welchT: each sample needs n >= 2")))
+          // the corrMatrix bound: the lo-half sum stays wrap-free
+          // only below 2^31 rows — shard and merge moments beyond
+          .when(col("n_a") > 2147483647L || col("n_b") > 2147483647L,
+            raise_error(lit(
+              "Drift.welchT: sample beyond 2^31 rows — shard the " +
+                "input and merge the (mergeable) moment sums")))
           .otherwise(col("n_a")).as("n_a"),
         col("n_b"), meanD("a").as("mean_a"), meanD("b").as("mean_b"),
         varD("a").as("var_a"), varD("b").as("var_b"))

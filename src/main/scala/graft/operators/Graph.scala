@@ -739,8 +739,9 @@ object Graph {
       .distinct().cache()
     var hub = e.select(col("src")).distinct()
       .withColumn("h", lit(1.0)).localCheckpoint()
-    var auth = e.select(col("dst")).distinct()
-      .withColumn("a", lit(1.0)).localCheckpoint()
+    // auth is (re)derived in the first iteration — materializing an
+    // initial all-ones auth would be a wasted job (iterations >= 1)
+    var auth: DataFrame = null
     var i = 0
     while (i < iterations) {
       val aRaw = e.join(hub, "src")

@@ -465,8 +465,13 @@ object TimeSeries {
       .agg(sort_array(collect_list(struct(
           col(slotCol).cast("long").as("s"),
           col(valCol).cast("double").as("v")))).as("__ss"),
-        count(lit(1)).as("__n"),
-        countDistinct(col(slotCol)).as("__nd"))
+        count(lit(1)).as("__n"))
+      // duplicate-slot check on the COLLECTED array (map-only) — a
+      // countDistinct in the same agg would plan an Expand, doubling
+      // the shuffle for a guard
+      .withColumn("__nd",
+        size(array_distinct(transform(col("__ss"), e => e.getField("s"))))
+          .cast("long"))
       .withColumn("__ss",
         when(col("__n") =!= col("__nd"), raise_error(concat(
           lit("holtForecast: key "), col(keyCol).cast("string"),
