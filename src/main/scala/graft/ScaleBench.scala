@@ -1628,6 +1628,21 @@ object ScaleBench {
       val troN = time(s"rouge2 ${factor}x")(noop(rougeOf(docsN)))
       results += (("rouge2", tro1, troN))
     }
+    // BLEU-4: the rouge shuffle with all four orders tagged — ~4× the
+    // gram rows per pair, still one shuffle
+    {
+      def bleuOf(d: DataFrame) = {
+        val pairs = d.alias("c").join(d.alias("r"),
+            col("c.doc_id") + 1 === col("r.doc_id") &&
+              col("c.doc_id") % 10 =!= 9)
+          .select(col("c.doc_id").as("pair_id"),
+            col("c.text").as("cand"), col("r.text").as("ref"))
+        graft.operators.Eval.bleu(pairs, "pair_id", "cand", "ref", 4)
+      }
+      val tbl1 = time("bleu4 1x")(noop(bleuOf(docs1)))
+      val tblN = time(s"bleu4 ${factor}x")(noop(bleuOf(docsN)))
+      results += (("bleu4", tbl1, tblN))
+    }
     // grouped quantiles: docs ×N replicated WITH a derived group key
     // (doc_id % 97) so the GROUP COUNT and the per-group distinct
     // tables both grow — the hard direction; rank probes are equi

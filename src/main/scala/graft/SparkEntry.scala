@@ -383,6 +383,7 @@ object SparkEntry {
     "q_rouge2_pairs" -> PipelineQueries.rouge2Pairs,
     "q_stream_hll" -> ((s, d) => streaming.StreamOps.streamHll(s, d)),
     "q_hits_planted" -> PipelineQueries.hitsPlanted,
+    "q_bleu_pairs" -> PipelineQueries.bleuPairs,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -2664,6 +2665,97 @@ object SparkEntry {
       SELECT lang, 0.75::DOUBLE AS q, count(n_chars)::BIGINT AS n,
              quantile_disc(n_chars, 0.75) AS value
       FROM documents GROUP BY lang""",
+
+    // BLEU: all four n-gram orders in one tagged replay; precisions
+    // exact-int divisions (raw), bleu crosses exp/ln → 6dp
+    "q_bleu_pairs" -> """
+      WITH pairs AS (
+        SELECT c.doc_id AS pair_id, c.text AS cand, r.text AS ref
+        FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+        WHERE c.doc_id % 10 <> 9),
+      tk AS (
+        SELECT pair_id,
+               list_filter(regexp_split_to_array(
+                 lower(coalesce(cand, '')), '\s+'), t -> t <> '') AS ct,
+               list_filter(regexp_split_to_array(
+                 lower(coalesce(ref, '')), '\s+'), t -> t <> '') AS rt
+        FROM pairs),
+      ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+      cg AS (
+        SELECT pair_id, n,
+               unnest(list_transform(range(1, len(ct) - n + 2),
+                 i -> array_to_string(ct[i:i+n-1], ' '))) AS g
+        FROM tk CROSS JOIN ns),
+      rg AS (
+        SELECT pair_id, n,
+               unnest(list_transform(range(1, len(rt) - n + 2),
+                 i -> array_to_string(rt[i:i+n-1], ' '))) AS g
+        FROM tk CROSS JOIN ns),
+      cc AS (SELECT pair_id, n, g, count(*)::BIGINT AS c
+             FROM cg GROUP BY 1, 2, 3),
+      rc AS (SELECT pair_id, n, g, count(*)::BIGINT AS r
+             FROM rg GROUP BY 1, 2, 3),
+      m AS (
+        SELECT COALESCE(cc.pair_id, rc.pair_id) AS pair_id,
+               COALESCE(cc.n, rc.n) AS n,
+               COALESCE(c, 0) AS c, COALESCE(r, 0) AS r
+        FROM cc FULL JOIN rc
+          ON cc.pair_id = rc.pair_id AND cc.n = rc.n AND cc.g = rc.g),
+      pern AS (
+        SELECT pair_id, n, sum(c)::BIGINT AS candn,
+               sum(least(c, r))::BIGINT AS ov
+        FROM m GROUP BY 1, 2),
+      refn AS (
+        SELECT pair_id, sum(r)::BIGINT AS ref_len
+        FROM m WHERE n = 1 GROUP BY 1),
+      piv AS (
+        SELECT p.pair_id,
+               COALESCE(max(CASE WHEN n = 1 THEN candn END), 0)::BIGINT
+                 AS cand_len,
+               COALESCE((SELECT ref_len FROM refn
+                         WHERE refn.pair_id = p.pair_id), 0)::BIGINT
+                 AS ref_len,
+               COALESCE(max(CASE WHEN n = 1 THEN ov END), 0)::BIGINT
+                 AS ov1,
+               COALESCE(max(CASE WHEN n = 2 THEN ov END), 0)::BIGINT
+                 AS ov2,
+               COALESCE(max(CASE WHEN n = 3 THEN ov END), 0)::BIGINT
+                 AS ov3,
+               COALESCE(max(CASE WHEN n = 4 THEN ov END), 0)::BIGINT
+                 AS ov4,
+               COALESCE(max(CASE WHEN n = 2 THEN candn END), 0)::BIGINT
+                 AS cn2,
+               COALESCE(max(CASE WHEN n = 3 THEN candn END), 0)::BIGINT
+                 AS cn3,
+               COALESCE(max(CASE WHEN n = 4 THEN candn END), 0)::BIGINT
+                 AS cn4
+        FROM (SELECT DISTINCT pair_id FROM pairs) p
+        LEFT JOIN pern ON pern.pair_id = p.pair_id
+        GROUP BY p.pair_id),
+      pv AS (
+        SELECT pair_id, cand_len, ref_len,
+               CASE WHEN cand_len = 0 THEN 0.0
+                    ELSE ov1::DOUBLE / cand_len END AS p_1,
+               CASE WHEN cn2 = 0 THEN 0.0
+                    ELSE ov2::DOUBLE / cn2 END AS p_2,
+               CASE WHEN cn3 = 0 THEN 0.0
+                    ELSE ov3::DOUBLE / cn3 END AS p_3,
+               CASE WHEN cn4 = 0 THEN 0.0
+                    ELSE ov4::DOUBLE / cn4 END AS p_4
+        FROM piv),
+      withbp AS (
+        SELECT *,
+               CASE WHEN cand_len = 0 THEN 0.0
+                    WHEN cand_len >= ref_len THEN 1.0
+                    ELSE exp(1.0 - ref_len::DOUBLE / cand_len) END AS bp
+        FROM pv)
+      SELECT pair_id, cand_len, ref_len, p_1, p_2, p_3, p_4,
+             round(bp, 6) AS bp,
+             CASE WHEN cand_len = 0 OR p_1 = 0.0 OR p_2 = 0.0
+                       OR p_3 = 0.0 OR p_4 = 0.0 THEN 0.0
+                  ELSE round(bp * exp((ln(p_1) + ln(p_2) + ln(p_3)
+                    + ln(p_4)) / 4.0), 6) END AS bleu
+      FROM withbp""",
 
     // HITS replayed iteration-for-iteration (4 rounds, max-norm); the
     // planted maxima are powers of two so every score is dyadic-exact

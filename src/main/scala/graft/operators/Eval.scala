@@ -197,6 +197,86 @@ object Eval {
             (col("precision") + col("recall"))))
   }
 
+  /** Sentence-level BLEU (Papineni et al. 2002, unsmoothed) between
+    * paired candidate/reference texts — [[rougeN]]'s precision-side
+    * sibling: clipped modified n-gram precisions p₁..p_maxN, brevity
+    * penalty `min(1, e^(1−ref/cand))`, geometric mean
+    * `BP·exp(Σ ln pₙ / N)`.
+    *
+    * Shape: ALL n-gram orders ride ONE (pair, n, gram) partial-agg
+    * shuffle (grams tagged by order), clipping map-only, the per-pair
+    * pivot a second partial agg — same posture as [[rougeN]], one
+    * extra key column. Same tokenize-then-repartition barrier (the
+    * HOF-lambda tax).
+    *
+    * FP: counts and precisions exact-int divisions (pₙ ship raw);
+    * `bleu` crosses exp/ln (libm) so it rounds 6dp. Unsmoothed zero
+    * rule: any pₙ = 0 (or an empty candidate) ⇒ bleu = 0 — visible
+    * via the raw pₙ columns.
+    *
+    * @return one row per pair: (idCol, cand_len, ref_len, p_1..p_maxN,
+    *         bp, bleu) */
+  def bleu(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8]: $maxN")
+    def tokArr(c: Column) =
+      filter(split(lower(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
+    val toks = df.select(col(idCol), tokArr(col(candCol)).as("__ct"),
+        tokArr(col(refCol)).as("__rt"))
+      .repartition(col(idCol))
+    def grams(a: Column, n: Int) =
+      when(size(a) >= n,
+        transform(sequence(lit(0), size(a) - n),
+          i => concat_ws(" ", slice(a, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val tagged = (1 to maxN).flatMap { n =>
+      Seq(
+        transform(grams(col("__ct"), n),
+          g => struct(lit(n).as("n"), g.as("g"),
+            lit(1L).as("c"), lit(0L).as("r"))),
+        transform(grams(col("__rt"), n),
+          g => struct(lit(n).as("n"), g.as("g"),
+            lit(0L).as("c"), lit(1L).as("r"))))
+    }
+    val perGram = toks
+      .select(col(idCol), explode_outer(concat(tagged: _*)).as("__e"))
+      .groupBy(col(idCol), col("__e.n").as("__n"), col("__e.g").as("__g"))
+      .agg(sum(coalesce(col("__e.c"), lit(0L))).as("__cc"),
+        sum(coalesce(col("__e.r"), lit(0L))).as("__cr"))
+    val perN = perGram.groupBy(col(idCol), col("__n"))
+      .agg(sum("__cc").as("__candN"), sum("__cr").as("__refN"),
+        sum(least(col("__cc"), col("__cr"))).as("__ov"))
+    def pick(k: Int, c: Column) =
+      max(when(col("__n") === k, c))
+    val aggs = coalesce(pick(1, col("__candN")), lit(0L)).as("cand_len") +:
+      coalesce(pick(1, col("__refN")), lit(0L)).as("ref_len") +:
+      (1 to maxN).map(k =>
+        when(coalesce(pick(k, col("__candN")), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(pick(k, col("__ov")), lit(0L))
+            .cast("double") / pick(k, col("__candN")))
+          .as(s"p_$k"))
+    val pivoted = perN.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val bp = when(col("cand_len") === 0, lit(0.0))
+      .when(col("cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("ref_len").cast("double") / col("cand_len")))
+    val anyZero = (1 to maxN).map(k => col(s"p_$k") === 0.0)
+      .reduce(_ || _)
+    val lnSum = (1 to maxN).map(k => log(col(s"p_$k")))
+      .reduce(_ + _)
+    // bp and bleu both cross exp/ln (libm differs by an ulp across
+    // engines — caught live on bp) → 6dp; bleu multiplies the RAW bp
+    // so the rounding doesn't compound
+    pivoted
+      .withColumn("bleu",
+        when(col("cand_len") === 0 || anyZero, lit(0.0))
+          .otherwise(round(bp * exp(lnSum / maxN.toDouble), 6)))
+      .withColumn("bp", round(bp, 6))
+      .select(col(idCol) +: col("cand_len") +: col("ref_len") +:
+        (1 to maxN).map(k => col(s"p_$k")) :+ col("bp") :+
+        col("bleu"): _*)
+  }
+
   /** Distinct-score (pos, neg) counts plus exact strictly-below
     * cumulatives for both classes — the shared two-phase running count
     * (bucket offsets + within-bucket prefix windows). */

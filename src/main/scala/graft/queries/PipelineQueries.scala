@@ -2044,4 +2044,19 @@ object PipelineQueries {
       .select("src", "dst")
     graft.operators.Graph.hits(edges, "src", "dst", iterations = 4)
   }
+
+  /** Sentence-level BLEU over the same consecutive-doc pairs as
+    * [[rouge2Pairs]] (round 10, [[graft.operators.Eval.bleu]]):
+    * clipped modified precisions p₁..p₄ (raw exact-int divisions),
+    * brevity penalty, geometric mean rounded 6dp (exp/ln cross libm). */
+  val bleuPairs: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = docs.alias("c")
+      .join(docs.alias("r"),
+        col("c.doc_id") + 1 === col("r.doc_id") &&
+          col("c.doc_id") % 10 =!= 9)
+      .select(col("c.doc_id").as("pair_id"),
+        col("c.text").as("cand"), col("r.text").as("ref"))
+    graft.operators.Eval.bleu(pairs, "pair_id", "cand", "ref", maxN = 4)
+  }
 }
