@@ -1573,9 +1573,10 @@ object ScaleBench {
           org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("revenue"))
       def giniOf(o: DataFrame) = graft.operators.Concentration.gini(
-        revOf(o), "revenue", v => v / 10000000L)
+        revOf(o), "revenue", v => floor(v / 10000000.0))
       def shareOf(o: DataFrame) = graft.operators.Concentration.topShare(
-        revOf(o), "revenue", Seq(0.01, 0.1, 0.5), v => v / 10000000L)
+        revOf(o), "revenue", Seq(0.01, 0.1, 0.5),
+        v => floor(v / 10000000.0))
       val tg1 = time("gini 1x")(noop(giniOf(ord1)))
       val tgN = time(s"gini ${factor}x")(noop(giniOf(ordC)))
       results += (("gini", tg1, tgN))
@@ -1650,7 +1651,7 @@ object ScaleBench {
     {
       def gqOf(d: DataFrame) = graft.operators.Selection.groupedQuantiles(
         d.withColumn("grp", col("doc_id") % 97), Seq("grp"), "n_chars",
-        Seq(0.25, 0.5, 0.75, 0.95), v => v / 64L)
+        Seq(0.25, 0.5, 0.75, 0.95), v => floor(v / 64.0))
       val tgq1 = time("grouped_quantiles 1x")(noop(gqOf(docs1)))
       val tgqN = time(s"grouped_quantiles ${factor}x")(noop(gqOf(docsN)))
       results += (("grouped_quantiles", tgq1, tgqN))

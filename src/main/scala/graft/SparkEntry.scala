@@ -2656,15 +2656,15 @@ object SparkEntry {
     "q_grouped_quantiles" -> """
       SELECT lang, 0.25::DOUBLE AS q, count(n_chars)::BIGINT AS n,
              quantile_disc(n_chars, 0.25) AS value
-      FROM documents GROUP BY lang
+      FROM documents GROUP BY lang HAVING count(n_chars) > 0
       UNION ALL
       SELECT lang, 0.5::DOUBLE AS q, count(n_chars)::BIGINT AS n,
              quantile_disc(n_chars, 0.5) AS value
-      FROM documents GROUP BY lang
+      FROM documents GROUP BY lang HAVING count(n_chars) > 0
       UNION ALL
       SELECT lang, 0.75::DOUBLE AS q, count(n_chars)::BIGINT AS n,
              quantile_disc(n_chars, 0.75) AS value
-      FROM documents GROUP BY lang""",
+      FROM documents GROUP BY lang HAVING count(n_chars) > 0""",
 
     // BLEU: all four n-gram orders in one tagged replay; precisions
     // exact-int divisions (raw), bleu crosses exp/ln → 6dp
@@ -2831,6 +2831,9 @@ object SparkEntry {
       SELECT wstart, m, n_nonempty, v_zero, s_scaled,
              round(CASE WHEN raw <= 2.5 * 256 AND v_zero > 0
                         THEN 256.0 * ln(256.0 / v_zero::DOUBLE)
+                        WHEN raw > 4294967296.0 / 30.0
+                        THEN -4294967296.0 *
+                          ln(1.0 - raw / 4294967296.0)
                         ELSE raw END, 6) AS est
       FROM r2""",
 
@@ -2883,6 +2886,9 @@ object SparkEntry {
       SELECT m, n_nonempty, v_zero, s_scaled,
              round(CASE WHEN raw <= 2.5 * 256 AND v_zero > 0
                         THEN 256.0 * ln(256.0 / v_zero::DOUBLE)
+                        WHEN raw > 4294967296.0 / 30.0
+                        THEN -4294967296.0 *
+                          ln(1.0 - raw / 4294967296.0)
                         ELSE raw END, 6) AS est
       FROM r2""",
 

@@ -154,28 +154,45 @@ object Eval {
     *
     * @return one row per pair id: (idCol, cand_ngrams, ref_ngrams,
     *         overlap, precision, recall, f1) */
+  private def tokArr(c: Column): Column =
+    filter(split(lower(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
+
+  /** Shared pair-eval head for [[rougeN]]/[[bleu]]: tokenize both
+    * sides, then a materialization barrier — a token array referenced
+    * inside the gram-building lambda would re-evaluate the full split
+    * per element (the HOF-lambda tax / CollapseProject no-CSE class —
+    * this exact shape measured 8.5 s → ~1 s at sf0.1); past the
+    * exchange the lambdas read a materialized attribute. A duplicate
+    * pair id raises loudly (pooled counts would silently corrupt every
+    * score — multi-reference eval needs distinct pair rows); the guard
+    * window rides the repartition exchange, costing no extra shuffle. */
+  private def pairToks(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, op: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+    df.select(col(idCol), tokArr(col(candCol)).as("__ct"),
+        tokArr(col(refCol)).as("__rt"))
+      .repartition(col(idCol))
+      .withColumn("__ct",
+        when(count(lit(1)).over(w) > 1, raise_error(concat(
+          lit(s"Eval.$op: duplicate pair id "), col(idCol).cast("string"),
+          lit(" — scores would pool across rows; make ids unique"))))
+          .otherwise(col("__ct")))
+  }
+
+  private def gramsOf(a: Column, n: Int): Column =
+    when(size(a) >= n,
+      transform(sequence(lit(0), size(a) - n),
+        i => concat_ws(" ", slice(a, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   def rougeN(df: DataFrame, idCol: String, candCol: String,
       refCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
-    def tokArr(c: Column) =
-      filter(split(lower(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
-    // materialization barrier AFTER tokenization: a token array
-    // referenced inside the gram-building lambda would re-evaluate the
-    // full split per element (the HOF-lambda tax / CollapseProject
-    // no-CSE class — this exact shape measured 8.5 s → ~1 s at sf0.1);
-    // past the exchange the lambdas read a materialized attribute
-    val toks = df.select(col(idCol), tokArr(col(candCol)).as("__ct"),
-        tokArr(col(refCol)).as("__rt"))
-      .repartition(col(idCol))
-    def grams(a: Column) =
-      when(size(a) >= n,
-        transform(sequence(lit(0), size(a) - n),
-          i => concat_ws(" ", slice(a, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+    val toks = pairToks(df, idCol, candCol, refCol, "rougeN")
     val exploded = toks.select(col(idCol), explode_outer(
-        concat(transform(grams(col("__ct")),
+        concat(transform(gramsOf(col("__ct"), n),
           g => struct(g.as("g"), lit(1L).as("c"), lit(0L).as("r"))),
-          transform(grams(col("__rt")),
+          transform(gramsOf(col("__rt"), n),
             g => struct(g.as("g"), lit(0L).as("c"), lit(1L).as("r")))))
         .as("__e"))
     val perGram = exploded
@@ -219,22 +236,13 @@ object Eval {
   def bleu(df: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8]: $maxN")
-    def tokArr(c: Column) =
-      filter(split(lower(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
-    val toks = df.select(col(idCol), tokArr(col(candCol)).as("__ct"),
-        tokArr(col(refCol)).as("__rt"))
-      .repartition(col(idCol))
-    def grams(a: Column, n: Int) =
-      when(size(a) >= n,
-        transform(sequence(lit(0), size(a) - n),
-          i => concat_ws(" ", slice(a, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+    val toks = pairToks(df, idCol, candCol, refCol, "bleu")
     val tagged = (1 to maxN).flatMap { n =>
       Seq(
-        transform(grams(col("__ct"), n),
+        transform(gramsOf(col("__ct"), n),
           g => struct(lit(n).as("n"), g.as("g"),
             lit(1L).as("c"), lit(0L).as("r"))),
-        transform(grams(col("__rt"), n),
+        transform(gramsOf(col("__rt"), n),
           g => struct(lit(n).as("n"), g.as("g"),
             lit(0L).as("c"), lit(1L).as("r"))))
     }

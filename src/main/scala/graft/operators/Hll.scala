@@ -95,11 +95,24 @@ object Hll {
           .as("s_scaled")): _*)
       .withColumn("__raw",
         lit(alpha) * lit(mm2Scaled) / col("s_scaled").cast("double"))
+      // full small/large-range correction set (Flajolet 2007 for a
+      // 32-bit hash): linear counting below 2.5m; the collision
+      // correction −2³²·ln(1 − E/2³²) above 2³²/30 (register
+      // saturation makes the raw estimate drift low well before 2³²);
+      // at E ≥ 2³² the 32-bit sketch is saturated outright — raise
+      // loudly (shard the keyspace or move to a 64-bit-hash tier)
       .select(g ++ Seq(col("m"), col("n_nonempty"), col("v_zero"),
         col("s_scaled"),
         round(when(col("__raw") <= 2.5 * M && col("v_zero") > 0,
           lit(M.toDouble) * log(lit(M.toDouble) /
             col("v_zero").cast("double")))
+          .when(col("__raw") >= 4294967296.0, raise_error(lit(
+            "Hll: raw estimate at the 32-bit hash ceiling — the " +
+              "sketch is saturated; shard the keyspace or use a " +
+              "wider-hash tier")))
+          .when(col("__raw") > lit(4294967296.0) / 30.0,
+            lit(-4294967296.0) * log(lit(1.0) -
+              col("__raw") / lit(4294967296.0)))
           .otherwise(col("__raw")), 6).as("est")): _*)
   }
 }

@@ -1943,7 +1943,7 @@ object PipelineQueries {
     * sort; gini is one IEEE division of exact decimal integers. */
   val giniRevenue: Q = (s, d) =>
     graft.operators.Concentration.gini(
-      customerRevenue(s, d), "revenue", v => v / 10000000L)
+      customerRevenue(s, d), "revenue", v => floor(v / 10000000.0))
 
   /** Lorenz top-share cuts over the same revenue distribution (round
     * 10, [[graft.operators.Concentration.topShare]]): the share of
@@ -1953,7 +1953,7 @@ object PipelineQueries {
   val revenueTopShare: Q = (s, d) =>
     graft.operators.Concentration.topShare(
       customerRevenue(s, d), "revenue", Seq(0.01, 0.1, 0.5),
-      v => v / 10000000L)
+      v => floor(v / 10000000.0))
 
   private def customerRevenue(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -1983,7 +1983,7 @@ object PipelineQueries {
   val groupedQuantilesQ: Q = (s, d) =>
     graft.operators.Selection.groupedQuantiles(
       Tables.documents(s, d), Seq("lang"), "n_chars",
-      Seq(0.25, 0.5, 0.75), v => v / 64L)
+      Seq(0.25, 0.5, 0.75), v => floor(v / 64.0))
 
   /** Holt linear-trend forecast over daily event counts per type
     * (round 10, [[graft.operators.TimeSeries.holtForecast]]): the

@@ -84,6 +84,27 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("large-range collision correction and the saturation ceiling") {
+    // synthetic register tables drive the branches the fixtures can't
+    // reach: all registers moderately high → the −2³²·ln(1 − E/2³²)
+    // branch; all registers at the max → the loud saturation raise
+    def regsAt(r: Int) = (0L until 256L).map(b => (b, r)).toDF("bucket", "r")
+    val alpha = 0.7213 / (1.0 + 1.079 / 256)
+    val mm2 = 256.0 * 256 * (1L << 25).toDouble
+    // r = 21 everywhere: s_scaled = 256·2^4 → raw = α·m²·2^25/4096
+    val row = Hll.estimateFromRegisters(regsAt(21), Nil).collect().head
+    val raw = alpha * mm2 / row.getLong(3)
+    assert(raw > 4294967296.0 / 30.0 && raw < 4294967296.0)
+    val expected = java.math.BigDecimal.valueOf(
+        -4294967296.0 * math.log(1.0 - raw / 4294967296.0))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(row.getDouble(4) == expected)
+    val e = intercept[Exception] {
+      Hll.estimateFromRegisters(regsAt(25), Nil).collect()
+    }
+    assert(e.getMessage.contains("saturated"))
+  }
+
   test("duplicates do not move the sketch") {
     val once = (1L to 300L).map(Tuple1(_)).toDF("k")
     val tripled = once.union(once).union(once)

@@ -56,6 +56,20 @@ class RougeSpec extends SparkSpec {
     assert(got(3L).getDouble(6) == 1.0)
   }
 
+  test("duplicate pair ids raise loudly (scores would pool)") {
+    val rows = Seq((1L, "a b", "a b"), (1L, "a b", "c d"))
+    val e = intercept[Exception] {
+      Eval.rougeN(rows.toDF("id", "cand", "ref"),
+        "id", "cand", "ref", 2).collect()
+    }
+    assert(e.getMessage.contains("duplicate pair id"))
+    val e2 = intercept[Exception] {
+      Eval.bleu(rows.toDF("id", "cand", "ref"),
+        "id", "cand", "ref", 2).collect()
+    }
+    assert(e2.getMessage.contains("duplicate pair id"))
+  }
+
   test("unigram grain (ROUGE-1) counts tokens, order-free") {
     val rows = Seq((1L, "b a", "a b c"))
     val got = Eval.rougeN(rows.toDF("id", "cand", "ref"),
