@@ -1541,6 +1541,17 @@ object ScaleBench {
       val thiN = time(s"hits ${factor}x")(noop(hitsOf(liT)))
       results += (("hits", thi1, thiN))
     }
+    // assortativity: one degree agg + two joins + a 1-row moment agg
+    // over the same 32 disjoint graph copies
+    {
+      def asrtOf(li: DataFrame) = {
+        val e = triEdges(li.filter(col("l_partkey") % 4 === 0))
+        graft.operators.Graph.assortativity(e, "src", "dst")
+      }
+      val tas1 = time("assortativity 1x")(noop(asrtOf(li1)))
+      val tasN = time(s"assortativity ${factor}x")(noop(asrtOf(liT)))
+      results += (("assortativity", tas1, tasN))
+    }
     // Welch t-test: two map-only partial-agg scans, no join/window —
     // the flattest possible shape; anything past linear is a bug
     {

@@ -384,6 +384,9 @@ object SparkEntry {
     "q_stream_hll" -> ((s, d) => streaming.StreamOps.streamHll(s, d)),
     "q_hits_planted" -> PipelineQueries.hitsPlanted,
     "q_bleu_pairs" -> PipelineQueries.bleuPairs,
+    "q_cohen_kappa" -> PipelineQueries.cohenKappaQ,
+    "q_assortativity" -> PipelineQueries.assortativityQ,
+    "q_trimmed_mean" -> PipelineQueries.trimmedMeanQ,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -2665,6 +2668,108 @@ object SparkEntry {
       SELECT lang, 0.75::DOUBLE AS q, count(n_chars)::BIGINT AS n,
              quantile_disc(n_chars, 0.75) AS value
       FROM documents GROUP BY lang HAVING count(n_chars) > 0""",
+
+    // Cohen's kappa over the lang-id pair table: exact counts and
+    // HUGEINT row·col cross term, kappa the identical IEEE chain raw
+    "q_cohen_kappa" -> """
+      WITH s AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, t -> t='the'))::INT
+                 + len(list_filter(toks, t -> t='and'))::INT
+                 + len(list_filter(toks, t -> t='of'))::INT AS en_score,
+               len(list_filter(toks, t -> t='der'))::INT
+                 + len(list_filter(toks, t -> t='und'))::INT
+                 + len(list_filter(toks, t -> t='die'))::INT AS de_score,
+               len(list_filter(toks, t -> t='le'))::INT
+                 + len(list_filter(toks, t -> t='la'))::INT
+                 + len(list_filter(toks, t -> t='et'))::INT AS fr_score
+        FROM (SELECT doc_id, lang,
+                     string_split(lower(coalesce(text, '')), ' ') AS toks
+              FROM documents) t),
+      p AS (
+        SELECT lang AS a,
+               CASE WHEN en_score + de_score + fr_score = 0 THEN 'unknown'
+                    WHEN en_score >= de_score AND en_score >= fr_score
+                      THEN 'en'
+                    WHEN de_score >= fr_score THEN 'de'
+                    ELSE 'fr' END AS b
+        FROM s),
+      pairs AS (SELECT a, b, count(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+      at AS (SELECT a AS cls, sum(n)::BIGINT AS na FROM pairs GROUP BY 1),
+      bt AS (SELECT b AS cls, sum(n)::BIGINT AS nb FROM pairs GROUP BY 1),
+      cr AS (
+        SELECT coalesce(sum(coalesce(na, 0)::HUGEINT
+                 * coalesce(nb, 0)), 0) AS sumrc
+        FROM at FULL JOIN bt ON at.cls = bt.cls),
+      base AS (
+        SELECT sum(n)::BIGINT AS n,
+               coalesce(sum(CASE WHEN a = b THEN n ELSE 0 END), 0)::BIGINT
+                 AS agree
+        FROM pairs),
+      v AS (
+        SELECT n, agree,
+               agree::DOUBLE / n AS po,
+               CAST(sumrc AS DOUBLE)
+                 / CAST(n::HUGEINT * n AS DOUBLE) AS pe
+        FROM base CROSS JOIN cr)
+      SELECT n, agree, po, pe, (po - pe) / (1.0 - pe) AS kappa
+      FROM v""",
+
+    // degree assortativity: symmetrized endpoint-degree Pearson over
+    // exact HUGEINT moments, r the identical IEEE chain raw
+    "q_assortativity" -> """
+      WITH e AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y USING (l_orderkey)
+        WHERE x.l_partkey < y.l_partkey
+          AND x.l_partkey % 4 = 0 AND y.l_partkey % 4 = 0),
+      sym AS (SELECT a AS u, b AS w FROM e
+              UNION ALL SELECT b, a FROM e),
+      deg AS (SELECT u AS node, count(*)::BIGINT AS d
+              FROM sym GROUP BY 1),
+      xy AS (
+        SELECT dx.d AS x, dy.d AS y
+        FROM sym JOIN deg dx ON sym.u = dx.node
+                 JOIN deg dy ON sym.w = dy.node),
+      m AS (
+        SELECT count(*)::BIGINT AS cnt,
+               sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+               sum(x::HUGEINT * y) AS sxy,
+               sum(x::HUGEINT * x) AS sxx,
+               sum(y::HUGEINT * y) AS syy
+        FROM xy)
+      SELECT (cnt // 2)::BIGINT AS n_edges,
+             CAST(cnt::HUGEINT * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(cnt::HUGEINT * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(cnt::HUGEINT * syy - sy * sy AS DOUBLE)))
+               AS r
+      FROM m""",
+
+    // exact 10% trimmed mean: rank-range kept sum replayed per row
+    // (tie-invariant — tied rows carry equal cents), mean one raw
+    // IEEE division
+    "q_trimmed_mean" -> """
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS r
+        FROM orders GROUP BY 1),
+      cents AS (SELECT CAST(floor(r * 100 + 0.5) AS BIGINT) AS v
+                FROM rev),
+      rk AS (SELECT v, row_number() OVER (ORDER BY v) AS i,
+                    count(*) OVER () AS n
+             FROM cents),
+      cut AS (SELECT n, CAST(floor(0.1 * n) AS BIGINT) AS k
+              FROM rk LIMIT 1),
+      kept AS (
+        SELECT max(rk.n)::BIGINT AS n,
+               count(*)::BIGINT AS n_kept,
+               sum(v::HUGEINT) AS s
+        FROM rk CROSS JOIN cut
+        WHERE i > cut.k AND i <= rk.n - cut.k)
+      SELECT n, n_kept,
+             CAST(s AS DOUBLE) / (100.0 * n_kept) AS trimmed_mean
+      FROM kept""",
 
     // BLEU: all four n-gram orders in one tagged replay; precisions
     // exact-int divisions (raw), bleu crosses exp/ln → 6dp

@@ -132,8 +132,9 @@ object Concentration {
 
   /** Distinct-cents count table with exact strictly-below cumulative
     * row counts (ascending value order) — the shared two-phase scheme.
-    * Columns: (__v cents, __m count, __cumBefore). */
-  private def rankBlocks(df: DataFrame, valueCol: String,
+    * Columns: (__v cents, __m count, __cumBefore). Shared with
+    * [[Outliers.trimmedMean]]. */
+  private[operators] def rankBlocks(df: DataFrame, valueCol: String,
       bucket: Column => Column): DataFrame = {
     val cents0 = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
     val cents = when(cents0.isNull && col(valueCol).isNotNull,

@@ -154,6 +154,52 @@ object Eval {
     *
     * @return one row per pair id: (idCol, cand_ngrams, ref_ngrams,
     *         overlap, precision, recall, f1) */
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical labelings (annotator agreement, model-vs-model
+    * consistency): `κ = (p_o − p_e) / (1 − p_e)` with `p_o` the
+    * observed agreement and `p_e = Σ_c rowTot_c·colTot_c / n²` the
+    * chance agreement. Same single-shuffle pair-table shape as
+    * [[confusionStats]] (|classes|² rows, corpus scanned once); all
+    * counts and the Σ row·col term are exact integers (DECIMAL(38,0)
+    * products), κ a fixed IEEE chain over them, shipped raw. Total
+    * chance agreement (`p_e = 1` — both sides constant on one class)
+    * makes κ 0/0 and raises loudly.
+    *
+    * @return one row: (n, agree, po, pe, kappa) */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pairs = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val aTot = pairs.groupBy(col("__a").as("__cls"))
+      .agg(sum("__n").as("__na"))
+    val bTot = pairs.groupBy(col("__b").as("__cls2"))
+      .agg(sum("__n").as("__nb"))
+    val cross = aTot.join(bTot, col("__cls") <=> col("__cls2"), "full")
+      .agg(coalesce(sum(coalesce(col("__na"), lit(0L)).cast(dec) *
+        coalesce(col("__nb"), lit(0L)).cast(dec)), lit(0L).cast(dec))
+        .as("__sumRC"))
+    val base = pairs.agg(
+      coalesce(sum("__n"), lit(0L)).as("n"),
+      coalesce(sum(when(col("__a") <=> col("__b"), col("__n"))
+        .otherwise(0L)), lit(0L)).as("agree"))
+    base.crossJoin(cross)
+      .select(
+        when(col("n") === 0, raise_error(lit(
+          "Eval.cohenKappa: no jointly labeled rows")))
+          .otherwise(col("n")).as("n"),
+        col("agree"), col("__sumRC"))
+      .withColumn("po", col("agree").cast("double") / col("n"))
+      .withColumn("pe", col("__sumRC").cast("double") /
+        (col("n").cast(dec) * col("n").cast(dec)).cast("double"))
+      .select(col("n"), col("agree"), col("po"), col("pe"),
+        when(col("pe") === 1.0, raise_error(lit(
+          "Eval.cohenKappa: total chance agreement (pe = 1) — kappa " +
+            "is undefined; both labelings are a single identical class")))
+          .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .as("kappa"))
+  }
+
   private def tokArr(c: Column): Column =
     filter(split(lower(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
 

@@ -764,4 +764,64 @@ object Graph {
       .union(auth.select(col("dst").as("node"), lit("auth").as("kind"),
         col("a").as("score")))
   }
+
+  /** Degree assortativity (Newman 2002) of the undirected graph — the
+    * Pearson correlation of endpoint degrees over edges: positive on
+    * hub-to-hub networks (social graphs), negative on hub-and-spoke
+    * (the web, co-purchase stars). Each undirected edge contributes
+    * BOTH orientations (the standard symmetrization), so r is plain
+    * Pearson over the (deg(u), deg(v)) list.
+    *
+    * Exactness: degrees are exact longs bounded by the node's edge
+    * count; all five moments are exact DECIMAL(38,0) sums (no cents
+    * scaling needed — the inputs are already integers), r one fixed
+    * IEEE chain over them, shipped raw. Zero degree variance (a
+    * regular graph — every node the same degree) makes r 0/0 and
+    * raises loudly.
+    *
+    * Shape: dedup + symmetrize (map-only), ONE degree aggregate, two
+    * (id → degree) joins, one 1-row moment aggregate — no windows.
+    *
+    * @return one row: (n_edges, r) with n_edges the undirected count */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // no cache: the operator is LAZY (a gate constructs it without
+    // running), and an unpersisted cache on a lazy plan leaks block
+    // store — the dedup recomputes, which AQE exchange reuse absorbs
+    val und = canonicalEdges(edges, srcCol, dstCol)
+    val sym = und.select(col("a").as("__u"), col("b").as("__w"))
+      .union(und.select(col("b").as("__u"), col("a").as("__w")))
+    val deg = sym.groupBy(col("__u").as("__n"))
+      .agg(count(lit(1)).as("__d"))
+    val xy = sym
+      .join(deg.select(col("__n").as("__u"), col("__d").as("__dx")),
+        "__u")
+      .join(deg.select(col("__n").as("__w"), col("__d").as("__dy")),
+        "__w")
+    val m = xy.agg(count(lit(1)).as("__cnt"),
+      coalesce(sum(col("__dx").cast(dec)), lit(0L).cast(dec)).as("__sx"),
+      coalesce(sum(col("__dy").cast(dec)), lit(0L).cast(dec)).as("__sy"),
+      coalesce(sum(col("__dx").cast(dec) * col("__dy").cast(dec)),
+        lit(0L).cast(dec)).as("__sxy"),
+      coalesce(sum(col("__dx").cast(dec) * col("__dx").cast(dec)),
+        lit(0L).cast(dec)).as("__sxx"),
+      coalesce(sum(col("__dy").cast(dec) * col("__dy").cast(dec)),
+        lit(0L).cast(dec)).as("__syy"))
+    val n = col("__cnt").cast(dec)
+    val varX = (n * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val varY = (n * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    val cov = (n * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    m.select(
+      when(col("__cnt") === 0, raise_error(lit(
+        "Graph.assortativity: no edges")))
+        .otherwise(expr("__cnt div 2")).as("n_edges"),
+      when(varX === 0.0 || varY === 0.0, raise_error(lit(
+        "Graph.assortativity: zero degree variance (regular graph) — " +
+          "r is undefined")))
+        .otherwise(cov / (sqrt(varX) * sqrt(varY))).as("r"))
+  }
 }

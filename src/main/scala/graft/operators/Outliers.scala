@@ -123,4 +123,54 @@ object Outliers {
             greatest(col(valueCol), coalesce(col("__lo"), col(valueCol))),
             coalesce(col("__hi"), col(valueCol)))))
   }
+
+  /** Exact symmetric trimmed mean — [[winsorize]]'s DROP counterpart
+    * (clip keeps outlier rows at the boundary value; trim removes
+    * them): drop `⌊trim·n⌋` rows from EACH tail by rank and average
+    * the rest. No global sort — rides
+    * [[Concentration.rankBlocks]] (distinct-cents collapse + two-phase
+    * cumulative), with the boundary blocks split EXACTLY by rank
+    * arithmetic: a block of `m` copies after `cumBefore` rows keeps
+    * `min(cumBefore+m, n−k) − max(cumBefore, k)` of them (clamped at
+    * 0). `⌊trim·n⌋` is decimal-exact (the discRank contract); the kept
+    * sum is DECIMAL(38,0) cents; the mean is ONE IEEE division,
+    * shipped raw.
+    *
+    * @param trim fraction to drop per side, in [0, 0.5); raises when
+    *             nothing survives (n − 2k ≤ 0)
+    * @return one row: (n, n_kept, trimmed_mean) — mean in dollars */
+  def trimmedMean(df: DataFrame, valueCol: String, trim: Double,
+      bucket: Column => Column): DataFrame = {
+    require(trim >= 0 && trim < 0.5, s"trim must be in [0, 0.5): $trim")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cum = Concentration.rankBlocks(df, valueCol, bucket)
+    val tot = cum.agg(coalesce(sum("__m"), lit(0L)).as("__nr"))
+    val k = floor(lit(new java.math.BigDecimal(trim.toString)) *
+      col("__nr")).cast("long")
+    val guarded = tot.select(
+      when(col("__nr") === 0, raise_error(lit(
+        "Outliers.trimmedMean: no non-null values")))
+        .otherwise(col("__nr")).as("n"),
+      k.as("__k"))
+    // kept-count/kept-sum as a global aggregate (1 row even on empty
+    // input), anchored on the guarded totals — the Drift.ks shape
+    val kept = cum.crossJoin(broadcast(guarded))
+      .withColumn("__keepM",
+        greatest(lit(0L),
+          least(col("__cumBefore") + col("__m"), col("n") - col("__k")) -
+            greatest(col("__cumBefore"), col("__k"))))
+      .groupBy()
+      .agg(coalesce(sum("__keepM"), lit(0L)).as("__keptN"),
+        coalesce(sum(col("__v").cast(dec) * col("__keepM").cast(dec)),
+          lit(0L).cast(dec)).as("__keptSum"))
+    guarded.crossJoin(kept)
+      .select(col("n"),
+        when(col("__keptN") === 0, raise_error(lit(
+          "Outliers.trimmedMean: trim leaves no rows (n - 2k <= 0)")))
+          .otherwise(col("__keptN")).as("n_kept"),
+        when(col("__keptN") === 0, raise_error(lit(
+          "Outliers.trimmedMean: trim leaves no rows (n - 2k <= 0)")))
+          .otherwise(col("__keptSum").cast("double") /
+            (lit(100.0) * col("__keptN"))).as("trimmed_mean"))
+  }
 }

@@ -2059,4 +2059,35 @@ object PipelineQueries {
         col("c.text").as("cand"), col("r.text").as("ref"))
     graft.operators.Eval.bleu(pairs, "pair_id", "cand", "ref", maxN = 4)
   }
+
+  /** Cohen's kappa between the lang-id prediction and the true lang
+    * (round 10, [[graft.operators.Eval.cohenKappa]]): chance-corrected
+    * agreement off the same pair table as q_confusion_f1; counts and
+    * the Σ row·col term exact, kappa one IEEE chain, raw. */
+  val cohenKappaQ: Q = (s, d) =>
+    graft.operators.Eval.cohenKappa(
+      TextQueries.langIdOf(Tables.documents(s, d)), "lang", "predicted")
+
+  /** Degree assortativity of the co-purchase graph (round 10,
+    * [[graft.operators.Graph.assortativity]]): same %4 part slice as
+    * q_clustering_coeff; moments exact DECIMAL, r raw. */
+  val assortativityQ: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select("l_orderkey", "l_partkey")
+    val edges = li.alias("x")
+      .join(li.alias("y"), Seq("l_orderkey"))
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    graft.operators.Graph.assortativity(edges, "src", "dst")
+  }
+
+  /** 10% symmetric trimmed mean of customer revenue (round 10,
+    * [[graft.operators.Outliers.trimmedMean]]): winsorize's DROP
+    * counterpart — boundary rank blocks split exactly, kept sum in
+    * DECIMAL cents, mean one raw IEEE division. */
+  val trimmedMeanQ: Q = (s, d) =>
+    graft.operators.Outliers.trimmedMean(
+      customerRevenue(s, d), "revenue", trim = 0.1,
+      v => floor(v / 10000000.0))
 }
