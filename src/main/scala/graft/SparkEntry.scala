@@ -387,6 +387,7 @@ object SparkEntry {
     "q_cohen_kappa" -> PipelineQueries.cohenKappaQ,
     "q_assortativity" -> PipelineQueries.assortativityQ,
     "q_trimmed_mean" -> PipelineQueries.trimmedMeanQ,
+    "q_hll_agg_groups" -> PipelineQueries.hllByGroup,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -2668,6 +2669,46 @@ object SparkEntry {
       SELECT lang, 0.75::DOUBLE AS q, count(n_chars)::BIGINT AS n,
              quantile_disc(n_chars, 0.75) AS value
       FROM documents GROUP BY lang HAVING count(n_chars) > 0""",
+
+    // the hll_distinct AGGREGATE per group — the oracle rebuilds the
+    // identical sketch + estimator per event_type (the q_stream_hll
+    // recipe, grouped)
+    "q_hll_agg_groups" -> """
+      WITH h AS (
+        SELECT event_type,
+               ('0x' || substr(md5('hll_' || user_id), 1, 8))::BIGINT
+                 AS h
+        FROM events WHERE user_id IS NOT NULL),
+      b AS (SELECT event_type, h >> 24 AS bucket, h & 16777215 AS suffix
+            FROM h),
+      reg AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN suffix = 0 THEN 25
+                        ELSE 25 - length(printf('%b', suffix)) END) AS r
+        FROM b GROUP BY 1, 2),
+      agg AS (
+        SELECT event_type, count(*)::BIGINT AS n_nonempty,
+               coalesce(sum(1::BIGINT << (25 - r)), 0)::BIGINT AS s_occ
+        FROM reg GROUP BY 1),
+      s AS (
+        SELECT event_type, n_nonempty,
+               (256 - n_nonempty)::BIGINT AS v_zero,
+               (s_occ + (256 - n_nonempty) * 33554432)::BIGINT
+                 AS s_scaled
+        FROM agg),
+      r2 AS (
+        SELECT *,
+               (0.7213 / (1.0 + 1.079 / 256)) *
+                 (256.0 * 256 * 33554432.0) / s_scaled::DOUBLE AS raw
+        FROM s)
+      SELECT event_type,
+             round(CASE WHEN raw <= 2.5 * 256 AND v_zero > 0
+                        THEN 256.0 * ln(256.0 / v_zero::DOUBLE)
+                        WHEN raw > 4294967296.0 / 30.0
+                        THEN -4294967296.0 *
+                          ln(1.0 - raw / 4294967296.0)
+                        ELSE raw END, 6) AS est_users
+      FROM r2""",
 
     // Cohen's kappa over the lang-id pair table: exact counts and
     // HUGEINT row·col cross term, kappa the identical IEEE chain raw

@@ -47,6 +47,7 @@ object GraftFunctions {
       intArg(es(1), "kmv_distinct")).toAggregateExpression()),
     "kmv_sketch" -> (es => KmvSketchAgg(es(0),
       intArg(es(1), "kmv_sketch")).toAggregateExpression()),
+    "hll_distinct" -> (es => HllDistinct(es(0)).toAggregateExpression()),
     "vec_mean" -> (es => VecMean(es(0)).toAggregateExpression()),
     "cms_sketch" -> (es => CmsSketch(es(0), intArg(es(1), "cms_sketch"),
       intArg(es(2), "cms_sketch")).toAggregateExpression()),
@@ -159,6 +160,9 @@ object GraftFunctions {
     * see [[graft.operators.KmvAlgebra]]. */
   def kmvSketch(c: Column, k: Int = 256): Column =
     call_function("kmv_sketch", c, org.apache.spark.sql.functions.lit(k))
+  /** Own-HLL estimate as ONE aggregate (m = 256; the oracle-exact
+    * md5 recipe of [[graft.operators.Hll]]) — key must be STRING. */
+  def hllDistinct(c: Column): Column = call_function("hll_distinct", c)
   /** Misra–Gries heavy-hitter candidates: ≤ k (key, count) pairs, count
     * desc; exact when the group has ≤ k distinct keys. */
   /** Dense per-group distinct-key bitmap over a bounded domain — see

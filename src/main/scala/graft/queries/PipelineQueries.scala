@@ -2090,4 +2090,17 @@ object PipelineQueries {
     graft.operators.Outliers.trimmedMean(
       customerRevenue(s, d), "revenue", trim = 0.1,
       v => floor(v / 10000000.0))
+
+  /** Per-event-type distinct users via the `hll_distinct`
+    * TypedImperativeAggregate (round 10,
+    * [[graft.functions.HllDistinct]]): the own-HLL sketch as ONE
+    * groupable aggregate — same integer recipe as q_hll_estimate, so
+    * the DuckDB oracle predicts the AGGREGATE's output per group. */
+  val hllByGroup: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(graft.functions.GraftFunctions
+        .hllDistinct(col("user_id").cast("string")).as("est_users"))
+  }
 }
