@@ -1563,6 +1563,16 @@ object ScaleBench {
       val twtN = time(s"welch_ttest ${factor}x")(noop(wtOf(liN)))
       results += (("welch_ttest", twt1, twtN))
     }
+    // Welch sweep: conditional moments per segment in ONE scan —
+    // liN ×32 with the same year segments; must track the scan
+    {
+      def wsOf(li: DataFrame) = graft.operators.Drift.welchTByGroup(
+        li.withColumn("ship_year", year(col("l_shipdate"))),
+        Seq("ship_year"), "l_returnflag", "R", "N", "l_extendedprice")
+      val tws1 = time("welch_sweep 1x")(noop(wsOf(li1)))
+      val twsN = time(s"welch_sweep ${factor}x")(noop(wsOf(liN)))
+      results += (("welch_sweep", tws1, twsN))
+    }
     // Confusion/F1: the lang-id scan is the linear part; the pair
     // table is |classes|² rows regardless of corpus size
     {

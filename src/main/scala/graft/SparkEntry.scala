@@ -388,6 +388,7 @@ object SparkEntry {
     "q_assortativity" -> PipelineQueries.assortativityQ,
     "q_trimmed_mean" -> PipelineQueries.trimmedMeanQ,
     "q_hll_agg_groups" -> PipelineQueries.hllByGroup,
+    "q_welch_sweep" -> PipelineQueries.welchSweep,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -3038,6 +3039,45 @@ object SparkEntry {
                         ELSE raw END, 6) AS est
       FROM r2""",
 
+    // the per-segment Welch sweep: conditional moments per group in
+    // HUGEINT, identical chains; degenerate cells dropped on BOTH sides
+    "q_welch_sweep" -> """
+      WITH c AS (
+        SELECT year(l_shipdate)::INT AS g, l_returnflag AS arm,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+      m AS (
+        SELECT g,
+               sum(CASE WHEN arm = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               sum(CASE WHEN arm = 'R' THEN c ELSE 0 END)::BIGINT AS s_a,
+               sum(CASE WHEN arm = 'R' THEN c::HUGEINT * c
+                        ELSE 0 END) AS q_a,
+               sum(CASE WHEN arm = 'N' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+               sum(CASE WHEN arm = 'N' THEN c ELSE 0 END)::BIGINT AS s_b,
+               sum(CASE WHEN arm = 'N' THEN c::HUGEINT * c
+                        ELSE 0 END) AS q_b
+        FROM c GROUP BY g
+        HAVING n_a >= 2 AND n_b >= 2),
+      v AS (
+        SELECT g AS ship_year, n_a, n_b,
+               s_a::DOUBLE / (100.0 * n_a) AS mean_a,
+               s_b::DOUBLE / (100.0 * n_b) AS mean_b,
+               CAST(CAST(n_a::HUGEINT * q_a
+                 - s_a::HUGEINT * s_a AS VARCHAR) AS DOUBLE)
+                 / (n_a::DOUBLE * (n_a - 1) * 10000.0) AS var_a,
+               CAST(CAST(n_b::HUGEINT * q_b
+                 - s_b::HUGEINT * s_b AS VARCHAR) AS DOUBLE)
+                 / (n_b::DOUBLE * (n_b - 1) * 10000.0) AS var_b
+        FROM m)
+      SELECT ship_year, n_a, n_b, mean_a, mean_b, var_a, var_b,
+             round((mean_a - mean_b)
+               / sqrt(var_a / n_a + var_b / n_b), 9) AS t,
+             round((var_a / n_a + var_b / n_b)
+                 * (var_a / n_a + var_b / n_b)
+               / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                 + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 9) AS df
+      FROM v WHERE var_a + var_b > 0.0""",
+
     // Welch moments replayed in HUGEINT (= the operator's hi/lo-split
     // exact integers); t/df are the identical IEEE chains rounded 9dp
     "q_welch_ttest" -> """
@@ -3052,9 +3092,11 @@ object SparkEntry {
       v AS (SELECT n_a, n_b,
               s_a::DOUBLE / (100.0 * n_a) AS mean_a,
               s_b::DOUBLE / (100.0 * n_b) AS mean_b,
-              CAST(n_a::HUGEINT * q_a - s_a::HUGEINT * s_a AS DOUBLE)
+              CAST(CAST(n_a::HUGEINT * q_a
+                 - s_a::HUGEINT * s_a AS VARCHAR) AS DOUBLE)
                 / (n_a::DOUBLE * (n_a - 1) * 10000.0) AS var_a,
-              CAST(n_b::HUGEINT * q_b - s_b::HUGEINT * s_b AS DOUBLE)
+              CAST(CAST(n_b::HUGEINT * q_b
+                 - s_b::HUGEINT * s_b AS VARCHAR) AS DOUBLE)
                 / (n_b::DOUBLE * (n_b - 1) * 10000.0) AS var_b
             FROM ma CROSS JOIN mb)
       SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,

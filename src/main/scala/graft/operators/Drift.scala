@@ -304,6 +304,79 @@ object Drift {
     *
     * @return one row: (n_a, n_b, mean_a, mean_b, var_a, var_b, t, df)
     */
+  /** [[welchT]] for EVERY segment at once — the experiment-platform
+    * sweep ("t per metric × segment cell"): one partial-agg pass over
+    * the whole table computes both arms' moments per group via
+    * conditional aggregation (no join, no pivot, no second scan), then
+    * the same fixed IEEE chains per group row.
+    *
+    * Degenerate cells are DROPPED, not raised (one undersized segment
+    * must not kill a thousand-cell sweep): a group needs n ≥ 2 in BOTH
+    * arms and non-zero pooled variance; the `n_a`/`n_b` columns of
+    * surviving rows make the filter auditable, and rows belonging to
+    * neither arm value are ignored.
+    *
+    * @param armCol column holding the arm labels; `armA`/`armB` select
+    *               the two treatment values
+    * @return one row per surviving group: (groupCols…, n_a, n_b,
+    *         mean_a, mean_b, var_a, var_b, t, df) */
+  def welchTByGroup(df: DataFrame, groupCols: Seq[String],
+      armCol: String, armA: String, armB: String, valueCol: String)
+      : DataFrame = {
+    require(groupCols.nonEmpty, "welchTByGroup: use welchT for a " +
+      "single comparison")
+    require(armA != armB, "welchTByGroup: arms must differ")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents0 = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+    val cents = when(cents0.isNull && col(valueCol).isNotNull,
+        raise_error(lit(
+          s"Drift.welchTByGroup: $valueCol overflows long cents")))
+      .when(abs(cents0) > 3037000499L, raise_error(lit(
+        "Drift.welchTByGroup: |cents| beyond the exact-square bound " +
+          "(shard and merge moments)")))
+      .otherwise(cents0)
+    val sq = cents * cents
+    def arm(v: String, c: org.apache.spark.sql.Column) =
+      sum(when(col(armCol) === v, c).otherwise(lit(0L)))
+    def moments(tag: String, v: String) = Seq(
+      sum(when(col(armCol) === v, 1L).otherwise(0L)).as(s"n_$tag"),
+      arm(v, cents).as(s"__s_$tag"),
+      arm(v, shiftright(sq, 32)).as(s"__hi_$tag"),
+      arm(v, sq.bitwiseAND(lit(0xffffffffL))).as(s"__lo_$tag"))
+    val aggs = moments("a", armA) ++ moments("b", armB)
+    val m = df
+      .filter(col(valueCol).isNotNull &&
+        (col(armCol) === armA || col(armCol) === armB))
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+    val B = lit(4294967296L)
+    def meanD(tag: String) =
+      col(s"__s_$tag").cast("double") / (lit(100.0) * col(s"n_$tag"))
+    def varD(tag: String) = {
+      val sumSq = col(s"__hi_$tag").cast(dec) * B.cast(dec) +
+        col(s"__lo_$tag").cast(dec)
+      val num = col(s"n_$tag").cast(dec) * sumSq -
+        col(s"__s_$tag").cast(dec) * col(s"__s_$tag").cast(dec)
+      num.cast("double") /
+        (col(s"n_$tag").cast("double") * (col(s"n_$tag") - 1) *
+          lit(10000.0))
+    }
+    val withV = m.withColumn("mean_a", meanD("a"))
+      .withColumn("mean_b", meanD("b"))
+      .withColumn("var_a", varD("a"))
+      .withColumn("var_b", varD("b"))
+      .filter(col("var_a") + col("var_b") > 0.0)
+    val sa = col("var_a") / col("n_a")
+    val sb = col("var_b") / col("n_b")
+    withV.select(groupCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+      col("mean_a"), col("mean_b"), col("var_a"), col("var_b"),
+      round((col("mean_a") - col("mean_b")) / sqrt(sa + sb), 9).as("t"),
+      round((sa + sb) * (sa + sb) /
+        (sa * sa / (col("n_a") - 1) + sb * sb / (col("n_b") - 1)), 9)
+        .as("df")): _*)
+  }
+
   def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def moments(df: DataFrame, tag: String) = {
       val cents0 = floor(col(valueCol) * 100 + lit(0.5)).cast("long")

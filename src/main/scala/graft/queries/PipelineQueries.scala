@@ -2103,4 +2103,15 @@ object PipelineQueries {
       .agg(graft.functions.GraftFunctions
         .hllDistinct(col("user_id").cast("string")).as("est_users"))
   }
+
+  /** Welch t-test per ship YEAR in ONE pass (round 10,
+    * [[graft.operators.Drift.welchTByGroup]]): returned vs non-returned
+    * line prices across every shipment-year segment — the
+    * experiment-sweep shape (conditional moment aggregation, no join,
+    * no second scan). */
+  val welchSweep: Q = (s, d) =>
+    graft.operators.Drift.welchTByGroup(
+      Tables.lineitem(s, d)
+        .withColumn("ship_year", year(col("l_shipdate"))),
+      Seq("ship_year"), "l_returnflag", "R", "N", "l_extendedprice")
 }

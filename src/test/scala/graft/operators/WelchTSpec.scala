@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** [[Drift.welchT]] against a driver-side reference on random money
@@ -73,6 +75,35 @@ class WelchTSpec extends SparkSpec {
     val t = Drift.welchT(flatA, Seq(6.0, 8.0).map(Tuple1(_)).toDF("v"),
       "v").collect().head.getDouble(6)
     assert(t.abs > 0.0 && !t.isNaN)
+  }
+
+  test("welchTByGroup equals per-group welchT bit-for-bit; bad cells drop") {
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 1200).map { i =>
+      val g = s"g${i % 4}"
+      val arm = if (rng.nextBoolean()) "x" else "y"
+      (g, arm, math.floor(rng.nextDouble() * 5000) / 100.0 + 1)
+    } ++ Seq(
+      ("tiny", "x", 1.0), ("tiny", "y", 2.0), ("tiny", "y", 3.0),
+      // n_x = 1 < 2 → dropped
+      ("flat", "x", 5.0), ("flat", "x", 5.0),
+      ("flat", "y", 5.0), ("flat", "y", 5.0), // zero variance → dropped
+      ("g0", "z", 999999.0)) // foreign arm value ignored
+    val df = rows.toDF("g", "arm", "v")
+    val got = Drift.welchTByGroup(df, Seq("g"), "arm", "x", "y", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("g0", "g1", "g2", "g3"))
+    for (g <- got.keySet) {
+      val solo = Drift.welchT(
+        df.filter(col("g") === g && col("arm") === "x").select("v"),
+        df.filter(col("g") === g && col("arm") === "y").select("v"),
+        "v").collect().head
+      val gr = got(g)
+      assert(gr.getLong(1) == solo.getLong(0) &&
+        gr.getLong(2) == solo.getLong(1), s"$g counts")
+      (3 to 8).foreach(i =>
+        assert(gr.getDouble(i) == solo.getDouble(i - 1), s"$g col $i"))
+    }
   }
 
   test("cents beyond the exact-square bound raise the sharding remedy") {
