@@ -2810,7 +2810,8 @@ object SparkEntry {
         FROM rk CROSS JOIN cut
         WHERE i > cut.k AND i <= rk.n - cut.k)
       SELECT n, n_kept,
-             CAST(s AS DOUBLE) / (100.0 * n_kept) AS trimmed_mean
+             CAST(CAST(s AS VARCHAR) AS DOUBLE)
+               / (100.0 * n_kept) AS trimmed_mean
       FROM kept""",
 
     // BLEU: all four n-gram orders in one tagged replay; precisions
@@ -3169,8 +3170,9 @@ object SparkEntry {
       agg AS (SELECT max(n)::BIGINT AS n, sum(v)::HUGEINT AS sv,
                      sum(v::HUGEINT * (2 * i - n - 1)) AS num
               FROM rk)
-      SELECT n, CAST(sv AS DOUBLE) / 100.0 AS total,
-             CAST(num AS DOUBLE) / CAST(n::HUGEINT * sv AS DOUBLE) AS gini
+      SELECT n, CAST(CAST(sv AS VARCHAR) AS DOUBLE) / 100.0 AS total,
+             CAST(CAST(num AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n::HUGEINT * sv AS VARCHAR) AS DOUBLE) AS gini
       FROM agg""",
 
     // Lorenz top-share cuts: decimal-exact rank ceiling, tie-invariant
@@ -3195,9 +3197,9 @@ object SparkEntry {
       rk AS (SELECT v, row_number() OVER (ORDER BY v DESC) AS i
              FROM cents)
       SELECT p, cut_rows,
-             CAST(sum(CASE WHEN i <= cut_rows THEN v::HUGEINT
-                           ELSE 0::HUGEINT END) AS DOUBLE)
-               / CAST(max(sv) AS DOUBLE) AS share
+             CAST(CAST(sum(CASE WHEN i <= cut_rows THEN v::HUGEINT
+                           ELSE 0::HUGEINT END) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(max(sv) AS VARCHAR) AS DOUBLE) AS share
       FROM cut CROSS JOIN rk
       GROUP BY p, cut_rows""",
 
