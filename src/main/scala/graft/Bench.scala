@@ -129,9 +129,13 @@ object Bench {
       // noise is additive seconds, not a ratio — r9 measured UNCHANGED
       // queries at 1.3→6.7 s purely from end-of-run GC/scheduler
       // pressure, which masks any real sub-2× regression. The best-of-
-      // two is the query's actual cost. The second rep is skipped only
-      // when the first already ran long (noise is proportionally
-      // irrelevant there and the rep would double the suite's tail).
+      // two is the query's actual cost. Round 11: the second rep is
+      // UNCONDITIONAL — the old ">=10 s skips the confirming rep" rule
+      // recorded a noise spike as fact (q_unpivot landed at 25.0 s in
+      // BENCH_r10 vs 1.12 s isolated: the spike itself crossed the
+      // threshold that was meant to skip only genuinely-long queries).
+      // The rep costs ~30 s across the suite; a corrupted artifact
+      // costs a round of misdirected tuning.
       if (prebuildFailed(name)) {
         System.err.println(s"[bench] $name skipped: its layout prebuild failed")
         name -> -1.0
@@ -144,7 +148,7 @@ object Bench {
           elapsed
         }
         val first = once()
-        name -> (if (first < 10.0) math.min(first, once()) else first)
+        name -> math.min(first, once())
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         name -> -1.0 // failures must be visible, not a fast fake number

@@ -1118,33 +1118,46 @@ object SparkEntry {
     "q_media_headers" -> """
       SELECT doc_id AS media_id,
              CASE WHEN doc_id % 17 = 0 THEN 'riff'
-                  WHEN doc_id % 3 = 0 THEN 'bmp'
-                  WHEN doc_id % 3 = 1 THEN 'wav'
-                  ELSE 'gif' END AS format,
+                  WHEN doc_id % 5 = 0 THEN 'bmp'
+                  WHEN doc_id % 5 = 1 THEN 'wav'
+                  WHEN doc_id % 5 = 2 THEN 'gif'
+                  WHEN doc_id % 5 = 3 THEN 'png'
+                  ELSE 'jpeg' END AS format,
              (CASE WHEN doc_id % 17 = 0 THEN 4
-                   WHEN doc_id % 3 = 0 THEN 54
-                   WHEN doc_id % 3 = 1
+                   WHEN doc_id % 5 = 0 THEN 54
+                   WHEN doc_id % 5 = 1
                      THEN 44 + (doc_id % 100 + 1) * (doc_id % 2 + 1) * 2
-                   ELSE 13 END)::INT AS n_bytes,
+                   WHEN doc_id % 5 = 2 THEN 13
+                   WHEN doc_id % 5 = 3 THEN 33
+                   ELSE 41 END)::INT AS n_bytes,
              (CASE WHEN doc_id % 17 = 0 THEN 0
-                   WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1
-                   WHEN doc_id % 3 = 1 THEN 0
-                   ELSE doc_id % 1000 + 1 END)::INT AS width,
+                   WHEN doc_id % 5 = 0 THEN doc_id % 640 + 1
+                   WHEN doc_id % 5 = 1 THEN 0
+                   WHEN doc_id % 5 = 2 THEN doc_id % 1000 + 1
+                   WHEN doc_id % 5 = 3 THEN doc_id % 1024 + 1
+                   ELSE doc_id % 2000 + 1 END)::INT AS width,
              (CASE WHEN doc_id % 17 = 0 THEN 0
-                   WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1
-                   WHEN doc_id % 3 = 1 THEN 0
-                   ELSE doc_id % 800 + 1 END)::INT AS height,
+                   WHEN doc_id % 5 = 0 THEN doc_id % 480 + 1
+                   WHEN doc_id % 5 = 1 THEN 0
+                   WHEN doc_id % 5 = 2 THEN doc_id % 800 + 1
+                   WHEN doc_id % 5 = 3 THEN doc_id % 768 + 1
+                   ELSE doc_id % 1500 + 1 END)::INT AS height,
              (CASE WHEN doc_id % 17 = 0 THEN 0
-                   WHEN doc_id % 3 = 0 THEN 24
-                   WHEN doc_id % 3 = 1 THEN 16
-                   ELSE 0 END)::INT AS bit_depth,
-             (CASE WHEN doc_id % 17 <> 0 AND doc_id % 3 = 1
+                   WHEN doc_id % 5 = 0 THEN 24
+                   WHEN doc_id % 5 = 1 THEN 16
+                   WHEN doc_id % 5 = 2 THEN 0
+                   ELSE 8 END)::INT AS bit_depth,
+             (CASE WHEN doc_id % 17 <> 0 AND doc_id % 5 = 1
                    THEN 8000 + (doc_id % 8) * 4000 ELSE 0 END)::INT
                AS sample_rate,
-             (CASE WHEN doc_id % 17 <> 0 AND doc_id % 3 = 1
-                   THEN doc_id % 2 + 1 ELSE 0 END)::INT AS channels,
              (CASE WHEN doc_id % 17 = 0 THEN 0
-                   WHEN doc_id % 3 = 1 THEN doc_id % 100 + 1
+                   WHEN doc_id % 5 = 1 THEN doc_id % 2 + 1
+                   WHEN doc_id % 5 = 3
+                     THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END
+                   WHEN doc_id % 5 = 4 THEN 3
+                   ELSE 0 END)::INT AS channels,
+             (CASE WHEN doc_id % 17 = 0 THEN 0
+                   WHEN doc_id % 5 = 1 THEN doc_id % 100 + 1
                    ELSE 1 END)::INT AS n_frames,
              CASE WHEN doc_id % 17 = 0 THEN 'truncated' ELSE '' END AS err
       FROM documents""",

@@ -350,6 +350,16 @@ object Drift {
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      // same 2^31 arm bound welchT raises: the lo-half sum of squared
+      // cents (each < 2^32) wraps a signed long once an arm exceeds
+      // ~2.1B rows — per GROUP here, the variant most likely to meet
+      // it at scale. Loud, not silent (round-11 ADVICE fix)
+      .withColumn("n_a",
+        when(col("n_a") > 2147483647L || col("n_b") > 2147483647L,
+          raise_error(lit(
+            "Drift.welchTByGroup: arm beyond 2^31 rows in a group — " +
+              "shard the input and merge the (mergeable) moment sums")))
+          .otherwise(col("n_a")))
     val B = lit(4294967296L)
     def meanD(tag: String) =
       col(s"__s_$tag").cast("double") / (lit(100.0) * col(s"n_$tag"))

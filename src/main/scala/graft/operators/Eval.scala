@@ -39,18 +39,29 @@ object Eval {
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
       bucket: Column => Column): DataFrame = {
     val cum = cumBelow(df, scoreCol, labelCol, bucket)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     cum.agg(
         sum("__p").as("n_pos"), sum("__q").as("n_neg"),
         sum(col("__p") * col("__negBelow")).as("concordant"),
         sum(col("__p") * col("__q")).as("tied"))
       // guard rides the 1-row global aggregate (AQE-prune-safe; the
-      // Drift.ks lesson) — a single-class input has no defined AUC
+      // Drift.ks lesson) — a single-class input has no defined AUC.
+      // The pair-count space is n₁·n₀: past 2^63 pairs the long SUMS
+      // above (and the 2·n₁·n₀ denominator) wrap silently, so that
+      // bound raises loudly; below it the division runs over DECIMAL
+      // reassembly, exact at every in-range magnitude (round-11 fix)
       .select(col("n_pos"), col("n_neg"), col("concordant"), col("tied"),
         when(col("n_pos") === 0 || col("n_neg") === 0 ||
             col("n_pos").isNull || col("n_neg").isNull,
           raise_error(lit("rocAuc: need both classes present")))
-          .otherwise((lit(2L) * col("concordant") + col("tied"))
-            .cast("double") / (lit(2L) * col("n_pos") * col("n_neg")))
+          .when(col("n_pos").cast(dec) * col("n_neg").cast(dec) >
+              lit(Long.MaxValue).cast(dec) / 2,
+            raise_error(lit("rocAuc: n_pos*n_neg beyond 2^62 pairs — " +
+              "the exact pair counts overflow; sample or shard")))
+          .otherwise((lit(2L).cast(dec) * col("concordant").cast(dec) +
+            col("tied").cast(dec)).cast("double") /
+            (lit(2L).cast(dec) * col("n_pos").cast(dec) *
+              col("n_neg").cast(dec)).cast("double"))
           .as("auc"))
   }
 
@@ -65,6 +76,7 @@ object Eval {
   def avgPrecision(df: DataFrame, scoreCol: String, labelCol: String,
       bucket: Column => Column): DataFrame = {
     val cum = cumBelow(df, scoreCol, labelCol, bucket)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val tot = cum.agg(sum("__p").as("__n1"), sum("__q").as("__n0"))
     cum.crossJoin(broadcast(tot))
       .select(col("__p"), col("__n1"), col("__n0"),
@@ -72,9 +84,13 @@ object Eval {
         (col("__n1") - col("__posBelow")).as("__tp"),
         (col("__n1") + col("__n0") - col("__posBelow") -
           col("__negBelow")).as("__atk"))
+      // the per-threshold divisor n₁·n(≥s) is a long×long product (up
+      // to n²) that wraps past ~3e9 rows — multiply in DECIMAL and
+      // divide as one double, exact for in-range values (round-11 fix)
       .agg(max(col("__n1")).as("n_pos"), max(col("__n0")).as("n_neg"),
         sum(col("__p").cast("double") * col("__tp") /
-          (col("__n1") * col("__atk"))).as("__ap"))
+          (col("__n1").cast(dec) * col("__atk").cast(dec))
+            .cast("double")).as("__ap"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") === 0 || col("n_pos").isNull,
           raise_error(lit("avgPrecision: no positive rows")))

@@ -404,13 +404,19 @@ object Graph {
         .filter(col("a") =!= col("b")).distinct()
     }
     var i = 0
-    var converged = e.isEmpty
+    // both sides of the probe are DISTINCT edge sets, so equality is
+    // |next| == |e| plus next ⊆ e — ONE anti-join per round instead of
+    // two, with the count a near-free scan of the just-checkpointed
+    // RDD (round 11: the probe was ~a third of each round's wall time)
+    var eCount = e.count()
+    var converged = eCount == 0
     while (!converged && i < maxIters) {
       val next = clamp(smallStar(largeStar(e))).localCheckpoint()
-      converged =
-        next.join(e, Seq("a", "b"), "left_anti").isEmpty &&
-          e.join(next, Seq("a", "b"), "left_anti").isEmpty
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
+        next.join(e, Seq("a", "b"), "left_anti").isEmpty
       e = next
+      eCount = nextCount
       i += 1
     }
     require(converged,

@@ -116,12 +116,26 @@ object Retrieval {
     require(runs.nonEmpty, "need at least one run")
     require(kc >= 1, s"kc must be >= 1, got $kc")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val tagged = runs.map(_.select(col(docCol),
-      col(rankCol).cast("long").as("__r")))
+    val tagged = runs.zipWithIndex.map { case (r, i) =>
+      r.select(col(docCol), col(rankCol).cast("long").as("__r"),
+        lit(i).as("__run"))
+    }
+    // a doc listed twice within ONE run would inflate n_runs and sum
+    // extra 1/(kc+rank) terms silently — raise loudly instead (the
+    // Eval.pairToks duplicate-id idiom; round-11 ADVICE fix). Past the
+    // guard count(*) == countDistinct(run), so n_runs is unchanged.
     tagged.reduce(_ unionAll _)
       .groupBy(docCol)
-      .agg(count(lit(1)).as("n_runs"),
+      .agg(count(lit(1)).as("__n_rows"),
+        countDistinct(col("__run")).as("__n_distinct"),
         round(sum(lit(1.0) / (lit(kc) + col("__r"))), 6).as("rrf"))
+      .select(col(docCol),
+        when(col("__n_rows") =!= col("__n_distinct"),
+          raise_error(concat(
+            lit("Retrieval.rrfFuse: doc appears more than once within " +
+              "a single run: "), col(docCol).cast("string"))))
+          .otherwise(col("__n_distinct")).as("n_runs"),
+        col("rrf"))
       .orderBy(col("rrf").desc, col(docCol))
       .limit(topK)
   }

@@ -63,15 +63,69 @@ object Selection {
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(orderCols.nonEmpty, "orderCols must be non-empty")
-    val g = groupCols.map(col)
     val withBk = df.withColumn("__nt_bk", bucket)
-    val gb = g :+ col("__nt_bk")
-    val counts = withBk.groupBy(gb: _*).agg(count(lit(1)).as("__nt_c"))
+    val counts = withBk
+      .groupBy((groupCols.map(col) :+ col("__nt_bk")): _*)
+      .agg(count(lit(1)).as("__nt_c"))
+    ntileApply(withBk, counts, k, groupCols, "__nt_bk", orderCols, outCol)
+  }
+
+  /** N [[ntileScore]] passes (global form) FUSED over one input — the
+    * RFM shape ("score every customer on recency AND frequency AND
+    * monetary"): sequential calls re-derive the (often expensive) base
+    * for every pass's count side, while here ALL per-bucket count
+    * tables come from ONE `GROUPING SETS ((bk₀),(bk₁),…)` aggregate —
+    * a single scan with an Expand (×N rows of the count table, never
+    * of data) — and the data side threads through the N broadcast
+    * joins + bounded windows exactly as the sequential calls would.
+    * Output is bit-identical to folding [[ntileScore]] over `specs`
+    * (each spec's arithmetic touches only its own bucket/order/out).
+    *
+    * @param specs (bucket, orderCols, outCol) per score — the same
+    *              contracts as [[ntileScore]]'s parameters */
+  def ntileScores(df: DataFrame, k: Int,
+      specs: Seq[(Column, Seq[Column], String)]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(specs.nonEmpty, "ntileScores: need at least one spec")
+    require(specs.forall(_._2.nonEmpty), "orderCols must be non-empty")
+    require(specs.size <= 30, "ntileScores: grouping_id packs set " +
+      s"membership in an int — at most 30 specs, got ${specs.size}")
+    val n = specs.size
+    val bkNames = specs.indices.map(i => s"__nt_bk$i")
+    val withBks = specs.zip(bkNames).foldLeft(df) {
+      case (acc, ((b, _, _), bn)) => acc.withColumn(bn, b)
+    }
+    // ALL count tables in one pass: grouping set i keeps only bkᵢ, so
+    // its rows are exactly groupBy(bkᵢ).count — selected by the
+    // grouping_id whose bits mark the AGGREGATED (masked) columns
+    val counts = withBks
+      .groupingSets(bkNames.map(bn => Seq(col(bn))), bkNames.map(col): _*)
+      .agg(count(lit(1)).as("__nt_c"), grouping_id().as("__nt_gid"))
+    val full = (1 << n) - 1
+    specs.zip(bkNames).zipWithIndex.foldLeft(withBks) {
+      case (acc, (((_, orderCols, outCol), bn), i)) =>
+        val ci = counts.filter(col("__nt_gid") === (full - (1 << (n - 1 - i))))
+          .select(col(bn), col("__nt_c"))
+        ntileApply(acc, ci, k, Nil, bn, orderCols, outCol)
+    }
+  }
+
+  /** Shared tail of the ntile family: bucket-offset windows over the
+    * COUNT table, the offsets join, the per-bucket `row_number`, and
+    * the exact integer ntile arithmetic. `counts` must hold one row
+    * per (group, `bkName`) with the row count as `__nt_c`; `data` must
+    * already carry `bkName`. Drops `bkName` (and only it) on the way
+    * out so fused callers keep their other bucket columns. */
+  private def ntileApply(data: DataFrame, counts: DataFrame, k: Int,
+      groupCols: Seq[String], bkName: String, orderCols: Seq[Column],
+      outCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val gb = g :+ col(bkName)
     // one row per (group, bucket): these windows run over COUNTS only.
     // With no group columns the partition spec would be empty — mark it
     // with the bounded-window constant instead (see Bounded.constPart)
     val part = if (g.isEmpty) Seq(Bounded.constPart(col("__nt_c"))) else g
-    val wOff = Window.partitionBy(part: _*).orderBy(col("__nt_bk"))
+    val wOff = Window.partitionBy(part: _*).orderBy(col(bkName))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.partitionBy(part: _*)
     // offsets + group totals ride the same one-row-per-bucket table
@@ -80,12 +134,18 @@ object Selection {
         coalesce(sum(col("__nt_c")).over(wOff), lit(0L)))
       .withColumn("__nt_n", sum(col("__nt_c")).over(wTot))
       .select((groupCols.map(n => col(n).as(s"__nt_g_$n")) ++
-        Seq(col("__nt_bk").as("__nt_bk2"), col("__nt_off"),
+        Seq(col(bkName).as("__nt_bko"), col("__nt_off"),
           col("__nt_n"))): _*)
     val cond = (groupCols.map(n => col(n) <=> col(s"__nt_g_$n")) :+
-      (col("__nt_bk") <=> col("__nt_bk2"))).reduce(_ && _)
+      (col(bkName) <=> col("__nt_bko"))).reduce(_ && _)
+    // the GLOBAL form's offs is one row per bucket — bounded by
+    // construction, broadcast-safe. A GROUPED offs is groups×buckets
+    // rows: with a high-cardinality group key that exceeds broadcast
+    // limits, so it joins plain (the groupedQuantiles discipline —
+    // the shuffle it costs feeds the (group, bucket) window anyway)
+    val offsSide = if (g.isEmpty) broadcast(offs) else offs
     val wIn = Window.partitionBy(gb: _*).orderBy(orderCols: _*)
-    val ranked = withBk.join(broadcast(offs), cond)
+    val ranked = data.join(offsSide, cond)
       .withColumn("__nt_rk",
         col("__nt_off") + row_number().over(wIn).cast("long"))
     // exact ntile arithmetic; the else-branch divisor is guarded with
@@ -100,7 +160,7 @@ object Selection {
             s"div greatest(__nt_n div $k, 1) + 1"))
         .cast("int"))
     scored
-      .drop("__nt_bk", "__nt_bk2", "__nt_off", "__nt_n", "__nt_rk")
+      .drop(bkName, "__nt_bko", "__nt_off", "__nt_n", "__nt_rk")
       .drop(groupCols.map(n => s"__nt_g_$n"): _*)
   }
 

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
@@ -22,11 +21,21 @@ import org.apache.spark.sql.functions._
   * the guarantee — ours is chosen to be one comparison in both
   * engines). Requires positions < 10⁶, loudly guarded.
   *
-  * Scale shape: one explode to (doc, pos, gram-hash) rows — linear in
-  * corpus bytes, the tokenize cost class — then a per-doc ROWS-frame
-  * window (bounded by doc length, the per-key bounded pattern) and a
-  * distinct. Nothing global; docs never compare to each other here —
-  * downstream equi-joins on fp_hash find the cross-doc matches.
+  * Scale shape (round 11, the per-doc ARRAY kernel): the whole
+  * selection is doc-LOCAL, so nothing ever leaves its document row
+  * until the final explode of SELECTED fingerprints (expected density
+  * 2/(w+1) of positions). The char-code array is computed once per doc,
+  * gram hashes and window minima are array ops over it — no
+  * per-position `substr`/`split` (the measured "HOF-lambda tax": the
+  * round-10 form re-sliced and re-split the text once per exploded
+  * position and then shuffled every position into a window, 6.3 s at
+  * sf0.1 vs sub-second here). The two `repartition(id)` exchanges are
+  * materialization barriers (CollapseProject has no CSE: an array
+  * referenced inside a downstream HOF lambda re-evaluates its producing
+  * expression per element — the NOTES.md barrier idiom), each moving
+  * one array row per doc — linear in corpus bytes. Docs never compare
+  * to each other here; downstream equi-joins on fp_hash find the
+  * cross-doc matches.
   */
 object Winnow {
 
@@ -42,28 +51,31 @@ object Winnow {
     require(w >= 1, s"w must be >= 1, got $w")
     val t = col(textCol)
     val ng = (length(t) - k + 1).cast("long")
-    val grams = df.filter(length(t) >= k + w - 1)
-      .select(col(idCol), t.as("__t"), ng.as("__ng"),
-        explode(sequence(lit(1L), ng)).as("__pos"))
-      .select(col(idCol), col("__ng"), col("__pos"),
-        aggregate(
-          transform(split(col("__t").substr(col("__pos").cast("int"),
-            lit(k)), ""), c => ascii(c).cast("long")),
-          lit(0L), (acc, c) => (acc * 31 + c) % M).as("__gh"))
-      // pos rides the low digits of the packed min — a ≥ 10⁶-char doc
-      // would corrupt the packing silently, so refuse it loudly
-      .withColumn("__pos",
-        when(col("__pos") >= PosBase, raise_error(lit(
+    // pos rides the low digits of the packed min — a ≥ 10⁶-char doc
+    // would corrupt the packing silently, so refuse it loudly
+    val codes = df.filter(length(t) >= k + w - 1)
+      .select(col(idCol),
+        when(ng >= PosBase, raise_error(lit(
           s"Winnow.fingerprints: doc exceeds $PosBase chars — raise " +
-            "PosBase or chunk upstream"))).otherwise(col("__pos")))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("__sel",
-        min(col("__gh") * PosBase + col("__pos")).over(win))
-      .filter(col("__pos") <= col("__ng") - w + 1)
+            "PosBase or chunk upstream"))).otherwise(ng).as("__ng"),
+        transform(split(t, ""), c => ascii(c).cast("long")).as("__codes"))
+      .repartition(col(idCol)) // barrier: codes materialize ONCE per doc
+    // packed (hash, pos) per gram position: hash·10⁶ + pos, so one
+    // long min is the lexicographic (hash, pos) min — leftmost tie
+    val packed = codes
+      .select(col(idCol), col("__ng"),
+        transform(sequence(lit(1L), col("__ng")), p =>
+          aggregate(slice(col("__codes"), p.cast("int"), lit(k)),
+            lit(0L), (acc, c) => (acc * 31 + c) % M) * PosBase + p)
+          .as("__pk"))
+      .repartition(col(idCol)) // barrier: __pk feeds w window minima each
+    packed
+      .select(col(idCol),
+        explode(array_distinct(
+          transform(sequence(lit(1L), col("__ng") - w + 1), p =>
+            array_min(slice(col("__pk"), p.cast("int"), lit(w))))))
+          .as("__sel"))
       .select(col(idCol), expr(s"__sel div $PosBase").as("fp_hash"),
         (col("__sel") % PosBase).as("fp_pos"))
-      .distinct()
   }
 }

@@ -308,16 +308,18 @@ object PipelineQueries {
       .select(col("o_custkey"),
         datediff(col("__maxd"), col("__last")).as("recency_days"),
         col("frequency"), col("__mon").cast("double").as("monetary"))
-    val r = graft.operators.Selection.ntileScore(base, 5, Nil,
-      col("recency_days"),
-      Seq(col("recency_days").asc, col("o_custkey").asc), "r_score")
-    val f = graft.operators.Selection.ntileScore(r, 5, Nil,
-      struct((-col("frequency")).as("nf"),
+    // round 11: the three sequential ntileScore passes re-derived the
+    // (aggregated) base for every pass's count side — fused, all three
+    // count tables ride ONE grouping-sets pass over base, bit-identical
+    // scores (Selection.ntileScores)
+    val m = graft.operators.Selection.ntileScores(base, 5, Seq(
+      (col("recency_days"),
+        Seq(col("recency_days").asc, col("o_custkey").asc), "r_score"),
+      (struct((-col("frequency")).as("nf"),
         floor(col("o_custkey") / 65536).as("ks")),
-      Seq(col("frequency").desc, col("o_custkey").asc), "f_score")
-    val m = graft.operators.Selection.ntileScore(f, 5, Nil,
-      floor(-col("monetary") / 1000.0),
-      Seq(col("monetary").desc, col("o_custkey").asc), "m_score")
+        Seq(col("frequency").desc, col("o_custkey").asc), "f_score"),
+      (floor(-col("monetary") / 1000.0),
+        Seq(col("monetary").desc, col("o_custkey").asc), "m_score")))
     m.select(col("o_custkey"), col("recency_days"), col("frequency"),
       col("monetary"), col("r_score"), col("f_score"), col("m_score"))
   }

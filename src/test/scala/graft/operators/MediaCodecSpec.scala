@@ -83,24 +83,81 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(parse(11L, Array.empty[Byte]).err == "unknown_magic")
   }
 
+  test("PNG round-trip: writer bytes parse back, incl. multi-byte " +
+      "big-endian dims and the color-type -> channel map") {
+    val p = parse(20L, writePng(70000, 300, 8, 2))
+    assert(p == ParsedMedia(20L, "png", 33, 70000, 300, 8, 0, 3, 1, ""))
+    assert(parse(0L, writePng(1, 1, 16, 0)).channels == 1)
+    assert(parse(0L, writePng(1, 1, 8, 3)).channels == 1)
+    assert(parse(0L, writePng(1, 1, 8, 4)).channels == 2)
+    assert(parse(0L, writePng(1, 1, 8, 6)).channels == 4)
+  }
+
+  test("PNG malformed branches quarantine: truncated, bad IHDR, bad " +
+      "dims, bad color type") {
+    assert(parse(1L, writePng(4, 4, 8, 2).take(20)).err == "truncated")
+    val notIhdr = writePng(4, 4, 8, 2)
+    "XXXX".getBytes.copyToArray(notIhdr, 12)
+    assert(parse(1L, notIhdr).err == "bad_ihdr")
+    val badCt = writePng(4, 4, 8, 2); badCt(25) = 5
+    assert(parse(1L, badCt).err == "bad_color_type")
+    val zeroW = writePng(0, 4, 8, 2)
+    assert(parse(1L, zeroW).err == "bad_dims")
+  }
+
+  test("JPEG round-trip: SOF0 found past APP0, big-endian dims, " +
+      "3 components") {
+    val p = parse(21L, writeJpeg(1920, 1080))
+    assert(p == ParsedMedia(21L, "jpeg", 41, 1920, 1080, 8, 0, 3, 1, ""))
+  }
+
+  test("JPEG marker walk skips fill bytes and unknown segments") {
+    val base = writeJpeg(640, 480)
+    // splice an unknown COM segment (FF FE len=4 xx xx) + a fill byte
+    // between APP0 and SOF0
+    val pre = base.take(20)
+    val com = Array(0xff, 0xfe, 0x00, 0x04, 0x41, 0x42, 0xff)
+      .map(_.toByte) // trailing 0xff = fill byte before the next marker
+    val spliced = pre ++ com ++ base.drop(21) // drop SOF0's own 0xff
+    val p = parse(22L, spliced)
+    assert(p.err == "" && p.width == 640 && p.height == 480 &&
+      p.channels == 3, p.toString)
+  }
+
+  test("JPEG malformed branches: EOI before any SOF, truncated " +
+      "segment, bad marker byte") {
+    val noSof = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    assert(parse(1L, noSof).err == "no_sof")
+    assert(parse(1L, writeJpeg(10, 10).take(30)).err == "truncated")
+    val bad = writeJpeg(10, 10); bad(2) = 0x00
+    assert(parse(1L, bad).err == "bad_marker")
+  }
+
   test("synthetic fixtures parse to the oracle's id arithmetic") {
     // mirror of the q_media_headers DuckDB CASE expressions
-    (1L to 120L).foreach { id =>
+    (1L to 170L).foreach { id =>
       val p = parse(id, syntheticPayload(id))
       if (id % 17 == 0)
         assert(p == ParsedMedia(id, "riff", 4, 0, 0, 0, 0, 0, 0,
           "truncated"), s"id=$id")
-      else if (id % 3 == 0)
+      else if (id % 5 == 0)
         assert(p == ParsedMedia(id, "bmp", 54, (id % 640 + 1).toInt,
           (id % 480 + 1).toInt, 24, 0, 0, 1, ""), s"id=$id")
-      else if (id % 3 == 1) {
+      else if (id % 5 == 1) {
         val samp = (id % 100 + 1).toInt
         val ch = (id % 2 + 1).toInt
         assert(p == ParsedMedia(id, "wav", 44 + samp * ch * 2, 0, 0, 16,
           8000 + (id % 8).toInt * 4000, ch, samp, ""), s"id=$id")
-      } else
+      } else if (id % 5 == 2)
         assert(p == ParsedMedia(id, "gif", 13, (id % 1000 + 1).toInt,
           (id % 800 + 1).toInt, 0, 0, 0, 1, ""), s"id=$id")
+      else if (id % 5 == 3)
+        assert(p == ParsedMedia(id, "png", 33, (id % 1024 + 1).toInt,
+          (id % 768 + 1).toInt, 8, 0, if (id % 2 == 0) 3 else 4, 1, ""),
+          s"id=$id")
+      else
+        assert(p == ParsedMedia(id, "jpeg", 41, (id % 2000 + 1).toInt,
+          (id % 1500 + 1).toInt, 8, 0, 3, 1, ""), s"id=$id")
     }
   }
 }

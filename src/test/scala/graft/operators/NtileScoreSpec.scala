@@ -99,6 +99,21 @@ class NtileScoreSpec extends SparkSpec {
     assertSame(got, want)
   }
 
+  test("ntileScores (fused grouping-sets counts) is bit-identical to " +
+      "folding ntileScore over the specs") {
+    val rng = new scala.util.Random(11)
+    val df = (1L to 731L).map(i =>
+      (i, rng.nextInt(15), rng.nextDouble() * 100)).toDF("id", "a", "b")
+    val specs = Seq(
+      (col("a").cast("long"), Seq(col("a").asc, col("id").asc), "sa"),
+      (floor(-col("b") / 10), Seq(col("b").desc, col("id").asc), "sb"))
+    val got = Selection.ntileScores(df, 7, specs)
+    val want = specs.foldLeft(df) { case (acc, (bk, ord, out)) =>
+      Selection.ntileScore(acc, 7, Nil, bk, ord, out)
+    }
+    assertSame(got, want)
+  }
+
   test("curriculum rewrite matches the per-lang ntile formulation") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val scored = TextScore.unigramSurprisal(docs, "doc_id", "text")

@@ -21,6 +21,23 @@ class RrfFuseSpec extends SparkSpec {
       (40L, 1L, s(2)), (30L, 1L, s(3))), s"got $got")
   }
 
+  test("a doc listed twice within ONE run raises instead of silently " +
+      "inflating n_runs and the score sum") {
+    val r1 = Seq((10L, 1L), (10L, 4L), (20L, 2L)).toDF("doc", "rank")
+    val r2 = Seq((20L, 1L)).toDF("doc", "rank")
+    val ex = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(r1, r2), "doc", "rank").collect()
+    }
+    assert(ex.getMessage.contains("more than once within a single run"),
+      ex.getMessage)
+    // the same doc across DIFFERENT runs stays legal (that IS fusion)
+    val ok = Retrieval.rrfFuse(
+      Seq(Seq((10L, 1L)).toDF("doc", "rank"),
+        Seq((10L, 2L)).toDF("doc", "rank")), "doc", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ok == Seq((10L, 2L)))
+  }
+
   test("equal scores break ties on the doc key; topK truncates") {
     // docs 5 and 3 each appear at rank 1 of ONE run -> identical rrf
     val r1 = Seq((5L, 1L), (9L, 2L)).toDF("doc", "rank")
