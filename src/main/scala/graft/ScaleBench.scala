@@ -1678,6 +1678,30 @@ object ScaleBench {
       results += (("grouped_quantiles", tgq1, tgqN))
     }
 
+    // winnowing fingerprints (round-11 back-fill: the one r10 operator
+    // that shipped undrilled): docs ×N with the same texts — selection
+    // is doc-local, so cost must track corpus bytes
+    {
+      def wfOf(d: DataFrame) = graft.operators.Winnow.fingerprints(
+        d, "doc_id", "text", k = 5, w = 4)
+      val twf1 = time("winnow 1x")(noop(wfOf(docs1)))
+      val twfN = time(s"winnow ${factor}x")(noop(wfOf(docsN)))
+      results += (("winnow", twf1, twfN))
+    }
+    // star components on ×N disjoint 100-node chains (the planted gate
+    // shape): iteration count is diameter-bound (fixed), per-round cost
+    // linear — drilled after the round-11 single-anti-join probe
+    {
+      def ccOf(d: DataFrame) = graft.operators.Graph
+        .connectedComponentsStar(
+          d.filter(col("doc_id") % 100 =!= 99)
+            .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst")),
+          "src", "dst")
+      val tcc1 = time("components_star 1x")(noop(ccOf(docs1)))
+      val tccN = time(s"components_star ${factor}x")(noop(ccOf(docsN)))
+      results += (("components_star", tcc1, tccN))
+    }
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

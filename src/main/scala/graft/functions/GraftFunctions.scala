@@ -60,6 +60,8 @@ object GraftFunctions {
     "pq_dist_table" -> (es => PqDistTable(es(0), es(1),
       intArg(es(2), "pq_dist_table"), intArg(es(3), "pq_dist_table"))),
     "pq_adc" -> (es => PqAdc(es(0), es(1), intArg(es(2), "pq_adc"))),
+    "winnow_fps" -> (es => WinnowFps(es(0),
+      intArg(es(1), "winnow_fps"), intArg(es(2), "winnow_fps"))),
     "ngram_hashes" -> (es => NgramHashes(es(0),
       intArg(es(1), "ngram_hashes"))),
     "ngram_hashes_gen" -> (es => NgramHashGen(es(0),
@@ -227,6 +229,12 @@ object GraftFunctions {
     call_function("minhash_text", text,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(shingle))
+  /** Distinct packed (gramhash·10⁶ + pos) winnowing selections — the
+    * [[graft.operators.Winnow]] kernel. */
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    call_function("winnow_fps", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
   def pqEncode(vec: Column, codebook: Column, m: Int, k: Int): Column =
     call_function("pq_encode", vec, codebook,
       org.apache.spark.sql.functions.lit(m),

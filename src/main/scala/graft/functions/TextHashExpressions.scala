@@ -175,6 +175,65 @@ object TextHashExpressions {
     sig
   }
 
+  /** Winnowing selection kernel ([[graft.operators.Winnow]], round 11):
+    * code points → ROLLING k-gram polynomial hashes ((h·31+c) mod
+    * 1e9+7, the repo's shared SQL-reproducible fingerprint polynomial)
+    * → per-window (w) minima of the packed `hash·10⁶ + pos` via a
+    * monotonic deque → sorted distinct packed selections. One O(n)
+    * pass, zero per-position allocation — the HOF array formulation
+    * (slice + aggregate per position) allocates a k-array per gram and
+    * re-walks it; this kernel drops the 32× drill from 35.5 s to the
+    * scan-bound class. Packed values are unique (pos rides the low
+    * digits), so the deque needs no tie rule; the lexicographic
+    * (hash, pos) leftmost-min contract is preserved by construction. */
+  def winnowFpsOf(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, w: Int): ArrayData = {
+    val M = 1000000007L
+    val PosBase = 1000000L
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n < k + w - 1) return new GenericArrayData(Array.empty[Long])
+    val ng = n - k + 1
+    if (ng >= PosBase) throw new IllegalStateException(
+      s"Winnow.fingerprints: doc exceeds $PosBase chars — raise " +
+        "PosBase or chunk upstream")
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow = pow * 31 % M; i += 1 }
+    val packed = new Array[Long](ng)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * 31 + cps(i)) % M; i += 1 }
+    packed(0) = h * PosBase + 1
+    var p = 1
+    while (p < ng) {
+      h = ((h - cps(p - 1) * pow % M + M) % M * 31 + cps(p + k - 1)) % M
+      packed(p) = h * PosBase + (p + 1)
+      p += 1
+    }
+    val nw = ng - w + 1
+    val sel = new Array[Long](nw)
+    val dq = new Array[Int](ng)
+    var head = 0
+    var tail = 0
+    var j = 0
+    while (j < ng) {
+      while (tail > head && packed(dq(tail - 1)) >= packed(j)) tail -= 1
+      dq(tail) = j; tail += 1
+      if (dq(head) <= j - w) head += 1
+      if (j >= w - 1) sel(j - w + 1) = packed(dq(head))
+      j += 1
+    }
+    java.util.Arrays.sort(sel)
+    var out = 0
+    var q = 0
+    while (q < nw) {
+      if (out == 0 || sel(out - 1) != sel(q)) { sel(out) = sel(q); out += 1 }
+      q += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, out))
+  }
+
   /** 64-bit SimHash: one string hash per element, bitwise majority vote. */
   @inline def simhashOf(elems: ArrayData): Long = {
     val votes = new Array[Int](64)
@@ -234,6 +293,41 @@ case class MinHashText(child: Expression, numHashes: Int, shingleSize: Int)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHashExpressions" +
         s".minhashTextOf($c, $numHashes, $shingleSize);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** winnow_fps(text, k, w) -> array<long> of distinct packed
+  * `gramhash·10⁶ + pos` winnowing selections (see
+  * [[TextHashExpressions.winnowFpsOf]]); empty array for docs shorter
+  * than k + w − 1. */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "winnow_fps"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fps expects string, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashExpressions.winnowFpsOf(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashExpressions" +
+        s".winnowFpsOf($c, $k, $w);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
