@@ -1702,6 +1702,50 @@ object ScaleBench {
       results += (("components_star", tcc1, tccN))
     }
 
+    // round-11 statistics family: rank correlation (distinct-value
+    // collapse + two-phase ranks), cell-pair tau, balanced-design
+    // kappa, and the one-scan proportions z
+    {
+      def spOf(d: DataFrame) = graft.operators.RankCorr.spearmanRho(
+        d, "l_quantity", "l_extendedprice", x => x,
+        y => floor(y / 1000.0))
+      val tsp1 = time("spearman 1x")(noop(spOf(li1)))
+      val tspN = time(s"spearman ${factor}x")(noop(spOf(liN)))
+      results += (("spearman", tsp1, tspN))
+    }
+    {
+      def kdOf(d: DataFrame) = graft.operators.RankCorr.kendallTauB(
+        d.select(col("l_quantity").as("qty"),
+          floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+            .as("disc")), "qty", "disc")
+      val tkd1 = time("kendall_tau 1x")(noop(kdOf(li1)))
+      val tkdN = time(s"kendall_tau ${factor}x")(noop(kdOf(liN)))
+      results += (("kendall_tau", tkd1, tkdN))
+    }
+    {
+      import org.apache.spark.sql.expressions.Window
+      def flOf(d: DataFrame) = {
+        val r = d.select(expr("doc_id div 5").as("item"),
+          (col("doc_id") % 5).as("rater"), col("lang").as("cat"))
+        graft.operators.Eval.fleissKappa(
+          r.withColumn("__n",
+            count(lit(1)).over(Window.partitionBy(col("item"))))
+            .filter(col("__n") === 5).drop("__n"),
+          "item", "rater", "cat")
+      }
+      val tfl1 = time("fleiss_kappa 1x")(noop(flOf(docs1)))
+      val tflN = time(s"fleiss_kappa ${factor}x")(noop(flOf(docsN)))
+      results += (("fleiss_kappa", tfl1, tflN))
+    }
+    {
+      def pzOf(d: DataFrame) = graft.operators.Drift.propZTest(
+        d.withColumn("disc_hi", col("l_discount") >= 0.05),
+        "l_returnflag", "R", "N", "disc_hi")
+      val tpz1 = time("prop_ztest 1x")(noop(pzOf(li1)))
+      val tpzN = time(s"prop_ztest ${factor}x")(noop(pzOf(liN)))
+      results += (("prop_ztest", tpz1, tpzN))
+    }
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
       println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")

@@ -389,6 +389,11 @@ object SparkEntry {
     "q_trimmed_mean" -> PipelineQueries.trimmedMeanQ,
     "q_hll_agg_groups" -> PipelineQueries.hllByGroup,
     "q_welch_sweep" -> PipelineQueries.welchSweep,
+    // round 11: rank correlation, multi-rater agreement, proportions
+    "q_spearman" -> PipelineQueries.spearmanQtyPrice,
+    "q_kendall_tau" -> PipelineQueries.kendallQtyDisc,
+    "q_fleiss_kappa" -> PipelineQueries.fleissLangAgreement,
+    "q_prop_ztest" -> PipelineQueries.propZDiscount,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -2579,6 +2584,123 @@ object SparkEntry {
                      / (CAST(n_a + n_b AS DOUBLE)
                         * (CAST(n_a + n_b AS DOUBLE) - 1)))), 9) AS z
       FROM agg""",
+
+    // Spearman's rho: doubled average ranks per distinct value on each
+    // axis (the mann_whitney rank2 recipe), exact HUGEINT moments, one
+    // IEEE chain — VARCHAR-roundtrip casts keep >2^53 intermediates
+    // correctly rounded (the HUGEINT cast hazard)
+    "q_spearman" -> """
+      WITH base AS (
+        SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      xm AS (SELECT x, count(*)::BIGINT AS m FROM base GROUP BY x),
+      xr AS (SELECT x, 2 * COALESCE(sum(m) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + m + 1 AS r2x FROM xm),
+      ym AS (SELECT y, count(*)::BIGINT AS m FROM base GROUP BY y),
+      yr AS (SELECT y, 2 * COALESCE(sum(m) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + m + 1 AS r2y FROM ym),
+      j AS (SELECT xr.r2x, yr.r2y FROM base b
+            JOIN xr ON b.x = xr.x JOIN yr ON b.y = yr.y),
+      agg AS (SELECT count(*)::BIGINT AS n,
+                sum(r2x::HUGEINT) AS sx, sum(r2y::HUGEINT) AS sy,
+                sum(r2x::HUGEINT * r2x) AS sxx,
+                sum(r2y::HUGEINT * r2y) AS syy,
+                sum(r2x::HUGEINT * r2y) AS sxy
+              FROM j)
+      SELECT n,
+             round(CAST(CAST(n::HUGEINT * sxy - sx * sy AS VARCHAR)
+                 AS DOUBLE)
+               / (sqrt(CAST(CAST(n::HUGEINT * sxx - sx * sx AS VARCHAR)
+                    AS DOUBLE))
+                  * sqrt(CAST(CAST(n::HUGEINT * syy - sy * sy AS VARCHAR)
+                      AS DOUBLE))), 9) AS rho
+      FROM agg""",
+
+    // Kendall tau-b: exact concordant/discordant pair counts off the
+    // distinct-cell self-join (cells are bounded: 50 quantities x 11
+    // discount cents), tie terms off the marginals
+    "q_kendall_tau" -> """
+      WITH base AS (
+        SELECT l_quantity AS x,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+      cells AS (SELECT x, y, count(*)::BIGINT AS m FROM base GROUP BY x, y),
+      pairs AS (SELECT a.m AS m1, b.m AS m2, a.x AS x1, a.y AS y1,
+                       b.x AS x2, b.y AS y2
+                FROM cells a JOIN cells b ON (a.x, a.y) < (b.x, b.y)),
+      cd AS (SELECT
+          COALESCE(sum(CASE WHEN (x1 < x2 AND y1 < y2)
+                              OR (x1 > x2 AND y1 > y2)
+            THEN m1::HUGEINT * m2 ELSE 0::HUGEINT END), 0) AS c,
+          COALESCE(sum(CASE WHEN (x1 < x2 AND y1 > y2)
+                              OR (x1 > x2 AND y1 < y2)
+            THEN m1::HUGEINT * m2 ELSE 0::HUGEINT END), 0) AS d
+        FROM pairs),
+      nn AS (SELECT sum(m)::BIGINT AS n FROM cells),
+      tx AS (SELECT COALESCE(sum(t::HUGEINT * (t - 1)), 0) AS t2x
+             FROM (SELECT sum(m)::BIGINT AS t FROM cells GROUP BY x)),
+      ty AS (SELECT COALESCE(sum(t::HUGEINT * (t - 1)), 0) AS t2y
+             FROM (SELECT sum(m)::BIGINT AS t FROM cells GROUP BY y))
+      SELECT n, c::BIGINT AS concordant, d::BIGINT AS discordant,
+             round(2.0 * CAST(CAST(c - d AS VARCHAR) AS DOUBLE) /
+               (sqrt(CAST(CAST(n::HUGEINT * (n - 1) - t2x AS VARCHAR)
+                   AS DOUBLE))
+                * sqrt(CAST(CAST(n::HUGEINT * (n - 1) - t2y AS VARCHAR)
+                    AS DOUBLE))), 9) AS tau
+      FROM nn CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty""",
+
+    // Fleiss kappa over complete 5-doc blocks: kappa =
+    // (A*D^2 - B*C) / (B*(D^2 - C)) with A = sum n_ic^2 - N*r,
+    // B = N*r*(r-1), D = N*r, C = sum of squared category totals
+    "q_fleiss_kappa" -> """
+      WITH r AS (SELECT doc_id // 5 AS item, doc_id % 5 AS rater,
+                        lang AS cat FROM documents),
+      complete AS (SELECT item FROM r GROUP BY item HAVING count(*) = 5),
+      rr AS (SELECT r.* FROM r JOIN complete USING (item)),
+      cells AS (SELECT item, cat, count(*)::BIGINT AS cnt
+                FROM rr GROUP BY item, cat),
+      base AS (SELECT count(DISTINCT item)::BIGINT AS n_items,
+                      COALESCE(sum(cnt::HUGEINT * cnt), 0) AS sumsq
+               FROM cells),
+      catt AS (SELECT COALESCE(sum(tc::HUGEINT * tc), 0) AS sumcat
+               FROM (SELECT sum(cnt)::BIGINT AS tc
+                     FROM cells GROUP BY cat))
+      SELECT n_items, 5::BIGINT AS n_raters,
+             round(CAST(CAST(
+                 (sumsq - n_items::HUGEINT * 5)
+                   * (n_items::HUGEINT * 5 * n_items * 5)
+                 - (n_items::HUGEINT * 5 * 4) * sumcat AS VARCHAR)
+                 AS DOUBLE)
+               / CAST(CAST((n_items::HUGEINT * 5 * 4)
+                   * ((n_items::HUGEINT * 5 * n_items * 5) - sumcat)
+                 AS VARCHAR) AS DOUBLE), 9) AS kappa
+      FROM base CROSS JOIN catt""",
+
+    // two-proportion pooled z: four exact longs -> one IEEE chain
+    "q_prop_ztest" -> """
+      WITH m AS (SELECT
+          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS n_a,
+          sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)::BIGINT
+            AS n_b,
+          sum(CASE WHEN l_returnflag = 'R' AND l_discount >= 0.05
+            THEN 1 ELSE 0 END)::BIGINT AS s_a,
+          sum(CASE WHEN l_returnflag = 'N' AND l_discount >= 0.05
+            THEN 1 ELSE 0 END)::BIGINT AS s_b
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_returnflag IN ('R', 'N'))
+      SELECT n_a, n_b, s_a, s_b,
+             CAST(s_a AS DOUBLE) / n_a AS p_a,
+             CAST(s_b AS DOUBLE) / n_b AS p_b,
+             round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+               / sqrt(CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+                 * (1.0 - CAST(s_a + s_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 / n_a + 1.0 / n_b)), 9) AS z
+      FROM m""",
 
     // ROUGE-2: clipped bigram overlap replayed per (pair, gram);
     // empty-side pairs re-anchor on the pair table (the operator's

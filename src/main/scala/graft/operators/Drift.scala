@@ -387,6 +387,58 @@ object Drift {
         .as("df")): _*)
   }
 
+  /** Two-proportion pooled z-test — the BINARY-metric A/B companion to
+    * [[welchT]] (means) and [[mannWhitney]] (rank shift): "did the
+    * filter pass-rate move between pipeline versions", "did CTR move
+    * between arms". `z = (p̂_a − p̂_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))`
+    * with the pooled `p̂ = (s_a+s_b)/(n_a+n_b)`.
+    *
+    * Shape: ONE conditional partial-agg scan (the [[welchTByGroup]]
+    * discipline) — four exact longs out, the statistic a fixed IEEE
+    * chain over them, rounded 9dp. Rows outside both arms are ignored;
+    * a NULL success flag drops its row (it is neither a success nor a
+    * failure).
+    *
+    * Degenerate inputs raise on the 1-row aggregate: an empty arm, or
+    * a pooled rate of exactly 0 or 1 (zero variance — z undefined).
+    *
+    * @param successCol BOOLEAN column (the conversion/pass flag)
+    * @return one row: (n_a, n_b, s_a, s_b, p_a, p_b, z) */
+  def propZTest(df: DataFrame, armCol: String, armA: String,
+      armB: String, successCol: String): DataFrame = {
+    require(armA != armB, "propZTest: arms must differ")
+    def arm(v: String, c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(col(armCol) === v, c).otherwise(lit(0L))), lit(0L))
+    val s = col(successCol).cast("boolean")
+    val m = df
+      .filter(s.isNotNull &&
+        (col(armCol) === armA || col(armCol) === armB))
+      .agg(
+        arm(armA, lit(1L)).as("n_a"), arm(armB, lit(1L)).as("n_b"),
+        arm(armA, when(s, 1L).otherwise(0L)).as("s_a"),
+        arm(armB, when(s, 1L).otherwise(0L)).as("s_b"))
+    val guarded = m.select(
+      when(col("n_a") === 0 || col("n_b") === 0, raise_error(lit(
+        "Drift.propZTest: empty arm — z is undefined")))
+        .when(col("s_a") + col("s_b") === 0 ||
+          col("s_a") + col("s_b") === col("n_a") + col("n_b"),
+          raise_error(lit(
+            "Drift.propZTest: pooled rate is 0 or 1 — zero variance, " +
+              "z is undefined")))
+        .otherwise(col("n_a")).as("n_a"),
+      col("n_b"), col("s_a"), col("s_b"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val pa = col("s_a").cast("double") / naD
+    val pb = col("s_b").cast("double") / nbD
+    val pool = (col("s_a") + col("s_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    guarded.select(col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+      pa.as("p_a"), pb.as("p_b"),
+      round((pa - pb) / sqrt(pool * (lit(1.0) - pool) *
+        (lit(1.0) / naD + lit(1.0) / nbD)), 9).as("z"))
+  }
+
   def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def moments(df: DataFrame, tag: String) = {
       val cents0 = floor(col(valueCol) * 100 + lit(0.5)).cast("long")

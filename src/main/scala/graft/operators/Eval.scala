@@ -216,6 +216,80 @@ object Eval {
           .as("kappa"))
   }
 
+  /** Fleiss' κ — chance-corrected agreement for N raters per item (the
+    * multi-rater generalization of [[cohenKappa]]): the "do our three
+    * labeling models agree beyond chance" audit a multi-annotator
+    * curation pipeline needs before trusting majority votes.
+    *
+    * `κ = (P̄ − P̄ₑ)/(1 − P̄ₑ)` with `P̄ = (Σᵢ Σ_c n_ic² − N·r) /
+    * (N·r·(r−1))` and `P̄ₑ = Σ_c (Σᵢ n_ic)² / (N·r)²` — every sum an
+    * exact DECIMAL(38,0) integer off the (item, category) count table,
+    * the final value one fixed IEEE chain over them
+    * (`κ = (A·D² − B·C) / (B·(D² − C))`).
+    *
+    * Preconditions raised loudly: every item must carry exactly the
+    * same number of ratings `r ≥ 2` (Fleiss assumes a balanced design;
+    * a silently-unbalanced table corrupts both P̄ terms), and a
+    * duplicate (item, rater) pair raises rather than double-counting.
+    *
+    * Shape: one shuffle to (item, category) counts; the per-item and
+    * per-category marginals are tiny aggregates over that table.
+    *
+    * @return one row: (n_items, n_raters, kappa) */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+      catCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.filter(col(itemCol).isNotNull &&
+      col(raterCol).isNotNull && col(catCol).isNotNull)
+    // duplicate (item, rater) would double-count a rating — the raise
+    // rides the REFERENCED n_items when-chain below (a guard on an
+    // unreferenced crossJoined column gets column-pruned away)
+    val perRater = rows.groupBy(col(itemCol).as("__i"),
+        col(raterCol).as("__rt"))
+      .agg(count(lit(1)).as("__k"))
+      .agg(coalesce(max("__k"), lit(0L)).as("__maxk"))
+    val cells = rows.groupBy(col(itemCol).as("__i"), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val items = cells.groupBy(col("__i"))
+      .agg(sum("__n").as("__r"),
+        sum(col("__n").cast(dec) * col("__n").cast(dec)).as("__sq"))
+    val base = items.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(min("__r"), lit(0L)).as("__rmin"),
+      coalesce(max("__r"), lit(0L)).as("__rmax"),
+      coalesce(sum("__sq"), lit(0).cast(dec)).as("__sumsq"))
+    val catTot = cells.groupBy(col("__c"))
+      .agg(sum("__n").as("__tc"))
+      .agg(coalesce(sum(col("__tc").cast(dec) * col("__tc").cast(dec)),
+        lit(0).cast(dec)).as("__sumcat"))
+    val g = base.crossJoin(catTot).crossJoin(perRater)
+      .select(
+        when(col("n_items") === 0, raise_error(lit(
+          "Eval.fleissKappa: no ratings")))
+          .when(col("__maxk") > 1, raise_error(lit(
+            "Eval.fleissKappa: duplicate (item, rater) rating")))
+          .when(col("__rmin") =!= col("__rmax"), raise_error(concat(
+            lit("Eval.fleissKappa: unbalanced design — items carry "),
+            col("__rmin"), lit(" to "), col("__rmax"),
+            lit(" ratings; Fleiss needs a constant rater count"))))
+          .when(col("__rmin") < 2, raise_error(lit(
+            "Eval.fleissKappa: need at least 2 ratings per item")))
+          .otherwise(col("n_items")).as("n_items"),
+        col("__rmin").as("n_raters"), col("__sumsq"), col("__sumcat"))
+    val nD = col("n_items").cast(dec)
+    val rD = col("n_raters").cast(dec)
+    val a = col("__sumsq") - nD * rD // Σn² − N·r
+    val b = nD * rD * (rD - 1) // N·r·(r−1)
+    val d2 = nD * rD * nD * rD // (N·r)²
+    g.select(col("n_items"), col("n_raters"),
+      when(d2 === col("__sumcat"), raise_error(lit(
+        "Eval.fleissKappa: every rating is one category (pe = 1) — " +
+          "kappa is undefined")))
+        .otherwise(round((a * d2 - b * col("__sumcat")).cast("double") /
+          (b * (d2 - col("__sumcat"))).cast("double"), 9))
+        .as("kappa"))
+  }
+
   private def tokArr(c: Column): Column =
     filter(split(lower(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
 

@@ -134,18 +134,20 @@ object RankCorr {
       .select(col(xCol).as("__x"), col(yCol).as("__y"))
     val cells = base.groupBy(col("__x"), col("__y"))
       .agg(count(lit(1)).as("__m"))
-    // the guard rides a 1-row aggregate crossed into the pair join's
-    // left side — evaluated before any pair materializes
+    // the guard rides the BROADCAST side's referenced count column (a
+    // raise on an unreferenced crossJoined column gets column-pruned
+    // away): it fires while the broadcast is BUILT — before the driver
+    // could materialize an oversized cell table, and before any pair
     val guard = cells.agg(count(lit(1)).as("__nc"))
-      .select(when(col("__nc") > maxCells, raise_error(concat(
-        lit(s"RankCorr.kendallTauB: distinct (x, y) cells exceed " +
-          s"$maxCells — bucket the inputs (cells="), col("__nc"),
-        lit(")")))).otherwise(col("__nc")).as("__nc"))
-    val l = cells.crossJoin(broadcast(guard))
-      .select(col("__x").as("__x1"), col("__y").as("__y1"),
-        col("__m").as("__m1"))
-    val r = cells.select(col("__x").as("__x2"), col("__y").as("__y2"),
-      col("__m").as("__m2"))
+    val l = cells.select(col("__x").as("__x1"), col("__y").as("__y1"),
+      col("__m").as("__m1"))
+    val r = cells.crossJoin(guard)
+      .select(col("__x").as("__x2"), col("__y").as("__y2"),
+        when(col("__nc") > maxCells, raise_error(concat(
+          lit(s"RankCorr.kendallTauB: distinct (x, y) cells exceed " +
+            s"$maxCells — bucket the inputs (cells="),
+          col("__nc").cast("string"), lit(")"))))
+          .otherwise(col("__m")).as("__m2"))
     // each unordered cell pair once, via the lexicographic struct order
     val pairs = l.join(broadcast(r),
       struct(col("__x1"), col("__y1")) < struct(col("__x2"), col("__y2")))

@@ -337,6 +337,54 @@ object PipelineQueries {
       "l_extendedprice", v => floor(v / 1000.0))
   }
 
+  /** Spearman's ρ ([[graft.operators.RankCorr.spearmanRho]], round 11):
+    * does quantity rank-predict line price. Exact doubled average
+    * ranks off the distinct-value collapse (the mannWhitney recipe on
+    * BOTH axes), moments in DECIMAL, one IEEE chain rounded 9dp —
+    * the oracle replays the identical rank algebra in SQL. */
+  val spearmanQtyPrice: Q = (s, d) =>
+    graft.operators.RankCorr.spearmanRho(Tables.lineitem(s, d),
+      "l_quantity", "l_extendedprice", x => x, y => floor(y / 1000.0))
+
+  /** Kendall's τ-b ([[graft.operators.RankCorr.kendallTauB]], round
+    * 11) between quantity and discount cents — two ordinal axes, so
+    * the distinct-cell pair space is ≤ 50·11 cells and the exact
+    * C/D pair counts replay directly in SQL. */
+  val kendallQtyDisc: Q = (s, d) =>
+    graft.operators.RankCorr.kendallTauB(
+      Tables.lineitem(s, d)
+        .select(col("l_quantity").as("qty"),
+          floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+            .as("disc")),
+      "qty", "disc")
+
+  /** Fleiss' κ ([[graft.operators.Eval.fleissKappa]], round 11):
+    * doc blocks of five as items, the in-block index as the rater,
+    * lang as the category — only COMPLETE five-rating blocks enter
+    * (the operator raises on an unbalanced design; the per-item
+    * count window is bounded at 5 rows per partition). */
+  val fleissLangAgreement: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val r = Tables.documents(s, d)
+      .select(expr("doc_id div 5").as("item"),
+        (col("doc_id") % 5).as("rater"), col("lang").as("cat"))
+    val complete = r
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("item"))))
+      .filter(col("__n") === 5).drop("__n")
+    graft.operators.Eval.fleissKappa(complete, "item", "rater", "cat")
+  }
+
+  /** Two-proportion z-test ([[graft.operators.Drift.propZTest]],
+    * round 11): did the high-discount rate differ between returned
+    * (R) and in-transit (N) lineitems — the binary-metric A/B shape,
+    * one conditional partial-agg scan. */
+  val propZDiscount: Q = (s, d) =>
+    graft.operators.Drift.propZTest(
+      Tables.lineitem(s, d)
+        .withColumn("disc_hi", col("l_discount") >= 0.05),
+      "l_returnflag", "R", "N", "disc_hi")
+
   /** Two-stage retrieve-and-rerank (the production search shape): BM25
     * lexical retrieval prunes the corpus to 20 candidates, then an
     * exact cosine re-rank against the query embedding (vec_id 0)

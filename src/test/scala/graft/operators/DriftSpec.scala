@@ -154,4 +154,40 @@ class DriftSpec extends SparkSpec {
     val m2 = ex2.getMessage + Option(ex2.getCause).map(_.getMessage).getOrElse("")
     assert(m2.contains("zero rank variance"))
   }
+
+  test("propZTest hand-computed: 30/100 vs 20/100 under the pooled SE") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => ("A", i <= 30)) ++
+      (1 to 100).map(i => ("B", i <= 20))
+    val df = rows.toDF("arm", "ok")
+    val r = Drift.propZTest(df, "arm", "A", "B", "ok").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((100L, 100L, 30L, 20L)))
+    val pool = 0.25
+    val want = BigDecimal((0.3 - 0.2) /
+      math.sqrt(pool * (1 - pool) * (1.0 / 100 + 1.0 / 100)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(6) - want) < 1e-12,
+      s"z ${r.getDouble(6)} vs $want")
+  }
+
+  test("propZTest raises on an empty arm and on a degenerate pooled " +
+      "rate; null success flags drop their rows") {
+    import spark.implicits._
+    val oneArm = Seq(("A", true), ("A", false)).toDF("arm", "ok")
+    val e1 = intercept[Exception] {
+      Drift.propZTest(oneArm, "arm", "A", "B", "ok").collect()
+    }
+    assert(e1.getMessage.contains("empty arm"), e1.getMessage)
+    val allFail = Seq(("A", false), ("B", false)).toDF("arm", "ok")
+    val e2 = intercept[Exception] {
+      Drift.propZTest(allFail, "arm", "A", "B", "ok").collect()
+    }
+    assert(e2.getMessage.contains("0 or 1"), e2.getMessage)
+    val withNull = Seq(("A", Some(true)), ("A", None), ("A", Some(false)),
+      ("B", Some(true)), ("B", Some(false))).toDF("arm", "ok")
+    val r = Drift.propZTest(withNull, "arm", "A", "B", "ok")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(2) == 1L)
+  }
 }

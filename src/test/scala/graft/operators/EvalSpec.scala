@@ -68,6 +68,38 @@ class EvalSpec extends SparkSpec {
     assert(ex.getMessage.contains("both classes"))
   }
 
+  test("fleiss kappa textbook hand-count (N=2, r=3, two categories)") {
+    // item 1: a,a,b ; item 2: b,b,b — P̄ = 8/12, Pe = 20/36,
+    // kappa = (2/3 − 5/9)/(1 − 5/9) = 0.25 exactly
+    val df = Seq((1, 1, "a"), (1, 2, "a"), (1, 3, "b"),
+      (2, 1, "b"), (2, 2, "b"), (2, 3, "b")).toDF("item", "rater", "cat")
+    val got = Eval.fleissKappa(df, "item", "rater", "cat").collect().head
+    assert(got.getLong(0) == 2L && got.getLong(1) == 3L)
+    assert(got.getDouble(2) === 0.25, got.toString)
+  }
+
+  test("fleiss kappa raises on unbalanced designs, duplicate " +
+      "(item, rater) ratings, and single-category tables") {
+    val unbal = Seq((1, 1, "a"), (1, 2, "a"), (2, 1, "b"))
+      .toDF("item", "rater", "cat")
+    val e1 = intercept[Exception] {
+      Eval.fleissKappa(unbal, "item", "rater", "cat").collect()
+    }
+    assert(e1.getMessage.contains("unbalanced"), e1.getMessage)
+    val dup = Seq((1, 1, "a"), (1, 1, "b"), (2, 1, "a"), (2, 2, "b"))
+      .toDF("item", "rater", "cat")
+    val e2 = intercept[Exception] {
+      Eval.fleissKappa(dup, "item", "rater", "cat").collect()
+    }
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+    val mono = Seq((1, 1, "a"), (1, 2, "a"), (2, 1, "a"), (2, 2, "a"))
+      .toDF("item", "rater", "cat")
+    val e3 = intercept[Exception] {
+      Eval.fleissKappa(mono, "item", "rater", "cat").collect()
+    }
+    assert(e3.getMessage.contains("pe = 1"), e3.getMessage)
+  }
+
   test("bucketed cum form is invariant to bucket granularity") {
     val rng = new scala.util.Random(5)
     val rows = (1 to 300).map(i =>
