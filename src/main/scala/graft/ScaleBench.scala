@@ -1745,6 +1745,31 @@ object ScaleBench {
       val tpzN = time(s"prop_ztest ${factor}x")(noop(pzOf(liN)))
       results += (("prop_ztest", tpz1, tpzN))
     }
+    {
+      def kwOf(d: DataFrame) = graft.operators.Drift.kruskalWallis(
+        d, "l_returnflag", "l_extendedprice", v => floor(v / 1000.0))
+      val tkw1 = time("kruskal 1x")(noop(kwOf(li1)))
+      val tkwN = time(s"kruskal ${factor}x")(noop(kwOf(liN)))
+      results += (("kruskal", tkw1, tkwN))
+    }
+    {
+      def afOf(d: DataFrame) = graft.operators.Drift.anovaF(
+        d.withColumn("ship_month",
+          lpad(month(col("l_shipdate")).cast("string"), 2, "0")),
+        "ship_month", "l_extendedprice")
+      val taf1 = time("anova_f 1x")(noop(afOf(li1)))
+      val tafN = time(s"anova_f ${factor}x")(noop(afOf(liN)))
+      results += (("anova_f", taf1, tafN))
+    }
+    {
+      def cdOf(d: DataFrame) = graft.operators.Drift.cliffsDelta(
+        d.filter(col("l_returnflag") === "R"),
+        d.filter(col("l_returnflag") === "A"),
+        "l_extendedprice", v => floor(v / 1000.0))
+      val tcd1 = time("cliffs_delta 1x")(noop(cdOf(li1)))
+      val tcdN = time(s"cliffs_delta ${factor}x")(noop(cdOf(liN)))
+      results += (("cliffs_delta", tcd1, tcdN))
+    }
 
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>

@@ -394,6 +394,9 @@ object SparkEntry {
     "q_kendall_tau" -> PipelineQueries.kendallQtyDisc,
     "q_fleiss_kappa" -> PipelineQueries.fleissLangAgreement,
     "q_prop_ztest" -> PipelineQueries.propZDiscount,
+    "q_kruskal" -> PipelineQueries.kruskalPrices,
+    "q_anova_f" -> PipelineQueries.anovaShipmode,
+    "q_cliffs_delta" -> PipelineQueries.cliffsDeltaPrices,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -2701,6 +2704,106 @@ object SparkEntry {
                      / CAST(n_a + n_b AS DOUBLE))
                  * (1.0 / n_a + 1.0 / n_b)), 9) AS z
       FROM m""",
+
+    // Kruskal-Wallis H: doubled ranks off the distinct-value collapse,
+    // per-group rank sums exact HUGEINT, the cross-group sum a
+    // list_reduce sequential fold in group order (= the Spark
+    // sort_array + aggregate fold, bit-identical), H raw (pure
+    // rational chain). VARCHAR roundtrips guard the >2^53 casts.
+    "q_kruskal" -> """
+      WITH cells AS (
+        SELECT l_returnflag::VARCHAR AS g, l_extendedprice AS v,
+               count(*)::BIGINT AS c
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+        GROUP BY 1, 2),
+      vals AS (SELECT v, sum(c)::BIGINT AS m FROM cells GROUP BY v),
+      r AS (SELECT v,
+              2 * COALESCE(sum(m) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + m + 1 AS rank2
+            FROM vals),
+      perg AS (SELECT g, sum(c)::BIGINT AS ng,
+                 sum(c::HUGEINT * r.rank2) AS r2g
+               FROM cells JOIN r USING (v) GROUP BY g),
+      tie AS (SELECT COALESCE(sum(m::HUGEINT * m * m - m), 0::HUGEINT)
+                AS tie
+              FROM vals),
+      fold AS (SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+                 list_reduce(list_prepend(0.0,
+                   list(CAST(CAST(r2g AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(r2g AS VARCHAR) AS DOUBLE) / ng
+                        ORDER BY g)),
+                   (a, x) -> a + x) AS s
+               FROM perg)
+      SELECT n, k,
+             (3.0 * s / (n::DOUBLE * (n::DOUBLE + 1.0))
+                - 3.0 * (n::DOUBLE + 1.0))
+             / (1.0 - CAST(CAST(tie AS VARCHAR) AS DOUBLE)
+                  / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)) AS h
+      FROM fold CROSS JOIN tie""",
+
+    // one-way ANOVA F: exact per-group integer-cents moments off ONE
+    // grouped scan, the same sorted list_reduce fold for sum(S^2/n),
+    // SS terms and F raw fixed IEEE chains
+    "q_anova_f" -> """
+      WITH b AS (
+        SELECT lpad(month(l_shipdate)::VARCHAR, 2, '0') AS g,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND lpad(month(l_shipdate)::VARCHAR, 2, '0') IS NOT NULL),
+      perg AS (SELECT g, count(*)::BIGINT AS ng,
+                 sum(cents::HUGEINT) AS sg,
+                 sum(cents::HUGEINT * cents) AS qg
+               FROM b GROUP BY g),
+      fold AS (SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+                 sum(sg) AS s, sum(qg) AS q,
+                 list_reduce(list_prepend(0.0,
+                   list(CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(sg AS VARCHAR) AS DOUBLE) / ng
+                        ORDER BY g)),
+                   (a, x) -> a + x) AS t
+               FROM perg)
+      SELECT n, k,
+             (t - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(s AS VARCHAR) AS DOUBLE) / n::DOUBLE)
+               / 10000.0 AS ss_between,
+             (CAST(CAST(q AS VARCHAR) AS DOUBLE) - t) / 10000.0
+               AS ss_within,
+             ((t - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(s AS VARCHAR) AS DOUBLE) / n::DOUBLE)
+                / (k::DOUBLE - 1.0))
+             / ((CAST(CAST(q AS VARCHAR) AS DOUBLE) - t)
+                / (n::DOUBLE - k::DOUBLE)) AS f
+      FROM fold""",
+
+    // Cliff's delta: the mann_whitney distinct-value collapse with a
+    // B-side running count; 2*U_a exact HUGEINT, delta one raw
+    // division of VARCHAR-roundtripped exact integers
+    "q_cliffs_delta" -> """
+      WITH sa AS (SELECT l_extendedprice AS v, count(*) AS ca
+                  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+      sb AS (SELECT l_extendedprice AS v, count(*) AS cb
+             FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+      m AS (SELECT COALESCE(sa.v, sb.v) AS v,
+                   COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+            FROM sa FULL JOIN sb ON sa.v = sb.v),
+      r AS (SELECT ca, cb,
+              COALESCE(sum(cb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS bbefore
+            FROM m),
+      agg AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+                COALESCE(sum(ca::HUGEINT * (2 * bbefore + cb)),
+                  0::HUGEINT) AS u2
+              FROM r)
+      SELECT n_a, n_b,
+             CAST(CAST(u2 AS VARCHAR) AS DOUBLE) / 2.0 AS u_a,
+             CAST(CAST(u2 - n_a::HUGEINT * n_b AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n_a::HUGEINT * n_b AS VARCHAR) AS DOUBLE)
+               AS delta
+      FROM agg""",
 
     // ROUGE-2: clipped bigram overlap replayed per (pair, gram);
     // empty-side pairs re-anchor on the pair table (the operator's

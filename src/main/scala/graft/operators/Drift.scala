@@ -439,6 +439,244 @@ object Drift {
         (lit(1.0) / naD + lit(1.0) / nbD)), 9).as("z"))
   }
 
+  /** Kruskal–Wallis H (rank one-way ANOVA, tie-corrected) — the
+    * k-GROUP generalization of [[mannWhitney]]: "did ANY of these k
+    * pipeline variants shift the metric's distribution", the screen an
+    * experiment platform runs before drilling into pairwise tests.
+    *
+    * Distributed shape: one shuffle to (group, value) cells; the
+    * global ranks ride the distinct-VALUE table (the [[mannWhitney]]
+    * two-phase recipe: per-bucket totals → broadcast prefix offsets →
+    * in-bucket windows, no global sort); per-group rank sums come from
+    * one cells⋈ranks equi-join. The cross-group reduction
+    * `Σ R_g²/n_g` is a SORTED SEQUENTIAL FOLD over the per-group terms
+    * (collect_list + sort_array + aggregate): group count is bounded
+    * (`maxGroups`, raised loudly), and the fixed fold order makes the
+    * IEEE sum bit-identical cross-engine where a parallel sum is not.
+    *
+    * Exactness: doubled average ranks (rank2 = 2·|{w<v}| + m + 1) keep
+    * every per-group rank sum an exact DECIMAL(38,0); each fold term
+    * is one cast + multiply + divide; H and its tie correction are one
+    * fixed IEEE chain over those terms, shipped RAW (every op is
+    * rational/IEEE-deterministic — rounding could only introduce a
+    * boundary, NOTES taxonomy).
+    *
+    * Loud degenerates: fewer than 2 groups, more than `maxGroups`
+    * groups (the fold's one-row collect must stay bounded), all values
+    * tied (tie correction hits 0 — H is 0/0).
+    *
+    * @param bucket maps a value to its rank-phase bucket id (the
+    *               [[mannWhitney]] contract: monotonic in the value)
+    * @return one row: (n, k, h) */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      maxGroups: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"),
+        col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val vals = cells.groupBy(col("__v")).agg(sum("__c").as("__m"))
+      .withColumn("__bk", bucket(col("__v")))
+    val wOff = Window.partitionBy(Bounded.constPart(col("__tm")))
+      .orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vals.groupBy(col("__bk")).agg(sum("__m").as("__tm"))
+      .withColumn("__om", coalesce(sum(col("__tm")).over(wOff), lit(0L)))
+      .select(col("__bk").as("__bk2"), col("__om"))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vals.join(broadcast(offs), col("__bk") <=> col("__bk2"))
+      .withColumn("__rank2",
+        lit(2L) * (col("__om") + sum(col("__m")).over(wIn) - col("__m"))
+          + col("__m") + lit(1L))
+      .select(col("__v").as("__rv"), col("__rank2"))
+    val perG = cells.join(ranked, col("__v") === col("__rv"))
+      .groupBy(col("__g"))
+      .agg(sum("__c").as("__ng"),
+        sum(col("__c").cast(dec) * col("__rank2").cast(dec)).as("__r2g"))
+    val ties = vals.agg(coalesce(
+      sum(col("__m").cast(dec) * col("__m").cast(dec) *
+        col("__m").cast(dec) - col("__m").cast(dec)),
+      lit(0L).cast(dec)).as("__tie"))
+    // per-group fold term BEFORE the collect: (R2_g)²/n_g in double off
+    // the exact decimal (decimal→double is correctly rounded; the
+    // oracle's VARCHAR roundtrip matches it past 2^53)
+    val term = col("__r2g").cast("double") * col("__r2g").cast("double") /
+      col("__ng").cast("double")
+    val folded = perG.agg(
+      count(lit(1)).as("k"),
+      coalesce(sum("__ng"), lit(0L)).as("n"),
+      sort_array(collect_list(struct(col("__g").as("g"), term.as("t"))))
+        .as("__terms"))
+    val g = folded.crossJoin(ties).select(
+      coalesce(col("n"), lit(0L)).as("n"),
+      when(col("k") < 2, raise_error(lit(
+        "Drift.kruskalWallis: need at least 2 groups")))
+        .when(col("k") > maxGroups, raise_error(concat(
+          lit(s"Drift.kruskalWallis: more than $maxGroups groups " +
+            "(the fold collects one term per group) — got "),
+          col("k").cast("string"))))
+        .otherwise(col("k")).as("k"),
+      aggregate(transform(col("__terms"), x => x.getField("t")),
+        lit(0.0), (acc, x) => acc + x).as("__s"),
+      col("__tie"))
+    val nD = col("n").cast("double")
+    val h0 = lit(3.0) * col("__s") / (nD * (nD + lit(1.0))) -
+      lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) -
+      col("__tie").cast("double") / (nD * nD * nD - nD)
+    g.select(col("n"), col("k"),
+      when(corr <= 0.0, raise_error(lit(
+        "Drift.kruskalWallis: every value tied — H is undefined")))
+        .otherwise(h0 / corr).as("h"))
+  }
+
+  /** One-way ANOVA F — the PARAMETRIC k-group companion to
+    * [[kruskalWallis]] (means, not rank shift) and the k-group
+    * generalization of the pooled t-test [[welchT]] approximates
+    * pairwise: `F = (SS_between/(k−1)) / (SS_within/(N−k))`.
+    *
+    * Distributed shape: ONE conditional partial-agg scan to per-group
+    * exact moments (n, Σcents, Σcents² hi/lo-split — the [[welchT]]
+    * recipe, so per-row squares never leave exact long space), then
+    * the bounded sorted fold of `Σ S_g²/n_g` (the [[kruskalWallis]]
+    * cross-group discipline) on the one-row aggregate. No join of data
+    * rows, no window.
+    *
+    * Exactness: group moments are exact integers (cents bound raised
+    * in-plan, per-group 2^31 row bound raised on the aggregate — the
+    * welchTByGroup ADVICE lesson); SS terms and F are one fixed IEEE
+    * chain over them, shipped RAW (pure rational — NOTES taxonomy).
+    * `ss_between`/`ss_within` are reported in squared VALUE units
+    * (cents² / 1e4).
+    *
+    * @return one row: (n, k, ss_between, ss_within, f) */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String,
+      maxGroups: Int = 10000): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents0 = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+    val cents = when(cents0.isNull && col(valueCol).isNotNull,
+        raise_error(lit(
+          s"Drift.anovaF: $valueCol overflows long cents")))
+      .when(abs(cents0) > 3037000499L, raise_error(lit(
+        "Drift.anovaF: |cents| beyond the exact-square bound " +
+          "(shard and merge moments)")))
+      .otherwise(cents0)
+    val sq = cents * cents
+    val perG = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(cents.cast(dec)).as("__sg"),
+        sum(shiftright(sq, 32)).as("__hi"),
+        sum(sq.bitwiseAND(lit(0xffffffffL))).as("__lo"))
+      // the lo-half wraps a signed long past ~2.1B rows per group —
+      // loud, not silent (the welchTByGroup lesson)
+      .withColumn("__ng",
+        when(col("__ng") > 2147483647L, raise_error(lit(
+          "Drift.anovaF: group beyond 2^31 rows — shard the input " +
+            "and merge the (mergeable) moment sums")))
+          .otherwise(col("__ng")))
+    val B = lit(4294967296L)
+    val sumSq = col("__hi").cast(dec) * B.cast(dec) + col("__lo").cast(dec)
+    val term = col("__sg").cast("double") * col("__sg").cast("double") /
+      col("__ng").cast("double")
+    val folded = perG.agg(
+      count(lit(1)).as("k"),
+      coalesce(sum("__ng"), lit(0L)).as("n"),
+      coalesce(sum(col("__sg")), lit(0L).cast(dec)).as("__s"),
+      coalesce(sum(sumSq), lit(0L).cast(dec)).as("__q"),
+      sort_array(collect_list(struct(col("__g").as("g"), term.as("t"))))
+        .as("__terms"))
+    val g = folded.select(
+      col("n"),
+      when(col("k") < 2, raise_error(lit(
+        "Drift.anovaF: need at least 2 groups")))
+        .when(col("k") > maxGroups, raise_error(concat(
+          lit(s"Drift.anovaF: more than $maxGroups groups — got "),
+          col("k").cast("string"))))
+        .when(col("n") <= col("k"), raise_error(lit(
+          "Drift.anovaF: need n > k for a within-group variance")))
+        .otherwise(col("k")).as("k"),
+      aggregate(transform(col("__terms"), x => x.getField("t")),
+        lit(0.0), (acc, x) => acc + x).as("__t"),
+      col("__s"), col("__q"))
+    val nD = col("n").cast("double")
+    val ssb = col("__t") -
+      col("__s").cast("double") * col("__s").cast("double") / nD
+    val ssw = col("__q").cast("double") - col("__t")
+    val kD = col("k").cast("double")
+    g.select(col("n"), col("k"),
+      (ssb / lit(10000.0)).as("ss_between"),
+      when(ssw <= 0.0, raise_error(lit(
+        "Drift.anovaF: zero within-group variance — F is undefined")))
+        .otherwise(ssw / lit(10000.0)).as("ss_within"),
+      ((ssb / (kD - lit(1.0))) / (ssw / (nD - kD))).as("f"))
+  }
+
+  /** Cliff's delta — the nonparametric EFFECT SIZE companion to
+    * [[mannWhitney]]'s significance: `δ = P(a > b) − P(a < b) =
+    * 2U_a/(n_a·n_b) − 1`, the "how big is the shift" number a test
+    * report needs next to the z (|δ| ≲ 0.147 negligible / 0.33 small /
+    * 0.474 medium — Romano et al.'s bands).
+    *
+    * Distributed shape and exactness are [[mannWhitney]]'s verbatim:
+    * distinct-value collapse, two-phase running count over the B-side
+    * counts, `2U_a = Σ ca·(2·|{b<v}| + ties_b)` an exact
+    * DECIMAL(38,0), δ ONE exact-integer division shipped RAW (a raw
+    * IEEE quotient is bit-identical; rounding a possibly-terminating
+    * rational is the boundary hazard — NOTES taxonomy).
+    *
+    * @return one row: (n_a, n_b, u_a, delta) */
+  def cliffsDelta(a: DataFrame, b: DataFrame, valueCol: String,
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def counts(df: DataFrame, tag: String) =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("__v"))
+        .agg(count(lit(1)).as(s"__c$tag"))
+    val merged = counts(a, "a")
+      .join(counts(b, "b").withColumnRenamed("__v", "__rv"),
+        col("__v") === col("__rv"), "full_outer")
+      .select(coalesce(col("__v"), col("__rv")).as("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .withColumn("__bk", bucket(col("__v")))
+    val wOff = Window.partitionBy(Bounded.constPart(col("__tb")))
+      .orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = merged.groupBy(col("__bk"))
+      .agg(sum("__cb").as("__tb"))
+      .withColumn("__ob", coalesce(sum(col("__tb")).over(wOff), lit(0L)))
+      .select(col("__bk").as("__bk2"), col("__ob"))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = merged.join(broadcast(offs), col("__bk") <=> col("__bk2"))
+      .withColumn("__bBefore",
+        col("__ob") + sum(col("__cb")).over(wIn) - col("__cb"))
+      .groupBy()
+      .agg(coalesce(sum("__ca"), lit(0L)).as("n_a"),
+        coalesce(sum("__cb"), lit(0L)).as("n_b"),
+        coalesce(sum(col("__ca").cast(dec) *
+          (lit(2L) * col("__bBefore") + col("__cb")).cast(dec)),
+          lit(0L).cast(dec)).as("__u2"))
+    val guarded = agg.select(
+      when(col("n_a") === 0 || col("n_b") === 0, raise_error(lit(
+        "Drift.cliffsDelta: empty sample — delta is undefined")))
+        .otherwise(col("n_a")).as("n_a"),
+      col("n_b"), col("__u2"))
+    val nab = col("n_a").cast(dec) * col("n_b").cast(dec)
+    guarded.select(col("n_a"), col("n_b"),
+      (col("__u2").cast("double") / lit(2.0)).as("u_a"),
+      ((col("__u2") - nab).cast("double") / nab.cast("double"))
+        .as("delta"))
+  }
+
   def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def moments(df: DataFrame, tag: String) = {
       val cents0 = floor(col(valueCol) * 100 + lit(0.5)).cast("long")

@@ -385,6 +385,39 @@ object PipelineQueries {
         .withColumn("disc_hi", col("l_discount") >= 0.05),
       "l_returnflag", "R", "N", "disc_hi")
 
+  /** Kruskal–Wallis H ([[graft.operators.Drift.kruskalWallis]], round
+    * 11): did ANY return-flag class shift the price distribution — the
+    * k-group screen over the same axis q_mann_whitney tests pairwise.
+    * Doubled ranks off the distinct-value collapse, per-group rank
+    * sums exact decimals, the cross-group Σ R²/n a sorted sequential
+    * fold (bit-identical to the oracle's list_reduce), H shipped raw. */
+  val kruskalPrices: Q = (s, d) =>
+    graft.operators.Drift.kruskalWallis(Tables.lineitem(s, d),
+      "l_returnflag", "l_extendedprice", v => floor(v / 1000.0))
+
+  /** One-way ANOVA F ([[graft.operators.Drift.anovaF]], round 11):
+    * does mean line price differ across the twelve ship months — ONE
+    * conditional partial-agg scan to exact per-group moments, the
+    * sorted fold for Σ S²/n, F raw. The month group key is zero-padded
+    * so the string fold order equals the numeric one. */
+  val anovaShipmode: Q = (s, d) =>
+    graft.operators.Drift.anovaF(
+      Tables.lineitem(s, d)
+        .withColumn("ship_month",
+          lpad(month(col("l_shipdate")).cast("string"), 2, "0")),
+      "ship_month", "l_extendedprice")
+
+  /** Cliff's δ ([[graft.operators.Drift.cliffsDelta]], round 11): the
+    * effect size next to q_mann_whitney's z on the identical R-vs-A
+    * price comparison — exact doubled-U integer, one raw division. */
+  val cliffsDeltaPrices: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    graft.operators.Drift.cliffsDelta(
+      li.filter(col("l_returnflag") === "R"),
+      li.filter(col("l_returnflag") === "A"),
+      "l_extendedprice", v => floor(v / 1000.0))
+  }
+
   /** Two-stage retrieve-and-rerank (the production search shape): BM25
     * lexical retrieval prunes the corpus to 20 candidates, then an
     * exact cosine re-rank against the query embedding (vec_id 0)

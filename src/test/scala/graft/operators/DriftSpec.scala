@@ -171,6 +171,82 @@ class DriftSpec extends SparkSpec {
       s"z ${r.getDouble(6)} vs $want")
   }
 
+  test("kruskalWallis hand-computed: untied and tied textbook cases") {
+    import spark.implicits._
+    // A=[1,2], B=[3,4]: ranks 1..4, R_A=3, R_B=7,
+    // H = 12/(4*5) * (9/2 + 49/2) - 3*5 = 2.4, no ties
+    val ut = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("g", "v")
+    val r1 = Drift.kruskalWallis(ut, "g", "v", identity).collect().head
+    assert((r1.getLong(0), r1.getLong(1)) == ((4L, 2L)))
+    assert(math.abs(r1.getDouble(2) - 2.4) < 1e-12, r1.toString)
+    // A=[1,1], B=[2,2]: avg ranks 1.5/3.5, H0 = 2.4,
+    // tie = 2*(8-2) = 12, C = 1 - 12/60 = 0.8, H = 3.0
+    val tied = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0))
+      .toDF("g", "v")
+    val r2 = Drift.kruskalWallis(tied, "g", "v", identity).collect().head
+    assert(math.abs(r2.getDouble(2) - 3.0) < 1e-12, r2.toString)
+  }
+
+  test("kruskalWallis raises on one group and on all-tied values") {
+    import spark.implicits._
+    val one = Seq(("A", 1.0), ("A", 2.0)).toDF("g", "v")
+    val e1 = intercept[Exception] {
+      Drift.kruskalWallis(one, "g", "v", identity).collect()
+    }
+    assert(e1.getMessage.contains("at least 2 groups"), e1.getMessage)
+    val allTied = Seq(("A", 5.0), ("B", 5.0), ("B", 5.0)).toDF("g", "v")
+    val e2 = intercept[Exception] {
+      Drift.kruskalWallis(allTied, "g", "v", identity).collect()
+    }
+    assert(e2.getMessage.contains("every value tied"), e2.getMessage)
+  }
+
+  test("anovaF hand-computed: SSB=6, SSW=10, F=2.4 on two 3-row groups") {
+    import spark.implicits._
+    // A=[1,2,3], B=[2,4,6] money: T=600000c², SSB=60000c²=6,
+    // SSW=100000c²=10, F=(6/1)/(10/4)=2.4
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 2.0), ("B", 4.0), ("B", 6.0)).toDF("g", "v")
+    val r = Drift.anovaF(df, "g", "v").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((6L, 2L)))
+    assert(math.abs(r.getDouble(2) - 6.0) < 1e-9, r.toString)
+    assert(math.abs(r.getDouble(3) - 10.0) < 1e-9, r.toString)
+    assert(math.abs(r.getDouble(4) - 2.4) < 1e-12, r.toString)
+  }
+
+  test("anovaF raises on one group and on zero within-group variance") {
+    import spark.implicits._
+    val one = Seq(("A", 1.0), ("A", 2.0)).toDF("g", "v")
+    val e1 = intercept[Exception] {
+      Drift.anovaF(one, "g", "v").collect()
+    }
+    assert(e1.getMessage.contains("at least 2 groups"), e1.getMessage)
+    val flat = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0))
+      .toDF("g", "v")
+    val e2 = intercept[Exception] {
+      Drift.anovaF(flat, "g", "v").collect()
+    }
+    assert(e2.getMessage.contains("zero within-group"), e2.getMessage)
+  }
+
+  test("cliffsDelta hand-computed: a=[1,2,3] vs b=[2,3,4] gives -5/9") {
+    import spark.implicits._
+    // #(a>b)=1, #(a<b)=6, ties=2: U_a = 1 + 0.5*2 = 2,
+    // delta = (2*2 - 9)/9 = -5/9
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 4.0).toDF("v")
+    val r = Drift.cliffsDelta(a, b, "v", identity).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert(r.getDouble(2) === 2.0, r.toString)
+    assert(math.abs(r.getDouble(3) - (-5.0 / 9.0)) < 1e-15, r.toString)
+    val e = intercept[Exception] {
+      Drift.cliffsDelta(a.filter(col("v") < 0), b, "v", identity)
+        .collect()
+    }
+    assert(e.getMessage.contains("empty sample"), e.getMessage)
+  }
+
   test("propZTest raises on an empty arm and on a degenerate pooled " +
       "rate; null success flags drop their rows") {
     import spark.implicits._
