@@ -1770,6 +1770,26 @@ object ScaleBench {
       val tcdN = time(s"cliffs_delta ${factor}x")(noop(cdOf(liN)))
       results += (("cliffs_delta", tcd1, tcdN))
     }
+    {
+      def mkOf(d: DataFrame) = graft.operators.TimeSeries
+        .mannKendallTrend(
+          d.filter(col("o_orderdate").isNotNull)
+            .groupBy(expr(
+              "unix_seconds(cast(o_orderdate as timestamp)) div 86400")
+              .as("slot"))
+            .agg(count(lit(1)).as("cnt")),
+          "slot", "cnt", sl => floor(sl))
+      val tmk1 = time("mann_kendall 1x")(noop(mkOf(ord1)))
+      val tmkN = time(s"mann_kendall ${factor}x")(noop(mkOf(ordN)))
+      results += (("mann_kendall", tmk1, tmkN))
+    }
+    {
+      def lkOf(d: DataFrame) = graft.operators.TextScore.llrKeyness(
+        d, "text", "lang", "en", "de")
+      val tlk1 = time("llr_keyness 1x")(noop(lkOf(docs1)))
+      val tlkN = time(s"llr_keyness ${factor}x")(noop(lkOf(docsN)))
+      results += (("llr_keyness", tlk1, tlkN))
+    }
 
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>

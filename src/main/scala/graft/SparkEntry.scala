@@ -397,6 +397,8 @@ object SparkEntry {
     "q_kruskal" -> PipelineQueries.kruskalPrices,
     "q_anova_f" -> PipelineQueries.anovaShipmode,
     "q_cliffs_delta" -> PipelineQueries.cliffsDeltaPrices,
+    "q_mann_kendall" -> PipelineQueries.mannKendallOrders,
+    "q_llr_keyness" -> PipelineQueries.llrKeynessLangs,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -2804,6 +2806,84 @@ object SparkEntry {
                / CAST(CAST(n_a::HUGEINT * n_b AS VARCHAR) AS DOUBLE)
                AS delta
       FROM agg""",
+
+    // Mann-Kendall + Theil-Sen over the day-grid series: S and ties
+    // exact integers off the grid^2 pair table, var_s one
+    // VARCHAR-roundtripped cast / 18, z raw (sqrt is IEEE-exact), the
+    // Sen slope SELECTED by exact pair ranks (each slope one long-diff
+    // division — bit-identical), middles averaged
+    "q_mann_kendall" -> """
+      WITH daily AS (
+        SELECT epoch(o_orderdate)::BIGINT // 86400 AS t,
+               count(*)::BIGINT AS v
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+      p AS (SELECT a.v AS v1, b.v AS v2, a.t AS t1, b.t AS t2
+            FROM daily a JOIN daily b ON b.t > a.t),
+      sagg AS (SELECT COALESCE(sum(CASE WHEN v2 > v1 THEN 1
+                 WHEN v2 < v1 THEN -1 ELSE 0 END), 0)::BIGINT AS s,
+                 count(*)::BIGINT AS n_pairs
+               FROM p),
+      nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+      tie AS (SELECT COALESCE(sum(m::HUGEINT * (m - 1) * (2 * m + 5)),
+                0::HUGEINT) AS tie
+              FROM (SELECT count(*)::BIGINT AS m FROM daily GROUP BY v)),
+      sl AS (SELECT CAST(v2 - v1 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE)
+               AS sl, count(*)::BIGINT AS c
+             FROM p GROUP BY 1),
+      rk AS (SELECT sl,
+               sum(c) OVER (ORDER BY sl ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS hi,
+               sum(c) OVER (ORDER BY sl ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) - c + 1 AS lo
+             FROM sl),
+      med AS (SELECT
+                min(CASE WHEN lo <= m1 AND m1 <= hi THEN sl END) AS s1,
+                min(CASE WHEN lo <= m2 AND m2 <= hi THEN sl END) AS s2
+              FROM rk CROSS JOIN (SELECT (n_pairs + 1) // 2 AS m1,
+                (n_pairs + 2) // 2 AS m2 FROM sagg)),
+      v AS (SELECT n, n_pairs, s,
+              CAST(CAST(n::HUGEINT * (n - 1) * (2 * n + 5) - tie
+                AS VARCHAR) AS DOUBLE) / 18.0 AS var_s
+            FROM nn CROSS JOIN sagg CROSS JOIN tie)
+      SELECT n, n_pairs, s, var_s,
+             CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+                  WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+                  ELSE 0.0 END AS z,
+             (s1 + s2) / 2.0 AS sen_slope
+      FROM v CROSS JOIN med""",
+
+    // Dunning G^2 keyness: exact per-slice term counts, expectations
+    // and the two x*ln(x/E) terms per row (zero-count sides contribute
+    // an exact 0.0), llr rounded 6dp (transcendental), direction by
+    // exact integer cross-products, top-50 on the ROUNDED value with a
+    // term tie-break
+    "q_llr_keyness" -> """
+      WITH toks AS (
+        SELECT lang AS s,
+               unnest(list_filter(
+                 regexp_split_to_array(lower(text), '\s+'),
+                 t -> t <> '')) AS w
+        FROM documents WHERE lang IN ('en', 'de')),
+      c AS (
+        SELECT w AS term,
+               count(*) FILTER (WHERE s = 'en')::BIGINT AS y_a,
+               count(*) FILTER (WHERE s = 'de')::BIGINT AS y_b
+        FROM toks GROUP BY 1),
+      t AS (SELECT sum(y_a)::BIGINT AS ta, sum(y_b)::BIGINT AS tb FROM c),
+      f AS (
+        SELECT term, y_a, y_b,
+               2.0 * (CASE WHEN y_a > 0 THEN y_a::DOUBLE
+                   * ln(y_a::DOUBLE / (ta::DOUBLE * (y_a + y_b)::DOUBLE
+                     / (ta::DOUBLE + tb::DOUBLE))) ELSE 0.0 END
+                 + CASE WHEN y_b > 0 THEN y_b::DOUBLE
+                   * ln(y_b::DOUBLE / (tb::DOUBLE * (y_a + y_b)::DOUBLE
+                     / (ta::DOUBLE + tb::DOUBLE))) ELSE 0.0 END) AS llr,
+               CAST(CASE WHEN y_a::HUGEINT * tb >= y_b::HUGEINT * ta
+                 THEN 1 ELSE -1 END AS INT) AS dir
+        FROM c CROSS JOIN t
+        WHERE y_a + y_b >= 5)
+      SELECT term, y_a, y_b, round(llr, 6) AS llr, dir
+      FROM f ORDER BY round(llr, 6) DESC, term LIMIT 50""",
 
     // ROUGE-2: clipped bigram overlap replayed per (pair, gram);
     // empty-side pairs re-anchor on the pair table (the operator's

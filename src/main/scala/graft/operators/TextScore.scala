@@ -303,4 +303,69 @@ object TextScore {
         round(delta, 6).as("delta"),
         round(delta / sqrt(variance), 6).as("z"))
   }
+
+  /** Dunning log-likelihood-ratio keyness (G²) — the frequentist
+    * corpus-comparison companion to [[logOddsDirichlet]]'s Bayesian
+    * shrinkage: `G² = 2·(a·ln(a/E_a) + b·ln(b/E_b))` with expectations
+    * from the pooled rate, the classic "which terms distinguish corpus
+    * A from corpus B" screen (Dunning 1993) used to audit a training
+    * mix against a reference corpus.
+    *
+    * Shape: one (term) shuffle to per-slice counts, totals a 1-row
+    * broadcast, per-term map-only arithmetic, top-k by
+    * TakeOrderedAndProject (per-partition heaps — no global sort).
+    * Zero-count sides contribute an exact `0.0` term (the x·ln x → 0
+    * limit), so every term in either corpus scores.
+    *
+    * FP: counts exact longs; each G² is division + ln per side —
+    * transcendental, rounded 6dp (NOTES taxonomy); the direction flag
+    * compares exact integer cross-products (a·N_b vs b·N_a in
+    * DECIMAL), never floats. Ties at the cut break on term. An empty
+    * slice raises loudly (expectations are 0/0).
+    *
+    * @param dir +1 = overrepresented in `sliceA`, -1 = in `sliceB`
+    * @return topK rows: (term, y_a, y_b, llr, dir) */
+  def llrKeyness(df: DataFrame, textCol: String, sliceCol: String,
+      sliceA: String, sliceB: String, minCount: Long = 5,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 1, "llrKeyness: topK must be >= 1")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tk = filter(Tokenize.tokenCol(textCol), t => t =!= "")
+    val toks = df
+      .filter(col(sliceCol).isin(sliceA, sliceB))
+      .select(col(sliceCol).as("__s"), explode(tk).as("__w"))
+    val counts = toks.groupBy("__w").agg(
+      sum(when(col("__s") === sliceA, 1L).otherwise(0L)).as("y_a"),
+      sum(when(col("__s") === sliceB, 1L).otherwise(0L)).as("y_b"))
+    val totals = counts.agg(
+      coalesce(sum("y_a"), lit(0L)).as("__ta"),
+      coalesce(sum("y_b"), lit(0L)).as("__tb"))
+    // the raise rides the REFERENCED total column (the pruned-guard
+    // lesson): it fires while the broadcast side is built
+    val guarded = totals.select(
+      when(col("__ta") === 0 || col("__tb") === 0, raise_error(lit(
+        "TextScore.llrKeyness: empty slice — expectations are 0/0")))
+        .otherwise(col("__ta")).as("__ta"),
+      col("__tb"))
+    val na = col("__ta").cast("double")
+    val nb = col("__tb").cast("double")
+    val yab = (col("y_a") + col("y_b")).cast("double")
+    val ea = na * yab / (na + nb)
+    val eb = nb * yab / (na + nb)
+    val ta = when(col("y_a") > 0,
+      col("y_a").cast("double") * log(col("y_a").cast("double") / ea))
+      .otherwise(lit(0.0))
+    val tb = when(col("y_b") > 0,
+      col("y_b").cast("double") * log(col("y_b").cast("double") / eb))
+      .otherwise(lit(0.0))
+    counts.filter(col("y_a") + col("y_b") >= minCount)
+      .crossJoin(broadcast(guarded))
+      .select(col("__w").as("term"), col("y_a"), col("y_b"),
+        round(lit(2.0) * (ta + tb), 6).as("llr"),
+        when(col("y_a").cast(dec) * col("__tb").cast(dec) >=
+          col("y_b").cast(dec) * col("__ta").cast(dec), lit(1))
+          .otherwise(lit(-1)).as("dir"))
+      .orderBy(col("llr").desc, col("term"))
+      .limit(topK)
+  }
 }

@@ -502,4 +502,109 @@ object TimeSeries {
       .withColumn("fc_h",
         col("level") + lit(horizon.toDouble) * col("trend"))
   }
+
+  /** Mann–Kendall trend test + Theil–Sen slope over a pre-aggregated
+    * series — the nonparametric "is this metric drifting, and how
+    * fast" monitor (daily ingest volume, daily dedup rate): S counts
+    * concordant-minus-discordant time pairs, the tie-corrected z its
+    * significance, and the Sen slope is the MEDIAN pairwise slope — a
+    * robust rate no single outlier day can move (the regression-line
+    * alternative breaks on one bad day).
+    *
+    * PRECONDITION (loud): the input is a SLOT-GRAIN series (one row
+    * per slot — run the groupBy first), at most `maxPoints` rows. The
+    * pair table is grid², DATA-SIZE-INDEPENDENT at any corpus scale
+    * (the whole point: 100 TB of events still collapse to the same
+    * day grid). Pairs come from one broadcast-nested-loop self-join
+    * of the bounded grid; the guards ride the broadcast side's
+    * referenced value column so they fire while it is built.
+    *
+    * Exactness: values are exact longs (counts, pre-scaled cents); S
+    * and the tie sums are exact integers; var_s is one DECIMAL→double
+    * cast ÷ 18.0; z is a fixed IEEE chain (sqrt is IEEE-exact),
+    * shipped RAW. Each pairwise slope is ONE long-diff division —
+    * bit-identical cross-engine — and the median is selected (not
+    * averaged across engines) by exact pair ranks off the
+    * distinct-slope collapse; an even pair count averages the two
+    * middle slopes (one add + one halving).
+    *
+    * @param bucket maps a slope to its rank-phase bucket id
+    * @return one row: (n, n_pairs, s, var_s, z, sen_slope) */
+  def mannKendallTrend(df: DataFrame, slotCol: String, valueCol: String,
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      maxPoints: Int = 100000): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pts = df.filter(col(slotCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(slotCol).cast("long").as("__t"),
+        col(valueCol).cast("long").as("__v"))
+    val meta = pts.groupBy(col("__t")).agg(count(lit(1)).as("__k"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("__n"),
+        coalesce(max("__k"), lit(0L)).as("__maxk"))
+    // guards ride the broadcast side's referenced __v2 (the RankCorr
+    // lesson: a raise on an unreferenced column gets column-pruned)
+    val right = pts.crossJoin(broadcast(meta))
+      .select(col("__t").as("__t2"),
+        when(col("__maxk") > 1, raise_error(lit(
+          "TimeSeries.mannKendallTrend: duplicate slot — aggregate " +
+            "to slot grain first")))
+          .when(col("__n") < 3, raise_error(lit(
+            "TimeSeries.mannKendallTrend: need at least 3 points")))
+          .when(col("__n") > maxPoints, raise_error(concat(
+            lit(s"TimeSeries.mannKendallTrend: series beyond " +
+              s"$maxPoints slots (the pair table is grid²) — got "),
+            col("__n").cast("string"))))
+          .otherwise(col("__v")).as("__v2"))
+    val pairs = pts.join(broadcast(right), col("__t2") > col("__t"))
+    val sAgg = pairs.agg(
+      coalesce(sum(when(col("__v2") > col("__v"), 1L)
+        .when(col("__v2") < col("__v"), -1L).otherwise(0L)), lit(0L))
+        .as("s"),
+      count(lit(1)).as("n_pairs"))
+    val nRow = pts.agg(count(lit(1)).as("n"))
+    val tieAgg = pts.groupBy(col("__v")).agg(count(lit(1)).as("__m"))
+      .agg(coalesce(sum(col("__m").cast(dec) * (col("__m") - 1).cast(dec)
+        * (lit(2L) * col("__m") + 5L).cast(dec)), lit(0L).cast(dec))
+        .as("__tie"))
+    // median pairwise slope: distinct-slope collapse + two-phase cum
+    // ranks (the exact-quantile recipe — never a global sort of pairs)
+    val slopes = pairs
+      .select(((col("__v2") - col("__v")).cast("double") /
+        (col("__t2") - col("__t")).cast("double")).as("__sl"))
+      .groupBy(col("__sl")).agg(count(lit(1)).as("__c"))
+      .withColumn("__bk", bucket(col("__sl")))
+    val wOff = Window.partitionBy(Bounded.constPart(col("__tc")))
+      .orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = slopes.groupBy(col("__bk")).agg(sum("__c").as("__tc"))
+      .withColumn("__oc", coalesce(sum(col("__tc")).over(wOff), lit(0L)))
+      .select(col("__bk").as("__bk2"), col("__oc"))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(col("__sl"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = slopes.join(broadcast(offs), col("__bk") <=> col("__bk2"))
+      .withColumn("__hi", col("__oc") + sum(col("__c")).over(wIn))
+      .withColumn("__lo", col("__hi") - col("__c") + 1L)
+    val med = ranked.crossJoin(broadcast(sAgg.select(
+        expr("(n_pairs + 1) div 2").as("__m1"),
+        expr("(n_pairs + 2) div 2").as("__m2"))))
+      .agg(
+        min(when(col("__lo") <= col("__m1") && col("__m1") <= col("__hi"),
+          col("__sl"))).as("__s1"),
+        min(when(col("__lo") <= col("__m2") && col("__m2") <= col("__hi"),
+          col("__sl"))).as("__s2"))
+    val joined = nRow.crossJoin(sAgg).crossJoin(tieAgg).crossJoin(med)
+    val nD = col("n").cast("double")
+    val varS = (col("n").cast(dec) * (col("n") - 1).cast(dec) *
+      (lit(2L) * col("n") + 5L).cast(dec) - col("__tie"))
+      .cast("double") / lit(18.0)
+    val sD = col("s").cast("double")
+    joined.select(col("n"), col("n_pairs"), col("s"),
+      varS.as("var_s"),
+      when(varS <= 0.0, raise_error(lit(
+        "TimeSeries.mannKendallTrend: zero variance — every value " +
+          "tied")))
+        .when(col("s") > 0, (sD - lit(1.0)) / sqrt(varS))
+        .when(col("s") < 0, (sD + lit(1.0)) / sqrt(varS))
+        .otherwise(lit(0.0)).as("z"),
+      ((col("__s1") + col("__s2")) / lit(2.0)).as("sen_slope"))
+  }
 }

@@ -418,6 +418,29 @@ object PipelineQueries {
       "l_extendedprice", v => floor(v / 1000.0))
   }
 
+  /** Mann–Kendall trend + Theil–Sen slope
+    * ([[graft.operators.TimeSeries.mannKendallTrend]], round 11): is
+    * daily order volume drifting. The slot grid (epoch days) is
+    * data-size-independent — 100 TB of orders still collapse to the
+    * same ~2.4k-day series before the grid² pair join. */
+  val mannKendallOrders: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(expr("unix_seconds(cast(o_orderdate as timestamp)) div 86400")
+        .as("slot"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.operators.TimeSeries.mannKendallTrend(daily, "slot", "cnt",
+      sl => floor(sl))
+  }
+
+  /** Dunning LLR keyness ([[graft.operators.TextScore.llrKeyness]],
+    * round 11): which terms distinguish the en slice from the de slice
+    * by G² — the frequentist companion to q_fightin_words' shrunk
+    * log-odds on the same corpus split. */
+  val llrKeynessLangs: Q = (s, d) =>
+    graft.operators.TextScore.llrKeyness(
+      Tables.documents(s, d), "text", "lang", "en", "de")
+
   /** Two-stage retrieve-and-rerank (the production search shape): BM25
     * lexical retrieval prunes the corpus to 20 candidates, then an
     * exact cosine re-rank against the query embedding (vec_id 0)

@@ -92,4 +92,42 @@ class TextScoreSpec extends SparkSpec {
     // 30-0 "aa" — the shrinkage that raw log-odds ratios get wrong
     assert(got("rare")._3 > 0 && got("rare")._3 < got("aa")._3 / 2)
   }
+
+  test("llrKeyness matches the hand-computed Dunning G2 with signs") {
+    // A: "x x y", B: "x y y y" → x:(2,1), y:(1,3); ta=3, tb=4
+    val docs = Seq(("a", "x x y"), ("b", "x y y y")).toDF("s", "text")
+    val got = TextScore.llrKeyness(docs, "text", "s", "a", "b",
+        minCount = 1, topK = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    def g2(ya: Double, yb: Double, ta: Double, tb: Double): Double = {
+      val ea = ta * (ya + yb) / (ta + tb)
+      val eb = tb * (ya + yb) / (ta + tb)
+      val la = if (ya > 0) ya * math.log(ya / ea) else 0.0
+      val lb = if (yb > 0) yb * math.log(yb / eb) else 0.0
+      BigDecimal(2.0 * (la + lb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("x")._1 == 2L && got("x")._2 == 1L)
+    assert(math.abs(got("x")._3 - g2(2, 1, 3, 4)) < 1e-12, got("x"))
+    assert(got("x")._4 == 1, "x overrepresented in A")
+    assert(math.abs(got("y")._3 - g2(1, 3, 3, 4)) < 1e-12, got("y"))
+    assert(got("y")._4 == -1, "y overrepresented in B")
+  }
+
+  test("llrKeyness raises on an empty slice; zero-count sides score") {
+    val docs = Seq(("a", "x y"), ("a", "x")).toDF("s", "text")
+    val e = intercept[Exception] {
+      TextScore.llrKeyness(docs, "text", "s", "a", "b", minCount = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("empty slice"), e.getMessage)
+    // a term present only in B still gets a finite G2 (x*ln x → 0)
+    val two = Seq(("a", "x x"), ("b", "z z z")).toDF("s", "text")
+    val r = TextScore.llrKeyness(two, "text", "s", "a", "b",
+        minCount = 1, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(r("z") > 0 && !r("z").isNaN && !r("z").isInfinite)
+  }
 }

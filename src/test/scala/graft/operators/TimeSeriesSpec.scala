@@ -290,4 +290,61 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("exceeds 1"))
   }
+
+  test("mannKendallTrend hand-computed: S=7, tie-corrected var, sen=1") {
+    import spark.implicits._
+    // v = [1,2,3,2,5] at t = 0..4: S = 7; ties: value 2 twice →
+    // tie sum 18; var = (5·4·15 − 18)/18 = 282/18;
+    // z = 6/sqrt(282/18); slopes sorted have both middles = 1
+    val df = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (4L, 5L))
+      .toDF("t", "v")
+    val r = TimeSeries.mannKendallTrend(df, "t", "v", identity)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 10L, 7L)))
+    assert(math.abs(r.getDouble(3) - 282.0 / 18.0) < 1e-12, r.toString)
+    assert(math.abs(r.getDouble(4) - 6.0 / math.sqrt(282.0 / 18.0))
+      < 1e-12, r.toString)
+    assert(r.getDouble(5) === 1.0, r.toString)
+  }
+
+  test("mannKendallTrend: even-count median averages the middles; " +
+      "monotone series has S = n_pairs") {
+    import spark.implicits._
+    // v = [1,2,4] at t = 0,1,2: slopes 1, 1.5, 2 → sen = 1.5; S = 3
+    val df = Seq((0L, 1L), (1L, 2L), (2L, 4L)).toDF("t", "v")
+    val r = TimeSeries.mannKendallTrend(df, "t", "v", identity)
+      .collect().head
+    assert(r.getLong(2) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(5) === 1.5, r.toString)
+    // 4 points, 6 pairs: middles are ranks 3 and 4
+    // v = [0,10,1,11] at t=0..3: slopes: 10, 0.5, 11/3, -9, 0.5, 10
+    // sorted: -9, 0.5, 0.5, 10/3?? recompute: pairs (0,1)=10,
+    // (0,2)=0.5, (0,3)=11/3, (1,2)=-9, (1,3)=0.5, (2,3)=10
+    // sorted: -9, 0.5, 0.5, 11/3, 10, 10 → sen = (0.5 + 11/3)/2
+    val df2 = Seq((0L, 0L), (1L, 10L), (2L, 1L), (3L, 11L)).toDF("t", "v")
+    val r2 = TimeSeries.mannKendallTrend(df2, "t", "v", identity)
+      .collect().head
+    assert(math.abs(r2.getDouble(5) - (0.5 + 11.0 / 3.0) / 2.0) < 1e-12,
+      r2.toString)
+  }
+
+  test("mannKendallTrend raises on duplicate slots, short series, and " +
+      "all-tied values") {
+    import spark.implicits._
+    val dup = Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("t", "v")
+    val e1 = intercept[Exception] {
+      TimeSeries.mannKendallTrend(dup, "t", "v", identity).collect()
+    }
+    assert(e1.getMessage.contains("duplicate slot"), e1.getMessage)
+    val short = Seq((0L, 1L), (1L, 2L)).toDF("t", "v")
+    val e2 = intercept[Exception] {
+      TimeSeries.mannKendallTrend(short, "t", "v", identity).collect()
+    }
+    assert(e2.getMessage.contains("at least 3"), e2.getMessage)
+    val flat = Seq((0L, 5L), (1L, 5L), (2L, 5L)).toDF("t", "v")
+    val e3 = intercept[Exception] {
+      TimeSeries.mannKendallTrend(flat, "t", "v", identity).collect()
+    }
+    assert(e3.getMessage.contains("zero variance"), e3.getMessage)
+  }
 }
