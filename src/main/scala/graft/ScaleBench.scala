@@ -1790,6 +1790,35 @@ object ScaleBench {
       val tlkN = time(s"llr_keyness ${factor}x")(noop(lkOf(docsN)))
       results += (("llr_keyness", tlk1, tlkN))
     }
+    {
+      def mcOf(d: DataFrame) = graft.operators.Eval.mccMulticlass(
+        graft.queries.TextQueries.langIdOf(d), "lang", "predicted")
+      val tmc1 = time("mcc 1x")(noop(mcOf(docs1)))
+      val tmcN = time(s"mcc ${factor}x")(noop(mcOf(docsN)))
+      results += (("mcc", tmc1, tmcN))
+    }
+    {
+      def ccOf(d: DataFrame) = graft.operators.TimeSeries.crossCorr(
+        d.filter(col("ts").isNotNull)
+          .groupBy(expr("unix_seconds(cast(ts as timestamp)) div 86400")
+            .as("slot"))
+          .agg(sum(when(col("event_type") === "click", 1L)
+            .otherwise(0L)).as("clicks"),
+            sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("purchases")),
+        "slot", "clicks", "purchases", maxLag = 7)
+      val tcc1 = time("cross_corr 1x")(noop(ccOf(ev1)))
+      val tccN = time(s"cross_corr ${factor}x")(noop(ccOf(evN)))
+      results += (("cross_corr", tcc1, tccN))
+    }
+    {
+      def jsOf(d: DataFrame) = graft.operators.TextScore.jsdBuckets(
+        d.filter(col("lang") === "en"), d.filter(col("lang") === "de"),
+        "text")
+      val tjs1 = time("jsd_buckets 1x")(noop(jsOf(docs1)))
+      val tjsN = time(s"jsd_buckets ${factor}x")(noop(jsOf(docsN)))
+      results += (("jsd_buckets", tjs1, tjsN))
+    }
 
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>

@@ -399,6 +399,9 @@ object SparkEntry {
     "q_cliffs_delta" -> PipelineQueries.cliffsDeltaPrices,
     "q_mann_kendall" -> PipelineQueries.mannKendallOrders,
     "q_llr_keyness" -> PipelineQueries.llrKeynessLangs,
+    "q_mcc" -> PipelineQueries.mccLangId,
+    "q_cross_corr" -> PipelineQueries.crossCorrClicks,
+    "q_jsd_langs" -> PipelineQueries.jsdLangs,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -2884,6 +2887,128 @@ object SparkEntry {
         WHERE y_a + y_b >= 5)
       SELECT term, y_a, y_b, round(llr, 6) AS llr, dir
       FROM f ORDER BY round(llr, 6) DESC, term LIMIT 50""",
+
+    // multiclass MCC (Gorodkin R_K) off the lang-id confusion table:
+    // trace/total/marginal sums exact HUGEINT, R_K one raw IEEE chain
+    // over VARCHAR-roundtripped casts
+    "q_mcc" -> """
+      WITH s AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, t -> t='the'))::INT
+                 + len(list_filter(toks, t -> t='and'))::INT
+                 + len(list_filter(toks, t -> t='of'))::INT AS en_score,
+               len(list_filter(toks, t -> t='der'))::INT
+                 + len(list_filter(toks, t -> t='und'))::INT
+                 + len(list_filter(toks, t -> t='die'))::INT AS de_score,
+               len(list_filter(toks, t -> t='le'))::INT
+                 + len(list_filter(toks, t -> t='la'))::INT
+                 + len(list_filter(toks, t -> t='et'))::INT AS fr_score
+        FROM (SELECT doc_id, lang,
+                     string_split(lower(coalesce(text, '')), ' ') AS toks
+              FROM documents) t),
+      p AS (
+        SELECT lang AS a,
+               CASE WHEN en_score + de_score + fr_score = 0 THEN 'unknown'
+                    WHEN en_score >= de_score AND en_score >= fr_score
+                      THEN 'en'
+                    WHEN de_score >= fr_score THEN 'de'
+                    ELSE 'fr' END AS pr
+        FROM s),
+      pairs AS (SELECT a, pr, count(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+      act AS (SELECT a AS cls, sum(n)::BIGINT AS ta FROM pairs GROUP BY 1),
+      prd AS (SELECT pr AS cls, sum(n)::BIGINT AS tp FROM pairs GROUP BY 1),
+      marg AS (SELECT
+          COALESCE(sum(COALESCE(tp, 0)::HUGEINT * COALESCE(ta, 0)),
+            0::HUGEINT) AS pt,
+          COALESCE(sum(COALESCE(tp, 0)::HUGEINT * COALESCE(tp, 0)),
+            0::HUGEINT) AS pp,
+          COALESCE(sum(COALESCE(ta, 0)::HUGEINT * COALESCE(ta, 0)),
+            0::HUGEINT) AS tt
+        FROM act FULL JOIN prd ON act.cls = prd.cls),
+      tot AS (SELECT sum(n)::BIGINT AS n,
+                COALESCE(sum(CASE WHEN a = pr THEN n ELSE 0 END), 0)
+                  ::BIGINT AS trace
+              FROM pairs)
+      SELECT n, trace,
+             CAST(CAST(trace::HUGEINT * n - pt AS VARCHAR) AS DOUBLE)
+             / (sqrt(CAST(CAST(n::HUGEINT * n - pp AS VARCHAR)
+                  AS DOUBLE))
+                * sqrt(CAST(CAST(n::HUGEINT * n - tt AS VARCHAR)
+                    AS DOUBLE))) AS mcc
+      FROM tot CROSS JOIN marg""",
+
+    // lagged cross-correlation over the day grid: one shifted-slot
+    // equi-join, exact HUGEINT moments per lag, r raw; zero-variance
+    // lags are NULL, sub-2-point lags dropped
+    "q_cross_corr" -> """
+      WITH daily AS (
+        SELECT epoch(ts)::BIGINT // 86400 AS slot,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 ::BIGINT AS x,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 ::BIGINT AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      l AS (SELECT d.slot, d.x, u.lag::INT AS lag
+            FROM daily d, unnest(range(0, 8)) AS u(lag)),
+      j AS (SELECT l.lag, l.x, r.y
+            FROM l JOIN daily r ON l.slot + l.lag = r.slot),
+      m AS (SELECT lag, count(*)::BIGINT AS n,
+              sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+              sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+              sum(x::HUGEINT * y) AS sxy
+            FROM j GROUP BY lag HAVING count(*) >= 2)
+      SELECT lag, n,
+             CASE WHEN n::HUGEINT * sxx - sx * sx <= 0
+                    OR n::HUGEINT * syy - sy * sy <= 0 THEN NULL
+                  ELSE CAST(CAST(n::HUGEINT * sxy - sx * sy AS VARCHAR)
+                         AS DOUBLE)
+                    / (sqrt(CAST(CAST(n::HUGEINT * sxx - sx * sx
+                         AS VARCHAR) AS DOUBLE))
+                       * sqrt(CAST(CAST(n::HUGEINT * syy - sy * sy
+                           AS VARCHAR) AS DOUBLE))) END AS r
+      FROM m""",
+
+    // bucketed JSD: md5-bucketed unigram distributions (the hashing_tf
+    // hash pair), per-bucket transcendental terms folded in bucket
+    // order via list_reduce (= the Spark sort_array+aggregate fold),
+    // rounded 6dp
+    "q_jsd_langs" -> """
+      WITH ta AS (
+        SELECT ('0x' || substr(md5('jsd_' || w), 1, 8))::BIGINT % 1024
+                 AS bk, count(*)::BIGINT AS ca
+        FROM (SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '\s+'),
+                t -> t <> '')) AS w
+              FROM documents WHERE lang = 'en')
+        GROUP BY 1),
+      tb AS (
+        SELECT ('0x' || substr(md5('jsd_' || w), 1, 8))::BIGINT % 1024
+                 AS bk, count(*)::BIGINT AS cb
+        FROM (SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '\s+'),
+                t -> t <> '')) AS w
+              FROM documents WHERE lang = 'de')
+        GROUP BY 1),
+      m AS (SELECT COALESCE(ta.bk, tb.bk) AS bk,
+                   COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+            FROM ta FULL JOIN tb ON ta.bk = tb.bk),
+      t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM m),
+      terms AS (SELECT bk,
+          (CASE WHEN ca > 0 THEN ca::DOUBLE / na::DOUBLE / 2.0
+               * ln((ca::DOUBLE / na::DOUBLE)
+                 / ((ca::DOUBLE / na::DOUBLE + cb::DOUBLE / nb::DOUBLE)
+                   / 2.0)) ELSE 0.0 END
+           + CASE WHEN cb > 0 THEN cb::DOUBLE / nb::DOUBLE / 2.0
+               * ln((cb::DOUBLE / nb::DOUBLE)
+                 / ((ca::DOUBLE / na::DOUBLE + cb::DOUBLE / nb::DOUBLE)
+                   / 2.0)) ELSE 0.0 END) AS t
+        FROM m CROSS JOIN t),
+      fold AS (SELECT count(*)::BIGINT AS n_buckets,
+                 round(list_reduce(list_prepend(0.0,
+                   list(t ORDER BY bk)), (a, x) -> a + x), 6) AS jsd
+               FROM terms)
+      SELECT na AS n_a, nb AS n_b, n_buckets, jsd
+      FROM t CROSS JOIN fold""",
 
     // ROUGE-2: clipped bigram overlap replayed per (pair, gram);
     // empty-side pairs re-anchor on the pair table (the operator's

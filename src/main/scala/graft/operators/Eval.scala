@@ -290,6 +290,67 @@ object Eval {
         .as("kappa"))
   }
 
+  /** Multiclass Matthews correlation (Gorodkin's R_K) — the single
+    * chance-corrected number for a k-class confusion table that, unlike
+    * macro-F1, punishes marginal-distribution gaming:
+    * `R_K = (c·s − Σ_k p_k·t_k) / (sqrt(s² − Σp_k²)·sqrt(s² − Σt_k²))`
+    * with c the trace, s the total, p/t the predicted/actual marginals.
+    *
+    * Shape: the [[confusionStats]] pair table (one (actual, predicted)
+    * shuffle, |classes|²-bounded thereafter); marginals and the trace
+    * are tiny aggregates over it. Every sum is an exact DECIMAL(38,0);
+    * R_K is one fixed IEEE chain (sqrt is IEEE-exact) shipped RAW.
+    *
+    * Loud degenerates: an empty table, or a zero denominator term
+    * (every prediction one class, or every actual one class — R_K is
+    * 0/0 there).
+    *
+    * @return one row: (n, trace, mcc) */
+  def mccMulticlass(df: DataFrame, actualCol: String, predCol: String)
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pairs = df
+      .filter(col(actualCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(actualCol).cast("string").as("__a"),
+        col(predCol).cast("string").as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val actTot = pairs.groupBy(col("__a").as("__cls"))
+      .agg(sum("__n").as("__ta"))
+    val predTot = pairs.groupBy(col("__p").as("__cls2"))
+      .agg(sum("__n").as("__tp"))
+    val marg = actTot
+      .join(predTot, col("__cls") <=> col("__cls2"), "full")
+      .select(coalesce(col("__ta"), lit(0L)).as("__ta"),
+        coalesce(col("__tp"), lit(0L)).as("__tp"))
+      .agg(
+        coalesce(sum(col("__tp").cast(dec) * col("__ta").cast(dec)),
+          lit(0L).cast(dec)).as("__pt"),
+        coalesce(sum(col("__tp").cast(dec) * col("__tp").cast(dec)),
+          lit(0L).cast(dec)).as("__pp"),
+        coalesce(sum(col("__ta").cast(dec) * col("__ta").cast(dec)),
+          lit(0L).cast(dec)).as("__tt"))
+    val tot = pairs.agg(
+      coalesce(sum("__n"), lit(0L)).as("n"),
+      coalesce(sum(when(col("__a") === col("__p"), col("__n"))
+        .otherwise(lit(0L))), lit(0L)).as("trace"))
+    val g = tot.crossJoin(marg)
+    val s = col("n").cast(dec)
+    val num = col("trace").cast(dec) * s - col("__pt")
+    val d1 = s * s - col("__pp")
+    val d2 = s * s - col("__tt")
+    g.select(
+      when(col("n") === 0, raise_error(lit(
+        "Eval.mccMulticlass: empty confusion table")))
+        .otherwise(col("n")).as("n"),
+      col("trace"),
+      when(d1 <= 0 || d2 <= 0, raise_error(lit(
+        "Eval.mccMulticlass: degenerate marginals (one class holds " +
+          "every prediction or every label) — R_K is 0/0")))
+        .otherwise(num.cast("double") /
+          (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))))
+        .as("mcc"))
+  }
+
   private def tokArr(c: Column): Column =
     filter(split(lower(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
 

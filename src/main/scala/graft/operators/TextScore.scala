@@ -368,4 +368,71 @@ object TextScore {
       .orderBy(col("llr").desc, col("term"))
       .limit(topK)
   }
+
+  /** Bucketed Jensen–Shannon divergence between two corpora's unigram
+    * distributions — the single symmetric, bounded-in-[0, ln 2]
+    * "how different are these two token mixes" number (the corpus-pair
+    * companion to [[graft.operators.Drift]]'s PSI, which tracks ONE
+    * feature across snapshots): `JSD = ½·KL(p‖m) + ½·KL(q‖m)` with
+    * `m = (p+q)/2`.
+    *
+    * Terms are HASHED into a fixed bucket grid (the [[Splits]] md5
+    * scheme — deterministic cross-engine) and the divergence is
+    * computed over the bucket distributions. That makes the reduction
+    * a BOUNDED SORTED FOLD (buckets × one transcendental term each,
+    * folded in bucket order — bit-identical to the oracle's
+    * list_reduce) instead of a vocab-sized float sum whose order no
+    * engine guarantees; statistically it's JSD under a random
+    * partition — a lower bound on the unbucketed JSD that preserves
+    * the 0-iff-identical property on the grid.
+    *
+    * FP: counts exact longs; each bucket term is division + ln,
+    * transcendental, so the folded jsd rounds 6dp (NOTES taxonomy; the
+    * value is ≤ ln 2, far from any magnitude hazard). Empty-side
+    * buckets contribute the exact `x·ln(x/m)` with the other side 0
+    * (ln 2 factor), absent buckets nothing. An empty corpus raises.
+    *
+    * @return one row: (n_a, n_b, n_buckets, jsd) */
+  def jsdBuckets(a: DataFrame, b: DataFrame, textCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val tk = filter(Tokenize.tokenCol(textCol), t => t =!= "")
+    def cnt(df: DataFrame, tag: String) = df
+      .select(explode(tk).as("__w"))
+      .select(Splits.bucketOfKey(Splits.saltedKey(col("__w"), "jsd"),
+        buckets).as("__bk"))
+      .groupBy("__bk").agg(count(lit(1)).as(s"__c$tag"))
+    val merged = cnt(a, "a")
+      .join(cnt(b, "b").withColumnRenamed("__bk", "__bk2"),
+        col("__bk") <=> col("__bk2"), "full_outer")
+      .select(coalesce(col("__bk"), col("__bk2")).as("__bk"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = merged.agg(
+      coalesce(sum("__ca"), lit(0L)).as("__na"),
+      coalesce(sum("__cb"), lit(0L)).as("__nb"))
+    val guarded = totals.select(
+      when(col("__na") === 0 || col("__nb") === 0, raise_error(lit(
+        "TextScore.jsdBuckets: empty corpus — JSD is undefined")))
+        .otherwise(col("__na")).as("__na"),
+      col("__nb"))
+    val p = col("__ca").cast("double") / col("__na").cast("double")
+    val q = col("__cb").cast("double") / col("__nb").cast("double")
+    val mm = (p + q) / lit(2.0)
+    val term =
+      when(col("__ca") > 0, p / lit(2.0) * log(p / mm)).otherwise(0.0) +
+        when(col("__cb") > 0, q / lit(2.0) * log(q / mm)).otherwise(0.0)
+    val terms = merged.crossJoin(broadcast(guarded))
+      .select(col("__na"), col("__nb"), col("__bk"), term.as("__t"))
+    terms
+      .groupBy(col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sort_array(collect_list(struct(col("__bk"), col("__t"))))
+          .as("__terms"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("n_buckets"),
+        round(aggregate(transform(col("__terms"),
+          x => x.getField("__t")), lit(0.0), (acc, x) => acc + x), 6)
+          .as("jsd"))
+  }
 }

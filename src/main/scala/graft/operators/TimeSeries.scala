@@ -530,6 +530,73 @@ object TimeSeries {
     *
     * @param bucket maps a slope to its rank-phase bucket id
     * @return one row: (n, n_pairs, s, var_s, z, sen_slope) */
+  /** Lagged cross-correlation between two metrics on one slot-grain
+    * series — "does click volume LEAD purchase volume, and by how many
+    * days": Pearson r between `x_t` and `y_{t+lag}` for each lag in
+    * `0..maxLag`, the lead-lag screen run before any causal read of
+    * paired operational metrics.
+    *
+    * Shape: lags explode from a `sequence` (maxLag+1 rows per slot),
+    * then ONE equi-join on the shifted slot key and one grouped
+    * partial-agg to per-lag exact moments — no window, no per-lag
+    * rescan; the series is slot-grain (loud duplicate-slot guard), so
+    * every table is grid-sized and data-size-independent.
+    *
+    * Exactness: values are exact longs (counts, pre-scaled cents) with
+    * the corrMatrix |v| ≤ 3,037,000,499 bound raised in-plan so every
+    * square stays an exact DECIMAL(38,0) product; r is the textbook
+    * `(nΣxy − ΣxΣy) / (√(nΣx² − (Σx)²)·√(nΣy² − (Σy)²))` — one fixed
+    * IEEE chain over exact integers, shipped RAW. A zero-variance lag
+    * yields NULL r (a sweep row must not kill the sweep — the
+    * welchSweep discipline); lags with fewer than 2 overlapping slots
+    * are dropped.
+    *
+    * @return one row per lag: (lag, n, r) */
+  def crossCorr(df: DataFrame, slotCol: String, xCol: String,
+      yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def bounded(c: org.apache.spark.sql.Column, name: String) =
+      when(abs(c) > 3037000499L, raise_error(lit(
+        s"TimeSeries.crossCorr: |$name| beyond the exact-square bound")))
+        .otherwise(c)
+    val pts = df.filter(col(slotCol).isNotNull)
+      .select(col(slotCol).cast("long").as("__t"),
+        bounded(col(xCol).cast("long"), xCol).as("__x"),
+        bounded(col(yCol).cast("long"), yCol).as("__y"))
+    val meta = pts.groupBy(col("__t")).agg(count(lit(1)).as("__k"))
+      .agg(coalesce(max("__k"), lit(0L)).as("__maxk"))
+    // guard rides the exploded left side's referenced __x (the
+    // pruned-guard lesson)
+    val left = pts.crossJoin(broadcast(meta))
+      .select(col("__t"),
+        when(col("__maxk") > 1, raise_error(lit(
+          "TimeSeries.crossCorr: duplicate slot — aggregate to slot " +
+            "grain first")))
+          .otherwise(col("__x")).as("__x"),
+        explode(sequence(lit(0), lit(maxLag))).as("lag"))
+      .withColumn("__key", col("__t") + col("lag"))
+    val right = pts.select(col("__t").as("__t2"), col("__y"))
+    val m = left.join(right, col("__key") === col("__t2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+        sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"),
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"))
+      .filter(col("n") >= 2)
+    val nD = col("n").cast(dec)
+    val num = nD * col("__sxy") - col("__sx") * col("__sy")
+    val dx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val dy = nD * col("__syy") - col("__sy") * col("__sy")
+    m.select(col("lag"), col("n"),
+      when(dx <= 0 || dy <= 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+        .as("r"))
+  }
+
   def mannKendallTrend(df: DataFrame, slotCol: String, valueCol: String,
       bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       maxPoints: Int = 100000): DataFrame = {

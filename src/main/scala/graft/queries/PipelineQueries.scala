@@ -441,6 +441,47 @@ object PipelineQueries {
     graft.operators.TextScore.llrKeyness(
       Tables.documents(s, d), "text", "lang", "en", "de")
 
+  /** Multiclass Matthews correlation
+    * ([[graft.operators.Eval.mccMulticlass]], round 11): the single
+    * chance-corrected R_K for the same lang-id-vs-truth confusion
+    * table q_confusion_f1 reports per class — exact decimal marginal
+    * products, one raw IEEE chain. */
+  val mccLangId: Q = (s, d) =>
+    graft.operators.Eval.mccMulticlass(
+      TextQueries.langIdOf(Tables.documents(s, d)), "lang", "predicted")
+
+  /** Lagged cross-correlation
+    * ([[graft.operators.TimeSeries.crossCorr]], round 11): does daily
+    * click volume lead daily purchase volume — Pearson r at lags 0..7
+    * off ONE shifted-slot equi-join over the (data-size-independent)
+    * day grid, exact long counts, r raw. */
+  val crossCorrClicks: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .groupBy(expr("unix_seconds(cast(ts as timestamp)) div 86400")
+        .as("slot"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
+    graft.operators.TimeSeries.crossCorr(daily, "slot", "clicks",
+      "purchases", maxLag = 7)
+  }
+
+  /** Bucketed Jensen–Shannon divergence
+    * ([[graft.operators.TextScore.jsdBuckets]], round 11): how far
+    * apart are the en and de token mixes as distributions — the
+    * corpus-pair number next to q_llr_keyness' per-term ranking; the
+    * md5 bucket grid makes the transcendental fold bounded and
+    * engine-deterministic. */
+  val jsdLangs: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.TextScore.jsdBuckets(
+      docs.filter(col("lang") === "en"),
+      docs.filter(col("lang") === "de"), "text")
+  }
+
   /** Two-stage retrieve-and-rerank (the production search shape): BM25
     * lexical retrieval prunes the corpus to 20 candidates, then an
     * exact cosine re-rank against the query embedding (vec_id 0)

@@ -100,6 +100,37 @@ class EvalSpec extends SparkSpec {
     assert(e3.getMessage.contains("pe = 1"), e3.getMessage)
   }
 
+  test("mccMulticlass equals the binary MCC closed form on a 2x2 table") {
+    // TP=6 FP=1 FN=2 TN=3: binary MCC = 16/sqrt(7*8*4*5);
+    // Gorodkin: num=9*12-76=32, d1=144-74=70, d2=144-80=64
+    val rows = Seq.fill(6)(("P", "P")) ++ Seq.fill(2)(("P", "N")) ++
+      Seq.fill(1)(("N", "P")) ++ Seq.fill(3)(("N", "N"))
+    val df = rows.toDF("actual", "pred")
+    val r = Eval.mccMulticlass(df, "actual", "pred").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((12L, 9L)))
+    val want = 16.0 / math.sqrt(7.0 * 8 * 4 * 5)
+    assert(math.abs(r.getDouble(2) - want) < 1e-12, r.toString)
+    // perfect prediction on 3 classes → 1.0
+    val perf = Seq(("a", "a"), ("b", "b"), ("c", "c"), ("a", "a"))
+      .toDF("actual", "pred")
+    val rp = Eval.mccMulticlass(perf, "actual", "pred").collect().head
+    assert(math.abs(rp.getDouble(2) - 1.0) < 1e-12, rp.toString)
+  }
+
+  test("mccMulticlass raises on degenerate marginals and empty input") {
+    val onePred = Seq(("a", "x"), ("b", "x"), ("a", "x"))
+      .toDF("actual", "pred")
+    val e1 = intercept[Exception] {
+      Eval.mccMulticlass(onePred, "actual", "pred").collect()
+    }
+    assert(e1.getMessage.contains("degenerate marginals"), e1.getMessage)
+    val empty = Seq.empty[(String, String)].toDF("actual", "pred")
+    val e2 = intercept[Exception] {
+      Eval.mccMulticlass(empty, "actual", "pred").collect()
+    }
+    assert(e2.getMessage.contains("empty confusion"), e2.getMessage)
+  }
+
   test("bucketed cum form is invariant to bucket granularity") {
     val rng = new scala.util.Random(5)
     val rows = (1 to 300).map(i =>

@@ -130,4 +130,23 @@ class TextScoreSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(r("z") > 0 && !r("z").isNaN && !r("z").isInfinite)
   }
+
+  test("jsdBuckets: identical corpora give 0, disjoint give ln 2") {
+    val a = Seq.tabulate(4)(i => Tuple1(s"alpha beta gamma d$i"))
+      .toDF("text")
+    val same = TextScore.jsdBuckets(a, a, "text").collect().head
+    assert(same.getDouble(3) === 0.0, same.toString)
+    assert(same.getLong(0) == same.getLong(1))
+    // fully disjoint vocabularies: JSD = ln 2 (each side's whole mass
+    // faces a zero on the other) — holds whenever no bucket collides
+    val b = Seq(Tuple1("omega psi chi rho")).toDF("text")
+    val dis = TextScore.jsdBuckets(a, b, "text").collect().head
+    assert(math.abs(dis.getDouble(3) - math.log(2.0)) < 1e-6,
+      dis.toString)
+    val e = intercept[Exception] {
+      TextScore.jsdBuckets(a, b.filter(b("text") === "nope"), "text")
+        .collect()
+    }
+    assert(e.getMessage.contains("empty corpus"), e.getMessage)
+  }
 }

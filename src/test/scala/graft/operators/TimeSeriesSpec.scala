@@ -328,6 +328,41 @@ class TimeSeriesSpec extends SparkSpec {
       r2.toString)
   }
 
+  test("crossCorr hand-computed: r per lag, zero-variance lag is null") {
+    import spark.implicits._
+    // x=[1,2,3,4], y=[1,3,2,4]: lag0 r = 16/20 = 0.8;
+    // lag1 pairs (1,3),(2,2),(3,4): r = 3/6 = 0.5
+    val df = Seq((0L, 1L, 1L), (1L, 2L, 3L), (2L, 3L, 2L), (3L, 4L, 4L))
+      .toDF("slot", "x", "y")
+    val got = TimeSeries.crossCorr(df, "slot", "x", "y", maxLag = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    assert(got(0)._1 == 4L && math.abs(got(0)._2 - 0.8) < 1e-12)
+    assert(got(1)._1 == 3L && math.abs(got(1)._2 - 0.5) < 1e-12)
+    assert(got(2)._1 == 2L)
+    // constant x → null r at every lag
+    val flat = Seq((0L, 7L, 1L), (1L, 7L, 3L), (2L, 7L, 2L))
+      .toDF("slot", "x", "y")
+    val rows = TimeSeries.crossCorr(flat, "slot", "x", "y", 1).collect()
+    assert(rows.nonEmpty && rows.forall(_.isNullAt(2)))
+  }
+
+  test("crossCorr raises on duplicate slots; short lags drop") {
+    import spark.implicits._
+    val dup = Seq((0L, 1L, 1L), (0L, 2L, 2L), (1L, 3L, 3L))
+      .toDF("slot", "x", "y")
+    val e = intercept[Exception] {
+      TimeSeries.crossCorr(dup, "slot", "x", "y", 1).collect()
+    }
+    assert(e.getMessage.contains("duplicate slot"), e.getMessage)
+    // maxLag beyond the series: lags with < 2 overlaps are dropped
+    val s3 = Seq((0L, 1L, 2L), (1L, 2L, 1L), (2L, 3L, 3L))
+      .toDF("slot", "x", "y")
+    val lags = TimeSeries.crossCorr(s3, "slot", "x", "y", 5)
+      .collect().map(_.getInt(0)).sorted
+    assert(lags.toSeq == Seq(0, 1), lags.mkString(","))
+  }
+
   test("mannKendallTrend raises on duplicate slots, short series, and " +
       "all-tied values") {
     import spark.implicits._
