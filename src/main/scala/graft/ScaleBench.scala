@@ -1819,6 +1819,24 @@ object ScaleBench {
       val tjsN = time(s"jsd_buckets ${factor}x")(noop(jsOf(docsN)))
       results += (("jsd_buckets", tjs1, tjsN))
     }
+    {
+      def mnOf(d: DataFrame) = graft.operators.Eval.mcnemar(
+        graft.queries.TextQueries.langIdOf(d)
+          .withColumn("a_ok", col("predicted") === col("lang"))
+          .withColumn("b_ok", col("lang") === "en"),
+        "a_ok", "b_ok")
+      val tmn1 = time("mcnemar 1x")(noop(mnOf(docs1)))
+      val tmnN = time(s"mcnemar ${factor}x")(noop(mnOf(docsN)))
+      results += (("mcnemar", tmn1, tmnN))
+    }
+    {
+      def cvOf(d: DataFrame) = graft.operators.Features.cramersV(
+        d.select(col("event_type"), dayofweek(col("ts")).as("dow")),
+        "event_type", "dow")
+      val tcv1 = time("cramers_v 1x")(noop(cvOf(ev1)))
+      val tcvN = time(s"cramers_v ${factor}x")(noop(cvOf(evN)))
+      results += (("cramers_v", tcv1, tcvN))
+    }
 
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>

@@ -402,6 +402,8 @@ object SparkEntry {
     "q_mcc" -> PipelineQueries.mccLangId,
     "q_cross_corr" -> PipelineQueries.crossCorrClicks,
     "q_jsd_langs" -> PipelineQueries.jsdLangs,
+    "q_mcnemar" -> PipelineQueries.mcnemarLangId,
+    "q_cramers_v" -> PipelineQueries.cramersVEvents,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -3009,6 +3011,77 @@ object SparkEntry {
                FROM terms)
       SELECT na AS n_a, nb AS n_b, n_buckets, jsd
       FROM t CROSS JOIN fold""",
+
+    // McNemar continuity-corrected: discordant counts exact longs,
+    // (|b-c|-1)^2 an exact integer, chi2 ONE raw division
+    "q_mcnemar" -> """
+      WITH s AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, t -> t='the'))::INT
+                 + len(list_filter(toks, t -> t='and'))::INT
+                 + len(list_filter(toks, t -> t='of'))::INT AS en_score,
+               len(list_filter(toks, t -> t='der'))::INT
+                 + len(list_filter(toks, t -> t='und'))::INT
+                 + len(list_filter(toks, t -> t='die'))::INT AS de_score,
+               len(list_filter(toks, t -> t='le'))::INT
+                 + len(list_filter(toks, t -> t='la'))::INT
+                 + len(list_filter(toks, t -> t='et'))::INT AS fr_score
+        FROM (SELECT doc_id, lang,
+                     string_split(lower(coalesce(text, '')), ' ') AS toks
+              FROM documents) t),
+      p AS (
+        SELECT lang,
+               CASE WHEN en_score + de_score + fr_score = 0 THEN 'unknown'
+                    WHEN en_score >= de_score AND en_score >= fr_score
+                      THEN 'en'
+                    WHEN de_score >= fr_score THEN 'de'
+                    ELSE 'fr' END AS pr
+        FROM s),
+      fl AS (SELECT (pr = lang) AS ac, (lang = 'en') AS bc FROM p),
+      m AS (SELECT count(*)::BIGINT AS n,
+              sum(CASE WHEN ac AND bc THEN 1 ELSE 0 END)::BIGINT
+                AS n_both_right,
+              sum(CASE WHEN ac AND NOT bc THEN 1 ELSE 0 END)::BIGINT
+                AS b,
+              sum(CASE WHEN NOT ac AND bc THEN 1 ELSE 0 END)::BIGINT
+                AS c
+            FROM fl)
+      SELECT n, n_both_right, b, c,
+             CAST(CAST((abs(b - c) - 1)::HUGEINT * (abs(b - c) - 1)
+                 AS VARCHAR) AS DOUBLE)
+               / CAST(b + c AS DOUBLE) AS chi2
+      FROM m""",
+
+    // Cramer's V: chi2 = n*(sum o^2/(rt*ct)) - n with every product an
+    // exact integer; the cross-cell sum folds in (a, b) order via
+    // list_reduce (= the Spark sort_array+aggregate fold); V raw
+    "q_cramers_v" -> """
+      WITH base AS (
+        SELECT event_type::VARCHAR AS a,
+               ((dayofweek(ts) + 1)::INT)::VARCHAR AS b
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      cells AS (SELECT a, b, count(*)::BIGINT AS o
+                FROM base GROUP BY 1, 2),
+      rt AS (SELECT a, sum(o)::BIGINT AS rt FROM cells GROUP BY 1),
+      ct AS (SELECT b, sum(o)::BIGINT AS ct FROM cells GROUP BY 1),
+      j AS (SELECT cells.a, cells.b, o, rt.rt, ct.ct
+            FROM cells JOIN rt USING (a) JOIN ct USING (b)),
+      fold AS (SELECT count(*)::BIGINT AS n_cells,
+                 sum(o)::BIGINT AS n,
+                 count(DISTINCT a)::BIGINT AS n_rows,
+                 count(DISTINCT b)::BIGINT AS n_cols,
+                 list_reduce(list_prepend(0.0,
+                   list(CAST(CAST(o::HUGEINT * o AS VARCHAR) AS DOUBLE)
+                        / CAST(CAST(rt::HUGEINT * ct AS VARCHAR)
+                            AS DOUBLE)
+                        ORDER BY a, b)),
+                   (acc, x) -> acc + x) AS s
+               FROM j)
+      SELECT n, n_rows, n_cols,
+             sqrt((n::DOUBLE * s - n::DOUBLE)
+               / (n::DOUBLE
+                  * CAST(least(n_rows, n_cols) - 1 AS DOUBLE))) AS v
+      FROM fold""",
 
     // ROUGE-2: clipped bigram overlap replayed per (pair, gram);
     // empty-side pairs re-anchor on the pair table (the operator's

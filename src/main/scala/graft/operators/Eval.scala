@@ -351,6 +351,44 @@ object Eval {
         .as("mcc"))
   }
 
+  /** McNemar's test (continuity-corrected) — "is model B actually
+    * better than model A on the SAME examples": the paired-binary
+    * comparison that a naive two-proportion z gets wrong because the
+    * two error rates share every row. Only the DISCORDANT counts
+    * matter: `b` = A right / B wrong, `c` = A wrong / B right,
+    * `χ² = (|b−c|−1)² / (b+c)`.
+    *
+    * Shape: ONE conditional partial-agg scan — four exact longs out.
+    * Exactness: `(|b−c|−1)²` is an exact integer, so χ² is ONE raw
+    * division of exact longs (rounding a terminating rational is the
+    * boundary hazard — NOTES taxonomy). `b = c` yields the
+    * conventional continuity-corrected 1/(b+c). Rows where either
+    * flag is NULL drop; `b + c = 0` (the models never disagree)
+    * raises — χ² is 0/0 and no test is possible.
+    *
+    * @param aCorrectCol BOOLEAN "model A was right on this row"
+    * @return one row: (n, n_both_right, b, c, chi2) */
+  def mcnemar(df: DataFrame, aCorrectCol: String, bCorrectCol: String)
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val a = col(aCorrectCol).cast("boolean")
+    val b = col(bCorrectCol).cast("boolean")
+    val m = df.filter(a.isNotNull && b.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(a && b, 1L).otherwise(0L)), lit(0L))
+          .as("n_both_right"),
+        coalesce(sum(when(a && !b, 1L).otherwise(0L)), lit(0L)).as("b"),
+        coalesce(sum(when(!a && b, 1L).otherwise(0L)), lit(0L)).as("c"))
+    val diff = abs(col("b") - col("c")) - lit(1L)
+    m.select(col("n"), col("n_both_right"), col("b"),
+      when(col("b") + col("c") === 0, raise_error(lit(
+        "Eval.mcnemar: the models never disagree (b + c = 0) — chi2 " +
+          "is 0/0")))
+        .otherwise(col("c")).as("c"),
+      ((diff.cast(dec) * diff.cast(dec)).cast("double") /
+        (col("b") + col("c")).cast("double")).as("chi2"))
+  }
+
   private def tokArr(c: Column): Column =
     filter(split(lower(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
 

@@ -223,6 +223,65 @@ object Features {
         "expected", "chi2_term", "mi_term")
   }
 
+  /** Cramér's V — the SINGLE [0, 1] association strength for a
+    * contingency table (the summary number next to [[catDependence]]'s
+    * per-cell χ²/MI screen): `V = sqrt(χ² / (n · (min(r,c) − 1)))`
+    * with the bias-free identity `χ² = n·(Σ o²/(rt·ct)) − n` so every
+    * input to the float chain is an exact integer product.
+    *
+    * Shape: one (a, b) cell shuffle; marginals are tiny aggregates
+    * over the cell table. The cross-cell Σ o²/(rt·ct) is a SORTED
+    * SEQUENTIAL FOLD over per-cell terms (the kruskalWallis
+    * discipline: bounded cell count guarded loudly, fold order =
+    * (a, b) ascending — bit-identical to the oracle's list_reduce), V
+    * shipped RAW (sqrt is IEEE-exact).
+    *
+    * Loud degenerates: an empty table, a single row or column
+    * category (V is 0/0), more than `maxCells` cells.
+    *
+    * @return one row: (n, n_rows, n_cols, v) */
+  def cramersV(df: DataFrame, aCol: String, bCol: String,
+      maxCells: Int = 100000): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy(col("__a")).agg(sum("__o").as("__rt"))
+      .withColumnRenamed("__a", "__ra")
+    val colT = cells.groupBy(col("__b")).agg(sum("__o").as("__ct"))
+      .withColumnRenamed("__b", "__rb")
+    val term = (col("__o").cast(dec) * col("__o").cast(dec))
+      .cast("double") /
+      (col("__rt").cast(dec) * col("__ct").cast(dec)).cast("double")
+    val folded = cells
+      .join(broadcast(rowT), col("__a") <=> col("__ra")).drop("__ra")
+      .join(broadcast(colT), col("__b") <=> col("__rb")).drop("__rb")
+      .agg(count(lit(1)).as("__cells"),
+        coalesce(sum("__o"), lit(0L)).as("n"),
+        countDistinct(col("__a")).as("n_rows"),
+        countDistinct(col("__b")).as("n_cols"),
+        sort_array(collect_list(struct(col("__a"), col("__b"),
+          term.as("__t")))).as("__terms"))
+    val s = aggregate(transform(col("__terms"),
+      x => x.getField("__t")), lit(0.0), (acc, x) => acc + x)
+    val nD = col("n").cast("double")
+    val minDim = (least(col("n_rows"), col("n_cols")) - 1).cast("double")
+    folded.select(
+      when(col("n") === 0, raise_error(lit(
+        "Features.cramersV: empty table")))
+        .when(col("__cells") > maxCells, raise_error(concat(
+          lit(s"Features.cramersV: more than $maxCells cells (the " +
+            "fold collects one term per cell) — got "),
+          col("__cells").cast("string"))))
+        .otherwise(col("n")).as("n"),
+      col("n_rows"), col("n_cols"),
+      when(col("n_rows") < 2 || col("n_cols") < 2, raise_error(lit(
+        "Features.cramersV: a single row or column category — V is " +
+          "0/0")))
+        .otherwise(sqrt((nD * s - nD) / (nD * minDim))).as("v"))
+  }
+
   /** 38,0-capable headroom for Σ(x·y) reassembly. */
   private val DecimalWide =
     org.apache.spark.sql.types.DecimalType(38, 0)

@@ -482,6 +482,27 @@ object PipelineQueries {
       docs.filter(col("lang") === "de"), "text")
   }
 
+  /** McNemar's paired test ([[graft.operators.Eval.mcnemar]], round
+    * 11): is the lang-id classifier actually better than the
+    * always-'en' majority baseline ON THE SAME DOCS — only the
+    * discordant counts decide; χ² one raw division of exact longs. */
+  val mcnemarLangId: Q = (s, d) =>
+    graft.operators.Eval.mcnemar(
+      TextQueries.langIdOf(Tables.documents(s, d))
+        .withColumn("a_ok", col("predicted") === col("lang"))
+        .withColumn("b_ok", col("lang") === "en"),
+      "a_ok", "b_ok")
+
+  /** Cramér's V ([[graft.operators.Features.cramersV]], round 11): the
+    * single association strength for the event_type × day-of-week
+    * table q_cat_dependence screens per cell — exact integer products,
+    * the sorted fold for Σ o²/(rt·ct), V raw. */
+  val cramersVEvents: Q = (s, d) =>
+    graft.operators.Features.cramersV(
+      Tables.events(s, d).select(col("event_type"),
+        dayofweek(col("ts")).as("dow")),
+      "event_type", "dow")
+
   /** Two-stage retrieve-and-rerank (the production search shape): BM25
     * lexical retrieval prunes the corpus to 20 candidates, then an
     * exact cosine re-rank against the query embedding (vec_id 0)

@@ -131,6 +131,27 @@ class EvalSpec extends SparkSpec {
     assert(e2.getMessage.contains("empty confusion"), e2.getMessage)
   }
 
+  test("mcnemar: discordant-only chi2 with continuity correction") {
+    // both-right x5, A-only x4, B-only x1, both-wrong x2:
+    // b=4, c=1, chi2 = (|3|-1)^2 / 5 = 0.8
+    val rows = Seq.fill(5)((true, true)) ++ Seq.fill(4)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(2)((false, false))
+    val r = Eval.mcnemar(rows.toDF("a_ok", "b_ok"), "a_ok", "b_ok")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((12L, 5L, 4L, 1L)))
+    assert(r.getDouble(4) === 0.8, r.toString)
+    // b = c keeps the conventional corrected 1/(b+c)
+    val bal = Seq((true, false), (false, true)).toDF("a_ok", "b_ok")
+    val rb = Eval.mcnemar(bal, "a_ok", "b_ok").collect().head
+    assert(rb.getDouble(4) === 0.5, rb.toString)
+    val agree = Seq((true, true), (false, false)).toDF("a_ok", "b_ok")
+    val e = intercept[Exception] {
+      Eval.mcnemar(agree, "a_ok", "b_ok").collect()
+    }
+    assert(e.getMessage.contains("never disagree"), e.getMessage)
+  }
+
   test("bucketed cum form is invariant to bucket granularity") {
     val rng = new scala.util.Random(5)
     val rows = (1 to 300).map(i =>

@@ -140,4 +140,27 @@ class FeaturesSpec extends SparkSpec {
     }
     assert(exG.getMessage.contains("long-product range"), exG.getMessage)
   }
+
+  test("cramersV: perfect association is 1, independence is 0, " +
+      "degenerate tables raise") {
+    import spark.implicits._
+    val perfect = (Seq.fill(3)(("a1", "b1")) ++ Seq.fill(3)(("a2", "b2")))
+      .toDF("a", "b")
+    val rp = Features.cramersV(perfect, "a", "b").collect().head
+    assert((rp.getLong(0), rp.getLong(1), rp.getLong(2)) == ((6L, 2L, 2L)))
+    assert(rp.getDouble(3) === 1.0, rp.toString)
+    val indep = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"),
+      ("a2", "b2")).toDF("a", "b")
+    val ri = Features.cramersV(indep, "a", "b").collect().head
+    assert(ri.getDouble(3) === 0.0, ri.toString)
+    val oneCol = Seq(("a1", "b1"), ("a2", "b1")).toDF("a", "b")
+    val e = intercept[Exception] {
+      Features.cramersV(oneCol, "a", "b").collect()
+    }
+    assert(e.getMessage.contains("single row or column"), e.getMessage)
+    val e2 = intercept[Exception] {
+      Features.cramersV(indep, "a", "b", maxCells = 3).collect()
+    }
+    assert(e2.getMessage.contains("more than 3 cells"), e2.getMessage)
+  }
 }
