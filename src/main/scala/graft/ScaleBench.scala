@@ -1837,6 +1837,29 @@ object ScaleBench {
       val tcvN = time(s"cramers_v ${factor}x")(noop(cvOf(evN)))
       results += (("cramers_v", tcv1, tcvN))
     }
+    {
+      def wxOf(d: DataFrame) = {
+        val rev = d.filter(col("o_orderdate").isNotNull)
+          .withColumn("yr", year(col("o_orderdate")))
+          .filter(col("yr").isin(1996, 1997))
+          .groupBy(col("o_custkey"))
+          .agg(
+            sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n94"),
+            sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("n95"),
+            sum(when(col("yr") === 1996, col("o_totalprice")
+              .cast(graft.queries.Exact.Money))).as("r94"),
+            sum(when(col("yr") === 1997, col("o_totalprice")
+              .cast(graft.queries.Exact.Money))).as("r95"))
+          .filter(col("n94") > 0 && col("n95") > 0)
+          .select(col("r94").cast("double").as("rev94"),
+            col("r95").cast("double").as("rev95"))
+        graft.operators.Drift.wilcoxonSignedRank(rev, "rev94", "rev95",
+          a => floor(a / 100000.0))
+      }
+      val twx1 = time("wilcoxon 1x")(noop(wxOf(ord1)))
+      val twxN = time(s"wilcoxon ${factor}x")(noop(wxOf(ordN)))
+      results += (("wilcoxon", twx1, twxN))
+    }
 
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>

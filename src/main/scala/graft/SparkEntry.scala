@@ -404,6 +404,7 @@ object SparkEntry {
     "q_jsd_langs" -> PipelineQueries.jsdLangs,
     "q_mcnemar" -> PipelineQueries.mcnemarLangId,
     "q_cramers_v" -> PipelineQueries.cramersVEvents,
+    "q_wilcoxon" -> PipelineQueries.wilcoxonSpend,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -3082,6 +3083,54 @@ object SparkEntry {
                / (n::DOUBLE
                   * CAST(least(n_rows, n_cols) - 1 AS DOUBLE))) AS v
       FROM fold""",
+
+    // Wilcoxon signed-rank on paired per-customer yearly spend:
+    // decimal-exact sums -> exact cents diffs, (|d|, sign) cell
+    // collapse + doubled ranks, 2*W+ exact HUGEINT, z one raw chain
+    // over VARCHAR-roundtripped casts
+    "q_wilcoxon" -> """
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN year(o_orderdate) = 1996
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                 AS DOUBLE) AS rev94,
+               CAST(sum(CASE WHEN year(o_orderdate) = 1997
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                 AS DOUBLE) AS rev95
+        FROM orders
+        WHERE o_orderdate IS NOT NULL
+          AND year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1
+        HAVING sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+                 > 0
+           AND sum(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+                 > 0),
+      d AS (SELECT CAST(floor(rev94 * 100 + 0.5) AS BIGINT)
+                 - CAST(floor(rev95 * 100 + 0.5) AS BIGINT) AS d
+            FROM rev),
+      nz AS (SELECT sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_zero FROM d),
+      cells AS (SELECT abs(d) AS a, count(*)::BIGINT AS m,
+                  sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS mp
+                FROM d WHERE d <> 0 GROUP BY 1),
+      r AS (SELECT m, mp,
+              2 * COALESCE(sum(m) OVER (ORDER BY a
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + m + 1 AS rank2
+            FROM cells),
+      agg AS (SELECT sum(m)::BIGINT AS n,
+                COALESCE(sum(mp::HUGEINT * rank2), 0::HUGEINT) AS w2,
+                COALESCE(sum(m::HUGEINT * m * m - m), 0::HUGEINT) AS tie
+              FROM r)
+      SELECT n, n_zero,
+             CAST(CAST(w2 AS VARCHAR) AS DOUBLE) / 2.0 AS w_plus,
+             (CAST(CAST(w2 AS VARCHAR) AS DOUBLE) / 2.0
+               - CAST(CAST(n::HUGEINT * (n + 1) AS VARCHAR) AS DOUBLE)
+                 / 4.0)
+             / sqrt(CAST(CAST(n::HUGEINT * (n + 1) * (n * 2 + 1)
+                      AS VARCHAR) AS DOUBLE) / 24.0
+                    - CAST(CAST(tie AS VARCHAR) AS DOUBLE) / 48.0) AS z
+      FROM agg CROSS JOIN nz""",
 
     // ROUGE-2: clipped bigram overlap replayed per (pair, gram);
     // empty-side pairs re-anchor on the pair table (the operator's

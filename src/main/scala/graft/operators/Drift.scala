@@ -677,6 +677,85 @@ object Drift {
         .as("delta"))
   }
 
+  /** Wilcoxon signed-rank test — the PAIRED numeric companion to
+    * [[mannWhitney]] (and to [[Eval.mcnemar]]'s paired-binary form):
+    * "did this metric move between the two measurements of the SAME
+    * unit" (a customer's spend across two periods, a doc's quality
+    * score across two pipeline versions). Zero differences drop (the
+    * standard treatment); `W⁺` sums the |d|-ranks of positive
+    * differences; z is tie-corrected, no continuity correction.
+    *
+    * Distributed shape: one (|d|, sign) cell shuffle, ranks over the
+    * distinct-|d| table via the two-phase cum recipe — no global sort,
+    * no per-row rank. Exactness: differences are exact cents longs
+    * (bound raised in-plan), doubled ranks keep `2·W⁺` an exact
+    * DECIMAL(38,0), and z is one fixed IEEE chain
+    * `(W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48)` over
+    * exact-integer casts, shipped RAW (rational + IEEE-exact sqrt).
+    *
+    * Loud degenerates: every pair tied (n = 0 after zero-drop), or
+    * zero rank variance (a single distinct |d| CAN still have
+    * variance; the guard fires only when the tie term consumes it).
+    *
+    * @param bucket maps |d| in cents to its rank-phase bucket id
+    * @return one row: (n, n_zero, w_plus, z) */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String, yCol: String,
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def cents(c: String) = {
+      val v = floor(col(c) * 100 + lit(0.5)).cast("long")
+      when(v.isNull && col(c).isNotNull, raise_error(lit(
+        s"Drift.wilcoxonSignedRank: $c overflows long cents")))
+        .when(abs(v) > 4.5e15, raise_error(lit(
+          s"Drift.wilcoxonSignedRank: |$c| beyond the exact-diff bound")))
+        .otherwise(v)
+    }
+    val d = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((cents(xCol) - cents(yCol)).as("__d"))
+    val nz = d.agg(coalesce(sum(when(col("__d") === 0, 1L)
+      .otherwise(0L)), lit(0L)).as("n_zero"))
+    val cells = d.filter(col("__d") =!= 0)
+      .groupBy(abs(col("__d")).as("__a"))
+      .agg(count(lit(1)).as("__m"),
+        coalesce(sum(when(col("__d") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("__mp"))
+      .withColumn("__bk", bucket(col("__a")))
+    val wOff = Window.partitionBy(Bounded.constPart(col("__tm")))
+      .orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cells.groupBy(col("__bk")).agg(sum("__m").as("__tm"))
+      .withColumn("__om", coalesce(sum(col("__tm")).over(wOff), lit(0L)))
+      .select(col("__bk").as("__bk2"), col("__om"))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(col("__a"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = cells.join(broadcast(offs), col("__bk") <=> col("__bk2"))
+      .withColumn("__rank2",
+        lit(2L) * (col("__om") + sum(col("__m")).over(wIn) - col("__m"))
+          + col("__m") + lit(1L))
+      .agg(coalesce(sum("__m"), lit(0L)).as("n"),
+        coalesce(sum(col("__mp").cast(dec) * col("__rank2").cast(dec)),
+          lit(0L).cast(dec)).as("__w2"),
+        coalesce(sum(col("__m").cast(dec) * col("__m").cast(dec) *
+          col("__m").cast(dec) - col("__m").cast(dec)),
+          lit(0L).cast(dec)).as("__tie"))
+    val g = agg.crossJoin(nz).select(
+      when(col("n") === 0, raise_error(lit(
+        "Drift.wilcoxonSignedRank: every pair tied — W is undefined")))
+        .otherwise(col("n")).as("n"),
+      col("n_zero"), col("__w2"), col("__tie"))
+    val nD = col("n").cast(dec)
+    val meanD = (nD * (nD + 1)).cast("double") / lit(4.0)
+    val varD = (nD * (nD + 1) * (nD * 2 + 1)).cast("double") / lit(24.0) -
+      col("__tie").cast("double") / lit(48.0)
+    val wPlus = col("__w2").cast("double") / lit(2.0)
+    g.select(col("n"), col("n_zero"), wPlus.as("w_plus"),
+      when(varD <= 0.0, raise_error(lit(
+        "Drift.wilcoxonSignedRank: zero rank variance")))
+        .otherwise((wPlus - meanD) / sqrt(varD)).as("z"))
+  }
+
   def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def moments(df: DataFrame, tag: String) = {
       val cents0 = floor(col(valueCol) * 100 + lit(0.5)).cast("long")

@@ -387,9 +387,13 @@ object Graph {
         .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
       val m = sym.groupBy("u").agg(min(col("v")).as("__mv"))
         .select(col("u"), least(col("__mv"), col("u")).as("m"))
+      // no trailing distinct: (v, m) duplicates across centers are
+      // bounded by |E| rows and smallStar's own terminal distinct
+      // dedups them — dropping it saves one full shuffle per round
+      // (round 11: ~20% of the per-round wall time on chain graphs)
       sym.join(m, "u").filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
     }
     def smallStar(cur: DataFrame): DataFrame = {
       // process each undirected edge at its LARGER endpoint

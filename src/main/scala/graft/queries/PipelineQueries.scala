@@ -503,6 +503,30 @@ object PipelineQueries {
         dayofweek(col("ts")).as("dow")),
       "event_type", "dow")
 
+  /** Wilcoxon signed-rank
+    * ([[graft.operators.Drift.wilcoxonSignedRank]], round 11): did
+    * per-customer spend move from 1996 to 1997, PAIRED by customer
+    * (only customers active in both years enter) — decimal-exact
+    * yearly sums, the (|d|, sign) cell collapse, z raw. */
+  val wilcoxonSpend: Q = (s, d) => {
+    val o = Tables.orders(s, d).filter(col("o_orderdate").isNotNull)
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1996, 1997))
+    val rev = o.groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n94"),
+        sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("n95"),
+        sum(when(col("yr") === 1996,
+          col("o_totalprice").cast(Exact.Money))).as("r94"),
+        sum(when(col("yr") === 1997,
+          col("o_totalprice").cast(Exact.Money))).as("r95"))
+      .filter(col("n94") > 0 && col("n95") > 0)
+      .select(col("r94").cast("double").as("rev94"),
+        col("r95").cast("double").as("rev95"))
+    graft.operators.Drift.wilcoxonSignedRank(rev, "rev94", "rev95",
+      a => floor(a / 100000.0))
+  }
+
   /** Two-stage retrieve-and-rerank (the production search shape): BM25
     * lexical retrieval prunes the corpus to 20 candidates, then an
     * exact cosine re-rank against the query embedding (vec_id 0)

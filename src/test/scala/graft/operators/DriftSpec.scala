@@ -247,6 +247,36 @@ class DriftSpec extends SparkSpec {
     assert(e.getMessage.contains("empty sample"), e.getMessage)
   }
 
+  test("wilcoxonSignedRank hand-computed: zero drops, signed ranks, " +
+      "tie-averaged z = 0 on a symmetric pair") {
+    import spark.implicits._
+    // d = [+1, -2, +3, 0] dollars → cents [100, -200, 300, drop]:
+    // ranks 1, 2, 3; W+ = 1 + 3 = 4; mean = 3; var = 3.5
+    val df = Seq((2.0, 1.0), (1.0, 3.0), (5.0, 2.0), (4.0, 4.0))
+      .toDF("x", "y")
+    val r = Drift.wilcoxonSignedRank(df, "x", "y", identity)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 1L)))
+    assert(r.getDouble(2) === 4.0, r.toString)
+    assert(math.abs(r.getDouble(3) - 1.0 / math.sqrt(3.5)) < 1e-12,
+      r.toString)
+    // +1 and -1: tied |d|, averaged rank 1.5 each, W+ = mean → z = 0
+    val sym = Seq((2.0, 1.0), (1.0, 2.0)).toDF("x", "y")
+    val rs = Drift.wilcoxonSignedRank(sym, "x", "y", identity)
+      .collect().head
+    assert(rs.getDouble(2) === 1.5 && rs.getDouble(3) === 0.0,
+      rs.toString)
+  }
+
+  test("wilcoxonSignedRank raises when every pair is tied") {
+    import spark.implicits._
+    val flat = Seq((1.0, 1.0), (2.0, 2.0)).toDF("x", "y")
+    val e = intercept[Exception] {
+      Drift.wilcoxonSignedRank(flat, "x", "y", identity).collect()
+    }
+    assert(e.getMessage.contains("every pair tied"), e.getMessage)
+  }
+
   test("propZTest raises on an empty arm and on a degenerate pooled " +
       "rate; null success flags drop their rows") {
     import spark.implicits._
