@@ -756,6 +756,105 @@ object Drift {
         .otherwise((wPlus - meanD) / sqrt(varD)).as("z"))
   }
 
+  /** Friedman test — the k-treatment PAIRED/blocked rank test that
+    * completes the matrix ([[mannWhitney]] = 2 unpaired,
+    * [[wilcoxonSignedRank]] = 2 paired, [[kruskalWallis]] = k
+    * unpaired): "did ANY of k pipeline variants move the metric when
+    * every block (doc, customer, day) saw all k variants".
+    * `χ²_F = [12/(n·k·(k+1))]·ΣR_j² − 3·n·(k+1)` over per-treatment
+    * rank sums, tie-corrected by `1 − Σ(t³−t)/(n·k·(k²−1))` (tie
+    * terms per block).
+    *
+    * Shape: ONE groupBy(block) shuffle collects each block's k
+    * (treatment, value) cells; ranks are IN-ROW array arithmetic
+    * (doubled tie-averaged rank = 2·|{w<v}| + |{w=v}| + 1 — k² work
+    * per block, k bounded by contract), then one explode + a
+    * k-row treatment aggregate. Unlike [[kruskalWallis]] there is NO
+    * cross-group float fold: ΣR_j² = Σ(2R_j)²/4 stays an exact
+    * DECIMAL(38,0) because every doubled rank sum is an integer — the
+    * whole statistic is one fixed IEEE chain over exact integers,
+    * shipped RAW.
+    *
+    * Loud degenerates: k < 2, fewer than 1 complete block, any block
+    * with a duplicate treatment or a missing one (Friedman needs a
+    * complete balanced design; incomplete blocks DROP — they carry no
+    * within-block ranking — and the emitted n makes the drop
+    * auditable), every block internally tied (zero variance).
+    *
+    * @param k the exact number of treatments each block must carry
+    * @return one row: (n_blocks, k, chi2_f) */
+  def friedman(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"friedman: need k >= 2 treatments, got $k")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.filter(col(blockCol).isNotNull &&
+        col(treatmentCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(blockCol).as("__b"),
+        col(treatmentCol).cast("string").as("__t"))
+      .agg(count(lit(1)).as("__c"), min(col(valueCol)).as("__v"))
+    // a duplicate (block, treatment) raises via the referenced count;
+    // blocks that don't carry EXACTLY k distinct treatments drop
+    val blocks = cells
+      .groupBy(col("__b"))
+      .agg(max("__c").as("__dup"), count(lit(1)).as("__nt"),
+        collect_list(struct(col("__t"), col("__v"))).as("__cells"))
+      .select(
+        when(col("__dup") > 1, raise_error(lit(
+          "Drift.friedman: duplicate (block, treatment) row")))
+          .otherwise(col("__nt")).as("__nt"),
+        col("__cells"))
+      .filter(col("__nt") === k)
+    // in-row doubled tie-averaged ranks: rank2(x) = 2|{w<x}| + |{w=x}| + 1
+    // (k² comparisons per block); tie term Σ(t³−t) over the block's
+    // value multiset = Σ_cells (eq² − 1) where eq = |{w = x}|
+    val ranked = blocks.select(
+      transform(col("__cells"), c => struct(
+        c.getField("__t").as("t"),
+        (lit(2L) * size(filter(col("__cells"),
+          w => w.getField("__v") < c.getField("__v"))).cast("long") +
+          size(filter(col("__cells"),
+            w => w.getField("__v") === c.getField("__v"))).cast("long") +
+          lit(1L)).as("r2"),
+        (size(filter(col("__cells"),
+          w => w.getField("__v") === c.getField("__v"))).cast("long"))
+          .as("eq"))).as("__rk"))
+    val exploded = ranked.select(explode(col("__rk")).as("__e"))
+      .select(col("__e.t").as("__t"), col("__e.r2").as("__r2"),
+        col("__e.eq").as("__eq"))
+    val perT = exploded.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("__r2").cast(dec)).as("__r2s"))
+    val tie = exploded.agg(coalesce(
+      sum(col("__eq").cast(dec) * col("__eq").cast(dec) - 1),
+      lit(0L).cast(dec)).as("__tie"))
+    val folded = perT.agg(
+      count(lit(1)).as("__kt"),
+      coalesce(max("__nb"), lit(0L)).as("n_blocks"),
+      coalesce(sum(col("__r2s") * col("__r2s")), lit(0L).cast(dec))
+        .as("__r2sq"))
+    val g = folded.crossJoin(tie).select(
+      when(col("__kt") === 0, raise_error(lit(
+        "Drift.friedman: no complete blocks")))
+        // k-sized blocks over MORE than k total treatments would mix
+        // incomparable designs (block1 = {A,B}, block2 = {B,C})
+        .when(col("__kt") =!= k, raise_error(lit(
+          "Drift.friedman: blocks disagree on the treatment set")))
+        .otherwise(col("n_blocks")).as("n_blocks"),
+      lit(k.toLong).as("k"), col("__r2sq"), col("__tie"))
+    val nD = col("n_blocks").cast("double")
+    val kD = lit(k.toDouble)
+    // ΣR_j² = Σ(2R_j)²/4 — the /4 folds into the 12 ⇒ 3·Σ(2R)²
+    val chi0 = lit(3.0) * col("__r2sq").cast("double") /
+      (nD * kD * (kD + lit(1.0))) - lit(3.0) * nD * (kD + lit(1.0))
+    val corr = lit(1.0) - col("__tie").cast("double") /
+      (nD * kD * (kD * kD - lit(1.0)))
+    g.select(col("n_blocks"), col("k"),
+      when(corr <= 0.0, raise_error(lit(
+        "Drift.friedman: every block internally tied — chi2 is " +
+          "undefined")))
+        .otherwise(chi0 / corr).as("chi2_f"))
+  }
+
   def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def moments(df: DataFrame, tag: String) = {
       val cents0 = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
