@@ -103,6 +103,12 @@ object ScaleBench {
     val tsN = time(s"simhash ${factor}x")(noop(
       graft.operators.Dedup.simhashNearDup(docsN, "doc_id", "text")))
     results += (("simhash", ts1, tsN))
+    // greedy survivor form: near-dup pairs + one ids-only anti-join
+    val tshd1 = time("simhash_dedup 1x")(noop(
+      graft.operators.Dedup.simhashDedup(docs1, "doc_id", "text")))
+    val tshdN = time(s"simhash_dedup ${factor}x")(noop(
+      graft.operators.Dedup.simhashDedup(docsN, "doc_id", "text")))
+    results += (("simhash_dedup", tshd1, tshdN))
 
     val probes = emb1.filter(col("vec_id") < 10)
     val ta1 = time("ann_lsh 1x")(noop(
@@ -1859,6 +1865,22 @@ object ScaleBench {
       val twx1 = time("wilcoxon 1x")(noop(wxOf(ord1)))
       val twxN = time(s"wilcoxon ${factor}x")(noop(wxOf(ordN)))
       results += (("wilcoxon", twx1, twxN))
+    }
+    {
+      // friedman: the block grid (order months) is data-size
+      // independent — replication only scales the per-cell counts, so
+      // past the one grouped scan the k-squared in-row rank work is
+      // constant; expect scan-bound at worst
+      def frOf(d: DataFrame) = {
+        val cells = d.filter(col("o_orderdate").isNotNull)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+            col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.operators.Drift.friedman(cells, "ym", "prio", "cnt", k = 5)
+      }
+      val tfr1 = time("friedman 1x")(noop(frOf(ord1)))
+      val tfrN = time(s"friedman ${factor}x")(noop(frOf(ordN)))
+      results += (("friedman", tfr1, tfrN))
     }
 
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")

@@ -182,6 +182,7 @@ object SparkEntry {
     // round 4: planted/exact-regime hash gates for formerly rows-only
     // approximate operators
     "q_simhash_planted" -> DedupQueries.simhashPlanted,
+    "q_simhash_dedup_planted" -> DedupQueries.simhashDedupPlanted,
     "q_semantic_dedup_planted" -> DedupQueries.semanticDedupPlanted,
     "q_ann_lsh_planted" -> DedupQueries.annLshPlanted,
     "q_ann_ivf_planted" -> DedupQueries.annIvfPlanted,
@@ -405,6 +406,8 @@ object SparkEntry {
     "q_mcnemar" -> PipelineQueries.mcnemarLangId,
     "q_cramers_v" -> PipelineQueries.cramersVEvents,
     "q_wilcoxon" -> PipelineQueries.wilcoxonSpend,
+    // round 12: the k-paired member completing the test matrix
+    "q_friedman" -> PipelineQueries.friedmanPriority,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -1682,6 +1685,27 @@ object SparkEntry {
       UNION ALL
       SELECT doc_id*10+1, doc_id*10+2, 0::INT FROM s""",
 
+    // simhash greedy dedup on the clone triples: doomed = the greater
+    // id of every hamming-0 pair, so survivors are the min-id of each
+    // triple plus every singleton — the fixture text replayed closed
+    // form like q_minhash_dedup_planted
+    "q_simhash_dedup_planted" -> """
+      WITH gen AS (
+        SELECT doc_id AS b,
+               array_to_string(list_transform(range(0, 30),
+                 j -> substr(md5(doc_id::VARCHAR || '_' || j::VARCHAR),
+                   1, 8)), ' ') AS t0
+        FROM documents),
+      fix AS (
+        SELECT b*10 AS doc_id, t0 AS text FROM gen WHERE b < 12
+        UNION ALL
+        SELECT b*10+1, t0 FROM gen WHERE b < 12
+        UNION ALL
+        SELECT b*10+2, t0 FROM gen WHERE b < 12
+        UNION ALL
+        SELECT b*10, t0 FROM gen WHERE b >= 100 AND b < 120)
+      SELECT doc_id, text FROM fix WHERE doc_id % 10 = 0""",
+
     "q_semantic_dedup_planted" -> """
       SELECT vec_id FROM embeddings WHERE vec_id < 20""",
 
@@ -2743,13 +2767,16 @@ object SparkEntry {
                         * CAST(CAST(r2g AS VARCHAR) AS DOUBLE) / ng
                         ORDER BY g)),
                    (a, x) -> a + x) AS s
-               FROM perg)
-      SELECT n, k,
+               FROM perg),
+      res AS (SELECT n, k,
              (3.0 * s / (n::DOUBLE * (n::DOUBLE + 1.0))
                 - 3.0 * (n::DOUBLE + 1.0))
              / (1.0 - CAST(CAST(tie AS VARCHAR) AS DOUBLE)
                   / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)) AS h
-      FROM fold CROSS JOIN tie""",
+      FROM fold CROSS JOIN tie)
+      SELECT n, k, h,
+             (h - k::DOUBLE + 1.0) / (n::DOUBLE - k::DOUBLE) AS eps2
+      FROM res""",
 
     // one-way ANOVA F: exact per-group integer-cents moments off ONE
     // grouped scan, the same sorted list_reduce fold for sum(S^2/n),
@@ -2772,8 +2799,8 @@ object SparkEntry {
                         * CAST(CAST(sg AS VARCHAR) AS DOUBLE) / ng
                         ORDER BY g)),
                    (a, x) -> a + x) AS t
-               FROM perg)
-      SELECT n, k,
+               FROM perg),
+      res AS (SELECT n, k,
              (t - CAST(CAST(s AS VARCHAR) AS DOUBLE)
                     * CAST(CAST(s AS VARCHAR) AS DOUBLE) / n::DOUBLE)
                / 10000.0 AS ss_between,
@@ -2784,7 +2811,10 @@ object SparkEntry {
                 / (k::DOUBLE - 1.0))
              / ((CAST(CAST(q AS VARCHAR) AS DOUBLE) - t)
                 / (n::DOUBLE - k::DOUBLE)) AS f
-      FROM fold""",
+      FROM fold)
+      SELECT n, k, ss_between, ss_within, f,
+             ss_between / (ss_between + ss_within) AS eta2
+      FROM res""",
 
     // Cliff's delta: the mann_whitney distinct-value collapse with a
     // B-side running count; 2*U_a exact HUGEINT, delta one raw
@@ -3079,7 +3109,7 @@ object SparkEntry {
                    (acc, x) -> acc + x) AS s
                FROM j)
       SELECT n, n_rows, n_cols,
-             sqrt((n::DOUBLE * s - n::DOUBLE)
+             sqrt(greatest(0.0, n::DOUBLE * s - n::DOUBLE)
                / (n::DOUBLE
                   * CAST(least(n_rows, n_cols) - 1 AS DOUBLE))) AS v
       FROM fold""",
@@ -3121,8 +3151,8 @@ object SparkEntry {
       agg AS (SELECT sum(m)::BIGINT AS n,
                 COALESCE(sum(mp::HUGEINT * rank2), 0::HUGEINT) AS w2,
                 COALESCE(sum(m::HUGEINT * m * m - m), 0::HUGEINT) AS tie
-              FROM r)
-      SELECT n, n_zero,
+              FROM r),
+      res AS (SELECT n, n_zero,
              CAST(CAST(w2 AS VARCHAR) AS DOUBLE) / 2.0 AS w_plus,
              (CAST(CAST(w2 AS VARCHAR) AS DOUBLE) / 2.0
                - CAST(CAST(n::HUGEINT * (n + 1) AS VARCHAR) AS DOUBLE)
@@ -3130,7 +3160,53 @@ object SparkEntry {
              / sqrt(CAST(CAST(n::HUGEINT * (n + 1) * (n * 2 + 1)
                       AS VARCHAR) AS DOUBLE) / 24.0
                     - CAST(CAST(tie AS VARCHAR) AS DOUBLE) / 48.0) AS z
-      FROM agg CROSS JOIN nz""",
+      FROM agg CROSS JOIN nz)
+      SELECT n, n_zero, w_plus, z,
+             (2.0 * w_plus
+               - CAST(CAST(n::HUGEINT * (n + 1) AS VARCHAR) AS DOUBLE)
+                 / 2.0)
+             / (CAST(CAST(n::HUGEINT * (n + 1) AS VARCHAR) AS DOUBLE)
+                 / 2.0) AS r_rb
+      FROM res""",
+
+    // Friedman chi2_F on monthly order volume by priority: per-block
+    // (month) doubled tie-averaged ranks replayed by a block-local
+    // k^2 self-join (no nested lambdas), rank sums exact HUGEINT,
+    // chi2_F the identical fixed IEEE chain over exact integers, raw
+    "q_friedman" -> """
+      WITH cells AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS b,
+               o_orderpriority AS t, count(*)::BIGINT AS v
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1, 2),
+      kept AS (
+        SELECT * FROM cells
+        WHERE b IN (SELECT b FROM cells GROUP BY b
+                    HAVING count(*) = 5)),
+      ranked AS (
+        SELECT a.b, a.t,
+               2 * sum(CASE WHEN c.v < a.v THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN c.v = a.v THEN 1 ELSE 0 END) + 1
+                 AS r2,
+               sum(CASE WHEN c.v = a.v THEN 1 ELSE 0 END) AS eq
+        FROM kept a JOIN kept c ON a.b = c.b
+        GROUP BY a.b, a.t, a.v),
+      pert AS (SELECT t, count(*)::BIGINT AS nb,
+                 sum(r2::HUGEINT) AS r2s
+               FROM ranked GROUP BY t),
+      tie AS (SELECT COALESCE(sum(eq::HUGEINT * eq - 1), 0::HUGEINT)
+                AS tie
+              FROM ranked),
+      fold AS (SELECT max(nb)::BIGINT AS n,
+                 sum(r2s * r2s) AS r2sq
+               FROM pert)
+      SELECT n AS n_blocks, 5::BIGINT AS k,
+             (3.0 * CAST(CAST(r2sq AS VARCHAR) AS DOUBLE)
+                / (n::DOUBLE * 5.0 * (5.0 + 1.0))
+              - 3.0 * n::DOUBLE * (5.0 + 1.0))
+             / (1.0 - CAST(CAST(tie AS VARCHAR) AS DOUBLE)
+                  / (n::DOUBLE * 5.0 * (5.0 * 5.0 - 1.0))) AS chi2_f
+      FROM fold CROSS JOIN tie""",
 
     // ROUGE-2: clipped bigram overlap replayed per (pair, gram);
     // empty-side pairs re-anchor on the pair table (the operator's

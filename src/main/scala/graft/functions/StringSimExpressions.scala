@@ -34,9 +34,6 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object StringSimExpressions {
 
-  def jaroOf(a: UTF8String, b: UTF8String): Double =
-    jaro(a.toString, b.toString)
-
   def jaroWinklerOf(a: UTF8String, b: UTF8String): Double = {
     val sa = a.toString
     val sb = b.toString

@@ -45,14 +45,6 @@ object Dedup {
     array_distinct(when(size(toks) < n, array(lower(text))).otherwise(grams))
   }
 
-  /** MinHash signature: `numHashes` hash-family members derived from one
-    * base hash per shingle (native [[graft.functions.MinHashSig]] kernel —
-    * single pass, each string hashed once; see TextHashExpressions for why
-    * the HOF formulation is 40x slower). Computed during the scan,
-    * embarrassingly parallel. */
-  def minhashSignature(shingleArr: Column, numHashes: Int = 32): Column =
-    graft.functions.GraftFunctions.minhashSig(shingleArr, numHashes)
-
   /** Estimated Jaccard similarity from two MinHash signatures. */
   def minhashEstimate(sigA: Column, sigB: Column): Column =
     aggregate(zip_with(sigA, sigB, (x, y) =>

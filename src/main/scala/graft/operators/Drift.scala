@@ -467,7 +467,8 @@ object Drift {
     *
     * @param bucket maps a value to its rank-phase bucket id (the
     *               [[mannWhitney]] contract: monotonic in the value)
-    * @return one row: (n, k, h) */
+    * @return one row: (n, k, h, eps2) — eps2 the epsilon-squared
+    *         effect size (H − k + 1)/(n − k) */
   def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
       bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       maxGroups: Int = 10000): DataFrame = {
@@ -528,10 +529,16 @@ object Drift {
       lit(3.0) * (nD + lit(1.0))
     val corr = lit(1.0) -
       col("__tie").cast("double") / (nD * nD * nD - nD)
-    g.select(col("n"), col("k"),
+    val out = g.select(col("n"), col("k"),
       when(corr <= 0.0, raise_error(lit(
         "Drift.kruskalWallis: every value tied — H is undefined")))
         .otherwise(h0 / corr).as("h"))
+    // epsilon-squared effect size (round 12): the "how big" number a
+    // report pairs with H — one extra IEEE chain off the emitted
+    // columns (the cliffsDelta precedent)
+    out.withColumn("eps2",
+      (col("h") - col("k").cast("double") + lit(1.0)) /
+        (col("n").cast("double") - col("k").cast("double")))
   }
 
   /** One-way ANOVA F — the PARAMETRIC k-group companion to
@@ -553,7 +560,8 @@ object Drift {
     * `ss_between`/`ss_within` are reported in squared VALUE units
     * (cents² / 1e4).
     *
-    * @return one row: (n, k, ss_between, ss_within, f) */
+    * @return one row: (n, k, ss_between, ss_within, f, eta2) —
+    *         eta2 the variance share SS_between/(SS_between+SS_within) */
   def anovaF(df: DataFrame, groupCol: String, valueCol: String,
       maxGroups: Int = 10000): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -609,12 +617,16 @@ object Drift {
       col("__s").cast("double") * col("__s").cast("double") / nD
     val ssw = col("__q").cast("double") - col("__t")
     val kD = col("k").cast("double")
-    g.select(col("n"), col("k"),
+    val out = g.select(col("n"), col("k"),
       (ssb / lit(10000.0)).as("ss_between"),
       when(ssw <= 0.0, raise_error(lit(
         "Drift.anovaF: zero within-group variance — F is undefined")))
         .otherwise(ssw / lit(10000.0)).as("ss_within"),
       ((ssb / (kD - lit(1.0))) / (ssw / (nD - kD))).as("f"))
+    // eta-squared effect size (round 12): variance share explained by
+    // the grouping — one division over the emitted SS columns
+    out.withColumn("eta2",
+      col("ss_between") / (col("ss_between") + col("ss_within")))
   }
 
   /** Cliff's delta — the nonparametric EFFECT SIZE companion to
@@ -698,7 +710,8 @@ object Drift {
     * variance; the guard fires only when the tie term consumes it).
     *
     * @param bucket maps |d| in cents to its rank-phase bucket id
-    * @return one row: (n, n_zero, w_plus, z) */
+    * @return one row: (n, n_zero, w_plus, z, r_rb) — r_rb the
+    *         matched-pairs rank-biserial effect size (2W+ − S)/S */
   def wilcoxonSignedRank(df: DataFrame, xCol: String, yCol: String,
       bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : DataFrame = {
@@ -750,10 +763,17 @@ object Drift {
     val varD = (nD * (nD + 1) * (nD * 2 + 1)).cast("double") / lit(24.0) -
       col("__tie").cast("double") / lit(48.0)
     val wPlus = col("__w2").cast("double") / lit(2.0)
-    g.select(col("n"), col("n_zero"), wPlus.as("w_plus"),
+    val out = g.select(col("n"), col("n_zero"), wPlus.as("w_plus"),
       when(varD <= 0.0, raise_error(lit(
         "Drift.wilcoxonSignedRank: zero rank variance")))
         .otherwise((wPlus - meanD) / sqrt(varD)).as("z"))
+    // matched-pairs rank-biserial r (round 12): (W+ − W−)/S =
+    // (2W+ − S)/S with S = n(n+1)/2 the total rank sum — the effect
+    // size next to the z, exact decimals in, one IEEE chain out
+    val sTot = (col("n").cast(dec) * (col("n").cast(dec) + 1))
+      .cast("double") / lit(2.0)
+    out.withColumn("r_rb",
+      (lit(2.0) * col("w_plus") - sTot) / sTot)
   }
 
   /** Friedman test — the k-treatment PAIRED/blocked rank test that

@@ -279,7 +279,8 @@ object Features {
       when(col("n_rows") < 2 || col("n_cols") < 2, raise_error(lit(
         "Features.cramersV: a single row or column category — V is " +
           "0/0")))
-        .otherwise(sqrt((nD * s - nD) / (nD * minDim))).as("v"))
+        .otherwise(sqrt(greatest(lit(0.0), nD * s - nD) / (nD * minDim)))
+        .as("v"))
   }
 
   /** 38,0-capable headroom for Σ(x·y) reassembly. */

@@ -69,8 +69,14 @@ object MediaCodec {
     val n = b.length
     if (n < 54) return fail(id, "bmp", n, "truncated")
     if (i32le(b, 14) < 40) return fail(id, "bmp", n, "bad_dib")
+    val w = i32le(b, 18)
     val h = i32le(b, 22)
-    ParsedMedia(id, "bmp", n, i32le(b, 18), math.abs(h), u16le(b, 28),
+    // width must be positive (the spec allows only height to go
+    // negative, meaning top-down rows); h = Int.MinValue would survive
+    // math.abs negative — both quarantine (found by MediaCodecFuzzSpec)
+    if (w <= 0 || h == 0 || h == Int.MinValue)
+      return fail(id, "bmp", n, "bad_dims")
+    ParsedMedia(id, "bmp", n, w, math.abs(h), u16le(b, 28),
       0, 0, 1, "")
   }
 
@@ -102,6 +108,9 @@ object MediaCodec {
       off += 8 + size + (size & 1)
     }
     if (!fmtSeen) return fail(id, "wav", n, "no_fmt")
+    // the sample rate rides a SIGNED i32 — a corrupt fmt chunk can
+    // carry a negative rate (found by MediaCodecFuzzSpec)
+    if (rate <= 0) return fail(id, "wav", n, "bad_rate")
     val frames =
       if (blockAlign > 0 && dataSize >= 0) dataSize / blockAlign else 0
     ParsedMedia(id, "wav", n, 0, 0, bits, rate, ch, frames, "")

@@ -122,20 +122,24 @@ object Retrieval {
     }
     // a doc listed twice within ONE run would inflate n_runs and sum
     // extra 1/(kc+rank) terms silently — raise loudly instead (the
-    // Eval.pairToks duplicate-id idiom; round-11 ADVICE fix). Past the
-    // guard count(*) == countDistinct(run), so n_runs is unchanged.
+    // Eval.pairToks duplicate-id idiom; round-11 ADVICE fix). The
+    // raise rides the rrf column itself — the top-k SORT KEY — so
+    // TakeOrderedAndProject must evaluate it for EVERY input row
+    // before the heap cut; anchored on the projected n_runs it fired
+    // only for retained rows (round-12 ADVICE fix). Past the guard
+    // count(*) == countDistinct(run), so neither column changes.
     tagged.reduce(_ unionAll _)
       .groupBy(docCol)
       .agg(count(lit(1)).as("__n_rows"),
         countDistinct(col("__run")).as("__n_distinct"),
-        round(sum(lit(1.0) / (lit(kc) + col("__r"))), 6).as("rrf"))
+        sum(lit(1.0) / (lit(kc) + col("__r"))).as("__rrf_raw"))
       .select(col(docCol),
+        col("__n_distinct").as("n_runs"),
         when(col("__n_rows") =!= col("__n_distinct"),
           raise_error(concat(
             lit("Retrieval.rrfFuse: doc appears more than once within " +
               "a single run: "), col(docCol).cast("string"))))
-          .otherwise(col("__n_distinct")).as("n_runs"),
-        col("rrf"))
+          .otherwise(round(col("__rrf_raw"), 6)).as("rrf"))
       .orderBy(col("rrf").desc, col(docCol))
       .limit(topK)
   }

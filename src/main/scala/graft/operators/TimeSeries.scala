@@ -503,33 +503,6 @@ object TimeSeries {
         col("level") + lit(horizon.toDouble) * col("trend"))
   }
 
-  /** Mann–Kendall trend test + Theil–Sen slope over a pre-aggregated
-    * series — the nonparametric "is this metric drifting, and how
-    * fast" monitor (daily ingest volume, daily dedup rate): S counts
-    * concordant-minus-discordant time pairs, the tie-corrected z its
-    * significance, and the Sen slope is the MEDIAN pairwise slope — a
-    * robust rate no single outlier day can move (the regression-line
-    * alternative breaks on one bad day).
-    *
-    * PRECONDITION (loud): the input is a SLOT-GRAIN series (one row
-    * per slot — run the groupBy first), at most `maxPoints` rows. The
-    * pair table is grid², DATA-SIZE-INDEPENDENT at any corpus scale
-    * (the whole point: 100 TB of events still collapse to the same
-    * day grid). Pairs come from one broadcast-nested-loop self-join
-    * of the bounded grid; the guards ride the broadcast side's
-    * referenced value column so they fire while it is built.
-    *
-    * Exactness: values are exact longs (counts, pre-scaled cents); S
-    * and the tie sums are exact integers; var_s is one DECIMAL→double
-    * cast ÷ 18.0; z is a fixed IEEE chain (sqrt is IEEE-exact),
-    * shipped RAW. Each pairwise slope is ONE long-diff division —
-    * bit-identical cross-engine — and the median is selected (not
-    * averaged across engines) by exact pair ranks off the
-    * distinct-slope collapse; an even pair count averages the two
-    * middle slopes (one add + one halving).
-    *
-    * @param bucket maps a slope to its rank-phase bucket id
-    * @return one row: (n, n_pairs, s, var_s, z, sen_slope) */
   /** Lagged cross-correlation between two metrics on one slot-grain
     * series — "does click volume LEAD purchase volume, and by how many
     * days": Pearson r between `x_t` and `y_{t+lag}` for each lag in
@@ -597,6 +570,33 @@ object TimeSeries {
         .as("r"))
   }
 
+  /** Mann–Kendall trend test + Theil–Sen slope over a pre-aggregated
+    * series — the nonparametric "is this metric drifting, and how
+    * fast" monitor (daily ingest volume, daily dedup rate): S counts
+    * concordant-minus-discordant time pairs, the tie-corrected z its
+    * significance, and the Sen slope is the MEDIAN pairwise slope — a
+    * robust rate no single outlier day can move (the regression-line
+    * alternative breaks on one bad day).
+    *
+    * PRECONDITION (loud): the input is a SLOT-GRAIN series (one row
+    * per slot — run the groupBy first), at most `maxPoints` rows. The
+    * pair table is grid², DATA-SIZE-INDEPENDENT at any corpus scale
+    * (the whole point: 100 TB of events still collapse to the same
+    * day grid). Pairs come from one broadcast-nested-loop self-join
+    * of the bounded grid; the guards ride the broadcast side's
+    * referenced value column so they fire while it is built.
+    *
+    * Exactness: values are exact longs (counts, pre-scaled cents); S
+    * and the tie sums are exact integers; var_s is one DECIMAL→double
+    * cast ÷ 18.0; z is a fixed IEEE chain (sqrt is IEEE-exact),
+    * shipped RAW. Each pairwise slope is ONE long-diff division —
+    * bit-identical cross-engine — and the median is selected (not
+    * averaged across engines) by exact pair ranks off the
+    * distinct-slope collapse; an even pair count averages the two
+    * middle slopes (one add + one halving).
+    *
+    * @param bucket maps a slope to its rank-phase bucket id
+    * @return one row: (n, n_pairs, s, var_s, z, sen_slope) */
   def mannKendallTrend(df: DataFrame, slotCol: String, valueCol: String,
       bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       maxPoints: Int = 100000): DataFrame = {

@@ -203,6 +203,14 @@ object DedupQueries {
     Dedup.simhashNearDup(plantedClones(s, d), "doc_id", "text",
       maxHamming = 3)
 
+  /** SimHash greedy dedup on the planted clone triples — hash-gated
+    * (round 12, wiring [[Dedup.simhashDedup]] under the surface gate):
+    * dooming the greater id of every hamming-0 pair keeps exactly the
+    * min-id doc of each triple plus every singleton. */
+  val simhashDedupPlanted: Q = (s, d) =>
+    Dedup.simhashDedup(plantedClones(s, d), "doc_id", "text",
+      maxHamming = 3)
+
   /** Semantic dedup on planted copy vectors — hash-gated: each of the
     * first 20 corpus vectors gains a byte-identical copy at id+1000;
     * identical vectors share every hyperplane sign bit (candidates in
@@ -288,8 +296,17 @@ object DedupQueries {
           concat(t0, lit(" "), xa, lit(" "), xb).as("text")))
       .unionAll(seeds.filter(col("b") >= 110 && col("b") < 120)
         .select((col("b") * 10).as("doc_id"), t0.as("text")))
-    graft.operators.IncrementalDedup.verdicts(
+    // the index takes the PERSISTED round trip (writeIndex/readIndex)
+    // — the production shape: yesterday's signatures live in parquet,
+    // today's batch never rescans the corpus. Values survive the
+    // parquet roundtrip exactly (ids + long arrays), so the gate hash
+    // is unchanged from the in-memory form.
+    val idxDir = s"/tmp/graft-incr-index-${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.operators.IncrementalDedup.writeIndex(
       graft.operators.IncrementalDedup.signatures(old, "doc_id", "text"),
+      idxDir)
+    graft.operators.IncrementalDedup.verdicts(
+      graft.operators.IncrementalDedup.readIndex(s, idxDir),
       batch, "doc_id", "text", threshold = 0.5)
   }
 

@@ -527,6 +527,23 @@ object PipelineQueries {
       a => floor(a / 100000.0))
   }
 
+  /** Friedman χ²_F ([[graft.operators.Drift.friedman]], round 12,
+    * closing the r11 verdict's #1): did ANY of the five order
+    * priorities move monthly order volume, PAIRED by month — every
+    * month (block) sees all five priorities (treatments), so the
+    * within-block ranking removes the month-to-month level shift the
+    * unpaired q_kruskal would absorb into noise. One groupBy(month)
+    * shuffle; ranks are in-row k²=25 arithmetic; ΣR² exact decimal;
+    * χ²_F one fixed IEEE chain, raw. */
+  val friedmanPriority: Q = (s, d) => {
+    val cells = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.operators.Drift.friedman(cells, "ym", "prio", "cnt", k = 5)
+  }
+
   /** Two-stage retrieve-and-rerank (the production search shape): BM25
     * lexical retrieval prunes the corpus to 20 candidates, then an
     * exact cosine re-rank against the query embedding (vec_id 0)

@@ -24,8 +24,15 @@ class DrillGateSpec extends AnyFunSuite {
     val perfFile = new java.io.File("PERF.md")
     assert(perfFile.exists(), s"PERF.md not found at ${perfFile.getAbsolutePath}")
     val perf = scala.io.Source.fromFile(perfFile, "UTF-8").mkString
+    // whole-token match (round-12 ADVICE fix): plain substring
+    // containment let a new name that is a prefix/substring of an
+    // already-drilled one (q_kruskal vs q_kruskal_wallis) ride the
+    // sibling's mention without its own row
     val missing = (SparkEntry.queries.keySet -- grandfathered)
-      .filterNot(perf.contains)
+      .filterNot { n =>
+        ("(?<![\\w])" + java.util.regex.Pattern.quote(n) + "(?![\\w])")
+          .r.findFirstIn(perf).isDefined
+      }
     assert(missing.isEmpty,
       s"queries with no PERF.md drill coverage: ${missing.toSeq.sorted
         .mkString(", ")} — run `sbt \"runMain graft.ScaleBench 32\"` " +

@@ -180,6 +180,8 @@ class DriftSpec extends SparkSpec {
     val r1 = Drift.kruskalWallis(ut, "g", "v", identity).collect().head
     assert((r1.getLong(0), r1.getLong(1)) == ((4L, 2L)))
     assert(math.abs(r1.getDouble(2) - 2.4) < 1e-12, r1.toString)
+    // eps2 = (H - k + 1)/(n - k) = 1.4/2
+    assert(math.abs(r1.getAs[Double]("eps2") - 0.7) < 1e-12, r1.toString)
     // A=[1,1], B=[2,2]: avg ranks 1.5/3.5, H0 = 2.4,
     // tie = 2*(8-2) = 12, C = 1 - 12/60 = 0.8, H = 3.0
     val tied = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0))
@@ -213,6 +215,8 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 6.0) < 1e-9, r.toString)
     assert(math.abs(r.getDouble(3) - 10.0) < 1e-9, r.toString)
     assert(math.abs(r.getDouble(4) - 2.4) < 1e-12, r.toString)
+    // eta2 = 6/(6+10)
+    assert(math.abs(r.getAs[Double]("eta2") - 0.375) < 1e-12, r.toString)
   }
 
   test("anovaF raises on one group and on zero within-group variance") {
@@ -260,12 +264,16 @@ class DriftSpec extends SparkSpec {
     assert(r.getDouble(2) === 4.0, r.toString)
     assert(math.abs(r.getDouble(3) - 1.0 / math.sqrt(3.5)) < 1e-12,
       r.toString)
+    // rank-biserial r = (2W+ - S)/S = (8 - 6)/6
+    assert(math.abs(r.getAs[Double]("r_rb") - 1.0 / 3.0) < 1e-12,
+      r.toString)
     // +1 and -1: tied |d|, averaged rank 1.5 each, W+ = mean → z = 0
     val sym = Seq((2.0, 1.0), (1.0, 2.0)).toDF("x", "y")
     val rs = Drift.wilcoxonSignedRank(sym, "x", "y", identity)
       .collect().head
     assert(rs.getDouble(2) === 1.5 && rs.getDouble(3) === 0.0,
       rs.toString)
+    assert(rs.getAs[Double]("r_rb") === 0.0, rs.toString)
   }
 
   test("wilcoxonSignedRank raises when every pair is tied") {
@@ -275,6 +283,66 @@ class DriftSpec extends SparkSpec {
       Drift.wilcoxonSignedRank(flat, "x", "y", identity).collect()
     }
     assert(e.getMessage.contains("every pair tied"), e.getMessage)
+  }
+
+  test("friedman hand-computed: n=2 blocks, k=3, no ties") {
+    import spark.implicits._
+    // b1: A=1 B=2 C=3 -> ranks 1,2,3; b2: A=2 B=1 C=3 -> ranks 2,1,3
+    // R_A=3 R_B=3 R_C=6; chi2 = 12/(2*3*4)*54 - 3*2*4 = 27 - 24 = 3
+    val df = Seq(("b1", "A", 1.0), ("b1", "B", 2.0), ("b1", "C", 3.0),
+      ("b2", "A", 2.0), ("b2", "B", 1.0), ("b2", "C", 3.0))
+      .toDF("blk", "trt", "v")
+    val r = Drift.friedman(df, "blk", "trt", "v", 3).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 3L)), r.toString)
+    assert(r.getDouble(2) === 3.0, r.toString)
+  }
+
+  test("friedman tie correction: a within-block tie shrinks the " +
+      "denominator; an incomplete block drops and n reports it") {
+    import spark.implicits._
+    // b1: A=1 B=1 C=2 (tie) -> rank2 (3,3,6); b2: A=1 B=2 C=3 ->
+    // (2,4,6). Sum(2R)^2 = 25+49+144 = 218 -> chi0 = 3*218/24 - 24 =
+    // 3.25; tie = (4-1)+(4-1) = 6 -> corr = 1 - 6/48 = 0.875 ->
+    // chi2_f = 26/7. b3 carries only {A,B} and must DROP.
+    val df = Seq(("b1", "A", 1.0), ("b1", "B", 1.0), ("b1", "C", 2.0),
+      ("b2", "A", 1.0), ("b2", "B", 2.0), ("b2", "C", 3.0),
+      ("b3", "A", 9.0), ("b3", "B", 8.0))
+      .toDF("blk", "trt", "v")
+    val r = Drift.friedman(df, "blk", "trt", "v", 3).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 3L)), r.toString)
+    assert(math.abs(r.getDouble(2) - 26.0 / 7.0) < 1e-12, r.toString)
+  }
+
+  test("friedman loud degenerates: duplicate cell, no complete " +
+      "blocks, disagreeing treatment sets, every block tied") {
+    import spark.implicits._
+    val dup = Seq(("b1", "A", 1.0), ("b1", "A", 2.0), ("b1", "B", 3.0))
+      .toDF("blk", "trt", "v")
+    val e1 = intercept[Exception] {
+      Drift.friedman(dup, "blk", "trt", "v", 2).collect()
+    }
+    assert(e1.getMessage.contains("duplicate (block, treatment)"),
+      e1.getMessage)
+    val sparse = Seq(("b1", "A", 1.0), ("b2", "B", 2.0))
+      .toDF("blk", "trt", "v")
+    val e2 = intercept[Exception] {
+      Drift.friedman(sparse, "blk", "trt", "v", 2).collect()
+    }
+    assert(e2.getMessage.contains("no complete blocks"), e2.getMessage)
+    // b1 = {A,B}, b2 = {B,C}: each complete at k=2 but the union is 3
+    val mixed = Seq(("b1", "A", 1.0), ("b1", "B", 2.0),
+      ("b2", "B", 1.0), ("b2", "C", 2.0)).toDF("blk", "trt", "v")
+    val e3 = intercept[Exception] {
+      Drift.friedman(mixed, "blk", "trt", "v", 2).collect()
+    }
+    assert(e3.getMessage.contains("disagree on the treatment set"),
+      e3.getMessage)
+    val flat = Seq(("b1", "A", 1.0), ("b1", "B", 1.0),
+      ("b2", "A", 2.0), ("b2", "B", 2.0)).toDF("blk", "trt", "v")
+    val e4 = intercept[Exception] {
+      Drift.friedman(flat, "blk", "trt", "v", 2).collect()
+    }
+    assert(e4.getMessage.contains("internally tied"), e4.getMessage)
   }
 
   test("propZTest raises on an empty arm and on a degenerate pooled " +
