@@ -646,6 +646,22 @@ object ScaleBench {
     val tprN = time(s"pagerank ${factor}x")(noop(graft.operators.Graph
       .pageRank(prEdges(liG, ordG), "src", "dst", iterations = 3)))
     results += (("pagerank", tpr1, tprN))
+    // weighted SSSP on the same bipartite graph (quantity as weight,
+    // numeric ids: suppliers as-is, customers offset into a disjoint
+    // range): per-round (dist join edges) on src — the pre-partitioned
+    // edge layout holds the per-round exchange to dist rows only
+    def spEdges(li: DataFrame, o: DataFrame) = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").cast("long").as("src"),
+        (col("o_custkey") + 900000000L).as("dst"),
+        col("l_quantity").cast("long").as("w"))
+    val tsp1 = time("sssp 1x")(noop(graft.operators.Graph
+      .shortestPathsWeighted(spEdges(li1, ord1), "src", "dst", "w",
+        sources = Seq(1L), maxHops = 4)))
+    val tspN = time(s"sssp ${factor}x")(noop(graft.operators.Graph
+      .shortestPathsWeighted(spEdges(liG, ordG), "src", "dst", "w",
+        sources = Seq(1L), maxHops = 4)))
+    results += (("sssp", tsp1, tspN))
 
     // quantile sketch: pure map-side partial agg, buffer size fixed
     def hq(df: DataFrame) = df.select(col("l_returnflag"),

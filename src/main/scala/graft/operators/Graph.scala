@@ -69,7 +69,11 @@ object Graph {
     def clamp(df: DataFrame): DataFrame =
       numPartitions.fold(df)(n => df.repartition(n, col("node")))
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().cache()
+      .distinct()
+      // partition on src once: every iteration's contribution join and
+      // the outDeg aggregate then reuse the cached layout, no per-round
+      // |E| exchange (r11 verdict #7; cache preserves partitioning)
+      .repartition(col("src")).cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val nRow = nodes.agg(count(lit(1)).cast("double").as("__n"))
@@ -126,7 +130,8 @@ object Graph {
           raise_error(concat(lit("pageRankWeighted: weight must be " +
             "positive, got "), col(weightCol).cast("string"))))
           .otherwise(col(weightCol).cast("double")).as("w"))
-      .groupBy("src", "dst").agg(sum("w").as("w")).cache()
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .repartition(col("src")).cache() // src layout reused per round
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val nRow = nodes.agg(count(lit(1)).cast("double").as("__n"))

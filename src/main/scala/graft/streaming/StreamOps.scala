@@ -77,8 +77,8 @@ object StreamOps {
     // four stores per partition), and the commit cost is per-store
     // constant — at 32 shuffle partitions the single-batch replay pays
     // 128 commits for megabytes of state. Cap the replay's state
-    // partitioning at 8 (the driver's own correctness harness already
-    // runs these plans at 4): identical results — the gates hash the
+    // partitioning at 4 — the SAME posture the driver's correctness
+    // harness runs these plans at: identical results — the gates hash the
     // OUTPUT, which never depends on partition count — and the
     // streaming conf is restored right after start() so batch plans in
     // the same session keep the session default. A production
@@ -87,7 +87,7 @@ object StreamOps {
     val prev = spark.conf.get(key)
     val q =
       try {
-        spark.conf.set(key, math.min(prev.toInt, 8).toString)
+        spark.conf.set(key, math.min(prev.toInt, 4).toString)
         out.writeStream
           .format("memory")
           .queryName(name)
