@@ -662,6 +662,39 @@ object ScaleBench {
       .shortestPathsWeighted(spEdges(liG, ordG), "src", "dst", "w",
         sources = Seq(1L), maxHops = 4)))
     results += (("sssp", tsp1, tspN))
+    // modularity: two label joins + grouped counts; the community fold
+    // is bounded (1000 hash buckets) — expect scan/join-bound
+    def modOf(li: DataFrame, o: DataFrame) = {
+      val e = prEdges(li, o)
+      val nodes = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+      val assign = nodes.withColumn("label", pmod(hash(col("node")), lit(1000)))
+      graft.operators.Graph.modularity(e, "src", "dst", assign,
+        "node", "label")
+    }
+    val tmq1 = time("modularity 1x")(noop(modOf(li1, ord1)))
+    val tmqN = time(s"modularity ${factor}x")(noop(modOf(liG, ordG)))
+    results += (("modularity", tmq1, tmqN))
+    // BH-FDR over one hypothesis per order: the distinct-p table IS
+    // hypothesis-count-sized here (hash p-values never collide in
+    // practice), so expect scan/shuffle-linear at worst; the cutoff
+    // stays a 1-row broadcast
+    def fdrOf(d: DataFrame) = graft.operators.Drift.benjaminiHochberg(
+      d.select(col("o_orderkey"),
+        (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+          16, 10).cast("long").cast("double") / lit(4294967296.0))
+          .as("p")), "p")
+    val tfd1 = time("fdr 1x")(noop(fdrOf(ord1)))
+    val tfdN = time(s"fdr ${factor}x")(noop(fdrOf(ordN)))
+    results += (("fdr", tfd1, tfdN))
+    // l-diversity: one partial-agg groupBy with an exact distinct —
+    // expect the kanon cost class (scan-bound, combo-sized shuffle)
+    def ldOf(d: DataFrame) = graft.operators.Profile.lDiversity(d,
+      Seq(col("lang"), (col("n_chars") / 100).cast("long")
+        .as("len_bucket")), "source", l = 3)
+    val tld1 = time("ldiversity 1x")(noop(ldOf(docs1)))
+    val tldN = time(s"ldiversity ${factor}x")(noop(ldOf(docsN)))
+    results += (("ldiversity", tld1, tldN))
 
     // quantile sketch: pure map-side partial agg, buffer size fixed
     def hq(df: DataFrame) = df.select(col("l_returnflag"),

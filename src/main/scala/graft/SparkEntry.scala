@@ -262,6 +262,7 @@ object SparkEntry {
     "q_clustering_coeff" -> PipelineQueries.clusteringCoeff,
     "q_linreg_group" -> RelationalQueries.linregGroup,
     "q_kanon_audit" -> PipelineQueries.kanonAudit,
+    "q_ldiv_audit" -> PipelineQueries.ldivAudit,
     "q_sample_weighted" -> PipelineQueries.sampleWeighted,
     "q_token_entropy" -> TextQueries.tokenEntropy,
     "q_lateral_topk" -> RelationalQueries.lateralTopK,
@@ -350,6 +351,7 @@ object SparkEntry {
       ((s, d) => streaming.StreamOps.streamDrift(s, d)),
     "q_seasonal_decompose" -> PipelineQueries.seasonalDecompose,
     "q_lpa_planted" -> PipelineQueries.lpaPlanted,
+    "q_modularity_planted" -> PipelineQueries.modularityPlanted,
     "q_jaro_winkler" -> PipelineQueries.jaroWinklerPairs,
     "q_damerau" -> PipelineQueries.damerauPairs,
     "q_cusum_shift" -> PipelineQueries.cusumShift,
@@ -408,6 +410,7 @@ object SparkEntry {
     "q_wilcoxon" -> PipelineQueries.wilcoxonSpend,
     // round 12: the k-paired member completing the test matrix
     "q_friedman" -> PipelineQueries.friedmanPriority,
+    "q_fdr_flags" -> PipelineQueries.fdrFlags,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -3208,6 +3211,31 @@ object SparkEntry {
                   / (n::DOUBLE * 5.0 * (5.0 * 5.0 - 1.0))) AS chi2_f
       FROM fold CROSS JOIN tie""",
 
+    // Benjamini-Hochberg step-up replay: distinct-p collapse, the
+    // inclusive cumulative = highest tied rank, one max() cutoff,
+    // map-only flags — p-values are planted dyadics + (i+1)/1e4
+    // signals, each ONE IEEE division of exact integers
+    "q_fdr_flags" -> """
+      WITH hyp AS (
+        SELECT doc_id,
+               CASE WHEN doc_id < 10
+                 THEN (doc_id + 1)::DOUBLE / 10000.0
+                 ELSE ('0x' || substr(md5('fdr_' || doc_id::VARCHAR),
+                         1, 8))::BIGINT::DOUBLE / 4294967296.0
+               END AS p
+        FROM documents WHERE doc_id < 200),
+      vals AS (SELECT p AS v, count(*)::BIGINT AS c FROM hyp
+               GROUP BY 1),
+      r AS (SELECT v, sum(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS rhi
+            FROM vals),
+      m AS (SELECT count(*)::BIGINT AS m FROM hyp),
+      cut AS (SELECT max(v) AS cut FROM r CROSS JOIN m
+              WHERE v <= rhi::DOUBLE * 0.05 / m::DOUBLE)
+      SELECT doc_id, p, COALESCE(p <= cut, false) AS rejected
+      FROM hyp CROSS JOIN cut""",
+
     // ROUGE-2: clipped bigram overlap replayed per (pair, gram);
     // empty-side pairs re-anchor on the pair table (the operator's
     // explode_outer keeps them)
@@ -4550,6 +4578,18 @@ object SparkEntry {
              count(*) < 10 AS at_risk
       FROM documents
       GROUP BY lang, source, len_bucket""",
+
+    // l-diversity: distinct sensitive (source) values per
+    // quasi-identifier group; a homogeneous group is at risk even
+    // when k-anonymous
+    "q_ldiv_audit" -> """
+      SELECT lang,
+             CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+             count(*)::BIGINT AS cnt,
+             count(DISTINCT source)::BIGINT AS n_sensitive,
+             count(DISTINCT source) < 3 AS at_risk
+      FROM documents
+      GROUP BY lang, len_bucket""",
 
     "q_sample_weighted" -> """
       WITH g AS (SELECT max(n_chars) AS wmax FROM documents)
@@ -6124,6 +6164,41 @@ object SparkEntry {
         (12::BIGINT, 10::BIGINT),
         (20::BIGINT, 20::BIGINT), (21::BIGINT, 20::BIGINT))
         AS t(node, label)""",
+
+    // modularity of the planted LPA communities: the oracle replays
+    // L_c, d_c and the sorted per-community fold over the known label
+    // assignment (not a pasted constant) — every term dyadic, Q raw
+    "q_modularity_planted" -> """
+      WITH e(a, b) AS (VALUES (0, 1), (0, 2), (1, 2), (10, 11),
+        (10, 12), (11, 12), (2, 10), (20, 21)),
+      lab AS (SELECT n,
+                CASE WHEN n < 10 THEN 0 WHEN n < 20 THEN 10
+                     ELSE 20 END AS l
+              FROM (VALUES (0), (1), (2), (10), (11), (12), (20), (21))
+                AS t(n)),
+      tagged AS (SELECT e.a, e.b, la.l AS la, lb.l AS lb
+                 FROM e JOIN lab la ON la.n = e.a
+                        JOIN lab lb ON lb.n = e.b),
+      m AS (SELECT count(*)::BIGINT AS m FROM tagged),
+      intra AS (SELECT la AS c, count(*)::BIGINT AS lc
+                FROM tagged WHERE la = lb GROUP BY la),
+      degc AS (SELECT c, count(*)::BIGINT AS dc
+               FROM (SELECT la AS c FROM tagged
+                     UNION ALL SELECT lb FROM tagged) u
+               GROUP BY c),
+      perc AS (SELECT degc.c, COALESCE(lc, 0)::BIGINT AS lc, dc, m
+               FROM degc LEFT JOIN intra ON degc.c = intra.c
+               CROSS JOIN m),
+      fold AS (SELECT max(m)::BIGINT AS m,
+                 count(*)::BIGINT AS n_communities,
+                 list_reduce(list_prepend(0.0,
+                   list(lc::DOUBLE / m::DOUBLE
+                        - (dc::DOUBLE / (2.0 * m::DOUBLE))
+                          * (dc::DOUBLE / (2.0 * m::DOUBLE))
+                        ORDER BY c::VARCHAR)),
+                   (acc, x) -> acc + x) AS q
+               FROM perc)
+      SELECT m, n_communities, q FROM fold""",
 
     // Jaro-Winkler: the engine kernel's semantics are pinned to this
     // builtin (empty->0, window max/2-1, boost only past 0.7).

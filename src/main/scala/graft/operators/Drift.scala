@@ -875,6 +875,73 @@ object Drift {
         .otherwise(chi0 / corr).as("chi2_f"))
   }
 
+  /** Benjamini–Hochberg FDR control — the multiple-comparisons step a
+    * monitoring sweep runs AFTER the per-segment tests ([[welchTByGroup]],
+    * per-segment drift screens): given one p-value per hypothesis, flag
+    * the rejections whose expected false-discovery rate stays ≤ `alpha`.
+    * Standard step-up rule: sort p ascending, find the LARGEST k with
+    * `p_(k) ≤ k·α/m`, reject everything ≤ p_(k).
+    *
+    * Distributed shape: the distinct-p collapse + two-phase cumulative
+    * (the [[mannWhitney]] rank recipe — p ∈ [0,1] so the phase bucket
+    * is the fixed 1024-grid, no caller knob); tied p-values share their
+    * HIGHEST rank, which is exactly the index the step-up rule wants;
+    * the cutoff is one 1-row aggregate broadcast back over the input —
+    * flags are map-only, no global sort anywhere.
+    *
+    * Exactness: the threshold comparison `p ≤ (rank·α)/m` is one
+    * multiply + one divide over exact longs and the caller's p — a
+    * fixed IEEE chain an oracle replays bit-identically. The flags are
+    * then boolean, so the gate carries no float column at all beyond p
+    * itself.
+    *
+    * Loud degenerates: a NULL p raises (a dropped hypothesis would
+    * shrink m and loosen every threshold silently); p outside [0,1]
+    * raises.
+    *
+    * @return the input columns + `rejected` (false everywhere when no
+    *         hypothesis clears the rule) */
+  def benjaminiHochberg(df: DataFrame, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val pRaw = col(pCol).cast("double")
+    val guarded = df.withColumn("__p",
+      when(pRaw.isNull, raise_error(lit(
+        "Drift.benjaminiHochberg: NULL p-value — every hypothesis " +
+          "needs one (dropping it would silently loosen every " +
+          "threshold)")))
+        .when(pRaw < 0.0 || pRaw > 1.0, raise_error(concat(lit(
+          "Drift.benjaminiHochberg: p outside [0,1]: "),
+          pRaw.cast("string"))))
+        .otherwise(pRaw))
+    val vals = guarded.groupBy(col("__p").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__bk", floor(col("__v") * 1024))
+    val wOff = Window.partitionBy(Bounded.constPart(col("__tm")))
+      .orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vals.groupBy(col("__bk"))
+      .agg(sum("__c").as("__tm"))
+      .withColumn("__om", coalesce(sum(col("__tm")).over(wOff), lit(0L)))
+      .select(col("__bk").as("__bk2"), col("__om"))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // inclusive cumulative count = the highest rank among the __c ties
+    val ranked = vals.join(broadcast(offs), col("__bk") <=> col("__bk2"))
+      .withColumn("__rhi", col("__om") + sum(col("__c")).over(wIn))
+    val m1 = guarded.agg(count(lit(1)).as("__m"))
+    val cut = ranked.crossJoin(broadcast(m1))
+      .filter(col("__v") <=
+        col("__rhi").cast("double") * lit(alpha) /
+          col("__m").cast("double"))
+      .agg(max(col("__v")).as("__cut"))
+    guarded.crossJoin(broadcast(cut))
+      .withColumn("rejected", coalesce(col("__p") <= col("__cut"),
+        lit(false)))
+      .drop("__p", "__cut")
+  }
+
   def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def moments(df: DataFrame, tag: String) = {
       val cents0 = floor(col(valueCol) * 100 + lit(0.5)).cast("long")

@@ -839,4 +839,88 @@ object Graph {
           "r is undefined")))
         .otherwise(cov / (sqrt(varX) * sqrt(varY))).as("r"))
   }
+
+  /** Newman modularity Q of a community assignment — the single
+    * "how good is this partition" score next to [[labelPropagation]]'s
+    * labels (and any other clustering of a graph):
+    * `Q = Σ_c [ L_c/m − (d_c/(2m))² ]` over communities, with m the
+    * undirected edge count, L_c the intra-community edges and d_c the
+    * total degree inside c.
+    *
+    * Distributed shape: edges canonicalize once (dedup, self-loops
+    * dropped); TWO label joins tag the endpoints (labels are an
+    * (id, label) table — dims at any scale, broadcast when small); L_c
+    * and d_c are one grouped count each; the Σ over communities is the
+    * SORTED SEQUENTIAL FOLD (the kruskalWallis kernel) over per-
+    * community terms, bounded by `maxCommunities` and raised loudly.
+    *
+    * Exactness: m, L_c, d_c are exact longs; each term is a fixed IEEE
+    * chain over them; Q ships RAW (the fold order is pinned by the
+    * sorted community key cross-engine).
+    *
+    * Loud degenerates: an edge endpoint MISSING from the assignment
+    * raises (silently dropping its edges would inflate Q); a duplicate
+    * assignment row raises; an empty canonical edge set raises (Q is
+    * 0/0).
+    *
+    * @param assign one row per node: (nodeCol, labelCol)
+    * @return one row: (m, n_communities, q) */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      assign: DataFrame, nodeCol: String, labelCol: String,
+      maxCommunities: Int = 100000): DataFrame = {
+    val und = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    // duplicate assignment rows would double-count degrees — raise via
+    // the referenced max-count column (the RankCorr guard idiom)
+    val lab = assign
+      .groupBy(col(nodeCol).as("__n"))
+      .agg(count(lit(1)).as("__c"), min(col(labelCol)).as("__l"))
+      .select(col("__n"),
+        when(col("__c") > 1, raise_error(concat(lit(
+          "Graph.modularity: duplicate assignment row for node "),
+          col("__n").cast("string"))))
+          .otherwise(col("__l")).as("__l"))
+    def tag(side: String) = lab
+      .select(col("__n").as(s"__n_$side"), col("__l").as(s"__l_$side"))
+    val tagged = und
+      .join(tag("a"), col("a") === col("__n_a"), "left")
+      .join(tag("b"), col("b") === col("__n_b"), "left")
+      .select(col("a"), col("b"),
+        when(col("__l_a").isNull || col("__l_b").isNull,
+          raise_error(concat(lit(
+            "Graph.modularity: edge endpoint missing from the " +
+              "assignment: "), col("a").cast("string"), lit("-"),
+            col("b").cast("string"))))
+          .otherwise(col("__l_a")).as("__la"),
+        col("__l_b").as("__lb"))
+      .localCheckpoint()
+    val mRow = tagged.agg(count(lit(1)).as("__m"))
+    val intra = tagged.filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("__c")).agg(count(lit(1)).as("__lc"))
+    val degC = tagged.select(col("__la").as("__c"))
+      .unionAll(tagged.select(col("__lb").as("__c")))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__dc"))
+    val perC = degC.join(intra, Seq("__c"), "left")
+      .select(col("__c"), coalesce(col("__lc"), lit(0L)).as("__lc"),
+        col("__dc"))
+      .crossJoin(broadcast(mRow))
+    val mD = col("__m").cast("double")
+    val frac = col("__dc").cast("double") / (lit(2.0) * mD)
+    val term = col("__lc").cast("double") / mD - frac * frac
+    val folded = perC.agg(
+      count(lit(1)).as("n_communities"),
+      max(col("__m")).as("m"),
+      sort_array(collect_list(struct(col("__c").cast("string").as("c"),
+        term.as("t")))).as("__terms"))
+    folded.select(
+      when(col("m").isNull || col("m") === 0, raise_error(lit(
+        "Graph.modularity: empty edge set — Q is undefined")))
+        .otherwise(col("m")).as("m"),
+      when(col("n_communities") > maxCommunities, raise_error(concat(
+        lit(s"Graph.modularity: more than $maxCommunities communities " +
+          "(the fold collects one term per community) — got "),
+        col("n_communities").cast("string"))))
+        .otherwise(col("n_communities")).as("n_communities"),
+      aggregate(transform(col("__terms"), x => x.getField("t")),
+        lit(0.0), (acc, x) => acc + x).as("q"))
+  }
 }

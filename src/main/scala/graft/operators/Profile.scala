@@ -123,4 +123,31 @@ object Profile {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("at_risk", col("cnt") < k)
   }
+
+  /** l-diversity audit — the companion [[kAnonymity]] needs: a
+    * quasi-identifier group can be k-anonymous yet leak its SENSITIVE
+    * attribute when every member shares one value (the homogeneity
+    * attack). One row per distinct combination with its population,
+    * the exact count of distinct sensitive values inside it, and the
+    * `at_risk` flag (fewer than `l` distinct values). A NULL sensitive
+    * value raises loudly — counting it as a "value" would fake
+    * diversity, dropping it would undercount the group.
+    *
+    * Same scale shape as [[kAnonymity]]: one partial-aggregatable
+    * groupBy (exact COUNT DISTINCT rides the standard two-phase
+    * expand), shuffle carries (combo, sensitive) cells. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[Column],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "audit needs at least one quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val sv = when(col(sensitiveCol).isNull, raise_error(lit(
+      s"Profile.lDiversity: NULL sensitive value ($sensitiveCol) — " +
+        "null is neither a diversity value nor ignorable; filter or " +
+        "impute explicitly first")))
+      .otherwise(col(sensitiveCol))
+    df.groupBy(quasiCols: _*)
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(sv).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
 }

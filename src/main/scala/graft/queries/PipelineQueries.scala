@@ -544,6 +544,25 @@ object PipelineQueries {
     graft.operators.Drift.friedman(cells, "ym", "prio", "cnt", k = 5)
   }
 
+  /** Benjamini–Hochberg flags over a 200-hypothesis sweep (round 12,
+    * [[graft.operators.Drift.benjaminiHochberg]]): ten planted signals
+    * (p = (i+1)/10⁴, all under the adaptive cutoff at α = 0.05) among
+    * 190 hash-uniform dyadic p-values — the fixture exercises the
+    * step-up rank/threshold machinery end-to-end with every p one IEEE
+    * division of exact integers, so the flags gate exactly. */
+  val fdrFlags: Q = (s, d) => {
+    val hyp = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        when(col("doc_id") < 10,
+          (col("doc_id") + 1).cast("double") / lit(10000.0))
+          .otherwise(
+            conv(substring(md5(concat(lit("fdr_"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long").cast("double") / lit(4294967296.0))
+          .as("p"))
+    graft.operators.Drift.benjaminiHochberg(hyp, "p", alpha = 0.05)
+  }
+
   /** Two-stage retrieve-and-rerank (the production search shape): BM25
     * lexical retrieval prunes the corpus to 20 candidates, then an
     * exact cosine re-rank against the query embedding (vec_id 0)
@@ -1203,6 +1222,23 @@ object PipelineQueries {
       numPartitions = Some(4))
   }
 
+  /** Modularity Q of the LPA assignment on the same planted graph
+    * (round 12, [[graft.operators.Graph.modularity]]): two triangles
+    * bridged by one edge plus an isolated pair — Q = 122/256 exactly
+    * (every term dyadic), the oracle replays L_c/d_c and the sorted
+    * fold rather than pasting the constant. */
+  val modularityPlanted: Q = (s, d) => {
+    val s_ = s; import s_.implicits._
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (2L, 10L), (20L, 21L)).toDF("src", "dst")
+      .repartition(4)
+    val assign = graft.operators.Graph.labelPropagation(edges, "src",
+      "dst", numPartitions = Some(4))
+    graft.operators.Graph.modularity(edges, "src", "dst", assign,
+      "node", "label")
+  }
+
   /** SCD2 history (round 5): three derived snapshots — v2 rewrites every
     * 5th doc and drops every 7th, v3 (built ON v2) rewrites every 3rd
     * and drops every 11th — folded into validity intervals. Covers
@@ -1413,6 +1449,18 @@ object PipelineQueries {
       quasiCols = Seq(col("lang"), col("source"),
         (col("n_chars") / 100).cast("long").as("len_bucket")),
       k = 10)
+
+  /** l-diversity audit (round 12, [[graft.operators.Profile.lDiversity]]):
+    * the same quasi-identifier combination as q_kanon_audit, with the
+    * document source as the sensitive attribute — a (lang, len_bucket)
+    * group whose members all share one source leaks it even when the
+    * group is k-anonymous. */
+  val ldivAudit: Q = (s, d) =>
+    graft.operators.Profile.lDiversity(
+      Tables.documents(s, d),
+      quasiCols = Seq(col("lang"),
+        (col("n_chars") / 100).cast("long").as("len_bucket")),
+      sensitiveCol = "source", l = 3)
 
   /** Deterministic weighted Bernoulli sample (round 6): keep probability
     * proportional to doc length, decided by EXACT integer arithmetic —

@@ -364,4 +364,40 @@ class DriftSpec extends SparkSpec {
       .collect().head
     assert(r.getLong(0) == 2L && r.getLong(2) == 1L)
   }
+
+  test("benjaminiHochberg: textbook step-up, tie handling, none-pass") {
+    import spark.implicits._
+    // thresholds k*0.05/10: largest k with p_(k) <= k*0.005 is k=2
+    val ps = Seq(0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074,
+      0.205, 0.212, 0.216)
+    val df = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "p")
+    val r = Drift.benjaminiHochberg(df, "p").collect()
+      .map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r(0L) && r(1L) && !r(2L) && !r(3L) && !r(9L), r.toString)
+    // tied p share their HIGHEST rank: both 0.01 <= 2*0.05/4
+    val tied = Seq((0L, 0.01), (1L, 0.01), (2L, 0.04), (3L, 0.9))
+      .toDF("id", "p")
+    val rt = Drift.benjaminiHochberg(tied, "p").collect()
+      .map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(rt(0L) && rt(1L) && !rt(2L) && !rt(3L), rt.toString)
+    // nothing clears the rule: all false, no crash on the null cutoff
+    val none = Seq((0L, 0.9), (1L, 0.8)).toDF("id", "p")
+    assert(Drift.benjaminiHochberg(none, "p").collect()
+      .forall(!_.getBoolean(2)))
+  }
+
+  test("benjaminiHochberg raises on NULL p and p outside [0,1]") {
+    import spark.implicits._
+    val withNull = Seq((0L, Some(0.1)), (1L, None)).toDF("id", "p")
+    val e1 = intercept[Exception] {
+      Drift.benjaminiHochberg(withNull, "p").collect()
+    }
+    assert(e1.getMessage.contains("NULL p-value"), e1.getMessage)
+    val bad = Seq((0L, 0.1), (1L, 1.5)).toDF("id", "p")
+    val e2 = intercept[Exception] {
+      Drift.benjaminiHochberg(bad, "p").collect()
+    }
+    assert(e2.getMessage.contains("outside [0,1]"), e2.getMessage)
+  }
 }

@@ -253,4 +253,49 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("negative weight") ||
       Option(ex.getCause).exists(_.getMessage.contains("negative weight")))
   }
+
+  test("modularity: hand-computed Q on the planted triangle graph") {
+    import spark.implicits._
+    // triangles {0,1,2} and {10,11,12} bridged by 2-10, pair {20,21}:
+    // m=8; L_c = 3,3,1; d_c = 7,7,2
+    // Q = (3/8 - 49/256) + (3/8 - 49/256) + (1/8 - 4/256) = 122/256
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L),
+      (10L, 12L), (11L, 12L), (2L, 10L), (20L, 21L)).toDF("src", "dst")
+    val assign = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L),
+      (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+      .toDF("node", "label")
+    val r = Graph.modularity(edges, "src", "dst", assign,
+      "node", "label").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((8L, 3L)), r.toString)
+    assert(r.getDouble(2) === 122.0 / 256.0, r.toString)
+    // everything in one community: Q = 1 - 1 = 0 exactly
+    val one = assign.select(col("node"), lit(0L).as("label"))
+    assert(Graph.modularity(edges, "src", "dst", one, "node", "label")
+      .collect().head.getDouble(2) === 0.0)
+  }
+
+  test("modularity raises on a missing endpoint, a duplicate " +
+      "assignment, and an empty edge set") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val partial = Seq((0L, 0L), (1L, 0L)).toDF("node", "label")
+    val e1 = intercept[Exception] {
+      Graph.modularity(edges, "src", "dst", partial, "node", "label")
+        .collect()
+    }
+    assert(e1.getMessage.contains("missing from the assignment"),
+      e1.getMessage)
+    val dup = Seq((0L, 0L), (0L, 1L), (1L, 0L), (2L, 0L))
+      .toDF("node", "label")
+    val e2 = intercept[Exception] {
+      Graph.modularity(edges, "src", "dst", dup, "node", "label")
+        .collect()
+    }
+    assert(e2.getMessage.contains("duplicate assignment"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      Graph.modularity(edges.filter(col("src") > 99), "src", "dst",
+        Seq((0L, 0L)).toDF("node", "label"), "node", "label").collect()
+    }
+    assert(e3.getMessage.contains("empty edge set"), e3.getMessage)
+  }
 }

@@ -46,4 +46,27 @@ class ProfileSpec extends SparkSpec {
       ("us", "app", 2L, true),
       ("de", "web", 1L, true)))
   }
+
+  test("lDiversity: homogeneous group flagged even when populous; " +
+      "NULL sensitive value raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "us" group: 5 rows but only one distinct channel -> at risk at
+    // l=2; "de" group: 2 rows, 2 channels -> safe
+    val rows = Seq.fill(5)(("us", "web")) ++
+      Seq(("de", "web"), ("de", "app"))
+    val got = Profile.lDiversity(rows.toDF("country", "channel")
+        .repartition(3), Seq(col("country")), "channel", l = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(got == Set(("us", 5L, 1L, true), ("de", 2L, 2L, false)), got)
+    val withNull = Seq(("us", Some("web")), ("us", None))
+      .toDF("country", "channel")
+    val e = intercept[Exception] {
+      Profile.lDiversity(withNull, Seq(col("country")), "channel",
+        l = 2).collect()
+    }
+    assert(e.getMessage.contains("NULL sensitive value"), e.getMessage)
+  }
 }
