@@ -695,6 +695,21 @@ object ScaleBench {
     val tld1 = time("ldiversity 1x")(noop(ldOf(docs1)))
     val tldN = time(s"ldiversity ${factor}x")(noop(ldOf(docsN)))
     results += (("ldiversity", tld1, tldN))
+    // luhn: map-only regex extract + in-row integer checksum
+    def luOf(d: DataFrame) = graft.operators.Pii.luhnValidCards(
+      d.select(col("doc_id"), concat(col("text"),
+        lit(" pay 4111-1111-1111-1111 card 4000-1111-2222-3333"))
+        .as("text")), "doc_id", "text")
+    val tlu1 = time("pii_luhn 1x")(noop(luOf(docs1)))
+    val tluN = time(s"pii_luhn ${factor}x")(noop(luOf(docsN)))
+    results += (("pii_luhn", tlu1, tluN))
+    // zipf: token explode + (term) count shuffle is the linear part;
+    // the top-K heap cut and the K-row OLS are size-frozen
+    def zfOf(d: DataFrame) = graft.operators.TextScore.zipfFit(
+      d, "text", topK = 1000)
+    val tzf1 = time("zipf_fit 1x")(noop(zfOf(docs1)))
+    val tzfN = time(s"zipf_fit ${factor}x")(noop(zfOf(docsN)))
+    results += (("zipf_fit", tzf1, tzfN))
 
     // quantile sketch: pure map-side partial agg, buffer size fixed
     def hq(df: DataFrame) = df.select(col("l_returnflag"),

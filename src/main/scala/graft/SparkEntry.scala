@@ -328,6 +328,7 @@ object SparkEntry {
     "q_string_agg" -> RelationalQueries.stringAgg,
     "q_pii_detect" -> PipelineQueries.piiDetect,
     "q_pii_redact" -> PipelineQueries.piiRedact,
+    "q_pii_luhn" -> PipelineQueries.piiLuhn,
     "q_dsir_weights" -> PipelineQueries.dsirWeights,
     "q21_waiting" -> RelationalQueries.q21Waiting,
     "q15_top_supplier" -> RelationalQueries.q15TopSupplier,
@@ -411,6 +412,7 @@ object SparkEntry {
     // round 12: the k-paired member completing the test matrix
     "q_friedman" -> PipelineQueries.friedmanPriority,
     "q_fdr_flags" -> PipelineQueries.fdrFlags,
+    "q_zipf_fit" -> PipelineQueries.zipfFit,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -3236,6 +3238,32 @@ object SparkEntry {
       SELECT doc_id, p, COALESCE(p <= cut, false) AS rejected
       FROM hyp CROSS JOIN cut""",
 
+    // Zipf fit: identical tokenization, top-1000 cut on (count desc,
+    // term), OLS over ln pairs; slope/intercept 6dp (ln is the
+    // transcendental tier)
+    "q_zipf_fit" -> """
+      WITH toks AS (
+        SELECT unnest(list_filter(
+          regexp_split_to_array(lower(text), '\s+'),
+          t -> t <> '')) AS w
+        FROM documents),
+      counts AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w
+                 ORDER BY c DESC, w LIMIT 1000),
+      ranked AS (SELECT c,
+                   row_number() OVER (ORDER BY c DESC, w) AS r
+                 FROM counts),
+      xy AS (SELECT ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM ranked),
+      agg AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+                sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM xy)
+      SELECT n AS n_terms,
+             round((n::DOUBLE * sxy - sx * sy)
+               / (n::DOUBLE * sxx - sx * sx), 6) AS slope,
+             round((sy - (n::DOUBLE * sxy - sx * sy)
+                 / (n::DOUBLE * sxx - sx * sx) * sx) / n::DOUBLE, 6)
+               AS intercept
+      FROM agg""",
+
     // ROUGE-2: clipped bigram overlap replayed per (pair, gram);
     // empty-side pairs re-anchor on the pair table (the operator's
     // explode_outer keeps them)
@@ -5688,6 +5716,39 @@ object SparkEntry {
 
     // PII gates: planted text built identically in both engines; the
     // patterns are the shared Java/RE2 subset from operators/Pii.scala.
+    // Luhn over card-shaped matches: the 4000-... plant sums to 44
+    // (invalid), the 4111-... plant is valid — nested list lambdas
+    // replay the identical integer checksum
+    "q_pii_luhn" -> """
+      WITH pd AS (
+        SELECT doc_id,
+               concat(substr(text, 1, 40), ' mail u', doc_id,
+                      '@ex.com ip 10.0.', doc_id % 256,
+                      '.7 call 555-123-4567',
+                      CASE WHEN doc_id % 3 = 0
+                        THEN ' ssn 123-45-6789' ELSE '' END,
+                      CASE WHEN doc_id % 4 = 0
+                        THEN ' card 4000-1111-2222-3333' ELSE '' END,
+                      CASE WHEN doc_id % 2 = 0
+                        THEN ' pay 4111-1111-1111-1111' ELSE '' END)
+                 AS text
+        FROM documents WHERE doc_id % 5 = 0),
+      m AS (SELECT doc_id,
+              regexp_extract_all(text,
+                '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b') AS cards
+            FROM pd)
+      SELECT doc_id, len(cards)::BIGINT AS n_card_shaped,
+             len(list_filter(cards, mm ->
+               list_sum(list_transform(
+                 string_split(regexp_replace(mm, '[^0-9]', '', 'g'),
+                   ''),
+                 (c, i) -> CASE WHEN (17 - i) % 2 = 0
+                   THEN CASE WHEN c::INT >= 5 THEN c::INT * 2 - 9
+                        ELSE c::INT * 2 END
+                   ELSE c::INT END)) % 10 = 0))::BIGINT
+               AS n_luhn_valid
+      FROM m""",
+
     "q_pii_detect" -> """
       WITH pd AS (
         SELECT doc_id,

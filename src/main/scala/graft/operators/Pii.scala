@@ -58,4 +58,34 @@ object Pii {
     docs.select(col(idCol), redacted.as("text_redacted"),
       nPii.as("n_pii"))
   }
+
+  /** Card-shaped matches validated by the Luhn checksum — the filter
+    * that separates real card numbers from digit noise the shape regex
+    * alone cannot (phone-ish runs, invoice ids): per document, the
+    * count of card-SHAPED matches and how many of them PASS Luhn.
+    * Redaction policy then keys off n_luhn_valid, not shape counts.
+    *
+    * Map-only; the checksum is in-row integer arithmetic over the 16
+    * digits (double every second digit from the right, subtract 9 past
+    * 9, sum % 10) — exact and SQL-replayable cross-engine. */
+  def luhnValidCards(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val cardRe = patterns.toMap.apply("card")
+    val matches = regexp_extract_all(col(textCol), lit(cardRe), lit(0))
+    def luhnOk(ds: Column): Column = {
+      val arr = split(ds, "")
+      val n = size(arr)
+      val conts = transform(arr, (c, idx) => {
+        val d = c.cast("int")
+        when((n - idx) % 2 === 0,
+          when(d >= 5, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+      aggregate(conts, lit(0), (a, x) => a + x) % 10 === 0
+    }
+    docs.select(col(idCol),
+      size(matches).cast("long").as("n_card_shaped"),
+      size(filter(matches,
+        m => luhnOk(regexp_replace(m, "[^0-9]", ""))))
+        .cast("long").as("n_luhn_valid"))
+  }
 }

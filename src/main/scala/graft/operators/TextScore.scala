@@ -435,4 +435,50 @@ object TextScore {
           x => x.getField("__t")), lit(0.0), (acc, x) => acc + x), 6)
           .as("jsd"))
   }
+
+  /** Zipf-law fit over the corpus rank–frequency curve — the
+    * vocabulary-shape diagnostic a corpus monitor tracks next to
+    * type/token counts: OLS slope of ln(freq) on ln(rank) over the
+    * `topK` most frequent terms (natural text sits near −1; template
+    * spam and boilerplate floods flatten it, OCR noise steepens it).
+    *
+    * Scale shape: one (term) count shuffle; the top-K cut is a
+    * TakeOrderedAndProject on (count desc, term) — per-partition heaps,
+    * never a vocabulary sort; ranks then ride a window over the
+    * BOUNDED K rows (single partition by construction, K ≤ 10⁴ by
+    * require). The OLS sums are over K ln-pairs.
+    *
+    * Gate tier: ln is transcendental, so slope/intercept round 6dp
+    * (the llrKeyness/dsir tier); n_terms is exact.
+    *
+    * @return one row: (n_terms, slope, intercept) */
+  def zipfFit(df: DataFrame, textCol: String, topK: Int = 1000)
+      : DataFrame = {
+    require(topK >= 3 && topK <= 10000,
+      s"zipfFit: topK must be in [3, 10000]: $topK")
+    import org.apache.spark.sql.expressions.Window
+    val tk = filter(Tokenize.tokenCol(textCol), t => t =!= "")
+    val counts = df.select(explode(tk).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(topK)
+    val ranked = counts.withColumn("__r",
+      row_number().over(Window.orderBy(col("__c").desc, col("__w"))))
+    val xy = ranked.select(log(col("__r").cast("double")).as("__x"),
+      log(col("__c").cast("double")).as("__y"))
+    val agg = xy.agg(count(lit(1)).as("n_terms"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val nD = col("n_terms").cast("double")
+    val denom = nD * col("__sxx") - col("__sx") * col("__sx")
+    agg.select(
+      when(col("n_terms") < 3, raise_error(lit(
+        "TextScore.zipfFit: fewer than 3 distinct terms — the fit is " +
+          "degenerate")))
+        .otherwise(col("n_terms")).as("n_terms"),
+      round((nD * col("__sxy") - col("__sx") * col("__sy")) / denom, 6)
+        .as("slope"),
+      round((col("__sy") - (nD * col("__sxy") - col("__sx") *
+        col("__sy")) / denom * col("__sx")) / nD, 6).as("intercept"))
+  }
 }

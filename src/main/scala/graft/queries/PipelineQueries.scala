@@ -563,6 +563,14 @@ object PipelineQueries {
     graft.operators.Drift.benjaminiHochberg(hyp, "p", alpha = 0.05)
   }
 
+  /** Zipf-law fit over the corpus vocabulary (round 12,
+    * [[graft.operators.TextScore.zipfFit]]): OLS slope of ln freq on
+    * ln rank over the top-1000 terms — the vocabulary-shape number a
+    * corpus monitor tracks; 6dp (transcendental tier). */
+  val zipfFit: Q = (s, d) =>
+    graft.operators.TextScore.zipfFit(Tables.documents(s, d), "text",
+      topK = 1000)
+
   /** Two-stage retrieve-and-rerank (the production search shape): BM25
     * lexical retrieval prunes the corpus to 20 candidates, then an
     * exact cosine re-rank against the query embedding (vec_id 0)
@@ -2078,6 +2086,19 @@ object PipelineQueries {
     * itself is the gate payload. */
   val piiRedact: Q = (s, d) =>
     graft.operators.Pii.redact(piiDocs(s, d), "doc_id", "text")
+
+  /** Luhn validation of card-shaped matches (round 12,
+    * [[graft.operators.Pii.luhnValidCards]]): the planted corpus
+    * carries an ALWAYS-INVALID card shape on every 4th doc (checksum
+    * 44) and a valid 4111-1111-1111-1111 on every 2nd — the gate pins
+    * that shape counts and Luhn counts genuinely diverge. */
+  val piiLuhn: Q = (s, d) =>
+    graft.operators.Pii.luhnValidCards(
+      piiDocs(s, d).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          lit(" pay 4111-1111-1111-1111")).otherwise(lit("")))
+        .as("text")),
+      "doc_id", "text")
 
   /** DSIR importance weights ([[graft.operators.Dsir]]): score every
     * document against the English-subset target distribution over

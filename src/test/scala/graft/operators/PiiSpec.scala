@@ -38,4 +38,17 @@ class PiiSpec extends SparkSpec {
     assert(got(3L) === "perfectly clean text with numbers 12 and 3456")
     assert(got(4L) === "two mails [EMAIL] [EMAIL] one ip [IPV4]")
   }
+
+  test("luhnValidCards: checksum separates valid cards from shapes") {
+    import spark.implicits._
+    // 4111-1111-1111-1111 passes Luhn; 4000-1111-2222-3333 sums to 44
+    val docs = Seq(
+      (1L, "pay 4111-1111-1111-1111 then card 4000-1111-2222-3333"),
+      (2L, "no cards, just a phone 555-123-4567"),
+      (3L, "two valid: 4111-1111-1111-1111 5500-0000-0000-0004"))
+      .toDF("doc_id", "text")
+    val got = Pii.luhnValidCards(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 0L, 0L), (3L, 2L, 2L)), got)
+  }
 }

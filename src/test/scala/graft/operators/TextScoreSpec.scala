@@ -149,4 +149,30 @@ class TextScoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty corpus"), e.getMessage)
   }
+
+  test("zipfFit: OLS over ln rank/freq matches the closed-form " +
+      "reference; degenerate vocab raises") {
+    import spark.implicits._
+    // freqs 4, 2, 1 at ranks 1, 2, 3 (ties impossible by construction)
+    val docs = Seq("a a a a b b c").toDF("text")
+    val r = TextScore.zipfFit(docs, "text", topK = 10).collect().head
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    assert(r.getLong(0) == 3L, r.toString)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-6, r.toString)
+    assert(math.abs(r.getDouble(2) - icept) < 1e-6, r.toString)
+    assert(r.getDouble(1) < -0.5 && r.getDouble(1) > -1.5, r.toString)
+    val tiny = Seq("a a b").toDF("text")
+    val e = intercept[Exception] {
+      TextScore.zipfFit(tiny, "text", topK = 10).collect()
+    }
+    assert(e.getMessage.contains("fewer than 3 distinct terms"),
+      e.getMessage)
+  }
 }
