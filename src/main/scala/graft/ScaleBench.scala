@@ -710,6 +710,14 @@ object ScaleBench {
     val tzf1 = time("zipf_fit 1x")(noop(zfOf(docs1)))
     val tzfN = time(s"zipf_fit ${factor}x")(noop(zfOf(docsN)))
     results += (("zipf_fit", tzf1, tzfN))
+    // bpe encode: map-only per-word rank-order merge folds (8 rules)
+    def beOf(d: DataFrame) = graft.operators.BpeTrain.encode(
+      d, "text", Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"),
+        ("est", "</w>"), ("low", "</w>"), ("e", "r"), ("er", "</w>")))
+      .select(col("doc_id"), size(col("syms")).as("n_syms"))
+    val tbe1 = time("bpe_encode 1x")(noop(beOf(docs1)))
+    val tbeN = time(s"bpe_encode ${factor}x")(noop(beOf(docsN)))
+    results += (("bpe_encode", tbe1, tbeN))
 
     // quantile sketch: pure map-side partial agg, buffer size fixed
     def hq(df: DataFrame) = df.select(col("l_returnflag"),

@@ -413,6 +413,7 @@ object SparkEntry {
     "q_friedman" -> PipelineQueries.friedmanPriority,
     "q_fdr_flags" -> PipelineQueries.fdrFlags,
     "q_zipf_fit" -> PipelineQueries.zipfFit,
+    "q_bpe_encode_planted" -> PipelineQueries.bpeEncodePlanted,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -2190,6 +2191,19 @@ object SparkEntry {
         (7, 'e',   'r',     6::BIGINT),
         (8, 'er',  '</w>',  6::BIGINT))
         AS t("rank", "left", "right", freq)""",
+
+    // BPE encode: rank-order application of the pinned merge table —
+    // each word's segmentation is closed form (incl. the OOV words
+    // "lowest"/"wider", which reuse learned subwords)
+    "q_bpe_encode_planted" -> """
+      SELECT * FROM (VALUES
+        ('low',    'low</w>'),
+        ('lower',  'low er</w>'),
+        ('newest', 'n e w est</w>'),
+        ('widest', 'w i d est</w>'),
+        ('lowest', 'low est</w>'),
+        ('wider',  'w i d er</w>'))
+        AS t(word, syms)""",
 
     "q_funnel" -> """
       WITH s1 AS (

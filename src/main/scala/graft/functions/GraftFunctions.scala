@@ -30,6 +30,14 @@ object GraftFunctions {
       s"$fn expects an integer literal parameter, got $other")
   }
 
+  private def strArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String): String = e.eval() match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case s: String => s
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a string literal parameter, got $other")
+  }
+
   private val builders: Map[String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
       org.apache.spark.sql.catalyst.expressions.Expression] = Map(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
@@ -43,6 +51,7 @@ object GraftFunctions {
     "simhash64" -> (es => SimHash64(es(0))),
     "minhash_text" -> (es => MinHashText(es(0),
       intArg(es(1), "minhash_text"), intArg(es(2), "minhash_text"))),
+    "bpe_encode" -> (es => BpeEncode(es(0), strArg(es(1), "bpe_encode"))),
     "kmv_distinct" -> (es => KmvDistinct(es(0),
       intArg(es(1), "kmv_distinct")).toAggregateExpression()),
     "kmv_sketch" -> (es => KmvSketchAgg(es(0),
@@ -229,6 +238,21 @@ object GraftFunctions {
     call_function("minhash_text", text,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(shingle))
+  /** Apply an ORDERED BPE merge table to every word of `text` — the
+    * native kernel behind BpeTrain.encode. Symbols must be free of
+    * the \u0001/\u0002 spec separators (whitespace-split corpus
+    * symbols always are; enforced here). */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    merges.foreach { case (l, r) =>
+      require(!(l + r).exists(c => c == '\u0001' || c == '\u0002'),
+        s"bpeEncode: rule ($l, $r) carries a spec separator char")
+      require(l.nonEmpty && r.nonEmpty, "bpeEncode: empty rule side")
+    }
+    val spec = merges.map { case (l, r) => l + "\u0001" + r }
+      .mkString("\u0002")
+    call_function("bpe_encode", text,
+      org.apache.spark.sql.functions.lit(spec))
+  }
   /** Distinct packed (gramhash·10⁶ + pos) winnowing selections — the
     * [[graft.operators.Winnow]] kernel. */
   def winnowFps(text: Column, k: Int, w: Int): Column =

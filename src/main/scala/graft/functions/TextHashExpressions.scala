@@ -253,6 +253,57 @@ object TextHashExpressions {
     while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
+
+  /** BPE encode kernel (round 12): single-space word walk, per word
+    * chars + the end-of-word marker, then every rule applied in rank
+    * order left-to-right non-overlapping — the imperative form of
+    * BpeTrain.applyMerge's pending fold (differentially spec-proven).
+    * `flat` is the rule list flattened [l0, r0, l1, r1, …]; the
+    * expression passes it via addReferenceObj so parse cost is zero.
+    * Char granularity is the JVM char (the StringSim BMP contract).
+    * Called from generated code. */
+  def bpeEncodeOf(t: org.apache.spark.unsafe.types.UTF8String,
+      flat: Array[String]): ArrayData = {
+    val str = t.toString
+    val n = str.length
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](
+      n / 2 + 4)
+    var i = 0
+    while (i <= n) {
+      var j = str.indexOf(' ', i)
+      if (j < 0) j = n
+      if (j > i) {
+        var syms = new java.util.ArrayList[String](j - i + 1)
+        var k = i
+        while (k < j) { syms.add(String.valueOf(str.charAt(k))); k += 1 }
+        syms.add("</w>")
+        var r = 0
+        while (r < flat.length) {
+          val l = flat(r)
+          val rt = flat(r + 1)
+          val merged = l + rt
+          val sz = syms.size
+          val next = new java.util.ArrayList[String](sz)
+          var q = 0
+          while (q < sz) {
+            if (q + 1 < sz && syms.get(q) == l && syms.get(q + 1) == rt) {
+              next.add(merged); q += 2
+            } else { next.add(syms.get(q)); q += 1 }
+          }
+          syms = next
+          r += 2
+        }
+        var e = 0
+        while (e < syms.size) {
+          out += org.apache.spark.unsafe.types.UTF8String
+            .fromString(syms.get(e))
+          e += 1
+        }
+      }
+      i = j + 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** minhash_text(text, k, n) -> array<long>
@@ -542,6 +593,62 @@ case class NgramHashGen(child: Expression, n: Int)
     (0 until hashes.numElements()).iterator.map { i =>
       row.update(0, hashes.getLong(i)); row
     }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** bpe_encode(text, rulesSpec) -> array<string>
+  *
+  * Applies an ORDERED BPE merge table to every single-space word of
+  * `text` (chars + "</w>" start state) in one imperative pass — the
+  * native replacement for the HOF fold chain, whose expression tree
+  * grew 3^rules nodes before the round-12 applyMerge fix and whose
+  * interpreted array churn still cost ~50× this kernel after it.
+  * `rulesSpec` joins rules with \u0002 and a rule's sides with
+  * \u0001 (control chars no whitespace-split corpus symbol can
+  * carry — enforced at the Column API). */
+case class BpeEncode(child: Expression, rulesSpec: String)
+    extends UnaryExpression {
+  override def prettyName: String = "bpe_encode"
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = false)
+
+  @transient private lazy val flat: Array[String] =
+    if (rulesSpec.isEmpty) Array.empty
+    else rulesSpec.split('\u0002').flatMap { rule =>
+      val i = rule.indexOf('\u0001')
+      require(i > 0 && i < rule.length - 1,
+        s"bpe_encode: malformed rule spec segment '$rule'")
+      Seq(rule.substring(0, i), rule.substring(i + 1))
+    }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_encode expects string, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashExpressions.bpeEncodeOf(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], flat)
+
+  // static call with the parsed rule array as a reference object —
+  // stays inside whole-stage codegen, zero per-row parse cost
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val rulesRef = ctx.addReferenceObj("bpeRules", flat,
+      "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashExpressions" +
+        s".bpeEncodeOf($c, $rulesRef);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

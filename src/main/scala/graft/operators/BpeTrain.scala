@@ -49,26 +49,39 @@ object BpeTrain {
           element_at(syms, i + 2).as("right"))))
       .otherwise(array().cast("array<struct<left:string,right:string>>"))
 
+  /** Sentinel appended to every fold input: never a corpus symbol
+    * (words are whitespace-split text, "\u0000" cannot survive), never
+    * a rule side — its only job is to flush the pending symbol INSIDE
+    * the fold. */
+  private val FlushSentinel = "\u0000"
+
   /** One merge rule applied to a symbol array — left-to-right,
     * non-overlapping, via a pending-symbol fold ("a a a" under (a,a)
-    * becomes ["aa","a"], the BPE contract). */
+    * becomes ["aa","a"], the BPE contract).
+    *
+    * The trailing-pend fix-up rides the fold itself via
+    * [[FlushSentinel]] so the fold RESULT is referenced exactly once:
+    * CollapseProject has no common-subexpression elimination (NOTES),
+    * and the old 3-reference tail turned an 8-rule [[encode]] chain
+    * into a 3⁸-node expression tree (measured: a 6-word encode spent
+    * ~7 MINUTES in analysis/codegen; this form is milliseconds). */
   private[operators] def applyMerge(syms: Column, left: String,
       right: String): Column = {
     val zero = struct(array().cast("array<string>").as("out"),
       lit(null).cast("string").as("pend"))
-    val folded = aggregate(syms, zero, (st, s) => {
-      val hit = st.getField("pend") === left && s === right
-      struct(
-        when(hit,
-          concat(st.getField("out"), array(lit(left + right))))
-          .otherwise(when(st.getField("pend").isNotNull,
-            concat(st.getField("out"), array(st.getField("pend"))))
-            .otherwise(st.getField("out"))).as("out"),
-        when(hit, lit(null).cast("string")).otherwise(s).as("pend"))
-    })
-    when(folded.getField("pend").isNotNull,
-      concat(folded.getField("out"), array(folded.getField("pend"))))
-      .otherwise(folded.getField("out"))
+    val folded = aggregate(concat(syms, array(lit(FlushSentinel))),
+      zero, (st, s) => {
+        val hit = st.getField("pend") === left && s === right
+        struct(
+          when(hit,
+            concat(st.getField("out"), array(lit(left + right))))
+            .otherwise(when(st.getField("pend").isNotNull,
+              concat(st.getField("out"), array(st.getField("pend"))))
+              .otherwise(st.getField("out"))).as("out"),
+          when(hit || s === FlushSentinel, lit(null).cast("string"))
+            .otherwise(s).as("pend"))
+      })
+    folded.getField("out")
   }
 
   /** The word-frequency vocabulary of `textCol` as symbol sequences:
@@ -159,6 +172,19 @@ object BpeTrain {
     * `syms` array column. Plan depth grows with the rule count; encode
     * with the learned table, not with thousands of speculative rules. */
   def encode(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("syms",
+      graft.functions.GraftFunctions.bpeEncode(lower(col(textCol)),
+        merges))
+  }
+
+  /** The HOF-fold formulation of [[encode]] — kept as the independent
+    * reference the differential spec checks the native kernel against
+    * (the AsOfJoin.windowed role). Expression tree is linear in the
+    * rule count since the round-12 applyMerge fix, but the interpreted
+    * array churn still costs ~50× the kernel: reference only. */
+  private[operators] def encodeReference(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val words = filter(split(lower(col(textCol)), " "),
       w => length(w) > 0)

@@ -1024,6 +1024,22 @@ object PipelineQueries {
     graft.operators.BpeTrain.learnMerges(fix, "text", numMerges = 8)
   }
 
+  /** BPE encode with the learned merge table (round 12, gating
+    * [[graft.operators.BpeTrain.encode]] — the apply half of the
+    * tokenizer): the q_bpe_merges rules replayed over the fixture
+    * vocabulary plus two OOV words; every segmentation is closed-form
+    * under rank-order application. */
+  val bpeEncodePlanted: Q = (s, d) => {
+    val s_ = s; import s_.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"),
+      ("est", "</w>"), ("low", "</w>"), ("e", "r"), ("er", "</w>"))
+    val words = Seq("low", "lower", "newest", "widest", "lowest",
+      "wider").toDF("text")
+    graft.operators.BpeTrain.encode(words, "text", merges)
+      .select(col("text").as("word"),
+        array_join(col("syms"), " ").as("syms"))
+  }
+
   /** Multi-step conversion funnel (round 5): per user, the first
     * signup, the first click AT-OR-AFTER that signup, and the first
     * purchase at-or-after that click — the standard product-analytics

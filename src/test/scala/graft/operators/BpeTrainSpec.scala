@@ -127,4 +127,30 @@ class BpeTrainSpec extends SparkSpec {
       .select("syms").head().getSeq[String](0)
     assert(merged == Seq("aa", "a", "</w>"), s"got $merged")
   }
+
+  test("native encode kernel equals the HOF reference on random words") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genDoc = for {
+      nw <- Gen.chooseNum(0, 6)
+      ws <- Gen.listOfN(nw, Gen.listOfN(5, Gen.oneOf("abcde".toSeq))
+        .map(_.mkString))
+    } yield ws.mkString(" ")
+    val rules = Seq(("a", "b"), ("ab", "c"), ("a", "a"), ("aa", "aa"),
+      ("d", "</w>"), ("e", "e"))
+    var seed = Seed(42L)
+    val docs = (1 to 40).map { _ =>
+      val d = genDoc.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      d
+    }
+    val df = docs.toDF("text")
+    val native = BpeTrain.encode(df, "text", rules)
+      .select("syms").collect().map(_.getSeq[String](0)).toSeq
+    val ref = BpeTrain.encodeReference(df, "text", rules)
+      .select("syms").collect().map(_.getSeq[String](0)).toSeq
+    assert(native == ref,
+      s"kernel diverges from the HOF reference:\n$native\nvs\n$ref")
+  }
 }
