@@ -718,6 +718,19 @@ object ScaleBench {
     val tbe1 = time("bpe_encode 1x")(noop(beOf(docs1)))
     val tbeN = time(s"bpe_encode ${factor}x")(noop(beOf(docsN)))
     results += (("bpe_encode", tbe1, tbeN))
+    // holt-winters: slot-grain pre-agg is the linear part; the in-row
+    // fold rides the data-size-independent day grid (the holt class)
+    def hwOf(d: DataFrame) = {
+      val daily = d.groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.TimeSeries.holtWintersForecast(daily,
+        "event_type", "day", "n", 0.5, 0.25, 0.5, period = 7,
+        horizon = 7)
+    }
+    val thw1 = time("holt_winters 1x")(noop(hwOf(ev1)))
+    val thwN = time(s"holt_winters ${factor}x")(noop(hwOf(evN)))
+    results += (("holt_winters", thw1, thwN))
 
     // quantile sketch: pure map-side partial agg, buffer size fixed
     def hq(df: DataFrame) = df.select(col("l_returnflag"),

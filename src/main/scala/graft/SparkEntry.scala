@@ -414,6 +414,7 @@ object SparkEntry {
     "q_fdr_flags" -> PipelineQueries.fdrFlags,
     "q_zipf_fit" -> PipelineQueries.zipfFit,
     "q_bpe_encode_planted" -> PipelineQueries.bpeEncodePlanted,
+    "q_holt_winters" -> PipelineQueries.holtWintersDaily,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -3364,6 +3365,58 @@ object SparkEntry {
           ON x.event_type = w.event_type AND x.i = w.i + 1)
       SELECT event_type, ns::BIGINT AS n_slots, l AS level, b AS trend,
              l + b AS fc_1, l + 7.0 * b AS fc_h
+      FROM walk WHERE i = ns""",
+
+    // Holt-Winters additive seasonal (m=7): the same recursive walk
+    // carrying the rolling seasonal buffer as a LIST — burn-in l=x,
+    // b=0, s=0 for the first m slots, then the textbook coupled
+    // recurrences; forecasts add the buffered seasonal term
+    // Holt-Winters additive seasonal (m=7): the q_holt_forecast
+    // recursive walk carrying the rolling seasonal buffer as a LIST;
+    // burn-in l=x, b=0, s=0 for the first m slots, then the textbook
+    // coupled recurrences — the nested subqueries name each step's
+    // intermediates once so both engines run the identical chain
+    "q_holt_winters" -> """
+      WITH RECURSIVE daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+      idx AS (
+        SELECT event_type, day, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS i,
+               count(*) OVER (PARTITION BY event_type) AS ns
+        FROM daily),
+      walk AS (
+        SELECT event_type, i, ns, n::DOUBLE AS l, 0.0::DOUBLE AS b,
+               [0.0]::DOUBLE[] AS buf
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT event_type, i, ns,
+               lnew,
+               CASE WHEN burn THEN 0.0
+                    ELSE (lnew - l) * 0.25 + b * 0.75 END,
+               list_append(trimmed,
+                 CASE WHEN burn THEN 0.0
+                      ELSE (xv - lnew) * 0.5 + sm * 0.5 END)
+        FROM (
+          SELECT *, CASE WHEN burn THEN xv
+                         ELSE (xv - sm) * 0.5 + (l + b) * 0.5 END
+                      AS lnew
+          FROM (
+            SELECT x.event_type AS event_type, x.i AS i, x.ns AS ns,
+                   x.n::DOUBLE AS xv, w.l AS l, w.b AS b,
+                   len(w.buf) < 7 AS burn,
+                   CASE WHEN len(w.buf) < 7 THEN 0.0
+                        ELSE w.buf[1] END AS sm,
+                   CASE WHEN len(w.buf) = 7 THEN w.buf[2:]
+                        ELSE w.buf END AS trimmed
+            FROM walk w JOIN idx x
+              ON x.event_type = w.event_type AND x.i = w.i + 1) t0)
+          t1)
+      SELECT event_type, ns::BIGINT AS n_slots, l AS level, b AS trend,
+             l + b + buf[1] AS fc_1,
+             l + 7.0 * b + buf[7] AS fc_h
       FROM walk WHERE i = ns""",
 
     // per-group percentile_disc — DuckDB's quantile_disc is the

@@ -503,6 +503,100 @@ object TimeSeries {
         col("level") + lit(horizon.toDouble) * col("trend"))
   }
 
+  /** Holt–Winters ADDITIVE-SEASONAL smoothing per key — the seasonal
+    * completion of [[holtForecast]] for slot series with a known cycle
+    * (day-of-week order volume, hour-of-day traffic):
+    * `l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}`,
+    * `s_t = γ(x_t − l_t) + (1−γ)s_{t−m}`, forecast
+    * `x̂_{n+h} = l_n + h·b_n + s_{n−m+1+((h−1) mod m)}`.
+    *
+    * Init (deterministic, division-free): the first m slots burn in as
+    * `l_t = x_t, b_t = 0, s_t = 0` — no seasonal means, no
+    * second-point special case; γ folds real seasonality in from the
+    * second cycle on (fewer than m+1 slots raises — everything would
+    * be burn-in).
+    *
+    * Shape: the [[holtForecast]] in-row fold with an m-slot rolling
+    * seasonal buffer in the fold state (O(m) array work per step, m
+    * bounded by contract); ONE exchange per key, map-only past it.
+    *
+    * FP discipline: a strictly sequential double chain — the
+    * recursive-CTE oracle replays the identical op order, so outputs
+    * ship RAW; pin α/β/γ to exact binary fractions in cross-engine
+    * gates.
+    *
+    * @param period the season length m (slots per cycle), >= 2
+    * @return one row per key: (keyCol, n_slots, level, trend, fc_1,
+    *         fc_h) — forecasts include the seasonal term */
+  def holtWintersForecast(df: DataFrame, keyCol: String, slotCol: String,
+      valCol: String, alpha: Double, beta: Double, gamma: Double,
+      period: Int, horizon: Int,
+      maxSlotsPerKey: Int = 1 << 20): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1]: $beta")
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0,1]: $gamma")
+    require(period >= 2, s"period must be >= 2: $period")
+    require(horizon >= 1, s"horizon must be >= 1: $horizon")
+    val m = period
+    val collected = df
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+          col(slotCol).cast("long").as("s"),
+          col(valCol).cast("double").as("v")))).as("__ss"),
+        count(lit(1)).as("__n"))
+      .withColumn("__nd",
+        size(array_distinct(transform(col("__ss"), e => e.getField("s"))))
+          .cast("long"))
+      .withColumn("__ss",
+        when(col("__n") =!= col("__nd"), raise_error(concat(
+          lit("holtWintersForecast: key "), col(keyCol).cast("string"),
+          lit(" has duplicate slots — aggregate to slot grain first"))))
+          .when(col("__n") <= m, raise_error(concat(
+            lit("holtWintersForecast: key "), col(keyCol).cast("string"),
+            lit(s" has <= $m slots — the whole series is burn-in; " +
+              "need more than one season"))))
+          .when(col("__n") > maxSlotsPerKey, raise_error(concat(
+            lit("holtWintersForecast: key "), col(keyCol).cast("string"),
+            lit(s" exceeds $maxSlotsPerKey slots in one in-row fold"))))
+          .otherwise(col("__ss")))
+    val zero = struct(
+      lit(null).cast("double").as("l"),
+      lit(null).cast("double").as("b"),
+      array().cast("array<double>").as("buf"))
+    val folded = aggregate(col("__ss"), zero, (st, e) => {
+      val burn = size(st.getField("buf")) < m
+      val sm = when(burn, lit(0.0))
+        .otherwise(element_at(st.getField("buf"), 1))
+      val x = e.getField("v")
+      val lNew = when(burn, x)
+        .otherwise((x - sm) * alpha +
+          (st.getField("l") + st.getField("b")) * (1.0 - alpha))
+      val bNew = when(burn, lit(0.0))
+        .otherwise((lNew - st.getField("l")) * beta +
+          st.getField("b") * (1.0 - beta))
+      val sNew = when(burn, lit(0.0))
+        .otherwise((x - lNew) * gamma + sm * (1.0 - gamma))
+      val trimmed = when(size(st.getField("buf")) === m,
+        slice(st.getField("buf"), 2, m - 1))
+        .otherwise(st.getField("buf"))
+      struct(lNew.as("l"), bNew.as("b"),
+        concat(trimmed, array(sNew)).as("buf"))
+    })
+    val sIdx = ((horizon - 1) % m) + 1
+    collected
+      .select(col(keyCol), col("__n").as("n_slots"),
+        folded.getField("l").as("level"),
+        folded.getField("b").as("trend"),
+        folded.getField("buf").as("__buf"))
+      .withColumn("fc_1", col("level") + col("trend") +
+        element_at(col("__buf"), 1))
+      .withColumn("fc_h", col("level") +
+        lit(horizon.toDouble) * col("trend") +
+        element_at(col("__buf"), sIdx))
+      .drop("__buf")
+  }
+
   /** Lagged cross-correlation between two metrics on one slot-grain
     * series — "does click volume LEAD purchase volume, and by how many
     * days": Pearson r between `x_t` and `y_{t+lag}` for each lag in

@@ -2295,6 +2295,21 @@ object PipelineQueries {
       alpha = 0.5, beta = 0.25, horizon = 7)
   }
 
+  /** Holt–Winters additive-seasonal forecast (round 12,
+    * [[graft.operators.TimeSeries.holtWintersForecast]]): the same
+    * daily series as q_holt_forecast with the weekly cycle modeled —
+    * m = 7, exact binary α/β/γ, the recursive-CTE oracle replays the
+    * identical sequential chain incl. the rolling seasonal buffer. */
+  val holtWintersDaily: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.TimeSeries.holtWintersForecast(
+      daily, "event_type", "day", "n",
+      alpha = 0.5, beta = 0.25, gamma = 0.5, period = 7, horizon = 7)
+  }
+
   /** ROUGE-2 over consecutive-doc pairs (round 10,
     * [[graft.operators.Eval.rougeN]]): doc i as candidate vs doc i+1
     * as reference within each 10-block — clipped bigram overlap

@@ -67,4 +67,44 @@ class HoltForecastSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate slots"))
   }
+
+  test("holtWinters hand-computed: m=2 burn-in, seasonal buffer, " +
+      "dyadic exact forecast") {
+    import spark.implicits._
+    // x = [1..5], alpha=.5 beta=.25 gamma=.5, m=2: t1,t2 burn (l=x,
+    // b=0, s=0); t3: l=2.5 b=.125 s=.25; t4: l=3.3125 b=.296875
+    // s=.34375; t5: l=4.1796875 b=.439453125 s=.53515625,
+    // buf=[.34375,.53515625]
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0),
+      (5L, 5.0)).map { case (s_, v) => ("k", s_, v) }
+      .toDF("k", "slot", "v")
+    val r = TimeSeries.holtWintersForecast(df, "k", "slot", "v",
+      alpha = 0.5, beta = 0.25, gamma = 0.5, period = 2, horizon = 3)
+      .collect().head
+    assert(r.getAs[Long]("n_slots") == 5L)
+    assert(r.getAs[Double]("level") === 4.1796875, r.toString)
+    assert(r.getAs[Double]("trend") === 0.439453125, r.toString)
+    assert(r.getAs[Double]("fc_1") === 4.962890625, r.toString)
+    // h=3: sIdx = ((3-1) % 2) + 1 = 1 -> same seasonal as fc_1
+    assert(r.getAs[Double]("fc_h") ===
+      4.1796875 + 3.0 * 0.439453125 + 0.34375, r.toString)
+  }
+
+  test("holtWinters raises on duplicate slots and on <= m slots") {
+    import spark.implicits._
+    val dup = Seq(("k", 1L, 1.0), ("k", 1L, 2.0), ("k", 2L, 3.0))
+      .toDF("k", "slot", "v")
+    val e1 = intercept[Exception] {
+      TimeSeries.holtWintersForecast(dup, "k", "slot", "v",
+        0.5, 0.25, 0.5, period = 2, horizon = 1).collect()
+    }
+    assert(e1.getMessage.contains("duplicate slots"), e1.getMessage)
+    val short = Seq(("k", 1L, 1.0), ("k", 2L, 2.0))
+      .toDF("k", "slot", "v")
+    val e2 = intercept[Exception] {
+      TimeSeries.holtWintersForecast(short, "k", "slot", "v",
+        0.5, 0.25, 0.5, period = 2, horizon = 1).collect()
+    }
+    assert(e2.getMessage.contains("burn-in"), e2.getMessage)
+  }
 }
