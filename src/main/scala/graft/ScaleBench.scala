@@ -731,6 +731,14 @@ object ScaleBench {
     val thw1 = time("holt_winters 1x")(noop(hwOf(ev1)))
     val thwN = time(s"holt_winters ${factor}x")(noop(hwOf(evN)))
     results += (("holt_winters", thw1, thwN))
+    // robust scale: per-group rank window (groups are languages — few,
+    // large) + broadcast stats join; expect scan/sort-bound linear
+    def rsOf(d: DataFrame) = graft.operators.Outliers.robustScale(
+      d.select(col("doc_id"), col("lang"), col("n_chars")),
+      Seq("lang"), "n_chars", v => floor(v / 100.0))
+    val trsc1 = time("robust_scale 1x")(noop(rsOf(docs1)))
+    val trscN = time(s"robust_scale ${factor}x")(noop(rsOf(docsN)))
+    results += (("robust_scale", trsc1, trscN))
 
     // quantile sketch: pure map-side partial agg, buffer size fixed
     def hq(df: DataFrame) = df.select(col("l_returnflag"),

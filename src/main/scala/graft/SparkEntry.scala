@@ -263,6 +263,7 @@ object SparkEntry {
     "q_linreg_group" -> RelationalQueries.linregGroup,
     "q_kanon_audit" -> PipelineQueries.kanonAudit,
     "q_ldiv_audit" -> PipelineQueries.ldivAudit,
+    "q_robust_scale" -> PipelineQueries.robustScaleLen,
     "q_sample_weighted" -> PipelineQueries.sampleWeighted,
     "q_token_entropy" -> TextQueries.tokenEntropy,
     "q_lateral_topk" -> RelationalQueries.lateralTopK,
@@ -4685,6 +4686,22 @@ object SparkEntry {
              count(DISTINCT source) < 3 AS at_risk
       FROM documents
       GROUP BY lang, len_bucket""",
+
+    // robust scaling: quantile_disc = the element at 1-based rank
+    // ceil(q*n) (verified r7) replays the operator's exact discrete
+    // quartiles; scaled is ONE IEEE division of exact integers (raw)
+    "q_robust_scale" -> """
+      WITH stats AS (
+        SELECT lang, quantile_disc(n_chars, 0.25) AS q1,
+               quantile_disc(n_chars, 0.5) AS med,
+               quantile_disc(n_chars, 0.75) AS q3
+        FROM documents GROUP BY lang)
+      SELECT doc_id, d.lang AS lang, n_chars,
+             CASE WHEN n_chars IS NULL OR q3 IS NULL OR q3 = q1
+               THEN NULL
+               ELSE (n_chars::DOUBLE - med::DOUBLE)
+                    / (q3::DOUBLE - q1::DOUBLE) END AS scaled
+      FROM documents d LEFT JOIN stats USING (lang)""",
 
     "q_sample_weighted" -> """
       WITH g AS (SELECT max(n_chars) AS wmax FROM documents)

@@ -124,6 +124,47 @@ object Outliers {
             coalesce(col("__hi"), col(valueCol)))))
   }
 
+  /** Robust per-group standardization — `(x − median) / IQR`: the
+    * scaler feature prep reaches for when [[madFlag]] says the tails
+    * are heavy (mean/stddev scaling lets one outlier set every other
+    * row's scale). Quartiles come from
+    * [[Selection.groupedQuantiles]] — the distinct-value collapse +
+    * two-phase cumulative, NOT a per-group row window: a 100 TB corpus
+    * with five language groups would hand a row_number window five
+    * giant sort partitions, while the collapse's windows ride the
+    * (group, bucket) grid. percentile_disc semantics keep integer
+    * features integer, so the transform is one IEEE division of exact
+    * integers per row — RAW-gateable.
+    *
+    * NULL values stay NULL; a zero-IQR group (over half the group
+    * tied) yields NULL `scaled` for its rows (the sweep-row
+    * discipline — flagging beats failing a whole pipeline over one
+    * degenerate segment; filter on `scaled IS NULL` to find them).
+    *
+    * @param bucket the rank-phase bucket fn (monotone in the value —
+    *               the groupedQuantiles contract)
+    * @return the input columns + `scaled` */
+  def robustScale(df: DataFrame, groupCols: Seq[String],
+      valueCol: String,
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val qdf = Selection.groupedQuantiles(df, groupCols, valueCol,
+      Seq(0.25, 0.5, 0.75), bucket)
+    val stats = qdf.groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("q") === 0.25, col("value"))).as("__q1"),
+        min(when(col("q") === 0.5, col("value"))).as("__med"),
+        min(when(col("q") === 0.75, col("value"))).as("__q3"))
+    statsJoin(df, stats, groupCols)
+      .withColumn("scaled",
+        when(col(valueCol).isNull ||
+            col("__q3").isNull || (col("__q3") === col("__q1")),
+          lit(null).cast("double"))
+          .otherwise(
+            (col(valueCol).cast("double") - col("__med").cast("double"))
+              / (col("__q3").cast("double") - col("__q1").cast("double"))))
+      .drop("__q1", "__med", "__q3")
+  }
+
   /** Exact symmetric trimmed mean — [[winsorize]]'s DROP counterpart
     * (clip keeps outlier rows at the boundary value; trim removes
     * them): drop `⌊trim·n⌋` rows from EACH tail by rank and average

@@ -1486,6 +1486,16 @@ object PipelineQueries {
         (col("n_chars") / 100).cast("long").as("len_bucket")),
       sensitiveCol = "source", l = 3)
 
+  /** Robust per-language length scaling (round 12,
+    * [[graft.operators.Outliers.robustScale]]): (n_chars − median)/IQR
+    * with exact discrete quartiles — integer inputs make every scaled
+    * value one IEEE division of exact integers, gated RAW. */
+  val robustScaleLen: Q = (s, d) =>
+    graft.operators.Outliers.robustScale(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      Seq("lang"), "n_chars", v => floor(v / 100.0))
+
   /** Deterministic weighted Bernoulli sample (round 6): keep probability
     * proportional to doc length, decided by EXACT integer arithmetic —
     * u32(md5(doc_id)) · max(n_chars) < n_chars · 2³². No doubles, no RNG

@@ -88,4 +88,23 @@ class OutliersSpec extends SparkSpec {
     assert(out.filter(col("v").isNull)
       .select("winsorized").collect().forall(_.isNullAt(0)))
   }
+
+  test("robustScale: exact discrete quartiles, zero-IQR group nulls, " +
+      "NULL value passes through") {
+    import spark.implicits._
+    // group a: 1..8 -> q1 = rank ceil(.25*8)=2 -> 2, med = rank 4 -> 4,
+    // q3 = rank 6 -> 6, IQR 4: scaled(8) = 1.0, scaled(1) = -0.75
+    val a = (1 to 8).map(v => ("a", Some(v.toLong)))
+    val b = Seq(("b", Some(5L)), ("b", Some(5L)), ("b", Some(5L)))
+    val n = Seq(("a", None: Option[Long]))
+    val df = (a ++ b ++ n).toDF("g", "v")
+    val got = Outliers.robustScale(df, Seq("g"), "v",
+        v => org.apache.spark.sql.functions.floor(v / 4)).collect()
+      .map(r => (r.getString(0), Option(r.get(1)),
+        Option(r.get(2)))).toSet
+    assert(got.contains(("a", Some(8L), Some(1.0))), got)
+    assert(got.contains(("a", Some(1L), Some(-0.75))), got)
+    assert(got.contains(("b", Some(5L), None)), got)
+    assert(got.contains(("a", None, None)), got)
+  }
 }
