@@ -687,6 +687,15 @@ object ScaleBench {
     val tfd1 = time("fdr 1x")(noop(fdrOf(ord1)))
     val tfdN = time(s"fdr ${factor}x")(noop(fdrOf(ordN)))
     results += (("fdr", tfd1, tfdN))
+    // grouped form: per-family tables keyed by o_orderpriority
+    def fdrgOf(d: DataFrame) = graft.operators.Drift.benjaminiHochberg(
+      d.select(col("o_orderkey"), col("o_orderpriority"),
+        (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+          16, 10).cast("long").cast("double") / lit(4294967296.0))
+          .as("p")), "p", groupCols = Seq("o_orderpriority"))
+    val tfg1 = time("fdr_grouped 1x")(noop(fdrgOf(ord1)))
+    val tfgN = time(s"fdr_grouped ${factor}x")(noop(fdrgOf(ordN)))
+    results += (("fdr_grouped", tfg1, tfgN))
     // l-diversity: one partial-agg groupBy with an exact distinct —
     // expect the kanon cost class (scan-bound, combo-sized shuffle)
     def ldOf(d: DataFrame) = graft.operators.Profile.lDiversity(d,

@@ -413,6 +413,7 @@ object SparkEntry {
     // round 12: the k-paired member completing the test matrix
     "q_friedman" -> PipelineQueries.friedmanPriority,
     "q_fdr_flags" -> PipelineQueries.fdrFlags,
+    "q_fdr_grouped" -> PipelineQueries.fdrGrouped,
     "q_zipf_fit" -> PipelineQueries.zipfFit,
     "q_bpe_encode_planted" -> PipelineQueries.bpeEncodePlanted,
     "q_holt_winters" -> PipelineQueries.holtWintersDaily,
@@ -3253,6 +3254,32 @@ object SparkEntry {
               WHERE v <= rhi::DOUBLE * 0.05 / m::DOUBLE)
       SELECT doc_id, p, COALESCE(p <= cut, false) AS rejected
       FROM hyp CROSS JOIN cut""",
+
+    // grouped BH: the identical step-up replay with every table keyed
+    // by the language family — per-group m, rank, cutoff
+    "q_fdr_grouped" -> """
+      WITH hyp AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id < 10
+                 THEN (doc_id + 1)::DOUBLE / 10000.0
+                 ELSE ('0x' || substr(md5('fdr_' || doc_id::VARCHAR),
+                         1, 8))::BIGINT::DOUBLE / 4294967296.0
+               END AS p
+        FROM documents WHERE doc_id < 200),
+      vals AS (SELECT lang, p AS v, count(*)::BIGINT AS c FROM hyp
+               GROUP BY 1, 2),
+      r AS (SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS rhi
+            FROM vals),
+      m AS (SELECT lang, count(*)::BIGINT AS m FROM hyp GROUP BY 1),
+      cut AS (SELECT r.lang, max(v) AS cut
+              FROM r JOIN m ON r.lang = m.lang
+              WHERE v <= rhi::DOUBLE * 0.05 / m::DOUBLE
+              GROUP BY r.lang)
+      SELECT doc_id, lang, p,
+             COALESCE(p <= cut, false) AS rejected
+      FROM hyp LEFT JOIN cut USING (lang)""",
 
     // Zipf fit: identical tokenization, top-1000 cut on (count desc,
     // term), OLS over ln pairs; slope/intercept 6dp (ln is the

@@ -899,12 +899,17 @@ object Drift {
     * shrink m and loosen every threshold silently); p outside [0,1]
     * raises.
     *
+    * @param groupCols optional hypothesis FAMILIES — the correction
+    *                   then runs independently per group (per-segment
+    *                   sweeps corrected within their own family), with
+    *                   per-group m and cutoff
     * @return the input columns + `rejected` (false everywhere when no
     *         hypothesis clears the rule) */
   def benjaminiHochberg(df: DataFrame, pCol: String,
-      alpha: Double = 0.05): DataFrame = {
+      alpha: Double = 0.05, groupCols: Seq[String] = Nil): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
     import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
     val pRaw = col(pCol).cast("double")
     val guarded = df.withColumn("__p",
       when(pRaw.isNull, raise_error(lit(
@@ -915,31 +920,48 @@ object Drift {
           "Drift.benjaminiHochberg: p outside [0,1]: "),
           pRaw.cast("string"))))
         .otherwise(pRaw))
-    val vals = guarded.groupBy(col("__p").as("__v"))
+    val vals = guarded.groupBy(g :+ col("__p").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
       .withColumn("__bk", floor(col("__v") * 1024))
-    val wOff = Window.partitionBy(Bounded.constPart(col("__tm")))
+    val offPart =
+      if (g.isEmpty) Seq(Bounded.constPart(col("__tm"))) else g
+    val wOff = Window.partitionBy(offPart: _*)
       .orderBy(col("__bk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = vals.groupBy(col("__bk"))
+    // derived sides rename their keys before rejoining (the r9
+    // ngramJaccard trivially-true-predicate trap)
+    val offs = vals.groupBy(g :+ col("__bk"): _*)
       .agg(sum("__c").as("__tm"))
       .withColumn("__om", coalesce(sum(col("__tm")).over(wOff), lit(0L)))
-      .select(col("__bk").as("__bk2"), col("__om"))
-    val wIn = Window.partitionBy(col("__bk")).orderBy(col("__v"))
+      .select(groupCols.map(c => col(c).as(s"__og_$c")) ++
+        Seq(col("__bk").as("__bk2"), col("__om")): _*)
+    val wIn = Window.partitionBy(g :+ col("__bk"): _*)
+      .orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offKeys = (groupCols.map(c => col(c) <=> col(s"__og_$c")) :+
+      (col("__bk") <=> col("__bk2"))).reduce(_ && _)
     // inclusive cumulative count = the highest rank among the __c ties
-    val ranked = vals.join(broadcast(offs), col("__bk") <=> col("__bk2"))
+    val ranked = vals.join(broadcast(offs), offKeys)
       .withColumn("__rhi", col("__om") + sum(col("__c")).over(wIn))
-    val m1 = guarded.agg(count(lit(1)).as("__m"))
-    val cut = ranked.crossJoin(broadcast(m1))
+    val m1 = guarded.groupBy(g: _*).agg(count(lit(1)).as("__m"))
+      .select(groupCols.map(c => col(c).as(s"__mg_$c")) :+
+        col("__m"): _*)
+    val mKeys = groupCols.map(c => col(c) <=> col(s"__mg_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val cut = ranked.join(broadcast(m1), mKeys)
       .filter(col("__v") <=
         col("__rhi").cast("double") * lit(alpha) /
           col("__m").cast("double"))
-      .agg(max(col("__v")).as("__cut"))
-    guarded.crossJoin(broadcast(cut))
+      .groupBy(g: _*).agg(max(col("__v")).as("__cut"))
+      .select(groupCols.map(c => col(c).as(s"__cg_$c")) :+
+        col("__cut"): _*)
+    val cutKeys = groupCols.map(c => col(c) <=> col(s"__cg_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    guarded.join(broadcast(cut), cutKeys, "left")
       .withColumn("rejected", coalesce(col("__p") <= col("__cut"),
         lit(false)))
-      .drop("__p", "__cut")
+      .drop(("__p" +: "__cut" +:
+        groupCols.map(c => s"__cg_$c")): _*)
   }
 
   def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {

@@ -563,6 +563,23 @@ object PipelineQueries {
     graft.operators.Drift.benjaminiHochberg(hyp, "p", alpha = 0.05)
   }
 
+  /** Grouped BH flags (round 12): the same hypothesis sweep split into
+    * per-language FAMILIES — each language corrects against its own m,
+    * so a p-value that clears a small family fails a large one. */
+  val fdrGrouped: Q = (s, d) => {
+    val hyp = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") < 10,
+          (col("doc_id") + 1).cast("double") / lit(10000.0))
+          .otherwise(
+            conv(substring(md5(concat(lit("fdr_"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long").cast("double") / lit(4294967296.0))
+          .as("p"))
+    graft.operators.Drift.benjaminiHochberg(hyp, "p", alpha = 0.05,
+      groupCols = Seq("lang"))
+  }
+
   /** Zipf-law fit over the corpus vocabulary (round 12,
     * [[graft.operators.TextScore.zipfFit]]): OLS slope of ln freq on
     * ln rank over the top-1000 terms — the vocabulary-shape number a

@@ -387,6 +387,18 @@ class DriftSpec extends SparkSpec {
       .forall(!_.getBoolean(2)))
   }
 
+  test("benjaminiHochberg grouped: families correct independently") {
+    import spark.implicits._
+    // family A: m=2, 0.02 <= 1*0.05/2 -> rejected; family B: the SAME
+    // p=0.02 among 10 hypotheses fails 1*0.05/10 = 0.005 -> kept
+    val df = (Seq(("A", 0L, 0.02), ("A", 1L, 0.9)) ++
+      (2L to 11L).map(i => ("B", i, if (i == 2L) 0.02 else 0.9)))
+      .toDF("fam", "id", "p")
+    val r = Drift.benjaminiHochberg(df, "p", groupCols = Seq("fam"))
+      .collect().map(x => x.getLong(1) -> x.getBoolean(3)).toMap
+    assert(r(0L) && !r(1L) && !r(2L) && !r(5L), r.toString)
+  }
+
   test("benjaminiHochberg raises on NULL p and p outside [0,1]") {
     import spark.implicits._
     val withNull = Seq((0L, Some(0.1)), (1L, None)).toDF("id", "p")
