@@ -748,6 +748,12 @@ object ScaleBench {
     val trsc1 = time("robust_scale 1x")(noop(rsOf(docs1)))
     val trscN = time(s"robust_scale ${factor}x")(noop(rsOf(docsN)))
     results += (("robust_scale", trsc1, trscN))
+    // script mix: map-only per-token regex membership
+    def smOf(d: DataFrame) = graft.operators.TextScore.scriptMix(
+      d, "doc_id", "text")
+    val tsm1 = time("script_mix 1x")(noop(smOf(docs1)))
+    val tsmN = time(s"script_mix ${factor}x")(noop(smOf(docsN)))
+    results += (("script_mix", tsm1, tsmN))
 
     // quantile sketch: pure map-side partial agg, buffer size fixed
     def hq(df: DataFrame) = df.select(col("l_returnflag"),

@@ -415,6 +415,7 @@ object SparkEntry {
     "q_fdr_flags" -> PipelineQueries.fdrFlags,
     "q_fdr_grouped" -> PipelineQueries.fdrGrouped,
     "q_zipf_fit" -> PipelineQueries.zipfFit,
+    "q_script_mix" -> PipelineQueries.scriptMixQ,
     "q_bpe_encode_planted" -> PipelineQueries.bpeEncodePlanted,
     "q_holt_winters" -> PipelineQueries.holtWintersDaily,
   )
@@ -3306,6 +3307,31 @@ object SparkEntry {
                  / (n::DOUBLE * sxx - sx * sx) * sx) / n::DOUBLE, 6)
                AS intercept
       FROM agg""",
+
+    // mixed-script confusables: identical tokenization + per-token
+    // two-range membership; the spoof tokens are planted from code
+    // points both engines write identically
+    "q_script_mix" -> """
+      WITH pd AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 7 = 0
+                 THEN ' p\u0430ypal' ELSE '' END
+                    || CASE WHEN doc_id % 11 = 0
+                 THEN ' \u03b1lpha' ELSE '' END AS text
+        FROM documents),
+      toks AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\s+'),
+          t -> t <> '') AS tk
+        FROM pd)
+      SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+             len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')
+               AND regexp_matches(t, '[\u0400-\u04FF]')))::BIGINT
+               AS n_latin_cyrillic,
+             len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')
+               AND regexp_matches(t, '[\u0370-\u03FF]')))::BIGINT
+               AS n_latin_greek
+      FROM toks""",
 
     // ROUGE-2: clipped bigram overlap replayed per (pair, gram);
     // empty-side pairs re-anchor on the pair table (the operator's

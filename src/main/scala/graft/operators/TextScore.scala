@@ -436,6 +436,27 @@ object TextScore {
           .as("jsd"))
   }
 
+  /** Mixed-script token detection — the spoofing/quality screen web
+    * corpora need before dedup and search: a token mixing Latin with
+    * Cyrillic or Greek letters ("pаypal" with U+0430) is near-always
+    * confusable spam, OCR damage, or an evasion attempt, and it
+    * poisons exact dedup and retrieval (the spoof never matches the
+    * clean form). Per document: token count, tokens mixing
+    * Latin+Cyrillic, tokens mixing Latin+Greek. Map-only; per-token
+    * regex membership, no shuffle.
+    *
+    * @return (idCol, n_tokens, n_latin_cyrillic, n_latin_greek) */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tk = filter(Tokenize.tokenCol(textCol), t => t =!= "")
+    def mixed(range: String) = size(filter(tk, t =>
+      t.rlike("[A-Za-z]") && t.rlike(range))).cast("long")
+    df.select(col(idCol),
+      size(tk).cast("long").as("n_tokens"),
+      mixed("[\u0400-\u04FF]").as("n_latin_cyrillic"),
+      mixed("[\u0370-\u03FF]").as("n_latin_greek"))
+  }
+
   /** Zipf-law fit over the corpus rank–frequency curve — the
     * vocabulary-shape diagnostic a corpus monitor tracks next to
     * type/token counts: OLS slope of ln(freq) on ln(rank) over the
@@ -461,8 +482,12 @@ object TextScore {
     val counts = df.select(explode(tk).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__w")).limit(topK)
+    // the rank window is bounded at K rows by the limit above — the
+    // constPart marker declares that (the PlanShapeSpec sweep contract)
     val ranked = counts.withColumn("__r",
-      row_number().over(Window.orderBy(col("__c").desc, col("__w"))))
+      row_number().over(Window
+        .partitionBy(Bounded.constPart(col("__c")))
+        .orderBy(col("__c").desc, col("__w"))))
     val xy = ranked.select(log(col("__r").cast("double")).as("__x"),
       log(col("__c").cast("double")).as("__y"))
     val agg = xy.agg(count(lit(1)).as("n_terms"),

@@ -588,6 +588,19 @@ object PipelineQueries {
     graft.operators.TextScore.zipfFit(Tables.documents(s, d), "text",
       topK = 1000)
 
+  /** Mixed-script confusable screen (round 12,
+    * [[graft.operators.TextScore.scriptMix]]): every 7th doc gets a
+    * Cyrillic-а spoof token and every 11th a Greek-α one planted onto
+    * its text — the per-token script-membership counts gate exactly. */
+  val scriptMixQ: Q = (s, d) =>
+    graft.operators.TextScore.scriptMix(
+      Tables.documents(s, d).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" p\u0430ypal"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" \u03b1lpha"))
+          .otherwise(lit(""))).as("text")),
+      "doc_id", "text")
+
   /** Two-stage retrieve-and-rerank (the production search shape): BM25
     * lexical retrieval prunes the corpus to 20 candidates, then an
     * exact cosine re-rank against the query embedding (vec_id 0)

@@ -175,4 +175,19 @@ class TextScoreSpec extends SparkSpec {
     assert(e.getMessage.contains("fewer than 3 distinct terms"),
       e.getMessage)
   }
+
+  test("scriptMix: Latin+Cyrillic and Latin+Greek confusables counted " +
+      "per token; pure-script tokens pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p\u0430ypal is not paypal"),             // Cyrillic а
+      (2L, "\u03b1lpha beta \u03b3amma"),           // Greek α, γ
+      (3L, "\u043f\u0440\u0438\u0432\u0435\u0442 hello")) // pure ru + en
+      .toDF("doc_id", "text")
+    val got = TextScore.scriptMix(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set((1L, 4L, 1L, 0L), (2L, 3L, 0L, 2L),
+      (3L, 2L, 0L, 0L)), got)
+  }
 }
