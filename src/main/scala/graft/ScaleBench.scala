@@ -754,6 +754,14 @@ object ScaleBench {
     val tsm1 = time("script_mix 1x")(noop(smOf(docs1)))
     val tsmN = time(s"script_mix ${factor}x")(noop(smOf(docsN)))
     results += (("script_mix", tsm1, tsmN))
+    // code fences: map-only (?s) non-greedy extract over the doc text
+    def cfOf(d: DataFrame) = graft.operators.Markup.codeFences(
+      d.select(col("doc_id"), concat(col("text"),
+        lit("\n```python\nx = 1\n```")).as("text")),
+      "doc_id", "text")
+    val tcf1 = time("code_fences 1x")(noop(cfOf(docs1)))
+    val tcfN = time(s"code_fences ${factor}x")(noop(cfOf(docsN)))
+    results += (("code_fences", tcf1, tcfN))
 
     // quantile sketch: pure map-side partial agg, buffer size fixed
     def hq(df: DataFrame) = df.select(col("l_returnflag"),

@@ -416,6 +416,7 @@ object SparkEntry {
     "q_fdr_grouped" -> PipelineQueries.fdrGrouped,
     "q_zipf_fit" -> PipelineQueries.zipfFit,
     "q_script_mix" -> PipelineQueries.scriptMixQ,
+    "q_code_fences" -> PipelineQueries.codeFencesQ,
     "q_bpe_encode_planted" -> PipelineQueries.bpeEncodePlanted,
     "q_holt_winters" -> PipelineQueries.holtWintersDaily,
   )
@@ -3332,6 +3333,34 @@ object SparkEntry {
                AND regexp_matches(t, '[\u0370-\u03FF]')))::BIGINT
                AS n_latin_greek
       FROM toks""",
+
+    // code fences: the identical (?s) non-greedy RE2 pattern; the
+    // planted fences build their newlines via chr(10) so both engines
+    // hold byte-identical text
+    "q_code_fences" -> """
+      WITH pd AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || '```python' || chr(10)
+                      || substr(md5(doc_id::VARCHAR || '_code'), 1, 8)
+                      || ' = 1' || chr(10) || '```'
+                 ELSE '' END
+                    || CASE WHEN doc_id % 6 = 0
+                 THEN chr(10) || '```' || chr(10) || 'plain body'
+                      || chr(10) || '```'
+                 ELSE '' END AS text
+        FROM documents),
+      m AS (SELECT doc_id,
+              regexp_extract_all(text,
+                '(?s)```([a-z0-9_+]*)\n(.*?)```', 1) AS langs,
+              regexp_extract_all(text,
+                '(?s)```([a-z0-9_+]*)\n(.*?)```', 2) AS bodies
+            FROM pd)
+      SELECT doc_id, len(bodies)::BIGINT AS n_fences,
+             COALESCE(list_sum(list_transform(bodies,
+               b -> length(b))), 0)::BIGINT AS n_fence_chars,
+             COALESCE(array_to_string(langs, ','), '') AS langs
+      FROM m""",
 
     // ROUGE-2: clipped bigram overlap replayed per (pair, gram);
     // empty-side pairs re-anchor on the pair table (the operator's

@@ -38,4 +38,28 @@ object Markup {
       replace(acc, lit(e), lit(ch)) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** Fenced code-block extraction — the code-corpus prep step markdown
+    * sources need BEFORE text quality scoring (a doc that is 90 % code
+    * fails every prose heuristic yet may be exactly what a code mix
+    * wants): per document the fence count, total fenced characters,
+    * and the comma-joined language tags (empty tag for plain fences).
+    *
+    * Map-only; the (?s) non-greedy pattern is RE2-compatible (no
+    * backreferences), so a DuckDB oracle replays it byte-identically.
+    * An unterminated trailing fence is NOT a match (conservative —
+    * its content stays prose).
+    *
+    * @return (idCol, n_fences, n_fence_chars, langs) */
+  def codeFences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val pat = "(?s)```([a-z0-9_+]*)\\n(.*?)```"
+    val langs = regexp_extract_all(col(textCol), lit(pat), lit(1))
+    val bodies = regexp_extract_all(col(textCol), lit(pat), lit(2))
+    df.select(col(idCol),
+      size(bodies).cast("long").as("n_fences"),
+      coalesce(aggregate(bodies, lit(0L), (a, b) => a + length(b)),
+        lit(0L)).as("n_fence_chars"),
+      array_join(langs, ",").as("langs"))
+  }
 }

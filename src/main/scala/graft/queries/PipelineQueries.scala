@@ -588,6 +588,22 @@ object PipelineQueries {
     graft.operators.TextScore.zipfFit(Tables.documents(s, d), "text",
       topK = 1000)
 
+  /** Fenced code-block extraction (round 12,
+    * [[graft.operators.Markup.codeFences]]): every 4th doc gets a
+    * python fence with a doc-derived body and every 6th a plain fence
+    * planted via chr(10)-exact strings — counts, fenced chars, and
+    * language tags gate byte-identically. */
+  val codeFencesQ: Q = (s, d) =>
+    graft.operators.Markup.codeFences(
+      Tables.documents(s, d).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 4 === 0, concat(lit("\n```python\n"),
+          substring(md5(concat(col("doc_id").cast("string"),
+            lit("_code"))), 1, 8), lit(" = 1\n```")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("\n```\nplain body\n```"))
+          .otherwise(lit(""))).as("text")),
+      "doc_id", "text")
+
   /** Mixed-script confusable screen (round 12,
     * [[graft.operators.TextScore.scriptMix]]): every 7th doc gets a
     * Cyrillic-а spoof token and every 11th a Greek-α one planted onto

@@ -39,4 +39,20 @@ class MarkupSpec extends SparkSpec {
     // stripped but text kept (never silently drop body text)
     assert(clean("a<p>text with < loose bracket") == "a text with < loose bracket")
   }
+
+  test("codeFences: counts, chars, language tags; unterminated fence " +
+      "ignored") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro\n```python\nprint(1)\n```\nmid\n```\nplain\n```"),
+      (2L, "no fences at all"),
+      (3L, "broken ```python\nnever closed"))
+      .toDF("doc_id", "text")
+    val got = Markup.codeFences(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    // doc 1: bodies "print(1)\n" (9 chars) and "plain\n" (6)
+    assert(got == Set((1L, 2L, 15L, "python,"), (2L, 0L, 0L, ""),
+      (3L, 0L, 0L, "")), got)
+  }
 }
