@@ -762,6 +762,18 @@ object ScaleBench {
     val tcf1 = time("code_fences 1x")(noop(cfOf(docs1)))
     val tcfN = time(s"code_fences ${factor}x")(noop(cfOf(docsN)))
     results += (("code_fences", tcf1, tcfN))
+    // forward as-of: the same sort-merge node on negated ts axes
+    def afOf2(d: DataFrame) = {
+      val p = d.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val v = d.filter(col("event_type") === "view")
+        .select("user_id", "ts")
+      graft.operators.AsOfJoin.forward(p, v, "user_id", "ts", "ts",
+        Seq("ts"))
+    }
+    val taf21 = time("asof_forward 1x")(noop(afOf2(ev1)))
+    val taf2N = time(s"asof_forward ${factor}x")(noop(afOf2(evN)))
+    results += (("asof_forward", taf21, taf2N))
 
     // quantile sketch: pure map-side partial agg, buffer size fixed
     def hq(df: DataFrame) = df.select(col("l_returnflag"),

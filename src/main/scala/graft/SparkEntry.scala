@@ -40,6 +40,7 @@ object SparkEntry {
     "q_join_anti" -> RelationalQueries.joinAnti,
     "q_join_range" -> RelationalQueries.joinRange,
     "q_asof_join" -> RelationalQueries.asofJoin,
+    "q_asof_forward" -> RelationalQueries.asofForward,
     "q_asof_multikey" -> RelationalQueries.asofMultiKey,
     // aggregation (E13–E17)
     "q1_agg" -> RelationalQueries.q1Agg,
@@ -591,6 +592,12 @@ object SparkEntry {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "q_asof_forward" -> """
+      SELECT p.event_id, p.user_id, v.ts AS asof_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.ts <= v.ts""",
 
     "q_asof_multikey" -> """
       SELECT p.event_id, p.user_id, p.day, v.ts AS asof_ts

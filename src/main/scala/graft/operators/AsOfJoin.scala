@@ -47,6 +47,27 @@ object AsOfJoin {
       tolerance: Option[String] = None): DataFrame =
     onKeys(left, right, Seq(key), leftTs, rightTs, carry, tolerance)
 
+  /** FORWARD as-of: the EARLIEST right row AT OR AFTER the left ts —
+    * "the next quote after the order", "the first error after the
+    * deploy". Rides the SAME sort-merge plan node by negating both ts
+    * axes (epoch-micros negation keeps TimestampType, so tolerance
+    * arithmetic still applies — a `tolerance` then bounds how far
+    * FORWARD a match may sit, DuckDB's `ASOF ... ON l.ts <= r.ts`
+    * with WITHIN). Carried columns keep their ORIGINAL values; the
+    * negated axes never leave this method. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, carry: Seq[String],
+      tolerance: Option[String] = None): DataFrame = {
+    require(!carry.contains("__negts_r") && rightTs != "__negts_r" &&
+      leftTs != "__negts", "forward: reserved column name in use")
+    val l2 = left.withColumn("__negts",
+      timestamp_micros(-unix_micros(col(leftTs))))
+    val r2 = right.withColumn("__negts_r",
+      timestamp_micros(-unix_micros(col(rightTs))))
+    onKeys(l2, r2, Seq(key), "__negts", "__negts_r", carry, tolerance)
+      .drop("__negts")
+  }
+
   /** Composite-equality-key form (DuckDB `ASOF JOIN ... ON a AND b AND
     * ts >=`): the match must agree on EVERY key column. Same plan shape —
     * both sides cluster on the full key tuple. */

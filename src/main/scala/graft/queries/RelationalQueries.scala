@@ -485,6 +485,21 @@ object RelationalQueries {
       .select("event_id", "user_id", "asof_ts")
   }
 
+  /** FORWARD as-of (round 12, [[graft.operators.AsOfJoin.forward]]):
+    * the EARLIEST view at-or-after each purchase — the same custom
+    * sort-merge node on negated ts axes; DuckDB replays it natively
+    * with `ASOF ... ON p.ts <= v.ts`. */
+  val asofForward: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts")
+    graft.operators.AsOfJoin.forward(purchases, views, "user_id",
+      "ts", "ts", Seq("ts"))
+      .select(col("event_id"), col("user_id"), col("asof_ts"))
+  }
+
   /** Composite-key as-of (E12): most recent prior view for the same
     * (user, event-day) tuple — the match must agree on BOTH key columns,
     * mirroring DuckDB `ASOF ... ON u = u AND d = d AND ts >=`. */

@@ -193,4 +193,33 @@ class AsOfJoinSpec extends SparkSpec {
           (col("asof_ts").isNotNull && col("asof_ts") =!= col("expect_ts")))
     assert(joined.count() === 0)
   }
+
+  test("forward as-of: earliest right row at or after the left ts; " +
+      "tolerance bounds the look-ahead") {
+    import spark.implicits._
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val l = Seq((1L, "k", t(10)), (2L, "k", t(50))).toDF("id", "k", "ts")
+    val r = Seq(("k", t(5), 1.0), ("k", t(12), 2.0), ("k", t(30), 3.0))
+      .toDF("k", "ts", "v")
+    val got = AsOfJoin.forward(l, r, "k", "ts", "ts", Seq("v"))
+      .select("id", "asof_v").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None
+        else Some(x.getDouble(1)))).toMap
+    // id 1 (t10): next at-or-after is t12 -> 2.0; id 2 (t50): none
+    assert(got == Map(1L -> Some(2.0), 2L -> None), got.toString)
+    val tol = AsOfJoin.forward(l, r, "k", "ts", "ts", Seq("v"),
+      tolerance = Some("1 MINUTE"))
+      .select("id", "asof_v").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None
+        else Some(x.getDouble(1)))).toMap
+    // t12 is 2 min past t10 -> outside a 1-minute look-ahead
+    assert(tol == Map(1L -> None, 2L -> None), tol.toString)
+    // exact-tie: a right row AT the left ts matches forward
+    val r2 = Seq(("k", t(10), 9.0)).toDF("k", "ts", "v")
+    val tie = AsOfJoin.forward(l, r2, "k", "ts", "ts", Seq("v"))
+      .select("id", "asof_v").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None
+        else Some(x.getDouble(1)))).toMap
+    assert(tie(1L) == Some(9.0), tie.toString)
+  }
 }
