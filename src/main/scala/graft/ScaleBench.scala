@@ -774,6 +774,16 @@ object ScaleBench {
     val taf21 = time("asof_forward 1x")(noop(afOf2(ev1)))
     val taf2N = time(s"asof_forward ${factor}x")(noop(afOf2(evN)))
     results += (("asof_forward", taf21, taf2N))
+    // krippendorff: one (item, cat) shuffle; coincidence mass
+    // aggregates by rating-count class (bounded fold)
+    def kaOf(d: DataFrame) = graft.operators.Eval.krippendorffAlpha(
+      d.select(expr("doc_id div 5").as("item"),
+        (col("doc_id") % 5).as("rater"), col("lang").as("cat"))
+        .filter(!(col("rater") === 4 && col("item") % 3 === 0)),
+      "item", "rater", "cat")
+    val tka1 = time("krippendorff 1x")(noop(kaOf(docs1)))
+    val tkaN = time(s"krippendorff ${factor}x")(noop(kaOf(docsN)))
+    results += (("krippendorff", tka1, tkaN))
 
     // quantile sketch: pure map-side partial agg, buffer size fixed
     def hq(df: DataFrame) = df.select(col("l_returnflag"),

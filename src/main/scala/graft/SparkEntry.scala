@@ -399,6 +399,7 @@ object SparkEntry {
     "q_spearman" -> PipelineQueries.spearmanQtyPrice,
     "q_kendall_tau" -> PipelineQueries.kendallQtyDisc,
     "q_fleiss_kappa" -> PipelineQueries.fleissLangAgreement,
+    "q_krippendorff" -> PipelineQueries.krippendorffLang,
     "q_prop_ztest" -> PipelineQueries.propZDiscount,
     "q_kruskal" -> PipelineQueries.kruskalPrices,
     "q_anova_f" -> PipelineQueries.anovaShipmode,
@@ -3243,6 +3244,42 @@ object SparkEntry {
     // inclusive cumulative = highest tied rank, one max() cutoff,
     // map-only flags — p-values are planted dyadics + (i+1)/1e4
     // signals, each ONE IEEE division of exact integers
+    // Krippendorff alpha: per-item exact coincidence mass aggregated
+    // by rating-count class (one /(m-1) per DISTINCT m, folded in
+    // sorted-m order); marginals are plain value counts over the
+    // contributing items; alpha one fixed chain, 9dp
+    "q_krippendorff" -> """
+      WITH r AS (
+        SELECT doc_id // 5 AS item, doc_id % 5 AS rater, lang AS cat
+        FROM documents
+        WHERE NOT (doc_id % 5 = 4 AND (doc_id // 5) % 3 = 0)
+          AND NOT (doc_id % 5 = 3 AND (doc_id // 5) % 7 = 0)),
+      cells AS (SELECT item, cat, count(*)::BIGINT AS v FROM r
+                GROUP BY 1, 2),
+      items AS (SELECT item, sum(v)::BIGINT AS m,
+                  sum(v::HUGEINT * v) AS sq
+                FROM cells GROUP BY item HAVING sum(v) >= 2),
+      perm AS (SELECT m, count(*)::BIGINT AS cnt,
+                 sum(m::HUGEINT * m - sq) AS off
+               FROM items GROUP BY m),
+      fold AS (SELECT sum(cnt)::BIGINT AS n_items,
+                 sum(m::HUGEINT * cnt) AS n,
+                 list_reduce(list_prepend(0.0,
+                   list(CAST(CAST(off AS VARCHAR) AS DOUBLE)
+                        / (m - 1)::DOUBLE ORDER BY m)),
+                   (a, x) -> a + x) AS doff
+               FROM perm),
+      nc AS (SELECT count(*)::BIGINT AS n_categories,
+               COALESCE(sum(t::HUGEINT * t), 0::HUGEINT) AS sumnc2
+             FROM (SELECT cat, sum(v)::BIGINT AS t
+                   FROM cells JOIN items USING (item) GROUP BY cat) z)
+      SELECT CAST(CAST(n AS VARCHAR) AS BIGINT) AS n, n_items,
+             n_categories,
+             round(1.0 - CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE) * doff
+               / CAST(CAST(n::HUGEINT * n - sumnc2 AS VARCHAR)
+                   AS DOUBLE), 9) AS alpha
+      FROM fold CROSS JOIN nc""",
+
     "q_fdr_flags" -> """
       WITH hyp AS (
         SELECT doc_id,

@@ -290,6 +290,85 @@ object Eval {
         .as("kappa"))
   }
 
+  /** Krippendorff's α (nominal) — the agreement coefficient the
+    * annotation pipeline needs when the design is UNBALANCED: raters
+    * skip items, items carry different rating counts ([[cohenKappa]]
+    * needs exactly 2 fixed raters, [[fleissKappa]] a constant count).
+    * `α = 1 − D_o/D_e` over the coincidence matrix; items with a
+    * single rating DROP (they carry no within-item pair) and are
+    * reported via n_items vs the input.
+    *
+    * Exactness at scale: the within-item off-diagonal coincidence mass
+    * `m_u² − Σ_c v_uc²` is an exact integer per item and AGGREGATES BY
+    * RATING COUNT m — so D_o's only divisions are one `/(m−1)` per
+    * DISTINCT m, folded in sorted-m order (bounded by `maxDistinctM`,
+    * raised loudly). Coincidence marginals collapse to plain value
+    * counts (`n_c = Σ_u v_uc`), so D_e is exact DECIMAL. α is a fixed
+    * IEEE chain over those, rounded 9dp (the kappa tier).
+    *
+    * @return one row: (n, n_items, n_categories, alpha) — n the total
+    *         ratings on contributing (≥2-rating) items */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+      raterCol: String, catCol: String,
+      maxDistinctM: Int = 10000): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.filter(col(itemCol).isNotNull &&
+      col(raterCol).isNotNull && col(catCol).isNotNull)
+    val perRater = rows.groupBy(col(itemCol).as("__i"),
+        col(raterCol).as("__rt"))
+      .agg(count(lit(1)).as("__k"))
+      .agg(coalesce(max("__k"), lit(0L)).as("__maxk"))
+    val cells = rows.groupBy(col(itemCol).as("__i"), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val items = cells.groupBy(col("__i"))
+      .agg(sum("__n").as("__m"),
+        sum(col("__n").cast(dec) * col("__n").cast(dec)).as("__sq"))
+      .filter(col("__m") >= 2)
+    // off-diagonal coincidence mass per rating-count class, exact ints
+    val perM = items.groupBy(col("__m"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(col("__m").cast(dec) * col("__m").cast(dec) - col("__sq"))
+          .as("__off"))
+    val folded = perM.agg(
+      count(lit(1)).as("__nm"),
+      coalesce(sum(col("__cnt")), lit(0L)).as("n_items"),
+      coalesce(sum(col("__m").cast(dec) * col("__cnt").cast(dec)),
+        lit(0L).cast(dec)).as("__n"),
+      sort_array(collect_list(struct(col("__m"),
+        (col("__off").cast("double") /
+          (col("__m") - 1).cast("double")).as("__t")))).as("__terms"))
+    // marginals over CONTRIBUTING items only: re-join cells to them
+    val nc = cells.join(items.select(col("__i").as("__i2")),
+        col("__i") === col("__i2"))
+      .groupBy(col("__c")).agg(sum("__n").as("__nc"))
+      .agg(count(lit(1)).as("n_categories"),
+        coalesce(sum(col("__nc").cast(dec) * col("__nc").cast(dec)),
+          lit(0L).cast(dec)).as("__sumnc2"))
+    val g = folded.crossJoin(nc).crossJoin(perRater).select(
+      when(col("n_items") === 0, raise_error(lit(
+        "Eval.krippendorffAlpha: no item carries 2+ ratings")))
+        .when(col("__maxk") > 1, raise_error(lit(
+          "Eval.krippendorffAlpha: duplicate (item, rater) rating")))
+        .when(col("__nm") > maxDistinctM, raise_error(concat(lit(
+          s"Eval.krippendorffAlpha: more than $maxDistinctM distinct " +
+            "rating counts (the fold collects one term per count) — " +
+            "got "), col("__nm").cast("string"))))
+        .otherwise(col("__n")).as("__n"),
+      col("n_items"), col("n_categories"), col("__terms"),
+      col("__sumnc2"))
+    val nD = col("__n")
+    val dOff = aggregate(transform(col("__terms"),
+      x => x.getField("__t")), lit(0.0), (acc, x) => acc + x)
+    val eOff = (nD * nD - col("__sumnc2")).cast("double")
+    g.select(col("__n").cast("long").as("n"), col("n_items"),
+      col("n_categories"),
+      when(eOff <= 0.0, raise_error(lit(
+        "Eval.krippendorffAlpha: every rating is one category — " +
+          "expected disagreement is 0, alpha is undefined")))
+        .otherwise(round(lit(1.0) -
+          (nD - 1).cast("double") * dOff / eOff, 9)).as("alpha"))
+  }
+
   /** Multiclass Matthews correlation (Gorodkin's R_K) — the single
     * chance-corrected number for a k-class confusion table that, unlike
     * macro-F1, punishes marginal-distribution gaming:

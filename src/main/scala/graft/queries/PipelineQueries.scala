@@ -375,6 +375,20 @@ object PipelineQueries {
     graft.operators.Eval.fleissKappa(complete, "item", "rater", "cat")
   }
 
+  /** Krippendorff's α (round 12,
+    * [[graft.operators.Eval.krippendorffAlpha]]): the SAME doc-block
+    * rating design as q_fleiss_kappa but deliberately UNBALANCED —
+    * every third block loses its 5th rating and every seventh its 4th
+    * — the missing-data case Fleiss rejects and α exists for. */
+  val krippendorffLang: Q = (s, d) => {
+    val r = Tables.documents(s, d)
+      .select(expr("doc_id div 5").as("item"),
+        (col("doc_id") % 5).as("rater"), col("lang").as("cat"))
+      .filter(!(col("rater") === 4 && col("item") % 3 === 0) &&
+        !(col("rater") === 3 && col("item") % 7 === 0))
+    graft.operators.Eval.krippendorffAlpha(r, "item", "rater", "cat")
+  }
+
   /** Two-proportion z-test ([[graft.operators.Drift.propZTest]],
     * round 11): did the high-discount rate differ between returned
     * (R) and in-transit (N) lineitems — the binary-metric A/B shape,

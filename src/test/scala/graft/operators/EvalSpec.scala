@@ -165,4 +165,47 @@ class EvalSpec extends SparkSpec {
       .collect().head.toSeq
     assert(fine == coarse && coarse == one)
   }
+
+  test("krippendorffAlpha hand-computed on an unbalanced design; " +
+      "single-rating items drop; degenerates raise") {
+    import spark.implicits._
+    // A: {1,1} agree (m=2); B: {1,2} disagree (m=2); C: {2,2,2} agree
+    // (m=3); D: one rating -> drops. n=7, n_1=3, n_2=4,
+    // dOff = 0 + 2/(2-1)... off_m2 = (4-4)+(4-2) = 2, off_m3 = 0
+    // alpha = 1 - 6*2/(49-25) = 0.5
+    val df = Seq(
+      ("A", "r1", "1"), ("A", "r2", "1"),
+      ("B", "r1", "1"), ("B", "r2", "2"),
+      ("C", "r1", "2"), ("C", "r2", "2"), ("C", "r3", "2"),
+      ("D", "r1", "2")).toDF("item", "rater", "cat")
+    val r = Eval.krippendorffAlpha(df, "item", "rater", "cat")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((7L, 3L, 2L)),
+      r.toString)
+    assert(r.getDouble(3) === 0.5, r.toString)
+    // perfect agreement on 2 categories: alpha = 1
+    val perf = Seq(("A", "r1", "x"), ("A", "r2", "x"),
+      ("B", "r1", "y"), ("B", "r2", "y")).toDF("item", "rater", "cat")
+    assert(Eval.krippendorffAlpha(perf, "item", "rater", "cat")
+      .collect().head.getDouble(3) === 1.0)
+    val mono = Seq(("A", "r1", "x"), ("A", "r2", "x"))
+      .toDF("item", "rater", "cat")
+    val e1 = intercept[Exception] {
+      Eval.krippendorffAlpha(mono, "item", "rater", "cat").collect()
+    }
+    assert(e1.getMessage.contains("one category"), e1.getMessage)
+    val dup = Seq(("A", "r1", "x"), ("A", "r1", "y"))
+      .toDF("item", "rater", "cat")
+    val e2 = intercept[Exception] {
+      Eval.krippendorffAlpha(dup, "item", "rater", "cat").collect()
+    }
+    assert(e2.getMessage.contains("duplicate (item, rater)"),
+      e2.getMessage)
+    val lone = Seq(("A", "r1", "x"), ("B", "r1", "y"))
+      .toDF("item", "rater", "cat")
+    val e3 = intercept[Exception] {
+      Eval.krippendorffAlpha(lone, "item", "rater", "cat").collect()
+    }
+    assert(e3.getMessage.contains("2+ ratings"), e3.getMessage)
+  }
 }
