@@ -784,6 +784,12 @@ object ScaleBench {
     val tka1 = time("krippendorff 1x")(noop(kaOf(docs1)))
     val tkaN = time(s"krippendorff ${factor}x")(noop(kaOf(docsN)))
     results += (("krippendorff", tka1, tkaN))
+    // twap: one keyed lead window + grouped exact aggregate
+    def twOf(d: DataFrame) = graft.operators.TimeSeries
+      .timeWeightedAvg(d, "user_id", "ts", "value")
+    val ttw1 = time("twap 1x")(noop(twOf(ev1)))
+    val ttwN = time(s"twap ${factor}x")(noop(twOf(evN)))
+    results += (("twap", ttw1, ttwN))
 
     // quantile sketch: pure map-side partial agg, buffer size fixed
     def hq(df: DataFrame) = df.select(col("l_returnflag"),

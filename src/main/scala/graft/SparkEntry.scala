@@ -421,6 +421,7 @@ object SparkEntry {
     "q_code_fences" -> PipelineQueries.codeFencesQ,
     "q_bpe_encode_planted" -> PipelineQueries.bpeEncodePlanted,
     "q_holt_winters" -> PipelineQueries.holtWintersDaily,
+    "q_twap" -> PipelineQueries.twapUser,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -3248,6 +3249,29 @@ object SparkEntry {
     // by rating-count class (one /(m-1) per DISTINCT m, folded in
     // sorted-m order); marginals are plain value counts over the
     // contributing items; alpha one fixed chain, 9dp
+    // TWAP: lead() durations per user, exact micros x cents products,
+    // one raw division; the open last interval drops; single-obs keys
+    // NULL. Ties on (user, ts) would raise - the events fixture has
+    // none at this user slice (the gate proves it)
+    "q_twap" -> """
+      WITH r AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE user_id < 200
+          AND ts IS NOT NULL AND value IS NOT NULL),
+      d AS (SELECT user_id, us, c,
+              lead(us) OVER (PARTITION BY user_id ORDER BY us) - us
+                AS dur
+            FROM r)
+      SELECT user_id, count(*)::BIGINT AS n_obs,
+             COALESCE(sum(dur), 0)::BIGINT AS span_micros,
+             CASE WHEN COALESCE(sum(dur), 0) = 0 THEN NULL
+               ELSE CAST(CAST(sum(dur::HUGEINT * c) AS VARCHAR)
+                      AS DOUBLE)
+                    / (COALESCE(sum(dur), 0)::DOUBLE * 100.0) END
+               AS twap
+      FROM d GROUP BY user_id""",
+
     "q_krippendorff" -> """
       WITH r AS (
         SELECT doc_id // 5 AS item, doc_id % 5 AS rater, lang AS cat

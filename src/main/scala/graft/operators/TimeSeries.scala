@@ -503,6 +503,63 @@ object TimeSeries {
         col("level") + lit(horizon.toDouble) * col("trend"))
   }
 
+  /** Time-weighted average per key — the right "average value" for a
+    * STEP series (a price, a config value, a gauge) where plain AVG
+    * over-weights chatty periods: each observation holds until the
+    * next one, so `twap = Σ vᵢ·Δtᵢ / ΣΔtᵢ` over the key's span. The
+    * last observation carries no duration and is excluded (an open
+    * interval has no width — the standard convention; it is still
+    * counted in n_obs).
+    *
+    * Shape: one keyed window (lead over the key's time order — keyed,
+    * never global) to durations, then one grouped exact aggregate.
+    * Exactness: Δt is exact micros; v scales to exact cents with the
+    * welchT magnitude guard; Σ v·Δt is exact DECIMAL(38,0); twap is
+    * ONE IEEE division of exact integers — RAW-gateable.
+    *
+    * Loud degenerates: duplicate (key, ts) raises (which value holds
+    * is undefined); keys with a single observation yield NULL twap
+    * (no interval — the sweep-row discipline).
+    *
+    * @return one row per key: (keyCol, n_obs, span_micros, twap) */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents0 = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+    val cents = when(cents0.isNull && col(valueCol).isNotNull,
+        raise_error(lit(
+          s"TimeSeries.timeWeightedAvg: $valueCol overflows long cents")))
+      .when(abs(cents0) > 3037000499L, raise_error(lit(
+        "TimeSeries.timeWeightedAvg: |cents| beyond the exact bound")))
+      .otherwise(cents0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"))
+    val rows = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+        cents.as("__c"))
+      .withColumn("__next", lead(col("__us"), 1).over(w))
+    // the duplicate-ts raise rides the REFERENCED duration input (a
+    // both-branches-equal when gets constant-folded away with its
+    // guard — found live by the spec)
+    val dur = when(col("__next") === col("__us"), raise_error(concat(
+        lit("TimeSeries.timeWeightedAvg: duplicate ts for key "),
+        col(keyCol).cast("string"))).cast("long"))
+      .otherwise(col("__next") - col("__us"))
+    rows
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        coalesce(sum(dur), lit(0L)).as("span_micros"),
+        sum(dur.cast(dec) * col("__c").cast(dec)).as("__wsum"))
+      .select(col(keyCol), col("n_obs"), col("span_micros"),
+        // a single-observation key has no interval: NULL, not 0/0
+        // (ANSI division would raise)
+        when(col("span_micros") === 0, lit(null).cast("double"))
+          .otherwise(col("__wsum").cast("double") /
+            (col("span_micros").cast("double") * lit(100.0)))
+          .as("twap"))
+  }
+
   /** Holt–Winters ADDITIVE-SEASONAL smoothing per key — the seasonal
     * completion of [[holtForecast]] for slot series with a known cycle
     * (day-of-week order volume, hour-of-day traffic):

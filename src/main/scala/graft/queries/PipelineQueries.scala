@@ -2380,6 +2380,15 @@ object PipelineQueries {
       alpha = 0.5, beta = 0.25, gamma = 0.5, period = 7, horizon = 7)
   }
 
+  /** Time-weighted average event value per user (round 12,
+    * [[graft.operators.TimeSeries.timeWeightedAvg]]): each observation
+    * holds until the user's next event, so chatty bursts don't
+    * over-weight the mean — the step-series average a gauge needs. */
+  val twapUser: Q = (s, d) =>
+    graft.operators.TimeSeries.timeWeightedAvg(
+      Tables.events(s, d).filter(col("user_id") < 200),
+      "user_id", "ts", "value")
+
   /** ROUGE-2 over consecutive-doc pairs (round 10,
     * [[graft.operators.Eval.rougeN]]): doc i as candidate vs doc i+1
     * as reference within each 10-block — clipped bigram overlap

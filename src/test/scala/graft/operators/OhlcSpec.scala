@@ -48,4 +48,23 @@ class OhlcSpec extends SparkSpec {
         max(when(col("rnd") === 1, col("value"))).as("close"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("timeWeightedAvg: durations weight the step series; the open " +
+      "last interval drops; single-obs keys yield NULL; dup ts raises") {
+    import spark.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val df = Seq(("k", t(0), 1.0), ("k", t(10), 2.0), ("k", t(40), 9.99),
+      ("solo", t(5), 7.0)).toDF("key", "ts", "v")
+    val got = TimeSeries.timeWeightedAvg(df, "key", "ts", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // 10s @ 1.00 + 30s @ 2.00 over a 40s span -> 1.75
+    assert(got("k") == ((3L, Some(1.75))), got.toString)
+    assert(got("solo") == ((1L, None)), got.toString)
+    val dup = Seq(("k", t(0), 1.0), ("k", t(0), 2.0)).toDF("key", "ts", "v")
+    val e = intercept[Exception] {
+      TimeSeries.timeWeightedAvg(dup, "key", "ts", "v").collect()
+    }
+    assert(e.getMessage.contains("duplicate ts"), e.getMessage)
+  }
 }
