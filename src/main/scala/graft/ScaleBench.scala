@@ -790,6 +790,12 @@ object ScaleBench {
     val ttw1 = time("twap 1x")(noop(twOf(ev1)))
     val ttwN = time(s"twap ${factor}x")(noop(twOf(evN)))
     results += (("twap", ttw1, ttwN))
+    // category entropy: one cell shuffle, bounded in-row fold
+    def ceOf(d: DataFrame) = graft.operators.Profile.categoryEntropy(
+      d, Seq("lang"), "source")
+    val tce1 = time("cat_entropy 1x")(noop(ceOf(docs1)))
+    val tceN = time(s"cat_entropy ${factor}x")(noop(ceOf(docsN)))
+    results += (("cat_entropy", tce1, tceN))
 
     // quantile sketch: pure map-side partial agg, buffer size fixed
     def hq(df: DataFrame) = df.select(col("l_returnflag"),

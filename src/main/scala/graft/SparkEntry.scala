@@ -264,6 +264,7 @@ object SparkEntry {
     "q_linreg_group" -> RelationalQueries.linregGroup,
     "q_kanon_audit" -> PipelineQueries.kanonAudit,
     "q_ldiv_audit" -> PipelineQueries.ldivAudit,
+    "q_source_entropy" -> PipelineQueries.sourceEntropy,
     "q_robust_scale" -> PipelineQueries.robustScaleLen,
     "q_sample_weighted" -> PipelineQueries.sampleWeighted,
     "q_token_entropy" -> TextQueries.tokenEntropy,
@@ -4824,6 +4825,31 @@ object SparkEntry {
              count(*) < 10 AS at_risk
       FROM documents
       GROUP BY lang, source, len_bucket""",
+
+    // per-group categorical entropy: p*ln(p) terms folded in sorted
+    // category order (NULLS FIRST matches Spark's sort_array), 6dp
+    "q_source_entropy" -> """
+      WITH cells AS (
+        SELECT lang, source::VARCHAR AS c, count(*)::BIGINT AS cnt
+        FROM documents GROUP BY 1, 2),
+      withn AS (
+        SELECT lang, c, cnt,
+               sum(cnt) OVER (PARTITION BY lang)::BIGINT AS n
+        FROM cells),
+      g AS (SELECT lang, max(n)::BIGINT AS n,
+              count(*)::BIGINT AS n_categories,
+              list_reduce(list_prepend(0.0,
+                list(cnt::DOUBLE / n::DOUBLE
+                     * ln(cnt::DOUBLE / n::DOUBLE)
+                     ORDER BY c NULLS FIRST)),
+                (a, x) -> a + x) AS acc
+            FROM withn GROUP BY lang)
+      SELECT lang, n, n_categories,
+             round(-acc, 6) AS entropy,
+             CASE WHEN n_categories = 1 THEN NULL
+               ELSE round(-acc / ln(n_categories::DOUBLE), 6) END
+               AS norm_entropy
+      FROM g""",
 
     // l-diversity: distinct sensitive (source) values per
     // quasi-identifier group; a homogeneous group is at risk even

@@ -124,6 +124,50 @@ object Profile {
       .withColumn("at_risk", col("cnt") < k)
   }
 
+  /** Per-group Shannon entropy of a categorical column — the
+    * concentration monitor next to [[kAnonymity]]/[[lDiversity]]:
+    * "how mixed is the source distribution per language", tracked
+    * round over round to catch a pipeline quietly collapsing onto one
+    * source. NULL categories count as their own category (missingness
+    * IS part of the distribution).
+    *
+    * Shape: one (group, category) cell shuffle; the Σ p·ln p fold
+    * rides sorted category order inside the group row (bounded by
+    * `maxCategories`, raised loudly). Transcendental tier: entropy
+    * and its ln(k)-normalized form round 6dp; a single-category group
+    * reports entropy 0 and NULL norm_entropy (0/0 — sweep-row
+    * discipline).
+    *
+    * @return one row per group: (groupCols…, n, n_categories,
+    *         entropy, norm_entropy) */
+  def categoryEntropy(df: DataFrame, groupCols: Seq[String],
+      catCol: String, maxCategories: Int = 100000): DataFrame = {
+    val g = groupCols.map(col)
+    val cells = df.groupBy(g :+ col(catCol).cast("string").as("__c"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val grouped = cells.groupBy(g: _*)
+      .agg(coalesce(sum("__n"), lit(0L)).as("n"),
+        count(lit(1)).as("n_categories"),
+        sort_array(collect_list(struct(col("__c"), col("__n"))))
+          .as("__cells"))
+    val nD = col("n").cast("double")
+    val acc = aggregate(col("__cells"), lit(0.0), (a, x) => {
+      val p = x.getField("__n").cast("double") / nD
+      a + p * log(p)
+    })
+    grouped.select(g ++ Seq(
+      col("n"),
+      when(col("n_categories") > maxCategories, raise_error(concat(
+        lit(s"Profile.categoryEntropy: more than $maxCategories " +
+          "categories in one group (the fold collects one cell " +
+          "each) — got "), col("n_categories").cast("string"))))
+        .otherwise(col("n_categories")).as("n_categories"),
+      round(-acc, 6).as("entropy"),
+      when(col("n_categories") === 1, lit(null).cast("double"))
+        .otherwise(round(-acc / log(col("n_categories").cast("double")),
+          6)).as("norm_entropy")): _*)
+  }
+
   /** l-diversity audit — the companion [[kAnonymity]] needs: a
     * quasi-identifier group can be k-anonymous yet leak its SENSITIVE
     * attribute when every member shares one value (the homogeneity

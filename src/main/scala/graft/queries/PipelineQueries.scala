@@ -1546,6 +1546,14 @@ object PipelineQueries {
         (col("n_chars") / 100).cast("long").as("len_bucket")),
       sensitiveCol = "source", l = 3)
 
+  /** Per-language source-mix entropy (round 12,
+    * [[graft.operators.Profile.categoryEntropy]]): the concentration
+    * monitor — a language whose source distribution collapses shows a
+    * falling norm_entropy round over round. */
+  val sourceEntropy: Q = (s, d) =>
+    graft.operators.Profile.categoryEntropy(
+      Tables.documents(s, d), Seq("lang"), "source")
+
   /** Robust per-language length scaling (round 12,
     * [[graft.operators.Outliers.robustScale]]): (n_chars − median)/IQR
     * with exact discrete quartiles — integer inputs make every scaled

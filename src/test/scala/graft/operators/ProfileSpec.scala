@@ -69,4 +69,24 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("NULL sensitive value"), e.getMessage)
   }
+
+  test("categoryEntropy: uniform = ln k (norm 1), single category = " +
+      "0 with NULL norm, NULL categories count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val uni = Seq("a", "b", "c", "d").map(("g1", _)) ++
+      Seq.fill(3)(("g2", "x")) ++
+      Seq(("g3", "x"), ("g3", null))
+    val got = Profile.categoryEntropy(uni.toDF("g", "c"), Seq("g"), "c")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), Option(r.get(4)))).toMap
+    assert(got("g1")._1 == 4L && got("g1")._2 == 4L)
+    assert(math.abs(got("g1")._3 - math.log(4.0)) < 1e-6, got.toString)
+    assert(got("g1")._4 == Some(1.0), got.toString)
+    assert(got("g2") == ((3L, 1L, -0.0, None)) ||
+      got("g2") == ((3L, 1L, 0.0, None)), got.toString)
+    // null is its own category: two cats, p = .5/.5 -> ln 2
+    assert(got("g3")._2 == 2L &&
+      math.abs(got("g3")._3 - math.log(2.0)) < 1e-6, got.toString)
+  }
 }
