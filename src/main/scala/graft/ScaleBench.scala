@@ -796,6 +796,12 @@ object ScaleBench {
     val tce1 = time("cat_entropy 1x")(noop(ceOf(docs1)))
     val tceN = time(s"cat_entropy ${factor}x")(noop(ceOf(docsN)))
     results += (("cat_entropy", tce1, tceN))
+    // burstiness: keyed lead window + grouped exact moments
+    def buOf(d: DataFrame) = graft.operators.TimeSeries.burstiness(
+      d, "user_id", "ts")
+    val tbu1 = time("burstiness 1x")(noop(buOf(ev1)))
+    val tbuN = time(s"burstiness ${factor}x")(noop(buOf(evN)))
+    results += (("burstiness", tbu1, tbuN))
 
     // quantile sketch: pure map-side partial agg, buffer size fixed
     def hq(df: DataFrame) = df.select(col("l_returnflag"),

@@ -423,6 +423,7 @@ object SparkEntry {
     "q_bpe_encode_planted" -> PipelineQueries.bpeEncodePlanted,
     "q_holt_winters" -> PipelineQueries.holtWintersDaily,
     "q_twap" -> PipelineQueries.twapUser,
+    "q_burstiness" -> PipelineQueries.burstinessUser,
   )
 
   /** Shared oracle head for the classifier-eval family (q_roc_auc,
@@ -3272,6 +3273,34 @@ object SparkEntry {
                     / (COALESCE(sum(dur), 0)::DOUBLE * 100.0) END
                AS twap
       FROM d GROUP BY user_id""",
+
+    // burstiness: keyed lead gaps in exact millis, hi/lo-split exact
+    // squares, population sigma, B raw (sqrt is IEEE-exact)
+    "q_burstiness" -> """
+      WITH r AS (
+        SELECT user_id, epoch_us(ts) AS us
+        FROM events WHERE user_id < 200 AND ts IS NOT NULL),
+      d AS (SELECT user_id,
+              (lead(us) OVER (PARTITION BY user_id ORDER BY us) - us)
+                // 1000 AS g
+            FROM r),
+      a AS (SELECT user_id, count(g)::BIGINT AS n_gaps,
+              COALESCE(sum(g), 0)::BIGINT AS s,
+              COALESCE(sum(g::HUGEINT * g), 0::HUGEINT) AS q
+            FROM d GROUP BY user_id)
+      SELECT user_id, n_gaps,
+             CASE WHEN n_gaps = 0 THEN NULL
+               ELSE s::DOUBLE / n_gaps::DOUBLE END AS mean_gap_ms,
+             CASE WHEN n_gaps < 2 THEN NULL
+               ELSE (sqrt(CAST(CAST(n_gaps::HUGEINT * q - s::HUGEINT * s
+                        AS VARCHAR) AS DOUBLE)
+                      / (n_gaps::DOUBLE * n_gaps::DOUBLE))
+                     - s::DOUBLE / n_gaps::DOUBLE)
+                    / (sqrt(CAST(CAST(n_gaps::HUGEINT * q
+                           - s::HUGEINT * s AS VARCHAR) AS DOUBLE)
+                         / (n_gaps::DOUBLE * n_gaps::DOUBLE))
+                       + s::DOUBLE / n_gaps::DOUBLE) END AS burstiness
+      FROM a""",
 
     "q_krippendorff" -> """
       WITH r AS (

@@ -503,6 +503,65 @@ object TimeSeries {
         col("level") + lit(horizon.toDouble) * col("trend"))
   }
 
+  /** Inter-arrival burstiness per key — Goh & Barabási's
+    * `B = (σ − μ)/(σ + μ)` over the gaps between consecutive events:
+    * −1 = metronome (bots, cron), 0 = Poisson, →1 = heavy bursts
+    * (humans, incidents). The traffic-shape screen run next to
+    * [[timeWeightedAvg]] on the same keyed lead() pass.
+    *
+    * Exactness: gaps are exact MILLIS (micro diffs div 1000 — B is
+    * scale-invariant and the millis grid keeps squares inside the
+    * exact bound out to ~35-day gaps, raised loudly past it); Σg and
+    * Σg² ride the welchT hi/lo split so squares never leave exact
+    * integer space; σ uses the POPULATION variance (n divisor); B is
+    * a fixed IEEE chain over exact integers, shipped RAW.
+    *
+    * Loud degenerates: duplicate (key, ts) raises (a zero gap is
+    * indistinguishable from a data bug); keys with fewer than 2 gaps
+    * yield NULL burstiness (σ of one gap is 0 by fiat — the sweep-row
+    * discipline keeps them visible, not dropped).
+    *
+    * @return one row per key: (keyCol, n_gaps, mean_gap_ms,
+    *         burstiness) */
+  def burstiness(df: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"))
+    val rows = df.filter(col(tsCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__next", lead(col("__us"), 1).over(w))
+    val gap0 = col("__next") - col("__us")
+    val gap = when(gap0 === 0, raise_error(concat(lit(
+        "TimeSeries.burstiness: duplicate ts for key "),
+        col(keyCol).cast("string"))).cast("long"))
+      .when(gap0 > 3037000499000L, raise_error(lit(
+        "TimeSeries.burstiness: gap beyond the exact-square bound " +
+          "(~35 days) — shard the span")))
+      .otherwise(expr("(__next - __us) div 1000"))
+    val sq = gap * gap
+    val agg = rows.groupBy(col(keyCol))
+      .agg(count(col("__next")).as("n_gaps"),
+        coalesce(sum(gap), lit(0L)).as("__s"),
+        coalesce(sum(shiftright(sq, 32)), lit(0L)).as("__hi"),
+        coalesce(sum(sq.bitwiseAND(lit(0xffffffffL))), lit(0L))
+          .as("__lo"))
+    val B = lit(4294967296L)
+    val q = col("__hi").cast(dec) * B.cast(dec) + col("__lo").cast(dec)
+    val nD = col("n_gaps").cast(dec)
+    // population variance numerator n·Σg² − (Σg)², exact decimal
+    val varNum = (nD * q - col("__s").cast(dec) * col("__s").cast(dec))
+      .cast("double")
+    val nDd = col("n_gaps").cast("double")
+    val mu = col("__s").cast("double") / nDd
+    val sigma = sqrt(varNum / (nDd * nDd))
+    agg.select(col(keyCol), col("n_gaps"),
+      when(col("n_gaps") === 0, lit(null).cast("double"))
+        .otherwise(mu).as("mean_gap_ms"),
+      when(col("n_gaps") < 2, lit(null).cast("double"))
+        .otherwise((sigma - mu) / (sigma + mu)).as("burstiness"))
+  }
+
   /** Time-weighted average per key — the right "average value" for a
     * STEP series (a price, a config value, a gauge) where plain AVG
     * over-weights chatty periods: each observation holds until the

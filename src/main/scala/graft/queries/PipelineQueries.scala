@@ -2397,6 +2397,14 @@ object PipelineQueries {
       Tables.events(s, d).filter(col("user_id") < 200),
       "user_id", "ts", "value")
 
+  /** Inter-arrival burstiness per user (round 12,
+    * [[graft.operators.TimeSeries.burstiness]]): Goh–Barabási B over
+    * each user's event gaps — the bot-vs-human traffic-shape screen. */
+  val burstinessUser: Q = (s, d) =>
+    graft.operators.TimeSeries.burstiness(
+      Tables.events(s, d).filter(col("user_id") < 200),
+      "user_id", "ts")
+
   /** ROUGE-2 over consecutive-doc pairs (round 10,
     * [[graft.operators.Eval.rougeN]]): doc i as candidate vs doc i+1
     * as reference within each 10-block — clipped bigram overlap
