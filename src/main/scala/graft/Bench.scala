@@ -5,6 +5,36 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line with per-query wall seconds at
   * SPARK_GRAFT_SF_DIR (default sf0.1), local[32] posture per BASELINE.md. */
 object Bench {
+  /** Parse a flat {"q_name":sec,...} map out of a bench JSON file
+    * (cwd-relative). Absent file = empty map; failed queries are
+    * recorded as negative and must never become a damping anchor, so
+    * non-positive values are dropped here. */
+  private[graft] def readQueryMap(path: String): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) Map.empty
+    else {
+      val txt = scala.util.Using.resource(
+        scala.io.Source.fromFile(f, "UTF-8"))(_.mkString)
+      """"(q\w*)":(-?[\d.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 > 0).toMap
+    }
+  }
+
+  /** Elementwise min of two per-query time maps, ignoring non-positive
+    * (failure-marker) values — the best-known-per-query ratchet the 3x
+    * noise trigger anchors to (round-12 verdict: a last-run prior can
+    * be poisoned by one uniformly-slow-environment run). */
+  private[graft] def minMerge(a: Map[String, Double],
+      b: Map[String, Double]): Map[String, Double] = {
+    val bp = b.filter(_._2 > 0)
+    val ap = a.filter(_._2 > 0)
+    (ap.keySet ++ bp.keySet).map { k =>
+      k -> math.min(ap.getOrElse(k, Double.MaxValue),
+        bp.getOrElse(k, Double.MaxValue))
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -124,20 +154,15 @@ object Bench {
     prebuild("q_mv_rewrite",
       () => graft.queries.PipelineQueries.ensureMvRewriteArtifacts(spark, sfDir))
 
-    // per-query values from the COMMITTED previous full run
-    // (/root/repo/BENCH.json, the very file this main overwrites at
-    // the end — read BEFORE the loop) — the reference for the
-    // 3x-noise-suspect rule. Parsed with a regex over the flat
-    // {"name":sec,...} map; absent file or entry = no damping.
-    val prior: Map[String, Double] = {
-      val f = new java.io.File("/root/repo/BENCH.json")
-      if (!f.isFile) Map.empty
-      else {
-        val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
-        """"(q\w*)":(-?[\d.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    }
+    // The 3x-noise-suspect reference (round 13): elementwise MIN of the
+    // best-known map (BENCH_BEST.json) and the last full run
+    // (BENCH.json), both cwd-relative (the harness runs from the repo
+    // root; the old hardcoded /root/repo path silently no-op'd
+    // elsewhere). Min-merging means a uniformly-slow-environment full
+    // run (r12: driver 1.11x the quiet box on identical code) can never
+    // relax the 3x trigger — the prior only ratchets DOWN.
+    val prior: Map[String, Double] =
+      minMerge(readQueryMap("BENCH_BEST.json"), readQueryMap("BENCH.json"))
     if (prior.nonEmpty)
       System.err.println(s"[bench] noise reference: ${prior.size} " +
         "prior-round query times loaded")
@@ -206,9 +231,21 @@ object Bench {
     // full-suite artifact; it lands in /tmp unless the caller opts in
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "/tmp/graft-bench-partial.json"
-      else "/root/repo/BENCH.json")
+      else "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // persist the ratcheted best-known map so the NEXT run's 3x trigger
+    // is anchored to the fastest observed time per query, not to
+    // whatever environment the last run happened to land in (full runs
+    // only — a partial allowlisted run must not shrink the map)
+    if (only.isEmpty) {
+      val best = minMerge(prior, results.toMap)
+      val bestJson = best.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{\"queries\":{", ",", "}}")
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_BEST.json"),
+        bestJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","queries_file":"$outFile"}""")
     spark.stop()
   }

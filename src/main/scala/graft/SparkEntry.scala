@@ -2810,7 +2810,7 @@ object SparkEntry {
                   / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)) AS h
       FROM fold CROSS JOIN tie)
       SELECT n, k, h,
-             (h - k::DOUBLE + 1.0) / (n::DOUBLE - k::DOUBLE) AS eps2
+             (h - k::DOUBLE + 1.0) / (n::DOUBLE - k::DOUBLE) AS eta2_h
       FROM res""",
 
     // one-way ANOVA F: exact per-group integer-cents moments off ONE

@@ -244,8 +244,9 @@ object GraftFunctions {
     * symbols always are; enforced here). */
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
     merges.foreach { case (l, r) =>
-      require(!(l + r).exists(c => c == '\u0001' || c == '\u0002'),
-        s"bpeEncode: rule ($l, $r) carries a spec separator char")
+      require(!(l + r).exists(c =>
+          c == '\u0000' || c == '\u0001' || c == '\u0002'),
+        s"bpeEncode: rule ($l, $r) carries a NUL/spec separator char")
       require(l.nonEmpty && r.nonEmpty, "bpeEncode: empty rule side")
     }
     val spec = merges.map { case (l, r) => l + "\u0001" + r }

@@ -49,11 +49,25 @@ object BpeTrain {
           element_at(syms, i + 2).as("right"))))
       .otherwise(array().cast("array<struct<left:string,right:string>>"))
 
-  /** Sentinel appended to every fold input: never a corpus symbol
-    * (words are whitespace-split text, "\u0000" cannot survive), never
-    * a rule side — its only job is to flush the pending symbol INSIDE
-    * the fold. */
+  /** Sentinel appended to every fold input: never a corpus symbol,
+    * never a rule side — its only job is to flush the pending symbol
+    * INSIDE the fold. NUL is NOT whitespace, so a corpus "\u0000"
+    * WOULD survive the whitespace split — the flush branch would
+    * silently swallow it while the native kernel keeps it, diverging
+    * the two formulations the differential spec equates. Every BPE
+    * text entry point therefore raises loudly on NUL via [[nulGuard]]
+    * (the GraftFunctions.bpeEncode separator posture). */
   private val FlushSentinel = "\u0000"
+
+  /** Loud NUL screen riding the referenced text column (branches
+    * differ, so neither pruning class drops the raise — NOTES guard
+    * taxonomy). */
+  private def nulGuard(text: Column, where: String): Column =
+    when(contains(text, lit("\u0000")), raise_error(lit(
+      s"BpeTrain.$where: text contains U+0000 (reserved as the BPE " +
+        "fold flush sentinel; NUL is not whitespace and survives " +
+        "tokenization) — scrub NUL before BPE")).cast("string"))
+      .otherwise(text)
 
   /** One merge rule applied to a symbol array — left-to-right,
     * non-overlapping, via a pending-symbol fold ("a a a" under (a,a)
@@ -89,7 +103,8 @@ object BpeTrain {
     * tokenization — the corpus contract shared with [[Chunking]] and
     * [[LineDedup]]. */
   def vocabulary(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(filter(split(lower(col(textCol)), " "),
+    df.select(explode(filter(split(lower(nulGuard(col(textCol),
+        "vocabulary")), " "),
         w => length(w) > 0)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(concat(
@@ -175,8 +190,8 @@ object BpeTrain {
       merges: Seq[(String, String)]): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("syms",
-      graft.functions.GraftFunctions.bpeEncode(lower(col(textCol)),
-        merges))
+      graft.functions.GraftFunctions.bpeEncode(
+        lower(nulGuard(col(textCol), "encode")), merges))
   }
 
   /** The HOF-fold formulation of [[encode]] — kept as the independent
@@ -186,8 +201,8 @@ object BpeTrain {
     * array churn still costs ~50× the kernel: reference only. */
   private[operators] def encodeReference(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val words = filter(split(lower(col(textCol)), " "),
-      w => length(w) > 0)
+    val words = filter(split(lower(nulGuard(col(textCol),
+      "encodeReference")), " "), w => length(w) > 0)
     val enc = transform(words, w => merges.foldLeft(
       concat(transform(sequence(lit(1), length(w)),
         i => w.substr(i, lit(1))), array(lit(EndOfWord)))) {

@@ -467,8 +467,11 @@ object Drift {
     *
     * @param bucket maps a value to its rank-phase bucket id (the
     *               [[mannWhitney]] contract: monotonic in the value)
-    * @return one row: (n, k, h, eps2) — eps2 the epsilon-squared
-    *         effect size (H − k + 1)/(n − k) */
+    * @return one row: (n, k, h, eta2_h) — eta2_h the eta-squared-H
+    *         effect size (H − k + 1)/(n − k) (Tomczak & Tomczak's
+    *         η²[H]; NOT epsilon-squared, which is H/(n−1) — the
+    *         column is named for the formula it computes, matching
+    *         the [[anovaF]] eta2 precedent) */
   def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
       bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       maxGroups: Int = 10000): DataFrame = {
@@ -533,10 +536,11 @@ object Drift {
       when(corr <= 0.0, raise_error(lit(
         "Drift.kruskalWallis: every value tied — H is undefined")))
         .otherwise(h0 / corr).as("h"))
-    // epsilon-squared effect size (round 12): the "how big" number a
-    // report pairs with H — one extra IEEE chain off the emitted
-    // columns (the cliffsDelta precedent)
-    out.withColumn("eps2",
+    // eta-squared-H effect size (round 12; renamed from eps2 in round
+    // 13 — (H-k+1)/(n-k) is Tomczak & Tomczak's eta²[H], not
+    // epsilon-squared): the "how big" number a report pairs with H —
+    // one extra IEEE chain off the emitted columns
+    out.withColumn("eta2_h",
       (col("h") - col("k").cast("double") + lit(1.0)) /
         (col("n").cast("double") - col("k").cast("double")))
   }

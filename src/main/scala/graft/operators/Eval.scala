@@ -302,6 +302,9 @@ object Eval {
     * `m_u² − Σ_c v_uc²` is an exact integer per item and AGGREGATES BY
     * RATING COUNT m — so D_o's only divisions are one `/(m−1)` per
     * DISTINCT m, folded in sorted-m order (bounded by `maxDistinctM`,
+    * a guard on OUTPUT semantics firing post-fold — the collapsed
+    * rating-count-class table is distinct-m-sized, far below data
+    * scale, so pre-materialization memory is not the hazard here;
     * raised loudly). Coincidence marginals collapse to plain value
     * counts (`n_c = Σ_u v_uc`), so D_e is exact DECIMAL. α is a fixed
     * IEEE chain over those, rounded 9dp (the kappa tier).

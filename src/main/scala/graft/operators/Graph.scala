@@ -852,7 +852,11 @@ object Graph {
     * (id, label) table — dims at any scale, broadcast when small); L_c
     * and d_c are one grouped count each; the Σ over communities is the
     * SORTED SEQUENTIAL FOLD (the kruskalWallis kernel) over per-
-    * community terms, bounded by `maxCommunities` and raised loudly.
+    * community terms, bounded by `maxCommunities` and raised loudly
+    * (the raise fires on the post-fold projection: it bounds OUTPUT
+    * semantics — the collapsed per-community table this folds is
+    * already orders smaller than the edge data, so the collect is
+    * community-count-sized, not data-sized).
     *
     * Exactness: m, L_c, d_c are exact longs; each term is a fixed IEEE
     * chain over them; Q ships RAW (the fold order is pinned by the

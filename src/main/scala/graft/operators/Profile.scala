@@ -133,7 +133,10 @@ object Profile {
     *
     * Shape: one (group, category) cell shuffle; the Σ p·ln p fold
     * rides sorted category order inside the group row (bounded by
-    * `maxCategories`, raised loudly). Transcendental tier: entropy
+    * `maxCategories`, raised loudly BEFORE the per-group cell array
+    * materializes — the guard is a streamed keyed window count over
+    * the distinct-cell table, so the raise bounds peak memory, not
+    * just output semantics). Transcendental tier: entropy
     * and its ln(k)-normalized form round 6dp; a single-category group
     * reports entropy 0 and NULL norm_entropy (0/0 — sweep-row
     * discipline).
@@ -145,7 +148,25 @@ object Profile {
     val g = groupCols.map(col)
     val cells = df.groupBy(g :+ col(catCol).cast("string").as("__c"): _*)
       .agg(count(lit(1)).as("__n"))
-    val grouped = cells.groupBy(g: _*)
+    // the maxCategories guard must fire BEFORE the collect_list
+    // materializes an oversized per-group array (round-12 ADVICE: a
+    // raise in the post-agg projection bounds output semantics, not
+    // peak memory). A keyed window count streams the distinct-cell
+    // table (WindowExec spills; collect_list cannot) and the raise
+    // rides __n — referenced downstream with differing branches, so
+    // neither pruning class drops it (NOTES guard taxonomy).
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    val guarded = cells
+      .withColumn("__ncat", count(lit(1)).over(wG))
+      .withColumn("__n", when(col("__ncat") > maxCategories,
+        raise_error(concat(
+          lit(s"Profile.categoryEntropy: more than $maxCategories " +
+            "categories in one group (the fold collects one cell " +
+            "each) — got "), col("__ncat").cast("string")))
+          .cast("long"))
+        .otherwise(col("__n")))
+      .drop("__ncat")
+    val grouped = guarded.groupBy(g: _*)
       .agg(coalesce(sum("__n"), lit(0L)).as("n"),
         count(lit(1)).as("n_categories"),
         sort_array(collect_list(struct(col("__c"), col("__n"))))
@@ -157,11 +178,7 @@ object Profile {
     })
     grouped.select(g ++ Seq(
       col("n"),
-      when(col("n_categories") > maxCategories, raise_error(concat(
-        lit(s"Profile.categoryEntropy: more than $maxCategories " +
-          "categories in one group (the fold collects one cell " +
-          "each) — got "), col("n_categories").cast("string"))))
-        .otherwise(col("n_categories")).as("n_categories"),
+      col("n_categories"),
       round(-acc, 6).as("entropy"),
       when(col("n_categories") === 1, lit(null).cast("double"))
         .otherwise(round(-acc / log(col("n_categories").cast("double")),

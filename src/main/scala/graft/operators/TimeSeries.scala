@@ -511,7 +511,13 @@ object TimeSeries {
     *
     * Exactness: gaps are exact MILLIS (micro diffs div 1000 — B is
     * scale-invariant and the millis grid keeps squares inside the
-    * exact bound out to ~35-day gaps, raised loudly past it); Σg and
+    * exact bound out to ~35-day gaps, raised loudly past it). The
+    * millis grid FLOORS each gap: `mean_gap_ms` is floor-biased by up
+    * to 1 ms for gaps that are not whole millis, and a gap under 1 ms
+    * would truncate to 0 (indistinguishable from a duplicate, and a
+    * key whose gaps are ALL sub-ms would emit a silent 0/0 NaN) — so
+    * sub-millisecond gaps raise loudly, same posture as exact ties.
+    * Σg and
     * Σg² ride the welchT hi/lo split so squares never leave exact
     * integer space; σ uses the POPULATION variance (n divisor); B is
     * a fixed IEEE chain over exact integers, shipped RAW.
@@ -535,6 +541,12 @@ object TimeSeries {
     val gap = when(gap0 === 0, raise_error(concat(lit(
         "TimeSeries.burstiness: duplicate ts for key "),
         col(keyCol).cast("string"))).cast("long"))
+      .when(gap0 < 1000, raise_error(concat(lit(
+        "TimeSeries.burstiness: sub-millisecond gap for key "),
+        col(keyCol).cast("string"), lit(
+          " — gaps ride the exact MILLIS grid (a 1-999 micro gap " +
+            "truncates to 0 and silently poisons mu/sigma); coarsen " +
+            "or de-jitter the timestamps")).cast("long")))
       .when(gap0 > 3037000499000L, raise_error(lit(
         "TimeSeries.burstiness: gap beyond the exact-square bound " +
           "(~35 days) — shard the span")))

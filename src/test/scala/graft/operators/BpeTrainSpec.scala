@@ -153,4 +153,25 @@ class BpeTrainSpec extends SparkSpec {
     assert(native == ref,
       s"kernel diverges from the HOF reference:\n$native\nvs\n$ref")
   }
+
+  test("NUL in corpus text raises loudly on every BPE entry point " +
+      "(round-12 ADVICE: the fold flush sentinel would silently " +
+      "swallow it while the native kernel kept it)") {
+    import spark.implicits._
+    val df = Seq("ok text", "bad\u0000word").toDF("text")
+    for (run <- Seq(
+        () => BpeTrain.vocabulary(df, "text").collect(),
+        () => BpeTrain.encode(df, "text", Seq(("a", "b"))).collect(),
+        () => BpeTrain.encodeReference(df, "text", Seq(("a", "b")))
+          .select("syms").collect())) {
+      val e = intercept[Exception] { run() }
+      assert(e.getMessage.contains("U+0000"), e.getMessage)
+    }
+    // and a NUL-carrying RULE is rejected up front by the kernel seam
+    val bad = intercept[IllegalArgumentException] {
+      graft.functions.GraftFunctions.bpeEncode(col("text"),
+        Seq(("a\u0000", "b")))
+    }
+    assert(bad.getMessage.contains("NUL"), bad.getMessage)
+  }
 }

@@ -180,8 +180,8 @@ class DriftSpec extends SparkSpec {
     val r1 = Drift.kruskalWallis(ut, "g", "v", identity).collect().head
     assert((r1.getLong(0), r1.getLong(1)) == ((4L, 2L)))
     assert(math.abs(r1.getDouble(2) - 2.4) < 1e-12, r1.toString)
-    // eps2 = (H - k + 1)/(n - k) = 1.4/2
-    assert(math.abs(r1.getAs[Double]("eps2") - 0.7) < 1e-12, r1.toString)
+    // eta2_h = (H - k + 1)/(n - k) = 1.4/2
+    assert(math.abs(r1.getAs[Double]("eta2_h") - 0.7) < 1e-12, r1.toString)
     // A=[1,1], B=[2,2]: avg ranks 1.5/3.5, H0 = 2.4,
     // tie = 2*(8-2) = 12, C = 1 - 12/60 = 0.8, H = 3.0
     val tied = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0))

@@ -67,28 +67,4 @@ class OhlcSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate ts"), e.getMessage)
   }
-
-  test("burstiness: metronome = -1 exactly, hand 2-gap case, " +
-      "single-gap NULL, duplicate ts raises") {
-    import spark.implicits._
-    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
-    // metro: gaps 10s, 10s -> sigma 0 -> B = -1
-    // mix: gaps 10s, 30s (ms: 10000, 30000): mu = 20000,
-    // sigma = 10000 -> B = -1/3
-    val df = Seq(("metro", t(0)), ("metro", t(10)), ("metro", t(20)),
-      ("mix", t(0)), ("mix", t(10)), ("mix", t(40)),
-      ("solo", t(0)), ("solo", t(5))).toDF("key", "ts")
-    val got = TimeSeries.burstiness(df, "key", "ts").collect()
-      .map(r => r.getString(0) -> (r.getLong(1),
-        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
-    assert(got("metro") == ((2L, Some(-1.0))), got.toString)
-    assert(got("mix")._1 == 2L &&
-      math.abs(got("mix")._2.get - (-1.0 / 3.0)) < 1e-12, got.toString)
-    assert(got("solo") == ((1L, None)), got.toString)
-    val dup = Seq(("k", t(0)), ("k", t(0))).toDF("key", "ts")
-    val e = intercept[Exception] {
-      TimeSeries.burstiness(dup, "key", "ts").collect()
-    }
-    assert(e.getMessage.contains("duplicate ts"), e.getMessage)
-  }
 }
