@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-round recall artifact for the realistic approximate-search gates
+  * (round-12 verdict #1: no artifact recorded MEASURED recall, so a
+  * silent drop would pass the loose asserts unseen).
+  *
+  * For each registered E38 gate (q_ann_lsh, q_ann_ivf, q_pq_topk,
+  * q_ivfpq_topk) this main drives the EXACT [[SparkEntry.queries]] path
+  * and prints one JSON line with recall@10 against brute force AND the
+  * measured candidate fraction (pairs actually scored / pairs a brute
+  * force would score) — recall without its cost is not a statement
+  * about an ANN method. Parameterizations come from the SAME named
+  * constants the registrations use ([[graft.queries.DedupQueries]] /
+  * [[graft.queries.PipelineQueries]]), so this artifact cannot drift
+  * from the gates.
+  *
+  * It also prints the corpus NEIGHBOR-STRUCTURE line: mean/p99 of the
+  * probe-to-corpus cosine bulk vs the mean true top-1/top-10 cosine.
+  * On the driver's synthetic embeddings these show isotropic noise
+  * (true neighbors barely above the bulk tail), which caps any
+  * sublinear-candidate method near recall ≈ enrichment × fraction —
+  * the measured data ceiling the round-12 verdict asked for.
+  *
+  * SPARK_GRAFT_RECALL_SWEEP=1 additionally sweeps the cost knob of
+  * each family (tables/bits, nprobe, PQ codebook size) so the
+  * recall-vs-fraction curve of THIS corpus is on record — the evidence
+  * behind the registered operating points. */
+object RecallBench {
+  private def topkSet(df: DataFrame): Map[Long, Set[Long]] =
+    df.select(df.columns(0), df.columns(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def recallOf(approx: Map[Long, Set[Long]],
+      exact: Map[Long, Set[Long]]): Double =
+    exact.map { case (p, truth) =>
+      (truth & approx.getOrElse(p, Set.empty)).size.toDouble / truth.size
+    }.sum / exact.size
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val sweep = sys.env.get("SPARK_GRAFT_RECALL_SWEEP").contains("1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.{AnnSearch, IvfPq, Pq}
+    import graft.queries.{DedupQueries => DQ, PipelineQueries => PQ}
+
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").cache()
+    val n = emb.count()
+    val probes = emb.filter(col("vec_id") < 5).cache()
+    val nProbes = probes.count()
+    val bfPairs = (nProbes * (n - 1)).toDouble
+
+    // ground truth + neighbor structure in one brute-force pass
+    val bf = AnnSearch.bruteForceTopK(emb, probes, 10).cache()
+    val exactCos = topkSet(bf)
+    val structure = bf.agg(
+      avg(when(col("rank") === 1, col("cos"))).as("top1"),
+      avg(col("cos")).as("top10")).collect().head
+    val allCos = emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cvec"))
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("pvec"))), col("probe_id") =!= col("cand_id"))
+      .select(graft.functions.GraftFunctions
+        .cosineSim(col("pvec"), col("cvec")).as("cos"))
+      .agg(avg("cos").as("mean"),
+        expr("percentile(cos, 0.99)").as("p99")).collect().head
+    println(f"""{"structure":{"n":$n,"mean_cos":${allCos.getDouble(0)}%.4f,"p99_cos":${allCos.getDouble(1)}%.4f,"top1_mean":${structure.getDouble(0)}%.4f,"top10_mean":${structure.getDouble(1)}%.4f}}""")
+
+    val exactL2 = {
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("l2").asc, col("cand_id"))
+      topkSet(emb.select(col("vec_id").as("cand_id"),
+          col("embedding").as("cvec"))
+        .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+          col("embedding").as("pvec"))),
+          col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("cand_id"),
+          graft.functions.GraftFunctions.vecL2(col("pvec"), col("cvec"))
+            .as("l2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10))
+    }
+
+    def report(gate: String, exact: Map[Long, Set[Long]],
+        scoredPairs: => Long, params: String): Unit = {
+      val r = recallOf(
+        topkSet(SparkEntry.queries(gate)(spark, sfDir)), exact)
+      val frac = scoredPairs / bfPairs
+      println(f"""{"gate":"$gate","recall10":$r%.4f,"cand_frac":$frac%.4f,"params":"$params"}""")
+    }
+
+    report("q_ann_lsh", exactCos,
+      AnnSearch.lshTopK(emb, probes, k = Int.MaxValue,
+        tables = DQ.AnnLshTables, bits = DQ.AnnLshBits).count(),
+      s"tables=${DQ.AnnLshTables},bits=${DQ.AnnLshBits}")
+    report("q_ann_ivf", exactCos,
+      AnnSearch.ivfTopK(emb, probes, k = Int.MaxValue,
+        lists = DQ.AnnIvfLists, nprobe = DQ.AnnIvfNprobe).count(),
+      s"lists=${DQ.AnnIvfLists},nprobe=${DQ.AnnIvfNprobe}")
+    // PQ scans every code row by construction: fraction is 1.0 and the
+    // recall gap is pure quantization error
+    report("q_pq_topk", exactL2, bfPairs.toLong,
+      s"m=${PQ.PqM},k=${PQ.PqKCodes},full-scan")
+    report("q_ivfpq_topk", exactL2,
+      IvfPq.search(PQ.ivfPqIndex(spark, sfDir), probes,
+        k = Int.MaxValue, nprobe = PQ.IvfPqNprobe, m = PQ.PqM,
+        kCodes = PQ.PqKCodes).count(),
+      s"lists=${PQ.IvfPqLists},nprobe=${PQ.IvfPqNprobe},m=${PQ.PqM},k=${PQ.PqKCodes}")
+
+    if (sweep) {
+      for (tables <- Seq(8, 16, 32); bits <- Seq(4, 6, 8)) {
+        val got = AnnSearch.lshTopK(emb, probes, k = Int.MaxValue,
+          tables = tables, bits = bits).cache()
+        val r = recallOf(topkSet(got.filter(col("rank") <= 10)), exactCos)
+        println(f"""{"sweep":"lsh","tables":$tables,"bits":$bits,"recall10":$r%.4f,"cand_frac":${got.count() / bfPairs}%.4f}""")
+        got.unpersist()
+      }
+      for (nprobe <- Seq(2, 4, 8, 12, 16, 20)) {
+        val got = AnnSearch.ivfTopK(emb, probes, k = Int.MaxValue,
+          lists = DQ.AnnIvfLists, nprobe = nprobe).cache()
+        val r = recallOf(topkSet(got.filter(col("rank") <= 10)), exactCos)
+        println(f"""{"sweep":"ivf","lists":${DQ.AnnIvfLists},"nprobe":$nprobe,"recall10":$r%.4f,"cand_frac":${got.count() / bfPairs}%.4f}""")
+        got.unpersist()
+      }
+      for (kCodes <- Seq(16, 64, 256)) {
+        val books = Pq.trainCodebooks(emb.repartition(col("vec_id")),
+          "vec_id", "embedding", m = PQ.PqM, k = kCodes)
+        val codes = Pq.encode(emb, "embedding", books, m = PQ.PqM,
+          k = kCodes).select("vec_id", "pq_codes")
+        val r = recallOf(topkSet(Pq.adcTopK(codes, books, probes,
+          k = 10, m = PQ.PqM, kCodes = kCodes)), exactL2)
+        println(f"""{"sweep":"pq","m":${PQ.PqM},"k":$kCodes,"recall10":$r%.4f,"cand_frac":1.0}""")
+      }
+      for (nprobe <- Seq(2, 4, 8, 16, 32)) {
+        val got = IvfPq.search(PQ.ivfPqIndex(spark, sfDir), probes,
+          k = Int.MaxValue, nprobe = nprobe, m = PQ.PqM,
+          kCodes = PQ.PqKCodes).cache()
+        val r = recallOf(topkSet(got.filter(col("rank") <= 10)), exactL2)
+        println(f"""{"sweep":"ivfpq","lists":${PQ.IvfPqLists},"nprobe":$nprobe,"recall10":$r%.4f,"cand_frac":${got.count() / bfPairs}%.4f}""")
+        got.unpersist()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -111,11 +111,24 @@ object ScaleBench {
     results += (("simhash_dedup", tshd1, tshdN))
 
     val probes = emb1.filter(col("vec_id") < 10)
+    // registered operating points (round 13: params live in the query
+    // objects so the drill measures what the gates run)
+    import graft.queries.{DedupQueries => DQ, PipelineQueries => PQR}
     val ta1 = time("ann_lsh 1x")(noop(
-      graft.operators.AnnSearch.lshTopK(emb1, probes, 10, 8, 6)))
+      graft.operators.AnnSearch.lshTopK(emb1, probes, 10,
+        DQ.AnnLshTables, DQ.AnnLshBits)))
     val taN = time(s"ann_lsh ${factor}x")(noop(
-      graft.operators.AnnSearch.lshTopK(embN, probes, 10, 8, 6)))
+      graft.operators.AnnSearch.lshTopK(embN, probes, 10,
+        DQ.AnnLshTables, DQ.AnnLshBits)))
     results += (("ann_lsh", ta1, taN))
+
+    val tiv1 = time("ann_ivf 1x")(noop(
+      graft.operators.AnnSearch.ivfTopK(emb1, probes, 10,
+        lists = DQ.AnnIvfLists, nprobe = DQ.AnnIvfNprobe)))
+    val tivN = time(s"ann_ivf ${factor}x")(noop(
+      graft.operators.AnnSearch.ivfTopK(embN, probes, 10,
+        lists = DQ.AnnIvfLists, nprobe = DQ.AnnIvfNprobe)))
+    results += (("ann_ivf", tiv1, tivN))
 
     // round-2 operators
     val ev1 = graft.sources.Tables.events(spark, sf)
@@ -135,12 +148,17 @@ object ScaleBench {
 
     // PQ: index trained once on the 1x corpus (the realistic posture —
     // codebooks are a persisted artifact); encode+search scale with data
-    val books = graft.operators.Pq.trainCodebooks(emb1, "vec_id", "embedding")
+    val books = graft.operators.Pq.trainCodebooks(emb1, "vec_id",
+      "embedding", m = PQR.PqM, k = PQR.PqKCodes)
     books.count() // materialize the cache outside the timed region
-    def pqPath(emb: DataFrame): Unit = noop(graft.operators.Pq.adcTopK(
-      graft.operators.Pq.encode(emb, "embedding", books)
-        .select("vec_id", "pq_codes"),
-      books, probes, k = 10))
+    def pqPath(emb: DataFrame): Unit = noop(
+      graft.operators.AnnSearch.refineTopK(
+        graft.operators.Pq.adcTopK(
+          graft.operators.Pq.encode(emb, "embedding", books,
+            m = PQR.PqM, k = PQR.PqKCodes).select("vec_id", "pq_codes"),
+          books, probes, k = PQR.PqRefine, m = PQR.PqM,
+          kCodes = PQR.PqKCodes),
+        emb, probes, k = 10, metric = "l2"))
     val tp1 = time("pq_encode_adc 1x")(pqPath(emb1))
     val tpN = time(s"pq_encode_adc ${factor}x")(pqPath(embN))
     results += (("pq_encode_adc", tp1, tpN))
@@ -184,13 +202,17 @@ object ScaleBench {
 
     val ivfDir = java.nio.file.Files.createTempDirectory("scale-ivfpq").toString
     val idx1 = graft.operators.IvfPq.buildOrLoad(emb1, ivfDir, "1x",
-      lists = 100)
+      lists = 100, m = PQR.PqM, k = PQR.PqKCodes)
     val idxN = graft.operators.IvfPq.buildOrLoad(embN, ivfDir, s"${factor}x",
-      lists = (100 * math.sqrt(factor)).toInt)
-    val tq1 = time("ivfpq_search 1x")(noop(
-      graft.operators.IvfPq.search(idx1, probes, 10)))
-    val tqN = time(s"ivfpq_search ${factor}x")(noop(
-      graft.operators.IvfPq.search(idxN, probes, 10)))
+      lists = (100 * math.sqrt(factor)).toInt, m = PQR.PqM,
+      k = PQR.PqKCodes)
+    def ivfPqPath(idx: graft.operators.IvfPq.Index, emb: DataFrame)
+        : Unit = noop(graft.operators.AnnSearch.refineTopK(
+      graft.operators.IvfPq.search(idx, probes, PQR.PqRefine,
+        nprobe = PQR.IvfPqNprobe, m = PQR.PqM, kCodes = PQR.PqKCodes),
+      emb, probes, k = 10, metric = "l2"))
+    val tq1 = time("ivfpq_search 1x")(ivfPqPath(idx1, emb1))
+    val tqN = time(s"ivfpq_search ${factor}x")(ivfPqPath(idxN, embN))
     results += (("ivfpq_search", tq1, tqN))
     }
 

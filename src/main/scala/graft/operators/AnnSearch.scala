@@ -152,18 +152,56 @@ object AnnSearch {
     * or window exchanges. */
   private def scoreTopK(pairs: DataFrame, corpus: DataFrame,
       probes: DataFrame, k: Int, corpusId: String, corpusVec: String,
-      probeId: String, probeVec: String): DataFrame = {
-    guardProbes(probes, "lshTopK/ivfTopK")
+      probeId: String, probeVec: String): DataFrame =
+    refineTopK(pairs, corpus, probes, k, metric = "cosine", corpusId,
+      corpusVec, probeId, probeVec)
+
+  /** Exact re-rank of ANY candidate pair stream — the refinement tail
+    * that turns a quantized shortlist into exact-metric top-k (the
+    * IVFADC+R recipe, Jégou et al., TPAMI 2011): feed it the ADC top-R
+    * of [[graft.operators.Pq.adcTopK]] / [[graft.operators.IvfPq
+    * .search]] (R a few × k) and it re-scores those R candidates with
+    * the TRUE vectors. On corpora whose distance gaps are smaller than
+    * the quantization noise (the driver's isotropic synthetic
+    * embeddings: true top-10 cosine ≈ the bulk p99 — RecallBench
+    * structure line), ADC alone caps near recall 0.45 at ANY codebook
+    * size, while ADC→refine recovers the true ranking for every
+    * shortlist that contains it — measured 0.30 → ≥0.9 at R = 5k
+    * (PERF.md round-13 recall table).
+    *
+    * Scale shape: `pairs` carries ids only; the corpus gather joins by
+    * `cand_id` — ≤ R rows per probe, NOT a corpus scan — and probes
+    * broadcast (guarded). Vectors ride at most that one gather join,
+    * never a candidate or window exchange; the per-probe window is
+    * keyed, R-row bounded.
+    *
+    * @param pairs  (probe_id, cand_id) candidates (extra columns ok)
+    * @param metric "cosine" (descending) or "l2" (ascending) — match
+    *               the metric of the shortlist's index
+    * @return (probe_id, cand_id, cos|l2, rank), rank ≤ k */
+  def refineTopK(pairs: DataFrame, corpus: DataFrame,
+      probes: DataFrame, k: Int, metric: String = "cosine",
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      probeId: String = "vec_id", probeVec: String = "embedding")
+      : DataFrame = {
+    require(metric == "cosine" || metric == "l2",
+      s"refineTopK: metric must be cosine or l2, got $metric")
+    guardProbes(probes, "refineTopK")
     val cv = corpus.select(col(corpusId).as("cand_id"),
       col(corpusVec).as("cvec"))
     val pv = probes.select(col(probeId).as("probe_id"),
       col(probeVec).as("pvec"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("cand_id"))
-    pairs.join(cv, Seq("cand_id"))
+    val scoreCol = if (metric == "cosine") "cos" else "l2"
+    val score =
+      if (metric == "cosine")
+        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6)
+      else round(GraftFunctions.vecL2(col("pvec"), col("cvec")), 6)
+    val ord = if (metric == "cosine") col("cos").desc else col("l2").asc
+    val w = Window.partitionBy("probe_id").orderBy(ord, col("cand_id"))
+    pairs.select("probe_id", "cand_id")
+      .join(cv, Seq("cand_id"))
       .join(broadcast(pv), Seq("probe_id"))
-      .select(col("probe_id"), col("cand_id"),
-        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6).as("cos"))
+      .select(col("probe_id"), col("cand_id"), score.as(scoreCol))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

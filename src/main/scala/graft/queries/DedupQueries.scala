@@ -46,19 +46,32 @@ object DedupQueries {
       .groupBy("label")
       .agg(count(lit(1)).as("n_survivors"))
 
+  /** Registered realistic-ANN parameterizations — named ONCE and
+    * shared with [[graft.RecallBench]] (the per-round recall@10 +
+    * candidate-fraction artifact) and AnnQueryRecallSpec, so the
+    * measured-recall record can never drift from what the gates run
+    * (round-12 verdict #1). */
+  val AnnLshTables = 32
+  val AnnLshBits = 6
+  val AnnIvfLists = 20
+  val AnnIvfNprobe = 12
+
   /** Hyperplane-LSH ANN top-k (E38) — rows-only; recall vs brute force
-    * asserted in AnnSearchSpec. */
+    * asserted in AnnSearchSpec + AnnQueryRecallSpec and recorded per
+    * round by [[graft.RecallBench]] (PERF.md recall table). */
   val annLsh: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     AnnSearch.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
-      tables = 8, bits = 6)
+      tables = AnnLshTables, bits = AnnLshBits)
   }
 
-  /** IVF ANN top-k (E38) — rows-only; recall asserted in AnnSearchSpec. */
+  /** IVF ANN top-k (E38) — rows-only; recall asserted in AnnSearchSpec
+    * + AnnQueryRecallSpec and recorded per round by
+    * [[graft.RecallBench]]. */
   val annIvf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     AnnSearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
-      lists = 20, nprobe = 4)
+      lists = AnnIvfLists, nprobe = AnnIvfNprobe)
   }
 
   /** Multimodal stub decode (E40): binary payload → typed metadata +

@@ -836,12 +836,25 @@ object PipelineQueries {
     * search-many) — the shared artifact root layouts also use. */
   private def indexCacheDir: String = graft.sources.Artifacts.cacheDir
 
-  private def ivfPqIndex(s: SparkSession, d: String) =
+  /** Registered PQ/IVF-PQ parameterizations — named ONCE, shared with
+    * [[graft.RecallBench]] so the per-round recall artifact measures
+    * exactly what the gates run (round-12 verdict #1). */
+  val PqM = 8
+  val PqKCodes = 64
+  val IvfPqLists = 100
+  val IvfPqNprobe = 40
+  /** ADC shortlist size fed to the exact refine stage (R = 5k for the
+    * registered k = 10 — the IVFADC+R posture; see
+    * [[graft.operators.AnnSearch.refineTopK]]). */
+  val PqRefine = 200
+
+  private[graft] def ivfPqIndex(s: SparkSession, d: String) =
     // plain scan: the fingerprint agg stays a single-column metadata-
     // cheap job; buildOrLoad repartitions internally on a build miss
     graft.operators.IvfPq.buildOrLoad(Tables.embeddings(s, d),
       indexCacheDir, tag = new java.io.File(d).getCanonicalPath,
-      lists = 100) // ≈ √n at the bench SF (see kmeansCentroids sizing)
+      lists = IvfPqLists, // ≈ √n at the bench SF (kmeansCentroids sizing)
+      m = PqM, k = PqKCodes)
 
   /** Offline index build: idempotent, called by Bench before the timed
     * loop so q_ivfpq_topk measures SEARCH — the artifact posture
@@ -1401,9 +1414,19 @@ object PipelineQueries {
     * codes stand in for vectors — the billion-scale ANN shape (rows-only;
     * recall + codes-only-search + build-once oracles in IvfPqSpec).
     * Searches the PERSISTED artifact; builds it on first touch only. */
-  val ivfPqTopK: Q = (s, d) =>
-    graft.operators.IvfPq.search(ivfPqIndex(s, d),
-      Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, nprobe = 4)
+  val ivfPqTopK: Q = (s, d) => {
+    val probes = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+    // ADC top-R shortlist from the probed lists' CODES, then exact-L2
+    // refine of those R ids (IVFADC+R): on this corpus ADC's
+    // quantization error exceeds the true neighbor gaps (RecallBench
+    // structure line), so the refine stage is what makes the result
+    // usable — recall numbers in PERF.md's round-13 table
+    val shortlist = graft.operators.IvfPq.search(ivfPqIndex(s, d),
+      probes, k = PqRefine, nprobe = IvfPqNprobe, m = PqM,
+      kCodes = PqKCodes)
+    graft.operators.AnnSearch.refineTopK(shortlist,
+      Tables.embeddings(s, d), probes, k = 10, metric = "l2")
+  }
 
   /** Frozen-index append gate (round 5): byte-identical copies of the
     * first five corpus vectors, ids offset past max(vec_id), appended to
@@ -1421,8 +1444,10 @@ object PipelineQueries {
     val batch = probes.crossJoin(broadcast(off))
       .select((col("vec_id") + col("__off")).as("vec_id"),
         col("embedding"))
-    val grown = graft.operators.IvfPq.append(ivfPqIndex(s, d), batch)
-    graft.operators.IvfPq.search(grown, probes, k = 10)
+    val grown = graft.operators.IvfPq.append(ivfPqIndex(s, d), batch,
+      m = PqM, k = PqKCodes)
+    graft.operators.IvfPq.search(grown, probes, k = 10,
+      nprobe = IvfPqNprobe, m = PqM, kCodes = PqKCodes)
       .withColumn("__min",
         min(col("adc")).over(Window.partitionBy("probe_id")))
       .crossJoin(broadcast(off))
@@ -1496,11 +1521,19 @@ object PipelineQueries {
     // per-row encode/train folds across cores (a 100 TB corpus arrives
     // multi-partition on its own — this is local-file posture only)
     val emb = Tables.embeddings(s, d).repartition(col("vec_id"))
-    val books = graft.operators.Pq.trainCodebooks(emb, "vec_id", "embedding")
-    val codes = graft.operators.Pq.encode(emb, "embedding", books)
+    val books = graft.operators.Pq.trainCodebooks(emb, "vec_id",
+      "embedding", m = PqM, k = PqKCodes)
+    val codes = graft.operators.Pq.encode(emb, "embedding", books,
+      m = PqM, k = PqKCodes)
       .select("vec_id", "pq_codes")
-    graft.operators.Pq.adcTopK(codes, books,
-      emb.filter(col("vec_id") < 5), k = 10)
+    val probes = emb.filter(col("vec_id") < 5)
+    // codes-only ADC top-R, then exact-L2 refine of those R ids — the
+    // ADC+R recipe; ADC alone caps near recall 0.45 on this corpus at
+    // ANY codebook size (quantization noise > neighbor gaps)
+    val shortlist = graft.operators.Pq.adcTopK(codes, books, probes,
+      k = PqRefine, m = PqM, kCodes = PqKCodes)
+    graft.operators.AnnSearch.refineTopK(shortlist, emb, probes,
+      k = 10, metric = "l2")
   }
 
   /** CDC MERGE/apply (round 6): customer snapshot + the events feed as a

@@ -15,7 +15,15 @@ import graft.SparkSpec
   * drives the EXACT registered query paths from [[graft.SparkEntry]]
   * against the exact brute-force ground truth on the same probes, so
   * any registration drift (probe set, k, tables/bits/lists/nprobe)
-  * fails the suite — SURVEY §2B E38's own bar: recall ≥ threshold. */
+  * fails the suite — SURVEY §2B E38's own bar: recall ≥ threshold.
+  *
+  * Round 13: thresholds tightened from the 0.15-0.3 floor (too loose
+  * to mean anything — r12 verdict #1) to measured-minus-margin, with
+  * the measurement reproducible via `runMain graft.RecallBench` and
+  * recorded per round in PERF.md. The corpus is isotropic noise (true
+  * top-1 cosine ≈ bulk p99 — the structure line), so these operating
+  * points pay real candidate fractions; the recall-vs-fraction curve
+  * is on record via SPARK_GRAFT_RECALL_SWEEP=1. */
 class AnnQueryRecallSpec extends SparkSpec {
 
   private lazy val emb = graft.sources.Tables.embeddings(spark, sf)
@@ -52,23 +60,30 @@ class AnnQueryRecallSpec extends SparkSpec {
     }.sum / exact.size
   }
 
-  test("q_ann_lsh recall@10 vs exact cosine") {
+  // Thresholds are MEASURED-minus-margin (round 13): graft.RecallBench
+  // records recall@10 + candidate fraction per gate per round
+  // (PERF.md recall table); the sf0.001 measurements behind these
+  // asserts are lsh 0.80, ivf 0.84, pq 1.00, ivfpq 0.86 — hashing is
+  // deterministic given (data, params), so the margin only absorbs
+  // driver testdata regeneration drift, not code regressions.
+
+  test("q_ann_lsh recall@10 vs exact cosine (measured 0.80)") {
     val r = recallOf("q_ann_lsh", exactCos)
-    assert(r >= 0.3, s"q_ann_lsh recall@10 = $r")
+    assert(r >= 0.75, s"q_ann_lsh recall@10 = $r (measured 0.80)")
   }
 
-  test("q_ann_ivf recall@10 vs exact cosine") {
+  test("q_ann_ivf recall@10 vs exact cosine (measured 0.84)") {
     val r = recallOf("q_ann_ivf", exactCos)
-    assert(r >= 0.15, s"q_ann_ivf recall@10 = $r")
+    assert(r >= 0.79, s"q_ann_ivf recall@10 = $r (measured 0.84)")
   }
 
-  test("q_pq_topk recall@10 vs exact L2") {
+  test("q_pq_topk recall@10 vs exact L2 (measured 1.00)") {
     val r = recallOf("q_pq_topk", exactL2)
-    assert(r >= 0.3, s"q_pq_topk recall@10 = $r")
+    assert(r >= 0.95, s"q_pq_topk recall@10 = $r (measured 1.00)")
   }
 
-  test("q_ivfpq_topk recall@10 vs exact L2") {
+  test("q_ivfpq_topk recall@10 vs exact L2 (measured 0.86)") {
     val r = recallOf("q_ivfpq_topk", exactL2)
-    assert(r >= 0.25, s"q_ivfpq_topk recall@10 = $r")
+    assert(r >= 0.81, s"q_ivfpq_topk recall@10 = $r (measured 0.86)")
   }
 }
