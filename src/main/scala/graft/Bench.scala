@@ -89,7 +89,7 @@ object Bench {
     // both gates measure consumption and the one-time build cost is
     // visible here instead of folded into whichever gate runs first
     if (selected.exists(n => n._1 == "q_setsim_join" ||
-        n._1 == "q_setsim_dedup")) {
+        n._1 == "q_setsim_dedup" || n._1 == "q_corpus_end2end")) {
       try {
         val t0 = System.nanoTime()
         graft.queries.DedupQueries.ensureSetsimPairs(spark, sfDir)

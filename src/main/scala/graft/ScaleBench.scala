@@ -1022,6 +1022,16 @@ object ScaleBench {
     val tmdN = time(s"manifest ${factor}x")(noop(maniOf(docsN)))
     results += (("manifest", tmd1, tmdN))
 
+    // the composed end-to-end chain (q_corpus_end2end): the replicated
+    // corpus is its worst case — every doc gains `factor` exact copies,
+    // so the exact-dedup stage carries factor× density and the
+    // shingle/ngram scans are factor× wide before the chain narrows
+    val te2e1 = time("corpus_end2end 1x")(noop(
+      graft.queries.PipelineQueries.corpusEnd2EndFrom(docs1)))
+    val te2eN = time(s"corpus_end2end ${factor}x")(noop(
+      graft.queries.PipelineQueries.corpusEnd2EndFrom(docsN)))
+    results += (("corpus_end2end", te2e1, te2eN))
+
     // incremental agg: the REFRESH cost is what scales — delta ×N into
     // a fixed-cardinality rollup; base table rows constant
     def ivmOf(base: DataFrame, delta: DataFrame) =

@@ -164,6 +164,7 @@ object SparkEntry {
     "q_ivfpq_topk" -> PipelineQueries.ivfPqTopK,
     "q_ivfpq_append_planted" -> PipelineQueries.ivfPqAppendPlanted,
     "q_pipeline_e2e" -> PipelineQueries.pipelineE2e,
+    "q_corpus_end2end" -> PipelineQueries.corpusEnd2End,
     "q_minhash_transitive" -> PipelineQueries.minhashTransitive,
     "q_profile" -> PipelineQueries.profileLineitem,
     "q_multimodal_transform" -> PipelineQueries.multimodalTransform,
@@ -1455,6 +1456,92 @@ object SparkEntry {
       FROM (SELECT doc_id, ng FROM ngr WHERE doc_id >= 5) c
       JOIN bench b ON c.ng = b.ng
       GROUP BY 1""",
+
+    // the full chain replayed stage by stage; the compare hashes the
+    // FINAL manifest, so any cross-stage drift flips a digest. Quotas
+    // 60/30/30 are the exact ⌊w·120⌋ for dyadic weights .5/.25/.25;
+    // shard/key/digest arithmetic is the q_shuffle_shards/q_manifest
+    // recipe (md5 hex → BIGINT via the 0x cast)
+    "q_corpus_end2end" -> """
+      WITH q AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' '))::INT AS n_tokens
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr')
+          AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+          AND length(text)::DOUBLE / len(string_split(text, ' ')) < 12),
+      keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+      s2 AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+      w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                 t -> t <> '') AS w
+        FROM s2),
+      shing AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tk
+        FROM w),
+      tok AS (
+        SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
+        FROM shing WHERE len(tk) > 0),
+      ov AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               a.n AS n1, b.n AS n2, count(*) AS overlap
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      neardup AS (
+        SELECT DISTINCT id2 AS doc_id FROM ov
+        WHERE overlap * 1.0 / (n1 + n2 - overlap) >= 0.6),
+      s3 AS (SELECT * FROM s2
+             WHERE doc_id NOT IN (SELECT doc_id FROM neardup)),
+      toked AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      ngr AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+4], ' '))) AS ng
+        FROM toked WHERE len(t) >= 5),
+      bench AS (SELECT DISTINCT ng FROM ngr WHERE doc_id < 5),
+      contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM (SELECT doc_id, ng FROM ngr WHERE doc_id >= 5) c
+        JOIN bench USING (ng)),
+      s4 AS (
+        SELECT * FROM s3
+        WHERE doc_id >= 5
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      mixed AS (
+        SELECT doc_id, lang, n_tokens FROM (
+          SELECT doc_id, lang, n_tokens,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+          FROM s4) r
+        WHERE rn <= CASE lang WHEN 'en' THEN 60 ELSE 30 END),
+      packed AS (
+        SELECT doc_id, lang, n_tokens,
+               (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT
+                 AS start_off
+        FROM mixed),
+      chunked AS (
+        SELECT doc_id, lang, n_tokens,
+               (start_off // 256)::BIGINT AS chunk_id
+        FROM packed),
+      sharded AS (
+        SELECT *,
+               (('0x' || substr(md5('graft_' || doc_id::VARCHAR), 1, 8))
+                  ::BIGINT % 8)::INT AS shard
+        FROM chunked)
+      SELECT doc_id % 16 AS bucket, count(*) AS n_rows,
+             bit_xor(('0x' || substr(md5(
+               doc_id::VARCHAR
+                 || chr(1) || chr(3) || lang
+                 || chr(1) || chr(3) || n_tokens::VARCHAR
+                 || chr(1) || chr(3) || chunk_id::VARCHAR
+                 || chr(1) || chr(3) || shard::VARCHAR),
+               1, 15))::BIGINT) AS digest
+      FROM sharded GROUP BY 1""",
 
     "q_pipeline_e2e" -> """
       WITH q AS (

@@ -403,7 +403,7 @@ object DedupQueries {
     * a persisted corpus artifact, computed once per corpus snapshot and
     * consumed by many downstream jobs (dedup, cluster audits, survivor
     * policies). */
-  private def verifiedPairs(s: SparkSession, d: String,
+  private[graft] def verifiedPairs(s: SparkSession, d: String,
       minJaccard: Double = 0.6): DataFrame = {
     import java.nio.file.{Files, Paths}
     val tag = new java.io.File(d).getCanonicalPath

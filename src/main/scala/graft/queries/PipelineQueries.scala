@@ -801,6 +801,90 @@ object PipelineQueries {
         threshold = 0.4)
       .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
 
+  /** The FULL training-data chain as ONE composed flow (round-13
+    * verdict #3: per-stage gates can't catch cross-stage schema or
+    * contract drift): corpus build (quality gate) → exact dedup →
+    * exact-Jaccard near-dup (greedy smaller-id-wins) → benchmark
+    * decontam → language mixing (dyadic weights ⇒ exact quotas) →
+    * sequence packing → shard assignment → manifest digest. The gate
+    * output is the final MANIFEST (bucket, n_rows, digest): any drift
+    * at any stage — a doc wrongly kept/dropped, a chunk boundary off
+    * by one, a shard flip — changes a digest.
+    *
+    * Every stage is the REAL registered operator (Dedup.exactByContent,
+    * SetSimJoin.joinByJaccard, Decontam.overlapHashed,
+    * Mixing.sampleToWeights, Packing.packBySize, Shards.assign,
+    * ManifestDigest.manifest). Near-dup uses the EXACT prefix-filtered
+    * Jaccard tier (not MinHash) so the whole chain stays
+    * DuckDB-reproducible. Text bytes are consumed at the scans (content
+    * hash, shingles, n-gram hashes); every inter-stage join carries ids
+    * + metadata only.
+    *
+    * 100 TB shape: each stage is the drilled operator at its drilled
+    * shape — the composition adds only id-keyed semi/anti joins. */
+  private[graft] def corpusEnd2EndFrom(docs: DataFrame,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    import graft.operators.{ManifestDigest, Mixing, Packing, SetSimJoin, Shards}
+    // S1: the q_corpus_build quality recipe (lang, token count,
+    // chars-per-token), text kept only as far as the S2/S3/S4 scans
+    val quality = docs
+      .filter(col("lang").isin("en", "de", "fr"))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_tokens").between(20, 1000))
+      .filter(length(col("text")).cast("double") / col("n_tokens") < 12)
+      .select("doc_id", "lang", "n_tokens", "text")
+    // S2: exact dedup, min id per content digest
+    val keepExact = Dedup.exactByContent(quality, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val s2 = quality.join(keepExact, "doc_id")
+    // S3: exact 3-shingle Jaccard near-dup at J >= 0.6, one-pass
+    // greedy: a doc with ANY smaller-id near-dup is dropped (the
+    // deterministic policy; transitive closure is q_setsim_dedup's job)
+    // `pairs`, when supplied, is the PERSISTED exact-Jaccard pair
+    // artifact over the full corpus (trigram shingles, J >= 0.6 — the
+    // q_setsim contract): on the exact tier, artifact pairs restricted
+    // to S2 survivors ARE joinByJaccard(s2)'s output (Jaccard doesn't
+    // depend on corpus membership), so consuming the artifact is a
+    // plan change only — the 100 TB posture, where the pair graph is
+    // computed once per corpus snapshot and every dedup stage reads it
+    val ndPairs = pairs match {
+      case Some(p) => p.select("id1", "id2")
+        .join(s2.select(col("doc_id").as("id1")), Seq("id1"), "left_semi")
+      case None => SetSimJoin.joinByJaccard(
+        s2.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("tk")),
+        "doc_id", "tk", minJaccard = 0.6)
+    }
+    val s3 = s2.join(ndPairs.select(col("id2").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    // S4: benchmark decontam — bench docs (id < 5) leave the corpus and
+    // take every doc sharing a 5-gram with them
+    val contaminated = Decontam.overlapHashed(
+        s3.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5),
+        "doc_id", "text", n = 5)
+      .select("doc_id")
+    val s4 = s3.filter(col("doc_id") >= 5)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // S5: language mixing — dyadic weights so ⌊w·budget⌋ is exact on
+    // both engines (en 60 / de 30 / fr 30 at budget 120)
+    val mixed = Mixing.sampleToWeights(s4, "lang", "doc_id",
+      weights = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25),
+      budget = 120)
+    val s5 = s4.select("doc_id", "lang", "n_tokens")
+      .join(mixed.select("doc_id"), Seq("doc_id"))
+    // S6: per-language sequence packing into 256-token chunks
+    val packed = Packing.packBySize(s5, partCols = Seq("lang"),
+      orderCol = "doc_id", sizeCol = "n_tokens", capacity = 256)
+    // S7: shard assignment (salted-hash shard + shuffle key)
+    val sharded = Shards.assign(packed, "doc_id", numShards = 8)
+    // S8: the corpus manifest — the artifact a training run consumes
+    ManifestDigest.manifest(sharded, "doc_id",
+      Seq("lang", "n_tokens", "chunk_id", "shard"), buckets = 16)
+  }
+
+  val corpusEnd2End: Q = (s, d) =>
+    corpusEnd2EndFrom(Tables.documents(s, d),
+      pairs = Some(DedupQueries.verifiedPairs(s, d)))
+
   /** End-to-end training-data pipeline, every stage SQL-checkable:
     * quality gate → exact dedup survivors (min id per sha256) →
     * benchmark decontamination (drop docs sharing any 5-gram with

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The composed training-data chain (q_corpus_end2end, round-13
+  * verdict #3) on a PLANTED corpus where every stage's effect is known
+  * by construction — the cross-stage contract check the per-stage
+  * gates can't perform. */
+class CorpusEnd2EndSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A word soup with >= 20 distinct tokens so the quality gate keeps it
+  // and the 3-shingle set is rich; seedable so docs are token-disjoint.
+  private def text(seed: String, n: Int = 24): String =
+    (0 until n).map(i => s"${seed}tok$i").mkString(" ")
+
+  test("each stage drops exactly the planted rows; the manifest " +
+      "carries the final set") {
+    val docs = Seq(
+      // bench doc (id < 5): leaves the corpus AND contaminates id 100
+      (0L, "en", text("bench")),
+      // quality rejects: wrong lang / too short / bloated chars-per-tok
+      (10L, "zz", text("langout")),
+      (11L, "en", "short text only"),
+      (12L, "en", (0 until 24).map(i => "x" * 13 + i).mkString(" ")),
+      // exact-dup pair: 21 survives (min id), 22 drops
+      (21L, "en", text("exact")),
+      (22L, "en", text("exact")),
+      // near-dup pair (Jaccard > 0.6 via shared prefix): 31 survives
+      (31L, "de", text("near", 30)),
+      (32L, "de", text("near", 30) + " neartok999"),
+      // contaminated: shares the bench doc's 5-grams
+      (100L, "en", text("bench") + " extra1 extra2 extra3 extra4 " +
+        "extra5 extra6 extra7 extra8 extra9 extra10"),
+      // clean survivors
+      (200L, "en", text("cen")),
+      (300L, "fr", text("cfr"))
+    ).toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("source", lit("src0"))
+
+    val manifest = PipelineQueries.corpusEnd2EndFrom(docs)
+    val total = manifest.agg(sum("n_rows")).collect().head.getLong(0)
+    // survivors: 21 (exact keep), 31 (near-dup keep), 200, 300
+    assert(total == 4L, manifest.collect().mkString("\n"))
+    val buckets = manifest.select("bucket").as[Long].collect().toSet
+    // survivors' ids mod 16
+    assert(buckets == Set(21L % 16, 31L % 16, 200L % 16, 300L % 16),
+      buckets.toString)
+    assert(manifest.filter(col("digest") === 0).count() == 0)
+  }
+
+  test("mixing quotas bind: an over-quota language is cut to " +
+      "floor(w * budget) deterministically") {
+    // 70 distinct clean en docs -> quota 60 must bind; de/fr empty
+    val docs = (0 until 70).map(i =>
+        (1000L + i, "en", text(s"doc$i"))).toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("source", lit("src0"))
+    val manifest = PipelineQueries.corpusEnd2EndFrom(docs)
+    val total = manifest.agg(sum("n_rows")).collect().head.getLong(0)
+    assert(total == 60L, s"expected the en quota 60, got $total")
+  }
+
+  test("packing chunk ids in the manifest shift when a size changes " +
+      "(cross-stage drift IS visible in the digest)") {
+    val base = (0 until 8).map(i =>
+        (2000L + i, "fr", text(s"p$i"))).toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("source", lit("src0"))
+    val a = PipelineQueries.corpusEnd2EndFrom(base).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // same ids, one doc grows by 300 tokens -> later chunk ids shift,
+    // so at least one shared bucket's digest must differ
+    val grown = base.withColumn("text",
+      when(col("doc_id") === 2000L,
+        concat(col("text"), lit(" "), lit(text("grow", 300))))
+        .otherwise(col("text")))
+    val b = PipelineQueries.corpusEnd2EndFrom(grown).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a.keySet == b.keySet && a != b,
+      s"digest did not register the packing shift: $a vs $b")
+  }
+}
