@@ -208,4 +208,31 @@ class EvalSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("2+ ratings"), e3.getMessage)
   }
+  // moved from AgreementSpec (round 13: specs named for what they test)
+  test("kappa: hand-computed 2x2, perfect = 1, symmetric-random ≈ 0") {
+    // classic 2x2: a/a 20, a/b 5, b/a 10, b/b 15
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val got = Eval.cohenKappa(rows.toDF("r1", "r2"), "r1", "r2")
+      .collect().head
+    val n = 50.0
+    val po = 35.0 / n
+    val pe = (25.0 * 30 + 25.0 * 20) / (n * n)
+    assert(got.getLong(0) == 50 && got.getLong(1) == 35)
+    assert(got.getDouble(2) == po && got.getDouble(3) == pe)
+    assert(got.getDouble(4) == (po - pe) / (1.0 - pe))
+    // perfect agreement
+    val p = Eval.cohenKappa(Seq(("x", "x"), ("y", "y"), ("z", "z"))
+      .toDF("r1", "r2"), "r1", "r2").collect().head
+    assert(p.getDouble(4) == 1.0)
+  }
+
+  test("kappa: total chance agreement raises (pe = 1)") {
+    val rows = Seq.fill(5)(("a", "a"))
+    val e = intercept[Exception] {
+      Eval.cohenKappa(rows.toDF("r1", "r2"), "r1", "r2").collect()
+    }
+    assert(e.getMessage.contains("pe = 1"))
+  }
+
 }

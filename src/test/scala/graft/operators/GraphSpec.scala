@@ -298,4 +298,35 @@ class GraphSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("empty edge set"), e3.getMessage)
   }
+  // moved from AgreementSpec (round 13: specs named for what they test)
+  test("assortativity: star is maximally disassortative, chain-end reference") {
+    // star K(1,4): every edge pairs degree 4 with degree 1 → after
+    // symmetrization x and y are exact mirrors → r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val gs = Graph.assortativity(star.toDF("src", "dst"), "src", "dst")
+      .collect().head
+    assert(gs.getLong(0) == 4 && gs.getDouble(1) == -1.0)
+    // path 1-2-3-4: driver-side Pearson over symmetrized degree pairs
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val deg = Map(1L -> 1.0, 2L -> 2.0, 3L -> 2.0, 4L -> 1.0)
+    val xs = path.flatMap { case (u, v) =>
+      Seq((deg(u), deg(v)), (deg(v), deg(u))) }
+    val cnt = xs.length
+    val sx = xs.map(_._1).sum; val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val refR = (cnt * sxy - sx * sx) / (cnt * sxx - sx * sx)
+    val gp = Graph.assortativity(path.toDF("src", "dst"), "src", "dst")
+      .collect().head
+    assert(math.abs(gp.getDouble(1) - refR) < 1e-12)
+  }
+
+  test("assortativity: regular graph (zero variance) raises") {
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L)) // all degree 2
+    val e = intercept[Exception] {
+      Graph.assortativity(ring.toDF("src", "dst"), "src", "dst")
+        .collect()
+    }
+    assert(e.getMessage.contains("zero degree variance"))
+  }
+
 }

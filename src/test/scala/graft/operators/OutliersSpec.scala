@@ -107,4 +107,44 @@ class OutliersSpec extends SparkSpec {
     assert(got.contains(("b", Some(5L), None)), got)
     assert(got.contains(("a", None, None)), got)
   }
+  // moved from AgreementSpec (round 13: specs named for what they test)
+  test("trimmedMean: drops exactly floor(trim*n) per side, ties split") {
+    // 10 values, trim 0.2 → k=2: drop {1,2} and {99,100}; mean of the
+    // middle six
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 99.0, 100.0)
+    val got = Outliers.trimmedMean(xs.map(Tuple1(_)).toDF("v"), "v",
+      0.2, c => c / org.apache.spark.sql.functions.lit(100L))
+      .collect().head
+    assert(got.getLong(0) == 10 && got.getLong(1) == 6)
+    assert(got.getDouble(2) == (3.0 + 4 + 5 + 6 + 7 + 8) / 6)
+    // heavy ties across the cut boundary: 8 copies of 5 and one 1/9
+    val ties = Seq(1.0) ++ Seq.fill(8)(5.0) :+ 9.0
+    val gt = Outliers.trimmedMean(ties.map(Tuple1(_)).toDF("v"), "v",
+      0.2, c => c / org.apache.spark.sql.functions.lit(100L))
+      .collect().head
+    // k=2: drop 1 and one 5 low, 9 and one 5 high → six 5s remain
+    assert(gt.getLong(1) == 6 && gt.getDouble(2) == 5.0)
+  }
+
+  test("trimmedMean: trim = 0 is the plain mean; empty input raises") {
+    val xs = Seq(10.0, 20.0, 40.0)
+    val got = Outliers.trimmedMean(xs.map(Tuple1(_)).toDF("v"), "v",
+      0.0, c => c / org.apache.spark.sql.functions.lit(100L))
+      .collect().head
+    assert(got.getDouble(2) == 7000.0 / (100.0 * 3))
+    // over-trim is UNREACHABLE for trim < 0.5 (2·⌊trim·n⌋ ≤ 2·trim·n
+    // < n), so the kept-zero raise is a belt; the reachable loud path
+    // is empty input. Extreme-but-legal trim survives with one row:
+    val one = Outliers.trimmedMean(
+      Seq(1.0, 2.0, 3.0).map(Tuple1(_)).toDF("v"), "v", 0.4,
+      c => c / org.apache.spark.sql.functions.lit(100L)).collect().head
+    assert(one.getLong(1) == 1 && one.getDouble(2) == 2.0)
+    val e2 = intercept[Exception] {
+      Outliers.trimmedMean(Seq.empty[Double].map(Tuple1(_)).toDF("v"),
+        "v", 0.1, c => c / org.apache.spark.sql.functions.lit(100L))
+        .collect()
+    }
+    assert(e2.getMessage.contains("no non-null values"))
+  }
+
 }

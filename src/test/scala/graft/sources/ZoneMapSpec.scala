@@ -54,4 +54,17 @@ class ZoneMapSpec extends SparkSpec {
     assert(touched < total,
       s"probe touched $touched of $total files - no skipping")
   }
+
+  test("planned-file cap raises loudly past maxPlannedFiles " +
+      "(round-13: a non-selective prune must not materialize an " +
+      "unbounded driver-side path list)") {
+    val tooMany = Array.fill(Layout.maxPlannedFiles + 1)("f")
+    val e = intercept[IllegalStateException] {
+      Layout.plannedScan(spark, "/nonexistent", tooMany, "capTest")
+    }
+    assert(e.getMessage.contains("not selective"), e.getMessage)
+    // at or under the cap, the empty-keep path still plans lazily
+    // (no exception before an action)
+    Layout.plannedScan(spark, sf, Array.empty[String], "capTest")
+  }
 }
