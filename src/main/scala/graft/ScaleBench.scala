@@ -2071,9 +2071,109 @@ object ScaleBench {
       results += (("friedman", tfr1, tfrN))
     }
 
+    {
+      // Brown–Forsythe W: the kruskal/anova distinct-value-collapse
+      // class — replication multiplies cell COUNTS, not cells, so
+      // expect FLAT past the scan
+      def lvOf(d: DataFrame) = graft.operators.Drift.leveneBF(
+        d, "l_returnflag", "l_extendedprice", v => floor(v / 100000L))
+      val tlv1 = time("levene_bf 1x")(noop(lvOf(li1)))
+      val tlvN = time(s"levene_bf ${factor}x")(noop(lvOf(liN)))
+      results += (("levene_bf", tlv1, tlvN))
+    }
+    {
+      // Cochran's Q: two partial-agg scans of the 3-judge cell table —
+      // the scan-bound regex-judge class (mcnemar's shape, ×3 cells)
+      def cqOf(d: DataFrame) = {
+        val t = coalesce(col("text"), lit(""))
+        val cells = d.select(col("doc_id"), explode(array(
+            struct(lit("spark").as("judge"), t.contains("spark").as("ok")),
+            struct(lit("customer").as("judge"),
+              t.contains("customer").as("ok")),
+            struct(lit("vector").as("judge"),
+              t.contains("vector").as("ok")))).as("c"))
+          .select(col("doc_id"), col("c.judge").as("judge"),
+            col("c.ok").as("ok"))
+        graft.operators.Eval.cochranQ(cells, "doc_id", "judge", "ok")
+      }
+      val tcq1 = time("cochran_q 1x")(noop(cqOf(docs1)))
+      val tcqN = time(s"cochran_q ${factor}x")(noop(cqOf(docsN)))
+      results += (("cochran_q", tcq1, tcqN))
+    }
+    {
+      // Heaps-law fit: two grouped scans (per-doc sizes, per-TYPE first
+      // ids) × the broadcast 16-row grid; the type table is
+      // vocabulary-sized, so expect scan-bound linear at worst
+      def hfOf(d: DataFrame) = graft.operators.TextScore.heapsFit(
+        d, "doc_id", "text", gridSize = 16)
+      val thf1x = time("heaps_fit 1x")(noop(hfOf(docs1)))
+      val thfNx = time(s"heaps_fit ${factor}x")(noop(hfOf(docsN)))
+      results += (("heaps_fit", thf1x, thfNx))
+    }
+    {
+      // t-closeness: cell shuffle + same-key total rejoin + broadcast
+      // global mix — the kanon/ldiv audit class with one extra
+      // co-partitioned join
+      def tcOf(d: DataFrame) = graft.operators.Profile.tCloseness(
+        d, Seq(col("lang"), (col("n_chars") / 100).cast("long")
+          .as("len_bucket")), "source", t = 0.2)
+      val ttc1 = time("tclose_audit 1x")(noop(tcOf(docs1)))
+      val ttcN = time(s"tclose_audit ${factor}x")(noop(tcOf(docsN)))
+      results += (("tclose_audit", ttc1, ttcN))
+    }
+    {
+      // Jonckheere–Terpstra: union-value × 5 grid + bounded windows —
+      // values are near-distinct prices, so the grid is ~5× the value
+      // table; expect shuffle-linear at worst
+      def jtOf(d: DataFrame) = graft.operators.Drift.jonckheereTerpstra(
+        d, "o_orderpriority", "o_totalprice",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW"), v => floor(v / 1000.0))
+      val tjt1 = time("jonckheere 1x")(noop(jtOf(ord1)))
+      val tjtN = time(s"jonckheere ${factor}x")(noop(jtOf(ordN)))
+      results += (("jonckheere", tjt1, tjtN))
+    }
+    {
+      // Aho–Corasick blocklist screen: map-only automaton walk — the
+      // pii_luhn/script_mix pure-scan class, floor is the text scan
+      def blOf(d: DataFrame) = d.select(col("doc_id"),
+          graft.functions.GraftFunctions.blockTermHits(
+            lower(coalesce(col("text"), lit(""))),
+            Seq("slow scan", "big query", "fast merge", "vector",
+              "drop table", "slow")).as("hits"))
+        .withColumn("n_hits", size(col("hits")).cast("long"))
+      val tbl1x = time("blocklist_hits 1x")(noop(blOf(docs1)))
+      val tblNx = time(s"blocklist_hits ${factor}x")(noop(blOf(docsN)))
+      results += (("blocklist_hits", tbl1x, tblNx))
+    }
+
+    // rows/s normalization for the deep-drill tier (r12 verdict #6):
+    // absolute throughput against each drill's PRIMARY scanned table, so
+    // a future constant-factor regression is visible round-over-round —
+    // a ratio-only view can stay "linear" while everything got 3× slower.
+    lazy val tblRows: Map[String, Long] = Map(
+      "documents" -> docs1.count(), "lineitem" -> li1.count(),
+      "orders" -> ord1.count(),
+      "events" -> graft.sources.Tables.events(spark, sf).count())
+    val primaryTable: Map[String, String] = Map(
+      "script_mix" -> "documents", "pii_luhn" -> "documents",
+      "bpe_encode" -> "documents", "llr_keyness" -> "documents",
+      "jsd_buckets" -> "documents", "zipf_fit" -> "documents",
+      "mcnemar" -> "documents", "fdr" -> "orders",
+      "fdr_grouped" -> "orders", "anova_f" -> "lineitem",
+      "modularity" -> "lineitem", "pagerank" -> "lineitem",
+      "hits" -> "lineitem", "components" -> "lineitem",
+      "triangles_adj" -> "lineitem", "kcore" -> "lineitem",
+      "sssp" -> "lineitem", "levene_bf" -> "lineitem",
+      "cochran_q" -> "documents", "heaps_fit" -> "documents",
+      "tclose_audit" -> "documents", "blocklist_hits" -> "documents")
+
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
-      println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)")
+      val rps = primaryTable.get(tag)
+        .map(t => tblRows(t).toDouble * factor / tN / 1e6)
+        .map(m => f"  $m%8.3f Mrow/s").getOrElse("")
+      println(f"[scale]   $tag%-14s ${tN / t1}%6.2fx  (${t1}%6.2fs -> ${tN}%6.2fs)$rps")
     }
     spark.stop()
   }

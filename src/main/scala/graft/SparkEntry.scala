@@ -248,6 +248,7 @@ object SparkEntry {
     "q_semantic_decontam" -> PipelineQueries.semanticDecontam,
     "q_utf8_normalize" -> TextQueries.utf8Normalize,
     "q_strip_markup" -> TextQueries.stripMarkup,
+    "q_blocklist_hits" -> TextQueries.blocklistHits,
     "q_url_parse" -> TextQueries.urlParse,
     "q_compress_quality_planted" -> PipelineQueries.compressQuality,
     "q_incr_dedup_planted" -> DedupQueries.incrementalDedupPlanted,
@@ -265,6 +266,7 @@ object SparkEntry {
     "q_linreg_group" -> RelationalQueries.linregGroup,
     "q_kanon_audit" -> PipelineQueries.kanonAudit,
     "q_ldiv_audit" -> PipelineQueries.ldivAudit,
+    "q_tclose_audit" -> PipelineQueries.tcloseAudit,
     "q_source_entropy" -> PipelineQueries.sourceEntropy,
     "q_robust_scale" -> PipelineQueries.robustScaleLen,
     "q_sample_weighted" -> PipelineQueries.sampleWeighted,
@@ -405,6 +407,8 @@ object SparkEntry {
     "q_prop_ztest" -> PipelineQueries.propZDiscount,
     "q_kruskal" -> PipelineQueries.kruskalPrices,
     "q_anova_f" -> PipelineQueries.anovaShipmode,
+    "q_levene_bf" -> PipelineQueries.leveneReturnflag,
+    "q_jonckheere" -> PipelineQueries.jtPriority,
     "q_cliffs_delta" -> PipelineQueries.cliffsDeltaPrices,
     "q_mann_kendall" -> PipelineQueries.mannKendallOrders,
     "q_llr_keyness" -> PipelineQueries.llrKeynessLangs,
@@ -412,6 +416,7 @@ object SparkEntry {
     "q_cross_corr" -> PipelineQueries.crossCorrClicks,
     "q_jsd_langs" -> PipelineQueries.jsdLangs,
     "q_mcnemar" -> PipelineQueries.mcnemarLangId,
+    "q_cochran_q" -> PipelineQueries.cochranJudges,
     "q_cramers_v" -> PipelineQueries.cramersVEvents,
     "q_wilcoxon" -> PipelineQueries.wilcoxonSpend,
     // round 12: the k-paired member completing the test matrix
@@ -419,6 +424,7 @@ object SparkEntry {
     "q_fdr_flags" -> PipelineQueries.fdrFlags,
     "q_fdr_grouped" -> PipelineQueries.fdrGrouped,
     "q_zipf_fit" -> PipelineQueries.zipfFit,
+    "q_heaps_fit" -> PipelineQueries.heapsFit,
     "q_script_mix" -> PipelineQueries.scriptMixQ,
     "q_code_fences" -> PipelineQueries.codeFencesQ,
     "q_bpe_encode_planted" -> PipelineQueries.bpeEncodePlanted,
@@ -2938,6 +2944,117 @@ object SparkEntry {
              ss_between / (ss_between + ss_within) AS eta2
       FROM res""",
 
+    // Jonckheere–Terpstra: union-value × k grid, per-group cumulative
+    // below-counts (plain windows — the operator's bucket two-phase is
+    // bucket-independent), 2J and all moments exact HUGEINT, z one
+    // VARCHAR-roundtripped ×4-scaled chain
+    "q_jonckheere" -> """
+      WITH cells AS (
+        SELECT o_orderpriority AS g, o_totalprice AS v,
+               count(*)::BIGINT AS c
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2),
+      gidx AS (SELECT * FROM (VALUES ('1-URGENT', 0), ('2-HIGH', 1),
+        ('3-MEDIUM', 2), ('4-NOT SPECIFIED', 3), ('5-LOW', 4))
+        AS t(og, gi)),
+      ci AS (SELECT v, c, gi FROM cells JOIN gidx ON cells.g = gidx.og),
+      vals AS (SELECT DISTINCT v FROM ci),
+      grid AS (SELECT vals.v AS v, gidx.gi AS gi,
+                 coalesce(ci.c, 0)::BIGINT AS c
+               FROM vals CROSS JOIN gidx
+               LEFT JOIN ci ON ci.v = vals.v AND ci.gi = gidx.gi),
+      filled AS (SELECT v, gi, c,
+                   coalesce(sum(c) OVER (PARTITION BY gi ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS below
+                 FROM grid),
+      low AS (SELECT v, gi, c,
+                coalesce(sum(below) OVER (PARTITION BY v ORDER BY gi
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS lowless,
+                coalesce(sum(c) OVER (PARTITION BY v ORDER BY gi
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS lowties
+              FROM filled),
+      j2t AS (SELECT coalesce(sum(c::HUGEINT * (2 * lowless + lowties)),
+                0::HUGEINT) AS j2
+              FROM low WHERE c > 0),
+      pg AS (SELECT gi, sum(c)::BIGINT AS n FROM ci GROUP BY gi),
+      ga AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+               sum(n::HUGEINT * n) AS sn2,
+               sum(n::HUGEINT * (n - 1) * (2 * n + 5)) AS sn25,
+               sum(n::HUGEINT * (n - 1) * (n - 2)) AS sn12,
+               sum(n::HUGEINT * (n - 1)) AS sn1
+             FROM pg),
+      tv AS (SELECT v, sum(c)::BIGINT AS m FROM ci GROUP BY v),
+      ta AS (SELECT sum(m::HUGEINT * (m - 1) * (2 * m + 5)) AS st25,
+               sum(m::HUGEINT * (m - 1) * (m - 2)) AS st12,
+               sum(m::HUGEINT * (m - 1)) AS st1
+             FROM tv)
+      SELECT ga.n AS n, ga.k AS k,
+             CAST(CAST(j2 AS VARCHAR) AS DOUBLE) / 2.0 AS j,
+             CAST(CAST(2::HUGEINT * j2 - (ga.n::HUGEINT * ga.n - sn2)
+                  AS VARCHAR) AS DOUBLE)
+             / sqrt(4.0 * (
+                 CAST(CAST(ga.n::HUGEINT * (ga.n - 1) * (2 * ga.n + 5)
+                      - sn25 - st25 AS VARCHAR) AS DOUBLE) / 18.0
+               + CAST(CAST(sn12 * st12 AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(9::HUGEINT * ga.n * (ga.n - 1) * (ga.n - 2)
+                      AS VARCHAR) AS DOUBLE)
+               + CAST(CAST(sn1 * st1 AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(2::HUGEINT * ga.n * (ga.n - 1) AS VARCHAR)
+                      AS DOUBLE))) AS z
+      FROM j2t, ga, ta""",
+
+    // Brown–Forsythe W: per-group doubled medians off the distinct-
+    // value cum table (bucket-independent, so the oracle's plain
+    // per-group window replays the two-phase exactly), half-cent
+    // deviations weighted by cell counts, the anovaF moment fold, W
+    // one raw IEEE chain off the emitted SS columns
+    "q_levene_bf" -> """
+      WITH b AS (
+        SELECT l_returnflag AS g,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+      cells AS (SELECT g, v, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+      cum AS (SELECT g, v, c,
+                sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
+              FROM cells),
+      ng AS (SELECT g, max(cum)::BIGINT AS n FROM cum GROUP BY g),
+      rk AS (SELECT g, (n + 1) // 2 AS p1, n // 2 + 1 AS p2 FROM ng),
+      med AS (SELECT rk.g AS g,
+                min(CASE WHEN cum >= p1 THEN v END)
+              + min(CASE WHEN cum >= p2 THEN v END) AS med2
+              FROM rk JOIN cum ON cum.g = rk.g
+              GROUP BY rk.g),
+      z AS (SELECT cells.g AS g, c, abs(2 * v - med2) AS z
+            FROM cells JOIN med ON cells.g = med.g),
+      perg AS (SELECT g, sum(c)::BIGINT AS ng,
+                 sum(c::HUGEINT * z) AS sg,
+                 sum(c::HUGEINT * z * z) AS qg
+               FROM z GROUP BY g),
+      fold AS (SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+                 sum(sg) AS s, sum(qg) AS q,
+                 list_reduce(list_prepend(0.0,
+                   list(CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(sg AS VARCHAR) AS DOUBLE) / ng
+                        ORDER BY g)),
+                   (a, x) -> a + x) AS t
+               FROM perg),
+      res AS (SELECT n, k,
+                (t - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(s AS VARCHAR) AS DOUBLE) / n::DOUBLE)
+                  / 40000.0 AS ss_between,
+                (CAST(CAST(q AS VARCHAR) AS DOUBLE) - t) / 40000.0
+                  AS ss_within
+              FROM fold)
+      SELECT n, k, ss_between, ss_within,
+             (ss_between / (k::DOUBLE - 1.0))
+               / (ss_within / (n::DOUBLE - k::DOUBLE)) AS w
+      FROM res""",
+
     // Cliff's delta: the mann_whitney distinct-value collapse with a
     // B-side running count; 2*U_a exact HUGEINT, delta one raw
     // division of VARCHAR-roundtripped exact integers
@@ -3167,6 +3284,33 @@ object SparkEntry {
 
     // McNemar continuity-corrected: discordant counts exact longs,
     // (|b-c|-1)^2 an exact integer, chi2 ONE raw division
+    // Cochran's Q: three judge columns unpivoted to (item, judge,
+    // success) cells, per-judge and per-item exact HUGEINT totals, Q
+    // one raw division of VARCHAR-roundtripped exact integer chains
+    "q_cochran_q" -> """
+      WITH cells AS (
+        SELECT doc_id AS i, j.judge AS t, j.ok AS s
+        FROM (SELECT doc_id, coalesce(text, '') AS txt FROM documents
+              WHERE doc_id IS NOT NULL) d,
+        LATERAL (VALUES
+          ('spark', contains(txt, 'spark')),
+          ('customer', contains(txt, 'customer')),
+          ('vector', contains(txt, 'vector'))) AS j(judge, ok)),
+      pert AS (SELECT t, sum(CASE WHEN s THEN 1 ELSE 0 END)::HUGEINT AS c
+               FROM cells GROUP BY t),
+      tagg AS (SELECT count(*)::BIGINT AS k, sum(c) AS tot,
+                 sum(c * c) AS c2
+               FROM pert),
+      peri AS (SELECT i, sum(CASE WHEN s THEN 1 ELSE 0 END)::HUGEINT AS r
+               FROM cells GROUP BY i),
+      iagg AS (SELECT count(*)::BIGINT AS b, sum(r * r) AS r2 FROM peri)
+      SELECT b, k,
+             CAST(CAST((k::HUGEINT - 1) * (k::HUGEINT * c2 - tot * tot)
+                  AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(k::HUGEINT * tot - r2 AS VARCHAR) AS DOUBLE)
+               AS q
+      FROM iagg, tagg""",
+
     "q_mcnemar" -> """
       WITH s AS (
         SELECT doc_id, lang,
@@ -3491,6 +3635,53 @@ object SparkEntry {
                / (n::DOUBLE * sxx - sx * sx), 6) AS slope,
              round((sy - (n::DOUBLE * sxy - sx * sy)
                  / (n::DOUBLE * sxx - sx * sx) * sx) / n::DOUBLE, 6)
+               AS intercept
+      FROM agg""",
+
+    // Heaps-law fit: identical tokenization, per-type first doc_id by
+    // min, exact-integer grid cuts on the doc_id range, conditional
+    // checkpoint sums exact longs, the OLS a bounded fold over ≤16
+    // ln-points ordered by checkpoint index, beta/intercept 6dp
+    "q_heaps_fit" -> """
+      WITH pd AS (
+        SELECT doc_id AS o,
+               len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                 t -> t <> ''))::BIGINT AS nt
+        FROM documents WHERE doc_id IS NOT NULL),
+      firsts AS (
+        SELECT w, min(o) AS f FROM (
+          SELECT doc_id AS o, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS w
+          FROM documents WHERE doc_id IS NOT NULL) GROUP BY w),
+      bounds AS (SELECT min(o) AS lo, max(o) AS hi FROM pd),
+      grid AS (SELECT g.i AS i, lo + ((hi - lo) * g.i) // 16 AS c
+               FROM bounds, generate_series(1, 16) AS g(i)),
+      natc AS (SELECT i, sum(CASE WHEN o <= c THEN nt ELSE 0 END)::BIGINT
+                 AS n
+               FROM pd, grid GROUP BY i),
+      vatc AS (SELECT i, sum(CASE WHEN f <= c THEN 1 ELSE 0 END)::BIGINT
+                 AS v
+               FROM firsts, grid GROUP BY i),
+      pts AS (SELECT natc.i AS i, n, v,
+                ln(n::DOUBLE) AS x, ln(v::DOUBLE) AS y
+              FROM natc JOIN vatc ON natc.i = vatc.i
+              WHERE n > 0 AND v > 0),
+      agg AS (SELECT count(*)::BIGINT AS np, max(n)::BIGINT AS n_tokens,
+                max(v)::BIGINT AS n_types,
+                list_reduce(list_prepend(0.0, list(x ORDER BY i)),
+                  (a, b) -> a + b) AS sx,
+                list_reduce(list_prepend(0.0, list(y ORDER BY i)),
+                  (a, b) -> a + b) AS sy,
+                list_reduce(list_prepend(0.0, list(x * x ORDER BY i)),
+                  (a, b) -> a + b) AS sxx,
+                list_reduce(list_prepend(0.0, list(x * y ORDER BY i)),
+                  (a, b) -> a + b) AS sxy
+              FROM pts)
+      SELECT np AS n_points, n_tokens, n_types,
+             round((np::DOUBLE * sxy - sx * sy)
+               / (np::DOUBLE * sxx - sx * sx), 6) AS beta,
+             round((sy - (np::DOUBLE * sxy - sx * sy)
+                 / (np::DOUBLE * sxx - sx * sx) * sx) / np::DOUBLE, 6)
                AS intercept
       FROM agg""",
 
@@ -4607,6 +4798,21 @@ object SparkEntry {
              length(nfc_normalize(s))::INT AS n_chars_nfc
       FROM raw""",
 
+    // blocklist screen: the oracle is the definitional per-term
+    // contains() filter over the same literal list (same order) — the
+    // automaton must agree with it term-for-term
+    "q_blocklist_hits" -> """
+      WITH t AS (SELECT doc_id, lower(coalesce(text, '')) AS txt
+                 FROM documents),
+      h AS (SELECT doc_id,
+              list_filter(['slow scan', 'big query', 'fast merge',
+                           'vector', 'drop table', 'slow'],
+                p -> contains(txt, p)) AS hl
+            FROM t)
+      SELECT doc_id, coalesce(array_to_string(hl, '|'), '') AS hits,
+             len(hl)::BIGINT AS n_hits
+      FROM h""",
+
     "q_strip_markup" -> """
       WITH w AS (
         SELECT doc_id,
@@ -4978,6 +5184,40 @@ object SparkEntry {
              count(DISTINCT source) < 3 AS at_risk
       FROM documents
       GROUP BY lang, len_bucket""",
+
+    // t-closeness: variational distance per combo vs the global source
+    // mix via the closed form over OBSERVED cells only (absent values
+    // fold into 1 − Σ_{v∈g} p(v)); numerators exact HUGEINT, t one
+    // VARCHAR-roundtripped IEEE chain — hash-gate exact
+    "q_tclose_audit" -> """
+      WITH cells AS (
+        SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+               source AS v, count(*)::BIGINT AS c
+        FROM documents GROUP BY 1, 2, 3),
+      gdist AS (SELECT v, sum(c)::BIGINT AS cv FROM cells GROUP BY v),
+      na AS (SELECT sum(cv)::BIGINT AS nn FROM gdist),
+      pern AS (SELECT lang, len_bucket, sum(c)::BIGINT AS ng
+               FROM cells GROUP BY 1, 2),
+      j AS (SELECT cells.lang AS lang, cells.len_bucket AS len_bucket,
+              c, cv, ng, nn
+            FROM cells
+            JOIN pern ON cells.lang IS NOT DISTINCT FROM pern.lang
+              AND cells.len_bucket IS NOT DISTINCT FROM pern.len_bucket
+            JOIN gdist ON cells.v = gdist.v
+            CROSS JOIN na),
+      perg AS (SELECT lang, len_bucket, max(ng)::BIGINT AS cnt,
+                 max(nn)::BIGINT AS nx,
+                 sum(abs(c::HUGEINT * nn - cv::HUGEINT * ng)) AS s,
+                 sum(cv::HUGEINT) AS tg
+               FROM j GROUP BY 1, 2),
+      res AS (SELECT lang, len_bucket, cnt,
+                (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(cnt::HUGEINT * nx AS VARCHAR) AS DOUBLE)
+                 + 1.0 - CAST(CAST(tg AS VARCHAR) AS DOUBLE)
+                   / nx::DOUBLE) / 2.0 AS t_dist
+              FROM perg)
+      SELECT lang, len_bucket, cnt, t_dist, t_dist > 0.2 AS at_risk
+      FROM res""",
 
     // robust scaling: quantile_disc = the element at 1-based rank
     // ceil(q*n) (verified r7) replays the operator's exact discrete

@@ -52,6 +52,8 @@ object GraftFunctions {
     "minhash_text" -> (es => MinHashText(es(0),
       intArg(es(1), "minhash_text"), intArg(es(2), "minhash_text"))),
     "bpe_encode" -> (es => BpeEncode(es(0), strArg(es(1), "bpe_encode"))),
+    "block_term_hits" -> (es => MultiMatchTerms(es(0),
+      strArg(es(1), "block_term_hits"))),
     "kmv_distinct" -> (es => KmvDistinct(es(0),
       intArg(es(1), "kmv_distinct")).toAggregateExpression()),
     "kmv_sketch" -> (es => KmvSketchAgg(es(0),
@@ -254,6 +256,23 @@ object GraftFunctions {
     call_function("bpe_encode", text,
       org.apache.spark.sql.functions.lit(spec))
   }
+  /** Distinct blocklist terms found as substrings of `text`, in the
+    * order of `terms` — ONE Aho–Corasick walk per row regardless of
+    * dictionary size (see [[AcAutomaton]]). Case-sensitive exact
+    * substring: `lower()` both sides for a case-folded screen. */
+  def blockTermHits(text: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "blockTermHits: empty term list")
+    require(terms.distinct.size == terms.size,
+      "blockTermHits: duplicate terms")
+    terms.foreach { t =>
+      require(t.nonEmpty, "blockTermHits: empty term")
+      require(!t.contains('\u0001'),
+        "blockTermHits: term carries the spec separator U+0001")
+    }
+    call_function("block_term_hits", text,
+      org.apache.spark.sql.functions.lit(terms.mkString("\u0001")))
+  }
+
   /** Distinct packed (gramhash·10⁶ + pos) winnowing selections — the
     * [[graft.operators.Winnow]] kernel. */
   def winnowFps(text: Column, k: Int, w: Int): Column =

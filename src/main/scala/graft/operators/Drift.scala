@@ -633,6 +633,298 @@ object Drift {
       col("ss_between") / (col("ss_between") + col("ss_within")))
   }
 
+  /** Brown–Forsythe test (Levene's test with median centers) — the
+    * variance-homogeneity screen a user runs BEFORE trusting
+    * [[anovaF]]'s pooled within-group variance: "do these k pipeline
+    * variants differ in SPREAD, not just mean". W is the one-way
+    * ANOVA F computed on the absolute deviations from each group's
+    * MEDIAN (`z_ij = |x_ij − med_j|` — Brown & Forsythe 1974's robust
+    * form; mean centers are the classic Levene and break under skew).
+    *
+    * Distributed shape: distinct-VALUE collapse to (group, cents,
+    * count) cells; per-group medians ride the [[Selection
+    * .groupedQuantiles]] two-phase recipe (per-(group, bucket) count
+    * totals → prefix offsets via a group-partitioned window over
+    * BUCKETS, in-bucket windows over distinct values, rank-probe
+    * join) — no per-group sort of raw rows, group count unbounded
+    * until the final fold; the deviations rejoin the CELLS (weighted
+    * by count), never raw rows; then the [[anovaF]] moment fold.
+    *
+    * Exactness: the interpolated median is carried DOUBLED
+    * (`med2 = v@⌈n/2⌉ + v@(⌊n/2⌋+1)`, an exact long in cents), so
+    * `z2 = |2·cents − med2|` is an exact long in half-cents; weighted
+    * moments Σc·z2 and Σc·z2² are exact DECIMAL(38,0); the SS terms
+    * and W are one fixed IEEE chain over them, shipped RAW. SS columns
+    * are reported in squared VALUE units (half-cents²/4e4).
+    *
+    * Loud degenerates: fewer than 2 groups, more than `maxGroups`
+    * (the fold's one-row collect must stay bounded), n ≤ k, and zero
+    * within-group deviation spread (every |deviation| equal — W is
+    * 0/0).
+    *
+    * @param bucket maps a cents value to its median-phase bucket id
+    *               (the [[Selection.groupedQuantiles]] contract:
+    *               monotonic in the value)
+    * @return one row: (n, k, ss_between, ss_within, w) */
+  def leveneBF(df: DataFrame, groupCol: String, valueCol: String,
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      maxGroups: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents0 = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+    val cents = when(cents0.isNull && col(valueCol).isNotNull,
+        raise_error(lit(
+          s"Drift.leveneBF: $valueCol overflows long cents")))
+      .when(abs(cents0) > 3037000499L, raise_error(lit(
+        "Drift.leveneBF: |cents| beyond the exact-square bound " +
+          "(shard and merge moments)")))
+      .otherwise(cents0)
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"),
+        cents.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    // per-group interpolated median, doubled — the groupedQuantiles
+    // two-phase over (group, bucket) so no group ever sorts its raw
+    // distinct-value set in one task
+    val counts = cells.withColumn("__bk", bucket(col("__v")))
+    val wOff = Window.partitionBy(col("__g")).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts.groupBy(col("__g"), col("__bk"))
+      .agg(sum("__c").as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(col("__g").as("__og"), col("__bk").as("__bk2"),
+        col("__off"))
+    val wIn = Window.partitionBy(col("__g"), col("__bk"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .join(offs, col("__g") <=> col("__og") && col("__bk") <=> col("__bk2"))
+      .select(col("__g"), col("__v"),
+        (col("__off") + sum(col("__c")).over(wIn)).as("__cum"))
+    // the two central ranks: ⌈n/2⌉ and ⌊n/2⌋+1 (equal when n is odd —
+    // the probe rows are TAGGED so the odd case still sums v twice)
+    val nRow = cum.groupBy(col("__g")).agg(max("__cum").as("__n"))
+    val rks = nRow.select(col("__g").as("__rg"),
+      explode(array(
+        struct(lit(1).as("i"), ((col("__n") + 1L) - pmod(col("__n") + 1L,
+          lit(2L))).divide(2L).cast("long").as("r")),
+        struct(lit(2).as("i"), ((col("__n") - pmod(col("__n"), lit(2L)))
+          .divide(2L).cast("long") + 1L).as("r")))).as("__qr"))
+      .select(col("__rg"), col("__qr.i").as("__i"), col("__qr.r").as("__r"))
+    val med = cum.join(rks,
+        col("__g") <=> col("__rg") && col("__cum") >= col("__r"))
+      .groupBy(col("__rg"), col("__i"))
+      .agg(min(col("__v")).as("__mv"))
+      .groupBy(col("__rg")).agg(sum("__mv").as("__med2"))
+    // deviations in half-cents over the CELLS (weighted), exact longs
+    val z = cells.join(med, col("__g") <=> col("__rg"))
+      .select(col("__g"), col("__c"),
+        abs(lit(2L) * col("__v") - col("__med2")).as("__z"))
+    val perG = z.groupBy(col("__g"))
+      .agg(sum("__c").as("__ng"),
+        sum(col("__c").cast(dec) * col("__z").cast(dec)).as("__sg"),
+        sum(col("__c").cast(dec) * col("__z").cast(dec) *
+          col("__z").cast(dec)).as("__qg"))
+    val term = col("__sg").cast("double") * col("__sg").cast("double") /
+      col("__ng").cast("double")
+    val folded = perG.agg(
+      count(lit(1)).as("k"),
+      coalesce(sum("__ng"), lit(0L)).as("n"),
+      coalesce(sum(col("__sg")), lit(0L).cast(dec)).as("__s"),
+      coalesce(sum(col("__qg")), lit(0L).cast(dec)).as("__q"),
+      sort_array(collect_list(struct(col("__g").as("g"), term.as("t"))))
+        .as("__terms"))
+    val g = folded.select(
+      col("n"),
+      when(col("k") < 2, raise_error(lit(
+        "Drift.leveneBF: need at least 2 groups")))
+        .when(col("k") > maxGroups, raise_error(concat(
+          lit(s"Drift.leveneBF: more than $maxGroups groups — got "),
+          col("k").cast("string"))))
+        .when(col("n") <= col("k"), raise_error(lit(
+          "Drift.leveneBF: need n > k for a within-group spread")))
+        .otherwise(col("k")).as("k"),
+      aggregate(transform(col("__terms"), x => x.getField("t")),
+        lit(0.0), (acc, x) => acc + x).as("__t"),
+      col("__s"), col("__q"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("__t") -
+      col("__s").cast("double") * col("__s").cast("double") / nD
+    val ssw = col("__q").cast("double") - col("__t")
+    val out = g.select(col("n"), col("k"),
+      (ssb / lit(40000.0)).as("ss_between"),
+      when(ssw <= 0.0, raise_error(lit(
+        "Drift.leveneBF: zero within-group deviation spread — W is " +
+          "undefined")))
+        .otherwise(ssw / lit(40000.0)).as("ss_within"))
+    // W off the EMITTED columns (one extra IEEE chain, the eta2
+    // precedent) so the oracle's replay is the identical expression
+    out.withColumn("w",
+      (col("ss_between") / (col("k").cast("double") - lit(1.0))) /
+        (col("ss_within") / (col("n").cast("double") -
+          col("k").cast("double"))))
+  }
+
+  /** Jonckheere–Terpstra trend test — the ORDERED-alternative member
+    * of the k-group family ([[kruskalWallis]] asks "did ANY group
+    * shift"; this asks "does the metric rise ACROSS the given group
+    * order" — quality across ingest months, latency across load
+    * tiers): `J = Σ_{i<j} U_ij` over ordered group pairs, z-scored
+    * with the tie-corrected null variance (Lehmann's three-term
+    * formula — every term an exact integer sum here).
+    *
+    * Distributed shape: distinct-value collapse to (group, value,
+    * count) cells; per-group cumulative counts ride the
+    * [[kruskalWallis]] two-phase (per-(group, bucket) totals → prefix
+    * offsets → in-bucket windows); the union-value × k GRID (k ≤ 64
+    * groups, broadcast) turns the 2-D dominance count into one
+    * bounded window per value (≤ k rows per partition); the pair
+    * count `Σ c·(2·less_lower + ties_lower)` is ONE exact-decimal
+    * aggregate. No group-pair joins, no k² plans.
+    *
+    * Exactness: 2J and every moment sum (group sizes, tie masses) are
+    * exact DECIMAL(38,0); z is one fixed IEEE chain over their
+    * correctly-rounded double casts, shipped RAW.
+    *
+    * Loud degenerates: a group value outside `groupOrder` (an
+    * unmapped group would silently bias J), fewer than 2 ordered
+    * groups present, N < 3 (the variance has an (N−2) factor), every
+    * value tied (z is 0/0).
+    *
+    * @param groupOrder the hypothesized ascending group order; must
+    *                   cover every group present
+    * @return one row: (n, k, j, z) — j in ½ steps (tie halves) */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+      valueCol: String, groupOrder: Seq[String],
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    require(groupOrder.nonEmpty && groupOrder.size <= 64,
+      s"jonckheereTerpstra: groupOrder size must be in [1, 64]: " +
+        s"${groupOrder.size}")
+    require(groupOrder.distinct.size == groupOrder.size,
+      "jonckheereTerpstra: duplicate group in groupOrder")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells0 = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"),
+        col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val gidx = spark.createDataFrame(
+      groupOrder.zipWithIndex.map { case (g, i) => (g, i) })
+      .toDF("__og", "__gi")
+    val cells = cells0.join(broadcast(gidx),
+        col("__g") <=> col("__og"), "left")
+      .select(col("__v"), col("__c"),
+        when(col("__gi").isNull, raise_error(concat(lit(
+          "Drift.jonckheereTerpstra: group not in groupOrder: "),
+          col("__g"))))
+          .otherwise(col("__gi")).as("__gi"))
+    // the union-value × k GRID (absent slots carry count 0): each
+    // group's strictly-below-v count is then ONE cumulative over the
+    // union value axis per group — the kruskalWallis two-phase,
+    // group-keyed — valid at every union value, not just the group's
+    // own values
+    val vals = cells.select(col("__v")).distinct()
+    val grid = vals.crossJoin(broadcast(
+        gidx.select(col("__gi").as("__ggi"))))
+      .join(cells.select(col("__gi").as("__cgi"), col("__v").as("__cv"),
+          col("__c").as("__cc")),
+        col("__v") <=> col("__cv") && col("__ggi") <=> col("__cgi"),
+        "left")
+      .select(col("__v"), col("__ggi").as("__gi"),
+        coalesce(col("__cc"), lit(0L)).as("__c"))
+    val gridBk = grid.withColumn("__bk", bucket(col("__v")))
+    val wFillOff = Window.partitionBy(col("__gi")).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fillOffs = gridBk.groupBy(col("__gi"), col("__bk"))
+      .agg(sum("__c").as("__t"))
+      .withColumn("__foff",
+        coalesce(sum(col("__t")).over(wFillOff), lit(0L)))
+      .select(col("__gi").as("__fgi"), col("__bk").as("__fbk"),
+        col("__foff"))
+    val wFillIn = Window.partitionBy(col("__gi"), col("__bk"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = gridBk
+      .join(fillOffs, col("__gi") <=> col("__fgi") && col("__bk") <=> col("__fbk"))
+      .select(col("__v"), col("__gi"), col("__c"),
+        (col("__foff") + sum(col("__c")).over(wFillIn) - col("__c"))
+          .as("__below"))
+    // per-value window over the ≤ k ordered groups: what sits in
+    // LOWER-ordered groups strictly below / tied at v
+    val wLow = Window.partitionBy(col("__v")).orderBy(col("__gi"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val low = filled
+      .withColumn("__lowless", coalesce(sum(col("__below")).over(wLow),
+        lit(0L)))
+      .withColumn("__lowties", coalesce(sum(col("__c")).over(wLow),
+        lit(0L)))
+      .filter(col("__c") > 0)
+    val j2Row = low.agg(coalesce(sum(col("__c").cast(dec) *
+      (lit(2L).cast(dec) * col("__lowless").cast(dec) +
+        col("__lowties").cast(dec))), lit(0L).cast(dec)).as("__j2"))
+    // moment sums — all exact integers, order-free
+    val perG = cells.groupBy(col("__gi")).agg(sum("__c").as("__n"))
+    val gAgg = perG.agg(
+      count(lit(1)).as("k"),
+      coalesce(sum("__n"), lit(0L)).as("n"),
+      coalesce(sum(col("__n").cast(dec) * col("__n").cast(dec)),
+        lit(0L).cast(dec)).as("__sn2"),
+      coalesce(sum(col("__n").cast(dec) * (col("__n") - 1L).cast(dec) *
+        (lit(2L).cast(dec) * col("__n").cast(dec) + lit(5L).cast(dec))),
+        lit(0L).cast(dec)).as("__sn25"),
+      coalesce(sum(col("__n").cast(dec) * (col("__n") - 1L).cast(dec) *
+        (col("__n") - 2L).cast(dec)), lit(0L).cast(dec)).as("__sn12"),
+      coalesce(sum(col("__n").cast(dec) * (col("__n") - 1L).cast(dec)),
+        lit(0L).cast(dec)).as("__sn1"))
+    val ties = cells.groupBy(col("__v")).agg(sum("__c").as("__m"))
+      .agg(
+        count(lit(1)).as("__nv"),
+        coalesce(sum(col("__m").cast(dec) * (col("__m") - 1L).cast(dec) *
+          (lit(2L).cast(dec) * col("__m").cast(dec) +
+            lit(5L).cast(dec))), lit(0L).cast(dec)).as("__st25"),
+        coalesce(sum(col("__m").cast(dec) * (col("__m") - 1L).cast(dec) *
+          (col("__m") - 2L).cast(dec)), lit(0L).cast(dec)).as("__st12"),
+        coalesce(sum(col("__m").cast(dec) * (col("__m") - 1L).cast(dec)),
+          lit(0L).cast(dec)).as("__st1"))
+    val g = j2Row.crossJoin(gAgg).crossJoin(ties)
+    val nDec = col("n").cast(dec)
+    val mu2 = nDec * nDec - col("__sn2")
+    val aT = nDec * (nDec - lit(1L).cast(dec)) *
+      (lit(2L).cast(dec) * nDec + lit(5L).cast(dec)) -
+      col("__sn25") - col("__st25")
+    val bT = col("__sn12") * col("__st12")
+    val cT = col("__sn1") * col("__st1")
+    val den1 = (lit(9L).cast(dec) * nDec * (nDec - lit(1L).cast(dec)) *
+      (nDec - lit(2L).cast(dec)))
+    val den2 = (lit(2L).cast(dec) * nDec * (nDec - lit(1L).cast(dec)))
+    val sig2x4 = aT.cast("double") / lit(18.0) +
+      bT.cast("double") / den1.cast("double") +
+      cT.cast("double") / den2.cast("double")
+    g.select(
+      when(col("n") < 3, raise_error(lit(
+        "Drift.jonckheereTerpstra: need n >= 3 (the variance has an " +
+          "(n-2) factor)")))
+        .otherwise(col("n")).as("n"),
+      when(col("k") < 2, raise_error(lit(
+        "Drift.jonckheereTerpstra: need at least 2 ordered groups " +
+          "present")))
+        .otherwise(col("k")).as("k"),
+      (col("__j2").cast("double") / lit(2.0)).as("j"),
+      // z = (J − μ)/σ computed ×4 to stay exact-integer until the one
+      // division: 4J = 2·(2J), 4μ = N² − Σn², 4σ = √(4·(4σ²))
+      when(col("__nv") < 2 || sig2x4 <= 0.0, raise_error(lit(
+        "Drift.jonckheereTerpstra: zero null variance (every value " +
+          "tied) — z is 0/0")))
+        .otherwise((lit(2L).cast(dec) * col("__j2") - mu2).cast("double")
+          / sqrt(lit(4.0) * sig2x4))
+        .as("z"))
+  }
+
   /** Cliff's delta — the nonparametric EFFECT SIZE companion to
     * [[mannWhitney]]'s significance: `δ = P(a > b) − P(a < b) =
     * 2U_a/(n_a·n_b) − 1`, the "how big is the shift" number a test

@@ -471,6 +471,94 @@ object Eval {
         (col("b") + col("c")).cast("double")).as("chi2"))
   }
 
+  /** Cochran's Q — the k-TREATMENT generalization of [[mcnemar]]:
+    * "do these k binary judges/classifiers flag the SAME items at the
+    * same rate", the screen an eval platform runs over k model
+    * variants before pairwise McNemars (and the binary-outcome twin
+    * of [[graft.operators.Drift.friedman]]).
+    * `Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²)` with C_j the
+    * per-treatment success totals, R_i the per-item success totals,
+    * T the grand total; Q ~ χ²(k−1) under H₀.
+    *
+    * Distributed shape: TWO partial-agg scans of the cell table — one
+    * grouped by item (R_i, then one fold row of ΣR_i/ΣR_i²; item
+    * count unbounded), one grouped by treatment (k bounded rows) —
+    * plus the balanced-design audit on the same grouped passes. No
+    * join of data rows, no window, no collect.
+    *
+    * Exactness: every aggregate is an exact integer (DECIMAL(38,0)
+    * past long range); numerator and denominator are exact-integer
+    * chains, Q is ONE raw division of their correctly-rounded double
+    * casts (pure rational — NOTES taxonomy).
+    *
+    * Loud degenerates: a null success cell (a present-but-unknown
+    * cell breaks the paired design — drop the ROW upstream if that is
+    * intended), a duplicate (item, treatment) cell, an item missing a
+    * treatment (both break the complete-block contract and would
+    * silently bias Q), fewer than 2 treatments, more than
+    * `maxTreatments`, and zero within-item variation (every item all-
+    * success or all-failure — Q is 0/0).
+    *
+    * @param successCol boolean-ish "this treatment succeeded on this
+    *                   item"
+    * @return one row: (b, k, q) — b informative-design item count */
+  def cochranQ(df: DataFrame, itemCol: String, treatmentCol: String,
+      successCol: String, maxTreatments: Int = 1000): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val s0 = col(successCol).cast("boolean")
+    val cells = df
+      .filter(col(itemCol).isNotNull && col(treatmentCol).isNotNull)
+      .groupBy(col(itemCol).cast("string").as("__i"),
+        col(treatmentCol).cast("string").as("__t"))
+      .agg(count(lit(1)).as("__dup"),
+        sum(when(s0.isNull, raise_error(lit(
+            "Eval.cochranQ: null success cell — a present-but-unknown " +
+              "cell breaks the paired design"))
+            .cast("long"))
+          .when(s0, 1L).otherwise(0L)).as("__s"))
+      .withColumn("__s",
+        when(col("__dup") > 1L, raise_error(concat(
+          lit("Eval.cochranQ: duplicate (item, treatment) cell for "),
+          col("__i"), lit(" / "), col("__t"))))
+          .otherwise(col("__s")))
+    val perT = cells.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__bt"), sum("__s").as("__c"))
+    val tAgg = perT.agg(
+      count(lit(1)).as("k"),
+      min("__bt").as("__bmin"), max("__bt").as("__bmax"),
+      coalesce(sum(col("__c").cast(dec)), lit(0L).cast(dec)).as("__tot"),
+      coalesce(sum(col("__c").cast(dec) * col("__c").cast(dec)),
+        lit(0L).cast(dec)).as("__c2"))
+    val perI = cells.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__ki"), sum("__s").as("__r"))
+    val iAgg = perI.agg(
+      count(lit(1)).as("b"),
+      min("__ki").as("__kmin"), max("__ki").as("__kmax"),
+      coalesce(sum(col("__r").cast(dec) * col("__r").cast(dec)),
+        lit(0L).cast(dec)).as("__r2"))
+    val g = iAgg.crossJoin(tAgg)
+    val kChecked = when(col("k") < 2, raise_error(lit(
+        "Eval.cochranQ: need at least 2 treatments")))
+      .when(col("k") > maxTreatments, raise_error(concat(
+        lit(s"Eval.cochranQ: more than $maxTreatments treatments — got "),
+        col("k").cast("string"))))
+      .when(col("__kmin") =!= col("k") || col("__kmax") =!= col("k") ||
+        col("__bmin") =!= col("b") || col("__bmax") =!= col("b"),
+        raise_error(lit(
+          "Eval.cochranQ: incomplete design — every item needs exactly " +
+            "one cell per treatment")))
+      .otherwise(col("k"))
+    val kD = col("k").cast(dec)
+    val num = (kD - lit(1).cast(dec)) *
+      (kD * col("__c2") - col("__tot") * col("__tot"))
+    val den = kD * col("__tot") - col("__r2")
+    g.select(col("b"), kChecked.as("k"),
+      when(den <= 0, raise_error(lit(
+        "Eval.cochranQ: no within-item variation (every item all-" +
+          "success or all-failure) — Q is 0/0")))
+        .otherwise(num.cast("double") / den.cast("double")).as("q"))
+  }
+
   private def tokArr(c: Column): Column =
     filter(split(lower(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
 

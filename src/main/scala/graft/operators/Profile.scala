@@ -211,4 +211,75 @@ object Profile {
         countDistinct(sv).as("n_sensitive"))
       .withColumn("at_risk", col("n_sensitive") < l)
   }
+
+  /** t-closeness audit — the third rung of the release-gate ladder
+    * ([[kAnonymity]] → [[lDiversity]] → this): a group can be
+    * k-anonymous AND l-diverse yet still leak when its sensitive
+    * DISTRIBUTION deviates from the table's (a group that is 90% one
+    * source in a 50/50 corpus tells an attacker plenty — the skewness
+    * attack l-diversity misses). Per quasi-identifier group, the
+    * variational distance (= EMD under the categorical equal-ground
+    * metric of Li, Li & Venkatasubramanian 2007)
+    * `t_g = ½ Σ_v |p_g(v) − p(v)|` against the global distribution;
+    * groups with `t_g > t` flag `at_risk`.
+    *
+    * Distributed shape: one (combo, sensitive) cell shuffle, a
+    * per-combo total re-join ON THE SAME KEY (co-partitioned), the
+    * global sensitive distribution joined as a BROADCAST (cardinality
+    * guarded by `maxValues` — raised loudly off the one-row
+    * aggregate). Values absent from a group never materialize:
+    * `Σ_{v∉g} p(v) = 1 − Σ_{v∈g} p(v)` folds them into the closed
+    * form, so the cell table stays observed-cells-sized.
+    *
+    * Exactness: every numerator is an exact DECIMAL(38,0)
+    * (`|c_gv·N − c_v·n_g|`), sums are exact-integer (order-free), and
+    * t_g is ONE fixed IEEE chain over their correctly-rounded double
+    * casts — hash-gate exact, no rounding.
+    *
+    * @return one row per combo: (quasiCols…, cnt, t_dist, at_risk) */
+  def tCloseness(df: DataFrame, quasiCols: Seq[Column],
+      sensitiveCol: String, t: Double, maxValues: Int = 100000)
+      : DataFrame = {
+    require(quasiCols.nonEmpty, "audit needs at least one quasi-identifier")
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sv = when(col(sensitiveCol).isNull, raise_error(lit(
+      s"Profile.tCloseness: NULL sensitive value ($sensitiveCol) — " +
+        "null is neither a distribution value nor ignorable; filter " +
+        "or impute explicitly first")))
+      .otherwise(col(sensitiveCol))
+    val base = df.select(quasiCols :+ sv.as("__v"): _*)
+    val qNames = base.columns.dropRight(1).toIndexedSeq
+    val q = qNames.map(col)
+    val cells = base.groupBy(q :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val glob = cells.groupBy(col("__v").as("__gv"))
+      .agg(sum("__c").as("__cv"))
+    val nAgg = glob.agg(
+      count(lit(1)).as("__nv"),
+      coalesce(sum("__cv"), lit(0L)).as("__N"))
+      .select(when(col("__nv") > maxValues, raise_error(concat(
+          lit(s"Profile.tCloseness: more than $maxValues distinct " +
+            "sensitive values (the global distribution broadcasts) — " +
+            "got "), col("__nv").cast("string"))))
+        .otherwise(col("__N")).as("__N"))
+    val perN = cells.groupBy(q: _*).agg(sum("__c").as("__ng"))
+      .select(qNames.map(c => col(c).as(s"__n_$c")) :+ col("__ng"): _*)
+    val joined = cells
+      .join(perN, qNames.map(c => col(c) <=> col(s"__n_$c")).reduce(_ && _))
+      .join(broadcast(glob), col("__v") <=> col("__gv"))
+      .crossJoin(broadcast(nAgg))
+    val term = abs(col("__c").cast(dec) * col("__N").cast(dec) -
+      col("__cv").cast(dec) * col("__ng").cast(dec))
+    val perG = joined.groupBy(q: _*)
+      .agg(max(col("__ng")).as("cnt"), max(col("__N")).as("__Nx"),
+        sum(term).as("__s"),
+        sum(col("__cv").cast(dec)).as("__tg"))
+    val tDist = (col("__s").cast("double") /
+      (col("cnt").cast(dec) * col("__Nx").cast(dec)).cast("double") +
+      lit(1.0) - col("__tg").cast("double") /
+      col("__Nx").cast("double")) / lit(2.0)
+    perG.select(q ++ Seq(col("cnt"), tDist.as("t_dist")): _*)
+      .withColumn("at_risk", col("t_dist") > t)
+  }
 }

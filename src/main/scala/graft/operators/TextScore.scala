@@ -506,4 +506,105 @@ object TextScore {
       round((col("__sy") - (nD * col("__sxy") - col("__sx") *
         col("__sy")) / denom * col("__sx")) / nD, 6).as("intercept"))
   }
+
+  /** Heaps-law fit over the vocabulary GROWTH curve — the companion
+    * diagnostic to [[zipfFit]]'s static rank–frequency shape: OLS of
+    * ln V(N) on ln N, where V(N) is the distinct-type count after the
+    * first N tokens in `orderCol` order (natural text sits near
+    * β ≈ 0.4–0.6; β → 1 means the vocabulary never saturates — ids /
+    * hashes / OCR noise flooding the token stream; a β collapse means
+    * template spam). The ingest monitor that catches a vocabulary
+    * regime change between corpus snapshots.
+    *
+    * Scale shape: NO global cumulative sum over docs — the curve is
+    * sampled at `gridSize` checkpoints on the order-value range. Two
+    * grouped scans (per-doc token counts; per-TYPE first order value
+    * via min — types shuffle once), each crossed with the broadcast
+    * G-row grid into G conditional partial-agg cells. The OLS rides a
+    * bounded sorted fold over ≤ G points.
+    *
+    * Gate tier: checkpoint counts are exact longs (grid cut points are
+    * exact integer arithmetic); ln is transcendental, so beta and
+    * intercept round 6dp (the [[zipfFit]] tier).
+    *
+    * Loud degenerates: a non-integral order value, a single distinct
+    * order value (no curve), an order range so wide the exact grid
+    * arithmetic would overflow, fewer than 3 non-empty checkpoints,
+    * and zero token growth across the grid (the fit is 0/0).
+    *
+    * @param orderCol integer-ish ingest-order column (a doc id, an
+    *                 epoch day); checkpoints are VALUE-range cuts, so
+    *                 gaps in the id space shift sample points but not
+    *                 the curve itself
+    * @return one row: (n_points, n_tokens, n_types, beta, intercept) */
+  def heapsFit(df: DataFrame, orderCol: String, textCol: String,
+      gridSize: Int = 16): DataFrame = {
+    require(gridSize >= 3 && gridSize <= 64,
+      s"heapsFit: gridSize must be in [3, 64]: $gridSize")
+    val o0 = col(orderCol).cast("long")
+    val o = when(o0.isNull && col(orderCol).isNotNull, raise_error(lit(
+        s"TextScore.heapsFit: $orderCol is not integer-castable")))
+      .otherwise(o0)
+    val tk = filter(Tokenize.tokenCol(textCol), t => t =!= "")
+    val base = df.filter(col(orderCol).isNotNull)
+    val perDoc = base.select(o.as("__o"), size(tk).cast("long").as("__nt"))
+    val firsts = base.select(o.as("__o"), explode(tk).as("__w"))
+      .groupBy("__w").agg(min("__o").as("__f"))
+    val bounds = perDoc.agg(min("__o").as("__lo"), max("__o").as("__hi"))
+    val grid = bounds.select(
+        col("__lo"), col("__hi"),
+        explode(sequence(lit(1), lit(gridSize))).as("__i"))
+      .withColumn("__rng",
+        when(col("__hi") <=> col("__lo"), raise_error(lit(
+          "TextScore.heapsFit: order column has a single value — no " +
+            "growth curve to fit")))
+          .when(col("__hi") - col("__lo") > Long.MaxValue / gridSize,
+            raise_error(lit(
+              "TextScore.heapsFit: order range overflows the exact " +
+                "grid arithmetic — rescale the order column")))
+          .otherwise(col("__hi") - col("__lo")))
+      .withColumn("__c",
+        col("__lo") + expr(s"(__rng * __i) div $gridSize"))
+      .select(col("__i"), col("__c"))
+    val nAt = perDoc.crossJoin(broadcast(grid))
+      .groupBy(col("__i"))
+      .agg(sum(when(col("__o") <= col("__c"), col("__nt"))
+        .otherwise(0L)).as("__n"))
+    val vAt = firsts.crossJoin(broadcast(
+        grid.select(col("__i").as("__vi"), col("__c").as("__vc"))))
+      .groupBy(col("__vi"))
+      .agg(sum(when(col("__f") <= col("__vc"), 1L).otherwise(0L))
+        .as("__v"))
+    val pts = nAt.join(vAt, col("__i") === col("__vi"))
+      .filter(col("__n") > 0 && col("__v") > 0)
+      .select(col("__i"), col("__n"), col("__v"),
+        log(col("__n").cast("double")).as("__x"),
+        log(col("__v").cast("double")).as("__y"))
+    val folded = pts.agg(count(lit(1)).as("n_points"),
+      max(col("__n")).as("n_tokens"), max(col("__v")).as("n_types"),
+      sort_array(collect_list(struct(col("__i"), col("__x"), col("__y"))))
+        .as("__p"))
+    def fld(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(col("__p"), lit(0.0), (acc, s) => acc + f(s))
+    val agg = folded.select(col("n_points"), col("n_tokens"),
+      col("n_types"),
+      fld(_.getField("__x")).as("__sx"), fld(_.getField("__y")).as("__sy"),
+      fld(s => s.getField("__x") * s.getField("__x")).as("__sxx"),
+      fld(s => s.getField("__x") * s.getField("__y")).as("__sxy"))
+    val nD = col("n_points").cast("double")
+    val denom = nD * col("__sxx") - col("__sx") * col("__sx")
+    agg.select(
+      when(col("n_points") < 3, raise_error(lit(
+        "TextScore.heapsFit: fewer than 3 non-empty checkpoints — the " +
+          "fit is degenerate")))
+        .otherwise(col("n_points")).as("n_points"),
+      col("n_tokens"), col("n_types"),
+      when(denom <= 0.0, raise_error(lit(
+        "TextScore.heapsFit: zero token growth across the grid — the " +
+          "fit is 0/0")))
+        .otherwise(round((nD * col("__sxy") - col("__sx") * col("__sy"))
+          / denom, 6)).as("beta"),
+      round((col("__sy") - (nD * col("__sxy") - col("__sx") *
+        col("__sy")) / denom * col("__sx")) / nD, 6).as("intercept"))
+  }
 }

@@ -421,6 +421,29 @@ object PipelineQueries {
           lpad(month(col("l_shipdate")).cast("string"), 2, "0")),
       "ship_month", "l_extendedprice")
 
+  /** Jonckheere–Terpstra trend ([[graft.operators
+    * .Drift.jonckheereTerpstra]], round 13): does order value rise
+    * across the five priority classes IN ORDER — the
+    * ordered-alternative screen q_kruskal cannot ask (KW is
+    * order-blind). Union-value × 5 grid, bounded windows, 2J and all
+    * moment sums exact decimals, z one raw chain. */
+  val jtPriority: Q = (s, d) =>
+    graft.operators.Drift.jonckheereTerpstra(Tables.orders(s, d),
+      "o_orderpriority", "o_totalprice",
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+      v => floor(v / 1000.0))
+
+  /** Brown–Forsythe W ([[graft.operators.Drift.leveneBF]], round 13):
+    * does price SPREAD differ across the return-flag classes — the
+    * variance-homogeneity screen paired with q_anova_f's mean test
+    * (ANOVA's pooled-variance assumption is exactly what this
+    * checks). Doubled exact-cents medians off the groupedQuantiles
+    * two-phase, half-cent deviations weighted by cell counts, the
+    * anovaF moment fold, W one raw IEEE chain. */
+  val leveneReturnflag: Q = (s, d) =>
+    graft.operators.Drift.leveneBF(Tables.lineitem(s, d),
+      "l_returnflag", "l_extendedprice", v => floor(v / 100000L))
+
   /** Cliff's δ ([[graft.operators.Drift.cliffsDelta]], round 11): the
     * effect size next to q_mann_whitney's z on the identical R-vs-A
     * price comparison — exact doubled-U integer, one raw division. */
@@ -506,6 +529,26 @@ object PipelineQueries {
         .withColumn("a_ok", col("predicted") === col("lang"))
         .withColumn("b_ok", col("lang") === "en"),
       "a_ok", "b_ok")
+
+  /** Cochran's Q ([[graft.operators.Eval.cochranQ]], round 13): do
+    * three heuristic quality judges flag the SAME docs at the same
+    * rate — the k-treatment McNemar an eval platform runs over k
+    * filter variants before pairwise drill-downs. Two partial-agg
+    * scans of the (doc, judge) cell table; Q one raw division of
+    * exact-integer chains. */
+  val cochranJudges: Q = (s, d) => {
+    val t = coalesce(col("text"), lit(""))
+    val cells = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array(
+        struct(lit("spark").as("judge"), t.contains("spark").as("ok")),
+        struct(lit("customer").as("judge"),
+          t.contains("customer").as("ok")),
+        struct(lit("vector").as("judge"),
+          t.contains("vector").as("ok")))).as("c"))
+      .select(col("doc_id"), col("c.judge").as("judge"),
+        col("c.ok").as("ok"))
+    graft.operators.Eval.cochranQ(cells, "doc_id", "judge", "ok")
+  }
 
   /** Cramér's V ([[graft.operators.Features.cramersV]], round 11): the
     * single association strength for the event_type × day-of-week
@@ -601,6 +644,15 @@ object PipelineQueries {
   val zipfFit: Q = (s, d) =>
     graft.operators.TextScore.zipfFit(Tables.documents(s, d), "text",
       topK = 1000)
+
+  /** Heaps-law fit over the vocabulary growth curve (round 13,
+    * [[graft.operators.TextScore.heapsFit]]): OLS of ln types on ln
+    * tokens sampled at 16 doc_id-range checkpoints — the saturation
+    * diagnostic next to q_zipf_fit's static shape; no global cumsum,
+    * just two grouped scans crossed with the broadcast grid. */
+  val heapsFit: Q = (s, d) =>
+    graft.operators.TextScore.heapsFit(Tables.documents(s, d),
+      "doc_id", "text", gridSize = 16)
 
   /** Fenced code-block extraction (round 12,
     * [[graft.operators.Markup.codeFences]]): every 4th doc gets a
@@ -822,31 +874,26 @@ object PipelineQueries {
     *
     * 100 TB shape: each stage is the drilled operator at its drilled
     * shape — the composition adds only id-keyed semi/anti joins. */
-  private[graft] def corpusEnd2EndFrom(docs: DataFrame,
-      pairs: Option[DataFrame] = None): DataFrame = {
-    import graft.operators.{ManifestDigest, Mixing, Packing, SetSimJoin, Shards}
-    // S1: the q_corpus_build quality recipe (lang, token count,
-    // chars-per-token), text kept only as far as the S2/S3/S4 scans
+  private[graft] case class CorpusStages(quality: DataFrame,
+    s2: DataFrame, ndPairs: DataFrame, s3: DataFrame,
+    contaminated: DataFrame, s4: DataFrame, s5: DataFrame)
+
+  /** The shared S1–S5 stage chain of [[corpusEnd2EndFrom]] and
+    * [[corpusDropLedgerFrom]] — ONE definition so the manifest gate
+    * and the provenance ledger can never disagree about what a stage
+    * dropped. */
+  private def corpusStages(docs: DataFrame,
+      pairs: Option[DataFrame]): CorpusStages = {
+    import graft.operators.{Mixing, SetSimJoin}
     val quality = docs
       .filter(col("lang").isin("en", "de", "fr"))
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .filter(col("n_tokens").between(20, 1000))
       .filter(length(col("text")).cast("double") / col("n_tokens") < 12)
       .select("doc_id", "lang", "n_tokens", "text")
-    // S2: exact dedup, min id per content digest
     val keepExact = Dedup.exactByContent(quality, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
     val s2 = quality.join(keepExact, "doc_id")
-    // S3: exact 3-shingle Jaccard near-dup at J >= 0.6, one-pass
-    // greedy: a doc with ANY smaller-id near-dup is dropped (the
-    // deterministic policy; transitive closure is q_setsim_dedup's job)
-    // `pairs`, when supplied, is the PERSISTED exact-Jaccard pair
-    // artifact over the full corpus (trigram shingles, J >= 0.6 — the
-    // q_setsim contract): on the exact tier, artifact pairs restricted
-    // to S2 survivors ARE joinByJaccard(s2)'s output (Jaccard doesn't
-    // depend on corpus membership), so consuming the artifact is a
-    // plan change only — the 100 TB posture, where the pair graph is
-    // computed once per corpus snapshot and every dedup stage reads it
     val ndPairs = pairs match {
       case Some(p) => p.select("id1", "id2")
         .join(s2.select(col("doc_id").as("id1")), Seq("id1"), "left_semi")
@@ -856,29 +903,102 @@ object PipelineQueries {
     }
     val s3 = s2.join(ndPairs.select(col("id2").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
-    // S4: benchmark decontam — bench docs (id < 5) leave the corpus and
-    // take every doc sharing a 5-gram with them
     val contaminated = Decontam.overlapHashed(
         s3.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5),
         "doc_id", "text", n = 5)
       .select("doc_id")
     val s4 = s3.filter(col("doc_id") >= 5)
       .join(contaminated, Seq("doc_id"), "left_anti")
-    // S5: language mixing — dyadic weights so ⌊w·budget⌋ is exact on
-    // both engines (en 60 / de 30 / fr 30 at budget 120)
     val mixed = Mixing.sampleToWeights(s4, "lang", "doc_id",
       weights = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25),
       budget = 120)
     val s5 = s4.select("doc_id", "lang", "n_tokens")
       .join(mixed.select("doc_id"), Seq("doc_id"))
+    CorpusStages(quality, s2, ndPairs, s3, contaminated, s4, s5)
+  }
+
+  private[graft] def corpusEnd2EndFrom(docs: DataFrame,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    import graft.operators.{ManifestDigest, Packing, Shards}
+    // S1 quality → S2 exact dedup (min id per digest) → S3 exact
+    // 3-shingle Jaccard near-dup at J >= 0.6 (greedy smaller-id;
+    // `pairs`, when supplied, is the PERSISTED exact-Jaccard pair
+    // artifact — on the exact tier, artifact pairs restricted to S2
+    // survivors ARE joinByJaccard(s2)'s output, so consuming it is a
+    // plan change only: the 100 TB posture) → S4 benchmark decontam
+    // (bench docs id < 5 leave and take every 5-gram-sharing doc) →
+    // S5 language mixing (dyadic weights ⇒ exact quotas): the shared
+    // [[corpusStages]] chain, also consumed by the drop ledger
+    val st = corpusStages(docs, pairs)
     // S6: per-language sequence packing into 256-token chunks
-    val packed = Packing.packBySize(s5, partCols = Seq("lang"),
+    val packed = Packing.packBySize(st.s5, partCols = Seq("lang"),
       orderCol = "doc_id", sizeCol = "n_tokens", capacity = 256)
     // S7: shard assignment (salted-hash shard + shuffle key)
     val sharded = Shards.assign(packed, "doc_id", numShards = 8)
     // S8: the corpus manifest — the artifact a training run consumes
     ManifestDigest.manifest(sharded, "doc_id",
       Seq("lang", "n_tokens", "chunk_id", "shard"), buckets = 16)
+  }
+
+  /** Per-doc drop PROVENANCE for the [[corpusEnd2EndFrom]] chain — the
+    * governance audit a training-data review asks first: "why is doc
+    * X not in the corpus, and which doc displaced it". One row per
+    * dropped doc at its FIRST dropping stage, with the displacing
+    * culprit where one exists (the kept exact-duplicate, the
+    * smaller-id near-duplicate); quality drops name the failed
+    * sub-rule. Derived from the SAME [[corpusStages]] frames the
+    * manifest gate hashes, so ledger and manifest cannot disagree.
+    *
+    * 100 TB shape: each stage set is the drilled operator's output;
+    * the ledger adds only id-keyed anti-joins and per-digest/per-id
+    * min aggregates (ids + reasons on every shuffle). */
+  private[graft] def corpusDropLedgerFrom(docs: DataFrame,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val st = corpusStages(docs, pairs)
+    val ids = docs.select(col("doc_id"), col("lang"), col("text"))
+    def row(stage: String, reason: org.apache.spark.sql.Column,
+        culprit: org.apache.spark.sql.Column)(d: DataFrame) =
+      d.select(col("doc_id"), lit(stage).as("stage"),
+        reason.as("reason"), culprit.cast("long").as("culprit_id"))
+    // S1: name the first failed sub-rule (the filter order)
+    val nTok = size(split(col("text"), " "))
+    val qReason = when(not(coalesce(col("lang").isin("en", "de", "fr"),
+        lit(false))), "lang_filtered")
+      .when(not(coalesce(nTok.between(20, 1000), lit(false))),
+        "token_count")
+      .otherwise("chars_per_token")
+    val s1Drops = row("s1_quality", qReason, lit(null))(
+      ids.join(st.quality.select("doc_id"), Seq("doc_id"), "left_anti"))
+    // S2: dropped exact duplicates point at the kept min-id twin
+    val digests = st.quality
+      .select(col("doc_id"), sha2(col("text"), 256).as("__d"))
+    val keepers = digests.groupBy(col("__d"))
+      .agg(min(col("doc_id")).as("__keep"))
+    val s2Drops = row("s2_exact_dup", lit("exact_duplicate"),
+      col("__keep"))(
+      digests.join(st.s2.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(keepers, Seq("__d")))
+    // S3: near-duplicates point at their smallest-id culprit
+    // the persisted pair artifact can carry id2s already dropped at
+    // S1/S2 — the first-dropping-stage discipline keeps only S2
+    // survivors here (matching exactly what S3 removed)
+    val s3Drops = row("s3_near_dup", lit("jaccard_near_duplicate"),
+      col("__c"))(
+      st.ndPairs.groupBy(col("id2").as("doc_id"))
+        .agg(min(col("id1")).as("__c"))
+        .join(st.s2.select("doc_id"), Seq("doc_id"), "left_semi"))
+    // S4: bench docs leave by design; contaminated docs cite no single
+    // culprit (any shared 5-gram suffices)
+    val s4Bench = row("s4_decontam", lit("benchmark_doc"), lit(null))(
+      st.s3.filter(col("doc_id") < 5).select("doc_id"))
+    val s4Cont = row("s4_decontam", lit("contaminated"), lit(null))(
+      st.contaminated)
+    // S5: quota cut — present in s4, not sampled
+    val s5Drops = row("s5_mix_quota", lit("quota_cut"), lit(null))(
+      st.s4.select("doc_id")
+        .join(st.s5.select("doc_id"), Seq("doc_id"), "left_anti"))
+    s1Drops.unionAll(s2Drops).unionAll(s3Drops).unionAll(s4Bench)
+      .unionAll(s4Cont).unionAll(s5Drops)
   }
 
   val corpusEnd2End: Q = (s, d) =>
@@ -1662,6 +1782,20 @@ object PipelineQueries {
       quasiCols = Seq(col("lang"),
         (col("n_chars") / 100).cast("long").as("len_bucket")),
       sensitiveCol = "source", l = 3)
+
+  /** t-closeness audit (round 13,
+    * [[graft.operators.Profile.tCloseness]]): the same quasi-identifier
+    * combination as q_ldiv_audit with source as the sensitive
+    * attribute — a (lang, len_bucket) group whose source MIX deviates
+    * from the corpus-wide mix by variational distance > 0.2 leaks
+    * through the skew even when l-diverse. Exact-integer numerators,
+    * t one fixed IEEE chain, hash-gate exact. */
+  val tcloseAudit: Q = (s, d) =>
+    graft.operators.Profile.tCloseness(
+      Tables.documents(s, d),
+      quasiCols = Seq(col("lang"),
+        (col("n_chars") / 100).cast("long").as("len_bucket")),
+      sensitiveCol = "source", t = 0.2)
 
   /** Per-language source-mix entropy (round 12,
     * [[graft.operators.Profile.categoryEntropy]]): the concentration

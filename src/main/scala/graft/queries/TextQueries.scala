@@ -352,6 +352,24 @@ object TextQueries {
       length(norm(raw)).as("n_chars_nfc"))
   }
 
+  /** Blocklist screen (round 13,
+    * [[graft.functions.GraftFunctions.blockTermHits]]): which block
+    * terms (including multi-word phrases and an overlapping
+    * prefix pair) occur in each doc — ONE Aho–Corasick walk per row
+    * regardless of dictionary size, where a regex alternation pays
+    * O(terms) per char. Map-only, stays in whole-stage codegen. */
+  val blocklistHits: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val terms = Seq("slow scan", "big query", "fast merge", "vector",
+      "drop table", "slow")
+    Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.GraftFunctions.blockTermHits(
+          lower(coalesce(col("text"), lit(""))), terms).as("__h"))
+      .select(col("doc_id"),
+        concat_ws("|", col("__h")).as("hits"),
+        size(col("__h")).cast("long").as("n_hits"))
+  }
+
   /** Markup extraction (round 5): each doc wrapped in a realistic HTML
     * shell (head/style/comment/attributes/entities/script-with-nested-
     * tags), then stripped back to text. The digests hash-match DuckDB

@@ -42,6 +42,12 @@ class SqlSurfaceSpec extends SparkSpec {
         "FROM VALUES (10L),(20L),(30L) AS t(x)") === Seq(20L, 30L))
   }
 
+  test("block_term_hits multi-pattern matcher") {
+    assert(one[Seq[String]](
+      "SELECT block_term_hits('the big query ran', " +
+        "concat('big query', chr(1), 'slow'))") === Seq("big query"))
+  }
+
   test("pq kernels") {
     assert(one[Seq[Int]](
       "SELECT pq_encode(array(1.0D,2.0D), array(0.0D,0.0D), 1, 1)") === Seq(0))

@@ -234,6 +234,101 @@ class DriftSpec extends SparkSpec {
     assert(e2.getMessage.contains("zero within-group"), e2.getMessage)
   }
 
+  test("jonckheereTerpstra: 2-group case equals Mann–Whitney z; ties " +
+      "split and correct the variance") {
+    import spark.implicits._
+    // A=[1,2] < B=[3,4]: J = 4, mu = 2, sigma = sqrt(5/3) -> the MW z
+    val two = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("g", "v")
+    val r = Drift.jonckheereTerpstra(two, "g", "v", Seq("A", "B"),
+      identity).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 2L)), r.toString)
+    assert(r.getAs[Double]("j") == 4.0, r.toString)
+    assert(math.abs(r.getAs[Double]("z") -
+      2.0 / math.sqrt(5.0 / 3.0)) < 1e-12, r.toString)
+    // A=[1,1], B=[2], C=[2,3]: J = 2 + 4 + 1.5 = 7.5 (the B/C tie
+    // contributes a half); tie groups at BOTH v=1 (A's pair) and v=2:
+    // A = 300−36−36 = 228, B = 0, C = 4·4 = 16 -> z = 14/sqrt(16 sigma2)
+    val three = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("C", 2.0),
+      ("C", 3.0)).toDF("g", "v")
+    val r3 = Drift.jonckheereTerpstra(three, "g", "v",
+      Seq("A", "B", "C"), identity).collect().head
+    assert(r3.getAs[Double]("j") == 7.5, r3.toString)
+    val sig2x4 = 228.0 / 18.0 + 16.0 / 40.0
+    assert(math.abs(r3.getAs[Double]("z") -
+      14.0 / math.sqrt(4.0 * sig2x4)) < 1e-12, r3.toString)
+  }
+
+  test("jonckheereTerpstra raises on unmapped groups and tied-flat " +
+      "input; is bucket-invariant") {
+    import spark.implicits._
+    val three = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("C", 2.0),
+      ("C", 3.0)).toDF("g", "v")
+    val zb = Drift.jonckheereTerpstra(three, "g", "v",
+        Seq("A", "B", "C"), v => floor(v / 2.0))
+      .collect().head.getAs[Double]("z")
+    val zi = Drift.jonckheereTerpstra(three, "g", "v",
+        Seq("A", "B", "C"), identity)
+      .collect().head.getAs[Double]("z")
+    assert(zb == zi, s"$zb vs $zi")
+    val e1 = intercept[Exception] {
+      Drift.jonckheereTerpstra(three, "g", "v", Seq("A", "B"),
+        identity).collect()
+    }
+    assert(e1.getMessage.contains("not in groupOrder"), e1.getMessage)
+    val flat = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0)).toDF("g", "v")
+    val e2 = intercept[Exception] {
+      Drift.jonckheereTerpstra(flat, "g", "v", Seq("A", "B"),
+        identity).collect()
+    }
+    assert(e2.getMessage.contains("zero null variance"), e2.getMessage)
+  }
+
+  test("leveneBF hand-computed: interpolated and odd medians, W=1.1607…") {
+    import spark.implicits._
+    // A=[1,2,3,10]: med2=200+300 (interpolated 2.50), z=|2v−500| =
+    // [300,100,100,1500]; B=[5,5,6]: med2=500+500 (odd n doubles the
+    // central value), z=[0,0,200]. t = 2000²/4 + 200²/3; ssb_h =
+    // t − 2200²/7; ssw_h = 2400000 − t; W = ssb/(ssw/5) = 1.160714…
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 10.0),
+      ("B", 5.0), ("B", 5.0), ("B", 6.0)).toDF("g", "v")
+    val r = Drift.leveneBF(df, "g", "v", v => floor(v / 200.0))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((7L, 2L)))
+    assert(math.abs(r.getAs[Double]("ss_between") - 8.047619047619048)
+      < 1e-9, r.toString)
+    assert(math.abs(r.getAs[Double]("ss_within") - 34.666666666666667)
+      < 1e-9, r.toString)
+    assert(math.abs(r.getAs[Double]("w") - 1.1607142857142858) < 1e-12,
+      r.toString)
+  }
+
+  test("leveneBF is bucket-invariant and raises loudly on degenerates") {
+    import spark.implicits._
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 10.0),
+      ("B", 5.0), ("B", 5.0), ("B", 6.0)).toDF("g", "v")
+    // the bucket only partitions the median two-phase — any monotone
+    // bucketing (including the degenerate single bucket) must agree
+    val w1 = Drift.leveneBF(df, "g", "v", _ => lit(0L))
+      .collect().head.getAs[Double]("w")
+    val w2 = Drift.leveneBF(df, "g", "v", v => floor(v / 200.0))
+      .collect().head.getAs[Double]("w")
+    assert(w1 == w2, s"$w1 vs $w2")
+    val one = Seq(("A", 1.0), ("A", 2.0)).toDF("g", "v")
+    val e1 = intercept[Exception] {
+      Drift.leveneBF(one, "g", "v", identity).collect()
+    }
+    assert(e1.getMessage.contains("at least 2 groups"), e1.getMessage)
+    // every value equals its group median ⇒ all deviations 0 ⇒ W 0/0
+    val flat = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0))
+      .toDF("g", "v")
+    val e2 = intercept[Exception] {
+      Drift.leveneBF(flat, "g", "v", identity).collect()
+    }
+    assert(e2.getMessage.contains("zero within-group deviation"),
+      e2.getMessage)
+  }
+
   test("cliffsDelta hand-computed: a=[1,2,3] vs b=[2,3,4] gives -5/9") {
     import spark.implicits._
     // #(a>b)=1, #(a<b)=6, ties=2: U_a = 1 + 0.5*2 = 2,

@@ -235,4 +235,59 @@ class EvalSpec extends SparkSpec {
     assert(e.getMessage.contains("pe = 1"))
   }
 
+  test("cochranQ hand-computed: Q=3 and invariant to all-equal items") {
+    import spark.implicits._
+    // C=[3,2,1], T=6, R=[2,1,3,0], ΣR²=14:
+    // Q = 2·(3·14_C² − 36)/(18 − 14) = 2·(42−36)/4 = 3
+    val base = Seq(
+      (1, "A", true), (1, "B", true), (1, "C", false),
+      (2, "A", true), (2, "B", false), (2, "C", false))
+    val allEq = Seq(
+      (3, "A", true), (3, "B", true), (3, "C", true),
+      (4, "A", false), (4, "B", false), (4, "C", false))
+    val r = Eval.cochranQ((base ++ allEq).toDF("i", "t", "s"),
+      "i", "t", "s").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 3L)), r.toString)
+    assert(math.abs(r.getAs[Double]("q") - 3.0) < 1e-12, r.toString)
+    // Cochran's Q is invariant to all-success/all-failure items —
+    // dropping them must give the identical statistic
+    val r2 = Eval.cochranQ(base.toDF("i", "t", "s"), "i", "t", "s")
+      .collect().head
+    assert(math.abs(r2.getAs[Double]("q") - 3.0) < 1e-12, r2.toString)
+  }
+
+  test("cochranQ raises loudly on broken designs") {
+    import spark.implicits._
+    // missing cell: item 2 has no C
+    val miss = Seq((1, "A", true), (1, "B", true), (1, "C", false),
+      (2, "A", true), (2, "B", false))
+    val e1 = intercept[Exception] {
+      Eval.cochranQ(miss.toDF("i", "t", "s"), "i", "t", "s").collect()
+    }
+    assert(e1.getMessage.contains("incomplete design"), e1.getMessage)
+    // duplicate cell
+    val dup = Seq((1, "A", true), (1, "A", false), (1, "B", true),
+      (2, "A", true), (2, "B", false))
+    val e2 = intercept[Exception] {
+      Eval.cochranQ(dup.toDF("i", "t", "s"), "i", "t", "s").collect()
+    }
+    assert(e2.getMessage.contains("duplicate (item, treatment)"),
+      e2.getMessage)
+    // no within-item variation: Q is 0/0
+    val flat = Seq((1, "A", true), (1, "B", true),
+      (2, "A", false), (2, "B", false))
+    val e3 = intercept[Exception] {
+      Eval.cochranQ(flat.toDF("i", "t", "s"), "i", "t", "s").collect()
+    }
+    assert(e3.getMessage.contains("no within-item variation"),
+      e3.getMessage)
+    // a null success cell is a loud raise, not a silent drop
+    val nul = Seq((1, "A", Some(true)), (1, "B", None),
+      (2, "A", Some(true)), (2, "B", Some(false)))
+    val e4 = intercept[Exception] {
+      Eval.cochranQ(nul.toDF("i", "t", "s"), "i", "t", "s").collect()
+    }
+    assert(e4.getMessage.contains("null success cell"), e4.getMessage)
+  }
+
 }

@@ -89,4 +89,34 @@ class ProfileSpec extends SparkSpec {
     assert(got("g3")._2 == 2L &&
       math.abs(got("g3")._3 - math.log(2.0)) < 1e-6, got.toString)
   }
+
+  test("tCloseness: hand-computed variational distance incl. a group " +
+      "missing a global value; NULL sensitive raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // global mix: x=4, y=4, z=2 (N=10) -> p=(0.4,0.4,0.2)
+    // A: 3x,1y -> ½(0.35+0.15+0.2)=0.35 ; B: 1x,3y -> 0.35 ;
+    // C: 2z (z only) -> ½(0.4+0.4+0.8)=0.8
+    val rows = Seq.fill(3)(("A", "x")) ++ Seq(("A", "y")) ++
+      Seq(("B", "x")) ++ Seq.fill(3)(("B", "y")) ++
+      Seq.fill(2)(("C", "z"))
+    val got = Profile.tCloseness(rows.toDF("g", "v").repartition(3),
+        Seq(col("g")), "v", t = 0.5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        r.getAs[Double]("t_dist"), r.getAs[Boolean]("at_risk")))).toMap
+    val want = Map("A" -> ((4L, 0.35, false)), "B" -> ((4L, 0.35, false)),
+      "C" -> ((2L, 0.8, true)))
+    assert(got.keySet == want.keySet, got.toString)
+    want.foreach { case (g, (cnt, td, risk)) =>
+      val (c2, t2, r2) = got(g)
+      assert(c2 == cnt && r2 == risk && math.abs(t2 - td) < 1e-12,
+        s"$g: ${got(g)}")
+    }
+    val withNull = Seq(("A", Some("x")), ("A", None)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Profile.tCloseness(withNull, Seq(col("g")), "v", t = 0.5).collect()
+    }
+    assert(e.getMessage.contains("NULL sensitive value"), e.getMessage)
+  }
 }

@@ -176,6 +176,42 @@ class TextScoreSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("heapsFit: checkpoint growth curve matches the closed-form OLS; " +
+      "degenerates raise") {
+    import spark.implicits._
+    // ids 0..4, G=4 ⇒ checkpoints 1,2,3,4:
+    // N=[4,6,8,9] tokens, V=[3,4,4,5] types
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "b d"),
+      (3L, "a a"), (4L, "e")).toDF("doc_id", "text")
+    val r = TextScore.heapsFit(docs, "doc_id", "text", gridSize = 4)
+      .collect().head
+    val xs = Seq(4.0, 6.0, 8.0, 9.0).map(math.log)
+    val ys = Seq(3.0, 4.0, 4.0, 5.0).map(math.log)
+    val n = 4.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - beta * sx) / n
+    assert(r.getLong(0) == 4L && r.getLong(1) == 9L && r.getLong(2) == 5L,
+      r.toString)
+    assert(math.abs(r.getAs[Double]("beta") - beta) < 1e-6, r.toString)
+    assert(math.abs(r.getAs[Double]("intercept") - icept) < 1e-6,
+      r.toString)
+    // a single distinct order value has no curve
+    val one = Seq((7L, "a b c")).toDF("doc_id", "text")
+    val e1 = intercept[Exception] {
+      TextScore.heapsFit(one, "doc_id", "text").collect()
+    }
+    assert(e1.getMessage.contains("single value"), e1.getMessage)
+    // every checkpoint sees the same tokens: the fit is 0/0
+    val flat = Seq((0L, "a b c d"), (100L, "")).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      TextScore.heapsFit(flat, "doc_id", "text", gridSize = 4).collect()
+    }
+    assert(e2.getMessage.contains("zero token growth"), e2.getMessage)
+  }
+
   test("scriptMix: Latin+Cyrillic and Latin+Greek confusables counted " +
       "per token; pure-script tokens pass") {
     import spark.implicits._
