@@ -1032,6 +1032,15 @@ object ScaleBench {
       graft.queries.PipelineQueries.corpusEnd2EndFrom(docsN)))
     results += (("corpus_end2end", te2e1, te2eN))
 
+    // drop ledger: the same S1-S5 stage frames as corpus_end2end plus
+    // id-keyed anti-joins and per-digest/per-id min aggregates — must
+    // track corpus_end2end's ratio
+    val tdl1 = time("drop_ledger 1x")(noop(
+      graft.queries.PipelineQueries.corpusDropLedgerFrom(docs1)))
+    val tdlN = time(s"drop_ledger ${factor}x")(noop(
+      graft.queries.PipelineQueries.corpusDropLedgerFrom(docsN)))
+    results += (("drop_ledger", tdl1, tdlN))
+
     // incremental agg: the REFRESH cost is what scales — delta ×N into
     // a fixed-cardinality rollup; base table rows constant
     def ivmOf(base: DataFrame, delta: DataFrame) =

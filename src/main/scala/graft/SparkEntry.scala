@@ -165,6 +165,7 @@ object SparkEntry {
     "q_ivfpq_append_planted" -> PipelineQueries.ivfPqAppendPlanted,
     "q_pipeline_e2e" -> PipelineQueries.pipelineE2e,
     "q_corpus_end2end" -> PipelineQueries.corpusEnd2End,
+    "q_drop_ledger" -> PipelineQueries.corpusDropLedger,
     "q_minhash_transitive" -> PipelineQueries.minhashTransitive,
     "q_profile" -> PipelineQueries.profileLineitem,
     "q_multimodal_transform" -> PipelineQueries.multimodalTransform,
@@ -1468,6 +1469,105 @@ object SparkEntry {
     // 60/30/30 are the exact ⌊w·120⌋ for dyadic weights .5/.25/.25;
     // shard/key/digest arithmetic is the q_shuffle_shards/q_manifest
     // recipe (md5 hex → BIGINT via the 0x cast)
+    // drop-provenance ledger: the same S1–S5 CTE chain as
+    // q_corpus_end2end, emitting one row per dropped doc at its FIRST
+    // dropping stage with the displacing culprit where one exists
+    "q_drop_ledger" -> """
+      WITH q AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' '))::INT AS n_tokens
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr')
+          AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+          AND length(text)::DOUBLE / len(string_split(text, ' ')) < 12),
+      keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+      s2 AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+      w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                 t -> t <> '') AS w
+        FROM s2),
+      shing AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tk
+        FROM w),
+      tok AS (
+        SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
+        FROM shing WHERE len(tk) > 0),
+      ov AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               a.n AS n1, b.n AS n2, count(*) AS overlap
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      neardup AS (
+        SELECT id2 AS doc_id, min(id1)::BIGINT AS culprit
+        FROM ov
+        WHERE overlap * 1.0 / (n1 + n2 - overlap) >= 0.6
+        GROUP BY id2),
+      s3 AS (SELECT * FROM s2
+             WHERE doc_id NOT IN (SELECT doc_id FROM neardup)),
+      toked AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents),
+      ngr AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+4], ' '))) AS ng
+        FROM toked WHERE len(t) >= 5),
+      bench AS (SELECT DISTINCT ng FROM ngr WHERE doc_id < 5),
+      contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM (SELECT doc_id, ng FROM ngr WHERE doc_id >= 5) c
+        JOIN bench USING (ng)),
+      s4 AS (
+        SELECT * FROM s3
+        WHERE doc_id >= 5
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      mixed AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+          FROM s4) r
+        WHERE rn <= CASE lang WHEN 'en' THEN 60 ELSE 30 END),
+      s1d AS (
+        SELECT doc_id, 's1_quality' AS stage,
+               CASE WHEN NOT coalesce(lang IN ('en', 'de', 'fr'), FALSE)
+                      THEN 'lang_filtered'
+                    WHEN NOT coalesce(len(string_split(text, ' '))
+                      BETWEEN 20 AND 1000, FALSE) THEN 'token_count'
+                    ELSE 'chars_per_token' END AS reason,
+               NULL::BIGINT AS culprit_id
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM q)),
+      s2d AS (
+        SELECT q.doc_id, 's2_exact_dup' AS stage,
+               'exact_duplicate' AS reason, k.keep_id AS culprit_id
+        FROM q JOIN (SELECT text, min(doc_id) AS keep_id
+                     FROM q GROUP BY text) k USING (text)
+        WHERE q.doc_id <> k.keep_id),
+      s3d AS (
+        SELECT doc_id, 's3_near_dup' AS stage,
+               'jaccard_near_duplicate' AS reason, culprit AS culprit_id
+        FROM neardup),
+      s4b AS (
+        SELECT doc_id, 's4_decontam' AS stage, 'benchmark_doc' AS reason,
+               NULL::BIGINT AS culprit_id
+        FROM s3 WHERE doc_id < 5),
+      s4c AS (
+        SELECT doc_id, 's4_decontam' AS stage, 'contaminated' AS reason,
+               NULL::BIGINT AS culprit_id
+        FROM s3 WHERE doc_id >= 5
+          AND doc_id IN (SELECT doc_id FROM contaminated)),
+      s5d AS (
+        SELECT doc_id, 's5_mix_quota' AS stage, 'quota_cut' AS reason,
+               NULL::BIGINT AS culprit_id
+        FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM mixed))
+      SELECT * FROM s1d UNION ALL SELECT * FROM s2d
+      UNION ALL SELECT * FROM s3d UNION ALL SELECT * FROM s4b
+      UNION ALL SELECT * FROM s4c UNION ALL SELECT * FROM s5d""",
+
     "q_corpus_end2end" -> """
       WITH q AS (
         SELECT doc_id, lang, text,

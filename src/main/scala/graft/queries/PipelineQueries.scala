@@ -1005,6 +1005,10 @@ object PipelineQueries {
     corpusEnd2EndFrom(Tables.documents(s, d),
       pairs = Some(DedupQueries.verifiedPairs(s, d)))
 
+  val corpusDropLedger: Q = (s, d) =>
+    corpusDropLedgerFrom(Tables.documents(s, d),
+      pairs = Some(DedupQueries.verifiedPairs(s, d)))
+
   /** End-to-end training-data pipeline, every stage SQL-checkable:
     * quality gate → exact dedup survivors (min id per sha256) →
     * benchmark decontamination (drop docs sharing any 5-gram with

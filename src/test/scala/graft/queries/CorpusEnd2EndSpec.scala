@@ -52,6 +52,48 @@ class CorpusEnd2EndSpec extends SparkSpec {
     assert(manifest.filter(col("digest") === 0).count() == 0)
   }
 
+  test("drop ledger: every dropped doc appears ONCE at its first " +
+      "dropping stage with the right reason and culprit; ledger + " +
+      "survivors partition the corpus") {
+    val docs = Seq(
+      (0L, "en", text("bench")),
+      (10L, "zz", text("langout")),
+      (11L, "en", "short text only"),
+      (12L, "en", (0 until 24).map(i => "x" * 13 + i).mkString(" ")),
+      (21L, "en", text("exact")),
+      (22L, "en", text("exact")),
+      (31L, "de", text("near", 30)),
+      (32L, "de", text("near", 30) + " neartok999"),
+      // shares 22 of its 32 trigrams with the bench doc: J = 0.6875,
+      // so it falls to the NEAR-DUP stage (culprit 0), not decontam —
+      // the first-dropping-stage discipline under test
+      (100L, "en", text("bench") + " extra1 extra2 extra3 extra4 " +
+        "extra5 extra6 extra7 extra8 extra9 extra10"),
+      (200L, "en", text("cen")),
+      (300L, "fr", text("cfr"))
+    ).toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("source", lit("src0"))
+
+    val got = PipelineQueries.corpusDropLedgerFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    val want = Map(
+      10L -> (("s1_quality", "lang_filtered", None)),
+      11L -> (("s1_quality", "token_count", None)),
+      12L -> (("s1_quality", "chars_per_token", None)),
+      22L -> (("s2_exact_dup", "exact_duplicate", Some(21L))),
+      32L -> (("s3_near_dup", "jaccard_near_duplicate", Some(31L))),
+      100L -> (("s3_near_dup", "jaccard_near_duplicate", Some(0L))),
+      0L -> (("s4_decontam", "benchmark_doc", None)))
+    assert(got == want, s"got $got")
+    // partition property: ledger ids + manifest survivors = all ids
+    val manifest = PipelineQueries.corpusEnd2EndFrom(docs)
+    val nSurv = manifest.agg(sum("n_rows")).collect().head.getLong(0)
+    assert(got.size + nSurv == docs.count(),
+      s"${got.size} dropped + $nSurv kept != ${docs.count()}")
+  }
+
   test("mixing quotas bind: an over-quota language is cut to " +
       "floor(w * budget) deterministically") {
     // 70 distinct clean en docs -> quota 60 must bind; de/fr empty
