@@ -142,6 +142,7 @@ object SparkEntry {
       ((s, d) => streaming.StreamOps.streamStaticJoin(s, d)),
     "q_stream_stateful" -> ((s, d) => streaming.StreamOps.statefulPerUser(s, d)),
     "q_stream_decontam" -> ((s, d) => streaming.StreamOps.streamDecontam(s, d)),
+    "q_stream_blocklist" -> ((s, d) => streaming.StreamOps.streamBlocklist(s, d)),
     // riff parity (R2/R6, E28, E40)
     "q_riff_roundtrip" -> RiffQueries.riffRoundtrip,
     "q_map_funcs" -> RiffQueries.mapFuncs,
@@ -1449,6 +1450,20 @@ object SparkEntry {
       FROM (SELECT doc_id, ng FROM ngr WHERE doc_id >= 5) c
       JOIN bench b ON c.ng = b.ng
       GROUP BY 1""",
+
+    // streaming blocklist: stateless map-only replay — output must be
+    // row-identical to the batch q_blocklist_hits oracle
+    "q_stream_blocklist" -> """
+      WITH t AS (SELECT doc_id, lower(coalesce(text, '')) AS txt
+                 FROM documents),
+      h AS (SELECT doc_id,
+              list_filter(['slow scan', 'big query', 'fast merge',
+                           'vector', 'drop table', 'slow'],
+                p -> contains(txt, p)) AS hl
+            FROM t)
+      SELECT doc_id, coalesce(array_to_string(hl, '|'), '') AS hits,
+             len(hl)::BIGINT AS n_hits
+      FROM h""",
 
     "q_stream_decontam" -> """
       WITH toked AS (

@@ -542,6 +542,28 @@ object StreamOps {
   def streamDecontam(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, streamDecontamPlan(spark, dir), OutputMode.Complete())
 
+  /** Streaming blocklist screen: arriving documents pass through the
+    * Aho–Corasick kernel ([[graft.functions.GraftFunctions
+    * .blockTermHits]]) the moment they land — the at-ingest posture of
+    * the batch q_blocklist_hits. The plan is STATELESS (map-only per
+    * row, Append mode, no watermark, no state store): the screen adds
+    * zero streaming state at any corpus rate, and the ONE automaton
+    * kernel serves both tiers, so batch and stream can never disagree
+    * on a term. */
+  def streamBlocklistPlan(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val terms = Seq("slow scan", "big query", "fast merge", "vector",
+      "drop table", "slow")
+    replayDocuments(spark, dir).select(col("doc_id"),
+        graft.functions.GraftFunctions.blockTermHits(
+          lower(coalesce(col("text"), lit(""))), terms).as("__h"))
+      .select(col("doc_id"), concat_ws("|", col("__h")).as("hits"),
+        size(col("__h")).cast("long").as("n_hits"))
+  }
+
+  def streamBlocklist(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, streamBlocklistPlan(spark, dir), OutputMode.Append())
+
   /** Streaming near-dup ingest: arriving documents are flagged against
     * the STATIC persisted MinHash signature index ([[graft.operators
     * .IncrementalDedup]]) — the online half of the daily-ingest loop
@@ -810,5 +832,7 @@ object StreamOps {
       OutputMode.Complete()),
     ("stream_chunks", streamChunksPlan(spark, dir), OutputMode.Append()),
     ("stream_neardup", streamNearDupPlan(spark, dir),
-      OutputMode.Complete()))
+      OutputMode.Complete()),
+    ("stream_blocklist", streamBlocklistPlan(spark, dir),
+      OutputMode.Append()))
 }
