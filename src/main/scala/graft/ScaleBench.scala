@@ -2143,6 +2143,41 @@ object ScaleBench {
       results += (("jonckheere", tjt1, tjtN))
     }
     {
+      // Kaplan–Meier + log-rank: per-user grouped scans to the subject
+      // table, then everything rides the bounded day grid — expect
+      // scan-bound at worst (replicated users add grid COUNTS, not
+      // grid rows)
+      val evS = graft.sources.Tables.events(spark, sf)
+      val evSN = replicate(evS, Seq("event_id", "user_id"), 10000000L)
+      def subjOf(e: DataFrame) = {
+        val us = expr("unix_micros(ts)")
+        val base = e.filter(col("ts").isNotNull)
+        val span = base.groupBy(col("user_id"))
+          .agg(min(us).as("__t0"), max(us).as("__tl"))
+        val conv = base
+          .filter(col("event_type") === "purchase" && col("value") >= 90)
+          .groupBy(col("user_id").as("__cu")).agg(min(us).as("__tp"))
+        span.join(conv, col("user_id") <=> col("__cu"), "left")
+          .select(col("user_id"),
+            when(col("__tp").isNotNull,
+              expr("(__tp - __t0) div 86400000000"))
+              .otherwise(expr("(__tl - __t0) div 86400000000"))
+              .as("duration"),
+            col("__tp").isNotNull.as("converted"))
+      }
+      def kmOf(e: DataFrame) = graft.operators.Survival.kaplanMeier(
+        subjOf(e), "duration", "converted")
+      val tkm1 = time("kaplan_meier 1x")(noop(kmOf(evS)))
+      val tkmN = time(s"kaplan_meier ${factor}x")(noop(kmOf(evSN)))
+      results += (("kaplan_meier", tkm1, tkmN))
+      def lrOf(e: DataFrame) = graft.operators.Survival.logRank(
+        subjOf(e).withColumn("cohort", pmod(col("user_id"), lit(2))),
+        "duration", "converted", "cohort")
+      val tlr1 = time("log_rank 1x")(noop(lrOf(evS)))
+      val tlrN = time(s"log_rank ${factor}x")(noop(lrOf(evSN)))
+      results += (("log_rank", tlr1, tlrN))
+    }
+    {
       // Aho–Corasick blocklist screen: map-only automaton walk — the
       // pii_luhn/script_mix pure-scan class, floor is the text scan
       def blOf(d: DataFrame) = d.select(col("doc_id"),

@@ -411,6 +411,8 @@ object SparkEntry {
     "q_anova_f" -> PipelineQueries.anovaShipmode,
     "q_levene_bf" -> PipelineQueries.leveneReturnflag,
     "q_jonckheere" -> PipelineQueries.jtPriority,
+    "q_kaplan_meier" -> PipelineQueries.kaplanMeierRetention,
+    "q_log_rank" -> PipelineQueries.logRankCohorts,
     "q_cliffs_delta" -> PipelineQueries.cliffsDeltaPrices,
     "q_mann_kendall" -> PipelineQueries.mannKendallOrders,
     "q_llr_keyness" -> PipelineQueries.llrKeynessLangs,
@@ -3058,6 +3060,106 @@ object SparkEntry {
       SELECT n, k, ss_between, ss_within, f,
              ss_between / (ss_between + ss_within) AS eta2
       FROM res""",
+
+    // Kaplan–Meier: per-user day spans with explicit censoring, suffix
+    // -sum risk sets over the bounded day grid, survival =
+    // exp(time-ordered ln cumsum) × the current exact factor (the
+    // d = n exhausted-risk-set row pins its term to 0.0 — ln(0) is
+    // NULL in Spark and raises in DuckDB), 6dp
+    "q_kaplan_meier" -> """
+      WITH span AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS tl
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+      conv AS (
+        SELECT user_id, min(epoch_us(ts)) AS tp
+        FROM events
+        WHERE ts IS NOT NULL AND event_type = 'purchase'
+          AND value >= 90
+        GROUP BY user_id),
+      subj AS (SELECT CASE WHEN tp IS NOT NULL
+                 THEN (tp - t0) // 86400000000
+                 ELSE (tl - t0) // 86400000000 END AS dur,
+               (tp IS NOT NULL) AS ev
+               FROM span LEFT JOIN conv USING (user_id)),
+      g AS (SELECT dur AS t,
+              sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS d,
+              sum(CASE WHEN ev THEN 0 ELSE 1 END)::BIGINT AS c
+            FROM subj GROUP BY dur),
+      r AS (SELECT t, d, c,
+              sum(d + c) OVER (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                ::BIGINT AS n
+            FROM g),
+      e AS (SELECT t, n, d, c,
+              CASE WHEN d = n THEN 0.0
+                   ELSE ln(1.0 - d::DOUBLE / n::DOUBLE) END AS lnterm
+            FROM r WHERE d > 0),
+      sfin AS (SELECT t, n, d, c,
+                 coalesce(sum(lnterm) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0.0) AS cum
+               FROM e)
+      SELECT t, n AS n_risk, d, c,
+             round(exp(cum) * (1.0 - d::DOUBLE / n::DOUBLE), 6) AS s
+      FROM sfin""",
+
+    // log-rank: pooled risk sets per parity cohort, hypergeometric E/V
+    // terms folded in time order, chi2 one raw chain
+    "q_log_rank" -> """
+      WITH span AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS tl
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+      conv AS (
+        SELECT user_id, min(epoch_us(ts)) AS tp
+        FROM events
+        WHERE ts IS NOT NULL AND event_type = 'purchase'
+          AND value >= 90
+        GROUP BY user_id),
+      subj AS (SELECT user_id % 2 AS grp,
+                 CASE WHEN tp IS NOT NULL
+                   THEN (tp - t0) // 86400000000
+                   ELSE (tl - t0) // 86400000000 END AS dur,
+                 (tp IS NOT NULL) AS ev
+               FROM span LEFT JOIN conv USING (user_id)),
+      cells AS (SELECT dur AS t,
+          sum(CASE WHEN ev AND grp = 0 THEN 1 ELSE 0 END)::BIGINT AS da,
+          sum(CASE WHEN ev AND grp <> 0 THEN 1 ELSE 0 END)::BIGINT AS db,
+          sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS ta,
+          sum(CASE WHEN grp <> 0 THEN 1 ELSE 0 END)::BIGINT AS tb
+        FROM subj GROUP BY dur),
+      risk AS (SELECT t, da, db,
+          sum(ta) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ::BIGINT AS na,
+          sum(tb) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ::BIGINT AS nb
+        FROM cells),
+      evr AS (SELECT t, da, db, na, nb FROM risk WHERE da + db > 0),
+      terms AS (SELECT t,
+          (da + db)::DOUBLE * na::DOUBLE / (na + nb)::DOUBLE AS e,
+          CASE WHEN na + nb = 1 THEN 0.0
+               ELSE (da + db)::DOUBLE
+                    * (na::DOUBLE / (na + nb)::DOUBLE)
+                    * (1.0 - na::DOUBLE / (na + nb)::DOUBLE)
+                    * ((na + nb)::DOUBLE - (da + db)::DOUBLE)
+                    / ((na + nb)::DOUBLE - 1.0) END AS v
+        FROM evr),
+      f AS (SELECT
+          list_reduce(list_prepend(0.0, list(e ORDER BY t)),
+            (a, b) -> a + b) AS ea,
+          list_reduce(list_prepend(0.0, list(v ORDER BY t)),
+            (a, b) -> a + b) AS vs
+        FROM terms),
+      oa AS (SELECT coalesce(sum(da), 0)::BIGINT AS o FROM evr),
+      ns AS (SELECT sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT
+                      AS n_a,
+                    sum(CASE WHEN grp <> 0 THEN 1 ELSE 0 END)::BIGINT
+                      AS n_b
+             FROM subj)
+      SELECT n_a, n_b, o::DOUBLE AS o_a, ea AS e_a,
+             (o::DOUBLE - ea) * (o::DOUBLE - ea) / vs AS chi2
+      FROM ns, oa, f""",
 
     // Jonckheere–Terpstra: union-value × k grid, per-group cumulative
     // below-counts (plain windows — the operator's bucket two-phase is

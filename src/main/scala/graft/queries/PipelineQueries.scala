@@ -421,6 +421,47 @@ object PipelineQueries {
           lpad(month(col("l_shipdate")).cast("string"), 2, "0")),
       "ship_month", "l_extendedprice")
 
+  /** Shared subject table of the survival gates: per-user days from
+    * first activity to first HIGH-VALUE purchase (value ≥ 90), with
+    * EXPLICIT censoring — a user who never converts is censored at
+    * their last-seen day, not counted as "converted at last event".
+    * The distinction a plain conversion-rate curve gets wrong. */
+  private def survivalSubjects(s: SparkSession, d: String): DataFrame = {
+    val us = expr("unix_micros(ts)")
+    val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+    val span = ev.groupBy(col("user_id"))
+      .agg(min(us).as("__t0"), max(us).as("__tl"))
+    val conv = ev
+      .filter(col("event_type") === "purchase" && col("value") >= 90)
+      .groupBy(col("user_id").as("__cu")).agg(min(us).as("__tp"))
+    span.join(conv, col("user_id") <=> col("__cu"), "left")
+      .select(col("user_id"),
+        when(col("__tp").isNotNull,
+          expr("(__tp - __t0) div 86400000000"))
+          .otherwise(expr("(__tl - __t0) div 86400000000"))
+          .as("duration"),
+        col("__tp").isNotNull.as("converted"))
+  }
+
+  /** Kaplan–Meier time-to-conversion curve (round 13,
+    * [[graft.operators.Survival.kaplanMeier]]): censoring-aware S(t)
+    * over per-user conversion delays — the curve q_cohort_retention
+    * approximates without censoring. Bounded day grid, suffix-sum
+    * risk sets, time-ordered ln cumsum, 6dp. */
+  val kaplanMeierRetention: Q = (s, d) =>
+    graft.operators.Survival.kaplanMeier(survivalSubjects(s, d),
+      "duration", "converted")
+
+  /** Log-rank test (round 13, [[graft.operators.Survival.logRank]]):
+    * do the two parity cohorts convert at different rates — the
+    * hypergeometric O−E comparison on the SAME risk sets the KM curve
+    * walks; χ² one raw chain off the time-ordered fold. */
+  val logRankCohorts: Q = (s, d) =>
+    graft.operators.Survival.logRank(
+      survivalSubjects(s, d)
+        .withColumn("cohort", pmod(col("user_id"), lit(2))),
+      "duration", "converted", "cohort")
+
   /** Jonckheere–Terpstra trend ([[graft.operators
     * .Drift.jonckheereTerpstra]], round 13): does order value rise
     * across the five priority classes IN ORDER — the
