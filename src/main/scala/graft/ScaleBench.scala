@@ -2176,6 +2176,11 @@ object ScaleBench {
       val tlr1 = time("log_rank 1x")(noop(lrOf(evS)))
       val tlrN = time(s"log_rank ${factor}x")(noop(lrOf(evSN)))
       results += (("log_rank", tlr1, tlrN))
+      def naOf(e: DataFrame) = graft.operators.Survival.nelsonAalen(
+        subjOf(e), "duration", "converted")
+      val tna1 = time("nelson_aalen 1x")(noop(naOf(evS)))
+      val tnaN = time(s"nelson_aalen ${factor}x")(noop(naOf(evSN)))
+      results += (("nelson_aalen", tna1, tnaN))
     }
     {
       // Aho–Corasick blocklist screen: map-only automaton walk — the

@@ -412,6 +412,7 @@ object SparkEntry {
     "q_levene_bf" -> PipelineQueries.leveneReturnflag,
     "q_jonckheere" -> PipelineQueries.jtPriority,
     "q_kaplan_meier" -> PipelineQueries.kaplanMeierRetention,
+    "q_nelson_aalen" -> PipelineQueries.nelsonAalenHazard,
     "q_log_rank" -> PipelineQueries.logRankCohorts,
     "q_cliffs_delta" -> PipelineQueries.cliffsDeltaPrices,
     "q_mann_kendall" -> PipelineQueries.mannKendallOrders,
@@ -3102,6 +3103,37 @@ object SparkEntry {
       SELECT t, n AS n_risk, d, c,
              round(exp(cum) * (1.0 - d::DOUBLE / n::DOUBLE), 6) AS s
       FROM sfin""",
+
+    // Nelson–Aalen: the KM grid with a time-ordered cumulative of
+    // rational d/n terms, shipped raw
+    "q_nelson_aalen" -> """
+      WITH span AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS tl
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+      conv AS (
+        SELECT user_id, min(epoch_us(ts)) AS tp
+        FROM events
+        WHERE ts IS NOT NULL AND event_type = 'purchase'
+          AND value >= 90
+        GROUP BY user_id),
+      subj AS (SELECT CASE WHEN tp IS NOT NULL
+                 THEN (tp - t0) // 86400000000
+                 ELSE (tl - t0) // 86400000000 END AS dur,
+               (tp IS NOT NULL) AS ev
+               FROM span LEFT JOIN conv USING (user_id)),
+      g AS (SELECT dur AS t,
+              sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS d,
+              sum(CASE WHEN ev THEN 0 ELSE 1 END)::BIGINT AS c
+            FROM subj GROUP BY dur),
+      r AS (SELECT t, d,
+              sum(d + c) OVER (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                ::BIGINT AS n
+            FROM g)
+      SELECT t, n AS n_risk, d,
+             sum(d::DOUBLE / n::DOUBLE) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+      FROM r WHERE d > 0""",
 
     // log-rank: pooled risk sets per parity cohort, hypergeometric E/V
     // terms folded in time order, chi2 one raw chain

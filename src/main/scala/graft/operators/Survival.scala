@@ -105,6 +105,37 @@ object Survival {
             col("__n").cast("double")), 6).as("s"))
   }
 
+  /** Nelson–Aalen cumulative hazard — the estimator a reliability /
+    * failure-rate monitor reads alongside [[kaplanMeier]]'s survival
+    * probability: `H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ` (the instantaneous-risk
+    * integral; S ≈ e^−H, and the two diverge exactly where risk sets
+    * thin — the signal itself). Same bounded-grid shape as
+    * [[kaplanMeier]]: one duration shuffle, suffix-sum risk sets, a
+    * time-ordered cumulative of rational d/n terms — each term one
+    * exact-integer IEEE division, the cumsum order-pinned in both
+    * engines, shipped RAW.
+    *
+    * @return one row per distinct EVENT time, ascending:
+    *         (t, n_risk, d, h) */
+  def nelsonAalen(df: DataFrame, durationCol: String, eventCol: String,
+      maxTimes: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = grid(df, durationCol, eventCol, "nelsonAalen", maxTimes)
+    val wSuf = Window.partitionBy(Bounded.constPart(col("__t")))
+      .orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = g.withColumn("__n", sum(col("__nt")).over(wSuf))
+    val wCum = Window.partitionBy(Bounded.constPart(col("__t")))
+      .orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withRisk.filter(col("__d") > 0)
+      .withColumn("__term",
+        col("__d").cast("double") / col("__n").cast("double"))
+      .select(col("__t").as("t"), col("__n").as("n_risk"),
+        col("__d").as("d"),
+        sum(col("__term")).over(wCum).as("h"))
+  }
+
   /** Log-rank test (Mantel–Cox) — "do these two cohorts' survival
     * curves differ": at every event time the observed group-A events
     * are compared to the hypergeometric expectation given the pooled

@@ -452,6 +452,14 @@ object PipelineQueries {
     graft.operators.Survival.kaplanMeier(survivalSubjects(s, d),
       "duration", "converted")
 
+  /** Nelson–Aalen cumulative hazard (round 13,
+    * [[graft.operators.Survival.nelsonAalen]]): the failure-rate
+    * integral over the same subjects — read next to the KM curve
+    * (S ≈ e^−H; divergence marks thinning risk sets). */
+  val nelsonAalenHazard: Q = (s, d) =>
+    graft.operators.Survival.nelsonAalen(survivalSubjects(s, d),
+      "duration", "converted")
+
   /** Log-rank test (round 13, [[graft.operators.Survival.logRank]]):
     * do the two parity cohorts convert at different rates — the
     * hypergeometric O−E comparison on the SAME risk sets the KM curve

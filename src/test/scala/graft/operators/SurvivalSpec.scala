@@ -18,6 +18,21 @@ class SurvivalSpec extends SparkSpec {
       (3L, 4L, 2L, 0L, 0.416667), (5L, 1L, 1L, 0L, 0.0)), got.toString)
   }
 
+  test("nelsonAalen hand curve: H cumulates d/n over the same grid") {
+    val subj = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, false), (5L, true)).toDF("dur", "ev")
+    val got = Survival.nelsonAalen(subj, "dur", "ev").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) ==
+      Seq((1L, 6L, 1L), (3L, 4L, 2L), (5L, 1L, 1L)), got.toString)
+    val hs = got.map(_._4)
+    assert(math.abs(hs(0) - 1.0 / 6.0) < 1e-12, hs.toString)
+    assert(math.abs(hs(1) - (1.0 / 6.0 + 0.5)) < 1e-12, hs.toString)
+    assert(math.abs(hs(2) - (1.0 / 6.0 + 0.5 + 1.0)) < 1e-12,
+      hs.toString)
+  }
+
   test("logRank hand-computed: chi2 = 25/17 on the 2x2 staggered " +
       "cohorts; degenerates raise") {
     val subj = Seq(("A", 1L, true), ("A", 2L, true),
