@@ -2131,6 +2131,18 @@ object ScaleBench {
       results += (("tclose_audit", ttc1, ttcN))
     }
     {
+      // centroid silhouette: one posexplode aggregate to k·d centroid
+      // cells + a map-only n·k scoring pass — expect scan-bound linear
+      def silOf(e: DataFrame) = graft.operators.Clustering
+        .silhouetteCentroid(e.filter(col("label").isNotNull)
+          .withColumn("qv", transform(col("embedding"),
+            x => floor(x.cast("double") * 128.0) / 128.0)),
+          "vec_id", "qv", "label")
+      val tsi1 = time("silhouette 1x")(noop(silOf(emb1)))
+      val tsiN = time(s"silhouette ${factor}x")(noop(silOf(embN)))
+      results += (("silhouette", tsi1, tsiN))
+    }
+    {
       // Jonckheere–Terpstra: union-value × 5 grid + bounded windows —
       // values are near-distinct prices, so the grid is ~5× the value
       // table; expect shuffle-linear at worst

@@ -413,6 +413,7 @@ object SparkEntry {
     "q_jonckheere" -> PipelineQueries.jtPriority,
     "q_kaplan_meier" -> PipelineQueries.kaplanMeierRetention,
     "q_nelson_aalen" -> PipelineQueries.nelsonAalenHazard,
+    "q_silhouette" -> VectorQueries.silhouetteLabels,
     "q_log_rank" -> PipelineQueries.logRankCohorts,
     "q_cliffs_delta" -> PipelineQueries.cliffsDeltaPrices,
     "q_mann_kendall" -> PipelineQueries.mannKendallOrders,
@@ -2221,6 +2222,39 @@ object SparkEntry {
                  i -> b.v[i+1] * sgn.sv[i+1])),
                (a, x) -> a + x) / sqrt(16), 6) AS v
       FROM b, sgn""",
+
+    // centroid silhouette: components snap to the 1/128 dyadic grid so
+    // the centroid means are order-free EXACT; the distance fold is
+    // dimension-ordered in both engines; per-point silhouettes
+    // quantize to exact 1e-6 longs before the cluster mean
+    "q_silhouette" -> """
+      WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                 x -> floor(x::DOUBLE * 128.0) / 128.0) AS v
+        FROM embeddings WHERE label IS NOT NULL),
+      pts AS (SELECT vec_id, label, r.i AS pos, v[r.i + 1] AS x
+              FROM q CROSS JOIN range(0, 64) AS r(i)),
+      cent AS (SELECT label AS cl, pos, sum(x) / count(*) AS m
+               FROM pts GROUP BY label, pos),
+      d AS (SELECT p.vec_id AS vec_id, p.label AS label, c.cl AS cl,
+              sqrt(list_reduce(list_prepend(0.0,
+                list((p.x - c.m) * (p.x - c.m) ORDER BY p.pos)),
+                (a, b) -> a + b)) AS dist
+            FROM pts p JOIN cent c ON p.pos = c.pos
+            GROUP BY p.vec_id, p.label, c.cl),
+      sil AS (SELECT vec_id, label,
+                max(CASE WHEN cl = label THEN dist END) AS a,
+                min(CASE WHEN cl <> label THEN dist END) AS b
+              FROM d GROUP BY vec_id, label),
+      sq AS (SELECT label,
+               CASE WHEN greatest(a, b) = 0 THEN 0
+                    ELSE floor((b - a) / greatest(a, b) * 1000000.0) END
+                 ::BIGINT AS s6
+             FROM sil)
+      SELECT label, count(*)::BIGINT AS n,
+             sum(s6)::DOUBLE / count(*)::DOUBLE / 1000000.0 AS mean_s
+      FROM sq GROUP BY label""",
 
     "q_embed_centroids" -> """
       SELECT label, i::INT AS pos, count(*) AS n,

@@ -42,6 +42,88 @@ object Clustering {
         round(best.getField("sim"), 6).as("centroid_sim"))
   }
 
+  /** Centroid silhouette — the cluster-quality monitor next to
+    * [[assign]]: per point `s = (b − a) / max(a, b)` with `a` the L2
+    * distance to the OWN cluster's centroid and `b` the nearest OTHER
+    * centroid (the simplified/centroid silhouette — O(n·k) instead of
+    * the O(n²) pairwise form, the only form that exists at corpus
+    * scale), averaged per cluster. Near 1: tight and separated; near
+    * 0: on a boundary; negative: probably mis-assigned — the number a
+    * clustering-based curation step tracks round over round.
+    *
+    * Distributed shape: centroids are per-(cluster, dim) means off ONE
+    * posexplode aggregate (k·d rows), re-packed and BROADCAST (k
+    * guarded by `maxClusters`); each point then scores against all k
+    * in a map-only pass — n·k rows, never n². Per-cluster means ride
+    * QUANTIZED silhouettes (⌊s·10⁶⌋ as exact longs), so the cross-row
+    * sum is order-free; mean_s is one fixed division chain.
+    *
+    * Cross-engine exactness: the distance fold is dimension-ordered in
+    * both engines and every per-row chain is deterministic; the
+    * centroid MEANS are sums of the input components, so they are
+    * order-free only when components sit on a fixed-point grid —
+    * quantize upstream (the registered gate snaps to 1/128) for
+    * hash-exact results on float corpora.
+    *
+    * Loud degenerates: a NULL cluster assignment (an unassigned point
+    * would silently skew its cluster's mean), fewer than 2 clusters
+    * (b does not exist), more than `maxClusters`. A point equidistant
+    * at 0 from two centroids scores 0 (the standard a = b
+    * convention).
+    *
+    * @return one row per cluster: (clusterCol, n, mean_s) — mean_s at
+    *         1e-6 grain */
+  def silhouetteCentroid(df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, maxClusters: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("__id"),
+      when(col(clusterCol).isNull, raise_error(lit(
+        "Clustering.silhouetteCentroid: NULL cluster assignment — an " +
+          "unassigned point silently skews its cluster's mean; filter " +
+          "or assign explicitly first")))
+        .otherwise(col(clusterCol)).as("__cl"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val expl = base.select(col("__cl"),
+      posexplode(col("__v")).as(Seq("__p", "__x")))
+    val cent = expl.groupBy(col("__cl").as("__cc"), col("__p"))
+      .agg((sum("__x") / count(lit(1))).as("__m"))
+    // constPart needs a NUMERIC anchor — the cluster key may be a
+    // string, so anchor on its length
+    val wAll = Window.partitionBy(
+      Bounded.constPart(length(col("__cc").cast("string"))))
+    val centArr = cent.groupBy(col("__cc"))
+      .agg(sort_array(collect_list(struct(col("__p"), col("__m"))))
+        .as("__ms"))
+      .select(col("__cc"),
+        transform(col("__ms"), s => s.getField("__m")).as("__cent"))
+      .withColumn("__cent",
+        when(count(lit(1)).over(wAll) > maxClusters, raise_error(lit(
+          s"Clustering.silhouetteCentroid: more than $maxClusters " +
+            "clusters — the centroid table broadcasts")))
+          .otherwise(col("__cent")))
+    val dists = base.crossJoin(broadcast(centArr))
+      .withColumn("__dist", sqrt(aggregate(
+        zip_with(col("__v"), col("__cent"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, t) => acc + t)))
+    val perPoint = dists.groupBy(col("__id"), col("__cl"))
+      .agg(max(when(col("__cl") === col("__cc"), col("__dist")))
+        .as("__a"),
+        min(when(col("__cl") =!= col("__cc"), col("__dist"))).as("__b"))
+    val s = perPoint.select(col("__cl"),
+      when(col("__b").isNull, raise_error(lit(
+        "Clustering.silhouetteCentroid: need at least 2 clusters — " +
+          "no 'nearest other centroid' exists")))
+        .otherwise(
+          when(greatest(col("__a"), col("__b")) === 0.0, lit(0.0))
+            .otherwise((col("__b") - col("__a")) /
+              greatest(col("__a"), col("__b")))).as("__s"))
+    s.groupBy(col("__cl").as(clusterCol))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("__s") * lit(1000000.0)).cast("long"))
+          .cast("double") / count(lit(1)).cast("double") /
+          lit(1000000.0)).as("mean_s"))
+  }
+
   /** Cluster-balanced diversity sample: up to `perCluster` docs per
     * cluster, ranked by content hash (deterministic) — the
     * cluster-stratified sampling a diversity-balanced corpus uses

@@ -155,6 +155,19 @@ object VectorQueries {
       .agg(count(lit(1)).as("n"),
         round(avg(col("x").cast("double")), 6).as("v"))
 
+  /** Centroid silhouette per label class (round 13,
+    * [[graft.operators.Clustering.silhouetteCentroid]]): how tight and
+    * separated the 10 label clusters are — the cluster-quality number
+    * a clustering-based curation step tracks. Components snap to the
+    * 1/128 dyadic grid first, so the centroid means are order-free
+    * exact and the whole gate hashes without a rounding tier. */
+  val silhouetteLabels: Q = (s, d) =>
+    graft.operators.Clustering.silhouetteCentroid(
+      Tables.embeddings(s, d).filter(col("label").isNotNull)
+        .withColumn("qv", transform(col("embedding"),
+          x => floor(x.cast("double") * 128.0) / 128.0)),
+      "vec_id", "qv", "label")
+
   /** Planted co-assignment gate for k-means clustering (round 4): ten
     * base vectors × four byte-identical copies (ids offset past the
     * table max, the SF-proof recipe). Whatever the hash seeding picked,

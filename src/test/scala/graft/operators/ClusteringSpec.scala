@@ -50,4 +50,40 @@ class ClusteringSpec extends SparkSpec {
       "per-cluster bound exceeded")
     assert(s1.size == 12, "4 clusters x 3 each from 12-member groups")
   }
+
+  test("silhouetteCentroid hand geometry: symmetric 2-cluster layout, " +
+      "coincident-centroid zero, degenerates raise") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A: (0,0),(0,2) -> centroid (0,1); B: (4,0),(4,2) -> (4,1).
+    // Every point: a = 1, b = sqrt(17), s = 1 - 1/sqrt(17);
+    // floor(s*1e6) = 757464
+    val pts = Seq((1L, "A", Seq(0.0, 0.0)), (2L, "A", Seq(0.0, 2.0)),
+      (3L, "B", Seq(4.0, 0.0)), (4L, "B", Seq(4.0, 2.0)))
+      .toDF("id", "cl", "v")
+    val got = Clustering.silhouetteCentroid(pts, "id", "v", "cl")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("A" -> ((2L, 0.757464)), "B" -> ((2L, 0.757464))),
+      got.toString)
+    // two clusters collapsed onto the same point: a = b = 0 -> s = 0
+    val zero = Seq((1L, "A", Seq(0.0, 0.0)), (2L, "B", Seq(0.0, 0.0)))
+      .toDF("id", "cl", "v")
+    val z = Clustering.silhouetteCentroid(zero, "id", "v", "cl")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(z == Seq(0.0, 0.0), z.toString)
+    val one = Seq((1L, "A", Seq(0.0)), (2L, "A", Seq(1.0)))
+      .toDF("id", "cl", "v")
+    val e1 = intercept[Exception] {
+      Clustering.silhouetteCentroid(one, "id", "v", "cl").collect()
+    }
+    assert(e1.getMessage.contains("at least 2 clusters"), e1.getMessage)
+    val nul = Seq((1L, Some("A"), Seq(0.0)), (2L, None, Seq(1.0)))
+      .toDF("id", "cl", "v")
+    val e2 = intercept[Exception] {
+      Clustering.silhouetteCentroid(nul, "id", "v", "cl").collect()
+    }
+    assert(e2.getMessage.contains("NULL cluster assignment"),
+      e2.getMessage)
+  }
 }
