@@ -2200,8 +2200,7 @@ object ScaleBench {
       def blOf(d: DataFrame) = d.select(col("doc_id"),
           graft.functions.GraftFunctions.blockTermHits(
             lower(coalesce(col("text"), lit(""))),
-            Seq("slow scan", "big query", "fast merge", "vector",
-              "drop table", "slow")).as("hits"))
+            graft.functions.GraftFunctions.BlockTerms).as("hits"))
         .withColumn("n_hits", size(col("hits")).cast("long"))
       val tbl1x = time("blocklist_hits 1x")(noop(blOf(docs1)))
       val tblNx = time(s"blocklist_hits ${factor}x")(noop(blOf(docsN)))

@@ -1457,12 +1457,11 @@ object SparkEntry {
 
     // streaming blocklist: stateless map-only replay — output must be
     // row-identical to the batch q_blocklist_hits oracle
-    "q_stream_blocklist" -> """
+    "q_stream_blocklist" -> s"""
       WITH t AS (SELECT doc_id, lower(coalesce(text, '')) AS txt
                  FROM documents),
       h AS (SELECT doc_id,
-              list_filter(['slow scan', 'big query', 'fast merge',
-                           'vector', 'drop table', 'slow'],
+              list_filter(${graft.functions.GraftFunctions.blockTermsSqlList},
                 p -> contains(txt, p)) AS hl
             FROM t)
       SELECT doc_id, coalesce(array_to_string(hl, '|'), '') AS hits,
@@ -5084,12 +5083,11 @@ object SparkEntry {
     // blocklist screen: the oracle is the definitional per-term
     // contains() filter over the same literal list (same order) — the
     // automaton must agree with it term-for-term
-    "q_blocklist_hits" -> """
+    "q_blocklist_hits" -> s"""
       WITH t AS (SELECT doc_id, lower(coalesce(text, '')) AS txt
                  FROM documents),
       h AS (SELECT doc_id,
-              list_filter(['slow scan', 'big query', 'fast merge',
-                           'vector', 'drop table', 'slow'],
+              list_filter(${graft.functions.GraftFunctions.blockTermsSqlList},
                 p -> contains(txt, p)) AS hl
             FROM t)
       SELECT doc_id, coalesce(array_to_string(hl, '|'), '') AS hits,

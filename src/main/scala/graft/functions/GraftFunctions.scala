@@ -256,6 +256,25 @@ object GraftFunctions {
     call_function("bpe_encode", text,
       org.apache.spark.sql.functions.lit(spec))
   }
+  /** THE blocklist term list shared by the batch gate
+    * (q_blocklist_hits), the streaming gate (q_stream_blocklist), the
+    * ScaleBench drill, and both DuckDB oracle strings — hoisted here
+    * (r14, ADVICE) so batch, stream, drill and oracle can never
+    * diverge on a term: every site references this one constant or its
+    * [[blockTermsSqlList]] rendering. */
+  val BlockTerms: Seq[String] = Seq("slow scan", "big query",
+    "fast merge", "vector", "drop table", "slow")
+
+  /** [[BlockTerms]] rendered as a DuckDB list literal (single-quoted,
+    * same order) for the oracle SQL strings. Raises at build time on a
+    * term that would need escaping — the oracle literal must stay
+    * byte-predictable. */
+  def blockTermsSqlList: String = {
+    BlockTerms.foreach(t => require(!t.contains("'"),
+      s"blockTermsSqlList: term '$t' carries a quote"))
+    BlockTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+  }
+
   /** Distinct blocklist terms found as substrings of `text`, in the
     * order of `terms` — ONE Aho–Corasick walk per row regardless of
     * dictionary size (see [[AcAutomaton]]). Case-sensitive exact

@@ -82,25 +82,52 @@ object Clustering {
           "unassigned point silently skews its cluster's mean; filter " +
           "or assign explicitly first")))
         .otherwise(col(clusterCol)).as("__cl"),
-      transform(col(vecCol), x => x.cast("double")).as("__v"))
+      // loud on a NULL vector or NULL component (r14 ADVICE): sum()
+      // would skip the element while count(lit(1)) still counts it,
+      // silently biasing the centroid — impute or drop upstream
+      when(col(vecCol).isNull, raise_error(lit(
+        "Clustering.silhouetteCentroid: NULL vector — drop or impute " +
+          "the row first")))
+        .when(exists(col(vecCol), x => x.isNull), raise_error(lit(
+          "Clustering.silhouetteCentroid: NULL vector component — the " +
+            "centroid mean would silently skip it; impute or drop the " +
+            "row first")))
+        .otherwise(transform(col(vecCol), x => x.cast("double")))
+        .as("__v"))
     val expl = base.select(col("__cl"),
       posexplode(col("__v")).as(Seq("__p", "__x")))
+    // __cnt: contributors per (cluster, position) — positions are
+    // contiguous from posexplode, so mixed vector lengths WITHIN a
+    // cluster show as min(__cnt) ≠ max(__cnt) (the tail positions see
+    // fewer points); checked on the bounded k×dim table below
     val cent = expl.groupBy(col("__cl").as("__cc"), col("__p"))
-      .agg((sum("__x") / count(lit(1))).as("__m"))
+      .agg((sum("__x") / count(lit(1))).as("__m"),
+        count(lit(1)).as("__cnt"))
     // constPart needs a NUMERIC anchor — the cluster key may be a
     // string, so anchor on its length
     val wAll = Window.partitionBy(
       Bounded.constPart(length(col("__cc").cast("string"))))
     val centArr = cent.groupBy(col("__cc"))
       .agg(sort_array(collect_list(struct(col("__p"), col("__m"))))
-        .as("__ms"))
-      .select(col("__cc"),
+        .as("__ms"),
+        (min("__cnt") === max("__cnt")).as("__dimOk"))
+      .select(col("__cc"), col("__dimOk"),
         transform(col("__ms"), s => s.getField("__m")).as("__cent"))
       .withColumn("__cent",
         when(count(lit(1)).over(wAll) > maxClusters, raise_error(lit(
           s"Clustering.silhouetteCentroid: more than $maxClusters " +
             "clusters — the centroid table broadcasts")))
+          // mixed vector lengths (r14 ADVICE): within-cluster via the
+          // contributor-count check, cross-cluster via the bounded
+          // window — either would otherwise surface as null distances
+          // and a misleading 'need at least 2 clusters' raise
+          .when(!col("__dimOk") ||
+            min(size(col("__cent"))).over(wAll) =!=
+              max(size(col("__cent"))).over(wAll), raise_error(lit(
+            "Clustering.silhouetteCentroid: mixed vector lengths — " +
+              "every point needs the same dimensionality")))
           .otherwise(col("__cent")))
+      .drop("__dimOk")
     val dists = base.crossJoin(broadcast(centArr))
       .withColumn("__dist", sqrt(aggregate(
         zip_with(col("__v"), col("__cent"), (x, c) => (x - c) * (x - c)),

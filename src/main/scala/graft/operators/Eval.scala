@@ -548,7 +548,11 @@ object Eval {
           "Eval.cochranQ: incomplete design — every item needs exactly " +
             "one cell per treatment")))
       .otherwise(col("k"))
-    val kD = col("k").cast(dec)
+    // kD derives from kChecked (not the raw k) so the design-validation
+    // raises ride the `q` expression itself — a consumer that selects
+    // just `q` must not let Catalyst prune the guards (the
+    // anovaF/leveneBF precedent)
+    val kD = kChecked.cast(dec)
     val num = (kD - lit(1).cast(dec)) *
       (kD * col("__c2") - col("__tot") * col("__tot"))
     val den = kD * col("__tot") - col("__r2")

@@ -360,8 +360,7 @@ object TextQueries {
     * O(terms) per char. Map-only, stays in whole-stage codegen. */
   val blocklistHits: Q = (s, d) => {
     graft.functions.GraftFunctions.register(s)
-    val terms = Seq("slow scan", "big query", "fast merge", "vector",
-      "drop table", "slow")
+    val terms = graft.functions.GraftFunctions.BlockTerms
     Tables.documents(s, d).select(col("doc_id"),
         graft.functions.GraftFunctions.blockTermHits(
           lower(coalesce(col("text"), lit(""))), terms).as("__h"))

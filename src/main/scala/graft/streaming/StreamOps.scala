@@ -552,8 +552,7 @@ object StreamOps {
     * on a term. */
   def streamBlocklistPlan(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val terms = Seq("slow scan", "big query", "fast merge", "vector",
-      "drop table", "slow")
+    val terms = graft.functions.GraftFunctions.BlockTerms
     replayDocuments(spark, dir).select(col("doc_id"),
         graft.functions.GraftFunctions.blockTermHits(
           lower(coalesce(col("text"), lit(""))), terms).as("__h"))

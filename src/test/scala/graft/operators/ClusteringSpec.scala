@@ -85,5 +85,29 @@ class ClusteringSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("NULL cluster assignment"),
       e2.getMessage)
+    // r14 ADVICE: a NULL component must raise, not silently bias the
+    // centroid (sum skips it, count(lit(1)) still counts it)
+    val nulc = Seq((1L, "A", Seq(Some(0.0), None)),
+      (2L, "B", Seq(Some(1.0), Some(1.0)))).toDF("id", "cl", "v")
+    val e3 = intercept[Exception] {
+      Clustering.silhouetteCentroid(nulc, "id", "v", "cl").collect()
+    }
+    assert(e3.getMessage.contains("NULL vector component"),
+      e3.getMessage)
+    // mixed vector lengths raise loudly (both within-cluster and
+    // cross-cluster), not a misleading 'need at least 2 clusters'
+    val mixedIn = Seq((1L, "A", Seq(0.0, 0.0)), (2L, "A", Seq(1.0)),
+      (3L, "B", Seq(4.0, 4.0))).toDF("id", "cl", "v")
+    val e4 = intercept[Exception] {
+      Clustering.silhouetteCentroid(mixedIn, "id", "v", "cl").collect()
+    }
+    assert(e4.getMessage.contains("mixed vector lengths"), e4.getMessage)
+    val mixedAcross = Seq((1L, "A", Seq(0.0, 0.0)),
+      (2L, "B", Seq(4.0))).toDF("id", "cl", "v")
+    val e5 = intercept[Exception] {
+      Clustering.silhouetteCentroid(mixedAcross, "id", "v", "cl")
+        .collect()
+    }
+    assert(e5.getMessage.contains("mixed vector lengths"), e5.getMessage)
   }
 }

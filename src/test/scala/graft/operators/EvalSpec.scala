@@ -288,6 +288,14 @@ class EvalSpec extends SparkSpec {
       Eval.cochranQ(nul.toDF("i", "t", "s"), "i", "t", "s").collect()
     }
     assert(e4.getMessage.contains("null success cell"), e4.getMessage)
+    // r14 ADVICE: the design raise must survive a q-only projection —
+    // Catalyst prunes unreferenced columns, so the guards have to ride
+    // the q expression itself (the anovaF/leveneBF precedent)
+    val e5 = intercept[Exception] {
+      Eval.cochranQ(miss.toDF("i", "t", "s"), "i", "t", "s")
+        .select("q").collect()
+    }
+    assert(e5.getMessage.contains("incomplete design"), e5.getMessage)
   }
 
 }
