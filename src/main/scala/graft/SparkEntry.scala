@@ -98,7 +98,9 @@ object SparkEntry {
     "q_minhash_dedup" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       graft.operators.Dedup.minhashDedup(
         graft.sources.Tables.documents(s, d), "doc_id", "text",
-        numHashes = 32, bands = 8, threshold = 0.5)
+        numHashes = DedupQueries.MinhashNumHashes,
+        bands = DedupQueries.MinhashBands,
+        threshold = DedupQueries.MinhashDedupThreshold)
         .groupBy("source")
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n_survivors"))),

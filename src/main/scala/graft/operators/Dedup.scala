@@ -330,9 +330,13 @@ object Dedup {
     * id exactly once per side for the verify.
     *
     * Returns (a, b, cos) with a < b. */
-  def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, tables: Int = 4, bits: Int = 12,
-      dim: Int = 64, seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
+  /** Candidate (a, b) id pairs of the hyperplane-LSH semantic path —
+    * the pre-verification stage of [[semanticNearDup]], exposed so
+    * [[graft.DedupQualityBench]] can measure candidate fraction
+    * (pairs scored / all pairs) alongside recall. */
+  def semanticCandidates(df: DataFrame, idCol: String, vecCol: String,
+      tables: Int = 4, bits: Int = 12, dim: Int = 64, seed: Long = 42L,
+      maxBucket: Int = 2000): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val planes = AnnSearch.hyperplanes(tables, bits, dim, seed)
     val bucketed = df.select(col(idCol).as("id"),
@@ -344,11 +348,18 @@ object Dedup {
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBucket))
     val pruned = bucketed.join(sizes, Seq("table", "bucket"))
-    val pairs = pruned.select(col("table"), col("bucket"), col("id").as("a"))
+    pruned.select(col("table"), col("bucket"), col("id").as("a"))
       .join(pruned.select(col("table"), col("bucket"), col("id").as("b")),
         Seq("table", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 4, bits: Int = 12,
+      dim: Int = 64, seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
+    val pairs = semanticCandidates(df, idCol, vecCol, tables, bits,
+      dim, seed, maxBucket)
     val v = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
     pairs
       .join(v.select(col("__vid").as("a"), col("__v").as("va")), Seq("a"))

@@ -23,14 +23,37 @@ object DedupQueries {
 
   /** MinHash-LSH near-dup candidates (E35) — rows-only; recall/precision
     * asserted in DedupSpec against brute-force token Jaccard. */
+  /** Registered realistic-dedup parameterizations — named ONCE and
+    * shared with [[graft.DedupQualityBench]] (the per-round pair-level
+    * precision/recall artifact, r13 verdict #1) and DedupQualitySpec,
+    * so the measured-quality record can never drift from what the
+    * gates run — the same discipline the ANN family got in r13. */
+  val MinhashNumHashes = 32
+  val MinhashBands = 8
+  val MinhashNearDupThreshold = 0.3 // q_minhash_neardup
+  val MinhashDedupThreshold = 0.5 // q_minhash_dedup
+  val MinhashSurvivorThreshold = 0.4 // q_minhash_keep_best/_transitive
+  val SimhashMaxHamming = 3 // q_simhash_neardup
+  /** q_semantic_dedup operating point, retuned r14 from measurement
+    * (DedupQualityBench sweep, PERF.md): the old t=0.5 with 4×12
+    * hyperplane tables missed ~95% of true cos-0.5 pairs (per-table
+    * collision (1-θ/π)^bits ≈ 0.008 at 60°) — the hyperplane path is
+    * a NEAR-duplicate detector, so the gate now runs the SemDeDup
+    * regime: t=0.9 with 8 tables × 10 bits = measured recall 0.97 on
+    * the cos≥0.9 band at candidate fraction 0.012. */
+  val SemanticDedupThreshold = 0.9 // q_semantic_dedup
+  val SemanticTables = 8
+  val SemanticBits = 10
+
   val minhashNearDup: Q = (s, d) =>
     Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
-      numHashes = 32, bands = 8, threshold = 0.3)
+      numHashes = MinhashNumHashes, bands = MinhashBands,
+      threshold = MinhashNearDupThreshold)
 
   /** SimHash near-dup pairs (E35) — rows-only. */
   val simhashNearDup: Q = (s, d) =>
     Dedup.simhashNearDup(Tables.documents(s, d), "doc_id", "text",
-      maxHamming = 3)
+      maxHamming = SimhashMaxHamming)
 
   /** Embedding-cosine near-dup pairs (E35/E36) — exact, oracle-matched. */
   val embedNearDup: Q = (s, d) =>
@@ -42,7 +65,8 @@ object DedupQueries {
     * SQL-expressible), planted-duplicate oracle in SemanticDedupSpec. */
   val semanticDedup: Q = (s, d) =>
     Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.5)
+        threshold = SemanticDedupThreshold, tables = SemanticTables,
+        bits = SemanticBits)
       .groupBy("label")
       .agg(count(lit(1)).as("n_survivors"))
 

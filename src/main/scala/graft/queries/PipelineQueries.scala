@@ -859,7 +859,8 @@ object PipelineQueries {
     * in DedupSpec). Returns per-lang survivor counts. */
   val minhashKeepBest: Q = (s, d) =>
     Dedup.minhashDedupKeepBest(Tables.documents(s, d), "doc_id", "text",
-        qualityCol = "n_chars", threshold = 0.4)
+        qualityCol = "n_chars",
+        threshold = DedupQueries.MinhashSurvivorThreshold)
       .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
 
   /** Multimodal transform plumbing under the driver oracle (E40): the
@@ -899,7 +900,7 @@ object PipelineQueries {
     * rows-only — ComponentsSpec carries the BFS reference oracle). */
   val minhashTransitive: Q = (s, d) =>
     Dedup.minhashDedupTransitive(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.4)
+        threshold = DedupQueries.MinhashSurvivorThreshold)
       .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
 
   /** The FULL training-data chain as ONE composed flow (round-13
