@@ -221,6 +221,9 @@ object Bench {
       () => { graft.sources.Layout.bloomIndexedEventsDir(spark, sfDir); () })
     prebuild("q_mv_rewrite",
       () => graft.queries.PipelineQueries.ensureMvRewriteArtifacts(spark, sfDir))
+    prebuild("q_corpus_incremental",
+      () => graft.queries.PipelineQueries
+        .ensureCorpusIncrementalArtifacts(spark, sfDir))
 
     // The 3x-noise-suspect reference (round 13): elementwise MIN of the
     // best-known map (BENCH_BEST.json) and the last full run

@@ -91,6 +91,14 @@ object SparkEntry {
     "q_winnow_fingerprints" -> TextQueries.winnowFingerprints,
     "q_decile_norm" -> PipelineQueries.decileNorm,
     "q_text_lang_markers" -> TextQueries.textLangMarkers,
+    // r14: the same text screens re-gated on the realistic generated
+    // corpus (TextQueries.richDocs) next to their word-soup twins
+    "q_script_mix_rich" -> TextQueries.scriptMixRich,
+    "q_pii_rich" -> TextQueries.piiRich,
+    "q_blocklist_rich" -> TextQueries.blocklistRich,
+    "q_code_fences_rich" -> TextQueries.codeFencesRich,
+    "q_lang_markers_rich" -> TextQueries.langMarkersRich,
+    "q_neardup_rich" -> TextQueries.neardupRich,
     "q_lang_id" -> TextQueries.langId,
     "q_text_bigrams" -> TextQueries.textBigrams,
     "q_ngram_jaccard" -> TextQueries.ngramJaccard,
@@ -168,6 +176,7 @@ object SparkEntry {
     "q_ivfpq_append_planted" -> PipelineQueries.ivfPqAppendPlanted,
     "q_pipeline_e2e" -> PipelineQueries.pipelineE2e,
     "q_corpus_end2end" -> PipelineQueries.corpusEnd2End,
+    "q_corpus_incremental" -> PipelineQueries.corpusIncremental,
     "q_drop_ledger" -> PipelineQueries.corpusDropLedger,
     "q_minhash_transitive" -> PipelineQueries.minhashTransitive,
     "q_profile" -> PipelineQueries.profileLineitem,
@@ -497,6 +506,138 @@ object SparkEntry {
              array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
       FROM base,
            unnest(range(0, CAST(ceil(n / 48.0) AS BIGINT))) AS r(i)"""
+
+  /** The from-scratch corpus-chain replay — shared verbatim by
+    * q_corpus_end2end AND q_corpus_incremental: the incremental
+    * path must reproduce the batch manifest exactly (the
+    * cross-stage IVM contract, r13 verdict #4), so the two gates
+    * hash against ONE oracle. */
+  private val CorpusEnd2EndOracle: String = """
+      WITH q AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' '))::INT AS n_tokens
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr')
+          AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+          AND length(text)::DOUBLE / len(string_split(text, ' ')) < 12),
+      keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+      s2 AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+      w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                 t -> t <> '') AS w
+        FROM s2),
+      shing AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tk
+        FROM w),
+      tok AS (
+        SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
+        FROM shing WHERE len(tk) > 0),
+      ov AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               a.n AS n1, b.n AS n2, count(*) AS overlap
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      neardup AS (
+        SELECT DISTINCT id2 AS doc_id FROM ov
+        WHERE overlap * 1.0 / (n1 + n2 - overlap) >= 0.6),
+      s3 AS (SELECT * FROM s2
+             WHERE doc_id NOT IN (SELECT doc_id FROM neardup)),
+      toked AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      ngr AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+4], ' '))) AS ng
+        FROM toked WHERE len(t) >= 5),
+      bench AS (SELECT DISTINCT ng FROM ngr WHERE doc_id < 5),
+      contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM (SELECT doc_id, ng FROM ngr WHERE doc_id >= 5) c
+        JOIN bench USING (ng)),
+      s4 AS (
+        SELECT * FROM s3
+        WHERE doc_id >= 5
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      mixed AS (
+        SELECT doc_id, lang, n_tokens FROM (
+          SELECT doc_id, lang, n_tokens,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+          FROM s4) r
+        WHERE rn <= CASE lang WHEN 'en' THEN 60 ELSE 30 END),
+      packed AS (
+        SELECT doc_id, lang, n_tokens,
+               (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT
+                 AS start_off
+        FROM mixed),
+      chunked AS (
+        SELECT doc_id, lang, n_tokens,
+               (start_off // 256)::BIGINT AS chunk_id
+        FROM packed),
+      sharded AS (
+        SELECT *,
+               (('0x' || substr(md5('graft_' || doc_id::VARCHAR), 1, 8))
+                  ::BIGINT % 8)::INT AS shard
+        FROM chunked)
+      SELECT doc_id % 16 AS bucket, count(*) AS n_rows,
+             bit_xor(('0x' || substr(md5(
+               doc_id::VARCHAR
+                 || chr(1) || chr(3) || lang
+                 || chr(1) || chr(3) || n_tokens::VARCHAR
+                 || chr(1) || chr(3) || chunk_id::VARCHAR
+                 || chr(1) || chr(3) || shard::VARCHAR),
+               1, 15))::BIGINT) AS digest
+      FROM sharded GROUP BY 1"""
+
+  /** The DuckDB replay of [[graft.queries.TextQueries.richDocs]] —
+    * the realistic generated corpus (r14): literals + md5 words +
+    * id arithmetic only, byte-identical across engines. Ends
+    * mid-WITH so the *_rich oracles append their operator CTEs. */
+  private val RichDocsSql: String = """      WITH rich0 AS (
+        SELECT doc_id,
+          CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+            ELSE 'fr' END AS lang,
+          'Dr. ' || CASE doc_id % 4 WHEN 0 THEN 'Alice Smith'
+              WHEN 1 THEN 'Bob Jones' WHEN 2 THEN 'Carol White'
+              ELSE 'Dan Brown' END
+          || ' wrote about ' || substr(md5(doc_id::VARCHAR || '_w1'), 1, 6)
+          || ' on 2024-03-' || (doc_id % 28 + 1)
+          || '. The order #' || doc_id
+          || ' cost $' || (doc_id * 7 % 90 + 10)
+          || '.' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+          || ' in ' || CASE doc_id % 3 WHEN 0 THEN 'Berlin'
+              WHEN 1 THEN 'Paris' ELSE 'London' END
+          || '! Contact user' || doc_id
+          || '@example.com or call +1-202-555-'
+          || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+          || '. The size of ' || substr(md5(doc_id::VARCHAR || '_w2'), 1, 6)
+          || ' and the rest of it. '
+          || CASE WHEN doc_id % 3 = 1
+               THEN 'Die Daten und der Bericht. ' ELSE '' END
+          || CASE WHEN doc_id % 3 = 2
+               THEN 'Le chat et la maison. ' ELSE '' END
+          || CASE WHEN doc_id % 7 = 0
+               THEN 'да pаypal да. ' ELSE '' END
+          || CASE WHEN doc_id % 11 = 0
+               THEN 'βήτα αlpha. ' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0
+               THEN 'Never drop table in prod; a slow scan hurts. '
+               ELSE '' END
+          || CASE WHEN doc_id % 4 = 0
+               THEN chr(10) || '```python' || chr(10)
+                    || substr(md5(doc_id::VARCHAR || '_w1'), 1, 6)
+                    || ' = 42' || chr(10) || '```'
+               ELSE '' END AS text
+        FROM documents),
+      rich AS (
+        SELECT * FROM rich0
+        UNION ALL
+        SELECT doc_id + 10000000, lang, text || ' Regards team.'
+        FROM rich0 WHERE doc_id % 13 = 0)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_count" ->
@@ -1054,6 +1195,109 @@ object SparkEntry {
       SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
       FROM documents""",
 
+
+    "q_script_mix_rich" -> (RichDocsSql + """,
+      toks AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\s+'),
+          t -> t <> '') AS tk
+        FROM rich)
+      SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+             len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')
+               AND regexp_matches(t, '[Ѐ-ӿ]')))::BIGINT
+               AS n_latin_cyrillic,
+             len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')
+               AND regexp_matches(t, '[Ͱ-Ͽ]')))::BIGINT
+               AS n_latin_greek
+      FROM toks"""),
+
+    "q_pii_rich" -> (RichDocsSql + """
+      SELECT doc_id,
+        len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+          AS n_email,
+        len(regexp_extract_all(text,
+          '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))::BIGINT AS n_card,
+        len(regexp_extract_all(text,
+          '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+        len(regexp_extract_all(text,
+          '\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b'))::BIGINT AS n_phone,
+        len(regexp_extract_all(text,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+        (len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         + len(regexp_extract_all(text,
+           '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))
+         + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+         + len(regexp_extract_all(text,
+           '\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b'))
+         + len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')))::BIGINT AS n_pii
+      FROM rich"""),
+
+    "q_blocklist_rich" -> (RichDocsSql + s""",
+      t AS (SELECT doc_id, lower(coalesce(text, '')) AS txt FROM rich),
+      h AS (SELECT doc_id,
+              list_filter(${graft.functions.GraftFunctions.blockTermsSqlList},
+                p -> contains(txt, p)) AS hl
+            FROM t)
+      SELECT doc_id, coalesce(array_to_string(hl, '|'), '') AS hits,
+             len(hl)::BIGINT AS n_hits
+      FROM h"""),
+
+    "q_code_fences_rich" -> (RichDocsSql + """,
+      m AS (SELECT doc_id,
+              regexp_extract_all(text,
+                '(?s)```([a-z0-9_+]*)\n(.*?)```', 1) AS langs,
+              regexp_extract_all(text,
+                '(?s)```([a-z0-9_+]*)\n(.*?)```', 2) AS bodies
+            FROM rich)
+      SELECT doc_id, len(bodies)::BIGINT AS n_fences,
+             COALESCE(list_sum(list_transform(bodies,
+               b -> length(b))), 0)::BIGINT AS n_fence_chars,
+             COALESCE(array_to_string(langs, ','), '') AS langs
+      FROM m"""),
+
+    "q_lang_markers_rich" -> (RichDocsSql + """
+      SELECT lang,
+        sum(len(list_filter(toks, t -> t='the')) +
+            len(list_filter(toks, t -> t='and')) +
+            len(list_filter(toks, t -> t='of')))::BIGINT AS en_score,
+        sum(len(list_filter(toks, t -> t='der')) +
+            len(list_filter(toks, t -> t='und')) +
+            len(list_filter(toks, t -> t='die')))::BIGINT AS de_score,
+        sum(len(list_filter(toks, t -> t='le')) +
+            len(list_filter(toks, t -> t='la')) +
+            len(list_filter(toks, t -> t='et')))::BIGINT AS fr_score
+      FROM (SELECT lang, string_split(lower(text),' ') AS toks
+            FROM rich) t
+      GROUP BY lang"""),
+
+    "q_neardup_rich" -> (RichDocsSql + """,
+      w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                 t -> t <> '') AS w
+        FROM rich),
+      shing AS (
+        SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+               ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS tk
+        FROM w),
+      tok AS (
+        SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
+        FROM shing WHERE len(tk) > 0),
+      ov AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               a.n AS n1, b.n AS n2, count(*) AS overlap
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+      SELECT id1, id2, n1, n2, overlap::INT AS overlap,
+             overlap * 1.0 / (n1 + n2 - overlap) AS jaccard
+      FROM ov
+      WHERE overlap * 1.0 / (n1 + n2 - overlap) >= 0.6"""),
+
     "q_text_lang_markers" -> """
       SELECT lang,
         sum(len(list_filter(toks, t -> t='the')) +
@@ -1588,86 +1832,8 @@ object SparkEntry {
       UNION ALL SELECT * FROM s3d UNION ALL SELECT * FROM s4b
       UNION ALL SELECT * FROM s4c UNION ALL SELECT * FROM s5d""",
 
-    "q_corpus_end2end" -> """
-      WITH q AS (
-        SELECT doc_id, lang, text,
-               len(string_split(text, ' '))::INT AS n_tokens
-        FROM documents
-        WHERE lang IN ('en', 'de', 'fr')
-          AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
-          AND length(text)::DOUBLE / len(string_split(text, ' ')) < 12),
-      keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
-      s2 AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
-      w AS (
-        SELECT doc_id,
-               list_filter(string_split(lower(text), ' '),
-                 t -> t <> '') AS w
-        FROM s2),
-      shing AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tk
-        FROM w),
-      tok AS (
-        SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
-        FROM shing WHERE len(tk) > 0),
-      ov AS (
-        SELECT a.doc_id AS id1, b.doc_id AS id2,
-               a.n AS n1, b.n AS n2, count(*) AS overlap
-        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4),
-      neardup AS (
-        SELECT DISTINCT id2 AS doc_id FROM ov
-        WHERE overlap * 1.0 / (n1 + n2 - overlap) >= 0.6),
-      s3 AS (SELECT * FROM s2
-             WHERE doc_id NOT IN (SELECT doc_id FROM neardup)),
-      toked AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      ngr AS (
-        SELECT DISTINCT doc_id,
-               unnest(list_transform(range(1, len(t) - 3),
-                 i -> array_to_string(t[i:i+4], ' '))) AS ng
-        FROM toked WHERE len(t) >= 5),
-      bench AS (SELECT DISTINCT ng FROM ngr WHERE doc_id < 5),
-      contaminated AS (
-        SELECT DISTINCT c.doc_id
-        FROM (SELECT doc_id, ng FROM ngr WHERE doc_id >= 5) c
-        JOIN bench USING (ng)),
-      s4 AS (
-        SELECT * FROM s3
-        WHERE doc_id >= 5
-          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-      mixed AS (
-        SELECT doc_id, lang, n_tokens FROM (
-          SELECT doc_id, lang, n_tokens,
-                 row_number() OVER (PARTITION BY lang
-                   ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
-          FROM s4) r
-        WHERE rn <= CASE lang WHEN 'en' THEN 60 ELSE 30 END),
-      packed AS (
-        SELECT doc_id, lang, n_tokens,
-               (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                  ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT
-                 AS start_off
-        FROM mixed),
-      chunked AS (
-        SELECT doc_id, lang, n_tokens,
-               (start_off // 256)::BIGINT AS chunk_id
-        FROM packed),
-      sharded AS (
-        SELECT *,
-               (('0x' || substr(md5('graft_' || doc_id::VARCHAR), 1, 8))
-                  ::BIGINT % 8)::INT AS shard
-        FROM chunked)
-      SELECT doc_id % 16 AS bucket, count(*) AS n_rows,
-             bit_xor(('0x' || substr(md5(
-               doc_id::VARCHAR
-                 || chr(1) || chr(3) || lang
-                 || chr(1) || chr(3) || n_tokens::VARCHAR
-                 || chr(1) || chr(3) || chunk_id::VARCHAR
-                 || chr(1) || chr(3) || shard::VARCHAR),
-               1, 15))::BIGINT) AS digest
-      FROM sharded GROUP BY 1""",
+    "q_corpus_end2end" -> CorpusEnd2EndOracle,
+    "q_corpus_incremental" -> CorpusEnd2EndOracle,
 
     "q_pipeline_e2e" -> """
       WITH q AS (

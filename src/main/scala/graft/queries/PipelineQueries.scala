@@ -932,15 +932,21 @@ object PipelineQueries {
     * [[corpusDropLedgerFrom]] — ONE definition so the manifest gate
     * and the provenance ledger can never disagree about what a stage
     * dropped. */
+  /** The S1 quality gate of the corpus chain — ONE definition shared
+    * by the batch chain ([[corpusStages]]) and the incremental path
+    * ([[corpusIncremental]]), so the two can never drift on a
+    * sub-rule. */
+  private def qualityGate(docs: DataFrame): DataFrame = docs
+    .filter(col("lang").isin("en", "de", "fr"))
+    .withColumn("n_tokens", size(split(col("text"), " ")))
+    .filter(col("n_tokens").between(20, 1000))
+    .filter(length(col("text")).cast("double") / col("n_tokens") < 12)
+    .select("doc_id", "lang", "n_tokens", "text")
+
   private def corpusStages(docs: DataFrame,
       pairs: Option[DataFrame]): CorpusStages = {
     import graft.operators.{Mixing, SetSimJoin}
-    val quality = docs
-      .filter(col("lang").isin("en", "de", "fr"))
-      .withColumn("n_tokens", size(split(col("text"), " ")))
-      .filter(col("n_tokens").between(20, 1000))
-      .filter(length(col("text")).cast("double") / col("n_tokens") < 12)
-      .select("doc_id", "lang", "n_tokens", "text")
+    val quality = qualityGate(docs)
     val keepExact = Dedup.exactByContent(quality, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
     val s2 = quality.join(keepExact, "doc_id")
@@ -980,8 +986,24 @@ object PipelineQueries {
     // S5 language mixing (dyadic weights ⇒ exact quotas): the shared
     // [[corpusStages]] chain, also consumed by the drop ledger
     val st = corpusStages(docs, pairs)
+    corpusFinish(st.s4.select("doc_id", "lang", "n_tokens"))
+  }
+
+  /** S5–S8 metadata finish (mixing → packing → shards → manifest) over
+    * an S4 survivor metadata frame (doc_id, lang, n_tokens) — ONE
+    * definition shared by the batch chain and [[corpusIncremental]].
+    * These stages are global by nature (quota mixing and capacity
+    * packing are not prefix-stable under appends), but they carry ids
+    * + metadata only — at 100 TB this is the cheap corpus-sized tail
+    * after the text-consuming stages ran delta-sized. */
+  private def corpusFinish(s4meta: DataFrame): DataFrame = {
+    import graft.operators.{ManifestDigest, Mixing, Packing, Shards}
+    val mixed = Mixing.sampleToWeights(s4meta, "lang", "doc_id",
+      weights = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25),
+      budget = 120)
+    val s5 = s4meta.join(mixed.select("doc_id"), Seq("doc_id"))
     // S6: per-language sequence packing into 256-token chunks
-    val packed = Packing.packBySize(st.s5, partCols = Seq("lang"),
+    val packed = Packing.packBySize(s5, partCols = Seq("lang"),
       orderCol = "doc_id", sizeCol = "n_tokens", capacity = 256)
     // S7: shard assignment (salted-hash shard + shuffle key)
     val sharded = Shards.assign(packed, "doc_id", numShards = 8)
@@ -1058,6 +1080,157 @@ object PipelineQueries {
   val corpusDropLedger: Q = (s, d) =>
     corpusDropLedgerFrom(Tables.documents(s, d),
       pairs = Some(DedupQueries.verifiedPairs(s, d)))
+
+  /** Day-1 at-rest artifacts of the incremental corpus chain (r13
+    * verdict #4), persisted under [[graft.sources.Artifacts.cacheDir]]
+    * with the verifiedPairs build-once/fingerprint discipline:
+    *
+    *  - `s4meta`    — day-1 S4 survivor metadata (doc_id, lang,
+    *                  n_tokens): the corpus state a daily run appends to
+    *  - `digests`   — sha256 content digests of day-1 QUALITY docs
+    *                  (the exact-dedup membership probe)
+    *  - `sigindex`  — [[graft.operators.IncrementalDedup]] MinHash
+    *                  signature index over day-1 S2 survivors (ALL
+    *                  post-exact-dedup docs, not post-near-dup: the
+    *                  greedy rule dooms a doc via pairs with already-
+    *                  doomed smaller-id docs too)
+    *  - `benchgrams` — distinct 5-gram hashes of the benchmark docs
+    *                  (static decontam probe set)
+    *
+    * Day-1 near-dup runs the SAME estimated tier the day-2 probe uses
+    * ([[graft.operators.Dedup.minhashLsh]] at the chain's J >= 0.6).
+    * On this corpus the estimated and exact tiers agree exactly —
+    * every true pair sits at J >= 0.9 where 8-band/32-hash collision
+    * and estimation are both >= 6 sigma from the 0.6 threshold
+    * (measured, PERF.md r14 dedup table) — which is what makes the
+    * from-scratch DuckDB oracle (exact Jaccard) a valid replay of the
+    * estimated path. */
+  private def corpusIncrementalArtifacts(s: SparkSession, d: String,
+      cut: Long): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.{Dedup, IncrementalDedup}
+    val tag = new java.io.File(d).getCanonicalPath
+    val keySrc = s"corpus-incr|$tag|cut=$cut|j=0.6|h=32b8"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(keySrc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = Paths.get(graft.sources.Artifacts.cacheDir, key)
+    val marker = dir.resolve("_built")
+    val docs = Tables.documents(s, d)
+    val fpRow = docs.agg(count(lit(1)),
+      bit_xor(xxhash64(col("doc_id")))).head()
+    val fp = s"${fpRow.getLong(0)}:${if (fpRow.isNullAt(1)) 0L
+      else fpRow.getLong(1)}"
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8").trim == fp &&
+      !sys.env.get("GRAFT_INDEX_REBUILD").contains("1")
+    if (!fresh) {
+      graft.functions.GraftFunctions.register(s)
+      val day1 = docs.filter(col("doc_id") < cut)
+      val q1 = qualityGate(day1).cache()
+      val keep1 = Dedup.exactByContent(q1, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val s2 = q1.join(keep1, Seq("doc_id"), "left_semi")
+      val doomed1 = Dedup.minhashLsh(s2, "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.6)
+        .select(col("b").as("doc_id")).distinct()
+      val s3 = s2.join(doomed1, Seq("doc_id"), "left_anti")
+      val benchGrams = day1.filter(col("doc_id") < 5)
+        .select(explode(graft.functions.GraftFunctions
+          .ngramHashes(lower(col("text")), 5)).as("ngh"))
+        .distinct()
+      val cont1 = s3.filter(col("doc_id") >= 5)
+        .select(col("doc_id"), explode(graft.functions.GraftFunctions
+          .ngramHashes(lower(col("text")), 5)).as("ngh"))
+        .join(benchGrams, Seq("ngh"), "left_semi")
+        .select("doc_id").distinct()
+      val s4 = s3.filter(col("doc_id") >= 5)
+        .join(cont1, Seq("doc_id"), "left_anti")
+      s4.select("doc_id", "lang", "n_tokens").write.mode("overwrite")
+        .parquet(dir.resolve("s4meta").toString)
+      q1.select(sha2(col("text"), 256).as("digest")).distinct()
+        .write.mode("overwrite").parquet(dir.resolve("digests").toString)
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.signatures(s2, "doc_id", "text"),
+        dir.resolve("sigindex").toString)
+      benchGrams.write.mode("overwrite")
+        .parquet(dir.resolve("benchgrams").toString)
+      q1.unpersist()
+      Files.write(marker, fp.getBytes("UTF-8")) // commit point
+    }
+    dir
+  }
+
+  /** The day-1/day-2 id cut of the incremental gate: the last third of
+    * the id range is "today's" delta — ids only ever append in a daily
+    * corpus, which is exactly what makes the incremental survivor
+    * rules equal the batch ones (a smaller-id day-1 doc always wins
+    * every duplicate contest against a delta doc, never the reverse). */
+  private def incrementalCut(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id")).cast("long")).head().getLong(0) * 2 / 3 + 1
+
+  /** Incremental (daily-ingest) form of [[corpusEnd2End]] (r13 verdict
+    * #4): day-1 corpus at rest as persisted artifacts, day-2 delta
+    * processed against them — quality scan, digest probe, signature-
+    * index near-dup verdicts and bench-gram decontam all touch ONLY
+    * delta text (batch-cost ∝ delta; the artifacts contribute membership
+    * probes) — then the metadata-only [[corpusFinish]] recomputes
+    * mixing/packing/shards globally (quota mixing and capacity packing
+    * are not prefix-stable, and they carry no text). The gate output is
+    * the SAME manifest schema as q_corpus_end2end, and the DuckDB
+    * oracle replays the chain FROM SCRATCH on day-1 + day-2 — manifest
+    * equality is the cross-stage IVM contract no per-operator gate can
+    * express. */
+  val corpusIncremental: Q = (s, d) => {
+    import graft.operators.IncrementalDedup
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val cut = incrementalCut(docs)
+    val art = corpusIncrementalArtifacts(s, d, cut)
+    // always serve from the artifacts so the plan is identical on
+    // build-miss and cache-hit runs (the verifiedPairs discipline)
+    val s4day1 = s.read.parquet(art.resolve("s4meta").toString)
+    val digests1 = s.read.parquet(art.resolve("digests").toString)
+    val sigIndex = IncrementalDedup.readIndex(s,
+      art.resolve("sigindex").toString)
+    val benchGrams = s.read.parquet(art.resolve("benchgrams").toString)
+
+    // day-2: every text-consuming stage is delta-sized
+    val delta = docs.filter(col("doc_id") >= cut)
+    val q2 = qualityGate(delta).withColumn("__dig", sha2(col("text"), 256))
+    // exact dedup: drop content already in day-1, keep min id within
+    // the delta (global min-id per digest, since day-1 ids are smaller)
+    val newContent = q2.join(digests1,
+      q2("__dig") === digests1("digest"), "left_anti")
+    val s2 = newContent.join(
+      newContent.groupBy("__dig").agg(min("doc_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // near-dup: signature-index verdicts at the chain's threshold —
+    // dup of ANY day-1 S2 doc (all smaller ids) or of a smaller-id
+    // delta sibling: exactly the batch greedy rule under id-append
+    val v = IncrementalDedup.verdicts(sigIndex, s2, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.6)
+    val s3 = s2.join(v.filter(!col("dup_of_index") && !col("dup_in_batch"))
+      .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+    // decontam: delta grams vs the persisted bench-gram set
+    val cont = s3.select(col("doc_id"),
+        explode(graft.functions.GraftFunctions
+          .ngramHashes(lower(col("text")), 5)).as("ngh"))
+      .join(benchGrams, Seq("ngh"), "left_semi")
+      .select("doc_id").distinct()
+    val s4delta = s3.join(cont, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_tokens")
+    corpusFinish(s4day1.unionAll(s4delta))
+  }
+
+  /** Offline artifact build for the incremental gate (the
+    * ensureSetsimPairs pattern): Bench calls it before the timed loop
+    * so the gate measures the daily-ingest consumption path, with the
+    * day-1 build cost reported once on stderr instead of folded into
+    * the first timed run. */
+  def ensureCorpusIncrementalArtifacts(s: SparkSession, d: String): Unit = {
+    val docs = Tables.documents(s, d)
+    corpusIncrementalArtifacts(s, d, incrementalCut(docs)); ()
+  }
 
   /** End-to-end training-data pipeline, every stage SQL-checkable:
     * quality gate → exact dedup survivors (min id per sha256) →

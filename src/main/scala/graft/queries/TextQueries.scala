@@ -81,15 +81,125 @@ object TextQueries {
       col("doc_id"),
       md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
 
+  /** Deterministic REALISTIC text corpus (r13 verdict "what's wrong"
+    * #3: the driver's synthetic documents are lowercase word-soup — no
+    * uppercase, digits, punctuation, code or multi-script text — so
+    * several text-quality gates were verified on worst-case-unrealistic
+    * data). One row per documents doc_id, text built from literals +
+    * md5-derived words + id arithmetic ONLY, so the DuckDB oracle
+    * reproduces it byte-identically (the planted-twin rule): sentences
+    * with case/digits/punctuation/dates/currency, an email + phone
+    * (PII), per-lang marker sentences, Cyrillic/Greek snippets with
+    * planted Latin-confusable tokens, a blocklist sentence, a fenced
+    * python block, and near-dup twins (every 13th doc, one appended
+    * sentence, offset +10^7). The *_rich gates run the SAME operators
+    * as their word-soup twins over this corpus — both stay registered
+    * (word-soup = regression floor, rich = production-shaped proof). */
+  def richDocs(s: SparkSession, d: String): DataFrame = {
+    val b = col("doc_id")
+    def w(tag: String) =
+      substring(md5(concat(b.cast("string"), lit(tag))), 1, 6)
+    val name = element_at(array(lit("Alice Smith"), lit("Bob Jones"),
+      lit("Carol White"), lit("Dan Brown")), (b % 4 + 1).cast("int"))
+    val city = element_at(array(lit("Berlin"), lit("Paris"),
+      lit("London")), (b % 3 + 1).cast("int"))
+    val lang = element_at(array(lit("en"), lit("de"), lit("fr")),
+      (b % 3 + 1).cast("int"))
+    val nl = lit("\n")
+    val text = concat(
+      lit("Dr. "), name, lit(" wrote about "), w("_w1"),
+      lit(" on 2024-03-"), (b % 28 + 1).cast("string"), lit(". "),
+      lit("The order #"), b.cast("string"), lit(" cost $"),
+      (b * 7 % 90 + 10).cast("string"), lit("."),
+      lpad((b % 100).cast("string"), 2, "0"), lit(" in "), city,
+      lit("! Contact user"), b.cast("string"),
+      lit("@example.com or call +1-202-555-"),
+      lpad((b % 10000).cast("string"), 4, "0"),
+      lit(". The size of "), w("_w2"), lit(" and the rest of it. "),
+      when(b % 3 === 1, lit("Die Daten und der Bericht. "))
+        .otherwise(lit("")),
+      when(b % 3 === 2, lit("Le chat et la maison. "))
+        .otherwise(lit("")),
+      // Cyrillic sentence with a Latin-Cyrillic confusable token
+      // (p + U+0430 + ypal), then a Greek one (U+03B1 + lpha) — \u
+      // escapes so the confusables are explicit in source
+      when(b % 7 === 0,
+        lit("\u0434\u0430 p\u0430ypal \u0434\u0430. "))
+        .otherwise(lit("")),
+      when(b % 11 === 0,
+        lit("\u03b2\u03ae\u03c4\u03b1 \u03b1lpha. "))
+        .otherwise(lit("")),
+      when(b % 5 === 0,
+        lit("Never drop table in prod; a slow scan hurts. "))
+        .otherwise(lit("")),
+      when(b % 4 === 0, concat(nl, lit("```python"), nl, w("_w1"),
+        lit(" = 42"), nl, lit("```"))).otherwise(lit("")))
+    val base = Tables.documents(s, d)
+      .select(b.as("doc_id"), lang.as("lang"), text.as("text"))
+    base.unionAll(base.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+        concat(col("text"), lit(" Regards team.")).as("text")))
+  }
+
+  /** [[graft.operators.TextScore.scriptMix]] over the realistic corpus
+    * — confusable tokens embedded in real multi-script sentences, not
+    * appended to word soup. */
+  val scriptMixRich: Q = (s, d) =>
+    graft.operators.TextScore.scriptMix(richDocs(s, d), "doc_id", "text")
+
+  /** [[graft.operators.Pii.detect]] over the realistic corpus — the
+    * email/phone sit inside a real contact sentence with competing
+    * digit runs (dates, currency) the regexes must NOT count. */
+  val piiRich: Q = (s, d) =>
+    graft.operators.Pii.detect(richDocs(s, d), "doc_id", "text")
+
+  /** The Aho–Corasick blocklist screen over the realistic corpus —
+    * terms inside real sentences (mixed case, punctuation-adjacent). */
+  val blocklistRich: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    richDocs(s, d).select(col("doc_id"),
+        graft.functions.GraftFunctions.blockTermHits(
+          lower(coalesce(col("text"), lit(""))),
+          graft.functions.GraftFunctions.BlockTerms).as("__h"))
+      .select(col("doc_id"), concat_ws("|", col("__h")).as("hits"),
+        size(col("__h")).cast("long").as("n_hits"))
+  }
+
+  /** [[graft.operators.Markup.codeFences]] over the realistic corpus —
+    * the fence sits after prose ending in punctuation, with real
+    * newlines. */
+  val codeFencesRich: Q = (s, d) =>
+    graft.operators.Markup.codeFences(richDocs(s, d), "doc_id", "text")
+
+  /** Language-marker scoring over the realistic corpus — markers
+    * appear sentence-embedded (case-folded by the operator) next to
+    * cross-lang English scaffolding, so per-lang scores separate on
+    * the de/fr marker sentences, not on corpus purity. */
+  val langMarkersRich: Q = (s, d) => langMarkersOf(richDocs(s, d))
+
+  /** Exact near-dup pairs over the realistic corpus: the planted
+    * +10^7 twins (one appended sentence) land at trigram J >= 0.6 and
+    * every pair carries its exact Jaccard — the rich-corpus form of
+    * the near-dup structure the verdict asked the fixture to plant. */
+  val neardupRich: Q = (s, d) =>
+    graft.operators.SetSimJoin.joinByJaccard(
+      DedupQueries.shingled(richDocs(s, d).select("doc_id", "text"),
+        "shingles"),
+      "doc_id", "shingles", minJaccard = 0.6)
+
   /** Language-marker scoring (north star lang-ID): counts hits of per-lang
     * marker tokens; a real lang-ID runs exactly this shape with n-gram
     * profiles instead of word lists. */
-  val textLangMarkers: Q = (s, d) => {
+  val textLangMarkers: Q = (s, d) => langMarkersOf(Tables.documents(s, d))
+
+  /** Shared marker-scoring body of [[textLangMarkers]] and
+    * [[langMarkersRich]]. */
+  private def langMarkersOf(docs: DataFrame): DataFrame = {
     // tokenize ONCE behind a projection boundary — inlining the split into
     // all nine marker filters re-splits every document nine times
     def hits(words: Seq[String]) =
       words.map(w => size(filter(col("toks"), t => t === w))).reduce(_ + _)
-    Tables.documents(s, d)
+    docs
       .select(col("lang"), split(lower(col("text")), " ").as("toks"))
       .select(col("lang"),
         hits(Seq("the", "and", "of")).as("en_hits"),
