@@ -51,6 +51,8 @@ object GraftFunctions {
     "simhash64" -> (es => SimHash64(es(0))),
     "minhash_text" -> (es => MinHashText(es(0),
       intArg(es(1), "minhash_text"), intArg(es(2), "minhash_text"))),
+    "bleu_stats" -> (es => BleuStats(es(0), es(1),
+      intArg(es(2), "bleu_stats"))),
     "bpe_encode" -> (es => BpeEncode(es(0), strArg(es(1), "bpe_encode"))),
     "block_term_hits" -> (es => MultiMatchTerms(es(0),
       strArg(es(1), "block_term_hits"))),
@@ -236,6 +238,13 @@ object GraftFunctions {
   def stripAccents(text: Column): Column = call_function("strip_accents", text)
   /** zlib-deflated byte count — compressibility quality signal. */
   def deflateLen(c: Column): Column = call_function("deflate_len", c)
+  /** Per-pair clipped n-gram overlap stats for BLEU — 2·maxN+1 longs:
+    * candN_1..candN_maxN, ov_1..ov_maxN, refN_1 (see
+    * [[TextHashExpressions.bleuStatsOf]]). */
+  def bleuStats(cand: Column, ref: Column, maxN: Int): Column =
+    call_function("bleu_stats", cand, ref,
+      org.apache.spark.sql.functions.lit(maxN))
+
   def minhashText(text: Column, k: Int, shingle: Int = 3): Column =
     call_function("minhash_text", text,
       org.apache.spark.sql.functions.lit(k),
