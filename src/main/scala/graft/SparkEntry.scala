@@ -434,6 +434,9 @@ object SparkEntry {
     "q_jsd_langs" -> PipelineQueries.jsdLangs,
     "q_mcnemar" -> PipelineQueries.mcnemarLangId,
     "q_cochran_q" -> PipelineQueries.cochranJudges,
+    "q_cochran_armitage" -> PipelineQueries.caPriority,
+    "q_mantel_haenszel" -> PipelineQueries.mhPriority,
+    "q_cronbach_alpha" -> PipelineQueries.cronbachCohorts,
     "q_cramers_v" -> PipelineQueries.cramersVEvents,
     "q_wilcoxon" -> PipelineQueries.wilcoxonSpend,
     // round 12: the k-paired member completing the test matrix
@@ -3737,6 +3740,97 @@ object SparkEntry {
     // Cochran's Q: three judge columns unpivoted to (item, judge,
     // success) cells, per-judge and per-item exact HUGEINT totals, Q
     // one raw division of VARCHAR-roundtripped exact integer chains
+
+    // Cochran-Armitage: exact-integer z off the N-scaled trend form
+    "q_cochran_armitage" -> """
+      WITH cells AS (
+        SELECT o_orderpriority AS g, count(*)::HUGEINT AS n,
+               sum(CASE WHEN o_totalprice > 150000.0 THEN 1
+                 ELSE 0 END)::HUGEINT AS r
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL
+        GROUP BY 1),
+      gidx AS (SELECT * FROM (VALUES ('1-URGENT', 0::HUGEINT),
+        ('2-HIGH', 1), ('3-MEDIUM', 2), ('4-NOT SPECIFIED', 3),
+        ('5-LOW', 4)) AS t(og, sc)),
+      ci AS (SELECT n, r, sc FROM cells JOIN gidx ON cells.g = gidx.og),
+      g AS (SELECT count(*)::BIGINT AS k, sum(n) AS nn, sum(r) AS rr,
+              sum(sc * n) AS s1, sum(sc * sc * n) AS s2,
+              sum(sc * r) AS t1
+            FROM ci)
+      SELECT nn::BIGINT AS n, k, rr::BIGINT AS n_success,
+             (nn * t1 - rr * s1)::DOUBLE * sqrt(nn::DOUBLE) /
+               sqrt((rr * (nn - rr) * (nn * s2 - s1 * s1))::DOUBLE)
+               AS z
+      FROM g""",
+
+    // Mantel-Haenszel: per-stratum 2x2 cells exact, rational terms
+    // sum as doubles -> 6dp tier
+    "q_mantel_haenszel" -> """
+      WITH cells AS (
+        SELECT o_orderpriority AS h,
+               sum(CASE WHEN o_custkey % 2 = 0
+                 AND o_totalprice > 150000.0 THEN 1 ELSE 0 END)::BIGINT
+                 AS a,
+               sum(CASE WHEN o_custkey % 2 = 0
+                 AND NOT o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+                 ::BIGINT AS b,
+               sum(CASE WHEN o_custkey % 2 <> 0
+                 AND o_totalprice > 150000.0 THEN 1 ELSE 0 END)::BIGINT
+                 AS c,
+               sum(CASE WHEN o_custkey % 2 <> 0
+                 AND NOT o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+                 ::BIGINT AS d
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
+          AND o_totalprice IS NOT NULL
+        GROUP BY 1),
+      g AS (SELECT count(*)::BIGINT AS k,
+              sum(a + b + c + d)::BIGINT AS n,
+              sum(a)::BIGINT AS sum_a,
+              sum(a::DOUBLE * d / (a + b + c + d)) AS ad,
+              sum(b::DOUBLE * c / (a + b + c + d)) AS bc,
+              sum((a + b)::DOUBLE * (a + c) / (a + b + c + d)) AS e,
+              sum((a + b)::DOUBLE * (c + d) * (a + c) * (b + d) /
+                ((a + b + c + d)::DOUBLE * (a + b + c + d) *
+                 (a + b + c + d - 1))) AS v
+            FROM cells)
+      SELECT k, n, sum_a, round(ad / bc, 6) AS or_mh,
+             round((sum_a - e) * (sum_a - e) / v, 6) AS chi2
+      FROM g""",
+
+    // Cronbach's alpha: complete-by-construction item matrix, exact
+    // n^2-cleared variance sums, alpha one raw IEEE chain
+    "q_cronbach_alpha" -> """
+      WITH per AS (
+        SELECT o_custkey % 120 AS subj, count(*)::BIGINT AS cnt,
+               sum(CASE WHEN o_totalprice > 150000.0 THEN 1
+                 ELSE 0 END)::BIGINT AS hi,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END)::BIGINT AS urg
+        FROM orders GROUP BY 1),
+      items AS (
+        SELECT subj, 'cnt' AS item, cnt AS score FROM per
+        UNION ALL SELECT subj, 'hi', hi FROM per
+        UNION ALL SELECT subj, 'urg', urg FROM per),
+      peritem AS (
+        SELECT item, count(*)::HUGEINT AS n, sum(score)::HUGEINT AS sx,
+               sum(score::HUGEINT * score)::HUGEINT AS sxx
+        FROM items GROUP BY 1),
+      persubj AS (
+        SELECT subj, sum(score)::HUGEINT AS t FROM items GROUP BY 1),
+      ia AS (SELECT count(*)::BIGINT AS k,
+               sum(n * sxx - sx * sx) AS sum_var_num
+             FROM peritem),
+      sa AS (SELECT count(*)::HUGEINT AS ns, sum(t) AS st,
+               sum(t * t) AS stt
+             FROM persubj)
+      SELECT sa.ns::BIGINT AS n_subjects, ia.k AS k_items,
+             ia.k::DOUBLE / (ia.k - 1) *
+               (1.0 - sum_var_num::DOUBLE /
+                 (sa.ns * sa.stt - sa.st * sa.st)::DOUBLE) AS alpha
+      FROM ia, sa""",
+
     "q_cochran_q" -> """
       WITH cells AS (
         SELECT doc_id AS i, j.judge AS t, j.ok AS s

@@ -1317,4 +1317,81 @@ object Drift {
         (sa * sa / (col("n_a") - 1) + sb * sb / (col("n_b") - 1)), 9)
         .as("df"))
   }
+
+  /** Cochran–Armitage trend test — the ORDERED-alternative member of
+    * the PROPORTIONS family ([[Eval.cochranQ]] asks "did any paired
+    * treatment shift the success rate"; chi² asks "are the strata
+    * rates unequal"; this asks "does the success rate RISE across the
+    * given stratum order" — defect rate across ingest months, positive
+    * rate across quality tiers). With integer scores s_i = 0..k−1 over
+    * the ordered strata, n_i trials and r_i successes per stratum:
+    * `z = (N·Σs_i r_i − R·Σs_i n_i) · √N /
+    *      √(R·(N−R)·(N·Σs_i²n_i − (Σs_i n_i)²))`
+    * — the standard trend z with every radicand factor an exact
+    * integer (the N-scaled form clears all divisions), so z is ONE
+    * fixed IEEE chain over exact DECIMAL(38,0) sums, shipped RAW.
+    *
+    * Distributed shape: one groupBy to the ≤ 64 stratum cells
+    * (count, successes), one broadcast score join, one global
+    * aggregate. Null stratum/outcome rows are filtered (the
+    * kruskal/jonckheere convention for rank-family tests).
+    *
+    * Loud degenerates: a stratum outside `strataOrder`, fewer than 2
+    * strata present, all-success or all-failure (the variance is 0 —
+    * z is 0/0).
+    *
+    * @param strataOrder hypothesized ascending stratum order; must
+    *                    cover every stratum present
+    * @return one row: (n, k, n_success, z) */
+  def cochranArmitage(df: DataFrame, stratumCol: String,
+      successCol: String, strataOrder: Seq[String]): DataFrame = {
+    require(strataOrder.nonEmpty && strataOrder.size <= 64,
+      s"cochranArmitage: strataOrder size must be in [1, 64]: " +
+        s"${strataOrder.size}")
+    require(strataOrder.distinct.size == strataOrder.size,
+      "cochranArmitage: duplicate stratum in strataOrder")
+    val spark = df.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells0 = df
+      .filter(col(stratumCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(successCol).cast("boolean").cast("long")).as("__r"))
+    val gidx = spark.createDataFrame(
+      strataOrder.zipWithIndex.map { case (g, i) => (g, i.toLong) })
+      .toDF("__og", "__s")
+    val cells = cells0.join(broadcast(gidx),
+        col("__g") <=> col("__og"), "left")
+      .select(col("__n"), col("__r"),
+        when(col("__s").isNull, raise_error(concat(lit(
+          "Drift.cochranArmitage: stratum not in strataOrder: "),
+          col("__g"))))
+          .otherwise(col("__s")).as("__s"))
+    val g = cells.agg(
+      count(lit(1)).as("k"),
+      coalesce(sum("__n"), lit(0L)).cast(dec).as("__N"),
+      coalesce(sum("__r"), lit(0L)).cast(dec).as("__R"),
+      coalesce(sum(col("__s").cast(dec) * col("__n").cast(dec)),
+        lit(0L).cast(dec)).as("__s1"),
+      coalesce(sum(col("__s").cast(dec) * col("__s").cast(dec) *
+        col("__n").cast(dec)), lit(0L).cast(dec)).as("__s2"),
+      coalesce(sum(col("__s").cast(dec) * col("__r").cast(dec)),
+        lit(0L).cast(dec)).as("__t1"))
+    val radicand = col("__R") * (col("__N") - col("__R")) *
+      (col("__N") * col("__s2") - col("__s1") * col("__s1"))
+    g.select(
+      col("__N").cast("long").as("n"), col("k"),
+      col("__R").cast("long").as("n_success"),
+      when(col("k") < 2, raise_error(lit(
+        "Drift.cochranArmitage: need at least 2 strata present")))
+        .when(col("__R") === 0 || col("__R") === col("__N"),
+          raise_error(lit(
+            "Drift.cochranArmitage: all-success or all-failure — " +
+              "the trend variance is 0 and z is 0/0")))
+        .otherwise(
+          (col("__N") * col("__t1") - col("__R") * col("__s1"))
+            .cast("double") * sqrt(col("__N").cast("double")) /
+            sqrt(radicand.cast("double")))
+        .as("z"))
+  }
 }

@@ -728,4 +728,153 @@ object Eval {
       .withColumn("__negBelow",
         col("__offQ") + coalesce(sum(col("__q")).over(wIn), lit(0L)))
   }
+
+  /** Mantel–Haenszel pooled odds ratio + test over stratified 2×2
+    * tables — the confounder-adjusted effect estimate an A/B readout
+    * needs when a stratifier (cohort, region, device) is imbalanced
+    * across arms: per stratum h with cells a (exposed, positive),
+    * b (exposed, negative), c (unexposed, positive), d (unexposed,
+    * negative) and n = a+b+c+d,
+    * `OR_MH = Σ a·d/n ÷ Σ b·c/n` and the MH chi-square (1 df, no
+    * continuity correction)
+    * `χ² = (Σa − Σ(a+b)(a+c)/n)² / Σ (a+b)(c+d)(a+c)(b+d)/(n²(n−1))`.
+    *
+    * Distributed shape: ONE groupBy to the per-stratum 2×2 cells
+    * (cardinality = strata), then one global aggregate — the corpus
+    * is scanned once; null stratum/arm/outcome rows are filtered.
+    *
+    * FP: the per-stratum terms are exact-integer products over n (not
+    * integers themselves), so their sums ride doubles and `or_mh` /
+    * `chi2` ship ROUNDED 6dp (the llr/zipf transcendental tier);
+    * Σa and the stratum count are exact.
+    *
+    * Loud degenerates: fewer than 2 strata (use a plain 2×2 test), a
+    * stratum with n < 2 (the variance divides by n−1), Σb·c/n = 0
+    * (OR_MH infinite), zero pooled variance (χ² is 0/0).
+    *
+    * @return one row: (k, n, sum_a, or_mh, chi2) */
+  def mantelHaenszel(df: DataFrame, stratumCol: String, armCol: String,
+      outcomeCol: String, maxStrata: Int = 1000): DataFrame = {
+    val cells = df
+      .filter(col(stratumCol).isNotNull && col(armCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .groupBy(col(stratumCol).as("__h"))
+      .agg(
+        sum(when(col(armCol).cast("boolean") &&
+          col(outcomeCol).cast("boolean"), 1L).otherwise(0L)).as("__a"),
+        sum(when(col(armCol).cast("boolean") &&
+          !col(outcomeCol).cast("boolean"), 1L).otherwise(0L)).as("__b"),
+        sum(when(!col(armCol).cast("boolean") &&
+          col(outcomeCol).cast("boolean"), 1L).otherwise(0L)).as("__c"),
+        sum(when(!col(armCol).cast("boolean") &&
+          !col(outcomeCol).cast("boolean"), 1L).otherwise(0L)).as("__d"))
+    val n = col("__a") + col("__b") + col("__c") + col("__d")
+    val nD = n.cast("double")
+    val g = cells.select(col("__a"), col("__b"), col("__c"), col("__d"),
+        when(n < 2, raise_error(lit(
+          "Eval.mantelHaenszel: stratum with fewer than 2 rows — the " +
+            "MH variance divides by n-1; merge or drop the stratum " +
+            "explicitly")))
+          .otherwise(n).as("__n"))
+      .agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum("__a").as("sum_a"),
+        sum(col("__a").cast("double") * col("__d") / nD).as("__ad"),
+        sum(col("__b").cast("double") * col("__c") / nD).as("__bc"),
+        sum((col("__a") + col("__b")).cast("double") *
+          (col("__a") + col("__c")) / nD).as("__e"),
+        sum((col("__a") + col("__b")).cast("double") *
+          (col("__c") + col("__d")) * (col("__a") + col("__c")) *
+          (col("__b") + col("__d")) /
+          (nD * nD * (nD - lit(1.0)))).as("__v"))
+    g.select(col("k"), col("n"), col("sum_a"),
+      when(col("k") < 2, raise_error(lit(
+        "Eval.mantelHaenszel: need at least 2 strata — use a plain " +
+          "2x2 test")))
+        .when(col("__bc") === 0.0, raise_error(lit(
+          "Eval.mantelHaenszel: no discordant (unexposed-positive x " +
+            "exposed-negative) mass — OR_MH is infinite")))
+        .otherwise(round(col("__ad") / col("__bc"), 6)).as("or_mh"),
+      when(col("__v") === 0.0, raise_error(lit(
+        "Eval.mantelHaenszel: zero pooled variance — every stratum " +
+          "margin is degenerate")))
+        .otherwise(round(
+          (col("sum_a") - col("__e")) * (col("sum_a") - col("__e")) /
+            col("__v"), 6)).as("chi2"))
+  }
+
+  /** Cronbach's alpha — internal-consistency reliability of a k-item
+    * instrument (the agreement family's SCALE member: [[fleissKappa]]
+    * / [[krippendorffAlpha]] score categorical raters; this scores
+    * whether k numeric items measure one construct — k quality
+    * sub-scores, k prompt-variants of a judge):
+    * `α = k/(k−1) · (1 − Σ_j σ²_j / σ²_total)` over population
+    * variances of each item and of the per-subject totals.
+    *
+    * Exactness: with a COMPLETE design (every subject scores every
+    * item — anything else raises, the [[cochranQ]] convention) and
+    * integer-castable values, both variance sums clear to the common
+    * `n²` denominator, so
+    * `Σσ²_j / σ²_tot = Σ_j (n·Σx²_j − (Σx_j)²) / (n·ΣT² − (ΣT)²)`
+    * is ONE division of exact DECIMAL(38,0) sums and alpha ships RAW.
+    *
+    * Distributed shape: one groupBy per item (k cells), one per
+    * subject (n cells), two tiny aggregates — no windows, no joins
+    * beyond the 1-row combine.
+    *
+    * @return one row: (n_subjects, k_items, alpha) */
+  def cronbachAlpha(df: DataFrame, subjectCol: String, itemCol: String,
+      valueCol: String, maxItems: Int = 1000): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = col(valueCol).cast("long")
+    val base = df.select(col(subjectCol).as("__s"), col(itemCol).as("__i"),
+      when(col(subjectCol).isNull || col(itemCol).isNull ||
+        col(valueCol).isNull, raise_error(lit(
+        "Eval.cronbachAlpha: null subject/item/value cell — an " +
+          "absent score would silently shrink an item's variance")))
+        .otherwise(v).as("__v"))
+    // per-item moments + the complete-design check rides the k-cell
+    // table: every item must see exactly the same subject count
+    val perItem = base.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast(dec)).as("__sx"),
+        sum(col("__v").cast(dec) * col("__v").cast(dec)).as("__sxx"),
+        countDistinct(col("__s")).as("__ns"))
+    val perSubj = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__ki"), sum(col("__v").cast(dec)).as("__t"))
+    val subjAgg = perSubj.agg(
+      count(lit(1)).as("__n_subj"),
+      min("__ki").as("__kmin"), max("__ki").as("__kmax"),
+      sum(col("__t")).as("__st"),
+      sum(col("__t") * col("__t")).as("__stt"))
+    val itemAgg = perItem.agg(
+      count(lit(1)).as("__k"),
+      min("__n").as("__nmin"), max("__n").as("__nmax"),
+      min("__ns").as("__nsmin"),
+      sum(col("__n").cast(dec) * col("__sxx") - col("__sx") * col("__sx"))
+        .as("__sumVarNum"))
+    val g = itemAgg.crossJoin(subjAgg)
+    val kD = col("__k").cast("double")
+    val totVarNum = col("__n_subj").cast(dec) * col("__stt") -
+      col("__st") * col("__st")
+    g.select(col("__n_subj").as("n_subjects"), col("__k").as("k_items"),
+      when(col("__k") < 2, raise_error(lit(
+        "Eval.cronbachAlpha: need at least 2 items")))
+        .when(col("__k") > maxItems, raise_error(concat(lit(
+          s"Eval.cronbachAlpha: more than $maxItems items — got "),
+          col("__k").cast("string"))))
+        .when(col("__kmin") =!= col("__k") || col("__kmax") =!= col("__k") ||
+          col("__nmin") =!= col("__n_subj") ||
+          col("__nmax") =!= col("__n_subj") ||
+          col("__nsmin") =!= col("__n_subj"),
+          raise_error(lit(
+            "Eval.cronbachAlpha: incomplete design — every subject " +
+              "needs exactly one score per item")))
+        .when(totVarNum === 0, raise_error(lit(
+          "Eval.cronbachAlpha: zero total-score variance — alpha is " +
+            "0/0 (every subject has the same total)")))
+        .otherwise(kD / (kD - lit(1.0)) *
+          (lit(1.0) - col("__sumVarNum").cast("double") /
+            totVarNum.cast("double")))
+        .as("alpha"))
+  }
 }

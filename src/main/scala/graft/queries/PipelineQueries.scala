@@ -482,6 +482,52 @@ object PipelineQueries {
       Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
       v => floor(v / 1000.0))
 
+  /** Cochran–Armitage trend ([[graft.operators.Drift
+    * .cochranArmitage]], r14): does the HIGH-VALUE RATE rise across
+    * the five priority classes in order — the proportions member of
+    * the ordered-alternative family (q_jonckheere trends a continuous
+    * metric; this trends a success rate). Five stratum cells, exact
+    * decimal sums, z one raw chain. */
+  val caPriority: Q = (s, d) =>
+    graft.operators.Drift.cochranArmitage(
+      Tables.orders(s, d)
+        .withColumn("hi", col("o_totalprice") > 150000.0),
+      "o_orderpriority", "hi",
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+
+  /** Mantel–Haenszel pooled OR ([[graft.operators.Eval
+    * .mantelHaenszel]], r14): even/odd-customer "arm" vs high-value
+    * outcome, stratified by priority class — the confounder-adjusted
+    * 2×2 readout next to q_prop_ztest's unstratified form. Per-stratum
+    * cells exact; or_mh/chi2 ride the 6dp tier (per-stratum rational
+    * terms sum as doubles). */
+  val mhPriority: Q = (s, d) =>
+    graft.operators.Eval.mantelHaenszel(
+      Tables.orders(s, d)
+        .withColumn("arm", pmod(col("o_custkey"), lit(2)) === 0)
+        .withColumn("hi", col("o_totalprice") > 150000.0),
+      "o_orderpriority", "arm", "hi")
+
+  /** Cronbach's alpha ([[graft.operators.Eval.cronbachAlpha]], r14):
+    * are a customer-cohort's three activity sub-scores (order count,
+    * high-value count, urgent-or-high count) internally consistent —
+    * the scale-reliability member of the agreement family. The item
+    * matrix is built complete by construction (3 aggregates per
+    * cohort, unpivoted); integer values make alpha one exact raw
+    * chain. */
+  val cronbachCohorts: Q = (s, d) => {
+    val per = Tables.orders(s, d)
+      .groupBy(pmod(col("o_custkey"), lit(120)).as("subj"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("o_totalprice") > 150000.0, 1L).otherwise(0L))
+          .as("hi"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("urg"))
+    val items = per.selectExpr("subj",
+      "stack(3, 'cnt', cnt, 'hi', hi, 'urg', urg) AS (item, score)")
+    graft.operators.Eval.cronbachAlpha(items, "subj", "item", "score")
+  }
+
   /** Brown–Forsythe W ([[graft.operators.Drift.leveneBF]], round 13):
     * does price SPREAD differ across the return-flag classes — the
     * variance-homogeneity screen paired with q_anova_f's mean test

@@ -507,4 +507,40 @@ class DriftSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("outside [0,1]"), e2.getMessage)
   }
+
+  test("cochranArmitage: hand-computed 3-stratum trend; degenerates " +
+      "raise") {
+    import spark.implicits._
+    // strata A/B/C (scores 0/1/2), 10 trials each, 2/5/8 successes:
+    // N=30, R=15, S1=30, S2=50, T1=21 ->
+    // z = (30*21 - 15*30) * sqrt(30) / sqrt(15*15*(30*50 - 900))
+    val rows = Seq.tabulate(10)(i => ("A", i < 2)) ++
+      Seq.tabulate(10)(i => ("B", i < 5)) ++
+      Seq.tabulate(10)(i => ("C", i < 8))
+    val got = Drift.cochranArmitage(rows.toDF("g", "ok"), "g", "ok",
+      Seq("A", "B", "C")).collect().head
+    assert(got.getLong(0) == 30 && got.getLong(1) == 3 &&
+      got.getLong(2) == 15, got.toString)
+    val expected = 180.0 * math.sqrt(30.0) / math.sqrt(135000.0)
+    assert(math.abs(got.getDouble(3) - expected) < 1e-12, got.toString)
+    // reversing the order flips the sign exactly
+    val rev = Drift.cochranArmitage(rows.toDF("g", "ok"), "g", "ok",
+      Seq("C", "B", "A")).collect().head
+    assert(math.abs(rev.getDouble(3) + expected) < 1e-12, rev.toString)
+    val e1 = intercept[Exception] {
+      Drift.cochranArmitage(rows.toDF("g", "ok"), "g", "ok",
+        Seq("A", "B")).collect()
+    }
+    assert(e1.getMessage.contains("not in strataOrder"), e1.getMessage)
+    val flat = Seq(("A", true), ("B", true)).toDF("g", "ok")
+    val e2 = intercept[Exception] {
+      Drift.cochranArmitage(flat, "g", "ok", Seq("A", "B")).collect()
+    }
+    assert(e2.getMessage.contains("all-success"), e2.getMessage)
+    val one = Seq(("A", true), ("A", false)).toDF("g", "ok")
+    val e3 = intercept[Exception] {
+      Drift.cochranArmitage(one, "g", "ok", Seq("A", "B")).collect()
+    }
+    assert(e3.getMessage.contains("at least 2 strata"), e3.getMessage)
+  }
 }

@@ -298,4 +298,79 @@ class EvalSpec extends SparkSpec {
     assert(e5.getMessage.contains("incomplete design"), e5.getMessage)
   }
 
+
+  test("mantelHaenszel: two hand strata pool to OR 5.347826, chi2 " +
+      "3.640777; degenerates raise") {
+    import spark.implicits._
+    // S1: a=4 b=1 c=2 d=3; S2: a=6 b=2 c=3 d=5
+    def stratum(h: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((h, true, true)) ++ Seq.fill(b)((h, true, false)) ++
+        Seq.fill(c)((h, false, true)) ++ Seq.fill(d)((h, false, false))
+    val rows = stratum("s1", 4, 1, 2, 3) ++ stratum("s2", 6, 2, 3, 5)
+    val got = Eval.mantelHaenszel(rows.toDF("h", "arm", "out"),
+      "h", "arm", "out").collect().head
+    // OR_MH = (1.2 + 1.875) / (0.2 + 0.375); chi2 = (10-7.5)^2 /
+    // (2/3 + 1.05)
+    assert(got.getLong(0) == 2 && got.getLong(1) == 26 &&
+      got.getLong(2) == 10, got.toString)
+    assert(got.getDouble(3) == 5.347826, got.toString)
+    assert(got.getDouble(4) == 3.640777, got.toString)
+    val e1 = intercept[Exception] {
+      Eval.mantelHaenszel(stratum("s1", 4, 1, 2, 3)
+        .toDF("h", "arm", "out"), "h", "arm", "out").collect()
+    }
+    assert(e1.getMessage.contains("at least 2 strata"), e1.getMessage)
+    val tiny = (stratum("s1", 4, 1, 2, 3) ++ Seq(("s2", true, true)))
+      .toDF("h", "arm", "out")
+    val e2 = intercept[Exception] {
+      Eval.mantelHaenszel(tiny, "h", "arm", "out").collect()
+    }
+    assert(e2.getMessage.contains("fewer than 2 rows"), e2.getMessage)
+    // no discordant mass anywhere -> OR infinite
+    val conc = (Seq.fill(2)(("s1", true, true)) ++
+      Seq.fill(2)(("s1", false, false)) ++
+      Seq.fill(2)(("s2", true, true)) ++
+      Seq.fill(2)(("s2", false, false))).toDF("h", "arm", "out")
+    val e3 = intercept[Exception] {
+      Eval.mantelHaenszel(conc, "h", "arm", "out").collect()
+    }
+    assert(e3.getMessage.contains("infinite"), e3.getMessage)
+  }
+
+  test("cronbachAlpha: perfectly parallel items give alpha 1, " +
+      "shuffled items go negative; degenerates raise") {
+    import spark.implicits._
+    def long(rows: Seq[(Int, Int, Int)]) =
+      rows.flatMap { case (s, i1, i2) =>
+        Seq((s, "i1", i1), (s, "i2", i2)) }.toDF("subj", "item", "v")
+    // item2 = item1 + 1: totals 3,5,7,9 -> alpha = 2*(1 - 40/80) = 1
+    val par = long(Seq((1, 1, 2), (2, 2, 3), (3, 3, 4), (4, 4, 5)))
+    val a1 = Eval.cronbachAlpha(par, "subj", "item", "v").collect().head
+    assert(a1.getLong(0) == 4 && a1.getLong(1) == 2, a1.toString)
+    assert(math.abs(a1.getDouble(2) - 1.0) < 1e-15, a1.toString)
+    // item2 shuffled (5,3,2,4): totals 6,5,5,8 -> alpha = 2*(1-40/24)
+    val shuf = long(Seq((1, 1, 5), (2, 2, 3), (3, 3, 2), (4, 4, 4)))
+    val a2 = Eval.cronbachAlpha(shuf, "subj", "item", "v").collect().head
+    assert(math.abs(a2.getDouble(2) - (2.0 * (1.0 - 40.0 / 24.0))) <
+      1e-15, a2.toString)
+    val incomplete = Seq((1, "i1", 1), (1, "i2", 2), (2, "i1", 3))
+      .toDF("subj", "item", "v")
+    val e1 = intercept[Exception] {
+      Eval.cronbachAlpha(incomplete, "subj", "item", "v").collect()
+    }
+    assert(e1.getMessage.contains("incomplete design"), e1.getMessage)
+    val flat = long(Seq((1, 1, 2), (2, 2, 1)))
+    val e2 = intercept[Exception] {
+      Eval.cronbachAlpha(flat, "subj", "item", "v").collect()
+    }
+    assert(e2.getMessage.contains("zero total-score variance"),
+      e2.getMessage)
+    val nul = Seq((1, "i1", Some(1)), (1, "i2", None))
+      .toDF("subj", "item", "v")
+    val e3 = intercept[Exception] {
+      Eval.cronbachAlpha(nul, "subj", "item", "v").collect()
+    }
+    assert(e3.getMessage.contains("null subject/item/value"),
+      e3.getMessage)
+  }
 }
