@@ -441,6 +441,11 @@ object SparkEntry {
     "q_wilcoxon" -> PipelineQueries.wilcoxonSpend,
     // round 12: the k-paired member completing the test matrix
     "q_friedman" -> PipelineQueries.friedmanPriority,
+    "q_page_trend" -> PipelineQueries.pageTrendPriority,
+    "q_hampel" -> PipelineQueries.hampelEvents,
+    "q_durbin_watson" -> PipelineQueries.durbinWatsonUsers,
+    "q_key_profile" -> PipelineQueries.keyProfileOrders,
+    "q_fd_violations" -> PipelineQueries.fdCustPriority,
     "q_fdr_flags" -> PipelineQueries.fdrFlags,
     "q_fdr_grouped" -> PipelineQueries.fdrGrouped,
     "q_zipf_fit" -> PipelineQueries.zipfFit,
@@ -3983,6 +3988,147 @@ object SparkEntry {
     // (month) doubled tie-averaged ranks replayed by a block-local
     // k^2 self-join (no nested lambdas), rank sums exact HUGEINT,
     // chi2_F the identical fixed IEEE chain over exact integers, raw
+
+    // Page's L: the friedman block-rank replay + ordered scores;
+    // E[2L] = b*k(k+1)^2/2 exact, Var[2L] = b*k^2(k+1)^2(k-1)/36 with
+    // the /36 in double on the exact numerator
+    "q_page_trend" -> """
+      WITH cells AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS b,
+               o_orderpriority AS t, count(*)::BIGINT AS v
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1, 2),
+      kept AS (
+        SELECT * FROM cells
+        WHERE b IN (SELECT b FROM cells GROUP BY b
+                    HAVING count(*) = 5)),
+      ranked AS (
+        SELECT a.b, a.t,
+               2 * sum(CASE WHEN c.v < a.v THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN c.v = a.v THEN 1 ELSE 0 END) + 1
+                 AS r2
+        FROM kept a JOIN kept c ON a.b = c.b
+        GROUP BY a.b, a.t, a.v),
+      sidx AS (SELECT * FROM (VALUES ('1-URGENT', 1::HUGEINT),
+        ('2-HIGH', 2), ('3-MEDIUM', 3), ('4-NOT SPECIFIED', 4),
+        ('5-LOW', 5)) AS t(ot, sc)),
+      g AS (SELECT (count(*) / 5)::HUGEINT AS bb,
+              sum(sc * r2::HUGEINT) AS l2
+            FROM ranked JOIN sidx ON ranked.t = sidx.ot)
+      SELECT bb::BIGINT AS n_blocks, 5::BIGINT AS k,
+             l2::DOUBLE / 2.0 AS l,
+             (l2 - bb * 5 * 36 / 2)::DOUBLE /
+               sqrt((bb * 25 * 36 * 4)::DOUBLE / 36.0) AS z
+      FROM g""",
+
+
+    // Hampel: per-row window median/MAD via list() window + in-list
+    // sorts; per-user summary of exact counts + med/mad picks
+    "q_hampel" -> """
+      WITH base AS (
+        SELECT user_id, ts, event_id, value::DOUBLE AS v FROM events),
+      win AS (
+        SELECT user_id, v,
+               list_sort(list(v) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+        FROM base),
+      m AS (
+        SELECT user_id, v, arr,
+               CASE WHEN len(arr) % 2 = 1
+                 THEN arr[(len(arr) + 1) // 2]::DOUBLE
+                 ELSE (arr[len(arr) // 2]::DOUBLE +
+                       arr[len(arr) // 2 + 1]::DOUBLE) / 2.0 END AS med
+        FROM win),
+      mm AS (
+        SELECT user_id, v, med,
+               list_sort(list_transform(arr, x -> abs(x - med))) AS da
+        FROM m),
+      m2 AS (
+        SELECT user_id, v, med,
+               CASE WHEN len(da) % 2 = 1
+                 THEN da[(len(da) + 1) // 2]::DOUBLE
+                 ELSE (da[len(da) // 2]::DOUBLE +
+                       da[len(da) // 2 + 1]::DOUBLE) / 2.0 END AS mad
+        FROM mm)
+      SELECT user_id, count(*)::BIGINT AS n,
+             sum(CASE WHEN abs(v - med) > 3.0 * mad THEN 1
+               ELSE 0 END)::BIGINT AS n_outliers,
+             min(med) AS min_med, max(med) AS max_med,
+             max(mad) AS max_mad
+      FROM m2 GROUP BY user_id""",
+
+    // Durbin-Watson: n*den-scaled residuals are exact integers (the
+    // scale cancels in the ratio) -> dw is one division of exact
+    // HUGEINT sums
+    "q_durbin_watson" -> """
+      WITH base AS (
+        SELECT user_id,
+               floor(value * 100 + 0.5)::HUGEINT AS y,
+               (row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id))::HUGEINT AS x
+        FROM events),
+      sums AS (
+        SELECT user_id, count(*)::HUGEINT AS n, sum(x) AS sx,
+               sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM base GROUP BY 1),
+      r AS (
+        SELECT b.user_id, b.x,
+               (s.n * (s.n * s.sxx - s.sx * s.sx) * b.y
+                - (s.n * s.sxx - s.sx * s.sx) * s.sy
+                + (s.n * s.sxy - s.sx * s.sy) * s.sx
+                - s.n * (s.n * s.sxy - s.sx * s.sy) * b.x) AS rr
+        FROM base b JOIN sums s ON b.user_id = s.user_id),
+      l AS (
+        SELECT user_id, rr,
+               lag(rr) OVER (PARTITION BY user_id ORDER BY x) AS rp
+        FROM r)
+      SELECT user_id, count(*)::BIGINT AS n,
+             sum(CASE WHEN rp IS NOT NULL
+               THEN (rr - rp) * (rr - rp) END)::DOUBLE /
+               sum(rr * rr)::DOUBLE AS dw
+      FROM l GROUP BY user_id""",
+
+
+    // candidate-key profile: per-column exact counts over the
+    // unpivoted (column, value-as-string) pairs
+    "q_key_profile" -> """
+      WITH pairs AS (
+        SELECT 'o_orderkey' AS col, o_orderkey::VARCHAR AS v FROM orders
+        UNION ALL
+        SELECT 'o_custkey', o_custkey::VARCHAR FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority::VARCHAR FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', o_totalprice::VARCHAR FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', o_orderdate::VARCHAR FROM orders)
+      SELECT col AS "column", count(*)::BIGINT AS n_rows,
+             count(v)::BIGINT AS n_nonnull,
+             count(DISTINCT v)::BIGINT AS n_distinct,
+             count(DISTINCT v)::DOUBLE / count(*) AS distinct_ratio,
+             (count(DISTINCT v) = count(*)
+               AND count(v) = count(*)) AS is_key
+      FROM pairs GROUP BY col""",
+
+    // approximate-FD g3 audit: violation mass = rows beyond each
+    // determinant's majority dependent value
+    "q_fd_violations" -> """
+      WITH cells AS (
+        SELECT o_custkey::VARCHAR AS det,
+               o_orderpriority::VARCHAR AS dep, count(*)::BIGINT AS c
+        FROM orders GROUP BY 1, 2),
+      perdet AS (
+        SELECT det, sum(c)::BIGINT AS n, max(c)::BIGINT AS maj
+        FROM cells GROUP BY det)
+      SELECT sum(n)::BIGINT AS n_rows,
+             count(*)::BIGINT AS n_determinants,
+             sum(CASE WHEN n > maj THEN 1 ELSE 0 END)::BIGINT
+               AS n_violating_groups,
+             sum(n - maj)::BIGINT AS n_violating_rows,
+             sum(n - maj)::DOUBLE / sum(n) AS g3_rate
+      FROM perdet""",
+
     "q_friedman" -> """
       WITH cells AS (
         SELECT strftime(o_orderdate, '%Y-%m') AS b,

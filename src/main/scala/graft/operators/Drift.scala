@@ -1099,10 +1099,15 @@ object Drift {
     *
     * @param k the exact number of treatments each block must carry
     * @return one row: (n_blocks, k, chi2_f) */
-  def friedman(df: DataFrame, blockCol: String, treatmentCol: String,
-      valueCol: String, k: Int): DataFrame = {
-    require(k >= 2, s"friedman: need k >= 2 treatments, got $k")
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+  /** Shared block-wise doubled mid-rank recipe of [[friedman]] and
+    * [[pageTrend]]: distinct-cell collapse, the duplicate-cell raise,
+    * the exactly-k-treatments block filter, and in-row doubled
+    * tie-averaged ranks rank2(x) = 2|{w<x}| + |{w=x}| + 1 (k²
+    * comparisons per block, all inside one collected k-array).
+    * Returns exploded (__t, __r2, __eq). */
+  private def blockRanks(df: DataFrame, blockCol: String,
+      treatmentCol: String, valueCol: String, k: Int,
+      op: String): DataFrame = {
     val cells = df.filter(col(blockCol).isNotNull &&
         col(treatmentCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(blockCol).as("__b"),
@@ -1116,13 +1121,12 @@ object Drift {
         collect_list(struct(col("__t"), col("__v"))).as("__cells"))
       .select(
         when(col("__dup") > 1, raise_error(lit(
-          "Drift.friedman: duplicate (block, treatment) row")))
+          s"Drift.$op: duplicate (block, treatment) row")))
           .otherwise(col("__nt")).as("__nt"),
         col("__cells"))
       .filter(col("__nt") === k)
-    // in-row doubled tie-averaged ranks: rank2(x) = 2|{w<x}| + |{w=x}| + 1
-    // (k² comparisons per block); tie term Σ(t³−t) over the block's
-    // value multiset = Σ_cells (eq² − 1) where eq = |{w = x}|
+    // tie term Σ(t³−t) over the block's value multiset =
+    // Σ_cells (eq² − 1) where eq = |{w = x}|
     val ranked = blocks.select(
       transform(col("__cells"), c => struct(
         c.getField("__t").as("t"),
@@ -1134,9 +1138,17 @@ object Drift {
         (size(filter(col("__cells"),
           w => w.getField("__v") === c.getField("__v"))).cast("long"))
           .as("eq"))).as("__rk"))
-    val exploded = ranked.select(explode(col("__rk")).as("__e"))
+    ranked.select(explode(col("__rk")).as("__e"))
       .select(col("__e.t").as("__t"), col("__e.r2").as("__r2"),
         col("__e.eq").as("__eq"))
+  }
+
+  def friedman(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"friedman: need k >= 2 treatments, got $k")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val exploded = blockRanks(df, blockCol, treatmentCol, valueCol, k,
+      "friedman")
     val perT = exploded.groupBy(col("__t"))
       .agg(count(lit(1)).as("__nb"),
         sum(col("__r2").cast(dec)).as("__r2s"))
@@ -1392,6 +1404,74 @@ object Drift {
           (col("__N") * col("__t1") - col("__R") * col("__s1"))
             .cast("double") * sqrt(col("__N").cast("double")) /
             sqrt(radicand.cast("double")))
+        .as("z"))
+  }
+
+  /** Page's trend test (Page 1963) — the ORDERED-alternative member
+    * of the repeated-measures family ([[friedman]] asks "did ANY
+    * treatment shift within blocks"; this asks "do the treatments
+    * rise in the GIVEN order within blocks" — quality across ordered
+    * pipeline revisions measured on the same cohorts):
+    * `L = Σ_j s_j R_j` over within-block mid-ranks R_j with scores
+    * s_j = 1..k in the hypothesized order, z-scored with the no-tie
+    * null moments `E[L] = b·k(k+1)²/4`,
+    * `Var[L] = b·k²(k+1)²(k−1)/144` (the standard normal
+    * approximation; mid-ranks keep L exact under ties while the
+    * variance stays the untied form — documented convention).
+    *
+    * Distributed shape: the [[friedman]] doubled mid-rank recipe
+    * (distinct-cell collapse, per-block k-array, k² in-array
+    * comparisons), then one broadcast score join and one global
+    * aggregate — 2L and every moment are exact integers, z one fixed
+    * raw IEEE chain.
+    *
+    * Loud degenerates: a treatment outside `treatmentOrder`, fewer
+    * than 2 treatments, zero complete blocks.
+    *
+    * @param treatmentOrder hypothesized ascending order; must cover
+    *                       every treatment present in a kept block
+    * @return one row: (n_blocks, k, l, z) — l in ½ steps */
+  def pageTrend(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String, treatmentOrder: Seq[String]): DataFrame = {
+    val k = treatmentOrder.size
+    require(k >= 2 && k <= 64,
+      s"pageTrend: treatmentOrder size must be in [2, 64]: $k")
+    require(treatmentOrder.distinct.size == k,
+      "pageTrend: duplicate treatment in treatmentOrder")
+    val spark = df.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val exploded = blockRanks(df, blockCol, treatmentCol, valueCol, k,
+      "pageTrend")
+    val tidx = spark.createDataFrame(
+      treatmentOrder.zipWithIndex.map { case (t, i) => (t, i + 1L) })
+      .toDF("__ot", "__s")
+    val scored = exploded.join(broadcast(tidx),
+        col("__t") <=> col("__ot"), "left")
+      .select(col("__r2"),
+        when(col("__s").isNull, raise_error(concat(lit(
+          "Drift.pageTrend: treatment not in treatmentOrder: "),
+          col("__t"))))
+          .otherwise(col("__s")).as("__s"))
+    val g = scored.agg(
+      (count(lit(1)) / k).as("__b"),
+      coalesce(sum(col("__s").cast(dec) * col("__r2").cast(dec)),
+        lit(0L).cast(dec)).as("__l2"))
+    val b = col("__b").cast(dec)
+    val kD = lit(k.toLong).cast(dec)
+    // E[2L] = b·k(k+1)²/2 is always integral (k or (k+1)² is even);
+    // Var[2L] = b·k²(k+1)²(k−1)/36 is NOT (k=4: …/36 = 33.3̄), so the
+    // /36 happens in DOUBLE on the exact integer numerator — decimal
+    // division would silently round to the decimal scale
+    val e2 = b * kD * (kD + 1) * (kD + 1) / 2
+    val var2Num = b * kD * kD * (kD + 1) * (kD + 1) * (kD - 1)
+    g.select(col("__b").cast("long").as("n_blocks"),
+      lit(k.toLong).as("k"),
+      (col("__l2").cast("double") / 2.0).as("l"),
+      when(col("__b") === 0, raise_error(lit(
+        "Drift.pageTrend: no complete blocks — every block needs " +
+          "exactly one cell per ordered treatment")))
+        .otherwise((col("__l2") - e2).cast("double") /
+          sqrt(var2Num.cast("double") / 36.0))
         .as("z"))
   }
 }

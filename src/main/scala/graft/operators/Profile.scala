@@ -282,4 +282,84 @@ object Profile {
     perG.select(q ++ Seq(col("cnt"), tDist.as("t_dist")): _*)
       .withColumn("at_risk", col("t_dist") > t)
   }
+
+  /** Candidate-key / uniqueness profile — per column: row count,
+    * non-null count, exact distinct count, and the is-candidate-key
+    * verdict (`n_distinct = n_nonnull = n_rows`) — the first question
+    * a schema review asks of an unfamiliar table ("what identifies a
+    * row"), and the regression canary for upstream key collisions.
+    *
+    * Shape: ONE unpivot pass to (column, value) rows — every column's
+    * counts ride a single shuffle keyed by column name + value hash,
+    * instead of |cols| separate COUNT(DISTINCT) scans. Values fold to
+    * their string form for counting (distinctness is preserved within
+    * a column's one type; cross-type collisions cannot occur because
+    * the column name is part of the key). All outputs exact integers
+    * + one exact division.
+    *
+    * @return one row per column: (column, n_rows, n_nonnull,
+    *         n_distinct, distinct_ratio, is_key) */
+  def keyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "keyProfile: need at least one column")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("__col"),
+          col(c).cast("string").as("__v"))): _*)).as("__e"))
+      .select(col("__e.__col").as("__col"), col("__e.__v").as("__v"))
+    pairs.groupBy(col("__col").as("column"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("__v")).as("n_nonnull"),
+        countDistinct(col("__v")).as("n_distinct"))
+      .select(col("column"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_rows"))
+          .as("distinct_ratio"),
+        (col("n_distinct") === col("n_rows") &&
+          col("n_nonnull") === col("n_rows")).as("is_key"))
+  }
+
+  /** Functional-dependency audit `A → B`: does the determinant column
+    * set functionally determine the dependent column, and if not, how
+    * badly — per-determinant violation mass (rows beyond the majority
+    * dependent value: the g3 error of approximate-FD mining, Kivinen &
+    * Mannila 1995) plus the table-level summary a data-contract check
+    * consumes.
+    *
+    * Shape: one groupBy to (determinant, dependent) cells, one
+    * per-determinant fold (only the majority COUNT matters, so ties
+    * among dependent values need no tie-break), one global aggregate.
+    * NULL dependents count as a value (two NULLs agree — the SQL
+    * GROUP BY convention); NULL determinant components group together
+    * likewise.
+    *
+    * @return one row: (n_rows, n_determinants, n_violating_groups,
+    *         n_violating_rows, g3_rate) */
+  def fdViolations(df: DataFrame, determinants: Seq[String],
+      dependent: String): DataFrame = {
+    require(detsOk(determinants, dependent),
+      s"fdViolations: dependent '$dependent' must not appear in " +
+        s"determinants $determinants")
+    val cells = df.groupBy(
+        (determinants.map(c => col(c).cast("string")) :+
+          col(dependent).cast("string").as("__dep")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val perDet = cells.groupBy(determinants.map(col): _*)
+      .agg(sum("__c").as("__n"), max("__c").as("__maj"))
+    perDet.agg(
+      coalesce(sum("__n"), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_determinants"),
+      sum(when(col("__n") > col("__maj"), 1L).otherwise(0L))
+        .as("n_violating_groups"),
+      coalesce(sum(col("__n") - col("__maj")), lit(0L))
+        .as("n_violating_rows"))
+      .withColumn("g3_rate",
+        when(col("n_rows") === 0, raise_error(lit(
+          "Profile.fdViolations: empty input — the FD verdict is " +
+            "vacuous")))
+          .otherwise(col("n_violating_rows").cast("double") /
+            col("n_rows")))
+  }
+
+  private def detsOk(determinants: Seq[String], dependent: String) =
+    determinants.nonEmpty && !determinants.contains(dependent) &&
+      determinants.distinct.size == determinants.size
 }

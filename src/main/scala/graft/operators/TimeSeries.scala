@@ -896,4 +896,139 @@ object TimeSeries {
         .otherwise(lit(0.0)).as("z"),
       ((col("__s1") + col("__s2")) / lit(2.0)).as("sen_slope"))
   }
+
+  /** Hampel outlier screen — the robust per-point anomaly filter a
+    * metric-quality monitor runs where [[rollingZscore]] would be
+    * dragged by the outliers themselves (mean/stddev break down under
+    * the very spikes being hunted; median/MAD have a 50% breakdown
+    * point): each point is compared against the MEDIAN of its
+    * ±`halfWin` ROWS window, flagged when `|x − med| > k · MAD` with
+    * MAD the median absolute deviation from that same window median
+    * (plain MAD — no 1.4826 Gaussian consistency factor; fold it into
+    * `k` if normal-calibrated thresholds are wanted).
+    *
+    * Shape: ONE collect_list window per key (window arrays are
+    * `2·halfWin+1` elements — constant per row), median and MAD via
+    * in-array sorts, no second pass, no self-join. Exactness: medians
+    * pick elements or average two (one IEEE add/divide), so every
+    * output is a fixed per-row chain — raw-hashable.
+    *
+    * Loud degenerates: NULL value or order rows raise (a silent drop
+    * would shift every neighbor's window).
+    *
+    * @return input rows + (med, mad, is_outlier) */
+  def hampel(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, halfWin: Int = 3, k: Double = 3.0): DataFrame = {
+    require(halfWin >= 1 && halfWin <= 100,
+      s"hampel: halfWin must be in [1, 100]: $halfWin")
+    require(k > 0, s"hampel: k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-halfWin, halfWin)
+    def medOf(arr: org.apache.spark.sql.Column) = {
+      val n = size(arr)
+      // 1-based middles: odd picks one, even averages the two (the
+      // /2 divisions are exact for their parities, so the int casts
+      // never truncate)
+      when(n % 2 === 1,
+        element_at(arr, ((n + 1) / 2).cast("int")).cast("double"))
+        .otherwise((element_at(arr, (n / 2).cast("int")).cast("double") +
+          element_at(arr, (n / 2).cast("int") + 1).cast("double")) / 2.0)
+    }
+    val guarded = df.withColumn("__v",
+      when(col(valueCol).isNull ||
+        orderCols.map(c => col(c).isNull).reduce(_ || _),
+        raise_error(lit(
+          "TimeSeries.hampel: NULL value/order row — a silent drop " +
+            "would shift every neighbor's window; filter explicitly")))
+        .otherwise(col(valueCol).cast("double")))
+    val withArr = guarded
+      .withColumn("__arr", sort_array(collect_list(col("__v")).over(w)))
+      .withColumn("med", medOf(col("__arr")))
+      .withColumn("mad", medOf(sort_array(
+        transform(col("__arr"), x => abs(x - col("med"))))))
+    withArr
+      .withColumn("is_outlier", abs(col("__v") - col("med")) >
+        lit(k) * col("mad"))
+      .drop("__arr", "__v")
+  }
+
+  /** Durbin–Watson statistic per group — first-order residual
+    * autocorrelation of the per-group OLS fit ([[autocorr]] tests the
+    * raw series; this tests what a LINEAR model leaves behind — the
+    * standard "is a trend-line fit hiding serial structure" readout
+    * next to [[mannKendallTrend]]): with x = the 1..n within-group
+    * rank of `orderCols` and integer `valueCol`,
+    * `DW = Σ_{t≥2}(e_t − e_{t−1})² / Σ e_t²` over the OLS residuals.
+    *
+    * Exactness: the residuals are scaled by `n·den` (den = n·Σx² −
+    * (Σx)², the slope denominator), making every scaled residual
+    * `n·den·y_t − den·Σy + bNum·Σx − n·bNum·x_t` an EXACT integer
+    * (the scale cancels in the ratio) — DW is ONE IEEE division of
+    * exact DECIMAL(38,0) sums, shipped RAW. The price is headroom:
+    * scaled residuals grow ~n³·x·y, so groups beyond `maxGroupRows`
+    * raise loudly (shard or pre-aggregate) instead of silently
+    * overflowing the decimal.
+    *
+    * Loud degenerates: a group smaller than 3 rows, a perfect fit
+    * (Σe² = 0 — DW is 0/0), NULL value/order rows.
+    *
+    * @return one row per group: (groupCol, n, dw) — DW in [0, 4],
+    *         2 ≈ no autocorrelation */
+  def durbinWatson(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], valueCol: String,
+      maxGroupRows: Int = 1000): DataFrame = {
+    require(orderCols.nonEmpty, "durbinWatson: need order columns")
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wo = Window.partitionBy(col(groupCol))
+      .orderBy(orderCols.map(col): _*)
+    val base = df.select(col(groupCol).as("__g"),
+        when(col(valueCol).isNull ||
+          orderCols.map(c => col(c).isNull).reduce(_ || _),
+          raise_error(lit(
+            "TimeSeries.durbinWatson: NULL value/order row — filter " +
+              "explicitly")))
+          .otherwise(col(valueCol).cast("long")).as("__y"),
+        row_number().over(wo).cast("long").as("__x"))
+    val sums = base.groupBy(col("__g").as("__sg"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"))
+      .select(col("__sg"),
+        when(col("__n") < 3, raise_error(lit(
+          "TimeSeries.durbinWatson: group smaller than 3 rows — DW " +
+            "needs at least 2 residual transitions")))
+          .when(col("__n") > maxGroupRows, raise_error(lit(
+            s"TimeSeries.durbinWatson: group beyond $maxGroupRows " +
+              "rows — the exact scaled residuals would overflow " +
+              "DECIMAL(38); shard or pre-aggregate")))
+          .otherwise(col("__n")).cast(dec).as("__nn"),
+        col("__sx"), col("__sy"), col("__sxx"), col("__sxy"))
+    val den = col("__nn") * col("__sxx") - col("__sx") * col("__sx")
+    val bNum = col("__nn") * col("__sxy") - col("__sx") * col("__sy")
+    val joined = base.join(sums, col("__g") === col("__sg"))
+      .select(col("__g"), col("__x"), col("__nn"),
+        (col("__nn") * den * col("__y").cast(dec) -
+          den * col("__sy") + bNum * col("__sx") -
+          col("__nn") * bNum * col("__x").cast(dec)).as("__r"))
+    val wl = Window.partitionBy(col("__g")).orderBy(col("__x"))
+    val withLag = joined
+      .withColumn("__rp", lag(col("__r"), 1).over(wl))
+    withLag.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__rp").isNotNull,
+          (col("__r") - col("__rp")) * (col("__r") - col("__rp"))))
+          .as("__num"),
+        sum(col("__r") * col("__r")).as("__den"))
+      .select(col(groupCol), col("n"),
+        when(col("__den") === 0, raise_error(lit(
+          "TimeSeries.durbinWatson: perfect linear fit — every " +
+            "residual is 0 and DW is 0/0")))
+          .otherwise(col("__num").cast("double") /
+            col("__den").cast("double")).as("dw"))
+  }
 }

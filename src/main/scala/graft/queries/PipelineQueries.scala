@@ -696,6 +696,21 @@ object PipelineQueries {
     graft.operators.Drift.friedman(cells, "ym", "prio", "cnt", k = 5)
   }
 
+  /** Page's L trend ([[graft.operators.Drift.pageTrend]], r14): do
+    * the five priority classes' monthly order counts rise in priority
+    * order WITHIN months — the ordered-alternative form of
+    * q_friedman's any-shift question, on the same (month × priority)
+    * cell table. 2L and all moments exact ints; z one raw chain. */
+  val pageTrendPriority: Q = (s, d) => {
+    val cells = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.operators.Drift.pageTrend(cells, "ym", "prio", "cnt",
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+  }
+
   /** Benjamini–Hochberg flags over a 200-hypothesis sweep (round 12,
     * [[graft.operators.Drift.benjaminiHochberg]]): ten planted signals
     * (p = (i+1)/10⁴, all under the adaptive cutoff at α = 0.05) among
@@ -940,6 +955,23 @@ object PipelineQueries {
   val profileCategorical: Q = (s, d) =>
     graft.operators.Profile.categorical(Tables.documents(s, d),
       Seq("lang", "source"), k = 3)
+
+  /** Candidate-key profile ([[graft.operators.Profile.keyProfile]],
+    * r14): which orders columns identify a row — one unpivoted shuffle
+    * for every column's exact distinct/null counts instead of |cols|
+    * COUNT(DISTINCT) scans. o_orderkey must flag as the key. */
+  val keyProfileOrders: Q = (s, d) =>
+    graft.operators.Profile.keyProfile(Tables.orders(s, d),
+      Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
+        "o_orderdate"))
+
+  /** Approximate-FD audit ([[graft.operators.Profile.fdViolations]],
+    * r14): does customer determine order priority (it must not — the
+    * g3 violation mass is the gate payload), the data-contract check
+    * run before trusting an inferred dependency. */
+  val fdCustPriority: Q = (s, d) =>
+    graft.operators.Profile.fdViolations(Tables.orders(s, d),
+      Seq("o_custkey"), "o_orderpriority")
 
   /** Cluster-exact near-dup removal: one survivor per TRANSITIVE
     * duplicate component (min-label propagation over the LSH pair graph;
@@ -2555,6 +2587,32 @@ object PipelineQueries {
           .select("event_id", "user_id", "ts", "value"),
         "user_id", "ts", "event_id", "value")
       .select("event_id", "user_id", "n_frame", "z", "is_anomaly")
+
+  /** Hampel outlier screen ([[graft.operators.TimeSeries.hampel]],
+    * r14): every event's value against its ±3-row window median/MAD —
+    * the robust companion to q_rolling_zscore (mean/stddev are
+    * dragged by the very spikes being hunted). Per-user summary:
+    * counts exact, med/mad picks or one-add-one-divide chains. */
+  val hampelEvents: Q = (s, d) =>
+    graft.operators.TimeSeries.hampel(
+        Tables.events(s, d).select("user_id", "ts", "event_id", "value"),
+        "user_id", Seq("ts", "event_id"), "value", halfWin = 3, k = 3.0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("is_outlier").cast("long")).as("n_outliers"),
+        min("med").as("min_med"), max("med").as("max_med"),
+        max("mad").as("max_mad"))
+
+  /** Durbin–Watson per user ([[graft.operators.TimeSeries
+    * .durbinWatson]], r14): serial correlation left by each user's
+    * value-vs-rank OLS line — what q_autocorr asks of the raw series,
+    * asked of the detrended residuals. Cent-scaled values make the
+    * scaled residuals exact integers; dw is one raw division. */
+  val durbinWatsonUsers: Q = (s, d) =>
+    graft.operators.TimeSeries.durbinWatson(
+      Tables.events(s, d).withColumn("cents",
+        floor(col("value") * 100 + 0.5).cast("long")),
+      "user_id", Seq("ts", "event_id"), "cents")
 
   /** Embargoed time split (round 8,
     * [[graft.operators.Splits.timeSplit]]): purged walk-forward

@@ -543,4 +543,42 @@ class DriftSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("at least 2 strata"), e3.getMessage)
   }
+
+  test("pageTrend: perfect 2-block monotone trend gives z = 2 " +
+      "exactly; reversed order flips the sign; degenerates raise") {
+    import spark.implicits._
+    // blocks b1/b2, treatments A<B<C with strictly rising values:
+    // ranks 1,2,3 per block -> L = 1*2 + 2*4 + 3*6 = 28 (the max),
+    // E[L] = 2*3*16/4 = 24, Var[L] = 2*9*16*2/144 = 4 -> z = 4/2
+    val rows = Seq(("b1", "A", 10), ("b1", "B", 20), ("b1", "C", 30),
+      ("b2", "A", 1), ("b2", "B", 2), ("b2", "C", 3))
+    val got = Drift.pageTrend(rows.toDF("b", "t", "v"), "b", "t", "v",
+      Seq("A", "B", "C")).collect().head
+    assert(got.getLong(0) == 2 && got.getLong(1) == 3, got.toString)
+    assert(got.getDouble(2) == 28.0, got.toString)
+    assert(got.getDouble(3) == 2.0, got.toString)
+    val rev = Drift.pageTrend(rows.toDF("b", "t", "v"), "b", "t", "v",
+      Seq("C", "B", "A")).collect().head
+    assert(rev.getDouble(3) == -2.0, rev.toString)
+    // an incomplete block drops (the friedman rule); one complete
+    // block remains
+    val partial = rows ++ Seq(("b3", "A", 5))
+    val p = Drift.pageTrend(partial.toDF("b", "t", "v"), "b", "t", "v",
+      Seq("A", "B", "C")).collect().head
+    assert(p.getLong(0) == 2, p.toString)
+    // a kept (complete-size) block carrying an unmapped treatment
+    // raises — silent drop would bias L
+    val unmapped = Seq(("b1", "A", 1), ("b1", "X", 2))
+    val e1 = intercept[Exception] {
+      Drift.pageTrend(unmapped.toDF("b", "t", "v"), "b", "t", "v",
+        Seq("A", "B")).collect()
+    }
+    assert(e1.getMessage.contains("not in treatmentOrder"),
+      e1.getMessage)
+    val e2 = intercept[Exception] {
+      Drift.pageTrend(Seq(("b1", "A", 1)).toDF("b", "t", "v"),
+        "b", "t", "v", Seq("A", "B", "C")).collect()
+    }
+    assert(e2.getMessage.contains("no complete blocks"), e2.getMessage)
+  }
 }

@@ -119,4 +119,43 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("NULL sensitive value"), e.getMessage)
   }
+
+  test("keyProfile: the unique column flags as key; nulls and dups " +
+      "counted exactly") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a"), 5), (2L, Some("a"), 5),
+      (3L, None, 7)).toDF("id", "cat", "v")
+    val got = Profile.keyProfile(df, Seq("id", "cat", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("id").getAs[Boolean]("is_key"))
+    assert(got("cat").getLong(1) == 3 && got("cat").getLong(2) == 2 &&
+      got("cat").getLong(3) == 1 && !got("cat").getAs[Boolean]("is_key"),
+      got("cat").toString)
+    assert(got("v").getLong(3) == 2 && !got("v").getAs[Boolean]("is_key"))
+  }
+
+  test("fdViolations: a held FD reports zero g3, a broken one counts " +
+      "exactly the beyond-majority rows") {
+    import spark.implicits._
+    val held = Seq((1, "x"), (1, "x"), (2, "y")).toDF("a", "b")
+    val h = Profile.fdViolations(held, Seq("a"), "b").collect().head
+    assert(h.getLong(0) == 3 && h.getLong(1) == 2 &&
+      h.getLong(2) == 0 && h.getLong(3) == 0 &&
+      h.getDouble(4) == 0.0, h.toString)
+    // a=1: {x,x,y} -> 1 violating row; a=2: {y} clean
+    val broken = Seq((1, "x"), (1, "x"), (1, "y"), (2, "y"))
+      .toDF("a", "b")
+    val g = Profile.fdViolations(broken, Seq("a"), "b").collect().head
+    assert(g.getLong(2) == 1 && g.getLong(3) == 1 &&
+      g.getDouble(4) == 0.25, g.toString)
+    // NULL dependents are a value: two NULLs agree
+    val nulls = Seq((1, None: Option[String]), (1, None))
+      .toDF("a", "b")
+    val nr = Profile.fdViolations(nulls, Seq("a"), "b").collect().head
+    assert(nr.getLong(3) == 0, nr.toString)
+    val e = intercept[IllegalArgumentException] {
+      Profile.fdViolations(held, Seq("b"), "b")
+    }
+    assert(e.getMessage.contains("must not appear"), e.getMessage)
+  }
 }

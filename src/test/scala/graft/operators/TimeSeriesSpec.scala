@@ -382,4 +382,72 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("zero variance"), e3.getMessage)
   }
+
+  test("hampel: a planted spike flags, its window median/MAD are the " +
+      "hand values, null rows raise") {
+    import spark.implicits._
+    // series 10,10,10,100,10,10,10: the spike's +-3 window is the
+    // whole series -> med 10, MAD 0 -> |100-10| > 3*0 flags; the
+    // neighbors' windows also carry the spike but their own deviation
+    // is 0, never > 0
+    val rows = Seq(10, 10, 10, 100, 10, 10, 10).zipWithIndex
+      .map { case (v, i) => ("u", i, v.toDouble) }
+    val got = TimeSeries.hampel(rows.toDF("k", "t", "v"), "k",
+      Seq("t"), "v", halfWin = 3).orderBy("t").collect()
+    assert(got.count(_.getAs[Boolean]("is_outlier")) == 1)
+    val spike = got(3)
+    assert(spike.getAs[Boolean]("is_outlier") &&
+      spike.getAs[Double]("med") == 10.0 &&
+      spike.getAs[Double]("mad") == 0.0, spike.toString)
+    // even-window median averages the two middles: first row's window
+    // is rows 0..3 -> sorted (10,10,10,100), med = 10
+    assert(got(0).getAs[Double]("med") == 10.0, got(0).toString)
+    val e = intercept[Exception] {
+      TimeSeries.hampel(Seq(("u", Some(1), Some(1.0)),
+        ("u", Some(2), None)).toDF("k", "t", "v"), "k", Seq("t"), "v")
+        .collect()
+    }
+    assert(e.getMessage.contains("NULL value/order"), e.getMessage)
+  }
+
+  test("durbinWatson: alternating residuals give DW near 4, a smooth " +
+      "ramp plus one kink stays near 0; degenerates raise") {
+    import spark.implicits._
+    // y alternates +-1: residuals flip sign every step (the OLS slope
+    // is small but nonzero — Σxy = 5 — so the exact DW is replicated
+    // below with BigInt scaled residuals, the operator's own algebra)
+    val n = 10
+    val ys = (1 to n).map(i => if (i % 2 == 0) 1L else -1L)
+    val alt = (1 to n).map(i => ("a", i, ys(i - 1)))
+    val got = TimeSeries.durbinWatson(alt.toDF("g", "t", "y"), "g",
+      Seq("t"), "y").collect().head
+    assert(got.getLong(1) == n, got.toString)
+    val (sx, sy) = ((1 to n).map(BigInt(_)).sum, ys.map(BigInt(_)).sum)
+    val sxx = (1 to n).map(i => BigInt(i) * i).sum
+    val sxy = (1 to n).map(i => BigInt(i) * ys(i - 1)).sum
+    val den = BigInt(n) * sxx - sx * sx
+    val bNum = BigInt(n) * sxy - sx * sy
+    val r = (1 to n).map(i => BigInt(n) * den * ys(i - 1) -
+      den * sy + bNum * sx - BigInt(n) * bNum * i)
+    val want = r.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0)))
+      .sum.toDouble / r.map(e => e * e).sum.toDouble
+    assert(got.getDouble(2) == want, s"got $got want $want")
+    assert(got.getDouble(2) > 3.0, got.toString)
+    // positively autocorrelated residuals (one level shift around the
+    // fitted line) -> DW well below 2
+    val shift = (1 to n).map(i => ("a", i, if (i <= n / 2) 0 else 10))
+    val lo = TimeSeries.durbinWatson(shift.toDF("g", "t", "y"), "g",
+      Seq("t"), "y").collect().head
+    assert(lo.getDouble(2) < 1.8, lo.toString)
+    val e1 = intercept[Exception] {
+      TimeSeries.durbinWatson(Seq(("a", 1, 1), ("a", 2, 2))
+        .toDF("g", "t", "y"), "g", Seq("t"), "y").collect()
+    }
+    assert(e1.getMessage.contains("smaller than 3"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      TimeSeries.durbinWatson((1 to 5).map(i => ("a", i, 2 * i))
+        .toDF("g", "t", "y"), "g", Seq("t"), "y").collect()
+    }
+    assert(e2.getMessage.contains("perfect linear fit"), e2.getMessage)
+  }
 }
