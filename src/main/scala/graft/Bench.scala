@@ -224,6 +224,8 @@ object Bench {
     prebuild("q_corpus_incremental",
       () => graft.queries.PipelineQueries
         .ensureCorpusIncrementalArtifacts(spark, sfDir))
+    prebuild("q_neardup_rich",
+      () => graft.queries.TextQueries.ensureRichPairs(spark, sfDir))
 
     // The 3x-noise-suspect reference (round 13): elementwise MIN of the
     // best-known map (BENCH_BEST.json) and the last full run

@@ -1304,7 +1304,7 @@ object SparkEntry {
       SELECT id1, id2, n1, n2, overlap::INT AS overlap,
              overlap * 1.0 / (n1 + n2 - overlap) AS jaccard
       FROM ov
-      WHERE overlap * 1.0 / (n1 + n2 - overlap) >= 0.6"""),
+      WHERE overlap * 1.0 / (n1 + n2 - overlap) >= 0.7"""),
 
     "q_text_lang_markers" -> """
       SELECT lang,

@@ -428,10 +428,22 @@ object DedupQueries {
     * consumed by many downstream jobs (dedup, cluster audits, survivor
     * policies). */
   private[graft] def verifiedPairs(s: SparkSession, d: String,
-      minJaccard: Double = 0.6): DataFrame = {
+      minJaccard: Double = 0.6): DataFrame =
+    cachedPairs(s, d, s"setsim-pairs|trigram|j=$minJaccard",
+      () => graft.operators.SetSimJoin.joinByJaccard(
+        shingledDocs(s, d), "doc_id", "shingles", minJaccard))
+
+  /** Generalized build-once/read-many pair-graph artifact (the
+    * [[verifiedPairs]] discipline, shared since r14 with the
+    * rich-corpus gate): keyed by corpus path + caller tag,
+    * fingerprinted by doc count + id hash-sum; always served from the
+    * parquet artifact so the gate plan is identical on build-miss and
+    * cache-hit runs. */
+  private[graft] def cachedPairs(s: SparkSession, d: String,
+      tagSuffix: String, build: () => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
     val tag = new java.io.File(d).getCanonicalPath
-    val keySrc = s"setsim-pairs|$tag|trigram|j=$minJaccard"
+    val keySrc = s"$tag|$tagSuffix"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(keySrc.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val dir = Paths.get(graft.sources.Artifacts.cacheDir, key)
@@ -444,13 +456,10 @@ object DedupQueries {
       new String(Files.readAllBytes(marker), "UTF-8").trim == fp &&
       !sys.env.get("GRAFT_INDEX_REBUILD").contains("1")
     if (!fresh) {
-      graft.operators.SetSimJoin.joinByJaccard(
-          shingledDocs(s, d), "doc_id", "shingles", minJaccard)
-        .write.mode("overwrite").parquet(dir.resolve("pairs").toString)
+      build().write.mode("overwrite")
+        .parquet(dir.resolve("pairs").toString)
       Files.write(marker, fp.getBytes("UTF-8")) // commit point
     }
-    // always serve from the artifact so the gate plan is identical on
-    // build-miss and cache-hit runs
     s.read.parquet(dir.resolve("pairs").toString)
   }
 
