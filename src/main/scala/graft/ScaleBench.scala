@@ -2285,6 +2285,87 @@ object ScaleBench {
       val tblNx = time(s"blocklist_hits ${factor}x")(noop(blOf(docsN)))
       results += (("blocklist_hits", tbl1x, tblNx))
     }
+    {
+      // r14 stat tier: every member collapses to bounded cells (5
+      // strata / months x 5 / 3 items / k columns) then folds — the
+      // cochran_q scan-bound class
+      def caOf(d: DataFrame) = graft.operators.Drift.cochranArmitage(
+        d.withColumn("hi", col("o_totalprice") > 150000.0),
+        "o_orderpriority", "hi",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      val tca1 = time("ca_trend 1x")(noop(caOf(ord1)))
+      val tcaN = time(s"ca_trend ${factor}x")(noop(caOf(ordN)))
+      results += (("ca_trend", tca1, tcaN))
+      def mhOf(d: DataFrame) = graft.operators.Eval.mantelHaenszel(
+        d.withColumn("arm", pmod(col("o_custkey"), lit(2)) === 0)
+          .withColumn("hi", col("o_totalprice") > 150000.0),
+        "o_orderpriority", "arm", "hi")
+      val tmh1 = time("mantel_haenszel 1x")(noop(mhOf(ord1)))
+      val tmhN = time(s"mantel_haenszel ${factor}x")(noop(mhOf(ordN)))
+      results += (("mantel_haenszel", tmh1, tmhN))
+      def crOf(d: DataFrame) = {
+        val per = d.groupBy(pmod(col("o_custkey"), lit(120)).as("subj"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("o_totalprice") > 150000.0, 1L).otherwise(0L))
+              .as("hi"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              1L).otherwise(0L)).as("urg"))
+        graft.operators.Eval.cronbachAlpha(per.selectExpr("subj",
+          "stack(3, 'cnt', cnt, 'hi', hi, 'urg', urg) AS (item, score)"),
+          "subj", "item", "score")
+      }
+      val tcr1 = time("cronbach 1x")(noop(crOf(ord1)))
+      val tcrN = time(s"cronbach ${factor}x")(noop(crOf(ordN)))
+      results += (("cronbach", tcr1, tcrN))
+      def ptOf(d: DataFrame) = graft.operators.Drift.pageTrend(
+        d.filter(col("o_orderdate").isNotNull)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+            col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("cnt")),
+        "ym", "prio", "cnt",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      val tpt1 = time("page_trend 1x")(noop(ptOf(ord1)))
+      val tptN = time(s"page_trend ${factor}x")(noop(ptOf(ordN)))
+      results += (("page_trend", tpt1, tptN))
+    }
+    {
+      // r14 profile tier: key_profile is one unpivoted shuffle (5x
+      // rows); fd_violations two groupBys — both linear by shape
+      def kpOf(d: DataFrame) = graft.operators.Profile.keyProfile(d,
+        Seq("o_orderkey", "o_custkey", "o_orderpriority",
+          "o_totalprice", "o_orderdate"))
+      val tkp1 = time("key_profile 1x")(noop(kpOf(ord1)))
+      val tkpN = time(s"key_profile ${factor}x")(noop(kpOf(ordN)))
+      results += (("key_profile", tkp1, tkpN))
+      def fdOf(d: DataFrame) = graft.operators.Profile.fdViolations(d,
+        Seq("o_custkey"), "o_orderpriority")
+      val tfd1 = time("fd_violations 1x")(noop(fdOf(ord1)))
+      val tfdN = time(s"fd_violations ${factor}x")(noop(fdOf(ordN)))
+      results += (("fd_violations", tfd1, tfdN))
+    }
+    {
+      // r14 robust-TS tier: replication offsets user_id, so xN means
+      // MORE USERS with the same per-user series length — window and
+      // residual work grow linearly with rows, per-key state constant
+      val evR1 = graft.sources.Tables.events(spark, sf)
+        .select("user_id", "ts", "event_id", "value")
+      val evRN = replicate(evR1, Seq("user_id", "event_id"), 10000000L)
+      def haOf(d: DataFrame) = graft.operators.TimeSeries.hampel(d,
+          "user_id", Seq("ts", "event_id"), "value", halfWin = 3)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_outlier").cast("long")).as("n_out"))
+      val tha1 = time("hampel 1x")(noop(haOf(evR1)))
+      val thaN = time(s"hampel ${factor}x")(noop(haOf(evRN)))
+      results += (("hampel", tha1, thaN))
+      def dwOf(d: DataFrame) = graft.operators.TimeSeries.durbinWatson(
+        d.withColumn("cents",
+          floor(col("value") * 100 + 0.5).cast("long")),
+        "user_id", Seq("ts", "event_id"), "cents")
+      val tdw1 = time("durbin_watson 1x")(noop(dwOf(evR1)))
+      val tdwN = time(s"durbin_watson ${factor}x")(noop(dwOf(evRN)))
+      results += (("durbin_watson", tdw1, tdwN))
+    }
 
     // rows/s normalization for the deep-drill tier (r12 verdict #6):
     // absolute throughput against each drill's PRIMARY scanned table, so
@@ -2305,7 +2386,11 @@ object ScaleBench {
       "triangles_adj" -> "lineitem", "kcore" -> "lineitem",
       "sssp" -> "lineitem", "levene_bf" -> "lineitem",
       "cochran_q" -> "documents", "heaps_fit" -> "documents",
-      "tclose_audit" -> "documents", "blocklist_hits" -> "documents")
+      "tclose_audit" -> "documents", "blocklist_hits" -> "documents",
+      "ca_trend" -> "orders", "mantel_haenszel" -> "orders",
+      "cronbach" -> "orders", "page_trend" -> "orders",
+      "key_profile" -> "orders", "fd_violations" -> "orders",
+      "hampel" -> "events", "durbin_watson" -> "events")
 
     println(f"%n[scale] factor=$factor — time ratio (ideal <= $factor):")
     results.filter(_._2 > 0).foreach { case (tag, t1, tN) =>
