@@ -446,6 +446,8 @@ object SparkEntry {
     "q_durbin_watson" -> PipelineQueries.durbinWatsonUsers,
     "q_key_profile" -> PipelineQueries.keyProfileOrders,
     "q_fd_violations" -> PipelineQueries.fdCustPriority,
+    "q_embed_cov" -> VectorQueries.embedCov,
+    "q_embed_pc" -> VectorQueries.embedPc,
     "q_fdr_flags" -> PipelineQueries.fdrFlags,
     "q_fdr_grouped" -> PipelineQueries.fdrGrouped,
     "q_zipf_fit" -> PipelineQueries.zipfFit,
@@ -4128,6 +4130,224 @@ object SparkEntry {
              sum(n - maj)::BIGINT AS n_violating_rows,
              sum(n - maj)::DOUBLE / sum(n) AS g3_rate
       FROM perdet""",
+
+
+    // embedding covariance: exact integer moments over the
+    // 1/128-snapped components, one division per entry
+    "q_embed_cov" -> """
+      WITH q AS (
+        SELECT list_transform(embedding,
+          x -> floor(x::DOUBLE * 128 + 0.5)::HUGEINT) AS v
+        FROM embeddings),
+      pairs AS (
+        SELECT t1.i AS i, t2.j AS j, v[t1.i + 1] AS xi, v[t2.j + 1] AS xj
+        FROM q, range(64) t1(i), range(64) t2(j)
+        WHERE t2.j >= t1.i),
+      cells AS (
+        SELECT i, j, count(*)::BIGINT AS n, sum(xi) AS sx,
+               sum(xj) AS sy, sum(xi * xj) AS sxy
+        FROM pairs GROUP BY 1, 2)
+      SELECT i::INT AS i, j::INT AS j, n,
+             (n::HUGEINT * sxy - sx * sy)::DOUBLE /
+               (n::DOUBLE * n * 128 * 128) AS cov
+      FROM cells""",
+
+    // top principal component: 20 unrolled power iterations, every
+    // dot/norm an index-ordered list_reduce fold - the byte-exact
+    // replay of the operator\'s left-fold chain
+    "q_embed_pc" -> """
+      WITH q AS (
+        SELECT list_transform(embedding,
+          x -> floor(x::DOUBLE * 128 + 0.5)::HUGEINT) AS v
+        FROM embeddings),
+      pairs AS (
+        SELECT t1.i AS i, t2.j AS j, v[t1.i + 1] AS xi, v[t2.j + 1] AS xj
+        FROM q, range(64) t1(i), range(64) t2(j)),
+      cells AS (
+        SELECT i, j, count(*)::BIGINT AS n, sum(xi) AS sx,
+               sum(xj) AS sy, sum(xi * xj) AS sxy
+        FROM pairs GROUP BY 1, 2),
+      covf AS (
+        SELECT i, j, max(n) OVER () AS n,
+               (n::HUGEINT * sxy - sx * sy)::DOUBLE /
+                 (n::DOUBLE * n * 128 * 128) AS cov
+        FROM cells),
+      crow AS (SELECT i, list(cov ORDER BY j) AS r FROM covf GROUP BY i),
+      cm AS (SELECT list(r ORDER BY i) AS c, 0 AS k FROM crow),
+      nn AS (SELECT max(n)::BIGINT AS n FROM covf),
+      v0 AS (SELECT list_transform(range(64), x -> 0.125::DOUBLE) AS v),
+      w1 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, v0),
+      n1 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w1),
+      w2 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n1),
+      n2 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w2),
+      w3 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n2),
+      n3 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w3),
+      w4 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n3),
+      n4 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w4),
+      w5 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n4),
+      n5 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w5),
+      w6 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n5),
+      n6 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w6),
+      w7 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n6),
+      n7 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w7),
+      w8 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n7),
+      n8 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w8),
+      w9 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n8),
+      n9 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w9),
+      w10 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n9),
+      n10 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w10),
+      w11 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n10),
+      n11 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w11),
+      w12 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n11),
+      n12 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w12),
+      w13 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n12),
+      n13 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w13),
+      w14 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n13),
+      n14 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w14),
+      w15 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n14),
+      n15 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w15),
+      w16 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n15),
+      n16 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w16),
+      w17 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n16),
+      n17 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w17),
+      w18 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n17),
+      n18 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w18),
+      w19 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n18),
+      n19 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w19),
+      w20 AS (SELECT list_transform(range(64), i ->
+          list_reduce(list_transform(range(64), j ->
+            c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)) AS w
+        FROM cm, n19),
+      n20 AS (SELECT list_transform(w, x -> x /
+          sqrt(list_reduce(list_transform(w, y -> y * y),
+            (a, b) -> a + b))) AS v
+        FROM w20),
+      fin AS (
+        SELECT v,
+          list_reduce(list_transform(range(64), i -> v[i + 1] *
+            list_reduce(list_transform(range(64), j ->
+              c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b)),
+            (a, b) -> a + b) AS lambda,
+          list_reduce(list_transform(range(64), i -> c[i + 1][i + 1]),
+            (a, b) -> a + b) AS trace
+        FROM cm, n20)
+      SELECT t.i::INT AS i, v[t.i + 1] AS loading, lambda AS eigenvalue,
+             lambda / trace AS explained_share, nn.n AS n
+      FROM fin, nn, range(64) t(i)""",
 
     "q_friedman" -> """
       WITH cells AS (

@@ -155,6 +155,24 @@ object VectorQueries {
       .agg(count(lit(1)).as("n"),
         round(avg(col("x").cast("double")), 6).as("v"))
 
+  /** Embedding covariance entries ([[graft.operators.EmbedStats
+    * .covariance]], r14): the 64×64 upper triangle over 1/128-snapped
+    * components — the embedding-drift monitor's raw material; exact
+    * decimal moments, each entry one raw division. */
+  val embedCov: Q = (s, d) =>
+    graft.operators.EmbedStats.covariance(
+      Tables.embeddings(s, d), "embedding")
+
+  /** Top principal component ([[graft.operators.EmbedStats
+    * .principalComponent]], r14): 20 power iterations from the
+    * uniform 1/8 start over the same quantized covariance — dominant
+    * direction + Rayleigh eigenvalue + explained trace share, the
+    * anisotropy alarm. Every fold is index-ordered, so the whole
+    * chain replays in SQL. */
+  val embedPc: Q = (s, d) =>
+    graft.operators.EmbedStats.principalComponent(
+      Tables.embeddings(s, d), "embedding")
+
   /** Centroid silhouette per label class (round 13,
     * [[graft.operators.Clustering.silhouetteCentroid]]): how tight and
     * separated the 10 label clusters are — the cluster-quality number
