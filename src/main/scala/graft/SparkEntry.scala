@@ -442,6 +442,8 @@ object SparkEntry {
     // round 12: the k-paired member completing the test matrix
     "q_friedman" -> PipelineQueries.friedmanPriority,
     "q_page_trend" -> PipelineQueries.pageTrendPriority,
+    "q_kendall_w" -> PipelineQueries.kendallWPriority,
+    "q_conformal_quantile" -> PipelineQueries.conformalPrice,
     "q_hampel" -> PipelineQueries.hampelEvents,
     "q_durbin_watson" -> PipelineQueries.durbinWatsonUsers,
     "q_key_profile" -> PipelineQueries.keyProfileOrders,
@@ -4348,6 +4350,55 @@ object SparkEntry {
       SELECT t.i::INT AS i, v[t.i + 1] AS loading, lambda AS eigenvalue,
              lambda / trace AS explained_share, nn.n AS n
       FROM fin, nn, range(64) t(i)""",
+
+
+    // Kendall's W: the friedman block-rank replay folded to the
+    // concordance effect size (doubled ranks: 12*S = 3*sum((R2-b(k+1))^2))
+    "q_kendall_w" -> """
+      WITH cells AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS b,
+               o_orderpriority AS t, count(*)::BIGINT AS v
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1, 2),
+      kept AS (
+        SELECT * FROM cells
+        WHERE b IN (SELECT b FROM cells GROUP BY b
+                    HAVING count(*) = 5)),
+      ranked AS (
+        SELECT a.b, a.t,
+               2 * sum(CASE WHEN c.v < a.v THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN c.v = a.v THEN 1 ELSE 0 END) + 1
+                 AS r2,
+               sum(CASE WHEN c.v = a.v THEN 1 ELSE 0 END) AS eq
+        FROM kept a JOIN kept c ON a.b = c.b
+        GROUP BY a.b, a.t, a.v),
+      pert AS (SELECT t, count(*)::HUGEINT AS nb,
+                 sum(r2::HUGEINT) AS r2s
+               FROM ranked GROUP BY t),
+      tie AS (SELECT COALESCE(sum(eq::HUGEINT * eq - 1), 0::HUGEINT)
+                AS tie
+              FROM ranked),
+      g AS (SELECT max(nb) AS bb,
+              sum((r2s - nb * 6) * (r2s - nb * 6)) AS s3x4
+            FROM pert)
+      SELECT bb::BIGINT AS n_blocks, 5::BIGINT AS k,
+             3.0 * s3x4::DOUBLE /
+               (bb * bb * 5 * 24 - bb * tie)::DOUBLE AS w
+      FROM g CROSS JOIN tie""",
+
+    // conformal quantile: exact ceil((n+1)*0.95)-th order statistic
+    // per group (0.95 is DECIMAL in both engines - no FP boundary)
+    "q_conformal_quantile" -> """
+      WITH r AS (
+        SELECT l_returnflag AS g, l_extendedprice AS v
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      n AS (SELECT g, count(*)::BIGINT AS n FROM r GROUP BY g),
+      rk AS (SELECT g, n, ceil(0.95 * (n + 1))::BIGINT AS rank FROM n),
+      o AS (SELECT g, v,
+              row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+            FROM r)
+      SELECT rk.g AS l_returnflag, rk.n, rk.rank, o.v AS qhat
+      FROM rk JOIN o ON o.g = rk.g AND o.rn = rk.rank""",
 
     "q_friedman" -> """
       WITH cells AS (

@@ -1474,4 +1474,53 @@ object Drift {
           sqrt(var2Num.cast("double") / 36.0))
         .as("z"))
   }
+
+  /** Kendall's coefficient of concordance W — the EFFECT SIZE of the
+    * repeated-measures family ([[friedman]] answers "is there any
+    * shift" with a test statistic; W answers "HOW MUCH do the blocks
+    * agree on the treatment ordering", 0 = no agreement, 1 = identical
+    * rankings in every block; χ²_F = b(k−1)·W ties the two — asserted
+    * as a differential spec): tie-corrected
+    * `W = 12·Σ_j(R_j − b(k+1)/2)² / (b²k(k²−1) − b·Σ(t³−t))`.
+    *
+    * Same [[blockRanks]] recipe; with doubled mid-ranks the numerator
+    * is `3·Σ_j(R2_j − b(k+1))²` and every term is an exact integer —
+    * W is ONE raw division of exact DECIMAL sums.
+    *
+    * Loud degenerates: zero complete blocks; every block fully tied
+    * (the corrected denominator is 0 — agreement is undefined when no
+    * block expresses a preference).
+    *
+    * @return one row: (n_blocks, k, w) */
+  def kendallW(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kendallW: need k >= 2 treatments, got $k")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val exploded = blockRanks(df, blockCol, treatmentCol, valueCol, k,
+      "kendallW")
+    val perT = exploded.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("__r2").cast(dec)).as("__r2s"))
+    val tie = exploded.agg(coalesce(
+      sum(col("__eq").cast(dec) * col("__eq").cast(dec) - 1),
+      lit(0L).cast(dec)).as("__tie"))
+    val g = perT.agg(max("__nb").as("__b"),
+        coalesce(sum(
+          (col("__r2s") - col("__nb").cast(dec) * (k + 1)) *
+            (col("__r2s") - col("__nb").cast(dec) * (k + 1))),
+          lit(0L).cast(dec)).as("__s3x4"))
+      .crossJoin(tie)
+    val b = col("__b").cast(dec)
+    val den = b * b * k * (lit(k.toLong * k - 1).cast(dec)) -
+      b * col("__tie")
+    g.select(col("__b").cast("long").as("n_blocks"), lit(k.toLong).as("k"),
+      when(col("__b").isNull || col("__b") === 0, raise_error(lit(
+        "Drift.kendallW: no complete blocks")))
+        .when(den === 0, raise_error(lit(
+          "Drift.kendallW: every block fully tied — no block " +
+            "expresses a preference, W is 0/0")))
+        .otherwise(lit(3L).cast(dec).cast("double") *
+          col("__s3x4").cast("double") / den.cast("double"))
+        .as("w"))
+  }
 }

@@ -31,6 +31,92 @@ object Selection {
     * so 0.05 is 5/100 — not the nearest double) and multiplies the
     * long count in decimal arithmetic, which Spark keeps exact to 38
     * digits. No epsilon, valid at any n. */
+  /** Shared per-group distinct-value cumulative table of
+    * [[groupedQuantiles]] and [[conformalQuantile]]: the two-phase
+    * bucket-offset running count, grouped. Returns (cum, nRow). */
+  private def groupedCum(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, bucket: Column => Column)
+      : (DataFrame, DataFrame) = {
+    val g = groupCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__bk", bucket(col("__v")))
+    val wOff = Window.partitionBy(g: _*).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // derived sides RENAME their keys before rejoining the parent —
+    // grouped outputs keep the parent's attribute ids, and a join on
+    // the same id is the trivially-true-predicate trap (the r9
+    // ngramJaccard WARN class)
+    val offs = counts.groupBy(g :+ col("__bk"): _*)
+      .agg(sum("__c").as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(groupCols.map(c => col(c).as(s"__o_$c")) ++
+        Seq(col("__bk").as("__bk2"), col("__off")): _*)
+    val wIn = Window.partitionBy(g :+ col("__bk"): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joinKeys = groupCols.map(c =>
+        col(c) <=> col(s"__o_$c")) :+ (col("__bk") <=> col("__bk2"))
+    val cum = counts.join(offs, joinKeys.reduce(_ && _))
+      .select(g ++ Seq(col("__v"), col("__bk"),
+        (col("__off") + sum(col("__c")).over(wIn)).as("__cum")): _*)
+    val nRow = cum.groupBy(g: _*).agg(max("__cum").as("__n"))
+    (cum, nRow)
+  }
+
+  /** Split-conformal calibration quantile per group: q̂ = the
+    * ⌈(n+1)(1−α)⌉-th smallest calibration score — the finite-sample
+    * coverage threshold conformal prediction deploys ("flag every new
+    * score above q̂" then holds a ≥ 1−α guarantee under
+    * exchangeability). The +1 is the point: a plain (1−α) quantile
+    * UNDER-covers at finite n, and the failure is silent.
+    *
+    * Same two-phase grouped machinery as [[groupedQuantiles]] —
+    * distinct-value collapse, bucket offsets, tiny rank probe — so it
+    * holds at corpus scale; q̂ is an exact order statistic (a picked
+    * value, no interpolation), raw-hashable.
+    *
+    * Loud degenerate: a group with n < ⌈(n+1)(1−α)⌉ — i.e. too few
+    * calibration rows for the requested α (the conformal q̂ is +∞
+    * there; deploying a threshold from it would silently flag
+    * nothing).
+    *
+    * @return one row per group: (groupCols*, n, rank, qhat) */
+  def conformalQuantile(df: DataFrame, groupCols: Seq[String],
+      scoreCol: String, alpha: Double,
+      bucket: Column => Column): DataFrame = {
+    require(groupCols.nonEmpty,
+      "conformalQuantile: need at least one group column")
+    require(alpha > 0 && alpha < 1,
+      s"conformalQuantile: alpha must be in (0,1): $alpha")
+    val (cum, nRow) = groupedCum(df, groupCols, scoreCol, bucket)
+    val g = groupCols.map(col)
+    // rank = ceil((n+1)(1-alpha)) over EXACT decimal arithmetic (the
+    // discRank BigDecimal discipline — double 1-alpha can land a hair
+    // under a boundary and shift the rank)
+    val oneMinus = (BigDecimal(1) - BigDecimal(alpha.toString)).toString
+    val rank = ceil(lit(new java.math.BigDecimal(oneMinus)) *
+      (col("__n") + 1)).cast("long")
+    val qTable = nRow.select(
+      groupCols.map(c => col(c).as(s"__q_$c")) ++
+        Seq(col("__n"), rank.as("__r")): _*)
+      .select(col("*"),
+        when(col("__r") > col("__n"), raise_error(concat(lit(
+          s"Selection.conformalQuantile: a group has too few " +
+            s"calibration rows for alpha=$alpha (needs rank "),
+          col("__r").cast("string"), lit(" of "),
+          col("__n").cast("string"),
+          lit(" rows) — the conformal threshold is +inf there"))))
+          .otherwise(col("__r")).as("__rchk"))
+    val probeKeys = (groupCols.map(c => col(c) <=> col(s"__q_$c")) :+
+      (col("__cum") >= col("__rchk"))).reduce(_ && _)
+    cum.join(qTable, probeKeys)
+      .groupBy(groupCols.map(c => col(s"__q_$c").as(c)): _*)
+      .agg(max(col("__n")).as("n"), max(col("__rchk")).as("rank"),
+        min(col("__v")).as("qhat"))
+      .select(g ++ Seq(col("n"), col("rank"), col("qhat")): _*)
+  }
+
   def discRank(q: Double, n: Column): Column =
     greatest(lit(1L),
       ceil(lit(new java.math.BigDecimal(q.toString)) * n).cast("long"))
@@ -236,30 +322,8 @@ object Selection {
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0,1]: $qs")
+    val (cum, nRow) = groupedCum(df, groupCols, valueCol, bucket)
     val g = groupCols.map(col)
-    val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(g :+ col(valueCol).as("__v"): _*)
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__bk", bucket(col("__v")))
-    val wOff = Window.partitionBy(g: _*).orderBy(col("__bk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // derived sides RENAME their keys before rejoining the parent —
-    // grouped outputs keep the parent's attribute ids, and a join on
-    // the same id is the trivially-true-predicate trap (the r9
-    // ngramJaccard WARN class)
-    val offs = counts.groupBy(g :+ col("__bk"): _*)
-      .agg(sum("__c").as("__t"))
-      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
-      .select(groupCols.map(c => col(c).as(s"__o_$c")) ++
-        Seq(col("__bk").as("__bk2"), col("__off")): _*)
-    val wIn = Window.partitionBy(g :+ col("__bk"): _*).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joinKeys = groupCols.map(c =>
-        col(c) <=> col(s"__o_$c")) :+ (col("__bk") <=> col("__bk2"))
-    val cum = counts.join(offs, joinKeys.reduce(_ && _))
-      .select(g ++ Seq(col("__v"), col("__bk"),
-        (col("__off") + sum(col("__c")).over(wIn)).as("__cum")): _*)
-    val nRow = cum.groupBy(g: _*).agg(max("__cum").as("__n"))
     val ranks = qs.map(q => struct(lit(q).as("q"),
       discRank(q, col("__n")).as("__r")))
     val qTable = nRow.select(g :+ col("__n") :+

@@ -711,6 +711,30 @@ object PipelineQueries {
       Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
   }
 
+  /** Kendall's W ([[graft.operators.Drift.kendallW]], r14): HOW MUCH
+    * the months agree on the priority-class ordering — the effect size
+    * q_friedman's test statistic lacks (χ²_F = b(k−1)·W, asserted as
+    * a differential spec). Exact block mid-rank sums; W one raw
+    * division. */
+  val kendallWPriority: Q = (s, d) => {
+    val cells = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.operators.Drift.kendallW(cells, "ym", "prio", "cnt", k = 5)
+  }
+
+  /** Split-conformal calibration quantile ([[graft.operators.Selection
+    * .conformalQuantile]], r14): the ⌈(n+1)·0.95⌉-th smallest price
+    * per return flag — the finite-sample anomaly threshold a deployed
+    * screen uses where a plain 95th percentile silently under-covers.
+    * Exact order-statistic pick off the grouped two-phase. */
+  val conformalPrice: Q = (s, d) =>
+    graft.operators.Selection.conformalQuantile(Tables.lineitem(s, d),
+      Seq("l_returnflag"), "l_extendedprice", alpha = 0.05,
+      v => floor(v / 1000.0))
+
   /** Benjamini–Hochberg flags over a 200-hypothesis sweep (round 12,
     * [[graft.operators.Drift.benjaminiHochberg]]): ten planted signals
     * (p = (i+1)/10⁴, all under the adaptive cutoff at α = 0.05) among

@@ -581,4 +581,35 @@ class DriftSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("no complete blocks"), e2.getMessage)
   }
+
+  test("kendallW: perfect agreement gives W = 1; chi2_F = b(k-1)W " +
+      "differential against friedman; degenerates raise") {
+    import spark.implicits._
+    // identical rankings in both blocks -> W = 1 exactly
+    val perfect = Seq(("b1", "A", 1), ("b1", "B", 2), ("b1", "C", 3),
+      ("b2", "A", 10), ("b2", "B", 20), ("b2", "C", 30))
+      .toDF("b", "t", "v")
+    val w1 = Drift.kendallW(perfect, "b", "t", "v", 3).collect().head
+    assert(w1.getLong(0) == 2 && w1.getLong(1) == 3, w1.toString)
+    assert(w1.getDouble(2) == 1.0, w1.toString)
+    // mixed rankings with a tie: chi2_F must equal b(k-1)W on the
+    // same cells (the identity only bends under ties in chi2's own
+    // tie correction, so compare on a TIE-FREE fixture)
+    val mixed = Seq(("b1", "A", 3), ("b1", "B", 1), ("b1", "C", 2),
+      ("b2", "A", 1), ("b2", "B", 2), ("b2", "C", 3),
+      ("b3", "A", 2), ("b3", "B", 1), ("b3", "C", 3))
+      .toDF("b", "t", "v")
+    val w = Drift.kendallW(mixed, "b", "t", "v", 3).collect()
+      .head.getDouble(2)
+    val chi = Drift.friedman(mixed, "b", "t", "v", 3).collect()
+      .head.getAs[Double]("chi2_f")
+    assert(math.abs(chi - 3.0 * (3 - 1) * w) < 1e-12, s"chi $chi w $w")
+    // every block fully tied -> denominator 0 raises
+    val tied = Seq(("b1", "A", 1), ("b1", "B", 1), ("b1", "C", 1))
+      .toDF("b", "t", "v")
+    val e = intercept[Exception] {
+      Drift.kendallW(tied, "b", "t", "v", 3).collect()
+    }
+    assert(e.getMessage.contains("fully tied"), e.getMessage)
+  }
 }

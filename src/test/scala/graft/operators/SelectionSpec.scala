@@ -84,4 +84,30 @@ class SelectionSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("negative weight"))
   }
+
+  test("conformalQuantile: hand ranks, the +1 coverage bump, and the " +
+      "too-few-rows raise") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor}
+    // group g: scores 1..19 -> n=19, alpha=0.1: rank = ceil(20*0.9)
+    // = 18 -> qhat = 18; a plain 0.9 quantile would pick 17.1-ish
+    val df = (1 to 19).map(v => ("g", v.toDouble)).toDF("grp", "s")
+    val got = Selection.conformalQuantile(df, Seq("grp"), "s", 0.1,
+      v => floor(v / 4)).collect().head
+    assert(got.getString(0) == "g" && got.getLong(1) == 19 &&
+      got.getLong(2) == 18 && got.getDouble(3) == 18.0, got.toString)
+    // n too small for alpha: n=5, alpha=0.1 -> rank ceil(6*0.9)=6 > 5
+    val tiny = (1 to 5).map(v => ("g", v.toDouble)).toDF("grp", "s")
+    val e = intercept[Exception] {
+      Selection.conformalQuantile(tiny, Seq("grp"), "s", 0.1,
+        v => floor(v)).collect()
+    }
+    assert(e.getMessage.contains("too few"), e.getMessage)
+    // bucket-choice invariance (the exactQuantiles discipline)
+    val a = Selection.conformalQuantile(df, Seq("grp"), "s", 0.25,
+      v => floor(v / 2)).collect().head.getDouble(3)
+    val b = Selection.conformalQuantile(df, Seq("grp"), "s", 0.25,
+      v => floor(v / 16)).collect().head.getDouble(3)
+    assert(a == b, s"$a vs $b")
+  }
 }
