@@ -444,6 +444,8 @@ object SparkEntry {
     "q_page_trend" -> PipelineQueries.pageTrendPriority,
     "q_kendall_w" -> PipelineQueries.kendallWPriority,
     "q_conformal_quantile" -> PipelineQueries.conformalPrice,
+    "q_stream_conformal" -> ((s: org.apache.spark.sql.SparkSession,
+      d: String) => graft.streaming.StreamOps.streamConformal(s, d)),
     "q_hampel" -> PipelineQueries.hampelEvents,
     "q_durbin_watson" -> PipelineQueries.durbinWatsonUsers,
     "q_key_profile" -> PipelineQueries.keyProfileOrders,
@@ -4399,6 +4401,24 @@ object SparkEntry {
             FROM r)
       SELECT rk.g AS l_returnflag, rk.n, rk.rank, o.v AS qhat
       FROM rk JOIN o ON o.g = rk.g AND o.rn = rk.rank""",
+
+
+    // streaming conformal screen: stateless replay - output must be
+    // row-identical to the batch join against the same threshold table
+    "q_stream_conformal" -> """
+      WITH r AS (
+        SELECT user_id % 10 AS c, value AS v FROM events
+        WHERE value IS NOT NULL),
+      n AS (SELECT c, count(*)::BIGINT AS n FROM r GROUP BY c),
+      rk AS (SELECT c, n, ceil(0.95 * (n + 1))::BIGINT AS rank FROM n),
+      o AS (SELECT c, v,
+              row_number() OVER (PARTITION BY c ORDER BY v) AS rn
+            FROM r),
+      thr AS (SELECT rk.c, o.v AS qhat
+              FROM rk JOIN o ON o.c = rk.c AND o.rn = rk.rank)
+      SELECT e.event_id, e.user_id % 10 AS cohort, e.value, t.qhat,
+             e.value > t.qhat AS is_anomaly
+      FROM events e JOIN thr t ON e.user_id % 10 = t.c""",
 
     "q_friedman" -> """
       WITH cells AS (

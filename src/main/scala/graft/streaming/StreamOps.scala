@@ -563,6 +563,35 @@ object StreamOps {
   def streamBlocklist(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, streamBlocklistPlan(spark, dir), OutputMode.Append())
 
+  /** Streaming conformal anomaly screen: arriving events are flagged
+    * against the PRE-COMPUTED per-cohort split-conformal threshold
+    * ([[graft.operators.Selection.conformalQuantile]] over the at-rest
+    * calibration corpus) — the deployment half of the conformal
+    * contract (calibrate offline on exchangeable history, screen
+    * online with the finite-sample ≥ 1−α guarantee). The plan is
+    * STATELESS (one stream-static broadcast equi-join + a map-only
+    * compare, Append mode, no watermark, no state store): the
+    * threshold table is cohort-sized, so the screen adds zero
+    * streaming state at any event rate — the q_stream_blocklist
+    * posture with a learned threshold instead of a term list. */
+  def streamConformalPlan(spark: SparkSession, dir: String): DataFrame = {
+    val cal = graft.operators.Selection.conformalQuantile(
+      graft.sources.Tables.events(spark, dir)
+        .withColumn("cohort", pmod(col("user_id"), lit(10))),
+      Seq("cohort"), "value", alpha = 0.05,
+      v => floor(v / 10.0))
+      .select(col("cohort").as("__c"), col("qhat"))
+    replayEvents(spark, dir)
+      .withColumn("cohort", pmod(col("user_id"), lit(10)))
+      .join(broadcast(cal), col("cohort") === col("__c"))
+      .select(col("event_id"), col("cohort"), col("value"), col("qhat"),
+        (col("value") > col("qhat")).as("is_anomaly"))
+  }
+
+  def streamConformal(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, streamConformalPlan(spark, dir),
+      OutputMode.Append())
+
   /** Streaming near-dup ingest: arriving documents are flagged against
     * the STATIC persisted MinHash signature index ([[graft.operators
     * .IncrementalDedup]]) — the online half of the daily-ingest loop
