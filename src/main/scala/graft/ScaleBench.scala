@@ -2344,6 +2344,16 @@ object ScaleBench {
       results += (("fd_violations", tfd1, tfdN))
     }
     {
+      // r14 embedding-matrix tier: the d^2 cross-product explode is
+      // map-side CPU that collapses into the (i,j) partial agg before
+      // the exchange - shuffle bounded at d^2/2 rows per partition
+      def ecOf(d: DataFrame) = graft.operators.EmbedStats.covariance(
+        d, "embedding")
+      val tec1 = time("embed_cov 1x")(noop(ecOf(emb1)))
+      val tecN = time(s"embed_cov ${factor}x")(noop(ecOf(embN)))
+      results += (("embed_cov", tec1, tecN))
+    }
+    {
       // r14 robust-TS tier: replication offsets user_id, so xN means
       // MORE USERS with the same per-user series length — window and
       // residual work grow linearly with rows, per-key state constant
