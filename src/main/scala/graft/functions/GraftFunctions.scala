@@ -62,6 +62,8 @@ object GraftFunctions {
       intArg(es(1), "kmv_sketch")).toAggregateExpression()),
     "hll_distinct" -> (es => HllDistinct(es(0)).toAggregateExpression()),
     "vec_mean" -> (es => VecMean(es(0)).toAggregateExpression()),
+    "vec_moments" -> (es => VecMoments(es(0),
+      intArg(es(1), "vec_moments")).toAggregateExpression()),
     "cms_sketch" -> (es => CmsSketch(es(0), intArg(es(1), "cms_sketch"),
       intArg(es(2), "cms_sketch")).toAggregateExpression()),
     "cms_query" -> (es => CmsQuery(es(0), es(1),
@@ -196,6 +198,11 @@ object GraftFunctions {
     call_function("misra_gries", c, org.apache.spark.sql.functions.lit(k))
   /** Element-wise mean of an array<float|double> column, as array<double>. */
   def vecMean(c: Column): Column = call_function("vec_mean", c)
+  /** Exact quantized second moments [n, d, sums, upper cross] — the
+    * [[graft.operators.EmbedStats.covariance]] accumulator. */
+  def vecMoments(c: Column, grid: Int): Column =
+    call_function("vec_moments", c,
+      org.apache.spark.sql.functions.lit(grid))
   /** Count-min sketch aggregate: depth×width counters, row-major. */
   def cmsSketch(item: Column, width: Int, depth: Int): Column =
     call_function("cms_sketch", item,

@@ -81,6 +81,15 @@ class SqlSurfaceSpec extends SparkSpec {
         |(array(3.0D, 8.0D)) AS t(v)""".stripMargin) === Seq(2.0, 6.0))
   }
 
+  test("vec_moments accumulates exact quantized outer products") {
+    // vectors (1,2) and (3,4) at grid 1: n=2, d=2, sums (4,6),
+    // cross upper-tri (1+9, 2+12, 4+16) = (10, 14, 20)
+    assert(one[Seq[Long]](
+      """SELECT vec_moments(v, 1) FROM VALUES (array(1.0D, 2.0D)),
+        |(array(3.0D, 4.0D)) AS t(v)""".stripMargin) ===
+      Seq(2L, 2L, 4L, 6L, 10L, 14L, 20L))
+  }
+
   test("vec_quant8/vec_dequant8 match the VectorQuant operator") {
     import org.apache.spark.sql.functions._
     GraftFunctions.register(spark)
