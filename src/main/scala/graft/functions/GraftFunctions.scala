@@ -63,7 +63,9 @@ object GraftFunctions {
     "hll_distinct" -> (es => HllDistinct(es(0)).toAggregateExpression()),
     "vec_mean" -> (es => VecMean(es(0)).toAggregateExpression()),
     "vec_moments" -> (es => VecMoments(es(0),
-      intArg(es(1), "vec_moments")).toAggregateExpression()),
+      intArg(es(1), "vec_moments"),
+      maxAbsQ = if (es.length > 2) intArg(es(2), "vec_moments").toLong
+        else 512L).toAggregateExpression()),
     "cms_sketch" -> (es => CmsSketch(es(0), intArg(es(1), "cms_sketch"),
       intArg(es(2), "cms_sketch")).toAggregateExpression()),
     "cms_query" -> (es => CmsQuery(es(0), es(1),
@@ -199,10 +201,13 @@ object GraftFunctions {
   /** Element-wise mean of an array<float|double> column, as array<double>. */
   def vecMean(c: Column): Column = call_function("vec_mean", c)
   /** Exact quantized second moments [n, d, sums, upper cross] — the
-    * [[graft.operators.EmbedStats.covariance]] accumulator. */
-  def vecMoments(c: Column, grid: Int): Column =
+    * [[graft.operators.EmbedStats.covariance]] accumulator. Raises
+    * loudly when any component quantizes beyond |xq| ≤ maxAbsQ (the
+    * long-exactness bound) or is NULL. */
+  def vecMoments(c: Column, grid: Int, maxAbsQ: Int = 512): Column =
     call_function("vec_moments", c,
-      org.apache.spark.sql.functions.lit(grid))
+      org.apache.spark.sql.functions.lit(grid),
+      org.apache.spark.sql.functions.lit(maxAbsQ))
   /** Count-min sketch aggregate: depth×width counters, row-major. */
   def cmsSketch(item: Column, width: Int, depth: Int): Column =
     call_function("cms_sketch", item,

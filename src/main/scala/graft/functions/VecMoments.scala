@@ -20,13 +20,17 @@ import org.apache.spark.sql.types._
   *
   * Exactness: quantized components are exact longs, so every
   * accumulated sum is exact and merge is plain addition — associative,
-  * commutative, retry-safe. Overflow bound: |xq| ≤ B keeps the cross
-  * sums safe up to 2⁶³/B² rows (B = 512 ⇒ ~3.5·10¹³ rows); mixed
-  * dimensions raise loudly.
+  * commutative, retry-safe. Overflow bound: |xq| ≤ maxAbsQ keeps the
+  * cross sums safe up to 2⁶³/maxAbsQ² rows (512 ⇒ ~3.5·10¹³ rows) —
+  * ENFORCED in add(): a component that quantizes beyond the bound
+  * (one corrupt 1e12 entry would silently wrap `q(i)*q(j)`) raises
+  * loudly, as do NULL components (ArrayData.getFloat would silently
+  * read them as 0.0 and bias every moment) and mixed dimensions.
   *
   * Output: `array<long>` of `2 + d + d(d+1)/2` —
   * `[n, d, sums…, upper-triangle cross sums (row-major)]`. */
 case class VecMoments(child: Expression, grid: Int,
+    maxAbsQ: Long = 512L,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[VecMoments.Buf] {
 
@@ -55,9 +59,19 @@ case class VecMoments(child: Expression, grid: Int,
     val q = new Array[Long](d)
     var i = 0
     while (i < d) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"vec_moments: NULL component at index $i — getFloat would " +
+          "silently read it as 0.0 and bias the moments; drop or " +
+          "impute first")
       val x = if (elemIsFloat) arr.getFloat(i).toDouble
         else arr.getDouble(i)
-      q(i) = math.floor(x * grid + 0.5).toLong
+      val xq = math.floor(x * grid + 0.5)
+      if (!(math.abs(xq) <= maxAbsQ.toDouble))
+        throw new IllegalArgumentException(
+          s"vec_moments: component $x quantizes to $xq beyond the " +
+            s"exactness bound |xq| <= $maxAbsQ — the long cross sums " +
+            "would silently wrap; clean the embedding or raise maxAbsQ")
+      q(i) = xq.toLong
       i += 1
     }
     var k = 0

@@ -1504,7 +1504,16 @@ object Drift {
     val tie = exploded.agg(coalesce(
       sum(col("__eq").cast(dec) * col("__eq").cast(dec) - 1),
       lit(0L).cast(dec)).as("__tie"))
-    val g = perT.agg(max("__nb").as("__b"),
+    // b = max(__nb) assumes every kept block carries the SAME k
+    // treatment labels — blocks of k cells drawn from DIFFERENT label
+    // sets (block1 = {A,B,C,D}, block2 = {B,C,D,E}) pass blockRanks'
+    // per-block filter but make the per-treatment counts unequal and W
+    // silently invalid; require the treatment-set agreement friedman
+    // already enforces (== k total labels, which with k distinct per
+    // block forces every treatment into every block) plus the
+    // explicit equal-count assert
+    val g = perT.agg(max("__nb").as("__b"), min("__nb").as("__bmin"),
+        count(lit(1)).as("__kt"),
         coalesce(sum(
           (col("__r2s") - col("__nb").cast(dec) * (k + 1)) *
             (col("__r2s") - col("__nb").cast(dec) * (k + 1))),
@@ -1516,6 +1525,10 @@ object Drift {
     g.select(col("__b").cast("long").as("n_blocks"), lit(k.toLong).as("k"),
       when(col("__b").isNull || col("__b") === 0, raise_error(lit(
         "Drift.kendallW: no complete blocks")))
+        .when(col("__kt") =!= k || col("__bmin") =!= col("__b"),
+          raise_error(lit(
+            "Drift.kendallW: blocks disagree on the treatment set — " +
+              "every treatment must appear in every kept block")))
         .when(den === 0, raise_error(lit(
           "Drift.kendallW: every block fully tied — no block " +
             "expresses a preference, W is 0/0")))

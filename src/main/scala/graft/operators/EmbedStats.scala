@@ -33,13 +33,16 @@ object EmbedStats {
     * (d² posexplode → partial agg) had the same shuffle bound but
     * paid a d²-row map-side explode per input row — measured 101 s →
     * 0.40 s at the 32× drill (1.07× FLAT). d ≤ 128 enforced (the cell table must
-    * stay bounded); |xq| ≤ 512 keeps the long cross sums exact to
-    * ~3.5·10¹³ rows.
+    * stay bounded); |xq| ≤ maxAbsQ keeps the long cross sums exact to
+    * ~2⁶³/maxAbsQ² rows, ENFORCED per component inside vec_moments
+    * (one corrupt 1e12 entry raises instead of silently wrapping
+    * q(i)·q(j) and poisoning the whole covariance).
     *
     * @return one row per (i ≤ j): (i, j, n, cov) */
   def covariance(df: DataFrame, vecCol: String, grid: Int = 128,
-      maxDim: Int = 128): DataFrame = {
+      maxDim: Int = 128, maxAbsQ: Int = 512): DataFrame = {
     require(grid > 0, s"covariance: grid must be positive: $grid")
+    require(maxAbsQ > 0, s"covariance: maxAbsQ must be positive: $maxAbsQ")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val base = df
@@ -50,7 +53,7 @@ object EmbedStats {
             "d x d cell table must stay bounded")))
         .otherwise(col(vecCol)).as("__v"))
     val m = base.agg(graft.functions.GraftFunctions
-      .vecMoments(col("__v"), grid).as("__m"))
+      .vecMoments(col("__v"), grid, maxAbsQ).as("__m"))
     // unfold the single moments array into the (i <= j) cells: 1-based
     // positions are n@1, d@2, sums@3..d+2, cross@(d+3 + i·d − i(i−1)/2
     // + (j − i)) in row-major upper-triangle order

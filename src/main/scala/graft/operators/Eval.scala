@@ -812,7 +812,9 @@ object Eval {
     *
     * Exactness: with a COMPLETE design (every subject scores every
     * item — anything else raises, the [[cochranQ]] convention) and
-    * integer-castable values, both variance sums clear to the common
+    * integer values (ENFORCED: a fractional score like 3.7 raises
+    * instead of silently truncating in the long cast), both variance
+    * sums clear to the common
     * `n²` denominator, so
     * `Σσ²_j / σ²_tot = Σ_j (n·Σx²_j − (Σx_j)²) / (n·ΣT² − (ΣT)²)`
     * is ONE division of exact DECIMAL(38,0) sums and alpha ships RAW.
@@ -831,6 +833,11 @@ object Eval {
         col(valueCol).isNull, raise_error(lit(
         "Eval.cronbachAlpha: null subject/item/value cell — an " +
           "absent score would silently shrink an item's variance")))
+        .when(col(valueCol).cast("double") =!= v.cast("double"),
+          raise_error(lit(
+            "Eval.cronbachAlpha: non-integer score — the long cast " +
+              "would silently truncate it (3.7 -> 3) and corrupt the " +
+              "exact variance sums; pre-scale to integers first")))
         .otherwise(v).as("__v"))
     // per-item moments + the complete-design check rides the k-cell
     // table: every item must see exactly the same subject count

@@ -97,7 +97,9 @@ object Mixing {
     * True group counts come from one partial-agg job collected to the
     * driver — ≤ |groups| rows, the same driver-side cardinality as the
     * weights Map every other mixing form already takes (a corpus has
-    * thousands of sources, not billions). Quotas are
+    * thousands of sources, not billions); the collect is BOUNDED by
+    * `maxGroups` with a loud raise, so a mistakenly data-sized
+    * groupCol cannot OOM the driver. Quotas are
     * ⌊budget · n_g^alpha / Z⌋ computed by EXACT decimal division (34
     * digits), NOT via a normalized double weight: 200 docs of 300 at
     * alpha 1 must quota ⌊budget·2/3⌋ exactly, and the double 0.6666…
@@ -111,10 +113,19 @@ object Mixing {
     * division all exact — see the driver gate). The operator itself is
     * deterministic for any alpha on any corpus. */
   def sampleToTemperature(df: DataFrame, groupCol: String, idCol: String,
-      alpha: Double, budget: Long): DataFrame = {
+      alpha: Double, budget: Long, maxGroups: Int = 100000): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    require(maxGroups > 0, s"maxGroups must be positive: $maxGroups")
+    // BOUNDED collect (the StreamOps limit(cap+1)+require pattern): a
+    // high-cardinality groupCol (doc id by mistake) must raise loudly,
+    // not OOM the driver
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .limit(maxGroups + 1)
       .collect().map(r => r.get(0).toString -> r.getLong(1))
+    require(counts.length <= maxGroups,
+      s"sampleToTemperature: more than $maxGroups groups — a " +
+        "temperature mixture is over sources/languages, not a " +
+        "data-sized key; check groupCol or raise maxGroups")
     require(counts.nonEmpty, "sampleToTemperature: empty corpus")
     // sort before summing: Z must not depend on result-row order
     val pow = counts.sortBy(_._1)

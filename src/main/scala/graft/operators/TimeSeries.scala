@@ -969,7 +969,9 @@ object TimeSeries {
     * exact DECIMAL(38,0) sums, shipped RAW. The price is headroom:
     * scaled residuals grow ~n³·x·y, so groups beyond `maxGroupRows`
     * raise loudly (shard or pre-aggregate) instead of silently
-    * overflowing the decimal.
+    * overflowing the decimal; a residual or square-sum that STILL
+    * overflows (|y| itself too large for the group size) raises on
+    * the NULL decimal rather than letting sum() silently skip it.
     *
     * Loud degenerates: a group smaller than 3 rows, a perfect fit
     * (Σe² = 0 — DW is 0/0), NULL value/order rows.
@@ -1010,11 +1012,21 @@ object TimeSeries {
         col("__sx"), col("__sy"), col("__sxx"), col("__sxy"))
     val den = col("__nn") * col("__sxx") - col("__sx") * col("__sx")
     val bNum = col("__nn") * col("__sxy") - col("__sx") * col("__sy")
+    // the row-count guard above bounds n but NOT |y|: a huge integer
+    // value (say cents of a large price) overflows the ~n⁵·y scaled
+    // residual to a NULL decimal (ANSI off), which sum() would then
+    // SILENTLY SKIP — raise on the NULL instead (fires exactly when
+    // the decimal actually overflowed, no conservative |y| cap needed)
+    val rRaw = col("__nn") * den * col("__y").cast(dec) -
+      den * col("__sy") + bNum * col("__sx") -
+      col("__nn") * bNum * col("__x").cast(dec)
     val joined = base.join(sums, col("__g") === col("__sg"))
       .select(col("__g"), col("__x"), col("__nn"),
-        (col("__nn") * den * col("__y").cast(dec) -
-          den * col("__sy") + bNum * col("__sx") -
-          col("__nn") * bNum * col("__x").cast(dec)).as("__r"))
+        when(rRaw.isNull, raise_error(lit(
+          "TimeSeries.durbinWatson: scaled residual overflowed " +
+            "DECIMAL(38) — |value| too large for this group size; " +
+            "rescale the series or shard the group")))
+          .otherwise(rRaw).as("__r"))
     val wl = Window.partitionBy(col("__g")).orderBy(col("__x"))
     val withLag = joined
       .withColumn("__rp", lag(col("__r"), 1).over(wl))
@@ -1025,7 +1037,11 @@ object TimeSeries {
           .as("__num"),
         sum(col("__r") * col("__r")).as("__den"))
       .select(col(groupCol), col("n"),
-        when(col("__den") === 0, raise_error(lit(
+        when(col("__num").isNull || col("__den").isNull, raise_error(lit(
+          "TimeSeries.durbinWatson: residual square sum overflowed " +
+            "DECIMAL(38) — |value| too large for this group size; " +
+            "rescale the series or shard the group")))
+          .when(col("__den") === 0, raise_error(lit(
           "TimeSeries.durbinWatson: perfect linear fit — every " +
             "residual is 0 and DW is 0/0")))
           .otherwise(col("__num").cast("double") /

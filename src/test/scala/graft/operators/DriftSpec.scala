@@ -612,4 +612,20 @@ class DriftSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("fully tied"), e.getMessage)
   }
+
+  test("kendallW raises when k-sized blocks come from DIFFERENT " +
+      "treatment label sets (silently invalid W pre-fix)") {
+    import spark.implicits._
+    // both blocks have exactly 3 distinct treatments so both pass
+    // blockRanks' per-block filter, but the sets differ — the
+    // per-treatment block counts are 1/2/2/1 and b = max would lie
+    val mixed = Seq(("b1", "A", 1), ("b1", "B", 2), ("b1", "C", 3),
+      ("b2", "B", 1), ("b2", "C", 2), ("b2", "D", 3))
+      .toDF("b", "t", "v")
+    val e = intercept[Exception] {
+      Drift.kendallW(mixed, "b", "t", "v", 3).collect()
+    }
+    assert(e.getMessage.contains("disagree on the treatment set"),
+      e.getMessage)
+  }
 }

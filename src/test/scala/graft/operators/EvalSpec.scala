@@ -373,4 +373,20 @@ class EvalSpec extends SparkSpec {
     assert(e3.getMessage.contains("null subject/item/value"),
       e3.getMessage)
   }
+
+  test("cronbachAlpha raises on fractional scores instead of silently " +
+      "truncating them in the long cast") {
+    import spark.implicits._
+    val frac = Seq((1, "i1", 3.7), (1, "i2", 2.0),
+      (2, "i1", 1.0), (2, "i2", 4.0)).toDF("subj", "item", "v")
+    val e = intercept[Exception] {
+      Eval.cronbachAlpha(frac, "subj", "item", "v").collect()
+    }
+    assert(e.getMessage.contains("non-integer score"), e.getMessage)
+    // integer-valued doubles are fine (2.0 == 2L exactly)
+    val ok = Seq((1, "i1", 1.0), (1, "i2", 2.0),
+      (2, "i1", 3.0), (2, "i2", 5.0)).toDF("subj", "item", "v")
+    assert(Eval.cronbachAlpha(ok, "subj", "item", "v").collect()
+      .length == 1)
+  }
 }

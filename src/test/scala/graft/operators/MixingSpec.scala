@@ -100,6 +100,15 @@ class MixingSpec extends SparkSpec {
       s"got $counts")
   }
 
+  test("temperature raises loudly past maxGroups instead of an " +
+      "unbounded driver collect") {
+    val e = intercept[Exception] {
+      Mixing.sampleToTemperature(corpus, "source", "doc_id",
+        alpha = 1.0, budget = 30, maxGroups = 2)
+    }
+    assert(e.getMessage.contains("more than 2 groups"), e.getMessage)
+  }
+
   test("temperature 0<alpha<1 up-samples the tail relative to the head") {
     def share(alpha: Double): Double = {
       val counts = Mixing.sampleToTemperature(corpus, "source", "doc_id",

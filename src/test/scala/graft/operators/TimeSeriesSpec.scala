@@ -450,4 +450,37 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("perfect linear fit"), e2.getMessage)
   }
+
+  test("durbinWatson raises on decimal overflow from huge |y| instead " +
+      "of silently returning NULL (sum() would skip overflowed " +
+      "squares)") {
+    import spark.implicits._
+    // |y| ~ 1e16 keeps every scaled residual (~n·den·y ≈ 8e19) inside
+    // DECIMAL(38) but its SQUARE (~7e39) overflows the (38,0)×(38,0)
+    // product to NULL — pre-fix, sum() skipped the NULLs and dw came
+    // back NULL (or silently wrong); the guard must raise
+    val huge = (1 to 10).map(i =>
+      ("a", i, if (i % 2 == 0) 10000000000000000L
+        else -10000000000000000L))
+    // under ANSI (this session's default) Spark itself raises on the
+    // decimal product; the repo guard exists for ANSI-off consumers,
+    // where the product silently NULLs — exercise BOTH postures
+    val e = intercept[Exception] {
+      TimeSeries.durbinWatson(huge.toDF("g", "t", "y"), "g",
+        Seq("t"), "y").collect()
+    }
+    assert(e.getMessage.contains("overflowed DECIMAL(38)") ||
+      e.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE"),
+      e.getMessage)
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e2 = intercept[Exception] {
+        TimeSeries.durbinWatson(huge.toDF("g", "t", "y"), "g",
+          Seq("t"), "y").collect()
+      }
+      assert(e2.getMessage.contains("overflowed DECIMAL(38)"),
+        e2.getMessage)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
 }
