@@ -224,6 +224,9 @@ object Bench {
     prebuild("q_corpus_incremental",
       () => graft.queries.PipelineQueries
         .ensureCorpusIncrementalArtifacts(spark, sfDir))
+    prebuild("q_corpus_retract",
+      () => graft.queries.PipelineQueries
+        .ensureCorpusRetractArtifacts(spark, sfDir))
     prebuild("q_neardup_rich",
       () => graft.queries.TextQueries.ensureRichPairs(spark, sfDir))
 

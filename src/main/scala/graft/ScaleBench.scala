@@ -225,6 +225,59 @@ object ScaleBench {
       idx1.unpersist(); idxN.unpersist()
     }
 
+    {
+      // retraction propagation (r14 verdict #1): a FIXED 1500-id
+      // takedown (750 near-dup culprits whose victims resurrect + 750
+      // plain survivors) against 1x vs xN at-rest corpus artifacts.
+      // Artifact frames are built outside the timed region (they are
+      // day-1 state); the timed path is corpusRetractDelta — id/hash
+      // joins sized by the blast radius plus the same O(corpus-
+      // metadata) tail as incr_probe (the s2New anti-join and the
+      // global metadata finish), with TEXT touched only for the 750
+      // resurrected docs.
+      import graft.queries.{PipelineQueries => PQ}
+      val base = 60000L
+      def synthCorpus(n: Long): DataFrame =
+        spark.range(n).select(col("id").as("doc_id"),
+          lit("en").as("lang"), lit(30L).as("n_tokens"),
+          concat_ws(" ", transform(sequence(lit(0), lit(29)), j =>
+            substring(md5(concat(col("id").cast("string"), lit("_"),
+              j.cast("string"))), 1, 8))).as("text"))
+      // planted pair graph: culprits [1000,1750) each doom one victim
+      val pairsR = spark.range(1000L, 1750L)
+        .select(col("id").as("id1"), (col("id") + 30000L).as("id2"))
+        .cache()
+      val retractR = spark.range(1000L, 1750L).select(col("id")
+          .as("doc_id"))
+        .unionAll(spark.range(5000L, 5750L).select(col("id").as("doc_id")))
+        .cache()
+      val emptyGrams = spark.range(0).select(col("id").as("ngh"))
+      def artifacts(n: Long) = {
+        val corpus = synthCorpus(n)
+        val qm = corpus.select(col("doc_id"), col("lang"),
+          col("n_tokens"), md5(col("doc_id").cast("string")).as("digest"))
+          .cache()
+        val s2 = qm.select("doc_id").cache() // distinct content: all keep
+        val s3 = s2.join(pairsR.select(col("id2").as("doc_id")),
+          Seq("doc_id"), "left_anti").cache()
+        val s4 = qm.select("doc_id", "lang", "n_tokens")
+          .join(s3, Seq("doc_id"), "left_semi")
+          .filter(col("doc_id") >= 5).cache()
+        noop(qm); noop(s2); noop(s3); noop(s4) // day-1 build, untimed
+        (corpus, qm, s2, s3, s4)
+      }
+      val (c1, qm1, s21, s31, s41) = artifacts(base)
+      val (cN, qmN, s2N, s3N, s4N) = artifacts(base * factor)
+      noop(pairsR); noop(retractR)
+      val tr1 = time("retract_probe 1x")(noop(PQ.corpusRetractDelta(
+        c1, retractR, qm1, s21, s31, s41, emptyGrams, pairsR)))
+      val trN = time(s"retract_probe ${factor}x")(noop(PQ.corpusRetractDelta(
+        cN, retractR, qmN, s2N, s3N, s4N, emptyGrams, pairsR)))
+      results += (("retract_probe", tr1, trN))
+      Seq(qm1, s21, s31, s41, qmN, s2N, s3N, s4N, pairsR, retractR)
+        .foreach(_.unpersist())
+    }
+
     // PQ: index trained once on the 1x corpus (the realistic posture —
     // codebooks are a persisted artifact); encode+search scale with data
     val books = graft.operators.Pq.trainCodebooks(emb1, "vec_id",

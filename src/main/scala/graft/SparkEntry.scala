@@ -177,6 +177,7 @@ object SparkEntry {
     "q_pipeline_e2e" -> PipelineQueries.pipelineE2e,
     "q_corpus_end2end" -> PipelineQueries.corpusEnd2End,
     "q_corpus_incremental" -> PipelineQueries.corpusIncremental,
+    "q_corpus_retract" -> PipelineQueries.corpusRetract,
     "q_drop_ledger" -> PipelineQueries.corpusDropLedger,
     "q_minhash_transitive" -> PipelineQueries.minhashTransitive,
     "q_profile" -> PipelineQueries.profileLineitem,
@@ -606,6 +607,18 @@ object SparkEntry {
                  || chr(1) || chr(3) || shard::VARCHAR),
                1, 15))::BIGINT) AS digest
       FROM sharded GROUP BY 1"""
+
+  /** [[CorpusEnd2EndOracle]] replayed from scratch on corpus MINUS the
+    * registered retraction set (ids ≥ 5, id ≡ 7 mod 17) — what the
+    * delta-sized q_corpus_retract must hash-equal. Derived
+    * mechanically from the shared oracle string so the two replays
+    * can never drift on a chain rule. */
+  private val CorpusRetractOracle: String =
+    CorpusEnd2EndOracle.replace("FROM documents", "FROM documents_kept")
+      .replaceFirst("WITH q AS", """WITH documents_kept AS (
+        SELECT * FROM documents
+        WHERE NOT (doc_id >= 5 AND doc_id % 17 = 7)),
+      q AS""")
 
   /** The DuckDB replay of [[graft.queries.TextQueries.richDocs]] —
     * the realistic generated corpus (r14): literals + md5 words +
@@ -1848,6 +1861,11 @@ object SparkEntry {
 
     "q_corpus_end2end" -> CorpusEnd2EndOracle,
     "q_corpus_incremental" -> CorpusEnd2EndOracle,
+    // the retraction gate hashes against the SAME chain replayed
+    // from scratch on corpus MINUS the registered takedown set — the
+    // delete-side IVM contract (the delta path must resurrect
+    // re-elected keepers and un-doomed near-dup victims exactly)
+    "q_corpus_retract" -> CorpusRetractOracle,
 
     "q_pipeline_e2e" -> """
       WITH q AS (

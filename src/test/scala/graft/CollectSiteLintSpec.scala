@@ -30,6 +30,10 @@ class CollectSiteLintSpec extends AnyFunSuite {
       "merge round"),
     "Mixing.scala" -> (1, "limit(maxGroups + 1) + require in " +
       "sampleToTemperature (r15, closing the unbounded 6th site)"),
+    "PipelineQueries.scala" -> (1, "corpusRetractDelta's single " +
+      "bounded() helper: every blast-radius set collects through " +
+      "limit(maxBlast + 1) + require (r15 — the retraction delta " +
+      "lives on the driver by design; see its scaladoc)"),
   )
 
   test("every .collect() in library main source is allowlisted with " +

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deletion/takedown propagation (q_corpus_retract, r14 verdict #1) on
+  * a PLANTED corpus where every delete class is known by construction —
+  * the delta path must hash-equal the from-scratch chain on
+  * corpus ∖ retracted, including the two resurrection rules the
+  * append-only incremental case never exercises:
+  *
+  *  - a retracted exact-dup KEEPER re-elects its next-smallest twin
+  *  - a retracted near-dup CULPRIT resurrects the docs it alone doomed
+  *  - ...but a victim whose culprit was retracted stays doomed when
+  *    the culprit's RE-ELECTED exact twin still near-dups it (the
+  *    re-elected keeper inherits the removed keeper's pair set)
+  *  - a resurrected doc gets a fresh decontam verdict (it may be
+  *    contaminated — resurrection at S3 must not skip S4) */
+class CorpusRetractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def text(seed: String, n: Int = 24): String =
+    (0 until n).map(i => s"${seed}tok$i").mkString(" ")
+
+  /** Planted corpus covering every delete class. */
+  private def corpus() = Seq(
+    // bench doc: defines the decontam probe set (immovable)
+    (0L, "en", text("bench")),
+    // S1-dropped doc (wrong lang): retracting it is a no-op
+    (10L, "zz", text("langout")),
+    // exact-dup TRIPLE: keeper 21; retracting 21 re-elects 22 (not 23)
+    (21L, "en", text("exact")),
+    (22L, "en", text("exact")),
+    (23L, "en", text("exact")),
+    // near-dup pair: culprit 31 dooms 32; retracting 31 resurrects 32
+    (31L, "de", text("near", 30)),
+    (32L, "de", text("near", 30) + " neartok999"),
+    // keeper-inheritance case: 50/51 exact dups, both near-dup 52 —
+    // retracting 50 re-elects 51, and 52 must STAY doomed (by 51)
+    (50L, "fr", text("fifty", 30)),
+    (51L, "fr", text("fifty", 30)),
+    (52L, "fr", text("fifty", 30) + " fiftytail1"),
+    // contaminated resurrection: 61 dooms 62; 62 shares the bench
+    // doc's 5-grams, so when 61 is retracted, 62 resurrects at S3 but
+    // S4 must still reject it
+    (61L, "en", text("conta", 30)),
+    (62L, "en", text("conta", 30) + " " + text("bench")),
+    // plain survivors, one of them retracted
+    (200L, "en", text("cen")),
+    (300L, "fr", text("cfr"))
+  ).toDF("doc_id", "lang", "text")
+
+  private def writeCorpus(): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_retract").toString
+    corpus().write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("delta retraction equals the from-scratch chain on every " +
+      "planted delete class (keeper re-election, victim resurrection, " +
+      "inherited dooming, contaminated resurrection, plain removal, " +
+      "S1 no-op)") {
+    val dir = writeCorpus()
+    val retractIds = Seq(21L, 31L, 50L, 61L, 200L, 10L)
+    val r = retractIds.toDF("doc_id")
+    val got = PipelineQueries.corpusRetractFrom(spark, dir, r)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSet
+    val want = PipelineQueries.corpusEnd2EndFrom(
+        corpus().filter(!col("doc_id").isin(retractIds: _*)))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSet
+    assert(got == want, s"delta $got\nfrom-scratch $want")
+    // pin the semantics, not just the equality: survivors are
+    // 22 (re-elected twin), 32 (resurrected victim), 300 —
+    // NOT 23 (22 is the smaller twin), NOT 52 (still doomed by the
+    // re-elected 51), NOT 62 (resurrected but contaminated)
+    val buckets = got.map(_._1)
+    assert(buckets == Set(22L % 16, 32L % 16, 51L % 16, 300L % 16),
+      s"buckets $buckets")
+    assert(got.toSeq.map(_._2).sum == 4L, got.toString)
+  }
+
+  test("retracting nothing reproduces the batch manifest; retracting " +
+      "a benchmark doc raises loudly") {
+    val dir = writeCorpus()
+    val none = Seq.empty[Long].toDF("doc_id")
+    val got = PipelineQueries.corpusRetractFrom(spark, dir, none)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSet
+    val want = PipelineQueries.corpusEnd2EndFrom(corpus())
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSet
+    assert(got == want, s"noop delta $got\nbatch $want")
+    val e = intercept[Exception] {
+      PipelineQueries.corpusRetractFrom(spark, dir,
+        Seq(0L).toDF("doc_id")).collect()
+    }
+    assert(e.getMessage.contains("benchmark doc"), e.getMessage)
+  }
+}
