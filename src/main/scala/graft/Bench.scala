@@ -93,6 +93,30 @@ object Bench {
     * (failure-marker) values — the best-known-per-query ratchet the 3x
     * noise trigger anchors to (round-12 verdict: a last-run prior can
     * be poisoned by one uniformly-slow-environment run). */
+  /** Suite-level creep report (r14 verdict #2): single-query drift
+    * below the 3× suspect trigger compounds invisibly — r14's common
+    * gates rose 1.11× with only one ledgered cause. Over the gates
+    * present in BOTH maps (positive times, minus queries with a
+    * PENDING ledger row — an applied row has already re-baselined its
+    * best), returns `sum(cur)/sum(best)` plus the top-10 cur/best
+    * offenders. The bound is advisory at run time (the bench must
+    * still produce its artifact); the printed ALERT is the audit
+    * hook, and BenchCreepSpec pins the arithmetic. */
+  private[graft] val CreepBound = 1.15
+  private[graft] def creepReport(cur: Map[String, Double],
+      best: Map[String, Double], pendingLedger: Set[String])
+      : (Double, Seq[(String, Double, Double, Double)]) = {
+    val common = cur.keySet.intersect(best.keySet)
+      .filter(q => cur(q) > 0 && best(q) > 0)
+    val scored = common -- pendingLedger
+    val ratio = if (scored.isEmpty) 1.0
+      else scored.toSeq.map(cur).sum / scored.toSeq.map(best).sum
+    val offenders = scored.toSeq
+      .map(q => (q, cur(q), best(q), cur(q) / best(q)))
+      .sortBy(o => (-o._4, o._1)).take(10)
+    (ratio, offenders)
+  }
+
   private[graft] def minMerge(a: Map[String, Double],
       b: Map[String, Double]): Map[String, Double] = {
     val bp = b.filter(_._2 > 0)
@@ -305,6 +329,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // suite-level creep gate (r14 verdict #2)
+    val (creep, offenders) = creepReport(results.toMap,
+      readQueryMap("BENCH_BEST.json"),
+      pendingResets.map(_.query).toSet)
+    System.err.println(f"[bench] creep: sum(cur)/sum(best) = " +
+      f"$creep%.3f over the common unledgered gates (bound $CreepBound)")
+    offenders.foreach { case (q, c, b, x) =>
+      System.err.println(f"[bench]   cur/best $x%5.2fx  $q%-28s " +
+        f"$b%.2f -> $c%.2f s") }
+    if (creep > CreepBound)
+      System.err.println(f"[bench] CREEP ALERT: suite $creep%.3fx over " +
+        f"its best-known floors — adjudicate the offenders above " +
+        "(isolated re-run; ledger real slowdowns, confirm-reps noise)")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver only keeps a short stdout tail, which the 86-query map

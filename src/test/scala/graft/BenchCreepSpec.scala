@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the suite-level creep arithmetic (r14 verdict #2): sub-3×
+  * per-query drift must still move the SUITE ratio, pending-ledgered
+  * queries are excluded (their slowdown is adjudicated), and the
+  * offender list is cur/best-descending. */
+class BenchCreepSpec extends AnyFunSuite {
+
+  test("ratio is sum(cur)/sum(best) over common positive unledgered " +
+      "gates") {
+    val best = Map("a" -> 1.0, "b" -> 2.0, "c" -> 1.0, "gone" -> 5.0)
+    val cur = Map("a" -> 1.1, "b" -> 2.2, "c" -> -1.0, "new" -> 9.0)
+    // common positive = {a, b}: (1.1+2.2)/(1.0+2.0) = 1.1; c failed
+    // this run (-1), gone/new have no counterpart — all excluded
+    val (ratio, offenders) = Bench.creepReport(cur, best, Set.empty)
+    assert(math.abs(ratio - 1.1) < 1e-12, ratio.toString)
+    assert(offenders.map(_._1) == Seq("a", "b"), offenders.toString)
+  }
+
+  test("a pending-ledgered query is excluded from ratio AND offenders; " +
+      "compounding sub-3x drift still fires the suite bound") {
+    val best = (1 to 20).map(i => s"q$i" -> 1.0).toMap
+    // every query 1.2x — far below the 3x per-query trigger, but the
+    // suite ratio must read 1.2 > CreepBound
+    val cur = best.map { case (k, _) => k -> 1.2 }
+    val (r0, _) = Bench.creepReport(cur, best, Set.empty)
+    assert(math.abs(r0 - 1.2) < 1e-12 && r0 > Bench.CreepBound)
+    // ledgering one big mover pulls it out of the arithmetic
+    val cur2 = cur + ("q1" -> 100.0)
+    val (r1, off1) = Bench.creepReport(cur2, best, Set("q1"))
+    assert(math.abs(r1 - 1.2) < 1e-12, r1.toString)
+    assert(!off1.exists(_._1 == "q1"), off1.toString)
+  }
+
+  test("offenders rank by cur/best descending, capped at 10, " +
+      "name-stable on ties") {
+    val best = (1 to 15).map(i => s"q$i" -> 1.0).toMap
+    val cur = (1 to 15).map(i => s"q$i" -> (1.0 + i * 0.1)).toMap
+    val (_, off) = Bench.creepReport(cur, best, Set.empty)
+    assert(off.size == 10)
+    assert(off.head._1 == "q15" && off.last._1 == "q6", off.toString)
+    val flat = Map("b" -> 1.0, "a" -> 1.0)
+    val (_, tied) = Bench.creepReport(flat, flat, Set.empty)
+    assert(tied.map(_._1) == Seq("a", "b"), tied.toString)
+  }
+
+  test("empty intersection yields the neutral ratio 1.0") {
+    val (r, off) = Bench.creepReport(Map("a" -> 1.0),
+      Map("b" -> 1.0), Set.empty)
+    assert(r == 1.0 && off.isEmpty)
+  }
+}
