@@ -251,6 +251,9 @@ object Bench {
     prebuild("q_corpus_retract",
       () => graft.queries.PipelineQueries
         .ensureCorpusRetractArtifacts(spark, sfDir))
+    prebuild("q_corpus_day3",
+      () => graft.queries.PipelineQueries
+        .ensureCorpusDay3Artifacts(spark, sfDir))
     prebuild("q_neardup_rich",
       () => graft.queries.TextQueries.ensureRichPairs(spark, sfDir))
 

@@ -222,7 +222,23 @@ object ScaleBench {
       val tiN = time(s"incr_probe ${factor}x")(noop(IncrementalDedup
         .verdicts(idxN, delta, "doc_id", "text", threshold = 0.6)))
       results += (("incr_probe", ti1, tiN))
+      // compacted-index probe (r14 verdict #3): the SAME fixed delta
+      // through verdictsBanded against a PRE-BANDED index — banding
+      // is compaction-time work, so the per-ingest index cost drops
+      // to a narrow-column scan; compare against incr_probe's
+      // re-band-every-ingest ratio
+      val bnd1 = IncrementalDedup.banded(idx1).cache()
+      val bndN = IncrementalDedup.banded(idxN).cache()
+      noop(bnd1); noop(bndN) // compaction output, outside the timed region
+      val td31 = time("day3_probe 1x")(noop(IncrementalDedup
+        .verdictsBanded(bnd1, idx1, delta, "doc_id", "text",
+          threshold = 0.6)))
+      val td3N = time(s"day3_probe ${factor}x")(noop(IncrementalDedup
+        .verdictsBanded(bndN, idxN, delta, "doc_id", "text",
+          threshold = 0.6)))
+      results += (("day3_probe", td31, td3N))
       idx1.unpersist(); idxN.unpersist()
+      bnd1.unpersist(); bndN.unpersist()
     }
 
     {

@@ -178,6 +178,7 @@ object SparkEntry {
     "q_corpus_end2end" -> PipelineQueries.corpusEnd2End,
     "q_corpus_incremental" -> PipelineQueries.corpusIncremental,
     "q_corpus_retract" -> PipelineQueries.corpusRetract,
+    "q_corpus_day3" -> PipelineQueries.corpusDay3,
     "q_drop_ledger" -> PipelineQueries.corpusDropLedger,
     "q_minhash_transitive" -> PipelineQueries.minhashTransitive,
     "q_profile" -> PipelineQueries.profileLineitem,
@@ -1866,6 +1867,10 @@ object SparkEntry {
     // delete-side IVM contract (the delta path must resurrect
     // re-elected keepers and un-doomed near-dup victims exactly)
     "q_corpus_retract" -> CorpusRetractOracle,
+    // day-3 probes the COMPACTED day-1+2 artifacts; compaction must
+    // be semantically invisible, so it hashes against the same
+    // from-scratch replay as the batch and two-day gates
+    "q_corpus_day3" -> CorpusEnd2EndOracle,
 
     "q_pipeline_e2e" -> """
       WITH q AS (

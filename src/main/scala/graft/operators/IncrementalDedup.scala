@@ -56,10 +56,23 @@ object IncrementalDedup {
     * greedy min-id survivor keeps `false`, later copies `true`). */
   def verdicts(indexSigs: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 300): DataFrame =
+    verdictsBanded(banded(indexSigs, numHashes, bands), indexSigs,
+      batch, idCol, textCol, numHashes, bands, threshold, maxBucket)
+
+  /** [[verdicts]] against a PRE-BANDED index — the compacted-artifact
+    * posture (r14 verdict #3): a day-365 index's band hashes are
+    * computed ONCE at compaction and land as an (id, band, band_hash)
+    * table partitioned by band, so each ingest reads three narrow
+    * columns instead of re-hashing every signature in the corpus —
+    * the index-side term the 32× incr_probe drill showed growing. */
+  def verdictsBanded(indexBands: DataFrame, indexSigs: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = 300): DataFrame = {
     val batchSigs = signatures(batch, idCol, textCol, numHashes).cache()
     val bNew = banded(batchSigs, numHashes, bands)
-    val bOld = banded(indexSigs, numHashes, bands)
+    val bOld = indexBands.select("id", "band", "band_hash")
     // cap on the COMBINED bucket population (hot corpus template + its
     // batch echoes), ids never enumerated for skipped buckets
     val bucketSizes = bNew.select(col("band"), col("band_hash"))
@@ -119,5 +132,17 @@ object IncrementalDedup {
     sigs.write.mode("overwrite").parquet(dir)
 
   def readIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Compaction write of the PRE-BANDED index: band hashes computed
+    * once, stored band-partitioned (an ingest's (band, band_hash)
+    * equi-join then reads narrow columns, never re-hashing the
+    * corpus). */
+  def writeBandedIndex(sigs: DataFrame, dir: String,
+      numHashes: Int = 32, bands: Int = 8): Unit =
+    banded(sigs, numHashes, bands).write.mode("overwrite")
+      .partitionBy("band").parquet(dir)
+
+  def readBandedIndex(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 }

@@ -1298,22 +1298,42 @@ object PipelineQueries {
 
     // day-2: every text-consuming stage is delta-sized
     val delta = docs.filter(col("doc_id") >= cut)
-    val q2 = qualityGate(delta).withColumn("__dig", sha2(col("text"), 256))
-    // exact dedup: drop content already in day-1, keep min id within
-    // the delta (global min-id per digest, since day-1 ids are smaller)
-    val newContent = q2.join(digests1,
-      q2("__dig") === digests1("digest"), "left_anti")
+    val (s4delta, _, _) = corpusIngestDelta(delta, digests1,
+      s2 => IncrementalDedup.verdicts(sigIndex, s2, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.6),
+      benchGrams)
+    corpusFinish(s4day1.unionAll(s4delta))
+  }
+
+  /** ONE daily-ingest step against at-rest membership artifacts — the
+    * shared delta recipe of [[corpusIncremental]] (day-2) and
+    * [[corpusDay3]] (day-3 against COMPACTED day-1+2 artifacts), so a
+    * chain rule can never drift between the daily forms. Every
+    * text-consuming stage is delta-sized:
+    *
+    *  - exact dedup: drop content already at rest (digest probe),
+    *    keep min id within the delta (global min-id per digest under
+    *    id-append: at-rest ids are always smaller)
+    *  - near-dup: `verdictsOf` (signature-index probe at the chain's
+    *    threshold) — dup of ANY at-rest S2 doc or of a smaller-id
+    *    delta sibling: exactly the batch greedy rule under id-append
+    *  - decontam: delta grams vs the persisted bench-gram set
+    *
+    * @return (s4 delta metadata, the delta's quality digests, the
+    *         delta's S2 survivors) — the last two are what a
+    *         compaction step merges into the at-rest artifacts */
+  private def corpusIngestDelta(delta: DataFrame, digestsAtRest: DataFrame,
+      verdictsOf: DataFrame => DataFrame, benchGrams: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val q = qualityGate(delta).withColumn("__dig", sha2(col("text"), 256))
+    val newContent = q.join(digestsAtRest,
+      q("__dig") === digestsAtRest("digest"), "left_anti")
     val s2 = newContent.join(
       newContent.groupBy("__dig").agg(min("doc_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
-    // near-dup: signature-index verdicts at the chain's threshold —
-    // dup of ANY day-1 S2 doc (all smaller ids) or of a smaller-id
-    // delta sibling: exactly the batch greedy rule under id-append
-    val v = IncrementalDedup.verdicts(sigIndex, s2, "doc_id", "text",
-      numHashes = 32, bands = 8, threshold = 0.6)
+    val v = verdictsOf(s2)
     val s3 = s2.join(v.filter(!col("dup_of_index") && !col("dup_in_batch"))
       .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
-    // decontam: delta grams vs the persisted bench-gram set
     val cont = s3.select(col("doc_id"),
         explode(graft.functions.GraftFunctions
           .ngramHashes(lower(col("text")), 5)).as("ngh"))
@@ -1321,7 +1341,7 @@ object PipelineQueries {
       .select("doc_id").distinct()
     val s4delta = s3.join(cont, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_tokens")
-    corpusFinish(s4day1.unionAll(s4delta))
+    (s4delta, q.select(col("__dig").as("digest")).distinct(), s2)
   }
 
   /** Offline artifact build for the incremental gate (the
@@ -1332,6 +1352,111 @@ object PipelineQueries {
   def ensureCorpusIncrementalArtifacts(s: SparkSession, d: String): Unit = {
     val docs = Tables.documents(s, d)
     corpusIncrementalArtifacts(s, d, incrementalCut(docs)); ()
+  }
+
+  /** Day-1+2 COMPACTED artifacts of the three-day incremental gate
+    * (r14 verdict #3 — day-365 needs the signature index and digests
+    * to stay probe-efficient as they grow): day-1 artifacts come from
+    * the [[corpusIncrementalArtifacts]] builder at cut c1, day-2 runs
+    * the shared [[corpusIngestDelta]] against them, and compaction
+    * merges the results into the at-rest state a day-3 ingest probes:
+    *
+    *  - `s4meta12`   — day-1 ∪ day-2 S4 survivor metadata
+    *  - `digests12`  — merged quality digests (exact-dedup probe)
+    *  - `sigs12`     — merged (id, sig) MinHash index (verify side)
+    *  - `banded12`   — the index's band hashes computed ONCE and
+    *                   stored band-partitioned
+    *    ([[graft.operators.IncrementalDedup.writeBandedIndex]]):
+    *    each later ingest equi-joins three narrow columns instead of
+    *    re-hashing the whole corpus's signatures — the index-side
+    *    cost the 32× incr_probe drill showed growing per-ingest
+    *  - `benchgrams` — static decontam probe set (day-1's). */
+  private def corpusDay3Artifacts(s: SparkSession, d: String,
+      c1: Long, c2: Long): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.IncrementalDedup
+    val tag = new java.io.File(d).getCanonicalPath
+    val keySrc = s"corpus-day3|$tag|c1=$c1|c2=$c2|j=0.6|h=32b8|v1"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(keySrc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = Paths.get(graft.sources.Artifacts.cacheDir, key)
+    val marker = dir.resolve("_built")
+    val docs = Tables.documents(s, d)
+    val fpRow = docs.agg(count(lit(1)),
+      bit_xor(xxhash64(col("doc_id")))).head()
+    val fp = s"${fpRow.getLong(0)}:${if (fpRow.isNullAt(1)) 0L
+      else fpRow.getLong(1)}"
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8").trim == fp &&
+      !sys.env.get("GRAFT_INDEX_REBUILD").contains("1")
+    if (!fresh) {
+      graft.functions.GraftFunctions.register(s)
+      val day1 = corpusIncrementalArtifacts(s, d, c1)
+      val digests1 = s.read.parquet(day1.resolve("digests").toString)
+      val sigs1 = IncrementalDedup.readIndex(s,
+        day1.resolve("sigindex").toString)
+      val benchGrams = s.read
+        .parquet(day1.resolve("benchgrams").toString)
+      val day2 = docs.filter(col("doc_id") >= c1 && col("doc_id") < c2)
+      val (s4d2, dig2, s2d2) = corpusIngestDelta(day2, digests1,
+        s2 => IncrementalDedup.verdicts(sigs1, s2, "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.6),
+        benchGrams)
+      // compaction: merge the day-2 results into the at-rest state
+      s.read.parquet(day1.resolve("s4meta").toString).unionAll(s4d2)
+        .write.mode("overwrite").parquet(dir.resolve("s4meta12").toString)
+      digests1.unionAll(dig2).distinct().write.mode("overwrite")
+        .parquet(dir.resolve("digests12").toString)
+      val sigs12 = sigs1.unionAll(
+        IncrementalDedup.signatures(s2d2, "doc_id", "text"))
+      IncrementalDedup.writeIndex(sigs12, dir.resolve("sigs12").toString)
+      IncrementalDedup.writeBandedIndex(
+        s.read.parquet(dir.resolve("sigs12").toString),
+        dir.resolve("banded12").toString)
+      benchGrams.write.mode("overwrite")
+        .parquet(dir.resolve("benchgrams").toString)
+      Files.write(marker, fp.getBytes("UTF-8")) // commit point
+    }
+    dir
+  }
+
+  private def day3Cuts(docs: DataFrame): (Long, Long) = {
+    val mx = docs.agg(max(col("doc_id")).cast("long")).head().getLong(0)
+    (mx / 3 + 1, mx * 2 / 3 + 1)
+  }
+
+  def ensureCorpusDay3Artifacts(s: SparkSession, d: String): Unit = {
+    val (c1, c2) = day3Cuts(Tables.documents(s, d))
+    corpusDay3Artifacts(s, d, c1, c2); ()
+  }
+
+  /** Three-day incremental corpus gate (r14 verdict #3): day-3 delta
+    * ingested against the COMPACTED day-1+2 artifacts — digest probe,
+    * PRE-BANDED signature-index verdicts
+    * ([[graft.operators.IncrementalDedup.verdictsBanded]] — no
+    * re-hashing of the at-rest index), bench-gram decontam — then the
+    * metadata-only global finish. Hash-equal to the SAME from-scratch
+    * oracle as q_corpus_end2end: compaction must be semantically
+    * invisible, only cheaper. */
+  val corpusDay3: Q = (s, d) => {
+    import graft.operators.IncrementalDedup
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val (c1, c2) = day3Cuts(docs)
+    val art = corpusDay3Artifacts(s, d, c1, c2)
+    val s4meta12 = s.read.parquet(art.resolve("s4meta12").toString)
+    val digests12 = s.read.parquet(art.resolve("digests12").toString)
+    val sigs12 = IncrementalDedup.readIndex(s,
+      art.resolve("sigs12").toString)
+    val banded12 = IncrementalDedup.readBandedIndex(s,
+      art.resolve("banded12").toString)
+    val benchGrams = s.read.parquet(art.resolve("benchgrams").toString)
+    val delta3 = docs.filter(col("doc_id") >= c2)
+    val (s4d3, _, _) = corpusIngestDelta(delta3, digests12,
+      s2 => IncrementalDedup.verdictsBanded(banded12, sigs12, s2,
+        "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.6),
+      benchGrams)
+    corpusFinish(s4meta12.unionAll(s4d3))
   }
 
   /** At-rest artifacts of the retraction gate (r14 verdict #1) —

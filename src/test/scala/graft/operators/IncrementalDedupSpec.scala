@@ -59,6 +59,32 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(v(11L), "persisted signatures must still match probes")
   }
 
+  test("pre-banded (compacted) index yields verdicts identical to the " +
+      "re-band-per-ingest path, including through the band-partitioned " +
+      "parquet round-trip") {
+    val sigs = IncrementalDedup.signatures(
+      df(10L -> doc(1), 20L -> doc(2), 30L -> doc(3)), "doc_id", "text")
+    val batch = df(11L -> doc(1, "tail"), 40L -> doc(4),
+      41L -> doc(4, "tail"))
+    def verdictMap(v: org.apache.spark.sql.DataFrame) =
+      v.collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    val live = verdictMap(IncrementalDedup.verdicts(sigs, batch,
+      "doc_id", "text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_banded").toString
+    IncrementalDedup.writeBandedIndex(sigs, dir)
+    val compacted = verdictMap(IncrementalDedup.verdictsBanded(
+      IncrementalDedup.readBandedIndex(spark, dir), sigs, batch,
+      "doc_id", "text"))
+    assert(live == compacted, s"live $live compacted $compacted")
+    assert(live(11L) == ((true, false)) && live(41L) == ((false, true)))
+    // the stored layout IS band-partitioned (one directory per band)
+    val bandDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("band=")).length
+    assert(bandDirs == 8, s"expected 8 band partitions, got $bandDirs")
+  }
+
   test("hot-template bucket cap bounds cross-side candidates") {
     // 500 identical index docs + 1 batch echo: with maxBucket below the
     // bucket population nothing pairs (skipped loudly-by-contract), with
