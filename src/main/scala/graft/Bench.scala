@@ -254,6 +254,9 @@ object Bench {
     prebuild("q_corpus_day3",
       () => graft.queries.PipelineQueries
         .ensureCorpusDay3Artifacts(spark, sfDir))
+    prebuild("q_ann_append",
+      () => graft.queries.PipelineQueries
+        .ensureAnnAppendIndex(spark, sfDir))
     prebuild("q_neardup_rich",
       () => graft.queries.TextQueries.ensureRichPairs(spark, sfDir))
 

@@ -122,6 +122,32 @@ object RecallBench {
         kCodes = PQ.PqKCodes).count(),
       s"lists=${PQ.IvfPqLists},nprobe=${PQ.IvfPqNprobe},m=${PQ.PqM},k=${PQ.PqKCodes}")
 
+    // appended-index recall (r14 verdict #4): the day-1-built index
+    // with the last third appended frozen, vs the SAME exact truth as
+    // the full build above — their recall gap IS the decay of
+    // append-without-retraining, re-measured per round; the drift line
+    // is the registered retrain trigger's input (IvfPq.centroidDrift;
+    // policy in PERF.md §ANN append)
+    {
+      val cut = emb.agg(max(col("vec_id")).cast("long")).head()
+        .getLong(0) * 2 / 3 + 1
+      val grown = IvfPq.append(
+        PQ.day1IvfPqIndex(spark, sfDir, cut),
+        emb.filter(col("vec_id") >= cut), m = PQ.PqM, k = PQ.PqKCodes)
+      report("q_ann_append", exactL2,
+        IvfPq.search(grown, probes, k = Int.MaxValue,
+          nprobe = PQ.IvfPqNprobe, m = PQ.PqM,
+          kCodes = PQ.PqKCodes).count(),
+        s"day1<$cut,appended=${emb.filter(col("vec_id") >= cut).count()}," +
+          s"lists=${PQ.IvfPqLists},nprobe=${PQ.IvfPqNprobe}")
+      val drift = IvfPq.centroidDrift(grown, emb).agg(
+        min(col("drift_cos")).as("min"),
+        (sum(col("drift_cos") * col("n_assigned")) /
+          sum(col("n_assigned"))).as("wmean")).collect().head
+      val appended = emb.filter(col("vec_id") >= cut).count()
+      println(f"""{"drift":{"gate":"q_ann_append","min_cos":${drift.getDouble(0)}%.4f,"wmean_cos":${drift.getDouble(1)}%.4f,"appended_frac":${appended.toDouble / n}%.4f,"retrain":${drift.getDouble(1) < 0.90 || appended.toDouble / n > 0.5}}}""")
+    }
+
     if (sweep) {
       for (tables <- Seq(8, 16, 32); bits <- Seq(4, 6, 8)) {
         val got = AnnSearch.lshTopK(emb, probes, k = Int.MaxValue,

@@ -174,6 +174,10 @@ object SparkEntry {
     "q_pq_topk" -> PipelineQueries.pqTopK,
     "q_ivfpq_topk" -> PipelineQueries.ivfPqTopK,
     "q_ivfpq_append_planted" -> PipelineQueries.ivfPqAppendPlanted,
+    // rows-only + RecallBench-measured (r15): real day-2 append —
+    // the 13th member of the approx/LSH/sketch exception set, carrying
+    // the same per-round quality artifact as the other ANN gates
+    "q_ann_append" -> PipelineQueries.annAppend,
     "q_pipeline_e2e" -> PipelineQueries.pipelineE2e,
     "q_corpus_end2end" -> PipelineQueries.corpusEnd2End,
     "q_corpus_incremental" -> PipelineQueries.corpusIncremental,

@@ -169,6 +169,40 @@ object IvfPq {
     Index(index.centroids, index.books, index.codes.unionAll(codes), idCol)
   }
 
+  /** Per-centroid drift readout — the RETRAIN TRIGGER for the
+    * append-without-retraining posture ([[append]]): for each frozen
+    * centroid, the cosine between its build-time vector and the CURRENT
+    * mean of the vectors assigned to it (via the codes table, so the
+    * check never re-assigns), plus how much of the list arrived after
+    * the build is the caller's to derive from `n`. A centroid whose
+    * assigned mass drifted away encodes residuals against a stale
+    * origin — PQ quantization error grows and recall decays.
+    *
+    * Registered policy (measured in PERF.md §ANN append): rebuild when
+    * the n_assigned-WEIGHTED mean drift_cos drops below 0.90 or the
+    * appended fraction exceeds 0.5. Weighted, not min: at small list
+    * sizes (sf0.01 has ~5 vectors/list) a single list's mean is noise
+    * and min() would fire on every append; a real distribution shift
+    * moves MASS, which the weighted mean sees at any list size (the
+    * spec-planted alien cluster drives it below the bound while the
+    * same-distribution corpus stays above).
+    *
+    * @return (centroid_id, n_assigned, drift_cos) */
+  def centroidDrift(index: Index, corpus: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val idCol = index.corpusId
+    corpus.select(col(idCol), col(vecCol))
+      .join(index.codes.select(col(idCol), col("centroid_id")), idCol)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_assigned"),
+        GraftFunctions.vecMean(col(vecCol)).as("__mean"))
+      .join(broadcast(index.centroids), "centroid_id")
+      .select(col("centroid_id"), col("n_assigned"),
+        GraftFunctions.cosineSim(col("__mean"), col("centvec"))
+          .as("drift_cos"))
+  }
+
   /** ADC top-k over the probed lists. Returns
     * (probe_id, cand_id, adc, rank). */
   def search(index: Index, probes: DataFrame, k: Int, nprobe: Int = 4,

@@ -2312,6 +2312,53 @@ object PipelineQueries {
       Tables.embeddings(s, d), probes, k = 10, metric = "l2")
   }
 
+  /** Daily-append ANN maintenance gate (r14 verdict #4 — the
+    * incremental story for similarity search): the LAST THIRD of the
+    * embedding corpus is "today's" arrivals, appended to the
+    * PERSISTED day-1 index with NO retraining (frozen centroids +
+    * codebooks, [[graft.operators.IvfPq.append]]) — then the standard
+    * probe set searches the grown index through the same ADC-top-R +
+    * exact-refine path as q_ivfpq_topk. Where
+    * [[ivfPqAppendPlanted]] pins the append ALGEBRA on byte-twins
+    * closed-form, this gate runs the real day-2 distribution:
+    * RecallBench re-measures its recall@10 against brute force every
+    * round next to the full-build index's recall (the recall-DECAY
+    * readout), and [[graft.operators.IvfPq.centroidDrift]] is the
+    * documented retrain trigger (PERF.md §ANN append). Rows-only gate
+    * (k-means/PQ are not DuckDB-expressible) with the measured
+    * artifact — the q_ivfpq_topk convention. */
+  val annAppend: Q = (s, d) => {
+    import graft.operators.IvfPq
+    val emb = Tables.embeddings(s, d)
+    val cut = emb.agg(max(col("vec_id")).cast("long")).head()
+      .getLong(0) * 2 / 3 + 1
+    val day2 = emb.filter(col("vec_id") >= cut)
+    val grown = IvfPq.append(day1IvfPqIndex(s, d, cut), day2,
+      m = PqM, k = PqKCodes)
+    val probes = emb.filter(col("vec_id") < 5)
+    val shortlist = IvfPq.search(grown, probes, k = PqRefine,
+      nprobe = IvfPqNprobe, m = PqM, kCodes = PqKCodes)
+    graft.operators.AnnSearch.refineTopK(shortlist, emb, probes,
+      k = 10, metric = "l2")
+  }
+
+  /** The at-rest day-1 index of [[annAppend]]: built over vec_id <
+    * cut only, persisted with the buildOrLoad artifact discipline
+    * (its fingerprint covers exactly the day-1 id set). */
+  private[graft] def day1IvfPqIndex(s: SparkSession, d: String,
+      cut: Long) =
+    graft.operators.IvfPq.buildOrLoad(
+      Tables.embeddings(s, d).filter(col("vec_id") < cut),
+      indexCacheDir,
+      tag = new java.io.File(d).getCanonicalPath + s"|day1<$cut",
+      lists = IvfPqLists, m = PqM, k = PqKCodes)
+
+  def ensureAnnAppendIndex(s: SparkSession, d: String): Unit = {
+    val cut = Tables.embeddings(s, d).agg(max(col("vec_id"))
+      .cast("long")).head().getLong(0) * 2 / 3 + 1
+    day1IvfPqIndex(s, d, cut); ()
+  }
+
   /** Frozen-index append gate (round 5): byte-identical copies of the
     * first five corpus vectors, ids offset past max(vec_id), appended to
     * the PERSISTED index with NO retraining ([[graft.operators.IvfPq

@@ -97,6 +97,39 @@ class IvfPqSpec extends SparkSpec {
     assert(index.codes.count() + 5 == grown.codes.count())
   }
 
+  test("centroidDrift: same-distribution append stays near 1.0, a " +
+      "planted shifted cluster fires the registered retrain trigger") {
+    import spark.implicits._
+    // same-distribution: the corpus itself against its own index —
+    // every centroid's assigned mean sits on its build-time vector
+    val calm = IvfPq.centroidDrift(index, emb)
+      .agg(min("drift_cos")).collect().head.getDouble(0)
+    assert(calm > 0.95, s"no-append drift should be calm, got $calm")
+    // planted shift: append a tight alien cluster far outside the
+    // corpus distribution — its host centroid's assigned mean swings
+    // toward the aliens and drift_cos must fall below the 0.95 trigger
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val alien = (0 until 400).map { i =>
+      (900000L + i, Array.tabulate(dim)(j =>
+        if (j == 0) 100.0f else if (j == 1) (i % 7) * 0.01f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val grown = IvfPq.append(index, alien)
+    val drift = IvfPq.centroidDrift(grown,
+      emb.select("vec_id", "embedding").unionByName(alien))
+      .agg(min("drift_cos").as("min"),
+        (sum(col("drift_cos") * col("n_assigned")) /
+          sum(col("n_assigned"))).as("wmean")).collect().head
+    assert(drift.getDouble(0) < 0.95 && drift.getDouble(1) < 0.90,
+      s"a 400-vector alien cluster must fire the registered trigger " +
+        s"(weighted mean < 0.90): $drift")
+    // ...and the calm corpus stays above it (the weighted-mean bound
+    // separates shift from same-distribution appends)
+    val calmW = IvfPq.centroidDrift(index, emb)
+      .agg(sum(col("drift_cos") * col("n_assigned")) /
+        sum(col("n_assigned"))).collect().head.getDouble(0)
+    assert(calmW > 0.90, s"calm weighted drift $calmW")
+  }
+
   test("search path shuffles no embedding columns") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
