@@ -272,6 +272,8 @@ object SparkEntry {
     "q_compress_quality_planted" -> PipelineQueries.compressQuality,
     "q_incr_dedup_planted" -> DedupQueries.incrementalDedupPlanted,
     "q_stream_neardup" -> ((s, d) => streaming.StreamOps.streamNearDup(s, d)),
+    "q_stream_neardup_screen" ->
+      ((s, d) => streaming.StreamOps.streamNearDupScreen(s, d)),
     "q7_volume" -> RelationalQueries.q7Volume,
     "q10_returned" -> RelationalQueries.q10Returned,
     "q18_large_orders" -> RelationalQueries.q18LargeOrders,
@@ -5936,6 +5938,47 @@ object SparkEntry {
       SELECT s * 10 + 1 AS doc_id, true AS dup_of_index FROM b
       UNION ALL
       SELECT s * 10, false FROM f""",
+
+    // the ingest screen replays exactly: day-2 quality arrivals vs
+    // exact trigram Jaccard >= 0.6 against day-1 S2 (the signature
+    // index's membership) — the est-tier/exact-tier agreement the
+    // corpus-incremental gate already hash-proves on this corpus
+    "q_stream_neardup_screen" -> """
+      WITH q AS (
+        SELECT doc_id, text FROM documents
+        WHERE lang IN ('en', 'de', 'fr')
+          AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+          AND length(text)::DOUBLE / len(string_split(text, ' ')) < 12),
+      q1 AS (SELECT * FROM q
+             WHERE doc_id < (SELECT (max(doc_id)*2)//3 + 1 FROM documents)),
+      keep1 AS (SELECT min(doc_id) AS doc_id FROM q1 GROUP BY text),
+      s2_1 AS (SELECT q1.* FROM q1 JOIN keep1 USING (doc_id)),
+      qd AS (SELECT * FROM q
+             WHERE doc_id >= (SELECT (max(doc_id)*2)//3 + 1 FROM documents)),
+      w1 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+               t -> t <> '') AS w FROM s2_1),
+      wd AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+               t -> t <> '') AS w FROM qd),
+      sh1 AS (SELECT doc_id, list_distinct(list_transform(
+                range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tk
+              FROM w1),
+      shd AS (SELECT doc_id, list_distinct(list_transform(
+                range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tk
+              FROM wd),
+      t1 AS (SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
+             FROM sh1 WHERE len(tk) > 0),
+      td AS (SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
+             FROM shd WHERE len(tk) > 0),
+      ov AS (SELECT d.doc_id AS did, o.doc_id AS oid,
+                    d.n AS nd, o.n AS no, count(*) AS ovl
+             FROM td d JOIN t1 o ON d.tok = o.tok
+             GROUP BY 1, 2, 3, 4),
+      dup AS (SELECT DISTINCT did FROM ov
+              WHERE ovl * 1.0 / (nd + no - ovl) >= 0.6)
+      SELECT qd.doc_id, (dup.did IS NOT NULL) AS dup_of_index
+      FROM qd LEFT JOIN dup ON qd.doc_id = dup.did""",
 
     "q7_volume" -> """
       SELECT supp_nation, cust_nation, l_year,

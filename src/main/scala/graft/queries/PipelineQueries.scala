@@ -1038,7 +1038,7 @@ object PipelineQueries {
     * by the batch chain ([[corpusStages]]) and the incremental path
     * ([[corpusIncremental]]), so the two can never drift on a
     * sub-rule. */
-  private def qualityGate(docs: DataFrame): DataFrame = docs
+  private[graft] def qualityGate(docs: DataFrame): DataFrame = docs
     .filter(col("lang").isin("en", "de", "fr"))
     .withColumn("n_tokens", size(split(col("text"), " ")))
     .filter(col("n_tokens").between(20, 1000))
@@ -1352,6 +1352,17 @@ object PipelineQueries {
   def ensureCorpusIncrementalArtifacts(s: SparkSession, d: String): Unit = {
     val docs = Tables.documents(s, d)
     corpusIncrementalArtifacts(s, d, incrementalCut(docs)); ()
+  }
+
+  /** The day-1 signature index artifact + its id cut, for consumers
+    * outside the batch chain (the streaming ingest screen): built on
+    * first use with the same build-once discipline. */
+  private[graft] def corpusIncrementalIndex(s: SparkSession, d: String)
+      : (DataFrame, Long) = {
+    val cut = incrementalCut(Tables.documents(s, d))
+    val art = corpusIncrementalArtifacts(s, d, cut)
+    (graft.operators.IncrementalDedup.readIndex(s,
+      art.resolve("sigindex").toString), cut)
   }
 
   /** Day-1+2 COMPACTED artifacts of the three-day incremental gate
