@@ -183,6 +183,7 @@ object SparkEntry {
     "q_corpus_incremental" -> PipelineQueries.corpusIncremental,
     "q_corpus_retract" -> PipelineQueries.corpusRetract,
     "q_corpus_day3" -> PipelineQueries.corpusDay3,
+    "q_retract_ledger" -> PipelineQueries.corpusRetractLedger,
     "q_drop_ledger" -> PipelineQueries.corpusDropLedger,
     "q_minhash_transitive" -> PipelineQueries.minhashTransitive,
     "q_profile" -> PipelineQueries.profileLineitem,
@@ -534,55 +535,65 @@ object SparkEntry {
     * path must reproduce the batch manifest exactly (the
     * cross-stage IVM contract, r13 verdict #4), so the two gates
     * hash against ONE oracle. */
-  private val CorpusEnd2EndOracle: String = """
-      WITH q AS (
+  /** The S1–S4 survivor chain of the corpus oracle, emitted once per
+    * (CTE-name suffix, base table): the batch / incremental / day-3 /
+    * retract replays and the retract ledger's TWO side-by-side chains
+    * all share this ONE definition, so no replay can drift on a chain
+    * rule. Ends at the `s4$sfx` CTE (pre-mixing — the membership
+    * frontier the ledger diffs). */
+  private def corpusS4ChainSql(sfx: String, base: String): String =
+    s"""q$sfx AS (
         SELECT doc_id, lang, text,
                len(string_split(text, ' '))::INT AS n_tokens
-        FROM documents
+        FROM $base
         WHERE lang IN ('en', 'de', 'fr')
           AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
           AND length(text)::DOUBLE / len(string_split(text, ' ')) < 12),
-      keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
-      s2 AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
-      w AS (
+      keep$sfx AS (SELECT min(doc_id) AS doc_id FROM q$sfx GROUP BY text),
+      s2$sfx AS (SELECT q$sfx.* FROM q$sfx JOIN keep$sfx USING (doc_id)),
+      w$sfx AS (
         SELECT doc_id,
                list_filter(string_split(lower(text), ' '),
                  t -> t <> '') AS w
-        FROM s2),
-      shing AS (
+        FROM s2$sfx),
+      shing$sfx AS (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(w) - 1),
                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tk
-        FROM w),
-      tok AS (
+        FROM w$sfx),
+      tok$sfx AS (
         SELECT doc_id, len(tk)::INT AS n, unnest(tk) AS tok
-        FROM shing WHERE len(tk) > 0),
-      ov AS (
+        FROM shing$sfx WHERE len(tk) > 0),
+      ov$sfx AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2,
                a.n AS n1, b.n AS n2, count(*) AS overlap
-        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        FROM tok$sfx a JOIN tok$sfx b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4),
-      neardup AS (
-        SELECT DISTINCT id2 AS doc_id FROM ov
+      neardup$sfx AS (
+        SELECT DISTINCT id2 AS doc_id FROM ov$sfx
         WHERE overlap * 1.0 / (n1 + n2 - overlap) >= 0.6),
-      s3 AS (SELECT * FROM s2
-             WHERE doc_id NOT IN (SELECT doc_id FROM neardup)),
-      toked AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      ngr AS (
+      s3$sfx AS (SELECT * FROM s2$sfx
+             WHERE doc_id NOT IN (SELECT doc_id FROM neardup$sfx)),
+      toked$sfx AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM $base),
+      ngr$sfx AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(range(1, len(t) - 3),
                  i -> array_to_string(t[i:i+4], ' '))) AS ng
-        FROM toked WHERE len(t) >= 5),
-      bench AS (SELECT DISTINCT ng FROM ngr WHERE doc_id < 5),
-      contaminated AS (
+        FROM toked$sfx WHERE len(t) >= 5),
+      bench$sfx AS (SELECT DISTINCT ng FROM ngr$sfx WHERE doc_id < 5),
+      contaminated$sfx AS (
         SELECT DISTINCT c.doc_id
-        FROM (SELECT doc_id, ng FROM ngr WHERE doc_id >= 5) c
-        JOIN bench USING (ng)),
-      s4 AS (
-        SELECT * FROM s3
+        FROM (SELECT doc_id, ng FROM ngr$sfx WHERE doc_id >= 5) c
+        JOIN bench$sfx USING (ng)),
+      s4$sfx AS (
+        SELECT * FROM s3$sfx
         WHERE doc_id >= 5
-          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated$sfx))"""
+
+  private val CorpusEnd2EndOracle: String = s"""
+      WITH ${corpusS4ChainSql("", "documents")},
       mixed AS (
         SELECT doc_id, lang, n_tokens FROM (
           SELECT doc_id, lang, n_tokens,
@@ -626,6 +637,33 @@ object SparkEntry {
         SELECT * FROM documents
         WHERE NOT (doc_id >= 5 AND doc_id % 17 = 7)),
       q AS""")
+
+  /** The retraction CHANGE ledger's replay: BOTH S1–S4 chains side by
+    * side (full corpus `_a`, kept corpus `_k`) from the shared chain
+    * definition, diffed at the S4 membership frontier with the reason
+    * classification the Spark ledger emits. */
+  private val CorpusRetractLedgerOracle: String = s"""
+      WITH documents_kept AS (
+        SELECT * FROM documents
+        WHERE NOT (doc_id >= 5 AND doc_id % 17 = 7)),
+      ${corpusS4ChainSql("_a", "documents")},
+      ${corpusS4ChainSql("_k", "documents_kept")},
+      r AS (SELECT doc_id FROM documents
+            WHERE doc_id >= 5 AND doc_id % 17 = 7)
+      SELECT doc_id, 'removed_retracted' AS reason
+      FROM s4_a WHERE doc_id IN (SELECT doc_id FROM r)
+      UNION ALL
+      SELECT doc_id, 'removed_doomed' AS reason
+      FROM s4_a
+      WHERE doc_id NOT IN (SELECT doc_id FROM r)
+        AND doc_id NOT IN (SELECT doc_id FROM s4_k)
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN doc_id IN (SELECT doc_id FROM s2_a)
+               THEN 'resurrected_neardup_victim'
+               ELSE 'resurrected_exact_twin' END AS reason
+      FROM s4_k
+      WHERE doc_id NOT IN (SELECT doc_id FROM s4_a)"""
 
   /** The DuckDB replay of [[graft.queries.TextQueries.richDocs]] —
     * the realistic generated corpus (r14): literals + md5 words +
@@ -1877,6 +1915,7 @@ object SparkEntry {
     // be semantically invisible, so it hashes against the same
     // from-scratch replay as the batch and two-day gates
     "q_corpus_day3" -> CorpusEnd2EndOracle,
+    "q_retract_ledger" -> CorpusRetractLedgerOracle,
 
     "q_pipeline_e2e" -> """
       WITH q AS (

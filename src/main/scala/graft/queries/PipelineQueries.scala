@@ -1604,6 +1604,24 @@ object PipelineQueries {
       retracted: DataFrame, qmeta: DataFrame, s2ids: DataFrame,
       s3ids: DataFrame, s4meta: DataFrame, benchGrams: DataFrame,
       pairs: DataFrame, maxBlast: Int = 5000000): DataFrame = {
+    val st = corpusRetractState(docs, retracted, qmeta, s2ids, s3ids,
+      s4meta, benchGrams, pairs, maxBlast)
+    corpusFinish(st.s4keep.unionByName(st.s4new))
+  }
+
+  /** The membership-delta sets of a retraction plus the resulting S4
+    * frames — shared by the manifest gate ([[corpusRetractDelta]]) and
+    * the change ledger ([[corpusRetractLedgerFrom]]) so the two can
+    * never disagree about what a takedown changed. */
+  private[graft] final case class RetractState(rIds: Set[Long],
+      resurrected: Set[Long], doomedNow: Set[Long],
+      newcomers: Set[Long], contNew: Set[Long],
+      s4keep: DataFrame, s4new: DataFrame)
+
+  private[graft] def corpusRetractState(docs: DataFrame,
+      retracted: DataFrame, qmeta: DataFrame, s2ids: DataFrame,
+      s3ids: DataFrame, s4meta: DataFrame, benchGrams: DataFrame,
+      pairs: DataFrame, maxBlast: Int = 5000000): RetractState = {
     val s = docs.sparkSession
     import s.implicits._
     def bounded[T](df: DataFrame, what: String)(
@@ -1681,7 +1699,8 @@ object PipelineQueries {
       .join(probe(newcomers -- contNew), Seq("doc_id"), "left_semi")
     val s4keep = s4meta.join(probe(rIds ++ doomedNow), Seq("doc_id"),
       "left_anti")
-    corpusFinish(s4keep.unionByName(s4new))
+    RetractState(rIds, resurrected, doomedNow, newcomers, contNew,
+      s4keep, s4new)
   }
 
   /** The registered retraction set: every id ≥ 5 with id ≡ 7 (mod 17)
@@ -1689,12 +1708,60 @@ object PipelineQueries {
     * near-dup CULPRITS whose victims must resurrect, exercising the
     * hard delete path, not just set subtraction; the constructed-
     * corpus spec covers keeper re-election deterministically. */
-  val corpusRetract: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  private def registeredRetraction(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") >= 5 && col("doc_id") % 17 === 7)
+      .select("doc_id")
+
+  val corpusRetract: Q = (s, d) =>
     corpusRetractFrom(s, d,
-      docs.filter(col("doc_id") >= 5 && col("doc_id") % 17 === 7)
-        .select("doc_id"))
+      registeredRetraction(Tables.documents(s, d)))
+
+  /** Per-doc CHANGE ledger of a retraction — the governance readout a
+    * takedown review asks next to [[corpusDropLedger]]'s "why is doc X
+    * out": WHAT did forgetting these ids change. One row per doc whose
+    * S4 membership flipped, with the reason:
+    *
+    *  - `removed_retracted`          — was in the corpus, named in the
+    *                                   takedown
+    *  - `removed_doomed`             — collateral: newly doomed by a
+    *                                   resurrected culprit
+    *  - `resurrected_exact_twin`     — re-elected keeper of a retracted
+    *                                   doc's digest group
+    *  - `resurrected_neardup_victim` — undoomed when its only culprits
+    *                                   left
+    *
+    * Derived from the SAME [[RetractState]] the manifest gate consumes,
+    * so ledger and manifest cannot disagree; docs that resurrect at S3
+    * but fail decontam never flip membership and are correctly absent. */
+  private[graft] def corpusRetractLedgerFrom(s: SparkSession, d: String,
+      retracted: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val art = corpusRetractArtifacts(s, d)
+    val s4meta = s.read.parquet(art.resolve("s4meta").toString)
+    val st = corpusRetractState(Tables.documents(s, d), retracted,
+      qmeta = s.read.parquet(art.resolve("qmeta").toString),
+      s2ids = s.read.parquet(art.resolve("s2ids").toString),
+      s3ids = s.read.parquet(art.resolve("s3ids").toString),
+      s4meta = s4meta,
+      benchGrams = s.read.parquet(art.resolve("benchgrams").toString),
+      pairs = DedupQueries.verifiedPairs(s, d).select("id1", "id2"))
+    def removed(ids: Set[Long], reason: String) =
+      s4meta.join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .select(col("doc_id"), lit(reason).as("reason"))
+    val born = (st.newcomers -- st.contNew).toSeq.sorted
+      .map(id => (id, if (st.resurrected(id)) "resurrected_exact_twin"
+        else "resurrected_neardup_victim"))
+      .toDF("doc_id", "reason")
+    removed(st.rIds, "removed_retracted")
+      .unionByName(removed(st.doomedNow, "removed_doomed"))
+      .unionByName(born)
   }
+
+  val corpusRetractLedger: Q = (s, d) =>
+    corpusRetractLedgerFrom(s, d,
+      registeredRetraction(Tables.documents(s, d)))
 
   /** End-to-end training-data pipeline, every stage SQL-checkable:
     * quality gate → exact dedup survivors (min id per sha256) →

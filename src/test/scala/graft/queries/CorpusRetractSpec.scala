@@ -46,6 +46,13 @@ class CorpusRetractSpec extends SparkSpec {
     // S4 must still reject it
     (61L, "en", text("conta", 30)),
     (62L, "en", text("conta", 30) + " " + text("bench")),
+    // ORDERING case keeper < victim < twin: retracting 70 re-elects
+    // 74, but the pair (72, 74) has 72 on the SMALLER side — 74
+    // cannot doom 72 (canonical id1 < id2), so 72 resurrects and the
+    // re-elected 74 is itself doomed by 72 at S3
+    (70L, "de", text("order", 30)),
+    (72L, "de", text("order", 30) + " ordertail1"),
+    (74L, "de", text("order", 30)),
     // plain survivors, one of them retracted
     (200L, "en", text("cen")),
     (300L, "fr", text("cfr"))
@@ -74,13 +81,48 @@ class CorpusRetractSpec extends SparkSpec {
       .toSet
     assert(got == want, s"delta $got\nfrom-scratch $want")
     // pin the semantics, not just the equality: survivors are
-    // 22 (re-elected twin), 32 (resurrected victim), 300 —
+    // 22 (re-elected twin), 32 (resurrected victim), 51, 70, 300 —
     // NOT 23 (22 is the smaller twin), NOT 52 (still doomed by the
     // re-elected 51), NOT 62 (resurrected but contaminated)
     val buckets = got.map(_._1)
-    assert(buckets == Set(22L % 16, 32L % 16, 51L % 16, 300L % 16),
-      s"buckets $buckets")
-    assert(got.toSeq.map(_._2).sum == 4L, got.toString)
+    assert(buckets == Set(22L % 16, 32L % 16, 51L % 16, 70L % 16,
+      300L % 16), s"buckets $buckets")
+    assert(got.toSeq.map(_._2).sum == 5L, got.toString)
+  }
+
+  test("change ledger names every membership flip with its reason, " +
+      "including the keeper < victim < twin ordering case") {
+    val dir = writeCorpus()
+    val retractIds = Seq(21L, 31L, 50L, 61L, 200L, 10L, 70L)
+    val got = PipelineQueries.corpusRetractLedgerFrom(spark, dir,
+        retractIds.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    val want = Set(
+      21L -> "removed_retracted", 31L -> "removed_retracted",
+      50L -> "removed_retracted", 61L -> "removed_retracted",
+      200L -> "removed_retracted", 70L -> "removed_retracted",
+      // 10 was S1-dropped: no membership to change
+      22L -> "resurrected_exact_twin", 51L -> "resurrected_exact_twin",
+      32L -> "resurrected_neardup_victim",
+      // 72's only culprit (70) left; the re-elected 74 pairs with 72
+      // on the WRONG side (72 < 74) so it cannot re-doom it...
+      72L -> "resurrected_neardup_victim"
+      // ...and 74 itself (S2-re-elected but S3-doomed by 72) plus 62
+      // (S3-resurrected but contaminated) and 52 (still doomed by 51)
+      // never flip S4 membership — correctly absent
+    )
+    assert(got == want, s"got $got\nwant $want")
+    // the manifest gate agrees with from-scratch under this bigger
+    // retraction too (the ordering case flows through both)
+    val manifest = PipelineQueries.corpusRetractFrom(spark, dir,
+        retractIds.toDF("doc_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSet
+    val scratch = PipelineQueries.corpusEnd2EndFrom(
+        corpus().filter(!col("doc_id").isin(retractIds: _*)))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSet
+    assert(manifest == scratch, s"manifest $manifest\nscratch $scratch")
   }
 
   test("retracting nothing reproduces the batch manifest; retracting " +
