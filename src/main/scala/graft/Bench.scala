@@ -257,6 +257,9 @@ object Bench {
     prebuild("q_ann_append",
       () => graft.queries.PipelineQueries
         .ensureAnnAppendIndex(spark, sfDir))
+    prebuild("q_corpus_lifecycle",
+      () => graft.queries.PipelineQueries
+        .ensureCorpusLifecycleArtifacts(spark, sfDir))
     prebuild("q_neardup_rich",
       () => graft.queries.TextQueries.ensureRichPairs(spark, sfDir))
 

@@ -184,6 +184,7 @@ object SparkEntry {
     "q_corpus_retract" -> PipelineQueries.corpusRetract,
     "q_corpus_day3" -> PipelineQueries.corpusDay3,
     "q_retract_ledger" -> PipelineQueries.corpusRetractLedger,
+    "q_corpus_lifecycle" -> PipelineQueries.corpusLifecycle,
     "q_drop_ledger" -> PipelineQueries.corpusDropLedger,
     "q_minhash_transitive" -> PipelineQueries.minhashTransitive,
     "q_profile" -> PipelineQueries.profileLineitem,
@@ -1916,6 +1917,10 @@ object SparkEntry {
     // from-scratch replay as the batch and two-day gates
     "q_corpus_day3" -> CorpusEnd2EndOracle,
     "q_retract_ledger" -> CorpusRetractLedgerOracle,
+    // append -> compact -> retract (with artifact rewrite) -> append:
+    // the state machine must close on the same corpus the batch chain
+    // builds from what remains, so it shares the retract oracle
+    "q_corpus_lifecycle" -> CorpusRetractOracle,
 
     "q_pipeline_e2e" -> """
       WITH q AS (

@@ -1212,7 +1212,11 @@ object PipelineQueries {
     import java.nio.file.{Files, Paths}
     import graft.operators.{Dedup, IncrementalDedup}
     val tag = new java.io.File(d).getCanonicalPath
-    val keySrc = s"corpus-incr|$tag|cut=$cut|j=0.6|h=32b8"
+    // v2 (r15): also persists qmeta (per-doc quality metadata +
+    // digest) and s3ids — the membership frames a RETRACTION against
+    // this at-rest state needs (keeper re-election is digest-local
+    // only with the per-doc mapping)
+    val keySrc = s"corpus-incr|$tag|cut=$cut|j=0.6|h=32b8|v2"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(keySrc.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val dir = Paths.get(graft.sources.Artifacts.cacheDir, key)
@@ -1251,6 +1255,11 @@ object PipelineQueries {
         .parquet(dir.resolve("s4meta").toString)
       q1.select(sha2(col("text"), 256).as("digest")).distinct()
         .write.mode("overwrite").parquet(dir.resolve("digests").toString)
+      q1.select(col("doc_id"), col("lang"), col("n_tokens"),
+          sha2(col("text"), 256).as("digest"))
+        .write.mode("overwrite").parquet(dir.resolve("qmeta").toString)
+      s3.select("doc_id").write.mode("overwrite")
+        .parquet(dir.resolve("s3ids").toString)
       IncrementalDedup.writeIndex(
         IncrementalDedup.signatures(s2, "doc_id", "text"),
         dir.resolve("sigindex").toString)
@@ -1298,11 +1307,11 @@ object PipelineQueries {
 
     // day-2: every text-consuming stage is delta-sized
     val delta = docs.filter(col("doc_id") >= cut)
-    val (s4delta, _, _) = corpusIngestDelta(delta, digests1,
+    val d2 = corpusIngestDelta(delta, digests1,
       s2 => IncrementalDedup.verdicts(sigIndex, s2, "doc_id", "text",
         numHashes = 32, bands = 8, threshold = 0.6),
       benchGrams)
-    corpusFinish(s4day1.unionAll(s4delta))
+    corpusFinish(s4day1.unionAll(d2.s4))
   }
 
   /** ONE daily-ingest step against at-rest membership artifacts — the
@@ -1319,12 +1328,15 @@ object PipelineQueries {
     *    delta sibling: exactly the batch greedy rule under id-append
     *  - decontam: delta grams vs the persisted bench-gram set
     *
-    * @return (s4 delta metadata, the delta's quality digests, the
-    *         delta's S2 survivors) — the last two are what a
-    *         compaction step merges into the at-rest artifacts */
+    * @return the delta's S4 metadata plus the membership frames
+    *         (quality meta+digest, S2, S3) a compaction step merges
+    *         into the at-rest artifacts */
+  private[graft] final case class IngestDelta(s4: DataFrame,
+      qmeta: DataFrame, s2: DataFrame, s3: DataFrame)
+
   private def corpusIngestDelta(delta: DataFrame, digestsAtRest: DataFrame,
       verdictsOf: DataFrame => DataFrame, benchGrams: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : IngestDelta = {
     val q = qualityGate(delta).withColumn("__dig", sha2(col("text"), 256))
     val newContent = q.join(digestsAtRest,
       q("__dig") === digestsAtRest("digest"), "left_anti")
@@ -1341,7 +1353,10 @@ object PipelineQueries {
       .select("doc_id").distinct()
     val s4delta = s3.join(cont, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_tokens")
-    (s4delta, q.select(col("__dig").as("digest")).distinct(), s2)
+    IngestDelta(s4delta,
+      q.select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("__dig").as("digest")),
+      s2, s3.select("doc_id"))
   }
 
   /** Offline artifact build for the incremental gate (the
@@ -1387,7 +1402,7 @@ object PipelineQueries {
     import java.nio.file.{Files, Paths}
     import graft.operators.IncrementalDedup
     val tag = new java.io.File(d).getCanonicalPath
-    val keySrc = s"corpus-day3|$tag|c1=$c1|c2=$c2|j=0.6|h=32b8|v1"
+    val keySrc = s"corpus-day3|$tag|c1=$c1|c2=$c2|j=0.6|h=32b8|v2"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(keySrc.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val dir = Paths.get(graft.sources.Artifacts.cacheDir, key)
@@ -1409,17 +1424,26 @@ object PipelineQueries {
       val benchGrams = s.read
         .parquet(day1.resolve("benchgrams").toString)
       val day2 = docs.filter(col("doc_id") >= c1 && col("doc_id") < c2)
-      val (s4d2, dig2, s2d2) = corpusIngestDelta(day2, digests1,
+      val d2 = corpusIngestDelta(day2, digests1,
         s2 => IncrementalDedup.verdicts(sigs1, s2, "doc_id", "text",
           numHashes = 32, bands = 8, threshold = 0.6),
         benchGrams)
       // compaction: merge the day-2 results into the at-rest state
-      s.read.parquet(day1.resolve("s4meta").toString).unionAll(s4d2)
+      // (qmeta/s2ids/s3ids ride along so a RETRACTION against this
+      // compacted state has its membership frames — the lifecycle
+      // gate's input)
+      s.read.parquet(day1.resolve("s4meta").toString).unionAll(d2.s4)
         .write.mode("overwrite").parquet(dir.resolve("s4meta12").toString)
-      digests1.unionAll(dig2).distinct().write.mode("overwrite")
+      digests1.unionAll(d2.qmeta.select("digest")).distinct()
+        .write.mode("overwrite")
         .parquet(dir.resolve("digests12").toString)
+      s.read.parquet(day1.resolve("qmeta").toString).unionAll(d2.qmeta)
+        .write.mode("overwrite").parquet(dir.resolve("qmeta12").toString)
+      s.read.parquet(day1.resolve("s3ids").toString)
+        .unionAll(d2.s3)
+        .write.mode("overwrite").parquet(dir.resolve("s3ids12").toString)
       val sigs12 = sigs1.unionAll(
-        IncrementalDedup.signatures(s2d2, "doc_id", "text"))
+        IncrementalDedup.signatures(d2.s2, "doc_id", "text"))
       IncrementalDedup.writeIndex(sigs12, dir.resolve("sigs12").toString)
       IncrementalDedup.writeBandedIndex(
         s.read.parquet(dir.resolve("sigs12").toString),
@@ -1463,11 +1487,11 @@ object PipelineQueries {
       art.resolve("banded12").toString)
     val benchGrams = s.read.parquet(art.resolve("benchgrams").toString)
     val delta3 = docs.filter(col("doc_id") >= c2)
-    val (s4d3, _, _) = corpusIngestDelta(delta3, digests12,
+    val d3 = corpusIngestDelta(delta3, digests12,
       s2 => IncrementalDedup.verdictsBanded(banded12, sigs12, s2,
         "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.6),
       benchGrams)
-    corpusFinish(s4meta12.unionAll(s4d3))
+    corpusFinish(s4meta12.unionAll(d3.s4))
   }
 
   /** At-rest artifacts of the retraction gate (r14 verdict #1) —
@@ -1762,6 +1786,130 @@ object PipelineQueries {
   val corpusRetractLedger: Q = (s, d) =>
     corpusRetractLedgerFrom(s, d,
       registeredRetraction(Tables.documents(s, d)))
+
+  /** At-rest artifacts AFTER a retraction against the compacted
+    * day-1+2 state — the full corpus-lifecycle state machine
+    * (append → compact → RETRACT → append again): runs
+    * [[corpusRetractState]] over the compacted membership frames,
+    * then REWRITES the artifacts so later ingests see the corrected
+    * world:
+    *
+    *  - qmeta/digests lose the retracted docs (content whose every
+    *    carrier was retracted becomes NEW again for future arrivals)
+    *  - s2/s3 memberships apply the delta (re-elections in,
+    *    retractions and collateral dooms out)
+    *  - the signature index drops retracted ids and GAINS the
+    *    re-elected twins' signatures (future ingests must see them as
+    *    culprits — forgetting this would let tomorrow's copy of a
+    *    resurrected doc slip through), then re-bands
+    *
+    * The rewrite is compaction-time work (index-sized, offline); the
+    * retraction DELTA itself stays blast-radius-sized. */
+  private def corpusLifecycleArtifacts(s: SparkSession, d: String,
+      c1: Long, c2: Long): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.IncrementalDedup
+    val tag = new java.io.File(d).getCanonicalPath
+    val keySrc = s"corpus-lifecycle|$tag|c1=$c1|c2=$c2|mod17=7|v1"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(keySrc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = Paths.get(graft.sources.Artifacts.cacheDir, key)
+    val marker = dir.resolve("_built")
+    val docs = Tables.documents(s, d)
+    val fpRow = docs.agg(count(lit(1)),
+      bit_xor(xxhash64(col("doc_id")))).head()
+    val fp = s"${fpRow.getLong(0)}:${if (fpRow.isNullAt(1)) 0L
+      else fpRow.getLong(1)}"
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8").trim == fp &&
+      !sys.env.get("GRAFT_INDEX_REBUILD").contains("1")
+    if (!fresh) {
+      graft.functions.GraftFunctions.register(s)
+      val day12 = corpusDay3Artifacts(s, d, c1, c2)
+      val qmeta = s.read.parquet(day12.resolve("qmeta12").toString)
+      val s3ids = s.read.parquet(day12.resolve("s3ids12").toString)
+      val s4meta = s.read.parquet(day12.resolve("s4meta12").toString)
+      val benchGrams = s.read
+        .parquet(day12.resolve("benchgrams").toString)
+      val sigs = IncrementalDedup.readIndex(s,
+        day12.resolve("sigs12").toString)
+      val s2ids = sigs.select(col("id").as("doc_id"))
+      val atRest = docs.filter(col("doc_id") < c2)
+      val retracted = registeredRetraction(atRest)
+      val st = corpusRetractState(atRest, retracted, qmeta, s2ids,
+        s3ids, s4meta, benchGrams,
+        DedupQueries.verifiedPairs(s, d).select("id1", "id2"))
+      def probe(set: Iterable[Long]) = {
+        import s.implicits._
+        broadcast(set.toSeq.toDF("doc_id"))
+      }
+      // membership rewrites (all map-side vs broadcast delta sets)
+      qmeta.join(probe(st.rIds), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(dir.resolve("qmeta").toString)
+      s.read.parquet(dir.resolve("qmeta").toString)
+        .select("digest").distinct().write.mode("overwrite")
+        .parquet(dir.resolve("digests").toString)
+      val affected = st.newcomers ++ st.doomedNow // fresh-verdict docs
+      s3ids.join(probe(st.rIds ++ affected), Seq("doc_id"), "left_anti")
+        .unionAll(probe(st.newcomers))
+        .write.mode("overwrite").parquet(dir.resolve("s3ids").toString)
+      st.s4keep.unionByName(st.s4new).write.mode("overwrite")
+        .parquet(dir.resolve("s4meta").toString)
+      // index rewrite: drop retracted, add re-elected twins' sigs
+      val bornSigs = IncrementalDedup.signatures(
+        docs.join(probe(st.resurrected), Seq("doc_id"), "left_semi"),
+        "doc_id", "text")
+      val sigsNew = sigs
+        .join(probe(st.rIds).withColumnRenamed("doc_id", "id"),
+          Seq("id"), "left_anti")
+        .unionAll(bornSigs)
+      IncrementalDedup.writeIndex(sigsNew, dir.resolve("sigs").toString)
+      IncrementalDedup.writeBandedIndex(
+        s.read.parquet(dir.resolve("sigs").toString),
+        dir.resolve("banded").toString)
+      benchGrams.write.mode("overwrite")
+        .parquet(dir.resolve("benchgrams").toString)
+      Files.write(marker, fp.getBytes("UTF-8")) // commit point
+    }
+    dir
+  }
+
+  def ensureCorpusLifecycleArtifacts(s: SparkSession, d: String): Unit = {
+    val (c1, c2) = day3Cuts(Tables.documents(s, d))
+    corpusLifecycleArtifacts(s, d, c1, c2); ()
+  }
+
+  /** Full corpus-lifecycle gate: day-1 build → day-2 ingest + compact
+    * → RETRACT (registered takedown over everything at rest) with
+    * artifact rewrite → day-3 ingest against the corrected state →
+    * global finish. Hash-equal to the from-scratch chain on
+    * corpus ∖ retracted — the closure property of the artifact state
+    * machine: any interleaving of appends, compactions and
+    * retractions must land on the same corpus the batch chain would
+    * build from what remains. */
+  val corpusLifecycle: Q = (s, d) => {
+    import graft.operators.IncrementalDedup
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val (c1, c2) = day3Cuts(docs)
+    val art = corpusLifecycleArtifacts(s, d, c1, c2)
+    val s4meta = s.read.parquet(art.resolve("s4meta").toString)
+    val digests = s.read.parquet(art.resolve("digests").toString)
+    val sigs = IncrementalDedup.readIndex(s, art.resolve("sigs").toString)
+    val banded = IncrementalDedup.readBandedIndex(s,
+      art.resolve("banded").toString)
+    val benchGrams = s.read.parquet(art.resolve("benchgrams").toString)
+    // day-3 arrivals can also carry ids the takedown named (a crawler
+    // re-serving retracted content): drop them at the door
+    val delta3 = docs.filter(col("doc_id") >= c2)
+      .join(registeredRetraction(docs.filter(col("doc_id") >= c2)),
+        Seq("doc_id"), "left_anti")
+    val d3 = corpusIngestDelta(delta3, digests,
+      s2 => IncrementalDedup.verdictsBanded(banded, sigs, s2,
+        "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.6),
+      benchGrams)
+    corpusFinish(s4meta.unionAll(d3.s4))
+  }
 
   /** End-to-end training-data pipeline, every stage SQL-checkable:
     * quality gate → exact dedup survivors (min id per sha256) →

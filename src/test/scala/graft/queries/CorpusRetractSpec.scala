@@ -125,6 +125,54 @@ class CorpusRetractSpec extends SparkSpec {
     assert(manifest == scratch, s"manifest $manifest\nscratch $scratch")
   }
 
+  test("full lifecycle (append, compact, retract with artifact " +
+      "rewrite, append) closes on the from-scratch corpus — incl. the " +
+      "re-elected twin entering the signature index and fully-" +
+      "retracted content becoming NEW again") {
+    // max id 250 -> c1 = 84, c2 = 167: day-1 < 84, day-2 84..166,
+    // day-3 >= 167; the registered takedown rule (id >= 5, id % 17 == 7)
+    // hits 24 (exact keeper), 41 (near-dup culprit), 75 (sole carrier)
+    val docs = Seq(
+      (0L, "en", text("bench")),
+      (24L, "en", text("exact")),  // retracted keeper
+      (26L, "en", text("exact")),  // re-elected twin
+      (40L, "en", text("cen")),
+      (41L, "de", text("near", 30)), // retracted culprit
+      (75L, "fr", text("gone")),     // retracted sole content carrier
+      (111L, "zz", text("rej", 30)), // day-2 quality reject
+      (130L, "de", text("near", 30) + " neartail1"), // 41's victim
+      (150L, "de", text("cde")),
+      // day-3 near-dup of the RE-ELECTED 26: caught ONLY if the
+      // rewrite added 26's signature to the index
+      (210L, "en", text("exact") + " exacttail1"),
+      // day-3 exact copy: 26 still carries the digest -> dropped
+      (220L, "en", text("exact")),
+      // day-3 near-dup of the resurrected victim 130
+      (230L, "de", text("near", 30) + " neartail1 neartail2"),
+      (240L, "fr", text("cfr")),
+      // 75 was the only carrier of "gone": after retraction the
+      // content is NEW again and the day-3 copy must survive
+      (250L, "fr", text("gone"))
+    ).toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lifecycle").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineQueries.corpusLifecycle(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSet
+    val want = PipelineQueries.corpusEnd2EndFrom(
+        docs.filter(!(col("doc_id") >= 5 && col("doc_id") % 17 === 7)))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSet
+    assert(got == want, s"lifecycle $got\nfrom-scratch $want")
+    // survivors pinned: 26 (re-elected), 40, 130 (resurrected), 150,
+    // 240, 250 (content reborn) — NOT 210 (doomed by 26's ADDED sig),
+    // NOT 220 (digest still carried by 26), NOT 230 (doomed by 130)
+    assert(got.toSeq.map(_._2).sum == 6L, got.toString)
+    assert(got.map(_._1) == Set(26L % 16, 40L % 16, 130L % 16,
+      150L % 16, 240L % 16, 250L % 16), got.toString)
+  }
+
   test("retracting nothing reproduces the batch manifest; retracting " +
       "a benchmark doc raises loudly") {
     val dir = writeCorpus()
