@@ -178,6 +178,7 @@ object SparkEntry {
     // the 13th member of the approx/LSH/sketch exception set, carrying
     // the same per-round quality artifact as the other ANN gates
     "q_ann_append" -> PipelineQueries.annAppend,
+    "q_ivfpq_retract_planted" -> PipelineQueries.ivfPqRetractPlanted,
     "q_pipeline_e2e" -> PipelineQueries.pipelineE2e,
     "q_corpus_end2end" -> PipelineQueries.corpusEnd2End,
     "q_corpus_incremental" -> PipelineQueries.corpusIncremental,
@@ -2213,6 +2214,13 @@ object SparkEntry {
       SELECT vec_id AS probe_id,
              vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS cand_id,
              true AS is_min_adc
+      FROM embeddings WHERE vec_id < 5""",
+
+    // append-then-retract must restore the EXACT per-probe (candidate,
+    // ADC) sets of the never-appended index — the closure verdict is
+    // closed-form
+    "q_ivfpq_retract_planted" -> """
+      SELECT vec_id AS probe_id, true AS identical
       FROM embeddings WHERE vec_id < 5""",
 
     "q_kmv_exact" -> """

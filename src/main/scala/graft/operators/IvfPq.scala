@@ -169,6 +169,25 @@ object IvfPq {
     Index(index.centroids, index.books, index.codes.unionAll(codes), idCol)
   }
 
+  /** Retract vectors from the index WITHOUT retraining — the delete
+    * side of [[append]] (takedowns reach similarity search too: a
+    * forgotten document's embedding must stop being findable): drop
+    * the ids' rows from the codes table; centroids and codebooks are
+    * frozen statistics over the historical distribution and stay (the
+    * retrain trigger is [[centroidDrift]]'s job, same as for appends).
+    * The rewrite is an id-keyed anti-join — at scale, a broadcast of
+    * the retraction ids over the codes scan, cost O(codes metadata),
+    * never touching a vector. append∘retract restores the EXACT
+    * search results of the original index (the planted differential
+    * gate q_ivfpq_retract_planted hashes this closure). */
+  def retract(index: Index, ids: DataFrame): Index = {
+    val idCol = index.corpusId
+    Index(index.centroids, index.books,
+      index.codes.join(broadcast(ids.select(col(idCol))), Seq(idCol),
+        "left_anti"),
+      idCol)
+  }
+
   /** Per-centroid drift readout — the RETRAIN TRIGGER for the
     * append-without-retraining posture ([[append]]): for each frozen
     * centroid, the cosine between its build-time vector and the CURRENT

@@ -2568,6 +2568,37 @@ object PipelineQueries {
       k = 10, metric = "l2")
   }
 
+  /** Append-then-retract closure gate (r15, the delete side of
+    * [[annAppend]]): twins of the probe vectors are appended to the
+    * persisted index, then retracted — the searched top-k (probe,
+    * candidate, ADC) sets must be BYTE-IDENTICAL to the never-appended
+    * index's, per probe. A leftover code row (retraction missed) or a
+    * lost original (over-deletion) flips a row to false and the hash
+    * gate reds. Differential-to-closed-form: the gate output is the
+    * per-probe verdict, so the oracle is a literal. */
+  val ivfPqRetractPlanted: Q = (s, d) => {
+    import graft.operators.IvfPq
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 5)
+    val off = emb.agg((max("vec_id") + 1).as("__off"))
+    val copies = probes.crossJoin(broadcast(off))
+      .select((col("vec_id") + col("__off")).as("vec_id"),
+        col("embedding"))
+    val base = ivfPqIndex(s, d)
+    val roundTrip = IvfPq.retract(IvfPq.append(base, copies,
+      m = PqM, k = PqKCodes), copies.select("vec_id"))
+    def top(ix: graft.operators.IvfPq.Index) =
+      IvfPq.search(ix, probes, k = 10, nprobe = IvfPqNprobe,
+        m = PqM, kCodes = PqKCodes)
+        .select("probe_id", "cand_id", "adc")
+    val sym = top(base).exceptAll(top(roundTrip))
+      .unionAll(top(roundTrip).exceptAll(top(base)))
+      .select(col("probe_id"), lit(false).as("__bad")).distinct()
+    probes.select(col("vec_id").as("probe_id"))
+      .join(sym, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("__bad").isNull.as("identical"))
+  }
+
   /** The at-rest day-1 index of [[annAppend]]: built over vec_id <
     * cut only, persisted with the buildOrLoad artifact discipline
     * (its fingerprint covers exactly the day-1 id set). */

@@ -97,6 +97,28 @@ class IvfPqSpec extends SparkSpec {
     assert(index.codes.count() + 5 == grown.codes.count())
   }
 
+  test("retract: a removed vector stops being findable; append then " +
+      "retract restores the exact result sets") {
+    val copies = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    val grown = IvfPq.append(index, copies)
+    val back = IvfPq.retract(grown, copies.select("vec_id"))
+    assert(back.codes.count() == index.codes.count(),
+      "retract must remove exactly the appended rows")
+    def res(ix: IvfPq.Index) =
+      IvfPq.search(ix, probes, k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    assert(res(back) == res(index),
+      "append-then-retract must restore the original search results")
+    // retracting an ORIGINAL corpus vector removes it from results
+    val victim = res(index).head._2
+    val pruned = IvfPq.retract(index,
+      emb.filter(col("vec_id") === victim).select("vec_id"))
+    assert(!res(pruned).exists(_._2 == victim),
+      s"retracted vector $victim still surfaced")
+  }
+
   test("centroidDrift: same-distribution append stays near 1.0, a " +
       "planted shifted cluster fires the registered retrain trigger") {
     import spark.implicits._
