@@ -5502,20 +5502,30 @@ object SparkEntry {
       FROM p a JOIN p b ON a.id < b.id
       WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 10000""",
 
-    // the same flag + running-sum island recipe, replayed in SQL
+    // the same flag + running-sum island recipe, replayed in SQL.
+    // The rn tiebreaker makes the two windows' ROWS frames share ONE
+    // total order: with duplicate (ship_s, ship_e) rows straddling a
+    // gap boundary, DuckDB's flag pass and island pass may otherwise
+    // sort ties differently and split an island inconsistently
+    // (surfaced at sf0.1 — supplier 555's twin 07-21 intervals; the
+    // merged RESULT is tie-order-invariant, but only when both
+    // windows see the same order, which Spark guarantees by planning
+    // both frames in one Window operator)
     "q_interval_merge" -> """
       WITH iv AS (SELECT l_suppkey, l_shipdate AS ship_s,
-                         l_shipdate + INTERVAL 10 DAY AS ship_e
+                         l_shipdate + INTERVAL 10 DAY AS ship_e,
+                         row_number() OVER (PARTITION BY l_suppkey
+                           ORDER BY l_shipdate) AS rn
                   FROM lineitem),
-      f AS (SELECT l_suppkey, ship_s, ship_e,
+      f AS (SELECT l_suppkey, ship_s, ship_e, rn,
               CASE WHEN ship_s <= max(ship_e) OVER (
-                     PARTITION BY l_suppkey ORDER BY ship_s, ship_e
+                     PARTITION BY l_suppkey ORDER BY ship_s, ship_e, rn
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                    THEN 0 ELSE 1 END AS flag
             FROM iv),
       g AS (SELECT l_suppkey, ship_s, ship_e,
               sum(flag) OVER (PARTITION BY l_suppkey
-                ORDER BY ship_s, ship_e ROWS UNBOUNDED PRECEDING)
+                ORDER BY ship_s, ship_e, rn ROWS UNBOUNDED PRECEDING)
                 AS island
             FROM f)
       SELECT l_suppkey, min(ship_s) AS island_start,
@@ -6567,15 +6577,26 @@ object SparkEntry {
                CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
                CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t
         FROM lineitem),
+      -- ::VARCHAR::DOUBLE, not ::DOUBLE: DuckDB's direct
+      -- HUGEINT->DOUBLE cast rounds by 64-bit halves and can land one
+      -- ulp off the correctly-rounded value (sum(e*e) ~ 2.2e19 at
+      -- sf0.1 — caught by the r15 sf0.1 STRICT sweep); the string
+      -- round-trip is correctly rounded, matching Spark's
+      -- DECIMAL(38)->DOUBLE
       m AS (
         SELECT count(*)::DOUBLE AS n,
-          sum(q)::DOUBLE AS s_q, sum(e)::DOUBLE AS s_e,
-          sum(d)::DOUBLE AS s_d, sum(t)::DOUBLE AS s_t,
-          sum(q*q)::DOUBLE AS ss_q, sum(e*e)::DOUBLE AS ss_e,
-          sum(d*d)::DOUBLE AS ss_d, sum(t*t)::DOUBLE AS ss_t,
-          sum(q*e)::DOUBLE AS sp_qe, sum(q*d)::DOUBLE AS sp_qd,
-          sum(q*t)::DOUBLE AS sp_qt, sum(e*d)::DOUBLE AS sp_ed,
-          sum(e*t)::DOUBLE AS sp_et, sum(d*t)::DOUBLE AS sp_dt
+          sum(q)::VARCHAR::DOUBLE AS s_q, sum(e)::VARCHAR::DOUBLE AS s_e,
+          sum(d)::VARCHAR::DOUBLE AS s_d, sum(t)::VARCHAR::DOUBLE AS s_t,
+          sum(q*q)::VARCHAR::DOUBLE AS ss_q,
+          sum(e*e)::VARCHAR::DOUBLE AS ss_e,
+          sum(d*d)::VARCHAR::DOUBLE AS ss_d,
+          sum(t*t)::VARCHAR::DOUBLE AS ss_t,
+          sum(q*e)::VARCHAR::DOUBLE AS sp_qe,
+          sum(q*d)::VARCHAR::DOUBLE AS sp_qd,
+          sum(q*t)::VARCHAR::DOUBLE AS sp_qt,
+          sum(e*d)::VARCHAR::DOUBLE AS sp_ed,
+          sum(e*t)::VARCHAR::DOUBLE AS sp_et,
+          sum(d*t)::VARCHAR::DOUBLE AS sp_dt
         FROM c)
       SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
              (n*sp_qe - s_q*s_e) /

@@ -207,7 +207,11 @@ object RelationalQueries {
     graft.functions.GraftFunctions.register(s)
     import graft.functions.GraftFunctions
     import graft.operators.KmvAlgebra
-    val k = 512
+    // k = 2048 keeps every per-type sketch pigeonhole-exact through
+    // sf0.1's 1,500 distinct users (r15: the sf0.1 STRICT sweep caught
+    // k = 512 leaving the exact regime there; sub-k estimates are
+    // exact for any k, so smaller SFs hash unchanged)
+    val k = 2048
     val sk = Tables.events(s, d)
       .groupBy("event_type")
       .agg(GraftFunctions.kmvSketch(col("user_id"), k).as("sk"))

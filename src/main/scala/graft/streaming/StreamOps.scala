@@ -170,15 +170,19 @@ object StreamOps {
     * a bounded replay whose whole output is re-emitted, wrong for an
     * unbounded stream. The production form of this plan runs in
     * Append/Update mode, where the 1-day watermark drops each closed
-    * window's single KMV buffer (state = one ≤256-entry sketch per
-    * open window either way). */
+    * window's single KMV buffer (state = one ≤k-entry sketch per
+    * open window either way). k = 2048 keeps the sketch pigeonhole-
+    * EXACT through sf0.1's 1,500 daily distinct users (r15 — the
+    * sf0.1 STRICT sweep caught the old k = 256 leaving the exact
+    * regime there; sub-k estimates are exact for ANY k, so sf0.01
+    * hashes are unchanged). */
   def streamDistinctPlan(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     replayEvents(spark, dir)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"))
       .agg(graft.functions.GraftFunctions
-        .kmvDistinct(col("user_id").cast("string"), 256).as("nd"))
+        .kmvDistinct(col("user_id").cast("string"), 2048).as("nd"))
       .select(col("window.start").as("wstart"),
         col("nd").cast("long").as("n_distinct"))
   }
