@@ -1030,12 +1030,25 @@ object TimeSeries {
     val wl = Window.partitionBy(col("__g")).orderBy(col("__x"))
     val withLag = joined
       .withColumn("__rp", lag(col("__r"), 1).over(wl))
+    // guard the SQUARES per row, not just the whole sum: with ANSI
+    // off, one row's __r*__r overflowing DECIMAL(38) to NULL would be
+    // SILENTLY SKIPPED by sum() while other rows still contribute —
+    // a non-NULL but wrong statistic. Raise at the row that overflows.
+    val rSq = col("__r") * col("__r")
+    val rSqG = when(rSq.isNull, raise_error(lit(
+      "TimeSeries.durbinWatson: a residual square overflowed " +
+        "DECIMAL(38) — |value| too large for this group size; " +
+        "rescale the series or shard the group"))).otherwise(rSq)
+    val dDiff = col("__r") - col("__rp")
+    val dSq = dDiff * dDiff
+    val dSqG = when(dSq.isNull, raise_error(lit(
+      "TimeSeries.durbinWatson: a residual-difference square " +
+        "overflowed DECIMAL(38) — |value| too large for this group " +
+        "size; rescale the series or shard the group"))).otherwise(dSq)
     withLag.groupBy(col("__g").as(groupCol))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("__rp").isNotNull,
-          (col("__r") - col("__rp")) * (col("__r") - col("__rp"))))
-          .as("__num"),
-        sum(col("__r") * col("__r")).as("__den"))
+        sum(when(col("__rp").isNotNull, dSqG)).as("__num"),
+        sum(rSqG).as("__den"))
       .select(col(groupCol), col("n"),
         when(col("__num").isNull || col("__den").isNull, raise_error(lit(
           "TimeSeries.durbinWatson: residual square sum overflowed " +

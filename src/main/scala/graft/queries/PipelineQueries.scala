@@ -1648,15 +1648,28 @@ object PipelineQueries {
       pairs: DataFrame, maxBlast: Int = 5000000): RetractState = {
     val s = docs.sparkSession
     import s.implicits._
-    def bounded[T](df: DataFrame, what: String)(
+    def boundedAt[T](df: DataFrame, what: String, cap: Int)(
         row: org.apache.spark.sql.Row => T): Seq[T] = {
-      val rows = df.limit(maxBlast + 1).collect()
-      require(rows.length <= maxBlast,
-        s"corpusRetract: $what beyond $maxBlast ids — a takedown " +
+      val rows = df.limit(cap + 1).collect()
+      require(rows.length <= cap,
+        s"corpusRetract: $what beyond $cap ids — a takedown " +
           "with corpus-scale blast radius is a batch rebuild, not a " +
           "retraction (or raise maxBlast)")
       rows.toSeq.map(row)
     }
+    def bounded[T](df: DataFrame, what: String)(
+        row: org.apache.spark.sql.Row => T): Seq[T] =
+      boundedAt(df, what, maxBlast)(row)
+    // the digest-carrying collects hold 64-char strings inside Row
+    // boxes (~200 B/row on the driver heap), so the row-count cap that
+    // is safe for id-only collects (8 B longs) would let them reach
+    // several GB before the require fires — bound them tighter so the
+    // contract stays "loud raise", never an OOM racing the raise
+    // (500k rows ≈ 100 MB driver heap, far below any sane -Xmx)
+    val maxStrBlast = math.min(maxBlast, 500000)
+    def boundedStr[T](df: DataFrame, what: String)(
+        row: org.apache.spark.sql.Row => T): Seq[T] =
+      boundedAt(df, what, maxStrBlast)(row)
     def ids(df: DataFrame, what: String): Set[Long] =
       bounded(df, what)(_.getLong(0)).toSet
     /** Local-relation broadcast: no subquery job, pure map-side probe. */
@@ -1672,10 +1685,10 @@ object PipelineQueries {
     // S2 delta: retracted keepers re-elect the smallest remaining twin
     val removedS2 = ids(s2ids.join(probe(rIds), Seq("doc_id"),
       "left_semi"), "retracted survivors")
-    val touchedDigests = bounded(
+    val touchedDigests = boundedStr(
       qmeta.join(probe(removedS2), Seq("doc_id"), "left_semi")
         .select("digest"), "touched digests")(_.getString(0))
-    val resurrected = bounded(
+    val resurrected = boundedStr(
       qmeta.join(broadcast(touchedDigests.toDF("digest")),
           Seq("digest"), "left_semi")
         .select("digest", "doc_id"), "re-election candidates")(

@@ -188,10 +188,22 @@ object RelationalQueries {
     * not a tolerance check. */
   val kmvExact: Q = (s, d) => {
     graft.functions.GraftFunctions.register(s)
+    // exact-regime assert: the gate's claim is per-group distinct < k
+    // (sub-k sketches ARE the exact count). A future SF whose
+    // cardinality crosses k must fail LOUDLY here, not drift into the
+    // estimate regime and silently red the hash (the r15 sweep found
+    // exactly that class at sf0.1). Result ≥ k ⟺ the estimator
+    // engaged, since the exact path only ever returns n < k.
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(graft.functions.GraftFunctions
-        .kmvDistinct(col("l_linenumber"), 256).as("n_linenumbers"))
+        .kmvDistinct(col("l_linenumber"), 256).as("__nd"))
+      .select(col("l_returnflag"),
+        when(col("__nd") >= 256, raise_error(lit(
+          "q_kmv_exact: KMV sketch saturated (distinct >= k=256) — " +
+            "the gate's pigeonhole-exact precondition no longer " +
+            "holds at this SF; raise k")))
+          .otherwise(col("__nd")).as("n_linenumbers"))
   }
 
   /** KMV sketch SET ALGEBRA (round 9, [[graft.operators.KmvAlgebra]]):
@@ -212,9 +224,17 @@ object RelationalQueries {
     // k = 512 leaving the exact regime there; sub-k estimates are
     // exact for any k, so smaller SFs hash unchanged)
     val k = 2048
-    val sk = Tables.events(s, d)
+    val skRaw = Tables.events(s, d)
       .groupBy("event_type")
       .agg(GraftFunctions.kmvSketch(col("user_id"), k).as("sk"))
+    // exact-regime assert (sketch length == k ⟺ saturated): a future
+    // SF whose per-type user count reaches k must raise loudly here
+    // instead of sliding into the estimate regime and redding the hash
+    val sk = skRaw.select(col("event_type"),
+      when(size(col("sk")) >= k, raise_error(lit(
+        s"q_kmv_setops: KMV sketch saturated (distinct >= k=$k) — " +
+          "the pigeonhole-exact precondition no longer holds at this " +
+          "SF; raise k"))).otherwise(col("sk")).as("sk"))
     val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
     a.join(broadcast(b), col("type_a") < col("type_b"))

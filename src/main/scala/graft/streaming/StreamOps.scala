@@ -184,7 +184,14 @@ object StreamOps {
       .agg(graft.functions.GraftFunctions
         .kmvDistinct(col("user_id").cast("string"), 2048).as("nd"))
       .select(col("window.start").as("wstart"),
-        col("nd").cast("long").as("n_distinct"))
+        // exact-regime assert: nd ≥ k ⟺ the estimator engaged (the
+        // exact path only returns n < k) — a future SF crossing k
+        // fails loudly instead of silently drifting off the oracle
+        when(col("nd") >= 2048, raise_error(lit(
+          "streamDistinct: KMV sketch saturated (distinct >= k=2048)" +
+            " — the pigeonhole-exact precondition no longer holds at" +
+            " this SF; raise k")))
+          .otherwise(col("nd")).cast("long").as("n_distinct"))
   }
 
   def streamDistinct(spark: SparkSession, dir: String): DataFrame =
@@ -664,6 +671,13 @@ object StreamOps {
     * the doc vs the STATIC index, so it is invariant to how the stream
     * is micro-batched — unlike `dup_in_batch`, which belongs to the
     * at-rest batch pass and is deliberately NOT screened here).
+    * One caveat to the invariance claim: IncrementalDedup's degenerate
+    * -bucket cap counts the COMBINED index+batch bucket population, so
+    * a bucket sitting exactly at the cap could flip its verdicts with
+    * batching — the gate's fixtures stay far below the cap (lint:
+    * maxBucket 300 vs observed ≤ a few dozen), and a production
+    * deployment at the cap should pin maxBucket above its hottest
+    * expected bucket or accept batch-dependent suppression there.
     *
     * State shape: foreachBatch with an append-only sink — ZERO
     * streaming state at any ingest rate (no watermark, no state
@@ -688,17 +702,32 @@ object StreamOps {
       replayDocuments(spark, dir).filter(col("doc_id") >= cut))
     val q = arrivals.writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-named subdir + overwrite = idempotent under
+        // micro-batch RETRY (mode("append") into one flat dir would
+        // duplicate a replayed batch's rows and red the hash gate)
         IncrementalDedup.verdicts(sigs1, batch, "doc_id", "text",
             numHashes = 32, bands = 8, threshold = 0.6)
           .select(col("id").as("doc_id"), col("dup_of_index"))
-          .write.mode("append").parquet(out)
+          .write.mode("overwrite").parquet(s"$out/b$batchId")
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
     sigs1.unpersist()
-    spark.read.parquet(out)
+    val parts = Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.toString).toSeq
+    if (parts.isEmpty)
+      // empty delta: no micro-batch ever wrote — return the schema, not
+      // a read error from a parquet dir with no footers
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dup_of_index",
+            org.apache.spark.sql.types.BooleanType))))
+    else spark.read.parquet(parts: _*)
   }
 
   /** Streaming chunking: the batch [[graft.operators.Chunking]]

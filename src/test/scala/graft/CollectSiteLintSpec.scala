@@ -31,9 +31,10 @@ class CollectSiteLintSpec extends AnyFunSuite {
     "Mixing.scala" -> (1, "limit(maxGroups + 1) + require in " +
       "sampleToTemperature (r15, closing the unbounded 6th site)"),
     "PipelineQueries.scala" -> (1, "corpusRetractDelta's single " +
-      "bounded() helper: every blast-radius set collects through " +
-      "limit(maxBlast + 1) + require (r15 — the retraction delta " +
-      "lives on the driver by design; see its scaladoc)"),
+      "boundedAt() helper: every blast-radius set collects through " +
+      "limit(cap + 1) + require (r15 — the retraction delta lives " +
+      "on the driver by design; r16: digest-carrying collects take " +
+      "the tighter 500k string cap so the raise beats any OOM)"),
   )
 
   test("every .collect() in library main source is allowlisted with " +
