@@ -183,6 +183,7 @@ object SparkEntry {
     "q_corpus_end2end" -> PipelineQueries.corpusEnd2End,
     "q_corpus_incremental" -> PipelineQueries.corpusIncremental,
     "q_corpus_retract" -> PipelineQueries.corpusRetract,
+    "q_corpus_amend" -> PipelineQueries.corpusAmend,
     "q_corpus_day3" -> PipelineQueries.corpusDay3,
     "q_retract_ledger" -> PipelineQueries.corpusRetractLedger,
     "q_corpus_lifecycle" -> PipelineQueries.corpusLifecycle,
@@ -638,6 +639,35 @@ object SparkEntry {
       .replaceFirst("WITH q AS", """WITH documents_kept AS (
         SELECT * FROM documents
         WHERE NOT (doc_id >= 5 AND doc_id % 17 = 7)),
+      q AS""")
+
+  /** [[CorpusEnd2EndOracle]] replayed from scratch on the AMENDED
+    * corpus — the registered re-crawl
+    * ([[graft.queries.PipelineQueries.registeredAmendment]]: ids ≥ 5,
+    * id ≡ 11 mod 23; stub / donor-copy / donor-near-dup by id mod 3)
+    * applied to the documents table before the chain runs. What the
+    * delta-sized q_corpus_amend must hash-equal; derived mechanically
+    * from the shared oracle string so the replays cannot drift. */
+  private val CorpusAmendOracle: String =
+    CorpusEnd2EndOracle.replace("FROM documents", "FROM documents_amended")
+      .replaceFirst("WITH q AS", """WITH amendments AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 4 = 0 THEN 'amended takedown stub'
+                    WHEN d.doc_id % 4 = 3 THEN array_to_string(
+                      list_transform(range(1, 25), i -> 'am' ||
+                        substr(md5(d.doc_id::VARCHAR || '_'
+                          || i::VARCHAR), 1, 6)), ' ')
+                    WHEN d.doc_id % 4 = 1
+                      THEN coalesce(don.text, 'amended takedown stub')
+                    ELSE coalesce(don.text || ' zq amendment tail',
+                                  'amended takedown stub')
+               END AS new_text
+        FROM documents d LEFT JOIN documents don
+          ON don.doc_id = d.doc_id + 8
+        WHERE d.doc_id >= 5 AND d.doc_id % 23 = 11),
+      documents_amended AS (
+        SELECT d.doc_id, d.lang, coalesce(a.new_text, d.text) AS text
+        FROM documents d LEFT JOIN amendments a USING (doc_id)),
       q AS""")
 
   /** The retraction CHANGE ledger's replay: BOTH S1–S4 chains side by
@@ -1913,6 +1943,7 @@ object SparkEntry {
     // delete-side IVM contract (the delta path must resurrect
     // re-elected keepers and un-doomed near-dup victims exactly)
     "q_corpus_retract" -> CorpusRetractOracle,
+    "q_corpus_amend" -> CorpusAmendOracle,
     // day-3 probes the COMPACTED day-1+2 artifacts; compaction must
     // be semantically invisible, so it hashes against the same
     // from-scratch replay as the batch and two-day gates

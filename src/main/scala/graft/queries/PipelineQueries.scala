@@ -1646,15 +1646,75 @@ object PipelineQueries {
       retracted: DataFrame, qmeta: DataFrame, s2ids: DataFrame,
       s3ids: DataFrame, s4meta: DataFrame, benchGrams: DataFrame,
       pairs: DataFrame, maxBlast: Int = 5000000): RetractState = {
+    // retraction = the delete-only special case of the generalized
+    // upsert state machine (r16): no incoming content, so the steal /
+    // inserted-keeper machinery is vacuous and the propagation below
+    // reduces exactly to the r15 retraction rules (CorpusRetractSpec
+    // pins every delete class against the from-scratch chain)
+    val st = corpusUpsertState(docs, retracted,
+      docs.select(col("doc_id"), col("lang"), col("text")).limit(0),
+      qmeta, s2ids, s3ids, s4meta, benchGrams, pairs, maxBlast)
+    RetractState(st.rIds, st.resurrected, st.doomedNow, st.newcomers,
+      st.contNew, st.s4keep, st.s4new)
+  }
+
+  /** Membership-delta sets of a general corpus UPSERT — old content of
+    * `rIds` leaves, new content of `inserted` (⊆ rIds, same doc ids)
+    * enters — plus the resulting S4 frames. Superset of [[RetractState]]
+    * ([[corpusAmendFrom]]'s ledger needs the insert-side flips too). */
+  private[graft] final case class UpsertState(rIds: Set[Long],
+      inserted: Set[Long], insKeepers: Set[Long], stolen: Set[Long],
+      resurrected: Set[Long], doomedNow: Set[Long],
+      newcomers: Set[Long], contNew: Set[Long],
+      s4keep: DataFrame, s4new: DataFrame)
+
+  /** The generalized corpus state transition (r16, verdict #2): apply
+    * `retracted` (ids whose OLD content leaves the corpus) and
+    * `amended` (same ids returning with NEW text — re-crawls) to the
+    * at-rest membership artifacts in ONE atomic step, so an amendment
+    * is ledgered as one event, never a takedown plus a new doc.
+    * retract(ids) is the `amended`-empty special case.
+    *
+    * What the insert side adds over the r15 retraction rules:
+    *
+    *  - S1: amended text gets a fresh quality verdict (an amendment to
+    *    failing text IS a takedown; previously-failing ids can enter)
+    *  - S2 keeper contests per touched digest over the UNION universe
+    *    (remaining at-rest twins + inserted docs): an inserted doc with
+    *    the smaller id STEALS keepership and the displaced at-rest
+    *    keeper leaves S2 (its victims re-evaluate); an inserted doc
+    *    losing the contest dies at S2
+    *  - S3: the amended content's near-dup pairs are computed FRESH on
+    *    the exact word-trigram-Jaccard tier (one scan of the quality
+    *    corpus against the broadcast amended shingle sets — so no
+    *    estimated-vs-exact divergence can enter through amendments);
+    *    OLD pairs touching an amended id are void on the culprit side
+    *    (the content they certified is gone) while still seeding
+    *    victim re-evaluation
+    *  - S4: amended survivors ALWAYS take a fresh decontam probe on
+    *    the new text (prior S3 membership of the id proves nothing)
+    *
+    * Execution posture unchanged from the retraction: every delta set
+    * lives on the driver bounded by `maxBlast` (strings by the tighter
+    * 500k cap) with a loud raise, and each stage is a map-side scan of
+    * one corpus-sized artifact probing a LOCAL broadcast relation. The
+    * one addition is the fresh-pair scan: one pass over quality text
+    * (amended side broadcast), the only stage that must read corpus
+    * text because new content genuinely changes the pair graph. */
+  private[graft] def corpusUpsertState(docs: DataFrame,
+      retracted: DataFrame, amended: DataFrame, qmeta: DataFrame,
+      s2ids: DataFrame, s3ids: DataFrame, s4meta: DataFrame,
+      benchGrams: DataFrame, pairs: DataFrame,
+      maxBlast: Int = 5000000): UpsertState = {
     val s = docs.sparkSession
     import s.implicits._
     def boundedAt[T](df: DataFrame, what: String, cap: Int)(
         row: org.apache.spark.sql.Row => T): Seq[T] = {
       val rows = df.limit(cap + 1).collect()
       require(rows.length <= cap,
-        s"corpusRetract: $what beyond $cap ids — a takedown " +
+        s"corpusUpsert: $what beyond $cap ids — a takedown/amendment " +
           "with corpus-scale blast radius is a batch rebuild, not a " +
-          "retraction (or raise maxBlast)")
+          "delta (or raise maxBlast)")
       rows.toSeq.map(row)
     }
     def bounded[T](df: DataFrame, what: String)(
@@ -1678,66 +1738,157 @@ object PipelineQueries {
 
     val rIds = ids(retracted, "retraction set")
     require(!rIds.exists(_ < 5),
-      "corpusRetract: retracting a benchmark doc (doc_id < 5) " +
+      "corpusUpsert: touching a benchmark doc (doc_id < 5) " +
         "invalidates the decontam probe set for the WHOLE corpus — " +
-        "that is a rebuild, not a retraction")
+        "that is a rebuild, not a delta")
 
-    // S2 delta: retracted keepers re-elect the smallest remaining twin
+    // S1 of the incoming content: amended text that fails quality IS a
+    // takedown (the id leaves and nothing re-enters)
+    val aq = qualityGate(amended).cache()
+    val aqRows = boundedStr(
+      aq.select(col("doc_id"), sha2(col("text"), 256)),
+      "amended quality rows")(r => (r.getLong(0), r.getString(1)))
+    val inserted = aqRows.map(_._1).toSet
+    require(inserted.subsetOf(rIds),
+      "corpusUpsert: every amended id must also be named in the " +
+        "retraction set (old content leaves before new content enters)")
+
+    // S2 delta: keeper contests per touched digest group. Touched =
+    // groups that lost their keeper (retraction) ∪ groups an inserted
+    // digest lands in. Candidates = remaining at-rest members +
+    // inserted members; keeper = min id. Flips:
+    //  - keeper inserted, at-rest keeper present  → STEAL (m leaves S2)
+    //  - keeper inserted, group new/keeper-lost   → plain S2 entrant
+    //  - keeper at-rest, not currently in S2      → re-election
+    //  - keeper at-rest, already in S2            → no flip (losing
+    //    inserted members just die at S2)
     val removedS2 = ids(s2ids.join(probe(rIds), Seq("doc_id"),
       "left_semi"), "retracted survivors")
-    val touchedDigests = boundedStr(
+    val lostDigests = boundedStr(
       qmeta.join(probe(removedS2), Seq("doc_id"), "left_semi")
         .select("digest"), "touched digests")(_.getString(0))
-    val resurrected = boundedStr(
+    val touchedDigests = (lostDigests ++ aqRows.map(_._2)).distinct
+    val atRestCand = boundedStr(
       qmeta.join(broadcast(touchedDigests.toDF("digest")),
           Seq("digest"), "left_semi")
         .select("digest", "doc_id"), "re-election candidates")(
         r => (r.getString(0), r.getLong(1)))
       .filter { case (_, id) => !rIds(id) }
-      .groupBy(_._1).values.map(_.map(_._2).min).toSet
+    val candS2 = ids(s2ids.join(probe(atRestCand.map(_._2)),
+      Seq("doc_id"), "left_semi"), "candidate S2 membership")
+    val byDigest = (atRestCand.map { case (g, id) => (g, (id, false)) }
+        ++ aqRows.map { case (id, g) => (g, (id, true)) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var resurrected = Set.empty[Long]
+    var insKeepers = Set.empty[Long]
+    var stolen = Set.empty[Long]
+    byDigest.foreach { case (_, members) =>
+      val keeper = members.map(_._1).min
+      val keeperIns = members.exists { case (id, ins) => ins && id == keeper }
+      val prev = members.collectFirst { case (id, false) if candS2(id) => id }
+      if (keeperIns) {
+        insKeepers += keeper
+        prev.foreach(m => stolen += m)
+      } else if (!candS2(keeper)) resurrected += keeper
+    }
 
-    // S3 delta: fresh verdicts for pair-partners of flipped S2 ids;
-    // membership in S2' = (in s2ids and not retracted) or resurrected
-    val changedS2 = removedS2 ++ resurrected
+    // fresh pair graph of the NEW content: exact distinct-word-trigram
+    // Jaccard of every amended doc against every quality doc of the
+    // amended universe — the oracle's ov-CTE shape (explode + count
+    // join on the shingle), amended side broadcast, shuffle carries
+    // only matching (doc, amended) count rows
+    val newPairs: Seq[(Long, Long)] =
+      if (inserted.isEmpty) Seq.empty
+      else {
+        val aTok = DedupQueries.shingled(
+            aq.select(col("doc_id"), col("text")), "sh")
+          .select(col("doc_id").as("__aid"),
+            array_distinct(col("sh")).as("__ash"))
+          .select(col("__aid"), size(col("__ash")).as("__an"),
+            explode(col("__ash")).as("__tok"))
+        val corpusQ = qualityGate(
+            docs.join(probe(rIds), Seq("doc_id"), "left_anti"))
+          .select(col("doc_id"), col("text"))
+          .unionAll(aq.select(col("doc_id"), col("text")))
+        val cTok = DedupQueries.shingled(corpusQ, "sh")
+          .select(col("doc_id"), array_distinct(col("sh")).as("__csh"))
+          .select(col("doc_id"), size(col("__csh")).as("__n"),
+            explode(col("__csh")).as("__tok"))
+        bounded(cTok.join(broadcast(aTok), Seq("__tok"))
+          .filter(col("doc_id") =!= col("__aid"))
+          .groupBy("doc_id", "__n", "__aid", "__an")
+          .agg(count(lit(1)).as("__ov"))
+          // same IEEE boundary form as the from-scratch oracle's
+          // neardup CTE: ov * 1.0 / (n1 + n2 - ov) >= 0.6
+          .filter(col("__ov") * lit(1.0) /
+            (col("__n") + col("__an") - col("__ov")) >= 0.6)
+          .select(least(col("doc_id"), col("__aid")).as("id1"),
+            greatest(col("doc_id"), col("__aid")).as("id2"))
+          .distinct(), "amended near-dup pairs")(
+          r => (r.getLong(0), r.getLong(1)))
+      }
+
+    // S3 delta: fresh verdicts for pair-partners of flipped S2 ids.
+    // Victim-finding reads old pairs for ALL flips (a voided culprit's
+    // old victims are exactly the resurrection candidates) plus the
+    // fresh pairs; doom evaluation voids old pairs touching rIds on
+    // EITHER side (that content is gone — for a pure retraction the
+    // membership test already blocked them, but an amended id that
+    // re-entered S2 must not doom through its dead content's pairs).
+    val changedS2 = removedS2 ++ stolen ++ resurrected ++ insKeepers
     val candPairs = bounded(
       pairs.join(broadcast(changedS2.toSeq.toDF("id1")), Seq("id1"),
           "left_semi")
         .select(col("id2").as("doc_id")), "pair partners")(_.getLong(0))
-      .toSet
-    val affected = candPairs ++ resurrected
+      .toSet ++ newPairs.filter(p => changedS2(p._1)).map(_._2)
+    val affected = candPairs ++ resurrected ++ insKeepers
     // one membership probe covers the affected docs AND their culprit
     // candidates (partners of affected docs)
     val culpritPairs = bounded(
       pairs.join(broadcast(affected.toSeq.toDF("id2")), Seq("id2"),
         "left_semi").select("id1", "id2"), "culprit pairs")(
       r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => !rIds(a) && !rIds(b) } ++
+      newPairs.filter { case (_, b) => affected(b) }
     val toTest = affected ++ culpritPairs.map(_._1)
     val inS2Old = ids(s2ids.join(probe(toTest), Seq("doc_id"),
       "left_semi"), "S2 membership probe")
     def inS2New(id: Long): Boolean =
-      (inS2Old(id) && !rIds(id)) || resurrected(id)
+      (inS2Old(id) && !rIds(id) && !stolen(id)) ||
+        resurrected(id) || insKeepers(id)
     val affectedS2 = affected.filter(inS2New)
     val doomedNow = culpritPairs
       .filter { case (a, b) => affectedS2(b) && inS2New(a) }
       .map(_._2).toSet
     val freshSurvivors = affectedS2 -- doomedNow
 
-    // S4 delta: only s3 newcomers need the text probe
-    val oldTimers = ids(s3ids.join(probe(freshSurvivors), Seq("doc_id"),
+    // S4 delta: s3 newcomers need the text probe; amended survivors
+    // are ALWAYS newcomers (prior S3 membership certified dead text)
+    val atRestFresh = freshSurvivors -- inserted
+    val oldTimers = ids(s3ids.join(probe(atRestFresh), Seq("doc_id"),
       "left_semi"), "prior S3 members")
-    val newcomers = (freshSurvivors -- oldTimers).filter(_ >= 5)
-    val contNew = ids(docs.join(probe(newcomers), Seq("doc_id"),
-        "left_semi")
+    val newcomers = ((atRestFresh -- oldTimers) ++
+      (freshSurvivors & inserted)).filter(_ >= 5)
+    val atRestNew = newcomers -- inserted
+    val insNew = newcomers & inserted
+    val contNew = ids(
+      docs.join(probe(atRestNew), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+        .unionAll(aq.join(probe(insNew), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(graft.functions.GraftFunctions
         .ngramHashes(lower(col("text")), 5)).as("ngh"))
       .join(benchGrams, Seq("ngh"), "left_semi")
       .select("doc_id").distinct(), "contaminated newcomers")
     val s4new = qmeta.select("doc_id", "lang", "n_tokens")
-      .join(probe(newcomers -- contNew), Seq("doc_id"), "left_semi")
-    val s4keep = s4meta.join(probe(rIds ++ doomedNow), Seq("doc_id"),
-      "left_anti")
-    RetractState(rIds, resurrected, doomedNow, newcomers, contNew,
-      s4keep, s4new)
+      .join(probe(atRestNew -- contNew), Seq("doc_id"), "left_semi")
+      .unionByName(aq.select("doc_id", "lang", "n_tokens")
+        .join(probe(insNew -- contNew), Seq("doc_id"), "left_semi"))
+    val s4keep = s4meta.join(probe(rIds ++ doomedNow ++ stolen),
+      Seq("doc_id"), "left_anti")
+    aq.unpersist()
+    UpsertState(rIds, inserted, insKeepers, stolen, resurrected,
+      doomedNow, newcomers, contNew, s4keep, s4new)
   }
 
   /** The registered retraction set: every id ≥ 5 with id ≡ 7 (mod 17)
@@ -1752,6 +1903,69 @@ object PipelineQueries {
   val corpusRetract: Q = (s, d) =>
     corpusRetractFrom(s, d,
       registeredRetraction(Tables.documents(s, d)))
+
+  /** In-place amendment over the at-rest retraction artifacts (r16
+    * verdict #2 — the UPDATE side of the corpus state machine): the
+    * same doc ids return with CHANGED text, applied as ONE atomic
+    * upsert ([[corpusUpsertState]]) — old content's victims may
+    * resurrect AND the new content may doom previously-clean docs,
+    * steal exact-dedup keeperships, or fail quality outright (an
+    * amendment-as-takedown). Hash-equal to the from-scratch chain on
+    * the amended corpus. */
+  private[graft] def corpusAmendFrom(s: SparkSession, d: String,
+      amendments: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val art = corpusRetractArtifacts(s, d)
+    val st = corpusUpsertState(Tables.documents(s, d),
+      amendments.select("doc_id"), amendments,
+      qmeta = s.read.parquet(art.resolve("qmeta").toString),
+      s2ids = s.read.parquet(art.resolve("s2ids").toString),
+      s3ids = s.read.parquet(art.resolve("s3ids").toString),
+      s4meta = s.read.parquet(art.resolve("s4meta").toString),
+      benchGrams = s.read.parquet(art.resolve("benchgrams").toString),
+      pairs = DedupQueries.verifiedPairs(s, d).select("id1", "id2"))
+    corpusFinish(st.s4keep.unionByName(st.s4new))
+  }
+
+  /** The registered amendment set: ids ≥ 5 with id ≡ 11 (mod 23),
+    * re-crawled text by id mod 4 —
+    *  0: a sub-quality stub (the amendment IS a takedown);
+    *  1: the EXACT text of doc id+8 (keeper steal: the amended doc's
+    *     smaller id takes the digest group, the donor dies at S2);
+    *  2: doc id+8's text plus a 3-token tail (near-dup: the donor —
+    *     previously clean — is doomed at S3 by the amended smaller id);
+    *  3: fresh unique md5-derived tokens (the amended id re-enters the
+    *     corpus through S2–S4 with its NEW n_tokens).
+    * Measured at sf0.01: 8 amended ids leave S4, 3 previously-clean
+    * docs are collaterally doomed, 1 at-rest victim resurrects, and 5
+    * class-3 ids re-enter S4 with their new n_tokens — all four flip
+    * directions live in the driver gate, not just the constructed
+    * spec. Donor ids are never
+    * themselves amended ((a+8) % 23 = 19 ≠ 11), so the donor text is
+    * the original on both engines; a donor past max(doc_id) degrades
+    * to the stub. The fixture generation is a corpus self-join —
+    * production amendments arrive as data. */
+  private[graft] def registeredAmendment(docs: DataFrame): DataFrame = {
+    val freshText = concat_ws(" ", transform(sequence(lit(1), lit(24)),
+      i => concat(lit("am"), substring(md5(concat(
+        col("doc_id").cast("string"), lit("_"), i.cast("string"))), 1, 6))))
+    docs.filter(col("doc_id") >= 5 && col("doc_id") % 23 === 11)
+      .join(docs.select(col("doc_id").as("__did"),
+        col("text").as("__dtext")),
+        col("doc_id") + 8 === col("__did"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 4 === 0, lit("amended takedown stub"))
+          .when(col("doc_id") % 4 === 3, freshText)
+          .otherwise(coalesce(
+            when(col("doc_id") % 4 === 1, col("__dtext"))
+              .otherwise(concat(col("__dtext"),
+                lit(" zq amendment tail"))),
+            lit("amended takedown stub"))).as("text"))
+  }
+
+  val corpusAmend: Q = (s, d) =>
+    corpusAmendFrom(s, d,
+      registeredAmendment(Tables.documents(s, d)))
 
   /** Per-doc CHANGE ledger of a retraction — the governance readout a
     * takedown review asks next to [[corpusDropLedger]]'s "why is doc X
