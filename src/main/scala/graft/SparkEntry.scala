@@ -327,6 +327,8 @@ object SparkEntry {
     "q_kcore_planted" -> PipelineQueries.kcorePlanted,
     "q_event_pattern" -> PipelineQueries.eventPattern,
     "q_stream_upsert" -> ((s, d) => streaming.StreamOps.streamUpsert(s, d)),
+    "q_stream_retract" ->
+      ((s, d) => streaming.StreamOps.streamRetract(s, d)),
     "q_zonemap_prune" -> SourceQueries.zonemapPrune,
     "q_setsim_linkage" -> DedupQueries.setsimLinkage,
     "q_join_card_est" -> RelationalQueries.joinCardEst,
@@ -668,6 +670,17 @@ object SparkEntry {
       documents_amended AS (
         SELECT d.doc_id, d.lang, coalesce(a.new_text, d.text) AS text
         FROM documents d LEFT JOIN amendments a USING (doc_id)),
+      q AS""")
+
+  /** [[CorpusEnd2EndOracle]] on corpus MINUS the streaming takedown
+    * set (ids ≥ 5, id ≡ 4 mod 13): N takedown micro-batches replayed
+    * through the streaming retraction consumer must land on ONE batch
+    * retraction of the union — which is this from-scratch replay. */
+  private val StreamRetractOracle: String =
+    CorpusEnd2EndOracle.replace("FROM documents", "FROM documents_kept")
+      .replaceFirst("WITH q AS", """WITH documents_kept AS (
+        SELECT * FROM documents
+        WHERE NOT (doc_id >= 5 AND doc_id % 13 = 4)),
       q AS""")
 
   /** The retraction CHANGE ledger's replay: BOTH S1–S4 chains side by
@@ -1944,6 +1957,7 @@ object SparkEntry {
     // re-elected keepers and un-doomed near-dup victims exactly)
     "q_corpus_retract" -> CorpusRetractOracle,
     "q_corpus_amend" -> CorpusAmendOracle,
+    "q_stream_retract" -> StreamRetractOracle,
     // day-3 probes the COMPACTED day-1+2 artifacts; compaction must
     // be semantically invisible, so it hashes against the same
     // from-scratch replay as the batch and two-day gates

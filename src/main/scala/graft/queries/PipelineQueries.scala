@@ -1098,7 +1098,7 @@ object PipelineQueries {
     * packing are not prefix-stable under appends), but they carry ids
     * + metadata only — at 100 TB this is the cheap corpus-sized tail
     * after the text-consuming stages ran delta-sized. */
-  private def corpusFinish(s4meta: DataFrame): DataFrame = {
+  private[graft] def corpusFinish(s4meta: DataFrame): DataFrame = {
     import graft.operators.{ManifestDigest, Mixing, Packing, Shards}
     val mixed = Mixing.sampleToWeights(s4meta, "lang", "doc_id",
       weights = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25),
@@ -1889,6 +1889,50 @@ object PipelineQueries {
     aq.unpersist()
     UpsertState(rIds, inserted, insKeepers, stolen, resurrected,
       doomedNow, newcomers, contNew, s4keep, s4new)
+  }
+
+  /** The four membership frames a retraction rewrites — the at-rest
+    * corpus state a SEQUENCE of takedowns threads through (the
+    * lifecycle gate's rewrite block, factored for reuse by the
+    * streaming-retraction consumer). */
+  private[graft] final case class RetractFrames(qmeta: DataFrame,
+      s2ids: DataFrame, s3ids: DataFrame, s4meta: DataFrame)
+
+  /** Apply one [[RetractState]] to the at-rest membership frames —
+    * all map-side anti-joins/unions against LOCAL broadcast delta sets
+    * (the corpusLifecycleArtifacts rewrite rules, verbatim):
+    * qmeta drops the retracted ids; S2 swaps retracted keepers for
+    * re-elected twins; S3 drops retracted + freshly-doomed and gains
+    * the newcomers; S4 is the state's keep ∪ new. */
+  private[graft] def retractRewrite(s: SparkSession,
+      st: RetractState, frames: RetractFrames): RetractFrames = {
+    import s.implicits._
+    def probe(set: Iterable[Long]): DataFrame =
+      broadcast(set.toSeq.toDF("doc_id"))
+    RetractFrames(
+      frames.qmeta.join(probe(st.rIds), Seq("doc_id"), "left_anti"),
+      frames.s2ids.join(probe(st.rIds), Seq("doc_id"), "left_anti")
+        .unionAll(probe(st.resurrected)),
+      frames.s3ids
+        .join(probe(st.rIds ++ st.newcomers ++ st.doomedNow),
+          Seq("doc_id"), "left_anti")
+        .unionAll(probe(st.newcomers)),
+      st.s4keep.unionByName(st.s4new))
+  }
+
+  /** The at-rest [[RetractFrames]] + static probe sets of the
+    * retraction artifacts, for consumers that thread takedowns through
+    * sequentially (the streaming retraction gate). */
+  private[graft] def retractFramesAtRest(s: SparkSession, d: String)
+      : (RetractFrames, DataFrame, DataFrame) = {
+    val art = corpusRetractArtifacts(s, d)
+    (RetractFrames(
+      s.read.parquet(art.resolve("qmeta").toString),
+      s.read.parquet(art.resolve("s2ids").toString),
+      s.read.parquet(art.resolve("s3ids").toString),
+      s.read.parquet(art.resolve("s4meta").toString)),
+      s.read.parquet(art.resolve("benchgrams").toString),
+      DedupQueries.verifiedPairs(s, d).select("id1", "id2"))
   }
 
   /** The registered retraction set: every id ≥ 5 with id ≡ 7 (mod 17)

@@ -755,6 +755,76 @@ object StreamOps {
     * contract, same as every streaming spec — bounded by the doc-id
     * range); production deltas arrive from a real source and the sink
     * path is identical. */
+  /** Streaming takedowns (r16 verdict #3): retraction events arrive ON
+    * the stream and each micro-batch applies the bounded-blast
+    * retraction delta ([[graft.queries.PipelineQueries
+    * .corpusRetractState]]) against the CURRENT at-rest membership
+    * frames, then rewrites them (the corpusLifecycle rewrite rules via
+    * `retractRewrite`) — the ingest-side posture of q_corpus_retract.
+    * Frames checkpoint to batchId-named parquet dirs per micro-batch
+    * (idempotent overwrite: a retried batch rewrites the same state
+    * from the same input frames), so lineage stays flat at any stream
+    * length and a crash resumes from the last committed frames.
+    *
+    * Order-independence: the final manifest equals ONE batch
+    * retraction of the union set because each delta step lands exactly
+    * on the from-scratch state of the remaining corpus (the closure
+    * property q_corpus_retract/q_corpus_lifecycle gate), and set
+    * subtraction commutes — StreamRetractSpec replays the same
+    * takedowns in reverse batch order and asserts the identical
+    * manifest. */
+  private[graft] def streamRetractFrom(spark: SparkSession, dir: String,
+      batches: Seq[Seq[Long]]): DataFrame = {
+    import graft.queries.PipelineQueries
+    graft.functions.GraftFunctions.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    var (cur, benchGrams, pairs) =
+      PipelineQueries.retractFramesAtRest(spark, dir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sretract").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sretract_ckpt").toString
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("doc_id").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val st = PipelineQueries.corpusRetractState(docs,
+          batch.select("doc_id"), cur.qmeta, cur.s2ids, cur.s3ids,
+          cur.s4meta, benchGrams, pairs)
+        val next = PipelineQueries.retractRewrite(spark, st, cur)
+        val base = s"$out/b$batchId"
+        next.qmeta.write.mode("overwrite").parquet(s"$base/qmeta")
+        next.s2ids.write.mode("overwrite").parquet(s"$base/s2ids")
+        next.s3ids.write.mode("overwrite").parquet(s"$base/s3ids")
+        next.s4meta.write.mode("overwrite").parquet(s"$base/s4meta")
+        cur = PipelineQueries.RetractFrames(
+          spark.read.parquet(s"$base/qmeta"),
+          spark.read.parquet(s"$base/s2ids"),
+          spark.read.parquet(s"$base/s3ids"),
+          spark.read.parquet(s"$base/s4meta"))
+        ()
+      }
+      .start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    PipelineQueries.corpusFinish(cur.s4meta)
+  }
+
+  /** The driver gate: the registered streaming takedown set (ids ≥ 5,
+    * id ≡ 4 mod 13 — disjoint from the batch gate's mod-17 set) split
+    * into three micro-batches by id mod 3, derived arithmetically from
+    * max(doc_id) (the streamUpsert fixture contract — no collect).
+    * Hash-equal to the from-scratch chain on corpus ∖ union. */
+  def streamRetract(spark: SparkSession, dir: String): DataFrame = {
+    val n = graft.sources.Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    val all = (5L to n).filter(_ % 13 == 4)
+    streamRetractFrom(spark, dir,
+      (0L to 2L).map(r => all.filter(_ % 3 == r)))
+  }
+
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
