@@ -148,6 +148,61 @@ object RecallBench {
       println(f"""{"drift":{"gate":"q_ann_append","min_cos":${drift.getDouble(0)}%.4f,"wmean_cos":${drift.getDouble(1)}%.4f,"appended_frac":${appended.toDouble / n}%.4f,"retrain":${drift.getDouble(1) < 0.90 || appended.toDouble / n > 0.5}}}""")
     }
 
+    // retrain closes the maintenance loop (r16 verdict #4): the alien
+    // batch fires the registered trigger; this block measures the
+    // CONSEQUENCE — recall@10 on the grown index vs the rebuilt-on-
+    // union index, for corpus probes AND alien probes (the vectors a
+    // stale codebook hurts most: their residuals are encoded against a
+    // centroid ~100 units away), plus the append-vs-retrain cost ratio
+    // that justifies append-by-default/retrain-on-trigger
+    {
+      val alien = PQ.alienBatch(spark, sfDir).cache()
+      val union = emb.unionByName(alien).cache()
+      val nU = union.count()
+      val probesU = union.filter(col("vec_id") < 5)
+        .unionByName(alien.limit(5)).cache()
+      val exactL2U = {
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("l2").asc, col("cand_id"))
+        topkSet(union.select(col("vec_id").as("cand_id"),
+            col("embedding").as("cvec"))
+          .join(broadcast(probesU.select(col("vec_id").as("probe_id"),
+            col("embedding").as("pvec"))),
+            col("probe_id") =!= col("cand_id"))
+          .select(col("probe_id"), col("cand_id"),
+            graft.functions.GraftFunctions.vecL2(col("pvec"), col("cvec"))
+              .as("l2"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10))
+      }
+      def topkOf(ix: graft.operators.IvfPq.Index): Map[Long, Set[Long]] =
+        topkSet(graft.operators.AnnSearch.refineTopK(
+          IvfPq.search(ix, probesU, k = PQ.PqRefine,
+            nprobe = PQ.IvfPqNprobe, m = PQ.PqM, kCodes = PQ.PqKCodes),
+          union, probesU, k = 10, metric = "l2"))
+      val alienIds = alien.limit(5).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      def split(m: Map[Long, Set[Long]]) = (
+        recallOf(m.view.filterKeys(!alienIds(_)).toMap,
+          exactL2U.view.filterKeys(!alienIds(_)).toMap),
+        recallOf(m.view.filterKeys(alienIds).toMap,
+          exactL2U.view.filterKeys(alienIds).toMap))
+      val t0 = System.nanoTime
+      val grown = IvfPq.append(PQ.ivfPqIndex(spark, sfDir), alien,
+        m = PQ.PqM, k = PQ.PqKCodes)
+      grown.codes.count()
+      val tAppend = (System.nanoTime - t0) / 1e9
+      val (gCorpus, gAlien) = split(topkOf(grown))
+      val t1 = System.nanoTime
+      val retrained = IvfPq.build(union.repartition(col("vec_id")),
+        lists = PQ.IvfPqLists, m = PQ.PqM, k = PQ.PqKCodes)
+      retrained.codes.count()
+      val tRetrain = (System.nanoTime - t1) / 1e9
+      val (rCorpus, rAlien) = split(topkOf(retrained))
+      println(f"""{"retrain":{"gate":"q_ann_retrain","alien_frac":${(nU - n).toDouble / nU}%.4f,"appended_corpus_recall10":$gCorpus%.4f,"appended_alien_recall10":$gAlien%.4f,"retrained_corpus_recall10":$rCorpus%.4f,"retrained_alien_recall10":$rAlien%.4f,"append_sec":$tAppend%.2f,"retrain_sec":$tRetrain%.2f,"retrain_over_append":${tRetrain / math.max(tAppend, 1e-9)}%.1f}}""")
+      alien.unpersist(); union.unpersist(); probesU.unpersist()
+    }
+
     if (sweep) {
       for (tables <- Seq(8, 16, 32); bits <- Seq(4, 6, 8)) {
         val got = AnnSearch.lshTopK(emb, probes, k = Int.MaxValue,

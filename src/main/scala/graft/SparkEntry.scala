@@ -178,6 +178,7 @@ object SparkEntry {
     // the 13th member of the approx/LSH/sketch exception set, carrying
     // the same per-round quality artifact as the other ANN gates
     "q_ann_append" -> PipelineQueries.annAppend,
+    "q_ann_retrain" -> PipelineQueries.annRetrain,
     "q_ivfpq_retract_planted" -> PipelineQueries.ivfPqRetractPlanted,
     "q_pipeline_e2e" -> PipelineQueries.pipelineE2e,
     "q_corpus_end2end" -> PipelineQueries.corpusEnd2End,
@@ -1958,6 +1959,15 @@ object SparkEntry {
     "q_corpus_retract" -> CorpusRetractOracle,
     "q_corpus_amend" -> CorpusAmendOracle,
     "q_stream_retract" -> StreamRetractOracle,
+    // closed-form trigger verdicts (the drift computation is k-means
+    // territory DuckDB can't replay, but the REGISTERED POLICY's two
+    // outcomes are exact booleans by construction: the planted alien
+    // cluster drives the weighted drift far below 0.90, a fresh
+    // rebuild restores it far above)
+    "q_ann_retrain" -> """
+      SELECT 'after_alien_append' AS phase, true AS retrain_needed
+      UNION ALL
+      SELECT 'after_retrain' AS phase, false AS retrain_needed""",
     // day-3 probes the COMPACTED day-1+2 artifacts; compaction must
     // be semantically invisible, so it hashes against the same
     // from-scratch replay as the batch and two-day gates

@@ -2839,6 +2839,59 @@ object PipelineQueries {
       k = 10, metric = "l2")
   }
 
+  /** Deterministic alien batch for the retrain-trigger gate: a tight
+    * axis-aligned cluster far outside the corpus distribution (the
+    * IvfPqSpec plant, scaled to ~corpus/3 so the n-assigned-weighted
+    * drift mean moves decisively at every SF), ids past max(vec_id).
+    * Pure id arithmetic — deterministic, no RNG. */
+  private[graft] def alienBatch(s: SparkSession, d: String): DataFrame = {
+    val mx = Tables.embeddings(s, d)
+      .agg(max(col("vec_id")).cast("long")).head().getLong(0)
+    s.range((mx + 1) / 3 + 1)
+      .select((col("id") + mx + 1).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          when(j === 0, lit(100.0))
+            .when(j === 1, pmod(col("id"), lit(7)).cast("double") * 0.01)
+            .otherwise(lit(0.0)).cast("float")).as("embedding"))
+  }
+
+  /** Fire the ANN retrain trigger END-TO-END (r16 verdict #4 — the
+    * registered policy executes its consequence, not just its
+    * readout): append the planted alien batch to the persisted index
+    * with frozen centroids/codebooks ([[graft.operators.IvfPq
+    * .append]]), measure the n-weighted centroid drift — the
+    * registered trigger (weighted mean drift_cos < 0.90,
+    * IvfPq.centroidDrift) MUST fire — then rebuild centroids and
+    * codebooks on the union ([[graft.operators.IvfPq.build]]) and
+    * the trigger must clear. The gate output is the two closed-form
+    * trigger verdicts, hash-gated against a literal oracle; the
+    * recall restoration and append-vs-retrain cost ratio are
+    * RecallBench's per-round artifact (PERF.md §ANN retrain). */
+  val annRetrain: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.IvfPq
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val alien = alienBatch(s, d)
+    val union = emb.unionByName(alien)
+    def wmeanDrift(ix: IvfPq.Index): Double =
+      IvfPq.centroidDrift(ix, union)
+        .agg(sum(col("drift_cos") * col("n_assigned")) /
+          sum(col("n_assigned"))).head().getDouble(0)
+    val grown = IvfPq.append(ivfPqIndex(s, d), alien,
+      m = PqM, k = PqKCodes)
+    val drifted = wmeanDrift(grown)
+    // the consequence: a full rebuild on the union — fresh coarse
+    // centroids AND fresh residual codebooks (the alien mass gets its
+    // own lists, residuals re-center, quantization error resets)
+    val retrained = IvfPq.build(union.repartition(col("vec_id")),
+      lists = IvfPqLists, m = PqM, k = PqKCodes)
+    val restored = wmeanDrift(retrained)
+    Seq(("after_alien_append", drifted < 0.90),
+      ("after_retrain", restored < 0.90))
+      .toDF("phase", "retrain_needed")
+  }
+
   /** Append-then-retract closure gate (r15, the delete side of
     * [[annAppend]]): twins of the probe vectors are appended to the
     * persisted index, then retracted — the searched top-k (probe,
