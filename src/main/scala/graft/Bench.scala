@@ -79,14 +79,27 @@ object Bench {
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** A ledger row with this query name declares a SUITE-WIDE
+    * environment re-baseline (r15 verdict #1: floors no run on this
+    * box could reproduce stop ratcheting anything — every run alerts
+    * and a real regression hides inside the standing noise). While
+    * pending, EVERY prior is dropped — the next full run's live
+    * measurements re-seed BENCH_BEST wholesale, and subsequent runs
+    * ratchet down from there as usual. The old floors MUST be
+    * preserved in a committed snapshot file named in the row's reason
+    * (RatchetLedgerSpec pins that), so the audit trail survives. */
+  private[graft] val SuiteResetQuery = "__suite__"
+
   /** The noise-trigger prior minus queries with a PENDING (unapplied)
     * ledger reset: their old bests are declared obsolete, so neither
     * the 3x trigger nor the BENCH_BEST ratchet may anchor to them —
-    * this run's live measurement becomes the new baseline. */
+    * this run's live measurement becomes the new baseline. A pending
+    * [[SuiteResetQuery]] row drops ALL priors. */
   private[graft] def effectivePrior(prior: Map[String, Double],
       ledger: Seq[RatchetReset]): Map[String, Double] = {
     val pending = ledger.filterNot(_.applied).map(_.query).toSet
-    prior.filterNot { case (k, _) => pending.contains(k) }
+    if (pending.contains(SuiteResetQuery)) Map.empty
+    else prior.filterNot { case (k, _) => pending.contains(k) }
   }
 
   /** Elementwise min of two per-query time maps, ignoring non-positive
@@ -103,11 +116,18 @@ object Bench {
     * still produce its artifact); the printed ALERT is the audit
     * hook, and BenchCreepSpec pins the arithmetic. */
   private[graft] val CreepBound = 1.15
+  /** Floors below this are scheduler-latency measurements, not operator
+    * measurements (r15 verdict #8: sub-0.3 s gates dominated both false
+    * creep alerts — a 0.15 s floor doubling is 150 ms of task-dispatch
+    * jitter, which no operator change produces or fixes). Such gates
+    * stay in the failed/hash accounting and the per-query 3× trigger;
+    * they just don't vote in the suite ratio. */
+  private[graft] val MinCreepFloor = 0.3
   private[graft] def creepReport(cur: Map[String, Double],
       best: Map[String, Double], pendingLedger: Set[String])
       : (Double, Seq[(String, Double, Double, Double)]) = {
     val common = cur.keySet.intersect(best.keySet)
-      .filter(q => cur(q) > 0 && best(q) > 0)
+      .filter(q => cur(q) > 0 && best(q) >= MinCreepFloor)
     val scored = common -- pendingLedger
     val ratio = if (scored.isEmpty) 1.0
       else scored.toSeq.map(cur).sum / scored.toSeq.map(best).sum
@@ -260,6 +280,15 @@ object Bench {
     prebuild("q_corpus_lifecycle",
       () => graft.queries.PipelineQueries
         .ensureCorpusLifecycleArtifacts(spark, sfDir))
+    // the amend/stream-retract gates mutate the SAME at-rest state
+    prebuild("q_corpus_amend",
+      () => graft.queries.PipelineQueries
+        .ensureCorpusRetractArtifacts(spark, sfDir))
+    prebuild("q_stream_retract",
+      () => graft.queries.PipelineQueries
+        .ensureCorpusRetractArtifacts(spark, sfDir))
+    prebuild("q_ann_retrain",
+      () => graft.queries.PipelineQueries.ensureIvfPqIndex(spark, sfDir))
     prebuild("q_neardup_rich",
       () => graft.queries.TextQueries.ensureRichPairs(spark, sfDir))
 
@@ -338,19 +367,55 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // phase attribution for the heaviest corpus gates (r15 verdict
+    // "what's wrong" #3): re-time just the delta PROBE path (JIT-warm,
+    // right after the suite) so driver-run drift on these gates is
+    // attributable to "the at-rest build/finish got slower"
+    // (amortizable) vs "the probe got slower" (the 100 TB number)
+    if (only.isEmpty) {
+      val resMap = results.toMap
+      Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        ("q_corpus_incremental", () =>
+          graft.queries.PipelineQueries.corpusIncrementalParts(spark, sfDir)._2),
+        ("q_corpus_day3", () =>
+          graft.queries.PipelineQueries.corpusDay3Parts(spark, sfDir)._2),
+        ("q_corpus_lifecycle", () =>
+          graft.queries.PipelineQueries.corpusLifecycleParts(spark, sfDir)._2))
+        .foreach { case (name, probe) =>
+          try {
+            val t0 = System.nanoTime()
+            probe().write.format("noop").mode("overwrite").save()
+            val p = (System.nanoTime() - t0) / 1e9
+            val full = resMap.getOrElse(name, -1.0)
+            System.err.println(f"[bench] phase-split $name: delta-probe " +
+              f"$p%.2f s, metadata-finish ~${full - p}%.2f s of " +
+              f"$full%.2f s total")
+          } catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] phase-split $name failed: ${e.getMessage}")
+          }
+        }
+    }
     // suite-level creep gate (r14 verdict #2)
-    val (creep, offenders) = creepReport(results.toMap,
-      readQueryMap("BENCH_BEST.json"),
-      pendingResets.map(_.query).toSet)
-    System.err.println(f"[bench] creep: sum(cur)/sum(best) = " +
-      f"$creep%.3f over the common unledgered gates (bound $CreepBound)")
-    offenders.foreach { case (q, c, b, x) =>
-      System.err.println(f"[bench]   cur/best $x%5.2fx  $q%-28s " +
-        f"$b%.2f -> $c%.2f s") }
-    if (creep > CreepBound)
-      System.err.println(f"[bench] CREEP ALERT: suite $creep%.3fx over " +
-        f"its best-known floors — adjudicate the offenders above " +
-        "(isolated re-run; ledger real slowdowns, confirm-reps noise)")
+    if (pendingResets.exists(_.query == SuiteResetQuery)) {
+      System.err.println("[bench] creep: SUITE re-baseline pending — " +
+        "old floors are declared environment-stale (see " +
+        "RATCHET_RESETS.json); this run re-seeds BENCH_BEST and the " +
+        "creep gate resumes against the fresh floors next run")
+    } else {
+      val (creep, offenders) = creepReport(results.toMap,
+        readQueryMap("BENCH_BEST.json"),
+        pendingResets.map(_.query).toSet)
+      System.err.println(f"[bench] creep: sum(cur)/sum(best) = " +
+        f"$creep%.3f over the common unledgered gates (bound $CreepBound)")
+      offenders.foreach { case (q, c, b, x) =>
+        System.err.println(f"[bench]   cur/best $x%5.2fx  $q%-28s " +
+          f"$b%.2f -> $c%.2f s") }
+      if (creep > CreepBound)
+        System.err.println(f"[bench] CREEP ALERT: suite $creep%.3fx over " +
+          f"its best-known floors — adjudicate the offenders above " +
+          "(isolated re-run; ledger real slowdowns, confirm-reps noise)")
+    }
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver only keeps a short stdout tail, which the 86-query map

@@ -1292,6 +1292,16 @@ object PipelineQueries {
     * equality is the cross-stage IVM contract no per-operator gate can
     * express. */
   val corpusIncremental: Q = (s, d) => {
+    val (s4day1, s4delta) = corpusIncrementalParts(s, d)
+    corpusFinish(s4day1.unionAll(s4delta))
+  }
+
+  /** (at-rest S4, delta S4) of the incremental gate — split out so the
+    * bench phase-attribution can time the live PROBE path (quality +
+    * digest + signature-index + decontam over delta text) apart from
+    * the global metadata finish (r15 verdict "what's wrong" #3). */
+  private[graft] def corpusIncrementalParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     import graft.operators.IncrementalDedup
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
@@ -1311,7 +1321,7 @@ object PipelineQueries {
       s2 => IncrementalDedup.verdicts(sigIndex, s2, "doc_id", "text",
         numHashes = 32, bands = 8, threshold = 0.6),
       benchGrams)
-    corpusFinish(s4day1.unionAll(d2.s4))
+    (s4day1, d2.s4)
   }
 
   /** ONE daily-ingest step against at-rest membership artifacts — the
@@ -1474,6 +1484,13 @@ object PipelineQueries {
     * oracle as q_corpus_end2end: compaction must be semantically
     * invisible, only cheaper. */
   val corpusDay3: Q = (s, d) => {
+    val (s4meta12, s4delta) = corpusDay3Parts(s, d)
+    corpusFinish(s4meta12.unionAll(s4delta))
+  }
+
+  /** (at-rest S4, delta S4) of the day-3 gate — bench phase split. */
+  private[graft] def corpusDay3Parts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     import graft.operators.IncrementalDedup
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
@@ -1491,7 +1508,7 @@ object PipelineQueries {
       s2 => IncrementalDedup.verdictsBanded(banded12, sigs12, s2,
         "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.6),
       benchGrams)
-    corpusFinish(s4meta12.unionAll(d3.s4))
+    (s4meta12, d3.s4)
   }
 
   /** At-rest artifacts of the retraction gate (r14 verdict #1) —
@@ -2159,6 +2176,13 @@ object PipelineQueries {
     * retractions must land on the same corpus the batch chain would
     * build from what remains. */
   val corpusLifecycle: Q = (s, d) => {
+    val (s4meta, s4delta) = corpusLifecycleParts(s, d)
+    corpusFinish(s4meta.unionAll(s4delta))
+  }
+
+  /** (at-rest S4, delta S4) of the lifecycle gate — bench phase split. */
+  private[graft] def corpusLifecycleParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     import graft.operators.IncrementalDedup
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
@@ -2179,7 +2203,7 @@ object PipelineQueries {
       s2 => IncrementalDedup.verdictsBanded(banded, sigs, s2,
         "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.6),
       benchGrams)
-    corpusFinish(s4meta.unionAll(d3.s4))
+    (s4meta, d3.s4)
   }
 
   /** End-to-end training-data pipeline, every stage SQL-checkable:

@@ -46,6 +46,18 @@ class BenchCreepSpec extends AnyFunSuite {
     assert(tied.map(_._1) == Seq("a", "b"), tied.toString)
   }
 
+  test("gates with floors under MinCreepFloor don't vote in the ratio " +
+      "(scheduler-latency measurements, r15 verdict #8)") {
+    val best = Map("big" -> 2.0, "tiny" -> 0.1, "edge" -> 0.3)
+    // tiny 10x over its floor would read as 1.5x suite creep — but a
+    // 0.1 s floor doubling is dispatch jitter; only big+edge vote
+    val cur = Map("big" -> 2.0, "tiny" -> 1.0, "edge" -> 0.3)
+    val (r, off) = Bench.creepReport(cur, best, Set.empty)
+    assert(math.abs(r - 1.0) < 1e-12, r.toString)
+    assert(!off.exists(_._1 == "tiny") && off.exists(_._1 == "edge"),
+      off.toString)
+  }
+
   test("empty intersection yields the neutral ratio 1.0") {
     val (r, off) = Bench.creepReport(Map("a" -> 1.0),
       Map("b" -> 1.0), Set.empty)

@@ -21,9 +21,21 @@ class RatchetLedgerSpec extends AnyFunSuite {
     assert(rows.nonEmpty, "RATCHET_RESETS.json missing or empty — the " +
       "r13 ANN resets must stay backfilled")
     rows.foreach { r =>
-      assert(r.query.startsWith("q_"), s"odd query name: ${r.query}")
-      assert(SparkEntry.queries.contains(r.query),
-        s"ledger row for unregistered query ${r.query}")
+      if (r.query == Bench.SuiteResetQuery) {
+        // suite-wide environment re-baseline: the old floors must be
+        // preserved in a committed snapshot the reason names
+        assert(r.reason.contains("BENCH_BEST_"),
+          s"suite reset row must name its floors snapshot: '${r.reason}'")
+        val snap = "BENCH_BEST_\\w+\\.json".r.findFirstIn(r.reason).get
+        assert(new java.io.File(snap).isFile,
+          s"suite reset names missing snapshot $snap")
+        assert(Bench.readQueryMap(snap).nonEmpty,
+          s"floors snapshot $snap is empty")
+      } else {
+        assert(r.query.startsWith("q_"), s"odd query name: ${r.query}")
+        assert(SparkEntry.queries.contains(r.query),
+          s"ledger row for unregistered query ${r.query}")
+      }
       assert(r.oldBest > 0, s"${r.query}: old_best must be positive")
       assert(r.reason.length >= 20,
         s"${r.query}: reason too thin to audit: '${r.reason}'")
