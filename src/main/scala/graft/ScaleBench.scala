@@ -294,6 +294,78 @@ object ScaleBench {
         .foreach(_.unpersist())
     }
 
+    {
+      // amendment propagation (r16 verdict #2): a FIXED 1500-id
+      // amendment — 500 near-dup-culprit takedowns-by-re-crawl (fresh
+      // text; their 500 victims resurrect), 500 keeper STEALS (new
+      // text = a larger id's exact text), 500 near-dup dooms (donor
+      // text + tail) — against 1x vs xN at-rest artifacts INCLUDING
+      // the band-partitioned S2 signature index. The timed path is
+      // corpusUpsertState + the metadata finish: the fresh-pair step
+      // probes the banded index delta-sized and exact-verifies a
+      // bounded candidate set; corpus TEXT is never scanned, so the
+      // slope should track the retraction drill's O(corpus-metadata)
+      // tail, not the text volume.
+      import graft.operators.IncrementalDedup
+      import graft.queries.{PipelineQueries => PQ}
+      val base = 60000L
+      def synthText(idc: org.apache.spark.sql.Column) =
+        concat_ws(" ", transform(sequence(lit(0), lit(29)), j =>
+          substring(md5(concat(idc.cast("string"), lit("_"),
+            j.cast("string"))), 1, 8)))
+      def synthCorpus(n: Long): DataFrame =
+        spark.range(n).select(col("id").as("doc_id"),
+          lit("en").as("lang"), lit(30L).as("n_tokens"),
+          synthText(col("id")).as("text"))
+      // culprits [2000,2750) doom one victim each (resurrection work)
+      val pairsA = spark.range(2000L, 2500L)
+        .select(col("id").as("id1"), (col("id") + 30000L).as("id2"))
+        .cache()
+      val amendA = spark.range(2000L, 2500L)
+        .select(col("id").as("doc_id"), lit("en").as("lang"),
+          synthText(col("id") + 900000L).as("text"))
+        .unionAll(spark.range(6000L, 6500L)
+          .select(col("id").as("doc_id"), lit("en").as("lang"),
+            synthText(col("id") + 20000L).as("text")))
+        .unionAll(spark.range(7000L, 7500L)
+          .select(col("id").as("doc_id"), lit("en").as("lang"),
+            concat(synthText(col("id") + 21000L), lit(" ztail zz zq"))
+              .as("text")))
+        .cache()
+      val emptyGramsA = spark.range(0).select(col("id").as("ngh"))
+      def artifactsA(n: Long) = {
+        val corpus = synthCorpus(n)
+        val qm = corpus.select(col("doc_id"), col("lang"),
+          col("n_tokens"), sha2(col("text"), 256).as("digest")).cache()
+        val s2 = qm.select("doc_id").cache()
+        val s3 = s2.join(pairsA.select(col("id2").as("doc_id")),
+          Seq("doc_id"), "left_anti").cache()
+        val s4 = qm.select("doc_id", "lang", "n_tokens")
+          .join(s3, Seq("doc_id"), "left_semi")
+          .filter(col("doc_id") >= 5).cache()
+        val bnd = IncrementalDedup.banded(
+          IncrementalDedup.signatures(corpus, "doc_id", "text")).cache()
+        noop(qm); noop(s2); noop(s3); noop(s4); noop(bnd) // day-1, untimed
+        (corpus, qm, s2, s3, s4, bnd)
+      }
+      def amendOnce(corpus: DataFrame, qm: DataFrame, s2: DataFrame,
+          s3: DataFrame, s4: DataFrame, bnd: DataFrame): Unit = {
+        val st = PQ.corpusUpsertState(corpus, amendA.select("doc_id"),
+          amendA, qm, s2, s3, s4, emptyGramsA, pairsA, bnd)
+        noop(PQ.corpusFinish(st.s4keep.unionByName(st.s4new)))
+      }
+      val (c1, qm1, s21, s31, s41, bnd1) = artifactsA(base)
+      val (cN, qmN, s2N, s3N, s4N, bndN) = artifactsA(base * factor)
+      noop(pairsA); noop(amendA)
+      val ta1 = time("amend_probe 1x")(
+        amendOnce(c1, qm1, s21, s31, s41, bnd1))
+      val taN = time(s"amend_probe ${factor}x")(
+        amendOnce(cN, qmN, s2N, s3N, s4N, bndN))
+      results += (("amend_probe", ta1, taN))
+      Seq(qm1, s21, s31, s41, bnd1, qmN, s2N, s3N, s4N, bndN,
+        pairsA, amendA).foreach(_.unpersist())
+    }
+
     // PQ: index trained once on the 1x corpus (the realistic posture —
     // codebooks are a persisted artifact); encode+search scale with data
     val books = graft.operators.Pq.trainCodebooks(emb1, "vec_id",

@@ -185,6 +185,7 @@ object SparkEntry {
     "q_corpus_incremental" -> PipelineQueries.corpusIncremental,
     "q_corpus_retract" -> PipelineQueries.corpusRetract,
     "q_corpus_amend" -> PipelineQueries.corpusAmend,
+    "q_amend_ledger" -> PipelineQueries.corpusAmendLedger,
     "q_corpus_day3" -> PipelineQueries.corpusDay3,
     "q_retract_ledger" -> PipelineQueries.corpusRetractLedger,
     "q_corpus_lifecycle" -> PipelineQueries.corpusLifecycle,
@@ -651,9 +652,10 @@ object SparkEntry {
     * applied to the documents table before the chain runs. What the
     * delta-sized q_corpus_amend must hash-equal; derived mechanically
     * from the shared oracle string so the replays cannot drift. */
-  private val CorpusAmendOracle: String =
-    CorpusEnd2EndOracle.replace("FROM documents", "FROM documents_amended")
-      .replaceFirst("WITH q AS", """WITH amendments AS (
+  /** The registered amendment + amended-corpus CTEs, shared by the
+    * amend manifest and amend ledger oracles (ONE definition, so the
+    * two replays cannot drift on the amendment recipe). */
+  private val AmendmentsCteSql: String = """amendments AS (
         SELECT d.doc_id,
                CASE WHEN d.doc_id % 4 = 0 THEN 'amended takedown stub'
                     WHEN d.doc_id % 4 = 3 THEN array_to_string(
@@ -670,8 +672,39 @@ object SparkEntry {
         WHERE d.doc_id >= 5 AND d.doc_id % 23 = 11),
       documents_amended AS (
         SELECT d.doc_id, d.lang, coalesce(a.new_text, d.text) AS text
-        FROM documents d LEFT JOIN amendments a USING (doc_id)),
-      q AS""")
+        FROM documents d LEFT JOIN amendments a USING (doc_id))"""
+
+  private val CorpusAmendOracle: String =
+    CorpusEnd2EndOracle.replace("FROM documents", "FROM documents_amended")
+      .replaceFirst("WITH q AS",
+        java.util.regex.Matcher.quoteReplacement(
+          s"WITH $AmendmentsCteSql,\n      q AS"))
+
+  /** The amendment CHANGE ledger's replay: BOTH S1–S4 chains side by
+    * side (original `_a`, amended `_m`), diffed at the S4 frontier
+    * with the one-event-per-amendment reason classification. */
+  private val CorpusAmendLedgerOracle: String = s"""
+      WITH $AmendmentsCteSql,
+      ${corpusS4ChainSql("_a", "documents")},
+      ${corpusS4ChainSql("_m", "documents_amended")}
+      SELECT doc_id, 'amended_in_corpus' AS reason FROM s4_m
+      WHERE doc_id IN (SELECT doc_id FROM amendments)
+      UNION ALL
+      SELECT doc_id, 'removed_amended' AS reason FROM s4_a
+      WHERE doc_id IN (SELECT doc_id FROM amendments)
+        AND doc_id NOT IN (SELECT doc_id FROM s4_m)
+      UNION ALL
+      SELECT doc_id, 'removed_displaced' AS reason FROM s4_a
+      WHERE doc_id NOT IN (SELECT doc_id FROM amendments)
+        AND doc_id NOT IN (SELECT doc_id FROM s4_m)
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN doc_id IN (SELECT doc_id FROM s2_a)
+               THEN 'resurrected_neardup_victim'
+               ELSE 'resurrected_exact_twin' END AS reason
+      FROM s4_m
+      WHERE doc_id NOT IN (SELECT doc_id FROM s4_a)
+        AND doc_id NOT IN (SELECT doc_id FROM amendments)"""
 
   /** [[CorpusEnd2EndOracle]] on corpus MINUS the streaming takedown
     * set (ids ≥ 5, id ≡ 4 mod 13): N takedown micro-batches replayed
@@ -1958,6 +1991,7 @@ object SparkEntry {
     // re-elected keepers and un-doomed near-dup victims exactly)
     "q_corpus_retract" -> CorpusRetractOracle,
     "q_corpus_amend" -> CorpusAmendOracle,
+    "q_amend_ledger" -> CorpusAmendLedgerOracle,
     "q_stream_retract" -> StreamRetractOracle,
     // closed-form trigger verdicts (the drift computation is k-means
     // territory DuckDB can't replay, but the REGISTERED POLICY's two

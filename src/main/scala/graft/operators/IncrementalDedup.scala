@@ -114,6 +114,39 @@ object IncrementalDedup {
         coalesce(col("dup_in_batch"), lit(false)).as("dup_in_batch"))
   }
 
+  /** Banded candidate PAIRS of a batch against a pre-banded index,
+    * plus batch-internal pairs — the pair-level form of
+    * [[verdictsBanded]] for consumers that need PARTNER IDENTITIES
+    * instead of per-doc verdicts (the corpus amendment's fresh-pair
+    * tier: each candidate is exact-verified downstream, so false
+    * positives cost a text fetch, never a wrong verdict). Returns
+    * (nid, oid): batch id × (index id | smaller-id batch sibling),
+    * deduplicated, same degenerate-bucket cap as the verdict path. */
+  def candidatePairs(indexBands: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 32,
+      bands: Int = 8, maxBucket: Int = 300): DataFrame = {
+    val bNew = banded(signatures(batch, idCol, textCol, numHashes),
+      numHashes, bands)
+    val bOld = indexBands.select("id", "band", "band_hash")
+    val bucketSizes = bNew.select(col("band"), col("band_hash"))
+      .unionAll(bOld.select(col("band"), col("band_hash")))
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+    val pNew = bNew.join(bucketSizes, Seq("band", "band_hash"))
+    val pOld = bOld.join(bucketSizes, Seq("band", "band_hash"))
+    pNew.select(col("band"), col("band_hash"), col("id").as("nid"))
+      .join(pOld.select(col("band"), col("band_hash"),
+        col("id").as("oid")), Seq("band", "band_hash"))
+      .select(col("nid"), col("oid"))
+      .unionAll(pNew.select(col("band"), col("band_hash"),
+          col("id").as("nid"))
+        .join(pNew.select(col("band"), col("band_hash"),
+          col("id").as("oid")), Seq("band", "band_hash"))
+        .filter(col("oid") < col("nid"))
+        .select(col("nid"), col("oid")))
+      .distinct()
+  }
+
   /** Post-ingest index: prior signatures plus the batch SURVIVORS
     * (docs with neither flag). */
   def updated(indexSigs: DataFrame, batch: DataFrame, idCol: String,

@@ -1538,7 +1538,10 @@ object PipelineQueries {
       : java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     val tag = new java.io.File(d).getCanonicalPath
-    val keySrc = s"corpus-retract|$tag|j=0.6|v1"
+    // v2 (r16): also persists the band-partitioned S2 signature index —
+    // the amendment's fresh-pair candidate probe (delta-sized, vs a
+    // full corpus text scan)
+    val keySrc = s"corpus-retract|$tag|j=0.6|h=32b8|v2"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(keySrc.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val dir = Paths.get(graft.sources.Artifacts.cacheDir, key)
@@ -1570,6 +1573,13 @@ object PipelineQueries {
         .distinct()
         .write.mode("overwrite")
         .parquet(dir.resolve("benchgrams").toString)
+      import graft.operators.IncrementalDedup
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.signatures(st.s2, "doc_id", "text"),
+        dir.resolve("sigindex").toString)
+      IncrementalDedup.writeBandedIndex(
+        s.read.parquet(dir.resolve("sigindex").toString),
+        dir.resolve("banded").toString)
       Files.write(marker, fp.getBytes("UTF-8")) // commit point
     }
     dir
@@ -1670,7 +1680,12 @@ object PipelineQueries {
     // pins every delete class against the from-scratch chain)
     val st = corpusUpsertState(docs, retracted,
       docs.select(col("doc_id"), col("lang"), col("text")).limit(0),
-      qmeta, s2ids, s3ids, s4meta, benchGrams, pairs, maxBlast)
+      qmeta, s2ids, s3ids, s4meta, benchGrams, pairs,
+      // no incoming content ⇒ the signature index is never consulted
+      banded = s2ids.select(col("doc_id").as("id"),
+        lit(0).as("band"), xxhash64(col("doc_id")).as("band_hash"))
+        .limit(0),
+      maxBlast)
     RetractState(st.rIds, st.resurrected, st.doomedNow, st.newcomers,
       st.contNew, st.s4keep, st.s4new)
   }
@@ -1701,11 +1716,15 @@ object PipelineQueries {
     *    the smaller id STEALS keepership and the displaced at-rest
     *    keeper leaves S2 (its victims re-evaluate); an inserted doc
     *    losing the contest dies at S2
-    *  - S3: the amended content's near-dup pairs are computed FRESH on
-    *    the exact word-trigram-Jaccard tier (one scan of the quality
-    *    corpus against the broadcast amended shingle sets — so no
-    *    estimated-vs-exact divergence can enter through amendments);
-    *    OLD pairs touching an amended id are void on the culprit side
+    *  - S3: the amended content's near-dup pairs are computed FRESH —
+    *    banded-signature CANDIDATES against the at-rest S2 index (the
+    *    delta-sized verdictsBanded posture; candidates for a retracted
+    *    keeper remap to its re-elected same-text twin) followed by an
+    *    EXACT distinct-trigram-Jaccard verify on the named partners'
+    *    text (bounded fetch), so a false candidate costs a text read,
+    *    never a wrong verdict, and misses sit ≥ 6σ below threshold on
+    *    this corpus (the measured incremental-family contract). OLD
+    *    pairs touching an amended id are void on the culprit side
     *    (the content they certified is gone) while still seeding
     *    victim re-evaluation
     *  - S4: amended survivors ALWAYS take a fresh decontam probe on
@@ -1715,13 +1734,14 @@ object PipelineQueries {
     * lives on the driver bounded by `maxBlast` (strings by the tighter
     * 500k cap) with a loud raise, and each stage is a map-side scan of
     * one corpus-sized artifact probing a LOCAL broadcast relation. The
-    * one addition is the fresh-pair scan: one pass over quality text
-    * (amended side broadcast), the only stage that must read corpus
-    * text because new content genuinely changes the pair graph. */
+    * one addition is the fresh-pair step: a delta-sized probe of the
+    * band-partitioned S2 signature index (`banded`, only consulted
+    * when `amended` is non-empty) plus a bounded candidate-text fetch
+    * — corpus TEXT is never scanned. */
   private[graft] def corpusUpsertState(docs: DataFrame,
       retracted: DataFrame, amended: DataFrame, qmeta: DataFrame,
       s2ids: DataFrame, s3ids: DataFrame, s4meta: DataFrame,
-      benchGrams: DataFrame, pairs: DataFrame,
+      benchGrams: DataFrame, pairs: DataFrame, banded: DataFrame,
       maxBlast: Int = 5000000): UpsertState = {
     val s = docs.sparkSession
     import s.implicits._
@@ -1781,10 +1801,13 @@ object PipelineQueries {
     //    inserted members just die at S2)
     val removedS2 = ids(s2ids.join(probe(rIds), Seq("doc_id"),
       "left_semi"), "retracted survivors")
-    val lostDigests = boundedStr(
+    val lostKeepers = boundedStr(
       qmeta.join(probe(removedS2), Seq("doc_id"), "left_semi")
-        .select("digest"), "touched digests")(_.getString(0))
-    val touchedDigests = (lostDigests ++ aqRows.map(_._2)).distinct
+        .select("digest", "doc_id"), "touched digests")(
+      r => (r.getString(0), r.getLong(1)))
+    val oldKeeperByDigest = lostKeepers.toMap
+    val touchedDigests =
+      (lostKeepers.map(_._1) ++ aqRows.map(_._2)).distinct
     val atRestCand = boundedStr(
       qmeta.join(broadcast(touchedDigests.toDF("digest")),
           Seq("digest"), "left_semi")
@@ -1799,50 +1822,70 @@ object PipelineQueries {
     var resurrected = Set.empty[Long]
     var insKeepers = Set.empty[Long]
     var stolen = Set.empty[Long]
-    byDigest.foreach { case (_, members) =>
+    // old retracted keeper -> its same-text re-elected AT-REST twin
+    // (the identity a banded-index candidate against the dead keeper's
+    // signature must remap to)
+    var reElected = Map.empty[Long, Long]
+    byDigest.foreach { case (g, members) =>
       val keeper = members.map(_._1).min
       val keeperIns = members.exists { case (id, ins) => ins && id == keeper }
       val prev = members.collectFirst { case (id, false) if candS2(id) => id }
       if (keeperIns) {
         insKeepers += keeper
         prev.foreach(m => stolen += m)
-      } else if (!candS2(keeper)) resurrected += keeper
+      } else if (!candS2(keeper)) {
+        resurrected += keeper
+        oldKeeperByDigest.get(g).foreach(k => reElected += (k -> keeper))
+      }
     }
 
-    // fresh pair graph of the NEW content: exact distinct-word-trigram
-    // Jaccard of every amended doc against every quality doc of the
-    // amended universe — the oracle's ov-CTE shape (explode + count
-    // join on the shingle), amended side broadcast, shuffle carries
-    // only matching (doc, amended) count rows
+    // fresh pair graph of the NEW content — candidates then verify:
+    // the amended docs' NEW signatures probe the band-partitioned
+    // at-rest S2 index (delta-sized, the verdictsBanded posture) plus
+    // amended-internal band collisions; each candidate pair is then
+    // EXACT-verified on distinct-trigram Jaccard over a bounded text
+    // fetch of the named partners. Corpus text is never scanned, and
+    // the banded tier can only MISS (true pairs sit ≥ 6σ above the
+    // collision threshold on this corpus — the measured incremental-
+    // family contract); a false candidate costs one text read, never
+    // a wrong verdict.
     val newPairs: Seq[(Long, Long)] =
       if (inserted.isEmpty) Seq.empty
       else {
-        val aTok = DedupQueries.shingled(
-            aq.select(col("doc_id"), col("text")), "sh")
-          .select(col("doc_id").as("__aid"),
-            array_distinct(col("sh")).as("__ash"))
-          .select(col("__aid"), size(col("__ash")).as("__an"),
-            explode(col("__ash")).as("__tok"))
-        val corpusQ = qualityGate(
-            docs.join(probe(rIds), Seq("doc_id"), "left_anti"))
-          .select(col("doc_id"), col("text"))
-          .unionAll(aq.select(col("doc_id"), col("text")))
-        val cTok = DedupQueries.shingled(corpusQ, "sh")
-          .select(col("doc_id"), array_distinct(col("sh")).as("__csh"))
-          .select(col("doc_id"), size(col("__csh")).as("__n"),
-            explode(col("__csh")).as("__tok"))
-        bounded(cTok.join(broadcast(aTok), Seq("__tok"))
-          .filter(col("doc_id") =!= col("__aid"))
-          .groupBy("doc_id", "__n", "__aid", "__an")
-          .agg(count(lit(1)).as("__ov"))
-          // same IEEE boundary form as the from-scratch oracle's
-          // neardup CTE: ov * 1.0 / (n1 + n2 - ov) >= 0.6
-          .filter(col("__ov") * lit(1.0) /
-            (col("__n") + col("__an") - col("__ov")) >= 0.6)
-          .select(least(col("doc_id"), col("__aid")).as("id1"),
-            greatest(col("doc_id"), col("__aid")).as("id2"))
-          .distinct(), "amended near-dup pairs")(
-          r => (r.getLong(0), r.getLong(1)))
+        import graft.operators.IncrementalDedup
+        val cands = bounded(IncrementalDedup.candidatePairs(banded,
+          aq, "doc_id", "text", numHashes = 32, bands = 8),
+          "amendment candidate pairs")(r => (r.getLong(0), r.getLong(1)))
+        // a candidate naming a RETRACTED keeper (its signature is still
+        // in the at-rest index) remaps to the same-text re-elected twin
+        // that replaces it in S2'; other rIds partners are void
+        val remapped = cands.flatMap { case (a, o) =>
+          if (!rIds(o)) Some((a, o))
+          else reElected.get(o).map(t => (a, t))
+        }.map { case (a, o) => (math.min(a, o), math.max(a, o)) }.distinct
+        if (remapped.isEmpty) Seq.empty
+        else {
+          val atRestIds = remapped.flatMap { case (x, y) =>
+            Seq(x, y).filterNot(inserted) }.distinct
+          val sh = DedupQueries.shingled(
+              docs.join(probe(atRestIds), Seq("doc_id"), "left_semi")
+                .select(col("doc_id"), col("text"))
+                .unionAll(aq.select(col("doc_id"), col("text"))), "sh")
+            .select(col("doc_id"), array_distinct(col("sh")).as("tk"))
+          bounded(remapped.toDF("id1", "id2")
+            .join(sh.select(col("doc_id").as("id1"),
+              col("tk").as("tk1")), "id1")
+            .join(sh.select(col("doc_id").as("id2"),
+              col("tk").as("tk2")), "id2")
+            .withColumn("__ov",
+              size(array_intersect(col("tk1"), col("tk2"))))
+            // same IEEE boundary form as the from-scratch oracle's
+            // neardup CTE: ov * 1.0 / (n1 + n2 - ov) >= 0.6
+            .filter(col("__ov") * lit(1.0) /
+              (size(col("tk1")) + size(col("tk2")) - col("__ov")) >= 0.6)
+            .select(col("id1"), col("id2")), "amended near-dup pairs")(
+            r => (r.getLong(0), r.getLong(1)))
+        }
       }
 
     // S3 delta: fresh verdicts for pair-partners of flipped S2 ids.
@@ -1975,18 +2018,71 @@ object PipelineQueries {
     * the amended corpus. */
   private[graft] def corpusAmendFrom(s: SparkSession, d: String,
       amendments: DataFrame): DataFrame = {
+    val (st, _) = corpusAmendStateFrom(s, d, amendments)
+    corpusFinish(st.s4keep.unionByName(st.s4new))
+  }
+
+  /** The amendment's [[UpsertState]] over the at-rest retraction
+    * artifacts, plus the prior S4 frame — shared by the manifest gate
+    * and the amendment change ledger so they cannot disagree. */
+  private def corpusAmendStateFrom(s: SparkSession, d: String,
+      amendments: DataFrame): (UpsertState, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val art = corpusRetractArtifacts(s, d)
-    val st = corpusUpsertState(Tables.documents(s, d),
+    val s4meta = s.read.parquet(art.resolve("s4meta").toString)
+    (corpusUpsertState(Tables.documents(s, d),
       amendments.select("doc_id"), amendments,
       qmeta = s.read.parquet(art.resolve("qmeta").toString),
       s2ids = s.read.parquet(art.resolve("s2ids").toString),
       s3ids = s.read.parquet(art.resolve("s3ids").toString),
-      s4meta = s.read.parquet(art.resolve("s4meta").toString),
+      s4meta = s4meta,
       benchGrams = s.read.parquet(art.resolve("benchgrams").toString),
-      pairs = DedupQueries.verifiedPairs(s, d).select("id1", "id2"))
-    corpusFinish(st.s4keep.unionByName(st.s4new))
+      pairs = DedupQueries.verifiedPairs(s, d).select("id1", "id2"),
+      banded = graft.operators.IncrementalDedup.readBandedIndex(s,
+        art.resolve("banded").toString)), s4meta)
   }
+
+  /** Per-doc CHANGE ledger of an amendment — ONE event per membership
+    * or content flip, never a takedown row plus a new-doc row (the
+    * atomicity the r15 verdict asked for):
+    *
+    *  - `amended_in_corpus`   — the re-crawled content now serves
+    *                            (whether or not the id served before)
+    *  - `removed_amended`     — served before, new content fails
+    *                            quality / dedup / decontam
+    *  - `removed_displaced`   — collateral: keepership stolen by a
+    *                            smaller amended twin, or doomed by the
+    *                            new content's near-dup pairs
+    *  - `resurrected_*`       — at-rest docs the dead content alone
+    *                            had displaced (the retract classes)
+    *
+    * Derived from the SAME [[UpsertState]] the manifest gate consumes. */
+  private[graft] def corpusAmendLedgerFrom(s: SparkSession, d: String,
+      amendments: DataFrame): DataFrame = {
+    import s.implicits._
+    val (st, s4meta) = corpusAmendStateFrom(s, d, amendments)
+    def probe(ids: Set[Long]) = broadcast(ids.toSeq.toDF("doc_id"))
+    val inNew = (st.newcomers & st.inserted) -- st.contNew
+    val amendedIn = inNew.toSeq.sorted
+      .map(id => (id, "amended_in_corpus")).toDF("doc_id", "reason")
+    val removedAmended = s4meta
+      .join(probe(st.rIds -- inNew), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), lit("removed_amended").as("reason"))
+    val removedDisplaced = s4meta
+      .join(probe((st.doomedNow ++ st.stolen) -- st.rIds),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), lit("removed_displaced").as("reason"))
+    val born = ((st.newcomers -- st.inserted) -- st.contNew).toSeq.sorted
+      .map(id => (id, if (st.resurrected(id)) "resurrected_exact_twin"
+        else "resurrected_neardup_victim"))
+      .toDF("doc_id", "reason")
+    amendedIn.unionByName(removedAmended)
+      .unionByName(removedDisplaced).unionByName(born)
+  }
+
+  val corpusAmendLedger: Q = (s, d) =>
+    corpusAmendLedgerFrom(s, d,
+      registeredAmendment(Tables.documents(s, d)))
 
   /** The registered amendment set: ids ≥ 5 with id ≡ 11 (mod 23),
     * re-crawled text by id mod 4 —

@@ -107,6 +107,35 @@ class CorpusAmendSpec extends SparkSpec {
     assert(got.toSeq.map(_._2).sum == survivors.size.toLong, got.toString)
   }
 
+  test("amendment change ledger names every flip with its reason — " +
+      "ONE event per amendment, never a takedown plus a new doc") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_amend_ledger").toString
+    corpus().write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineQueries.corpusAmendLedgerFrom(spark, dir,
+        amendments())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    val want = Set(
+      // re-crawled content now serving (21 also re-elects its twin)
+      21L -> "amended_in_corpus", 60L -> "amended_in_corpus",
+      110L -> "amended_in_corpus", 150L -> "amended_in_corpus",
+      300L -> "amended_in_corpus",
+      // new content fails: near-dup-doomed / contaminated / sub-quality
+      130L -> "removed_amended", 310L -> "removed_amended",
+      200L -> "removed_amended",
+      // collateral: stolen keepership and fresh near-dup dooms
+      80L -> "removed_displaced", 120L -> "removed_displaced",
+      160L -> "removed_displaced",
+      // the dead content's displaced docs return
+      22L -> "resurrected_exact_twin",
+      155L -> "resurrected_neardup_victim",
+      205L -> "resurrected_neardup_victim"
+      // 90 stays doomed through the thief's inherited pair — no flip;
+      // 23 stays doomed by the re-elected 22 — correctly absent
+    )
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("empty amendment set reproduces the batch manifest; amending a " +
       "benchmark doc raises loudly") {
     val dir = java.nio.file.Files
