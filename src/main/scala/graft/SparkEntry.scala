@@ -180,6 +180,7 @@ object SparkEntry {
     "q_ann_append" -> PipelineQueries.annAppend,
     "q_ann_retrain" -> PipelineQueries.annRetrain,
     "q_ivfpq_retract_planted" -> PipelineQueries.ivfPqRetractPlanted,
+    "q_ivfpq_update_planted" -> PipelineQueries.ivfPqUpdatePlanted,
     "q_pipeline_e2e" -> PipelineQueries.pipelineE2e,
     "q_corpus_end2end" -> PipelineQueries.corpusEnd2End,
     "q_corpus_incremental" -> PipelineQueries.corpusIncremental,
@@ -2310,6 +2311,11 @@ object SparkEntry {
     // closed-form
     "q_ivfpq_retract_planted" -> """
       SELECT vec_id AS probe_id, true AS identical
+      FROM embeddings WHERE vec_id < 5""",
+
+    "q_ivfpq_update_planted" -> """
+      SELECT vec_id AS probe_id, true AS twin_is_min_adc,
+             true AS restore_identical
       FROM embeddings WHERE vec_id < 5""",
 
     "q_kmv_exact" -> """

@@ -188,6 +188,20 @@ object IvfPq {
       idCol)
   }
 
+  /** In-place UPDATE of vectors already in the index — the re-crawl
+    * twin of the corpus amendment (a document whose text changed gets
+    * a NEW embedding under the SAME id, and the old one must stop
+    * being findable): retract the ids' code rows, then append the new
+    * vectors under frozen centroids/codebooks. Atomic at the Index
+    * level (one value swap), cost O(batch) + the anti-join scan;
+    * centroid/codebook staleness remains [[centroidDrift]]'s call.
+    * update(id, original-vector) is the identity on search results
+    * (the retract∘append closure, gated byte-exact). */
+  def update(index: Index, batch: DataFrame,
+      vecCol: String = "embedding", m: Int = 8, k: Int = 16): Index =
+    append(retract(index, batch.select(col(index.corpusId))),
+      batch, vecCol, m, k)
+
   /** Per-centroid drift readout — the RETRAIN TRIGGER for the
     * append-without-retraining posture ([[append]]): for each frozen
     * centroid, the cosine between its build-time vector and the CURRENT

@@ -3043,6 +3043,52 @@ object PipelineQueries {
       .select(col("probe_id"), col("__bad").isNull.as("identical"))
   }
 
+  /** Frozen-index UPDATE gate (r16 — the re-crawl twin of
+    * q_corpus_amend for similarity search: a changed document's NEW
+    * embedding replaces the old under the SAME id): corpus ids [5,10)
+    * are updated IN PLACE to byte-copies of the probe vectors via
+    * [[graft.operators.IvfPq.update]] (retract∘append, frozen
+    * centroids/codebooks). Two closed-form claims per probe:
+    *
+    *  - the updated twin scores the MINIMAL ADC in its probe's top-k
+    *    (its codes are the per-subspace argmin of the probe's own
+    *    residual table — the ivfPqAppendPlanted argument, through the
+    *    update path: proves the NEW content is findable);
+    *  - updating the victims BACK to their original vectors restores
+    *    the base index's per-probe (candidate, ADC) sets BYTE-exactly
+    *    (update∘update closure: proves the OLD content fully left —
+    *    one stale code row would red the restore). */
+  val ivfPqUpdatePlanted: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.IvfPq
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 5)
+    val newContent = probes
+      .select((col("vec_id") + 5).as("vec_id"), col("embedding"))
+    val base = ivfPqIndex(s, d)
+    val updated = IvfPq.update(base, newContent, m = PqM, k = PqKCodes)
+    val isMin = IvfPq.search(updated, probes, k = 10,
+        nprobe = IvfPqNprobe, m = PqM, kCodes = PqKCodes)
+      .withColumn("__min",
+        min(col("adc")).over(Window.partitionBy("probe_id")))
+      .filter(col("cand_id") === col("probe_id") + 5)
+      .select(col("probe_id"),
+        (col("adc") === col("__min")).as("twin_is_min_adc"))
+    val restored = IvfPq.update(updated,
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+      m = PqM, k = PqKCodes)
+    def top(ix: graft.operators.IvfPq.Index) =
+      IvfPq.search(ix, probes, k = 10, nprobe = IvfPqNprobe,
+        m = PqM, kCodes = PqKCodes)
+        .select("probe_id", "cand_id", "adc")
+    val bad = top(base).exceptAll(top(restored))
+      .unionAll(top(restored).exceptAll(top(base)))
+      .select(col("probe_id"), lit(false).as("__bad")).distinct()
+    isMin.join(bad, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("twin_is_min_adc"),
+        col("__bad").isNull.as("restore_identical"))
+  }
+
   /** The at-rest day-1 index of [[annAppend]]: built over vec_id <
     * cut only, persisted with the buildOrLoad artifact discipline
     * (its fingerprint covers exactly the day-1 id set). */
