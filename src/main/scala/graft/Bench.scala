@@ -287,6 +287,9 @@ object Bench {
     prebuild("q_stream_retract",
       () => graft.queries.PipelineQueries
         .ensureCorpusRetractArtifacts(spark, sfDir))
+    prebuild("q_stream_amend",
+      () => graft.queries.PipelineQueries
+        .ensureCorpusRetractArtifacts(spark, sfDir))
     prebuild("q_ann_retrain",
       () => graft.queries.PipelineQueries.ensureIvfPqIndex(spark, sfDir))
     prebuild("q_neardup_rich",

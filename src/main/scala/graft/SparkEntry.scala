@@ -332,6 +332,8 @@ object SparkEntry {
     "q_stream_upsert" -> ((s, d) => streaming.StreamOps.streamUpsert(s, d)),
     "q_stream_retract" ->
       ((s, d) => streaming.StreamOps.streamRetract(s, d)),
+    "q_stream_amend" ->
+      ((s, d) => streaming.StreamOps.streamAmend(s, d)),
     "q_zonemap_prune" -> SourceQueries.zonemapPrune,
     "q_setsim_linkage" -> DedupQueries.setsimLinkage,
     "q_join_card_est" -> RelationalQueries.joinCardEst,
@@ -1994,6 +1996,9 @@ object SparkEntry {
     "q_corpus_amend" -> CorpusAmendOracle,
     "q_amend_ledger" -> CorpusAmendLedgerOracle,
     "q_stream_retract" -> StreamRetractOracle,
+    // disjoint-id amendments commute, so the streamed form must land
+    // exactly on q_corpus_amend's from-scratch replay
+    "q_stream_amend" -> CorpusAmendOracle,
     // closed-form trigger verdicts (the drift computation is k-means
     // territory DuckDB can't replay, but the REGISTERED POLICY's two
     // outcomes are exact booleans by construction: the planted alien

@@ -120,8 +120,12 @@ object IncrementalDedup {
     * instead of per-doc verdicts (the corpus amendment's fresh-pair
     * tier: each candidate is exact-verified downstream, so false
     * positives cost a text fetch, never a wrong verdict). Returns
-    * (nid, oid): batch id × (index id | smaller-id batch sibling),
-    * deduplicated, same degenerate-bucket cap as the verdict path. */
+    * (nid, oid, vs_index): batch id × (index id | smaller-id batch
+    * sibling), deduplicated, same degenerate-bucket cap as the
+    * verdict path. `vs_index` is the provenance the consumer needs:
+    * an index-side partner names AT-REST content (remappable if that
+    * content leaves in the same step), a batch-sibling partner names
+    * the batch's NEW content. */
   def candidatePairs(indexBands: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 32,
       bands: Int = 8, maxBucket: Int = 300): DataFrame = {
@@ -137,13 +141,13 @@ object IncrementalDedup {
     pNew.select(col("band"), col("band_hash"), col("id").as("nid"))
       .join(pOld.select(col("band"), col("band_hash"),
         col("id").as("oid")), Seq("band", "band_hash"))
-      .select(col("nid"), col("oid"))
+      .select(col("nid"), col("oid"), lit(true).as("vs_index"))
       .unionAll(pNew.select(col("band"), col("band_hash"),
           col("id").as("nid"))
         .join(pNew.select(col("band"), col("band_hash"),
           col("id").as("oid")), Seq("band", "band_hash"))
         .filter(col("oid") < col("nid"))
-        .select(col("nid"), col("oid")))
+        .select(col("nid"), col("oid"), lit(false).as("vs_index")))
       .distinct()
   }
 

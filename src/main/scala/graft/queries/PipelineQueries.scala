@@ -1698,7 +1698,8 @@ object PipelineQueries {
       inserted: Set[Long], insKeepers: Set[Long], stolen: Set[Long],
       resurrected: Set[Long], doomedNow: Set[Long],
       newcomers: Set[Long], contNew: Set[Long],
-      s4keep: DataFrame, s4new: DataFrame)
+      s4keep: DataFrame, s4new: DataFrame,
+      freshPairs: Seq[(Long, Long)], reElected: Map[Long, Long])
 
   /** The generalized corpus state transition (r16, verdict #2): apply
     * `retracted` (ids whose OLD content leaves the corpus) and
@@ -1855,12 +1856,17 @@ object PipelineQueries {
         import graft.operators.IncrementalDedup
         val cands = bounded(IncrementalDedup.candidatePairs(banded,
           aq, "doc_id", "text", numHashes = 32, bands = 8),
-          "amendment candidate pairs")(r => (r.getLong(0), r.getLong(1)))
-        // a candidate naming a RETRACTED keeper (its signature is still
-        // in the at-rest index) remaps to the same-text re-elected twin
-        // that replaces it in S2'; other rIds partners are void
-        val remapped = cands.flatMap { case (a, o) =>
-          if (!rIds(o)) Some((a, o))
+          "amendment candidate pairs")(
+          r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        // an INDEX-side candidate naming a retracted keeper (its
+        // signature is still the at-rest index's) remaps to the
+        // same-text re-elected twin that replaces it in S2'; other
+        // retracted index partners are void. A BATCH-sibling partner
+        // names the batch's NEW content — its id being in rIds is the
+        // point, never a reason to drop the pair (the r16 masked-bug
+        // class: an amended-amended pair must survive this step).
+        val remapped = cands.flatMap { case (a, o, vsIndex) =>
+          if (!vsIndex || !rIds(o)) Some((a, o))
           else reElected.get(o).map(t => (a, t))
         }.map { case (a, o) => (math.min(a, o), math.max(a, o)) }.distinct
         if (remapped.isEmpty) Seq.empty
@@ -1948,7 +1954,7 @@ object PipelineQueries {
       Seq("doc_id"), "left_anti")
     aq.unpersist()
     UpsertState(rIds, inserted, insKeepers, stolen, resurrected,
-      doomedNow, newcomers, contNew, s4keep, s4new)
+      doomedNow, newcomers, contNew, s4keep, s4new, newPairs, reElected)
   }
 
   /** The four membership frames a retraction rewrites — the at-rest
@@ -1994,6 +2000,14 @@ object PipelineQueries {
       s.read.parquet(art.resolve("benchgrams").toString),
       DedupQueries.verifiedPairs(s, d).select("id1", "id2"))
   }
+
+  /** The at-rest S2 signature index of the retraction artifacts (the
+    * amendment candidate probe's input), for consumers that maintain
+    * it across a stream of upserts. */
+  private[graft] def retractSigsAtRest(s: SparkSession,
+      d: String): DataFrame =
+    graft.operators.IncrementalDedup.readIndex(s,
+      corpusRetractArtifacts(s, d).resolve("sigindex").toString)
 
   /** The registered retraction set: every id ≥ 5 with id ≡ 7 (mod 17)
     * — chosen (measured across the 3 SFs) so the takedown hits

@@ -812,6 +812,148 @@ object StreamOps {
     PipelineQueries.corpusFinish(cur.s4meta)
   }
 
+  /** Streaming AMENDMENTS (r16 capstone — the full corpus CRUD state
+    * machine driven from a stream): re-crawl events arrive as doc-id
+    * micro-batches; each batch fetches its new content by id (the
+    * re-crawl-queue posture: the stream carries identities, the
+    * crawler's store carries payloads), applies the atomic upsert
+    * delta ([[graft.queries.PipelineQueries.corpusUpsertState]])
+    * against the CURRENT at-rest state, and rewrites ALL of it:
+    *
+    *  - the four membership frames (the lifecycle rules + the insert
+    *    side: stolen keepers out of S2/S3, inserted keepers in)
+    *  - qmeta gains the amended docs' NEW quality rows (digest /
+    *    n_tokens), so later keeper contests see the new content
+    *  - the S2 signature index drops amended + stolen ids and GAINS
+    *    the re-elected twins' and inserted keepers' signatures (a
+    *    later batch's candidate probe must near-dup against CURRENT
+    *    content)
+    *  - the pair-graph overlay: static pairs are void on any side
+    *    whose content was amended away; the batch's fresh-content
+    *    pairs accumulate, and prior fresh pairs naming a now-amended
+    *    id remap to its re-elected same-text twin or die with the
+    *    content
+    *  - the documents overlay: later batches' text fetches (candidate
+    *    verify, decontam of resurrected docs) read the LATEST text
+    *
+    * Disjoint-id amendments commute (each delta lands on the
+    * from-scratch state of the current world, and set replacement on
+    * disjoint ids is order-free) — StreamAmendSpec replays both batch
+    * orders; a REDELIVERED event (same id, same payload) is a no-op,
+    * the at-least-once tolerance (also spec-gated). State
+    * checkpoints to batchId-named parquet dirs per micro-batch:
+    * idempotent under retry, flat lineage at any stream length. */
+  private[graft] def streamAmendFrom(spark: SparkSession, dir: String,
+      idBatches: Seq[Seq[Long]], amendments: DataFrame): DataFrame = {
+    import graft.queries.{PipelineQueries => PQ}
+    import graft.operators.IncrementalDedup
+    graft.functions.GraftFunctions.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text")
+    var (cur, benchGrams, staticPairs) =
+      PQ.retractFramesAtRest(spark, dir)
+    var sigs = PQ.retractSigsAtRest(spark, dir)
+    var pairsNew = Seq.empty[(Long, Long)]
+    var everAmended = Set.empty[Long]
+    var amendedRows: DataFrame =
+      Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_samend").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_samend_ckpt").toString
+    def probe(ids: Set[Long]): DataFrame =
+      broadcast(ids.toSeq.toDF("doc_id"))
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("doc_id").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ids: DataFrame, batchId: Long) =>
+        val batch = amendments
+          .join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select("doc_id", "lang", "text")
+        val docsCur = docs
+          .join(probe(everAmended), Seq("doc_id"), "left_anti")
+          .unionByName(amendedRows)
+        val pairsEff = staticPairs
+          .join(probe(everAmended).withColumnRenamed("doc_id", "id1"),
+            Seq("id1"), "left_anti")
+          .join(probe(everAmended).withColumnRenamed("doc_id", "id2"),
+            Seq("id2"), "left_anti")
+          .unionByName(pairsNew.toDF("id1", "id2"))
+        val st = PQ.corpusUpsertState(docsCur, batch.select("doc_id"),
+          batch, cur.qmeta, cur.s2ids, cur.s3ids, cur.s4meta,
+          benchGrams, pairsEff, IncrementalDedup.banded(sigs))
+        val aq = PQ.qualityGate(batch)
+        val qmetaN = cur.qmeta
+          .join(probe(st.rIds), Seq("doc_id"), "left_anti")
+          .unionByName(aq.select(col("doc_id"), col("lang"),
+            col("n_tokens"), sha2(col("text"), 256).as("digest")))
+        val s2N = cur.s2ids
+          .join(probe(st.rIds ++ st.stolen), Seq("doc_id"), "left_anti")
+          .unionAll(probe(st.resurrected ++ st.insKeepers))
+        val s3N = cur.s3ids
+          .join(probe(st.rIds ++ st.stolen ++ st.doomedNow ++
+            st.newcomers), Seq("doc_id"), "left_anti")
+          .unionAll(probe(st.newcomers))
+        val s4N = st.s4keep.unionByName(st.s4new)
+        val sigsN = sigs
+          .join(probe(st.rIds ++ st.stolen)
+            .withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti")
+          .unionAll(IncrementalDedup.signatures(
+            docsCur.join(probe(st.resurrected), Seq("doc_id"),
+              "left_semi"), "doc_id", "text"))
+          .unionAll(IncrementalDedup.signatures(
+            aq.join(probe(st.insKeepers), Seq("doc_id"), "left_semi"),
+            "doc_id", "text"))
+        val amendedN = amendedRows
+          .join(probe(st.rIds), Seq("doc_id"), "left_anti")
+          .unionByName(batch)
+        def remap(p: (Long, Long)): Option[(Long, Long)] = {
+          def m(x: Long): Option[Long] =
+            if (!st.rIds(x)) Some(x) else st.reElected.get(x)
+          for { a <- m(p._1); b <- m(p._2); if a != b }
+            yield (math.min(a, b), math.max(a, b))
+        }
+        val base = s"$out/b$batchId"
+        qmetaN.write.mode("overwrite").parquet(s"$base/qmeta")
+        s2N.write.mode("overwrite").parquet(s"$base/s2ids")
+        s3N.write.mode("overwrite").parquet(s"$base/s3ids")
+        s4N.write.mode("overwrite").parquet(s"$base/s4meta")
+        sigsN.write.mode("overwrite").parquet(s"$base/sigs")
+        amendedN.write.mode("overwrite").parquet(s"$base/amended")
+        cur = PQ.RetractFrames(
+          spark.read.parquet(s"$base/qmeta"),
+          spark.read.parquet(s"$base/s2ids"),
+          spark.read.parquet(s"$base/s3ids"),
+          spark.read.parquet(s"$base/s4meta"))
+        sigs = spark.read.parquet(s"$base/sigs")
+        amendedRows = spark.read.parquet(s"$base/amended")
+        pairsNew = (pairsNew.flatMap(remap) ++ st.freshPairs).distinct
+        everAmended = everAmended ++ st.rIds
+        ()
+      }
+      .start()
+    try idBatches.foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    PQ.corpusFinish(cur.s4meta)
+  }
+
+  /** The driver gate: the registered amendment set streamed as id
+    * micro-batches (ids ≥ 5, id ≡ 11 mod 23, split by id mod 3),
+    * content fetched by id from the registered re-crawl recipe.
+    * Hash-equal to ONE atomic batch amendment of the union — i.e. the
+    * SAME from-scratch oracle as q_corpus_amend. */
+  def streamAmend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val n = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val all = (5L to n).filter(_ % 23 == 11)
+    streamAmendFrom(spark, dir,
+      (0L to 2L).map(r => all.filter(_ % 3 == r)),
+      graft.queries.PipelineQueries.registeredAmendment(docs))
+  }
+
   /** The driver gate: the registered streaming takedown set (ids ≥ 5,
     * id ≡ 4 mod 13 — disjoint from the batch gate's mod-17 set) split
     * into three micro-batches by id mod 3, derived arithmetically from
