@@ -872,6 +872,17 @@ object StreamOps {
         val batch = amendments
           .join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
           .select("doc_id", "lang", "text")
+        // an amendment EVENT whose id has no payload in the re-crawl
+        // store would otherwise vanish silently — a lost amendment is
+        // a correctness failure, not a skippable row
+        val missing = ids.select("doc_id")
+          .join(amendments.select("doc_id"), Seq("doc_id"), "left_anti")
+          .limit(1).collect()
+        require(missing.isEmpty,
+          s"streamAmend: amendment event for doc_id " +
+            s"${missing.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+            "has no payload in the amendment store — refusing to drop " +
+            "a takedown/re-crawl event on the floor")
         val docsCur = docs
           .join(probe(everAmended), Seq("doc_id"), "left_anti")
           .unionByName(amendedRows)

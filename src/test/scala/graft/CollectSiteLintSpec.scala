@@ -22,8 +22,9 @@ class CollectSiteLintSpec extends AnyFunSuite {
   private val allowlisted: Map[String, (Int, String)] = Map(
     "Layout.scala" -> (2, "planned-file lists capped by " +
       "maxPlannedFiles with a loud raise before the collect"),
-    "StreamOps.scala" -> (1, "limit(maxFixtureRows + 1) + require — " +
-      "the canonical bounded-collect pattern"),
+    "StreamOps.scala" -> (2, "limit(maxFixtureRows + 1) + require — " +
+      "the canonical bounded-collect pattern; r16 adds streamAmend's " +
+      "limit(1) missing-payload probe (loud raise on a lost event)"),
     "EmbedStats.scala" -> (1, "d(d+1)/2 covariance cells with " +
       "d <= maxDim (128) raised loudly in covariance()"),
     "BpeTrain.scala" -> (1, "limit(1) — single best-pair row per " +
