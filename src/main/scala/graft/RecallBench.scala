@@ -159,8 +159,16 @@ object RecallBench {
       val alien = PQ.alienBatch(spark, sfDir).cache()
       val union = emb.unionByName(alien).cache()
       val nU = union.count()
+      // alienBatch is pure id arithmetic (vec_id starts at mx+1), so
+      // the 5 alien probe ids are closed-form — a bare limit(5) here
+      // is not contractually deterministic across separate plan
+      // executions, and the recall split below must name exactly the
+      // probes that were searched (r16 advice)
+      val mxCorpus = emb.agg(max(col("vec_id")).cast("long"))
+        .head().getLong(0)
+      val alienIds = (mxCorpus + 1 to mxCorpus + 5).toSet
       val probesU = union.filter(col("vec_id") < 5)
-        .unionByName(alien.limit(5)).cache()
+        .unionByName(alien.filter(col("vec_id") <= mxCorpus + 5)).cache()
       val exactL2U = {
         val w = Window.partitionBy("probe_id")
           .orderBy(col("l2").asc, col("cand_id"))
@@ -180,8 +188,6 @@ object RecallBench {
           IvfPq.search(ix, probesU, k = PQ.PqRefine,
             nprobe = PQ.IvfPqNprobe, m = PQ.PqM, kCodes = PQ.PqKCodes),
           union, probesU, k = 10, metric = "l2"))
-      val alienIds = alien.limit(5).select("vec_id")
-        .collect().map(_.getLong(0)).toSet
       def split(m: Map[Long, Set[Long]]) = (
         recallOf(m.view.filterKeys(!alienIds(_)).toMap,
           exactL2U.view.filterKeys(!alienIds(_)).toMap),

@@ -317,7 +317,7 @@ object ScaleBench {
         spark.range(n).select(col("id").as("doc_id"),
           lit("en").as("lang"), lit(30L).as("n_tokens"),
           synthText(col("id")).as("text"))
-      // culprits [2000,2750) doom one victim each (resurrection work)
+      // culprits [2000,2500) doom one victim each (resurrection work)
       val pairsA = spark.range(2000L, 2500L)
         .select(col("id").as("id1"), (col("id") + 30000L).as("id2"))
         .cache()

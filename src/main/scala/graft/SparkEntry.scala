@@ -334,6 +334,8 @@ object SparkEntry {
       ((s, d) => streaming.StreamOps.streamRetract(s, d)),
     "q_stream_amend" ->
       ((s, d) => streaming.StreamOps.streamAmend(s, d)),
+    "q_stream_amend_compact" ->
+      ((s, d) => streaming.StreamOps.streamAmendCompact(s, d)),
     "q_zonemap_prune" -> SourceQueries.zonemapPrune,
     "q_setsim_linkage" -> DedupQueries.setsimLinkage,
     "q_join_card_est" -> RelationalQueries.joinCardEst,
@@ -1999,6 +2001,10 @@ object SparkEntry {
     // disjoint-id amendments commute, so the streamed form must land
     // exactly on q_corpus_amend's from-scratch replay
     "q_stream_amend" -> CorpusAmendOracle,
+    // the mid-stream overlay FOLD is a physical re-layout (touched
+    // doc-store partitions + the pair view), never a semantic step —
+    // the folded stream must land on the identical from-scratch chain
+    "q_stream_amend_compact" -> CorpusAmendOracle,
     // closed-form trigger verdicts (the drift computation is k-means
     // territory DuckDB can't replay, but the REGISTERED POLICY's two
     // outcomes are exact booleans by construction: the planted alien

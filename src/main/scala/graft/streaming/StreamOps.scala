@@ -718,15 +718,16 @@ object StreamOps {
     val parts = Option(new java.io.File(out).listFiles())
       .getOrElse(Array.empty).filter(_.isDirectory).map(_.toString).toSeq
     if (parts.isEmpty)
-      // empty delta: no micro-batch ever wrote — return the schema, not
-      // a read error from a parquet dir with no footers
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("dup_of_index",
-            org.apache.spark.sql.types.BooleanType))))
+      // empty delta: no micro-batch ever wrote — return an empty frame
+      // DERIVED FROM THE REAL PLAN (the same verdicts projection the
+      // per-batch sink writes, over a zero-row batch), not a hand-built
+      // schema that silently drifts if verdicts' output ever changes
+      // (r16 advice)
+      IncrementalDedup.verdicts(sigs1,
+          graft.queries.PipelineQueries.qualityGate(
+            graft.sources.Tables.documents(spark, dir).limit(0)),
+          "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.6)
+        .select(col("id").as("doc_id"), col("dup_of_index"))
     else spark.read.parquet(parts: _*)
   }
 
@@ -790,11 +791,16 @@ object StreamOps {
     val q = input.toDF().toDF("doc_id").writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tB0 = System.nanoTime()
         val st = PipelineQueries.corpusRetractState(docs,
           batch.select("doc_id"), cur.qmeta, cur.s2ids, cur.s3ids,
           cur.s4meta, benchGrams, pairs)
+        // delta phase ends with corpusRetractState's bounded collects;
+        // the rewrite plans below materialize in the checkpoint writes
+        val tDelta = (System.nanoTime() - tB0) / 1e9
         val next = PipelineQueries.retractRewrite(spark, st, cur)
         val base = s"$out/b$batchId"
+        val tR0 = System.nanoTime()
         next.qmeta.write.mode("overwrite").parquet(s"$base/qmeta")
         next.s2ids.write.mode("overwrite").parquet(s"$base/s2ids")
         next.s3ids.write.mode("overwrite").parquet(s"$base/s3ids")
@@ -804,6 +810,11 @@ object StreamOps {
           spark.read.parquet(s"$base/s2ids"),
           spark.read.parquet(s"$base/s3ids"),
           spark.read.parquet(s"$base/s4meta"))
+        // per-batch phase attribution (r16 verdict #4)
+        System.err.println(f"[stream-retract] batch $batchId: delta " +
+          f"$tDelta%.2f s, frame-rewrite+checkpoint " +
+          f"${(System.nanoTime() - tR0) / 1e9}%.2f s " +
+          f"(${st.rIds.size} retracted)")
         ()
       }
       .start()
@@ -844,13 +855,55 @@ object StreamOps {
     * checkpoints to batchId-named parquet dirs per micro-batch:
     * idempotent under retry, flat lineage at any stream length. */
   private[graft] def streamAmendFrom(spark: SparkSession, dir: String,
-      idBatches: Seq[Seq[Long]], amendments: DataFrame): DataFrame = {
+      idBatches: Seq[Seq[Long]], amendments: DataFrame): DataFrame =
+    streamAmendRun(spark, dir, idBatches, amendments).manifest
+
+  /** A [[streamAmendRun]]'s outcome: the manifest plus the final
+    * overlay accounting (|everAmended|, |pairsNew|, folds fired), so
+    * the compaction spec can assert a fold actually emptied the
+    * overlays — not just that the manifest survived. */
+  private[graft] final case class AmendStreamResult(manifest: DataFrame,
+      overlayAmended: Long, overlayPairs: Long, folds: Long)
+
+  /** [[streamAmendFrom]] with the overlay lifecycle exposed (r16
+    * verdict #3 — the one 100×-scale liability in the r16 code): the
+    * driver-held overlays (`everAmended`, `pairsNew`, the latest-text
+    * `amendedRows` union in `docsCur`) grow with stream LIFETIME, not
+    * batch size. Two controls close that:
+    *
+    *  - `maxOverlay` — a maxBlast-style LOUD raise on accumulated
+    *    overlay cardinality (|everAmended| + |pairsNew|): a long-lived
+    *    amendment stream without compaction must fail fast, not
+    *    exhaust driver memory slowly (r16 advice).
+    *  - `compactEvery` — every N committed batches the overlay FOLDS
+    *    into the at-rest artifacts (the day-3 compaction posture) and
+    *    resets to empty: the documents store is kept hash-partitioned
+    *    (`part = doc_id mod DocStoreParts`, converted ONCE up front —
+    *    a production 100 TB table is already stored partitioned), and
+    *    a fold rewrites ONLY the partitions its overlay touches
+    *    (touched rows minus amended ids, plus the overlay's latest
+    *    text), staged to a tmp dir and swapped in per partition — the
+    *    commit a real deployment does with FileSystem.rename plus a
+    *    fold marker. Fold cost is therefore ∝ overlay (touched
+    *    partitions), never corpus. The pair graph is id-pair METADATA
+    *    (index-sized, no text): its fold is a plain rewrite of the
+    *    effective view, the same class of offline work as the day-3
+    *    signature-index merge. Crash recovery: the overlays are
+    *    re-derivable from the per-batch checkpoints (`everAmended` =
+    *    the amended checkpoint's id set; `pairsNew` rides in the
+    *    checkpointed pair overlay), so a fold interrupted before its
+    *    swap completes re-runs idempotently from the last committed
+    *    batch state. */
+  private[graft] def streamAmendRun(spark: SparkSession, dir: String,
+      idBatches: Seq[Seq[Long]], amendments: DataFrame,
+      compactEvery: Int = 0, maxOverlay: Long = 5000000L)
+      : AmendStreamResult = {
     import graft.queries.{PipelineQueries => PQ}
     import graft.operators.IncrementalDedup
     graft.functions.GraftFunctions.register(spark)
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val docs = graft.sources.Tables.documents(spark, dir)
+    var docs = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "lang", "text")
     var (cur, benchGrams, staticPairs) =
       PQ.retractFramesAtRest(spark, dir)
@@ -865,10 +918,69 @@ object StreamOps {
       .createTempDirectory("graft_samend_ckpt").toString
     def probe(ids: Set[Long]): DataFrame =
       broadcast(ids.toSeq.toDF("doc_id"))
+    val DocStoreParts = 32
+    val docsStore = s"$out/docstore"
+    var folds = 0L
+    if (compactEvery > 0)
+      // one-time layout precondition (NOT fold cost): the folding
+      // store keeps documents hash-partitioned so each fold's rewrite
+      // prunes to the partitions its overlay touches
+      docs.withColumn("part", pmod(col("doc_id"), lit(DocStoreParts)))
+        .write.mode("overwrite").partitionBy("part").parquet(docsStore)
+    def foldOverlay(): Unit =
+      if (everAmended.nonEmpty || pairsNew.nonEmpty) {
+        val t0 = System.nanoTime()
+        val touched = everAmended
+          .map(id => ((id % DocStoreParts) + DocStoreParts) %
+            DocStoreParts)
+        if (touched.nonEmpty) {
+          val tmp = s"$out/foldtmp$folds"
+          spark.read.parquet(docsStore)
+            .filter(col("part").isin(touched.toSeq.map(Long.box): _*))
+            .join(probe(everAmended), Seq("doc_id"), "left_anti")
+            .select("doc_id", "lang", "text")
+            .unionByName(amendedRows)
+            .withColumn("part", pmod(col("doc_id"), lit(DocStoreParts)))
+            .write.mode("overwrite").partitionBy("part").parquet(tmp)
+          touched.foreach { k =>
+            val dst = java.nio.file.Paths.get(docsStore, s"part=$k")
+            val src = java.nio.file.Paths.get(tmp, s"part=$k")
+            if (java.nio.file.Files.isDirectory(dst)) {
+              val walk = java.nio.file.Files.walk(dst)
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => { java.nio.file.Files.delete(p); () })
+              finally walk.close()
+            }
+            java.nio.file.Files.move(src, dst)
+          }
+        }
+        docs = spark.read.parquet(docsStore)
+          .select("doc_id", "lang", "text")
+        // the pair graph is id-pair metadata — fold = rewrite the
+        // effective view (index-sized, the day-3 merge class)
+        val pairsDir = s"$out/pairstore$folds"
+        staticPairs
+          .join(probe(everAmended).withColumnRenamed("doc_id", "id1"),
+            Seq("id1"), "left_anti")
+          .join(probe(everAmended).withColumnRenamed("doc_id", "id2"),
+            Seq("id2"), "left_anti")
+          .unionByName(pairsNew.toDF("id1", "id2"))
+          .write.mode("overwrite").parquet(pairsDir)
+        staticPairs = spark.read.parquet(pairsDir)
+        System.err.println(f"[stream-amend] fold ${folds + 1}: " +
+          f"${everAmended.size} amended ids over ${touched.size} of " +
+          f"$DocStoreParts doc partitions, ${pairsNew.size} fresh " +
+          f"pairs folded in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        everAmended = Set.empty
+        pairsNew = Seq.empty
+        amendedRows = docs.limit(0)
+        folds += 1
+      }
     val input = MemoryStream[Long]
     val q = input.toDF().toDF("doc_id").writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (ids: DataFrame, batchId: Long) =>
+        val tB0 = System.nanoTime()
         val batch = amendments
           .join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
           .select("doc_id", "lang", "text")
@@ -895,6 +1007,10 @@ object StreamOps {
         val st = PQ.corpusUpsertState(docsCur, batch.select("doc_id"),
           batch, cur.qmeta, cur.s2ids, cur.s3ids, cur.s4meta,
           benchGrams, pairsEff, IncrementalDedup.banded(sigs))
+        // the delta phase ends here: corpusUpsertState's bounded
+        // collects have materialized every decision set; what follows
+        // is plan construction, materialized by the checkpoint writes
+        val tDelta = (System.nanoTime() - tB0) / 1e9
         val aq = PQ.qualityGate(batch)
         val qmetaN = cur.qmeta
           .join(probe(st.rIds), Seq("doc_id"), "left_anti")
@@ -927,6 +1043,7 @@ object StreamOps {
             yield (math.min(a, b), math.max(a, b))
         }
         val base = s"$out/b$batchId"
+        val tR0 = System.nanoTime()
         qmetaN.write.mode("overwrite").parquet(s"$base/qmeta")
         s2N.write.mode("overwrite").parquet(s"$base/s2ids")
         s3N.write.mode("overwrite").parquet(s"$base/s3ids")
@@ -942,13 +1059,36 @@ object StreamOps {
         amendedRows = spark.read.parquet(s"$base/amended")
         pairsNew = (pairsNew.flatMap(remap) ++ st.freshPairs).distinct
         everAmended = everAmended ++ st.rIds
+        // the accumulated overlay must never silently reach corpus
+        // scale on the driver: raise loudly (the maxBlast posture)
+        // — a deployment hitting this either compacts more often or
+        // has an amendment volume that IS a batch rebuild
+        require(everAmended.size.toLong + pairsNew.size <= maxOverlay,
+          s"streamAmend: accumulated overlay " +
+            s"(${everAmended.size} amended ids + ${pairsNew.size} " +
+            s"fresh pairs) exceeds maxOverlay=$maxOverlay — enable " +
+            "or tighten compactEvery (the overlay fold) instead of " +
+            "letting driver state grow with stream lifetime")
+        // per-batch phase attribution (r16 verdict #4): the suite's
+        // most expensive gate must decompose in the driver tail —
+        // delta (the bounded upsert collects) vs the six state
+        // rewrites' materialization + checkpoint I/O
+        System.err.println(f"[stream-amend] batch $batchId: delta " +
+          f"$tDelta%.2f s, state-rewrite+checkpoint " +
+          f"${(System.nanoTime() - tR0) / 1e9}%.2f s " +
+          f"(${st.rIds.size} amended, ${st.freshPairs.size} fresh " +
+          f"pairs, overlay now ${everAmended.size}+${pairsNew.size})")
         ()
       }
       .start()
-    try idBatches.foreach { b =>
+    try idBatches.zipWithIndex.foreach { case (b, i) =>
       input.addData(b); q.processAllAvailable()
+      // compaction fires on the driver BETWEEN committed batches (the
+      // foreachBatch closure reads the folded vars on its next call)
+      if (compactEvery > 0 && (i + 1) % compactEvery == 0) foldOverlay()
     } finally q.stop()
-    PQ.corpusFinish(cur.s4meta)
+    AmendStreamResult(PQ.corpusFinish(cur.s4meta),
+      everAmended.size.toLong, pairsNew.size.toLong, folds)
   }
 
   /** The driver gate: the registered amendment set streamed as id
@@ -963,6 +1103,26 @@ object StreamOps {
     streamAmendFrom(spark, dir,
       (0L to 2L).map(r => all.filter(_ % 3 == r)),
       graft.queries.PipelineQueries.registeredAmendment(docs))
+  }
+
+  /** The compaction twin of [[streamAmend]] (r16 verdict #3): the SAME
+    * registered amendment stream, but the overlay FOLDS into the
+    * at-rest artifacts mid-stream (`compactEvery = 2` — after the
+    * second micro-batch), so the third batch's delta runs against the
+    * folded documents store and pair graph with EMPTY overlays.
+    * Hash-equal to q_stream_amend / q_corpus_amend under the same
+    * from-scratch oracle: compaction is a physical re-layout, never a
+    * semantic step. StreamAmendCompactSpec additionally asserts the
+    * overlays are literally empty post-fold and that fold cost prunes
+    * to the touched partitions. */
+  def streamAmendCompact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val n = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val all = (5L to n).filter(_ % 23 == 11)
+    streamAmendRun(spark, dir,
+      (0L to 2L).map(r => all.filter(_ % 3 == r)),
+      graft.queries.PipelineQueries.registeredAmendment(docs),
+      compactEvery = 2).manifest
   }
 
   /** The driver gate: the registered streaming takedown set (ids ≥ 5,

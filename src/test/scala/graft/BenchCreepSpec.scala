@@ -58,6 +58,21 @@ class BenchCreepSpec extends AnyFunSuite {
       off.toString)
   }
 
+  test("confirm-rep targets are the >=ConfirmRatio offenders, in " +
+      "offender order (r16 verdict #1: an over-bound suite ratio is " +
+      "only actionable with in-run adjudication attached)") {
+    val off = Seq(
+      ("q_hot", 3.0, 1.0, 3.0),
+      ("q_warm", 1.4, 1.0, 1.4),
+      ("q_jitter", 1.2, 1.0, 1.2))
+    assert(Bench.confirmTargets(off) == Seq("q_hot", "q_warm"))
+    assert(Bench.confirmTargets(Seq.empty).isEmpty)
+    // exactly at the ratio is in (the boundary offender can still
+    // explain part of an over-bound ratio)
+    assert(Bench.confirmTargets(
+      Seq(("q", 1.3, 1.0, Bench.ConfirmRatio))) == Seq("q"))
+  }
+
   test("empty intersection yields the neutral ratio 1.0") {
     val (r, off) = Bench.creepReport(Map("a" -> 1.0),
       Map("b" -> 1.0), Set.empty)
