@@ -336,6 +336,8 @@ object SparkEntry {
       ((s, d) => streaming.StreamOps.streamAmend(s, d)),
     "q_stream_amend_compact" ->
       ((s, d) => streaming.StreamOps.streamAmendCompact(s, d)),
+    "q_stream_retract_full" ->
+      ((s, d) => streaming.StreamOps.streamRetractFull(s, d)),
     "q_zonemap_prune" -> SourceQueries.zonemapPrune,
     "q_setsim_linkage" -> DedupQueries.setsimLinkage,
     "q_join_card_est" -> RelationalQueries.joinCardEst,
@@ -2005,6 +2007,16 @@ object SparkEntry {
     // doc-store partitions + the pair view), never a semantic step —
     // the folded stream must land on the identical from-scratch chain
     "q_stream_amend_compact" -> CorpusAmendOracle,
+    // cross-artifact takedown closure: every claim is a closed-form
+    // boolean by construction (streamed frames vs the one-shot batch
+    // delta; per-probe byte-equality vs the never-appended index)
+    "q_stream_retract_full" -> """
+      SELECT 'corpus_manifest_matches_one_shot' AS check, true AS ok
+      UNION ALL SELECT 'probe_0_index_identical', true
+      UNION ALL SELECT 'probe_1_index_identical', true
+      UNION ALL SELECT 'probe_2_index_identical', true
+      UNION ALL SELECT 'probe_3_index_identical', true
+      UNION ALL SELECT 'probe_4_index_identical', true""",
     // closed-form trigger verdicts (the drift computation is k-means
     // territory DuckDB can't replay, but the REGISTERED POLICY's two
     // outcomes are exact booleans by construction: the planted alien

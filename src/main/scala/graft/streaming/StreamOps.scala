@@ -1138,6 +1138,114 @@ object StreamOps {
       (0L to 2L).map(r => all.filter(_ % 3 == r)))
   }
 
+  /** Cross-artifact takedown closure (r16 verdict #5): ONE takedown
+    * stream reaches BOTH stores a forget-this-doc event must leave —
+    * the corpus membership frames AND the persisted IVF-PQ index —
+    * atomically per micro-batch. Deletion that forgets in one store
+    * but not the other is a compliance bug at any scale; until now the
+    * two retract paths (streamRetract, IvfPq.retract) were each gated
+    * alone with nothing proving the joint contract.
+    *
+    * Fixture: the registered mod-13 takedown set. Each taken-down doc
+    * has a registered embedding in the index — a byte-copy of probe
+    * (doc_id mod 5), keyed `doc_id + voff` (the pipeline's doc→vector
+    * key mapping; voff clears the at-rest vec_id range). Copies score
+    * the MINIMAL ADC against their twin probe, so a missed index
+    * retraction cannot hide in the tail of the top-k — it flips the
+    * probe's verdict. Per batch, the SAME event set drives the
+    * bounded-blast frames delta AND the codes anti-join; both
+    * checkpoint to batchId-named parquet (idempotent, flat lineage).
+    *
+    * Output (all closed-form booleans, hash-gated vs a literal):
+    *  - `corpus_manifest_matches_one_shot` — the streamed frames land
+    *    on the ONE-SHOT batch retraction of the union (an independent
+    *    code path: corpusRetractFrom's single delta over the same
+    *    at-rest artifacts)
+    *  - `probe_<i>_index_identical` — per-probe (candidate, ADC) sets
+    *    of the final index are BYTE-identical to the never-appended
+    *    base (the q_ivfpq_retract_planted closure, reached through
+    *    the stream: one leftover code row reds it). */
+  def streamRetractFull(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{PipelineQueries => PQ}
+    import graft.operators.IvfPq
+    graft.functions.GraftFunctions.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val n = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val all = (5L to n).filter(_ % 13 == 4)
+    val batches = (0L to 2L).map(r => all.filter(_ % 3 == r))
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 5)
+    val voff = emb.agg(max(col("vec_id")).cast("long"))
+      .head.getLong(0) + 1
+    val twins = all.toDF("doc_id")
+      .withColumn("__p", pmod(col("doc_id"), lit(5)).cast("long"))
+      .join(broadcast(probes.select(col("vec_id").as("__p"),
+        col("embedding"))), Seq("__p"))
+      .select((col("doc_id") + voff).as("vec_id"), col("embedding"))
+    val base = PQ.ivfPqIndex(spark, dir)
+    var (cur, benchGrams, pairs) = PQ.retractFramesAtRest(spark, dir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sretractf").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sretractf_ckpt").toString
+    // the at-rest pre-state a deployment holds when the takedown
+    // stream starts: the index CONTAINS the victims' vectors
+    var ix = IvfPq.append(base, twins, m = PQ.PqM, k = PQ.PqKCodes)
+    ix.codes.write.mode("overwrite").parquet(s"$out/codes_pre")
+    ix = IvfPq.Index(ix.centroids, ix.books,
+      spark.read.parquet(s"$out/codes_pre"), ix.corpusId)
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("doc_id").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val st = PQ.corpusRetractState(docs,
+          batch.select("doc_id"), cur.qmeta, cur.s2ids, cur.s3ids,
+          cur.s4meta, benchGrams, pairs)
+        val next = PQ.retractRewrite(spark, st, cur)
+        // the SAME events reach the vector store in the SAME batch
+        val ixN = IvfPq.retract(ix,
+          batch.select((col("doc_id") + voff).as("vec_id")))
+        val b = s"$out/b$batchId"
+        next.qmeta.write.mode("overwrite").parquet(s"$b/qmeta")
+        next.s2ids.write.mode("overwrite").parquet(s"$b/s2ids")
+        next.s3ids.write.mode("overwrite").parquet(s"$b/s3ids")
+        next.s4meta.write.mode("overwrite").parquet(s"$b/s4meta")
+        ixN.codes.write.mode("overwrite").parquet(s"$b/codes")
+        cur = PQ.RetractFrames(
+          spark.read.parquet(s"$b/qmeta"),
+          spark.read.parquet(s"$b/s2ids"),
+          spark.read.parquet(s"$b/s3ids"),
+          spark.read.parquet(s"$b/s4meta"))
+        ix = IvfPq.Index(ix.centroids, ix.books,
+          spark.read.parquet(s"$b/codes"), ix.corpusId)
+        ()
+      }
+      .start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = PQ.corpusFinish(cur.s4meta)
+    val oneShot = PQ.corpusRetractFrom(spark, dir, all.toDF("doc_id"))
+    val mEq = streamed.exceptAll(oneShot)
+      .unionAll(oneShot.exceptAll(streamed)).isEmpty
+    def top(i: IvfPq.Index) =
+      IvfPq.search(i, probes, k = 10, nprobe = PQ.IvfPqNprobe,
+        m = PQ.PqM, kCodes = PQ.PqKCodes)
+        .select("probe_id", "cand_id", "adc")
+    val bad = top(base).exceptAll(top(ix))
+      .unionAll(top(ix).exceptAll(top(base)))
+      .select(col("probe_id"), lit(false).as("__bad")).distinct()
+    val probeRows = probes.select(col("vec_id").as("probe_id"))
+      .join(bad, Seq("probe_id"), "left")
+      .select(concat(lit("probe_"), col("probe_id").cast("string"),
+        lit("_index_identical")).as("check"),
+        col("__bad").isNull.as("ok"))
+    Seq(("corpus_manifest_matches_one_shot", mEq)).toDF("check", "ok")
+      .unionByName(probeRows)
+  }
+
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
