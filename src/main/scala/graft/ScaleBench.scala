@@ -366,6 +366,50 @@ object ScaleBench {
         pairsA, amendA).foreach(_.unpersist())
     }
 
+    {
+      // overlay fold (r17, r16 verdict #3): a FIXED 16-id amendment
+      // overlay folded into a 1x vs Nx hash-partitioned documents
+      // store with PARTITION SIZE held constant (parts scales with the
+      // corpus — the maxPartitionBytes discipline a real table layout
+      // follows): foldDocStore reads ONLY the partitions the overlay
+      // touches (16 of 64 at 1x, 16 of 64*factor at Nx — same rows
+      // either way), so the fold must measure FLAT as the corpus
+      // grows. This is the q_stream_amend_compact scale claim: fold
+      // cost ∝ overlay, never corpus.
+      def synthTextF(idc: org.apache.spark.sql.Column) =
+        concat_ws(" ", transform(sequence(lit(0), lit(29)), j =>
+          substring(md5(concat(idc.cast("string"), lit("_"),
+            j.cast("string"))), 1, 8)))
+      val base = 60000L
+      val overlayIds = (0 until 16).map(i => 2000L + i * 131L).toSet
+      val tmpRoot = java.nio.file.Files
+        .createTempDirectory("graft_folddrill").toString
+      def store(n: Long, parts: Int, dir: String): Unit =
+        spark.range(n).select(col("id").as("doc_id"),
+            lit("en").as("lang"), synthTextF(col("id")).as("text"))
+          .withColumn("part", pmod(col("doc_id"), lit(parts)))
+          .write.mode("overwrite").partitionBy("part").parquet(dir)
+      val parts1 = 64
+      val partsN = (64L * factor).toInt
+      store(base, parts1, s"$tmpRoot/s1") // untimed layout builds
+      store(base * factor, partsN, s"$tmpRoot/sN")
+      val newRows = spark.createDataset(overlayIds.toSeq)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")
+        .select(col("doc_id"), lit("en").as("lang"),
+          synthTextF(col("doc_id") + 700000L).as("text")).cache()
+      noop(newRows)
+      val tf1 = time("fold_probe 1x") {
+        graft.streaming.StreamOps.foldDocStore(spark, s"$tmpRoot/s1",
+          s"$tmpRoot/t1", overlayIds, newRows, parts1); ()
+      }
+      val tfN = time(s"fold_probe ${factor}x") {
+        graft.streaming.StreamOps.foldDocStore(spark, s"$tmpRoot/sN",
+          s"$tmpRoot/tN", overlayIds, newRows, partsN); ()
+      }
+      results += (("fold_probe", tf1, tfN))
+      newRows.unpersist()
+    }
+
     // PQ: index trained once on the 1x corpus (the realistic posture —
     // codebooks are a persisted artifact); encode+search scale with data
     val books = graft.operators.Pq.trainCodebooks(emb1, "vec_id",

@@ -894,6 +894,46 @@ object StreamOps {
     *    checkpointed pair overlay), so a fold interrupted before its
     *    swap completes re-runs idempotently from the last committed
     *    batch state. */
+  /** Fold a latest-text overlay into a mod-`parts` hash-partitioned
+    * documents store: ONLY the partitions holding overlay ids are
+    * rewritten (their at-rest rows minus the amended ids, plus the
+    * overlay's latest text), staged to `tmp` and swapped in per
+    * partition — the commit a real deployment does with
+    * FileSystem.rename plus a fold marker. Cost ∝ touched partitions
+    * × partition size: with partition size bounded by the store
+    * layout (scale `parts` with the corpus, the maxPartitionBytes
+    * discipline) and touched ≤ |overlay|, the fold is ∝ overlay,
+    * never corpus — the fold_probe drill measures exactly this
+    * (fixed overlay, fixed partition size, corpus ×8 ⇒ flat).
+    * Returns the number of partitions rewritten. */
+  private[graft] def foldDocStore(spark: SparkSession, store: String,
+      tmp: String, amendedIds: Set[Long], amendedRows: DataFrame,
+      parts: Int): Int = {
+    import spark.implicits._
+    val touched = amendedIds.map(id => ((id % parts) + parts) % parts)
+    if (touched.isEmpty) return 0
+    spark.read.parquet(store)
+      .filter(col("part").isin(touched.toSeq.map(Long.box): _*))
+      .join(broadcast(amendedIds.toSeq.toDF("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "text")
+      .unionByName(amendedRows.select("doc_id", "lang", "text"))
+      .withColumn("part", pmod(col("doc_id"), lit(parts)))
+      .write.mode("overwrite").partitionBy("part").parquet(tmp)
+    touched.foreach { k =>
+      val dst = java.nio.file.Paths.get(store, s"part=$k")
+      val src = java.nio.file.Paths.get(tmp, s"part=$k")
+      if (java.nio.file.Files.isDirectory(dst)) {
+        val walk = java.nio.file.Files.walk(dst)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+        finally walk.close()
+      }
+      java.nio.file.Files.move(src, dst)
+    }
+    touched.size
+  }
+
   private[graft] def streamAmendRun(spark: SparkSession, dir: String,
       idBatches: Seq[Seq[Long]], amendments: DataFrame,
       compactEvery: Int = 0, maxOverlay: Long = 5000000L)
@@ -930,30 +970,9 @@ object StreamOps {
     def foldOverlay(): Unit =
       if (everAmended.nonEmpty || pairsNew.nonEmpty) {
         val t0 = System.nanoTime()
-        val touched = everAmended
-          .map(id => ((id % DocStoreParts) + DocStoreParts) %
-            DocStoreParts)
-        if (touched.nonEmpty) {
-          val tmp = s"$out/foldtmp$folds"
-          spark.read.parquet(docsStore)
-            .filter(col("part").isin(touched.toSeq.map(Long.box): _*))
-            .join(probe(everAmended), Seq("doc_id"), "left_anti")
-            .select("doc_id", "lang", "text")
-            .unionByName(amendedRows)
-            .withColumn("part", pmod(col("doc_id"), lit(DocStoreParts)))
-            .write.mode("overwrite").partitionBy("part").parquet(tmp)
-          touched.foreach { k =>
-            val dst = java.nio.file.Paths.get(docsStore, s"part=$k")
-            val src = java.nio.file.Paths.get(tmp, s"part=$k")
-            if (java.nio.file.Files.isDirectory(dst)) {
-              val walk = java.nio.file.Files.walk(dst)
-              try walk.sorted(java.util.Comparator.reverseOrder())
-                .forEach(p => { java.nio.file.Files.delete(p); () })
-              finally walk.close()
-            }
-            java.nio.file.Files.move(src, dst)
-          }
-        }
+        val touched = foldDocStore(spark, docsStore,
+          s"$out/foldtmp$folds", everAmended, amendedRows,
+          DocStoreParts)
         docs = spark.read.parquet(docsStore)
           .select("doc_id", "lang", "text")
         // the pair graph is id-pair metadata — fold = rewrite the
@@ -968,7 +987,7 @@ object StreamOps {
           .write.mode("overwrite").parquet(pairsDir)
         staticPairs = spark.read.parquet(pairsDir)
         System.err.println(f"[stream-amend] fold ${folds + 1}: " +
-          f"${everAmended.size} amended ids over ${touched.size} of " +
+          f"${everAmended.size} amended ids over $touched of " +
           f"$DocStoreParts doc partitions, ${pairsNew.size} fresh " +
           f"pairs folded in ${(System.nanoTime() - t0) / 1e9}%.2f s")
         everAmended = Set.empty
