@@ -308,6 +308,11 @@ object Bench {
         .ensureCorpusRetractArtifacts(spark, sfDir))
     prebuild("q_ann_retrain",
       () => graft.queries.PipelineQueries.ensureIvfPqIndex(spark, sfDir))
+    prebuild("q_stream_amend_full", () => {
+      graft.queries.PipelineQueries
+        .ensureCorpusRetractArtifacts(spark, sfDir)
+      graft.queries.PipelineQueries.ensureIvfPqIndex(spark, sfDir)
+    })
     prebuild("q_stream_retract_full", () => {
       graft.queries.PipelineQueries
         .ensureCorpusRetractArtifacts(spark, sfDir)

@@ -338,6 +338,8 @@ object SparkEntry {
       ((s, d) => streaming.StreamOps.streamAmendCompact(s, d)),
     "q_stream_retract_full" ->
       ((s, d) => streaming.StreamOps.streamRetractFull(s, d)),
+    "q_stream_amend_full" ->
+      ((s, d) => streaming.StreamOps.streamAmendFull(s, d)),
     "q_zonemap_prune" -> SourceQueries.zonemapPrune,
     "q_setsim_linkage" -> DedupQueries.setsimLinkage,
     "q_join_card_est" -> RelationalQueries.joinCardEst,
@@ -2017,6 +2019,17 @@ object SparkEntry {
       UNION ALL SELECT 'probe_2_index_identical', true
       UNION ALL SELECT 'probe_3_index_identical', true
       UNION ALL SELECT 'probe_4_index_identical', true""",
+    // the amend twin: corpus manifest == one-shot atomic amendment,
+    // final index == one-shot IvfPq.update of the union, and the new
+    // content is findable at minimal ADC for every probe
+    "q_stream_amend_full" -> """
+      SELECT 'corpus_manifest_matches_one_shot' AS check, true AS ok
+      UNION ALL SELECT 'index_matches_one_shot_update', true
+      UNION ALL SELECT 'probe_0_new_content_min_adc', true
+      UNION ALL SELECT 'probe_1_new_content_min_adc', true
+      UNION ALL SELECT 'probe_2_new_content_min_adc', true
+      UNION ALL SELECT 'probe_3_new_content_min_adc', true
+      UNION ALL SELECT 'probe_4_new_content_min_adc', true""",
     // closed-form trigger verdicts (the drift computation is k-means
     // territory DuckDB can't replay, but the REGISTERED POLICY's two
     // outcomes are exact booleans by construction: the planted alien

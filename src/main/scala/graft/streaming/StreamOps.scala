@@ -934,9 +934,16 @@ object StreamOps {
     touched.size
   }
 
+  /** @param alsoPerBatch sibling-store hook, called INSIDE each
+    *        foreachBatch with (batch ids, batchId) after the corpus
+    *        state commit — the cross-artifact seam: a re-crawl event
+    *        that amends the corpus can atomically reach its other
+    *        representations (the vector index, q_stream_amend_full)
+    *        in the SAME micro-batch. */
   private[graft] def streamAmendRun(spark: SparkSession, dir: String,
       idBatches: Seq[Seq[Long]], amendments: DataFrame,
-      compactEvery: Int = 0, maxOverlay: Long = 5000000L)
+      compactEvery: Int = 0, maxOverlay: Long = 5000000L,
+      alsoPerBatch: (DataFrame, Long) => Unit = (_, _) => ())
       : AmendStreamResult = {
     import graft.queries.{PipelineQueries => PQ}
     import graft.operators.IncrementalDedup
@@ -1097,6 +1104,7 @@ object StreamOps {
           f"${(System.nanoTime() - tR0) / 1e9}%.2f s " +
           f"(${st.rIds.size} amended, ${st.freshPairs.size} fresh " +
           f"pairs, overlay now ${everAmended.size}+${pairsNew.size})")
+        alsoPerBatch(ids.select("doc_id"), batchId)
         ()
       }
       .start()
@@ -1142,6 +1150,104 @@ object StreamOps {
       (0L to 2L).map(r => all.filter(_ % 3 == r)),
       graft.queries.PipelineQueries.registeredAmendment(docs),
       compactEvery = 2).manifest
+  }
+
+  /** Cross-artifact AMENDMENT closure (r17, completing the joint-CRUD
+    * matrix [[streamRetractFull]] opened): a re-crawl event names a
+    * doc whose content changed — the corpus must serve the new text
+    * AND similarity search must find the new embedding under the SAME
+    * id, atomically per micro-batch. The [[streamAmendRun]]
+    * `alsoPerBatch` seam applies [[graft.operators.IvfPq.update]]
+    * (retract∘append under frozen centroids/codebooks) for exactly
+    * the batch's ids in the SAME foreachBatch that commits the corpus
+    * state; codes checkpoint per batchId like every other frame.
+    *
+    * Fixture: the registered mod-23 amendment set in TWO micro-batches
+    * (the 3-batch commutation/cross-batch machinery is q_stream_amend's
+    * claim; this gate's new claim is per-batch JOINT atomicity, and
+    * two batches bound the suite tail). Pre-state index holds each
+    * doc's OLD-content vector (probe byte-copy at shift 2, keyed
+    * doc_id+voff); the re-crawl's NEW embedding is the probe byte-copy
+    * at shift 0 — old ≠ new for every id.
+    *
+    * Output (closed-form booleans vs a literal oracle):
+    *  - `corpus_manifest_matches_one_shot` — streamed manifest ==
+    *    the single-shot atomic batch amendment (corpusAmendFrom)
+    *  - `index_matches_one_shot_update` — final per-probe
+    *    (candidate, ADC) sets byte-equal ONE IvfPq.update of the
+    *    union (streamed-vs-one-shot closure over the persisted codes;
+    *    old-content-gone rides on q_ivfpq_update_planted's gated
+    *    restore closure for the one-shot form)
+    *  - `probe_<i>_new_content_min_adc` — the new content is FINDABLE:
+    *    each probe's top-k contains an updated twin at the minimal
+    *    ADC (a stale code row for any of its twins would red this). */
+  def streamAmendFull(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{PipelineQueries => PQ}
+    import graft.operators.IvfPq
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val n = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val all = (5L to n).filter(_ % 23 == 11)
+    val batches = (0L to 1L).map(r => all.filter(_ % 2 == r))
+    val amendments = PQ.registeredAmendment(docs)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 5)
+    val voff = emb.agg(max(col("vec_id")).cast("long"))
+      .head.getLong(0) + 1
+    def twinVecs(shift: Long): DataFrame = all.toDF("doc_id")
+      .withColumn("__p", pmod(col("doc_id") + shift, lit(5)).cast("long"))
+      .join(broadcast(probes.select(col("vec_id").as("__p"),
+        col("embedding"))), Seq("__p"))
+      .select((col("doc_id") + voff).as("vec_id"), col("embedding"))
+    val oldVecs = twinVecs(2)
+    val newVecs = twinVecs(0)
+    val base = PQ.ivfPqIndex(spark, dir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_samendf").toString
+    var ix = IvfPq.append(base, oldVecs, m = PQ.PqM, k = PQ.PqKCodes)
+    ix.codes.write.mode("overwrite").parquet(s"$out/codes_pre")
+    ix = IvfPq.Index(ix.centroids, ix.books,
+      spark.read.parquet(s"$out/codes_pre"), ix.corpusId)
+    val pre = ix
+    val res = streamAmendRun(spark, dir, batches, amendments,
+      alsoPerBatch = { (ids, batchId) =>
+        val nv = newVecs.join(
+          ids.select((col("doc_id") + voff).as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        val ixN = IvfPq.update(ix, nv, m = PQ.PqM, k = PQ.PqKCodes)
+        ixN.codes.write.mode("overwrite").parquet(s"$out/b$batchId/codes")
+        ix = IvfPq.Index(ix.centroids, ix.books,
+          spark.read.parquet(s"$out/b$batchId/codes"), ix.corpusId)
+      })
+    val streamed = res.manifest
+    val oneShot = PQ.corpusAmendFrom(spark, dir, amendments)
+    val mEq = streamed.exceptAll(oneShot)
+      .unionAll(oneShot.exceptAll(streamed)).isEmpty
+    def top(i: IvfPq.Index) =
+      IvfPq.search(i, probes, k = 10, nprobe = PQ.IvfPqNprobe,
+        m = PQ.PqM, kCodes = PQ.PqKCodes)
+        .select("probe_id", "cand_id", "adc")
+    val oneShotIx = IvfPq.update(pre, newVecs,
+      m = PQ.PqM, k = PQ.PqKCodes)
+    val ixEq = top(oneShotIx).exceptAll(top(ix))
+      .unionAll(top(ix).exceptAll(top(oneShotIx))).isEmpty
+    val w = Window.partitionBy("probe_id")
+    val minTwin = top(ix)
+      .withColumn("__min", min(col("adc")).over(w))
+      .filter(col("cand_id") >= voff && col("adc") === col("__min"))
+      .select(col("probe_id"), lit(true).as("__hit")).distinct()
+    val probeRows = probes.select(col("vec_id").as("probe_id"))
+      .join(minTwin, Seq("probe_id"), "left")
+      .select(concat(lit("probe_"), col("probe_id").cast("string"),
+        lit("_new_content_min_adc")).as("check"),
+        coalesce(col("__hit"), lit(false)).as("ok"))
+    Seq(("corpus_manifest_matches_one_shot", mEq),
+        ("index_matches_one_shot_update", ixEq)).toDF("check", "ok")
+      .unionByName(probeRows)
   }
 
   /** The driver gate: the registered streaming takedown set (ids ≥ 5,
