@@ -408,6 +408,40 @@ object ScaleBench {
       }
       results += (("fold_probe", tf1, tfN))
       newRows.unpersist()
+
+      // keyed frame upsert (r17): the per-batch state-rewrite path a
+      // 100 TB deployment flips to when the membership/signature
+      // frames outgrow full snapshots (streamAmendRun scaladoc) — a
+      // FIXED 16-id delta (remove + re-add with changed payloads)
+      // against a 1x vs Nx signature-like store (id, 32-int array),
+      // partition size held constant: must measure FLAT.
+      def synthSig(idc: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(31)), j =>
+          pmod(hash(idc, j), lit(1000)))
+      val upsertIds = (0 until 16).map(i => 3000L + i * 173L).toSet
+      def sigStore(n: Long, parts: Int, dir: String): Unit =
+        spark.range(n).select(col("id"), synthSig(col("id")).as("sig"))
+          .withColumn("part", pmod(col("id"), lit(parts)))
+          .write.mode("overwrite").partitionBy("part").parquet(dir)
+      sigStore(base, parts1, s"$tmpRoot/g1") // untimed layout builds
+      sigStore(base * factor, partsN, s"$tmpRoot/gN")
+      val upsertRows = spark.createDataset(upsertIds.toSeq)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("id")
+        .select(col("id"), synthSig(col("id") + 500000L).as("sig"))
+        .cache()
+      noop(upsertRows)
+      val tu1 = time("upsert_probe 1x") {
+        graft.streaming.StreamOps.partitionedUpsert(spark,
+          s"$tmpRoot/g1", s"$tmpRoot/u1", "id", upsertIds, upsertRows,
+          parts1); ()
+      }
+      val tuN = time(s"upsert_probe ${factor}x") {
+        graft.streaming.StreamOps.partitionedUpsert(spark,
+          s"$tmpRoot/gN", s"$tmpRoot/uN", "id", upsertIds, upsertRows,
+          partsN); ()
+      }
+      results += (("upsert_probe", tu1, tuN))
+      upsertRows.unpersist()
     }
 
     // PQ: index trained once on the 1x corpus (the realistic posture —

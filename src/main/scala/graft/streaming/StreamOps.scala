@@ -908,17 +908,37 @@ object StreamOps {
     * Returns the number of partitions rewritten. */
   private[graft] def foldDocStore(spark: SparkSession, store: String,
       tmp: String, amendedIds: Set[Long], amendedRows: DataFrame,
-      parts: Int): Int = {
+      parts: Int): Int =
+    partitionedUpsert(spark, store, tmp, "doc_id", amendedIds,
+      amendedRows.select("doc_id", "lang", "text"), parts)
+
+  /** Keyed delete-insert over a mod-`parts` hash-partitioned store:
+    * rewrite ONLY the partitions holding `touchIds` — their at-rest
+    * rows minus the touched ids, plus `addRows` — staged to `tmp` and
+    * swapped in per partition (the commit a real deployment brackets
+    * with FileSystem.rename + a batch marker; recovery re-runs the
+    * swap list from the staged dirs, and the delete-insert is
+    * idempotent under a replayed batch because re-adding removed ids
+    * lands the identical rows). CONTRACT: `addRows`' ids ⊆ `touchIds`
+    * (callers derive both from the same bounded driver delta sets),
+    * and `addRows`' columns match the store's data columns by name.
+    * Cost ∝ touched partitions × partition size — with partition size
+    * bounded by the layout (scale `parts` with the data, the
+    * maxPartitionBytes discipline), an upsert is ∝ delta, never
+    * corpus. Returns the number of partitions rewritten. */
+  private[graft] def partitionedUpsert(spark: SparkSession,
+      store: String, tmp: String, idCol: String, touchIds: Set[Long],
+      addRows: DataFrame, parts: Int): Int = {
     import spark.implicits._
-    val touched = amendedIds.map(id => ((id % parts) + parts) % parts)
+    val touched = touchIds.map(id => ((id % parts) + parts) % parts)
     if (touched.isEmpty) return 0
     spark.read.parquet(store)
       .filter(col("part").isin(touched.toSeq.map(Long.box): _*))
-      .join(broadcast(amendedIds.toSeq.toDF("doc_id")),
-        Seq("doc_id"), "left_anti")
-      .select("doc_id", "lang", "text")
-      .unionByName(amendedRows.select("doc_id", "lang", "text"))
-      .withColumn("part", pmod(col("doc_id"), lit(parts)))
+      .join(broadcast(touchIds.toSeq.toDF(idCol)),
+        Seq(idCol), "left_anti")
+      .drop("part")
+      .unionByName(addRows)
+      .withColumn("part", pmod(col(idCol), lit(parts)))
       .write.mode("overwrite").partitionBy("part").parquet(tmp)
     touched.foreach { k =>
       val dst = java.nio.file.Paths.get(store, s"part=$k")
@@ -934,7 +954,23 @@ object StreamOps {
     touched.size
   }
 
-  /** @param alsoPerBatch sibling-store hook, called INSIDE each
+  /** Frame-checkpoint scale posture: at gate scale every batch writes
+    * FULL batchId-named frame snapshots — crash-resume is "read the
+    * last committed batch", the property the replay/idempotence proofs
+    * lean on, and the frames are small. When the frames outgrow full
+    * rewrites (the 100 TB regime: qmeta's digests and the 32-int
+    * signatures are corpus-scale bytes), the state writer flips to the
+    * SAME keyed delete-insert the overlay fold uses
+    * ([[partitionedUpsert]]): every per-batch remove/add set is
+    * already a bounded DRIVER delta (rIds / stolen / resurrected /
+    * insKeepers / doomedNow / newcomers, plus the delta-sized aq /
+    * s4new / signature rows), so each frame rewrite prunes to the
+    * partitions the delta touches — ∝ delta, never corpus
+    * (upsert_probe drills this flat at 8× store size). Correctness is
+    * layout-independent: q_stream_amend_compact gates that a
+    * partitioned-store rewrite is semantically invisible.
+    *
+    * @param alsoPerBatch sibling-store hook, called INSIDE each
     *        foreachBatch with (batch ids, batchId) after the corpus
     *        state commit — the cross-artifact seam: a re-crawl event
     *        that amends the corpus can atomically reach its other
