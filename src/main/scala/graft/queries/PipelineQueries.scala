@@ -2044,8 +2044,16 @@ object PipelineQueries {
     graft.functions.GraftFunctions.register(s)
     val art = corpusRetractArtifacts(s, d)
     val s4meta = s.read.parquet(art.resolve("s4meta").toString)
+    // the amendment payload is delta-sized by contract and its
+    // generating plan (the driver fixture's corpus self-join) would
+    // otherwise re-execute for every bounded collect that touches the
+    // incoming content — materialize it once (r17 optimization; the
+    // session's catalog cache is cleared between bench reps, and the
+    // cached bytes are bounded by the same blast-radius discipline as
+    // the collects themselves)
+    val am = amendments.cache()
     (corpusUpsertState(Tables.documents(s, d),
-      amendments.select("doc_id"), amendments,
+      am.select("doc_id"), am,
       qmeta = s.read.parquet(art.resolve("qmeta").toString),
       s2ids = s.read.parquet(art.resolve("s2ids").toString),
       s3ids = s.read.parquet(art.resolve("s3ids").toString),
