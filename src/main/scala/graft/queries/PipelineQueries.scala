@@ -1293,7 +1293,15 @@ object PipelineQueries {
     * express. */
   val corpusIncremental: Q = (s, d) => {
     val (s4day1, s4delta) = corpusIncrementalParts(s, d)
-    corpusFinish(s4day1.unionAll(s4delta))
+    // r17 optimization: the finish stages fan the S4 input out into
+    // ~10 references and each gets fresh exprIds, so ReuseExchange
+    // can never dedup them — the delta's probe DAG (quality → digest
+    // anti-join → signature-index probe → decontam) re-executed per
+    // reference (344-exchange plan, plans/r17). Materializing the
+    // DELTA side once truncates the plan; it is delta-sized by the
+    // ingest contract (the at-rest side is already a flat parquet
+    // read, duplicating that scan is cheap).
+    corpusFinish(s4day1.unionAll(s4delta.cache()))
   }
 
   /** (at-rest S4, delta S4) of the incremental gate — split out so the
@@ -1350,6 +1358,11 @@ object PipelineQueries {
     val q = qualityGate(delta).withColumn("__dig", sha2(col("text"), 256))
     val newContent = q.join(digestsAtRest,
       q("__dig") === digestsAtRest("digest"), "left_anti")
+    // NOTE (r17 A/B at sf0.1): rewriting the min-per-digest keeper as
+    // a window and caching S2/S3 measured SLOWER than this form (18.0
+    // vs 16.1 s over the three daily gates) — in-action stage
+    // parallelism beats the extra materialization barriers; only the
+    // gate-level delta-S4 cache pays. Kept as-is deliberately.
     val s2 = newContent.join(
       newContent.groupBy("__dig").agg(min("doc_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
@@ -1485,7 +1498,9 @@ object PipelineQueries {
     * invisible, only cheaper. */
   val corpusDay3: Q = (s, d) => {
     val (s4meta12, s4delta) = corpusDay3Parts(s, d)
-    corpusFinish(s4meta12.unionAll(s4delta))
+    // delta-side materialization — same rationale as corpusIncremental
+    // (416-exchange plan from finish fan-out, plans/r17)
+    corpusFinish(s4meta12.unionAll(s4delta.cache()))
   }
 
   /** (at-rest S4, delta S4) of the day-3 gate — bench phase split. */
@@ -2295,7 +2310,9 @@ object PipelineQueries {
     * build from what remains. */
   val corpusLifecycle: Q = (s, d) => {
     val (s4meta, s4delta) = corpusLifecycleParts(s, d)
-    corpusFinish(s4meta.unionAll(s4delta))
+    // delta-side materialization — same rationale as corpusIncremental
+    // (538-exchange plan from finish fan-out, plans/r17)
+    corpusFinish(s4meta.unionAll(s4delta.cache()))
   }
 
   /** (at-rest S4, delta S4) of the lifecycle gate — bench phase split. */
