@@ -1672,7 +1672,12 @@ object PipelineQueries {
       pairs: DataFrame, maxBlast: Int = 5000000): DataFrame = {
     val st = corpusRetractState(docs, retracted, qmeta, s2ids, s3ids,
       s4meta, benchGrams, pairs, maxBlast)
-    corpusFinish(st.s4keep.unionByName(st.s4new))
+    // r17 optimization: the finish stages fan their input out ~10×
+    // with fresh exprIds (no ReuseExchange) — materialize the
+    // DELTA-sized insert side once; s4keep stays a flat parquet
+    // anti-join whose duplication is cheap (the corpusIncremental
+    // rationale, plans/r17)
+    corpusFinish(st.s4keep.unionByName(st.s4new.cache()))
   }
 
   /** The membership-delta sets of a retraction plus the resulting S4
@@ -1805,6 +1810,21 @@ object PipelineQueries {
     require(inserted.subsetOf(rIds),
       "corpusUpsert: every amended id must also be named in the " +
         "retraction set (old content leaves before new content enters)")
+    // r17 optimization (guide §2.6): the fresh-pair CANDIDATE probe
+    // (new signatures vs the band-partitioned at-rest index) depends
+    // only on the incoming content — launch it now so it overlaps the
+    // S2 keeper-contest probes below; the remap/verify steps that need
+    // the contest's outcome await it afterwards. (The future is
+    // created before the contest block and joined inside newPairs —
+    // same bounded collect, same raise.)
+    val candsF: Option[scala.concurrent.Future[Seq[(Long, Long, Boolean)]]] =
+      if (inserted.isEmpty) None
+      else Some(scala.concurrent.Future {
+        bounded(graft.operators.IncrementalDedup.candidatePairs(banded,
+          aq, "doc_id", "text", numHashes = 32, bands = 8),
+          "amendment candidate pairs")(
+          r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      }(scala.concurrent.ExecutionContext.Implicits.global))
 
     // S2 delta: keeper contests per touched digest group. Touched =
     // groups that lost their keeper (retraction) ∪ groups an inserted
@@ -1815,12 +1835,24 @@ object PipelineQueries {
     //  - keeper at-rest, not currently in S2      → re-election
     //  - keeper at-rest, already in S2            → no flip (losing
     //    inserted members just die at S2)
-    val removedS2 = ids(s2ids.join(probe(rIds), Seq("doc_id"),
-      "left_semi"), "retracted survivors")
-    val lostKeepers = boundedStr(
-      qmeta.join(probe(removedS2), Seq("doc_id"), "left_semi")
+    // r17 optimization (guide §2.6): the two probes below depend only
+    // on rIds, so they run as concurrent jobs — the qmeta fetch
+    // collects (digest, id) for ALL retracted ids (map-side, ≤ |rIds|
+    // rows: the same maxStrBlast cap class) and the driver keeps the
+    // S2-member subset, exactly the rows the sequential form fetched
+    // after the membership probe returned.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val removedS2F = Future { ids(s2ids.join(probe(rIds),
+      Seq("doc_id"), "left_semi"), "retracted survivors") }
+    val lostAllF = Future { boundedStr(
+      qmeta.join(probe(rIds), Seq("doc_id"), "left_semi")
         .select("digest", "doc_id"), "touched digests")(
-      r => (r.getString(0), r.getLong(1)))
+      r => (r.getString(0), r.getLong(1))) }
+    val removedS2 = Await.result(removedS2F, Duration.Inf)
+    val lostKeepers = Await.result(lostAllF, Duration.Inf)
+      .filter { case (_, id) => removedS2(id) }
     val oldKeeperByDigest = lostKeepers.toMap
     val touchedDigests =
       (lostKeepers.map(_._1) ++ aqRows.map(_._2)).distinct
@@ -1868,11 +1900,7 @@ object PipelineQueries {
     val newPairs: Seq[(Long, Long)] =
       if (inserted.isEmpty) Seq.empty
       else {
-        import graft.operators.IncrementalDedup
-        val cands = bounded(IncrementalDedup.candidatePairs(banded,
-          aq, "doc_id", "text", numHashes = 32, bands = 8),
-          "amendment candidate pairs")(
-          r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        val cands = Await.result(candsF.get, Duration.Inf)
         // an INDEX-side candidate naming a retracted keeper (its
         // signature is still the at-rest index's) remaps to the
         // same-text re-elected twin that replaces it in S2'; other
@@ -2048,7 +2076,9 @@ object PipelineQueries {
   private[graft] def corpusAmendFrom(s: SparkSession, d: String,
       amendments: DataFrame): DataFrame = {
     val (st, _) = corpusAmendStateFrom(s, d, amendments)
-    corpusFinish(st.s4keep.unionByName(st.s4new))
+    // delta-side materialization before the finish fan-out — the
+    // corpusRetractDelta rationale
+    corpusFinish(st.s4keep.unionByName(st.s4new.cache()))
   }
 
   /** The amendment's [[UpsertState]] over the at-rest retraction
