@@ -1330,6 +1330,26 @@ object StreamOps {
     ix = IvfPq.Index(ix.centroids, ix.books,
       spark.read.parquet(s"$out/codes_pre"), ix.corpusId)
     val pre = ix
+    // r17 optimization (guide §2.6): the ONE-SHOT comparison arms —
+    // the atomic batch amendment of the union and the one-shot index
+    // update's search — depend only on the at-rest artifacts and the
+    // pre-state index, never on the stream's state. Launch them now so
+    // they materialize (into their own caches) while the stream
+    // replays; the equality actions below then read the cached sides.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val oneShotF = Future {
+      val df = PQ.corpusAmendFrom(spark, dir, amendments).cache()
+      df.count(); df
+    }
+    val oneShotIxF = Future {
+      val ixU = IvfPq.update(pre, newVecs, m = PQ.PqM, k = PQ.PqKCodes)
+      val t = IvfPq.search(ixU, probes, k = 10, nprobe = PQ.IvfPqNprobe,
+          m = PQ.PqM, kCodes = PQ.PqKCodes)
+        .select("probe_id", "cand_id", "adc").cache()
+      t.count(); t
+    }
     val res = streamAmendRun(spark, dir, batches, amendments,
       alsoPerBatch = { (ids, batchId) =>
         val nv = newVecs.join(
@@ -1340,20 +1360,17 @@ object StreamOps {
         ix = IvfPq.Index(ix.centroids, ix.books,
           spark.read.parquet(s"$out/b$batchId/codes"), ix.corpusId)
       })
-    // NOTE (r17 A/B at sf0.1): caching the comparison inputs here is a
-    // wash (see streamRetractFull) — uncached form kept
     val streamed = res.manifest
-    val oneShot = PQ.corpusAmendFrom(spark, dir, amendments)
+    val oneShot = Await.result(oneShotF, Duration.Inf)
     val mEq = streamed.exceptAll(oneShot)
       .unionAll(oneShot.exceptAll(streamed)).isEmpty
     def top(i: IvfPq.Index) =
       IvfPq.search(i, probes, k = 10, nprobe = PQ.IvfPqNprobe,
         m = PQ.PqM, kCodes = PQ.PqKCodes)
         .select("probe_id", "cand_id", "adc")
-    val oneShotIx = IvfPq.update(pre, newVecs,
-      m = PQ.PqM, k = PQ.PqKCodes)
-    val ixEq = top(oneShotIx).exceptAll(top(ix))
-      .unionAll(top(ix).exceptAll(top(oneShotIx))).isEmpty
+    val topOneShot = Await.result(oneShotIxF, Duration.Inf)
+    val ixEq = topOneShot.exceptAll(top(ix))
+      .unionAll(top(ix).exceptAll(topOneShot)).isEmpty
     val w = Window.partitionBy("probe_id")
     val minTwin = top(ix)
       .withColumn("__min", min(col("adc")).over(w))
@@ -1449,6 +1466,24 @@ object StreamOps {
     ix.codes.write.mode("overwrite").parquet(s"$out/codes_pre")
     ix = IvfPq.Index(ix.centroids, ix.books,
       spark.read.parquet(s"$out/codes_pre"), ix.corpusId)
+    // r17 optimization (guide §2.6): the one-shot comparison arms
+    // depend only on the at-rest artifacts and the never-appended base
+    // index — materialize them concurrently with the stream replay
+    // (the streamAmendFull pattern)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val oneShotF = Future {
+      val df = PQ.corpusRetractFrom(spark, dir, all.toDF("doc_id"))
+        .cache()
+      df.count(); df
+    }
+    val topBaseF = Future {
+      val t = IvfPq.search(base, probes, k = 10,
+          nprobe = PQ.IvfPqNprobe, m = PQ.PqM, kCodes = PQ.PqKCodes)
+        .select("probe_id", "cand_id", "adc").cache()
+      t.count(); t
+    }
     val input = MemoryStream[Long]
     val q = input.toDF().toDF("doc_id").writeStream
       .option("checkpointLocation", ckpt)
@@ -1482,21 +1517,17 @@ object StreamOps {
       .start()
     try batches.foreach { b => input.addData(b); q.processAllAvailable() }
     finally q.stop()
-    // NOTE (r17 A/B at sf0.1): caching these comparison inputs is a
-    // wash — symmetric exceptAll subtrees parallelize as stages of one
-    // action and ReuseExchange dedups the identical exchanges, so the
-    // uncached form is kept (caching the planted-ivfpq twins measured
-    // strictly SLOWER for the same reason)
     val streamed = PQ.corpusFinish(cur.s4meta)
-    val oneShot = PQ.corpusRetractFrom(spark, dir, all.toDF("doc_id"))
+    val oneShot = Await.result(oneShotF, Duration.Inf)
     val mEq = streamed.exceptAll(oneShot)
       .unionAll(oneShot.exceptAll(streamed)).isEmpty
     def top(i: IvfPq.Index) =
       IvfPq.search(i, probes, k = 10, nprobe = PQ.IvfPqNprobe,
         m = PQ.PqM, kCodes = PQ.PqKCodes)
         .select("probe_id", "cand_id", "adc")
-    val bad = top(base).exceptAll(top(ix))
-      .unionAll(top(ix).exceptAll(top(base)))
+    val topBase = Await.result(topBaseF, Duration.Inf)
+    val bad = topBase.exceptAll(top(ix))
+      .unionAll(top(ix).exceptAll(topBase))
       .select(col("probe_id"), lit(false).as("__bad")).distinct()
     val probeRows = probes.select(col("vec_id").as("probe_id"))
       .join(bad, Seq("probe_id"), "left")
